@@ -1,0 +1,307 @@
+"""Engine — loads a graph and executes its nodes on Spark.
+
+Replaces the reference's server side (opaque in the devkit): node
+execution protocol per SURVEY §3.3, signal-driven DAG scheduling per
+`node.py:387-397`, cron triggers per `trigger:` fields.
+
+Node kinds:
+- **SQL node** (`.sql` file): Jinja-rendered (``{{ table }}`` → temp view
+  name, ``{{ param }}`` → SQL literal), run via ``spark.sql``, result
+  committed as a new version of the node's single output store
+  (`create.py:239-244` template semantics).
+- **Python node** (`.py` file): module executed with an active
+  ExecutionContext so module-level ``Table/Parameter/State`` declarations
+  bind live (class-style SDK, the documented contract).
+- **Webhook**: an ingestion port — ``engine.webhook_receive(name, payload)``
+  appends the payload to the webhook's auto-created table
+  (`create.py:177-197`).
+- **Component** (`uses:`): resolved from a local registry of Python
+  factory functions (inline expansion at parse time is handled for
+  subgraph files; components resolve to callables registered via
+  ``engine.register_component``).
+"""
+
+from __future__ import annotations
+
+import os
+import re
+import runpy
+import time
+from collections import defaultdict, deque
+from datetime import datetime
+from typing import Any, Callable
+
+import jinja2
+from pyspark.sql import DataFrame, SparkSession
+
+from basis_devkit_spark.engine.context import ExecutionContext
+from basis_devkit_spark.engine.cron import cron_matches
+from basis_devkit_spark.graph.loader import load_graph
+from basis_devkit_spark.graph.spec import GraphSpec, NodeSpec
+from basis_devkit_spark.storage.state import StateStore
+from basis_devkit_spark.storage.store import TableStore
+
+
+def _sql_literal(v: Any) -> str:
+    if v is None:
+        return "NULL"
+    if isinstance(v, bool):
+        return "TRUE" if v else "FALSE"
+    if isinstance(v, (int, float)):
+        return repr(v)
+    if isinstance(v, datetime):
+        return f"TIMESTAMP '{v.isoformat(sep=' ')}'"
+    s = str(v).replace("'", "''")
+    return f"'{s}'"
+
+
+class _SqlParam(str):
+    """Renders as a SQL literal in templates but still str-usable."""
+
+    def __new__(cls, value: Any):
+        return super().__new__(cls, _sql_literal(value))
+
+
+class Engine:
+    def __init__(
+        self,
+        spark: SparkSession,
+        storage_root: str,
+        execution_limit_s: float = 600.0,
+    ):
+        self.spark = spark
+        self.storage_root = storage_root
+        os.makedirs(storage_root, exist_ok=True)
+        self.state_store = StateStore(storage_root)
+        self.execution_limit_s = execution_limit_s
+        self.graph: GraphSpec | None = None
+        self._stores: dict[str, TableStore] = {}
+        self._components: dict[str, Callable[..., None]] = {}
+        self._run_log: list[dict[str, Any]] = []
+
+    # ---------------- graph ----------------
+    def load_graph(self, path: str) -> GraphSpec:
+        self.graph = load_graph(path)
+        return self.graph
+
+    def graph_store_names(self) -> set[str]:
+        return self.graph.store_names() if self.graph else set()
+
+    # ---------------- stores ----------------
+    def store(self, name: str) -> TableStore:
+        if name not in self._stores:
+            self._stores[name] = TableStore(self.storage_root, name, self.spark)
+        return self._stores[name]
+
+    def seed_store(self, name: str, df: DataFrame) -> None:
+        """Register external data (e.g. a testdata parquet) as the active
+        version of a store."""
+        self.store(name).write_replace(df)
+
+    def table_df(self, name: str) -> DataFrame:
+        return self.store(name).read()
+
+    # ---------------- components ----------------
+    def register_component(self, key: str, fn: Callable[..., None]) -> None:
+        """`uses: org/component@v1` → a Python callable(engine, node_spec)."""
+        self._components[key] = fn
+
+    # ---------------- node execution ----------------
+    def run_node(self, node: NodeSpec | str) -> ExecutionContext:
+        if isinstance(node, str):
+            node = self._node_by_id_or_name(node)
+        ctx = ExecutionContext(self, node)
+        started = time.monotonic()
+        kind = node.kind
+        with ctx:
+            if kind == "sql":
+                self._run_sql_node(ctx, node)
+            elif kind == "python":
+                self._run_python_node(ctx, node)
+            elif kind == "webhook":
+                pass  # push-driven; nothing to do on a scheduled run
+            elif kind == "component":
+                fn = self._components.get(node.uses or "")
+                if fn is None:
+                    raise KeyError(f"component not registered: {node.uses}")
+                fn(self, node)
+            else:
+                raise ValueError(f"cannot run node kind {kind}")
+        ctx.commit()
+        self._run_log.append(
+            {
+                "node": node.id,
+                "kind": kind,
+                "seconds": time.monotonic() - started,
+                "signals": dict(ctx.signals),
+            }
+        )
+        return ctx
+
+    def _node_by_id_or_name(self, key: str) -> NodeSpec:
+        assert self.graph is not None, "load_graph first"
+        for n in self.graph.functions:
+            if key in (n.id, n.node_file, n.webhook, n.title):
+                return n
+        raise KeyError(f"no node {key!r} in graph")
+
+    def _node_dir(self) -> str:
+        return (self.graph.path if self.graph and self.graph.path else ".")
+
+    def _run_sql_node(self, ctx: ExecutionContext, node: NodeSpec) -> None:
+        sql_path = os.path.join(self._node_dir(), node.node_file)
+        with open(sql_path) as f:
+            template = f.read()
+        # Register each connected input store as a temp view under both its
+        # port name and store name; {{ port }} renders to the view name.
+        tpl_ctx: dict[str, Any] = {}
+        for port, store_name in node.inputs.items():
+            st = self.store(store_name)
+            if st.exists:
+                df = st.read()
+                df.createOrReplaceTempView(store_name)
+                if port != store_name:
+                    df.createOrReplaceTempView(port)
+            tpl_ctx[port] = store_name
+            tpl_ctx[store_name] = store_name
+        for name, value in (node.parameters or {}).items():
+            tpl_ctx[name] = _SqlParam(value)
+        rendered = jinja2.Template(template).render(**tpl_ctx)
+        rendered = rendered.strip().rstrip(";")
+        result = self.spark.sql(rendered)
+        if node.outputs:
+            out_store = self.store(next(iter(node.outputs.values())))
+            created = not out_store.exists
+            out_store.write_replace(result)
+            ctx.signals.setdefault(out_store.name, []).append(
+                "create" if created else "update"
+            )
+
+    def _run_python_node(self, ctx: ExecutionContext, node: NodeSpec) -> None:
+        py_path = os.path.join(self._node_dir(), node.node_file)
+        # run the module with the context active: Table/Parameter/State
+        # constructors bind against ctx (bind-at-declaration)
+        runpy.run_path(py_path, run_name=f"__node_{node.id}__")
+
+    # ---------------- webhooks (A22) ----------------
+    def webhook_receive(self, webhook_name: str, payload: dict | list[dict]) -> None:
+        """HTTP-ingest equivalent: append payload record(s) to the webhook's
+        auto-created output table (`create.py:177-197`)."""
+        import pandas as pd
+
+        records = payload if isinstance(payload, list) else [payload]
+        store = self.store(webhook_name)
+        df = self.spark.createDataFrame(pd.DataFrame.from_records(records))
+        store.append(df)
+        self._propagate_from_stores({webhook_name})
+
+    def respond_to_request(self, request_key: str, payload: Any) -> None:
+        """Webhook response hook — no-op outside the hosted platform
+        (node.py:544-553)."""
+        self._run_log.append(
+            {"respond_to_request": request_key, "payload_type": type(payload).__name__}
+        )
+
+    # ---------------- DAG scheduling (A10, A23) ----------------
+    def _downstream_of(self, stores: set[str]) -> list[NodeSpec]:
+        assert self.graph is not None
+        return [
+            n
+            for n in self.graph.functions
+            if any(s in stores for s in n.inputs.values())
+        ]
+
+    def _propagate_from_stores(self, dirty: set[str], max_waves: int = 100) -> None:
+        """Signal propagation: updated stores enqueue consumer nodes, to
+        fixpoint (node.py:387-397 semantics)."""
+        waves = 0
+        while dirty and waves < max_waves:
+            waves += 1
+            next_dirty: set[str] = set()
+            for n in self._downstream_of(dirty):
+                ctx = self.run_node(n)
+                for store_name, sigs in ctx.signals.items():
+                    if sigs:
+                        next_dirty.add(store_name)
+            dirty = next_dirty
+
+    def topo_order(self) -> list[NodeSpec]:
+        """Topological order of function nodes via store wiring."""
+        assert self.graph is not None
+        producers: dict[str, list[NodeSpec]] = defaultdict(list)
+        for n in self.graph.functions:
+            for s in n.outputs.values():
+                producers[s].append(n)
+            if n.webhook:
+                producers[n.webhook].append(n)
+        indeg: dict[str, int] = {}
+        edges: dict[str, list[NodeSpec]] = defaultdict(list)
+        by_id = {n.id: n for n in self.graph.functions}
+        for n in self.graph.functions:
+            indeg.setdefault(n.id, 0)
+            for s in n.inputs.values():
+                for p in producers.get(s, []):
+                    if p.id != n.id:
+                        edges[p.id].append(n)
+                        indeg[n.id] = indeg.get(n.id, 0) + 1
+        q = deque(sorted((nid for nid, d in indeg.items() if d == 0)))
+        out: list[NodeSpec] = []
+        while q:
+            nid = q.popleft()
+            out.append(by_id[nid])
+            for m in edges[nid]:
+                indeg[m.id] -= 1
+                if indeg[m.id] == 0:
+                    q.append(m.id)
+        if len(out) != len(self.graph.functions):
+            # cycle: fall back to declaration order for the remainder
+            done = {n.id for n in out}
+            out.extend(n for n in self.graph.functions if n.id not in done)
+        return out
+
+    def run_graph(self, max_reruns: int = 10) -> list[dict[str, Any]]:
+        """One full batch pass: every node once in topo order, honoring
+        request_new_run re-enqueues (bounded)."""
+        assert self.graph is not None, "load_graph first"
+        queue = deque(self.topo_order())
+        reruns: dict[str, int] = defaultdict(int)
+        while queue:
+            node = queue.popleft()
+            if node.kind == "webhook":
+                continue
+            ctx = self.run_node(node)
+            req = ctx.new_run_requested
+            if req and reruns[node.id] < max_reruns:
+                reruns[node.id] += 1
+                queue.append(node)
+        return self._run_log
+
+    def trigger(self, node_key: str) -> None:
+        """Manual trigger (`patterns trigger` equivalent): run the node and
+        propagate signals downstream to fixpoint."""
+        node = self._node_by_id_or_name(node_key)
+        ctx = self.run_node(node)
+        dirty = {s for s, sigs in ctx.signals.items() if sigs}
+        self._propagate_from_stores(dirty)
+
+    def due_nodes(self, at: datetime) -> list[NodeSpec]:
+        """Nodes whose cron `trigger:` matches the given minute (A23)."""
+        assert self.graph is not None
+        return [
+            n
+            for n in self.graph.functions
+            if n.trigger and cron_matches(n.trigger, at)
+        ]
+
+    def tick(self, at: datetime | None = None) -> list[str]:
+        """One scheduler tick: run all cron-due nodes + propagate."""
+        at = at or datetime.now()
+        ran = []
+        for n in self.due_nodes(at):
+            self.trigger(n.id)
+            ran.append(n.id)
+        return ran
+
+    @property
+    def run_log(self) -> list[dict[str, Any]]:
+        return self._run_log

@@ -1,0 +1,54 @@
+"""SparkSession factory tuned for this engine.
+
+Local testing runs on ``local[N]``; the same configs are what we'd set on a
+real cluster (AQE on, skew-join handling, sane broadcast threshold). Nothing
+here is local-mode-specific except the master default.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+_DEFAULT_CONFS: dict[str, str] = {
+    # Adaptive query execution: runtime re-planning, skew-join splitting,
+    # shuffle-partition coalescing — essential at 100 TB, harmless locally.
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+    # Arrow for any pandas boundary (Pandas UDFs, toPandas).
+    "spark.sql.execution.arrow.pyspark.enabled": "true",
+    # ANSI off: the reference contract is permissive SQL-database semantics
+    # (and DuckDB oracle comparisons use permissive casts).
+    "spark.sql.ansi.enabled": "false",
+    # Timestamps: testdata uses naive timestamps; keep session TZ at UTC so
+    # Spark and the DuckDB oracle agree.
+    "spark.sql.session.timeZone": "UTC",
+    "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"),
+}
+
+
+def get_spark(
+    app_name: str = "basis-devkit-spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or fetch) the session.
+
+    ``shuffle_partitions`` defaults to the local core count — on a real
+    cluster you'd leave it to AQE's coalescing with a high initial value.
+    """
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", str(os.cpu_count() or 4))
+    if master is None:
+        master = f"local[{cpus}]"
+    if shuffle_partitions is None:
+        shuffle_partitions = int(cpus)
+    builder = SparkSession.builder.appName(app_name).master(master)
+    for k, v in _DEFAULT_CONFS.items():
+        builder = builder.config(k, v)
+    builder = builder.config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    return builder.getOrCreate()

@@ -1,0 +1,364 @@
+"""Versioned table store: parquet version directories + JSON manifest.
+
+Implements the reference's Table/TableVersion storage semantics
+(`/root/reference/patterns/node/node.py:84-114, 299-414`): a Table has many
+TableVersions, at most one active; ``reset()`` points at a fresh empty
+version without deleting data; writes go to the active version.
+
+Layout::
+
+    <root>/<table>/
+        _manifest.json          # atomic pointer + schema + counts + roles
+        v=1/part-*.parquet      # one snapshot per version
+        v=2/...
+
+Commit protocol (crash-safe, scale-safe):
+  1. write data files into the version directory (Spark distributed write)
+  2. write manifest to a temp file, ``os.replace`` over _manifest.json
+     (atomic on POSIX) — the pointer flip is the commit.
+
+At 100 TB the data write is the expensive distributed part; the manifest is
+O(1) driver-side metadata, so this protocol has no scale bottleneck. Upsert
+is a join-based merge into a *new* version (full rewrite of matching
+partitions) — the same cost profile as Delta MERGE without Delta's deps.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import time
+from dataclasses import dataclass, field
+from typing import Any
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.window import Window
+
+MANIFEST = "_manifest.json"
+
+# CommonModel-ish type names → Spark types (SURVEY §1.2 mapping).
+FIELD_TYPE_MAP: dict[str, T.DataType] = {
+    "Text": T.StringType(),
+    "Integer": T.LongType(),
+    "Float": T.DoubleType(),
+    "Boolean": T.BooleanType(),
+    "Date": T.DateType(),
+    "DateTime": T.TimestampType(),
+    "Decimal": T.DecimalType(38, 9),
+    "Json": T.StringType(),
+}
+
+_BASE32_ALPHABET = "0123456789ABCDEFGHIJKLMNOPQRSTUV"  # sorts lexicographically
+
+
+def encode_base32(n: int, width: int = 13) -> str:
+    """Fixed-width base32 so lexicographic order == numeric order.
+
+    13 digits of base32 cover 2**64; per the reference a monotonic id is
+    "a unique, strictly monotonically increasing base32 string"
+    (`node.py:291-294`).
+    """
+    if n < 0:
+        raise ValueError("monotonic id must be non-negative")
+    digits = []
+    while n:
+        digits.append(_BASE32_ALPHABET[n % 32])
+        n //= 32
+    s = "".join(reversed(digits)) or "0"
+    if len(s) > width:
+        raise ValueError("monotonic id overflow")
+    return s.rjust(width, "0")
+
+
+@dataclass
+class TableVersionInfo:
+    version: int
+    created_at: float
+    record_count: int | None = None
+    schema_json: str | None = None
+
+
+@dataclass
+class _Manifest:
+    name: str
+    active_version: int | None = None
+    next_version: int = 1
+    versions: dict[str, dict[str, Any]] = field(default_factory=dict)
+    unique_on: list[str] | None = None
+    schema_hints: dict[str, str] | None = None
+    add_created: str | None = None
+    add_monotonic_id: str | None = None
+    max_monotonic_id: int = 0
+    # schema "roles" (node.py:196-200): ordering resolution for as_stream()
+    strictly_monotonic_ordering: str | None = None
+    created_ordering: str | None = None
+
+    def to_json(self) -> dict[str, Any]:
+        return dict(self.__dict__)
+
+    @classmethod
+    def from_json(cls, d: dict[str, Any]) -> "_Manifest":
+        known = {f for f in cls.__dataclass_fields__}
+        return cls(**{k: v for k, v in d.items() if k in known})
+
+
+class TableStore:
+    """One named, versioned table on disk. Thread-unsafe by design: the
+    engine serializes writers per store (the reference is single-writer —
+    one node execution owns a table write at a time)."""
+
+    def __init__(self, root: str, name: str, spark: SparkSession):
+        self.root = root
+        self.name = name
+        self.spark = spark
+        self.path = os.path.join(root, name)
+        os.makedirs(self.path, exist_ok=True)
+        self._manifest = self._load_manifest()
+
+    # ---------------- manifest ----------------
+    def _manifest_path(self) -> str:
+        return os.path.join(self.path, MANIFEST)
+
+    def _load_manifest(self) -> _Manifest:
+        p = self._manifest_path()
+        if os.path.exists(p):
+            with open(p) as f:
+                return _Manifest.from_json(json.load(f))
+        return _Manifest(name=self.name)
+
+    def _commit_manifest(self) -> None:
+        tmp = self._manifest_path() + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(self._manifest.to_json(), f, indent=1)
+            f.flush()
+            os.fsync(f.fileno())
+        os.replace(tmp, self._manifest_path())  # atomic pointer flip
+
+    # ---------------- versions (A9) ----------------
+    def version_path(self, version: int) -> str:
+        return os.path.join(self.path, f"v={version}")
+
+    def create_new_version(self) -> int:
+        v = self._manifest.next_version
+        self._manifest.next_version += 1
+        self._manifest.versions[str(v)] = {"version": v, "created_at": time.time()}
+        return v
+
+    def get_active_version(self) -> int | None:
+        return self._manifest.active_version
+
+    def has_active_version(self) -> bool:
+        v = self._manifest.active_version
+        return v is not None and os.path.isdir(self.version_path(v))
+
+    def set_active_version(self, version: int, record_count: int | None = None) -> None:
+        self._manifest.active_version = version
+        if record_count is not None:
+            self._manifest.versions.setdefault(str(version), {})["record_count"] = record_count
+        self._commit_manifest()
+
+    def reset(self) -> None:
+        """Point at a fresh null version; old data kept for retention GC
+        (`node.py:399-405`)."""
+        self._manifest.active_version = None
+        self._commit_manifest()
+
+    def vacuum(self, keep_last: int = 2) -> None:
+        """Retention GC: drop all but the newest ``keep_last`` versions
+        (never the active one)."""
+        active = self._manifest.active_version
+        versions = sorted(int(v) for v in self._manifest.versions)
+        drop = [v for v in versions[:-keep_last] if v != active]
+        for v in drop:
+            shutil.rmtree(self.version_path(v), ignore_errors=True)
+            self._manifest.versions.pop(str(v), None)
+        self._commit_manifest()
+
+    # ---------------- metadata (A12) ----------------
+    @property
+    def exists(self) -> bool:
+        return self.has_active_version()
+
+    @property
+    def record_count(self) -> int | None:
+        v = self._manifest.active_version
+        if v is None:
+            return 0
+        info = self._manifest.versions.get(str(v), {})
+        return info.get("record_count")
+
+    @property
+    def schema(self) -> T.StructType | None:
+        if not self.has_active_version():
+            return None
+        return self.read().schema
+
+    # ---------------- init config (node.py:269-297) ----------------
+    def configure(
+        self,
+        schema_hints: dict[str, str] | None = None,
+        unique_on: str | list[str] | None = None,
+        add_created: str | None = None,
+        add_monotonic_id: str | None = None,
+        strictly_monotonic_ordering: str | None = None,
+        created_ordering: str | None = None,
+    ) -> None:
+        m = self._manifest
+        if schema_hints is not None:
+            m.schema_hints = schema_hints
+        if unique_on is not None:
+            m.unique_on = [unique_on] if isinstance(unique_on, str) else list(unique_on)
+        if add_created is not None:
+            m.add_created = add_created
+            m.created_ordering = m.created_ordering or add_created
+        if add_monotonic_id is not None:
+            m.add_monotonic_id = add_monotonic_id
+            m.strictly_monotonic_ordering = m.strictly_monotonic_ordering or add_monotonic_id
+        if strictly_monotonic_ordering is not None:
+            m.strictly_monotonic_ordering = strictly_monotonic_ordering
+        if created_ordering is not None:
+            m.created_ordering = created_ordering
+        self._commit_manifest()
+
+    @property
+    def unique_on(self) -> list[str] | None:
+        return self._manifest.unique_on
+
+    @property
+    def ordering_field(self) -> str | None:
+        """Stream default-ordering resolution (node.py:196-200): strictly
+        monotonic role first, then created role."""
+        m = self._manifest
+        return m.strictly_monotonic_ordering or m.created_ordering
+
+    # ---------------- read (A1) ----------------
+    def read(self) -> DataFrame:
+        if not self.has_active_version():
+            raise FileNotFoundError(f"table '{self.name}' has no active version")
+        return self.spark.read.parquet(self.version_path(self._manifest.active_version))
+
+    def read_or_empty(self, schema: T.StructType | None = None) -> DataFrame:
+        if self.has_active_version():
+            return self.read()
+        return self.spark.createDataFrame([], schema or T.StructType([]))
+
+    # ---------------- write decoration ----------------
+    def _apply_hints(self, df: DataFrame) -> DataFrame:
+        hints = self._manifest.schema_hints or {}
+        for col, tname in hints.items():
+            if col in df.columns and tname in FIELD_TYPE_MAP:
+                df = df.withColumn(col, F.col(col).cast(FIELD_TYPE_MAP[tname]))
+        return df
+
+    def _decorate(self, df: DataFrame) -> DataFrame:
+        """add_created / add_monotonic_id columns (node.py:285-294)."""
+        m = self._manifest
+        df = self._apply_hints(df)
+        if m.add_created and m.add_created not in df.columns:
+            df = df.withColumn(m.add_created, F.current_timestamp())
+        if m.add_monotonic_id and m.add_monotonic_id not in df.columns:
+            # Dense, order-stable ids: zipWithIndex-free approach using a
+            # window over a stable sort would shuffle everything to compare;
+            # instead use per-partition offsets (monotonically_increasing_id
+            # is non-dense) ranked once. Row count per commit is bounded by
+            # the batch, not the table, so the single global window over the
+            # *incoming batch* is acceptable even at scale (batches are the
+            # unit of ingest, not the 100 TB table).
+            w_df = df.withColumn(
+                "__seq",
+                F.row_number().over(Window.orderBy(F.monotonically_increasing_id())),
+            )
+            offset = m.max_monotonic_id
+            enc = F.udf(lambda i: encode_base32(offset + i), T.StringType())
+            df = w_df.withColumn(m.add_monotonic_id, enc(F.col("__seq"))).drop("__seq")
+        return df
+
+    def _bump_monotonic(self, n_rows: int) -> None:
+        if self._manifest.add_monotonic_id:
+            self._manifest.max_monotonic_id += n_rows
+
+    # ---------------- writes (A4, A5, A6, A7) ----------------
+    def write_replace(self, df: DataFrame) -> int:
+        """New version containing exactly these rows (A6 replace)."""
+        df = self._decorate(df)
+        v = self.create_new_version()
+        df.write.mode("overwrite").parquet(self.version_path(v))
+        n = self.spark.read.parquet(self.version_path(v)).count()
+        self._bump_monotonic(n)
+        self.set_active_version(v, record_count=n)
+        return v
+
+    def append(self, df: DataFrame) -> None:
+        """Append rows to the active version (A4). First write creates v1."""
+        df = self._decorate(df)
+        if not self.has_active_version():
+            v = self.create_new_version()
+            df.write.mode("overwrite").parquet(self.version_path(v))
+            n = self.spark.read.parquet(self.version_path(v)).count()
+            self._bump_monotonic(n)
+            self.set_active_version(v, record_count=n)
+            return
+        v = self._manifest.active_version
+        existing = self.read()
+        df = _align_columns(df, existing.schema)
+        n_new = df.count()
+        df.write.mode("append").parquet(self.version_path(v))
+        info = self._manifest.versions.setdefault(str(v), {})
+        info["record_count"] = (info.get("record_count") or 0) + n_new
+        self._bump_monotonic(n_new)
+        self._commit_manifest()
+
+    def truncate(self) -> None:
+        """Delete all rows, keep schema (A7)."""
+        if not self.has_active_version():
+            return
+        schema = self.read().schema
+        empty = self.spark.createDataFrame([], schema)
+        v = self.create_new_version()
+        empty.write.mode("overwrite").parquet(self.version_path(v))
+        self.set_active_version(v, record_count=0)
+
+    def upsert(self, df: DataFrame) -> None:
+        """Insert-or-update on ``unique_on`` (A5, node.py:318-334).
+
+        Join-based merge: old rows not matched by key survive; matched keys
+        take the new row; unmatched new rows insert. Written as a new
+        version + pointer flip (atomic). At scale: this is a shuffled
+        anti-join + union — same shape as a Delta MERGE rewrite; partition
+        the store on a key prefix to scope the rewrite.
+        """
+        keys = self._manifest.unique_on
+        if not keys:
+            raise ValueError(
+                f"table '{self.name}' has no unique_on configured; call init(unique_on=...)"
+            )
+        df = self._decorate(df)
+        # Dedup incoming batch on the key (last wins within the batch).
+        df = df.dropDuplicates(keys)
+        if not self.has_active_version():
+            self.write_replace(df)
+            return
+        old = self.read()
+        df = _align_columns(df, old.schema)
+        survivors = old.join(df.select(*keys), on=keys, how="left_anti")
+        merged = survivors.unionByName(df, allowMissingColumns=True)
+        v = self.create_new_version()
+        merged.write.mode("overwrite").parquet(self.version_path(v))
+        n = self.spark.read.parquet(self.version_path(v)).count()
+        self.set_active_version(v, record_count=n)
+
+
+def _align_columns(df: DataFrame, target: T.StructType) -> DataFrame:
+    """Cast/reorder incoming columns to the existing table schema; add
+    missing columns as nulls (schema-from-first-write semantics)."""
+    cols = []
+    for f_ in target.fields:
+        if f_.name in df.columns:
+            cols.append(F.col(f_.name).cast(f_.dataType).alias(f_.name))
+        else:
+            cols.append(F.lit(None).cast(f_.dataType).alias(f_.name))
+    extras = [c for c in df.columns if c not in {f_.name for f_ in target.fields}]
+    return df.select(*cols, *[F.col(c) for c in extras])
