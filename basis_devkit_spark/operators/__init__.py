@@ -1,0 +1,53 @@
+"""LLM-data-pipeline operators (SURVEY §2.D) + relational extensions the
+reference's SQL surface lacks natively (as-of / range joins).
+
+All hot paths are JVM-side column expressions (no row-at-a-time Python);
+Pandas UDFs appear only at genuine model/decode boundaries (multimodal).
+"""
+
+from basis_devkit_spark.operators.dedup import (
+    exact_dedup,
+    minhash_signatures,
+    minhash_near_dup_pairs,
+    minhash_dedup,
+    simhash,
+    simhash_near_dup_pairs,
+    ngram_jaccard_pairs,
+)
+from basis_devkit_spark.operators.similarity import (
+    cosine_similarity_col,
+    brute_force_topk,
+    lsh_topk,
+    ivf_topk,
+    embedding_near_dup_pairs,
+)
+from basis_devkit_spark.operators.text import (
+    text_stats,
+    quality_score,
+    language_id,
+    token_count,
+    doc_fingerprint,
+)
+from basis_devkit_spark.operators.joins import as_of_join, range_join
+
+__all__ = [
+    "exact_dedup",
+    "minhash_signatures",
+    "minhash_near_dup_pairs",
+    "minhash_dedup",
+    "simhash",
+    "simhash_near_dup_pairs",
+    "ngram_jaccard_pairs",
+    "cosine_similarity_col",
+    "brute_force_topk",
+    "lsh_topk",
+    "ivf_topk",
+    "embedding_near_dup_pairs",
+    "text_stats",
+    "quality_score",
+    "language_id",
+    "token_count",
+    "doc_fingerprint",
+    "as_of_join",
+    "range_join",
+]

@@ -1,0 +1,329 @@
+"""Deduplication operators: exact, MinHash+LSH, SimHash, n-gram Jaccard.
+
+Design notes (100 TB posture):
+- Everything is built from ``explode`` + hash + ``groupBy`` aggregations —
+  JVM-side, whole-stage-codegen-able; no Python UDFs.
+- MinHash signatures use k independent universal hash functions over
+  ``xxhash64(shingle)``: h_i(x) = (a_i * x + b_i) mod p. Signatures are one
+  shuffle (groupBy doc). LSH banding turns the quadratic candidate search
+  into an equi-join on (band_id, band_hash) — the classic
+  Broder/MMDS scheme.
+- "Keep one per duplicate cluster" uses the min-id-neighbor rule (a doc is
+  dropped iff it has a candidate neighbor with a smaller id). This is the
+  scalable approximation of connected components: one extra join instead of
+  an iterative CC. For exact CC semantics run `graphframes`-style iteration
+  — out of scope, documented.
+- Common-shingle cap (``max_shingle_df``) bounds the posting-list blowup on
+  skewed shingles — at scale a stop-shingle filter is the difference
+  between a join and an explosion.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+# Mersenne prime 2^61-1: universal hashing modulus, no 64-bit overflow of
+# a*x+b when a,b < 2^31 and x is folded into [0, p).
+_P = (1 << 61) - 1
+_SEED_A = 0x9E3779B97F4A7C15
+_SEED_B = 0xC2B2AE3D27D4EB4F
+
+
+def _hash_params(num_hashes: int) -> list[tuple[int, int]]:
+    """Deterministic (a, b) pairs for universal hashing (splitmix-ish)."""
+    params = []
+    x = 42
+    for _ in range(num_hashes):
+        x = (x * 6364136223846793005 + 1442695040888963407) % (1 << 64)
+        a = (x >> 16) % (_P - 1) % (1 << 31) or 1
+        x = (x * 6364136223846793005 + 1442695040888963407) % (1 << 64)
+        b = (x >> 16) % _P % (1 << 31)
+        params.append((a, b))
+    return params
+
+
+# ---------------------------------------------------------------- exact (D1)
+def exact_dedup(
+    df: DataFrame,
+    keys: list[str],
+    order_by: str | None = None,
+    keep: str = "first",
+) -> DataFrame:
+    """Exact dedup on ``keys``; with ``order_by``, keep the first/last row
+    per key by that ordering (deterministic). Without it, an arbitrary
+    single row per key (``dropDuplicates`` — one shuffle, map-side
+    partial aggregation)."""
+    if order_by is None:
+        return df.dropDuplicates(keys)
+    ob = F.col(order_by).asc() if keep == "first" else F.col(order_by).desc()
+    w = Window.partitionBy(*keys).orderBy(ob)
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+
+# ---------------------------------------------------------------- shingles
+def shingle_col(text_col: str | Column, n: int = 3) -> Column:
+    """Word-level n-gram shingles as an array<string> column (distinct).
+
+    Pure SQL expression: split → slide via transform over index sequence —
+    stays in codegen, no UDF.
+    """
+    toks = F.split(F.lower(F.col(text_col) if isinstance(text_col, str) else text_col), r"\s+")
+    cnt = F.size(toks)
+    idx = F.sequence(F.lit(0), F.greatest(cnt - n, F.lit(0)))
+    grams = F.transform(
+        idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n))
+    )
+    return F.array_distinct(grams)
+
+
+def _exploded_shingles(
+    df: DataFrame, id_col: str, text_col: str, n: int, max_shingle_df: int | None
+) -> DataFrame:
+    """(id, shingle_hash) pairs; optionally drop shingles appearing in more
+    than ``max_shingle_df`` docs (stop-shingle skew guard)."""
+    ex = df.select(
+        F.col(id_col).alias("__id"),
+        F.explode(shingle_col(text_col, n)).alias("__sh"),
+    ).withColumn("__h", F.xxhash64("__sh")).drop("__sh")
+    if max_shingle_df is not None:
+        hot = (
+            ex.groupBy("__h")
+            .agg(F.count("*").alias("__df"))
+            .filter(F.col("__df") > max_shingle_df)
+            .select("__h")
+        )
+        ex = ex.join(F.broadcast(hot), "__h", "left_anti")
+    return ex
+
+
+# ---------------------------------------------------------------- MinHash (D2)
+def minhash_signatures(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_hashes: int = 64,
+    shingle_size: int = 3,
+    max_shingle_df: int | None = None,
+) -> DataFrame:
+    """(id, sig: array<bigint>) — one groupBy over exploded shingles with
+    ``num_hashes`` min-aggregations (single shuffle, fully codegen)."""
+    ex = _exploded_shingles(df, id_col, text_col, shingle_size, max_shingle_df)
+    x = F.pmod(F.col("__h"), F.lit(_P))
+    aggs = [
+        F.min(F.pmod(F.lit(a) * x + F.lit(b), F.lit(_P))).alias(f"h{i}")
+        for i, (a, b) in enumerate(_hash_params(num_hashes))
+    ]
+    sig = ex.groupBy("__id").agg(*aggs)
+    return sig.select(
+        F.col("__id").alias(id_col),
+        F.array(*[f"h{i}" for i in range(num_hashes)]).alias("sig"),
+    )
+
+
+def minhash_near_dup_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_hashes: int = 64,
+    bands: int = 16,
+    shingle_size: int = 3,
+    jaccard_threshold: float | None = None,
+    max_shingle_df: int | None = None,
+) -> DataFrame:
+    """Candidate near-dup pairs (id_a < id_b) via LSH banding; if
+    ``jaccard_threshold`` is set, verify with estimated Jaccard
+    (signature agreement fraction) and attach ``est_jaccard``."""
+    assert num_hashes % bands == 0, "bands must divide num_hashes"
+    rows_per_band = num_hashes // bands
+    sig = minhash_signatures(
+        df, id_col, text_col, num_hashes, shingle_size, max_shingle_df
+    )
+    band_arr = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.xxhash64(
+                    F.concat_ws(
+                        ",",
+                        *[
+                            F.element_at("sig", b * rows_per_band + r + 1).cast("string")
+                            for r in range(rows_per_band)
+                        ],
+                    )
+                ).alias("bh"),
+            )
+            for b in range(bands)
+        ]
+    )
+    buckets = sig.select(F.col(id_col), F.col("sig"), F.explode(band_arr).alias("bb")).select(
+        id_col, "sig", F.col("bb.band").alias("band"), F.col("bb.bh").alias("bh")
+    )
+    left = buckets.alias("a")
+    right = buckets.alias("b")
+    pairs = (
+        left.join(
+            right,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bh") == F.col("b.bh"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            F.col("a.sig").alias("sig_a"),
+            F.col("b.sig").alias("sig_b"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    est = (
+        F.size(F.filter(F.zip_with("sig_a", "sig_b", lambda x, y: x == y), lambda v: v))
+        / F.lit(num_hashes)
+    ).alias("est_jaccard")
+    pairs = pairs.select("id_a", "id_b", est)
+    if jaccard_threshold is not None:
+        pairs = pairs.filter(F.col("est_jaccard") >= jaccard_threshold)
+    return pairs
+
+
+def minhash_dedup(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_hashes: int = 64,
+    bands: int = 16,
+    shingle_size: int = 3,
+    jaccard_threshold: float = 0.8,
+) -> DataFrame:
+    """Keep-one near-dedup: drop any doc with a candidate neighbor of
+    smaller id (scalable CC approximation — see module docstring)."""
+    pairs = minhash_near_dup_pairs(
+        df, id_col, text_col, num_hashes, bands, shingle_size, jaccard_threshold
+    )
+    losers = pairs.select(F.col("id_b").alias(id_col)).distinct()
+    return df.join(losers, id_col, "left_anti")
+
+
+# ---------------------------------------------------------------- SimHash
+def simhash(
+    df: DataFrame, id_col: str, text_col: str, bits: int = 64
+) -> DataFrame:
+    """(id, simhash: bigint) — Charikar fingerprint over word tokens.
+
+    Per-bit weighted sign sums as 64 conditional aggregations over the
+    exploded token hash — one shuffle, no UDF.
+    """
+    toks = df.select(
+        F.col(id_col).alias("__id"),
+        F.explode(
+            F.array_distinct(F.split(F.lower(F.col(text_col)), r"\s+"))
+        ).alias("__t"),
+    ).withColumn("__h", F.xxhash64("__t"))
+    bit_aggs = [
+        F.sum(
+            F.when(F.shiftright(F.col("__h"), b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"b{b}")
+        for b in range(bits)
+    ]
+    agg = toks.groupBy("__id").agg(*bit_aggs)
+    fp = None
+    for b in range(bits):
+        term = F.when(F.col(f"b{b}") > 0, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long"))
+        shifted = F.shiftleft(term, b)
+        fp = shifted if fp is None else fp.bitwiseXOR(shifted)
+    return agg.select(F.col("__id").alias(id_col), fp.alias("simhash"))
+
+
+def simhash_near_dup_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    max_hamming: int = 3,
+    bits: int = 64,
+    blocks: int = 4,
+) -> DataFrame:
+    """Near-dup pairs by SimHash Hamming distance ≤ ``max_hamming``.
+
+    Pigeonhole blocking: split the fingerprint into ``blocks`` chunks; any
+    pair within distance < blocks shares at least one exact chunk → join on
+    (block_id, chunk) then verify exact Hamming via bit_count(xor).
+    """
+    assert bits % blocks == 0
+    width = bits // blocks
+    sh = simhash(df, id_col, text_col, bits)
+    mask = (1 << width) - 1
+    chunk_arr = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("blk"),
+                F.shiftright(F.col("simhash"), i * width)
+                .bitwiseAND(F.lit(mask))
+                .alias("chunk"),
+            )
+            for i in range(blocks)
+        ]
+    )
+    b = sh.select(id_col, "simhash", F.explode(chunk_arr).alias("c")).select(
+        id_col, "simhash", F.col("c.blk").alias("blk"), F.col("c.chunk").alias("chunk")
+    )
+    pairs = (
+        b.alias("a")
+        .join(
+            b.alias("b"),
+            (F.col("a.blk") == F.col("b.blk"))
+            & (F.col("a.chunk") == F.col("b.chunk"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            F.bit_count(
+                F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
+            ).alias("hamming"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+        .filter(F.col("hamming") <= max_hamming)
+    )
+    return pairs
+
+
+# ---------------------------------------------------------------- n-gram Jaccard
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    shingle_size: int = 1,
+    threshold: float = 0.5,
+    max_shingle_df: int | None = None,
+) -> DataFrame:
+    """Exact Jaccard similarity pairs over word n-gram sets — the
+    verification-grade (non-approximate) near-dup operator.
+
+    Inverted-index self-join: explode distinct shingles, join on shingle,
+    count intersections, derive |A∪B| from set sizes. The stop-shingle cap
+    is mandatory at scale (see module docstring).
+    """
+    ex = _exploded_shingles(df, id_col, text_col, shingle_size, max_shingle_df)
+    sizes = ex.groupBy("__id").agg(F.count("*").alias("sz"))
+    inter = (
+        ex.alias("a")
+        .join(ex.alias("b"), (F.col("a.__h") == F.col("b.__h")) & (F.col("a.__id") < F.col("b.__id")))
+        .groupBy(F.col("a.__id").alias("id_a"), F.col("b.__id").alias("id_b"))
+        .agg(F.count("*").alias("inter"))
+    )
+    out = (
+        inter.join(sizes.withColumnRenamed("__id", "id_a").withColumnRenamed("sz", "sz_a"), "id_a")
+        .join(sizes.withColumnRenamed("__id", "id_b").withColumnRenamed("sz", "sz_b"), "id_b")
+        .withColumn(
+            "jaccard",
+            F.col("inter") / (F.col("sz_a") + F.col("sz_b") - F.col("inter")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+    return out

@@ -1,0 +1,164 @@
+"""Multimodal columns: images/audio/video as opaque binary columns with
+typed metadata (SURVEY §2.D D5).
+
+The Spark-side plumbing is real and tested: the typed struct schema, the
+``binaryFile`` loader, partition-size guards, and Arrow-batched
+``mapInPandas`` UDF signatures. The actual decode (PIL/ffmpeg/librosa)
+is STUBBED — those libraries are not in this container — behind
+``decode_fn`` hooks: pass a real decoder in production, or use the
+deterministic fake (``fake_image_features``) in tests.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from typing import Callable, Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+# Typed multimodal reference column (D5): uri + mime + size + optional bytes
+MEDIA_REF_SCHEMA = T.StructType(
+    [
+        T.StructField("uri", T.StringType(), False),
+        T.StructField("mime", T.StringType(), True),
+        T.StructField("size", T.LongType(), True),
+        T.StructField("sha256", T.StringType(), True),
+    ]
+)
+
+IMAGE_FEATURES_SCHEMA = T.StructType(
+    [
+        T.StructField("uri", T.StringType(), False),
+        T.StructField("width", T.IntegerType(), True),
+        T.StructField("height", T.IntegerType(), True),
+        T.StructField("channels", T.IntegerType(), True),
+        T.StructField("features", T.ArrayType(T.FloatType()), True),
+    ]
+)
+
+_MIME_BY_EXT = {
+    "jpg": "image/jpeg", "jpeg": "image/jpeg", "png": "image/png",
+    "gif": "image/gif", "webp": "image/webp", "mp3": "audio/mpeg",
+    "wav": "audio/wav", "flac": "audio/flac", "mp4": "video/mp4",
+    "mkv": "video/x-matroska", "webm": "video/webm",
+}
+
+
+def read_binary_dir(
+    spark: SparkSession, path: str, glob: str | None = None
+) -> DataFrame:
+    """Load a directory of media files as (media struct, content bytes).
+
+    Uses Spark's ``binaryFile`` source — distributed read, one row per
+    file; `pathGlobFilter` prunes at listing time."""
+    reader = spark.read.format("binaryFile")
+    if glob:
+        reader = reader.option("pathGlobFilter", glob)
+    raw = reader.load(path)
+    ext = F.lower(F.element_at(F.split(F.col("path"), r"\."), -1))
+    mime_map = F.create_map(
+        *[F.lit(x) for kv in _MIME_BY_EXT.items() for x in kv]
+    )
+    return raw.select(
+        F.struct(
+            F.col("path").alias("uri"),
+            F.element_at(mime_map, ext).alias("mime"),
+            F.col("length").alias("size"),
+            F.sha2(F.col("content"), 256).alias("sha256"),
+        ).alias("media"),
+        F.col("content"),
+    )
+
+
+def attach_media_ref(
+    df: DataFrame, uri_col: str, bytes_col: str | None = None
+) -> DataFrame:
+    """Build the typed media struct from a uri (and optional bytes) column."""
+    ext = F.lower(F.element_at(F.split(F.col(uri_col), r"\."), -1))
+    mime_map = F.create_map(*[F.lit(x) for kv in _MIME_BY_EXT.items() for x in kv])
+    size = F.length(F.col(bytes_col)).cast("long") if bytes_col else F.lit(None).cast("long")
+    sha = F.sha2(F.col(bytes_col), 256) if bytes_col else F.lit(None).cast("string")
+    return df.withColumn(
+        "media",
+        F.struct(
+            F.col(uri_col).alias("uri"),
+            F.element_at(mime_map, ext).alias("mime"),
+            size.alias("size"),
+            sha.alias("sha256"),
+        ),
+    )
+
+
+def fake_image_features(content: bytes, dim: int = 8) -> tuple[int, int, int, list[float]]:
+    """Deterministic decode fake: derives (width, height, channels,
+    features) from a sha256 of the bytes. Stands in for a real decoder so
+    the distributed plumbing is testable in this container."""
+    h = hashlib.sha256(content or b"").digest()
+    width = 64 + h[0]
+    height = 64 + h[1]
+    feats = [round(b / 255.0, 6) for b in h[2 : 2 + dim]]
+    return width, height, 3, feats
+
+
+def decode_images(
+    df: DataFrame,
+    content_col: str = "content",
+    uri_col: str = "media.uri",
+    decode_fn: Callable[[bytes], tuple[int, int, int, list[float]]] | None = None,
+    batch_size_hint: int = 64,
+) -> DataFrame:
+    """Decode/feature-extract over ``mapInPandas`` (Arrow batches).
+
+    ``decode_fn`` contract: bytes → (width, height, channels, features).
+    Default raises ``NotImplementedError`` (real decoders not shipped
+    here); pass ``fake_image_features`` for deterministic tests.
+    The batch shape (iterator of pandas DataFrames) is what a real
+    PIL/torchvision decode would consume — only the inner call is stubbed.
+    """
+    uri_expr, content_expr = uri_col, content_col
+    fn = decode_fn
+
+    def _decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if fn is None:
+                raise NotImplementedError(
+                    "no image decoder available in this environment; pass "
+                    "decode_fn= (e.g. fake_image_features for tests)"
+                )
+            out = {"uri": [], "width": [], "height": [], "channels": [], "features": []}
+            for uri, content in zip(pdf["__uri"], pdf["__content"]):
+                w, h, c, feats = fn(content)
+                out["uri"].append(uri)
+                out["width"].append(w)
+                out["height"].append(h)
+                out["channels"].append(c)
+                out["features"].append(feats)
+            yield pd.DataFrame(out)
+
+    prepared = df.select(
+        F.col(uri_expr).alias("__uri"), F.col(content_expr).alias("__content")
+    )
+    return prepared.mapInPandas(_decode, IMAGE_FEATURES_SCHEMA)
+
+
+def sample_frames(
+    df: DataFrame,
+    every_n: int = 10,
+    frame_count_col: str = "frame_count",
+) -> DataFrame:
+    """Frame-sampling plan for video rows: expands each video into frame
+    index rows (0, n, 2n, …) — pure ``sequence`` + ``explode``; the frame
+    *decode* is the stubbed boundary, the expansion is real Spark."""
+    return df.withColumn(
+        "frame_index",
+        F.explode(
+            F.sequence(
+                F.lit(0),
+                F.greatest(F.col(frame_count_col) - 1, F.lit(0)),
+                F.lit(every_n),
+            )
+        ),
+    )

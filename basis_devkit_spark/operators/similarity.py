@@ -1,0 +1,266 @@
+"""Similarity search over embedding columns (array<float>).
+
+- ``brute_force_topk`` — exact cosine top-k: broadcast the (small) query
+  side, JVM-side dot product via ``zip_with`` + ``aggregate``, per-query
+  top-k window. One scan of the corpus, no shuffle of the corpus itself
+  beyond the final top-k aggregation — the right baseline at any scale
+  when |queries| is broadcastable.
+- ``lsh_topk`` — random-hyperplane (sign) LSH bucketing: candidates share
+  a band bucket, exact cosine re-rank on candidates only. Sublinear
+  candidate sets at 100 TB; recall tunable via (num_planes, bands).
+- ``ivf_topk`` — IVF: KMeans centroids (Spark ML, trained on a sample),
+  probe the ``nprobe`` nearest centroids per query — the classic
+  coarse-quantizer ANN layout.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def _dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0).cast("double"),
+        lambda acc, v: acc + v,
+    )
+
+
+def _norm(a: Column) -> Column:
+    return F.sqrt(F.aggregate(a, F.lit(0.0).cast("double"), lambda acc, v: acc + v * v))
+
+
+def cosine_similarity_col(a: Column, b: Column) -> Column:
+    """Cosine similarity between two array<numeric> columns — pure SQL
+    expressions (codegen), computed in double precision."""
+    ad = F.transform(a, lambda x: x.cast("double"))
+    bd = F.transform(b, lambda x: x.cast("double"))
+    return _dot(ad, bd) / (_norm(ad) * _norm(bd))
+
+
+def normalize_embeddings(df: DataFrame, vec_col: str, out_col: str | None = None) -> DataFrame:
+    """L2-normalize an embedding column (double precision)."""
+    out_col = out_col or vec_col
+    v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    n = _norm(v)
+    return df.withColumn(out_col, F.transform(v, lambda x: x / n))
+
+
+def brute_force_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    k: int = 10,
+    metric: str = "cosine",
+) -> DataFrame:
+    """Exact top-k: (query_id, match_id, score, rank). Queries are
+    broadcast — keep |queries| modest (≤ ~10^5 rows); the corpus streams."""
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qv")
+    )
+    c = corpus.select(F.col(id_col).alias("match_id"), F.col(vec_col).alias("__cv"))
+    joined = c.crossJoin(F.broadcast(q)).filter(F.col("query_id") != F.col("match_id"))
+    if metric == "cosine":
+        score = cosine_similarity_col(F.col("__qv"), F.col("__cv"))
+    elif metric == "dot":
+        score = _dot(
+            F.transform("__qv", lambda x: x.cast("double")),
+            F.transform("__cv", lambda x: x.cast("double")),
+        )
+    elif metric == "l2":
+        score = -F.sqrt(
+            F.aggregate(
+                F.zip_with("__qv", "__cv", lambda x, y: (x - y) * (x - y)),
+                F.lit(0.0).cast("double"),
+                lambda acc, v: acc + v,
+            )
+        )
+    else:
+        raise ValueError(f"unknown metric {metric}")
+    scored = joined.select("query_id", "match_id", score.alias("score"))
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col("match_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+
+
+def _sign_lsh_buckets(
+    df: DataFrame, vec_col: str, num_planes: int, bands: int, dim: int, seed: int = 42
+) -> DataFrame:
+    """Random-hyperplane signature → band buckets. Hyperplanes are a
+    deterministic pseudo-random matrix folded into SQL literals (driver-side
+    constants, broadcast implicitly with the plan)."""
+    import random
+
+    rng = random.Random(seed)
+    rows_per_band = num_planes // bands
+    planes = [[rng.gauss(0, 1) for _ in range(dim)] for _ in range(num_planes)]
+    vd = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    bits = [
+        (
+            F.aggregate(
+                F.zip_with(
+                    vd,
+                    F.array(*[F.lit(w) for w in plane]),
+                    lambda x, y: x * y,
+                ),
+                F.lit(0.0).cast("double"),
+                lambda acc, v: acc + v,
+            )
+            > 0
+        ).cast("int")
+        for plane in planes
+    ]
+    band_structs = [
+        F.struct(
+            F.lit(b).alias("band"),
+            F.concat_ws(
+                "", *[c.cast("string") for c in bits[b * rows_per_band : (b + 1) * rows_per_band]]
+            ).alias("bh"),
+        )
+        for b in range(bands)
+    ]
+    return df.withColumn("__bb", F.explode(F.array(*band_structs))).select(
+        *df.columns, F.col("__bb.band").alias("band"), F.col("__bb.bh").alias("bh")
+    )
+
+
+def lsh_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    k: int = 10,
+    num_planes: int = 16,
+    bands: int = 4,
+    dim: int | None = None,
+) -> DataFrame:
+    """ANN top-k via sign-LSH banding + exact re-rank of candidates."""
+    if dim is None:
+        dim = len(corpus.select(vec_col).first()[0])
+    qb = _sign_lsh_buckets(
+        queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qv")),
+        "__qv",
+        num_planes,
+        bands,
+        dim,
+    )
+    cb = _sign_lsh_buckets(
+        corpus.select(F.col(id_col).alias("match_id"), F.col(vec_col).alias("__cv")),
+        "__cv",
+        num_planes,
+        bands,
+        dim,
+    )
+    cand = (
+        qb.join(cb, ["band", "bh"])
+        .filter(F.col("query_id") != F.col("match_id"))
+        .dropDuplicates(["query_id", "match_id"])
+    )
+    scored = cand.select(
+        "query_id",
+        "match_id",
+        cosine_similarity_col(F.col("__qv"), F.col("__cv")).alias("score"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("score").desc(), F.col("match_id"))
+    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
+def ivf_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    k: int = 10,
+    nlist: int = 16,
+    nprobe: int = 4,
+    seed: int = 42,
+) -> DataFrame:
+    """IVF ANN: KMeans coarse quantizer (trained on the corpus — sample it
+    at scale), corpus rows assigned to their nearest centroid, queries
+    probe ``nprobe`` nearest centroids; exact cosine within probed cells."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    corpus_v = corpus.select(
+        F.col(id_col).alias("match_id"),
+        F.col(vec_col).alias("__cv"),
+        array_to_vector(F.transform(vec_col, lambda x: x.cast("double"))).alias("__feat"),
+    )
+    km = KMeans(k=nlist, seed=seed, featuresCol="__feat", predictionCol="__cell")
+    model = km.fit(corpus_v)
+    assigned = model.transform(corpus_v).select("match_id", "__cv", "__cell")
+
+    centers = model.clusterCenters()
+    centers_df = queries.sparkSession.createDataFrame(
+        [(i, [float(x) for x in c]) for i, c in enumerate(centers)],
+        "cell int, center array<double>",
+    )
+    q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qv"))
+    q_cells = (
+        q.crossJoin(F.broadcast(centers_df))
+        .withColumn("cdist", cosine_similarity_col(F.col("__qv"), F.col("center")))
+        .withColumn(
+            "crank",
+            F.row_number().over(
+                Window.partitionBy("query_id").orderBy(F.col("cdist").desc())
+            ),
+        )
+        .filter(F.col("crank") <= nprobe)
+        .select("query_id", "__qv", F.col("cell").alias("__cell"))
+    )
+    cand = q_cells.join(assigned, "__cell").filter(F.col("query_id") != F.col("match_id"))
+    scored = cand.select(
+        "query_id",
+        "match_id",
+        cosine_similarity_col(F.col("__qv"), F.col("__cv")).alias("score"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("score").desc(), F.col("match_id"))
+    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
+def embedding_near_dup_pairs(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    threshold: float = 0.95,
+    num_planes: int = 16,
+    bands: int = 4,
+) -> DataFrame:
+    """Embedding-cosine near-dup pairs (id_a < id_b, cosine ≥ threshold)
+    via sign-LSH candidate generation + exact verify."""
+    dim = len(df.select(vec_col).first()[0])
+    b = _sign_lsh_buckets(
+        df.select(F.col(id_col).alias("__id"), F.col(vec_col).alias("__v")),
+        "__v",
+        num_planes,
+        bands,
+        dim,
+    )
+    pairs = (
+        b.alias("a")
+        .join(
+            b.alias("b"),
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bh") == F.col("b.bh"))
+            & (F.col("a.__id") < F.col("b.__id")),
+        )
+        .select(
+            F.col("a.__id").alias("id_a"),
+            F.col("b.__id").alias("id_b"),
+            F.col("a.__v").alias("__va"),
+            F.col("b.__v").alias("__vb"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    return (
+        pairs.withColumn("cosine", cosine_similarity_col(F.col("__va"), F.col("__vb")))
+        .filter(F.col("cosine") >= threshold)
+        .select("id_a", "id_b", "cosine")
+    )

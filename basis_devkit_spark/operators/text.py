@@ -1,0 +1,121 @@
+"""Text analysis operators: stats, quality scoring, language ID, token
+counting, fingerprinting. All pure column expressions (codegen-friendly).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# Tiny built-in stopword sets for the n-gram/stopword language heuristic.
+# Deliberately small + deterministic: the point is the distributed scoring
+# machinery, not lexical coverage.
+_LANG_MARKERS: dict[str, list[str]] = {
+    "en": ["the", "and", "of", "to", "in", "is", "that", "for", "with", "a"],
+    "de": ["der", "die", "das", "und", "ist", "nicht", "mit", "ein", "zu", "den"],
+    "fr": ["le", "la", "les", "et", "est", "pas", "des", "une", "que", "dans"],
+    "es": ["el", "la", "los", "las", "y", "es", "no", "una", "que", "por"],
+    "zh": ["的", "是", "不", "了", "在", "人", "有", "我", "他", "这"],
+}
+
+_STOPWORDS_EN = set(_LANG_MARKERS["en"]) | {
+    "it", "on", "as", "at", "by", "an", "be", "or", "are", "was", "this",
+}
+
+# BPE-ish token regex: words, numbers, or single non-space symbols —
+# approximates subword pre-tokenization (GPT-2-style split).
+_BPE_RE = r"[A-Za-z]+|[0-9]+|[^\sA-Za-z0-9]"
+
+
+def token_count(text: Column | str, mode: str = "whitespace") -> Column:
+    """Token count: 'whitespace' (split) or 'bpe' (regex pre-tokens)."""
+    c = F.col(text) if isinstance(text, str) else text
+    if mode == "whitespace":
+        return F.size(F.split(F.trim(c), r"\s+"))
+    if mode == "bpe":
+        return F.size(F.regexp_extract_all(c, F.lit(_BPE_RE), 0))
+    raise ValueError(f"unknown mode {mode}")
+
+
+def text_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-document statistics: char/word/token counts, punctuation and
+    stopword ratios, mean word length."""
+    c = F.col(text_col)
+    words = F.split(F.lower(F.trim(c)), r"\s+")
+    n_words = F.size(words)
+    n_stop = F.size(F.filter(words, lambda w: w.isin(*sorted(_STOPWORDS_EN))))
+    n_punct = n_chars_of(F.regexp_replace(c, r"[^\.,;:!\?'\"()\[\]-]", ""))
+    return df.withColumns(
+        {
+            "n_chars_calc": n_chars_of(c),
+            "n_words": n_words,
+            "n_tokens_ws": token_count(c, "whitespace"),
+            "n_tokens_bpe": token_count(c, "bpe"),
+            "punct_ratio": F.round(n_punct / F.greatest(n_chars_of(c), F.lit(1)), 6),
+            "stopword_ratio": F.round(n_stop / F.greatest(n_words, F.lit(1)), 6),
+            "mean_word_len": F.round(
+                (n_chars_of(F.regexp_replace(c, r"\s+", ""))) / F.greatest(n_words, F.lit(1)), 6
+            ),
+        }
+    )
+
+
+def n_chars_of(c: Column) -> Column:
+    return F.length(c)
+
+
+def quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Heuristic document quality in [0,1]: rewards moderate length,
+    reasonable word lengths, presence of stopwords; punishes punctuation
+    soup. A Gopher-rules-flavored composite, fully vectorized."""
+    stats = text_stats(df, text_col)
+    len_score = F.least(F.col("n_words") / F.lit(50.0), F.lit(1.0))
+    word_len_ok = (
+        (F.col("mean_word_len") >= 3) & (F.col("mean_word_len") <= 10)
+    ).cast("double")
+    stop_score = F.least(F.col("stopword_ratio") * 5.0, F.lit(1.0))
+    punct_penalty = F.greatest(F.lit(0.0), F.lit(1.0) - F.col("punct_ratio") * 5.0)
+    return stats.withColumn(
+        "quality_score",
+        F.round(
+            (len_score + word_len_ok + stop_score + punct_penalty) / 4.0, 6
+        ),
+    )
+
+
+def language_id(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Marker-word language heuristic: score each language by fraction of
+    its marker words present; pick the argmax (ties → 'und').
+
+    Implemented as a greatest-of-scores expression — one projection, no
+    shuffle, no UDF."""
+    c = F.lower(F.col(text_col))
+    words = F.split(F.trim(c), r"\s+")
+    scores = {
+        lang: F.size(F.array_intersect(words, F.array(*[F.lit(m) for m in markers])))
+        for lang, markers in _LANG_MARKERS.items()
+    }
+    best = None
+    for lang, score in scores.items():
+        entry = F.struct(score.alias("s"), F.lit(lang).alias("l"))
+        best = entry if best is None else F.when(score > best["s"], entry).otherwise(best)
+    return df.withColumn(
+        "lang_pred", F.when(best["s"] > 0, best["l"]).otherwise(F.lit("und"))
+    )
+
+
+def doc_fingerprint(
+    df: DataFrame, text_col: str = "text", out_col: str = "fingerprint"
+) -> DataFrame:
+    """Order-sensitive rolling document fingerprint: polynomial rolling
+    hash over word-token hashes (xxhash64 per token folded with a prime
+    multiplier via ``aggregate``). Distinguishes permutations, unlike
+    set-based MinHash."""
+    words = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+    tok_hashes = F.transform(words, lambda w: F.xxhash64(w))
+    fp = F.aggregate(
+        tok_hashes,
+        F.lit(0).cast("long"),
+        lambda acc, h: acc * F.lit(31) + h,
+    )
+    return df.withColumn(out_col, fp)

@@ -1,0 +1,58 @@
+"""Declared query inventory — the correctness surface (SURVEY §2).
+
+Each entry pairs a Spark implementation with an equivalent ANSI-SQL oracle
+string (DuckDB-runnable). The driver hash-compares both at sf0.01; keys
+without an oracle get a rows-only check (genuinely non-SQL-expressible ops).
+
+Determinism rules used throughout (so value hashes match bit-for-bit):
+- SUMs over double columns go through DECIMAL(18,2) (exact accumulation in
+  both engines), then cast back to double.
+- Remaining float outputs are rounded (4-6 dp) on BOTH sides.
+- Ties in any top-k / row_number are broken by a unique key.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Callable, Optional
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+@dataclass
+class Query:
+    name: str
+    spark: Callable[[SparkSession, str], DataFrame]
+    oracle: Optional[str]  # ANSI SQL for DuckDB; None → rows-only check
+    doc: str = ""
+
+
+_REGISTRY: dict[str, Query] = {}
+
+
+def register(name: str, oracle: Optional[str], doc: str = ""):
+    def deco(fn: Callable[[SparkSession, str], DataFrame]):
+        _REGISTRY[name] = Query(name=name, spark=fn, oracle=oracle, doc=doc)
+        return fn
+
+    return deco
+
+
+def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
+    df = spark.read.parquet(f"{sf_dir}/{table}.parquet")
+    # events.ts is parquet TIMESTAMP(NANOS): read as long (see session conf)
+    # and convert to microsecond timestamp (truncating, as DuckDB does).
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    for field in df.schema.fields:
+        if field.name == "ts" and isinstance(field.dataType, T.LongType):
+            df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    return df
+
+
+def all_queries() -> dict[str, Query]:
+    # import side-effect: registration
+    from basis_devkit_spark.queries import relational, analytics, framework  # noqa: F401
+
+    return dict(_REGISTRY)

@@ -1,0 +1,349 @@
+"""§2.C streaming-semantics queries (tumbling/sliding/session windows) and
+§2.D LLM-pipeline queries (dedup, similarity, text analysis, embeddings)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from basis_devkit_spark.queries import load, register
+
+
+# ========================= §2.C windowed aggregations =========================
+@register(
+    "c03_tumbling_window",
+    """
+    select cast(date_trunc('hour', ts) as timestamp) as window_start,
+           event_type,
+           count(*) as n_events,
+           cast(sum(cast(value as decimal(18,6))) as double) as total_value
+    from events group by 1, 2
+    """,
+    doc="1-hour tumbling window rollup (F.window == epoch-aligned date_trunc)",
+)
+def c03(spark: SparkSession, sf: str) -> DataFrame:
+    e = load(spark, sf, "events")
+    return (
+        e.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias(
+                "total_value"
+            ),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+@register(
+    "c04_sliding_window",
+    """
+    with shifts as (select unnest([0, 1, 2, 3]) as i)
+    select cast(to_timestamp(floor(epoch(ts) / 900) * 900 - i * 900) as timestamp)
+             as window_start,
+           count(*) as n_events
+    from events cross join shifts
+    group by 1
+    """,
+    doc="1-hour window sliding every 15 min (each event in exactly 4 windows)",
+)
+def c04(spark: SparkSession, sf: str) -> DataFrame:
+    e = load(spark, sf, "events")
+    return (
+        e.groupBy(F.window("ts", "1 hour", "15 minutes").alias("w"))
+        .agg(F.count("*").alias("n_events"))
+        .select(F.col("w.start").alias("window_start"), "n_events")
+    )
+
+
+@register(
+    "c05_session_window",
+    """
+    with gaps as (
+      select user_id, ts, value,
+             case when ts - lag(ts) over (partition by user_id order by ts)
+                       > interval 30 minute
+                  or lag(ts) over (partition by user_id order by ts) is null
+                  then 1 else 0 end as new_session
+      from events
+    ), sessions as (
+      select user_id, ts, value,
+             sum(new_session) over (partition by user_id order by ts
+                                    rows unbounded preceding) as session_id
+      from gaps
+    )
+    select user_id,
+           cast(min(ts) as timestamp) as session_start,
+           count(*) as n_events,
+           cast(sum(cast(value as decimal(18,6))) as double) as total_value
+    from sessions group by user_id, session_id
+    """,
+    doc="30-min-gap sessionization (F.session_window vs lag/cumsum oracle)",
+)
+def c05(spark: SparkSession, sf: str) -> DataFrame:
+    e = load(spark, sf, "events")
+    return (
+        e.groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias(
+                "total_value"
+            ),
+        )
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+@register(
+    "c07_stateful_dedup",
+    """
+    select user_id, event_type, min(event_id) as first_event_id
+    from events group by user_id, event_type
+    """,
+    doc="dedup-by-key keeping first occurrence (cross-batch unique_on semantics)",
+)
+def c07(spark: SparkSession, sf: str) -> DataFrame:
+    from basis_devkit_spark.operators.dedup import exact_dedup
+
+    e = load(spark, sf, "events")
+    kept = exact_dedup(e, ["user_id", "event_type"], order_by="event_id", keep="first")
+    return kept.select(
+        "user_id", "event_type", F.col("event_id").alias("first_event_id")
+    )
+
+
+# ============================ §2.D dedup operators ============================
+@register(
+    "d01_exact_dedup",
+    """
+    select doc_id, lang, source from (
+      select doc_id, lang, source,
+             row_number() over (partition by lang, source order by doc_id) as rn
+      from documents) t
+    where rn = 1
+    """,
+)
+def d01(spark: SparkSession, sf: str) -> DataFrame:
+    from basis_devkit_spark.operators.dedup import exact_dedup
+
+    d = load(spark, sf, "documents")
+    return exact_dedup(d, ["lang", "source"], order_by="doc_id", keep="first").select(
+        "doc_id", "lang", "source"
+    )
+
+
+@register(
+    "d02_ngram_jaccard_pairs",
+    None,  # inverted-index self-join; SQL-expressible but quadratic in DuckDB — rows-only
+    doc="exact word-set Jaccard near-dup pairs (threshold 0.6)",
+)
+def d02(spark: SparkSession, sf: str) -> DataFrame:
+    from basis_devkit_spark.operators.dedup import ngram_jaccard_pairs
+
+    d = load(spark, sf, "documents")
+    return ngram_jaccard_pairs(
+        d, "doc_id", "text", shingle_size=3, threshold=0.6
+    )
+
+
+@register(
+    "d02b_minhash_dedup",
+    None,  # LSH banding is algorithm-specific — rows-only + unit-tested vs exact jaccard
+    doc="MinHash LSH near-dedup survivors (64 hashes, 16 bands)",
+)
+def d02b(spark: SparkSession, sf: str) -> DataFrame:
+    from basis_devkit_spark.operators.dedup import minhash_dedup
+
+    d = load(spark, sf, "documents")
+    return minhash_dedup(
+        d, "doc_id", "text", num_hashes=64, bands=16, jaccard_threshold=0.7
+    ).select("doc_id", "lang", "source")
+
+
+@register(
+    "d02c_simhash",
+    None,  # bit-level fingerprint — rows-only + property-tested
+    doc="SimHash 64-bit fingerprints + Hamming near-dup pairs (≤3 bits)",
+)
+def d02c(spark: SparkSession, sf: str) -> DataFrame:
+    from basis_devkit_spark.operators.dedup import simhash_near_dup_pairs
+
+    d = load(spark, sf, "documents")
+    return simhash_near_dup_pairs(d, "doc_id", "text", max_hamming=3)
+
+
+# ========================= §2.D similarity search =============================
+@register(
+    "d03_similarity_topk",
+    """
+    with q as (select vec_id, embedding from embeddings where vec_id < 5),
+    scored as (
+      select q.vec_id as query_id, c.vec_id as match_id,
+             list_cosine_similarity(
+               list_transform(q.embedding, x -> cast(x as double)),
+               list_transform(c.embedding, x -> cast(x as double))) as score
+      from q join embeddings c on q.vec_id != c.vec_id
+    ), ranked as (
+      select query_id, match_id, score,
+             row_number() over (partition by query_id
+                                order by score desc, match_id) as rank
+      from scored)
+    select query_id, match_id, round(score, 4) as score, rank
+    from ranked where rank <= 5
+    """,
+    doc="exact brute-force cosine top-5 (broadcast queries, zip_with dot product)",
+)
+def d03(spark: SparkSession, sf: str) -> DataFrame:
+    from basis_devkit_spark.operators.similarity import brute_force_topk
+
+    emb = load(spark, sf, "embeddings")
+    q = emb.filter(F.col("vec_id") < 5)
+    out = brute_force_topk(q, emb, vec_col="embedding", id_col="vec_id", k=5)
+    return out.select(
+        "query_id", "match_id", F.round("score", 4).alias("score"), "rank"
+    )
+
+
+@register(
+    "d03b_lsh_topk",
+    None,  # ANN candidates are algorithm-specific; recall vs exact checked in tests
+    doc="sign-LSH bucketed ANN top-5 + exact re-rank",
+)
+def d03b(spark: SparkSession, sf: str) -> DataFrame:
+    from basis_devkit_spark.operators.similarity import lsh_topk
+
+    emb = load(spark, sf, "embeddings")
+    q = emb.filter(F.col("vec_id") < 5)
+    return lsh_topk(q, emb, k=5, num_planes=16, bands=8).select(
+        "query_id", "match_id", F.round("score", 4).alias("score"), "rank"
+    )
+
+
+@register(
+    "d06_embedding_norms",
+    """
+    select vec_id, label,
+           round(sqrt(list_sum(list_transform(embedding,
+                 x -> cast(x as double) * cast(x as double)))), 4) as l2_norm,
+           round(list_sum(list_transform(embedding, x -> cast(x as double))), 4)
+             as comp_sum,
+           len(embedding) as dim
+    from embeddings
+    """,
+    doc="embedding column ops: per-vector norm/sum/dim via array HOFs",
+)
+def d06(spark: SparkSession, sf: str) -> DataFrame:
+    e = load(spark, sf, "embeddings")
+    vd = F.transform("embedding", lambda x: x.cast("double"))
+    return e.select(
+        "vec_id",
+        "label",
+        F.round(
+            F.sqrt(
+                F.aggregate(vd, F.lit(0.0), lambda acc, x: acc + x * x)
+            ),
+            4,
+        ).alias("l2_norm"),
+        F.round(F.aggregate(vd, F.lit(0.0), lambda acc, x: acc + x), 4).alias(
+            "comp_sum"
+        ),
+        F.size("embedding").alias("dim"),
+    )
+
+
+# ============================ §2.D text analysis ==============================
+@register(
+    "d04_text_stats",
+    """
+    select doc_id,
+           length(text) as n_chars_calc,
+           len(string_split(trim(text), ' ')) as n_words,
+           len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^ A-Za-z0-9]'))
+             as n_tokens_bpe,
+           round(len(list_filter(string_split(lower(trim(text)), ' '),
+                 w -> list_contains(['the','and','of','to','in','is','that',
+                                     'for','with','a','it','on','as','at','by',
+                                     'an','be','or','are','was','this'], w)))
+                 / greatest(len(string_split(trim(text), ' ')), 1), 6)
+             as stopword_ratio
+    from documents
+    """,
+    doc="per-document text statistics (counts + stopword ratio)",
+)
+def d04(spark: SparkSession, sf: str) -> DataFrame:
+    from basis_devkit_spark.operators.text import text_stats
+
+    d = load(spark, sf, "documents")
+    return text_stats(d, "text").select(
+        "doc_id", "n_chars_calc", "n_words", "n_tokens_bpe", "stopword_ratio"
+    )
+
+
+@register(
+    "d04b_lang_id",
+    None,  # argmax-over-marker-scores; checked vs ground-truth lang col in tests
+    doc="n-gram/marker-word language identification heuristic",
+)
+def d04b(spark: SparkSession, sf: str) -> DataFrame:
+    from basis_devkit_spark.operators.text import language_id
+
+    d = load(spark, sf, "documents")
+    return language_id(d, "text").select("doc_id", "lang", "lang_pred")
+
+
+@register(
+    "d04c_quality_score",
+    None,  # composite heuristic; component stats oracle-checked via d04
+    doc="document quality scoring (length/stopword/punctuation composite)",
+)
+def d04c(spark: SparkSession, sf: str) -> DataFrame:
+    from basis_devkit_spark.operators.text import quality_score
+
+    d = load(spark, sf, "documents")
+    return quality_score(d, "text").select("doc_id", "quality_score")
+
+
+@register(
+    "d04d_fingerprint",
+    None,  # rolling polynomial hash — deterministic, property-tested
+    doc="order-sensitive rolling-hash document fingerprint",
+)
+def d04d(spark: SparkSession, sf: str) -> DataFrame:
+    from basis_devkit_spark.operators.text import doc_fingerprint
+
+    d = load(spark, sf, "documents")
+    return doc_fingerprint(d, "text").select("doc_id", "fingerprint")
+
+
+@register(
+    "d05_multimodal_plumbing",
+    None,  # binary decode is stubbed (no codecs in container); plumbing rows-only
+    doc="multimodal: media struct + mapInPandas decode (deterministic fake)",
+)
+def d05(spark: SparkSession, sf: str) -> DataFrame:
+    from basis_devkit_spark.operators.multimodal import (
+        attach_media_ref,
+        decode_images,
+        fake_image_features,
+    )
+
+    d = load(spark, sf, "documents").limit(200)
+    with_bytes = d.select(
+        F.concat(F.lit("mem://doc/"), F.col("doc_id").cast("string"), F.lit(".png")).alias("uri"),
+        F.encode("text", "utf-8").alias("content"),
+    )
+    media = attach_media_ref(with_bytes, "uri", "content")
+    return decode_images(
+        media, content_col="content", uri_col="media.uri", decode_fn=fake_image_features
+    )

@@ -1,0 +1,151 @@
+"""§2.A devkit-verb queries: framework semantics (upsert, streams, SQL-node
+path) expressed as driver-checkable queries. These run the REAL engine code
+paths (TableStore merge, Stream cursor) against temp storage, with ANSI-SQL
+oracles expressing the contracted result."""
+
+from __future__ import annotations
+
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from basis_devkit_spark.queries import load, register
+
+
+@register(
+    "a01_table_scan",
+    "select l_orderkey, l_linenumber, l_quantity from lineitem",
+    doc="managed-table scan of the active version",
+)
+def a01(spark: SparkSession, sf: str) -> DataFrame:
+    return load(spark, sf, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_quantity"
+    )
+
+
+@register(
+    "a03_read_sql",
+    """
+    select o_orderstatus, count(*) as n from orders group by o_orderstatus
+    """,
+    doc="Table.read_sql: register active version as view, run SQL over it",
+)
+def a03(spark: SparkSession, sf: str) -> DataFrame:
+    from basis_devkit_spark.node import Table
+    from basis_devkit_spark.storage.store import TableStore
+
+    tmp = tempfile.mkdtemp(prefix="bds_a03_")
+    store = TableStore(tmp, "orders", spark)
+    store.write_replace(load(spark, sf, "orders"))
+    t = Table("orders", "r")
+    t.bind(store, spark)
+    return t.read_sql_dataframe(
+        "select o_orderstatus, count(*) as n from orders group by o_orderstatus"
+    )
+
+
+@register(
+    "a05_upsert",
+    """
+    with old as (
+      select o_orderkey, o_totalprice from orders where o_orderkey % 2 = 0
+    ), new as (
+      select o_orderkey, o_totalprice * 2 as o_totalprice
+      from orders where o_orderkey % 3 = 0
+    )
+    select o_orderkey, o_totalprice from old
+    where o_orderkey not in (select o_orderkey from new)
+    union all
+    select o_orderkey, o_totalprice from new
+    """,
+    doc="real TableStore.upsert (unique_on merge) vs merge-semantics SQL",
+)
+def a05(spark: SparkSession, sf: str) -> DataFrame:
+    from basis_devkit_spark.node import Table
+    from basis_devkit_spark.storage.store import TableStore
+
+    tmp = tempfile.mkdtemp(prefix="bds_a05_")
+    store = TableStore(tmp, "t", spark)
+    t = Table("t", "w")
+    t.bind(store, spark)
+    t.init(unique_on="o_orderkey")
+    orders = load(spark, sf, "orders").select("o_orderkey", "o_totalprice")
+    t.append(orders.filter(F.col("o_orderkey") % 2 == 0))
+    t.flush()
+    t.upsert(
+        orders.filter(F.col("o_orderkey") % 3 == 0).withColumn(
+            "o_totalprice", F.col("o_totalprice") * 2
+        )
+    )
+    return t.read_dataframe()
+
+
+@register(
+    "a06_replace",
+    """
+    select o_orderkey, o_totalprice from orders where o_orderkey % 5 = 0
+    """,
+    doc="Table.replace: fresh version holds exactly the new rows",
+)
+def a06(spark: SparkSession, sf: str) -> DataFrame:
+    from basis_devkit_spark.node import Table
+    from basis_devkit_spark.storage.store import TableStore
+
+    tmp = tempfile.mkdtemp(prefix="bds_a06_")
+    store = TableStore(tmp, "t", spark)
+    t = Table("t", "w")
+    t.bind(store, spark)
+    orders = load(spark, sf, "orders").select("o_orderkey", "o_totalprice")
+    t.append(orders.limit(50))
+    t.flush()
+    t.replace(orders.filter(F.col("o_orderkey") % 5 == 0))
+    return t.read_dataframe()
+
+
+@register(
+    "a13_stream_consume",
+    """
+    select event_id, event_type, user_id from events where event_id > 500
+    """,
+    doc="stream cursor read: strictly-greater-than pushdown filter",
+)
+def a13(spark: SparkSession, sf: str) -> DataFrame:
+    from basis_devkit_spark.node import Table
+    from basis_devkit_spark.storage.store import TableStore
+
+    tmp = tempfile.mkdtemp(prefix="bds_a13_")
+    store = TableStore(tmp, "events", spark)
+    store.write_replace(load(spark, sf, "events"))
+    t = Table("events", "r")
+    t.bind(store, spark)
+    stream = t.as_stream(order_by="event_id", starting_value=500)
+    return stream.read_dataframe().select("event_id", "event_type", "user_id")
+
+
+@register(
+    "a08_execute_sql_ctas",
+    """
+    select o_orderstatus, cast(sum(cast(o_totalprice as decimal(18,2))) as double)
+           as total from orders group by o_orderstatus
+    """,
+    doc="Table.execute_sql CREATE TABLE ... AS over the managed catalog",
+)
+def a08(spark: SparkSession, sf: str) -> DataFrame:
+    from basis_devkit_spark.node import Table
+    from basis_devkit_spark.storage.store import TableStore
+
+    tmp = tempfile.mkdtemp(prefix="bds_a08_")
+    src_store = TableStore(tmp, "orders_src", spark)
+    src_store.write_replace(load(spark, sf, "orders"))
+    src_store.read().createOrReplaceTempView("orders_src")
+
+    out_store = TableStore(tmp, "agg_out", spark)
+    t = Table("agg_out", "w")
+    t.bind(out_store, spark)
+    t.execute_sql(
+        "create table agg_out as select o_orderstatus, "
+        "cast(sum(cast(o_totalprice as decimal(18,2))) as double) as total "
+        "from orders_src group by o_orderstatus"
+    )
+    return t.read_dataframe()

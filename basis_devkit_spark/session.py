@@ -26,6 +26,9 @@ _DEFAULT_CONFS: dict[str, str] = {
     # Spark and the DuckDB oracle agree.
     "spark.sql.session.timeZone": "UTC",
     "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"),
+    # Parquet nanosecond timestamps (e.g. events.ts) otherwise fail with
+    # PARQUET_TYPE_ILLEGAL; read as long and convert at the loader.
+    "spark.sql.legacy.parquet.nanosAsLong": "true",
 }
 
 
