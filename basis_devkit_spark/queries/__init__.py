@@ -38,7 +38,17 @@ def register(name: str, oracle: Optional[str], doc: str = ""):
     return deco
 
 
+# Catalog cache: file listing + footer schema per (session, path) — the
+# equivalent of a catalog's table binding (DuckDB's oracle views bind the
+# file once at view creation, too). The DataFrame handle is lazy/immutable,
+# so sharing it across queries is safe.
+_LOAD_CACHE: dict[tuple[int, str], DataFrame] = {}
+
+
 def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
+    key = (id(spark), f"{sf_dir}/{table}.parquet")
+    if key in _LOAD_CACHE:
+        return _LOAD_CACHE[key]
     df = spark.read.parquet(f"{sf_dir}/{table}.parquet")
     # events.ts is parquet TIMESTAMP(NANOS): read as long (see session conf)
     # and convert to microsecond timestamp (truncating, as DuckDB does).
@@ -48,6 +58,7 @@ def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
     for field in df.schema.fields:
         if field.name == "ts" and isinstance(field.dataType, T.LongType):
             df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    _LOAD_CACHE[key] = df
     return df
 
 

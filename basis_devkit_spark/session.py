@@ -29,6 +29,9 @@ _DEFAULT_CONFS: dict[str, str] = {
     # Parquet nanosecond timestamps (e.g. events.ts) otherwise fail with
     # PARQUET_TYPE_ILLEGAL; read as long and convert at the loader.
     "spark.sql.legacy.parquet.nanosAsLong": "true",
+    # No pre-1582 dates in our data: skip per-value rebase checks on scan.
+    "spark.sql.parquet.datetimeRebaseModeInRead": "CORRECTED",
+    "spark.sql.parquet.int96RebaseModeInRead": "CORRECTED",
 }
 
 
