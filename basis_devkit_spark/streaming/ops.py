@@ -1,0 +1,183 @@
+"""Structured Streaming operators (SURVEY §2.C).
+
+The reference's streaming model is incremental micro-batch over ordered
+tables (Stream cursor, node.py:18-81) — implemented batch-side in
+``node/stream.py``. This module is the *push-source* realization: true
+Structured Streaming for sources that arrive continuously (webhook drops,
+file landings), with watermarks for late data and checkpointed
+exactly-once sinks — the same semantics the cursor gives batch tables.
+
+All functions take/return streaming DataFrames; callers own the
+``start()``/``awaitTermination`` lifecycle.
+"""
+
+from __future__ import annotations
+
+from typing import Iterable
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+
+def read_stream_directory(
+    spark: SparkSession,
+    path: str,
+    format: str = "json",
+    schema: T.StructType | str | None = None,
+    max_files_per_trigger: int = 100,
+) -> DataFrame:
+    """File-landing source (webhook drop dir): each new file is a
+    micro-batch. Schema is REQUIRED by Structured Streaming for json/csv."""
+    reader = spark.readStream.format(format).option(
+        "maxFilesPerTrigger", max_files_per_trigger
+    )
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.load(path)
+
+
+def tumbling_window_agg(
+    df: DataFrame,
+    ts_col: str,
+    window: str = "1 hour",
+    keys: Iterable[str] = (),
+    watermark: str = "1 hour",
+    aggs: dict[str, str] | None = None,
+) -> DataFrame:
+    """Watermarked tumbling-window aggregation (C3 + C6). ``aggs`` maps
+    column → agg fn name; default counts rows."""
+    out_names = [f"{fn}_{c}" for c, fn in (aggs or {}).items()] or ["n_events"]
+    agg_exprs = (
+        [getattr(F, fn)(c).alias(f"{fn}_{c}") for c, fn in (aggs or {}).items()]
+        or [F.count(F.lit(1)).alias("n_events")]
+    )
+    return (
+        df.withWatermark(ts_col, watermark)
+        .groupBy(F.window(ts_col, window).alias("w"), *keys)
+        .agg(*agg_exprs)
+        .select(F.col("w.start").alias("window_start"), *keys, *out_names)
+    )
+
+
+def sliding_window_agg(
+    df: DataFrame,
+    ts_col: str,
+    window: str = "1 hour",
+    slide: str = "15 minutes",
+    keys: Iterable[str] = (),
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Sliding-window counts (C4)."""
+    return (
+        df.withWatermark(ts_col, watermark)
+        .groupBy(F.window(ts_col, window, slide).alias("w"), *keys)
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(F.col("w.start").alias("window_start"), *keys, "n_events")
+    )
+
+
+def session_window_agg(
+    df: DataFrame,
+    ts_col: str,
+    gap: str = "30 minutes",
+    keys: Iterable[str] = ("user_id",),
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Session windows with gap timeout (C5)."""
+    return (
+        df.withWatermark(ts_col, watermark)
+        .groupBy(F.session_window(ts_col, gap).alias("w"), *keys)
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            *keys,
+            "n_events",
+        )
+    )
+
+
+def dedup_within_watermark(
+    df: DataFrame, keys: list[str], ts_col: str, watermark: str = "1 hour"
+) -> DataFrame:
+    """Cross-batch stateful dedup bounded by the watermark (C7): state for
+    a key is droppable once the watermark passes — bounded memory at scale,
+    unlike unbounded dropDuplicates."""
+    return df.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(keys)
+
+
+def stateful_running_agg(
+    df: DataFrame,
+    key_col: str = "user_id",
+    value_col: str = "value",
+    ts_col: str = "ts",
+    idle_timeout_ms: int = 30 * 60 * 1000,
+) -> DataFrame:
+    """Custom stateful operator via ``applyInPandasWithState`` (the
+    reference's per-node State, pushed to executors): running per-key count
+    and sum that survives across micro-batches; key state expires after
+    ``idle_timeout`` of event-time inactivity."""
+    out_schema = T.StructType(
+        [
+            T.StructField("key", T.LongType()),
+            T.StructField("n_total", T.LongType()),
+            T.StructField("sum_total", T.DoubleType()),
+        ]
+    )
+    state_schema = T.StructType(
+        [
+            T.StructField("n", T.LongType()),
+            T.StructField("s", T.DoubleType()),
+        ]
+    )
+
+    use_timeout = idle_timeout_ms > 0
+
+    def update(key, pdfs: Iterable[pd.DataFrame], state: GroupState):
+        if use_timeout and state.hasTimedOut:
+            state.remove()
+            return
+        n, s = state.get if state.exists else (0, 0.0)
+        for pdf in pdfs:
+            n += len(pdf)
+            s += float(pdf[value_col].sum())
+        state.update((n, s))
+        if use_timeout:
+            state.setTimeoutDuration(idle_timeout_ms)
+        yield pd.DataFrame({"key": [key[0]], "n_total": [n], "sum_total": [s]})
+
+    return (
+        df.groupBy(key_col)
+        .applyInPandasWithState(
+            update,
+            outputStructType=out_schema,
+            stateStructType=state_schema,
+            outputMode="update",
+            timeoutConf=(
+                GroupStateTimeout.ProcessingTimeTimeout
+                if use_timeout
+                else GroupStateTimeout.NoTimeout
+            ),
+        )
+    )
+
+
+def stream_to_managed_table(
+    df: DataFrame,
+    store_path: str,
+    checkpoint_dir: str,
+    trigger_seconds: int = 10,
+):
+    """Checkpointed parquet sink into a managed store directory —
+    exactly-once via Structured Streaming's offset/commit log (the
+    streaming analog of the batch commit protocol in storage/store.py)."""
+    return (
+        df.writeStream.format("parquet")
+        .option("path", store_path)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(processingTime=f"{trigger_seconds} seconds")
+        .outputMode("append")
+    )

@@ -120,7 +120,7 @@ def main() -> None:
     print(
         json.dumps(
             {
-                "metric": "headline query wall time (warm, median of 3)",
+                "metric": "headline query wall time (warm, median of 5)",
                 "value": total,
                 "unit": "sec",
                 "queries": timings,

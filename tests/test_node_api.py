@@ -1,0 +1,125 @@
+"""Node SDK semantics vs the reference's behavioral spec (node.py):
+buffered writes, records formats, streams exactly-once, state, parameters."""
+
+from datetime import date, datetime
+
+import pytest
+
+from basis_devkit_spark.node import Parameter, State, Table
+from basis_devkit_spark.node.params import Connection
+from basis_devkit_spark.storage.store import TableStore
+
+
+@pytest.fixture()
+def table(spark, tmp_path):
+    t = Table("t", "rw")
+    t.bind(TableStore(str(tmp_path), "t", spark), spark)
+    return t
+
+
+def test_append_is_buffered_until_flush(table):
+    table.append([{"k": 1}])
+    assert not table._store.exists  # nothing on disk yet (node.py:305-307)
+    table.flush()
+    assert table.record_count == 1
+
+
+def test_read_formats(table):
+    table.append([{"k": 1, "v": "a"}, {"k": 2, "v": "b"}])
+    recs = table.read("records")  # auto-flushes
+    assert sorted(r["k"] for r in recs) == [1, 2]
+    pdf = table.read("dataframe")
+    assert len(pdf) == 2
+    chunks = list(table.read_dataframe(chunksize=1))
+    assert len(chunks) == 2
+
+
+def test_read_sql_interpolation(table):
+    table.append([{"k": i} for i in range(10)])
+    rows = table.read_sql(f"select count(*) as n from {table}")
+    assert rows[0]["n"] == 10
+
+
+def test_replace_and_truncate(table):
+    table.append([{"k": 1}])
+    table.flush()
+    table.replace([{"k": 9}])
+    assert [r["k"] for r in table.read("records")] == [9]
+    table.truncate()
+    assert table.record_count == 0
+
+
+def test_stream_exactly_once_and_seek(table):
+    table.init(unique_on=None)
+    table.append([{"eid": i} for i in range(1, 6)])
+    table.flush()
+    s = table.as_stream(order_by="eid")
+    assert [r["eid"] for r in s] == [1, 2, 3, 4, 5]
+    s.checkpoint()
+    table.append([{"eid": 6}])
+    table.flush()
+    assert [r["eid"] for r in s] == [6]
+    s.seek(2)
+    assert [r["eid"] for r in s] == [3, 4, 5, 6]  # strictly greater (node.py:74-75)
+    s.rewind()
+    assert len(list(s)) == 6
+    s.rollback()
+    assert [r["eid"] for r in s] == [6]  # back to last checkpoint
+
+
+def test_stream_default_ordering_resolution(table):
+    table.init(add_monotonic_id="mid")
+    table.append([{"k": 1}, {"k": 2}])
+    table.flush()
+    s = table.as_stream()  # resolves to strictly_monotonic role
+    assert s.order_by == "mid"
+
+
+def test_stream_no_ordering_errors(table):
+    table.append([{"k": 1}])
+    table.flush()
+    with pytest.raises(ValueError, match="no default ordering"):
+        table.as_stream()
+
+
+def test_unconnected_table_is_inert():
+    t = Table("ghost", "r")
+    assert not t.is_connected
+    with pytest.raises(RuntimeError, match="not connected"):
+        t.read()
+
+
+def test_state_kv_and_budget():
+    st = State()
+    st.bind({}, limit_s=100.0)
+    st.set_value("a", 1)
+    assert st.get_value("a") == 1
+    st.set({"b": datetime(2026, 1, 1).isoformat()})
+    assert st.get_value("a") is None
+    assert st.get_datetime("b") == datetime(2026, 1, 1)
+    assert st.should_continue()  # fresh start, well under limit
+    st._started_at -= 95  # simulate 95s elapsed of 100s limit
+    assert not st.should_continue()
+    st.request_new_run(wait_atleast_seconds=5)
+    assert st.new_run_requested["wait_atleast_seconds"] == 5
+
+
+def test_parameter_types_and_defaults():
+    assert Parameter("x", type="int", default="7").value == 7
+    assert Parameter("x", type="float", default="1.5").value == 1.5
+    assert Parameter("x", type="bool", default="true").value is True
+    assert Parameter("x", type="date", default="2026-01-02").value == date(2026, 1, 2)
+    assert Parameter("x", type="list", default="a, b").value == ["a", "b"]
+    p = Parameter("req", type="str")
+    with pytest.raises(ValueError, match="no default"):
+        p.bind()
+    c = Connection("postgres")
+    assert c.connection_type == "postgres"
+    assert c.value == {}
+
+
+def test_execute_sql_insert(table, spark):
+    table.append([{"k": 1}])
+    table.flush()
+    table.execute_sql(f"insert into {table} select 2 as k")
+    assert sorted(r["k"] for r in table.read("records")) == [1, 2]

@@ -1,0 +1,235 @@
+"""Operator correctness beyond the SQL oracle: LSH recall vs exact,
+SimHash properties, as-of/range joins vs naive equivalents, text ops,
+multimodal plumbing, similarity metrics."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from basis_devkit_spark.operators import (
+    as_of_join,
+    brute_force_topk,
+    embedding_near_dup_pairs,
+    exact_dedup,
+    ivf_topk,
+    language_id,
+    lsh_topk,
+    minhash_near_dup_pairs,
+    ngram_jaccard_pairs,
+    range_join,
+    simhash,
+    simhash_near_dup_pairs,
+)
+from basis_devkit_spark.operators.text import doc_fingerprint, quality_score, text_stats
+from basis_devkit_spark.queries import load
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return load(spark, SF, "documents")
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return load(spark, SF, "embeddings")
+
+
+def test_exact_dedup_keep_last(spark):
+    df = spark.createDataFrame(
+        [(1, "a", 10), (1, "b", 20), (2, "c", 5)], "k int, v string, ord int"
+    )
+    kept = exact_dedup(df, ["k"], order_by="ord", keep="last")
+    assert {(r.k, r.v) for r in kept.collect()} == {(1, "b"), (2, "c")}
+
+
+def test_minhash_estimates_jaccard(spark, docs):
+    """LSH candidates' estimated Jaccard should track exact word-shingle
+    Jaccard: every exact pair ≥0.8 must be found by LSH at threshold 0.5
+    (banding theory: 16 bands × 4 rows → ~0.72 threshold s-curve)."""
+    exact = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in ngram_jaccard_pairs(
+            docs, "doc_id", "text", shingle_size=3, threshold=0.8
+        ).collect()
+    }
+    cand = {
+        (r.id_a, r.id_b): r.est_jaccard
+        for r in minhash_near_dup_pairs(
+            docs, "doc_id", "text", num_hashes=64, bands=16, jaccard_threshold=0.5
+        ).collect()
+    }
+    missed = set(exact) - set(cand)
+    assert not missed, f"LSH missed high-jaccard pairs: {missed}"
+    for pair, est in cand.items():
+        if pair in exact:
+            assert abs(est - exact[pair]) < 0.35  # 64-hash estimator noise
+
+
+def test_simhash_deterministic_and_permutation_sensitive(spark):
+    df = spark.createDataFrame(
+        [(1, "the quick brown fox"), (2, "the quick brown fox"), (3, "completely different words here")],
+        "doc_id int, text string",
+    )
+    fps = {r.doc_id: r.simhash for r in simhash(df, "doc_id", "text").collect()}
+    assert fps[1] == fps[2]
+    assert fps[1] != fps[3]
+    pairs = simhash_near_dup_pairs(df, "doc_id", "text", max_hamming=3).collect()
+    assert {(p.id_a, p.id_b) for p in pairs} == {(1, 2)}
+
+
+def test_fingerprint_order_sensitive(spark):
+    df = spark.createDataFrame(
+        [(1, "alpha beta gamma"), (2, "gamma beta alpha")], "doc_id int, text string"
+    )
+    fps = {r.doc_id: r.fingerprint for r in doc_fingerprint(df, "text").collect()}
+    assert fps[1] != fps[2]
+
+
+def test_brute_force_topk_matches_naive(spark, emb):
+    """Spark top-k must equal a numpy-computed exact answer."""
+    import numpy as np
+
+    rows = emb.collect()
+    vecs = {r.vec_id: np.array(r.embedding, dtype=np.float64) for r in rows}
+    got = brute_force_topk(
+        emb.filter("vec_id = 0"), emb, vec_col="embedding", id_col="vec_id", k=3
+    ).collect()
+    q = vecs[0]
+    sims = {
+        vid: float(q @ v / (np.linalg.norm(q) * np.linalg.norm(v)))
+        for vid, v in vecs.items()
+        if vid != 0
+    }
+    want = sorted(sims, key=lambda k: (-sims[k], k))[:3]
+    assert [r.match_id for r in sorted(got, key=lambda r: r.rank)] == want
+
+
+def test_lsh_topk_recall(spark, emb):
+    """ANN recall@5 vs exact top-5 should be usable (≥0.4 with these
+    params on random vectors; tightness isn't the point — the machinery is)."""
+    q = emb.filter("vec_id < 10")
+    exact = brute_force_topk(q, emb, k=5).collect()
+    approx = lsh_topk(q, emb, k=5, num_planes=16, bands=8).collect()
+    exact_set = {(r.query_id, r.match_id) for r in exact}
+    approx_set = {(r.query_id, r.match_id) for r in approx}
+    recall = len(exact_set & approx_set) / len(exact_set)
+    assert recall >= 0.4, f"LSH recall too low: {recall}"
+
+
+def test_ivf_topk_recall(spark, emb):
+    q = emb.filter("vec_id < 10")
+    exact = brute_force_topk(q, emb, k=5).collect()
+    approx = ivf_topk(q, emb, k=5, nlist=8, nprobe=4).collect()
+    exact_set = {(r.query_id, r.match_id) for r in exact}
+    approx_set = {(r.query_id, r.match_id) for r in approx}
+    recall = len(exact_set & approx_set) / len(exact_set)
+    assert recall >= 0.5, f"IVF recall too low: {recall}"
+
+
+def test_embedding_near_dup_pairs_verified(spark):
+    df = spark.createDataFrame(
+        [
+            (1, [1.0, 0.0, 0.0, 0.0]),
+            (2, [0.999, 0.01, 0.0, 0.0]),
+            (3, [0.0, 1.0, 0.0, 0.0]),
+        ],
+        "vec_id int, embedding array<float>",
+    )
+    pairs = embedding_near_dup_pairs(df, threshold=0.95, num_planes=8, bands=8).collect()
+    assert {(p.id_a, p.id_b) for p in pairs} == {(1, 2)}
+
+
+def test_asof_join_matches_naive(spark):
+    left = spark.createDataFrame(
+        [(1, 10), (1, 20), (2, 15)], "k int, t int"
+    )
+    right = spark.createDataFrame(
+        [(1, 5, "a"), (1, 15, "b"), (2, 99, "z")], "k int, t int, val string"
+    )
+    got = {
+        (r.k, r.t): r.val_right
+        for r in as_of_join(left, right, on="k", left_ts="t", value_cols=["val"]).collect()
+    }
+    assert got == {(1, 10): "a", (1, 20): "b", (2, 15): None}
+
+
+def test_asof_join_forward(spark):
+    left = spark.createDataFrame([(1, 10)], "k int, t int")
+    right = spark.createDataFrame([(1, 5, "past"), (1, 12, "future")], "k int, t int, val string")
+    got = as_of_join(left, right, on="k", left_ts="t", direction="forward", value_cols=["val"]).collect()
+    assert got[0].val_right == "future"
+
+
+def test_range_join_matches_naive(spark):
+    ev = load(spark, SF, "events")
+    clicks = ev.filter("event_type = 'click'").select("user_id", F.col("ts").alias("c_ts"))
+    errors = ev.filter("event_type = 'error'").select("user_id", F.col("ts").alias("e_ts"))
+    got = range_join(
+        clicks, errors, on="user_id", left_ts="c_ts", right_ts="e_ts",
+        lower="0 seconds", upper="5 minutes",
+    ).count()
+    naive = (
+        clicks.join(errors, "user_id")
+        .filter(
+            (F.col("e_ts") >= F.col("c_ts"))
+            & (F.col("e_ts") <= F.col("c_ts") + F.expr("INTERVAL 5 MINUTES"))
+        )
+        .count()
+    )
+    assert got == naive
+
+
+def test_language_id_accuracy(spark, docs):
+    """Marker heuristic should beat chance comfortably on the synthetic
+    corpus (texts are topic-word soups; en markers dominate)."""
+    pred = language_id(docs, "text")
+    agree = pred.filter(F.col("lang") == F.col("lang_pred")).count()
+    total = pred.count()
+    assert agree / total > 0.3, f"lang-id accuracy {agree}/{total}"
+
+
+def test_text_stats_consistency(spark, docs):
+    st = text_stats(docs, "text")
+    bad = st.filter(F.col("n_chars_calc") != F.col("n_chars")).count()
+    assert bad == 0  # generator's n_chars column must equal length(text)
+    r = st.select(F.min("stopword_ratio"), F.max("stopword_ratio")).collect()[0]
+    assert 0.0 <= r[0] <= r[1] <= 1.0
+
+
+def test_quality_score_bounds(spark, docs):
+    qs = quality_score(docs, "text")
+    r = qs.select(F.min("quality_score"), F.max("quality_score")).collect()[0]
+    assert 0.0 <= r[0] <= r[1] <= 1.0
+
+
+def test_multimodal_decode_plumbing(spark):
+    from basis_devkit_spark.operators.multimodal import (
+        attach_media_ref,
+        decode_images,
+        fake_image_features,
+        sample_frames,
+    )
+
+    df = spark.createDataFrame(
+        [("a.png", b"bytes-a"), ("b.jpg", b"bytes-b")], "uri string, content binary"
+    )
+    media = attach_media_ref(df, "uri", "content")
+    row = media.select("media.*").collect()[0]
+    assert row.mime == "image/png" and row.size == 7 and row.sha256
+    feats = decode_images(
+        media, content_col="content", uri_col="media.uri", decode_fn=fake_image_features
+    ).collect()
+    assert len(feats) == 2 and len(feats[0].features) == 8
+    # determinism
+    feats2 = decode_images(
+        media, content_col="content", uri_col="media.uri", decode_fn=fake_image_features
+    ).collect()
+    assert sorted(map(repr, feats)) == sorted(map(repr, feats2))
+    # stub path: no decoder → NotImplementedError surfaced
+    with pytest.raises(Exception, match="NotImplementedError|no image decoder"):
+        decode_images(media, content_col="content", uri_col="media.uri").collect()
+    # frame sampling expansion
+    vids = spark.createDataFrame([(1, 25)], "vid int, frame_count int")
+    idx = [r.frame_index for r in sample_frames(vids, every_n=10).collect()]
+    assert idx == [0, 10, 20]

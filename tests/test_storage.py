@@ -1,0 +1,116 @@
+"""Storage-core semantics (SURVEY §5.2 item 3): versioning, upsert,
+monotonic ids, schema hints, vacuum, state store."""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from basis_devkit_spark.storage.state import StateStore
+from basis_devkit_spark.storage.store import TableStore, encode_base32
+
+
+@pytest.fixture()
+def store(spark, tmp_path):
+    return TableStore(str(tmp_path), "t", spark)
+
+
+def _df(spark, rows, schema="k int, v string"):
+    return spark.createDataFrame(rows, schema)
+
+
+def test_append_creates_then_extends(store, spark):
+    store.append(_df(spark, [(1, "a")]))
+    assert store.record_count == 1
+    store.append(_df(spark, [(2, "b"), (3, "c")]))
+    assert store.record_count == 3
+    assert store.get_active_version() == 1  # appends extend the version
+
+
+def test_replace_makes_new_version(store, spark):
+    store.append(_df(spark, [(1, "a")]))
+    v1 = store.get_active_version()
+    store.write_replace(_df(spark, [(9, "z")]))
+    assert store.get_active_version() != v1
+    assert [r.k for r in store.read().collect()] == [9]
+    # old version still on disk until vacuum
+    assert os.path.isdir(store.version_path(v1))
+
+
+def test_truncate_keeps_schema(store, spark):
+    store.append(_df(spark, [(1, "a")]))
+    store.truncate()
+    assert store.record_count == 0
+    assert [f.name for f in store.read().schema.fields] == ["k", "v"]
+
+
+def test_upsert_requires_unique_on(store, spark):
+    store.append(_df(spark, [(1, "a")]))
+    with pytest.raises(ValueError, match="unique_on"):
+        store.upsert(_df(spark, [(1, "b")]))
+
+
+def test_upsert_merges(store, spark):
+    store.configure(unique_on=["k"])
+    store.upsert(_df(spark, [(1, "a"), (2, "b")]))
+    store.upsert(_df(spark, [(2, "B"), (3, "c")]))
+    got = {r.k: r.v for r in store.read().collect()}
+    assert got == {1: "a", 2: "B", 3: "c"}
+
+
+def test_reset_points_at_null_version(store, spark):
+    store.append(_df(spark, [(1, "a")]))
+    store.reset()
+    assert not store.has_active_version()
+
+
+def test_vacuum_drops_old_versions(store, spark):
+    for i in range(4):
+        store.write_replace(_df(spark, [(i, "x")]))
+    versions = sorted(int(v) for v in store._manifest.versions)
+    store.vacuum(keep_last=2)
+    remaining = sorted(int(v) for v in store._manifest.versions)
+    assert len(remaining) == 2
+    assert store.get_active_version() in remaining
+    assert not os.path.isdir(store.version_path(versions[0]))
+
+
+def test_schema_hints_cast(store, spark):
+    store.configure(schema_hints={"k": "Text", "v": "Text"})
+    store.append(_df(spark, [(1, "a")]))
+    types = {f.name: f.dataType.simpleString() for f in store.read().schema.fields}
+    assert types["k"] == "string"
+
+
+def test_monotonic_id_strictly_increasing_across_commits(store, spark):
+    store.configure(add_monotonic_id="mid")
+    store.append(_df(spark, [(1, "a"), (2, "b")]))
+    store.append(_df(spark, [(3, "c")]))
+    ids = [r.mid for r in store.read().orderBy("k").collect()]
+    assert ids == sorted(ids)
+    assert len(set(ids)) == 3
+    # base32, fixed width, lexicographic == numeric
+    assert all(len(i) == 13 for i in ids)
+
+
+def test_add_created_column(store, spark):
+    store.configure(add_created="created_at")
+    store.append(_df(spark, [(1, "a")]))
+    row = store.read().collect()[0]
+    assert row.created_at is not None
+
+
+def test_encode_base32_ordering():
+    vals = [0, 1, 31, 32, 1000, 10**12]
+    encs = [encode_base32(v) for v in vals]
+    assert encs == sorted(encs)
+    with pytest.raises(ValueError):
+        encode_base32(-1)
+
+
+def test_state_store_roundtrip(tmp_path):
+    ss = StateStore(str(tmp_path))
+    ss.save("n1", {"cursor": 42, "name": "x"})
+    assert ss.load("n1") == {"cursor": 42, "name": "x"}
+    ss.reset("n1")
+    assert ss.load("n1") == {}
