@@ -1,0 +1,166 @@
+"""Engine features beyond the minimum slice: webhooks, components,
+signal propagation, cron ticks, request_new_run."""
+
+import textwrap
+from datetime import datetime
+
+import pytest
+
+from basis_devkit_spark.engine import Engine
+
+
+def write_app(tmp_path, yml, **files):
+    tmp_path.mkdir(parents=True, exist_ok=True)
+    (tmp_path / "graph.yml").write_text(textwrap.dedent(yml))
+    for name, content in files.items():
+        p = tmp_path / name.replace("__", "/")
+        p.parent.mkdir(parents=True, exist_ok=True)
+        p.write_text(textwrap.dedent(content))
+    return str(tmp_path)
+
+
+def test_webhook_ingest_and_downstream_propagation(spark, tmp_path):
+    """Webhook payload lands in its auto-created table; downstream SQL node
+    fires via signal propagation (node.py:387-397)."""
+    app = write_app(
+        tmp_path / "app",
+        """
+        functions:
+          - webhook: hook
+          - node_file: agg.sql
+            id: aggnode1
+            inputs:
+              hook: hook
+            outputs:
+              out: totals
+        stores:
+          - table: totals
+        """,
+        **{"agg.sql": "select kind, count(*) as n from {{ hook }} group by kind"},
+    )
+    eng = Engine(spark, str(tmp_path / "store"))
+    eng.load_graph(app)
+    eng.webhook_receive("hook", [{"kind": "a"}, {"kind": "b"}, {"kind": "a"}])
+    got = {r.kind: r.n for r in eng.table_df("totals").collect()}
+    assert got == {"a": 2, "b": 1}
+    # respond hook is a logged no-op
+    eng.respond_to_request("req-1", {"ok": True})
+    assert any("respond_to_request" in str(e) for e in eng.run_log)
+
+
+def test_component_registration_and_run(spark, tmp_path):
+    app = write_app(
+        tmp_path / "app",
+        """
+        functions:
+          - uses: org/doubler@v1
+            id: compnode1
+            inputs:
+              src: numbers
+            outputs:
+              dst: doubled
+        stores:
+          - table: numbers
+          - table: doubled
+        """,
+    )
+    eng = Engine(spark, str(tmp_path / "store"))
+    eng.load_graph(app)
+    eng.seed_store("numbers", spark.createDataFrame([(1,), (2,)], "x int"))
+
+    def doubler(engine, node):
+        src = engine.store(node.inputs["src"]).read()
+        engine.store(node.outputs["dst"]).write_replace(
+            src.selectExpr("x * 2 as x")
+        )
+
+    eng.register_component("org/doubler@v1", doubler)
+    eng.run_graph()
+    assert sorted(r.x for r in eng.table_df("doubled").collect()) == [2, 4]
+
+
+def test_unregistered_component_errors(spark, tmp_path):
+    app = write_app(
+        tmp_path / "app",
+        """
+        functions:
+          - uses: org/ghost@v1
+            id: g1
+        """,
+    )
+    eng = Engine(spark, str(tmp_path / "store"))
+    eng.load_graph(app)
+    with pytest.raises(KeyError, match="component not registered"):
+        eng.run_graph()
+
+
+def test_cron_due_nodes_and_tick(spark, tmp_path):
+    app = write_app(
+        tmp_path / "app",
+        """
+        functions:
+          - node_file: n.sql
+            id: cronnode
+            trigger: '30 3 * * *'
+            inputs:
+              src: src
+            outputs:
+              out: out
+        stores:
+          - table: src
+          - table: out
+        """,
+        **{"n.sql": "select count(*) as n from {{ src }}"},
+    )
+    eng = Engine(spark, str(tmp_path / "store"))
+    eng.load_graph(app)
+    eng.seed_store("src", spark.createDataFrame([(1,), (2,)], "x int"))
+    assert eng.due_nodes(datetime(2026, 8, 13, 3, 30)) != []
+    assert eng.due_nodes(datetime(2026, 8, 13, 3, 31)) == []
+    ran = eng.tick(datetime(2026, 8, 13, 3, 30))
+    assert ran == ["cronnode"]
+    assert eng.table_df("out").collect()[0].n == 2
+
+
+def test_request_new_run_chunked_processing(spark, tmp_path):
+    """A node that processes its input in chunks via request_new_run until
+    done (the reference's 10-min-budget resumable pattern, node.py:482-500)."""
+    app = write_app(
+        tmp_path / "app",
+        """
+        functions:
+          - node_file: chunker.py
+            id: chunknode
+            inputs:
+              src_t: src
+            outputs:
+              dst_t: dst
+        stores:
+          - table: src
+          - table: dst
+        """,
+        **{
+            "chunker.py": """
+            from basis_devkit_spark import Table, State
+            from pyspark.sql import functions as F
+
+            src = Table("src_t", "r")
+            dst = Table("dst_t", "w")
+            state = State()
+
+            done = state.get_value("offset", 0)
+            batch = src.read_dataframe().filter(
+                (F.col("x") >= done) & (F.col("x") < done + 2)
+            )
+            dst.append(batch)
+            state.set_value("offset", done + 2)
+            if done + 2 < 6:
+                state.request_new_run()
+            """,
+        },
+    )
+    eng = Engine(spark, str(tmp_path / "store"))
+    eng.load_graph(app)
+    eng.seed_store("src", spark.createDataFrame([(i,) for i in range(6)], "x int"))
+    eng.run_graph()
+    assert sorted(r.x for r in eng.table_df("dst").collect()) == [0, 1, 2, 3, 4, 5]

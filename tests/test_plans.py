@@ -1,0 +1,125 @@
+"""Physical-plan quality gates (SURVEY §4, 100 TB posture): these assert
+the *shape* of the plan, not the result — pushdown reaching the scan,
+broadcasts chosen for small dims, bounded shuffle counts for the custom
+operators. A plan regression here is a scale bug even when results match.
+"""
+
+import re
+
+import pytest
+from pyspark.sql import functions as F
+
+from basis_devkit_spark.operators import as_of_join, minhash_signatures, range_join
+from basis_devkit_spark.queries import load
+
+SF = "/root/testdata/sf0.001"
+
+
+def plan_of(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def formatted(df) -> str:
+    return df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    ) if hasattr(df._sc._jvm, "PythonSQLUtils") else plan_of(df)
+
+
+def n_shuffles(df) -> int:
+    return plan_of(df).count("Exchange hashpartitioning") + plan_of(df).count(
+        "Exchange rangepartitioning"
+    )
+
+
+def test_filter_and_projection_push_to_scan(spark):
+    df = (
+        load(spark, SF, "lineitem")
+        .filter((F.col("l_quantity") < 10) & (F.col("l_shipdate") >= "1998-01-01"))
+        .select("l_orderkey", "l_quantity")
+    )
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters" in plan
+    assert "LessThan(l_quantity,10" in plan.replace(" ", "")
+    # column pruning: read schema must not include unused columns
+    m = re.search(r"ReadSchema: ([^\n]*)", plan)
+    assert m and "l_extendedprice" not in m.group(1)
+
+
+def test_small_dim_join_is_broadcast(spark):
+    n = load(spark, SF, "nation")
+    r = load(spark, SF, "region")
+    joined = n.join(r, n.n_regionkey == r.r_regionkey)
+    assert "BroadcastHashJoin" in plan_of(joined)
+
+
+def test_broadcast_hint_respected(spark):
+    li = load(spark, SF, "lineitem")
+    o = load(spark, SF, "orders")
+    joined = li.join(F.broadcast(o), li.l_orderkey == o.o_orderkey)
+    assert "BroadcastHashJoin" in plan_of(joined)
+
+
+def test_groupby_has_partial_aggregation(spark):
+    df = load(spark, SF, "lineitem").groupBy("l_returnflag").agg(F.sum("l_quantity"))
+    plan = plan_of(df)
+    # two HashAggregates (partial + final) around one exchange = map-side combine
+    assert plan.count("HashAggregate") >= 2
+    assert n_shuffles(df) == 1
+
+
+def test_asof_join_single_shuffle(spark):
+    """The union+window as-of join must cost exactly one hash exchange
+    (by key), never a nested-loop join."""
+    ev = load(spark, SF, "events")
+    purchases = ev.filter("event_type = 'purchase'").select("event_id", "user_id", "ts")
+    clicks = ev.filter("event_type = 'click'").select(
+        "user_id", "ts", F.col("value").alias("v")
+    )
+    joined = as_of_join(purchases, clicks, on="user_id", left_ts="ts", value_cols=["v"])
+    plan = plan_of(joined)
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert n_shuffles(joined) == 1
+
+
+def test_range_join_no_nested_loop(spark):
+    ev = load(spark, SF, "events")
+    a = ev.filter("event_type = 'click'").select("user_id", F.col("ts").alias("a_ts"))
+    b = ev.filter("event_type = 'error'").select("user_id", F.col("ts").alias("b_ts"))
+    joined = range_join(a, b, on="user_id", left_ts="a_ts", right_ts="b_ts")
+    plan = plan_of(joined)
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_minhash_single_shuffle_no_python_udf(spark):
+    """Signatures = one groupBy shuffle; everything codegen (no BatchEvalPython)."""
+    docs = load(spark, SF, "documents")
+    sig = minhash_signatures(docs, "doc_id", "text", num_hashes=16)
+    plan = plan_of(sig)
+    assert "BatchEvalPython" not in plan  # no row-at-a-time Python
+    assert "ArrowEvalPython" not in plan  # not even a pandas UDF
+    assert n_shuffles(sig) == 1
+
+
+def test_stream_cursor_filter_pushdown(spark, tmp_path):
+    """The stream's strictly-greater cursor filter must reach the scan."""
+    from basis_devkit_spark.node import Table
+    from basis_devkit_spark.storage.store import TableStore
+
+    store = TableStore(str(tmp_path), "events", spark)
+    store.write_replace(load(spark, SF, "events"))
+    t = Table("events", "r")
+    t.bind(store, spark)
+    df = t.as_stream(order_by="event_id", starting_value=500).read_dataframe()
+    plan = plan_of(df)
+    assert "PushedFilters" in plan and "GreaterThan(event_id,500" in plan.replace(" ", "")
+
+
+def test_topk_global_uses_take_ordered(spark):
+    df = (
+        load(spark, SF, "orders")
+        .orderBy(F.col("o_totalprice").desc())
+        .limit(10)
+    )
+    assert "TakeOrderedAndProject" in plan_of(df)
