@@ -64,6 +64,11 @@ def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
 
 def all_queries() -> dict[str, Query]:
     # import side-effect: registration
-    from basis_devkit_spark.queries import relational, analytics, framework  # noqa: F401
+    from basis_devkit_spark.queries import (  # noqa: F401
+        analytics,
+        framework,
+        relational,
+        relational_ext,
+    )
 
     return dict(_REGISTRY)

@@ -1,0 +1,259 @@
+"""Extended §2.B coverage: subqueries (decorrelation), HAVING, additional
+scalar-function families, median, multi-distinct — plus the SQL-node
+execution path itself (spark.sql over registered views), proving the
+delegated-SQL surface end-to-end."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from basis_devkit_spark.queries import load, register
+
+
+def _views(spark: SparkSession, sf: str, *tables: str) -> None:
+    for t in tables:
+        load(spark, sf, t).createOrReplaceTempView(t)
+
+
+@register(
+    "b14b_in_subquery",
+    """
+    select o_orderkey, o_totalprice from orders
+    where o_custkey in (select c_custkey from customer where c_acctbal > 9000)
+    """,
+    doc="IN-subquery → semi join (Catalyst decorrelation), via the SQL-node path",
+)
+def b14b(spark: SparkSession, sf: str) -> DataFrame:
+    _views(spark, sf, "orders", "customer")
+    return spark.sql(
+        """
+        select o_orderkey, o_totalprice from orders
+        where o_custkey in (select c_custkey from customer where c_acctbal > 9000)
+        """
+    )
+
+
+@register(
+    "b14c_scalar_subquery",
+    """
+    select c_custkey, c_acctbal from customer
+    where c_acctbal > (select avg(c_acctbal) from customer)
+    """,
+    doc="scalar subquery in predicate",
+)
+def b14c(spark: SparkSession, sf: str) -> DataFrame:
+    _views(spark, sf, "customer")
+    return spark.sql(
+        """
+        select c_custkey, c_acctbal from customer
+        where c_acctbal > (select avg(c_acctbal) from customer)
+        """
+    )
+
+
+@register(
+    "b14d_not_exists",
+    """
+    select c_custkey from customer c
+    where not exists (select 1 from orders o
+                      where o.o_custkey = c.c_custkey and o.o_totalprice > 100000)
+    """,
+    doc="correlated NOT EXISTS → anti join",
+)
+def b14d(spark: SparkSession, sf: str) -> DataFrame:
+    _views(spark, sf, "customer", "orders")
+    return spark.sql(
+        """
+        select c_custkey from customer c
+        where not exists (select 1 from orders o
+                          where o.o_custkey = c.c_custkey and o.o_totalprice > 100000)
+        """
+    )
+
+
+@register(
+    "b20b_having",
+    """
+    select o_custkey, count(*) as n_orders
+    from orders group by o_custkey having count(*) >= 12
+    """,
+)
+def b20b(spark: SparkSession, sf: str) -> DataFrame:
+    return (
+        load(spark, sf, "orders")
+        .groupBy("o_custkey")
+        .agg(F.count("*").alias("n_orders"))
+        .filter(F.col("n_orders") >= 12)
+    )
+
+
+@register(
+    "b21b_multi_distinct",
+    """
+    select l_returnflag,
+           count(distinct l_suppkey) as n_supp,
+           count(distinct l_partkey) as n_part,
+           count(*) as n
+    from lineitem group by l_returnflag
+    """,
+    doc="two distinct aggregates in one group-by (expand-based plan)",
+)
+def b21b(spark: SparkSession, sf: str) -> DataFrame:
+    return (
+        load(spark, sf, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+            F.countDistinct("l_suppkey").alias("n_supp"),
+            F.countDistinct("l_partkey").alias("n_part"),
+            F.count("*").alias("n"),
+        )
+    )
+
+
+@register(
+    "b24b_median",
+    """
+    select l_returnflag, median(l_quantity) as med_qty from lineitem
+    group by l_returnflag
+    """,
+)
+def b24b(spark: SparkSession, sf: str) -> DataFrame:
+    return (
+        load(spark, sf, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(F.median("l_quantity").alias("med_qty"))
+    )
+
+
+@register(
+    "b39b_string_funcs2",
+    """
+    select p_partkey,
+           instr(p_name, 'a') as first_a,
+           translate(p_type, 'AEIOU', 'aeiou') as type_tr,
+           levenshtein(p_brand, 'Brand#1') as brand_dist,
+           repeat(p_brand, 2) as brand2,
+           ltrim(rtrim(concat(' ', p_name, ' '))) as name_trim,
+           split_part(p_type, ' ', 1) as type_head
+    from part
+    """,
+)
+def b39b(spark: SparkSession, sf: str) -> DataFrame:
+    p = load(spark, sf, "part")
+    return p.select(
+        "p_partkey",
+        F.instr("p_name", "a").alias("first_a"),
+        F.translate("p_type", "AEIOU", "aeiou").alias("type_tr"),
+        F.levenshtein("p_brand", F.lit("Brand#1")).alias("brand_dist"),
+        F.repeat("p_brand", 2).alias("brand2"),
+        F.trim(F.concat(F.lit(" "), F.col("p_name"), F.lit(" "))).alias("name_trim"),
+        F.split_part("p_type", F.lit(" "), F.lit(1)).alias("type_head"),
+    )
+
+
+@register(
+    "b40b_date_trunc_variants",
+    """
+    select o_orderkey,
+           cast(date_trunc('week', o_orderdate) as timestamp) as wk,
+           cast(date_trunc('quarter', o_orderdate) as timestamp) as qtr,
+           cast(date_trunc('year', o_orderdate) as timestamp) as yr_start,
+           cast(last_day(cast(o_orderdate as date)) as date) as month_end,
+           cast(quarter(o_orderdate) as int) as q
+    from orders
+    """,
+)
+def b40b(spark: SparkSession, sf: str) -> DataFrame:
+    o = load(spark, sf, "orders")
+    return o.select(
+        "o_orderkey",
+        F.date_trunc("week", "o_orderdate").alias("wk"),
+        F.date_trunc("quarter", "o_orderdate").alias("qtr"),
+        F.date_trunc("year", "o_orderdate").alias("yr_start"),
+        F.last_day(F.col("o_orderdate").cast("date")).alias("month_end"),
+        F.quarter("o_orderdate").alias("q"),
+    )
+
+
+@register(
+    "b42c_sequence_ops",
+    """
+    select n_nationkey,
+           array_to_string(generate_series(1, 3), ',') as seq3,
+           len(generate_series(0, n_nationkey, 5)) as n_steps
+    from nation
+    """,
+    doc="sequence generation + array length over it",
+)
+def b42c(spark: SparkSession, sf: str) -> DataFrame:
+    n = load(spark, sf, "nation")
+    return n.select(
+        "n_nationkey",
+        F.concat_ws(",", F.sequence(F.lit(1), F.lit(3))).alias("seq3"),
+        F.size(F.sequence(F.lit(0), F.col("n_nationkey"), F.lit(5))).alias("n_steps"),
+    )
+
+
+@register(
+    "b36b_union_all",
+    """
+    select k, src from (
+      select o_custkey as k, 'orders' as src from orders where o_totalprice > 400000
+      union all
+      select c_custkey as k, 'customer' as src from customer where c_acctbal > 9900
+    ) t
+    """,
+)
+def b36b(spark: SparkSession, sf: str) -> DataFrame:
+    a = (
+        load(spark, sf, "orders")
+        .filter(F.col("o_totalprice") > 400000)
+        .select(F.col("o_custkey").alias("k"), F.lit("orders").alias("src"))
+    )
+    b = (
+        load(spark, sf, "customer")
+        .filter(F.col("c_acctbal") > 9900)
+        .select(F.col("c_custkey").alias("k"), F.lit("customer").alias("src"))
+    )
+    return a.unionByName(b)
+
+
+@register(
+    "d01b_text_exact_dedup",
+    """
+    select doc_id from (
+      select doc_id, row_number() over (partition by md5(text) order by doc_id) rn
+      from documents) t
+    where rn = 1
+    """,
+    doc="exact-content dedup via hash-groupBy (keep lowest id)",
+)
+def d01b(spark: SparkSession, sf: str) -> DataFrame:
+    from basis_devkit_spark.operators.dedup import exact_dedup
+
+    d = load(spark, sf, "documents").withColumn("__h", F.md5("text"))
+    return exact_dedup(d, ["__h"], order_by="doc_id", keep="first").select("doc_id")
+
+
+@register(
+    "b28b_pivot_sum",
+    """
+    select l_linestatus,
+           cast(sum(cast(case when l_returnflag = 'A' then l_quantity else 0 end
+                as decimal(18,2))) as double) as A,
+           cast(sum(cast(case when l_returnflag = 'N' then l_quantity else 0 end
+                as decimal(18,2))) as double) as N,
+           cast(sum(cast(case when l_returnflag = 'R' then l_quantity else 0 end
+                as decimal(18,2))) as double) as R
+    from lineitem group by l_linestatus
+    """,
+)
+def b28b(spark: SparkSession, sf: str) -> DataFrame:
+    return (
+        load(spark, sf, "lineitem")
+        .groupBy("l_linestatus")
+        .pivot("l_returnflag", ["A", "N", "R"])
+        .agg(F.sum(F.col("l_quantity").cast("decimal(18,2)")).cast("double"))
+        .na.fill(0.0, ["A", "N", "R"])
+    )
