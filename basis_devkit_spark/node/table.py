@@ -163,6 +163,7 @@ class Table:
         add_created: str | bool | None = None,
         add_monotonic_id: str | bool | None = None,
         auto_indexes: bool = True,  # no-op on Spark (no indexes); kept for parity
+        partition_by: str | list[str] | None = None,  # engine extension: scale
     ) -> None:
         hints = dict(schema_hints or {})
         if isinstance(schema, dict):
@@ -173,6 +174,7 @@ class Table:
             add_created=("created" if add_created is True else add_created) or None,
             add_monotonic_id=("id" if add_monotonic_id is True else add_monotonic_id)
             or None,
+            partition_by=partition_by,
         )
 
     # ---------------- reads (A1-A3) ----------------

@@ -92,6 +92,9 @@ class _Manifest:
     add_created: str | None = None
     add_monotonic_id: str | None = None
     max_monotonic_id: int = 0
+    # Hive-style partition columns for every version write. At scale this is
+    # what makes cursor reads, upsert merges, and time filters prune files.
+    partition_by: list[str] | None = None
     # schema "roles" (node.py:196-200): ordering resolution for as_stream()
     strictly_monotonic_ordering: str | None = None
     created_ordering: str | None = None
@@ -205,8 +208,13 @@ class TableStore:
         add_monotonic_id: str | None = None,
         strictly_monotonic_ordering: str | None = None,
         created_ordering: str | None = None,
+        partition_by: str | list[str] | None = None,
     ) -> None:
         m = self._manifest
+        if partition_by is not None:
+            m.partition_by = (
+                [partition_by] if isinstance(partition_by, str) else list(partition_by)
+            )
         if schema_hints is not None:
             m.schema_hints = schema_hints
         if unique_on is not None:
@@ -281,11 +289,17 @@ class TableStore:
             self._manifest.max_monotonic_id += n_rows
 
     # ---------------- writes (A4, A5, A6, A7) ----------------
+    def _write(self, df: DataFrame, path: str, mode: str) -> None:
+        w = df.write.mode(mode)
+        if self._manifest.partition_by:
+            w = w.partitionBy(*self._manifest.partition_by)
+        w.parquet(path)
+
     def write_replace(self, df: DataFrame) -> int:
         """New version containing exactly these rows (A6 replace)."""
         df = self._decorate(df)
         v = self.create_new_version()
-        df.write.mode("overwrite").parquet(self.version_path(v))
+        self._write(df, self.version_path(v), "overwrite")
         n = self.spark.read.parquet(self.version_path(v)).count()
         self._bump_monotonic(n)
         self.set_active_version(v, record_count=n)
@@ -296,7 +310,7 @@ class TableStore:
         df = self._decorate(df)
         if not self.has_active_version():
             v = self.create_new_version()
-            df.write.mode("overwrite").parquet(self.version_path(v))
+            self._write(df, self.version_path(v), "overwrite")
             n = self.spark.read.parquet(self.version_path(v)).count()
             self._bump_monotonic(n)
             self.set_active_version(v, record_count=n)
@@ -305,7 +319,7 @@ class TableStore:
         existing = self.read()
         df = _align_columns(df, existing.schema)
         n_new = df.count()
-        df.write.mode("append").parquet(self.version_path(v))
+        self._write(df, self.version_path(v), "append")
         info = self._manifest.versions.setdefault(str(v), {})
         info["record_count"] = (info.get("record_count") or 0) + n_new
         self._bump_monotonic(n_new)
@@ -318,7 +332,7 @@ class TableStore:
         schema = self.read().schema
         empty = self.spark.createDataFrame([], schema)
         v = self.create_new_version()
-        empty.write.mode("overwrite").parquet(self.version_path(v))
+        self._write(empty, self.version_path(v), "overwrite")
         self.set_active_version(v, record_count=0)
 
     def upsert(self, df: DataFrame) -> None:
@@ -346,7 +360,7 @@ class TableStore:
         survivors = old.join(df.select(*keys), on=keys, how="left_anti")
         merged = survivors.unionByName(df, allowMissingColumns=True)
         v = self.create_new_version()
-        merged.write.mode("overwrite").parquet(self.version_path(v))
+        self._write(merged, self.version_path(v), "overwrite")
         n = self.spark.read.parquet(self.version_path(v)).count()
         self.set_active_version(v, record_count=n)
 

@@ -114,3 +114,23 @@ def test_state_store_roundtrip(tmp_path):
     assert ss.load("n1") == {"cursor": 42, "name": "x"}
     ss.reset("n1")
     assert ss.load("n1") == {}
+
+
+def test_partitioned_store_prunes(spark, tmp_path):
+    store = TableStore(str(tmp_path), "pt", spark)
+    store.configure(partition_by=["d"])
+    df = spark.createDataFrame(
+        [(i, f"2026-01-{(i % 3) + 1:02d}") for i in range(30)], "k int, d string"
+    )
+    store.write_replace(df)
+    # hive layout on disk
+    vdir = store.version_path(store.get_active_version())
+    assert os.path.isdir(os.path.join(vdir, "d=2026-01-01"))
+    back = store.read()
+    assert back.count() == 30
+    # partition pruning visible in the plan
+    plan = back.filter(F.col("d") == "2026-01-02")._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [isnotnull(d" in plan
+    # appends keep the layout
+    store.append(spark.createDataFrame([(99, "2026-01-01")], "k int, d string"))
+    assert store.read().count() == 31
