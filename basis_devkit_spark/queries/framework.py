@@ -149,3 +149,67 @@ def a08(spark: SparkSession, sf: str) -> DataFrame:
         "from orders_src group by o_orderstatus"
     )
     return t.read_dataframe()
+
+
+@register(
+    "a07_truncate",
+    "select o_orderkey, o_totalprice from orders where 1 = 0",
+    doc="truncate: all rows gone, schema kept",
+)
+def a07(spark: SparkSession, sf: str) -> DataFrame:
+    from basis_devkit_spark.node import Table
+    from basis_devkit_spark.storage.store import TableStore
+
+    tmp = tempfile.mkdtemp(prefix="bds_a07_")
+    store = TableStore(tmp, "t", spark)
+    t = Table("t", "w")
+    t.bind(store, spark)
+    t.append(load(spark, sf, "orders").select("o_orderkey", "o_totalprice"))
+    t.flush()
+    t.truncate()
+    return t.read_dataframe()
+
+
+@register(
+    "a09_version_rollback",
+    "select o_orderkey, o_totalprice from orders",
+    doc="versioning: replace creates v2; rolling the pointer back restores v1",
+)
+def a09(spark: SparkSession, sf: str) -> DataFrame:
+    from basis_devkit_spark.storage.store import TableStore
+
+    tmp = tempfile.mkdtemp(prefix="bds_a09_")
+    store = TableStore(tmp, "t", spark)
+    orders = load(spark, sf, "orders").select("o_orderkey", "o_totalprice")
+    v1 = store.write_replace(orders)
+    store.write_replace(orders.limit(3))  # v2 active
+    store.set_active_version(v1)  # pointer rollback
+    return store.read()
+
+
+@register(
+    "b02_csv_scan",
+    "select n_nationkey, n_name, n_regionkey from nation",
+    doc="CSV source round-trip: managed write → csv read with explicit schema",
+)
+def b02(spark: SparkSession, sf: str) -> DataFrame:
+    from basis_devkit_spark.sources import read_csv, write_csv
+
+    tmp = tempfile.mkdtemp(prefix="bds_b02_")
+    write_csv(load(spark, sf, "nation"), tmp)
+    return read_csv(
+        spark, tmp, schema="n_nationkey int, n_name string, n_regionkey int"
+    )
+
+
+@register(
+    "b02b_jsonl_scan",
+    "select r_regionkey, r_name from region",
+    doc="JSON-lines source round-trip",
+)
+def b02b(spark: SparkSession, sf: str) -> DataFrame:
+    from basis_devkit_spark.sources import read_json, write_json
+
+    tmp = tempfile.mkdtemp(prefix="bds_b02b_")
+    write_json(load(spark, sf, "region"), tmp)
+    return read_json(spark, tmp, schema="r_regionkey int, r_name string")
