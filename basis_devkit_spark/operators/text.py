@@ -119,3 +119,40 @@ def doc_fingerprint(
         lambda acc, h: acc * F.lit(31) + h,
     )
     return df.withColumn(out_col, fp)
+
+
+def tfidf(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_df: int = 1,
+) -> DataFrame:
+    """(doc, term, tf, df, tfidf) — pure-DataFrame TF-IDF, no ML pipeline.
+
+    tf = term count in doc; idf = ln((N+1)/(df+1)) + 1 (smoothed); one
+    explode + two aggregations. At scale, ``min_df`` drops hapax noise and
+    the doc-frequency table is broadcast back onto the postings.
+    """
+    terms = df.select(
+        F.col(id_col).alias("doc"),
+        F.explode(F.split(F.lower(F.trim(F.col(text_col))), r"\s+")).alias("term"),
+    )
+    tf = terms.groupBy("doc", "term").agg(F.count("*").alias("tf"))
+    n_docs = df.count()
+    docfreq = (
+        tf.groupBy("term")
+        .agg(F.countDistinct("doc").alias("df"))
+        .filter(F.col("df") >= min_df)
+    )
+    return (
+        tf.join(F.broadcast(docfreq), "term")
+        .withColumn(
+            "tfidf",
+            F.round(
+                F.col("tf")
+                * (F.log((F.lit(n_docs) + 1.0) / (F.col("df") + 1.0)) + 1.0),
+                6,
+            ),
+        )
+        .select("doc", "term", "tf", "df", "tfidf")
+    )

@@ -347,3 +347,27 @@ def d05(spark: SparkSession, sf: str) -> DataFrame:
     return decode_images(
         media, content_col="content", uri_col="media.uri", decode_fn=fake_image_features
     )
+
+
+@register(
+    "d04e_tfidf",
+    """
+    with terms as (
+      select doc_id as doc, unnest(string_split(lower(trim(text)), ' ')) as term
+      from documents where doc_id < 100
+    ), tf as (
+      select doc, term, count(*) as tf from terms group by doc, term
+    ), df_t as (
+      select term, count(distinct doc) as df from tf group by term
+    ), n as (select count(*) as n_docs from documents where doc_id < 100)
+    select tf.doc, tf.term, tf.tf, df_t.df,
+           round(tf.tf * (ln((n.n_docs + 1.0) / (df_t.df + 1.0)) + 1.0), 6) as tfidf
+    from tf join df_t using (term) cross join n
+    """,
+    doc="TF-IDF as pure relational ops (explode + two aggs + broadcast join)",
+)
+def d04e(spark: SparkSession, sf: str) -> DataFrame:
+    from basis_devkit_spark.operators.text import tfidf
+
+    d = load(spark, sf, "documents").filter(F.col("doc_id") < 100)
+    return tfidf(d, "doc_id", "text")

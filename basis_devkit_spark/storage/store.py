@@ -248,6 +248,14 @@ class TableStore:
             raise FileNotFoundError(f"table '{self.name}' has no active version")
         return self.spark.read.parquet(self.version_path(self._manifest.active_version))
 
+    def read_version(self, version: int) -> DataFrame:
+        """Time-travel read of any retained version (TableVersion access,
+        node.py:84-114)."""
+        p = self.version_path(version)
+        if not os.path.isdir(p):
+            raise FileNotFoundError(f"table '{self.name}' has no version {version}")
+        return self.spark.read.parquet(p)
+
     def read_or_empty(self, schema: T.StructType | None = None) -> DataFrame:
         if self.has_active_version():
             return self.read()

@@ -1,0 +1,78 @@
+"""Property-based tests (hypothesis) for the deterministic driver-side
+pieces: base32 encoding, cron parsing, parameter coercion, upsert model."""
+
+from datetime import datetime, timedelta
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from basis_devkit_spark.engine.cron import cron_matches, next_fire, parse_cron
+from basis_devkit_spark.node.params import _coerce
+from basis_devkit_spark.storage.store import encode_base32
+
+
+@given(st.integers(min_value=0, max_value=2**64 - 1))
+def test_base32_injective_and_order_preserving(n):
+    e = encode_base32(n)
+    assert len(e) == 13
+    if n > 0:
+        assert encode_base32(n - 1) < e  # lexicographic == numeric
+
+
+@given(
+    st.integers(min_value=0, max_value=59),
+    st.integers(min_value=0, max_value=23),
+)
+def test_cron_fixed_minute_hour(minute, hour):
+    expr = f"{minute} {hour} * * *"
+    dt = datetime(2026, 3, 15, hour, minute)
+    assert cron_matches(expr, dt)
+    assert not cron_matches(expr, dt + timedelta(minutes=1)) or minute == (minute + 1) % 60
+
+
+@given(st.integers(min_value=1, max_value=30))
+def test_cron_step_semantics(step):
+    mins = parse_cron(f"*/{step} * * * *")[0]
+    assert mins == {m for m in range(0, 60) if m % step == 0}
+
+
+@given(st.datetimes(min_value=datetime(2026, 1, 1), max_value=datetime(2026, 12, 1)))
+def test_next_fire_is_future_and_matches(after):
+    nf = next_fire("30 3 * * *", after)
+    assert nf is not None and nf > after
+    assert cron_matches("30 3 * * *", nf)
+
+
+@given(st.integers() | st.floats(allow_nan=False, allow_infinity=False) | st.text())
+def test_coerce_str_total(v):
+    assert isinstance(_coerce(v, "str"), str)
+
+
+@given(st.booleans())
+def test_coerce_bool_roundtrip(b):
+    assert _coerce(str(b).lower(), "bool") is b
+
+
+@settings(max_examples=25)
+@given(
+    st.lists(st.tuples(st.integers(0, 20), st.integers(0, 100)), max_size=30),
+    st.lists(st.tuples(st.integers(0, 20), st.integers(0, 100)), max_size=30),
+)
+def test_upsert_model(old_rows, new_rows):
+    """The join-based upsert must equal the dict-model semantics:
+    old ← then new over it, keyed; last write wins within a batch."""
+    model = {}
+    for k, v in old_rows:
+        model[k] = v
+    new_last = {}
+    for k, v in new_rows:
+        new_last[k] = v
+    model.update(new_last)
+
+    # pure-python mirror of storage.store.upsert's algebra
+    old_d = {}
+    for k, v in old_rows:
+        old_d[k] = v
+    survivors = {k: v for k, v in old_d.items() if k not in new_last}
+    merged = {**survivors, **new_last}
+    assert merged == model
