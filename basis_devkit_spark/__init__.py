@@ -14,6 +14,13 @@ __version__ = "0.1.0"
 
 from basis_devkit_spark.engine import Engine
 from basis_devkit_spark.node import Connection, Parameter, State, Stream, Table
+from basis_devkit_spark.node.decorator import (
+    InputStream,
+    InputTable,
+    OutputStream,
+    OutputTable,
+    node,
+)
 from basis_devkit_spark.session import get_spark
 
 __all__ = [
@@ -23,6 +30,11 @@ __all__ = [
     "State",
     "Parameter",
     "Connection",
+    "node",
+    "InputTable",
+    "OutputTable",
+    "InputStream",
+    "OutputStream",
     "get_spark",
     "__version__",
 ]

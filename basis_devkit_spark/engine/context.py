@@ -74,6 +74,10 @@ class ExecutionContext:
         values = self.node.parameters or {}
         if param.name in values:
             param.bind(values[param.name])
+        elif param.name is None and param.required:
+            # anonymous declaration (decorator-style default template):
+            # defer — the executor re-declares it under the arg name
+            return
         else:
             param.bind()
 

@@ -181,7 +181,14 @@ class Engine:
         py_path = os.path.join(self._node_dir(), node.node_file)
         # run the module with the context active: Table/Parameter/State
         # constructors bind against ctx (bind-at-declaration)
-        runpy.run_path(py_path, run_name=f"__node_{node.id}__")
+        ns = runpy.run_path(py_path, run_name=f"__node_{node.id}__")
+        # decorator-style nodes: module exec only *defines* @node functions;
+        # invoke each with ports injected (port name = argument name)
+        from basis_devkit_spark.node.decorator import build_node_kwargs
+
+        for obj in ns.values():
+            if callable(obj) and getattr(obj, "__is_node__", False):
+                obj(**build_node_kwargs(obj))
 
     # ---------------- webhooks (A22) ----------------
     def webhook_receive(self, webhook_name: str, payload: dict | list[dict]) -> None:

@@ -164,3 +164,82 @@ def test_request_new_run_chunked_processing(spark, tmp_path):
     eng.seed_store("src", spark.createDataFrame([(i,) for i in range(6)], "x int"))
     eng.run_graph()
     assert sorted(r.x for r in eng.table_df("dst").collect()) == [0, 1, 2, 3, 4, 5]
+
+
+def test_decorator_style_node(spark, tmp_path):
+    """Newer SDK style per the reference's own fixtures
+    (tests/configuration/utils.py:6-14): @node def f(out=OutputTable, ...)."""
+    app = write_app(
+        tmp_path / "app",
+        """
+        functions:
+          - node_file: deco.py
+            id: deconode
+            inputs:
+              src: numbers
+            outputs:
+              dst: tripled
+            parameters:
+              factor: 3
+        stores:
+          - table: numbers
+          - table: tripled
+        """,
+        **{
+            "deco.py": """
+            from basis_devkit_spark import *
+            from pyspark.sql import functions as F
+
+            @node
+            def triple(src=InputTable, dst=OutputTable, factor=Parameter(type="int", default=2), state=State):
+                df = src.read_dataframe()
+                dst.replace(df.withColumn("x", F.col("x") * factor))
+                state.set_value("factor_used", factor)
+            """,
+        },
+    )
+    eng = Engine(spark, str(tmp_path / "store"))
+    eng.load_graph(app)
+    eng.seed_store("numbers", spark.createDataFrame([(1,), (2,)], "x int"))
+    eng.run_graph()
+    assert sorted(r.x for r in eng.table_df("tripled").collect()) == [3, 6]
+    assert eng.state_store.load("deconode")["factor_used"] == 3
+
+
+def test_decorator_style_input_stream(spark, tmp_path):
+    app = write_app(
+        tmp_path / "app",
+        """
+        functions:
+          - node_file: deco.py
+            id: streamnode
+            inputs:
+              src: evts
+            outputs:
+              dst: firsts
+        stores:
+          - table: evts
+          - table: firsts
+        """,
+        **{
+            "deco.py": """
+            from basis_devkit_spark import *
+
+            @node
+            def consume(src=InputStream, dst=OutputTable):
+                seen = [r["eid"] for r in src]
+                dst.replace([{"eid": e} for e in seen])
+                src.checkpoint()
+            """,
+        },
+    )
+    eng = Engine(spark, str(tmp_path / "store"))
+    eng.load_graph(app)
+    evts = eng.store("evts")
+    evts.configure(strictly_monotonic_ordering="eid")
+    evts.write_replace(spark.createDataFrame([(i,) for i in range(3)], "eid int"))
+    eng.run_graph()
+    assert sorted(r.eid for r in eng.table_df("firsts").collect()) == [0, 1, 2]
+    # second run: cursor persisted -> no new records -> replace([]) keeps empty
+    eng.run_graph()
+    assert eng.table_df("firsts").count() == 0
