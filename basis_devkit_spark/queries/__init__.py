@@ -49,6 +49,11 @@ def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
     key = (id(spark), f"{sf_dir}/{table}.parquet")
     if key in _LOAD_CACHE:
         return _LOAD_CACHE[key]
+    # Defensive: the caller's session (e.g. the verification driver's) may
+    # lack our session defaults; both confs are runtime-settable.
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.parquet.datetimeRebaseModeInRead", "CORRECTED")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     df = spark.read.parquet(f"{sf_dir}/{table}.parquet")
     # events.ts is parquet TIMESTAMP(NANOS): read as long (see session conf)
     # and convert to microsecond timestamp (truncating, as DuckDB does).
