@@ -101,6 +101,25 @@ class Engine:
     def table_df(self, name: str) -> DataFrame:
         return self.store(name).read()
 
+    def run_sql(self, sql: str, tables: list[str] | None = None) -> DataFrame:
+        """Arbitrary SQL over the managed catalog: registers the named
+        stores (default: every store with data) as temp views and runs the
+        statement — the engine-level equivalent of ``Table.read_sql``
+        (node.py:168-189) across tables."""
+        names = tables if tables is not None else sorted(
+            set(self._stores) | self.graph_store_names()
+        )
+        for name in names:
+            st = self.store(name)
+            if st.exists:
+                st.read().createOrReplaceTempView(name)
+        return self.spark.sql(sql)
+
+    def vacuum_all(self, keep_last: int = 2) -> None:
+        """Retention GC over every materialized store (node.py:403-404)."""
+        for st in self._stores.values():
+            st.vacuum(keep_last=keep_last)
+
     # ---------------- components ----------------
     def register_component(self, key: str, fn: Callable[..., None]) -> None:
         """`uses: org/component@v1` → a Python callable(engine, node_spec)."""
@@ -169,6 +188,11 @@ class Engine:
         rendered = jinja2.Template(template).render(**tpl_ctx)
         rendered = rendered.strip().rstrip(";")
         result = self.spark.sql(rendered)
+        if len(node.outputs) > 1:
+            raise ValueError(
+                f"SQL node '{node.display_name}' has {len(node.outputs)} outputs; "
+                "a SQL node writes its SELECT result to exactly one output store"
+            )
         if node.outputs:
             out_store = self.store(next(iter(node.outputs.values())))
             created = not out_store.exists

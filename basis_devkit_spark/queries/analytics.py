@@ -371,3 +371,32 @@ def d04e(spark: SparkSession, sf: str) -> DataFrame:
 
     d = load(spark, sf, "documents").filter(F.col("doc_id") < 100)
     return tfidf(d, "doc_id", "text")
+
+
+@register(
+    "d02d_embedding_near_dup",
+    None,  # sign-LSH candidates are algorithm-specific; verified in unit tests
+    doc="embedding-cosine near-dup pairs (LSH candidates + exact verify)",
+)
+def d02d(spark: SparkSession, sf: str) -> DataFrame:
+    from basis_devkit_spark.operators.similarity import embedding_near_dup_pairs
+
+    e = load(spark, sf, "embeddings")
+    return embedding_near_dup_pairs(e, threshold=0.9, num_planes=16, bands=8).select(
+        "id_a", "id_b", F.round("cosine", 4).alias("cosine")
+    )
+
+
+@register(
+    "d03c_ivf_topk",
+    None,  # KMeans-probed ANN; recall vs exact checked in tests
+    doc="IVF (KMeans coarse quantizer) ANN top-5",
+)
+def d03c(spark: SparkSession, sf: str) -> DataFrame:
+    from basis_devkit_spark.operators.similarity import ivf_topk
+
+    emb = load(spark, sf, "embeddings")
+    q = emb.filter(F.col("vec_id") < 5)
+    return ivf_topk(q, emb, k=5, nlist=8, nprobe=4).select(
+        "query_id", "match_id", F.round("score", 4).alias("score"), "rank"
+    )

@@ -257,3 +257,77 @@ def b28b(spark: SparkSession, sf: str) -> DataFrame:
         .agg(F.sum(F.col("l_quantity").cast("decimal(18,2)")).cast("double"))
         .na.fill(0.0, ["A", "N", "R"])
     )
+
+
+@register(
+    "b26c_grouping_sets",
+    """
+    select coalesce(l_returnflag, 'ALL') as l_returnflag,
+           coalesce(l_linestatus, 'ALL') as l_linestatus,
+           count(*) as n
+    from lineitem
+    group by grouping sets ((l_returnflag), (l_linestatus), ())
+    """,
+    doc="explicit GROUPING SETS through the SQL surface",
+)
+def b26c(spark: SparkSession, sf: str) -> DataFrame:
+    _views(spark, sf, "lineitem")
+    return spark.sql(
+        """
+        select coalesce(l_returnflag, 'ALL') as l_returnflag,
+               coalesce(l_linestatus, 'ALL') as l_linestatus,
+               count(*) as n
+        from lineitem
+        group by grouping sets ((l_returnflag), (l_linestatus), ())
+        """
+    )
+
+
+@register(
+    "b41b_trig_funcs",
+    """
+    select l_orderkey, l_linenumber,
+           round(sin(l_discount), 6) as s,
+           round(cos(l_tax), 6) as c,
+           round(atan2(l_discount, l_tax + 0.01), 6) as a2,
+           round(degrees(l_discount), 6) as deg,
+           round(radians(l_quantity), 6) as rad
+    from lineitem
+    """,
+)
+def b41b(spark: SparkSession, sf: str) -> DataFrame:
+    li = load(spark, sf, "lineitem")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.round(F.sin("l_discount"), 6).alias("s"),
+        F.round(F.cos("l_tax"), 6).alias("c"),
+        F.round(F.atan2(F.col("l_discount"), F.col("l_tax") + 0.01), 6).alias("a2"),
+        F.round(F.degrees("l_discount"), 6).alias("deg"),
+        F.round(F.radians("l_quantity"), 6).alias("rad"),
+    )
+
+
+@register(
+    "b40c_extract",
+    """
+    select o_orderkey,
+           cast(extract(year from o_orderdate) as int) as y,
+           cast(extract(month from o_orderdate) as int) as m,
+           cast(extract(day from o_orderdate) as int) as d,
+           cast(extract(hour from o_orderdate) as int) as h
+    from orders
+    """,
+)
+def b40c(spark: SparkSession, sf: str) -> DataFrame:
+    _views(spark, sf, "orders")
+    return spark.sql(
+        """
+        select o_orderkey,
+               cast(extract(year from o_orderdate) as int) as y,
+               cast(extract(month from o_orderdate) as int) as m,
+               cast(extract(day from o_orderdate) as int) as d,
+               cast(extract(hour from o_orderdate) as int) as h
+        from orders
+        """
+    )

@@ -243,3 +243,21 @@ def test_decorator_style_input_stream(spark, tmp_path):
     # second run: cursor persisted -> no new records -> replace([]) keeps empty
     eng.run_graph()
     assert eng.table_df("firsts").count() == 0
+
+
+def test_engine_run_sql_across_stores(spark, tmp_path):
+    eng = Engine(spark, str(tmp_path / "store"))
+    eng.seed_store("a", spark.createDataFrame([(1, "x"), (2, "y")], "k int, v string"))
+    eng.seed_store("b", spark.createDataFrame([(1, 10.0), (2, 20.0)], "k int, w double"))
+    got = eng.run_sql("select a.v, b.w from a join b on a.k = b.k order by a.k").collect()
+    assert [(r.v, r.w) for r in got] == [("x", 10.0), ("y", 20.0)]
+
+
+def test_engine_vacuum_all(spark, tmp_path):
+    eng = Engine(spark, str(tmp_path / "store"))
+    df = spark.createDataFrame([(1,)], "x int")
+    for _ in range(4):
+        eng.store("t").write_replace(df)
+    eng.vacuum_all(keep_last=1)
+    assert len(eng.store("t")._manifest.versions) == 1
+    assert eng.table_df("t").count() == 1

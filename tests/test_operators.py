@@ -233,3 +233,26 @@ def test_multimodal_decode_plumbing(spark):
     vids = spark.createDataFrame([(1, 25)], "vid int, frame_count int")
     idx = [r.frame_index for r in sample_frames(vids, every_n=10).collect()]
     assert idx == [0, 10, 20]
+
+
+def test_bench_window_formulations_agree(spark):
+    """bench.py's agg-based top-3 must equal the row_number window form."""
+    import bench
+    from pyspark.sql.window import Window
+
+    sf = SF
+    o = load(spark, sf, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey")
+    )
+    via_window = (
+        o.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("o_custkey", "o_orderkey", "o_totalprice", "rn")
+    )
+    via_agg = bench.window_q(spark, sf).select(
+        "o_custkey", "o_orderkey", "o_totalprice", "rn"
+    )
+    assert sorted(map(tuple, via_window.collect())) == sorted(
+        map(tuple, via_agg.collect())
+    )
