@@ -93,7 +93,10 @@ class ExecutionContext:
                 t.flush()
         self.persist_state()
         for t in self.tables:
-            self.signals.setdefault(t.name, []).extend(t.consume_signals())
+            # key signals by STORE name (ports are node-local; downstream
+            # wiring references stores)
+            target = t._store.name if t._store is not None else t.name
+            self.signals.setdefault(target, []).extend(t.consume_signals())
 
     @property
     def new_run_requested(self) -> dict | None:

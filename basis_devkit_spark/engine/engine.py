@@ -144,6 +144,10 @@ class Engine:
                 if fn is None:
                     raise KeyError(f"component not registered: {node.uses}")
                 fn(self, node)
+                # components write through the engine API directly; mark
+                # their declared outputs dirty for downstream propagation
+                for s in node.outputs.values():
+                    ctx.signals.setdefault(s, []).append("update")
             else:
                 raise ValueError(f"cannot run node kind {kind}")
         ctx.commit()

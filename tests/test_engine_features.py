@@ -261,3 +261,84 @@ def test_engine_vacuum_all(spark, tmp_path):
     eng.vacuum_all(keep_last=1)
     assert len(eng.store("t")._manifest.versions) == 1
     assert eng.table_df("t").count() == 1
+
+
+def test_kitchen_sink_app(spark, tmp_path):
+    """One app exercising every node kind together: webhook ingest → SQL
+    rollup → class-style python enrich → decorator-style filter →
+    component sink, through subgraph wiring and signal propagation."""
+    app = write_app(
+        tmp_path / "app",
+        """
+        title: kitchen sink
+        functions:
+          - webhook: clicks
+          - node_file: hourly.sql
+            id: sqlnode
+            inputs:
+              clicks: clicks
+            outputs:
+              out: hourly
+          - node_file: enrich.py
+            id: pynode
+            inputs:
+              hourly_in: hourly
+            outputs:
+              enriched: enriched
+          - node_file: filter.py
+            id: deconode
+            inputs:
+              src: enriched
+            outputs:
+              dst: final
+            parameters:
+              min_n: 2
+          - uses: org/counter@v1
+            id: compnode
+            inputs:
+              src: final
+            outputs:
+              dst: counts
+        stores:
+          - table: hourly
+          - table: enriched
+          - table: final
+          - table: counts
+        """,
+        **{
+            "hourly.sql": """
+            select kind, count(*) as n from {{ clicks }} group by kind
+            """,
+            "enrich.py": """
+            from basis_devkit_spark import Table
+            from pyspark.sql import functions as F
+            src = Table("hourly_in", "r")
+            dst = Table("enriched", "w")
+            dst.replace(src.read_dataframe().withColumn("loud", F.upper("kind")))
+            """,
+            "filter.py": """
+            from basis_devkit_spark import *
+            from pyspark.sql import functions as F
+
+            @node
+            def keep_frequent(src=InputTable, dst=OutputTable, min_n=Parameter(type="int", default=1)):
+                dst.replace(src.read_dataframe().filter(F.col("n") >= min_n))
+            """,
+        },
+    )
+    eng = Engine(spark, str(tmp_path / "store"))
+    eng.load_graph(app)
+    eng.register_component(
+        "org/counter@v1",
+        lambda engine, node: engine.store(node.outputs["dst"]).write_replace(
+            engine.store(node.inputs["src"]).read().selectExpr("count(*) as total")
+        ),
+    )
+    eng.webhook_receive(
+        "clicks",
+        [{"kind": "a"}, {"kind": "a"}, {"kind": "b"}, {"kind": "c"}, {"kind": "c"}],
+    )
+    # webhook propagation ran the whole chain
+    final = {(r.kind, r.n, r.loud) for r in eng.table_df("final").collect()}
+    assert final == {("a", 2, "A"), ("c", 2, "C")}
+    assert eng.table_df("counts").collect()[0].total == 2
