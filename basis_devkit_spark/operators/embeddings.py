@@ -1,0 +1,72 @@
+"""Embedding-column utilities beyond similarity search (SURVEY §2.D D6):
+quantization and corpus-level statistics — the storage/bandwidth side of
+running vector workloads at 100 TB.
+
+All pure array HOF expressions; int8 quantization cuts vector storage 4×
+(and shuffle bytes with it), which at petabyte embedding scale is the
+difference between a feasible job and not.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def quantize_int8(
+    df: DataFrame, vec_col: str = "embedding", out_col: str | None = None
+) -> DataFrame:
+    """Symmetric per-vector int8 quantization: q = round(x * 127 / amax),
+    stored with its scale for dequantization. Adds ``{out}_q`` (array<int>)
+    and ``{out}_scale`` (double)."""
+    out = out_col or vec_col
+    vd = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    amax = F.array_max(F.transform(vd, lambda x: F.abs(x)))
+    scale = F.when(amax > 0, amax / 127.0).otherwise(F.lit(1.0))
+    q = F.transform(vd, lambda x: F.round(x / scale).cast("int"))
+    return df.withColumn(f"{out}_q", q).withColumn(f"{out}_scale", scale)
+
+
+def dequantize_int8(
+    df: DataFrame, q_col: str, scale_col: str, out_col: str
+) -> DataFrame:
+    return df.withColumn(
+        out_col,
+        F.transform(F.col(q_col), lambda v: v.cast("double") * F.col(scale_col)),
+    )
+
+
+def quantization_error(
+    df: DataFrame, vec_col: str = "embedding", k: int = 0
+) -> DataFrame:
+    """Per-vector max absolute reconstruction error of int8 quantization —
+    the acceptance metric for a quantized index."""
+    q = quantize_int8(df, vec_col)
+    deq = dequantize_int8(q, f"{vec_col}_q", f"{vec_col}_scale", "__deq")
+    vd = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    err = F.array_max(
+        F.zip_with(vd, F.col("__deq"), lambda a, b: F.abs(a - b))
+    )
+    return deq.withColumn("max_abs_err", err).drop("__deq")
+
+
+def corpus_embedding_stats(
+    df: DataFrame, vec_col: str = "embedding", by: str | None = None
+) -> DataFrame:
+    """Corpus-level embedding statistics (per group if ``by``): count,
+    mean/min/max L2 norm, dimension. One aggregation pass."""
+    vd = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    norm = F.sqrt(F.aggregate(vd, F.lit(0.0), lambda a, x: a + x * x))
+    base = df.select(
+        *( [F.col(by)] if by else [] ),
+        norm.alias("__norm"),
+        F.size(vec_col).alias("__dim"),
+    )
+    keys = [by] if by else []
+    return base.groupBy(*keys).agg(
+        F.count("*").alias("n_vectors"),
+        F.round(F.avg("__norm"), 4).alias("mean_norm"),
+        F.round(F.min("__norm"), 4).alias("min_norm"),
+        F.round(F.max("__norm"), 4).alias("max_norm"),
+        F.max("__dim").alias("dim"),
+    )

@@ -156,3 +156,34 @@ def tfidf(
         )
         .select("doc", "term", "tf", "df", "tfidf")
     )
+
+
+def filter_corpus(
+    df: DataFrame,
+    text_col: str = "text",
+    min_words: int = 10,
+    max_words: int | None = None,
+    min_quality: float = 0.0,
+    langs: list[str] | None = None,
+    dedup_exact: bool = False,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Composable training-corpus filter: length bounds + quality floor +
+    language allowlist (+ optional exact-content dedup). The canonical
+    pretraining-data cleaning pipeline as one declarative plan — all
+    predicates fuse into a single scan; dedup adds one shuffle."""
+    out = quality_score(df, text_col)
+    out = out.filter(F.col("n_words") >= min_words)
+    if max_words is not None:
+        out = out.filter(F.col("n_words") <= max_words)
+    if min_quality > 0:
+        out = out.filter(F.col("quality_score") >= min_quality)
+    if langs:
+        out = language_id(out, text_col).filter(F.col("lang_pred").isin(langs))
+    if dedup_exact:
+        from basis_devkit_spark.operators.dedup import exact_dedup
+
+        out = exact_dedup(
+            out.withColumn("__h", F.md5(F.col(text_col))), ["__h"], order_by=id_col
+        ).drop("__h")
+    return out

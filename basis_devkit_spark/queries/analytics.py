@@ -400,3 +400,67 @@ def d03c(spark: SparkSession, sf: str) -> DataFrame:
     return ivf_topk(q, emb, k=5, nlist=8, nprobe=4).select(
         "query_id", "match_id", F.round("score", 4).alias("score"), "rank"
     )
+
+
+@register(
+    "d06b_quantize_int8",
+    """
+    select vec_id,
+           round(list_max(list_transform(embedding, x -> abs(cast(x as double)))) / 127.0, 6)
+             as scale_r,
+           len(embedding) as dim
+    from embeddings
+    """,
+    doc="int8 quantization scale derivation (oracle checks the scale math)",
+)
+def d06b(spark: SparkSession, sf: str) -> DataFrame:
+    from basis_devkit_spark.operators.embeddings import quantize_int8
+
+    e = load(spark, sf, "embeddings")
+    q = quantize_int8(e, "embedding")
+    return q.select(
+        "vec_id",
+        F.round("embedding_scale", 6).alias("scale_r"),
+        F.size("embedding").alias("dim"),
+    )
+
+
+@register(
+    "d06c_corpus_embedding_stats",
+    """
+    select label,
+           count(*) as n_vectors,
+           round(avg(norm), 4) as mean_norm,
+           round(min(norm), 4) as min_norm,
+           round(max(norm), 4) as max_norm,
+           max(dim) as dim
+    from (
+      select label,
+             sqrt(list_sum(list_transform(embedding,
+                  x -> cast(x as double) * cast(x as double)))) as norm,
+             len(embedding) as dim
+      from embeddings) t
+    group by label
+    """,
+    doc="per-label corpus embedding statistics (one agg pass)",
+)
+def d06c(spark: SparkSession, sf: str) -> DataFrame:
+    from basis_devkit_spark.operators.embeddings import corpus_embedding_stats
+
+    e = load(spark, sf, "embeddings")
+    return corpus_embedding_stats(e, "embedding", by="label")
+
+
+@register(
+    "d04f_filter_corpus",
+    None,  # composite of independently-oracled parts (quality is heuristic)
+    doc="training-corpus filter pipeline: length + quality + lang + dedup",
+)
+def d04f(spark: SparkSession, sf: str) -> DataFrame:
+    from basis_devkit_spark.operators.text import filter_corpus
+
+    d = load(spark, sf, "documents")
+    return filter_corpus(
+        d, min_words=10, min_quality=0.3, langs=["en", "de", "fr", "es", "zh", "und"],
+        dedup_exact=True,
+    ).select("doc_id", "lang", "n_words", "quality_score")

@@ -256,3 +256,21 @@ def test_bench_window_formulations_agree(spark):
     assert sorted(map(tuple, via_window.collect())) == sorted(
         map(tuple, via_agg.collect())
     )
+
+
+def test_quantization_roundtrip_error(spark, emb):
+    from basis_devkit_spark.operators.embeddings import quantization_error
+
+    err = quantization_error(emb, "embedding")
+    mx = err.agg(F.max("max_abs_err")).collect()[0][0]
+    # int8 symmetric quantization error bound: scale/2 = amax/254
+    amax = 0.5  # embeddings are unit-ish; bound loosely
+    assert mx < 0.05, f"quantization error too large: {mx}"
+
+
+def test_filter_corpus_monotone(spark, docs):
+    from basis_devkit_spark.operators.text import filter_corpus
+
+    loose = filter_corpus(docs, min_words=1).count()
+    tight = filter_corpus(docs, min_words=30, min_quality=0.5).count()
+    assert 0 < tight <= loose <= docs.count()
