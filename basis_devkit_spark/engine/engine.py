@@ -337,6 +337,32 @@ class Engine:
             ran.append(n.id)
         return ran
 
+    def run_scheduler(
+        self,
+        poll_seconds: float = 30.0,
+        max_ticks: int | None = None,
+        now_fn: Callable[[], datetime] | None = None,
+    ) -> int:
+        """Cron scheduler loop (A23): evaluate every node's ``trigger:``
+        each minute boundary, run due nodes + propagate. ``max_ticks``
+        bounds the loop (None = run until interrupted); ``now_fn`` is
+        injectable for tests. Returns total nodes run."""
+        now_fn = now_fn or datetime.now
+        ran_total = 0
+        ticks = 0
+        last_minute: str | None = None
+        while max_ticks is None or ticks < max_ticks:
+            now = now_fn()
+            minute = now.strftime("%Y-%m-%dT%H:%M")
+            if minute != last_minute:
+                last_minute = minute
+                ran_total += len(self.tick(now))
+                ticks += 1
+            if max_ticks is not None and ticks >= max_ticks:
+                break
+            time.sleep(poll_seconds)
+        return ran_total
+
     @property
     def run_log(self) -> list[dict[str, Any]]:
         return self._run_log

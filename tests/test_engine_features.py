@@ -342,3 +342,29 @@ def test_kitchen_sink_app(spark, tmp_path):
     final = {(r.kind, r.n, r.loud) for r in eng.table_df("final").collect()}
     assert final == {("a", 2, "A"), ("c", 2, "C")}
     assert eng.table_df("counts").collect()[0].total == 2
+
+
+def test_run_scheduler_single_tick(spark, tmp_path):
+    app = write_app(
+        tmp_path / "app",
+        """
+        functions:
+          - node_file: n.sql
+            id: schednode
+            trigger: '* * * * *'
+            inputs:
+              src: src
+            outputs:
+              out: out
+        stores:
+          - table: src
+          - table: out
+        """,
+        **{"n.sql": "select count(*) as n from {{ src }}"},
+    )
+    eng = Engine(spark, str(tmp_path / "store"))
+    eng.load_graph(app)
+    eng.seed_store("src", spark.createDataFrame([(1,)], "x int"))
+    ran = eng.run_scheduler(poll_seconds=0.01, max_ticks=1, now_fn=lambda: datetime(2026, 8, 13, 4, 0))
+    assert ran == 1
+    assert eng.table_df("out").collect()[0].n == 1
