@@ -368,3 +368,44 @@ def test_run_scheduler_single_tick(spark, tmp_path):
     ran = eng.run_scheduler(poll_seconds=0.01, max_ticks=1, now_fn=lambda: datetime(2026, 8, 13, 4, 0))
     assert ran == 1
     assert eng.table_df("out").collect()[0].n == 1
+
+
+def test_node_crash_leaves_no_partial_commit(spark, tmp_path):
+    """Atomicity: a node that buffers writes then raises must leave the
+    output store unchanged (flush/commit happens only on success) and its
+    state unpersisted."""
+    app = write_app(
+        tmp_path / "app",
+        """
+        functions:
+          - node_file: crasher.py
+            id: crashnode
+            inputs:
+              src_t: src
+            outputs:
+              dst_t: dst
+        stores:
+          - table: src
+          - table: dst
+        """,
+        **{
+            "crasher.py": """
+            from basis_devkit_spark import Table, State
+            src = Table("src_t", "r")
+            dst = Table("dst_t", "w")
+            state = State()
+            dst.append([{"x": 999}])       # buffered, not committed
+            state.set_value("poisoned", True)
+            raise RuntimeError("node blew up mid-execution")
+            """,
+        },
+    )
+    eng = Engine(spark, str(tmp_path / "store"))
+    eng.load_graph(app)
+    eng.seed_store("src", spark.createDataFrame([(1,)], "x int"))
+    eng.store("dst").write_replace(spark.createDataFrame([(0,)], "x int"))
+    with pytest.raises(RuntimeError, match="blew up"):
+        eng.run_node("crashnode")
+    # output untouched, state not persisted
+    assert [r.x for r in eng.table_df("dst").collect()] == [0]
+    assert eng.state_store.load("crashnode") == {}

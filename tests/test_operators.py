@@ -274,3 +274,37 @@ def test_filter_corpus_monotone(spark, docs):
     loose = filter_corpus(docs, min_words=1).count()
     tight = filter_corpus(docs, min_words=30, min_quality=0.5).count()
     assert 0 < tight <= loose <= docs.count()
+
+
+def test_salted_agg_matches_plain(spark):
+    from basis_devkit_spark.operators.skew import salted_agg
+
+    li = load(spark, SF, "lineitem")
+    got = {
+        r.l_returnflag: (r.sum_l_quantity, r.count_l_quantity)
+        for r in salted_agg(
+            li, ["l_returnflag"], {"l_quantity": "sum"} | {}, salt=8
+        ).join(
+            salted_agg(li, ["l_returnflag"], {"l_quantity": "count"}, salt=8),
+            "l_returnflag",
+        ).collect()
+    }
+    want = {
+        r.l_returnflag: (r.s, r.c)
+        for r in li.groupBy("l_returnflag")
+        .agg(F.sum("l_quantity").alias("s"), F.count("l_quantity").alias("c"))
+        .collect()
+    }
+    assert set(got) == set(want)
+    for k in want:
+        assert abs(got[k][0] - want[k][0]) < 1e-6 and got[k][1] == want[k][1]
+
+
+def test_salted_join_matches_plain(spark):
+    from basis_devkit_spark.operators.skew import salted_join
+
+    o = load(spark, SF, "orders").select("o_orderkey", "o_custkey")
+    c = load(spark, SF, "customer").select("c_custkey", "c_mktsegment").withColumnRenamed("c_custkey", "o_custkey")
+    got = salted_join(o, c, on="o_custkey", salt=4).count()
+    want = o.join(c, "o_custkey").count()
+    assert got == want
