@@ -29,6 +29,12 @@ from basis_devkit_spark.operators.text import (
     doc_fingerprint,
 )
 from basis_devkit_spark.operators.joins import as_of_join, range_join
+from basis_devkit_spark.operators.skew import salted_agg, salted_join
+from basis_devkit_spark.operators.embeddings import (
+    corpus_embedding_stats,
+    dequantize_int8,
+    quantize_int8,
+)
 
 __all__ = [
     "exact_dedup",
@@ -50,4 +56,9 @@ __all__ = [
     "doc_fingerprint",
     "as_of_join",
     "range_join",
+    "salted_agg",
+    "salted_join",
+    "quantize_int8",
+    "dequantize_int8",
+    "corpus_embedding_stats",
 ]
