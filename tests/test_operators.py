@@ -308,3 +308,15 @@ def test_salted_join_matches_plain(spark):
     got = salted_join(o, c, on="o_custkey", salt=4).count()
     want = o.join(c, "o_custkey").count()
     assert got == want
+
+
+def test_approx_aggs_within_tolerance(spark):
+    """b22's claim: approx_count_distinct within its rsd of exact;
+    percentile_approx near exact percentile."""
+    o = load(spark, SF, "orders")
+    exact = o.select(F.countDistinct("o_custkey")).collect()[0][0]
+    approx = o.select(F.approx_count_distinct("o_custkey", 0.02)).collect()[0][0]
+    assert abs(approx - exact) / exact < 0.06  # 3x rsd margin
+    p_exact = o.select(F.percentile("o_totalprice", 0.5)).collect()[0][0]
+    p_approx = o.select(F.percentile_approx("o_totalprice", 0.5, 10000)).collect()[0][0]
+    assert abs(p_approx - p_exact) / p_exact < 0.01
