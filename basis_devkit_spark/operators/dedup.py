@@ -3,10 +3,13 @@
 Design notes (100 TB posture):
 - Everything is built from ``explode`` + hash + ``groupBy`` aggregations —
   JVM-side, whole-stage-codegen-able; no Python UDFs.
-- MinHash signatures use k independent universal hash functions over
-  ``xxhash64(shingle)``: h_i(x) = (a_i * x + b_i) mod p. Signatures are one
-  shuffle (groupBy doc). LSH banding turns the quadratic candidate search
-  into an equi-join on (band_id, band_hash) — the classic
+- MinHash signatures use k independent hash functions implemented as
+  seeded ``xxhash64(i, shingle_hash)`` chains — pure JVM hashing, no 64-bit
+  arithmetic that could overflow under ANSI mode (the driver's session runs
+  with ``spark.sql.ansi.enabled=true``, Spark 4's default, so any
+  ``a*x+b mod p`` scheme with x near 2^61 would raise ARITHMETIC_OVERFLOW).
+  Signatures are one shuffle (groupBy doc). LSH banding turns the quadratic
+  candidate search into an equi-join on (band_id, band_hash) — the classic
   Broder/MMDS scheme.
 - "Keep one per duplicate cluster" uses the min-id-neighbor rule (a doc is
   dropped iff it has a candidate neighbor with a smaller id). This is the
@@ -23,26 +26,6 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
-
-# Mersenne prime 2^61-1: universal hashing modulus, no 64-bit overflow of
-# a*x+b when a,b < 2^31 and x is folded into [0, p).
-_P = (1 << 61) - 1
-_SEED_A = 0x9E3779B97F4A7C15
-_SEED_B = 0xC2B2AE3D27D4EB4F
-
-
-def _hash_params(num_hashes: int) -> list[tuple[int, int]]:
-    """Deterministic (a, b) pairs for universal hashing (splitmix-ish)."""
-    params = []
-    x = 42
-    for _ in range(num_hashes):
-        x = (x * 6364136223846793005 + 1442695040888963407) % (1 << 64)
-        a = (x >> 16) % (_P - 1) % (1 << 31) or 1
-        x = (x * 6364136223846793005 + 1442695040888963407) % (1 << 64)
-        b = (x >> 16) % _P % (1 << 31)
-        params.append((a, b))
-    return params
-
 
 # ---------------------------------------------------------------- exact (D1)
 def exact_dedup(
@@ -112,12 +95,14 @@ def minhash_signatures(
     max_shingle_df: int | None = None,
 ) -> DataFrame:
     """(id, sig: array<bigint>) — one groupBy over exploded shingles with
-    ``num_hashes`` min-aggregations (single shuffle, fully codegen)."""
+    ``num_hashes`` min-aggregations (single shuffle, fully codegen).
+
+    Each hash function i is ``xxhash64(i, shingle_hash)`` — an ANSI-safe
+    seeded rehash with no multiplication to overflow int64."""
     ex = _exploded_shingles(df, id_col, text_col, shingle_size, max_shingle_df)
-    x = F.pmod(F.col("__h"), F.lit(_P))
     aggs = [
-        F.min(F.pmod(F.lit(a) * x + F.lit(b), F.lit(_P))).alias(f"h{i}")
-        for i, (a, b) in enumerate(_hash_params(num_hashes))
+        F.min(F.xxhash64(F.lit(i), F.col("__h"))).alias(f"h{i}")
+        for i in range(num_hashes)
     ]
     sig = ex.groupBy("__id").agg(*aggs)
     return sig.select(

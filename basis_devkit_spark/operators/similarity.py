@@ -81,13 +81,49 @@ def brute_force_topk(
     else:
         raise ValueError(f"unknown metric {metric}")
     scored = joined.select("query_id", "match_id", score.alias("score"))
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("score").desc(), F.col("match_id").asc()
+    return _topk_by_query(scored, k)
+
+
+def _topk_by_query(scored: DataFrame, k: int) -> DataFrame:
+    """Two-phase aggregation top-k over (query_id, match_id, score) rows.
+
+    Phase 1 takes a local top-k per (query, input partition) — completes
+    map-side, so the shuffle carries only |queries| x |partitions| x k
+    structs. Phase 2 merges the local winners per query. This avoids the
+    Window row_number() plan, which shuffles EVERY scored row to a single
+    reducer per query — the scale-killer at a 100 TB corpus.
+
+    Sorting uses (negated score, match_id) structs so ascending array sort
+    yields score desc with match_id asc tie-breaks; double negation is a
+    sign-bit flip, bit-exact for IEEE doubles.
+    """
+    key = F.struct(
+        (-F.col("score")).alias("ns"), F.col("match_id").alias("match_id")
     )
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
+    local = (
+        scored.withColumn("__pid", F.spark_partition_id())
+        .groupBy("query_id", "__pid")
+        .agg(F.slice(F.array_sort(F.collect_list(key)), 1, k).alias("__tk"))
     )
+    merged = local.groupBy("query_id").agg(
+        F.slice(F.array_sort(F.flatten(F.collect_list("__tk"))), 1, k).alias("__tk")
+    )
+    ex = merged.select("query_id", F.posexplode("__tk").alias("__r0", "__s"))
+    return ex.select(
+        "query_id",
+        F.col("__s.match_id").alias("match_id"),
+        (-F.col("__s.ns")).alias("score"),
+        (F.col("__r0") + 1).alias("rank"),
+    )
+
+
+def _vec_dim(df: DataFrame, vec_col: str) -> int:
+    """Embedding dimensionality from one row — fetches only the size int,
+    not the vector itself (cheap driver round-trip)."""
+    row = df.select(F.size(vec_col).alias("d")).first()
+    if row is None:
+        raise ValueError("cannot infer embedding dim from an empty DataFrame")
+    return int(row["d"])
 
 
 def _sign_lsh_buckets(
@@ -143,7 +179,7 @@ def lsh_topk(
 ) -> DataFrame:
     """ANN top-k via sign-LSH banding + exact re-rank of candidates."""
     if dim is None:
-        dim = len(corpus.select(vec_col).first()[0])
+        dim = _vec_dim(corpus, vec_col)
     qb = _sign_lsh_buckets(
         queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qv")),
         "__qv",
@@ -168,8 +204,7 @@ def lsh_topk(
         "match_id",
         cosine_similarity_col(F.col("__qv"), F.col("__cv")).alias("score"),
     )
-    w = Window.partitionBy("query_id").orderBy(F.col("score").desc(), F.col("match_id"))
-    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+    return _topk_by_query(scored, k)
 
 
 def ivf_topk(
@@ -181,10 +216,13 @@ def ivf_topk(
     nlist: int = 16,
     nprobe: int = 4,
     seed: int = 42,
+    max_train_rows: int = 100_000,
 ) -> DataFrame:
-    """IVF ANN: KMeans coarse quantizer (trained on the corpus — sample it
-    at scale), corpus rows assigned to their nearest centroid, queries
-    probe ``nprobe`` nearest centroids; exact cosine within probed cells."""
+    """IVF ANN: KMeans coarse quantizer trained on a bounded SAMPLE of the
+    corpus (``max_train_rows`` cap — fitting on the full corpus is a scale
+    killer at 100 TB; centroid quality converges long before that), corpus
+    rows assigned to their nearest centroid, queries probe ``nprobe``
+    nearest centroids; exact cosine within probed cells."""
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector
 
@@ -193,8 +231,16 @@ def ivf_topk(
         F.col(vec_col).alias("__cv"),
         array_to_vector(F.transform(vec_col, lambda x: x.cast("double"))).alias("__feat"),
     )
+    n = corpus_v.count()
+    if n > max_train_rows:
+        # Seeded Bernoulli sample, slightly over-drawn to stay near the cap.
+        train = corpus_v.sample(
+            fraction=min(1.0, 1.1 * max_train_rows / n), seed=seed
+        )
+    else:
+        train = corpus_v
     km = KMeans(k=nlist, seed=seed, featuresCol="__feat", predictionCol="__cell")
-    model = km.fit(corpus_v)
+    model = km.fit(train)
     assigned = model.transform(corpus_v).select("match_id", "__cv", "__cell")
 
     centers = model.clusterCenters()
@@ -221,8 +267,7 @@ def ivf_topk(
         "match_id",
         cosine_similarity_col(F.col("__qv"), F.col("__cv")).alias("score"),
     )
-    w = Window.partitionBy("query_id").orderBy(F.col("score").desc(), F.col("match_id"))
-    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+    return _topk_by_query(scored, k)
 
 
 def embedding_near_dup_pairs(
@@ -235,7 +280,7 @@ def embedding_near_dup_pairs(
 ) -> DataFrame:
     """Embedding-cosine near-dup pairs (id_a < id_b, cosine ≥ threshold)
     via sign-LSH candidate generation + exact verify."""
-    dim = len(df.select(vec_col).first()[0])
+    dim = _vec_dim(df, vec_col)
     b = _sign_lsh_buckets(
         df.select(F.col(id_col).alias("__id"), F.col(vec_col).alias("__v")),
         "__v",

@@ -107,16 +107,18 @@ def language_id(df: DataFrame, text_col: str = "text") -> DataFrame:
 def doc_fingerprint(
     df: DataFrame, text_col: str = "text", out_col: str = "fingerprint"
 ) -> DataFrame:
-    """Order-sensitive rolling document fingerprint: polynomial rolling
-    hash over word-token hashes (xxhash64 per token folded with a prime
-    multiplier via ``aggregate``). Distinguishes permutations, unlike
-    set-based MinHash."""
+    """Order-sensitive rolling document fingerprint: chained hash fold over
+    word-token hashes — each step rehashes ``xxhash64(acc, token_hash)`` via
+    ``aggregate``, so position matters (distinguishes permutations, unlike
+    set-based MinHash) and no arithmetic can overflow int64 under ANSI mode
+    (a polynomial ``acc*31+h`` would raise ARITHMETIC_OVERFLOW in the
+    driver's ANSI-on session)."""
     words = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
     tok_hashes = F.transform(words, lambda w: F.xxhash64(w))
     fp = F.aggregate(
         tok_hashes,
         F.lit(0).cast("long"),
-        lambda acc, h: acc * F.lit(31) + h,
+        lambda acc, h: F.xxhash64(acc, h),
     )
     return df.withColumn(out_col, fp)
 

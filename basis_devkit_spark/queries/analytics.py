@@ -152,8 +152,10 @@ def d02(spark: SparkSession, sf: str) -> DataFrame:
     from basis_devkit_spark.operators.dedup import ngram_jaccard_pairs
 
     d = load(spark, sf, "documents")
+    # max_shingle_df caps hot-shingle posting lists — without it the
+    # inverted-index self-join explodes on skewed shingles at scale.
     return ngram_jaccard_pairs(
-        d, "doc_id", "text", shingle_size=3, threshold=0.6
+        d, "doc_id", "text", shingle_size=3, threshold=0.6, max_shingle_df=200
     )
 
 
@@ -344,9 +346,12 @@ def d05(spark: SparkSession, sf: str) -> DataFrame:
         F.encode("text", "utf-8").alias("content"),
     )
     media = attach_media_ref(with_bytes, "uri", "content")
-    return decode_images(
+    decoded = decode_images(
         media, content_col="content", uri_col="media.uri", decode_fn=fake_image_features
     )
+    # JSON-encode the array column: the driver canonicalizes results through
+    # pandas sort_values, which cannot sort raw list cells.
+    return decoded.withColumn("features", F.to_json("features"))
 
 
 @register(
@@ -381,10 +386,20 @@ def d04e(spark: SparkSession, sf: str) -> DataFrame:
 def d02d(spark: SparkSession, sf: str) -> DataFrame:
     from basis_devkit_spark.operators.similarity import embedding_near_dup_pairs
 
-    e = load(spark, sf, "embeddings")
-    return embedding_near_dup_pairs(e, threshold=0.9, num_planes=16, bands=8).select(
-        "id_a", "id_b", F.round("cosine", 4).alias("cosine")
+    e = load(spark, sf, "embeddings").select("vec_id", "embedding")
+    # Random embeddings almost never exceed cosine 0.9, so plant
+    # deterministic perturbed copies of the first 20 vectors — the operator
+    # must recover (orig, planted) pairs, making this a real recall check
+    # rather than a vacuous 0-row pass.
+    planted = e.filter(F.col("vec_id") < 20).select(
+        (F.col("vec_id") + 1_000_000).alias("vec_id"),
+        F.transform(
+            "embedding", lambda x: (x.cast("double") * 1.02 + 0.003).cast("float")
+        ).alias("embedding"),
     )
+    return embedding_near_dup_pairs(
+        e.unionByName(planted), threshold=0.9, num_planes=16, bands=8
+    ).select("id_a", "id_b", F.round("cosine", 4).alias("cosine"))
 
 
 @register(

@@ -19,9 +19,9 @@ _DEFAULT_CONFS: dict[str, str] = {
     "spark.sql.adaptive.skewJoin.enabled": "true",
     # Arrow for any pandas boundary (Pandas UDFs, toPandas).
     "spark.sql.execution.arrow.pyspark.enabled": "true",
-    # ANSI off: the reference contract is permissive SQL-database semantics
-    # (and DuckDB oracle comparisons use permissive casts).
-    "spark.sql.ansi.enabled": "false",
+    # ANSI stays at Spark 4's default (on) — the driver's plain session runs
+    # ANSI-on, so every query must be ANSI-safe; forcing it off here would
+    # let overflow bugs pass locally and crash under the driver.
     # Timestamps: testdata uses naive timestamps; keep session TZ at UTC so
     # Spark and the DuckDB oracle agree.
     "spark.sql.session.timeZone": "UTC",

@@ -13,14 +13,27 @@ Layout::
         v=2/...
 
 Commit protocol (crash-safe, scale-safe):
-  1. write data files into the version directory (Spark distributed write)
+  1. write data files into a NEW version directory (Spark distributed
+     write) — committed version directories are never mutated
   2. write manifest to a temp file, ``os.replace`` over _manifest.json
      (atomic on POSIX) — the pointer flip is the commit.
 
+A version is a *lineage*: an ordered list of immutable directories
+(manifest ``dirs``). ``append`` writes only the incoming batch into a new
+directory and commits a new version whose lineage = previous dirs + the
+new one — O(batch) I/O, not O(table), and time-travel reads of any prior
+version stay byte-stable because no committed directory is ever written
+again. A crash mid-append leaves an orphan directory the manifest never
+references (invisible to readers; reclaimed by vacuum). ``compact()``
+rewrites a long lineage into one directory.
+
 At 100 TB the data write is the expensive distributed part; the manifest is
-O(1) driver-side metadata, so this protocol has no scale bottleneck. Upsert
-is a join-based merge into a *new* version (full rewrite of matching
-partitions) — the same cost profile as Delta MERGE without Delta's deps.
+O(1) driver-side metadata, so this protocol has no scale bottleneck. Row
+counts are captured with ``df.observe`` during the write job itself —
+never by re-reading written output (which would double I/O per commit).
+Upsert is a join-based merge into a *new* version (full rewrite of
+matching partitions) — the same cost profile as Delta MERGE without
+Delta's deps.
 """
 
 from __future__ import annotations
@@ -32,7 +45,8 @@ import time
 from dataclasses import dataclass, field
 from typing import Any
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark import StorageLevel
+from pyspark.sql import DataFrame, Observation, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 from pyspark.sql.window import Window
@@ -120,6 +134,9 @@ class TableStore:
         self.path = os.path.join(root, name)
         os.makedirs(self.path, exist_ok=True)
         self._manifest = self._load_manifest()
+        # Batches pinned (persisted) during a write so the id-assignment
+        # count job and the write job see identical partitions.
+        self._pinned: list[DataFrame] = []
 
     # ---------------- manifest ----------------
     def _manifest_path(self) -> str:
@@ -171,12 +188,23 @@ class TableStore:
 
     def vacuum(self, keep_last: int = 2) -> None:
         """Retention GC: drop all but the newest ``keep_last`` versions
-        (never the active one)."""
+        (never the active one). A directory is deleted only if NO retained
+        version's lineage references it — append lineage means old dirs may
+        back newer versions."""
         active = self._manifest.active_version
         versions = sorted(int(v) for v in self._manifest.versions)
-        drop = [v for v in versions[:-keep_last] if v != active]
-        for v in drop:
-            shutil.rmtree(self.version_path(v), ignore_errors=True)
+        keep = set(versions[-keep_last:]) if keep_last > 0 else set()
+        if active is not None:
+            keep.add(active)
+        referenced: set[str] = set()
+        for v in keep:
+            referenced.update(self._version_dirs(v))
+        for v in versions:
+            if v in keep:
+                continue
+            d = f"v={v}"
+            if d not in referenced:
+                shutil.rmtree(os.path.join(self.path, d), ignore_errors=True)
             self._manifest.versions.pop(str(v), None)
         self._commit_manifest()
 
@@ -242,19 +270,38 @@ class TableStore:
         m = self._manifest
         return m.strictly_monotonic_ordering or m.created_ordering
 
+    # ---------------- version lineage ----------------
+    def _version_dirs(self, version: int) -> list[str]:
+        """Ordered immutable directories backing a version. Legacy entries
+        (pre-lineage manifests) default to the version's own directory."""
+        entry = self._manifest.versions.get(str(version), {})
+        return list(entry.get("dirs") or [f"v={version}"])
+
+    def _set_version_dirs(self, version: int, dirs: list[str]) -> None:
+        self._manifest.versions.setdefault(str(version), {})["dirs"] = list(dirs)
+
+    def _read_dirs(self, dirs: list[str]) -> DataFrame:
+        out: DataFrame | None = None
+        for d in dirs:
+            part = self.spark.read.parquet(os.path.join(self.path, d))
+            out = part if out is None else out.unionByName(part, allowMissingColumns=True)
+        assert out is not None
+        return out
+
     # ---------------- read (A1) ----------------
     def read(self) -> DataFrame:
         if not self.has_active_version():
             raise FileNotFoundError(f"table '{self.name}' has no active version")
-        return self.spark.read.parquet(self.version_path(self._manifest.active_version))
+        return self._read_dirs(self._version_dirs(self._manifest.active_version))
 
     def read_version(self, version: int) -> DataFrame:
         """Time-travel read of any retained version (TableVersion access,
-        node.py:84-114)."""
-        p = self.version_path(version)
-        if not os.path.isdir(p):
+        node.py:84-114). Stable across later appends: a version's lineage
+        directories are immutable once committed."""
+        dirs = self._version_dirs(version)
+        if not os.path.isdir(self.version_path(version)):
             raise FileNotFoundError(f"table '{self.name}' has no version {version}")
-        return self.spark.read.parquet(p)
+        return self._read_dirs(dirs)
 
     def read_or_empty(self, schema: T.StructType | None = None) -> DataFrame:
         if self.has_active_version():
@@ -276,25 +323,57 @@ class TableStore:
         if m.add_created and m.add_created not in df.columns:
             df = df.withColumn(m.add_created, F.current_timestamp())
         if m.add_monotonic_id and m.add_monotonic_id not in df.columns:
-            # Dense, order-stable ids: zipWithIndex-free approach using a
-            # window over a stable sort would shuffle everything to compare;
-            # instead use per-partition offsets (monotonically_increasing_id
-            # is non-dense) ranked once. Row count per commit is bounded by
-            # the batch, not the table, so the single global window over the
-            # *incoming batch* is acceptable even at scale (batches are the
-            # unit of ingest, not the 100 TB table).
-            w_df = df.withColumn(
-                "__seq",
-                F.row_number().over(Window.orderBy(F.monotonically_increasing_id())),
-            )
-            offset = m.max_monotonic_id
-            enc = F.udf(lambda i: encode_base32(offset + i), T.StringType())
-            df = w_df.withColumn(m.add_monotonic_id, enc(F.col("__seq"))).drop("__seq")
+            df = self._with_monotonic_ids(df)
         return df
 
-    def _bump_monotonic(self, n_rows: int) -> None:
-        if self._manifest.add_monotonic_id:
-            self._manifest.max_monotonic_id += n_rows
+    def _with_monotonic_ids(self, df: DataFrame) -> DataFrame:
+        """Dense, strictly increasing base32 ids for the incoming batch —
+        fully distributed and JVM-side.
+
+        One light count job computes per-partition row counts; cumulative
+        offsets turn them into a global dense sequence; each partition then
+        numbers its own rows in parallel (``row_number`` partitioned by
+        partition id — NO single-task global sort). Base32 encoding is
+        ``conv``/``lpad`` (Hive conv's 0-9A-V alphabet == ours) — NO
+        Python UDF on the write path. The batch is persisted first so the
+        count job and the write job see identical partitions
+        (spark_partition_id / monotonically_increasing_id are
+        nondeterministic across recomputations); batches are the unit of
+        ingest, bounded, so pinning one is fine even at table scale.
+
+        Advances ``max_monotonic_id`` by the batch size here — every write
+        verb (append/replace/upsert) therefore bumps the counter exactly
+        once, durably at its manifest commit.
+        """
+        m = self._manifest
+        tagged = (
+            df.withColumn("__pid", F.spark_partition_id())
+            .withColumn("__mid", F.monotonically_increasing_id())
+            .persist(StorageLevel.MEMORY_AND_DISK)
+        )
+        self._pinned.append(tagged)
+        counts = sorted(
+            (r["__pid"], r["n"])
+            for r in tagged.groupBy("__pid").agg(F.count(F.lit(1)).alias("n")).collect()
+        )
+        offsets: dict[int, int] = {}
+        acc = m.max_monotonic_id
+        for pid, n in counts:
+            offsets[pid] = acc
+            acc += n
+        m.max_monotonic_id = acc
+        if offsets:
+            off_map = F.create_map(*[F.lit(x) for kv in offsets.items() for x in kv])
+            base = F.element_at(off_map, F.col("__pid"))
+        else:
+            base = F.lit(0)
+        seq = base + F.row_number().over(Window.partitionBy("__pid").orderBy("__mid"))
+        b32 = F.lpad(F.upper(F.conv(seq.cast("string"), 10, 32)), 13, "0")
+        return tagged.withColumn(m.add_monotonic_id, b32).drop("__pid", "__mid")
+
+    def _release(self) -> None:
+        while self._pinned:
+            self._pinned.pop().unpersist()
 
     # ---------------- writes (A4, A5, A6, A7) ----------------
     def _write(self, df: DataFrame, path: str, mode: str) -> None:
@@ -303,35 +382,66 @@ class TableStore:
             w = w.partitionBy(*self._manifest.partition_by)
         w.parquet(path)
 
+    def _write_counted(self, df: DataFrame, path: str) -> int:
+        """Overwrite-write ``df`` to ``path`` and return its row count,
+        captured via ``df.observe`` DURING the write job — one pass, never
+        a re-read of the written output (which doubles I/O at scale)."""
+        obs = Observation()
+        df = df.observe(obs, F.count(F.lit(1)).alias("n"))
+        self._write(df, path, "overwrite")
+        return int(obs.get["n"])
+
+    def _commit_single_dir_version(self, df: DataFrame) -> tuple[int, int]:
+        """Write ``df`` as a fresh one-directory version; returns (v, n).
+        Does NOT flip the active pointer — callers commit."""
+        v = self.create_new_version()
+        n = self._write_counted(df, self.version_path(v))
+        self._set_version_dirs(v, [f"v={v}"])
+        return v, n
+
     def write_replace(self, df: DataFrame) -> int:
         """New version containing exactly these rows (A6 replace)."""
-        df = self._decorate(df)
-        v = self.create_new_version()
-        self._write(df, self.version_path(v), "overwrite")
-        n = self.spark.read.parquet(self.version_path(v)).count()
-        self._bump_monotonic(n)
-        self.set_active_version(v, record_count=n)
-        return v
+        try:
+            df = self._decorate(df)
+            v, n = self._commit_single_dir_version(df)
+            self.set_active_version(v, record_count=n)
+            return v
+        finally:
+            self._release()
 
     def append(self, df: DataFrame) -> None:
-        """Append rows to the active version (A4). First write creates v1."""
-        df = self._decorate(df)
-        if not self.has_active_version():
+        """Append rows (A4). Copy-on-write: the batch lands in a NEW
+        directory and the new version's lineage = previous dirs + it, so no
+        committed version directory is ever mutated. A crash mid-write
+        leaves an unreferenced directory — readers and time travel are
+        unaffected until the manifest pointer flips."""
+        try:
+            df = self._decorate(df)
+            if not self.has_active_version():
+                v, n = self._commit_single_dir_version(df)
+                self.set_active_version(v, record_count=n)
+                return
+            prev = self._manifest.active_version
+            existing = self.read()
+            df = _align_columns(df, existing.schema)
+            prev_dirs = self._version_dirs(prev)
+            prev_count = self._manifest.versions.get(str(prev), {}).get("record_count")
             v = self.create_new_version()
-            self._write(df, self.version_path(v), "overwrite")
-            n = self.spark.read.parquet(self.version_path(v)).count()
-            self._bump_monotonic(n)
-            self.set_active_version(v, record_count=n)
-            return
-        v = self._manifest.active_version
-        existing = self.read()
-        df = _align_columns(df, existing.schema)
-        n_new = df.count()
-        self._write(df, self.version_path(v), "append")
-        info = self._manifest.versions.setdefault(str(v), {})
-        info["record_count"] = (info.get("record_count") or 0) + n_new
-        self._bump_monotonic(n_new)
-        self._commit_manifest()
+            n_new = self._write_counted(df, self.version_path(v))
+            self._set_version_dirs(v, prev_dirs + [f"v={v}"])
+            total = (prev_count + n_new) if prev_count is not None else None
+            self.set_active_version(v, record_count=total)
+        finally:
+            self._release()
+
+    def compact(self) -> int:
+        """Rewrite the active version's lineage into one directory (file-
+        count hygiene after many appends). Same data, new version."""
+        df = self.read()
+        n0 = self.record_count
+        v, n = self._commit_single_dir_version(df)
+        self.set_active_version(v, record_count=n0 if n0 is not None else n)
+        return v
 
     def truncate(self) -> None:
         """Delete all rows, keep schema (A7)."""
@@ -339,8 +449,7 @@ class TableStore:
             return
         schema = self.read().schema
         empty = self.spark.createDataFrame([], schema)
-        v = self.create_new_version()
-        self._write(empty, self.version_path(v), "overwrite")
+        v, _ = self._commit_single_dir_version(empty)
         self.set_active_version(v, record_count=0)
 
     def upsert(self, df: DataFrame) -> None:
@@ -350,27 +459,31 @@ class TableStore:
         take the new row; unmatched new rows insert. Written as a new
         version + pointer flip (atomic). At scale: this is a shuffled
         anti-join + union — same shape as a Delta MERGE rewrite; partition
-        the store on a key prefix to scope the rewrite.
+        the store on a key prefix to scope the rewrite. The monotonic-id
+        counter advances inside ``_decorate`` (per incoming batch), so ids
+        never repeat across successive upserts.
         """
         keys = self._manifest.unique_on
         if not keys:
             raise ValueError(
                 f"table '{self.name}' has no unique_on configured; call init(unique_on=...)"
             )
-        df = self._decorate(df)
-        # Dedup incoming batch on the key (last wins within the batch).
-        df = df.dropDuplicates(keys)
-        if not self.has_active_version():
-            self.write_replace(df)
-            return
-        old = self.read()
-        df = _align_columns(df, old.schema)
-        survivors = old.join(df.select(*keys), on=keys, how="left_anti")
-        merged = survivors.unionByName(df, allowMissingColumns=True)
-        v = self.create_new_version()
-        self._write(merged, self.version_path(v), "overwrite")
-        n = self.spark.read.parquet(self.version_path(v)).count()
-        self.set_active_version(v, record_count=n)
+        try:
+            df = self._decorate(df)
+            # Dedup incoming batch on the key (last wins within the batch).
+            df = df.dropDuplicates(keys)
+            if not self.has_active_version():
+                v, n = self._commit_single_dir_version(df)
+                self.set_active_version(v, record_count=n)
+                return
+            old = self.read()
+            df = _align_columns(df, old.schema)
+            survivors = old.join(df.select(*keys), on=keys, how="left_anti")
+            merged = survivors.unionByName(df, allowMissingColumns=True)
+            v, n = self._commit_single_dir_version(merged)
+            self.set_active_version(v, record_count=n)
+        finally:
+            self._release()
 
 
 def _align_columns(df: DataFrame, target: T.StructType) -> DataFrame:

@@ -22,9 +22,13 @@ def _df(spark, rows, schema="k int, v string"):
 def test_append_creates_then_extends(store, spark):
     store.append(_df(spark, [(1, "a")]))
     assert store.record_count == 1
+    v1 = store.get_active_version()
     store.append(_df(spark, [(2, "b"), (3, "c")]))
     assert store.record_count == 3
-    assert store.get_active_version() == 1  # appends extend the version
+    # copy-on-write: append commits a NEW version whose lineage reuses v1's
+    # directory untouched; time travel of v1 is stable.
+    assert store.get_active_version() != v1
+    assert store.read_version(v1).count() == 1
 
 
 def test_replace_makes_new_version(store, spark):
@@ -106,6 +110,86 @@ def test_encode_base32_ordering():
     assert encs == sorted(encs)
     with pytest.raises(ValueError):
         encode_base32(-1)
+
+
+def test_failed_append_leaves_active_version_intact(store, spark, monkeypatch):
+    """Crash-injection: a write failure mid-append must leave the active
+    version byte-identical and invisible to readers (copy-on-write + manifest
+    pointer flip as the only commit point)."""
+    store.append(_df(spark, [(1, "a"), (2, "b")]))
+    v1 = store.get_active_version()
+    vdir = store.version_path(v1)
+    snapshot = {
+        f: os.path.getmtime(os.path.join(vdir, f)) for f in sorted(os.listdir(vdir))
+    }
+
+    def boom(df, path, mode):
+        raise RuntimeError("disk on fire")
+
+    monkeypatch.setattr(store, "_write", boom)
+    with pytest.raises(RuntimeError):
+        store.append(_df(spark, [(3, "c")]))
+    monkeypatch.undo()
+    assert store.get_active_version() == v1
+    after = {
+        f: os.path.getmtime(os.path.join(vdir, f)) for f in sorted(os.listdir(vdir))
+    }
+    assert after == snapshot  # no file in the committed dir was touched
+    assert store.read().count() == 2
+
+
+def test_time_travel_stable_across_appends(store, spark):
+    store.append(_df(spark, [(1, "a")]))
+    v1 = store.get_active_version()
+    before = [(r.k, r.v) for r in store.read_version(v1).collect()]
+    store.append(_df(spark, [(2, "b")]))
+    store.append(_df(spark, [(3, "c")]))
+    assert [(r.k, r.v) for r in store.read_version(v1).collect()] == before
+    assert store.read().count() == 3
+
+
+def test_monotonic_ids_unique_across_upserts(store, spark):
+    """ADVICE r01: upsert must advance the monotonic counter — successive
+    upserts may never reuse ids."""
+    store.configure(unique_on=["k"], add_monotonic_id="mid")
+    store.upsert(_df(spark, [(1, "a"), (2, "b"), (3, "c")]))
+    store.upsert(_df(spark, [(4, "d"), (5, "e")]))
+    ids = [r.mid for r in store.read().collect()]
+    assert len(ids) == len(set(ids)) == 5
+
+
+def test_monotonic_id_plan_is_jvm_side(store, spark):
+    """The id-assignment plan must contain no Python UDF (BatchEvalPython)
+    and no single-partition global sort/exchange — the write path has to
+    stay distributed at 100 TB."""
+    store.configure(add_monotonic_id="mid")
+    df = spark.range(0, 1000, 1, 8).selectExpr("id as k", "cast(id as string) as v")
+    decorated = store._decorate(df)
+    plan = decorated._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan
+    assert "PythonUDF" not in plan
+    assert "SinglePartition" not in plan
+    ids = [r.mid for r in decorated.collect()]
+    assert len(set(ids)) == 1000
+    assert all(len(i) == 13 for i in ids)
+    # matches the documented base32 alphabet exactly
+    assert min(ids) == encode_base32(1)
+    store._release()
+
+
+def test_write_is_single_job(store, spark):
+    """Commit-time counts ride the write job via df.observe — a plain
+    write_replace must launch exactly ONE Spark job (no re-read of output,
+    no pre-count of input)."""
+    sc = spark.sparkContext
+    group = "jobcount-write"
+    sc.setJobGroup(group, "probe")
+    try:
+        store.write_replace(_df(spark, [(1, "a"), (2, "b")]))
+    finally:
+        sc.setJobGroup("", "")
+    jobs = sc.statusTracker().getJobIdsForGroup(group)
+    assert len(jobs) == 1
 
 
 def test_state_store_roundtrip(tmp_path):
