@@ -34,6 +34,7 @@ class ExecutionContext:
         self.node = node
         self.tables: list[Table] = []
         self.states: list[State] = []
+        self.streams: list[Any] = []
         self.state_dict: dict[str, Any] = engine.state_store.load(node.id or "")
         self.signals: dict[str, list[str]] = {}
 
@@ -62,6 +63,9 @@ class ExecutionContext:
             table.bind(self.engine.store(store_name), self.engine.spark)
         table._exec_ctx = self
 
+    def register_stream(self, stream: Any) -> None:
+        self.streams.append(stream)
+
     def register_state(self, state: "State") -> None:
         self.states.append(state)
         state.bind(
@@ -87,10 +91,18 @@ class ExecutionContext:
 
     def commit(self) -> None:
         """Flush table buffers, then persist state/cursors — outputs commit
-        before cursors advance (exactly-once ordering, node.py:43-47)."""
+        before cursors advance (exactly-once ordering, node.py:43-47).
+
+        Streams opened via ``Table.as_stream`` are committed here by the
+        engine: a node that consumed records makes its progress durable
+        automatically once its outputs have flushed — without this, every
+        run would silently reprocess all records unless node code remembered
+        to call ``checkpoint()`` itself."""
         for t in self.tables:
             if t.is_connected and "w" in t.mode:
                 t.flush()
+        for s in self.streams:
+            s.commit()
         self.persist_state()
         for t in self.tables:
             # key signals by STORE name (ports are node-local; downstream

@@ -364,7 +364,14 @@ class Table:
             raise ValueError(
                 f"table '{self.name}' has no default ordering; pass order_by="
             )
-        return Stream(self, order_by, starting_value)
+        stream = Stream(self, order_by, starting_value)
+        # Register with the execution context so the engine checkpoints the
+        # cursor automatically after outputs commit (exactly-once ordering,
+        # node.py:43-47) — node code does not have to call checkpoint().
+        ctx = getattr(self, "_exec_ctx", None)
+        if ctx is not None:
+            ctx.register_stream(stream)
+        return stream
 
 
 def _pandas_chunks(df: DataFrame, chunksize: int) -> Iterator[pd.DataFrame]:

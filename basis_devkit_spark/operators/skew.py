@@ -66,7 +66,16 @@ def salted_join(
     side as ``right``); left is read once. Prefer AQE skew-join or a
     broadcast when applicable; this is the fallback for huge⋈large with a
     hot key.
+
+    Only inner/left joins are supported: replicating the right side would
+    emit each unmatched right row ``salt`` times under right/full outer,
+    and break semi/anti semantics.
     """
+    if how not in ("inner", "left", "left_outer"):
+        raise ValueError(
+            f"salted_join supports how in ('inner','left','left_outer'), got {how!r}: "
+            "right-side replication breaks outer/semi/anti semantics"
+        )
     keys = [on] if isinstance(on, str) else list(on)
     l_s = left.withColumn("__salt", (F.rand(seed=42) * salt).cast("int"))
     r_s = right.withColumn(

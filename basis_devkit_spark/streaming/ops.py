@@ -119,10 +119,13 @@ def stateful_running_agg(
     """Custom stateful operator via ``applyInPandasWithState`` (the
     reference's per-node State, pushed to executors): running per-key count
     and sum that survives across micro-batches; key state expires after
-    ``idle_timeout`` of event-time inactivity."""
+    ``idle_timeout_ms`` of *processing-time* inactivity
+    (``ProcessingTimeTimeout`` — event-time expiry would require a
+    watermark + ``EventTimeTimeout``)."""
+    key_type = df.schema[key_col].dataType
     out_schema = T.StructType(
         [
-            T.StructField("key", T.LongType()),
+            T.StructField("key", key_type),
             T.StructField("n_total", T.LongType()),
             T.StructField("sum_total", T.DoubleType()),
         ]

@@ -245,6 +245,60 @@ def test_decorator_style_input_stream(spark, tmp_path):
     assert eng.table_df("firsts").count() == 0
 
 
+def test_stream_progress_persists_without_explicit_checkpoint(spark, tmp_path):
+    """ADVICE r01: the ENGINE must checkpoint stream cursors after outputs
+    commit — a node that consumes a stream and never calls checkpoint()
+    still must not reprocess records on the next run (consumed-on-yield,
+    progress preserved across executions, node.py:43-47)."""
+    app = write_app(
+        tmp_path / "app",
+        """
+        functions:
+          - node_file: deco.py
+            id: streamnode2
+            inputs:
+              src: evts2
+            outputs:
+              dst: seen2
+        stores:
+          - table: evts2
+          - table: seen2
+        """,
+        **{
+            "deco.py": """
+            from basis_devkit_spark import *
+
+            @node
+            def consume(src=InputStream, dst=OutputTable):
+                seen = [r["eid"] for r in src]
+                dst.replace([{"eid": e} for e in seen])
+            """,
+        },
+    )
+    eng = Engine(spark, str(tmp_path / "store"))
+    eng.load_graph(app)
+    evts = eng.store("evts2")
+    evts.configure(strictly_monotonic_ordering="eid")
+    evts.write_replace(spark.createDataFrame([(i,) for i in range(3)], "eid int"))
+    eng.run_graph()
+    assert sorted(r.eid for r in eng.table_df("seen2").collect()) == [0, 1, 2]
+    eng.run_graph()  # no checkpoint() in node code — engine must have committed
+    assert eng.table_df("seen2").count() == 0
+    # new records resume after the durable cursor
+    evts.append(spark.createDataFrame([(7,)], "eid int"))
+    eng.run_graph()
+    assert sorted(r.eid for r in eng.table_df("seen2").collect()) == [7]
+
+
+def test_salted_join_rejects_unsupported_how(spark):
+    from basis_devkit_spark.operators.skew import salted_join
+
+    a = spark.createDataFrame([(1, "x")], "k int, v string")
+    b = spark.createDataFrame([(1, 2.0)], "k int, w double")
+    with pytest.raises(ValueError, match="salted_join supports"):
+        salted_join(a, b, "k", how="full_outer")
+
+
 def test_engine_run_sql_across_stores(spark, tmp_path):
     eng = Engine(spark, str(tmp_path / "store"))
     eng.seed_store("a", spark.createDataFrame([(1, "x"), (2, "y")], "k int, v string"))
