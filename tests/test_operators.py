@@ -250,7 +250,7 @@ def test_bench_window_formulations_agree(spark):
         .filter(F.col("rn") <= 3)
         .select("o_custkey", "o_orderkey", "o_totalprice", "rn")
     )
-    via_agg = bench.window_q(spark, sf).select(
+    via_agg = bench.window_q({"orders": o}).select(
         "o_custkey", "o_orderkey", "o_totalprice", "rn"
     )
     assert sorted(map(tuple, via_window.collect())) == sorted(
