@@ -13,7 +13,14 @@ Public surface:
 __version__ = "0.1.0"
 
 from basis_devkit_spark.engine import Engine
-from basis_devkit_spark.node import Connection, Parameter, State, Stream, Table
+from basis_devkit_spark.node import (
+    Connection,
+    Parameter,
+    State,
+    Stream,
+    Table,
+    respond_to_request,
+)
 from basis_devkit_spark.node.decorator import (
     InputStream,
     InputTable,
@@ -36,5 +43,6 @@ __all__ = [
     "InputStream",
     "OutputStream",
     "get_spark",
+    "respond_to_request",
     "__version__",
 ]

@@ -1,0 +1,251 @@
+"""Command-line interface — ``python -m basis_devkit_spark <cmd>``.
+
+Mirrors the reference CLI's local-relevant command set
+(`/root/reference/patterns/cli/commands/*.py`): the reference's primary UX
+is ``patterns upload/trigger/download/list/delete/config``; here the hosted
+server is this process's Spark engine, so "upload" registers an app with a
+storage root and the other commands operate on it.
+
+Commands:
+  upload   <app> [--root R]          validate graph.yml, register app with root
+  run      [<app>] [--root R]        execute the full graph (topological)
+  trigger  --node ID [<app>]         run one node immediately (trigger.py:20
+                                     name resolution: node id or file path)
+  list     nodes|stores|webhooks     enumerate graph objects (list.py)
+  download --table T --out PATH      export a store (parquet/csv/jsonl by ext)
+  config   [--root R]                print resolved configuration (config.py)
+  serve    [--port P]                HTTP webhook endpoint (create.py:177-197)
+
+``main(argv, spark=...)`` is importable for in-process use/testing (the
+reference tests its CLI in-process with CliRunner the same way).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+from typing import Any
+
+_APP_REGISTRY = "_app.json"
+
+
+def _root(args) -> str:
+    return os.path.abspath(
+        args.root
+        or os.environ.get("BASIS_DEVKIT_SPARK_ROOT")
+        or os.path.join(os.getcwd(), "store")
+    )
+
+
+def _registered_app(root: str) -> str | None:
+    p = os.path.join(root, _APP_REGISTRY)
+    if os.path.exists(p):
+        with open(p) as f:
+            return json.load(f).get("app")
+    return None
+
+
+def _resolve_app(args, root: str) -> str:
+    app = getattr(args, "app", None) or _registered_app(root)
+    if not app:
+        raise SystemExit(
+            "no app: pass an app path or `upload` one to this root first"
+        )
+    return app
+
+
+def _engine(args, spark, app_required: bool = True):
+    from basis_devkit_spark.engine import Engine
+
+    root = _root(args)
+    eng = Engine(spark, root)
+    app = getattr(args, "app", None) or _registered_app(root)
+    if app:
+        eng.load_graph(app)
+    elif app_required:
+        raise SystemExit(
+            "no app: pass an app path or `upload` one to this root first"
+        )
+    return eng
+
+
+def _get_spark(spark):
+    if spark is not None:
+        return spark
+    from basis_devkit_spark.session import get_spark
+
+    return get_spark(app_name="basis-devkit-spark-cli")
+
+
+def _out(obj: Any) -> None:
+    print(json.dumps(obj, indent=2, default=str))
+
+
+def cmd_upload(args, spark) -> int:
+    from basis_devkit_spark.graph.loader import load_graph
+
+    root = _root(args)
+    g = load_graph(args.app)  # validates
+    os.makedirs(root, exist_ok=True)
+    with open(os.path.join(root, _APP_REGISTRY), "w") as f:
+        json.dump({"app": os.path.abspath(args.app)}, f)
+    _out(
+        {
+            "uploaded": os.path.abspath(args.app),
+            "root": root,
+            "nodes": [n.id for n in g.functions],
+            "stores": sorted(g.store_names()),
+        }
+    )
+    return 0
+
+
+def cmd_run(args, spark) -> int:
+    eng = _engine(args, _get_spark(spark))
+    log = eng.run_graph()
+    _out({"run_log": log})
+    return 0
+
+
+def cmd_trigger(args, spark) -> int:
+    eng = _engine(args, _get_spark(spark))
+    # trigger.py:20 name resolution (node id / file name) is the engine's
+    # _node_by_id_or_name; surface unknown-node errors as exit code 2.
+    try:
+        eng.trigger(args.node)
+    except KeyError as exc:
+        raise SystemExit(f"no such node: {exc}")
+    _out({"triggered": args.node})
+    return 0
+
+
+def cmd_list(args, spark) -> int:
+    eng = _engine(args, _get_spark(spark))
+    g = eng.graph
+    assert g is not None
+    if args.kind == "nodes":
+        _out(
+            [
+                {"id": n.id, "kind": n.kind, "file": n.node_file}
+                for n in g.functions
+            ]
+        )
+    elif args.kind == "stores":
+        rows = []
+        for name in sorted(g.store_names()):
+            st = eng.store(name)
+            rows.append(
+                {
+                    "table": name,
+                    "exists": st.exists,
+                    "records": st.record_count,
+                    "version": st.get_active_version(),
+                }
+            )
+        _out(rows)
+    else:  # webhooks (list.py:69-77)
+        _out(
+            [
+                {"name": n.webhook, "url": f"/webhooks/{n.webhook}"}
+                for n in g.functions
+                if n.webhook
+            ]
+        )
+    return 0
+
+
+def cmd_download(args, spark) -> int:
+    eng = _engine(args, _get_spark(spark), app_required=False)
+    df = eng.store(args.table).read()
+    out = args.out
+    ext = out.rsplit(".", 1)[-1].lower()
+    if ext == "parquet":
+        df.write.mode("overwrite").parquet(out)
+    elif ext == "csv":
+        df.write.mode("overwrite").option("header", "true").csv(out)
+    elif ext in ("json", "jsonl"):
+        df.write.mode("overwrite").json(out)
+    else:
+        raise SystemExit(f"unsupported extension .{ext} (parquet/csv/jsonl)")
+    _out({"downloaded": args.table, "to": out, "format": ext})
+    return 0
+
+
+def cmd_config(args, spark) -> int:
+    root = _root(args)
+    _out(
+        {
+            "root": root,
+            "app": _registered_app(root),
+            "spark_master": os.environ.get("SPARK_GRAFT_CPUS", "local[*]"),
+        }
+    )
+    return 0
+
+
+def cmd_serve(args, spark) -> int:
+    from basis_devkit_spark.engine.webhook_http import WebhookServer
+
+    eng = _engine(args, _get_spark(spark))
+    server = WebhookServer(eng, host=args.host, port=args.port)
+    print(f"webhook endpoint at {server.url}/webhooks", file=sys.stderr)
+    try:
+        server.serve_forever()
+    except KeyboardInterrupt:
+        server.stop()
+    return 0
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(prog="basis_devkit_spark")
+    p.add_argument("--root", help="storage root (default ./store)")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    up = sub.add_parser("upload", help="validate + register an app")
+    up.add_argument("app")
+
+    run = sub.add_parser("run", help="run the full graph")
+    run.add_argument("app", nargs="?")
+
+    tr = sub.add_parser("trigger", help="run one node immediately")
+    tr.add_argument("app", nargs="?")
+    tr.add_argument("--node", required=True, help="node id or node file name")
+
+    ls = sub.add_parser("list", help="list graph objects")
+    ls.add_argument("kind", choices=["nodes", "stores", "webhooks"])
+    ls.add_argument("app", nargs="?")
+
+    dl = sub.add_parser("download", help="export a store")
+    dl.add_argument("--table", required=True)
+    dl.add_argument("--out", required=True)
+
+    sub.add_parser("config", help="print resolved configuration")
+
+    sv = sub.add_parser("serve", help="HTTP webhook endpoint")
+    sv.add_argument("app", nargs="?")
+    sv.add_argument("--host", default="127.0.0.1")
+    sv.add_argument("--port", type=int, default=8787)
+
+    return p
+
+
+_COMMANDS = {
+    "upload": cmd_upload,
+    "run": cmd_run,
+    "trigger": cmd_trigger,
+    "list": cmd_list,
+    "download": cmd_download,
+    "config": cmd_config,
+    "serve": cmd_serve,
+}
+
+
+def main(argv: list[str] | None = None, spark=None) -> int:
+    args = build_parser().parse_args(argv)
+    return _COMMANDS[args.cmd](args, spark)
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -78,6 +78,9 @@ class Engine:
         self._stores: dict[str, TableStore] = {}
         self._components: dict[str, Callable[..., None]] = {}
         self._run_log: list[dict[str, Any]] = []
+        # HTTP request/response bridge: responses posted by node code via
+        # respond_to_request, consumed by the webhook HTTP server.
+        self._request_responses: dict[str, Any] = {}
 
     # ---------------- graph ----------------
     def load_graph(self, path: str) -> GraphSpec:
@@ -231,11 +234,19 @@ class Engine:
         self._propagate_from_stores({webhook_name})
 
     def respond_to_request(self, request_key: str, payload: Any) -> None:
-        """Webhook response hook — no-op outside the hosted platform
-        (node.py:544-553)."""
+        """Answer a waiting webhook request (node.py:544-553): the payload
+        becomes the HTTP response body for the POST whose rows carry this
+        ``patterns_request_key``. Outside an HTTP context the payload is
+        just recorded (log-visible no-op, as in the devkit)."""
         self._run_log.append(
             {"respond_to_request": request_key, "payload_type": type(payload).__name__}
         )
+        self._request_responses[request_key] = payload
+
+    def take_request_response(self, request_key: str) -> Any | None:
+        """Pop the response recorded for ``request_key`` (webhook server
+        hook); None if no node responded during propagation."""
+        return self._request_responses.pop(request_key, None)
 
     # ---------------- DAG scheduling (A10, A23) ----------------
     def _downstream_of(self, stores: set[str]) -> list[NodeSpec]:

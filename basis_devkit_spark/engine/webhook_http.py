@@ -1,0 +1,145 @@
+"""HTTP webhook ingestion endpoint — the push-based front door.
+
+Reference behavior (`/root/reference/patterns/cli/commands/create.py:177-197`,
+`/root/reference/patterns/node/node.py:544-553`): each webhook node exposes
+an HTTP URL; POSTing JSON lands the body in the webhook's auto-created
+output table and fires downstream propagation. A request that wants a
+response (``?wait=1``) gets a generated ``patterns_request_key`` column
+added to its ingested row(s); node code answers via
+``respond_to_request(key, payload)`` and the payload becomes the HTTP
+response body.
+
+Scale posture: this endpoint is an *ingestion port*, not a data plane — a
+payload is appended as a micro-batch through the versioned store's normal
+commit path (manifest flip, copy-on-write), so HTTP ingest inherits the
+same crash-safety as any other write. The engine is single-writer; a lock
+serializes concurrent POSTs.
+"""
+
+from __future__ import annotations
+
+import json
+import threading
+import uuid
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from typing import TYPE_CHECKING
+from urllib.parse import parse_qs, urlparse
+
+if TYPE_CHECKING:
+    from basis_devkit_spark.engine.engine import Engine
+
+REQUEST_KEY_FIELD = "patterns_request_key"
+
+
+class WebhookServer:
+    """Thin ``http.server`` front over ``Engine.webhook_receive``.
+
+    Routes:
+      - ``GET  /webhooks``          → list webhook nodes + their URLs
+      - ``POST /webhooks/<name>``   → ingest JSON body (object or array)
+      - ``POST /webhooks/<name>?wait=1`` → ingest with a request key; if a
+        node responds during propagation, that payload is the response.
+    """
+
+    def __init__(self, engine: "Engine", host: str = "127.0.0.1", port: int = 0):
+        self.engine = engine
+        self._lock = threading.Lock()
+        outer = self
+
+        class Handler(BaseHTTPRequestHandler):
+            def log_message(self, *args):  # quiet
+                pass
+
+            def _json(self, code: int, obj) -> None:
+                body = json.dumps(obj).encode()
+                self.send_response(code)
+                self.send_header("Content-Type", "application/json")
+                self.send_header("Content-Length", str(len(body)))
+                self.end_headers()
+                self.wfile.write(body)
+
+            def do_GET(self):
+                if urlparse(self.path).path.rstrip("/") == "/webhooks":
+                    self._json(
+                        200,
+                        [
+                            {"name": n, "url": f"/webhooks/{n}"}
+                            for n in outer.webhook_names()
+                        ],
+                    )
+                else:
+                    self._json(404, {"error": "not found"})
+
+            def do_POST(self):
+                url = urlparse(self.path)
+                parts = [p for p in url.path.split("/") if p]
+                if len(parts) != 2 or parts[0] != "webhooks":
+                    self._json(404, {"error": "not found"})
+                    return
+                name = parts[1]
+                if name not in outer.webhook_names():
+                    self._json(404, {"error": f"no webhook named {name!r}"})
+                    return
+                try:
+                    length = int(self.headers.get("Content-Length") or 0)
+                    payload = json.loads(self.rfile.read(length) or b"{}")
+                except (ValueError, json.JSONDecodeError):
+                    self._json(400, {"error": "body must be valid JSON"})
+                    return
+                if not isinstance(payload, (dict, list)):
+                    self._json(400, {"error": "body must be an object or array"})
+                    return
+                wait = parse_qs(url.query).get("wait", ["0"])[0] in ("1", "true")
+                records = payload if isinstance(payload, list) else [payload]
+                key = None
+                if wait:
+                    key = uuid.uuid4().hex
+                    records = [{**r, REQUEST_KEY_FIELD: key} for r in records]
+                with outer._lock:
+                    try:
+                        outer.engine.webhook_receive(name, records)
+                    except Exception as exc:  # surface ingest failures
+                        self._json(500, {"error": str(exc)})
+                        return
+                    response = (
+                        outer.engine.take_request_response(key)
+                        if key is not None
+                        else None
+                    )
+                if response is not None:
+                    self._json(200, response)
+                else:
+                    ack = {"ok": True, "records": len(records)}
+                    if key is not None:
+                        ack[REQUEST_KEY_FIELD] = key
+                    self._json(202, ack)
+
+        self._httpd = ThreadingHTTPServer((host, port), Handler)
+        self.host, self.port = self._httpd.server_address[:2]
+        self._thread: threading.Thread | None = None
+
+    def webhook_names(self) -> list[str]:
+        g = self.engine.graph
+        if g is None:
+            return []
+        return [n.webhook for n in g.functions if n.webhook]
+
+    @property
+    def url(self) -> str:
+        return f"http://{self.host}:{self.port}"
+
+    def start(self) -> "WebhookServer":
+        self._thread = threading.Thread(
+            target=self._httpd.serve_forever, daemon=True
+        )
+        self._thread.start()
+        return self
+
+    def serve_forever(self) -> None:
+        self._httpd.serve_forever()
+
+    def stop(self) -> None:
+        self._httpd.shutdown()
+        self._httpd.server_close()
+        if self._thread:
+            self._thread.join(timeout=5)
