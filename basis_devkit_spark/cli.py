@@ -8,6 +8,7 @@ storage root and the other commands operate on it.
 
 Commands:
   upload   <app> [--root R]          validate graph.yml, register app with root
+  publish  <app> org/name@vN         publish app as a component (upload.py:74-97)
   run      [<app>] [--root R]        execute the full graph (topological)
   trigger  --node ID [<app>]         run one node immediately (trigger.py:20
                                      name resolution: node id or file path)
@@ -173,6 +174,14 @@ def cmd_download(args, spark) -> int:
     return 0
 
 
+def cmd_publish(args, spark) -> int:
+    from basis_devkit_spark.graph.components import publish_component
+
+    dst = publish_component(args.app, args.key, registry=args.registry)
+    _out({"published": args.key, "at": dst})
+    return 0
+
+
 def cmd_config(args, spark) -> int:
     root = _root(args)
     _out(
@@ -221,6 +230,13 @@ def build_parser() -> argparse.ArgumentParser:
     dl.add_argument("--table", required=True)
     dl.add_argument("--out", required=True)
 
+    pub = sub.add_parser(
+        "publish", help="publish an app as a component (org/name@version)"
+    )
+    pub.add_argument("app")
+    pub.add_argument("key", help="component key, e.g. myorg/scaler@v1")
+    pub.add_argument("--registry", help="registry dir (default ~/.basis_devkit_spark/components or $BASIS_DEVKIT_SPARK_COMPONENTS)")
+
     sub.add_parser("config", help="print resolved configuration")
 
     sv = sub.add_parser("serve", help="HTTP webhook endpoint")
@@ -232,6 +248,7 @@ def build_parser() -> argparse.ArgumentParser:
 
 
 _COMMANDS = {
+    "publish": cmd_publish,
     "upload": cmd_upload,
     "run": cmd_run,
     "trigger": cmd_trigger,

@@ -123,16 +123,28 @@ def load_graph(path: str, _depth: int = 0) -> GraphSpec:
 
 
 def _expand_subgraphs(spec: GraphSpec, base_dir: str, depth: int) -> GraphSpec:
-    """Inline-expand nested graph.yml nodes (create.py:153-155): the
-    subgraph's exposed input/output ports are rewired to the parent's
-    connected stores; internal stores are namespaced by node id."""
+    """Inline-expand nested graph.yml nodes (create.py:153-155) AND
+    registry-resolved ``uses:`` components (download.py:9-21): the inner
+    graph's exposed input/output ports are rewired to the parent's
+    connected stores; internal stores are namespaced by node id.
+    Components whose key is not in the local registry pass through to the
+    engine's in-process callable registry."""
+    from basis_devkit_spark.graph.components import component_path
+
     out_functions: list[NodeSpec] = []
     out_stores = list(spec.stores)
     for n in spec.functions:
-        if n.kind != "subgraph":
+        if n.kind == "subgraph":
+            sub_path = os.path.join(base_dir, n.node_file)
+        elif n.kind == "component":
+            resolved = component_path(n.uses or "")
+            if resolved is None:
+                out_functions.append(n)  # engine-registered callable path
+                continue
+            sub_path = find_graph_file(resolved)
+        else:
             out_functions.append(n)
             continue
-        sub_path = os.path.join(base_dir, n.node_file)
         sub = load_graph(sub_path, _depth=depth + 1)
         prefix = f"{n.id}__"
         exposed_in = set(sub.exposes.inputs)

@@ -213,3 +213,99 @@ def b02b(spark: SparkSession, sf: str) -> DataFrame:
     tmp = tempfile.mkdtemp(prefix="bds_b02b_")
     write_json(load(spark, sf, "region"), tmp)
     return read_json(spark, tmp, schema="r_regionkey int, r_name string")
+
+
+@register(
+    "a24_component_binding",
+    """
+    select o_orderkey, o_totalprice, o_totalprice * 3 as scaled
+    from orders where o_orderkey <= 200
+    """,
+    doc="uses: org/name@v1 fetched from the local registry; inputs/outputs/"
+    "parameters mappings from graph.yml bind the component's exposed ports",
+)
+def a24(spark: SparkSession, sf: str) -> DataFrame:
+    """Publishes a scaler component (exposes src_t/dst_t, Parameter factor),
+    then runs a consumer graph whose `uses:` node maps ports to parent
+    stores and overrides factor=3 — the full reference component contract
+    (download.py:9-21 key resolution, upload.py:74-97 publish)."""
+    import os
+    import textwrap
+
+    from basis_devkit_spark.engine import Engine
+    from basis_devkit_spark.graph.components import publish_component
+
+    tmp = tempfile.mkdtemp(prefix="bds_a24_")
+    comp = os.path.join(tmp, "comp")
+    os.makedirs(comp)
+    with open(os.path.join(comp, "graph.yml"), "w") as f:
+        f.write(
+            textwrap.dedent(
+                """
+                exposes:
+                  inputs: [src_t]
+                  outputs: [dst_t]
+                functions:
+                  - node_file: scale.py
+                    id: scale
+                    inputs:
+                      src: src_t
+                    outputs:
+                      dst: dst_t
+                    parameters:
+                      factor: 2
+                """
+            )
+        )
+    with open(os.path.join(comp, "scale.py"), "w") as f:
+        f.write(
+            textwrap.dedent(
+                """
+                from basis_devkit_spark import *
+                from pyspark.sql import functions as F
+
+                @node
+                def scale(src=InputTable, dst=OutputTable,
+                          factor=Parameter(type="int", default=2)):
+                    df = src.read_dataframe()
+                    dst.replace(
+                        df.withColumn("scaled", F.col("o_totalprice") * factor)
+                    )
+                """
+            )
+        )
+    registry = os.path.join(tmp, "registry")
+    os.environ["BASIS_DEVKIT_SPARK_COMPONENTS"] = registry
+    publish_component(comp, "testorg/scaler@v1", registry=registry)
+
+    app = os.path.join(tmp, "app")
+    os.makedirs(app)
+    with open(os.path.join(app, "graph.yml"), "w") as f:
+        f.write(
+            textwrap.dedent(
+                """
+                functions:
+                  - uses: testorg/scaler@v1
+                    id: scalenode
+                    inputs:
+                      src_t: orders_in
+                    outputs:
+                      dst_t: scaled_out
+                    parameters:
+                      factor: 3
+                stores:
+                  - table: orders_in
+                  - table: scaled_out
+                """
+            )
+        )
+    eng = Engine(spark, os.path.join(tmp, "store"))
+    eng.load_graph(app)
+    eng.seed_store(
+        "orders_in",
+        load(spark, sf, "orders")
+        .filter(F.col("o_orderkey") <= 200)
+        .select("o_orderkey", "o_totalprice"),
+    )
+    eng.run_graph()
+    return eng.table_df("scaled_out").select("o_orderkey", "o_totalprice", "scaled")

@@ -184,3 +184,93 @@ def test_cron_matching():
     assert nf == datetime(2026, 8, 14, 3, 30)
     with pytest.raises(ValueError):
         cron_matches("bad cron", datetime.now())
+
+
+def test_component_fetch_from_registry(tmp_path, monkeypatch):
+    """uses: org/name@v1 resolves from the local registry and inline-expands
+    with the consumer's inputs/outputs/parameters mappings (reference
+    download.py:9-21 key resolution)."""
+    from basis_devkit_spark.graph.components import publish_component
+
+    comp = tmp_path / "comp"
+    comp.mkdir()
+    write_app(
+        comp,
+        """
+        exposes:
+          inputs: [src_t]
+          outputs: [dst_t]
+        functions:
+          - node_file: scale.py
+            id: scale
+            inputs:
+              src: src_t
+            outputs:
+              dst: dst_t
+            parameters:
+              factor: 2
+        """,
+        **{"scale.py": "# placeholder\n"},
+    )
+    registry = str(tmp_path / "registry")
+    monkeypatch.setenv("BASIS_DEVKIT_SPARK_COMPONENTS", registry)
+    publish_component(str(comp), "org/scaler@v1", registry=registry)
+
+    app = tmp_path / "app"
+    app.mkdir()
+    write_app(
+        app,
+        """
+        functions:
+          - uses: org/scaler@v1
+            id: usenode
+            inputs:
+              src_t: numbers
+            outputs:
+              dst_t: scaled
+            parameters:
+              factor: 5
+        stores:
+          - table: numbers
+          - table: scaled
+        """,
+    )
+    g = load_graph(str(app))
+    # the uses: node was replaced by the component's internal node
+    assert [n.kind for n in g.functions] == ["python"]
+    inner = g.functions[0]
+    assert inner.id == "usenode__scale"
+    assert inner.inputs == {"src": "numbers"}
+    assert inner.outputs == {"dst": "scaled"}
+    assert inner.parameters["factor"] == 5  # consumer override wins
+    # the component's node file resolves from the registry copy
+    resolved = os.path.join(str(app), inner.node_file)
+    assert os.path.exists(resolved)
+    assert registry in os.path.abspath(resolved)
+
+
+def test_component_unresolved_key_falls_through(tmp_path, monkeypatch):
+    monkeypatch.setenv("BASIS_DEVKIT_SPARK_COMPONENTS", str(tmp_path / "empty"))
+    app = tmp_path / "app"
+    app.mkdir()
+    write_app(
+        app,
+        """
+        functions:
+          - uses: nowhere/ghost@v9
+            id: ghostnode
+        stores: []
+        """,
+    )
+    g = load_graph(str(app))
+    assert g.functions[0].kind == "component"  # engine callable path
+
+
+def test_publish_rejects_bad_key_and_invalid_app(tmp_path):
+    from basis_devkit_spark.graph.components import publish_component
+
+    comp = tmp_path / "c"
+    comp.mkdir()
+    write_app(comp, "functions: []\nstores: []\n")
+    with pytest.raises(ValueError, match="org/name@version"):
+        publish_component(str(comp), "not-a-key")

@@ -225,3 +225,71 @@ def test_cli_config_and_unknown_app(spark, tmp_path, capsys):
     assert cfg["app"] is None
     with pytest.raises(SystemExit):
         main(["--root", root, "run"], spark=spark)
+
+
+def test_cli_publish_and_use_component(spark, tmp_path, capsys, monkeypatch):
+    from basis_devkit_spark.cli import main
+
+    comp = tmp_path / "comp"
+    write_app(
+        comp,
+        """
+        exposes:
+          inputs: [src_t]
+          outputs: [dst_t]
+        functions:
+          - node_file: double.sql
+            id: dbl
+            inputs:
+              nums_port: src_t
+            outputs:
+              out: dst_t
+        """,
+        **{"double.sql": "select x * 2 as y from {{ nums_port }}"},
+    )
+    registry = str(tmp_path / "registry")
+    monkeypatch.setenv("BASIS_DEVKIT_SPARK_COMPONENTS", registry)
+    assert (
+        main(["publish", str(comp), "acme/doubler@v1", "--registry", registry], spark=spark)
+        == 0
+    )
+    out = json.loads(capsys.readouterr().out)
+    assert out["published"] == "acme/doubler@v1"
+
+    app = tmp_path / "app"
+    write_app(
+        app,
+        """
+        functions:
+          - node_file: gen.py
+            id: gen
+            outputs:
+              dst: nums
+          - uses: acme/doubler@v1
+            id: dblnode
+            inputs:
+              src_t: nums
+            outputs:
+              dst_t: doubled
+        stores:
+          - table: nums
+          - table: doubled
+        """,
+        **{
+            "gen.py": """
+            from basis_devkit_spark import *
+
+            @node
+            def gen(dst=OutputTable):
+                dst.replace([{"x": 10}, {"x": 20}])
+            """,
+        },
+    )
+    root = str(tmp_path / "store")
+    main(["--root", root, "upload", str(app)], spark=spark)
+    capsys.readouterr()
+    assert main(["--root", root, "run"], spark=spark) == 0
+    capsys.readouterr()
+    main(["--root", root, "list", "stores"], spark=spark)
+    stores = {s["table"]: s for s in json.loads(capsys.readouterr().out)}
+    assert stores["doubled"]["records"] == 2
