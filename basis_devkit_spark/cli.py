@@ -14,6 +14,8 @@ Commands:
                                      name resolution: node id or file path)
   list     nodes|stores|webhooks     enumerate graph objects (list.py)
   download --table T --out PATH      export a store (parquet/csv/jsonl by ext)
+  pull     org/name@vN [dir]         extract a published component with
+                                     conflict protection (download.py:22-73)
   config   [--root R]                print resolved configuration (config.py)
   serve    [--port P]                HTTP webhook endpoint (create.py:177-197)
 
@@ -182,6 +184,43 @@ def cmd_publish(args, spark) -> int:
     return 0
 
 
+def cmd_pull(args, spark) -> int:
+    """Extract a published component into a working directory with
+    conflict protection (download.py:22-73: extract when no content
+    conflicts; otherwise print the diff and exit 1, or --force through)."""
+    import zipfile
+    from pathlib import Path
+
+    from basis_devkit_spark.graph.components import component_path
+    from basis_devkit_spark.graph.edit import (
+        compress_directory,
+        format_diffs,
+        get_diffs_between_zip_and_dir,
+    )
+
+    src = component_path(args.key, registry=args.registry)
+    if not src:
+        raise SystemExit(f"component not published locally: {args.key}")
+    dest = Path(args.directory or args.key.split("/")[-1].split("@")[0]).resolve()
+    content = compress_directory(Path(src))
+    with zipfile.ZipFile(content, "r") as zf:
+        if args.force:
+            zf.extractall(dest)
+        else:
+            conflicts = get_diffs_between_zip_and_dir(zf, dest, True)
+            if conflicts.changed:
+                print("pull would overwrite the following files:\n")
+                print(format_diffs(conflicts, context=args.diff, full=False))
+                print(
+                    "\nrun this command with --force to overwrite local files"
+                    + ("" if args.diff else ", or --diff to see differences")
+                )
+                return 1
+            zf.extractall(dest)
+    _out({"pulled": args.key, "to": str(dest)})
+    return 0
+
+
 def cmd_config(args, spark) -> int:
     root = _root(args)
     _out(
@@ -237,6 +276,17 @@ def build_parser() -> argparse.ArgumentParser:
     pub.add_argument("key", help="component key, e.g. myorg/scaler@v1")
     pub.add_argument("--registry", help="registry dir (default ~/.basis_devkit_spark/components or $BASIS_DEVKIT_SPARK_COMPONENTS)")
 
+    pl = sub.add_parser(
+        "pull", help="extract a published component into a directory"
+    )
+    pl.add_argument("key", help="component key, e.g. myorg/scaler@v1")
+    pl.add_argument("directory", nargs="?", help="target dir (default: name)")
+    pl.add_argument("--force", action="store_true", help="overwrite local files")
+    pl.add_argument(
+        "--diff", action="store_true", help="show full diff of conflicts"
+    )
+    pl.add_argument("--registry", help="registry dir override")
+
     sub.add_parser("config", help="print resolved configuration")
 
     sv = sub.add_parser("serve", help="HTTP webhook endpoint")
@@ -254,6 +304,7 @@ _COMMANDS = {
     "trigger": cmd_trigger,
     "list": cmd_list,
     "download": cmd_download,
+    "pull": cmd_pull,
     "config": cmd_config,
     "serve": cmd_serve,
 }
