@@ -42,6 +42,32 @@ def c03(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @register(
+    "c06_late_data_filter",
+    """
+    select event_id, event_type, cast(ts as timestamp) as ts
+    from (
+      select event_id, event_type, ts,
+             max(ts) over (order by event_id
+                           rows between unbounded preceding and 1 preceding)
+               as wm_ts
+      from events
+    )
+    where wm_ts is null or ts >= wm_ts - interval 10 minute
+    """,
+    doc="watermark late-data policy replayed on batch: drop rows whose event "
+    "time is below (max event time at arrival - 10 min); distributed "
+    "two-pass prefix-max, no global sort",
+)
+def c06(spark: SparkSession, sf: str) -> DataFrame:
+    from basis_devkit_spark.streaming.ops import drop_late_events
+
+    e = load(spark, sf, "events").select("event_id", "event_type", "ts")
+    return drop_late_events(
+        e, ts_col="ts", arrival_col="event_id", delay="10 minutes"
+    )
+
+
+@register(
     "c04_sliding_window",
     """
     with shifts as (select unnest([0, 1, 2, 3]) as i)

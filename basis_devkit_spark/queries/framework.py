@@ -188,6 +188,340 @@ def a09(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @register(
+    "a02_read_chunks",
+    "select c_custkey, c_acctbal from customer",
+    doc="Table.read_dataframe(chunksize): pandas chunk iteration reassembles "
+    "the table exactly (A2)",
+)
+def a02(spark: SparkSession, sf: str) -> DataFrame:
+    import pandas as pd
+
+    from basis_devkit_spark.node import Table
+    from basis_devkit_spark.storage.store import TableStore
+
+    tmp = tempfile.mkdtemp(prefix="bds_a02_")
+    store = TableStore(tmp, "customer", spark)
+    store.write_replace(load(spark, sf, "customer").select("c_custkey", "c_acctbal"))
+    t = Table("customer", "r")
+    t.bind(store, spark)
+    chunks = list(t.read_dataframe(chunksize=200))
+    assert all(len(c) <= 200 for c in chunks)
+    return spark.createDataFrame(
+        pd.concat(chunks, ignore_index=True), schema=store.read().schema
+    )
+
+
+@register(
+    "a04_append",
+    """
+    select o_orderkey, o_totalprice from orders where o_orderkey % 7 = 0
+    union all
+    select o_orderkey, o_totalprice from orders where o_orderkey % 7 = 1
+    """,
+    doc="copy-on-write append (A4): two appended batches, each in its own "
+    "immutable lineage directory; read = union of the lineage",
+)
+def a04(spark: SparkSession, sf: str) -> DataFrame:
+    from basis_devkit_spark.node import Table
+    from basis_devkit_spark.storage.store import TableStore
+
+    tmp = tempfile.mkdtemp(prefix="bds_a04_")
+    store = TableStore(tmp, "t", spark)
+    t = Table("t", "w")
+    t.bind(store, spark)
+    orders = load(spark, sf, "orders").select("o_orderkey", "o_totalprice")
+    t.append(orders.filter(F.col("o_orderkey") % 7 == 0))
+    t.flush()
+    t.append(orders.filter(F.col("o_orderkey") % 7 == 1))
+    t.flush()
+    return t.read_dataframe()
+
+
+@register(
+    "a09b_time_travel",
+    "select o_orderkey, o_totalprice from orders where o_orderkey % 4 = 0",
+    doc="time travel (A9): read_version(v1) is byte-stable after later "
+    "appends (lineage dirs are immutable once committed)",
+)
+def a09b(spark: SparkSession, sf: str) -> DataFrame:
+    from basis_devkit_spark.storage.store import TableStore
+
+    tmp = tempfile.mkdtemp(prefix="bds_a09b_")
+    store = TableStore(tmp, "t", spark)
+    orders = load(spark, sf, "orders").select("o_orderkey", "o_totalprice")
+    v1 = store.write_replace(orders.filter(F.col("o_orderkey") % 4 == 0))
+    store.append(orders.filter(F.col("o_orderkey") % 4 == 1))
+    store.append(orders.filter(F.col("o_orderkey") % 4 == 2))
+    return store.read_version(v1)
+
+
+@register(
+    "a14_stream_checkpoint",
+    """
+    select event_id, event_type, user_id from (
+      select event_id, event_type, user_id,
+             row_number() over (order by event_id) as rn
+      from events
+    ) where rn > 300
+    """,
+    doc="stream checkpoint/rollback (A14): consume 300 records, checkpoint, "
+    "consume 200 more, roll back — the read resumes after record #300",
+)
+def a14(spark: SparkSession, sf: str) -> DataFrame:
+    from basis_devkit_spark.node import Table
+    from basis_devkit_spark.storage.store import TableStore
+
+    tmp = tempfile.mkdtemp(prefix="bds_a14_")
+    store = TableStore(tmp, "events", spark)
+    store.write_replace(load(spark, sf, "events"))
+    t = Table("events", "r")
+    t.bind(store, spark)
+    stream = t.as_stream(order_by="event_id")
+    it = stream.consume_records()
+    for _ in range(300):
+        next(it)
+    stream.checkpoint()
+    for _ in range(200):
+        next(it)
+    stream.rollback()  # discard the 200 past the checkpoint
+    return stream.read_dataframe().select("event_id", "event_type", "user_id")
+
+
+@register(
+    "a15_stream_seek",
+    "select event_id, event_type, user_id from events where event_id > 750",
+    doc="stream rewind + seek (A15): consume some, rewind to start, seek(750) "
+    "— next read is strictly greater than the sought value",
+)
+def a15(spark: SparkSession, sf: str) -> DataFrame:
+    from basis_devkit_spark.node import Table
+    from basis_devkit_spark.storage.store import TableStore
+
+    tmp = tempfile.mkdtemp(prefix="bds_a15_")
+    store = TableStore(tmp, "events", spark)
+    store.write_replace(load(spark, sf, "events"))
+    t = Table("events", "r")
+    t.bind(store, spark)
+    stream = t.as_stream(order_by="event_id")
+    it = stream.consume_records()
+    for _ in range(100):
+        next(it)
+    stream.rewind()
+    stream.seek(750)
+    return stream.read_dataframe().select("event_id", "event_type", "user_id")
+
+
+@register(
+    "a17_state_persistence",
+    """
+    select * from (values ('cursor', '42'), ('phase', 'two')) as t(key, value)
+    """,
+    doc="state kv persistence (A17): StateStore save → fresh instance load "
+    "round-trips the node's state document",
+)
+def a17(spark: SparkSession, sf: str) -> DataFrame:
+    from basis_devkit_spark.storage.state import StateStore
+
+    tmp = tempfile.mkdtemp(prefix="bds_a17_")
+    StateStore(tmp).save("node1", {"cursor": "42", "phase": "two"})
+    reloaded = StateStore(tmp).load("node1")  # fresh instance, disk read
+    rows = sorted(reloaded.items())
+    return spark.createDataFrame(rows, "key string, value string")
+
+
+@register(
+    "a19_rerun_chunked",
+    "select o_orderkey, o_totalprice from orders where o_orderkey <= 6000",
+    doc="request_new_run chunked processing (A19): node appends one 1500-key "
+    "range per run and re-enqueues itself until the input is exhausted",
+)
+def a19(spark: SparkSession, sf: str) -> DataFrame:
+    import os
+    import textwrap
+
+    from basis_devkit_spark.engine import Engine
+
+    tmp = tempfile.mkdtemp(prefix="bds_a19_")
+    app = os.path.join(tmp, "app")
+    os.makedirs(app)
+    with open(os.path.join(app, "graph.yml"), "w") as f:
+        f.write(
+            textwrap.dedent(
+                """
+                functions:
+                  - node_file: chunker.py
+                    id: chunknode
+                    inputs:
+                      src_t: src
+                    outputs:
+                      dst_t: dst
+                stores:
+                  - table: src
+                  - table: dst
+                """
+            )
+        )
+    with open(os.path.join(app, "chunker.py"), "w") as f:
+        f.write(
+            textwrap.dedent(
+                """
+                from basis_devkit_spark import Table, State
+                from pyspark.sql import functions as F
+
+                src = Table("src_t", "r")
+                dst = Table("dst_t", "w")
+                state = State()
+
+                lo = state.get_value("offset", -1500)  # first range covers key 0
+                batch = src.read_dataframe().filter(
+                    (F.col("o_orderkey") > lo)
+                    & (F.col("o_orderkey") <= lo + 1500)
+                )
+                dst.append(batch)
+                state.set_value("offset", lo + 1500)
+                if lo + 1500 < 6000:
+                    state.request_new_run()
+                """
+            )
+        )
+    eng = Engine(spark, os.path.join(tmp, "store"))
+    eng.load_graph(app)
+    eng.seed_store(
+        "src",
+        load(spark, sf, "orders")
+        .filter(F.col("o_orderkey") <= 6000)
+        .select("o_orderkey", "o_totalprice"),
+    )
+    eng.run_graph()
+    return eng.table_df("dst")
+
+
+@register(
+    "a20_parameters",
+    """
+    select o_orderkey, o_totalprice from orders
+    where o_totalprice > 100000.0 and o_orderkey <= 30000
+    """,
+    doc="graph.yml parameters (A20): SQL node template renders "
+    "{{ threshold }} from the node's parameters block",
+)
+def a20(spark: SparkSession, sf: str) -> DataFrame:
+    import os
+    import textwrap
+
+    from basis_devkit_spark.engine import Engine
+
+    tmp = tempfile.mkdtemp(prefix="bds_a20_")
+    app = os.path.join(tmp, "app")
+    os.makedirs(app)
+    with open(os.path.join(app, "graph.yml"), "w") as f:
+        f.write(
+            textwrap.dedent(
+                """
+                functions:
+                  - node_file: filt.sql
+                    id: filtnode
+                    inputs:
+                      src: orders_in
+                    outputs:
+                      out: filtered
+                    parameters:
+                      threshold: 100000.0
+                      keycap: 30000
+                stores:
+                  - table: orders_in
+                  - table: filtered
+                """
+            )
+        )
+    with open(os.path.join(app, "filt.sql"), "w") as f:
+        f.write(
+            "select o_orderkey, o_totalprice from {{ src }}\n"
+            "where o_totalprice > {{ threshold }} and o_orderkey <= {{ keycap }}"
+        )
+    eng = Engine(spark, os.path.join(tmp, "store"))
+    eng.load_graph(app)
+    eng.seed_store(
+        "orders_in",
+        load(spark, sf, "orders").select("o_orderkey", "o_totalprice"),
+    )
+    eng.run_graph()
+    return eng.table_df("filtered")
+
+
+@register(
+    "a22_webhook_ingest",
+    """
+    select kind, count(*) as n
+    from (values ('a'), ('b'), ('a'), ('c'), ('a')) as t(kind)
+    group by kind
+    """,
+    doc="webhook ingest + propagation (A22): payload lands in the webhook's "
+    "auto-created table; the downstream SQL node fires on the signal",
+)
+def a22(spark: SparkSession, sf: str) -> DataFrame:
+    import os
+    import textwrap
+
+    from basis_devkit_spark.engine import Engine
+
+    tmp = tempfile.mkdtemp(prefix="bds_a22_")
+    app = os.path.join(tmp, "app")
+    os.makedirs(app)
+    with open(os.path.join(app, "graph.yml"), "w") as f:
+        f.write(
+            textwrap.dedent(
+                """
+                functions:
+                  - webhook: hook
+                  - node_file: agg.sql
+                    id: aggnode
+                    inputs:
+                      hook: hook
+                    outputs:
+                      out: totals
+                stores:
+                  - table: totals
+                """
+            )
+        )
+    with open(os.path.join(app, "agg.sql"), "w") as f:
+        f.write("select kind, count(*) as n from {{ hook }} group by kind")
+    eng = Engine(spark, os.path.join(tmp, "store"))
+    eng.load_graph(app)
+    eng.webhook_receive(
+        "hook",
+        [{"kind": k} for k in ["a", "b", "a", "c", "a"]],
+    )
+    return eng.table_df("totals")
+
+
+@register(
+    "a23_cron_schedule",
+    """
+    select ts from generate_series(
+      timestamp '2024-01-01 00:00:00',
+      timestamp '2024-01-01 03:45:00',
+      interval 15 minute
+    ) as t(ts)
+    """,
+    doc="cron schedule computation (A23): next_fire chain for "
+    "'*/15 0-3 1 1 *' matches an independent 15-minute series",
+)
+def a23(spark: SparkSession, sf: str) -> DataFrame:
+    from datetime import datetime
+
+    from basis_devkit_spark.engine.cron import next_fire
+
+    fires = []
+    at = datetime(2023, 12, 31, 23, 59)
+    for _ in range(16):
+        at = next_fire("*/15 0-3 1 1 *", at)
+        fires.append((at,))
+    return spark.createDataFrame(fires, "ts timestamp")
+
+
+@register(
     "b02_csv_scan",
     "select n_nationkey, n_name, n_regionkey from nation",
     doc="CSV source round-trip: managed write → csv read with explicit schema",

@@ -109,6 +109,57 @@ def dedup_within_watermark(
     return df.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(keys)
 
 
+def drop_late_events(
+    df: DataFrame,
+    ts_col: str = "ts",
+    arrival_col: str = "event_id",
+    delay: str = "10 minutes",
+    bucket_size: int = 8192,
+) -> DataFrame:
+    """Deterministic batch replay of the watermark late-data policy (C6).
+
+    Processing order is ``arrival_col``; the watermark after each arrival
+    is (max event time seen so far) − ``delay``; a row is LATE — dropped —
+    iff its event time is below the watermark established *before* it
+    arrived (the same rule ``withWatermark`` applies in a live stream,
+    replayed exactly for batch verification).
+
+    Scale design: the naive form is one exclusive running max over a
+    no-partition window — a single-task global sort (the anti-pattern).
+    Instead the prefix max is computed distributed in two passes:
+    per-bucket maxima (tiny agg, |buckets| = n/bucket_size rows) get an
+    exclusive cumulative max on the bucket list, broadcast back; each
+    bucket then computes its within-bucket exclusive running max in
+    parallel. exclusive_prefix_max(row) == greatest(prior-bucket cummax,
+    within-bucket exclusive max) — exact, with no global shuffle of the
+    data.
+    """
+    from pyspark.sql.window import Window
+
+    b = F.floor(F.col(arrival_col) / F.lit(bucket_size)).alias("__b")
+    df2 = df.withColumn("__b", b)
+    bmax = df2.groupBy("__b").agg(F.max(ts_col).alias("__bmax"))
+    wb = Window.orderBy("__b").rowsBetween(Window.unboundedPreceding, -1)
+    bprev = bmax.withColumn("__prevmax", F.max("__bmax").over(wb)).select(
+        "__b", "__prevmax"
+    )
+    wr = (
+        Window.partitionBy("__b")
+        .orderBy(arrival_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    return (
+        df2.join(F.broadcast(bprev), "__b", "left")
+        .withColumn(
+            "__runmax",
+            F.greatest(F.max(ts_col).over(wr), F.col("__prevmax")),
+        )
+        .withColumn("__wm", F.col("__runmax") - F.expr(f"INTERVAL {delay}"))
+        .filter(F.col("__wm").isNull() | (F.col(ts_col) >= F.col("__wm")))
+        .drop("__b", "__prevmax", "__runmax", "__wm")
+    )
+
+
 def stateful_running_agg(
     df: DataFrame,
     key_col: str = "user_id",
