@@ -238,6 +238,31 @@ def a04(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @register(
+    "a06b_partitioned_store",
+    """
+    select o_orderkey, o_totalprice, o_orderstatus
+    from orders where o_orderstatus = 'O'
+    """,
+    doc="partition_by store config: hive-layout write; the status filter "
+    "prunes to one partition directory at the file index (A6 + B1)",
+)
+def a06b(spark: SparkSession, sf: str) -> DataFrame:
+    from basis_devkit_spark.storage.store import TableStore
+
+    tmp = tempfile.mkdtemp(prefix="bds_a06b_")
+    store = TableStore(tmp, "orders", spark)
+    store.configure(partition_by="o_orderstatus")
+    store.write_replace(
+        load(spark, sf, "orders").select(
+            "o_orderkey", "o_totalprice", "o_orderstatus"
+        )
+    )
+    return store.read().filter(F.col("o_orderstatus") == "O").select(
+        "o_orderkey", "o_totalprice", "o_orderstatus"
+    )
+
+
+@register(
     "a09b_time_travel",
     "select o_orderkey, o_totalprice from orders where o_orderkey % 4 = 0",
     doc="time travel (A9): read_version(v1) is byte-stable after later "

@@ -123,3 +123,28 @@ def test_topk_global_uses_take_ordered(spark):
         .limit(10)
     )
     assert "TakeOrderedAndProject" in plan_of(df)
+
+
+def test_partitioned_store_read_prunes_partitions(spark, tmp_path):
+    """A store configured with partition_by writes hive-style directories;
+    a filter on the partition column must prune at the file index (shown as
+    PartitionFilters on the scan), reading only the matching directory —
+    the mechanism that scopes cursor reads and upsert merges at 100 TB."""
+    from basis_devkit_spark.storage.store import TableStore
+
+    store = TableStore(str(tmp_path), "orders", spark)
+    store.configure(partition_by="o_orderstatus")
+    store.write_replace(
+        load(spark, SF, "orders").select(
+            "o_orderkey", "o_totalprice", "o_orderstatus"
+        )
+    )
+    df = store.read().filter(F.col("o_orderstatus") == "O")
+    plan = formatted(df)
+    assert "PartitionFilters" in plan
+    assert "o_orderstatus" in plan.split("PartitionFilters", 1)[1].split("\n")[0]
+    # Correctness of the pruned read
+    expected = (
+        load(spark, SF, "orders").filter(F.col("o_orderstatus") == "O").count()
+    )
+    assert df.count() == expected
