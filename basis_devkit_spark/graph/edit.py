@@ -327,8 +327,19 @@ class GraphConfigEditor:
         span = self._block_span(key)
         item = self._render_item(d)
         if span is None:
-            if self._lines and self._lines[-1].strip():
-                pass
+            # The key may still exist flow-style (`functions: [...]`) —
+            # appending a second block key would shadow it. Convert that one
+            # line to block style (all other lines untouched).
+            flow_pat = re.compile(rf"^{re.escape(key)}\s*:\s*\[(.*)\]\s*(#.*)?$")
+            for i, line in enumerate(self._lines):
+                m = flow_pat.match(line)
+                if m:
+                    existing = yaml.safe_load(f"[{m.group(1)}]") or []
+                    block = [f"{key}:" + (f"  {m.group(2)}" if m.group(2) else "")]
+                    for it in existing:
+                        block.extend(self._render_item(it))
+                    self._lines[i:i + 1] = block + item
+                    return
             self._lines.append(f"{key}:")
             self._lines.extend(item)
             return

@@ -306,3 +306,26 @@ class TestCliPull:
         )
         assert rc == 0
         assert (dest / "a.py").read_text().startswith("def run")
+
+
+class TestFlowStyleBlocks:
+    def test_append_into_flow_style_empty_list(self, tmp_path):
+        p = tmp_path / "graph.yml"
+        p.write_text("# top\ntitle: T\nfunctions: []\nstores:\n  - table: t\n")
+        ed = GraphConfigEditor(p)
+        ed.add_node("a.py", id="aaaaaaaa")
+        parsed = yaml.safe_load(ed.dump())
+        assert parsed["functions"] == [{"node_file": "a.py", "id": "aaaaaaaa"}]
+        assert "# top" in ed.dump()
+        assert parsed["stores"] == [{"table": "t"}]
+
+    def test_append_into_flow_style_nonempty_list(self, tmp_path):
+        p = tmp_path / "graph.yml"
+        p.write_text("functions: [{node_file: x.py, id: xxxxxxxx}]\n")
+        ed = GraphConfigEditor(p)
+        ed.add_node("y.py", id="yyyyyyyy")
+        parsed = yaml.safe_load(ed.dump())
+        assert [n["node_file"] for n in parsed["functions"]] == ["x.py", "y.py"]
+        # Duplicate detection still sees the flow-style entries.
+        with pytest.raises(ValueError, match="already defined"):
+            ed.add_node("x.py")
