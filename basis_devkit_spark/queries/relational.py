@@ -640,6 +640,11 @@ def b31(spark: SparkSession, sf: str) -> DataFrame:
     """,
 )
 def b32(spark: SparkSession, sf: str) -> DataFrame:
+    # cume_dist/percent_rank over the whole relation are total-order
+    # statistics — the no-partition window is the operator's semantics, not
+    # an implementation shortcut. At 100 TB rewrite as two passes: global
+    # rank via range-partitioned sort + per-partition offsets (the
+    # drop_late_events prefix pattern), divided by one count.
     w = Window.orderBy("o_totalprice", "o_orderkey")
     return load(spark, sf, "orders").select(
         "o_orderkey",
