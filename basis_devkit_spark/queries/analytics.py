@@ -171,8 +171,37 @@ def d01(spark: SparkSession, sf: str) -> DataFrame:
 
 @register(
     "d02_ngram_jaccard_pairs",
-    None,  # inverted-index self-join; SQL-expressible but quadratic in DuckDB — rows-only
-    doc="exact word-set Jaccard near-dup pairs (threshold 0.6)",
+    """
+    with toks as (
+      select doc_id, string_split(lower(text), ' ') as ws from documents
+    ),
+    sh0 as (
+      select doc_id, ws,
+             unnest(range(1, greatest(len(ws) - 2, 1) + 1)) as i
+      from toks
+    ),
+    sh as (
+      select distinct doc_id,
+             array_to_string(list_slice(ws, i, i + 2), ' ') as s
+      from sh0
+    ),
+    capped as (select s from sh group by s having count(*) <= 200),
+    shc as (select sh.doc_id, sh.s from sh join capped using (s)),
+    sizes as (select doc_id, count(*) as sz from shc group by doc_id),
+    ints as (
+      select a.doc_id as id_a, b.doc_id as id_b, count(*) as n_i
+      from shc a join shc b on a.s = b.s and a.doc_id < b.doc_id
+      group by 1, 2
+    )
+    select id_a, id_b, n_i / (sa.sz + sb.sz - n_i) as jaccard
+    from ints
+    join sizes sa on sa.doc_id = id_a
+    join sizes sb on sb.doc_id = id_b
+    where n_i / (sa.sz + sb.sz - n_i) >= 0.6
+    """,
+    doc="exact word-set Jaccard near-dup pairs (threshold 0.6); oracle "
+    "recomputes the inverted-index join on shingle STRINGS (hash-free), so "
+    "it also witnesses the xxhash64 shingle hashing being collision-clean",
 )
 def d02(spark: SparkSession, sf: str) -> DataFrame:
     from basis_devkit_spark.operators.dedup import ngram_jaccard_pairs
@@ -318,10 +347,63 @@ def d04(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+_LANG_ARR = {
+    "en": "['the','and','of','to','in','is','that','for','with','a']",
+    "de": "['der','die','das','und','ist','nicht','mit','ein','zu','den']",
+    "fr": "['le','la','les','et','est','pas','des','une','que','dans']",
+    "es": "['el','la','los','las','y','es','no','una','que','por']",
+    "zh": "['的','是','不','了','在','人','有','我','他','这']",
+}
+
+_STATS_SQL = """
+  select *,
+    len(string_split(trim(text), ' ')) as n_words,
+    round(len(regexp_replace(text, '[^\\.,;:!\\?''"()\\[\\]-]', '', 'g'))
+          / greatest(len(text), 1), 6) as punct_ratio,
+    round(len(list_filter(string_split(lower(trim(text)), ' '),
+          w -> list_contains(['the','and','of','to','in','is','that','for',
+                              'with','a','it','on','as','at','by','an','be',
+                              'or','are','was','this'], w)))
+          / greatest(len(string_split(trim(text), ' ')), 1), 6) as stopword_ratio,
+    round(len(regexp_replace(text, '\\s+', '', 'g'))
+          / greatest(len(string_split(trim(text), ' ')), 1), 6) as mean_word_len
+  from documents
+"""
+
+_QUALITY_EXPR = """
+      round((least(n_words / 50.0, 1.0)
+             + cast(mean_word_len >= 3 and mean_word_len <= 10 as double)
+             + least(stopword_ratio * 5.0, 1.0)
+             + greatest(0.0, 1.0 - punct_ratio * 5.0)) / 4.0, 6)
+"""
+
+
 @register(
     "d04b_lang_id",
-    None,  # argmax-over-marker-scores; checked vs ground-truth lang col in tests
-    doc="n-gram/marker-word language identification heuristic",
+    f"""
+    with w as (
+      select doc_id, lang, string_split(lower(trim(text)), ' ') as ws
+      from documents
+    ),
+    s as (select doc_id, lang,
+      len(list_intersect(ws, {_LANG_ARR['en']})) as s_en,
+      len(list_intersect(ws, {_LANG_ARR['de']})) as s_de,
+      len(list_intersect(ws, {_LANG_ARR['fr']})) as s_fr,
+      len(list_intersect(ws, {_LANG_ARR['es']})) as s_es,
+      len(list_intersect(ws, {_LANG_ARR['zh']})) as s_zh
+    from w)
+    select doc_id, lang,
+      case when greatest(s_en, s_de, s_fr, s_es, s_zh) = 0 then 'und'
+           when s_en >= s_de and s_en >= s_fr and s_en >= s_es
+                and s_en >= s_zh then 'en'
+           when s_de >= s_fr and s_de >= s_es and s_de >= s_zh then 'de'
+           when s_fr >= s_es and s_fr >= s_zh then 'fr'
+           when s_es >= s_zh then 'es'
+           else 'zh' end as lang_pred
+    from s
+    """,
+    doc="marker-word language-ID heuristic (argmax of per-language marker "
+    "hits; ties keep the earlier language; zero hits -> 'und')",
 )
 def d04b(spark: SparkSession, sf: str) -> DataFrame:
     from basis_devkit_spark.operators.text import language_id
@@ -332,7 +414,10 @@ def d04b(spark: SparkSession, sf: str) -> DataFrame:
 
 @register(
     "d04c_quality_score",
-    None,  # composite heuristic; component stats oracle-checked via d04
+    f"""
+    select doc_id, {_QUALITY_EXPR} as quality_score
+    from ({_STATS_SQL})
+    """,
     doc="document quality scoring (length/stopword/punctuation composite)",
 )
 def d04c(spark: SparkSession, sf: str) -> DataFrame:
@@ -494,7 +579,16 @@ def d06c(spark: SparkSession, sf: str) -> DataFrame:
 
 @register(
     "d04f_filter_corpus",
-    None,  # composite of independently-oracled parts (quality is heuristic)
+    f"""
+    with q as (
+      select doc_id, lang, n_words, {_QUALITY_EXPR} as quality_score,
+             md5(text) as h
+      from ({_STATS_SQL})
+    )
+    select doc_id, lang, n_words, quality_score from q
+    where n_words >= 10 and quality_score >= 0.3
+    qualify row_number() over (partition by h order by doc_id) = 1
+    """,
     doc="training-corpus filter pipeline: length + quality + lang + dedup",
 )
 def d04f(spark: SparkSession, sf: str) -> DataFrame:
