@@ -478,12 +478,52 @@ class TableStore:
                 return
             old = self.read()
             df = _align_columns(df, old.schema)
-            survivors = old.join(df.select(*keys), on=keys, how="left_anti")
+            survivors = self._upsert_survivors(old, df, keys)
             merged = survivors.unionByName(df, allowMissingColumns=True)
             v, n = self._commit_single_dir_version(merged)
             self.set_active_version(v, record_count=n)
         finally:
             self._release()
+
+    def _upsert_survivors(
+        self, old: DataFrame, df: DataFrame, keys: list[str]
+    ) -> DataFrame:
+        """Old rows that survive the merge. Partition-scoped when the store
+        is partitioned: only partitions the batch actually touches join
+        against the new keys; every other partition passes through behind a
+        partition-pruning filter (no shuffle, no join). At scale this turns
+        an all-partitions shuffle merge into one scoped to the written keys
+        — the Delta/Iceberg dynamic-partition MERGE shape."""
+        pcols = self._manifest.partition_by
+        if not pcols or any(c not in df.columns for c in pcols):
+            return old.join(df.select(*keys), on=keys, how="left_anti")
+        touched = [
+            tuple(r[c] for c in pcols)
+            for r in df.select(*pcols).distinct().collect()
+        ]
+        if not touched:
+            return old
+        if len(touched) > 1000:
+            # Predicate would be unwieldy; fall back to the global merge.
+            return old.join(df.select(*keys), on=keys, how="left_anti")
+        conds = []
+        for t in touched:
+            c = F.lit(True)
+            for col, v in zip(pcols, t):
+                c = c & (
+                    F.col(col).isNull() if v is None else (F.col(col) == F.lit(v))
+                )
+            conds.append(c)
+        cond = conds[0]
+        for c in conds[1:]:
+            cond = cond | c
+        # coalesce: a null comparison must land a row in exactly one branch.
+        in_touched = F.coalesce(cond, F.lit(False))
+        untouched = old.filter(~in_touched)
+        scoped = old.filter(in_touched).join(
+            df.select(*keys), on=keys, how="left_anti"
+        )
+        return untouched.unionByName(scoped)
 
 
 def _align_columns(df: DataFrame, target: T.StructType) -> DataFrame:

@@ -218,3 +218,76 @@ def test_partitioned_store_prunes(spark, tmp_path):
     # appends keep the layout
     store.append(spark.createDataFrame([(99, "2026-01-01")], "k int, d string"))
     assert store.read().count() == 31
+
+
+def test_partitioned_upsert_scopes_merge_and_preserves_untouched(spark, tmp_path):
+    """Upsert on a partitioned store: touched partitions merge on the key,
+    untouched partitions pass through unchanged; results identical to a
+    global merge."""
+    from basis_devkit_spark.storage.store import TableStore
+
+    store = TableStore(str(tmp_path), "t", spark)
+    store.configure(unique_on="k", partition_by="p")
+    base = spark.createDataFrame(
+        [(i, ["a", "b", "c"][i % 3], float(i)) for i in range(30)],
+        "k int, p string, val double",
+    )
+    store.write_replace(base)
+    # Batch touches only partition 'a': update k=0, insert k=100.
+    batch = spark.createDataFrame(
+        [(0, "a", 999.0), (100, "a", 111.0)], "k int, p string, val double"
+    )
+    store.upsert(batch)
+    got = {(r.k, r.p): r.val for r in store.read().collect()}
+    assert got[(0, "a")] == 999.0 and got[(100, "a")] == 111.0
+    # Untouched partitions byte-identical.
+    for i in range(30):
+        p = ["a", "b", "c"][i % 3]
+        if p != "a":
+            assert got[(i, p)] == float(i)
+    assert len(got) == 31
+
+
+def test_partitioned_upsert_join_is_partition_pruned(spark, tmp_path):
+    """The survivors plan must show the anti-join reading only touched
+    partitions (PartitionFilters on that scan branch)."""
+    from basis_devkit_spark.storage.store import TableStore
+
+    store = TableStore(str(tmp_path), "t", spark)
+    store.configure(unique_on="k", partition_by="p")
+    base = spark.createDataFrame(
+        [(i, ["a", "b", "c"][i % 3], float(i)) for i in range(30)],
+        "k int, p string, val double",
+    )
+    store.write_replace(base)
+    batch = spark.createDataFrame([(0, "a", 9.0)], "k int, p string, val double")
+    batch = store._apply_hints(batch)
+    survivors = store._upsert_survivors(store.read(), batch, ["k"])
+    plan = survivors._sc._jvm.PythonSQLUtils.explainString(
+        survivors._jdf.queryExecution(), "formatted"
+    )
+    assert "PartitionFilters" in plan
+    pf_lines = [ln for ln in plan.splitlines() if "PartitionFilters" in ln]
+    # At least one scan carries a non-trivial partition predicate on p.
+    assert any("p#" in ln or "(p" in ln or "p =" in ln for ln in pf_lines), pf_lines
+
+
+def test_partitioned_upsert_null_partition_value(spark, tmp_path):
+    """Rows with a NULL partition value must land in exactly one branch of
+    the scoped merge (never dropped, never duplicated)."""
+    from basis_devkit_spark.storage.store import TableStore
+
+    store = TableStore(str(tmp_path), "t", spark)
+    store.configure(unique_on="k", partition_by="p")
+    base = spark.createDataFrame(
+        [(1, "a", 1.0), (2, None, 2.0), (3, "b", 3.0)],
+        "k int, p string, val double",
+    )
+    store.write_replace(base)
+    # Touch only the NULL partition.
+    store.upsert(
+        spark.createDataFrame([(2, None, 22.0)], "k int, p string, val double")
+    )
+    got = {r.k: (r.p, r.val) for r in store.read().collect()}
+    assert got[2][1] == 22.0 and got[1] == ("a", 1.0) and got[3] == ("b", 3.0)
+    assert len(got) == 3
