@@ -7,6 +7,7 @@ server is this process's Spark engine, so "upload" registers an app with a
 storage root and the other commands operate on it.
 
 Commands:
+  create   app|node <loc> [...]      scaffold an app / add a node (create.py)
   upload   <app> [--root R]          validate graph.yml, register app with root
   publish  <app> org/name@vN         publish app as a component (upload.py:74-97)
   run      [<app>] [--root R]        execute the full graph (topological)
@@ -184,6 +185,104 @@ def cmd_publish(args, spark) -> int:
     return 0
 
 
+# Node-file scaffolds (create.py:229-244, adapted to this SDK's imports).
+_PY_NODE_TEMPLATE = """\
+# New python node: read connected inputs, write connected outputs.
+
+from basis_devkit_spark import (
+    Parameter,
+    State,
+    Table,
+)
+"""
+
+_SQL_NODE_TEMPLATE = """\
+-- Use {{ port }} to reference connected tables and {{ param }} for parameters.
+
+select
+"""
+
+
+def cmd_create(args, spark) -> int:
+    """Scaffold apps and nodes (create.py:23-206): `create app <dir>` writes
+    a titled graph.yml; `create node <file>` adds a function node with a
+    .py/.sql/graph.yml template; --type webhook|component|table edit the
+    graph.yml the same way the reference does (webhook auto-creates its
+    output table)."""
+    import re as _re
+
+    from basis_devkit_spark.graph.edit import GraphConfigEditor
+    from basis_devkit_spark.graph.loader import find_graph_file, random_node_id
+
+    if args.kind == "app":
+        loc = args.location
+        path = loc if loc.endswith((".yml", ".yaml")) else os.path.join(loc, "graph.yml")
+        if os.path.exists(path):
+            raise SystemExit(f"cannot create app: {path} already exists")
+        name = args.name or os.path.basename(loc.rstrip("/")).rsplit(".", 1)[0]
+        slug = _re.sub("[^a-zA-Z0-9-]+", "", _re.sub("[_ ]+", "-", name)).lower()
+        os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+        GraphConfigEditor(path, read=False).set_name(name).set_slug(slug).write()
+        _out({"created": "app", "graph": path, "name": name, "slug": slug})
+        return 0
+
+    # kind == "node"
+    loc = args.location
+    ntype = args.type
+    if ntype == "function":
+        if os.path.exists(loc):
+            raise SystemExit(f"cannot create node: {loc} already exists")
+        graph_file = (
+            find_graph_file(args.app) if args.app
+            else find_graph_file(os.path.dirname(os.path.abspath(loc)))
+        )
+        gdir = os.path.dirname(graph_file)
+        node_file = os.path.relpath(os.path.abspath(loc), gdir).replace(os.sep, "/")
+        base = os.path.basename(loc)
+        title = args.title or (
+            os.path.basename(os.path.dirname(loc)) if base == "graph.yml"
+            else base.rsplit(".", 1)[0]
+        )
+        editor = GraphConfigEditor(graph_file)
+        editor.add_node(title=title, node_file=node_file, id=random_node_id())
+        # Write the node file last to avoid partial updates (create.py:148).
+        if loc.endswith(".py"):
+            content = _PY_NODE_TEMPLATE
+        elif loc.endswith(".sql"):
+            content = _SQL_NODE_TEMPLATE
+        elif base == "graph.yml":
+            os.makedirs(os.path.dirname(loc) or ".", exist_ok=True)
+            GraphConfigEditor(loc, read=False).set_name(title).write()
+            content = None
+        else:
+            raise SystemExit("node file must be graph.yml or end in .py or .sql")
+        if content is not None:
+            os.makedirs(os.path.dirname(os.path.abspath(loc)), exist_ok=True)
+            with open(loc, "w") as f:
+                f.write(content)
+        editor.write()
+        _out({"created": "node", "file": node_file, "graph": graph_file})
+        return 0
+
+    graph_file = find_graph_file(args.app or os.getcwd())
+    editor = GraphConfigEditor(graph_file)
+    if ntype == "webhook":
+        editor.add_webhook(loc, id=random_node_id(), title=args.title or None)
+        if not any(n.get("table") == loc for n in editor.store_nodes()):
+            editor.add_table(loc, id=random_node_id())
+    elif ntype == "component":
+        editor.add_component_uses(loc, title=args.title or None)
+    elif ntype == "table":
+        if args.title:
+            raise SystemExit("tables cannot have titles")
+        editor.add_table(loc)
+    else:
+        raise SystemExit(f"unknown node type {ntype}")
+    editor.write()
+    _out({"created": ntype, "name": loc, "graph": graph_file})
+    return 0
+
+
 def cmd_pull(args, spark) -> int:
     """Extract a published component into a working directory with
     conflict protection (download.py:22-73: extract when no content
@@ -276,6 +375,19 @@ def build_parser() -> argparse.ArgumentParser:
     pub.add_argument("key", help="component key, e.g. myorg/scaler@v1")
     pub.add_argument("--registry", help="registry dir (default ~/.basis_devkit_spark/components or $BASIS_DEVKIT_SPARK_COMPONENTS)")
 
+    cr = sub.add_parser("create", help="scaffold an app or node")
+    cr.add_argument("kind", choices=["app", "node"])
+    cr.add_argument("location", help="app dir, node file, or node/table name")
+    cr.add_argument("--name", help="app name (default: directory name)")
+    cr.add_argument("--title", default="", help="node title")
+    cr.add_argument("--app", help="app dir the node belongs to")
+    cr.add_argument(
+        "--type",
+        default="function",
+        choices=["function", "component", "webhook", "table"],
+        help="node type (default function)",
+    )
+
     pl = sub.add_parser(
         "pull", help="extract a published component into a directory"
     )
@@ -305,6 +417,7 @@ _COMMANDS = {
     "list": cmd_list,
     "download": cmd_download,
     "pull": cmd_pull,
+    "create": cmd_create,
     "config": cmd_config,
     "serve": cmd_serve,
 }
