@@ -17,6 +17,10 @@ Commands:
   download --table T --out PATH      export a store (parquet/csv/jsonl by ext)
   pull     org/name@vN [dir]         extract a published component with
                                      conflict protection (download.py:22-73)
+  delete   --force [--root R]        deregister the app (delete.py; local
+                                     files are never deleted)
+  update   org/name@vN --deprecated  mark a published component deprecated
+                                     (update.py: blocked for NEW apps only)
   config   [--root R]                print resolved configuration (config.py)
   serve    [--port P]                HTTP webhook endpoint (create.py:177-197)
 
@@ -271,6 +275,12 @@ def cmd_create(args, spark) -> int:
         if not any(n.get("table") == loc for n in editor.store_nodes()):
             editor.add_table(loc, id=random_node_id())
     elif ntype == "component":
+        from basis_devkit_spark.graph.components import is_deprecated
+
+        # Deprecated components cannot be added to new apps (update.py
+        # semantics); existing `uses:` nodes keep resolving.
+        if is_deprecated(loc):
+            raise SystemExit(f"component {loc} is deprecated")
         editor.add_component_uses(loc, title=args.title or None)
     elif ntype == "table":
         if args.title:
@@ -317,6 +327,33 @@ def cmd_pull(args, spark) -> int:
                 return 1
             zf.extractall(dest)
     _out({"pulled": args.key, "to": str(dest)})
+    return 0
+
+
+def cmd_delete(args, spark) -> int:
+    """Deregister the app from a storage root (delete.py:13-31 — 'this will
+    not delete any files locally'; the local 'studio' is the root dir)."""
+    root = _root(args)
+    p = os.path.join(root, _APP_REGISTRY)
+    app = _registered_app(root)
+    if app is None:
+        raise SystemExit(f"no app registered at {root}")
+    if not args.force:
+        raise SystemExit("refusing to delete without --force")
+    os.remove(p)
+    _out({"deleted": app, "root": root})
+    return 0
+
+
+def cmd_update(args, spark) -> int:
+    """Update component properties (update.py:22-44): --deprecated /
+    --no-deprecated on a published component key."""
+    from basis_devkit_spark.graph.components import set_deprecated
+
+    if args.deprecated is None:
+        raise SystemExit("nothing to update: pass --deprecated/--no-deprecated")
+    set_deprecated(args.key, args.deprecated, registry=args.registry)
+    _out({"updated": args.key, "deprecated": args.deprecated})
     return 0
 
 
@@ -399,6 +436,16 @@ def build_parser() -> argparse.ArgumentParser:
     )
     pl.add_argument("--registry", help="registry dir override")
 
+    dele = sub.add_parser("delete", help="deregister the app from a root")
+    dele.add_argument("--force", action="store_true")
+
+    upd = sub.add_parser("update", help="update a published component")
+    upd.add_argument("key", help="component key, e.g. myorg/scaler@v1")
+    g = upd.add_mutually_exclusive_group()
+    g.add_argument("--deprecated", dest="deprecated", action="store_true", default=None)
+    g.add_argument("--no-deprecated", dest="deprecated", action="store_false")
+    upd.add_argument("--registry", help="registry dir override")
+
     sub.add_parser("config", help="print resolved configuration")
 
     sv = sub.add_parser("serve", help="HTTP webhook endpoint")
@@ -418,6 +465,8 @@ _COMMANDS = {
     "download": cmd_download,
     "pull": cmd_pull,
     "create": cmd_create,
+    "delete": cmd_delete,
+    "update": cmd_update,
     "config": cmd_config,
     "serve": cmd_serve,
 }

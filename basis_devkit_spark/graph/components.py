@@ -46,6 +46,38 @@ def component_path(key: str, registry: str | None = None) -> str | None:
     return None
 
 
+def set_deprecated(key: str, deprecated: bool, registry: str | None = None) -> None:
+    """Mark a published component deprecated (update.py:28-41 semantics:
+    deprecated components cannot be added to NEW apps but keep resolving
+    for existing ones)."""
+    import json
+
+    p = component_path(key, registry)
+    if p is None:
+        raise ValueError(f"component not published locally: {key}")
+    meta_path = p + "._meta.json"  # sibling file: never shipped with the dir
+    meta = {}
+    if os.path.exists(meta_path):
+        with open(meta_path) as f:
+            meta = json.load(f)
+    meta["deprecated"] = bool(deprecated)
+    with open(meta_path, "w") as f:
+        json.dump(meta, f)
+
+
+def is_deprecated(key: str, registry: str | None = None) -> bool:
+    import json
+
+    p = component_path(key, registry)
+    if p is None:
+        return False
+    meta_path = p + "._meta.json"
+    if not os.path.exists(meta_path):
+        return False
+    with open(meta_path) as f:
+        return bool(json.load(f).get("deprecated"))
+
+
 def publish_component(app_path: str, key: str, registry: str | None = None) -> str:
     """Validate and copy an app directory into the registry under ``key``.
     Republish (same key) replaces the previous copy — versions are part of

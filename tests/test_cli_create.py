@@ -127,3 +127,70 @@ def test_created_app_runs_end_to_end(tmp_path, spark):
         (1, 2),
         (2, 4),
     ]
+
+
+def test_delete_deregisters_app(tmp_path, capsys):
+    import pytest
+
+    d = tmp_path / "g"
+    _create_app(d)
+    (d / "q.sql").write_text("select 1 as x")
+    main(["create", "node", str(d / "q2.sql")], spark=object())
+    root = str(tmp_path / "root")
+    assert main(["--root", root, "upload", str(d)], spark=object()) == 0
+    with pytest.raises(SystemExit, match="--force"):
+        main(["--root", root, "delete"], spark=object())
+    assert main(["--root", root, "delete", "--force"], spark=object()) == 0
+    # Local files untouched (delete.py: 'will not delete any files locally').
+    assert (d / "graph.yml").exists()
+    with pytest.raises(SystemExit, match="no app registered"):
+        main(["--root", root, "delete", "--force"], spark=object())
+
+
+def test_update_component_deprecation(tmp_path):
+    import pytest
+
+    from basis_devkit_spark.graph.components import is_deprecated
+
+    comp = tmp_path / "comp"
+    _create_app(comp)
+    main(["create", "node", str(comp / "c.sql")], spark=object())
+    (comp / "c.sql").write_text("select 1 as x")
+    reg = str(tmp_path / "registry")
+    assert (
+        main(["publish", str(comp), "org/c@v1", "--registry", reg], spark=object())
+        == 0
+    )
+    import os
+
+    os.environ["BASIS_DEVKIT_SPARK_COMPONENTS"] = reg
+    try:
+        assert not is_deprecated("org/c@v1")
+        main(
+            ["update", "org/c@v1", "--deprecated", "--registry", reg],
+            spark=object(),
+        )
+        assert is_deprecated("org/c@v1")
+        # New apps refuse a deprecated component...
+        app = tmp_path / "consumer"
+        _create_app(app)
+        with pytest.raises(SystemExit, match="deprecated"):
+            main(
+                ["create", "node", "org/c@v1", "--type", "component",
+                 "--app", str(app)],
+                spark=object(),
+            )
+        # ...and the flag can be lifted.
+        main(
+            ["update", "org/c@v1", "--no-deprecated", "--registry", reg],
+            spark=object(),
+        )
+        assert not is_deprecated("org/c@v1")
+        main(
+            ["create", "node", "org/c@v1", "--type", "component",
+             "--app", str(app)],
+            spark=object(),
+        )
+        assert "uses: org/c@v1" in (app / "graph.yml").read_text()
+    finally:
+        del os.environ["BASIS_DEVKIT_SPARK_COMPONENTS"]
