@@ -547,6 +547,89 @@ def a23(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @register(
+    "c08_incremental_rollup",
+    """
+    select cast(date_trunc('hour', ts) as timestamp) as window_start,
+           event_type, count(*) as n_events
+    from events group by 1, 2
+    """,
+    doc="incremental materialized rollup (C1+C3+A13): a stream node consumes "
+    "new events per run and additively merges hourly counts into a rollup "
+    "table; two runs over a split feed must equal one full recompute — the "
+    "exactly-once + cursor-resume contract, end to end through the engine",
+)
+def c08(spark: SparkSession, sf: str) -> DataFrame:
+    import os
+    import textwrap
+
+    from basis_devkit_spark.engine import Engine
+
+    tmp = tempfile.mkdtemp(prefix="bds_c08_")
+    app = os.path.join(tmp, "app")
+    os.makedirs(app)
+    with open(os.path.join(app, "graph.yml"), "w") as f:
+        f.write(
+            textwrap.dedent(
+                """
+                functions:
+                  - node_file: rollup.py
+                    id: rollnode
+                    inputs:
+                      src_t: src
+                    outputs:
+                      dst_t: rollup
+                stores:
+                  - table: src
+                  - table: rollup
+                """
+            )
+        )
+    with open(os.path.join(app, "rollup.py"), "w") as f:
+        f.write(
+            textwrap.dedent(
+                """
+                from basis_devkit_spark import Table
+                from pyspark.sql import functions as F
+
+                src = Table("src_t", "r")
+                roll = Table("dst_t", "w")
+
+                batch = src.as_stream(order_by="event_id").consume_dataframe()
+                inc = (
+                    batch.groupBy(
+                        F.window("ts", "1 hour").alias("w"), "event_type"
+                    )
+                    .agg(F.count(F.lit(1)).alias("n_events"))
+                    .select(
+                        F.col("w.start").alias("window_start"),
+                        "event_type",
+                        "n_events",
+                    )
+                )
+                if roll.exists:
+                    merged = (
+                        roll.read_dataframe()
+                        .unionByName(inc)
+                        .groupBy("window_start", "event_type")
+                        .agg(F.sum("n_events").alias("n_events"))
+                    )
+                else:
+                    merged = inc
+                roll.replace(merged)
+                """
+            )
+        )
+    eng = Engine(spark, os.path.join(tmp, "store"))
+    eng.load_graph(app)
+    events = load(spark, sf, "events").select("event_id", "event_type", "ts")
+    eng.seed_store("src", events.filter(F.col("event_id") <= 6000))
+    eng.run_graph()  # run 1: first tranche
+    eng.store("src").append(events.filter(F.col("event_id") > 6000))
+    eng.run_graph()  # run 2: resumes at the cursor, merges the delta
+    return eng.table_df("rollup")
+
+
+@register(
     "b02_csv_scan",
     "select n_nationkey, n_name, n_regionkey from nation",
     doc="CSV source round-trip: managed write → csv read with explicit schema",
