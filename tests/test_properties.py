@@ -76,3 +76,42 @@ def test_upsert_model(old_rows, new_rows):
     survivors = {k: v for k, v in old_d.items() if k not in new_last}
     merged = {**survivors, **new_last}
     assert merged == model
+
+
+@given(
+    title=st.text(
+        alphabet=st.characters(whitelist_categories=("Lu", "Ll", "Nd"), max_codepoint=0x7F),
+        min_size=1,
+        max_size=20,
+    ),
+    files=st.lists(
+        st.text(alphabet="abcdefghij", min_size=1, max_size=8).map(lambda s: s + ".py"),
+        min_size=1,
+        max_size=5,
+        unique=True,
+    ),
+)
+@settings(max_examples=50, deadline=None)
+def test_graph_editor_preserves_all_original_lines(tmp_path_factory, title, files):
+    """Property: any sequence of add_node calls keeps every original line of
+    the file byte-identical and yields a parseable graph containing exactly
+    the added nodes."""
+    import yaml as _yaml
+
+    from basis_devkit_spark.graph.edit import GraphConfigEditor
+
+    d = tmp_path_factory.mktemp("ged")
+    p = d / "graph.yml"
+    # Quote the title so yaml never coerces it (true/123/on...).
+    original = f'# header comment\ntitle: "{title}"\n\n# trailing comment\n'
+    p.write_text(original)
+    ed = GraphConfigEditor(p)
+    for i, f in enumerate(files):
+        ed.add_node(f, id=f"id{i:06d}")
+    out = ed.dump()
+    out_lines = out.splitlines()
+    for line in original.splitlines():
+        assert line in out_lines
+    parsed = _yaml.safe_load(out)
+    assert [n["node_file"] for n in parsed["functions"]] == files
+    assert str(parsed["title"]) == title
