@@ -25,6 +25,7 @@ import difflib
 import io
 import os
 import re
+import subprocess
 import zipfile
 from dataclasses import dataclass, field
 from pathlib import Path
@@ -358,7 +359,24 @@ class GraphConfigEditor:
 
 
 def directory_contents_to_upload(directory: Path) -> Iterator[Path]:
-    """Walk a graph directory, skipping VCS/cache files (helpers.py:101-114)."""
+    """Files to package from a graph directory (helpers.py:90-114): inside a
+    git repository, exactly what git tracks or would track
+    (``git ls-files -co --exclude-standard`` — .gitignore respected);
+    otherwise a walk with the built-in ignore rules."""
+    if (Path(directory) / ".git").is_dir():
+        try:
+            out = subprocess.check_output(
+                ["git", "-C", str(directory), "ls-files", "-co",
+                 "--exclude-standard"],
+                stderr=subprocess.DEVNULL,
+            )
+            for line in out.decode().splitlines():
+                p = Path(directory) / line
+                if p.is_file():
+                    yield p
+            return
+        except (OSError, subprocess.CalledProcessError):
+            pass  # git unavailable/broken: fall through to the walk
     for dirname, dirnames, files in os.walk(directory, followlinks=True):
         dirnames[:] = [d for d in dirnames if d not in _IGNORE_DIRS]
         for f in sorted(files):

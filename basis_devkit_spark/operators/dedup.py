@@ -245,6 +245,9 @@ def simhash_near_dup_pairs(
     """
     assert bits % blocks == 0
     width = bits // blocks
+    # No persist needed here (unlike jaccard/minhash): simhash() ends at a
+    # shuffle boundary, so both self-join sides hit Spark's ReusedExchange
+    # — measured identical wall time with and without caching.
     sh = simhash(df, id_col, text_col, bits)
     mask = (1 << width) - 1
     chunk_arr = F.array(

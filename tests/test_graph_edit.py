@@ -329,3 +329,24 @@ class TestFlowStyleBlocks:
         # Duplicate detection still sees the flow-style entries.
         with pytest.raises(ValueError, match="already defined"):
             ed.add_node("x.py")
+
+
+class TestGitAwarePackaging:
+    def test_git_directory_respects_gitignore(self, tmp_path):
+        import subprocess
+        import zipfile as _zf
+
+        d = _mkgraph(tmp_path / "app", {"secret.env": "KEY=1", "keep.txt": "k"})
+        (d / ".gitignore").write_text("secret.env\n")
+        subprocess.run(
+            ["git", "init", "-q", str(d)], check=True,
+            env={"HOME": str(tmp_path), "PATH": "/usr/bin:/bin"},
+        )
+        buf = compress_directory(d)
+        with _zf.ZipFile(buf) as zf:
+            names = set(zf.namelist())
+        assert "secret.env" not in names
+        assert {"graph.yml", "a.py", "keep.txt"} <= names
+        # .gitignore itself is tracked-eligible and ships (reference parity:
+        # git ls-files -co lists it).
+        assert ".gitignore" in names
