@@ -71,6 +71,11 @@ class Stream:
             self._position = mx
         return df
 
+    @property
+    def order_by_field(self) -> str:
+        """The field records are ordered by (node.py:78-81)."""
+        return self.order_by
+
     # ---------------- progress control (A14, A15) ----------------
     def checkpoint(self) -> None:
         """Persist consumption progress now (node.py:54-58)."""

@@ -52,10 +52,33 @@ class TableVersion:
         return self._table._store.version_path(self.version)
 
     @property
+    def storage(self) -> str:
+        """Storage location descriptor (node.py:96-100)."""
+        return self.storage_path
+
+    @property
     def exists(self) -> bool:
         import os
 
         return os.path.isdir(self.storage_path)
+
+    @property
+    def schema(self):
+        """Schema of this snapshot (node.py:101-105)."""
+        if not self.exists:
+            return None
+        return self._table._store.read_version(self.version).schema
+
+    @property
+    def record_count(self) -> int | None:
+        """Row count of this snapshot (node.py:106-110): manifest-recorded
+        when available, else counted from the version's lineage."""
+        store = self._table._store
+        info = store._manifest.versions.get(str(self.version), {})
+        n = info.get("record_count")
+        if n is None and self.exists:
+            n = store.read_version(self.version).count()
+        return n
 
 
 class Table:

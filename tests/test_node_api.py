@@ -123,3 +123,27 @@ def test_execute_sql_insert(table, spark):
     table.flush()
     table.execute_sql(f"insert into {table} select 2 as k")
     assert sorted(r["k"] for r in table.read("records")) == [1, 2]
+
+
+def test_table_version_metadata(spark, tmp_path):
+    """TableVersion exposes schema/record_count/storage for any retained
+    snapshot (node.py:84-114), stable across later writes."""
+    from basis_devkit_spark.node import Table
+    from basis_devkit_spark.storage.store import TableStore
+
+    store = TableStore(str(tmp_path), "t", spark)
+    t = Table("t", "w")
+    t.bind(store, spark)
+    t.replace(spark.createDataFrame([(1, "a"), (2, "b")], "k int, s string"))
+    v1 = t.get_active_version()
+    assert v1.record_count == 2
+    assert [f.name for f in v1.schema.fields] == ["k", "s"]
+    assert v1.storage == v1.storage_path
+    t.replace(spark.createDataFrame([(9, "z")], "k int, s string"))
+    assert v1.record_count == 2  # old snapshot unchanged
+    assert t.get_active_version().record_count == 1
+
+
+def test_stream_order_by_field_property(table):
+    s = table.as_stream(order_by="eid")
+    assert s.order_by_field == "eid"
