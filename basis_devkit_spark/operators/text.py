@@ -160,6 +160,70 @@ def tfidf(
     )
 
 
+def exclusive_prefix_sum(
+    df: DataFrame,
+    order_col: str,
+    value_col: str,
+    out_col: str,
+    bucket_size: int = 8192,
+) -> DataFrame:
+    """Exclusive running sum of ``value_col`` in ``order_col`` order,
+    computed distributed: per-bucket sums (tiny agg) get an exclusive
+    cumulative sum on the bucket list, broadcast back; each bucket then
+    windows internally in parallel. No no-partition global window — the
+    same two-pass prefix pattern as ``streaming.ops.drop_late_events``."""
+    from pyspark.sql.window import Window
+
+    df2 = df.withColumn("__b", F.floor(F.col(order_col) / F.lit(bucket_size)))
+    bsum = df2.groupBy("__b").agg(F.sum(value_col).alias("__bsum"))
+    wb = Window.orderBy("__b").rowsBetween(Window.unboundedPreceding, -1)
+    bprev = bsum.withColumn(
+        "__prev", F.coalesce(F.sum("__bsum").over(wb), F.lit(0))
+    ).select("__b", "__prev")
+    wr = (
+        Window.partitionBy("__b")
+        .orderBy(order_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    return (
+        df2.join(F.broadcast(bprev), "__b")
+        .withColumn(
+            out_col,
+            F.coalesce(F.sum(value_col).over(wr), F.lit(0)) + F.col("__prev"),
+        )
+        .drop("__b", "__prev")
+    )
+
+
+def pack_sequences(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    budget: int = 2048,
+) -> DataFrame:
+    """Sequence packing for training pipelines: assign documents (in id
+    order) to fixed token-budget chunks by exclusive prefix token count —
+    ``chunk_id = floor(tokens_before_doc / budget)``, the deterministic
+    closed-form variant of greedy concat-then-cut packing (documents may
+    straddle a boundary; the cut is the tokenizer's job downstream).
+
+    Returns one row per chunk: (chunk_id, n_docs, total_tokens, first_doc,
+    last_doc). Fully distributed — the prefix sum never funnels rows
+    through a single-task window."""
+    d = df.withColumn("__ntok", token_count(text_col, "whitespace"))
+    d = exclusive_prefix_sum(d, id_col, "__ntok", "__off")
+    return (
+        d.withColumn("chunk_id", F.floor(F.col("__off") / F.lit(budget)))
+        .groupBy("chunk_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("__ntok").alias("total_tokens"),
+            F.min(id_col).alias("first_doc"),
+            F.max(id_col).alias("last_doc"),
+        )
+    )
+
+
 def filter_corpus(
     df: DataFrame,
     text_col: str = "text",

@@ -578,6 +578,37 @@ def d06c(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @register(
+    "d04g_sequence_pack",
+    """
+    with t as (
+      select doc_id, len(string_split(trim(text), ' ')) as ntok
+      from documents
+    ),
+    o as (
+      select doc_id, ntok,
+             coalesce(sum(ntok) over (order by doc_id
+                      rows between unbounded preceding and 1 preceding), 0)
+               as off
+      from t
+    )
+    select cast(floor(off / 2048) as bigint) as chunk_id,
+           count(*) as n_docs,
+           cast(sum(ntok) as bigint) as total_tokens,
+           min(doc_id) as first_doc,
+           max(doc_id) as last_doc
+    from o group by 1
+    """,
+    doc="sequence packing: docs assigned to fixed 2048-token chunks by "
+    "exclusive prefix token count (distributed two-pass prefix sum)",
+)
+def d04g(spark: SparkSession, sf: str) -> DataFrame:
+    from basis_devkit_spark.operators.text import pack_sequences
+
+    d = load(spark, sf, "documents")
+    return pack_sequences(d, "doc_id", "text", budget=2048)
+
+
+@register(
     "d04f_filter_corpus",
     f"""
     with q as (

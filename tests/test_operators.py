@@ -320,3 +320,43 @@ def test_approx_aggs_within_tolerance(spark):
     p_exact = o.select(F.percentile("o_totalprice", 0.5)).collect()[0][0]
     p_approx = o.select(F.percentile_approx("o_totalprice", 0.5, 10000)).collect()[0][0]
     assert abs(p_approx - p_exact) / p_exact < 0.01
+
+
+def test_pack_sequences_partitions_token_budget(spark):
+    """Chunks partition the corpus: every doc in exactly one chunk, chunk
+    token sums near the budget, ids contiguous across chunk boundaries."""
+    from basis_devkit_spark.operators.text import pack_sequences
+
+    docs = spark.createDataFrame(
+        [(i, " ".join(["w"] * (10 + i % 7))) for i in range(200)],
+        "doc_id int, text string",
+    )
+    out = pack_sequences(docs, "doc_id", "text", budget=100).orderBy("chunk_id")
+    rows = out.collect()
+    assert sum(r.n_docs for r in rows) == 200
+    total = sum(r.total_tokens for r in rows)
+    assert total == sum(10 + i % 7 for i in range(200))
+    # Chunk ids dense from 0; boundaries contiguous in doc order.
+    assert [r.chunk_id for r in rows] == list(range(len(rows)))
+    for a, b in zip(rows, rows[1:]):
+        assert b.first_doc == a.last_doc + 1
+    # Exclusive-prefix rule: every chunk except possibly the last starts
+    # before its boundary, so token sums hover at/above budget - max_doc.
+    for r in rows[:-1]:
+        assert r.total_tokens >= 100 - 16
+
+
+def test_exclusive_prefix_sum_matches_pandas(spark):
+    import pandas as pd
+
+    from basis_devkit_spark.operators.text import exclusive_prefix_sum
+
+    pdf = pd.DataFrame({"k": range(1000), "v": [(i * 7) % 13 for i in range(1000)]})
+    df = spark.createDataFrame(pdf)
+    got = (
+        exclusive_prefix_sum(df, "k", "v", "off", bucket_size=64)
+        .orderBy("k")
+        .toPandas()
+    )
+    expected = pdf.v.cumsum().shift(1, fill_value=0)
+    assert (got.off.values == expected.values).all()
