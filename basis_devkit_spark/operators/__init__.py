@@ -27,6 +27,11 @@ from basis_devkit_spark.operators.text import (
     language_id,
     token_count,
     doc_fingerprint,
+    tfidf,
+    filter_corpus,
+    pack_sequences,
+    mixture_sample,
+    exclusive_prefix_sum,
 )
 from basis_devkit_spark.operators.joins import as_of_join, range_join
 from basis_devkit_spark.operators.skew import salted_agg, salted_join
@@ -37,6 +42,7 @@ from basis_devkit_spark.operators.embeddings import (
 )
 
 __all__ = [
+    "tfidf",
     "exact_dedup",
     "minhash_signatures",
     "minhash_near_dup_pairs",

@@ -160,6 +160,39 @@ def tfidf(
     )
 
 
+def mixture_sample(
+    df: DataFrame,
+    weights: dict[str, float],
+    stratum_col: str = "lang",
+    id_col: str = "doc_id",
+    default_weight: float = 0.0,
+    salt: str = "mix",
+) -> DataFrame:
+    """Deterministic per-stratum subsampling for training-data mixing:
+    keep a row iff ``bucket(id) < weight(stratum) * 10000`` where the
+    bucket is the first 8 hex digits of ``md5(salt || id)`` mod 10000.
+
+    Properties that matter at scale: a pure filter (no shuffle, no seed
+    state — pushes into the scan), reproducible across engines and runs
+    (md5 is everywhere; no RNG partitioning sensitivity), and monotone in
+    the weight (raising a stratum's weight only ADDS documents — stable
+    mixtures across config changes)."""
+    bucket = F.pmod(
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit(salt), F.col(id_col).cast("string"))), 1, 8
+            ),
+            16,
+            10,
+        ).cast("long"),
+        F.lit(10000),
+    )
+    w: Column = F.lit(float(default_weight))
+    for stratum, weight in sorted(weights.items()):
+        w = F.when(F.col(stratum_col) == stratum, F.lit(float(weight))).otherwise(w)
+    return df.filter(bucket < w * 10000)
+
+
 def exclusive_prefix_sum(
     df: DataFrame,
     order_col: str,

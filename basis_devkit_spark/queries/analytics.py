@@ -578,6 +578,31 @@ def d06c(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @register(
+    "d04h_data_mixture",
+    """
+    select doc_id, lang
+    from documents
+    where (('0x' || substr(md5('mix' || cast(doc_id as varchar)), 1, 8))::ubigint
+           % 10000)
+          < 10000 * (case lang when 'en' then 0.5
+                               when 'zh' then 1.0
+                               else 0.25 end)
+    """,
+    doc="training-data mixture sampling: deterministic md5-bucket keep "
+    "fraction per language stratum — a pure filter, reproducible across "
+    "engines, monotone in the weights",
+)
+def d04h(spark: SparkSession, sf: str) -> DataFrame:
+    from basis_devkit_spark.operators.text import mixture_sample
+
+    d = load(spark, sf, "documents")
+    return mixture_sample(
+        d, {"en": 0.5, "zh": 1.0}, stratum_col="lang", id_col="doc_id",
+        default_weight=0.25,
+    ).select("doc_id", "lang")
+
+
+@register(
     "d04g_sequence_pack",
     """
     with t as (

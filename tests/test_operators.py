@@ -360,3 +360,27 @@ def test_exclusive_prefix_sum_matches_pandas(spark):
     )
     expected = pdf.v.cumsum().shift(1, fill_value=0)
     assert (got.off.values == expected.values).all()
+
+
+def test_mixture_sample_deterministic_and_monotone(spark):
+    from basis_devkit_spark.operators.text import mixture_sample
+
+    docs = spark.createDataFrame(
+        [(i, ["en", "de", "zh"][i % 3]) for i in range(3000)],
+        "doc_id int, lang string",
+    )
+    w1 = {"en": 0.3, "de": 0.0, "zh": 1.0}
+    s1 = mixture_sample(docs, w1, id_col="doc_id")
+    ids1 = {r.doc_id for r in s1.collect()}
+    # Deterministic: identical on re-run.
+    assert ids1 == {r.doc_id for r in mixture_sample(docs, w1, id_col="doc_id").collect()}
+    by_lang = {l: sum(1 for i in ids1 if ["en", "de", "zh"][i % 3] == l)
+               for l in ["en", "de", "zh"]}
+    assert by_lang["zh"] == 1000           # weight 1.0 keeps everything
+    assert by_lang["de"] == 0              # weight 0 drops everything
+    assert 200 <= by_lang["en"] <= 400     # ~30% of 1000
+    # Monotone: raising a weight only ADDS documents.
+    ids2 = {r.doc_id for r in
+            mixture_sample(docs, {"en": 0.6, "de": 0.0, "zh": 1.0},
+                           id_col="doc_id").collect()}
+    assert ids1 <= ids2
