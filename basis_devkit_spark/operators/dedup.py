@@ -14,8 +14,8 @@ Design notes (100 TB posture):
 - "Keep one per duplicate cluster" uses the min-id-neighbor rule (a doc is
   dropped iff it has a candidate neighbor with a smaller id). This is the
   scalable approximation of connected components: one extra join instead of
-  an iterative CC. For exact CC semantics run `graphframes`-style iteration
-  — out of scope, documented.
+  an iterative CC. For exact cluster semantics use
+  ``connected_components`` (hash-min label propagation, below).
 - Common-shingle cap (``max_shingle_df``) bounds the posting-list blowup on
   skewed shingles — at scale a stop-shingle filter is the difference
   between a join and an explosion.
@@ -329,3 +329,67 @@ def ngram_jaccard_pairs(
         .select("id_a", "id_b", "jaccard")
     )
     return out
+
+
+# ------------------------------------------------- connected components (D2)
+def connected_components(
+    edges: DataFrame,
+    src: str = "id_a",
+    dst: str = "id_b",
+    max_iter: int = 50,
+) -> DataFrame:
+    """(node, component) for every node appearing in ``edges``; component =
+    min node id in the connected cluster — EXACT duplicate clusters, where
+    the min-id-neighbor rule in ``minhash_dedup`` is a one-hop
+    approximation.
+
+    Hash-min label propagation: each round every node takes the min of its
+    own label and its neighbors' labels; stops when a round changes
+    nothing. Rounds = graph diameter (near-dup clusters are shallow;
+    pathological chains cap at ``max_iter``). Each round is one join + one
+    groupBy — all DataFrame ops, executable at any scale; the driver sees
+    only a per-round change count. The large-star/small-star variant
+    (Kiveris et al., "Connected Components in MapReduce") drops rounds to
+    O(log n) if ever needed.
+    """
+    from pyspark import StorageLevel
+
+    und = (
+        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+        .union(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    labels = (
+        und.select("a")
+        .distinct()
+        .select(F.col("a").alias("node"), F.col("a").alias("label"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    for _ in range(max_iter):
+        nbr_min = (
+            und.join(labels, und["b"] == labels["node"])
+            .groupBy(und["a"].alias("node2"))
+            .agg(F.min("label").alias("nbr_label"))
+        )
+        new_labels = (
+            labels.join(nbr_min, labels["node"] == nbr_min["node2"], "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("label"), F.coalesce("nbr_label", F.col("label"))
+                ).alias("label"),
+            )
+            .persist(StorageLevel.MEMORY_AND_DISK)
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .count()
+        )
+        labels.unpersist()
+        labels = new_labels
+        if changed == 0:
+            break
+    und.unpersist()
+    return labels.select(F.col("node"), F.col("label").alias("component"))

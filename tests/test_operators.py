@@ -384,3 +384,31 @@ def test_mixture_sample_deterministic_and_monotone(spark):
             mixture_sample(docs, {"en": 0.6, "de": 0.0, "zh": 1.0},
                            id_col="doc_id").collect()}
     assert ids1 <= ids2
+
+
+def test_connected_components_exact_clusters(spark):
+    """CC labels match a union-find ground truth on a multi-cluster graph
+    with a chain (forces >1 propagation round)."""
+    from basis_devkit_spark.operators.dedup import connected_components
+
+    edges = [(1, 2), (2, 3), (3, 4), (4, 5),     # chain -> cluster 1
+             (10, 11), (11, 12),                  # cluster 10
+             (20, 21)]                            # cluster 20
+    df = spark.createDataFrame(edges, "id_a int, id_b int")
+    got = {r.node: r.component for r in connected_components(df, "id_a", "id_b").collect()}
+    # union-find ground truth
+    parent = {}
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+    def union(a, b):
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    for a, b in edges:
+        union(a, b)
+    expected = {n: find(n) for n in parent}
+    assert got == expected
