@@ -13,6 +13,7 @@ from basis_devkit_spark.operators.dedup import (
     simhash,
     simhash_near_dup_pairs,
     ngram_jaccard_pairs,
+    connected_components,
 )
 from basis_devkit_spark.operators.similarity import (
     cosine_similarity_col,
@@ -42,6 +43,7 @@ from basis_devkit_spark.operators.embeddings import (
 )
 
 __all__ = [
+    "connected_components",
     "tfidf",
     "exact_dedup",
     "minhash_signatures",
