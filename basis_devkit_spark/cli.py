@@ -369,6 +369,31 @@ def cmd_config(args, spark) -> int:
     return 0
 
 
+def cmd_schedule(args, spark) -> int:
+    """Run the cron scheduler loop (engine.run_scheduler, A23): evaluates
+    every node's `trigger:` each minute boundary until interrupted or
+    --ticks minutes have been evaluated."""
+    eng = _engine(args, _get_spark(spark))
+    try:
+        ran = eng.run_scheduler(
+            poll_seconds=args.poll, max_ticks=args.ticks
+        )
+    except KeyboardInterrupt:
+        ran = -1
+    _out({"scheduler_done": True, "nodes_run": ran})
+    return 0
+
+
+def cmd_vacuum(args, spark) -> int:
+    """Retention GC over every graph store (TableStore.vacuum)."""
+    eng = _engine(args, _get_spark(spark))
+    for name in sorted(eng.graph_store_names()):
+        if eng.store(name).exists:
+            eng.store(name).vacuum(keep_last=args.keep)
+    _out({"vacuumed": True, "keep_last": args.keep})
+    return 0
+
+
 def cmd_serve(args, spark) -> int:
     from basis_devkit_spark.engine.webhook_http import WebhookServer
 
@@ -448,6 +473,15 @@ def build_parser() -> argparse.ArgumentParser:
 
     sub.add_parser("config", help="print resolved configuration")
 
+    sc = sub.add_parser("schedule", help="run the cron scheduler loop")
+    sc.add_argument("app", nargs="?")
+    sc.add_argument("--poll", type=float, default=5.0, help="poll seconds")
+    sc.add_argument("--ticks", type=int, default=None, help="stop after N minute ticks")
+
+    va = sub.add_parser("vacuum", help="retention GC over graph stores")
+    va.add_argument("app", nargs="?")
+    va.add_argument("--keep", type=int, default=2, help="versions to keep")
+
     sv = sub.add_parser("serve", help="HTTP webhook endpoint")
     sv.add_argument("app", nargs="?")
     sv.add_argument("--host", default="127.0.0.1")
@@ -469,6 +503,8 @@ _COMMANDS = {
     "update": cmd_update,
     "config": cmd_config,
     "serve": cmd_serve,
+    "schedule": cmd_schedule,
+    "vacuum": cmd_vacuum,
 }
 
 

@@ -293,3 +293,86 @@ def test_cli_publish_and_use_component(spark, tmp_path, capsys, monkeypatch):
     main(["--root", root, "list", "stores"], spark=spark)
     stores = {s["table"]: s for s in json.loads(capsys.readouterr().out)}
     assert stores["doubled"]["records"] == 2
+
+
+def test_cli_schedule_runs_due_nodes(spark, tmp_path):
+    """`schedule --ticks 1` evaluates cron triggers once and runs due
+    nodes (every-minute trigger is always due)."""
+    import textwrap
+
+    from basis_devkit_spark.cli import main
+
+    app = tmp_path / "app"
+    app.mkdir()
+    (app / "graph.yml").write_text(
+        textwrap.dedent(
+            """
+            functions:
+              - node_file: gen.sql
+                id: gennode
+                trigger: "* * * * *"
+                inputs:
+                  src: src
+                outputs:
+                  out: out_t
+            stores:
+              - table: src
+              - table: out_t
+            """
+        )
+    )
+    (app / "gen.sql").write_text("select x * 10 as y from {{ src }}")
+    root = str(tmp_path / "store")
+    from basis_devkit_spark.engine import Engine
+
+    eng = Engine(spark, root)
+    eng.load_graph(str(app))
+    eng.seed_store("src", spark.createDataFrame([(1,), (2,)], "x int"))
+    rc = main(
+        ["--root", root, "schedule", str(app), "--ticks", "1", "--poll", "0.01"],
+        spark=spark,
+    )
+    assert rc == 0
+    assert sorted(r.y for r in eng.table_df("out_t").collect()) == [10, 20]
+
+
+def test_cli_vacuum_prunes_versions(spark, tmp_path):
+    import textwrap
+
+    from basis_devkit_spark.cli import main
+
+    app = tmp_path / "app"
+    app.mkdir()
+    (app / "graph.yml").write_text(
+        textwrap.dedent(
+            """
+            functions:
+              - node_file: q.sql
+                id: qnode
+                inputs:
+                  src: src
+                outputs:
+                  out: out_t
+            stores:
+              - table: src
+              - table: out_t
+            """
+        )
+    )
+    (app / "q.sql").write_text("select x from {{ src }}")
+    root = str(tmp_path / "store")
+    from basis_devkit_spark.engine import Engine
+
+    eng = Engine(spark, root)
+    eng.load_graph(str(app))
+    eng.seed_store("src", spark.createDataFrame([(1,)], "x int"))
+    for _ in range(4):
+        eng.run_graph()
+    st = eng.store("out_t")
+    assert len(st._manifest.versions) >= 4
+    rc = main(["--root", root, "vacuum", str(app), "--keep", "1"], spark=spark)
+    assert rc == 0
+    st2 = eng.store("out_t")
+    st2._manifest = st2._load_manifest()
+    assert len(st2._manifest.versions) <= 2  # active + kept
+    assert [r.x for r in st2.read().collect()] == [1]
