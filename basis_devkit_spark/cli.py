@@ -23,6 +23,8 @@ Commands:
                                      (update.py: blocked for NEW apps only)
   config   [--root R]                print resolved configuration (config.py)
   serve    [--port P]                HTTP webhook endpoint (create.py:177-197)
+  schedule [--ticks N]               run the cron scheduler loop (A23)
+  vacuum   [--keep N]                retention GC over graph stores
 
 ``main(argv, spark=...)`` is importable for in-process use/testing (the
 reference tests its CLI in-process with CliRunner the same way).
