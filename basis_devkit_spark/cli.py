@@ -132,6 +132,36 @@ def cmd_trigger(args, spark) -> int:
 
 
 def cmd_list(args, spark) -> int:
+    if args.kind == "apps":
+        # Local analogue of list.py:27-40: the app registered at this root
+        # plus every published component in the registry (with deprecation).
+        import glob
+
+        from basis_devkit_spark.graph.components import (
+            default_registry,
+            is_deprecated,
+        )
+
+        rows: list[dict[str, Any]] = []
+        root = _root(args)
+        app = _registered_app(root)
+        if app:
+            rows.append({"kind": "app", "path": app, "root": root})
+        reg = default_registry()
+        for p in sorted(glob.glob(os.path.join(reg, "*", "*@*"))):
+            if not os.path.isdir(p):
+                continue
+            org = os.path.basename(os.path.dirname(p))
+            key = f"{org}/{os.path.basename(p)}"
+            rows.append(
+                {
+                    "kind": "component",
+                    "key": key,
+                    "deprecated": is_deprecated(key),
+                }
+            )
+        _out(rows)
+        return 0
     eng = _engine(args, _get_spark(spark))
     g = eng.graph
     assert g is not None
@@ -425,7 +455,7 @@ def build_parser() -> argparse.ArgumentParser:
     tr.add_argument("--node", required=True, help="node id or node file name")
 
     ls = sub.add_parser("list", help="list graph objects")
-    ls.add_argument("kind", choices=["nodes", "stores", "webhooks"])
+    ls.add_argument("kind", choices=["nodes", "stores", "webhooks", "apps"])
     ls.add_argument("app", nargs="?")
 
     dl = sub.add_parser("download", help="export a store")

@@ -194,3 +194,29 @@ def test_update_component_deprecation(tmp_path):
         assert "uses: org/c@v1" in (app / "graph.yml").read_text()
     finally:
         del os.environ["BASIS_DEVKIT_SPARK_COMPONENTS"]
+
+
+def test_list_apps_shows_registered_and_components(tmp_path, capsys):
+    import json
+    import os
+
+    comp = tmp_path / "comp"
+    _create_app(comp)
+    main(["create", "node", str(comp / "c.sql")], spark=object())
+    (comp / "c.sql").write_text("select 1 as x")
+    reg = str(tmp_path / "registry")
+    os.environ["BASIS_DEVKIT_SPARK_COMPONENTS"] = reg
+    try:
+        main(["publish", str(comp), "org/c@v1", "--registry", reg], spark=object())
+        root = str(tmp_path / "root")
+        main(["--root", root, "upload", str(comp)], spark=object())
+        capsys.readouterr()
+        rc = main(["--root", root, "list", "apps"], spark=object())
+        assert rc == 0
+        rows = json.loads(capsys.readouterr().out)
+        kinds = {r["kind"] for r in rows}
+        assert kinds == {"app", "component"}
+        assert any(r.get("key") == "org/c@v1" and r["deprecated"] is False
+                   for r in rows)
+    finally:
+        del os.environ["BASIS_DEVKIT_SPARK_COMPONENTS"]
