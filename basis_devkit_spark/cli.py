@@ -57,15 +57,6 @@ def _registered_app(root: str) -> str | None:
     return None
 
 
-def _resolve_app(args, root: str) -> str:
-    app = getattr(args, "app", None) or _registered_app(root)
-    if not app:
-        raise SystemExit(
-            "no app: pass an app path or `upload` one to this root first"
-        )
-    return app
-
-
 def _engine(args, spark, app_required: bool = True):
     from basis_devkit_spark.engine import Engine
 
@@ -391,11 +382,13 @@ def cmd_update(args, spark) -> int:
 
 def cmd_config(args, spark) -> int:
     root = _root(args)
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", str(os.cpu_count() or 4))
     _out(
         {
             "root": root,
             "app": _registered_app(root),
-            "spark_master": os.environ.get("SPARK_GRAFT_CPUS", "local[*]"),
+            # Mirror session.get_spark's master resolution (session.py:49-51).
+            "spark_master": f"local[{cpus}]",
         }
     )
     return 0

@@ -242,6 +242,11 @@ class Engine:
             {"respond_to_request": request_key, "payload_type": type(payload).__name__}
         )
         self._request_responses[request_key] = payload
+        # Bound the buffer: responses are popped only by waiting HTTP
+        # requests, so unconsumed ones (fire-and-forget posts) would
+        # accumulate for the process lifetime. FIFO-evict beyond a cap.
+        while len(self._request_responses) > 1000:
+            self._request_responses.pop(next(iter(self._request_responses)))
 
     def take_request_response(self, request_key: str) -> Any | None:
         """Pop the response recorded for ``request_key`` (webhook server

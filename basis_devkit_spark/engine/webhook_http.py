@@ -91,6 +91,11 @@ class WebhookServer:
                     return
                 wait = parse_qs(url.query).get("wait", ["0"])[0] in ("1", "true")
                 records = payload if isinstance(payload, list) else [payload]
+                if not all(isinstance(r, dict) for r in records):
+                    self._json(
+                        400, {"error": "array body must contain only objects"}
+                    )
+                    return
                 key = None
                 if wait:
                     key = uuid.uuid4().hex

@@ -360,23 +360,24 @@ class GraphConfigEditor:
 
 def directory_contents_to_upload(directory: Path) -> Iterator[Path]:
     """Files to package from a graph directory (helpers.py:90-114): inside a
-    git repository, exactly what git tracks or would track
-    (``git ls-files -co --exclude-standard`` — .gitignore respected);
-    otherwise a walk with the built-in ignore rules."""
-    if (Path(directory) / ".git").is_dir():
-        try:
-            out = subprocess.check_output(
-                ["git", "-C", str(directory), "ls-files", "-co",
-                 "--exclude-standard"],
-                stderr=subprocess.DEVNULL,
-            )
-            for line in out.decode().splitlines():
-                p = Path(directory) / line
-                if p.is_file():
-                    yield p
-            return
-        except (OSError, subprocess.CalledProcessError):
-            pass  # git unavailable/broken: fall through to the walk
+    git work tree — whether the directory is the repo root, a nested app
+    dir, or a worktree — exactly what git tracks or would track
+    (``git ls-files -co --exclude-standard`` relative to the directory, so
+    .gitignore anywhere up the repo is respected); otherwise a walk with
+    the built-in ignore rules."""
+    try:
+        out = subprocess.check_output(
+            ["git", "-C", str(directory), "ls-files", "-co",
+             "--exclude-standard"],
+            stderr=subprocess.DEVNULL,
+        )
+        for line in out.decode().splitlines():
+            p = Path(directory) / line
+            if p.is_file():
+                yield p
+        return
+    except (OSError, subprocess.CalledProcessError):
+        pass  # not a git work tree / git unavailable: walk instead
     for dirname, dirnames, files in os.walk(directory, followlinks=True):
         dirnames[:] = [d for d in dirnames if d not in _IGNORE_DIRS]
         for f in sorted(files):
@@ -502,12 +503,8 @@ class GraphDirectoryEditor:
 
     def __init__(self, graph_path: Path | str, overwrite: bool = False):
         p = Path(graph_path)
-        if p.is_file():
-            self.yml_path = p
-        elif (p / "graph.yml").exists():
-            self.yml_path = p / "graph.yml"
-        else:
-            self.yml_path = p / "graph.yml"  # may not exist yet
+        # A directory resolves to its graph.yml, which may not exist yet.
+        self.yml_path = p if p.is_file() else p / "graph.yml"
         self.dir = self.yml_path.parent
         self.overwrite = overwrite
         self._editors: dict[Path, GraphConfigEditor] = {}
@@ -598,15 +595,15 @@ class GraphDirectoryEditor:
     def _write_file(self, dst_path: Path, file: IO[bytes]) -> None:
         full = self.dir / dst_path
         data = file.read()
-        new_content = data.decode() if isinstance(data, bytes) else data
+        new_bytes = data.encode() if isinstance(data, str) else data
         if not self.overwrite and full.is_file():
-            if full.read_text() != new_content:
+            if full.read_bytes() != new_bytes:
                 raise FileOverwriteError(
                     full,
                     f"Cannot extract {dst_path}: would overwrite existing file",
                 )
         full.parent.mkdir(parents=True, exist_ok=True)
-        full.write_text(new_content)
+        full.write_bytes(new_bytes)
 
     def _editor(self, yaml_path: Path) -> GraphConfigEditor:
         ed = self._editors.get(yaml_path)

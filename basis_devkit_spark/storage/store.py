@@ -190,7 +190,9 @@ class TableStore:
         """Retention GC: drop all but the newest ``keep_last`` versions
         (never the active one). A directory is deleted only if NO retained
         version's lineage references it — append lineage means old dirs may
-        back newer versions."""
+        back newer versions. Also reclaims crash-orphaned directories
+        (data written, manifest never committed): any on-disk ``v=*`` dir
+        that no retained version references and no manifest entry claims."""
         active = self._manifest.active_version
         versions = sorted(int(v) for v in self._manifest.versions)
         keep = set(versions[-keep_last:]) if keep_last > 0 else set()
@@ -206,6 +208,15 @@ class TableStore:
             if d not in referenced:
                 shutil.rmtree(os.path.join(self.path, d), ignore_errors=True)
             self._manifest.versions.pop(str(v), None)
+        # Crash-orphaned dirs: on disk, unreferenced, not in the manifest.
+        for entry in os.listdir(self.path):
+            if (
+                entry.startswith("v=")
+                and entry not in referenced
+                and entry[2:] not in self._manifest.versions
+                and os.path.isdir(os.path.join(self.path, entry))
+            ):
+                shutil.rmtree(os.path.join(self.path, entry), ignore_errors=True)
         self._commit_manifest()
 
     # ---------------- metadata (A12) ----------------
@@ -297,7 +308,14 @@ class TableStore:
     def read_version(self, version: int) -> DataFrame:
         """Time-travel read of any retained version (TableVersion access,
         node.py:84-114). Stable across later appends: a version's lineage
-        directories are immutable once committed."""
+        directories are immutable once committed. Vacuumed versions raise —
+        a version whose manifest entry is gone must never silently return a
+        partial lineage (its own batch dir may survive as part of newer
+        versions' lineage)."""
+        if str(version) not in self._manifest.versions:
+            raise FileNotFoundError(
+                f"table '{self.name}' has no version {version} (vacuumed?)"
+            )
         dirs = self._version_dirs(version)
         if not os.path.isdir(self.version_path(version)):
             raise FileNotFoundError(f"table '{self.name}' has no version {version}")
@@ -495,7 +513,17 @@ class TableStore:
         an all-partitions shuffle merge into one scoped to the written keys
         — the Delta/Iceberg dynamic-partition MERGE shape."""
         pcols = self._manifest.partition_by
-        if not pcols or any(c not in df.columns for c in pcols):
+        # Scoping is only sound when the partition columns are part of the
+        # merge key: then a key can never move between partitions, so every
+        # old row it could replace lives in a touched partition. Otherwise
+        # (e.g. unique_on=[k], partition_by=[day], k moves from day=1 to
+        # day=2) the stale day=1 row would pass through unmerged — fall
+        # back to the global anti-join.
+        if (
+            not pcols
+            or any(c not in df.columns for c in pcols)
+            or not set(pcols) <= set(keys)
+        ):
             return old.join(df.select(*keys), on=keys, how="left_anti")
         touched = [
             tuple(r[c] for c in pcols)

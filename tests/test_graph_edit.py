@@ -350,3 +350,19 @@ class TestGitAwarePackaging:
         # .gitignore itself is tracked-eligible and ships (reference parity:
         # git ls-files -co lists it).
         assert ".gitignore" in names
+
+
+def test_add_binary_node_file(tmp_path):
+    """Binary content round-trips through the directory editor (bytes
+    compare for overwrite protection, no text decode)."""
+    d = _mkgraph(tmp_path / "app")
+    blob = b"\xff\xfe\x00\x01PNGISH"
+    ed = GraphDirectoryEditor(d)
+    ed.add_node_from_file("asset.bin", io.BytesIO(blob))
+    assert (d / "asset.bin").read_bytes() == blob
+    # identical re-add is a no-op; differing content raises
+    ed.add_node_from_file("asset.bin", io.BytesIO(blob))
+    import pytest as _pytest
+
+    with _pytest.raises(FileOverwriteError):
+        ed.add_node_from_file("asset.bin", io.BytesIO(b"\x00different"))

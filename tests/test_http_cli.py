@@ -376,3 +376,10 @@ def test_cli_vacuum_prunes_versions(spark, tmp_path):
     st2._manifest = st2._load_manifest()
     assert len(st2._manifest.versions) <= 2  # active + kept
     assert [r.x for r in st2.read().collect()] == [1]
+
+
+def test_http_post_array_of_non_objects_is_400(hook_app):
+    eng, server = hook_app
+    status, body = _post(f"{server.url}/webhooks/hook?wait=1", [1, 2, 3])
+    assert status == 400
+    assert "objects" in body["error"]

@@ -227,7 +227,7 @@ def test_partitioned_upsert_scopes_merge_and_preserves_untouched(spark, tmp_path
     from basis_devkit_spark.storage.store import TableStore
 
     store = TableStore(str(tmp_path), "t", spark)
-    store.configure(unique_on="k", partition_by="p")
+    store.configure(unique_on=["p", "k"], partition_by="p")
     base = spark.createDataFrame(
         [(i, ["a", "b", "c"][i % 3], float(i)) for i in range(30)],
         "k int, p string, val double",
@@ -254,7 +254,7 @@ def test_partitioned_upsert_join_is_partition_pruned(spark, tmp_path):
     from basis_devkit_spark.storage.store import TableStore
 
     store = TableStore(str(tmp_path), "t", spark)
-    store.configure(unique_on="k", partition_by="p")
+    store.configure(unique_on=["p", "k"], partition_by="p")
     base = spark.createDataFrame(
         [(i, ["a", "b", "c"][i % 3], float(i)) for i in range(30)],
         "k int, p string, val double",
@@ -262,7 +262,7 @@ def test_partitioned_upsert_join_is_partition_pruned(spark, tmp_path):
     store.write_replace(base)
     batch = spark.createDataFrame([(0, "a", 9.0)], "k int, p string, val double")
     batch = store._apply_hints(batch)
-    survivors = store._upsert_survivors(store.read(), batch, ["k"])
+    survivors = store._upsert_survivors(store.read(), batch, ["p", "k"])
     plan = survivors._sc._jvm.PythonSQLUtils.explainString(
         survivors._jdf.queryExecution(), "formatted"
     )
@@ -273,8 +273,9 @@ def test_partitioned_upsert_join_is_partition_pruned(spark, tmp_path):
 
 
 def test_partitioned_upsert_null_partition_value(spark, tmp_path):
-    """Rows with a NULL partition value must land in exactly one branch of
-    the scoped merge (never dropped, never duplicated)."""
+    """Rows with a NULL partition value merge correctly. With unique_on
+    excluding the partition col this takes the global-merge fallback (a
+    null join key would never match in the scoped anti-join)."""
     from basis_devkit_spark.storage.store import TableStore
 
     store = TableStore(str(tmp_path), "t", spark)
@@ -291,3 +292,60 @@ def test_partitioned_upsert_null_partition_value(spark, tmp_path):
     got = {r.k: (r.p, r.val) for r in store.read().collect()}
     assert got[2][1] == 22.0 and got[1] == ("a", 1.0) and got[3] == ("b", 3.0)
     assert len(got) == 3
+
+
+def test_upsert_key_moving_between_partitions_stays_unique(spark, tmp_path):
+    """Regression: when unique_on does NOT include the partition column, a
+    key whose partition value changes must still be merged globally — the
+    scoped path would leave the stale row in the old partition."""
+    from basis_devkit_spark.storage.store import TableStore
+
+    store = TableStore(str(tmp_path), "t", spark)
+    store.configure(unique_on="k", partition_by="day")
+    store.write_replace(
+        spark.createDataFrame([(1, "d1", 1.0), (2, "d1", 2.0)],
+                              "k int, day string, val double")
+    )
+    store.upsert(
+        spark.createDataFrame([(1, "d2", 99.0)], "k int, day string, val double")
+    )
+    rows = {(r.k): (r.day, r.val) for r in store.read().collect()}
+    assert len(rows) == 2                  # k=1 exists exactly once
+    assert rows[1] == ("d2", 99.0)
+    assert rows[2] == ("d1", 2.0)
+
+
+def test_read_version_raises_after_vacuum(spark, tmp_path):
+    """Regression: a vacuumed version must raise, not silently return only
+    its own batch directory (its dir can survive inside newer lineages)."""
+    import pytest as _pytest
+
+    from basis_devkit_spark.storage.store import TableStore
+
+    store = TableStore(str(tmp_path), "t", spark)
+    store.write_replace(spark.createDataFrame([(1,)], "x int"))  # v1
+    for i in range(2, 6):
+        store.append(spark.createDataFrame([(i,)], "x int"))     # v2..v5
+    store.vacuum(keep_last=2)
+    with _pytest.raises(FileNotFoundError, match="version 2"):
+        store.read_version(2)
+    # Retained versions still read fully.
+    assert store.read().count() == 5
+
+
+def test_vacuum_reclaims_crash_orphan_dirs(spark, tmp_path):
+    """A directory written by a crashed job (no manifest entry) is removed
+    by vacuum; referenced lineage dirs are untouched."""
+    import os as _os
+
+    from basis_devkit_spark.storage.store import TableStore
+
+    store = TableStore(str(tmp_path), "t", spark)
+    store.write_replace(spark.createDataFrame([(1,)], "x int"))
+    orphan = _os.path.join(store.path, "v=999")
+    _os.makedirs(orphan)
+    with open(_os.path.join(orphan, "part-junk.parquet"), "w") as f:
+        f.write("x")
+    store.vacuum(keep_last=2)
+    assert not _os.path.exists(orphan)
+    assert store.read().count() == 1
