@@ -33,6 +33,8 @@ from basis_devkit_spark.operators.text import (
     pack_sequences,
     mixture_sample,
     exclusive_prefix_sum,
+    repetition_stats,
+    redact_pii,
 )
 from basis_devkit_spark.operators.joins import as_of_join, range_join
 from basis_devkit_spark.operators.skew import salted_agg, salted_join

@@ -160,6 +160,63 @@ def tfidf(
     )
 
 
+def repetition_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Gopher-style repetition signals, per document:
+    ``top_2gram_frac`` — fraction of word 2-grams occupied by the single
+    most frequent 2-gram; ``dup_5gram_frac`` — fraction of word 5-grams
+    that are duplicates of an earlier one. High values flag boilerplate /
+    degenerate repetition. Pure array expressions (nested higher-order
+    functions), no explode, no shuffle — the counting is quadratic in the
+    per-document gram count, fine for documents, not for books."""
+    toks = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+
+    def grams(n: int):
+        cnt = F.size(toks)
+        idx = F.sequence(F.lit(0), F.greatest(cnt - n, F.lit(0)))
+        return F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)))
+
+    g2, g5 = grams(2), grams(5)
+    top2 = F.array_max(
+        F.transform(
+            F.array_distinct(g2),
+            lambda d: F.size(F.filter(g2, lambda x: x == d)),
+        )
+    )
+    return df.withColumns(
+        {
+            "top_2gram_frac": F.round(
+                top2 / F.greatest(F.size(g2), F.lit(1)), 6
+            ),
+            "dup_5gram_frac": F.round(
+                1 - F.size(F.array_distinct(g5)) / F.greatest(F.size(g5), F.lit(1)),
+                6,
+            ),
+        }
+    )
+
+
+# Redaction patterns applied in order; SSN before the generic phone shape so
+# the broader digit-run pattern cannot eat it first. RE2/Java-compatible
+# (no backreferences/lookaround), so oracles replay them exactly.
+PII_PATTERNS: list[tuple[str, str]] = [
+    (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    (r"\b\d{3}-\d{2}-\d{4}\b", "<SSN>"),
+    (r"\+?\d[\d\s().-]{7,}\d", "<PHONE>"),
+]
+
+
+def redact_pii(
+    df: DataFrame, text_col: str = "text", out_col: str | None = None
+) -> DataFrame:
+    """Scrub common PII shapes (emails, SSN-style ids, phone-like digit
+    runs) from a text column — a standard pretraining-corpus cleaning
+    pass. One projection of chained ``regexp_replace``; no UDF."""
+    c: Column = F.col(text_col)
+    for pat, repl in PII_PATTERNS:
+        c = F.regexp_replace(c, pat, repl)
+    return df.withColumn(out_col or text_col, c)
+
+
 def mixture_sample(
     df: DataFrame,
     weights: dict[str, float],

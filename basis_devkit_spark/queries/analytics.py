@@ -638,6 +638,82 @@ def d06c(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @register(
+    "d04i_redact_pii",
+    """
+    with planted as (
+      select doc_id,
+             case when doc_id % 10 = 0
+                  then text || ' contact user' || cast(doc_id as varchar)
+                       || '@example.com or 555-123-4567 ssn 123-45-6789'
+                  else text end as text
+      from documents
+    )
+    select doc_id,
+           regexp_replace(
+             regexp_replace(
+               regexp_replace(text,
+                 '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+               '\\b\\d{3}-\\d{2}-\\d{4}\\b', '<SSN>', 'g'),
+             '\\+?\\d[\\d\\s().-]{7,}\\d', '<PHONE>', 'g') as text
+    from planted
+    """,
+    doc="PII redaction pass (emails/SSN/phone shapes) over a corpus with "
+    "deterministically planted PII — oracle replays the same regex chain",
+)
+def d04i(spark: SparkSession, sf: str) -> DataFrame:
+    from basis_devkit_spark.operators.text import redact_pii
+
+    d = load(spark, sf, "documents").select("doc_id", "text")
+    planted = d.withColumn(
+        "text",
+        F.when(
+            F.col("doc_id") % 10 == 0,
+            F.concat(
+                F.col("text"),
+                F.lit(" contact user"),
+                F.col("doc_id").cast("string"),
+                F.lit("@example.com or 555-123-4567 ssn 123-45-6789"),
+            ),
+        ).otherwise(F.col("text")),
+    )
+    return redact_pii(planted, "text")
+
+
+@register(
+    "d04j_repetition_stats",
+    """
+    with toks as (
+      select doc_id, string_split(lower(trim(text)), ' ') as ws from documents
+    ),
+    g as (
+      select doc_id,
+        list_transform(range(1, greatest(len(ws) - 1, 1) + 1),
+                       i -> array_to_string(list_slice(ws, i, i + 1), ' ')) as g2,
+        list_transform(range(1, greatest(len(ws) - 4, 1) + 1),
+                       i -> array_to_string(list_slice(ws, i, i + 4), ' ')) as g5
+      from toks
+    )
+    select doc_id,
+      round(list_max(list_transform(list_distinct(g2),
+                     d -> len(list_filter(g2, x -> x = d))))
+            / greatest(len(g2), 1), 6) as top_2gram_frac,
+      round(1 - len(list_distinct(g5)) / greatest(len(g5), 1), 6)
+        as dup_5gram_frac
+    from g
+    """,
+    doc="Gopher-style repetition filters: top-2-gram occupancy and "
+    "duplicate-5-gram fraction per document (pure array expressions)",
+)
+def d04j(spark: SparkSession, sf: str) -> DataFrame:
+    from basis_devkit_spark.operators.text import repetition_stats
+
+    d = load(spark, sf, "documents")
+    return repetition_stats(d, "text").select(
+        "doc_id", "top_2gram_frac", "dup_5gram_frac"
+    )
+
+
+@register(
     "d04h_data_mixture",
     """
     select doc_id, lang

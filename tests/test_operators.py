@@ -412,3 +412,38 @@ def test_connected_components_exact_clusters(spark):
         union(a, b)
     expected = {n: find(n) for n in parent}
     assert got == expected
+
+
+def test_redact_pii_shapes(spark):
+    from basis_devkit_spark.operators.text import redact_pii
+
+    docs = spark.createDataFrame(
+        [
+            (1, "mail a.b+c@ex-ample.org now"),
+            (2, "ssn 123-45-6789 ok"),
+            (3, "call +1 (555) 123-4567 today"),
+            (4, "clean text stays"),
+        ],
+        "id int, text string",
+    )
+    got = {r.id: r.text for r in redact_pii(docs, "text").collect()}
+    assert got[1] == "mail <EMAIL> now"
+    assert got[2] == "ssn <SSN> ok"
+    assert got[3] == "call <PHONE> today"
+    assert got[4] == "clean text stays"
+
+
+def test_repetition_stats_bounds_and_extremes(spark):
+    from basis_devkit_spark.operators.text import repetition_stats
+
+    docs = spark.createDataFrame(
+        [
+            (1, " ".join(["spam"] * 20)),            # maximal repetition
+            (2, " ".join(f"w{i}" for i in range(20))),  # all distinct
+        ],
+        "id int, text string",
+    )
+    got = {r.id: (r.top_2gram_frac, r.dup_5gram_frac)
+           for r in repetition_stats(docs, "text").collect()}
+    assert got[1] == (1.0, 0.9375)   # 16 5-grams, 1 distinct
+    assert got[2][0] == round(1 / 19, 6) and got[2][1] == 0.0
