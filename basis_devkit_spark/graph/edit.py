@@ -366,16 +366,32 @@ def directory_contents_to_upload(directory: Path) -> Iterator[Path]:
     .gitignore anywhere up the repo is respected); otherwise a walk with
     the built-in ignore rules."""
     try:
+        # -z: NUL-separated, unquoted — non-ASCII names come through raw
+        # (default core.quotepath would C-quote them and break the paths).
         out = subprocess.check_output(
-            ["git", "-C", str(directory), "ls-files", "-co",
+            ["git", "-C", str(directory), "ls-files", "-coz",
              "--exclude-standard"],
             stderr=subprocess.DEVNULL,
         )
-        for line in out.decode().splitlines():
-            p = Path(directory) / line
+        names = [n for n in out.decode().split("\0") if n]
+        files = []
+        for name in names:
+            parts = Path(name).parts
+            # Keep the built-in hygiene filters even under git: a repo
+            # without a .gitignore would otherwise package .venv/.pyc junk.
+            if any(d in _IGNORE_DIRS for d in parts[:-1]):
+                continue
+            if _IGNORE_RE.fullmatch(parts[-1]):
+                continue
+            p = Path(directory) / name
             if p.is_file():
-                yield p
-        return
+                files.append(p)
+        if files:
+            yield from files
+            return
+        # Zero files (e.g. the whole dir is inside an enclosing repo's
+        # ignored path): a graph dir always has at least graph.yml, so
+        # fall through to the plain walk rather than package nothing.
     except (OSError, subprocess.CalledProcessError):
         pass  # not a git work tree / git unavailable: walk instead
     for dirname, dirnames, files in os.walk(directory, followlinks=True):

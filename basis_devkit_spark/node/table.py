@@ -58,13 +58,19 @@ class TableVersion:
 
     @property
     def exists(self) -> bool:
+        """True iff the snapshot is still retained (manifest entry + data).
+        A vacuumed version is gone even if its batch directory survives
+        inside newer versions' lineage."""
         import os
 
-        return os.path.isdir(self.storage_path)
+        store = self._table._store
+        return str(self.version) in store._manifest.versions and os.path.isdir(
+            self.storage_path
+        )
 
     @property
     def schema(self):
-        """Schema of this snapshot (node.py:101-105)."""
+        """Schema of this snapshot (node.py:101-105); None once vacuumed."""
         if not self.exists:
             return None
         return self._table._store.read_version(self.version).schema
@@ -72,11 +78,14 @@ class TableVersion:
     @property
     def record_count(self) -> int | None:
         """Row count of this snapshot (node.py:106-110): manifest-recorded
-        when available, else counted from the version's lineage."""
+        when available, else counted from the version's lineage; None once
+        vacuumed."""
+        if not self.exists:
+            return None
         store = self._table._store
         info = store._manifest.versions.get(str(self.version), {})
         n = info.get("record_count")
-        if n is None and self.exists:
+        if n is None:
             n = store.read_version(self.version).count()
         return n
 

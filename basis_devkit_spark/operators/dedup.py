@@ -351,6 +351,10 @@ def connected_components(
     only a per-round change count. The large-star/small-star variant
     (Kiveris et al., "Connected Components in MapReduce") drops rounds to
     O(log n) if ever needed.
+
+    The returned DataFrame IS the final persisted labels frame — callers
+    that are done with it should ``.unpersist()`` it (session-scoped
+    cache otherwise; Spark LRU-evicts under pressure).
     """
     from pyspark import StorageLevel
 

@@ -182,14 +182,22 @@ def repetition_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
             lambda d: F.size(F.filter(g2, lambda x: x == d)),
         )
     )
+    n_toks = F.size(toks)
+    # A doc shorter than the gram size has NO n-grams: score 0, not the
+    # degenerate whole-text gram (which would flag every 1-2 word doc as
+    # maximally repetitive and have corpus filters drop it).
     return df.withColumns(
         {
-            "top_2gram_frac": F.round(
-                top2 / F.greatest(F.size(g2), F.lit(1)), 6
+            "top_2gram_frac": F.when(n_toks < 2, F.lit(0.0)).otherwise(
+                F.round(top2 / F.greatest(F.size(g2), F.lit(1)), 6)
             ),
-            "dup_5gram_frac": F.round(
-                1 - F.size(F.array_distinct(g5)) / F.greatest(F.size(g5), F.lit(1)),
-                6,
+            "dup_5gram_frac": F.when(n_toks < 5, F.lit(0.0)).otherwise(
+                F.round(
+                    1
+                    - F.size(F.array_distinct(g5))
+                    / F.greatest(F.size(g5), F.lit(1)),
+                    6,
+                )
             ),
         }
     )
@@ -262,8 +270,15 @@ def exclusive_prefix_sum(
     cumulative sum on the bucket list, broadcast back; each bucket then
     windows internally in parallel. No no-partition global window — the
     same two-pass prefix pattern as ``streaming.ops.drop_late_events``."""
+    from pyspark.sql import types as T
     from pyspark.sql.window import Window
 
+    if not isinstance(df.schema[order_col].dataType, T.NumericType):
+        raise TypeError(
+            f"exclusive_prefix_sum needs a numeric order column; "
+            f"{order_col!r} is {df.schema[order_col].dataType.simpleString()} "
+            "(derive a numeric rank first)"
+        )
     df2 = df.withColumn("__b", F.floor(F.col(order_col) / F.lit(bucket_size)))
     bsum = df2.groupBy("__b").agg(F.sum(value_col).alias("__bsum"))
     wb = Window.orderBy("__b").rowsBetween(Window.unboundedPreceding, -1)
@@ -275,11 +290,15 @@ def exclusive_prefix_sum(
         .orderBy(order_col)
         .rowsBetween(Window.unboundedPreceding, -1)
     )
+    # Left join + coalesce: a NULL order value yields a NULL bucket, which
+    # an inner join would silently drop; NULL-ordered rows instead form
+    # their own nulls-first group with a locally consistent prefix.
     return (
-        df2.join(F.broadcast(bprev), "__b")
+        df2.join(F.broadcast(bprev), "__b", "left")
         .withColumn(
             out_col,
-            F.coalesce(F.sum(value_col).over(wr), F.lit(0)) + F.col("__prev"),
+            F.coalesce(F.sum(value_col).over(wr), F.lit(0))
+            + F.coalesce(F.col("__prev"), F.lit(0)),
         )
         .drop("__b", "__prev")
     )

@@ -694,12 +694,15 @@ def d04i(spark: SparkSession, sf: str) -> DataFrame:
       from toks
     )
     select doc_id,
-      round(list_max(list_transform(list_distinct(g2),
-                     d -> len(list_filter(g2, x -> x = d))))
-            / greatest(len(g2), 1), 6) as top_2gram_frac,
-      round(1 - len(list_distinct(g5)) / greatest(len(g5), 1), 6)
+      case when nw < 2 then 0.0 else
+        round(list_max(list_transform(list_distinct(g2),
+                       d -> len(list_filter(g2, x -> x = d))))
+              / greatest(len(g2), 1), 6) end as top_2gram_frac,
+      case when nw < 5 then 0.0 else
+        round(1 - len(list_distinct(g5)) / greatest(len(g5), 1), 6) end
         as dup_5gram_frac
-    from g
+    from (select *, len(ws) as nw from toks) t
+    join g using (doc_id)
     """,
     doc="Gopher-style repetition filters: top-2-gram occupancy and "
     "duplicate-5-gram fraction per document (pure array expressions)",

@@ -208,15 +208,21 @@ class TableStore:
             if d not in referenced:
                 shutil.rmtree(os.path.join(self.path, d), ignore_errors=True)
             self._manifest.versions.pop(str(v), None)
-        # Crash-orphaned dirs: on disk, unreferenced, not in the manifest.
+        # Crash-orphaned dirs: on disk, unreferenced, not in the manifest —
+        # and older than a grace period, so an in-flight write from another
+        # process (data landed, manifest not yet flipped) is never
+        # mistaken for a crash leftover.
+        grace = time.time() - 3600
         for entry in os.listdir(self.path):
+            full = os.path.join(self.path, entry)
             if (
                 entry.startswith("v=")
                 and entry not in referenced
                 and entry[2:] not in self._manifest.versions
-                and os.path.isdir(os.path.join(self.path, entry))
+                and os.path.isdir(full)
+                and os.path.getmtime(full) < grace
             ):
-                shutil.rmtree(os.path.join(self.path, entry), ignore_errors=True)
+                shutil.rmtree(full, ignore_errors=True)
         self._commit_manifest()
 
     # ---------------- metadata (A12) ----------------
@@ -524,7 +530,7 @@ class TableStore:
             or any(c not in df.columns for c in pcols)
             or not set(pcols) <= set(keys)
         ):
-            return old.join(df.select(*keys), on=keys, how="left_anti")
+            return _anti_join_nullsafe(old, df, keys)
         touched = [
             tuple(r[c] for c in pcols)
             for r in df.select(*pcols).distinct().collect()
@@ -548,10 +554,21 @@ class TableStore:
         # coalesce: a null comparison must land a row in exactly one branch.
         in_touched = F.coalesce(cond, F.lit(False))
         untouched = old.filter(~in_touched)
-        scoped = old.filter(in_touched).join(
-            df.select(*keys), on=keys, how="left_anti"
-        )
+        scoped = _anti_join_nullsafe(old.filter(in_touched), df, keys)
         return untouched.unionByName(scoped)
+
+
+def _anti_join_nullsafe(old: DataFrame, new: DataFrame, keys: list[str]) -> DataFrame:
+    """Old rows with no key match in ``new``, treating NULL key values as
+    equal (``<=>``). A plain ``on=keys`` anti-join never matches NULL=NULL,
+    so an upsert of a NULL-keyed row would duplicate it instead of
+    replacing it."""
+    o, n = old.alias("__o"), new.select(*keys).alias("__n")
+    cond = None
+    for k in keys:
+        c = F.col(f"__o.{k}").eqNullSafe(F.col(f"__n.{k}"))
+        cond = c if cond is None else cond & c
+    return o.join(n, cond, "left_anti").select(*[F.col(f"__o.{c}") for c in old.columns])
 
 
 def _align_columns(df: DataFrame, target: T.StructType) -> DataFrame:

@@ -347,9 +347,9 @@ class TestGitAwarePackaging:
             names = set(zf.namelist())
         assert "secret.env" not in names
         assert {"graph.yml", "a.py", "keep.txt"} <= names
-        # .gitignore itself is tracked-eligible and ships (reference parity:
-        # git ls-files -co lists it).
-        assert ".gitignore" in names
+        # The built-in hygiene filter applies on top of git's list, so VCS
+        # plumbing like .gitignore stays out of the package either way.
+        assert ".gitignore" not in names
 
 
 def test_add_binary_node_file(tmp_path):

@@ -346,6 +346,44 @@ def test_vacuum_reclaims_crash_orphan_dirs(spark, tmp_path):
     _os.makedirs(orphan)
     with open(_os.path.join(orphan, "part-junk.parquet"), "w") as f:
         f.write("x")
+    # Backdate past the 1h in-flight-writer grace period.
+    _os.utime(orphan, (0, 0))
     store.vacuum(keep_last=2)
     assert not _os.path.exists(orphan)
     assert store.read().count() == 1
+
+
+def test_upsert_null_key_replaces_not_duplicates(spark, tmp_path):
+    """Regression: NULL key values merge via null-safe equality — the old
+    NULL-keyed row is replaced, not kept alongside the new one. Covers
+    both the scoped path (partition col in the key) and global fallback."""
+    from basis_devkit_spark.storage.store import TableStore
+
+    # Scoped path: partition col in unique_on, NULL partition value.
+    st1 = TableStore(str(tmp_path / "s1"), "t", spark)
+    st1.configure(unique_on=["p", "k"], partition_by="p")
+    st1.write_replace(
+        spark.createDataFrame([(None, 1, 1.0), ("a", 2, 2.0)],
+                              "p string, k int, val double")
+    )
+    st1.upsert(
+        spark.createDataFrame([(None, 1, 9.0)], "p string, k int, val double")
+    )
+    rows = sorted(
+        ((r.p, r.k, r.val) for r in st1.read().collect()),
+        key=lambda t: (t[0] or "", t[1]),
+    )
+    assert rows == [(None, 1, 9.0), ("a", 2, 2.0)]
+
+    # Global path: NULL in a plain unique_on key.
+    st2 = TableStore(str(tmp_path / "s2"), "t", spark)
+    st2.configure(unique_on="k")
+    st2.write_replace(
+        spark.createDataFrame([(None, 1.0), (2, 2.0)], "k int, val double")
+    )
+    st2.upsert(spark.createDataFrame([(None, 99.0)], "k int, val double"))
+    got = sorted(
+        ((r.k, r.val) for r in st2.read().collect()),
+        key=lambda t: (t[0] is None, t[0] or 0),
+    )
+    assert got == [(2, 2.0), (None, 99.0)]
