@@ -73,6 +73,33 @@ def read_binary_dir(
     )
 
 
+# Magic-byte prefixes (uppercase hex) → format. Checked longest-first so
+# more specific signatures win.
+_MAGIC_BYTES: list[tuple[str, str]] = [
+    ("89504E470D0A1A0A", "png"),
+    ("474946383761", "gif"),
+    ("474946383961", "gif"),
+    ("FFD8FF", "jpeg"),
+    ("52494646", "riff"),  # wav/avi/webp containers
+    ("494433", "mp3"),
+    ("664C6143", "flac"),
+]
+
+
+def sniff_format(content_col: str | Column) -> Column:
+    """Content-based format detection from magic bytes — no filename or
+    metadata trust. Pure column expression over ``hex(content)`` (the blob
+    itself never leaves the JVM); returns 'bin' for unknown signatures."""
+    c = F.col(content_col) if isinstance(content_col, str) else content_col
+    hx = F.hex(c)
+    out: Column | None = None
+    for prefix, fmt in _MAGIC_BYTES:
+        cond = F.substring(hx, 1, len(prefix)) == prefix
+        out = F.when(cond, fmt) if out is None else out.when(cond, fmt)
+    assert out is not None
+    return out.otherwise(F.lit("bin"))
+
+
 def attach_media_ref(
     df: DataFrame, uri_col: str, bytes_col: str | None = None
 ) -> DataFrame:

@@ -500,6 +500,52 @@ def d04d(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @register(
+    "d05b_media_sniff",
+    r"""
+    with blobs as (
+      select doc_id,
+             case doc_id % 3
+               when 0 then '\x89PNG\x0D\x0A\x1A\x0A'::blob
+               when 1 then '\xFF\xD8\xFF\xE0'::blob
+               else 'RIFF'::blob
+             end || encode(text) as content
+      from documents
+    )
+    select doc_id,
+           case when substr(hex(content), 1, 16) = '89504E470D0A1A0A' then 'png'
+                when substr(hex(content), 1, 6) = 'FFD8FF' then 'jpeg'
+                when substr(hex(content), 1, 8) = '52494646' then 'riff'
+                else 'bin' end as fmt,
+           octet_length(content) as n_bytes,
+           md5(hex(content)) as content_hash
+    from blobs
+    """,
+    doc="binary media column pipeline that needs NO codec: deterministic "
+    "blobs with real magic bytes, content-based format sniffing, byte "
+    "length, and a content hash — all on the binary column, JVM-side",
+)
+def d05b(spark: SparkSession, sf: str) -> DataFrame:
+    from basis_devkit_spark.operators.multimodal import sniff_format
+
+    d = load(spark, sf, "documents").select("doc_id", "text")
+    hdr = (
+        F.when(
+            F.col("doc_id") % 3 == 0,
+            F.lit(bytes([0x89, 0x50, 0x4E, 0x47, 0x0D, 0x0A, 0x1A, 0x0A])),
+        )
+        .when(F.col("doc_id") % 3 == 1, F.lit(b"\xff\xd8\xff\xe0"))
+        .otherwise(F.lit(b"RIFF"))
+    )
+    blobs = d.withColumn("content", F.concat(hdr, F.encode("text", "utf-8")))
+    return blobs.select(
+        "doc_id",
+        sniff_format("content").alias("fmt"),
+        F.length("content").cast("long").alias("n_bytes"),
+        F.md5(F.hex("content")).alias("content_hash"),
+    )
+
+
+@register(
     "d05_multimodal_plumbing",
     None,  # binary decode is stubbed (no codecs in container); plumbing rows-only
     doc="multimodal: media struct + mapInPandas decode (deterministic fake)",

@@ -447,3 +447,21 @@ def test_repetition_stats_bounds_and_extremes(spark):
            for r in repetition_stats(docs, "text").collect()}
     assert got[1] == (1.0, 0.9375)   # 16 5-grams, 1 distinct
     assert got[2][0] == round(1 / 19, 6) and got[2][1] == 0.0
+
+
+def test_sniff_format_magic_bytes(spark):
+    from basis_devkit_spark.operators.multimodal import sniff_format
+
+    rows = [
+        (1, bytes([0x89, 0x50, 0x4E, 0x47, 0x0D, 0x0A, 0x1A, 0x0A]) + b"x"),
+        (2, b"\xff\xd8\xff\xe0junk"),
+        (3, b"GIF89a..."),
+        (4, b"RIFF....WAVE"),
+        (5, b"ID3\x04tag"),
+        (6, b"fLaCdata"),
+        (7, b"plain text"),
+    ]
+    df = spark.createDataFrame(rows, "id int, content binary")
+    got = {r.id: r.fmt for r in df.select("id", sniff_format("content").alias("fmt")).collect()}
+    assert got == {1: "png", 2: "jpeg", 3: "gif", 4: "riff", 5: "mp3",
+                   6: "flac", 7: "bin"}
