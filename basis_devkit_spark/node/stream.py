@@ -41,9 +41,15 @@ class Stream:
         """Unconsumed records as a lazy DataFrame, ordered. The filter is
         strictly-greater-than (seek semantics node.py:74-75) and pushes down
         to the parquet scan."""
-        df = self.table.read_dataframe()
-        if self._position is not None:
-            df = df.filter(F.col(self.order_by) > F.lit(self._position))
+        if self._position is not None and hasattr(self.table, "read_where"):
+            # File-skipping read: footer min/max stats on the ordering
+            # field drop already-consumed files entirely (the filter is
+            # also applied and still pushes down into surviving scans).
+            df = self.table.read_where([(self.order_by, ">", self._position)])
+        else:
+            df = self.table.read_dataframe()
+            if self._position is not None:
+                df = df.filter(F.col(self.order_by) > F.lit(self._position))
         return df.orderBy(self.order_by)
 
     def consume_records(self, with_metadata: bool = False) -> Iterator[dict]:

@@ -196,6 +196,7 @@ class Table:
         add_monotonic_id: str | bool | None = None,
         auto_indexes: bool = True,  # no-op on Spark (no indexes); kept for parity
         partition_by: str | list[str] | None = None,  # engine extension: scale
+        stats_columns: str | list[str] | None = None,  # file-skipping stats
     ) -> None:
         hints = dict(schema_hints or {})
         if isinstance(schema, dict):
@@ -207,6 +208,7 @@ class Table:
             add_monotonic_id=("id" if add_monotonic_id is True else add_monotonic_id)
             or None,
             partition_by=partition_by,
+            stats_columns=stats_columns,
         )
 
     # ---------------- reads (A1-A3) ----------------
@@ -221,6 +223,14 @@ class Table:
         if chunksize is None:
             return df
         return _pandas_chunks(df, chunksize)
+
+    def read_where(self, filters: list[tuple[str, str, Any]]):
+        """Filtered read with file-level data skipping: identical rows to
+        ``read_dataframe().filter(...)`` but files whose footer min/max
+        stats prove no match are dropped before Spark lists them (see
+        ``TableStore.read_pruned``). Streams use this for cursor reads."""
+        self.flush()
+        return self._require_store().read_pruned(filters)
 
     def read(
         self, as_format: str = "records", chunksize: int | None = None

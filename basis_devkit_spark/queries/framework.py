@@ -751,3 +751,30 @@ def a24(spark: SparkSession, sf: str) -> DataFrame:
     )
     eng.run_graph()
     return eng.table_df("scaled_out").select("o_orderkey", "o_totalprice", "scaled")
+
+
+@register(
+    "a25_stats_pruned_read",
+    """
+    select l_orderkey, l_linenumber, l_quantity, l_shipdate
+    from lineitem where l_orderkey > 12000
+    """,
+    doc="file-level data skipping: manifest footer min/max stats drop files "
+    "a range filter cannot match before Spark lists them (Delta-style); "
+    "result identical to a plain filtered scan",
+)
+def a25(spark: SparkSession, sf: str) -> DataFrame:
+    """Writes lineitem range-partitioned on l_orderkey into a managed store
+    with stats_columns, then reads through ``TableStore.read_pruned`` — the
+    data-skipping path a 100 TB cursor/time filter takes. The oracle is the
+    equivalent plain SQL filter: pruning must never change results."""
+    from basis_devkit_spark.storage.store import TableStore
+
+    tmp = tempfile.mkdtemp(prefix="bds_a25_")
+    store = TableStore(tmp, "lineitem", spark)
+    store.configure(stats_columns=["l_orderkey"])
+    li = load(spark, sf, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_quantity", "l_shipdate"
+    )
+    store.write_replace(li.repartitionByRange(8, "l_orderkey"))
+    return store.read_pruned([("l_orderkey", ">", 12000)])

@@ -109,6 +109,15 @@ class _Manifest:
     # Hive-style partition columns for every version write. At scale this is
     # what makes cursor reads, upsert merges, and time filters prune files.
     partition_by: list[str] | None = None
+    # File-level min/max statistics (Delta/Iceberg-style data skipping).
+    # Collected per immutable lineage directory at write time from parquet
+    # footers (metadata-only reads — never a data scan), keyed
+    # {dir: {relative_file: {col: [min, max]}}}. ``read_pruned`` uses them
+    # to drop whole files before Spark ever lists them — at 100 TB this is
+    # what keeps a cursor read or a time filter from touching millions of
+    # irrelevant files.
+    stats_columns: list[str] | None = None
+    dir_stats: dict[str, dict[str, dict[str, list]]] = field(default_factory=dict)
     # schema "roles" (node.py:196-200): ordering resolution for as_stream()
     strictly_monotonic_ordering: str | None = None
     created_ordering: str | None = None
@@ -133,6 +142,11 @@ class TableStore:
         self.spark = spark
         self.path = os.path.join(root, name)
         os.makedirs(self.path, exist_ok=True)
+        # Spark's default parquet timestamp encoding is the deprecated
+        # INT96, which carries NO footer min/max statistics — that would
+        # silently disable data skipping on every timestamp column. Write
+        # modern TIMESTAMP_MICROS instead (runtime-settable conf).
+        spark.conf.set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
         self._manifest = self._load_manifest()
         # Batches pinned (persisted) during a write so the id-assignment
         # count job and the write job see identical partitions.
@@ -223,6 +237,9 @@ class TableStore:
                 and os.path.getmtime(full) < grace
             ):
                 shutil.rmtree(full, ignore_errors=True)
+        self._manifest.dir_stats = {
+            d: s for d, s in self._manifest.dir_stats.items() if d in referenced
+        }
         self._commit_manifest()
 
     # ---------------- metadata (A12) ----------------
@@ -254,11 +271,18 @@ class TableStore:
         strictly_monotonic_ordering: str | None = None,
         created_ordering: str | None = None,
         partition_by: str | list[str] | None = None,
+        stats_columns: str | list[str] | None = None,
     ) -> None:
         m = self._manifest
         if partition_by is not None:
             m.partition_by = (
                 [partition_by] if isinstance(partition_by, str) else list(partition_by)
+            )
+        if stats_columns is not None:
+            m.stats_columns = (
+                [stats_columns]
+                if isinstance(stats_columns, str)
+                else list(stats_columns)
             )
         if schema_hints is not None:
             m.schema_hints = schema_hints
@@ -303,6 +327,129 @@ class TableStore:
             part = self.spark.read.parquet(os.path.join(self.path, d))
             out = part if out is None else out.unionByName(part, allowMissingColumns=True)
         assert out is not None
+        return out
+
+    # ---------------- file statistics (data skipping) ----------------
+    def _stats_targets(self) -> list[str]:
+        """Columns to collect file-level min/max for: the configured
+        ``stats_columns`` plus the stream-ordering fields (so cursor reads
+        prune for free). Partition columns are excluded — they live in
+        directory names, not file footers, and Spark's partition discovery
+        already prunes them."""
+        m = self._manifest
+        cols: list[str] = list(m.stats_columns or [])
+        for c in (m.strictly_monotonic_ordering, m.created_ordering):
+            if c and c not in cols:
+                cols.append(c)
+        pcols = set(m.partition_by or [])
+        return [c for c in cols if c not in pcols]
+
+    def _collect_file_stats(self, dirname: str) -> None:
+        """Harvest per-file min/max for the stats targets from parquet
+        footers of a freshly written lineage directory. Metadata-only:
+        reads each footer (a few KB), never data pages — the same cost
+        profile as a Delta commit's stats collection. Driver-side loop is
+        O(files in this batch); at extreme file counts the walk could be
+        distributed over ``sc.parallelize(files)``, but a single write's
+        file count is bounded by its partition count."""
+        targets = self._stats_targets()
+        if not targets:
+            return
+        import pyarrow.parquet as pq
+
+        base = os.path.join(self.path, dirname)
+        stats: dict[str, dict[str, list]] = {}
+        for dirpath, _dirs, files in os.walk(base):
+            for fn in files:
+                if not fn.endswith(".parquet"):
+                    continue
+                full = os.path.join(dirpath, fn)
+                rel = os.path.relpath(full, self.path)
+                try:
+                    md = pq.ParquetFile(full).metadata
+                except Exception:
+                    continue
+                fstats: dict[str, list] = {}
+                for ci in range(md.num_columns):
+                    name = md.row_group(0).column(ci).path_in_schema if md.num_row_groups else None
+                    if name not in targets:
+                        continue
+                    lo = hi = None
+                    ok = md.num_row_groups > 0
+                    for rg in range(md.num_row_groups):
+                        cc = md.row_group(rg).column(ci)
+                        st = cc.statistics
+                        if st is None or not st.has_min_max:
+                            ok = False
+                            break
+                        emin, emax = _stat_encode(st.min), _stat_encode(st.max)
+                        if emin is None or emax is None:
+                            ok = False
+                            break
+                        lo = emin if lo is None or emin < lo else lo
+                        hi = emax if hi is None or emax > hi else hi
+                    if ok and lo is not None:
+                        fstats[name] = [lo, hi]
+                if fstats:
+                    stats[rel] = fstats
+        if stats:
+            self._manifest.dir_stats[dirname] = stats
+
+    def _list_parquet(self, dirname: str) -> list[str]:
+        out = []
+        base = os.path.join(self.path, dirname)
+        for dirpath, _dirs, files in os.walk(base):
+            for fn in files:
+                if fn.endswith(".parquet"):
+                    out.append(os.path.relpath(os.path.join(dirpath, fn), self.path))
+        return sorted(out)
+
+    def prune_files(
+        self, filters: list[tuple[str, str, Any]], version: int | None = None
+    ) -> tuple[dict[str, list[str]], int]:
+        """File-level skipping: per lineage directory, the relative paths
+        whose [min, max] intervals can satisfy every conjunct. Files (or
+        whole directories) without stats are conservatively kept. Returns
+        ({dir: kept_files}, total_file_count)."""
+        v = self._manifest.active_version if version is None else version
+        assert v is not None
+        kept: dict[str, list[str]] = {}
+        total = 0
+        for d in self._version_dirs(v):
+            dstats = self._manifest.dir_stats.get(d, {})
+            files = self._list_parquet(d)
+            total += len(files)
+            kept[d] = [
+                rel
+                for rel in files
+                if _file_may_match(dstats.get(rel), filters)
+            ]
+        return kept, total
+
+    def read_pruned(self, filters: list[tuple[str, str, Any]]) -> DataFrame:
+        """Read with file-level data skipping: semantically identical to
+        ``read().filter(<filters>)`` but files whose footer stats prove no
+        row can match are never given to Spark. Filters are conjunctive
+        ``(column, op, value)`` with op in =, <, <=, >, >=. The residual
+        filter is still applied (stats pruning is a conservative superset)
+        and still pushes down to the surviving scans."""
+        if not self.has_active_version():
+            raise FileNotFoundError(f"table '{self.name}' has no active version")
+        kept, _total = self.prune_files(filters)
+        out: DataFrame | None = None
+        for d in self._version_dirs(self._manifest.active_version):
+            files = kept.get(d, [])
+            if not files:
+                continue
+            part = (
+                self.spark.read.option("basePath", os.path.join(self.path, d))
+                .parquet(*[os.path.join(self.path, f) for f in files])
+            )
+            out = part if out is None else out.unionByName(part, allowMissingColumns=True)
+        if out is None:
+            out = self.spark.createDataFrame([], self.read().schema)
+        for col, op, val in filters:
+            out = out.filter(_filter_expr(col, op, val))
         return out
 
     # ---------------- read (A1) ----------------
@@ -413,6 +560,7 @@ class TableStore:
         obs = Observation()
         df = df.observe(obs, F.count(F.lit(1)).alias("n"))
         self._write(df, path, "overwrite")
+        self._collect_file_stats(os.path.relpath(path, self.path))
         return int(obs.get["n"])
 
     def _commit_single_dir_version(self, df: DataFrame) -> tuple[int, int]:
@@ -569,6 +717,73 @@ def _anti_join_nullsafe(old: DataFrame, new: DataFrame, keys: list[str]) -> Data
         c = F.col(f"__o.{k}").eqNullSafe(F.col(f"__n.{k}"))
         cond = c if cond is None else cond & c
     return o.join(n, cond, "left_anti").select(*[F.col(f"__o.{c}") for c in old.columns])
+
+
+def _stat_encode(v: Any) -> Any:
+    """Normalize a parquet-footer stat (or a filter literal) into a
+    JSON-storable, order-preserving key. datetime/date → ISO strings
+    (lexicographic == chronological; a no-microseconds string is a prefix
+    of its padded form, so mixed precision still orders correctly). Types
+    whose comparison semantics are unsafe (bytes, NaN, Decimal) return
+    None → the column is skipped / the file conservatively kept."""
+    import datetime as _dt
+
+    if isinstance(v, bool):
+        return None
+    if isinstance(v, (int, str)):
+        return v
+    if isinstance(v, float):
+        import math
+
+        return None if math.isnan(v) else v
+    if isinstance(v, (_dt.datetime, _dt.date)):
+        return v.isoformat()
+    return None
+
+
+def _file_may_match(
+    fstats: dict[str, list] | None, filters: list[tuple[str, str, Any]]
+) -> bool:
+    """Can any row in a file with these [min, max] stats satisfy every
+    conjunct? Unknown columns/files → True (never prune on missing info)."""
+    if fstats is None:
+        return True
+    for col, op, val in filters:
+        rng = fstats.get(col)
+        ev = _stat_encode(val)
+        if rng is None or ev is None:
+            continue
+        lo, hi = rng
+        both_num = isinstance(lo, (int, float)) and isinstance(ev, (int, float))
+        both_str = isinstance(lo, str) and isinstance(ev, str)
+        if not (both_num or both_str):
+            continue  # mismatched encodings — don't compare
+        if op == "=" and not (lo <= ev <= hi):
+            return False
+        if op == ">" and not (hi > ev):
+            return False
+        if op == ">=" and not (hi >= ev):
+            return False
+        if op == "<" and not (lo < ev):
+            return False
+        if op == "<=" and not (lo <= ev):
+            return False
+    return True
+
+
+def _filter_expr(col: str, op: str, val: Any):
+    c = F.col(col)
+    if op == "=":
+        return c == F.lit(val)
+    if op == ">":
+        return c > F.lit(val)
+    if op == ">=":
+        return c >= F.lit(val)
+    if op == "<":
+        return c < F.lit(val)
+    if op == "<=":
+        return c <= F.lit(val)
+    raise ValueError(f"unsupported pruning op: {op!r}")
 
 
 def _align_columns(df: DataFrame, target: T.StructType) -> DataFrame:

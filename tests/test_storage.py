@@ -387,3 +387,111 @@ def test_upsert_null_key_replaces_not_duplicates(spark, tmp_path):
         key=lambda t: (t[0] is None, t[0] or 0),
     )
     assert got == [(2, 2.0), (None, 99.0)]
+
+
+# ---------------- file-level data skipping ----------------
+
+
+def test_stats_pruned_read_skips_files(spark, tmp_path):
+    """Footer min/max stats must drop files a range filter can't match,
+    and the pruned read must return exactly what read().filter() returns."""
+    st = TableStore(str(tmp_path), "t", spark)
+    st.configure(stats_columns=["k"])
+    df = spark.range(0, 1000).select(
+        F.col("id").cast("int").alias("k"),
+        (F.col("id") % 7).alias("v"),
+    )
+    # range-partitioned write → files with disjoint k ranges
+    st.write_replace(df.repartitionByRange(8, "k"))
+    pruned = st.read_pruned([("k", ">", 900)])
+    expected = {(r.k, r.v) for r in st.read().filter(F.col("k") > 900).collect()}
+    got = {(r.k, r.v) for r in pruned.collect()}
+    assert got == expected and len(got) == 99
+    n_all = len(st.read().inputFiles())
+    n_pruned = len(pruned.inputFiles())
+    assert n_all == 8 and n_pruned < n_all
+
+
+def test_stats_prune_across_append_lineage(spark, tmp_path):
+    """Each append's directory gets its own stats; pruning works across the
+    whole lineage and never loses rows."""
+    st = TableStore(str(tmp_path), "t", spark)
+    st.configure(stats_columns=["k"])
+    st.append(spark.range(0, 100).select(F.col("id").cast("int").alias("k")))
+    st.append(spark.range(100, 200).select(F.col("id").cast("int").alias("k")))
+    st.append(spark.range(200, 300).select(F.col("id").cast("int").alias("k")))
+    pruned = st.read_pruned([("k", ">=", 250)])
+    assert sorted(r.k for r in pruned.collect()) == list(range(250, 300))
+    # only the last append's file(s) survive pruning
+    assert len(pruned.inputFiles()) < len(st.read().inputFiles())
+
+
+def test_stats_prune_all_files_returns_empty_with_schema(spark, tmp_path):
+    st = TableStore(str(tmp_path), "t", spark)
+    st.configure(stats_columns=["k"])
+    st.write_replace(spark.createDataFrame([(1, "a"), (2, "b")], "k int, v string"))
+    out = st.read_pruned([("k", ">", 100)])
+    assert out.count() == 0
+    assert [f.name for f in out.schema.fields] == ["k", "v"]
+
+
+def test_stats_prune_conservative_without_stats(spark, tmp_path):
+    """A store that never collected stats must behave exactly like
+    read().filter() — no file is ever wrongly dropped."""
+    st = TableStore(str(tmp_path), "t", spark)  # no stats_columns, no ordering
+    st.write_replace(spark.createDataFrame([(1, "a"), (5, "b")], "k int, v string"))
+    out = st.read_pruned([("k", ">=", 5)])
+    assert [(r.k, r.v) for r in out.collect()] == [(5, "b")]
+
+
+def test_stream_cursor_read_prunes_files(spark, tmp_path):
+    """A stream whose ordering column has stats must skip files wholly
+    below the cursor (the 100 TB cursor-read path)."""
+    from basis_devkit_spark.node import Table
+
+    st = TableStore(str(tmp_path), "t", spark)
+    st.configure(strictly_monotonic_ordering="seq")
+    st.write_replace(
+        spark.range(0, 400)
+        .select(F.col("id").alias("seq"), (F.col("id") * 2).alias("x"))
+        .repartitionByRange(4, "seq")
+    )
+    t = Table("t", "r")
+    t.bind(st, spark)
+    s = t.as_stream(order_by="seq")
+    s.seek(350)
+    df = s.read_dataframe()
+    assert [r.seq for r in df.collect()] == list(range(351, 400))
+    assert len(df.inputFiles()) < len(st.read().inputFiles())
+
+
+def test_stats_prune_on_timestamp_column(spark, tmp_path):
+    import datetime as dt
+
+    st = TableStore(str(tmp_path), "t", spark)
+    st.configure(stats_columns=["ts"])
+    base = dt.datetime(2024, 1, 1)
+    rows = [(base + dt.timedelta(hours=i), i) for i in range(96)]
+    st.write_replace(
+        spark.createDataFrame(rows, "ts timestamp, n int").repartitionByRange(4, "ts")
+    )
+    cut = base + dt.timedelta(hours=90)
+    out = st.read_pruned([("ts", ">", cut)])
+    assert sorted(r.n for r in out.collect()) == list(range(91, 96))
+    assert len(out.inputFiles()) < 4
+
+
+def test_stats_survive_vacuum_and_compact(spark, tmp_path):
+    st = TableStore(str(tmp_path), "t", spark)
+    st.configure(stats_columns=["k"])
+    for lo in (0, 100, 200):
+        st.append(
+            spark.range(lo, lo + 100).select(F.col("id").cast("int").alias("k"))
+        )
+    st.compact()
+    st.vacuum(keep_last=1)
+    # stats for vacuumed dirs are gone; active lineage still prunable
+    active_dirs = st._version_dirs(st.get_active_version())
+    assert set(st._manifest.dir_stats) <= set(active_dirs)
+    out = st.read_pruned([("k", "<", 50)])
+    assert sorted(r.k for r in out.collect()) == list(range(0, 50))
