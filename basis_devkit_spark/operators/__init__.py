@@ -13,6 +13,7 @@ from basis_devkit_spark.operators.dedup import (
     simhash,
     simhash_near_dup_pairs,
     ngram_jaccard_pairs,
+    ngram_contamination,
     connected_components,
 )
 from basis_devkit_spark.operators.similarity import (
@@ -32,6 +33,7 @@ from basis_devkit_spark.operators.text import (
     filter_corpus,
     pack_sequences,
     mixture_sample,
+    train_val_test_split,
     exclusive_prefix_sum,
     repetition_stats,
     redact_pii,
@@ -54,6 +56,7 @@ __all__ = [
     "simhash",
     "simhash_near_dup_pairs",
     "ngram_jaccard_pairs",
+    "ngram_contamination",
     "cosine_similarity_col",
     "brute_force_topk",
     "lsh_topk",
@@ -71,4 +74,5 @@ __all__ = [
     "quantize_int8",
     "dequantize_int8",
     "corpus_embedding_stats",
+    "train_val_test_split",
 ]

@@ -397,3 +397,46 @@ def connected_components(
             break
     und.unpersist()
     return labels.select(F.col("node"), F.col("label").alias("component"))
+
+
+# ------------------------------------------------- decontamination (D2)
+def ngram_contamination(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_size: int = 8,
+    min_overlap: int = 1,
+) -> DataFrame:
+    """Benchmark decontamination: corpus docs sharing ≥ ``min_overlap``
+    distinct word ``shingle_size``-grams with ANY benchmark document
+    (the standard eval-contamination screen for training corpora).
+
+    Returns (id_col, shared_grams) for contaminated docs only.
+
+    100 TB shape: the benchmark gram set (an eval suite — KBs to MBs) is
+    tiny next to the corpus, so it is distinct-ed and **broadcast**; the
+    corpus side is exploded shingles → broadcast-hash semi-ish join →
+    one groupBy on the doc id. The corpus is never shuffled by gram and
+    never self-joined, so there is no posting-list blowup to cap — join
+    fan-out is bounded by the corpus's own gram count.
+    """
+    # shingle_col is array_distinct per doc, so (__id, __s) pairs are
+    # already unique — no corpus-wide distinct shuffle needed.
+    c = corpus.select(
+        F.col(id_col).alias("__id"),
+        F.explode(shingle_col(text_col, shingle_size)).alias("__s"),
+    )
+    b = (
+        benchmark.select(
+            F.explode(shingle_col(text_col, shingle_size)).alias("__s")
+        )
+        .distinct()
+    )
+    hits = (
+        c.join(F.broadcast(b), "__s")
+        .groupBy("__id")
+        .agg(F.count(F.lit(1)).alias("shared_grams"))
+        .filter(F.col("shared_grams") >= min_overlap)
+    )
+    return hits.select(F.col("__id").alias(id_col), "shared_grams")

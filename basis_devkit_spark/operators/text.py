@@ -362,3 +362,40 @@ def filter_corpus(
             out.withColumn("__h", F.md5(F.col(text_col))), ["__h"], order_by=id_col
         ).drop("__h")
     return out
+
+
+def train_val_test_split(
+    df: DataFrame,
+    fractions: tuple[float, float, float] = (0.98, 0.01, 0.01),
+    id_col: str = "doc_id",
+    out_col: str = "split",
+    salt: str = "split",
+) -> DataFrame:
+    """Deterministic train/val/test assignment for training corpora: each
+    row gets a ``split`` label from the first 8 hex digits of
+    ``md5(salt || id)`` mod 10000 against cumulative fraction cutoffs.
+
+    Same scale properties as ``mixture_sample``: a pure per-row projection
+    (no shuffle, no RNG state, engine-reproducible), and *stable under
+    re-splitting* — growing the val fraction only moves docs train→val,
+    never reshuffles existing val/test membership (cutoffs are cumulative
+    over a fixed hash)."""
+    tr, va, te = (float(x) for x in fractions)
+    if abs(tr + va + te - 1.0) > 1e-9:
+        raise ValueError("fractions must sum to 1")
+    bucket = F.pmod(
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit(salt), F.col(id_col).cast("string"))), 1, 8
+            ),
+            16,
+            10,
+        ).cast("long"),
+        F.lit(10000),
+    )
+    label = (
+        F.when(bucket < int(round(tr * 10000)), F.lit("train"))
+        .when(bucket < int(round((tr + va) * 10000)), F.lit("val"))
+        .otherwise(F.lit("test"))
+    )
+    return df.withColumn(out_col, label)

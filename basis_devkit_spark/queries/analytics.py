@@ -840,3 +840,68 @@ def d04f(spark: SparkSession, sf: str) -> DataFrame:
         d, min_words=10, min_quality=0.3, langs=["en", "de", "fr", "es", "zh", "und"],
         dedup_exact=True,
     ).select("doc_id", "lang", "n_words", "quality_score")
+
+
+@register(
+    "d07_decontaminate",
+    """
+    with toks as (
+      select doc_id, string_split(lower(text), ' ') as ws from documents
+    ),
+    sh0 as (
+      select doc_id, ws,
+             unnest(range(1, greatest(len(ws) - 2, 1) + 1)) as i
+      from toks
+    ),
+    sh as (
+      select distinct doc_id,
+             array_to_string(list_slice(ws, i, i + 2), ' ') as s
+      from sh0
+    ),
+    bench as (select distinct s from sh where doc_id % 20 = 0)
+    select sh.doc_id, count(*) as shared_grams
+    from sh join bench using (s)
+    where sh.doc_id % 20 != 0
+    group by sh.doc_id
+    """,
+    doc="benchmark decontamination: corpus docs sharing any word 3-gram "
+    "with the held-out 'benchmark' slice (doc_id % 20 = 0); benchmark gram "
+    "set is broadcast — the corpus is never shuffled or self-joined",
+)
+def d07(spark: SparkSession, sf: str) -> DataFrame:
+    from basis_devkit_spark.operators.dedup import ngram_contamination
+
+    d = load(spark, sf, "documents")
+    corpus = d.filter(F.col("doc_id") % 20 != 0)
+    bench = d.filter(F.col("doc_id") % 20 == 0)
+    return ngram_contamination(
+        corpus, bench, "doc_id", "text", shingle_size=3, min_overlap=1
+    )
+
+
+@register(
+    "d04k_train_val_test_split",
+    """
+    select doc_id,
+           case when b < 9800 then 'train'
+                when b < 9900 then 'val'
+                else 'test' end as split
+    from (
+      select doc_id,
+             ('0x' || substr(md5('split' || cast(doc_id as varchar)), 1, 8))::ubigint
+             % 10000 as b
+      from documents
+    )
+    """,
+    doc="deterministic train/val/test assignment (98/1/1): md5-bucket vs "
+    "cumulative cutoffs — pure projection, no shuffle, engine-reproducible, "
+    "and stable under fraction changes (cumulative cutoffs only move docs "
+    "across adjacent splits)",
+)
+def d04k(spark: SparkSession, sf: str) -> DataFrame:
+    from basis_devkit_spark.operators.text import train_val_test_split
+
+    d = load(spark, sf, "documents")
+    return train_val_test_split(
+        d, (0.98, 0.01, 0.01), id_col="doc_id", salt="split"
+    ).select("doc_id", "split")

@@ -465,3 +465,49 @@ def test_sniff_format_magic_bytes(spark):
     got = {r.id: r.fmt for r in df.select("id", sniff_format("content").alias("fmt")).collect()}
     assert got == {1: "png", 2: "jpeg", 3: "gif", 4: "riff", 5: "mp3",
                    6: "flac", 7: "bin"}
+
+
+def test_ngram_contamination_plants(spark):
+    """A corpus doc embedding a benchmark passage is flagged with the right
+    shared-gram count; clean docs are not."""
+    from basis_devkit_spark.operators.dedup import ngram_contamination
+
+    bench = spark.createDataFrame(
+        [(100, "the quick brown fox jumps over the lazy dog")],
+        "doc_id long, text string",
+    )
+    corpus = spark.createDataFrame(
+        [
+            (1, "intro text then the quick brown fox jumps over something"),
+            (2, "completely unrelated words about spark clusters"),
+        ],
+        "doc_id long, text string",
+    )
+    out = ngram_contamination(corpus, bench, shingle_size=5, min_overlap=1)
+    rows = {r.doc_id: r.shared_grams for r in out.collect()}
+    # doc 1 shares exactly "the quick brown fox jumps" (one distinct 5-gram
+    # window also slides: "quick brown fox jumps over" = 2 shared 5-grams)
+    assert rows == {1: 2}
+
+
+def test_train_val_test_split_stable_and_exhaustive(spark):
+    """Every row gets exactly one label; assignments are deterministic;
+    growing val only moves docs train->val (never reshuffles test)."""
+    from basis_devkit_spark.operators.text import train_val_test_split
+
+    df = spark.range(0, 2000).select(F.col("id").alias("doc_id"))
+    a = train_val_test_split(df, (0.8, 0.1, 0.1))
+    counts = {r.split: r.n for r in a.groupBy("split").agg(F.count("*").alias("n")).collect()}
+    assert set(counts) == {"train", "val", "test"} and sum(counts.values()) == 2000
+    # deterministic across invocations
+    b = train_val_test_split(df, (0.8, 0.1, 0.1))
+    assert a.exceptAll(b).count() == 0
+    # monotone: shrinking train only converts train rows into val rows
+    wide = train_val_test_split(df, (0.6, 0.3, 0.1))
+    moved = (
+        a.alias("x").join(wide.alias("y"), "doc_id")
+        .filter(F.col("x.split") != F.col("y.split"))
+    )
+    assert moved.filter(~((F.col("x.split") == "train") & (F.col("y.split") == "val"))).count() == 0
+    with pytest.raises(ValueError):
+        train_val_test_split(df, (0.5, 0.1, 0.1))

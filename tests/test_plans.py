@@ -148,3 +148,21 @@ def test_partitioned_store_read_prunes_partitions(spark, tmp_path):
         load(spark, SF, "orders").filter(F.col("o_orderstatus") == "O").count()
     )
     assert df.count() == expected
+
+
+def test_contamination_broadcasts_benchmark(spark):
+    """Decontamination must broadcast the benchmark gram set and never
+    shuffle-join the corpus grams (the 100 TB-side invariant)."""
+    from basis_devkit_spark.operators.dedup import ngram_contamination
+    from pyspark.sql import functions as F
+
+    docs = load(spark, SF, "documents")
+    out = ngram_contamination(
+        docs.filter(F.col("doc_id") % 20 != 0),
+        docs.filter(F.col("doc_id") % 20 == 0),
+        shingle_size=3,
+    )
+    plan = plan_of(out)
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "BatchEvalPython" not in plan
