@@ -197,6 +197,8 @@ class Table:
         auto_indexes: bool = True,  # no-op on Spark (no indexes); kept for parity
         partition_by: str | list[str] | None = None,  # engine extension: scale
         stats_columns: str | list[str] | None = None,  # file-skipping stats
+        cluster_by: str | list[str] | None = None,  # range-clustered writes
+        compact_after: int | None = None,  # auto-compact lineage bound
     ) -> None:
         hints = dict(schema_hints or {})
         if isinstance(schema, dict):
@@ -209,6 +211,8 @@ class Table:
             or None,
             partition_by=partition_by,
             stats_columns=stats_columns,
+            cluster_by=cluster_by,
+            compact_after=compact_after,
         )
 
     # ---------------- reads (A1-A3) ----------------

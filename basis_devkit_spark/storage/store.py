@@ -118,6 +118,15 @@ class _Manifest:
     # irrelevant files.
     stats_columns: list[str] | None = None
     dir_stats: dict[str, dict[str, dict[str, list]]] = field(default_factory=dict)
+    # Range-cluster every write on these columns (repartitionByRange +
+    # sortWithinPartitions): files get tight, disjoint min/max ranges, so
+    # the footer stats above actually prune. The Delta OPTIMIZE ZORDER
+    # idea, applied eagerly at write time for single-column lineorder.
+    cluster_by: list[str] | None = None
+    # Auto-compact: when an append stretches the version lineage past this
+    # many directories, rewrite it into one (bounds file-count growth on
+    # append-heavy tables without a separate maintenance job).
+    compact_after: int | None = None
     # schema "roles" (node.py:196-200): ordering resolution for as_stream()
     strictly_monotonic_ordering: str | None = None
     created_ordering: str | None = None
@@ -272,6 +281,8 @@ class TableStore:
         created_ordering: str | None = None,
         partition_by: str | list[str] | None = None,
         stats_columns: str | list[str] | None = None,
+        cluster_by: str | list[str] | None = None,
+        compact_after: int | None = None,
     ) -> None:
         m = self._manifest
         if partition_by is not None:
@@ -284,6 +295,16 @@ class TableStore:
                 if isinstance(stats_columns, str)
                 else list(stats_columns)
             )
+        if cluster_by is not None:
+            m.cluster_by = (
+                [cluster_by] if isinstance(cluster_by, str) else list(cluster_by)
+            )
+            # Clustered columns are skipping targets by construction.
+            for c in m.cluster_by:
+                if not m.stats_columns or c not in m.stats_columns:
+                    m.stats_columns = (m.stats_columns or []) + [c]
+        if compact_after is not None:
+            m.compact_after = compact_after
         if schema_hints is not None:
             m.schema_hints = schema_hints
         if unique_on is not None:
@@ -548,6 +569,12 @@ class TableStore:
 
     # ---------------- writes (A4, A5, A6, A7) ----------------
     def _write(self, df: DataFrame, path: str, mode: str) -> None:
+        cb = self._manifest.cluster_by
+        if cb and all(c in df.columns for c in cb):
+            # Range-cluster so each file covers a tight, near-disjoint
+            # range of the cluster key → footer stats prune hard. One
+            # extra range shuffle per write; reads win it back every time.
+            df = df.repartitionByRange(*cb).sortWithinPartitions(*cb)
         w = df.write.mode(mode)
         if self._manifest.partition_by:
             w = w.partitionBy(*self._manifest.partition_by)
@@ -603,6 +630,9 @@ class TableStore:
             self._set_version_dirs(v, prev_dirs + [f"v={v}"])
             total = (prev_count + n_new) if prev_count is not None else None
             self.set_active_version(v, record_count=total)
+            ca = self._manifest.compact_after
+            if ca is not None and len(self._version_dirs(v)) > ca:
+                self.compact()
         finally:
             self._release()
 

@@ -495,3 +495,41 @@ def test_stats_survive_vacuum_and_compact(spark, tmp_path):
     assert set(st._manifest.dir_stats) <= set(active_dirs)
     out = st.read_pruned([("k", "<", 50)])
     assert sorted(r.k for r in out.collect()) == list(range(0, 50))
+
+
+def test_cluster_by_writes_enable_pruning(spark, tmp_path):
+    """cluster_by range-clusters every write, so even an UNSORTED incoming
+    batch produces files with tight disjoint ranges that a point/range
+    filter prunes."""
+    st = TableStore(str(tmp_path), "t", spark)
+    st.configure(cluster_by="k")
+    # shuffled input: ids in hash order, nothing presorted
+    df = (
+        spark.range(0, 2000)
+        .select((F.xxhash64("id") % 2000).alias("k"), F.col("id").alias("v"))
+    )
+    # tiny test batch: stop AQE coalescing the range shuffle to 1 file
+    # (at real scale its ~64MB size target is exactly the right behavior)
+    spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+    try:
+        st.write_replace(df)
+    finally:
+        spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "true")
+    total = len(st.read().inputFiles())
+    out = st.read_pruned([("k", ">=", 1900)])
+    assert len(out.inputFiles()) < total
+    exp = {(r.k, r.v) for r in st.read().filter(F.col("k") >= 1900).collect()}
+    assert {(r.k, r.v) for r in out.collect()} == exp
+
+
+def test_auto_compact_bounds_lineage(spark, tmp_path):
+    st = TableStore(str(tmp_path), "t", spark)
+    st.configure(compact_after=3)
+    for lo in range(0, 600, 100):
+        st.append(
+            spark.range(lo, lo + 100).select(F.col("id").cast("int").alias("k"))
+        )
+    dirs = st._version_dirs(st.get_active_version())
+    assert len(dirs) <= 3 + 1  # compaction keeps lineage bounded
+    assert st.record_count == 600
+    assert sorted(r.k for r in st.read().collect()) == list(range(600))
