@@ -846,8 +846,8 @@ def b40(spark: SparkSession, sf: str) -> DataFrame:
     """
     select l_orderkey, l_linenumber,
            round(abs(l_extendedprice - 30000), 2) as abs_diff,
-           ceil(l_quantity) as qty_ceil,
-           floor(l_quantity) as qty_floor,
+           cast(ceil(l_quantity) as bigint) as qty_ceil,
+           cast(floor(l_quantity) as bigint) as qty_floor,
            round(sqrt(l_extendedprice), 4) as price_sqrt,
            round(ln(l_extendedprice + 1), 6) as price_ln,
            round(log10(l_extendedprice + 1), 6) as price_log10,
@@ -855,7 +855,7 @@ def b40(spark: SparkSession, sf: str) -> DataFrame:
            round(power(l_discount, 2), 6) as disc_sq,
            greatest(l_tax, l_discount) as max_rate,
            least(l_tax, l_discount) as min_rate,
-           sign(l_extendedprice - 30000) as price_sign
+           cast(sign(l_extendedprice - 30000) as double) as price_sign
     from lineitem
     """,
 )
