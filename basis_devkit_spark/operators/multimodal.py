@@ -73,8 +73,9 @@ def read_binary_dir(
     )
 
 
-# Magic-byte prefixes (uppercase hex) → format. Checked longest-first so
-# more specific signatures win.
+# Magic-byte prefixes (uppercase hex) → format. The when-chain is built
+# longest-prefix-first (sorted below), so more specific signatures win
+# over any shorter prefix of themselves.
 _MAGIC_BYTES: list[tuple[str, str]] = [
     ("89504E470D0A1A0A", "png"),
     ("474946383761", "gif"),
@@ -88,12 +89,15 @@ _MAGIC_BYTES: list[tuple[str, str]] = [
 
 def sniff_format(content_col: str | Column) -> Column:
     """Content-based format detection from magic bytes — no filename or
-    metadata trust. Pure column expression over ``hex(content)`` (the blob
-    itself never leaves the JVM); returns 'bin' for unknown signatures."""
+    metadata trust. Pure column expression; only the first 8 BYTES of the
+    blob are sliced and hex-encoded (``hex(substring(blob, 1, 8))``), so
+    cost is O(1) per row no matter how large the media blob is, and the
+    blob itself never leaves the JVM. Returns 'bin' for unknown
+    signatures."""
     c = F.col(content_col) if isinstance(content_col, str) else content_col
-    hx = F.hex(c)
+    hx = F.hex(F.substring(c, 1, 8))
     out: Column | None = None
-    for prefix, fmt in _MAGIC_BYTES:
+    for prefix, fmt in sorted(_MAGIC_BYTES, key=lambda t: -len(t[0])):
         cond = F.substring(hx, 1, len(prefix)) == prefix
         out = F.when(cond, fmt) if out is None else out.when(cond, fmt)
     assert out is not None

@@ -151,11 +151,6 @@ class TableStore:
         self.spark = spark
         self.path = os.path.join(root, name)
         os.makedirs(self.path, exist_ok=True)
-        # Spark's default parquet timestamp encoding is the deprecated
-        # INT96, which carries NO footer min/max statistics — that would
-        # silently disable data skipping on every timestamp column. Write
-        # modern TIMESTAMP_MICROS instead (runtime-settable conf).
-        spark.conf.set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
         self._manifest = self._load_manifest()
         # Batches pinned (persisted) during a write so the id-assignment
         # count job and the write job see identical partitions.
@@ -433,7 +428,9 @@ class TableStore:
         whole directories) without stats are conservatively kept. Returns
         ({dir: kept_files}, total_file_count)."""
         v = self._manifest.active_version if version is None else version
-        assert v is not None
+        if v is None:
+            raise FileNotFoundError(f"table '{self.name}' has no active version")
+        tz = self._session_tz()
         kept: dict[str, list[str]] = {}
         total = 0
         for d in self._version_dirs(v):
@@ -443,9 +440,20 @@ class TableStore:
             kept[d] = [
                 rel
                 for rel in files
-                if _file_may_match(dstats.get(rel), filters)
+                if _file_may_match(dstats.get(rel), filters, tz)
             ]
         return kept, total
+
+    def _session_tz(self):
+        """Spark's session timezone as a tzinfo — the basis Spark uses to
+        interpret naive datetime literals. None if unresolvable (pruning
+        then skips instant-vs-naive comparisons, conservatively)."""
+        try:
+            from zoneinfo import ZoneInfo
+
+            return ZoneInfo(self.spark.conf.get("spark.sql.session.timeZone"))
+        except Exception:
+            return None
 
     def read_pruned(self, filters: list[tuple[str, str, Any]]) -> DataFrame:
         """Read with file-level data skipping: semantically identical to
@@ -468,7 +476,16 @@ class TableStore:
             )
             out = part if out is None else out.unionByName(part, allowMissingColumns=True)
         if out is None:
-            out = self.spark.createDataFrame([], self.read().schema)
+            # Everything pruned — the common steady-state "no new data"
+            # cursor tick. Use the manifest's recorded schema; never pay an
+            # O(lineage) listing just to build an empty DataFrame.
+            sj = self._manifest.versions.get(
+                str(self._manifest.active_version), {}
+            ).get("schema_json")
+            schema = (
+                T.StructType.fromJson(json.loads(sj)) if sj else self.read().schema
+            )
+            out = self.spark.createDataFrame([], schema)
         for col, op, val in filters:
             out = out.filter(_filter_expr(col, op, val))
         return out
@@ -578,7 +595,18 @@ class TableStore:
         w = df.write.mode(mode)
         if self._manifest.partition_by:
             w = w.partitionBy(*self._manifest.partition_by)
-        w.parquet(path)
+        # Spark's legacy INT96 parquet timestamp encoding carries NO footer
+        # min/max statistics, which would silently disable data skipping on
+        # every timestamp column. Force TIMESTAMP_MICROS for OUR writes
+        # only — scoped set/restore, never a permanent session mutation
+        # (driver writes are single-threaded through the engine).
+        key = "spark.sql.parquet.outputTimestampType"
+        prev = self.spark.conf.get(key)
+        self.spark.conf.set(key, "TIMESTAMP_MICROS")
+        try:
+            w.parquet(path)
+        finally:
+            self.spark.conf.set(key, prev)
 
     def _write_counted(self, df: DataFrame, path: str) -> int:
         """Overwrite-write ``df`` to ``path`` and return its row count,
@@ -590,12 +618,20 @@ class TableStore:
         self._collect_file_stats(os.path.relpath(path, self.path))
         return int(obs.get["n"])
 
+    def _record_schema(self, v: int, df: DataFrame) -> None:
+        """Persist the version's full output schema (incl. partition and
+        decoration columns) in the manifest, so metadata-only paths — e.g.
+        an everything-pruned ``read_pruned`` — never have to construct a
+        DataFrame over the whole lineage just to learn the schema."""
+        self._manifest.versions.setdefault(str(v), {})["schema_json"] = df.schema.json()
+
     def _commit_single_dir_version(self, df: DataFrame) -> tuple[int, int]:
         """Write ``df`` as a fresh one-directory version; returns (v, n).
         Does NOT flip the active pointer — callers commit."""
         v = self.create_new_version()
         n = self._write_counted(df, self.version_path(v))
         self._set_version_dirs(v, [f"v={v}"])
+        self._record_schema(v, df)
         return v, n
 
     def write_replace(self, df: DataFrame) -> int:
@@ -628,6 +664,7 @@ class TableStore:
             v = self.create_new_version()
             n_new = self._write_counted(df, self.version_path(v))
             self._set_version_dirs(v, prev_dirs + [f"v={v}"])
+            self._record_schema(v, df)
             total = (prev_count + n_new) if prev_count is not None else None
             self.set_active_version(v, record_count=total)
             ca = self._manifest.compact_after
@@ -749,13 +786,22 @@ def _anti_join_nullsafe(old: DataFrame, new: DataFrame, keys: list[str]) -> Data
     return o.join(n, cond, "left_anti").select(*[F.col(f"__o.{c}") for c in old.columns])
 
 
-def _stat_encode(v: Any) -> Any:
+def _stat_encode(v: Any, tz: Any = None) -> Any:
     """Normalize a parquet-footer stat (or a filter literal) into a
-    JSON-storable, order-preserving key. datetime/date → ISO strings
-    (lexicographic == chronological; a no-microseconds string is a prefix
-    of its padded form, so mixed precision still orders correctly). Types
-    whose comparison semantics are unsafe (bytes, NaN, Decimal) return
-    None → the column is skipped / the file conservatively kept."""
+    JSON-storable, order-preserving key.
+
+    Timestamps need care: Spark writes instant-typed (TIMESTAMP_MICROS,
+    adjusted-to-UTC) columns whose footer stats pyarrow reports as
+    tz-AWARE datetimes, while a user's filter literal is usually a NAIVE
+    datetime that Spark interprets in the session timezone. Comparing ISO
+    strings of the two is wrong on any non-UTC driver (off by the UTC
+    offset — silent mis-pruning). So: aware datetimes encode to epoch
+    microseconds (tz-independent); naive datetimes encode to epoch micros
+    via the caller-supplied session ``tz`` when given, else to an ISO
+    string (only comparable against other naive encodings, e.g. NTZ
+    columns). dates → ISO strings (no timezone ambiguity). Types whose
+    comparison semantics are unsafe (bytes, NaN, Decimal) return None →
+    the column is skipped / the file conservatively kept."""
     import datetime as _dt
 
     if isinstance(v, bool):
@@ -766,16 +812,30 @@ def _stat_encode(v: Any) -> Any:
         import math
 
         return None if math.isnan(v) else v
-    if isinstance(v, (_dt.datetime, _dt.date)):
+    if isinstance(v, _dt.datetime):
+        if v.tzinfo is not None:
+            return int(v.timestamp() * 1_000_000)
+        if tz is not None:
+            return int(v.replace(tzinfo=tz).timestamp() * 1_000_000)
+        return v.isoformat()
+    if isinstance(v, _dt.date):
         return v.isoformat()
     return None
 
 
 def _file_may_match(
-    fstats: dict[str, list] | None, filters: list[tuple[str, str, Any]]
+    fstats: dict[str, list] | None,
+    filters: list[tuple[str, str, Any]],
+    tz: Any = None,
 ) -> bool:
     """Can any row in a file with these [min, max] stats satisfy every
-    conjunct? Unknown columns/files → True (never prune on missing info)."""
+    conjunct? Unknown columns/files → True (never prune on missing info).
+    ``tz`` is the Spark session timezone, used to encode naive datetime
+    literals to the same epoch-micros basis as instant-typed column stats;
+    without it (or for aware-stat/naive-literal type mismatches) the
+    comparison is skipped and the file conservatively kept."""
+    import datetime as _dt
+
     if fstats is None:
         return True
     for col, op, val in filters:
@@ -784,6 +844,15 @@ def _file_may_match(
         if rng is None or ev is None:
             continue
         lo, hi = rng
+        if (
+            isinstance(ev, str)
+            and isinstance(lo, (int, float))
+            and isinstance(val, _dt.datetime)
+            and tz is not None
+        ):
+            # instant-typed column stats (epoch micros) vs naive literal:
+            # interpret the literal in the session tz, as Spark itself does
+            ev = _stat_encode(val, tz)
         both_num = isinstance(lo, (int, float)) and isinstance(ev, (int, float))
         both_str = isinstance(lo, str) and isinstance(ev, str)
         if not (both_num or both_str):

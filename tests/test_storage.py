@@ -481,6 +481,37 @@ def test_stats_prune_on_timestamp_column(spark, tmp_path):
     assert len(out.inputFiles()) < 4
 
 
+def test_stats_prune_timestamp_non_utc_session(spark, tmp_path):
+    """Regression: instant-typed footer stats are UTC epochs while a naive
+    filter literal is interpreted in the SESSION timezone — on a non-UTC
+    session the two must still compare on the same epoch basis (the old
+    ISO-string comparison silently pruned matching files, losing rows)."""
+    import datetime as dt
+
+    prev = spark.conf.get("spark.sql.session.timeZone")
+    spark.conf.set("spark.sql.session.timeZone", "Asia/Shanghai")
+    try:
+        st = TableStore(str(tmp_path), "t", spark)
+        st.configure(stats_columns=["ts"])
+        base = dt.datetime(2024, 1, 1)
+        rows = [(base + dt.timedelta(hours=i), i) for i in range(96)]
+        st.write_replace(
+            spark.createDataFrame(rows, "ts timestamp, n int").repartitionByRange(
+                4, "ts"
+            )
+        )
+        cut = base + dt.timedelta(hours=90)
+        out = st.read_pruned([("ts", ">", cut)])
+        expect = sorted(
+            r.n for r in st.read().filter(F.col("ts") > F.lit(cut)).collect()
+        )
+        assert sorted(r.n for r in out.collect()) == expect == list(range(91, 96))
+        # and it still actually prunes (not just conservatively keeps all)
+        assert len(out.inputFiles()) < 4
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", prev)
+
+
 def test_stats_survive_vacuum_and_compact(spark, tmp_path):
     st = TableStore(str(tmp_path), "t", spark)
     st.configure(stats_columns=["k"])
@@ -510,11 +541,12 @@ def test_cluster_by_writes_enable_pruning(spark, tmp_path):
     )
     # tiny test batch: stop AQE coalescing the range shuffle to 1 file
     # (at real scale its ~64MB size target is exactly the right behavior)
+    prev = spark.conf.get("spark.sql.adaptive.coalescePartitions.enabled")
     spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
     try:
         st.write_replace(df)
     finally:
-        spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", prev)
     total = len(st.read().inputFiles())
     out = st.read_pruned([("k", ">=", 1900)])
     assert len(out.inputFiles()) < total
