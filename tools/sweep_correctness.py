@@ -1,0 +1,132 @@
+#!/usr/bin/env python
+"""Driver-replica correctness sweep.
+
+Runs every ``queries()`` entry under a PLAIN SparkSession (ANSI on — the
+Spark 4 default; the driver owns the session, so none of our engine confs
+may be load-bearing) at sf0.01 and compares against ``oracle_sql()`` run
+in DuckDB over the same parquet files, mimicking the driver's
+canonicalization: sort columns by name, sort rows by all columns, compare
+values (floats within 1e-6 relative).
+
+Usage: python tools/sweep_correctness.py [query_prefix ...]
+"""
+from __future__ import annotations
+
+import json
+import math
+import os
+import sys
+
+import duckdb
+import pandas as pd
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
+TABLES = (
+    "region nation customer supplier part orders lineitem events "
+    "documents embeddings"
+).split()
+
+
+def canon(df: pd.DataFrame) -> pd.DataFrame:
+    df = df.reindex(sorted(df.columns), axis=1)
+    if len(df):
+        try:
+            df = df.sort_values(list(df.columns), kind="mergesort")
+        except TypeError:
+            df = df.sort_values(
+                list(df.columns), kind="mergesort", key=lambda s: s.astype(str)
+            )
+    return df.reset_index(drop=True)
+
+
+def values_match(a: pd.DataFrame, b: pd.DataFrame) -> bool:
+    if a.shape != b.shape or list(a.columns) != list(b.columns):
+        return False
+    for col in a.columns:
+        xa, xb = a[col], b[col]
+        try:
+            na = pd.to_numeric(xa, errors="raise")
+            nb = pd.to_numeric(xb, errors="raise")
+            both = pd.concat([na, nb], axis=1).dropna()
+            if not all(
+                math.isclose(x, y, rel_tol=1e-6, abs_tol=1e-9)
+                for x, y in zip(both.iloc[:, 0], both.iloc[:, 1])
+            ):
+                return False
+            if na.isna().sum() != nb.isna().sum():
+                return False
+        except (ValueError, TypeError):
+            if not (xa.astype(str).values == xb.astype(str).values).all():
+                return False
+    return True
+
+
+def main() -> None:
+    prefixes = tuple(sys.argv[1:])
+    from pyspark.sql import SparkSession
+
+    spark = (
+        SparkSession.builder.master("local[32]")
+        .appName("sweep")
+        .config("spark.sql.shuffle.partitions", "32")
+        .config("spark.driver.memory", "8g")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM "
+            f"read_parquet('{SF_DIR}/{t}.parquet')"
+        )
+
+    import __spark_entry__ as entry
+
+    qs = entry.queries()
+    oracles = entry.oracle_sql()
+    results = {}
+    for name, fn in qs.items():
+        if prefixes and not name.startswith(prefixes):
+            continue
+        try:
+            sdf = fn(spark, SF_DIR).toPandas()
+        except Exception as exc:  # noqa: BLE001
+            results[name] = f"SPARK-ERR {type(exc).__name__}: {exc}"[:300]
+            print(name, results[name], flush=True)
+            continue
+        if name not in oracles:
+            results[name] = f"rows-only ({len(sdf)} rows)" + (
+                " EMPTY!" if len(sdf) == 0 else ""
+            )
+            print(name, results[name], flush=True)
+            continue
+        try:
+            odf = con.execute(oracles[name]).fetchdf()
+        except Exception as exc:  # noqa: BLE001
+            results[name] = f"ORACLE-ERR {type(exc).__name__}: {exc}"[:300]
+            print(name, results[name], flush=True)
+            continue
+        a, b = canon(sdf), canon(odf)
+        if a.shape != b.shape:
+            results[name] = f"SHAPE {a.shape} vs {b.shape}"
+        elif sorted(a.columns) != sorted(b.columns):
+            results[name] = f"COLS {list(a.columns)} vs {list(b.columns)}"
+        elif not values_match(a, b):
+            diff = (
+                a.astype(str).values != b.astype(str).values
+            ).any(axis=1).sum()
+            results[name] = f"VALUES differ in {diff}/{len(a)} rows"
+        else:
+            results[name] = "OK"
+        print(name, results[name], flush=True)
+
+    bad = {k: v for k, v in results.items() if v != "OK" and not v.startswith("rows-only")}
+    print(json.dumps({"total": len(results), "bad": bad}, indent=2))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
