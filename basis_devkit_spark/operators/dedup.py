@@ -369,22 +369,28 @@ def connected_components(
         .select(F.col("a").alias("node"), F.col("a").alias("label"))
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
-    for _ in range(max_iter):
+    for it in range(max_iter):
         nbr_min = (
             und.join(labels, und["b"] == labels["node"])
             .groupBy(und["a"].alias("node2"))
             .agg(F.min("label").alias("nbr_label"))
         )
-        new_labels = (
-            labels.join(nbr_min, labels["node"] == nbr_min["node2"], "left")
-            .select(
-                "node",
-                F.least(
-                    F.col("label"), F.coalesce("nbr_label", F.col("label"))
-                ).alias("label"),
-            )
-            .persist(StorageLevel.MEMORY_AND_DISK)
+        new_labels = labels.join(
+            nbr_min, labels["node"] == nbr_min["node2"], "left"
+        ).select(
+            "node",
+            F.least(
+                F.col("label"), F.coalesce("nbr_label", F.col("label"))
+            ).alias("label"),
         )
+        # Persist alone keeps the full join+groupBy lineage growing by one
+        # level per round — on a long-chain graph (diameter ≫ 5) Catalyst
+        # re-analysis cost and lineage depth blow up. Truncate it every few
+        # rounds: localCheckpoint materializes the frame and CUTS lineage.
+        if (it + 1) % 5 == 0:
+            new_labels = new_labels.localCheckpoint(eager=True)
+        else:
+            new_labels = new_labels.persist(StorageLevel.MEMORY_AND_DISK)
         changed = (
             new_labels.alias("n")
             .join(labels.alias("o"), "node")

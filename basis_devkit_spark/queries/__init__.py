@@ -68,7 +68,10 @@ def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
 
 
 def all_queries() -> dict[str, Query]:
-    # import side-effect: registration
+    # import side-effect: registration. Order matters: the verification
+    # driver samples a prefix of the declared inventory each round, so the
+    # relational (b-series) rows — never driver-sampled through round 2 —
+    # register first.
     from basis_devkit_spark.queries import (  # noqa: F401
         analytics,
         framework,
@@ -76,4 +79,11 @@ def all_queries() -> dict[str, Query]:
         relational_ext,
     )
 
-    return dict(_REGISTRY)
+    ordered: dict[str, Query] = {}
+    for prefix in ("b", "a", "c", "d"):
+        for name, q in _REGISTRY.items():
+            if name.startswith(prefix) and name not in ordered:
+                ordered[name] = q
+    for name, q in _REGISTRY.items():  # anything with an unexpected prefix
+        ordered.setdefault(name, q)
+    return ordered

@@ -386,6 +386,21 @@ def test_mixture_sample_deterministic_and_monotone(spark):
     assert ids1 <= ids2
 
 
+def test_connected_components_long_chain(spark):
+    """A 40-node path graph: hash-min label propagation needs O(diameter)
+    rounds, so this drives ~39 rounds and ~8 periodic localCheckpoints —
+    proves convergence without plan-lineage blowup on chain graphs."""
+    from basis_devkit_spark.operators.dedup import connected_components
+
+    n = 40
+    edges = [(i, i + 1) for i in range(1, n)]
+    df = spark.createDataFrame(edges, "id_a int, id_b int")
+    out = connected_components(df, "id_a", "id_b", max_iter=n + 5)
+    got = {r.node: r.component for r in out.collect()}
+    assert got == {i: 1 for i in range(1, n + 1)}
+    out.unpersist()
+
+
 def test_connected_components_exact_clusters(spark):
     """CC labels match a union-find ground truth on a multi-cluster graph
     with a chain (forces >1 propagation round)."""

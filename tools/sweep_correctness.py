@@ -46,6 +46,19 @@ def values_match(a: pd.DataFrame, b: pd.DataFrame) -> bool:
         return False
     for col in a.columns:
         xa, xb = a[col], b[col]
+        # Datetime columns arrive at different resolutions (Spark→pandas is
+        # datetime64[ns], DuckDB→pandas is datetime64[us]); pd.to_numeric
+        # would emit epoch ints at different units (1000× on identical
+        # instants). Normalize to one resolution and compare directly.
+        if pd.api.types.is_datetime64_any_dtype(xa) or pd.api.types.is_datetime64_any_dtype(xb):
+            try:
+                xa = xa.astype("datetime64[us]")
+                xb = xb.astype("datetime64[us]")
+            except (ValueError, TypeError):
+                pass
+            if not (xa.astype(str).values == xb.astype(str).values).all():
+                return False
+            continue
         try:
             na = pd.to_numeric(xa, errors="raise")
             nb = pd.to_numeric(xb, errors="raise")
