@@ -35,5 +35,7 @@ def oracle_sql() -> dict[str, str]:
     from basis_devkit_spark.queries import all_queries
 
     return {
-        name: q.oracle for name, q in all_queries().items() if q.oracle is not None
+        name: q.oracle_text()
+        for name, q in all_queries().items()
+        if q.oracle is not None
     }

@@ -21,7 +21,12 @@ Commands:
                                      files are never deleted)
   update   org/name@vN --deprecated  mark a published component deprecated
                                      (update.py: blocked for NEW apps only)
-  config   [--root R]                print resolved configuration (config.py)
+  config   [-o ORG]                  get/set resolved configuration (config.py)
+  login    --user NAME [-o ORG]      create the local profile+token (login.py)
+  logout                             clear the stored token (logout.py)
+  whoami                             print the profile (accounts.py me())
+  secret   create|list|delete ...    org-scoped secrets (services/secrets.py);
+                                     values resolve in params as secret://name
   serve    [--port P]                HTTP webhook endpoint (create.py:177-197)
   schedule [--ticks N]               run the cron scheduler loop (A23)
   vacuum   [--keep N]                retention GC over graph stores
@@ -123,6 +128,31 @@ def cmd_trigger(args, spark) -> int:
 
 
 def cmd_list(args, spark) -> int:
+    if args.kind == "orgs":
+        # Multi-org resolution analogue (services/lookup.py:36-210 +
+        # organizations.py): every org known locally — the configured
+        # default, orgs holding secrets, and registry publisher orgs.
+        import glob
+
+        from basis_devkit_spark.cli_config import devkit_home, read_devkit_config
+        from basis_devkit_spark.graph.components import default_registry
+
+        orgs: set[str] = set()
+        cfg = read_devkit_config()
+        if cfg.organization_id:
+            orgs.add(cfg.organization_id)
+        sdir = devkit_home() / "secrets"
+        if sdir.is_dir():
+            orgs.update(p.stem for p in sdir.glob("*.json"))
+        for p in glob.glob(os.path.join(default_registry(), "*")):
+            if os.path.isdir(p):
+                orgs.add(os.path.basename(p))
+        rows = [
+            {"organization": o, "default": o == cfg.organization_id}
+            for o in sorted(orgs)
+        ]
+        _out(_paginate(rows, args))
+        return 0
     if args.kind == "apps":
         # Local analogue of list.py:27-40: the app registered at this root
         # plus every published component in the registry (with deprecation).
@@ -381,6 +411,17 @@ def cmd_update(args, spark) -> int:
 
 
 def cmd_config(args, spark) -> int:
+    """Get or set default values used by other commands (config.py:18-31:
+    ``-o`` persists the default organization)."""
+    from basis_devkit_spark.cli_config import (
+        get_devkit_config_path,
+        read_devkit_config,
+        update_devkit_config,
+    )
+
+    if getattr(args, "organization", None):
+        update_devkit_config(organization_id=args.organization)
+    cfg = read_devkit_config()
     root = _root(args)
     cpus = os.environ.get("SPARK_GRAFT_CPUS", str(os.cpu_count() or 4))
     _out(
@@ -389,9 +430,110 @@ def cmd_config(args, spark) -> int:
             "app": _registered_app(root),
             # Mirror session.get_spark's master resolution (session.py:49-51).
             "spark_master": f"local[{cpus}]",
+            "organization": cfg.organization_id,
+            "logged_in": cfg.logged_in,
+            "config_path": str(get_devkit_config_path()),
         }
     )
     return 0
+
+
+def cmd_login(args, spark) -> int:
+    """Log in: create the local profile + opaque token (login.py:14-51).
+    The reference runs an OAuth browser flow against its hosted auth server
+    and stores the bearer token in the devkit config; a local engine has no
+    auth server, so the token is generated here — same config contract,
+    same post-login output."""
+    import secrets as _pysecrets
+
+    from basis_devkit_spark.cli_config import (
+        get_devkit_config_path,
+        update_devkit_config,
+    )
+
+    email = args.email or f"{args.user}@localhost"
+    org = args.organization or "local"
+    update_devkit_config(
+        organization_id=org,
+        username=args.user,
+        email=email,
+        token=_pysecrets.token_hex(16),
+    )
+    _out(
+        {
+            "logged_in": True,
+            "organization": org,
+            "username": args.user,
+            "email": email,
+            "config_path": str(get_devkit_config_path()),
+        }
+    )
+    return 0
+
+
+def cmd_logout(args, spark) -> int:
+    """Clear the stored token/profile (logout.py + services/logout.py)."""
+    from basis_devkit_spark.cli_config import update_devkit_config
+
+    update_devkit_config(token=None, username=None, email=None)
+    _out({"logged_in": False})
+    return 0
+
+
+def cmd_whoami(args, spark) -> int:
+    """Current profile — the ``me()`` accounts lookup (accounts.py:9)."""
+    from basis_devkit_spark.cli_config import read_devkit_config
+
+    cfg = read_devkit_config()
+    if not cfg.logged_in:
+        raise SystemExit("not logged in (run `login --user NAME` first)")
+    _out(
+        {
+            "username": cfg.username,
+            "email": cfg.email,
+            "organization": cfg.organization_id,
+        }
+    )
+    return 0
+
+
+def cmd_secret(args, spark) -> int:
+    """Org-scoped secret CRUD (cli/services/secrets.py). Values resolve in
+    node parameters via ``secret://<name>``."""
+    from basis_devkit_spark import secrets as svc
+
+    try:
+        if args.action in ("create", "delete") and not args.name:
+            raise SystemExit(f"secret {args.action} requires NAME")
+        if args.action == "create":
+            if args.value is None:
+                raise SystemExit("secret create requires NAME VALUE")
+            meta = svc.create_secret(
+                args.name,
+                args.value,
+                description=args.description,
+                sensitive=args.sensitive,
+                organization=args.organization,
+                type=args.type,
+            )
+            _out({"created": meta})
+        elif args.action == "list":
+            _out(_paginate(svc.list_secrets(args.organization), args))
+        else:  # delete
+            if not svc.delete_secret(args.name, organization=args.organization):
+                raise SystemExit(f"no such secret: {args.name}")
+            _out({"deleted": args.name})
+    except ValueError as exc:
+        raise SystemExit(str(exc))
+    return 0
+
+
+def _paginate(items: list, args) -> list:
+    """Local analogue of the paginated-endpoint iteration
+    (cli/services/pagination.py): bounded pages via --limit/--offset."""
+    offset = getattr(args, "offset", 0) or 0
+    limit = getattr(args, "limit", None)
+    return items[offset : offset + limit if limit else None]
 
 
 def cmd_schedule(args, spark) -> int:
@@ -448,8 +590,12 @@ def build_parser() -> argparse.ArgumentParser:
     tr.add_argument("--node", required=True, help="node id or node file name")
 
     ls = sub.add_parser("list", help="list graph objects")
-    ls.add_argument("kind", choices=["nodes", "stores", "webhooks", "apps"])
+    ls.add_argument(
+        "kind", choices=["nodes", "stores", "webhooks", "apps", "orgs"]
+    )
     ls.add_argument("app", nargs="?")
+    ls.add_argument("--limit", type=int, help="page size")
+    ls.add_argument("--offset", type=int, default=0, help="page start")
 
     dl = sub.add_parser("download", help="export a store")
     dl.add_argument("--table", required=True)
@@ -496,7 +642,36 @@ def build_parser() -> argparse.ArgumentParser:
     g.add_argument("--no-deprecated", dest="deprecated", action="store_false")
     upd.add_argument("--registry", help="registry dir override")
 
-    sub.add_parser("config", help="print resolved configuration")
+    cf = sub.add_parser("config", help="get/set resolved configuration")
+    cf.add_argument(
+        "-o", "--organization", help="set the default organization"
+    )
+
+    lg = sub.add_parser("login", help="create the local profile + token")
+    lg.add_argument("--user", required=True, help="username")
+    lg.add_argument("--email", help="email (default user@localhost)")
+    lg.add_argument("-o", "--organization", help="organization (default local)")
+
+    sub.add_parser("logout", help="clear the stored token/profile")
+    sub.add_parser("whoami", help="print the current profile")
+
+    se = sub.add_parser("secret", help="org-scoped secret CRUD")
+    se.add_argument("action", choices=["create", "list", "delete"])
+    se.add_argument("name", nargs="?", help="secret name")
+    se.add_argument("value", nargs="?", help="secret value (create)")
+    se.add_argument("--description", default="", help="secret description")
+    se.add_argument(
+        "--sensitive", action="store_true", help="mask the value in listings"
+    )
+    se.add_argument(
+        "--type",
+        choices=["str", "int", "float", "bool"],
+        default="str",
+        help="value type preserved through secret:// resolution",
+    )
+    se.add_argument("-o", "--organization", help="organization override")
+    se.add_argument("--limit", type=int, help="page size (list)")
+    se.add_argument("--offset", type=int, default=0, help="page start (list)")
 
     sc = sub.add_parser("schedule", help="run the cron scheduler loop")
     sc.add_argument("app", nargs="?")
@@ -527,6 +702,10 @@ _COMMANDS = {
     "delete": cmd_delete,
     "update": cmd_update,
     "config": cmd_config,
+    "login": cmd_login,
+    "logout": cmd_logout,
+    "whoami": cmd_whoami,
+    "secret": cmd_secret,
     "serve": cmd_serve,
     "schedule": cmd_schedule,
     "vacuum": cmd_vacuum,

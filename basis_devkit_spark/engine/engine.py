@@ -191,7 +191,11 @@ class Engine:
             tpl_ctx[port] = store_name
             tpl_ctx[store_name] = store_name
         for name, value in (node.parameters or {}).items():
-            tpl_ctx[name] = _SqlParam(value)
+            # secret://name refs resolve here for SQL nodes, same as the
+            # Parameter bind path does for python nodes (node/params.py).
+            from basis_devkit_spark.secrets import maybe_resolve_ref
+
+            tpl_ctx[name] = _SqlParam(maybe_resolve_ref(value))
         rendered = jinja2.Template(template).render(**tpl_ctx)
         rendered = rendered.strip().rstrip(";")
         result = self.spark.sql(rendered)

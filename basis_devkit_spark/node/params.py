@@ -27,6 +27,13 @@ PARAMETER_TYPES = {
 
 
 def _coerce(value: Any, type_name: str | None) -> Any:
+    if isinstance(value, str) and value.startswith("secret://"):
+        # Local analogue of the server injecting org secrets into graph
+        # parameters (cli/services/secrets.py): resolve before coercion so
+        # a secret holding "42" still coerces to its declared type.
+        from basis_devkit_spark.secrets import maybe_resolve_ref
+
+        value = maybe_resolve_ref(value)
     if value is None or type_name is None:
         return value
     t = type_name.lower()

@@ -23,14 +23,21 @@ from pyspark.sql import DataFrame, SparkSession
 class Query:
     name: str
     spark: Callable[[SparkSession, str], DataFrame]
-    oracle: Optional[str]  # ANSI SQL for DuckDB; None → rows-only check
+    # ANSI SQL for DuckDB; None → rows-only check. A zero-arg callable is
+    # resolved lazily at oracle_sql() time — used by the literal-table
+    # oracles (pyoracle.py) whose VALUES are computed from the data by an
+    # independent Python model implementation.
+    oracle: Optional[str | Callable[[], str]]
     doc: str = ""
+
+    def oracle_text(self) -> Optional[str]:
+        return self.oracle() if callable(self.oracle) else self.oracle
 
 
 _REGISTRY: dict[str, Query] = {}
 
 
-def register(name: str, oracle: Optional[str], doc: str = ""):
+def register(name: str, oracle: Optional[str | Callable[[], str]], doc: str = ""):
     def deco(fn: Callable[[SparkSession, str], DataFrame]):
         _REGISTRY[name] = Query(name=name, spark=fn, oracle=oracle, doc=doc)
         return fn

@@ -7,7 +7,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from basis_devkit_spark.queries import load, register
+from basis_devkit_spark.queries import load, pyoracle, register
 
 
 # ========================= §2.C windowed aggregations =========================
@@ -276,7 +276,9 @@ def d02e(spark: SparkSession, sf: str) -> DataFrame:
 
 @register(
     "d02b_minhash_dedup",
-    None,  # LSH banding is algorithm-specific — rows-only + unit-tested vs exact jaccard
+    # Literal-table oracle: an independent Python XXH64 model recomputes the
+    # banded-LSH loser set; DuckDB applies the anti-filter to the table.
+    pyoracle.minhash_dedup_sql,
     doc="MinHash LSH near-dedup survivors (64 hashes, 16 bands)",
 )
 def d02b(spark: SparkSession, sf: str) -> DataFrame:
@@ -290,7 +292,10 @@ def d02b(spark: SparkSession, sf: str) -> DataFrame:
 
 @register(
     "d02c_simhash",
-    None,  # bit-level fingerprint — rows-only + property-tested
+    # Literal fingerprints from the Python SimHash model; DuckDB does the
+    # Hamming pairing itself via xor + bit_count (exact: pigeonhole with
+    # max_hamming < blocks is lossless, so all-pairs == blocked pairs).
+    pyoracle.simhash_pairs_sql,
     doc="SimHash 64-bit fingerprints + Hamming near-dup pairs (≤3 bits)",
 )
 def d02c(spark: SparkSession, sf: str) -> DataFrame:
@@ -334,7 +339,10 @@ def d03(spark: SparkSession, sf: str) -> DataFrame:
 
 @register(
     "d03b_lsh_topk",
-    None,  # ANN candidates are algorithm-specific; recall vs exact checked in tests
+    # Candidate pairs from the Python sign-LSH model (same seeded planes,
+    # same sequential-fold dot product); DuckDB re-ranks them with exact
+    # cosine + row_number — the re-rank half is fully oracle-verified.
+    pyoracle.lsh_topk_sql,
     doc="sign-LSH bucketed ANN top-5 + exact re-rank",
 )
 def d03b(spark: SparkSession, sf: str) -> DataFrame:
@@ -489,7 +497,8 @@ def d04c(spark: SparkSession, sf: str) -> DataFrame:
 
 @register(
     "d04d_fingerprint",
-    None,  # rolling polynomial hash — deterministic, property-tested
+    # Literal-table oracle: independent Python XXH64 fold model.
+    pyoracle.fingerprint_sql,
     doc="order-sensitive rolling-hash document fingerprint",
 )
 def d04d(spark: SparkSession, sf: str) -> DataFrame:
@@ -597,7 +606,9 @@ def d04e(spark: SparkSession, sf: str) -> DataFrame:
 
 @register(
     "d02d_embedding_near_dup",
-    None,  # sign-LSH candidates are algorithm-specific; verified in unit tests
+    # Candidates from the Python sign-LSH model over corpus + planted
+    # copies; DuckDB reconstructs the planted vectors and verifies cosine.
+    pyoracle.embedding_neardup_sql,
     doc="embedding-cosine near-dup pairs (LSH candidates + exact verify)",
 )
 def d02d(spark: SparkSession, sf: str) -> DataFrame:

@@ -1,0 +1,404 @@
+"""Independent Python model implementations used to build literal-table
+oracles for the algorithm-specific queries (MinHash LSH, SimHash, rolling
+fingerprint, sign-LSH ANN candidates).
+
+These queries are deterministic but not expressible as one DuckDB SQL
+statement over the raw tables (they depend on xxhash64 / seeded hyperplane
+constants DuckDB lacks). The oracle for each is therefore built lazily at
+``oracle_sql()`` time: a from-scratch Python reimplementation (public XXH64
+spec + numpy float ops — sharing NO code with the Spark operators) computes
+either the expected output or the algorithm's deterministic intermediate
+(fingerprints, candidate pairs), which is folded into the SQL as a literal
+``VALUES`` table; DuckDB still performs the relational part (joins, exact
+cosine re-rank, Hamming pairing, anti-filter) against the parquet tables.
+
+The model targets the verification scale (sf0.01) — override with
+``SPARK_GRAFT_ORACLE_SF_DIR`` when sweeping another SF.
+
+XXH64 model: the public xxHash spec (https://github.com/Cyan4973/xxHash),
+matching Spark's ``xxhash64`` semantics: seed 42, multi-arg chains the
+previous hash as the next seed, IntegerType hashes 4 LE bytes, LongType 8
+LE bytes, StringType the UTF-8 bytes. Verified bit-exact against Spark for
+all three input kinds and chaining (tests/test_oracle_parity.py).
+"""
+
+from __future__ import annotations
+
+import os
+import re
+from functools import lru_cache
+
+_P1 = 0x9E3779B185EBCA87
+_P2 = 0xC2B2AE3D27D4EB4F
+_P3 = 0x165667B19E3779F9
+_P4 = 0x85EBCA77C2B2AE63
+_P5 = 0x27D4EB2F165667C5
+_M = (1 << 64) - 1
+
+# Java regex \s is ASCII-only; Python's is unicode-aware by default.
+_WS = re.compile(r"\s+", re.ASCII)
+
+
+def oracle_sf_dir() -> str:
+    return os.environ.get("SPARK_GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.01")
+
+
+def _rotl(x: int, r: int) -> int:
+    return ((x << r) | (x >> (64 - r))) & _M
+
+
+def _fmix(h: int) -> int:
+    h ^= h >> 33
+    h = (h * _P2) & _M
+    h ^= h >> 29
+    h = (h * _P3) & _M
+    h ^= h >> 32
+    return h
+
+
+def xxh64_long(v: int, seed: int) -> int:
+    """XXH64 of one 8-byte little-endian long (Spark LongType path)."""
+    v &= _M
+    h = (seed + _P5 + 8) & _M
+    h ^= (_rotl((v * _P2) & _M, 31) * _P1) & _M
+    h = ((_rotl(h, 27) * _P1) + _P4) & _M
+    return _fmix(h)
+
+
+def xxh64_int(v: int, seed: int) -> int:
+    """XXH64 of one 4-byte little-endian int (Spark IntegerType path)."""
+    v &= 0xFFFFFFFF
+    h = (seed + _P5 + 4) & _M
+    h ^= (v * _P1) & _M
+    h = ((_rotl(h, 23) * _P2) + _P3) & _M
+    return _fmix(h)
+
+
+def _xxh_round(acc: int, inp: int) -> int:
+    return (_rotl((acc + inp * _P2) & _M, 31) * _P1) & _M
+
+
+def xxh64_bytes(b: bytes, seed: int = 42) -> int:
+    n = len(b)
+    i = 0
+    if n >= 32:
+        v1 = (seed + _P1 + _P2) & _M
+        v2 = (seed + _P2) & _M
+        v3 = seed & _M
+        v4 = (seed - _P1) & _M
+        while i <= n - 32:
+            v1 = _xxh_round(v1, int.from_bytes(b[i : i + 8], "little"))
+            v2 = _xxh_round(v2, int.from_bytes(b[i + 8 : i + 16], "little"))
+            v3 = _xxh_round(v3, int.from_bytes(b[i + 16 : i + 24], "little"))
+            v4 = _xxh_round(v4, int.from_bytes(b[i + 24 : i + 32], "little"))
+            i += 32
+        h = (_rotl(v1, 1) + _rotl(v2, 7) + _rotl(v3, 12) + _rotl(v4, 18)) & _M
+        for v in (v1, v2, v3, v4):
+            h = (((h ^ _xxh_round(0, v)) * _P1) + _P4) & _M
+    else:
+        h = (seed + _P5) & _M
+    h = (h + n) & _M
+    while i + 8 <= n:
+        h ^= (_rotl((int.from_bytes(b[i : i + 8], "little") * _P2) & _M, 31) * _P1) & _M
+        h = ((_rotl(h, 27) * _P1) + _P4) & _M
+        i += 8
+    if i + 4 <= n:
+        h ^= (int.from_bytes(b[i : i + 4], "little") * _P1) & _M
+        h = ((_rotl(h, 23) * _P2) + _P3) & _M
+        i += 4
+    while i < n:
+        h ^= (b[i] * _P5) & _M
+        h = (_rotl(h, 11) * _P1) & _M
+        i += 1
+    return _fmix(h)
+
+
+def to_signed(v: int) -> int:
+    return v - (1 << 64) if v >= (1 << 63) else v
+
+
+def xxh64_str(s: str, seed: int = 42) -> int:
+    """Signed int64, as Spark's xxhash64 returns for a string column."""
+    return to_signed(xxh64_bytes(s.encode("utf-8"), seed))
+
+
+# ------------------------------------------------------------- data loading
+@lru_cache(maxsize=4)
+def _documents(sf_dir: str) -> list[tuple[int, str]]:
+    import duckdb
+
+    con = duckdb.connect()
+    rows = con.execute(
+        f"select doc_id, text from read_parquet('{sf_dir}/documents.parquet') "
+        "order by doc_id"
+    ).fetchall()
+    con.close()
+    return [(int(i), t) for i, t in rows]
+
+
+@lru_cache(maxsize=4)
+def _embeddings(sf_dir: str):
+    import duckdb
+    import numpy as np
+
+    con = duckdb.connect()
+    rows = con.execute(
+        f"select vec_id, embedding from read_parquet('{sf_dir}/embeddings.parquet') "
+        "order by vec_id"
+    ).fetchall()
+    con.close()
+    ids = [int(i) for i, _ in rows]
+    mat = np.array([e for _, e in rows], dtype=np.float32)
+    return ids, mat
+
+
+# --------------------------------------------------------------- tokenizers
+def _tokens(text: str) -> list[str]:
+    """Spark ``split(lower(text), '\\s+')`` (no trim — keeps edge empties)."""
+    return _WS.split(text.lower())
+
+
+def _shingles(text: str, n: int = 3) -> set[str]:
+    """Spark ``shingle_col``: distinct space-joined word n-grams; a doc
+    shorter than n yields its single short gram."""
+    toks = _tokens(text)
+    return {" ".join(toks[i : i + n]) for i in range(max(len(toks) - n, 0) + 1)}
+
+
+# --------------------------------------------------- MinHash dedup (d02b)
+@lru_cache(maxsize=2)
+def minhash_loser_ids(
+    sf_dir: str, num_hashes: int = 64, bands: int = 16, threshold: float = 0.7
+) -> tuple[int, ...]:
+    """Doc ids dropped by the min-id-neighbor rule on banded-LSH candidate
+    pairs with estimated Jaccard >= threshold."""
+    rows_per_band = num_hashes // bands
+    seeds = [xxh64_int(i, 42) for i in range(num_hashes)]
+    sigs: dict[int, list[int]] = {}
+    buckets: dict[tuple[int, int], list[int]] = {}
+    for doc_id, text in _documents(sf_dir):
+        hs = [xxh64_bytes(g.encode("utf-8")) for g in _shingles(text)]
+        if not hs:
+            continue
+        sig = [
+            to_signed(min(xxh64_long(h, s) for h in hs)) for s in seeds
+        ]
+        sigs[doc_id] = sig
+        for b in range(bands):
+            band_key = ",".join(
+                str(sig[b * rows_per_band + r]) for r in range(rows_per_band)
+            )
+            bh = xxh64_bytes(band_key.encode("utf-8"))
+            buckets.setdefault((b, bh), []).append(doc_id)
+    losers: set[int] = set()
+    seen: set[tuple[int, int]] = set()
+    for ids in buckets.values():
+        for i, a in enumerate(ids):
+            for b_ in ids[i + 1 :]:
+                lo, hi = (a, b_) if a < b_ else (b_, a)
+                if (lo, hi) in seen:
+                    continue
+                seen.add((lo, hi))
+                eq = sum(x == y for x, y in zip(sigs[lo], sigs[hi]))
+                if eq / num_hashes >= threshold:
+                    losers.add(hi)
+    return tuple(sorted(losers))
+
+
+def minhash_dedup_sql() -> str:
+    losers = minhash_loser_ids(oracle_sf_dir())
+    anti = (
+        f"where doc_id not in ({', '.join(map(str, losers))})" if losers else ""
+    )
+    return f"select doc_id, lang, source from documents {anti}"
+
+
+# -------------------------------------------------------- SimHash (d02c)
+@lru_cache(maxsize=2)
+def simhash_fps(sf_dir: str, bits: int = 64) -> dict[int, int]:
+    """Charikar fingerprints over distinct word tokens (signed int64)."""
+    fps: dict[int, int] = {}
+    for doc_id, text in _documents(sf_dir):
+        toks = set(_tokens(text))
+        if not toks:
+            continue
+        hs = [xxh64_str(t) for t in toks]
+        fp = 0
+        for b in range(bits):
+            # Java >> is arithmetic; Python int >> on signed values matches.
+            s = sum(1 if (h >> b) & 1 else -1 for h in hs)
+            if s > 0:
+                fp |= 1 << b
+        fps[doc_id] = to_signed(fp)
+    return fps
+
+
+def simhash_pairs_sql(max_hamming: int = 3) -> str:
+    """Literal fingerprint table + DuckDB bit-ops Hamming join. With
+    max_hamming < blocks the pigeonhole candidate generation is lossless,
+    so the all-pairs form is the exact same relation."""
+    fps = simhash_fps(oracle_sf_dir())
+    vals = ", ".join(f"({i}, {fp})" for i, fp in sorted(fps.items()))
+    return f"""
+    with fp(doc_id, sh) as (values {vals})
+    select a.doc_id::BIGINT as id_a, b.doc_id::BIGINT as id_b,
+           bit_count(xor(a.sh, b.sh))::INTEGER as hamming
+    from fp a join fp b on a.doc_id < b.doc_id
+    where bit_count(xor(a.sh, b.sh)) <= {max_hamming}
+    """
+
+
+# -------------------------------------------- rolling fingerprint (d04d)
+@lru_cache(maxsize=2)
+def doc_fingerprints(sf_dir: str) -> dict[int, int]:
+    """Order-sensitive fold: acc := xxhash64(acc, token_hash), acc0 = 0."""
+    fps = {}
+    for doc_id, text in _documents(sf_dir):
+        acc = 0
+        for w in _WS.split(text.lower().strip()):
+            th = xxh64_bytes(w.encode("utf-8"))
+            acc = xxh64_long(th, xxh64_long(acc, 42))
+        fps[doc_id] = to_signed(acc)
+    return fps
+
+
+def fingerprint_sql() -> str:
+    fps = doc_fingerprints(oracle_sf_dir())
+    vals = ", ".join(f"({i}, {fp})" for i, fp in sorted(fps.items()))
+    return (
+        f"select doc_id::BIGINT as doc_id, fingerprint::BIGINT as fingerprint "
+        f"from (values {vals}) t(doc_id, fingerprint)"
+    )
+
+
+# ------------------------------------------------- sign-LSH ANN (d03b/d02d)
+def _lsh_planes(num_planes: int, dim: int, seed: int = 42) -> list[list[float]]:
+    import random
+
+    rng = random.Random(seed)
+    return [[rng.gauss(0, 1) for _ in range(dim)] for _ in range(num_planes)]
+
+
+def _band_buckets(vec, planes, bands: int) -> list[tuple[int, str]]:
+    """(band, bithash) buckets for one vector. The sign dot product uses the
+    same strictly-sequential left fold as Spark's ``aggregate`` so the
+    rounding (and hence the sign at near-zero dots) is bit-identical."""
+    num_planes = len(planes)
+    rows_per_band = num_planes // bands
+    bits = []
+    for plane in planes:
+        acc = 0.0
+        for x, w in zip(vec, plane):
+            acc += float(x) * w
+        bits.append("1" if acc > 0 else "0")
+    return [
+        (b, "".join(bits[b * rows_per_band : (b + 1) * rows_per_band]))
+        for b in range(bands)
+    ]
+
+
+@lru_cache(maxsize=2)
+def lsh_topk_candidates(
+    sf_dir: str, query_max_id: int = 5, num_planes: int = 16, bands: int = 8
+) -> tuple[tuple[int, int], ...]:
+    """Deduped (query_id, match_id) sign-LSH bucket-collision candidates
+    for queries vec_id < query_max_id over the full corpus."""
+    ids, mat = _embeddings(sf_dir)
+    dim = mat.shape[1]
+    planes = _lsh_planes(num_planes, dim)
+    corpus_buckets: dict[tuple[int, str], list[int]] = {}
+    for vid, vec in zip(ids, mat):
+        for key in _band_buckets([float(x) for x in vec], planes, bands):
+            corpus_buckets.setdefault(key, []).append(vid)
+    cands: set[tuple[int, int]] = set()
+    for vid, vec in zip(ids, mat):
+        if vid >= query_max_id:
+            continue
+        for key in _band_buckets([float(x) for x in vec], planes, bands):
+            for mid in corpus_buckets.get(key, ()):
+                if mid != vid:
+                    cands.add((vid, mid))
+    return tuple(sorted(cands))
+
+
+def lsh_topk_sql(k: int = 5) -> str:
+    cands = lsh_topk_candidates(oracle_sf_dir())
+    vals = ", ".join(f"({q}, {m})" for q, m in cands)
+    return f"""
+    with cand(query_id, match_id) as (values {vals}),
+    scored as (
+      select c.query_id::BIGINT as query_id, c.match_id::BIGINT as match_id,
+             list_cosine_similarity(
+               list_transform(q.embedding, x -> cast(x as double)),
+               list_transform(m.embedding, x -> cast(x as double))) as score
+      from cand c
+      join embeddings q on q.vec_id = c.query_id
+      join embeddings m on m.vec_id = c.match_id
+    ), ranked as (
+      select query_id, match_id, score,
+             row_number() over (partition by query_id
+                                order by score desc, match_id) as rank
+      from scored)
+    select query_id, match_id, round(score, 4) as score, rank
+    from ranked where rank <= {k}
+    """
+
+
+@lru_cache(maxsize=2)
+def embedding_neardup_candidates(
+    sf_dir: str,
+    planted_max_id: int = 20,
+    planted_offset: int = 1_000_000,
+    num_planes: int = 16,
+    bands: int = 8,
+) -> tuple[tuple[int, int], ...]:
+    """Deduped (id_a < id_b) bucket-collision candidates over the corpus
+    plus the planted perturbed copies (vec*1.02+0.003 in double, cast back
+    to float32 — the same literal arithmetic as the declared query)."""
+    import numpy as np
+
+    ids, mat = _embeddings(sf_dir)
+    all_vecs = [(vid, mat[i]) for i, vid in enumerate(ids)]
+    for i, vid in enumerate(ids):
+        if vid < planted_max_id:
+            planted = (mat[i].astype(np.float64) * 1.02 + 0.003).astype(np.float32)
+            all_vecs.append((vid + planted_offset, planted))
+    dim = mat.shape[1]
+    planes = _lsh_planes(num_planes, dim)
+    buckets: dict[tuple[int, str], list[int]] = {}
+    for vid, vec in all_vecs:
+        for key in _band_buckets([float(x) for x in vec], planes, bands):
+            buckets.setdefault(key, []).append(vid)
+    pairs: set[tuple[int, int]] = set()
+    for members in buckets.values():
+        for i, a in enumerate(members):
+            for b in members[i + 1 :]:
+                if a != b:
+                    pairs.add((a, b) if a < b else (b, a))
+    return tuple(sorted(pairs))
+
+
+def embedding_neardup_sql(threshold: float = 0.9) -> str:
+    cands = embedding_neardup_candidates(oracle_sf_dir())
+    vals = ", ".join(f"({a}, {b})" for a, b in cands)
+    return f"""
+    with allv as (
+      select vec_id, embedding from embeddings
+      union all
+      select vec_id + 1000000 as vec_id,
+             list_transform(embedding,
+               x -> cast(cast(x as double) * 1.02 + 0.003 as REAL)) as embedding
+      from embeddings where vec_id < 20
+    ), cand(id_a, id_b) as (values {vals}),
+    scored as (
+      select c.id_a::BIGINT as id_a, c.id_b::BIGINT as id_b,
+             list_cosine_similarity(
+               list_transform(a.embedding, x -> cast(x as double)),
+               list_transform(b.embedding, x -> cast(x as double))) as cosine
+      from cand c
+      join allv a on a.vec_id = c.id_a
+      join allv b on b.vec_id = c.id_b
+    )
+    select id_a, id_b, round(cosine, 4) as cosine
+    from scored where cosine >= {threshold}
+    """

@@ -5,9 +5,15 @@ row count, schema (column names), and order-insensitive values."""
 from __future__ import annotations
 
 import math
+import os
 
 import duckdb
 import pytest
+
+# Literal-table oracles (pyoracle.py) must model the SF this test runs at.
+os.environ["SPARK_GRAFT_ORACLE_SF_DIR"] = os.environ.get(
+    "SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001"
+)
 
 import __spark_entry__ as entry_mod
 
@@ -95,3 +101,42 @@ def test_rows_only_queries_run(name, spark, sf_dir):
     df = QUERIES[name](spark, sf_dir)
     assert df.count() >= 0
     assert len(df.columns) > 0
+
+
+def test_pyoracle_xxh64_matches_spark(spark):
+    """The Python XXH64 model behind the literal-table oracles must be
+    bit-exact with Spark's xxhash64 for every input kind it models:
+    strings (all tail-length branches + the 32-byte stripe loop), longs,
+    and the multi-arg seed chain with int and long first args."""
+    from pyspark.sql import functions as F
+
+    from basis_devkit_spark.queries import pyoracle as po
+
+    strs = ["", "a", "hello", "x" * 7, "y" * 8, "z" * 31, "w" * 32,
+            "abcdefghij" * 5, "the quick brown fox"]
+    got = {
+        r.s: r.h
+        for r in spark.createDataFrame([(s,) for s in strs], "s string")
+        .select("s", F.xxhash64("s").alias("h"))
+        .collect()
+    }
+    for s in strs:
+        assert po.xxh64_str(s) == got[s], s
+
+    longs = [0, 1, -1, 42, 2**62, -(2**62), 123456789123456789]
+    rows = (
+        spark.createDataFrame([(v,) for v in longs], "v long")
+        .select(
+            "v",
+            F.xxhash64("v").alias("h1"),
+            F.xxhash64(F.lit(7), F.col("v")).alias("h2"),
+            F.xxhash64(F.col("v"), F.col("v")).alias("h3"),
+        )
+        .collect()
+    )
+    for r in rows:
+        assert po.to_signed(po.xxh64_long(r.v, 42)) == r.h1
+        assert po.to_signed(po.xxh64_long(r.v, po.xxh64_int(7, 42))) == r.h2
+        assert (
+            po.to_signed(po.xxh64_long(r.v, po.xxh64_long(r.v, 42))) == r.h3
+        )

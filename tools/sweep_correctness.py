@@ -23,6 +23,8 @@ import pandas as pd
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
+# Literal-table oracles (pyoracle.py) must model the same SF the sweep runs.
+os.environ["SPARK_GRAFT_ORACLE_SF_DIR"] = SF_DIR
 TABLES = (
     "region nation customer supplier part orders lineitem events "
     "documents embeddings"
