@@ -15,6 +15,10 @@ Commands:
                                      name resolution: node id or file path)
   list     nodes|stores|webhooks     enumerate graph objects (list.py)
   download --table T --out PATH      export a store (parquet/csv/jsonl by ext)
+  export   --table T --out DIR       portable export: plain parquet + JSON
+                                     descriptor [+ --history versions]
+  import   --table T --src PATH      import an export dir (config/history
+                                     restored) or raw parquet/csv/jsonl
   pull     org/name@vN [dir]         extract a published component with
                                      conflict protection (download.py:22-73)
   delete   --force [--root R]        deregister the app (delete.py; local
@@ -231,6 +235,43 @@ def cmd_download(args, spark) -> int:
     else:
         raise SystemExit(f"unsupported extension .{ext} (parquet/csv/jsonl)")
     _out({"downloaded": args.table, "to": out, "format": ext})
+    return 0
+
+
+def cmd_export(args, spark) -> int:
+    """Export a managed table to a portable parquet+descriptor layout any
+    engine can read (storage/interop.py — the way OUT of the proprietary
+    manifest format)."""
+    from basis_devkit_spark.storage.interop import export_table
+
+    eng = _engine(args, _get_spark(spark), app_required=False)
+    desc = export_table(
+        eng.store(args.table), args.out, include_history=args.history
+    )
+    _out(
+        {
+            "exported": args.table,
+            "to": args.out,
+            "records": desc["record_count"],
+            "versions": len(desc["versions"]),
+        }
+    )
+    return 0
+
+
+def cmd_import(args, spark) -> int:
+    """Import an export dir (config + optional history restored) or any
+    raw parquet/csv/jsonl path into a managed table."""
+    from basis_devkit_spark.storage.interop import import_table
+
+    eng = _engine(args, _get_spark(spark), app_required=False)
+    res = import_table(
+        eng.store(args.table),
+        args.src,
+        fmt=args.format,
+        restore_history=args.history,
+    )
+    _out(res)
     return 0
 
 
@@ -601,6 +642,25 @@ def build_parser() -> argparse.ArgumentParser:
     dl.add_argument("--table", required=True)
     dl.add_argument("--out", required=True)
 
+    ex = sub.add_parser(
+        "export", help="export a managed table (portable parquet+descriptor)"
+    )
+    ex.add_argument("--table", required=True)
+    ex.add_argument("--out", required=True, help="destination directory")
+    ex.add_argument(
+        "--history", action="store_true", help="also export retained versions"
+    )
+
+    im = sub.add_parser(
+        "import", help="import an export dir or raw parquet/csv/jsonl"
+    )
+    im.add_argument("--table", required=True)
+    im.add_argument("--src", required=True, help="export dir or data path")
+    im.add_argument("--format", choices=["parquet", "csv", "jsonl"])
+    im.add_argument(
+        "--history", action="store_true", help="replay exported versions"
+    )
+
     pub = sub.add_parser(
         "publish", help="publish an app as a component (org/name@version)"
     )
@@ -697,6 +757,8 @@ _COMMANDS = {
     "trigger": cmd_trigger,
     "list": cmd_list,
     "download": cmd_download,
+    "export": cmd_export,
+    "import": cmd_import,
     "pull": cmd_pull,
     "create": cmd_create,
     "delete": cmd_delete,
