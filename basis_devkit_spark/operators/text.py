@@ -203,6 +203,91 @@ def repetition_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def ngram_counts(
+    df: DataFrame,
+    text_col: str = "text",
+    n: int = 2,
+    k: int = 100,
+    min_count: int = 1,
+) -> DataFrame:
+    """Corpus-wide top-``k`` word n-grams by occurrence count (boilerplate /
+    contamination analysis): (gram, n_occurrences, n_docs), count desc with
+    the gram string as the deterministic tie-break.
+
+    Scale shape: explode → one hash-agg (map-side partial combine does the
+    heavy lifting on repeated grams) → global top-k via TakeOrdered (no full
+    sort of the gram table). ``min_count`` prunes the long tail before the
+    ordering at 100 TB."""
+    toks = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+    cnt = F.size(toks)
+    idx = F.sequence(F.lit(0), F.greatest(cnt - n, F.lit(0)))
+    grams = F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)))
+    # Stamp the doc id BEFORE the explode: in the same projection as a
+    # generator it would evaluate per exploded row (id per gram, not doc).
+    ex = df.withColumn("__doc", F.monotonically_increasing_id()).select(
+        "__doc",
+        F.explode(F.when(cnt >= n, grams).otherwise(F.array())).alias("gram"),
+    )
+    counts = ex.groupBy("gram").agg(
+        F.count("*").alias("n_occurrences"),
+        F.count_distinct("__doc").alias("n_docs"),
+    )
+    if min_count > 1:
+        counts = counts.filter(F.col("n_occurrences") >= min_count)
+    return counts.orderBy(F.col("n_occurrences").desc(), "gram").limit(k)
+
+
+def cross_doc_dup_ngram_frac(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", n: int = 3
+) -> DataFrame:
+    """Per-document fraction of n-gram occurrences whose gram also appears
+    in at least one OTHER document — the cross-document analogue of the
+    Gopher duplicate-n-gram quality signal (repetition_stats covers the
+    intra-document form). Docs shorter than ``n`` words score 0.
+
+    Scale shape: one explode, one (gram, doc) pre-aggregation, one
+    document-frequency aggregation filtered to shared grams BEFORE the
+    join back (the df table shrinks to only grams with n_docs > 1 — at
+    corpus scale that's the skew-safe side), then one per-doc rollup."""
+    toks = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+    cnt = F.size(toks)
+    idx = F.sequence(F.lit(0), F.greatest(cnt - n, F.lit(0)))
+    grams = F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)))
+    ex = df.select(
+        F.col(id_col).alias("__id"),
+        F.explode(F.when(cnt >= n, grams).otherwise(F.array())).alias("gram"),
+    )
+    per_doc_gram = ex.groupBy("__id", "gram").agg(F.count("*").alias("occ"))
+    shared = (
+        per_doc_gram.groupBy("gram")
+        .agg(F.count_distinct("__id").alias("ndocs"))
+        .filter(F.col("ndocs") > 1)
+        .select("gram")
+    )
+    dup = per_doc_gram.join(shared, "gram", "left_semi").groupBy("__id").agg(
+        F.sum("occ").alias("dup_occ")
+    )
+    tot = per_doc_gram.groupBy("__id").agg(F.sum("occ").alias("tot_occ"))
+    out = (
+        tot.join(dup, "__id", "left")
+        .select(
+            F.col("__id").alias(id_col),
+            F.round(
+                F.coalesce(F.col("dup_occ"), F.lit(0)) / F.col("tot_occ"), 6
+            ).alias("dup_ngram_frac"),
+        )
+    )
+    # short docs have no grams → absent from `tot`; restore them at 0.0
+    return (
+        df.select(id_col)
+        .join(out, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("dup_ngram_frac", F.lit(0.0)).alias("dup_ngram_frac"),
+        )
+    )
+
+
 # Redaction patterns applied in order; SSN before the generic phone shape so
 # the broader digit-run pattern cannot eat it first. RE2/Java-compatible
 # (no backreferences/lookaround), so oracles replay them exactly.

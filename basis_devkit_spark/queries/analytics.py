@@ -916,3 +916,72 @@ def d04k(spark: SparkSession, sf: str) -> DataFrame:
     return train_val_test_split(
         d, (0.98, 0.01, 0.01), id_col="doc_id", salt="split"
     ).select("doc_id", "split")
+
+
+@register(
+    "d04l_ngram_counts",
+    """
+    with toks as (
+      select doc_id, string_split(lower(trim(text)), ' ') as ws from documents
+    ),
+    g as (
+      select doc_id, array_to_string(list_slice(ws, i, i + 1), ' ') as gram
+      from (
+        select doc_id, ws, unnest(range(1, len(ws) - 2 + 2)) as i
+        from toks where len(ws) >= 2
+      )
+    )
+    select gram, count(*) as n_occurrences,
+           count(distinct doc_id) as n_docs
+    from g group by gram
+    order by n_occurrences desc, gram limit 100
+    """,
+    doc="corpus-wide top-100 word 2-grams by occurrence (boilerplate / "
+    "contamination analysis); explode -> one partial-combining hash agg -> "
+    "TakeOrdered top-k, deterministic gram tie-break",
+)
+def d04l(spark: SparkSession, sf: str) -> DataFrame:
+    from basis_devkit_spark.operators.text import ngram_counts
+
+    d = load(spark, sf, "documents")
+    return ngram_counts(d, "text", n=2, k=100)
+
+
+@register(
+    "d04m_cross_doc_dup_ngrams",
+    """
+    with toks as (
+      select doc_id, string_split(lower(trim(text)), ' ') as ws from documents
+    ),
+    g as (
+      select doc_id, array_to_string(list_slice(ws, i, i + 2), ' ') as gram
+      from (
+        select doc_id, ws, unnest(range(1, len(ws) - 3 + 2)) as i
+        from toks where len(ws) >= 3
+      )
+    ),
+    pdg as (select doc_id, gram, count(*) as occ from g group by 1, 2),
+    shared as (
+      select gram from pdg group by gram having count(distinct doc_id) > 1
+    ),
+    tot as (select doc_id, sum(occ) as t from pdg group by 1),
+    dup as (
+      select pdg.doc_id, sum(occ) as d
+      from pdg join shared using (gram) group by 1
+    )
+    select docs.doc_id,
+           cast(coalesce(round(dup.d / tot.t, 6), 0.0) as double)
+             as dup_ngram_frac
+    from documents docs
+    left join tot on tot.doc_id = docs.doc_id
+    left join dup on dup.doc_id = docs.doc_id
+    """,
+    doc="per-doc fraction of 3-gram occurrences shared with another doc — "
+    "cross-document Gopher duplicate-n-gram signal (d04j covers the "
+    "intra-doc form); shared-gram table shrinks before the join back",
+)
+def d04m(spark: SparkSession, sf: str) -> DataFrame:
+    from basis_devkit_spark.operators.text import cross_doc_dup_ngram_frac
+
+    d = load(spark, sf, "documents")
+    return cross_doc_dup_ngram_frac(d, "doc_id", "text", n=3)

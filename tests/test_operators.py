@@ -386,6 +386,39 @@ def test_mixture_sample_deterministic_and_monotone(spark):
     assert ids1 <= ids2
 
 
+def test_ngram_counts_handcomputed(spark):
+    from basis_devkit_spark.operators.text import ngram_counts
+
+    docs = [
+        (1, "a b a b"),      # grams: "a b", "b a", "a b"
+        (2, "a b c"),        # grams: "a b", "b c"
+        (3, "x"),            # too short: no grams
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {
+        r.gram: (r.n_occurrences, r.n_docs)
+        for r in ngram_counts(df, "text", n=2, k=10).collect()
+    }
+    assert got == {"a b": (3, 2), "b a": (1, 1), "b c": (1, 1)}
+
+
+def test_cross_doc_dup_ngram_frac_handcomputed(spark):
+    from basis_devkit_spark.operators.text import cross_doc_dup_ngram_frac
+
+    docs = [
+        (1, "a b c d"),   # 3-grams: "a b c", "b c d" — "a b c" shared -> 1/2
+        (2, "a b c"),     # "a b c" shared -> 1/1
+        (3, "p q r s"),   # none shared -> 0
+        (4, "xy"),        # too short -> 0
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {
+        r.doc_id: r.dup_ngram_frac
+        for r in cross_doc_dup_ngram_frac(df, "doc_id", "text", n=3).collect()
+    }
+    assert got == {1: 0.5, 2: 1.0, 3: 0.0, 4: 0.0}
+
+
 def test_connected_components_long_chain(spark):
     """A 40-node path graph: hash-min label propagation needs O(diameter)
     rounds, so this drives ~39 rounds and ~8 periodic localCheckpoints —
