@@ -8,7 +8,10 @@ storage root and the other commands operate on it.
 
 Commands:
   create   app|node <loc> [...]      scaffold an app / add a node (create.py)
-  upload   <app> [--root R]          validate graph.yml, register app with root
+  upload   <app> [--root R]          validate graph.yml, register app with
+                                     root + snapshot a graph version
+  restore  --version N [dir]         extract an uploaded graph version with
+                                     conflict protection (graph_versions.py)
   publish  <app> org/name@vN         publish app as a component (upload.py:74-97)
   run      [<app>] [--root R]        execute the full graph (topological)
   trigger  --node ID [<app>]         run one node immediately (trigger.py:20
@@ -94,17 +97,23 @@ def _out(obj: Any) -> None:
 
 
 def cmd_upload(args, spark) -> int:
-    from basis_devkit_spark.graph.loader import load_graph
+    from basis_devkit_spark.graph.loader import find_graph_file, load_graph
+    from basis_devkit_spark.graph.versions import snapshot_graph
 
     root = _root(args)
     g = load_graph(args.app)  # validates
     os.makedirs(root, exist_ok=True)
     with open(os.path.join(root, _APP_REGISTRY), "w") as f:
         json.dump({"app": os.path.abspath(args.app)}, f)
+    # Every upload creates a graph version (services/graph_versions.py: the
+    # hosted service snapshots each upload; locally it's a zip + manifest).
+    app_dir = os.path.dirname(find_graph_file(args.app))
+    ver = snapshot_graph(root, app_dir)
     _out(
         {
             "uploaded": os.path.abspath(args.app),
             "root": root,
+            "graph_version": ver["version"],
             "nodes": [n.id for n in g.functions],
             "stores": sorted(g.store_names()),
         }
@@ -156,6 +165,11 @@ def cmd_list(args, spark) -> int:
             for o in sorted(orgs)
         ]
         _out(_paginate(rows, args))
+        return 0
+    if args.kind == "versions":
+        from basis_devkit_spark.graph.versions import list_graph_versions
+
+        _out(_paginate(list_graph_versions(_root(args)), args))
         return 0
     if args.kind == "apps":
         # Local analogue of list.py:27-40: the app registered at this root
@@ -424,6 +438,30 @@ def cmd_pull(args, spark) -> int:
     return 0
 
 
+def cmd_restore(args, spark) -> int:
+    """Extract an uploaded graph version into a directory with conflict
+    protection (graph_versions.py's restore path, pull semantics)."""
+    from basis_devkit_spark.graph.versions import restore_graph_version
+
+    try:
+        ok, diff = restore_graph_version(
+            _root(args),
+            args.version,
+            args.directory or os.getcwd(),
+            force=args.force,
+            show_diff=args.diff,
+        )
+    except FileNotFoundError as exc:
+        raise SystemExit(str(exc))
+    if not ok:
+        print("restore would overwrite the following files:\n")
+        print(diff)
+        print("\nrun this command with --force to overwrite local files")
+        return 1
+    _out({"restored": args.version, "to": args.directory or os.getcwd()})
+    return 0
+
+
 def cmd_delete(args, spark) -> int:
     """Deregister the app from a storage root (delete.py:13-31 — 'this will
     not delete any files locally'; the local 'studio' is the root dir)."""
@@ -632,7 +670,8 @@ def build_parser() -> argparse.ArgumentParser:
 
     ls = sub.add_parser("list", help="list graph objects")
     ls.add_argument(
-        "kind", choices=["nodes", "stores", "webhooks", "apps", "orgs"]
+        "kind",
+        choices=["nodes", "stores", "webhooks", "apps", "orgs", "versions"],
     )
     ls.add_argument("app", nargs="?")
     ls.add_argument("--limit", type=int, help="page size")
@@ -691,6 +730,14 @@ def build_parser() -> argparse.ArgumentParser:
         "--diff", action="store_true", help="show full diff of conflicts"
     )
     pl.add_argument("--registry", help="registry dir override")
+
+    rs = sub.add_parser(
+        "restore", help="extract an uploaded graph version into a directory"
+    )
+    rs.add_argument("--version", type=int, required=True)
+    rs.add_argument("directory", nargs="?", help="target dir (default: cwd)")
+    rs.add_argument("--force", action="store_true", help="overwrite local files")
+    rs.add_argument("--diff", action="store_true", help="show full diff of conflicts")
 
     dele = sub.add_parser("delete", help="deregister the app from a root")
     dele.add_argument("--force", action="store_true")
@@ -760,6 +807,7 @@ _COMMANDS = {
     "export": cmd_export,
     "import": cmd_import,
     "pull": cmd_pull,
+    "restore": cmd_restore,
     "create": cmd_create,
     "delete": cmd_delete,
     "update": cmd_update,

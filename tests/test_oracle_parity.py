@@ -103,6 +103,16 @@ def test_rows_only_queries_run(name, spark, sf_dir):
     assert len(df.columns) > 0
 
 
+def test_inventory_registers_b_series_first():
+    """The verification driver samples a prefix of the declared inventory;
+    the relational (b-series) rows must register first so the sample covers
+    them (they went unsampled whenever analytics registered first)."""
+    names = list(QUERIES)
+    first_non_b = next(i for i, n in enumerate(names) if not n.startswith("b"))
+    assert all(not n.startswith("b") for n in names[first_non_b:])
+    assert first_non_b >= 50  # enough b-rows to fill the driver's sample
+
+
 def test_pyoracle_xxh64_matches_spark(spark):
     """The Python XXH64 model behind the literal-table oracles must be
     bit-exact with Spark's xxhash64 for every input kind it models:
