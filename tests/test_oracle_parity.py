@@ -113,6 +113,39 @@ def test_inventory_registers_b_series_first():
     assert first_non_b >= 50  # enough b-rows to fill the driver's sample
 
 
+def test_pyoracle_xxh64_random_strings(spark):
+    """Batch parity of the Python XXH64 model on 300 seeded-random strings
+    across lengths 0-100 and scripts (ASCII, latin-1, CJK, emoji) — one
+    Spark job, every value bit-exact."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from basis_devkit_spark.queries import pyoracle as po
+
+    rng = random.Random(7)
+    alphabets = [
+        "abcdefghij0123456789 _-",
+        "àéîöü çñß",
+        "漢字かなカナ中文字符",
+        "🎉🚀😀🌍",
+    ]
+    strs = list(
+        {
+            "".join(rng.choice(rng.choice(alphabets)) for _ in range(rng.randrange(0, 101)))
+            for _ in range(300)
+        }
+    )
+    got = {
+        r.s: r.h
+        for r in spark.createDataFrame([(s,) for s in strs], "s string")
+        .select("s", F.xxhash64("s").alias("h"))
+        .collect()
+    }
+    bad = [s for s in strs if po.xxh64_str(s) != got[s]]
+    assert not bad, f"{len(bad)} mismatches; first: {bad[0]!r}"
+
+
 def test_pyoracle_xxh64_matches_spark(spark):
     """The Python XXH64 model behind the literal-table oracles must be
     bit-exact with Spark's xxhash64 for every input kind it models:

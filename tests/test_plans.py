@@ -102,6 +102,32 @@ def test_minhash_single_shuffle_no_python_udf(spark):
     assert n_shuffles(sig) == 1
 
 
+def test_ngram_counts_plan_shape(spark):
+    """Top-k n-grams: partial-combining hash agg (map-side combine on
+    repeated grams), global top-k via TakeOrdered (no full sort of the
+    gram table), no Python anywhere."""
+    from basis_devkit_spark.operators.text import ngram_counts
+
+    docs = load(spark, SF, "documents")
+    df = ngram_counts(docs, "text", n=2, k=50)
+    plan = plan_of(df)
+    assert "TakeOrderedAndProject" in plan
+    assert "partial_count" in plan  # map-side combine before the exchange
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_cross_doc_dup_frac_uses_semi_join(spark):
+    """The shared-gram filter joins back as a LEFT SEMI (existence only —
+    never materializes gram payloads on the probe side) with no Python."""
+    from basis_devkit_spark.operators.text import cross_doc_dup_ngram_frac
+
+    docs = load(spark, SF, "documents")
+    df = cross_doc_dup_ngram_frac(docs, "doc_id", "text", n=3)
+    plan = plan_of(df)
+    assert "LeftSemi" in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
 def test_stream_cursor_filter_pushdown(spark, tmp_path):
     """The stream's strictly-greater cursor filter must reach the scan."""
     from basis_devkit_spark.node import Table
