@@ -331,3 +331,40 @@ def b40c(spark: SparkSession, sf: str) -> DataFrame:
         from orders
         """
     )
+
+
+_B51_SQL = """
+    with recursive months(m) as (
+      select cast('1995-01-01' as date)
+      union all
+      select cast(m + interval 1 month as date) from months
+      where m < cast('2001-12-01' as date)
+    )
+    select m as month, count(o.o_orderkey) as n_orders
+    from months
+    left join orders o on cast(date_trunc('month', o.o_orderdate) as date) = m
+    group by m
+"""
+
+
+@register(
+    "b51_recursive_cte",
+    """
+    with recursive months(m) as (
+      select cast('1995-01-01' as date)
+      union all
+      select cast(m + interval 1 month as date) from months
+      where m < cast('2001-12-01' as date)
+    )
+    select m as month, count(o.o_orderkey) as n_orders
+    from months
+    left join orders o on cast(date_trunc('month', o.o_orderdate) as date) = m
+    group by m
+    """,
+    doc="recursive CTE (Spark 4 WITH RECURSIVE): month series spanning the "
+    "order-date range, gap-filling left join — months with zero orders "
+    "appear with n_orders=0; identical SQL runs on both engines",
+)
+def b51(spark: SparkSession, sf: str) -> DataFrame:
+    _views(spark, sf, "orders")
+    return spark.sql(_B51_SQL)
