@@ -644,7 +644,14 @@ def cmd_serve(args, spark) -> int:
     from basis_devkit_spark.engine.webhook_http import WebhookServer
 
     eng = _engine(args, _get_spark(spark))
-    server = WebhookServer(eng, host=args.host, port=args.port)
+    token = None
+    if args.auth:
+        from basis_devkit_spark.cli_config import read_devkit_config
+
+        token = read_devkit_config().token
+        if not token:
+            raise SystemExit("--auth requires a login token (run `login` first)")
+    server = WebhookServer(eng, host=args.host, port=args.port, auth_token=token)
     print(f"webhook endpoint at {server.url}/webhooks", file=sys.stderr)
     try:
         server.serve_forever()
@@ -793,6 +800,11 @@ def build_parser() -> argparse.ArgumentParser:
     sv.add_argument("app", nargs="?")
     sv.add_argument("--host", default="127.0.0.1")
     sv.add_argument("--port", type=int, default=8787)
+    sv.add_argument(
+        "--auth",
+        action="store_true",
+        help="require Authorization: Bearer <login token> on every request",
+    )
 
     return p
 

@@ -41,9 +41,20 @@ class WebhookServer:
         node responds during propagation, that payload is the response.
     """
 
-    def __init__(self, engine: "Engine", host: str = "127.0.0.1", port: int = 0):
+    def __init__(
+        self,
+        engine: "Engine",
+        host: str = "127.0.0.1",
+        port: int = 0,
+        auth_token: str | None = None,
+    ):
+        """``auth_token``: when set, every request must carry
+        ``Authorization: Bearer <token>`` (the hosted platform's webhook
+        URLs are bearer-authenticated the same way; locally the token is
+        the login token from ``cli_config``)."""
         self.engine = engine
         self._lock = threading.Lock()
+        self._auth_token = auth_token
         outer = self
 
         class Handler(BaseHTTPRequestHandler):
@@ -58,7 +69,18 @@ class WebhookServer:
                 self.end_headers()
                 self.wfile.write(body)
 
+            def _authorized(self) -> bool:
+                if outer._auth_token is None:
+                    return True
+                got = self.headers.get("Authorization", "")
+                if got == f"Bearer {outer._auth_token}":
+                    return True
+                self._json(401, {"error": "unauthorized"})
+                return False
+
             def do_GET(self):
+                if not self._authorized():
+                    return
                 if urlparse(self.path).path.rstrip("/") == "/webhooks":
                     self._json(
                         200,
@@ -71,6 +93,8 @@ class WebhookServer:
                     self._json(404, {"error": "not found"})
 
             def do_POST(self):
+                if not self._authorized():
+                    return
                 url = urlparse(self.path)
                 parts = [p for p in url.path.split("/") if p]
                 if len(parts) != 2 or parts[0] != "webhooks":

@@ -75,6 +75,55 @@ def test_http_post_lands_and_propagates(hook_app):
     assert got == {"a": 2, "b": 1}
 
 
+def test_http_bearer_auth(spark, tmp_path):
+    """With auth_token set, requests without the exact bearer header get
+    401 and nothing is ingested; the correct header works as usual."""
+    app = write_app(
+        tmp_path / "app",
+        """
+        functions:
+          - webhook: hook
+        stores: []
+        """,
+    )
+    eng = Engine(spark, str(tmp_path / "store"))
+    eng.load_graph(app)
+    server = WebhookServer(eng, auth_token="s3cret").start()
+    try:
+        status, body = _post(f"{server.url}/webhooks/hook", {"kind": "a"})
+        assert status == 401
+
+        req = urllib.request.Request(
+            f"{server.url}/webhooks/hook",
+            data=json.dumps({"kind": "a"}).encode(),
+            headers={
+                "Content-Type": "application/json",
+                "Authorization": "Bearer wrong",
+            },
+            method="POST",
+        )
+        try:
+            with urllib.request.urlopen(req, timeout=60) as r:
+                status = r.status
+        except urllib.error.HTTPError as e:
+            status = e.code
+        assert status == 401
+
+        req = urllib.request.Request(
+            f"{server.url}/webhooks/hook",
+            data=json.dumps({"kind": "a"}).encode(),
+            headers={
+                "Content-Type": "application/json",
+                "Authorization": "Bearer s3cret",
+            },
+            method="POST",
+        )
+        with urllib.request.urlopen(req, timeout=60) as r:
+            assert r.status == 202
+    finally:
+        server.stop()
+
+
 def test_http_unknown_webhook_and_bad_json(hook_app):
     _, server = hook_app
     status, _ = _post(f"{server.url}/webhooks/nope", {"x": 1})
