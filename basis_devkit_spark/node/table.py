@@ -199,6 +199,8 @@ class Table:
         stats_columns: str | list[str] | None = None,  # file-skipping stats
         cluster_by: str | list[str] | None = None,  # range-clustered writes
         compact_after: int | None = None,  # auto-compact lineage bound
+        expectations: dict[str, str] | None = None,  # write-time constraints
+        expectations_mode: str | None = None,  # record | fail | drop
     ) -> None:
         hints = dict(schema_hints or {})
         if isinstance(schema, dict):
@@ -213,6 +215,8 @@ class Table:
             stats_columns=stats_columns,
             cluster_by=cluster_by,
             compact_after=compact_after,
+            expectations=expectations,
+            expectations_mode=expectations_mode,
         )
 
     # ---------------- reads (A1-A3) ----------------

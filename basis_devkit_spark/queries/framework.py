@@ -778,3 +778,36 @@ def a25(spark: SparkSession, sf: str) -> DataFrame:
     )
     store.write_replace(li.repartitionByRange(8, "l_orderkey"))
     return store.read_pruned([("l_orderkey", ">", 12000)])
+
+
+@register(
+    "a26_write_expectations",
+    """
+    select event_id, event_type, value
+    from events
+    where value >= 1.0 and event_type is not null
+    """,
+    doc="write-time data expectations (drop mode): violating rows filtered "
+    "during the write itself (observe-based single pass, counts recorded "
+    "on the version) — surviving table == the oracle's WHERE clause",
+)
+def a26(spark: SparkSession, sf: str) -> DataFrame:
+    import tempfile as _tf
+
+    from basis_devkit_spark.storage.store import TableStore
+
+    tmp = _tf.mkdtemp(prefix="bds_a26_")
+    st = TableStore(tmp, "events", spark)
+    st.configure(
+        expectations={
+            "value_min": "value >= 1.0",
+            "type_notnull": "event_type is not null",
+        },
+        expectations_mode="drop",
+    )
+    st.write_replace(
+        load(spark, sf, "events").select("event_id", "event_type", "value")
+    )
+    # sanity: the recorded counts must reconcile with what was dropped
+    assert sum(1 for _ in st.expectation_violations()) == 2
+    return st.read()

@@ -38,6 +38,7 @@ Delta's deps.
 
 from __future__ import annotations
 
+import functools
 import json
 import os
 import shutil
@@ -130,6 +131,13 @@ class _Manifest:
     # schema "roles" (node.py:196-200): ordering resolution for as_stream()
     strictly_monotonic_ordering: str | None = None
     created_ordering: str | None = None
+    # Write-time data expectations: {name: SQL boolean expr over the batch
+    # columns}. Violation counts are observed DURING the write job (one
+    # pass, no extra scan). Mode: "record" keeps the batch and records the
+    # counts per version; "fail" rejects the batch (pointer never flips);
+    # "drop" filters violating rows out (still counted).
+    expectations: dict[str, str] | None = None
+    expectations_mode: str = "record"
 
     def to_json(self) -> dict[str, Any]:
         return dict(self.__dict__)
@@ -155,6 +163,8 @@ class TableStore:
         # Batches pinned (persisted) during a write so the id-assignment
         # count job and the write job see identical partitions.
         self._pinned: list[DataFrame] = []
+        # Violation counts from the most recent _write_counted call.
+        self._last_violations: dict[str, int] = {}
 
     # ---------------- manifest ----------------
     def _manifest_path(self) -> str:
@@ -278,6 +288,8 @@ class TableStore:
         stats_columns: str | list[str] | None = None,
         cluster_by: str | list[str] | None = None,
         compact_after: int | None = None,
+        expectations: dict[str, str] | None = None,
+        expectations_mode: str | None = None,
     ) -> None:
         m = self._manifest
         if partition_by is not None:
@@ -300,6 +312,15 @@ class TableStore:
                     m.stats_columns = (m.stats_columns or []) + [c]
         if compact_after is not None:
             m.compact_after = compact_after
+        if expectations is not None:
+            m.expectations = dict(expectations)
+        if expectations_mode is not None:
+            if expectations_mode not in ("record", "fail", "drop"):
+                raise ValueError(
+                    f"expectations_mode must be record|fail|drop, "
+                    f"got {expectations_mode!r}"
+                )
+            m.expectations_mode = expectations_mode
         if schema_hints is not None:
             m.schema_hints = schema_hints
         if unique_on is not None:
@@ -611,12 +632,62 @@ class TableStore:
     def _write_counted(self, df: DataFrame, path: str) -> int:
         """Overwrite-write ``df`` to ``path`` and return its row count,
         captured via ``df.observe`` DURING the write job — one pass, never
-        a re-read of the written output (which doubles I/O at scale)."""
+        a re-read of the written output (which doubles I/O at scale).
+
+        Expectations ride the same observation: per-constraint violation
+        counts are aggregated during the write (zero extra scans at any
+        data size). Mode ``drop`` attaches the observe BELOW the filter so
+        dropped rows are still counted; ``fail`` raises after the write but
+        BEFORE the caller flips the manifest pointer, so a rejected batch
+        is never visible (same crash-safety as a mid-write failure)."""
+        m = self._manifest
+        exps = m.expectations or {}
+        drop = bool(exps) and m.expectations_mode == "drop"
         obs = Observation()
-        df = df.observe(obs, F.count(F.lit(1)).alias("n"))
+        metrics = [F.count(F.lit(1)).alias("n")]
+        for name, expr in exps.items():
+            metrics.append(
+                F.count(F.when(~F.expr(expr), 1)).alias(f"__exp_{name}")
+            )
+        if drop:
+            keep_all = functools.reduce(
+                lambda a, b: a & b, (F.expr(e) for e in exps.values())
+            )
+            metrics.append(F.count(F.when(keep_all, 1)).alias("__kept"))
+        df = df.observe(obs, *metrics)
+        if drop:
+            for expr in exps.values():
+                df = df.filter(F.expr(expr))
         self._write(df, path, "overwrite")
         self._collect_file_stats(os.path.relpath(path, self.path))
-        return int(obs.get["n"])
+        got = obs.get
+        self._last_violations = {
+            name: int(got[f"__exp_{name}"]) for name in exps
+        }
+        bad = {k: v for k, v in self._last_violations.items() if v}
+        if bad and m.expectations_mode == "fail":
+            raise ValueError(
+                f"table '{self.name}': expectation(s) violated, batch "
+                f"rejected (pointer not flipped): {bad}"
+            )
+        return int(got["__kept"]) if drop else int(got["n"])
+
+    def _record_violations(self, v: int) -> None:
+        """Persist the write's per-expectation violation counts on the
+        version entry (data-quality audit trail, O(1) metadata)."""
+        if self._manifest.expectations:
+            self._manifest.versions.setdefault(str(v), {})[
+                "expectation_violations"
+            ] = dict(self._last_violations)
+
+    def expectation_violations(self, version: int | None = None) -> dict[str, int]:
+        """Violation counts recorded for ``version`` (default: active)."""
+        v = version if version is not None else self._manifest.active_version
+        return dict(
+            self._manifest.versions.get(str(v), {}).get(
+                "expectation_violations", {}
+            )
+        )
 
     def _record_schema(self, v: int, df: DataFrame) -> None:
         """Persist the version's full output schema (incl. partition and
@@ -632,6 +703,7 @@ class TableStore:
         n = self._write_counted(df, self.version_path(v))
         self._set_version_dirs(v, [f"v={v}"])
         self._record_schema(v, df)
+        self._record_violations(v)
         return v, n
 
     def write_replace(self, df: DataFrame) -> int:
@@ -665,6 +737,7 @@ class TableStore:
             n_new = self._write_counted(df, self.version_path(v))
             self._set_version_dirs(v, prev_dirs + [f"v={v}"])
             self._record_schema(v, df)
+            self._record_violations(v)
             total = (prev_count + n_new) if prev_count is not None else None
             self.set_active_version(v, record_count=total)
             ca = self._manifest.compact_after

@@ -565,3 +565,66 @@ def test_auto_compact_bounds_lineage(spark, tmp_path):
     assert len(dirs) <= 3 + 1  # compaction keeps lineage bounded
     assert st.record_count == 600
     assert sorted(r.k for r in st.read().collect()) == list(range(600))
+
+
+# ---------------- write-time expectations (observe-based, single pass) ----
+
+
+def test_expectations_record_mode(spark, tmp_path):
+    """record: batch lands intact; per-expectation violation counts are
+    persisted on the version entry (observed during the write job)."""
+    from basis_devkit_spark.storage.store import TableStore
+
+    st = TableStore(str(tmp_path), "t", spark)
+    st.configure(
+        expectations={"v_nonneg": "v >= 0", "k_notnull": "k is not null"},
+    )
+    st.write_replace(
+        spark.createDataFrame(
+            [(1, 10.0), (2, -3.0), (None, -1.0)], "k int, v double"
+        )
+    )
+    assert st.record_count == 3  # record mode keeps everything
+    assert st.expectation_violations() == {"v_nonneg": 2, "k_notnull": 1}
+
+
+def test_expectations_fail_mode_rejects_batch(spark, tmp_path):
+    """fail: the pointer never flips — the table still shows the previous
+    version after a rejected write (crash-equivalent safety)."""
+    import pytest as _pytest
+
+    from basis_devkit_spark.storage.store import TableStore
+
+    st = TableStore(str(tmp_path), "t", spark)
+    st.configure(expectations={"v_nonneg": "v >= 0"}, expectations_mode="fail")
+    st.write_replace(spark.createDataFrame([(1, 1.0)], "k int, v double"))
+    with _pytest.raises(ValueError, match="v_nonneg"):
+        st.write_replace(
+            spark.createDataFrame([(2, -5.0)], "k int, v double")
+        )
+    assert [r.k for r in st.read().collect()] == [1]  # old version intact
+    # a clean batch commits again afterwards
+    st.append(spark.createDataFrame([(3, 2.0)], "k int, v double"))
+    assert {r.k for r in st.read().collect()} == {1, 3}
+
+
+def test_expectations_drop_mode_filters_and_counts(spark, tmp_path):
+    """drop: violating rows are filtered out of the written version but
+    still counted (observe sits below the filter); record_count reflects
+    the KEPT rows, including a row violating two expectations at once."""
+    from basis_devkit_spark.storage.store import TableStore
+
+    st = TableStore(str(tmp_path), "t", spark)
+    st.configure(
+        expectations={"v_nonneg": "v >= 0", "k_notnull": "k is not null"},
+        expectations_mode="drop",
+    )
+    st.write_replace(
+        spark.createDataFrame(
+            [(1, 10.0), (2, -3.0), (None, -1.0), (4, 0.0)],
+            "k int, v double",
+        )
+    )
+    assert {r.k for r in st.read().collect()} == {1, 4}
+    assert st.record_count == 2  # double-violating row counted once
+    assert st.expectation_violations() == {"v_nonneg": 2, "k_notnull": 1}
