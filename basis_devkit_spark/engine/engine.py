@@ -93,7 +93,27 @@ class Engine:
     # ---------------- stores ----------------
     def store(self, name: str) -> TableStore:
         if name not in self._stores:
-            self._stores[name] = TableStore(self.storage_root, name, self.spark)
+            st = TableStore(self.storage_root, name, self.spark)
+            spec = None
+            if self.graph is not None:
+                spec = next(
+                    (s for s in self.graph.stores if s.name == name), None
+                )
+            if spec is not None:
+                cfg = {
+                    k: getattr(spec, k)
+                    for k in (
+                        "unique_on",
+                        "partition_by",
+                        "cluster_by",
+                        "expectations",
+                        "expectations_mode",
+                    )
+                    if getattr(spec, k, None) is not None
+                }
+                if cfg:
+                    st.configure(**cfg)
+            self._stores[name] = st
         return self._stores[name]
 
     def seed_store(self, name: str, df: DataFrame) -> None:

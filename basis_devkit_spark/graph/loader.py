@@ -163,9 +163,10 @@ def _expand_subgraphs(spec: GraphSpec, base_dir: str, depth: int) -> GraphSpec:
         for s in sub.stores:
             if s.name in exposed_in or s.name in exposed_out:
                 continue  # becomes the parent's store via rewiring
-            out_stores.append(
-                StoreSpec(name=prefix + s.name, kind=s.kind, id=prefix + (s.id or ""))
-            )
+            clone_s = s.model_copy(deep=True)
+            clone_s.name = prefix + s.name
+            clone_s.id = prefix + (s.id or "")
+            out_stores.append(clone_s)  # keeps store config (expectations &c)
         for sn in sub.functions:
             clone = sn.model_copy(deep=True)
             clone.id = prefix + (sn.id or random_node_id())

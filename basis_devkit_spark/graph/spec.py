@@ -29,6 +29,14 @@ class StoreSpec(BaseModel):
     kind: str = "table"  # "table" | "stream"
     id: Optional[str] = None
     schema_name: Optional[str] = Field(default=None, alias="schema")
+    # Declarative store config, applied on first engine access (the yaml
+    # analogue of Table.init): merge keys, layout, and write-time data
+    # expectations ({name: SQL bool expr}; mode record|fail|drop).
+    unique_on: Optional[list[str]] = None
+    partition_by: Optional[list[str]] = None
+    cluster_by: Optional[list[str]] = None
+    expectations: Optional[dict[str, str]] = None
+    expectations_mode: Optional[str] = None
 
     model_config = {"populate_by_name": True}
 

@@ -463,3 +463,35 @@ def test_node_crash_leaves_no_partial_commit(spark, tmp_path):
     # output untouched, state not persisted
     assert [r.x for r in eng.table_df("dst").collect()] == [0]
     assert eng.state_store.load("crashnode") == {}
+
+
+def test_store_expectations_from_graph_yaml(spark, tmp_path):
+    """Declarative store config in graph.yml: expectations in drop mode
+    filter a SQL node's output during its managed write."""
+    app = write_app(
+        tmp_path / "app",
+        """
+        functions:
+          - node_file: pass.sql
+            id: passnode1
+            inputs:
+              src: raw
+            outputs:
+              out: clean
+        stores:
+          - table: raw
+          - table: clean
+            expectations:
+              v_nonneg: v >= 0
+            expectations_mode: drop
+        """,
+        **{"pass.sql": "select * from {{ src }}"},
+    )
+    from basis_devkit_spark.engine import Engine
+
+    eng = Engine(spark, str(tmp_path / "store"))
+    eng.load_graph(app)
+    eng.seed_store("raw", spark.createDataFrame([(1,), (-2,), (3,)], "v int"))
+    eng.run_graph()
+    assert {r.v for r in eng.table_df("clean").collect()} == {1, 3}
+    assert eng.store("clean").expectation_violations() == {"v_nonneg": 1}
