@@ -215,14 +215,16 @@ def cmd_list(args, spark) -> int:
         rows = []
         for name in sorted(g.store_names()):
             st = eng.store(name)
-            rows.append(
-                {
-                    "table": name,
-                    "exists": st.exists,
-                    "records": st.record_count,
-                    "version": st.get_active_version(),
-                }
-            )
+            row = {
+                "table": name,
+                "exists": st.exists,
+                "records": st.record_count,
+                "version": st.get_active_version(),
+            }
+            viol = st.expectation_violations() if st.exists else {}
+            if viol:
+                row["expectation_violations"] = viol
+            rows.append(row)
         _out(rows)
     else:  # webhooks (list.py:69-77)
         _out(

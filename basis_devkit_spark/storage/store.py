@@ -138,6 +138,11 @@ class _Manifest:
     # "drop" filters violating rows out (still counted).
     expectations: dict[str, str] | None = None
     expectations_mode: str = "record"
+    # Highest Structured Streaming batch id committed into this store
+    # (append_stream_batch). Persisted in the SAME manifest write as the
+    # version pointer flip, so a replayed micro-batch after a crash is
+    # detected and skipped — exactly-once into the managed table.
+    last_stream_batch_id: int = -1
 
     def to_json(self) -> dict[str, Any]:
         return dict(self.__dict__)
@@ -745,6 +750,24 @@ class TableStore:
                 self.compact()
         finally:
             self._release()
+
+    def append_stream_batch(self, df: DataFrame, batch_id: int) -> bool:
+        """Idempotent micro-batch append for Structured Streaming
+        ``foreachBatch`` sinks: a batch id at or below the last committed
+        one is a checkpoint replay and is skipped. The id is recorded in
+        the same atomic manifest commit as the version pointer flip, so
+        data and progress can never disagree (exactly-once, the streaming
+        analogue of the stream-cursor commit order in engine/context.py).
+        Returns True when the batch was ingested."""
+        if batch_id <= self._manifest.last_stream_batch_id:
+            return False
+        self._manifest.last_stream_batch_id = batch_id
+        # append() commits the manifest (with the id above) atomically at
+        # its pointer flip; on a crash before that, the in-memory id is
+        # lost with the orphan write — replay then re-ingests. After it,
+        # replay is a no-op. Either way: exactly once.
+        self.append(df)
+        return True
 
     def compact(self) -> int:
         """Rewrite the active version's lineage into one directory (file-

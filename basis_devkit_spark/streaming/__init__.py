@@ -4,6 +4,7 @@ from basis_devkit_spark.streaming.ops import (
     sliding_window_agg,
     session_window_agg,
     dedup_within_watermark,
+    stream_append_to_store,
     stream_to_managed_table,
     stateful_running_agg,
 )
@@ -14,6 +15,7 @@ __all__ = [
     "sliding_window_agg",
     "session_window_agg",
     "dedup_within_watermark",
+    "stream_append_to_store",
     "stream_to_managed_table",
     "stateful_running_agg",
 ]

@@ -219,6 +219,31 @@ def stateful_running_agg(
     )
 
 
+def stream_append_to_store(
+    df: DataFrame,
+    store,
+    checkpoint_dir: str,
+    trigger_seconds: int | None = None,
+):
+    """Exactly-once streaming sink into a MANAGED ``TableStore``:
+    ``foreachBatch`` + ``store.append_stream_batch`` — each micro-batch
+    appends through the store's normal versioned commit (copy-on-write
+    lineage, expectations, stats), and the batch id rides the same atomic
+    manifest flip, so checkpoint replays after a crash are skipped instead
+    of double-ingested. This is the managed-table upgrade of
+    ``stream_to_managed_table`` (raw parquet sink, below)."""
+
+    def _write(batch_df: DataFrame, batch_id: int) -> None:
+        store.append_stream_batch(batch_df, batch_id)
+
+    w = df.writeStream.foreachBatch(_write).option(
+        "checkpointLocation", checkpoint_dir
+    ).outputMode("append")
+    if trigger_seconds is not None:
+        w = w.trigger(processingTime=f"{trigger_seconds} seconds")
+    return w
+
+
 def stream_to_managed_table(
     df: DataFrame,
     store_path: str,
