@@ -985,3 +985,44 @@ def d04m(spark: SparkSession, sf: str) -> DataFrame:
 
     d = load(spark, sf, "documents")
     return cross_doc_dup_ngram_frac(d, "doc_id", "text", n=3)
+
+
+@register(
+    "c09_stream_ingest_exactly_once",
+    """
+    select event_id, event_type, value from events
+    """,
+    doc="true Structured Streaming ingest into the managed store: file "
+    "source over the events parquet -> foreachBatch exactly-once append "
+    "(batch id rides the atomic manifest flip) -> read back; the managed "
+    "table must equal the batch relation exactly (no loss, no dupes)",
+)
+def c09(spark: SparkSession, sf: str) -> DataFrame:
+    import tempfile as _tf
+
+    from basis_devkit_spark.storage.store import TableStore
+    from basis_devkit_spark.streaming.ops import stream_append_to_store
+
+    import os as _os
+
+    tmp = _tf.mkdtemp(prefix="bds_c09_")
+    store = TableStore(tmp, "ev", spark)
+    # The file streaming source requires a DIRECTORY; stage the single
+    # parquet file behind a symlink (no data copy). Schema from the batch
+    # read; ts column excluded — its nanos conversion is a batch-side
+    # rewrite, and this query targets the ingest path, not the column.
+    drop = _os.path.join(tmp, "drop")
+    _os.makedirs(drop, exist_ok=True)
+    _os.symlink(f"{sf}/events.parquet", _os.path.join(drop, "events.parquet"))
+    raw_schema = spark.read.parquet(f"{sf}/events.parquet").schema
+    stream = (
+        spark.readStream.schema(raw_schema)
+        .parquet(drop)
+        .select("event_id", "event_type", "value")
+    )
+    q = stream_append_to_store(stream, store, f"{tmp}/_ckpt").start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return store.read()
