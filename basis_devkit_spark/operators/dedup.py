@@ -205,28 +205,35 @@ def simhash(
 ) -> DataFrame:
     """(id, simhash: bigint) — Charikar fingerprint over word tokens.
 
-    Per-bit weighted sign sums as 64 conditional aggregations over the
-    exploded token hash — one shuffle, no UDF.
-    """
-    toks = df.select(
-        F.col(id_col).alias("__id"),
-        F.explode(
-            F.array_distinct(F.split(F.lower(F.col(text_col)), r"\s+"))
-        ).alias("__t"),
-    ).withColumn("__h", F.xxhash64("__t"))
-    bit_aggs = [
-        F.sum(
-            F.when(F.shiftright(F.col("__h"), b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
-        ).alias(f"b{b}")
-        for b in range(bits)
-    ]
-    agg = toks.groupBy("__id").agg(*bit_aggs)
+    SHUFFLE-FREE: token hashes stay an array column and the per-bit sign
+    sums are higher-order-function reductions within the row — a pure
+    projection, no explode, no groupBy. (The earlier explode + 64
+    conditional aggregations computed the same thing through a full
+    shuffle of every token; at corpus scale this form is embarrassingly
+    parallel map work.) Bit b of the fingerprint is set iff more token
+    hashes have bit b set than clear: ones > n/2 ⇔ sign sum > 0."""
+    hashes = F.transform(
+        F.array_distinct(F.split(F.lower(F.col(text_col)), r"\s+")),
+        lambda t: F.xxhash64(t),
+    )
+    n = F.size(F.col("__hs"))
     fp = None
     for b in range(bits):
-        term = F.when(F.col(f"b{b}") > 0, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long"))
+        ones = F.size(
+            F.filter(
+                F.col("__hs"),
+                lambda h: F.shiftright(h, b).bitwiseAND(F.lit(1)) == 1,
+            )
+        )
+        term = (
+            F.when(ones * 2 > n, F.lit(1).cast("long"))
+            .otherwise(F.lit(0).cast("long"))
+        )
         shifted = F.shiftleft(term, b)
         fp = shifted if fp is None else fp.bitwiseXOR(shifted)
-    return agg.select(F.col("__id").alias(id_col), fp.alias("simhash"))
+    return df.select(F.col(id_col), hashes.alias("__hs")).select(
+        F.col(id_col), fp.alias("simhash")
+    )
 
 
 def simhash_near_dup_pairs(
@@ -245,10 +252,12 @@ def simhash_near_dup_pairs(
     """
     assert bits % blocks == 0
     width = bits // blocks
-    # No persist needed here (unlike jaccard/minhash): simhash() ends at a
-    # shuffle boundary, so both self-join sides hit Spark's ReusedExchange
-    # — measured identical wall time with and without caching.
-    sh = simhash(df, id_col, text_col, bits)
+    from pyspark import StorageLevel
+
+    # simhash() is now a pure projection (no shuffle), so the self-join
+    # sides would each recompute the tokenize+hash work — persist the one
+    # compact (id, fingerprint) row per doc instead.
+    sh = simhash(df, id_col, text_col, bits).persist(StorageLevel.MEMORY_AND_DISK)
     mask = (1 << width) - 1
     chunk_arr = F.array(
         *[
