@@ -94,11 +94,32 @@ def minhash_signatures(
     shingle_size: int = 3,
     max_shingle_df: int | None = None,
 ) -> DataFrame:
-    """(id, sig: array<bigint>) — one groupBy over exploded shingles with
-    ``num_hashes`` min-aggregations (single shuffle, fully codegen).
+    """(id, sig: array<bigint>).
 
     Each hash function i is ``xxhash64(i, shingle_hash)`` — an ANSI-safe
-    seeded rehash with no multiplication to overflow int64."""
+    seeded rehash with no multiplication to overflow int64.
+
+    Without ``max_shingle_df`` the signature is SHUFFLE-FREE: shingle
+    hashes stay an array column and each minhash is an ``array_min`` over
+    a per-row ``transform`` — pure projection, embarrassingly parallel at
+    corpus scale. The stop-shingle cap genuinely needs corpus-wide doc
+    frequencies, so that path keeps the explode + single groupBy with
+    ``num_hashes`` min-aggregations (one shuffle)."""
+    if max_shingle_df is None:
+        hs = F.transform(
+            shingle_col(text_col, shingle_size), lambda g: F.xxhash64(g)
+        )
+        sig = F.array(
+            *[
+                F.array_min(
+                    F.transform(F.col("__hs"), lambda h: F.xxhash64(F.lit(i), h))
+                )
+                for i in range(num_hashes)
+            ]
+        )
+        return df.select(F.col(id_col), hs.alias("__hs")).select(
+            F.col(id_col), sig.alias("sig")
+        )
     ex = _exploded_shingles(df, id_col, text_col, shingle_size, max_shingle_df)
     aggs = [
         F.min(F.xxhash64(F.lit(i), F.col("__h"))).alias(f"h{i}")

@@ -93,13 +93,23 @@ def test_range_join_no_nested_loop(spark):
 
 
 def test_minhash_single_shuffle_no_python_udf(spark):
-    """Signatures = one groupBy shuffle; everything codegen (no BatchEvalPython)."""
+    """Uncapped signatures are a pure projection (ZERO shuffles — per-row
+    array_min/transform); the stop-shingle-capped path needs corpus doc
+    frequencies and gets exactly one groupBy shuffle (plus the cap's own
+    frequency agg + broadcast anti-join). No Python in either."""
     docs = load(spark, SF, "documents")
     sig = minhash_signatures(docs, "doc_id", "text", num_hashes=16)
     plan = plan_of(sig)
     assert "BatchEvalPython" not in plan  # no row-at-a-time Python
     assert "ArrowEvalPython" not in plan  # not even a pandas UDF
-    assert n_shuffles(sig) == 1
+    assert n_shuffles(sig) == 0
+
+    capped = minhash_signatures(
+        docs, "doc_id", "text", num_hashes=16, max_shingle_df=100
+    )
+    plan_c = plan_of(capped)
+    assert "BatchEvalPython" not in plan_c and "ArrowEvalPython" not in plan_c
+    assert n_shuffles(capped) == 2  # doc-frequency agg + signature groupBy
 
 
 def test_ngram_counts_plan_shape(spark):
