@@ -288,6 +288,70 @@ def cross_doc_dup_ngram_frac(
     )
 
 
+def token_budget_sample(
+    df: DataFrame,
+    budgets: dict[str, int],
+    stratum_col: str = "lang",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    salt: str = "tok",
+    n_buckets: int = 1024,
+) -> DataFrame:
+    """Token-budget mixture sampling: per stratum, keep documents in a
+    deterministic md5-priority order until the stratum's TOKEN budget is
+    reached (``mixture_sample`` weights documents; training mixtures are
+    specified in tokens). A doc is kept iff it STARTS within budget, so
+    each stratum overshoots by at most one document. Strata without a
+    budget entry are dropped.
+
+    Scale shape: the per-stratum running token sum is computed with the
+    two-pass bucketed prefix pattern (per-(stratum, bucket) sums → tiny
+    cumulative table broadcast back → within-bucket windows in parallel),
+    NOT a one-task-per-stratum global window — skew-safe when strata are
+    few and huge."""
+    from pyspark.sql.window import Window
+
+    toks = F.size(F.split(F.lower(F.trim(F.col(text_col))), r"\s+"))
+    prio = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit(salt), F.col(id_col).cast("string"))), 1, 8
+        ),
+        16,
+        10,
+    ).cast("long")
+    bucket_width = (1 << 32) // n_buckets
+    d = df.withColumn("__tok", toks).withColumn("__prio", prio).withColumn(
+        "__b", F.floor(F.col("__prio") / F.lit(bucket_width))
+    )
+    bsum = d.groupBy(stratum_col, "__b").agg(F.sum("__tok").alias("__bsum"))
+    wb = (
+        Window.partitionBy(stratum_col)
+        .orderBy("__b")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    bprev = bsum.withColumn(
+        "__prev", F.coalesce(F.sum("__bsum").over(wb), F.lit(0))
+    ).select(stratum_col, "__b", "__prev")
+    wr = (
+        Window.partitionBy(stratum_col, "__b")
+        .orderBy("__prio", id_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    budget = F.lit(None).cast("long")
+    for name, b in budgets.items():
+        budget = F.when(F.col(stratum_col) == name, F.lit(int(b))).otherwise(budget)
+    return (
+        d.join(F.broadcast(bprev), [stratum_col, "__b"], "left")
+        .withColumn(
+            "__cum_before",
+            F.col("__prev") + F.coalesce(F.sum("__tok").over(wr), F.lit(0)),
+        )
+        .filter(budget.isNotNull() & (F.col("__cum_before") < budget))
+        .drop("__prio", "__b", "__prev", "__cum_before")
+        .withColumnRenamed("__tok", "tokens")
+    )
+
+
 # Redaction patterns applied in order; SSN before the generic phone shape so
 # the broader digit-run pattern cannot eat it first. RE2/Java-compatible
 # (no backreferences/lookaround), so oracles replay them exactly.

@@ -1026,3 +1026,37 @@ def c09(spark: SparkSession, sf: str) -> DataFrame:
     finally:
         q.stop()
     return store.read()
+
+
+@register(
+    "d04n_token_budget_sample",
+    """
+    with t as (
+      select doc_id, lang,
+             len(string_split(lower(trim(text)), ' ')) as tokens,
+             ('0x' || substr(md5('tok' || cast(doc_id as varchar)), 1, 8))::ubigint
+               as prio
+      from documents
+    ), c as (
+      select doc_id, lang, tokens,
+             coalesce(sum(tokens) over (partition by lang order by prio, doc_id
+                                        rows between unbounded preceding
+                                        and 1 preceding), 0) as cum_before
+      from t
+    )
+    select doc_id, lang, tokens from c
+    where (lang = 'en' and cum_before < 5000)
+       or (lang = 'zh' and cum_before < 2000)
+    """,
+    doc="token-budget mixture sampling (budgets in TOKENS, not documents): "
+    "md5-priority greedy fill per stratum via the bucketed two-pass prefix "
+    "sum (no one-task-per-stratum window); keep iff the doc STARTS within "
+    "budget; strata without budgets drop",
+)
+def d04n(spark: SparkSession, sf: str) -> DataFrame:
+    from basis_devkit_spark.operators.text import token_budget_sample
+
+    d = load(spark, sf, "documents")
+    return token_budget_sample(
+        d, {"en": 5000, "zh": 2000}, stratum_col="lang", id_col="doc_id"
+    ).select("doc_id", "lang", "tokens")

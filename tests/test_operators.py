@@ -559,3 +559,25 @@ def test_train_val_test_split_stable_and_exhaustive(spark):
     assert moved.filter(~((F.col("x.split") == "train") & (F.col("y.split") == "val"))).count() == 0
     with pytest.raises(ValueError):
         train_val_test_split(df, (0.5, 0.1, 0.1))
+
+
+def test_token_budget_sample_semantics(spark):
+    """Kept docs per stratum: greedy by md5 priority until the TOKEN
+    budget; a doc is kept iff it starts within budget (≤1 doc overshoot);
+    strata without budgets drop; deterministic across runs."""
+    from basis_devkit_spark.operators.text import token_budget_sample
+
+    docs = [(i, "en" if i < 20 else "de", "w " * 10 + "end") for i in range(30)]
+    df = spark.createDataFrame(docs, "doc_id long, lang string, text string")
+    out = token_budget_sample(df, {"en": 44}, stratum_col="lang")
+    rows = out.collect()
+    assert {r.lang for r in rows} == {"en"}          # de has no budget
+    assert all(r.tokens == 11 for r in rows)
+    # 44-token budget, 11-token docs: docs starting at 0,11,22,33 -> 4 kept
+    assert len(rows) == 4
+    again = token_budget_sample(df, {"en": 44}, stratum_col="lang").collect()
+    assert {r.doc_id for r in again} == {r.doc_id for r in rows}
+    # raising the budget only ADDS documents (monotone like mixture_sample)
+    bigger = token_budget_sample(df, {"en": 88}, stratum_col="lang").collect()
+    assert {r.doc_id for r in rows} <= {r.doc_id for r in bigger}
+    assert len(bigger) == 8
