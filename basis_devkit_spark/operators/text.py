@@ -288,6 +288,47 @@ def cross_doc_dup_ngram_frac(
     )
 
 
+def chunk_documents(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    chunk_tokens: int = 128,
+    overlap: int = 32,
+) -> DataFrame:
+    """Split documents into overlapping token windows — the standard
+    embedding/RAG preprocessing step. Chunk starts advance by
+    ``chunk_tokens - overlap``; a doc shorter than one chunk yields itself;
+    the final chunk may be short (never empty). Output: (id, chunk_id,
+    chunk_text, n_tokens), chunk_id 0-based in order.
+
+    Pure projection + one posexplode — per-row array work, no shuffle, no
+    UDF; embarrassingly parallel at corpus scale."""
+    if overlap >= chunk_tokens:
+        raise ValueError("overlap must be smaller than chunk_tokens")
+    stride = chunk_tokens - overlap
+    toks = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+    n = F.size(toks)
+    # number of chunks: 1 if n <= chunk else ceil((n - chunk)/stride) + 1
+    n_chunks = F.when(n <= chunk_tokens, F.lit(1)).otherwise(
+        F.ceil((n - F.lit(chunk_tokens)) / F.lit(stride)).cast("int") + 1
+    )
+    chunks = F.transform(
+        F.sequence(F.lit(0), n_chunks - 1),
+        lambda i: F.concat_ws(
+            " ", F.slice(toks, i * stride + 1, chunk_tokens)
+        ),
+    )
+    ex = df.select(
+        F.col(id_col), F.posexplode(chunks).alias("chunk_id", "chunk_text")
+    )
+    return ex.select(
+        id_col,
+        "chunk_id",
+        "chunk_text",
+        F.size(F.split(F.col("chunk_text"), r"\s+")).alias("n_tokens"),
+    )
+
+
 def token_budget_sample(
     df: DataFrame,
     budgets: dict[str, int],

@@ -1060,3 +1060,36 @@ def d04n(spark: SparkSession, sf: str) -> DataFrame:
     return token_budget_sample(
         d, {"en": 5000, "zh": 2000}, stratum_col="lang", id_col="doc_id"
     ).select("doc_id", "lang", "tokens")
+
+
+@register(
+    "d04o_chunk_documents",
+    """
+    with t as (
+      select doc_id, string_split(lower(trim(text)), ' ') as ws,
+             len(string_split(lower(trim(text)), ' ')) as n
+      from documents
+    ), nc as (
+      select doc_id, ws, n,
+             case when n <= 40 then 1
+                  else cast(ceil((n - 40) / 30.0) as int) + 1 end as n_chunks
+      from t
+    ), ex as (
+      select doc_id, unnest(range(0, n_chunks)) as chunk_id, ws
+      from nc
+    )
+    select doc_id, cast(chunk_id as int) as chunk_id,
+           array_to_string(list_slice(ws, chunk_id * 30 + 1,
+                                      chunk_id * 30 + 40), ' ') as chunk_text,
+           len(list_slice(ws, chunk_id * 30 + 1, chunk_id * 30 + 40))
+             as n_tokens
+    from ex
+    """,
+    doc="overlapping token-window chunking (chunk 40, overlap 10, stride "
+    "30) — embedding/RAG preprocessing as a pure projection + posexplode",
+)
+def d04o(spark: SparkSession, sf: str) -> DataFrame:
+    from basis_devkit_spark.operators.text import chunk_documents
+
+    d = load(spark, sf, "documents")
+    return chunk_documents(d, "doc_id", "text", chunk_tokens=40, overlap=10)

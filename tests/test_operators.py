@@ -581,3 +581,30 @@ def test_token_budget_sample_semantics(spark):
     bigger = token_budget_sample(df, {"en": 88}, stratum_col="lang").collect()
     assert {r.doc_id for r in rows} <= {r.doc_id for r in bigger}
     assert len(bigger) == 8
+
+
+def test_chunk_documents_windows(spark):
+    """Chunk boundaries: stride = chunk - overlap; short docs yield one
+    chunk; every token appears in some chunk; consecutive chunks share
+    exactly `overlap` tokens when full."""
+    from basis_devkit_spark.operators.text import chunk_documents
+
+    text = " ".join(f"t{i}" for i in range(25))
+    df = spark.createDataFrame(
+        [(1, text), (2, "just three tokens")], "doc_id long, text string"
+    )
+    rows = sorted(
+        chunk_documents(df, chunk_tokens=10, overlap=4).collect(),
+        key=lambda r: (r.doc_id, r.chunk_id),
+    )
+    d1 = [r for r in rows if r.doc_id == 1]
+    # n=25, chunk=10, stride=6 -> ceil((25-10)/6)+1 = 4 chunks
+    assert [r.chunk_id for r in d1] == [0, 1, 2, 3]
+    assert d1[0].chunk_text.split()[:2] == ["t0", "t1"]
+    assert d1[1].chunk_text.split()[0] == "t6"          # starts at stride
+    assert d1[0].chunk_text.split()[-4:] == d1[1].chunk_text.split()[:4]
+    assert d1[-1].n_tokens == 25 - 3 * 6                # short tail chunk
+    covered = {t for r in d1 for t in r.chunk_text.split()}
+    assert covered == {f"t{i}" for i in range(25)}
+    d2 = [r for r in rows if r.doc_id == 2]
+    assert len(d2) == 1 and d2[0].n_tokens == 3
