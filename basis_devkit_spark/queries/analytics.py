@@ -1093,3 +1093,62 @@ def d04o(spark: SparkSession, sf: str) -> DataFrame:
 
     d = load(spark, sf, "documents")
     return chunk_documents(d, "doc_id", "text", chunk_tokens=40, overlap=10)
+
+
+@register(
+    "d02f_chunk_dedup",
+    """
+    with src as (
+      select doc_id, text from documents
+      union all
+      select doc_id + 1000000 as doc_id, text from documents
+      where doc_id < 25
+    ), t as (
+      select doc_id, string_split(lower(trim(text)), ' ') as ws,
+             len(string_split(lower(trim(text)), ' ')) as n
+      from src
+    ), nc as (
+      select doc_id, ws, n,
+             case when n <= 40 then 1
+                  else cast(ceil((n - 40) / 30.0) as int) + 1 end as n_chunks
+      from t
+    ), ex as (
+      select doc_id, unnest(range(0, n_chunks)) as chunk_id, ws from nc
+    ), chunks as (
+      select doc_id, cast(chunk_id as int) as chunk_id,
+             array_to_string(list_slice(ws, chunk_id * 30 + 1,
+                                        chunk_id * 30 + 40), ' ') as chunk_text
+      from ex
+    )
+    select doc_id, chunk_id, chunk_text from (
+      select doc_id, chunk_id, chunk_text,
+             row_number() over (partition by chunk_text
+                                order by doc_id, chunk_id) as rn
+      from chunks
+    ) where rn = 1
+    """,
+    doc="chunk-level exact dedup over chunked docs + planted clones "
+    "(doc_id+1e6 copies of the first 25 docs): every clone chunk must lose "
+    "to its original — composes chunk_documents with keep-first dedup; "
+    "non-vacuous by construction",
+)
+def d02f(spark: SparkSession, sf: str) -> DataFrame:
+    from basis_devkit_spark.operators.dedup import exact_dedup
+    from basis_devkit_spark.operators.text import chunk_documents
+
+    d = load(spark, sf, "documents").select("doc_id", "text")
+    planted = d.filter(F.col("doc_id") < 25).select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"), "text"
+    )
+    chunks = chunk_documents(
+        d.unionByName(planted), "doc_id", "text", chunk_tokens=40, overlap=10
+    ).select("doc_id", "chunk_id", "chunk_text")
+    kept = exact_dedup(
+        chunks.withColumn(
+            "__ord", F.col("doc_id") * 10_000 + F.col("chunk_id")
+        ),
+        keys=["chunk_text"],
+        order_by="__ord",
+        keep="first",
+    )
+    return kept.select("doc_id", "chunk_id", "chunk_text")
