@@ -138,6 +138,34 @@ def test_cross_doc_dup_frac_uses_semi_join(spark):
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
 
 
+def test_chunk_documents_is_shuffle_free(spark):
+    """Chunking is a projection + generate — zero exchanges, no Python."""
+    from basis_devkit_spark.operators.text import chunk_documents
+
+    docs = load(spark, SF, "documents")
+    df = chunk_documents(docs, chunk_tokens=40, overlap=10)
+    plan = plan_of(df)
+    assert n_shuffles(df) == 0
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_token_budget_sample_bucketed_prefix(spark):
+    """The data-level running sum must window by (stratum, bucket) — fully
+    parallel — and no Python anywhere. The only single-partition stage
+    allowed is the bucket-level cumsum over the tiny (strata x buckets)
+    table; the full data is never collapsed to one partition."""
+    from basis_devkit_spark.operators.text import token_budget_sample
+
+    docs = load(spark, SF, "documents")
+    df = token_budget_sample(docs, {"en": 1000}, stratum_col="lang")
+    plan = plan_of(df)
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    # the within-bucket window partitions by (lang, __b)
+    assert re.search(r"windowspecdefinition\(lang#\d+, __b#\d+", plan), plan
+    assert plan.count("Exchange SinglePartition") <= 1  # tiny bucket table only
+    assert df.count() > 0
+
+
 def test_stream_cursor_filter_pushdown(spark, tmp_path):
     """The stream's strictly-greater cursor filter must reach the scan."""
     from basis_devkit_spark.node import Table
