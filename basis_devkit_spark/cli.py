@@ -16,6 +16,7 @@ Commands:
   run      [<app>] [--root R]        execute the full graph (topological)
   trigger  --node ID [<app>]         run one node immediately (trigger.py:20
                                      name resolution: node id or file path)
+  explain  --node ID [--mode M]      rendered SQL + Spark physical plan
   list     nodes|stores|webhooks     enumerate graph objects (list.py)
   download --table T --out PATH      export a store (parquet/csv/jsonl by ext)
   export   --table T --out DIR       portable export: plain parquet + JSON
@@ -137,6 +138,19 @@ def cmd_trigger(args, spark) -> int:
     except KeyError as exc:
         raise SystemExit(f"no such node: {exc}")
     _out({"triggered": args.node})
+    return 0
+
+
+def cmd_explain(args, spark) -> int:
+    """Rendered SQL + Spark physical plan for a node (plan inspection —
+    the `.explain("formatted")` loop the engine's own development uses,
+    exposed to app authors)."""
+    eng = _engine(args, _get_spark(spark))
+    try:
+        out = eng.explain_node(args.node, mode=args.mode)
+    except KeyError as exc:
+        raise SystemExit(f"no such node: {exc}")
+    _out(out)
     return 0
 
 
@@ -677,6 +691,17 @@ def build_parser() -> argparse.ArgumentParser:
     tr.add_argument("app", nargs="?")
     tr.add_argument("--node", required=True, help="node id or node file name")
 
+    expl = sub.add_parser(
+        "explain", help="rendered SQL + physical plan for a node"
+    )
+    expl.add_argument("app", nargs="?")
+    expl.add_argument("--node", required=True, help="node id or file name")
+    expl.add_argument(
+        "--mode",
+        default="formatted",
+        choices=["simple", "extended", "formatted", "cost", "codegen"],
+    )
+
     ls = sub.add_parser("list", help="list graph objects")
     ls.add_argument(
         "kind",
@@ -816,6 +841,7 @@ _COMMANDS = {
     "upload": cmd_upload,
     "run": cmd_run,
     "trigger": cmd_trigger,
+    "explain": cmd_explain,
     "list": cmd_list,
     "download": cmd_download,
     "export": cmd_export,

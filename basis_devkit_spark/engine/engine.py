@@ -194,7 +194,10 @@ class Engine:
     def _node_dir(self) -> str:
         return (self.graph.path if self.graph and self.graph.path else ".")
 
-    def _run_sql_node(self, ctx: ExecutionContext, node: NodeSpec) -> None:
+    def _render_sql_node(self, node: NodeSpec) -> str:
+        """Render a SQL node's template against the current stores and
+        parameters (inputs registered as temp views; secret:// refs
+        resolved) and return the final SQL text."""
         sql_path = os.path.join(self._node_dir(), node.node_file)
         with open(sql_path) as f:
             template = f.read()
@@ -217,7 +220,28 @@ class Engine:
 
             tpl_ctx[name] = _SqlParam(maybe_resolve_ref(value))
         rendered = jinja2.Template(template).render(**tpl_ctx)
-        rendered = rendered.strip().rstrip(";")
+        return rendered.strip().rstrip(";")
+
+    def explain_node(self, key: str, mode: str = "formatted") -> dict[str, str]:
+        """Rendered SQL + Spark physical plan for a SQL node — the
+        plan-inspection surface (``cli explain``). Python nodes have no
+        static plan; returns their file path instead."""
+        node = self._node_by_id_or_name(key)
+        if not (node.node_file or "").endswith(".sql"):
+            return {
+                "node": node.id or key,
+                "kind": "python" if node.node_file else (node.kind or "other"),
+                "note": "no static plan (not a SQL node)",
+            }
+        rendered = self._render_sql_node(node)
+        df = self.spark.sql(rendered)
+        plan = df._sc._jvm.PythonSQLUtils.explainString(
+            df._jdf.queryExecution(), mode
+        )
+        return {"node": node.id or key, "sql": rendered, "plan": plan}
+
+    def _run_sql_node(self, ctx: ExecutionContext, node: NodeSpec) -> None:
+        rendered = self._render_sql_node(node)
         result = self.spark.sql(rendered)
         if len(node.outputs) > 1:
             raise ValueError(

@@ -432,3 +432,47 @@ def test_http_post_array_of_non_objects_is_400(hook_app):
     status, body = _post(f"{server.url}/webhooks/hook?wait=1", [1, 2, 3])
     assert status == 400
     assert "objects" in body["error"]
+
+
+def test_cli_explain_node(spark, tmp_path, capsys):
+    """explain renders the SQL (params substituted) and returns a plan
+    containing the scan + agg shape; python nodes report no static plan."""
+    app = write_app(
+        tmp_path / "app",
+        """
+        functions:
+          - node_file: agg.sql
+            id: aggnode1
+            inputs:
+              src: numbers
+            outputs:
+              out: out_t
+            parameters:
+              cutoff: 5
+          - node_file: py.py
+            id: pynode01
+        stores:
+          - table: numbers
+          - table: out_t
+        """,
+        **{
+            "agg.sql": "select count(*) as n from {{ src }} where v > {{ cutoff }}",
+            "py.py": "pass\n",
+        },
+    )
+    from basis_devkit_spark.cli import main
+
+    root = str(tmp_path / "store")
+    eng = Engine(spark, root)
+    eng.load_graph(app)
+    eng.seed_store("numbers", spark.createDataFrame([(i,) for i in range(10)], "v int"))
+
+    rc = main(["--root", root, "explain", "--node", "aggnode1", app], spark=spark)
+    out = json.loads(capsys.readouterr().out)
+    assert rc == 0
+    assert "where v > 5" in out["sql"]
+    assert "HashAggregate" in out["plan"] and "Scan" in out["plan"]
+
+    rc = main(["--root", root, "explain", "--node", "pynode01", app], spark=spark)
+    out = json.loads(capsys.readouterr().out)
+    assert out["note"].startswith("no static plan")
