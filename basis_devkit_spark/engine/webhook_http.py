@@ -124,12 +124,23 @@ class WebhookServer:
                 if wait:
                     key = uuid.uuid4().hex
                     records = [{**r, REQUEST_KEY_FIELD: key} for r in records]
+                idem = self.headers.get("Idempotency-Key")
                 with outer._lock:
+                    if idem and outer._idem_seen(name, idem):
+                        # At-least-once client retry: acknowledge without
+                        # re-ingesting (the standard Idempotency-Key
+                        # contract; keys persist across restarts).
+                        self._json(
+                            200, {"ok": True, "duplicate": True, "records": 0}
+                        )
+                        return
                     try:
                         outer.engine.webhook_receive(name, records)
                     except Exception as exc:  # surface ingest failures
                         self._json(500, {"error": str(exc)})
                         return
+                    if idem:
+                        outer._idem_record(name, idem)
                     response = (
                         outer.engine.take_request_response(key)
                         if key is not None
@@ -146,6 +157,25 @@ class WebhookServer:
         self._httpd = ThreadingHTTPServer((host, port), Handler)
         self.host, self.port = self._httpd.server_address[:2]
         self._thread: threading.Thread | None = None
+
+    # Idempotency keys live in the engine's per-node state store (one JSON
+    # doc per webhook under a reserved id), bounded to the most recent
+    # _IDEM_MAX keys — O(1) metadata, survives restarts with the root.
+    _IDEM_MAX = 1000
+
+    def _idem_state_id(self, webhook: str) -> str:
+        return f"__webhook_idem__{webhook}"
+
+    def _idem_seen(self, webhook: str, key: str) -> bool:
+        st = self.engine.state_store.load(self._idem_state_id(webhook))
+        return key in (st.get("keys") or [])
+
+    def _idem_record(self, webhook: str, key: str) -> None:
+        sid = self._idem_state_id(webhook)
+        st = self.engine.state_store.load(sid)
+        keys = list(st.get("keys") or [])
+        keys.append(key)
+        self.engine.state_store.save(sid, {"keys": keys[-self._IDEM_MAX :]})
 
     def webhook_names(self) -> list[str]:
         g = self.engine.graph

@@ -8,9 +8,12 @@ Design notes (100 TB posture):
   arithmetic that could overflow under ANSI mode (the driver's session runs
   with ``spark.sql.ansi.enabled=true``, Spark 4's default, so any
   ``a*x+b mod p`` scheme with x near 2^61 would raise ARITHMETIC_OVERFLOW).
-  Signatures are one shuffle (groupBy doc). LSH banding turns the quadratic
-  candidate search into an equi-join on (band_id, band_hash) — the classic
-  Broder/MMDS scheme.
+  Uncapped signatures are SHUFFLE-FREE (per-row ``array_min`` over a
+  ``transform`` — a pure projection); only the stop-shingle-capped variant
+  pays one groupBy shuffle for corpus doc frequencies. SimHash
+  fingerprints are likewise per-row HOF reductions. LSH banding turns the
+  quadratic candidate search into an equi-join on (band_id, band_hash) —
+  the classic Broder/MMDS scheme.
 - "Keep one per duplicate cluster" uses the min-id-neighbor rule (a doc is
   dropped iff it has a candidate neighbor with a smaller id). This is the
   scalable approximation of connected components: one extra join instead of

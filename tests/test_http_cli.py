@@ -476,3 +476,30 @@ def test_cli_explain_node(spark, tmp_path, capsys):
     rc = main(["--root", root, "explain", "--node", "pynode01", app], spark=spark)
     out = json.loads(capsys.readouterr().out)
     assert out["note"].startswith("no static plan")
+
+
+def test_http_idempotency_key(hook_app):
+    """A retried POST with the same Idempotency-Key acks as a duplicate
+    and does NOT re-ingest; a different key ingests normally."""
+    eng, server = hook_app
+
+    def post_with_key(key):
+        req = urllib.request.Request(
+            f"{server.url}/webhooks/hook",
+            data=json.dumps([{"kind": "a"}]).encode(),
+            headers={
+                "Content-Type": "application/json",
+                "Idempotency-Key": key,
+            },
+            method="POST",
+        )
+        with urllib.request.urlopen(req, timeout=60) as r:
+            return r.status, json.loads(r.read())
+
+    status, body = post_with_key("evt-1")
+    assert status == 202 and body["records"] == 1
+    status, body = post_with_key("evt-1")        # client retry
+    assert status == 200 and body["duplicate"] is True
+    status, body = post_with_key("evt-2")        # new delivery
+    assert status == 202
+    assert eng.table_df("totals").collect()[0].n == 2  # not 3
