@@ -368,3 +368,48 @@ _B51_SQL = """
 def b51(spark: SparkSession, sf: str) -> DataFrame:
     _views(spark, sf, "orders")
     return spark.sql(_B51_SQL)
+
+
+@register(
+    "b52_ntile_ignore_nulls",
+    """
+    with src as (
+      select o_orderkey, o_custkey,
+             case when o_orderkey % 7 = 0 then null else o_totalprice end
+               as price
+      from orders where o_orderkey < 2000
+    )
+    select o_orderkey,
+           ntile(4) over (order by o_orderkey) as quartile,
+           lag(price ignore nulls) over (order by o_orderkey)
+             as prev_price,
+           last_value(price ignore nulls) over (
+             order by o_orderkey
+             rows between unbounded preceding and current row)
+             as last_seen_price
+    from src
+    """,
+    doc="ntile bucketing + IGNORE NULLS lag/last_value (gap-carry-forward) "
+    "— the null-skipping window variants b29-b32 don't cover",
+)
+def b52(spark: SparkSession, sf: str) -> DataFrame:
+    _views(spark, sf, "orders")
+    return spark.sql(
+        """
+        with src as (
+          select o_orderkey, o_custkey,
+                 case when o_orderkey % 7 = 0 then null else o_totalprice end
+                   as price
+          from orders where o_orderkey < 2000
+        )
+        select o_orderkey,
+               ntile(4) over (order by o_orderkey) as quartile,
+               lag(price) ignore nulls over (order by o_orderkey)
+                 as prev_price,
+               last_value(price) ignore nulls over (
+                 order by o_orderkey
+                 rows between unbounded preceding and current row)
+                 as last_seen_price
+        from src
+        """
+    )
