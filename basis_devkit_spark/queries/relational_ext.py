@@ -413,3 +413,32 @@ def b52(spark: SparkSession, sf: str) -> DataFrame:
         from src
         """
     )
+
+
+@register(
+    "b53_unpivot",
+    """
+    with src as (
+      select o_orderkey,
+             cast(o_totalprice as double) as price,
+             cast(o_custkey as double) as custkey_v
+      from orders where o_orderkey < 1000
+    )
+    select o_orderkey, kind, val
+    from src unpivot (val for kind in (price, custkey_v))
+    """,
+    doc="UNPIVOT (wide->long, the dual of b28's pivot) — identical "
+    "SQL-standard syntax on both engines",
+)
+def b53(spark: SparkSession, sf: str) -> DataFrame:
+    o = load(spark, sf, "orders").filter(F.col("o_orderkey") < 1000)
+    return o.select(
+        "o_orderkey",
+        F.col("o_totalprice").cast("double").alias("price"),
+        F.col("o_custkey").cast("double").alias("custkey_v"),
+    ).unpivot(
+        ids=["o_orderkey"],
+        values=["price", "custkey_v"],
+        variableColumnName="kind",
+        valueColumnName="val",
+    )
