@@ -442,3 +442,32 @@ def b53(spark: SparkSession, sf: str) -> DataFrame:
         variableColumnName="kind",
         valueColumnName="val",
     )
+
+
+@register(
+    "b54_lateral_join",
+    """
+    select c.c_custkey, t.n_orders, t.max_price
+    from customer c, lateral (
+      select count(*) as n_orders,
+             coalesce(max(o_totalprice), 0.0) as max_price
+      from orders where o_custkey = c.c_custkey
+    ) t
+    where c.c_custkey < 300
+    """,
+    doc="correlated LATERAL subquery in FROM (per-row derived table) — "
+    "identical SQL on both engines; Catalyst decorrelates to a join",
+)
+def b54(spark: SparkSession, sf: str) -> DataFrame:
+    _views(spark, sf, "customer", "orders")
+    return spark.sql(
+        """
+        select c.c_custkey, t.n_orders, t.max_price
+        from customer c, lateral (
+          select count(*) as n_orders,
+                 coalesce(max(o_totalprice), 0.0) as max_price
+          from orders where o_custkey = c.c_custkey
+        ) t
+        where c.c_custkey < 300
+        """
+    )
