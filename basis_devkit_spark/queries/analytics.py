@@ -1152,3 +1152,66 @@ def d02f(spark: SparkSession, sf: str) -> DataFrame:
         keep="first",
     )
     return kept.select("doc_id", "chunk_id", "chunk_text")
+
+
+@register(
+    "d05c_byte_histogram",
+    r"""
+    with blobs as (
+      select doc_id,
+             case doc_id % 3
+               when 0 then '\x89PNG\x0D\x0A\x1A\x0A'::blob
+               when 1 then '\xFF\xD8\xFF\xE0'::blob
+               else 'RIFF'::blob
+             end || encode(text) as content
+      from documents where doc_id < 200
+    ), h as (
+      select doc_id, hex(content) as hx, octet_length(content) as n_bytes
+      from blobs
+    ), arrs as (
+      select doc_id, n_bytes,
+             list_transform(range(0, n_bytes),
+                            i -> substr(hx, cast(i*2+1 as int), 2)) as bytes
+      from h
+    )
+    select doc_id, n_bytes,
+           len(list_distinct(bytes)) as distinct_bytes,
+           list_max(list_transform(list_distinct(bytes),
+                    d -> len(list_filter(bytes, x -> x = d)))) as top_byte_freq
+    from arrs
+    """,
+    doc="byte-level feature extraction on a BINARY column (per-blob byte "
+    "histogram stats: distinct bytes + modal byte frequency) — the "
+    "decode-free half of multimodal feature extraction, all JVM-side hex/"
+    "array expressions, replayed exactly by DuckDB",
+)
+def d05c(spark: SparkSession, sf: str) -> DataFrame:
+    d = load(spark, sf, "documents").filter(F.col("doc_id") < 200)
+    hdr = (
+        F.when(
+            F.col("doc_id") % 3 == 0,
+            F.lit(bytes([0x89, 0x50, 0x4E, 0x47, 0x0D, 0x0A, 0x1A, 0x0A])),
+        )
+        .when(F.col("doc_id") % 3 == 1, F.lit(b"\xff\xd8\xff\xe0"))
+        .otherwise(F.lit(b"RIFF"))
+    )
+    blobs = d.select(
+        "doc_id", F.concat(hdr, F.encode("text", "utf-8")).alias("content")
+    )
+    hx = F.hex("content")
+    n = F.length("content").cast("long")
+    arr = F.transform(
+        F.sequence(F.lit(0), n.cast("int") - 1),
+        lambda i: F.substring(hx, i * 2 + 1, 2),
+    )
+    distinct = F.array_distinct(arr)
+    return blobs.select(
+        "doc_id",
+        n.alias("n_bytes"),
+        F.size(distinct).cast("long").alias("distinct_bytes"),
+        F.array_max(
+            F.transform(
+                distinct, lambda d_: F.size(F.filter(arr, lambda x: x == d_))
+            )
+        ).cast("long").alias("top_byte_freq"),
+    )
