@@ -37,6 +37,10 @@ from basis_devkit_spark.operators.text import (
     exclusive_prefix_sum,
     repetition_stats,
     redact_pii,
+    ngram_counts,
+    cross_doc_dup_ngram_frac,
+    token_budget_sample,
+    chunk_documents,
 )
 from basis_devkit_spark.operators.joins import as_of_join, range_join
 from basis_devkit_spark.operators.skew import salted_agg, salted_join
@@ -75,4 +79,14 @@ __all__ = [
     "dequantize_int8",
     "corpus_embedding_stats",
     "train_val_test_split",
+    "filter_corpus",
+    "pack_sequences",
+    "mixture_sample",
+    "exclusive_prefix_sum",
+    "repetition_stats",
+    "redact_pii",
+    "ngram_counts",
+    "cross_doc_dup_ngram_frac",
+    "token_budget_sample",
+    "chunk_documents",
 ]
