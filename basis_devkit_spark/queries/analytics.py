@@ -1215,3 +1215,36 @@ def d05c(spark: SparkSession, sf: str) -> DataFrame:
             )
         ).cast("long").alias("top_byte_freq"),
     )
+
+
+@register(
+    "d06d_normalize_embeddings",
+    """
+    with n as (
+      select vec_id,
+             sqrt(list_sum(list_transform(embedding,
+                   x -> cast(x as double) * cast(x as double)))) as l2
+      from embeddings
+    )
+    select e.vec_id,
+           round(cast(e.embedding[1] as double) / n.l2, 6) as first_comp,
+           round(sqrt(list_sum(list_transform(e.embedding,
+                 x -> (cast(x as double) / n.l2) * (cast(x as double) / n.l2)))), 4)
+             as unit_norm
+    from embeddings e join n on n.vec_id = e.vec_id
+    """,
+    doc="L2 normalization of the embedding column: normalized first "
+    "component + the norm of the normalized vector (must be 1.0)",
+)
+def d06d(spark: SparkSession, sf: str) -> DataFrame:
+    from basis_devkit_spark.operators.similarity import normalize_embeddings
+
+    e = load(spark, sf, "embeddings")
+    nn = normalize_embeddings(e, "embedding", out_col="nv")
+    from basis_devkit_spark.operators.similarity import _norm
+
+    return nn.select(
+        "vec_id",
+        F.round(F.element_at("nv", 1), 6).alias("first_comp"),
+        F.round(_norm(F.col("nv")), 4).alias("unit_norm"),
+    )

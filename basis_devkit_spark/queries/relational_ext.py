@@ -471,3 +471,33 @@ def b54(spark: SparkSession, sf: str) -> DataFrame:
         where c.c_custkey < 300
         """
     )
+
+
+@register(
+    "b55_try_functions",
+    """
+    select l_orderkey, l_linenumber,
+           l_extendedprice / nullif(l_quantity - l_quantity, 0) as safe_div0,
+           round(l_extendedprice / nullif(l_quantity, 0), 4) as unit_price,
+           try_cast(l_returnflag as integer) as flag_as_int,
+           try_cast(cast(l_linenumber as varchar) as integer) as qty_int
+    from lineitem where l_orderkey < 500
+    """,
+    doc="ANSI-safe arithmetic idioms: try_divide/try_cast return NULL "
+    "where ANSI mode would raise (the driver's session is ANSI-on) — "
+    "division by zero, bad casts; DuckDB mirrors with nullif + try_cast",
+)
+def b55(spark: SparkSession, sf: str) -> DataFrame:
+    li = load(spark, sf, "lineitem").filter(F.col("l_orderkey") < 500)
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.try_divide(
+            F.col("l_extendedprice"), F.col("l_quantity") - F.col("l_quantity")
+        ).alias("safe_div0"),
+        F.round(
+            F.try_divide(F.col("l_extendedprice"), F.col("l_quantity")), 4
+        ).alias("unit_price"),
+        F.expr("try_cast(l_returnflag as int)").alias("flag_as_int"),
+        F.expr("try_cast(cast(l_linenumber as string) as int)").alias("qty_int"),
+    )
