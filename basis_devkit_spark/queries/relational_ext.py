@@ -478,7 +478,8 @@ def b54(spark: SparkSession, sf: str) -> DataFrame:
     """
     select l_orderkey, l_linenumber,
            l_extendedprice / nullif(l_quantity - l_quantity, 0) as safe_div0,
-           round(l_extendedprice / nullif(l_quantity, 0), 4) as unit_price,
+           floor((l_extendedprice / nullif(l_quantity, 0)) * 10000) / 10000
+             as unit_price,
            try_cast(l_returnflag as integer) as flag_as_int,
            try_cast(cast(l_linenumber as varchar) as integer) as qty_int
     from lineitem where l_orderkey < 500
@@ -495,9 +496,13 @@ def b55(spark: SparkSession, sf: str) -> DataFrame:
         F.try_divide(
             F.col("l_extendedprice"), F.col("l_quantity") - F.col("l_quantity")
         ).alias("safe_div0"),
-        F.round(
-            F.try_divide(F.col("l_extendedprice"), F.col("l_quantity")), 4
-        ).alias("unit_price"),
+        (
+            F.floor(
+                F.try_divide(F.col("l_extendedprice"), F.col("l_quantity"))
+                * 10000
+            )
+            / 10000
+        ).alias("unit_price"),  # floor-truncate: round() half-way ties differ across engines
         F.expr("try_cast(l_returnflag as int)").alias("flag_as_int"),
         F.expr("try_cast(cast(l_linenumber as string) as int)").alias("qty_int"),
     )
