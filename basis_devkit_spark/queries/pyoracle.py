@@ -166,6 +166,21 @@ def _shingles(text: str, n: int = 3) -> set[str]:
 
 
 # --------------------------------------------------- MinHash dedup (d02b)
+def minhash_signature_model(text: str, num_hashes: int = 64) -> list[int] | None:
+    """Model of ``operators.dedup.minhash_signatures`` for one document:
+    component i = min over shingle hashes h of xxhash64(i, h), where the min
+    is taken in SIGNED int64 order (Spark's array_min/F.min compare signed —
+    min over unsigned values then converting picks a different element
+    whenever the bucket mixes values above/below 2^63). Returns None for a
+    doc with no shingles. Bit-exactness vs Spark: tests/test_oracle_parity.py
+    ``test_pyoracle_minhash_signatures_match_spark``."""
+    hs = [xxh64_bytes(g.encode("utf-8")) for g in _shingles(text)]
+    if not hs:
+        return None
+    seeds = [xxh64_int(i, 42) for i in range(num_hashes)]
+    return [min(to_signed(xxh64_long(h, s)) for h in hs) for s in seeds]
+
+
 @lru_cache(maxsize=2)
 def minhash_loser_ids(
     sf_dir: str, num_hashes: int = 64, bands: int = 16, threshold: float = 0.7
@@ -173,16 +188,12 @@ def minhash_loser_ids(
     """Doc ids dropped by the min-id-neighbor rule on banded-LSH candidate
     pairs with estimated Jaccard >= threshold."""
     rows_per_band = num_hashes // bands
-    seeds = [xxh64_int(i, 42) for i in range(num_hashes)]
     sigs: dict[int, list[int]] = {}
     buckets: dict[tuple[int, int], list[int]] = {}
     for doc_id, text in _documents(sf_dir):
-        hs = [xxh64_bytes(g.encode("utf-8")) for g in _shingles(text)]
-        if not hs:
+        sig = minhash_signature_model(text, num_hashes)
+        if sig is None:
             continue
-        sig = [
-            to_signed(min(xxh64_long(h, s) for h in hs)) for s in seeds
-        ]
         sigs[doc_id] = sig
         for b in range(bands):
             band_key = ",".join(

@@ -146,6 +146,63 @@ def test_pyoracle_xxh64_random_strings(spark):
     assert not bad, f"{len(bad)} mismatches; first: {bad[0]!r}"
 
 
+def test_pyoracle_minhash_signatures_match_spark(spark, sf_dir):
+    """FULL-SIGNATURE parity: the Python MinHash model must reproduce
+    ``minhash_signatures`` bit-exactly for every document at the test SF —
+    this is the estimator the d02b literal-table oracle is built from, so
+    primitive-level xxh64 parity is not enough (the min must also be taken
+    in the same signed order Spark's array_min uses)."""
+    from basis_devkit_spark.operators.dedup import minhash_signatures
+    from basis_devkit_spark.queries import load, pyoracle as po
+
+    docs = load(spark, sf_dir, "documents")
+    got = {
+        r[0]: list(r[1])
+        for r in minhash_signatures(docs, "doc_id", "text").collect()
+    }
+    model_docs = po._documents(sf_dir)
+    assert len(got) > 0
+    mismatches = []
+    for doc_id, text in model_docs:
+        want = po.minhash_signature_model(text)
+        if want is None:
+            continue
+        if got.get(doc_id) != want:
+            mismatches.append(doc_id)
+    assert not mismatches, (
+        f"{len(mismatches)} signature mismatches; first doc "
+        f"{mismatches[0]}: model {po.minhash_signature_model(dict(model_docs)[mismatches[0]])[:4]} "
+        f"vs spark {got[mismatches[0]][:4]}"
+    )
+
+
+def test_pyoracle_minhash_signed_order_synthetic(spark):
+    """Adversarial doc set for the signed/unsigned min distinction: many
+    shingles per doc guarantee each component's bucket mixes hashes above
+    and below 2^63, so an unsigned-order min would pick a different element
+    for essentially every component."""
+    import random
+
+    from basis_devkit_spark.operators.dedup import minhash_signatures
+    from basis_devkit_spark.queries import pyoracle as po
+
+    rng = random.Random(99)
+    words = [f"w{rng.randrange(10**6)}" for _ in range(400)]
+    texts = [
+        " ".join(rng.choice(words) for _ in range(rng.randrange(5, 120)))
+        for _ in range(40)
+    ]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    got = {r[0]: list(r[1]) for r in minhash_signatures(df, "doc_id", "text").collect()}
+    for i, t in enumerate(texts):
+        assert got[i] == po.minhash_signature_model(t), f"doc {i}"
+    # sanity: the distinction is actually exercised — at least one component
+    # min is negative (signed order) somewhere in the set
+    assert any(any(v < 0 for v in sig) for sig in got.values())
+
+
 def test_pyoracle_xxh64_matches_spark(spark):
     """The Python XXH64 model behind the literal-table oracles must be
     bit-exact with Spark's xxhash64 for every input kind it models:
