@@ -18,6 +18,7 @@ serializes concurrent POSTs.
 
 from __future__ import annotations
 
+import hmac
 import json
 import threading
 import uuid
@@ -73,7 +74,7 @@ class WebhookServer:
                 if outer._auth_token is None:
                     return True
                 got = self.headers.get("Authorization", "")
-                if got == f"Bearer {outer._auth_token}":
+                if hmac.compare_digest(got, f"Bearer {outer._auth_token}"):
                     return True
                 self._json(401, {"error": "unauthorized"})
                 return False

@@ -650,19 +650,26 @@ class TableStore:
         drop = bool(exps) and m.expectations_mode == "drop"
         obs = Observation()
         metrics = [F.count(F.lit(1)).alias("n")]
+        # One NULL policy across all three modes (SQL CHECK semantics: a
+        # constraint evaluating to NULL passes). Without the coalesce the
+        # modes disagreed — NULL was not counted as a violation yet drop
+        # mode's filter(expr) removed the row (kept + violations != total).
+        def _passes(expr: str):
+            return F.coalesce(F.expr(expr), F.lit(True))
+
         for name, expr in exps.items():
             metrics.append(
-                F.count(F.when(~F.expr(expr), 1)).alias(f"__exp_{name}")
+                F.count(F.when(~_passes(expr), 1)).alias(f"__exp_{name}")
             )
         if drop:
             keep_all = functools.reduce(
-                lambda a, b: a & b, (F.expr(e) for e in exps.values())
+                lambda a, b: a & b, (_passes(e) for e in exps.values())
             )
             metrics.append(F.count(F.when(keep_all, 1)).alias("__kept"))
         df = df.observe(obs, *metrics)
         if drop:
             for expr in exps.values():
-                df = df.filter(F.expr(expr))
+                df = df.filter(_passes(expr))
         self._write(df, path, "overwrite")
         self._collect_file_stats(os.path.relpath(path, self.path))
         got = obs.get
@@ -761,12 +768,27 @@ class TableStore:
         Returns True when the batch was ingested."""
         if batch_id <= self._manifest.last_stream_batch_id:
             return False
+        prev_id = self._manifest.last_stream_batch_id
+        prev_version = self._manifest.active_version
         self._manifest.last_stream_batch_id = batch_id
         # append() commits the manifest (with the id above) atomically at
         # its pointer flip; on a crash before that, the in-memory id is
         # lost with the orphan write — replay then re-ingests. After it,
         # replay is a no-op. Either way: exactly once.
-        self.append(df)
+        try:
+            self.append(df)
+        except BaseException:
+            # append() raised (expectation failure, transient write error).
+            # If the pointer never flipped the batch was NOT ingested — the
+            # stamped id must not survive in memory, or a later unrelated
+            # commit would persist it and a retry of this batch would be
+            # silently skipped (data loss). If the pointer DID flip (e.g. a
+            # post-commit compact failed) the data and id are already
+            # durably committed together — keep the id so replay stays a
+            # no-op.
+            if self._manifest.active_version == prev_version:
+                self._manifest.last_stream_batch_id = prev_id
+            raise
         return True
 
     def compact(self) -> int:

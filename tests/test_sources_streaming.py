@@ -192,3 +192,35 @@ def test_stream_append_to_store_exactly_once(spark, tmp_path):
     replay = spark.createDataFrame([(99, 99.0)], "k long, v double")
     assert store.append_stream_batch(replay, batch_id=0) is False
     assert store.record_count == 6
+
+
+def test_stream_batch_retry_after_failed_append(spark, tmp_path):
+    """A micro-batch whose append FAILS (expectation fail-mode) must not
+    leave its batch id stamped in memory: a later unrelated commit would
+    persist it and the checkpoint replay of that batch would be skipped —
+    silent data loss despite the exactly-once claim."""
+    import pytest
+
+    from basis_devkit_spark.storage.store import TableStore
+
+    store = TableStore(str(tmp_path / "root"), "t", spark)
+    store.configure(
+        expectations={"v_pos": "v > 0"}, expectations_mode="fail"
+    )
+    ok = spark.createDataFrame([(1, 1.0)], "k long, v double")
+    assert store.append_stream_batch(ok, batch_id=0) is True
+    assert store.record_count == 1
+
+    bad = spark.createDataFrame([(2, -1.0)], "k long, v double")
+    with pytest.raises(ValueError):
+        store.append_stream_batch(bad, batch_id=1)
+    # the failed batch's id must NOT be remembered...
+    assert store._manifest.last_stream_batch_id == 0
+    # ...so the checkpoint replay of batch 1 (fixed upstream) re-ingests
+    fixed = spark.createDataFrame([(2, 2.0)], "k long, v double")
+    assert store.append_stream_batch(fixed, batch_id=1) is True
+    assert store.record_count == 2
+    # and a reloaded manifest agrees (id was never durably persisted early)
+    reloaded = TableStore(str(tmp_path / "root"), "t", spark)
+    assert reloaded._manifest.last_stream_batch_id == 1
+    assert reloaded.record_count == 2

@@ -628,3 +628,31 @@ def test_expectations_drop_mode_filters_and_counts(spark, tmp_path):
     assert {r.k for r in st.read().collect()} == {1, 4}
     assert st.record_count == 2  # double-violating row counted once
     assert st.expectation_violations() == {"v_nonneg": 2, "k_notnull": 1}
+
+
+def test_expectations_null_passes_in_every_mode(spark, tmp_path):
+    """A row where the expectation expr evaluates to NULL (e.g. v >= 0 with
+    v NULL) PASSES in all three modes — SQL CHECK-constraint semantics, one
+    policy everywhere: not a violation in record, not dropped in drop, not
+    a rejection in fail; kept + violations == total always."""
+    from basis_devkit_spark.storage.store import TableStore
+
+    rows = [(1, 10.0), (2, None), (3, -1.0)]
+    # record: NULL not counted as violation
+    st = TableStore(str(tmp_path / "rec"), "t", spark)
+    st.configure(expectations={"v_nonneg": "v >= 0"})
+    st.write_replace(spark.createDataFrame(rows, "k int, v double"))
+    assert st.record_count == 3
+    assert st.expectation_violations() == {"v_nonneg": 1}
+    # drop: NULL row is KEPT; kept(2) + violations(1) == total(3)
+    sd = TableStore(str(tmp_path / "drop"), "t", spark)
+    sd.configure(expectations={"v_nonneg": "v >= 0"}, expectations_mode="drop")
+    sd.write_replace(spark.createDataFrame(rows, "k int, v double"))
+    assert {r.k for r in sd.read().collect()} == {1, 2}
+    assert sd.record_count == 2
+    assert sd.expectation_violations() == {"v_nonneg": 1}
+    # fail: an all-NULL batch is admitted (no violation)
+    sf = TableStore(str(tmp_path / "fail"), "t", spark)
+    sf.configure(expectations={"v_nonneg": "v >= 0"}, expectations_mode="fail")
+    sf.write_replace(spark.createDataFrame([(9, None)], "k int, v double"))
+    assert sf.record_count == 1
