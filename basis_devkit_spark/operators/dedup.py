@@ -135,29 +135,76 @@ def minhash_signatures(
     )
 
 
-def minhash_near_dup_pairs(
+def _collapse_identical(
+    keyed: DataFrame, id_col: str, key_col: str
+) -> tuple[DataFrame, DataFrame]:
+    """Split ``keyed`` (one row per doc with an exact dedup key — a full
+    MinHash signature or SimHash fingerprint) into:
+
+    - ``uniq``: one representative row (min id) per distinct key
+    - ``star``: (id_a=rep, id_b=member) pairs linking every non-rep member
+      to its representative — LINEAR in cluster size where the naive
+      bucket self-join is quadratic.
+
+    This is the hot-bucket guard's first line: real pretraining corpora
+    contain clusters of thousands of byte-identical documents (boilerplate,
+    mirrors); identical text ⇒ identical signature, so collapsing before
+    banding removes the dominant quadratic source losslessly for keep-one
+    dedup semantics (every member is linked to the min-id rep, and the rep
+    carries the cluster into the banded join)."""
+    w = Window.partitionBy(key_col)
+    tagged = keyed.withColumn("__rep", F.min(id_col).over(w))
+    uniq = tagged.filter(F.col(id_col) == F.col("__rep")).drop("__rep")
+    star = (
+        tagged.filter(F.col(id_col) != F.col("__rep"))
+        .select(F.col("__rep").alias("id_a"), F.col(id_col).alias("id_b"))
+    )
+    return uniq, star
+
+
+def _drop_hot_buckets(
+    buckets: DataFrame, bucket_cols: list[str], max_bucket_size: int
+) -> DataFrame:
+    """Remove rows in buckets with more than ``max_bucket_size`` members —
+    the degenerate-bucket safety rail. A window count reuses the same hash
+    partitioning the subsequent self-join needs, so the guard adds no extra
+    shuffle of the (already compact) signature frame. Use
+    ``lsh_bucket_stats`` to see what a given cap would drop."""
+    w = Window.partitionBy(*bucket_cols)
+    return (
+        buckets.withColumn("__bsz", F.count(F.lit(1)).over(w))
+        .filter(F.col("__bsz") <= max_bucket_size)
+        .drop("__bsz")
+    )
+
+
+def lsh_bucket_stats(
     df: DataFrame,
     id_col: str,
     text_col: str,
     num_hashes: int = 64,
     bands: int = 16,
     shingle_size: int = 3,
-    jaccard_threshold: float | None = None,
-    max_shingle_df: int | None = None,
 ) -> DataFrame:
-    """Candidate near-dup pairs (id_a < id_b) via LSH banding; if
-    ``jaccard_threshold`` is set, verify with estimated Jaccard
-    (signature agreement fraction) and attach ``est_jaccard``."""
-    assert num_hashes % bands == 0, "bands must divide num_hashes"
-    rows_per_band = num_hashes // bands
-    from pyspark import StorageLevel
+    """Bucket-size distribution of the MinHash LSH banding: (band, bh,
+    size) for every bucket with ≥2 members, descending. The candidate pair
+    count of a bucket is size·(size-1)/2 — run this before a large
+    ``minhash_near_dup_pairs`` job to pick ``max_bucket_size`` (dropped
+    candidates are exactly the pairs inside buckets over the cap)."""
+    sig = minhash_signatures(df, id_col, text_col, num_hashes, shingle_size)
+    buckets = _band_buckets_frame(sig, id_col, num_hashes, bands)
+    return (
+        buckets.groupBy("band", "bh")
+        .agg(F.count(F.lit(1)).alias("size"))
+        .filter(F.col("size") >= 2)
+        .orderBy(F.col("size").desc(), "band", "bh")
+    )
 
-    # Both sides of the bucket self-join derive from the signatures; persist
-    # them so the shingle explode + 64-way min aggregation runs once, not
-    # twice (one compact row per doc — bounded, spills to disk if needed).
-    sig = minhash_signatures(
-        df, id_col, text_col, num_hashes, shingle_size, max_shingle_df
-    ).persist(StorageLevel.MEMORY_AND_DISK)
+
+def _band_buckets_frame(
+    sig: DataFrame, id_col: str, num_hashes: int, bands: int
+) -> DataFrame:
+    rows_per_band = num_hashes // bands
     band_arr = F.array(
         *[
             F.struct(
@@ -175,9 +222,54 @@ def minhash_near_dup_pairs(
             for b in range(bands)
         ]
     )
-    buckets = sig.select(F.col(id_col), F.col("sig"), F.explode(band_arr).alias("bb")).select(
+    return sig.select(F.col(id_col), F.col("sig"), F.explode(band_arr).alias("bb")).select(
         id_col, "sig", F.col("bb.band").alias("band"), F.col("bb.bh").alias("bh")
     )
+
+
+def minhash_near_dup_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_hashes: int = 64,
+    bands: int = 16,
+    shingle_size: int = 3,
+    jaccard_threshold: float | None = None,
+    max_shingle_df: int | None = None,
+    max_bucket_size: int | None = None,
+) -> DataFrame:
+    """Candidate near-dup pairs (id_a < id_b) via LSH banding; if
+    ``jaccard_threshold`` is set, verify with estimated Jaccard
+    (signature agreement fraction) and attach ``est_jaccard``.
+
+    ``max_bucket_size`` is the 100 TB safety rail against degenerate
+    corpora (thousands of near-identical docs collapsing into one band
+    bucket → one quadratic join task). When set: (1) docs with IDENTICAL
+    full signatures are pre-collapsed to a min-id representative and
+    emitted as linear star pairs (est_jaccard 1.0) — exact-duplicate
+    clusters of any size cost O(cluster), and pair output for a cluster is
+    the star to its representative rather than the full clique (equivalent
+    for keep-one dedup: every member still has a smaller-id neighbor);
+    (2) any residual band bucket with more than ``max_bucket_size``
+    DISTINCT signatures is dropped from candidate generation (inspect with
+    ``lsh_bucket_stats``). Unset → exact legacy behavior."""
+    assert num_hashes % bands == 0, "bands must divide num_hashes"
+    from pyspark import StorageLevel
+
+    # Both sides of the bucket self-join derive from the signatures; persist
+    # them so the shingle explode + 64-way min aggregation runs once, not
+    # twice (one compact row per doc — bounded, spills to disk if needed).
+    sig = minhash_signatures(
+        df, id_col, text_col, num_hashes, shingle_size, max_shingle_df
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    star = None
+    if max_bucket_size is not None:
+        sig, star = _collapse_identical(sig, id_col, "sig")
+        sig = sig.persist(StorageLevel.MEMORY_AND_DISK)
+        star = star.withColumn("est_jaccard", F.lit(1.0))
+    buckets = _band_buckets_frame(sig, id_col, num_hashes, bands)
+    if max_bucket_size is not None:
+        buckets = _drop_hot_buckets(buckets, ["band", "bh"], max_bucket_size)
     left = buckets.alias("a")
     right = buckets.alias("b")
     pairs = (
@@ -202,6 +294,8 @@ def minhash_near_dup_pairs(
     pairs = pairs.select("id_a", "id_b", est)
     if jaccard_threshold is not None:
         pairs = pairs.filter(F.col("est_jaccard") >= jaccard_threshold)
+    if star is not None:
+        pairs = pairs.unionByName(star)
     return pairs
 
 
@@ -213,11 +307,16 @@ def minhash_dedup(
     bands: int = 16,
     shingle_size: int = 3,
     jaccard_threshold: float = 0.8,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """Keep-one near-dedup: drop any doc with a candidate neighbor of
-    smaller id (scalable CC approximation — see module docstring)."""
+    smaller id (scalable CC approximation — see module docstring).
+    ``max_bucket_size``: hot-bucket guard, see ``minhash_near_dup_pairs``
+    (keep-one semantics are preserved under the guard's signature
+    collapse — every collapsed member keeps a smaller-id star neighbor)."""
     pairs = minhash_near_dup_pairs(
-        df, id_col, text_col, num_hashes, bands, shingle_size, jaccard_threshold
+        df, id_col, text_col, num_hashes, bands, shingle_size,
+        jaccard_threshold, max_bucket_size=max_bucket_size,
     )
     losers = pairs.select(F.col("id_b").alias(id_col)).distinct()
     return df.join(losers, id_col, "left_anti")
@@ -267,12 +366,19 @@ def simhash_near_dup_pairs(
     max_hamming: int = 3,
     bits: int = 64,
     blocks: int = 4,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """Near-dup pairs by SimHash Hamming distance ≤ ``max_hamming``.
 
     Pigeonhole blocking: split the fingerprint into ``blocks`` chunks; any
     pair within distance < blocks shares at least one exact chunk → join on
     (block_id, chunk) then verify exact Hamming via bit_count(xor).
+
+    ``max_bucket_size``: same hot-bucket guard as
+    ``minhash_near_dup_pairs`` — identical fingerprints pre-collapse to
+    star pairs (hamming 0) against a min-id representative, and residual
+    (block, chunk) buckets with more than ``max_bucket_size`` distinct
+    fingerprints are dropped from candidate generation.
     """
     assert bits % blocks == 0
     width = bits // blocks
@@ -282,6 +388,11 @@ def simhash_near_dup_pairs(
     # sides would each recompute the tokenize+hash work — persist the one
     # compact (id, fingerprint) row per doc instead.
     sh = simhash(df, id_col, text_col, bits).persist(StorageLevel.MEMORY_AND_DISK)
+    star = None
+    if max_bucket_size is not None:
+        sh, star = _collapse_identical(sh, id_col, "simhash")
+        sh = sh.persist(StorageLevel.MEMORY_AND_DISK)
+        star = star.withColumn("hamming", F.lit(0))
     mask = (1 << width) - 1
     chunk_arr = F.array(
         *[
@@ -297,6 +408,8 @@ def simhash_near_dup_pairs(
     b = sh.select(id_col, "simhash", F.explode(chunk_arr).alias("c")).select(
         id_col, "simhash", F.col("c.blk").alias("blk"), F.col("c.chunk").alias("chunk")
     )
+    if max_bucket_size is not None:
+        b = _drop_hot_buckets(b, ["blk", "chunk"], max_bucket_size)
     pairs = (
         b.alias("a")
         .join(
@@ -315,6 +428,8 @@ def simhash_near_dup_pairs(
         .dropDuplicates(["id_a", "id_b"])
         .filter(F.col("hamming") <= max_hamming)
     )
+    if star is not None:
+        pairs = pairs.unionByName(star)
     return pairs
 
 

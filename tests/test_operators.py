@@ -66,6 +66,84 @@ def test_minhash_estimates_jaccard(spark, docs):
             assert abs(est - exact[pair]) < 0.35  # 64-hash estimator noise
 
 
+def test_minhash_hot_bucket_guard_identical_clique(spark):
+    """100 TB safety rail: 5k byte-identical docs (the boilerplate/mirror
+    case) must produce LINEAR output — one star pair per member to the
+    min-id representative (4999 pairs), never the quadratic 12.5M clique —
+    and keep-one dedup must keep exactly the representative."""
+    from basis_devkit_spark.operators.dedup import minhash_dedup
+
+    n = 5000
+    rows = [(i, "common boilerplate text repeated across every mirror site") for i in range(n)]
+    rows += [(n + 1, "a genuinely unique document about differential geometry")]
+    df = spark.createDataFrame(rows, "doc_id long, text string").repartition(8)
+    pairs = minhash_near_dup_pairs(
+        df, "doc_id", "text", jaccard_threshold=0.7, max_bucket_size=100
+    )
+    got = pairs.collect()
+    assert len(got) == n - 1
+    assert all(r.id_a == 0 and r.est_jaccard == 1.0 for r in got)
+    assert {r.id_b for r in got} == set(range(1, n))
+    kept = minhash_dedup(
+        df, "doc_id", "text", jaccard_threshold=0.7, max_bucket_size=100
+    )
+    assert sorted(r.doc_id for r in kept.collect()) == [0, n + 1]
+
+
+def test_minhash_guard_drops_hot_buckets_and_matches_unguarded_dedup(spark, docs):
+    """On a normal corpus the guard changes nothing: guarded dedup keeps
+    exactly the same docs as unguarded (star pairs replace clique pairs
+    only for identical-signature clusters, which keep-one treats the
+    same). And lsh_bucket_stats exposes the size distribution the cap
+    acts on."""
+    from basis_devkit_spark.operators.dedup import lsh_bucket_stats, minhash_dedup
+
+    base = {
+        r.doc_id
+        for r in minhash_dedup(docs, "doc_id", "text", jaccard_threshold=0.7).collect()
+    }
+    guarded = {
+        r.doc_id
+        for r in minhash_dedup(
+            docs, "doc_id", "text", jaccard_threshold=0.7, max_bucket_size=50
+        ).collect()
+    }
+    assert guarded == base
+    stats = lsh_bucket_stats(docs, "doc_id", "text").collect()
+    assert all(r.size >= 2 for r in stats)
+
+
+def test_simhash_hot_bucket_guard_identical_clique(spark):
+    """SimHash analogue: identical fingerprints collapse to star pairs
+    (hamming 0); the pigeonhole block join never sees the clique."""
+    n = 3000
+    rows = [(i, "same exact boilerplate page text") for i in range(n)]
+    rows += [(n + 5, "another entirely unrelated corpus document")]
+    df = spark.createDataFrame(rows, "doc_id long, text string").repartition(8)
+    pairs = simhash_near_dup_pairs(
+        df, "doc_id", "text", max_hamming=3, max_bucket_size=100
+    ).collect()
+    assert len(pairs) == n - 1
+    assert all(r.id_a == 0 and r.hamming == 0 for r in pairs)
+
+
+def test_simhash_guard_oversized_bucket_dropped(spark):
+    """Distinct fingerprints that flood one (block, chunk) bucket past the
+    cap are excluded from candidate generation (bounded join fan-out);
+    under the cap the same corpus yields pairs."""
+    # 40 docs sharing a long common prefix of tokens -> fingerprints agree
+    # on most bits, so low-order chunks collide across many docs.
+    common = " ".join(f"tok{i}" for i in range(60))
+    rows = [(i, f"{common} unique{i} tail{i % 7}") for i in range(40)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    open_pairs = simhash_near_dup_pairs(df, "doc_id", "text", max_hamming=6).count()
+    capped_pairs = simhash_near_dup_pairs(
+        df, "doc_id", "text", max_hamming=6, max_bucket_size=2
+    ).count()
+    assert open_pairs > 0
+    assert capped_pairs < open_pairs
+
+
 def test_simhash_deterministic_and_permutation_sensitive(spark):
     df = spark.createDataFrame(
         [(1, "the quick brown fox"), (2, "the quick brown fox"), (3, "completely different words here")],
