@@ -207,6 +207,22 @@ def lsh_topk(
     return _topk_by_query(scored, k)
 
 
+def _cell_rank_structs(vec: Column, cents: list[tuple[int, list[float]]]) -> Column:
+    """Array of (−cosine(vec, centroid), cell) structs — ``array_min`` of it
+    is the nearest cell (cosine desc, cell asc on ties; struct comparison
+    is lexicographic), ``array_sort`` ranks all cells. Centroids are SQL
+    literals: evaluation is a per-row projection, no join, no shuffle."""
+    return F.array(
+        *[
+            F.struct(
+                (-cosine_similarity_col(vec, F.array(*[F.lit(w) for w in c]))).alias("nc"),
+                F.lit(j).cast("int").alias("cell"),
+            )
+            for j, c in cents
+        ]
+    )
+
+
 def ivf_topk(
     queries: DataFrame,
     corpus: DataFrame,
@@ -217,49 +233,69 @@ def ivf_topk(
     nprobe: int = 4,
     seed: int = 42,
     max_train_rows: int = 100_000,
+    centroids: DataFrame | None = None,
 ) -> DataFrame:
-    """IVF ANN: KMeans coarse quantizer trained on a bounded SAMPLE of the
-    corpus (``max_train_rows`` cap — fitting on the full corpus is a scale
-    killer at 100 TB; centroid quality converges long before that), corpus
-    rows assigned to their nearest centroid, queries probe ``nprobe``
-    nearest centroids; exact cosine within probed cells."""
-    from pyspark.ml.clustering import KMeans
-    from pyspark.ml.functions import array_to_vector
+    """IVF ANN: coarse quantizer → corpus rows assigned to their nearest
+    centroid → queries probe ``nprobe`` nearest centroids → exact cosine
+    within probed cells.
 
-    corpus_v = corpus.select(
-        F.col(id_col).alias("match_id"),
-        F.col(vec_col).alias("__cv"),
-        array_to_vector(F.transform(vec_col, lambda x: x.cast("double"))).alias("__feat"),
-    )
-    n = corpus_v.count()
-    if n > max_train_rows:
-        # Seeded Bernoulli sample, slightly over-drawn to stay near the cap.
-        train = corpus_v.sample(
-            fraction=min(1.0, 1.1 * max_train_rows / n), seed=seed
+    Quantizer: by default KMeans trained on a bounded SAMPLE of the corpus
+    (``max_train_rows`` cap — fitting on the full corpus is a scale killer
+    at 100 TB; centroid quality converges long before that). Pass
+    ``centroids`` (``cell int, center array<double>``) to inject a
+    deterministic quantizer instead — e.g. seed vectors drawn from the
+    corpus itself (cosine-metric assignment, FAISS IVF-flat-IP style);
+    deterministic centroids make the whole pipeline reproducible enough to
+    oracle-check (queries/pyoracle.py ivf_candidates)."""
+    if centroids is None:
+        from pyspark.ml.clustering import KMeans
+        from pyspark.ml.functions import array_to_vector
+
+        corpus_v = corpus.select(
+            F.col(id_col).alias("match_id"),
+            F.col(vec_col).alias("__cv"),
+            array_to_vector(F.transform(vec_col, lambda x: x.cast("double"))).alias("__feat"),
         )
+        n = corpus_v.count()
+        if n > max_train_rows:
+            # Seeded Bernoulli sample, slightly over-drawn to stay near the cap.
+            train = corpus_v.sample(
+                fraction=min(1.0, 1.1 * max_train_rows / n), seed=seed
+            )
+        else:
+            train = corpus_v
+        km = KMeans(k=nlist, seed=seed, featuresCol="__feat", predictionCol="__cell")
+        model = km.fit(train)
+        assigned = model.transform(corpus_v).select("match_id", "__cv", "__cell")
+        cents = [
+            (i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())
+        ]
     else:
-        train = corpus_v
-    km = KMeans(k=nlist, seed=seed, featuresCol="__feat", predictionCol="__cell")
-    model = km.fit(train)
-    assigned = model.transform(corpus_v).select("match_id", "__cv", "__cell")
-
-    centers = model.clusterCenters()
-    centers_df = queries.sparkSession.createDataFrame(
-        [(i, [float(x) for x in c]) for i, c in enumerate(centers)],
-        "cell int, center array<double>",
-    )
-    q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qv"))
-    q_cells = (
-        q.crossJoin(F.broadcast(centers_df))
-        .withColumn("cdist", cosine_similarity_col(F.col("__qv"), F.col("center")))
-        .withColumn(
-            "crank",
-            F.row_number().over(
-                Window.partitionBy("query_id").orderBy(F.col("cdist").desc())
-            ),
+        # Centroids are driver-resident constants either way (KMeans
+        # collects its centers too) — fold them into literal expressions so
+        # BOTH cell assignment and query probing are shuffle-free per-row
+        # projections (no crossJoin, no window). Keep the centroid count
+        # modest (≲10^4) — it multiplies expression size.
+        cents = [
+            (int(r["cell"]), [float(x) for x in r["center"]])
+            for r in centroids.collect()
+        ]
+        corpus_v = corpus.select(
+            F.col(id_col).alias("match_id"), F.col(vec_col).alias("__cv")
         )
-        .filter(F.col("crank") <= nprobe)
-        .select("query_id", "__qv", F.col("cell").alias("__cell"))
+        assigned = corpus_v.withColumn(
+            "__cell", F.array_min(_cell_rank_structs(F.col("__cv"), cents)).getField("cell")
+        )
+
+    q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qv"))
+    # Probe the nprobe nearest centroids per query: sort (−cos, cell)
+    # structs ascending → cosine desc with cell-asc tie-break, a total
+    # deterministic order. Pure projection + explode of ≤ nprobe rows.
+    probes = F.slice(
+        F.array_sort(_cell_rank_structs(F.col("__qv"), cents)), 1, nprobe
+    )
+    q_cells = q.withColumn("__probe", F.explode(probes)).select(
+        "query_id", "__qv", F.col("__probe.cell").alias("__cell")
     )
     cand = q_cells.join(assigned, "__cell").filter(F.col("query_id") != F.col("match_id"))
     scored = cand.select(

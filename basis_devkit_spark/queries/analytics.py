@@ -630,12 +630,42 @@ def d02d(spark: SparkSession, sf: str) -> DataFrame:
     ).select("id_a", "id_b", F.round("cosine", 4).alias("cosine"))
 
 
+def _ivf_seed_centroids(emb, nlist: int):
+    """Deterministic coarse quantizer: the first ``nlist`` corpus vectors
+    (by vec_id) as centroids, cast to double — fully reproducible, so the
+    IVF candidate generation is modelable (pyoracle.ivf_candidates) and
+    the exact re-rank oracle-checkable."""
+    return emb.filter(F.col("vec_id") < nlist).select(
+        F.col("vec_id").cast("int").alias("cell"),
+        F.transform("embedding", lambda x: x.cast("double")).alias("center"),
+    )
+
+
 @register(
     "d03c_ivf_topk",
-    None,  # KMeans-probed ANN; recall vs exact checked in tests
-    doc="IVF (KMeans coarse quantizer) ANN top-5",
+    pyoracle.ivf_topk_sql,
+    doc="IVF ANN top-5 (deterministic seed-vector quantizer; candidates "
+    "from the independent Python model, DuckDB exact cosine re-rank)",
 )
 def d03c(spark: SparkSession, sf: str) -> DataFrame:
+    from basis_devkit_spark.operators.similarity import ivf_topk
+
+    emb = load(spark, sf, "embeddings")
+    q = emb.filter(F.col("vec_id") < 5)
+    return ivf_topk(
+        q, emb, k=5, nlist=8, nprobe=4, centroids=_ivf_seed_centroids(emb, 8)
+    ).select(
+        "query_id", "match_id", F.round("score", 4).alias("score"), "rank"
+    )
+
+
+@register(
+    "d03d_ivf_topk_kmeans",
+    None,  # KMeans-probed ANN; recall vs exact checked in tests
+    doc="IVF (KMeans coarse quantizer) ANN top-5 — the trained-quantizer "
+    "variant; rows-only (KMeans training is not bit-reproducible)",
+)
+def d03d(spark: SparkSession, sf: str) -> DataFrame:
     from basis_devkit_spark.operators.similarity import ivf_topk
 
     emb = load(spark, sf, "embeddings")

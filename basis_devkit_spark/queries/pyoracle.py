@@ -355,6 +355,81 @@ def lsh_topk_sql(k: int = 5) -> str:
     """
 
 
+# ------------------------------------------------------- IVF ANN (d03c)
+def _seq_cosine(a, b) -> float:
+    """Cosine with the same strictly-sequential left folds as Spark's
+    ``aggregate`` (dot, then each norm), so rounding — and hence argmax
+    cell assignment at near-ties — is bit-identical."""
+    import math
+
+    dot = 0.0
+    for x, y in zip(a, b):
+        dot += float(x) * float(y)
+    na = 0.0
+    for x in a:
+        na += float(x) * float(x)
+    nb = 0.0
+    for y in b:
+        nb += float(y) * float(y)
+    return dot / (math.sqrt(na) * math.sqrt(nb))
+
+
+@lru_cache(maxsize=2)
+def ivf_candidates(
+    sf_dir: str, query_max_id: int = 5, nlist: int = 8, nprobe: int = 4
+) -> tuple[tuple[int, int], ...]:
+    """(query_id, match_id) candidates of the deterministic-quantizer IVF:
+    centroids = corpus vectors with vec_id < nlist (as double); every
+    corpus vector is assigned to its max-cosine cell (ties → smallest
+    cell); each query probes its ``nprobe`` top cells; candidates are the
+    corpus members of probed cells minus the query itself."""
+    ids, mat = _embeddings(sf_dir)
+    id2vec = {vid: [float(x) for x in mat[i]] for i, vid in enumerate(ids)}
+    cents = [(j, id2vec[j]) for j in range(nlist)]
+
+    def ranked_cells(vec) -> list[int]:
+        # sort by (-cos, cell): cosine desc, cell asc on ties
+        return [
+            c for _, c in sorted((-_seq_cosine(vec, cv), j) for j, cv in cents)
+        ]
+
+    cells: dict[int, list[int]] = {}
+    for vid in ids:
+        cells.setdefault(ranked_cells(id2vec[vid])[0], []).append(vid)
+    cands: set[tuple[int, int]] = set()
+    for vid in ids:
+        if vid >= query_max_id:
+            continue
+        for c in ranked_cells(id2vec[vid])[:nprobe]:
+            for mid in cells.get(c, ()):
+                if mid != vid:
+                    cands.add((vid, mid))
+    return tuple(sorted(cands))
+
+
+def ivf_topk_sql(k: int = 5) -> str:
+    cands = ivf_candidates(oracle_sf_dir())
+    vals = ", ".join(f"({q}, {m})" for q, m in cands)
+    return f"""
+    with cand(query_id, match_id) as (values {vals}),
+    scored as (
+      select c.query_id::BIGINT as query_id, c.match_id::BIGINT as match_id,
+             list_cosine_similarity(
+               list_transform(q.embedding, x -> cast(x as double)),
+               list_transform(m.embedding, x -> cast(x as double))) as score
+      from cand c
+      join embeddings q on q.vec_id = c.query_id
+      join embeddings m on m.vec_id = c.match_id
+    ), ranked as (
+      select query_id, match_id, score,
+             row_number() over (partition by query_id
+                                order by score desc, match_id) as rank
+      from scored)
+    select query_id, match_id, round(score, 4) as score, rank
+    from ranked where rank <= {k}
+    """
+
+
 @lru_cache(maxsize=2)
 def embedding_neardup_candidates(
     sf_dir: str,
