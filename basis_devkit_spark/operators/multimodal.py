@@ -3,10 +3,12 @@ typed metadata (SURVEY §2.D D5).
 
 The Spark-side plumbing is real and tested: the typed struct schema, the
 ``binaryFile`` loader, partition-size guards, and Arrow-batched
-``mapInPandas`` UDF signatures. The actual decode (PIL/ffmpeg/librosa)
-is STUBBED — those libraries are not in this container — behind
-``decode_fn`` hooks: pass a real decoder in production, or use the
-deterministic fake (``fake_image_features``) in tests.
+``mapInPandas`` UDF signatures. Image DIMENSIONS are decoded for real by
+``parse_image_header`` (pure-Python PNG/JPEG/GIF header parsing — no
+codec library). Pixel-level decode (PIL/ffmpeg/librosa) still sits
+behind the ``decode_fn`` hook — those libraries are not in this
+container — pass a real decoder in production, or the deterministic
+fake (``fake_image_features``) in tests.
 """
 
 from __future__ import annotations
@@ -123,6 +125,60 @@ def attach_media_ref(
     )
 
 
+# JPEG start-of-frame markers that carry dimensions (C4=DHT, C8=JPG,
+# CC=DAC are NOT SOF despite being in the Cx range).
+_JPEG_SOF = {0xC0, 0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF}
+_PNG_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}  # by IHDR color type
+
+
+def parse_image_header(content: bytes) -> tuple[int, int, int]:
+    """(width, height, channels) from PNG/JPEG/GIF header bytes — pure
+    Python over the blob already in hand, no codec library. PNG reads the
+    IHDR chunk (always first, per spec); JPEG walks the marker segments to
+    the first start-of-frame; GIF reads the logical screen descriptor.
+    Raises ``NotImplementedError`` for other formats (webp/audio/video
+    need real codecs) and ``ValueError`` for truncated/corrupt headers."""
+    b = content or b""
+    if b[:8] == b"\x89PNG\r\n\x1a\n":
+        if len(b) < 26 or b[12:16] != b"IHDR":
+            raise ValueError("png: truncated or non-IHDR-first header")
+        w = int.from_bytes(b[16:20], "big")
+        h = int.from_bytes(b[20:24], "big")
+        return w, h, _PNG_CHANNELS.get(b[25], 3)
+    if b[:6] in (b"GIF87a", b"GIF89a"):
+        if len(b) < 10:
+            raise ValueError("gif: truncated header")
+        return (
+            int.from_bytes(b[6:8], "little"),
+            int.from_bytes(b[8:10], "little"),
+            3,
+        )
+    if b[:2] == b"\xff\xd8":
+        i = 2
+        while i + 9 <= len(b) and b[i] == 0xFF:
+            marker = b[i + 1]
+            if marker in (0xD8,) or 0xD0 <= marker <= 0xD7 or marker == 0x01:
+                i += 2  # standalone markers carry no length
+                continue
+            if marker in _JPEG_SOF:
+                h = int.from_bytes(b[i + 5 : i + 7], "big")
+                w = int.from_bytes(b[i + 7 : i + 9], "big")
+                return w, h, b[i + 9]
+            i += 2 + int.from_bytes(b[i + 2 : i + 4], "big")
+        raise ValueError("jpeg: no start-of-frame marker found")
+    raise NotImplementedError(
+        f"unsupported image format (magic {b[:8].hex()}); pass decode_fn= "
+        "with a real codec for this media type"
+    )
+
+
+def image_header_features(content: bytes) -> tuple[int, int, int, list[float]]:
+    """Default ``decode_fn``: real header-parsed dimensions, no pixel
+    features (a real embedding model would fill them)."""
+    w, h, c = parse_image_header(content)
+    return w, h, c, []
+
+
 def fake_image_features(content: bytes, dim: int = 8) -> tuple[int, int, int, list[float]]:
     """Deterministic decode fake: derives (width, height, channels,
     features) from a sha256 of the bytes. Stands in for a real decoder so
@@ -144,21 +200,19 @@ def decode_images(
     """Decode/feature-extract over ``mapInPandas`` (Arrow batches).
 
     ``decode_fn`` contract: bytes → (width, height, channels, features).
-    Default raises ``NotImplementedError`` (real decoders not shipped
-    here); pass ``fake_image_features`` for deterministic tests.
+    Default is ``image_header_features`` — REAL pure-Python PNG/JPEG/GIF
+    header parsing for dimensions (no codec library needed); it raises
+    ``NotImplementedError`` for formats that need real codecs (webp,
+    audio, video) — pass a production decoder for those, or
+    ``fake_image_features`` for deterministic pixel-feature tests.
     The batch shape (iterator of pandas DataFrames) is what a real
-    PIL/torchvision decode would consume — only the inner call is stubbed.
+    PIL/torchvision decode would consume.
     """
     uri_expr, content_expr = uri_col, content_col
-    fn = decode_fn
+    fn = decode_fn or image_header_features
 
     def _decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            if fn is None:
-                raise NotImplementedError(
-                    "no image decoder available in this environment; pass "
-                    "decode_fn= (e.g. fake_image_features for tests)"
-                )
             out = {"uri": [], "width": [], "height": [], "channels": [], "features": []}
             for uri, content in zip(pdf["__uri"], pdf["__content"]):
                 w, h, c, feats = fn(content)

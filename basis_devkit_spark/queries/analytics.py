@@ -556,28 +556,70 @@ def d05b(spark: SparkSession, sf: str) -> DataFrame:
 
 @register(
     "d05_multimodal_plumbing",
-    None,  # binary decode is stubbed (no codecs in container); plumbing rows-only
-    doc="multimodal: media struct + mapInPandas decode (deterministic fake)",
+    """
+    select doc_id,
+           case cast(doc_id % 3 as int) when 0 then 'png'
+                                        when 1 then 'jpeg'
+                                        else 'gif' end as fmt,
+           cast(16 + (doc_id * 7) % 500 as int) as width,
+           cast(16 + (doc_id * 13) % 300 as int) as height,
+           3 as channels
+    from documents where doc_id < 200
+    """,
+    doc="multimodal decode END-TO-END: synthesize valid PNG/JPEG/GIF "
+    "headers with doc_id-derived dimensions as binary columns (JVM-side "
+    "byte construction), sniff the format from magic bytes, and decode "
+    "width/height/channels back out through mapInPandas with the REAL "
+    "pure-Python header parser; the oracle recomputes the dimensions "
+    "arithmetically — a decode bug cannot hash-match",
 )
 def d05(spark: SparkSession, sf: str) -> DataFrame:
-    from basis_devkit_spark.operators.multimodal import (
-        attach_media_ref,
-        decode_images,
-        fake_image_features,
-    )
+    from basis_devkit_spark.operators.multimodal import decode_images, sniff_format
 
-    d = load(spark, sf, "documents").limit(200)
-    with_bytes = d.select(
-        F.concat(F.lit("mem://doc/"), F.col("doc_id").cast("string"), F.lit(".png")).alias("uri"),
-        F.encode("text", "utf-8").alias("content"),
+    d = load(spark, sf, "documents").filter(F.col("doc_id") < 200)
+
+    def be(col, hex_width):  # big-endian fixed-width binary from an int col
+        return F.unhex(F.lpad(F.hex(col), hex_width, "0"))
+
+    w = (F.lit(16) + (F.col("doc_id") * 7) % 500).cast("int")
+    h = (F.lit(16) + (F.col("doc_id") * 13) % 300).cast("int")
+    le16 = lambda col: F.unhex(  # noqa: E731 — little-endian uint16
+        F.concat(
+            F.lpad(F.hex(col.bitwiseAND(F.lit(255))), 2, "0"),
+            F.lpad(F.hex(F.shiftright(col, 8)), 2, "0"),
+        )
     )
-    media = attach_media_ref(with_bytes, "uri", "content")
+    png = F.concat(
+        F.lit(bytes([0x89, 0x50, 0x4E, 0x47, 0x0D, 0x0A, 0x1A, 0x0A])),
+        F.lit(b"\x00\x00\x00\x0dIHDR"),
+        be(w, 8),
+        be(h, 8),
+        F.lit(b"\x08\x02\x00\x00\x00" + b"\x00" * 4),  # RGB8 + CRC slot
+    )
+    jpeg = F.concat(
+        F.lit(b"\xff\xd8\xff\xc0\x00\x11\x08"), be(h, 4), be(w, 4), F.lit(b"\x03")
+    )
+    gif = F.concat(F.lit(b"GIF89a"), le16(w), le16(h))
+    header = (
+        F.when(F.col("doc_id") % 3 == 0, png)
+        .when(F.col("doc_id") % 3 == 1, jpeg)
+        .otherwise(gif)
+    )
+    blobs = d.select(
+        "doc_id",
+        F.concat(header, F.encode("text", "utf-8")).alias("content"),
+    )
+    sniffed = blobs.select("doc_id", sniff_format("content").alias("fmt"))
     decoded = decode_images(
-        media, content_col="content", uri_col="media.uri", decode_fn=fake_image_features
+        blobs.withColumn("uri", F.col("doc_id").cast("string")),
+        content_col="content",
+        uri_col="uri",
+    ).select(
+        F.col("uri").cast("long").alias("doc_id"), "width", "height", "channels"
     )
-    # JSON-encode the array column: the driver canonicalizes results through
-    # pandas sort_values, which cannot sort raw list cells.
-    return decoded.withColumn("features", F.to_json("features"))
+    return sniffed.join(decoded, "doc_id").select(
+        "doc_id", "fmt", "width", "height", "channels"
+    )
 
 
 @register(

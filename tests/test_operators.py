@@ -304,13 +304,47 @@ def test_multimodal_decode_plumbing(spark):
         media, content_col="content", uri_col="media.uri", decode_fn=fake_image_features
     ).collect()
     assert sorted(map(repr, feats)) == sorted(map(repr, feats2))
-    # stub path: no decoder → NotImplementedError surfaced
-    with pytest.raises(Exception, match="NotImplementedError|no image decoder"):
+    # default decoder on a non-image blob → NotImplementedError surfaced
+    with pytest.raises(Exception, match="NotImplementedError|unsupported image format"):
         decode_images(media, content_col="content", uri_col="media.uri").collect()
     # frame sampling expansion
     vids = spark.createDataFrame([(1, 25)], "vid int, frame_count int")
     idx = [r.frame_index for r in sample_frames(vids, every_n=10).collect()]
     assert idx == [0, 10, 20]
+
+
+def test_parse_image_header_real_formats():
+    """The default decode parses REAL header bytes: hand-built PNG/GIF
+    and JPEG (including one with leading APP0/comment segments before the
+    SOF marker, and a progressive SOF2)."""
+    import struct
+
+    from basis_devkit_spark.operators.multimodal import parse_image_header
+
+    png = (
+        b"\x89PNG\r\n\x1a\n"
+        + struct.pack(">I", 13) + b"IHDR"
+        + struct.pack(">II", 640, 480) + bytes([8, 6, 0, 0, 0]) + b"\x00" * 4
+    )
+    assert parse_image_header(png) == (640, 480, 4)  # RGBA color type 6
+
+    gif = b"GIF87a" + struct.pack("<HH", 320, 200) + b"\x00" * 5
+    assert parse_image_header(gif) == (320, 200, 3)
+
+    # baseline JPEG with APP0 + comment before SOF0
+    app0 = b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00" + b"\x00" * 9
+    com = b"\xff\xfe" + struct.pack(">H", 7) + b"hello"
+    sof0 = b"\xff\xc0" + struct.pack(">H", 17) + b"\x08" + struct.pack(">HH", 1080, 1920) + b"\x03" + b"\x00" * 9
+    assert parse_image_header(b"\xff\xd8" + app0 + com + sof0) == (1920, 1080, 3)
+
+    # progressive (SOF2), grayscale
+    sof2 = b"\xff\xc2" + struct.pack(">H", 11) + b"\x08" + struct.pack(">HH", 64, 128) + b"\x01" + b"\x00" * 3
+    assert parse_image_header(b"\xff\xd8" + sof2) == (128, 64, 1)
+
+    with pytest.raises(NotImplementedError):
+        parse_image_header(b"RIFF....WEBP")
+    with pytest.raises(ValueError):
+        parse_image_header(b"\xff\xd8\xff\xe0" + struct.pack(">H", 4) + b"xx")
 
 
 def test_bench_window_formulations_agree(spark):
