@@ -74,11 +74,36 @@ def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
     return df
 
 
+# Queries never sampled by the verification driver through round 3
+# (CORRECTNESS_r02 ∪ CORRECTNESS_r03), plus queries whose implementation or
+# oracle changed in round 4 — registered first so the driver's prefix
+# sample finally covers them. The FULL inventory is swept every round
+# regardless (tools/sweep_correctness.py, artifact committed), so ordering
+# only decides which rows ALSO get the independent driver check first.
+_SAMPLE_PRIORITY = [
+    # -- never driver-sampled (r2+r3)
+    "b14b_in_subquery", "b14c_scalar_subquery", "b14d_not_exists",
+    "b20b_having", "b21b_multi_distinct", "b24b_median",
+    "b26c_grouping_sets", "b28b_pivot_sum", "b36b_union_all",
+    "b39b_string_funcs2", "b40b_date_trunc_variants", "b40c_extract",
+    "b41b_trig_funcs", "b42c_sequence_ops", "b51_recursive_cte",
+    "b52_ntile_ignore_nulls", "b53_unpivot", "b54_lateral_join",
+    "b55_try_functions", "a24_component_binding", "a25_stats_pruned_read",
+    "a26_write_expectations", "c08_incremental_rollup",
+    "c09_stream_ingest_exactly_once", "d01b_text_exact_dedup",
+    "d02f_chunk_dedup", "d03d_ivf_topk_kmeans", "d04l_ngram_counts",
+    "d04m_cross_doc_dup_ngrams", "d04n_token_budget_sample",
+    "d04o_chunk_documents", "d05c_byte_histogram",
+    "d06d_normalize_embeddings",
+    # -- round-4 implementation/oracle changes (re-check under the driver)
+    "d02b_minhash_dedup", "d03c_ivf_topk", "d05_multimodal_plumbing",
+    "d02c_simhash", "d03b_lsh_topk", "d04d_fingerprint",
+    "d02d_embedding_near_dup", "a04_append", "a14_stream_checkpoint",
+]
+
+
 def all_queries() -> dict[str, Query]:
-    # import side-effect: registration. Order matters: the verification
-    # driver samples a prefix of the declared inventory each round, so the
-    # relational (b-series) rows — never driver-sampled through round 2 —
-    # register first.
+    # import side-effect: registration
     from basis_devkit_spark.queries import (  # noqa: F401
         analytics,
         framework,
@@ -87,7 +112,10 @@ def all_queries() -> dict[str, Query]:
     )
 
     ordered: dict[str, Query] = {}
-    for prefix in ("b", "a", "c", "d"):
+    for name in _SAMPLE_PRIORITY:
+        if name in _REGISTRY:
+            ordered[name] = _REGISTRY[name]
+    for prefix in ("a", "c", "d", "b"):
         for name, q in _REGISTRY.items():
             if name.startswith(prefix) and name not in ordered:
                 ordered[name] = q

@@ -58,7 +58,7 @@ SPLIT_DIR = os.environ.get(
 # Per-table split counts: sized so each task gets meaningful work — tiny
 # tables at more splits just pay task-launch overhead (measured: events
 # 100k rows runs fastest at 8 splits, lineitem 600k at 32).
-SPLIT_N = {"lineitem": 32, "orders": 16, "customer": 8, "events": 8}
+SPLIT_N = {"lineitem": 32, "orders": 16, "customer": 8, "events": 8, "documents": 8}
 BENCH_TABLES = tuple(SPLIT_N)
 
 
@@ -183,19 +183,51 @@ def events_sess(tabs):
     )
 
 
+def ngram_top(tabs):
+    """D-layer: corpus-wide top-100 word 2-grams over documents (d04l).
+
+    Scale shape: explode → one partial-combining hash agg → TakeOrdered.
+    DuckDB reference for the identical query (unnest + group + order/limit)
+    at sf0.1: ~0.26 s — this plan beats it (~0.10 s steady)."""
+    from basis_devkit_spark.operators.text import ngram_counts
+
+    return ngram_counts(tabs["documents"], "text", n=2, k=100)
+
+
+def minhash_dedup_q(tabs):
+    """D-layer: MinHash-LSH keep-one dedup over documents (d02b shape) —
+    the flagship near-dup operator, timed for wall-clock regression (no
+    SQL-expressible DuckDB equivalent; correctness is oracle-checked via
+    the literal-table model in queries/pyoracle.py).
+
+    Scale shape: shuffle-free signatures (array_min over transform) →
+    banded equi-self-join → anti-join. The count() materializer sums the
+    survivor set without transferring text bodies."""
+    from basis_devkit_spark.operators.dedup import minhash_dedup
+
+    return minhash_dedup(
+        tabs["documents"], "doc_id", "text", jaccard_threshold=0.7
+    )
+
+
 # name -> (query fn, materializer). Arrow fetch (toPandas) for large
 # results; plain collect for small ones (Arrow job setup costs more than
-# it saves under ~10k result rows).
+# it saves under ~10k result rows). count for wide survivor sets whose
+# payload (full text) isn't the measurand.
 BENCH_QUERIES = {
     "q1_agg": (q1_agg, "collect"),        # 6 result rows
     "q3_join": (q3_join, "collect"),      # 10 result rows
     "window": (window_q, "pandas"),       # ~3 rows per customer
     "events_sess": (events_sess, "pandas"),  # ~3.6k rows: Arrow beats py4j
+    "ngram_top": (ngram_top, "collect"),  # 100 result rows
+    "minhash_dedup": (minhash_dedup_q, "count"),  # survivor cardinality
 }
 
 
 def _run(df, how: str) -> int:
     """Materialize the complete plan including result transfer."""
+    if how == "count":
+        return df.count()
     return len(df.toPandas()) if how == "pandas" else len(df.collect())
 
 
@@ -222,12 +254,17 @@ def main() -> None:
     steady_samples: dict[str, list[float]] = {n: [] for n in BENCH_QUERIES}
     for _ in range(9):
         for name, (df, how) in prepared.items():
+            # Steady-state reuses the PLAN, never materialized data: drop
+            # any persisted blocks (minhash signatures) so each timed run
+            # recomputes the full operator, persist cost included.
+            spark.catalog.clearCache()
             t0 = time.perf_counter()
             _run(df, how)
             steady_samples[name].append(time.perf_counter() - t0)
     fresh_samples: dict[str, list[float]] = {n: [] for n in BENCH_QUERIES}
     for _ in range(3):
         for name, (fn, how) in BENCH_QUERIES.items():
+            spark.catalog.clearCache()
             t0 = time.perf_counter()
             _run(fn(tabs), how)
             fresh_samples[name].append(time.perf_counter() - t0)
@@ -246,12 +283,17 @@ def main() -> None:
                 "sf": SF_DIR,
                 "notes": (
                     "steady-state = tables bound once + prepared plans; every "
-                    "timed run does full scan+shuffle+agg+fetch. fresh_queries "
-                    "rebuilds the plan per run (adds ~0.35-0.5s/query Catalyst "
-                    "compile, a fixed cost invariant in data size). Inputs "
-                    "re-laid to multi-file parquet at setup (seed files are "
-                    "single-row-group -> single-task scans). See bench.py "
-                    "docstring for the measured decomposition."
+                    "timed run does full scan+shuffle+agg+fetch (cache cleared "
+                    "per run, so persisted intermediates recompute). "
+                    "fresh_queries rebuilds the plan per run (adds ~0.35-0.5s/"
+                    "query Catalyst compile, a fixed cost invariant in data "
+                    "size). Inputs re-laid to multi-file parquet at setup "
+                    "(seed files are single-row-group -> single-task scans). "
+                    "D-layer rows: ngram_top's DuckDB reference (identical "
+                    "unnest+group+limit SQL, same parquet) is ~0.26 s at "
+                    "sf0.1; minhash_dedup has no SQL equivalent and is "
+                    "tracked for wall-time regression (correctness via the "
+                    "pyoracle literal-table model). See OPERATORS_BENCH.md."
                 ),
             }
         )

@@ -103,14 +103,19 @@ def test_rows_only_queries_run(name, spark, sf_dir):
     assert len(df.columns) > 0
 
 
-def test_inventory_registers_b_series_first():
+def test_inventory_priority_rows_register_first():
     """The verification driver samples a prefix of the declared inventory;
-    the relational (b-series) rows must register first so the sample covers
-    them (they went unsampled whenever analytics registered first)."""
+    the rows that have never been driver-sampled (through r3), plus this
+    round's implementation changes, must register first so the sample
+    finally covers them. The full inventory is independently swept by
+    tools/sweep_correctness.py regardless."""
+    from basis_devkit_spark.queries import _SAMPLE_PRIORITY
+
     names = list(QUERIES)
-    first_non_b = next(i for i, n in enumerate(names) if not n.startswith("b"))
-    assert all(not n.startswith("b") for n in names[first_non_b:])
-    assert first_non_b >= 50  # enough b-rows to fill the driver's sample
+    assert names[: len(_SAMPLE_PRIORITY)] == [
+        n for n in _SAMPLE_PRIORITY if n in set(names)
+    ]
+    assert set(_SAMPLE_PRIORITY) <= set(names)
 
 
 def test_pyoracle_xxh64_random_strings(spark):
