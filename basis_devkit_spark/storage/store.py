@@ -846,33 +846,46 @@ class TableStore:
         self, old: DataFrame, df: DataFrame, keys: list[str]
     ) -> DataFrame:
         """Old rows that survive the merge. Partition-scoped when the store
-        is partitioned: only partitions the batch actually touches join
+        is partitioned: only partitions the merge actually touches join
         against the new keys; every other partition passes through behind a
-        partition-pruning filter (no shuffle, no join). At scale this turns
-        an all-partitions shuffle merge into one scoped to the written keys
-        — the Delta/Iceberg dynamic-partition MERGE shape."""
+        partition-pruning filter (no shuffle, no join). When the partition
+        columns are NOT part of the merge key (keys can migrate between
+        partitions), the touched set additionally includes the partitions
+        of old rows matching incoming keys, found via a narrow semi-join —
+        see inline comments. At scale this turns an all-partitions
+        full-row shuffle merge into one scoped to the written keys — the
+        Delta/Iceberg dynamic-partition MERGE shape."""
         pcols = self._manifest.partition_by
-        # Scoping is only sound when the partition columns are part of the
-        # merge key: then a key can never move between partitions, so every
-        # old row it could replace lives in a touched partition. Otherwise
-        # (e.g. unique_on=[k], partition_by=[day], k moves from day=1 to
-        # day=2) the stale day=1 row would pass through unmerged — fall
-        # back to the global anti-join.
-        if (
-            not pcols
-            or any(c not in df.columns for c in pcols)
-            or not set(pcols) <= set(keys)
-        ):
+        if not pcols or any(c not in df.columns for c in pcols):
             return _anti_join_nullsafe(old, df, keys)
-        touched = [
-            tuple(r[c] for c in pcols)
-            for r in df.select(*pcols).distinct().collect()
-        ]
+        if set(pcols) <= set(keys):
+            # Partition columns are part of the merge key: a key can never
+            # move between partitions, so the batch's own partitions are
+            # exactly the touched set — no look at old needed.
+            touched = [
+                tuple(r[c] for c in pcols)
+                for r in df.select(*pcols).distinct().collect()
+            ]
+        else:
+            # Key migration possible (e.g. unique_on=[k], partition_by=
+            # [day], k moves from day=1 to day=2): the stale old row lives
+            # in a partition the batch doesn't write. Derive the touched
+            # set from the OLD rows matching incoming keys — a NARROW
+            # semi-join (keys + partition cols only, not full rows) —
+            # unioned with the batch's partitions. The migrating key's old
+            # partition is provably included: its old row matches the
+            # incoming key, so the semi-join emits its partition tuple.
+            # Full-row work then stays scoped to touched partitions; the
+            # narrow semi-join shuffle is the bounded price.
+            proj = list(dict.fromkeys([*keys, *pcols]))
+            old_parts = _semi_join_nullsafe(old.select(*proj), df, keys).select(*pcols)
+            touched_df = old_parts.union(df.select(*pcols)).distinct().limit(1001)
+            touched = [tuple(r[c] for c in pcols) for r in touched_df.collect()]
         if not touched:
             return old
         if len(touched) > 1000:
             # Predicate would be unwieldy; fall back to the global merge.
-            return old.join(df.select(*keys), on=keys, how="left_anti")
+            return _anti_join_nullsafe(old, df, keys)
         conds = []
         for t in touched:
             c = F.lit(True)
@@ -889,6 +902,17 @@ class TableStore:
         untouched = old.filter(~in_touched)
         scoped = _anti_join_nullsafe(old.filter(in_touched), df, keys)
         return untouched.unionByName(scoped)
+
+
+def _semi_join_nullsafe(old: DataFrame, new: DataFrame, keys: list[str]) -> DataFrame:
+    """Old rows whose key DOES match a row in ``new`` (NULL-safe, the
+    complement of ``_anti_join_nullsafe``)."""
+    o, n = old.alias("__o"), new.select(*keys).alias("__n")
+    cond = None
+    for k in keys:
+        c = F.col(f"__o.{k}").eqNullSafe(F.col(f"__n.{k}"))
+        cond = c if cond is None else cond & c
+    return o.join(n, cond, "left_semi").select(*[F.col(f"__o.{c}") for c in old.columns])
 
 
 def _anti_join_nullsafe(old: DataFrame, new: DataFrame, keys: list[str]) -> DataFrame:

@@ -273,9 +273,9 @@ def test_partitioned_upsert_join_is_partition_pruned(spark, tmp_path):
 
 
 def test_partitioned_upsert_null_partition_value(spark, tmp_path):
-    """Rows with a NULL partition value merge correctly. With unique_on
-    excluding the partition col this takes the global-merge fallback (a
-    null join key would never match in the scoped anti-join)."""
+    """Rows with a NULL partition value merge correctly under the scoped
+    path: the NULL partition lands in the touched set (null-safe semi-join
+    + isNull branch in the partition predicate)."""
     from basis_devkit_spark.storage.store import TableStore
 
     store = TableStore(str(tmp_path), "t", spark)
@@ -295,9 +295,10 @@ def test_partitioned_upsert_null_partition_value(spark, tmp_path):
 
 
 def test_upsert_key_moving_between_partitions_stays_unique(spark, tmp_path):
-    """Regression: when unique_on does NOT include the partition column, a
-    key whose partition value changes must still be merged globally — the
-    scoped path would leave the stale row in the old partition."""
+    """When unique_on does NOT include the partition column, a key whose
+    partition value changes must still be merged — the touched-partition
+    set includes the stale row's partition (derived from old rows matching
+    incoming keys via the narrow semi-join)."""
     from basis_devkit_spark.storage.store import TableStore
 
     store = TableStore(str(tmp_path), "t", spark)
@@ -313,6 +314,39 @@ def test_upsert_key_moving_between_partitions_stays_unique(spark, tmp_path):
     assert len(rows) == 2                  # k=1 exists exactly once
     assert rows[1] == ("d2", 99.0)
     assert rows[2] == ("d1", 2.0)
+
+
+def test_upsert_key_migration_scoped_partition_pruned(spark, tmp_path):
+    """Key-migration upsert is partition-SCOPED, not a global merge: with
+    k=1 migrating d1→d2 and d3 untouched, the survivors plan joins only
+    {d1, d2} (PartitionFilters on the join branch) while d3 passes through
+    behind a pruning filter; the merged result is still exact."""
+    from basis_devkit_spark.storage.store import TableStore
+
+    store = TableStore(str(tmp_path), "t", spark)
+    store.configure(unique_on="k", partition_by="day")
+    base = spark.createDataFrame(
+        [(1, "d1", 1.0), (2, "d1", 2.0), (3, "d2", 3.0), (4, "d3", 4.0)],
+        "k int, day string, val double",
+    )
+    store.write_replace(base)
+    batch = spark.createDataFrame(
+        [(1, "d2", 99.0)], "k int, day string, val double"
+    )
+    batch = store._apply_hints(batch)
+    survivors = store._upsert_survivors(store.read(), batch, ["k"])
+    plan = survivors._sc._jvm.PythonSQLUtils.explainString(
+        survivors._jdf.queryExecution(), "formatted"
+    )
+    pf_lines = [ln for ln in plan.splitlines() if "PartitionFilters" in ln]
+    # The join branch's scan is scoped to the touched partitions d1/d2.
+    assert any("d1" in ln or "d2" in ln for ln in pf_lines), plan
+    # End-to-end: migrating key merged once, untouched partitions intact.
+    store.upsert(batch)
+    rows = {r.k: (r.day, r.val) for r in store.read().collect()}
+    assert rows == {
+        1: ("d2", 99.0), 2: ("d1", 2.0), 3: ("d2", 3.0), 4: ("d3", 4.0)
+    }
 
 
 def test_read_version_raises_after_vacuum(spark, tmp_path):
