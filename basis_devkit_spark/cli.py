@@ -156,27 +156,17 @@ def cmd_explain(args, spark) -> int:
 
 def cmd_list(args, spark) -> int:
     if args.kind == "orgs":
-        # Multi-org resolution analogue (services/lookup.py:36-210 +
-        # organizations.py): every org known locally — the configured
-        # default, orgs holding secrets, and registry publisher orgs.
-        import glob
+        # Multi-org listing (services/lookup.py:36-210 + organizations.py):
+        # every org known locally — see cli_config.known_organizations.
+        from basis_devkit_spark.cli_config import (
+            known_organizations,
+            read_devkit_config,
+        )
 
-        from basis_devkit_spark.cli_config import devkit_home, read_devkit_config
-        from basis_devkit_spark.graph.components import default_registry
-
-        orgs: set[str] = set()
         cfg = read_devkit_config()
-        if cfg.organization_id:
-            orgs.add(cfg.organization_id)
-        sdir = devkit_home() / "secrets"
-        if sdir.is_dir():
-            orgs.update(p.stem for p in sdir.glob("*.json"))
-        for p in glob.glob(os.path.join(default_registry(), "*")):
-            if os.path.isdir(p):
-                orgs.add(os.path.basename(p))
         rows = [
             {"organization": o, "default": o == cfg.organization_id}
-            for o in sorted(orgs)
+            for o in sorted(known_organizations())
         ]
         _out(_paginate(rows, args))
         return 0
@@ -576,17 +566,27 @@ def cmd_logout(args, spark) -> int:
 
 
 def cmd_whoami(args, spark) -> int:
-    """Current profile — the ``me()`` accounts lookup (accounts.py:9)."""
-    from basis_devkit_spark.cli_config import read_devkit_config
+    """Current profile — the ``me()`` accounts lookup (accounts.py:9),
+    with the effective organization resolved through the multi-org order
+    (explicit ``-o`` → configured default → sole known org)."""
+    from basis_devkit_spark.cli_config import (
+        read_devkit_config,
+        resolve_organization,
+    )
 
     cfg = read_devkit_config()
     if not cfg.logged_in:
         raise SystemExit("not logged in (run `login --user NAME` first)")
+    try:
+        org = resolve_organization(getattr(args, "organization", None))
+    except ValueError as exc:
+        raise SystemExit(str(exc))
     _out(
         {
             "username": cfg.username,
             "email": cfg.email,
-            "organization": cfg.organization_id,
+            "organization": org,
+            "default_organization": cfg.organization_id,
         }
     )
     return 0
@@ -794,7 +794,10 @@ def build_parser() -> argparse.ArgumentParser:
     lg.add_argument("-o", "--organization", help="organization (default local)")
 
     sub.add_parser("logout", help="clear the stored token/profile")
-    sub.add_parser("whoami", help="print the current profile")
+    wa = sub.add_parser("whoami", help="print the current profile")
+    wa.add_argument(
+        "-o", "--organization", help="resolve this organization instead of the default"
+    )
 
     se = sub.add_parser("secret", help="org-scoped secret CRUD")
     se.add_argument("action", choices=["create", "list", "delete"])

@@ -67,6 +67,52 @@ def write_devkit_config(config: CliConfig) -> None:
     os.chmod(path, 0o600)  # holds the auth token
 
 
+def known_organizations() -> set[str]:
+    """Every organization known locally — the configured default, orgs
+    holding secrets, and registry publisher orgs (the local analogue of
+    the hosted ``paginated_organizations()`` listing)."""
+    import glob
+
+    from basis_devkit_spark.graph.components import default_registry
+
+    orgs: set[str] = set()
+    cfg = read_devkit_config()
+    if cfg.organization_id:
+        orgs.add(cfg.organization_id)
+    sdir = devkit_home() / "secrets"
+    if sdir.is_dir():
+        orgs.update(p.stem for p in sdir.glob("*.json"))
+    for p in glob.glob(str(Path(default_registry()) / "*")):
+        if Path(p).is_dir():
+            orgs.add(Path(p).name)
+    return orgs
+
+
+def resolve_organization(explicit: str | None = None) -> str:
+    """Resolution order of the reference's ``IdLookup.organization_uid``
+    (cli/services/lookup.py:73-100): (1) an explicitly given org wins;
+    (2) the configured default; (3) enumerate known orgs — exactly one →
+    adopt it AND persist it as the default (the reference does the same
+    ``update_devkit_config`` after resolving); several → the caller must
+    choose (the reference prompts interactively; this CLI raises with the
+    choices listed); none → error directing to ``login``."""
+    if explicit:
+        return explicit
+    cfg = read_devkit_config()
+    if cfg.organization_id:
+        return cfg.organization_id
+    orgs = sorted(known_organizations())
+    if len(orgs) == 1:
+        update_devkit_config(organization_id=orgs[0])
+        return orgs[0]
+    if orgs:
+        raise ValueError(
+            "multiple organizations available, pass -o/--organization: "
+            + ", ".join(orgs)
+        )
+    raise ValueError("no organization: pass one or `login` first")
+
+
 def update_devkit_config(
     organization_id=_UNCHANGED,
     username=_UNCHANGED,

@@ -19,17 +19,16 @@ import os
 import re
 from pathlib import Path
 
-from basis_devkit_spark.cli_config import devkit_home, read_devkit_config
+from basis_devkit_spark.cli_config import devkit_home, resolve_organization
 
 _NAME_RE = re.compile(r"^[A-Za-z0-9_.-]{1,128}$")
 MASK = "••••••"
 
 
 def _org(organization: str | None) -> str:
-    org = organization or read_devkit_config().organization_id
-    if not org:
-        raise ValueError("no organization: pass one or `login` first")
-    return org
+    """Full multi-org resolution (cli_config.resolve_organization):
+    explicit → configured default → sole known org (adopted+persisted)."""
+    return resolve_organization(organization)
 
 
 def _secrets_path(organization: str) -> Path:

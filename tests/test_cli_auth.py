@@ -29,7 +29,12 @@ def test_login_whoami_logout_cycle(home, capsys):
     assert rc == 0 and out["logged_in"] and out["organization"] == "acme"
 
     rc, who = run(capsys, "whoami")
-    assert who == {"username": "ada", "email": "ada@localhost", "organization": "acme"}
+    assert who == {
+        "username": "ada",
+        "email": "ada@localhost",
+        "organization": "acme",
+        "default_organization": "acme",
+    }
 
     cfg = json.loads((home / "config.json").read_text())
     assert cfg["token"] and cfg["username"] == "ada"
@@ -147,3 +152,44 @@ def test_secret_requires_org_context(home, capsys):
     with pytest.raises(SystemExit, match="organization"):
         main(["secret", "create", "k", "v"], spark=object())
     capsys.readouterr()
+
+
+def test_org_resolution_order(home, capsys):
+    """Mirror of the reference's IdLookup.organization_uid resolution
+    (lookup.py:73-100): explicit flag > configured default > sole known
+    org (adopted AND persisted); several knowns without a default is an
+    actionable error, not a guess."""
+    from basis_devkit_spark.cli_config import (
+        read_devkit_config,
+        resolve_organization,
+        update_devkit_config,
+    )
+
+    # no orgs known at all → error pointing at login
+    with pytest.raises(ValueError, match="login"):
+        resolve_organization(None)
+    # explicit always wins, even with a configured default
+    update_devkit_config(organization_id="acme")
+    assert resolve_organization("other") == "other"
+    assert resolve_organization(None) == "acme"
+    # sole known org (via its secrets store) is adopted AND persisted
+    update_devkit_config(organization_id=None)
+    rc, _ = run(capsys, "secret", "create", "k", "v", "-o", "soloorg")
+    assert rc == 0
+    assert resolve_organization(None) == "soloorg"
+    assert read_devkit_config().organization_id == "soloorg"
+    # several known orgs, no default → must choose
+    update_devkit_config(organization_id=None)
+    rc, _ = run(capsys, "secret", "create", "k2", "v2", "-o", "otherorg")
+    assert rc == 0
+    update_devkit_config(organization_id=None)
+    with pytest.raises(ValueError, match="soloorg.*otherorg|otherorg.*soloorg"):
+        resolve_organization(None)
+
+
+def test_whoami_org_override(home, capsys):
+    run(capsys, "login", "--user", "bo", "-o", "acme")
+    rc, who = run(capsys, "whoami", "-o", "umbrella")
+    assert rc == 0
+    assert who["organization"] == "umbrella"
+    assert who["default_organization"] == "acme"
