@@ -393,6 +393,63 @@ def token_budget_sample(
     )
 
 
+def stratified_sample(
+    df: DataFrame,
+    group_col: str,
+    k: int,
+    id_col: str = "doc_id",
+    salt: str = "strat",
+) -> DataFrame:
+    """Deterministic per-group sample: the ``k`` docs per ``group_col``
+    value with the smallest md5 priority (salted hash of the id) — the
+    reproducible analogue of per-stratum uniform sampling used to build
+    eval slices and data-mixture previews.
+
+    Scale shape: the two-phase top-k aggregation (map-side local top-k →
+    per-group merge), NOT a window row_number, so no group ever lands in
+    one reducer whole — the same pattern as similarity._topk_by_query.
+    Output: input columns + ``sample_rank`` (1-based within the group)."""
+    prio = F.md5(F.concat(F.lit(salt), F.col(id_col).cast("string")))
+    key = F.struct(prio.alias("p"), F.col(id_col).alias("i"))
+    packed = (
+        df.withColumn("__k", key)
+        .withColumn("__pid", F.spark_partition_id())
+        .groupBy(group_col, "__pid")
+        .agg(F.slice(F.array_sort(F.collect_list("__k")), 1, k).alias("__tk"))
+        .groupBy(group_col)
+        .agg(
+            F.slice(F.array_sort(F.flatten(F.collect_list("__tk"))), 1, k).alias("__tk")
+        )
+    )
+    winners = packed.select(
+        group_col, F.posexplode("__tk").alias("__r0", "__w")
+    ).select(
+        group_col,
+        F.col("__w.i").alias(id_col),
+        (F.col("__r0") + 1).alias("sample_rank"),
+    )
+    return winners.join(df, [group_col, id_col]).select(
+        *df.columns, "sample_rank"
+    )
+
+
+def normalize_text(
+    df: DataFrame, text_col: str = "text", out_col: str = "norm_text"
+) -> DataFrame:
+    """Canonical text normalization for dedup/fingerprint pre-passes:
+    lowercase → non-alphanumerics to spaces → collapse whitespace → trim.
+    Pure column expressions (RE2/Java-compatible patterns, so SQL oracles
+    replay them exactly); adds before/after char counts."""
+    lowered = F.lower(F.col(text_col))
+    cleaned = F.regexp_replace(lowered, r"[^a-z0-9\s]", " ")
+    collapsed = F.trim(F.regexp_replace(cleaned, r"\s+", " "))
+    return (
+        df.withColumn("n_chars_raw", F.length(F.col(text_col)))
+        .withColumn(out_col, collapsed)
+        .withColumn("n_chars_norm", F.length(F.col(out_col)))
+    )
+
+
 # Redaction patterns applied in order; SSN before the generic phone shape so
 # the broader digit-run pattern cannot eat it first. RE2/Java-compatible
 # (no backreferences/lookaround), so oracles replay them exactly.

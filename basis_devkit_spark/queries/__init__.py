@@ -95,8 +95,10 @@ _SAMPLE_PRIORITY = [
     "d04m_cross_doc_dup_ngrams", "d04n_token_budget_sample",
     "d04o_chunk_documents", "d05c_byte_histogram",
     "d06d_normalize_embeddings",
-    # -- round-4 implementation/oracle changes (re-check under the driver)
+    # -- round-4 implementation/oracle changes and additions (re-check
+    # under the driver)
     "d02b_minhash_dedup", "d03c_ivf_topk", "d05_multimodal_plumbing",
+    "d04p_normalize_text", "d08_stratified_sample",
     "d02c_simhash", "d03b_lsh_topk", "d04d_fingerprint",
     "d02d_embedding_near_dup", "a04_append", "a14_stream_checkpoint",
 ]

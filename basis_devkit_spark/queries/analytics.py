@@ -1168,6 +1168,58 @@ def d04o(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @register(
+    "d04p_normalize_text",
+    r"""
+    with n as (
+      select doc_id, length(text) as n_chars_raw,
+             trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\s]', ' ', 'g'),
+                                 '\s+', ' ', 'g')) as norm_text
+      from documents
+    )
+    select doc_id, n_chars_raw, norm_text,
+           length(norm_text) as n_chars_norm
+    from n
+    """,
+    doc="canonical text normalization (lowercase, strip non-alnum, "
+    "collapse whitespace) — the dedup/fingerprint pre-pass, pure column "
+    "expressions",
+)
+def d04p(spark: SparkSession, sf: str) -> DataFrame:
+    from basis_devkit_spark.operators.text import normalize_text
+
+    d = load(spark, sf, "documents")
+    return normalize_text(d, "text").select(
+        "doc_id", "n_chars_raw", "norm_text", "n_chars_norm"
+    )
+
+
+@register(
+    "d08_stratified_sample",
+    """
+    with ranked as (
+      select source, doc_id, n_chars,
+             row_number() over (
+               partition by source
+               order by md5('strat' || cast(doc_id as varchar)), doc_id
+             ) as sample_rank
+      from documents)
+    select source, doc_id, n_chars, cast(sample_rank as int) as sample_rank
+    from ranked where sample_rank <= 5
+    """,
+    doc="deterministic stratified sample: 5 docs per source in salted-md5 "
+    "priority order — reproducible eval-slice / mixture-preview sampling; "
+    "two-phase top-k agg, no per-group window reducer",
+)
+def d08(spark: SparkSession, sf: str) -> DataFrame:
+    from basis_devkit_spark.operators.text import stratified_sample
+
+    d = load(spark, sf, "documents").select("source", "doc_id", "n_chars")
+    return stratified_sample(d, "source", 5).select(
+        "source", "doc_id", "n_chars", F.col("sample_rank").cast("int").alias("sample_rank")
+    )
+
+
+@register(
     "d02f_chunk_dedup",
     """
     with src as (

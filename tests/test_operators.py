@@ -720,3 +720,34 @@ def test_chunk_documents_windows(spark):
     assert covered == {f"t{i}" for i in range(25)}
     d2 = [r for r in rows if r.doc_id == 2]
     assert len(d2) == 1 and d2[0].n_tokens == 3
+
+
+def test_stratified_sample_properties(spark, docs):
+    """Exactly k per group (or the whole group if smaller), deterministic
+    across runs, ranks contiguous from 1."""
+    from basis_devkit_spark.operators.text import stratified_sample
+
+    d = docs.select("source", "doc_id", "n_chars")
+    s1 = stratified_sample(d, "source", 5)
+    rows = s1.collect()
+    by_src = {}
+    for r in rows:
+        by_src.setdefault(r.source, []).append(r.sample_rank)
+    sizes = {r[0]: r[1] for r in d.groupBy("source").count().collect()}
+    for src, ranks in by_src.items():
+        assert sorted(ranks) == list(range(1, min(5, sizes[src]) + 1))
+    # determinism
+    s2 = {(r.source, r.doc_id, r.sample_rank) for r in stratified_sample(d, "source", 5).collect()}
+    assert {(r.source, r.doc_id, r.sample_rank) for r in rows} == s2
+
+
+def test_normalize_text_semantics(spark):
+    from basis_devkit_spark.operators.text import normalize_text
+
+    df = spark.createDataFrame(
+        [(1, "  Hello,   WORLD!! x9 "), (2, "a-b_c")], "doc_id int, text string"
+    )
+    got = {r.doc_id: (r.norm_text, r.n_chars_raw, r.n_chars_norm)
+           for r in normalize_text(df, "text").collect()}
+    assert got[1] == ("hello world x9", 22, 14)
+    assert got[2] == ("a b c", 5, 5)

@@ -230,3 +230,26 @@ def test_contamination_broadcasts_benchmark(spark):
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
     assert "BatchEvalPython" not in plan
+
+
+def test_stratified_sample_no_window_two_phase_topk(spark):
+    """stratified_sample must use the two-phase top-k aggregation (local
+    top-k per partition -> per-group merge), never a Window row_number —
+    a window puts each whole group through one reducer, the skew-killer
+    at corpus scale."""
+    from basis_devkit_spark.operators.text import stratified_sample
+
+    docs = load(spark, SF, "documents").select("source", "doc_id", "n_chars")
+    df = stratified_sample(docs, "source", 5)
+    plan = plan_of(df)
+    assert "Window" not in plan, plan
+    assert plan.count("HashAggregate") >= 2  # partial + final phases
+
+
+def test_normalize_text_pure_projection(spark):
+    """normalize_text is a zero-shuffle projection."""
+    from basis_devkit_spark.operators.text import normalize_text
+
+    docs = load(spark, SF, "documents")
+    df = normalize_text(docs, "text")
+    assert n_shuffles(df) == 0
