@@ -98,8 +98,8 @@ _SAMPLE_PRIORITY = [
     # -- round-4 implementation/oracle changes and additions (re-check
     # under the driver)
     "d02b_minhash_dedup", "d03c_ivf_topk", "d05_multimodal_plumbing",
-    "d04p_normalize_text", "d08_stratified_sample",
-    "d02c_simhash", "d03b_lsh_topk", "d04d_fingerprint",
+    "d04p_normalize_text", "d08_stratified_sample", "b39c_edit_distance",
+    "b56_bitwise_ops", "d02c_simhash", "d03b_lsh_topk", "d04d_fingerprint",
     "d02d_embedding_near_dup", "a04_append", "a14_stream_checkpoint",
 ]
 

@@ -506,3 +506,59 @@ def b55(spark: SparkSession, sf: str) -> DataFrame:
         F.expr("try_cast(l_returnflag as int)").alias("flag_as_int"),
         F.expr("try_cast(cast(l_linenumber as string) as int)").alias("qty_int"),
     )
+
+
+@register(
+    "b39c_edit_distance",
+    """
+    select a.doc_id as doc_id,
+           levenshtein(substr(a.text, 1, 40), substr(b.text, 1, 40)) as edit_dist,
+           levenshtein(a.lang, b.lang) as lang_dist
+    from documents a join documents b on b.doc_id = a.doc_id + 1
+    """,
+    doc="Levenshtein edit distance between consecutive docs' prefixes — "
+    "the classic fuzzy-match primitive (identical DP semantics in Spark "
+    "and DuckDB)",
+)
+def b39c(spark: SparkSession, sf: str) -> DataFrame:
+    d = load(spark, sf, "documents")
+    a = d.select(
+        F.col("doc_id"), F.substring("text", 1, 40).alias("pa"), F.col("lang").alias("la")
+    )
+    b = d.select(
+        (F.col("doc_id") - 1).alias("doc_id"),
+        F.substring("text", 1, 40).alias("pb"),
+        F.col("lang").alias("lb"),
+    )
+    return a.join(b, "doc_id").select(
+        "doc_id",
+        F.levenshtein("pa", "pb").alias("edit_dist"),
+        F.levenshtein("la", "lb").alias("lang_dist"),
+    )
+
+
+@register(
+    "b56_bitwise_ops",
+    """
+    select l_orderkey, l_partkey,
+           l_orderkey & 255 as and_v,
+           l_orderkey | 15 as or_v,
+           xor(l_orderkey, l_partkey) as xor_v,
+           l_orderkey >> 2 as shr_v,
+           cast(bit_count(l_orderkey) as int) as bits
+    from lineitem where l_orderkey < 200
+    """,
+    doc="bitwise AND/OR/XOR/shift/popcount — partition-bucketing and "
+    "bitmap-index arithmetic on int keys",
+)
+def b56(spark: SparkSession, sf: str) -> DataFrame:
+    li = load(spark, sf, "lineitem").filter(F.col("l_orderkey") < 200)
+    return li.select(
+        "l_orderkey",
+        "l_partkey",
+        F.col("l_orderkey").bitwiseAND(F.lit(255)).alias("and_v"),
+        F.col("l_orderkey").bitwiseOR(F.lit(15)).alias("or_v"),
+        F.col("l_orderkey").bitwiseXOR(F.col("l_partkey")).alias("xor_v"),
+        F.shiftright("l_orderkey", 2).alias("shr_v"),
+        F.bit_count("l_orderkey").alias("bits"),
+    )

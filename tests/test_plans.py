@@ -253,3 +253,23 @@ def test_normalize_text_pure_projection(spark):
     docs = load(spark, SF, "documents")
     df = normalize_text(docs, "text")
     assert n_shuffles(df) == 0
+
+
+def test_ivf_deterministic_quantizer_plan(spark):
+    """With injected centroids, IVF assignment and probing are pure
+    projections (no Window, no crossJoin of corpus x centroids); the only
+    join is candidate-cell matching."""
+    from pyspark.sql import functions as F
+
+    from basis_devkit_spark.operators.similarity import ivf_topk
+
+    emb = load(spark, SF, "embeddings")
+    cents = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").cast("int").alias("cell"),
+        F.transform("embedding", lambda x: x.cast("double")).alias("center"),
+    )
+    df = ivf_topk(emb.filter(F.col("vec_id") < 5), emb, k=5, nlist=8, nprobe=4,
+                  centroids=cents)
+    plan = plan_of(df)
+    assert "Window" not in plan, plan
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan, plan
