@@ -208,6 +208,35 @@ def test_pyoracle_minhash_signed_order_synthetic(spark):
     assert any(any(v < 0 for v in sig) for sig in got.values())
 
 
+def test_pyoracle_ivf_candidates_match_spark(spark, sf_dir):
+    """The Python IVF model must reproduce Spark's candidate generation
+    exactly: running ivf_topk with k larger than any cell returns EVERY
+    candidate pair, which must equal the model's (query, match) set —
+    cell assignment and probing agree bit-for-bit (sequential-fold cosine)."""
+    from pyspark.sql import functions as F
+
+    from basis_devkit_spark.operators.similarity import ivf_topk
+    from basis_devkit_spark.queries import load, pyoracle as po
+
+    emb = load(spark, sf_dir, "embeddings")
+    cents = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").cast("int").alias("cell"),
+        F.transform("embedding", lambda x: x.cast("double")).alias("center"),
+    )
+    q = emb.filter(F.col("vec_id") < 5)
+    got = {
+        (r.query_id, r.match_id)
+        for r in ivf_topk(
+            q, emb, k=10_000_000, nlist=8, nprobe=4, centroids=cents
+        ).collect()
+    }
+    want = set(po.ivf_candidates(sf_dir))
+    assert got == want, (
+        f"candidate sets differ: spark-only {sorted(got - want)[:5]}, "
+        f"model-only {sorted(want - got)[:5]}"
+    )
+
+
 def test_pyoracle_xxh64_matches_spark(spark):
     """The Python XXH64 model behind the literal-table oracles must be
     bit-exact with Spark's xxhash64 for every input kind it models:
