@@ -1101,6 +1101,86 @@ def c09(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @register(
+    "c10_stream_stream_interval_join",
+    """
+    select c.event_id as click_id, p.event_id as purchase_id,
+           c.user_id as user_id, round(p.value, 4) as purchase_value
+    from events c join events p on p.user_id = c.user_id
+    where c.event_type = 'click' and p.event_type = 'purchase'
+      and p.ts >= c.ts and p.ts <= c.ts + interval 1 hour
+    """,
+    doc="true stream-stream event-time interval join (click -> purchase "
+    "by the same user within 1 hour): two file streams, watermarks + "
+    "range condition bound the join state, exactly-once foreachBatch "
+    "sink; result must equal the batch interval join exactly",
+)
+def c10(spark: SparkSession, sf: str) -> DataFrame:
+    import os as _os
+    import tempfile as _tf
+
+    from basis_devkit_spark.storage.store import TableStore
+    from basis_devkit_spark.streaming.ops import (
+        stream_append_to_store,
+        stream_interval_join,
+    )
+
+    tmp = _tf.mkdtemp(prefix="bds_c10_")
+    drop = _os.path.join(tmp, "drop")
+    _os.makedirs(drop, exist_ok=True)
+    _os.symlink(f"{sf}/events.parquet", _os.path.join(drop, "events.parquet"))
+    raw_schema = spark.read.parquet(f"{sf}/events.parquet").schema
+
+    from pyspark.sql import types as T
+
+    ts_is_long = isinstance(raw_schema["ts"].dataType, T.LongType)
+
+    def src():
+        s = spark.readStream.schema(raw_schema).parquet(drop)
+        # events.ts is parquet TIMESTAMP(NANOS): depending on the session's
+        # nanosAsLong conf it surfaces as long (convert to micros exactly
+        # as the batch loader does) or as a timestamp already.
+        if ts_is_long:
+            s = s.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+        # Watermarks need TIMESTAMP (ltz), not NTZ; session tz is UTC so
+        # the cast is a deterministic relabel, comparisons unchanged.
+        return s.withColumn("ts", F.col("ts").cast("timestamp"))
+
+    clicks = (
+        src()
+        .filter(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("click_id"),
+            "user_id",
+            F.col("ts").alias("click_ts"),
+        )
+    )
+    purchases = (
+        src()
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            "user_id",
+            F.col("ts").alias("purchase_ts"),
+            "value",
+        )
+    )
+    joined = stream_interval_join(
+        clicks, purchases, "user_id", "click_ts", "purchase_ts",
+        max_delay="1 hour", watermark="35 days",
+    ).select(
+        "click_id", "purchase_id", "user_id",
+        F.round("value", 4).alias("purchase_value"),
+    )
+    store = TableStore(tmp, "attrib", spark)
+    q = stream_append_to_store(joined, store, f"{tmp}/_ckpt").start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return store.read()
+
+
+@register(
     "d04n_token_budget_sample",
     """
     with t as (

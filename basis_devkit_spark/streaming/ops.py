@@ -260,3 +260,37 @@ def stream_to_managed_table(
         .trigger(processingTime=f"{trigger_seconds} seconds")
         .outputMode("append")
     )
+
+
+def stream_interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    left_ts: str,
+    right_ts: str,
+    max_delay: str = "1 hour",
+    watermark: str = "1 hour",
+    how: str = "inner",
+) -> DataFrame:
+    """Stream-stream event-time interval join: rows pair when they share
+    ``on`` and ``right_ts`` falls in [left_ts, left_ts + max_delay] — the
+    click→conversion attribution shape.
+
+    Both sides carry watermarks plus the time-range condition, which is
+    what lets Structured Streaming BOUND the join state: a buffered left
+    row can be dropped once the right watermark passes left_ts+max_delay
+    (without the range condition the state grows forever). Columns must be
+    disjoint apart from ``on``; rename before joining."""
+    lw = left.withWatermark(left_ts, watermark).alias("l")
+    rw = right.withWatermark(right_ts, watermark).alias("r")
+    cond = (
+        (F.col(f"l.{on}") == F.col(f"r.{on}"))
+        & (F.col(f"r.{right_ts}") >= F.col(f"l.{left_ts}"))
+        & (
+            F.col(f"r.{right_ts}")
+            <= F.col(f"l.{left_ts}") + F.expr(f"interval {max_delay}")
+        )
+    )
+    out = lw.join(rw, cond, how)
+    # drop the duplicated join key from the right side
+    return out.drop(F.col(f"r.{on}"))

@@ -224,3 +224,53 @@ def test_stream_batch_retry_after_failed_append(spark, tmp_path):
     reloaded = TableStore(str(tmp_path / "root"), "t", spark)
     assert reloaded._manifest.last_stream_batch_id == 1
     assert reloaded.record_count == 2
+
+
+def test_stream_interval_join_range_semantics(spark, tmp_path):
+    """Stream-stream interval join pairs rows sharing the key with the
+    right event inside [left_ts, left_ts + max_delay]; outside-window and
+    wrong-key rows never pair. Result must equal the batch interval join."""
+    import json as _json
+
+    from basis_devkit_spark.storage.store import TableStore
+    from basis_devkit_spark.streaming import ops as sops
+
+    src = tmp_path / "drop"
+    src.mkdir()
+    rows = [
+        # user 1: click t0, purchases at +30min (in), +90min (out)
+        {"kind": "click", "eid": 1, "uid": 1, "ts": "2024-01-01T10:00:00"},
+        {"kind": "purchase", "eid": 2, "uid": 1, "ts": "2024-01-01T10:30:00"},
+        {"kind": "purchase", "eid": 3, "uid": 1, "ts": "2024-01-01T11:30:00"},
+        # user 2: purchase BEFORE the click -> no pair
+        {"kind": "purchase", "eid": 4, "uid": 2, "ts": "2024-01-01T09:00:00"},
+        {"kind": "click", "eid": 5, "uid": 2, "ts": "2024-01-01T09:30:00"},
+        # user 3: click only
+        {"kind": "click", "eid": 6, "uid": 3, "ts": "2024-01-01T12:00:00"},
+    ]
+    with open(src / "b.json", "w") as f:
+        for r in rows:
+            f.write(_json.dumps(r) + "\n")
+    schema = "kind string, eid long, uid long, ts timestamp"
+
+    def stream():
+        return spark.readStream.schema(schema).json(str(src))
+
+    clicks = stream().filter("kind = 'click'").select(
+        "uid", F.col("eid").alias("click_id"), F.col("ts").alias("click_ts")
+    )
+    purchases = stream().filter("kind = 'purchase'").select(
+        "uid", F.col("eid").alias("purchase_id"), F.col("ts").alias("purchase_ts")
+    )
+    joined = sops.stream_interval_join(
+        clicks, purchases, "uid", "click_ts", "purchase_ts",
+        max_delay="1 hour", watermark="10 days",
+    ).select("uid", "click_id", "purchase_id")
+    store = TableStore(str(tmp_path / "root"), "attrib", spark)
+    q = sops.stream_append_to_store(joined, store, str(tmp_path / "ckpt")).start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = {(r.uid, r.click_id, r.purchase_id) for r in store.read().collect()}
+    assert got == {(1, 1, 2)}
