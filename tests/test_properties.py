@@ -115,3 +115,40 @@ def test_graph_editor_preserves_all_original_lines(tmp_path_factory, title, file
     parsed = _yaml.safe_load(out)
     assert [n["node_file"] for n in parsed["functions"]] == files
     assert str(parsed["title"]) == title
+
+
+@given(
+    st.lists(
+        st.text(
+            alphabet=st.characters(min_codepoint=32, max_codepoint=126),
+            max_size=60,
+        ),
+        min_size=1,
+        max_size=8,
+    )
+)
+@settings(max_examples=20, deadline=None)
+def test_normalize_text_idempotent_and_charset(texts):
+    """normalize_text is idempotent (normalizing a normalized text is a
+    no-op) and its output alphabet is exactly [a-z0-9 ] with no leading/
+    trailing/double spaces — checked against a python reference."""
+    import re as _re
+
+    from basis_devkit_spark.operators.text import normalize_text
+    from basis_devkit_spark.session import get_spark
+
+    spark = get_spark(app_name="basis-devkit-spark-tests")
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id int, text string"
+    )
+    out = {r.doc_id: r.norm_text for r in normalize_text(df, "text").collect()}
+    for i, t in enumerate(texts):
+        ref = _re.sub(r"\s+", " ", _re.sub(r"[^a-z0-9\s]", " ", t.lower())).strip()
+        assert out[i] == ref, (t, out[i], ref)
+        assert not _re.search(r"[^a-z0-9 ]|^ | $|  ", out[i] or "")
+    # idempotence
+    df2 = spark.createDataFrame(
+        [(i, v) for i, v in out.items()], "doc_id int, text string"
+    )
+    out2 = {r.doc_id: r.norm_text for r in normalize_text(df2, "text").collect()}
+    assert out2 == out
