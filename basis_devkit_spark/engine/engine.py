@@ -358,21 +358,111 @@ class Engine:
             out.extend(n for n in self.graph.functions if n.id not in done)
         return out
 
-    def run_graph(self, max_reruns: int = 10) -> list[dict[str, Any]]:
+    def topo_levels(self) -> list[list["NodeSpec"]]:
+        """Topological LEVELS of function nodes: level k holds nodes whose
+        producers all sit in levels < k, so everything within one level is
+        mutually independent — the unit of safe concurrent submission."""
+        assert self.graph is not None
+        producers: dict[str, list[NodeSpec]] = defaultdict(list)
+        for n in self.graph.functions:
+            for s in n.outputs.values():
+                producers[s].append(n)
+            if n.webhook:
+                producers[n.webhook].append(n)
+        indeg: dict[str, int] = {}
+        edges: dict[str, list[NodeSpec]] = defaultdict(list)
+        by_id = {n.id: n for n in self.graph.functions}
+        for n in self.graph.functions:
+            indeg.setdefault(n.id, 0)
+            for s in n.inputs.values():
+                for p in producers.get(s, []):
+                    if p.id != n.id:
+                        edges[p.id].append(n)
+                        indeg[n.id] = indeg.get(n.id, 0) + 1
+        frontier = sorted(nid for nid, d in indeg.items() if d == 0)
+        levels: list[list[NodeSpec]] = []
+        seen: set[str] = set()
+        while frontier:
+            levels.append([by_id[nid] for nid in frontier])
+            seen.update(frontier)
+            nxt: set[str] = set()
+            for nid in frontier:
+                for m in edges[nid]:
+                    indeg[m.id] -= 1
+                    if indeg[m.id] == 0:
+                        nxt.add(m.id)
+            frontier = sorted(nxt)
+        if len(seen) != len(self.graph.functions):
+            # cycle: declaration order for the remainder, one per level
+            for n in self.graph.functions:
+                if n.id not in seen:
+                    levels.append([n])
+        return levels
+
+    def run_graph(
+        self, max_reruns: int = 10, parallelism: int = 1
+    ) -> list[dict[str, Any]]:
         """One full batch pass: every node once in topo order, honoring
-        request_new_run re-enqueues (bounded)."""
+        request_new_run re-enqueues (bounded).
+
+        ``parallelism > 1`` submits each topological level's nodes
+        concurrently from a thread pool — on a real cluster the driver is
+        otherwise idle between job waves, and independent nodes' Spark
+        jobs schedule side-by-side (Spark's scheduler is thread-safe; FAIR
+        pools apply if configured). Within a level, nodes sharing an
+        OUTPUT store are serialized into successive waves (manifest
+        commits are per-store read-modify-write). SQL nodes are safe by
+        construction (temp views register under store names, which map
+        1:1 to content); Python nodes run user code — keep
+        ``parallelism=1`` if yours mutate shared state."""
         assert self.graph is not None, "load_graph first"
-        queue = deque(self.topo_order())
         reruns: dict[str, int] = defaultdict(int)
-        while queue:
-            node = queue.popleft()
-            if node.kind == "webhook":
-                continue
-            ctx = self.run_node(node)
-            req = ctx.new_run_requested
-            if req and reruns[node.id] < max_reruns:
+        rerun_queue: deque[NodeSpec] = deque()
+
+        def _after(node: NodeSpec, ctx) -> None:
+            if ctx.new_run_requested and reruns[node.id] < max_reruns:
                 reruns[node.id] += 1
-                queue.append(node)
+                rerun_queue.append(node)
+
+        if parallelism <= 1:
+            queue = deque(self.topo_order())
+            while queue:
+                node = queue.popleft()
+                if node.kind == "webhook":
+                    continue
+                ctx = self.run_node(node)
+                _after(node, ctx)
+                if rerun_queue:
+                    queue.append(rerun_queue.popleft())
+            return self._run_log
+
+        from concurrent.futures import ThreadPoolExecutor
+
+        for level in self.topo_levels():
+            runnable = [n for n in level if n.kind != "webhook"]
+            # Split into waves with disjoint output stores.
+            waves: list[list[NodeSpec]] = []
+            for n in runnable:
+                outs = set(n.outputs.values())
+                placed = False
+                for w in waves:
+                    taken = {s for m in w for s in m.outputs.values()}
+                    if not (outs & taken):
+                        w.append(n)
+                        placed = True
+                        break
+                if not placed:
+                    waves.append([n])
+            for w in waves:
+                if len(w) == 1:
+                    _after(w[0], self.run_node(w[0]))
+                    continue
+                with ThreadPoolExecutor(max_workers=parallelism) as ex:
+                    for node, ctx in zip(w, ex.map(self.run_node, w)):
+                        _after(node, ctx)
+        while rerun_queue:  # re-runs execute sequentially after the pass
+            node = rerun_queue.popleft()
+            _after(node, self.run_node(node))
         return self._run_log
 
     def trigger(self, node_key: str) -> None:

@@ -495,3 +495,90 @@ def test_store_expectations_from_graph_yaml(spark, tmp_path):
     eng.run_graph()
     assert {r.v for r in eng.table_df("clean").collect()} == {1, 3}
     assert eng.store("clean").expectation_violations() == {"v_nonneg": 1}
+
+
+def test_run_graph_parallel_levels_match_sequential(spark, tmp_path):
+    """parallelism>1 submits each topo level's independent nodes
+    concurrently; results must equal the sequential run, downstream nodes
+    still see committed upstream outputs, and topo_levels groups the
+    diamond correctly."""
+    yml = """
+    functions:
+      - node_file: a.sql
+        id: brancha
+        inputs: { src: numbers }
+        outputs: { out: doubled }
+      - node_file: b.sql
+        id: branchb
+        inputs: { src: numbers }
+        outputs: { out: squared }
+      - node_file: j.sql
+        id: joiner
+        inputs: { d: doubled, s: squared }
+        outputs: { out: joined }
+    stores:
+      - table: numbers
+      - table: doubled
+      - table: squared
+      - table: joined
+    """
+    files = {
+        "a.sql": "select n, n * 2 as v from {{ src }}",
+        "b.sql": "select n, n * n as w from {{ src }}",
+        "j.sql": "select d.n, d.v, s.w from {{ d }} d join {{ s }} s on d.n = s.n",
+    }
+
+    def build(root):
+        app = write_app(root / "app", yml, **files)
+        eng = Engine(spark, str(root / "store"))
+        eng.load_graph(app)
+        eng.seed_store(
+            "numbers", spark.createDataFrame([(i,) for i in range(20)], "n int")
+        )
+        return eng
+
+    eng_p = build(tmp_path / "par")
+    levels = [[n.id for n in lvl] for lvl in eng_p.topo_levels()]
+    assert levels == [["brancha", "branchb"], ["joiner"]]
+    eng_p.run_graph(parallelism=4)
+    got_p = {(r.n, r.v, r.w) for r in eng_p.table_df("joined").collect()}
+
+    eng_s = build(tmp_path / "seq")
+    eng_s.run_graph()
+    got_s = {(r.n, r.v, r.w) for r in eng_s.table_df("joined").collect()}
+    assert got_p == got_s
+    assert got_p == {(i, 2 * i, i * i) for i in range(20)}
+
+
+def test_run_graph_parallel_shared_output_serialized(spark, tmp_path):
+    """Two same-level nodes writing the SAME output store must not race
+    the manifest: the wave split serializes them, and both commits land
+    (append semantics would differ, but write_replace means last wins —
+    the invariant here is no lost/corrupt manifest, exactly 2 versions)."""
+    yml = """
+    functions:
+      - node_file: a.sql
+        id: w1
+        inputs: { src: numbers }
+        outputs: { out: t }
+      - node_file: b.sql
+        id: w2
+        inputs: { src: numbers }
+        outputs: { out: t }
+    stores:
+      - table: numbers
+      - table: t
+    """
+    files = {
+        "a.sql": "select n from {{ src }}",
+        "b.sql": "select n + 100 as n from {{ src }}",
+    }
+    app = write_app(tmp_path / "app", yml, **files)
+    eng = Engine(spark, str(tmp_path / "store"))
+    eng.load_graph(app)
+    eng.seed_store("numbers", spark.createDataFrame([(1,), (2,)], "n int"))
+    eng.run_graph(parallelism=4)
+    st = eng.store("t")
+    assert st.get_active_version() >= 2  # both commits landed, in order
+    vals = sorted(r.n for r in st.read().collect())
+    assert vals in ([1, 2], [101, 102])  # one full result, never a mix
