@@ -562,3 +562,59 @@ def b56(spark: SparkSession, sf: str) -> DataFrame:
         F.shiftright("l_orderkey", 2).alias("shr_v"),
         F.bit_count("l_orderkey").alias("bits"),
     )
+
+
+@register(
+    "b57_orc_roundtrip",
+    """
+    select n_nationkey, n_name, n_regionkey from nation
+    """,
+    doc="ORC source/sink round-trip: write the nation table to ORC, scan "
+    "it back — content must equal the parquet relation exactly (Spark "
+    "ships the ORC reader natively; pushdown/pruning apply as on parquet)",
+)
+def b57(spark: SparkSession, sf: str) -> DataFrame:
+    import tempfile as _tf
+
+    from basis_devkit_spark.sources import read_orc, write_orc
+
+    n = load(spark, sf, "nation").select("n_nationkey", "n_name", "n_regionkey")
+    path = _tf.mkdtemp(prefix="bds_orc_") + "/nation.orc"
+    write_orc(n, path)
+    return read_orc(spark, path)
+
+
+@register(
+    "b58_url_funcs",
+    r"""
+    with u as (
+      select doc_id,
+             'https://' || source || '.example.com/docs/' ||
+               cast(doc_id as varchar) || '?lang=' || lang as url
+      from documents
+    )
+    select doc_id,
+           regexp_extract(url, '^([a-z]+)://', 1) as proto,
+           regexp_extract(url, '://([^/]+)/', 1) as host,
+           regexp_extract(url, '://[^/]+(/[^?]*)', 1) as path,
+           regexp_extract(url, '\?(.*)$', 1) as query
+    from u
+    """,
+    doc="URL parsing (protocol/host/path/query) via Spark's parse_url — "
+    "the per-domain-stats primitive for web-crawl corpora; DuckDB oracle "
+    "recomputes the components with regexes",
+)
+def b58(spark: SparkSession, sf: str) -> DataFrame:
+    d = load(spark, sf, "documents")
+    url = F.concat(
+        F.lit("https://"), F.col("source"), F.lit(".example.com/docs/"),
+        F.col("doc_id").cast("string"), F.lit("?lang="), F.col("lang"),
+    )
+    u = d.select("doc_id", url.alias("url"))
+    return u.select(
+        "doc_id",
+        F.parse_url("url", F.lit("PROTOCOL")).alias("proto"),
+        F.parse_url("url", F.lit("HOST")).alias("host"),
+        F.parse_url("url", F.lit("PATH")).alias("path"),
+        F.parse_url("url", F.lit("QUERY")).alias("query"),
+    )

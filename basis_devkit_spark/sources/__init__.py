@@ -2,10 +2,12 @@ from basis_devkit_spark.sources.io import (
     read_csv,
     read_json,
     read_jsonl,
+    read_orc,
     read_parquet,
     read_records,
     write_csv,
     write_json,
+    write_orc,
     write_parquet,
 )
 
@@ -13,9 +15,11 @@ __all__ = [
     "read_csv",
     "read_json",
     "read_jsonl",
+    "read_orc",
     "read_parquet",
     "read_records",
     "write_csv",
     "write_json",
+    "write_orc",
     "write_parquet",
 ]

@@ -116,3 +116,19 @@ def write_json(
     **options: Any,
 ) -> None:
     _writer(df, mode, partition_by, None).options(**options).json(path)
+
+
+def read_orc(spark: SparkSession, path: str, **options: Any) -> DataFrame:
+    """ORC scan (columnar like parquet; predicate pushdown + column
+    pruning apply the same way — Spark ships the reader natively)."""
+    return spark.read.options(**options).orc(path)
+
+
+def write_orc(
+    df: DataFrame,
+    path: str,
+    mode: str = "overwrite",
+    partition_by: list[str] | None = None,
+    max_records_per_file: int | None = None,
+) -> None:
+    _writer(df, mode, partition_by, max_records_per_file).orc(path)

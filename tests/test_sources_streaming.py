@@ -274,3 +274,19 @@ def test_stream_interval_join_range_semantics(spark, tmp_path):
         q.stop()
     got = {(r.uid, r.click_id, r.purchase_id) for r in store.read().collect()}
     assert got == {(1, 1, 2)}
+
+
+def test_orc_roundtrip_partitioned(spark, tmp_path):
+    from basis_devkit_spark.sources import read_orc, write_orc
+
+    df = spark.createDataFrame(
+        [(i, i % 3, f"v{i}") for i in range(30)], "k int, b int, v string"
+    )
+    path = str(tmp_path / "orc")
+    write_orc(df, path, partition_by=["b"])
+    import os as _os
+
+    assert _os.path.isdir(_os.path.join(path, "b=1"))
+    back = read_orc(spark, path)
+    assert back.count() == 30
+    assert back.filter("b = 2").count() == 10
