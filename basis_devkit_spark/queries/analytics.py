@@ -1452,3 +1452,39 @@ def d06d(spark: SparkSession, sf: str) -> DataFrame:
         F.round(F.element_at("nv", 1), 6).alias("first_comp"),
         F.round(_norm(F.col("nv")), 4).alias("unit_norm"),
     )
+
+
+@register(
+    "d09_salted_agg",
+    """
+    select event_type,
+           count(value) as count_value,
+           round(sum(value), 4) as sum_r,
+           round(min(value), 4) as min_r,
+           round(max(value), 4) as max_r
+    from events group by event_type
+    """,
+    doc="skew-salted two-phase aggregation: partial agg on (key, salt) "
+    "spreads a hot key over N reducers, final agg merges — results must "
+    "equal the plain group-by exactly (decomposable aggregates)",
+)
+def d09(spark: SparkSession, sf: str) -> DataFrame:
+    from basis_devkit_spark.operators.skew import salted_agg
+
+    e = load(spark, sf, "events")
+    out = salted_agg(
+        e, ["event_type"], {"value": "count"}, salt=16
+    ).join(
+        salted_agg(e, ["event_type"], {"value": "sum"}, salt=16), "event_type"
+    ).join(
+        salted_agg(e, ["event_type"], {"value": "min"}, salt=16), "event_type"
+    ).join(
+        salted_agg(e, ["event_type"], {"value": "max"}, salt=16), "event_type"
+    )
+    return out.select(
+        "event_type",
+        "count_value",
+        F.round("sum_value", 4).alias("sum_r"),
+        F.round("min_value", 4).alias("min_r"),
+        F.round("max_value", 4).alias("max_r"),
+    )
