@@ -42,6 +42,7 @@ import functools
 import json
 import os
 import shutil
+import threading
 import time
 from dataclasses import dataclass, field
 from typing import Any
@@ -53,6 +54,10 @@ from pyspark.sql import types as T
 from pyspark.sql.window import Window
 
 MANIFEST = "_manifest.json"
+
+# Serializes the scoped outputTimestampType set/restore across concurrent
+# node writes (session conf is global to the SparkSession).
+_WRITE_CONF_LOCK = threading.Lock()
 
 # CommonModel-ish type names → Spark types (SURVEY §1.2 mapping).
 FIELD_TYPE_MAP: dict[str, T.DataType] = {
@@ -624,15 +629,17 @@ class TableStore:
         # Spark's legacy INT96 parquet timestamp encoding carries NO footer
         # min/max statistics, which would silently disable data skipping on
         # every timestamp column. Force TIMESTAMP_MICROS for OUR writes
-        # only — scoped set/restore, never a permanent session mutation
-        # (driver writes are single-threaded through the engine).
+        # only — scoped set/restore under a process-wide lock so
+        # level-parallel graph execution (engine.run_graph(parallelism>1))
+        # can't interleave two set/restore pairs and leak the conf.
         key = "spark.sql.parquet.outputTimestampType"
-        prev = self.spark.conf.get(key)
-        self.spark.conf.set(key, "TIMESTAMP_MICROS")
-        try:
-            w.parquet(path)
-        finally:
-            self.spark.conf.set(key, prev)
+        with _WRITE_CONF_LOCK:
+            prev = self.spark.conf.get(key)
+            self.spark.conf.set(key, "TIMESTAMP_MICROS")
+            try:
+                w.parquet(path)
+            finally:
+                self.spark.conf.set(key, prev)
 
     def _write_counted(self, df: DataFrame, path: str) -> int:
         """Overwrite-write ``df`` to ``path`` and return its row count,
