@@ -811,3 +811,76 @@ def a26(spark: SparkSession, sf: str) -> DataFrame:
     # sanity: the recorded counts must reconcile with what was dropped
     assert sum(1 for _ in st.expectation_violations()) == 2
     return st.read()
+
+
+@register(
+    "a27_parallel_graph_run",
+    """
+    with rev as (
+      select o_custkey, round(sum(o_totalprice), 2) as spend
+      from orders group by o_custkey
+    ), cnt as (
+      select o_custkey, count(*) as n_orders from orders group by o_custkey
+    )
+    select rev.o_custkey as o_custkey, rev.spend, cnt.n_orders
+    from rev join cnt on rev.o_custkey = cnt.o_custkey
+    where rev.spend > 1000000
+    """,
+    doc="level-parallel graph execution: two independent SQL nodes run "
+    "concurrently (run_graph(parallelism=4)), a third joins their outputs "
+    "— results must equal the equivalent single-query relation exactly",
+)
+def a27(spark: SparkSession, sf: str) -> DataFrame:
+    import os as _os
+    import textwrap as _tw
+
+    from basis_devkit_spark.engine import Engine
+
+    tmp = tempfile.mkdtemp(prefix="bds_a27_")
+    app = _os.path.join(tmp, "app")
+    _os.makedirs(app)
+    with open(_os.path.join(app, "graph.yml"), "w") as f:
+        f.write(
+            _tw.dedent(
+                """
+                functions:
+                  - node_file: rev.sql
+                    id: rev1
+                    inputs: { src: orders }
+                    outputs: { out: rev }
+                  - node_file: cnt.sql
+                    id: cnt1
+                    inputs: { src: orders }
+                    outputs: { out: cnt }
+                  - node_file: join.sql
+                    id: join1
+                    inputs: { r: rev, c: cnt }
+                    outputs: { out: big_spenders }
+                stores:
+                  - table: orders
+                  - table: rev
+                  - table: cnt
+                  - table: big_spenders
+                """
+            )
+        )
+    with open(_os.path.join(app, "rev.sql"), "w") as f:
+        f.write(
+            "select o_custkey, round(sum(o_totalprice), 2) as spend "
+            "from {{ src }} group by o_custkey"
+        )
+    with open(_os.path.join(app, "cnt.sql"), "w") as f:
+        f.write(
+            "select o_custkey, count(*) as n_orders from {{ src }} group by o_custkey"
+        )
+    with open(_os.path.join(app, "join.sql"), "w") as f:
+        f.write(
+            "select r.o_custkey, r.spend, c.n_orders from {{ r }} r "
+            "join {{ c }} c on r.o_custkey = c.o_custkey where r.spend > 1000000"
+        )
+    eng = Engine(spark, _os.path.join(tmp, "store"))
+    eng.load_graph(_os.path.join(app, "graph.yml"))
+    eng.seed_store("orders", load(spark, sf, "orders"))
+    assert [len(lvl) for lvl in eng.topo_levels()] == [2, 1]
+    eng.run_graph(parallelism=4)
+    return eng.table_df("big_spenders")
