@@ -18,8 +18,13 @@ The model targets the verification scale (sf0.01) — override with
 XXH64 model: the public xxHash spec (https://github.com/Cyan4973/xxHash),
 matching Spark's ``xxhash64`` semantics: seed 42, multi-arg chains the
 previous hash as the next seed, IntegerType hashes 4 LE bytes, LongType 8
-LE bytes, StringType the UTF-8 bytes. Verified bit-exact against Spark for
-all three input kinds and chaining (tests/test_oracle_parity.py).
+LE bytes, StringType the UTF-8 bytes. Verified bit-exact against Spark at
+EVERY level the oracles depend on (tests/test_oracle_parity.py): the
+xxh64 primitives for all input kinds and chaining, FULL MinHash
+signatures (component minima taken in signed int64 order — Spark's
+array_min/F.min compare signed, so an unsigned-order min is a different
+estimator), and the FULL IVF candidate set (sequential-fold cosine
+matching Spark's ``aggregate`` rounding).
 """
 
 from __future__ import annotations
