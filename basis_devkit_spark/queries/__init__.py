@@ -101,7 +101,7 @@ _SAMPLE_PRIORITY = [
     "d04p_normalize_text", "d08_stratified_sample", "b39c_edit_distance",
     "b56_bitwise_ops", "b57_orc_roundtrip", "b58_url_funcs",
     "c10_stream_stream_interval_join", "d09_salted_agg",
-    "a27_parallel_graph_run",
+    "a27_parallel_graph_run", "c11_stream_upsert_aggregate",
     "d02c_simhash", "d03b_lsh_topk", "d04d_fingerprint",
     "d02d_embedding_near_dup", "a04_append", "a14_stream_checkpoint",
 ]

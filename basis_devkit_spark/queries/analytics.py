@@ -1181,6 +1181,49 @@ def c10(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @register(
+    "c11_stream_upsert_aggregate",
+    """
+    select user_id, count(*) as n_events,
+           round(sum(value), 4) as total_value
+    from events group by user_id
+    """,
+    doc="update-mode streaming aggregation into a managed-table UPSERT "
+    "sink: per-user running counts merge on unique_on each micro-batch "
+    "(exactly-once batch-id contract); the final table must equal the "
+    "batch group-by exactly",
+)
+def c11(spark: SparkSession, sf: str) -> DataFrame:
+    import os as _os
+    import tempfile as _tf
+
+    from basis_devkit_spark.storage.store import TableStore
+    from basis_devkit_spark.streaming.ops import stream_upsert_to_store
+
+    tmp = _tf.mkdtemp(prefix="bds_c11_")
+    drop = _os.path.join(tmp, "drop")
+    _os.makedirs(drop, exist_ok=True)
+    _os.symlink(f"{sf}/events.parquet", _os.path.join(drop, "events.parquet"))
+    raw_schema = spark.read.parquet(f"{sf}/events.parquet").schema
+    agg = (
+        spark.readStream.schema(raw_schema)
+        .parquet(drop)
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 4).alias("total_value"),
+        )
+    )
+    store = TableStore(tmp, "user_stats", spark)
+    store.configure(unique_on="user_id")
+    q = stream_upsert_to_store(agg, store, f"{tmp}/_ckpt").start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return store.read().select("user_id", "n_events", "total_value")
+
+
+@register(
     "d04n_token_budget_sample",
     """
     with t as (

@@ -798,6 +798,27 @@ class TableStore:
             raise
         return True
 
+    def upsert_stream_batch(self, df: DataFrame, batch_id: int) -> bool:
+        """Idempotent micro-batch UPSERT for ``foreachBatch`` sinks — the
+        update-mode analogue of ``append_stream_batch``: a streaming
+        aggregation emits updated rows per key each micro-batch, and this
+        merges them into the managed table on ``unique_on``. Same
+        exactly-once contract: the batch id rides the atomic manifest flip;
+        replays are skipped; a failed merge un-stamps the id unless the
+        pointer already flipped."""
+        if batch_id <= self._manifest.last_stream_batch_id:
+            return False
+        prev_id = self._manifest.last_stream_batch_id
+        prev_version = self._manifest.active_version
+        self._manifest.last_stream_batch_id = batch_id
+        try:
+            self.upsert(df)
+        except BaseException:
+            if self._manifest.active_version == prev_version:
+                self._manifest.last_stream_batch_id = prev_id
+            raise
+        return True
+
     def compact(self) -> int:
         """Rewrite the active version's lineage into one directory (file-
         count hygiene after many appends). Same data, new version."""

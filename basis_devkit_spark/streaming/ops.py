@@ -294,3 +294,27 @@ def stream_interval_join(
     out = lw.join(rw, cond, how)
     # drop the duplicated join key from the right side
     return out.drop(F.col(f"r.{on}"))
+
+
+def stream_upsert_to_store(
+    df: DataFrame,
+    store,
+    checkpoint_dir: str,
+    trigger_seconds: int | None = None,
+):
+    """Exactly-once streaming UPSERT sink into a managed ``TableStore`` —
+    the update-mode companion of ``stream_append_to_store``: a streaming
+    aggregation emits each key's updated row per micro-batch and the
+    foreachBatch merge keeps exactly the latest state per ``unique_on``
+    key in the managed table (configure the store's ``unique_on`` first).
+    Batch-id idempotency rides the store's atomic manifest commit."""
+
+    def _write(batch_df: DataFrame, batch_id: int) -> None:
+        store.upsert_stream_batch(batch_df, batch_id)
+
+    w = df.writeStream.foreachBatch(_write).option(
+        "checkpointLocation", checkpoint_dir
+    ).outputMode("update")
+    if trigger_seconds is not None:
+        w = w.trigger(processingTime=f"{trigger_seconds} seconds")
+    return w

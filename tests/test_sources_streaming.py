@@ -290,3 +290,52 @@ def test_orc_roundtrip_partitioned(spark, tmp_path):
     back = read_orc(spark, path)
     assert back.count() == 30
     assert back.filter("b = 2").count() == 10
+
+
+def test_stream_upsert_sink_converges_and_skips_replay(spark, tmp_path):
+    """Update-mode aggregation -> upsert sink: across two micro-batches the
+    managed table holds exactly the latest per-key state (equal to the
+    batch aggregation over all input); a replayed batch id is a no-op."""
+    import json as _json
+
+    from basis_devkit_spark.storage.store import TableStore
+    from basis_devkit_spark.streaming.ops import stream_upsert_to_store
+
+    src = tmp_path / "drop"
+    src.mkdir()
+    with open(src / "b1.json", "w") as f:
+        for uid, v in [(1, 1.0), (1, 2.0), (2, 5.0)]:
+            f.write(_json.dumps({"user_id": uid, "value": v}) + "\n")
+
+    store = TableStore(str(tmp_path / "root"), "stats", spark)
+    store.configure(unique_on="user_id")
+
+    def run_stream():
+        agg = (
+            spark.readStream.schema("user_id long, value double")
+            .json(str(src))
+            .groupBy("user_id")
+            .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("s"))
+        )
+        q = stream_upsert_to_store(agg, store, str(tmp_path / "ckpt")).start()
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+
+    run_stream()
+    got = {r.user_id: (r.n, r.s) for r in store.read().collect()}
+    assert got == {1: (2, 3.0), 2: (1, 5.0)}
+
+    with open(src / "b2.json", "w") as f:
+        for uid, v in [(1, 10.0), (3, 7.0)]:
+            f.write(_json.dumps({"user_id": uid, "value": v}) + "\n")
+    run_stream()
+    got = {r.user_id: (r.n, r.s) for r in store.read().collect()}
+    assert got == {1: (3, 13.0), 2: (1, 5.0), 3: (1, 7.0)}
+
+    # replayed batch id -> skipped, state unchanged
+    stale = spark.createDataFrame([(1, 99, 99.0)], "user_id long, n long, s double")
+    assert store.upsert_stream_batch(stale, batch_id=0) is False
+    got2 = {r.user_id: (r.n, r.s) for r in store.read().collect()}
+    assert got2 == got
