@@ -338,6 +338,70 @@ def d03(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @register(
+    "d03e_dot_topk",
+    """
+    with q as (select vec_id, embedding from embeddings where vec_id < 5),
+    scored as (
+      select q.vec_id as query_id, c.vec_id as match_id,
+             list_inner_product(
+               list_transform(q.embedding, x -> cast(x as double)),
+               list_transform(c.embedding, x -> cast(x as double))) as score
+      from q join embeddings c on q.vec_id != c.vec_id
+    ), ranked as (
+      select query_id, match_id, score,
+             row_number() over (partition by query_id
+                                order by score desc, match_id) as rank
+      from scored)
+    select query_id, match_id, round(score, 4) as score, rank
+    from ranked where rank <= 5
+    """,
+    doc="exact inner-product (MIPS) top-5 — the metric un-normalized "
+    "embedding models are trained with",
+)
+def d03e(spark: SparkSession, sf: str) -> DataFrame:
+    from basis_devkit_spark.operators.similarity import brute_force_topk
+
+    emb = load(spark, sf, "embeddings")
+    q = emb.filter(F.col("vec_id") < 5)
+    out = brute_force_topk(q, emb, k=5, metric="dot")
+    return out.select(
+        "query_id", "match_id", F.round("score", 4).alias("score"), "rank"
+    )
+
+
+@register(
+    "d03f_l2_topk",
+    """
+    with q as (select vec_id, embedding from embeddings where vec_id < 5),
+    scored as (
+      select q.vec_id as query_id, c.vec_id as match_id,
+             -list_distance(
+               list_transform(q.embedding, x -> cast(x as double)),
+               list_transform(c.embedding, x -> cast(x as double))) as score
+      from q join embeddings c on q.vec_id != c.vec_id
+    ), ranked as (
+      select query_id, match_id, score,
+             row_number() over (partition by query_id
+                                order by score desc, match_id) as rank
+      from scored)
+    select query_id, match_id, round(score, 4) as score, rank
+    from ranked where rank <= 5
+    """,
+    doc="exact euclidean nearest-5 (score = negated L2 so higher is "
+    "closer, same top-k machinery)",
+)
+def d03f(spark: SparkSession, sf: str) -> DataFrame:
+    from basis_devkit_spark.operators.similarity import brute_force_topk
+
+    emb = load(spark, sf, "embeddings")
+    q = emb.filter(F.col("vec_id") < 5)
+    out = brute_force_topk(q, emb, k=5, metric="l2")
+    return out.select(
+        "query_id", "match_id", F.round("score", 4).alias("score"), "rank"
+    )
+
+
+@register(
     "d03b_lsh_topk",
     # Candidate pairs from the Python sign-LSH model (same seeded planes,
     # same sequential-fold dot product); DuckDB re-ranks them with exact
