@@ -582,3 +582,52 @@ def test_run_graph_parallel_shared_output_serialized(spark, tmp_path):
     assert st.get_active_version() >= 2  # both commits landed, in order
     vals = sorted(r.n for r in st.read().collect())
     assert vals in ([1, 2], [101, 102])  # one full result, never a mix
+
+
+def test_run_graph_parallel_stress_wide_level(spark, tmp_path):
+    """8 independent SQL nodes + a fan-in node under parallelism=8, run
+    twice on the same engine (idempotent write_replace) — exercises
+    concurrent store commits, temp-view registration, and the write-conf
+    lock; every branch output and the fan-in must be exact."""
+    branches = "".join(
+        f"""
+      - node_file: b{i}.sql
+        id: br{i}
+        inputs: {{ src: numbers }}
+        outputs: {{ out: out{i} }}"""
+        for i in range(8)
+    )
+    fan_inputs = "\n".join(f"          i{i}: out{i}" for i in range(8))
+    yml = f"""
+    functions:{branches}
+      - node_file: fan.sql
+        id: fan
+        inputs:
+{fan_inputs}
+        outputs: {{ out: total }}
+    stores:
+      - table: numbers
+{chr(10).join(f'      - table: out{i}' for i in range(8))}
+      - table: total
+    """
+    files = {
+        f"b{i}.sql": f"select n, n * {i + 1} as v from {{{{ src }}}}"
+        for i in range(8)
+    }
+    files["fan.sql"] = " union all ".join(
+        f"select v from {{{{ i{i} }}}}" for i in range(8)
+    )
+    app = write_app(tmp_path / "app", yml, **files)
+    eng = Engine(spark, str(tmp_path / "store"))
+    eng.load_graph(app)
+    n_rows = 50
+    eng.seed_store(
+        "numbers", spark.createDataFrame([(i,) for i in range(n_rows)], "n int")
+    )
+    expect_total = sum(i * (b + 1) for i in range(n_rows) for b in range(8))
+    for _ in range(2):
+        eng.run_graph(parallelism=8)
+        for b in range(8):
+            got = sorted(r.v for r in eng.table_df(f"out{b}").collect())
+            assert got == [i * (b + 1) for i in range(n_rows)], f"branch {b}"
+        assert eng.table_df("total").agg({"v": "sum"}).collect()[0][0] == expect_total
