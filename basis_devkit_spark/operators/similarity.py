@@ -223,6 +223,68 @@ def _cell_rank_structs(vec: Column, cents: list[tuple[int, list[float]]]) -> Col
     )
 
 
+def _assign_cells(
+    corpus: DataFrame,
+    vec_col: str,
+    id_col: str,
+    out_id: str,
+    nlist: int,
+    seed: int,
+    max_train_rows: int,
+    centroids: DataFrame | None,
+) -> tuple[DataFrame, list[tuple[int, list[float]]]]:
+    """Coarse-quantizer cell assignment shared by ``ivf_topk`` and
+    ``semantic_dedup``: returns ``(assigned, cents)`` where ``assigned``
+    carries ``(out_id, __cv, __cell)`` and ``cents`` is the driver-resident
+    ``[(cell, center), ...]`` list.
+
+    Default quantizer is KMeans trained on a bounded SAMPLE of the corpus
+    (``max_train_rows`` cap — fitting on the full corpus is a scale killer
+    at 100 TB; centroid quality converges long before that). With explicit
+    ``centroids`` (``cell int, center array<double>``) the assignment is a
+    deterministic shuffle-free per-row projection over centroid literals."""
+    if centroids is None:
+        from pyspark.ml.clustering import KMeans
+        from pyspark.ml.functions import array_to_vector
+
+        corpus_v = corpus.select(
+            F.col(id_col).alias(out_id),
+            F.col(vec_col).alias("__cv"),
+            array_to_vector(F.transform(vec_col, lambda x: x.cast("double"))).alias("__feat"),
+        )
+        n = corpus_v.count()
+        if n > max_train_rows:
+            # Seeded Bernoulli sample, slightly over-drawn to stay near the cap.
+            train = corpus_v.sample(
+                fraction=min(1.0, 1.1 * max_train_rows / n), seed=seed
+            )
+        else:
+            train = corpus_v
+        km = KMeans(k=nlist, seed=seed, featuresCol="__feat", predictionCol="__cell")
+        model = km.fit(train)
+        assigned = model.transform(corpus_v).select(out_id, "__cv", "__cell")
+        cents = [
+            (i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())
+        ]
+    else:
+        # Centroids are driver-resident constants either way (KMeans
+        # collects its centers too) — fold them into literal expressions so
+        # BOTH cell assignment and query probing are shuffle-free per-row
+        # projections (no crossJoin, no window). Keep the centroid count
+        # modest (≲10^4) — it multiplies expression size.
+        cents = [
+            (int(r["cell"]), [float(x) for x in r["center"]])
+            for r in centroids.collect()
+        ]
+        corpus_v = corpus.select(
+            F.col(id_col).alias(out_id), F.col(vec_col).alias("__cv")
+        )
+        assigned = corpus_v.withColumn(
+            "__cell", F.array_min(_cell_rank_structs(F.col("__cv"), cents)).getField("cell")
+        )
+    return assigned, cents
+
+
 def ivf_topk(
     queries: DataFrame,
     corpus: DataFrame,
@@ -247,45 +309,9 @@ def ivf_topk(
     corpus itself (cosine-metric assignment, FAISS IVF-flat-IP style);
     deterministic centroids make the whole pipeline reproducible enough to
     oracle-check (queries/pyoracle.py ivf_candidates)."""
-    if centroids is None:
-        from pyspark.ml.clustering import KMeans
-        from pyspark.ml.functions import array_to_vector
-
-        corpus_v = corpus.select(
-            F.col(id_col).alias("match_id"),
-            F.col(vec_col).alias("__cv"),
-            array_to_vector(F.transform(vec_col, lambda x: x.cast("double"))).alias("__feat"),
-        )
-        n = corpus_v.count()
-        if n > max_train_rows:
-            # Seeded Bernoulli sample, slightly over-drawn to stay near the cap.
-            train = corpus_v.sample(
-                fraction=min(1.0, 1.1 * max_train_rows / n), seed=seed
-            )
-        else:
-            train = corpus_v
-        km = KMeans(k=nlist, seed=seed, featuresCol="__feat", predictionCol="__cell")
-        model = km.fit(train)
-        assigned = model.transform(corpus_v).select("match_id", "__cv", "__cell")
-        cents = [
-            (i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())
-        ]
-    else:
-        # Centroids are driver-resident constants either way (KMeans
-        # collects its centers too) — fold them into literal expressions so
-        # BOTH cell assignment and query probing are shuffle-free per-row
-        # projections (no crossJoin, no window). Keep the centroid count
-        # modest (≲10^4) — it multiplies expression size.
-        cents = [
-            (int(r["cell"]), [float(x) for x in r["center"]])
-            for r in centroids.collect()
-        ]
-        corpus_v = corpus.select(
-            F.col(id_col).alias("match_id"), F.col(vec_col).alias("__cv")
-        )
-        assigned = corpus_v.withColumn(
-            "__cell", F.array_min(_cell_rank_structs(F.col("__cv"), cents)).getField("cell")
-        )
+    assigned, cents = _assign_cells(
+        corpus, vec_col, id_col, "match_id", nlist, seed, max_train_rows, centroids
+    )
 
     q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qv"))
     # Probe the nprobe nearest centroids per query: sort (−cos, cell)
@@ -345,3 +371,89 @@ def embedding_near_dup_pairs(
         .filter(F.col("cosine") >= threshold)
         .select("id_a", "id_b", "cosine")
     )
+
+
+def semantic_dup_pairs(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    threshold: float = 0.95,
+    nlist: int = 16,
+    seed: int = 42,
+    max_train_rows: int = 100_000,
+    centroids: DataFrame | None = None,
+    max_cell_size: int | None = None,
+) -> DataFrame:
+    """SemDeDup-style semantic duplicate pairs (Abbas et al. 2023,
+    arXiv:2303.09540, public): coarse-quantize the embedding space into
+    ``nlist`` cells, then compare pairs only WITHIN a cell — the classic
+    trick that turns the O(n²) all-pairs cosine into per-cell blocks.
+
+    Returns ``(id_a, id_b, cell, cosine)`` with ``id_a < id_b`` and
+    ``cosine ≥ threshold``. Near-dups that straddle a cell boundary are
+    missed by construction — that recall/cost trade is the published
+    algorithm, tunable via ``nlist`` (recall test: tests/test_operators.py).
+
+    Scale shape: cell assignment is either a sampled KMeans fit + model
+    projection or (with explicit ``centroids``) a shuffle-free literal
+    projection; the self-join shuffles the corpus ONCE on ``__cell``.
+    ``max_cell_size`` is the same degenerate-bucket safety rail as the
+    MinHash/SimHash self-joins (a cell of n identical vectors is n²/2
+    pairs): cells over the cap are dropped from pairing and must be
+    handled upstream (exact_dedup first is the documented workflow)."""
+    assigned, _ = _assign_cells(
+        df, vec_col, id_col, "__id", nlist, seed, max_train_rows, centroids
+    )
+    assigned = assigned.select("__id", "__cv", "__cell")
+    if max_cell_size is not None:
+        from basis_devkit_spark.operators.dedup import _drop_hot_buckets
+
+        assigned = _drop_hot_buckets(assigned, ["__cell"], max_cell_size)
+    pairs = (
+        assigned.alias("a")
+        .join(
+            assigned.alias("b"),
+            (F.col("a.__cell") == F.col("b.__cell"))
+            & (F.col("a.__id") < F.col("b.__id")),
+        )
+        .select(
+            F.col("a.__id").alias("id_a"),
+            F.col("b.__id").alias("id_b"),
+            F.col("a.__cell").alias("cell"),
+            cosine_similarity_col(F.col("a.__cv"), F.col("b.__cv")).alias("cosine"),
+        )
+    )
+    return pairs.filter(F.col("cosine") >= threshold)
+
+
+def semantic_dedup(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    threshold: float = 0.95,
+    nlist: int = 16,
+    seed: int = 42,
+    max_train_rows: int = 100_000,
+    centroids: DataFrame | None = None,
+    max_cell_size: int | None = None,
+) -> DataFrame:
+    """Keep-one semantic dedup over ``semantic_dup_pairs``: drop every row
+    that has a LOWER-id near-duplicate in its cell (the same deterministic
+    greedy keep-first rule as ``minhash_dedup``), return the survivors with
+    their original columns. One extra shuffle (the anti-join on id)."""
+    dropped = (
+        semantic_dup_pairs(
+            df,
+            vec_col,
+            id_col,
+            threshold,
+            nlist,
+            seed,
+            max_train_rows,
+            centroids,
+            max_cell_size,
+        )
+        .select(F.col("id_b").alias("__drop"))
+        .distinct()
+    )
+    return df.join(dropped, on=F.col(id_col) == F.col("__drop"), how="left_anti")

@@ -736,6 +736,66 @@ def d02d(spark: SparkSession, sf: str) -> DataFrame:
     ).select("id_a", "id_b", F.round("cosine", 4).alias("cosine"))
 
 
+@register(
+    "d02g_semantic_dedup",
+    # Pure-SQL oracle: same deterministic seed-vector quantizer (first 8
+    # corpus vectors), same within-cell pairing and keep-lowest-id rule —
+    # DuckDB recomputes the whole pipeline with list_cosine_similarity.
+    """
+    with base as (
+      select vec_id, list_transform(embedding, x -> cast(x as double)) as vd
+      from embeddings
+    ),
+    planted as (
+      select vec_id + 1000000 as vec_id,
+             list_transform(embedding,
+               x -> cast(cast(cast(x as double) * 1.02 + 0.003 as float) as double)) as vd
+      from embeddings where vec_id < 20
+    ),
+    v as (select * from base union all select * from planted),
+    c as (select vec_id as cell, vd as center from base where vec_id < 8),
+    scored as (
+      select v.vec_id, v.vd, c.cell,
+             row_number() over (
+               partition by v.vec_id
+               order by list_cosine_similarity(v.vd, c.center) desc, c.cell
+             ) as rn
+      from v cross join c
+    ),
+    assigned as (select vec_id, vd, cell from scored where rn = 1),
+    dropped as (
+      select distinct b.vec_id
+      from assigned a
+      join assigned b on a.cell = b.cell and a.vec_id < b.vec_id
+      where list_cosine_similarity(a.vd, b.vd) >= 0.9
+    )
+    select vec_id from v
+    where vec_id not in (select vec_id from dropped)
+    """,
+    doc="SemDeDup-style semantic dedup (arXiv:2303.09540): seed-vector "
+    "coarse quantizer, within-cell cosine pairs, keep-lowest-id survivors; "
+    "planted perturbed copies must be dropped (real recall, not a 0-row pass)",
+)
+def d02g(spark: SparkSession, sf: str) -> DataFrame:
+    from basis_devkit_spark.operators.similarity import semantic_dedup
+
+    e = load(spark, sf, "embeddings").select("vec_id", "embedding")
+    planted = e.filter(F.col("vec_id") < 20).select(
+        (F.col("vec_id") + 1_000_000).alias("vec_id"),
+        F.transform(
+            "embedding", lambda x: (x.cast("double") * 1.02 + 0.003).cast("float")
+        ).alias("embedding"),
+    )
+    corpus = e.unionByName(planted)
+    out = semantic_dedup(
+        corpus,
+        threshold=0.9,
+        nlist=8,
+        centroids=_ivf_seed_centroids(e, 8),
+    )
+    return out.select("vec_id")
+
+
 def _ivf_seed_centroids(emb, nlist: int):
     """Deterministic coarse quantizer: the first ``nlist`` corpus vectors
     (by vec_id) as centroids, cast to double — fully reproducible, so the

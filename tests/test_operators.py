@@ -218,6 +218,87 @@ def test_embedding_near_dup_pairs_verified(spark):
     assert {(p.id_a, p.id_b) for p in pairs} == {(1, 2)}
 
 
+def test_semantic_dedup_drops_planted_near_dups(spark):
+    """SemDeDup: planted near-copies land in the keeper's cell and are
+    dropped; unrelated vectors survive. Deterministic seed centroids."""
+    from basis_devkit_spark.operators.similarity import (
+        semantic_dedup,
+        semantic_dup_pairs,
+    )
+
+    rows = [
+        (0, [1.0, 0.0, 0.0, 0.0]),
+        (1, [0.0, 1.0, 0.0, 0.0]),
+        (2, [0.99, 0.02, 0.0, 0.0]),   # near-dup of 0
+        (3, [0.01, 0.998, 0.0, 0.0]),  # near-dup of 1
+        (4, [0.0, 0.0, 1.0, 0.0]),     # alone in its neighborhood
+    ]
+    df = spark.createDataFrame(rows, "vec_id int, embedding array<float>")
+    cents = spark.createDataFrame(
+        [(0, [1.0, 0.0, 0.0, 0.0]), (1, [0.0, 1.0, 0.0, 0.0])],
+        "cell int, center array<double>",
+    )
+    pairs = semantic_dup_pairs(df, threshold=0.95, centroids=cents).collect()
+    assert {(p.id_a, p.id_b) for p in pairs} == {(0, 2), (1, 3)}
+    survivors = {
+        r.vec_id
+        for r in semantic_dedup(df, threshold=0.95, centroids=cents).collect()
+    }
+    assert survivors == {0, 1, 4}
+
+
+def test_semantic_dedup_kmeans_path_drops_planted(spark):
+    """Default (KMeans-quantizer) path: same recall property, no injected
+    centroids — covers the trained-quantizer branch."""
+    from basis_devkit_spark.operators.similarity import semantic_dedup
+
+    import random
+
+    rng = random.Random(7)
+    base = [
+        (i, [rng.gauss(0, 1) for _ in range(8)]) for i in range(40)
+    ]
+    planted = [
+        (i + 1000, [x * 1.02 + 0.003 for x in v]) for i, v in base[:5]
+    ]
+    df = spark.createDataFrame(
+        base + planted, "vec_id int, embedding array<float>"
+    )
+    survivors = {
+        r.vec_id
+        for r in semantic_dedup(df, threshold=0.98, nlist=4, seed=1).collect()
+    }
+    # every planted copy shares a cell with its original (tiny perturbation
+    # cannot flip a KMeans assignment at this separation) -> dropped
+    assert all(i + 1000 not in survivors for i in range(5))
+    assert all(i in survivors for i in range(40))
+
+
+def test_semantic_dedup_hot_cell_guard_identical_clique(spark):
+    """Safety rail: 2k identical vectors would be one quadratic cell; the
+    cap drops the cell from pairing (bounded output, documented trade)."""
+    from basis_devkit_spark.operators.similarity import semantic_dup_pairs
+
+    df = spark.createDataFrame(
+        [(i, [1.0, 0.0, 0.0, 0.0]) for i in range(2000)],
+        "vec_id int, embedding array<float>",
+    )
+    cents = spark.createDataFrame(
+        [(0, [1.0, 0.0, 0.0, 0.0]), (1, [0.0, 1.0, 0.0, 0.0])],
+        "cell int, center array<double>",
+    )
+    guarded = semantic_dup_pairs(
+        df, threshold=0.95, centroids=cents, max_cell_size=100
+    )
+    assert guarded.count() == 0  # the 2000-member cell is over the cap
+    # and a small clique under the cap still pairs fully
+    small = df.filter(F.col("vec_id") < 10)
+    pairs = semantic_dup_pairs(
+        small, threshold=0.95, centroids=cents, max_cell_size=100
+    )
+    assert pairs.count() == 45  # 10 choose 2
+
+
 def test_asof_join_matches_naive(spark):
     left = spark.createDataFrame(
         [(1, 10), (1, 20), (2, 15)], "k int, t int"
