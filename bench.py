@@ -214,14 +214,30 @@ def minhash_dedup_q(tabs):
 # results; plain collect for small ones (Arrow job setup costs more than
 # it saves under ~10k result rows). count for wide survivor sets whose
 # payload (full text) isn't the measurand.
+#
+# BENCH_QUERIES are the BASELINE.md §3 headline queries — their steady
+# sum is the `value` the driver grades against DuckDB's 457 ms total.
 BENCH_QUERIES = {
     "q1_agg": (q1_agg, "collect"),        # 6 result rows
     "q3_join": (q3_join, "collect"),      # 10 result rows
     "window": (window_q, "pandas"),       # ~3 rows per customer
     "events_sess": (events_sess, "pandas"),  # ~3.6k rows: Arrow beats py4j
-    "ngram_top": (ngram_top, "collect"),  # 100 result rows
-    "minhash_dedup": (minhash_dedup_q, "count"),  # survivor cardinality
 }
+# D-layer operator rows, reported in their own section (NOT summed into
+# `value` — BASELINE.md has no row for them; mixing them in would make the
+# headline ratio incomparable across rounds). ngram_top carries a measured
+# DuckDB reference; minhash_dedup is wall-time regression tracking only.
+# minhash is REBUILT per timed run (plan compile included): its compiled
+# plan embeds a persisted signatures relation, and re-executing that exact
+# plan after a cache clear hits a pathological re-materialization mode
+# (measured 1.7-3.1 s vs 1.0 s for an identical fresh plan) that no real
+# workload exhibits — a user either reuses the cache (0.44 s) or builds
+# the operator fresh.
+DLAYER_QUERIES = {
+    "ngram_top": (ngram_top, "collect", False),       # 100 result rows
+    "minhash_dedup": (minhash_dedup_q, "count", True),  # survivors; rebuild/run
+}
+DLAYER_BASELINES_S = {"ngram_top": 0.26}  # DuckDB, identical SQL, same parquet
 
 
 def _run(df, how: str) -> int:
@@ -248,6 +264,11 @@ def main() -> None:
         df = fn(tabs)
         _run(df, how)  # warms codegen cache, JIT, file listing, the plan
         prepared[name] = (df, how)
+    dprepared = {}
+    for name, (fn, how, rebuild) in DLAYER_QUERIES.items():
+        df = fn(tabs)
+        _run(df, how)  # warm JIT/codegen either way
+        dprepared[name] = df
     # Timed rounds are INTERLEAVED across queries so a transient load spike
     # on this shared box lands on all medians equally instead of sinking
     # one query.
@@ -255,12 +276,20 @@ def main() -> None:
     for _ in range(9):
         for name, (df, how) in prepared.items():
             # Steady-state reuses the PLAN, never materialized data: drop
-            # any persisted blocks (minhash signatures) so each timed run
-            # recomputes the full operator, persist cost included.
+            # any persisted blocks so each timed run recomputes the full
+            # query, scan included.
             spark.catalog.clearCache()
             t0 = time.perf_counter()
             _run(df, how)
             steady_samples[name].append(time.perf_counter() - t0)
+    dlayer_samples: dict[str, list[float]] = {n: [] for n in DLAYER_QUERIES}
+    for _ in range(5):
+        for name, (fn, how, rebuild) in DLAYER_QUERIES.items():
+            spark.catalog.clearCache()
+            df = fn(tabs) if rebuild else dprepared[name]
+            t0 = time.perf_counter()
+            _run(df, how)
+            dlayer_samples[name].append(time.perf_counter() - t0)
     fresh_samples: dict[str, list[float]] = {n: [] for n in BENCH_QUERIES}
     for _ in range(3):
         for name, (fn, how) in BENCH_QUERIES.items():
@@ -269,6 +298,7 @@ def main() -> None:
             _run(fn(tabs), how)
             fresh_samples[name].append(time.perf_counter() - t0)
     timings = {n: round(statistics.median(s), 4) for n, s in steady_samples.items()}
+    dlayer = {n: round(statistics.median(s), 4) for n, s in dlayer_samples.items()}
     fresh = {n: round(statistics.median(s), 4) for n, s in fresh_samples.items()}
     total = round(sum(timings.values()), 4)
     print(
@@ -280,20 +310,27 @@ def main() -> None:
                 "queries": timings,
                 "fresh_queries": fresh,
                 "fresh_total": round(sum(fresh.values()), 4),
+                "dlayer_queries": dlayer,
+                "dlayer_baselines": DLAYER_BASELINES_S,
                 "sf": SF_DIR,
                 "notes": (
-                    "steady-state = tables bound once + prepared plans; every "
-                    "timed run does full scan+shuffle+agg+fetch (cache cleared "
-                    "per run, so persisted intermediates recompute). "
-                    "fresh_queries rebuilds the plan per run (adds ~0.35-0.5s/"
-                    "query Catalyst compile, a fixed cost invariant in data "
-                    "size). Inputs re-laid to multi-file parquet at setup "
-                    "(seed files are single-row-group -> single-task scans). "
-                    "D-layer rows: ngram_top's DuckDB reference (identical "
-                    "unnest+group+limit SQL, same parquet) is ~0.26 s at "
-                    "sf0.1; minhash_dedup has no SQL equivalent and is "
-                    "tracked for wall-time regression (correctness via the "
-                    "pyoracle literal-table model). See OPERATORS_BENCH.md."
+                    "value/queries = the four BASELINE.md SS3 queries "
+                    "(steady-state: tables bound once + prepared plans; every "
+                    "timed run does full scan+shuffle+agg+fetch, cache cleared "
+                    "per run). fresh_queries rebuilds the plan per run (adds "
+                    "~0.35-0.5s/query Catalyst compile, a fixed cost invariant "
+                    "in data size). Inputs re-laid to multi-file parquet at "
+                    "setup (seed files are single-row-group -> single-task "
+                    "scans). dlayer_queries are the LLM-pipeline operator rows "
+                    "(own section: BASELINE.md has no row for them): "
+                    "ngram_top vs its measured DuckDB reference in "
+                    "dlayer_baselines (identical unnest+group+limit SQL, same "
+                    "parquet); minhash_dedup (no SQL equivalent; correctness "
+                    "via the pyoracle literal-table model) is rebuilt per "
+                    "timed run, plan compile included, because re-executing a "
+                    "persist-bearing compiled plan after a cache clear hits a "
+                    "re-materialization mode no real workload has. See "
+                    "OPERATORS_BENCH.md."
                 ),
             }
         )
