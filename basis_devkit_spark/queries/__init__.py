@@ -100,6 +100,7 @@ _SAMPLE_PRIORITY = [
     "d02b_minhash_dedup", "d03c_ivf_topk", "d05_multimodal_plumbing",
     "d04p_normalize_text", "d08_stratified_sample", "b39c_edit_distance",
     "b56_bitwise_ops", "b57_orc_roundtrip", "b58_url_funcs",
+    "b59_tpch_q5_regional_revenue", "b60_tpch_q10_returned_items",
     "c10_stream_stream_interval_join", "d09_salted_agg",
     "a27_parallel_graph_run", "c11_stream_upsert_aggregate",
     "d03e_dot_topk", "d03f_l2_topk", "d02g_semantic_dedup",

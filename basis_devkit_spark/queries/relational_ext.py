@@ -9,6 +9,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from basis_devkit_spark.queries import load, register
+from basis_devkit_spark.queries.relational import dsum_expr
 
 
 def _views(spark: SparkSession, sf: str, *tables: str) -> None:
@@ -617,4 +618,100 @@ def b58(spark: SparkSession, sf: str) -> DataFrame:
         F.parse_url("url", F.lit("HOST")).alias("host"),
         F.parse_url("url", F.lit("PATH")).alias("path"),
         F.parse_url("url", F.lit("QUERY")).alias("query"),
+    )
+
+
+@register(
+    "b59_tpch_q5_regional_revenue",
+    """
+    select n_name,
+           cast(sum(cast(l_extendedprice * (1 - l_discount) as decimal(18,2)))
+                as double) as revenue
+    from customer, orders, lineitem, supplier, nation, region
+    where c_custkey = o_custkey
+      and l_orderkey = o_orderkey
+      and l_suppkey = s_suppkey
+      and c_nationkey = s_nationkey
+      and s_nationkey = n_nationkey
+      and n_regionkey = r_regionkey
+      and r_name = 'ASIA'
+      and o_orderdate >= '1996-01-01' and o_orderdate < '1997-01-01'
+    group by n_name
+    """,
+    doc="TPC-H Q5-style 6-way join (region->nation->supplier dims "
+    "broadcast; customer><orders and ><lineitem are the only two "
+    "shuffles — the plan that survives a 100TB fact table)",
+)
+def b59(spark: SparkSession, sf: str) -> DataFrame:
+    r = load(spark, sf, "region").filter(F.col("r_name") == "ASIA")
+    n = load(spark, sf, "nation").join(
+        F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey")
+    )
+    s = load(spark, sf, "supplier").join(
+        F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey")
+    ).select("s_suppkey", "s_nationkey", "n_name")
+    c = load(spark, sf, "customer").select("c_custkey", "c_nationkey")
+    o = load(spark, sf, "orders").filter(
+        (F.col("o_orderdate") >= "1996-01-01")
+        & (F.col("o_orderdate") < "1997-01-01")
+    ).select("o_orderkey", "o_custkey")
+    li = load(spark, sf, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"
+    )
+    co = o.join(c, F.col("o_custkey") == F.col("c_custkey"))
+    facts = li.join(co, F.col("l_orderkey") == F.col("o_orderkey"))
+    joined = facts.join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey")).filter(
+        F.col("c_nationkey") == F.col("s_nationkey")
+    )
+    return joined.groupBy("n_name").agg(
+        dsum_expr(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
+            "revenue"
+        )
+    )
+
+
+@register(
+    "b60_tpch_q10_returned_items",
+    """
+    select c_custkey, c_name, n_name,
+           cast(sum(cast(l_extendedprice * (1 - l_discount) as decimal(18,2)))
+                as double) as revenue
+    from customer, orders, lineitem, nation
+    where c_custkey = o_custkey
+      and l_orderkey = o_orderkey
+      and o_orderdate >= '1996-07-01' and o_orderdate < '1996-10-01'
+      and l_returnflag = 'R'
+      and c_nationkey = n_nationkey
+    group by c_custkey, c_name, n_name
+    order by revenue desc, c_custkey
+    limit 20
+    """,
+    doc="TPC-H Q10-style returned-item revenue: fact-fact shuffle join + "
+    "broadcast customer-nation dim, decimal-exact revenue, "
+    "deterministic top-20 (revenue desc, custkey tie-break)",
+)
+def b60(spark: SparkSession, sf: str) -> DataFrame:
+    n = load(spark, sf, "nation").select("n_nationkey", "n_name")
+    c = load(spark, sf, "customer").join(
+        F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey")
+    ).select("c_custkey", "c_name", "n_name")
+    o = load(spark, sf, "orders").filter(
+        (F.col("o_orderdate") >= "1996-07-01")
+        & (F.col("o_orderdate") < "1996-10-01")
+    ).select("o_orderkey", "o_custkey")
+    li = load(spark, sf, "lineitem").filter(F.col("l_returnflag") == "R").select(
+        "l_orderkey", "l_extendedprice", "l_discount"
+    )
+    facts = li.join(o, F.col("l_orderkey") == F.col("o_orderkey")).join(
+        F.broadcast(c), F.col("o_custkey") == F.col("c_custkey")
+    )
+    return (
+        facts.groupBy("c_custkey", "c_name", "n_name")
+        .agg(
+            dsum_expr(
+                F.col("l_extendedprice") * (1 - F.col("l_discount"))
+            ).alias("revenue")
+        )
+        .orderBy(F.col("revenue").desc(), "c_custkey")
+        .limit(20)
     )

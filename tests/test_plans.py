@@ -273,3 +273,27 @@ def test_ivf_deterministic_quantizer_plan(spark):
     plan = plan_of(df)
     assert "Window" not in plan, plan
     assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan, plan
+
+
+def test_tpch_q5_two_shuffles_broadcast_dims(spark):
+    """b59: region->nation->supplier folds into ONE broadcast; the only
+    hash exchanges are the two fact joins (orders><customer on custkey,
+    lineitem><co on orderkey) + the final agg — the plan that survives a
+    100TB fact table."""
+    from basis_devkit_spark.queries import all_queries
+
+    df = all_queries()["b59_tpch_q5_regional_revenue"].spark(spark, SF)
+    plan = plan_of(df)
+    assert "BroadcastHashJoin" in plan
+    # 2 fact-join exchanges + 1 partial/final agg exchange, nothing more
+    assert n_shuffles(df) <= 3, plan
+    assert plan.count("HashAggregate") >= 2  # map-side combine on the agg
+
+
+def test_tpch_q10_broadcast_customer_dim(spark):
+    from basis_devkit_spark.queries import all_queries
+
+    df = all_queries()["b60_tpch_q10_returned_items"].spark(spark, SF)
+    plan = plan_of(df)
+    assert "BroadcastHashJoin" in plan
+    assert "TakeOrderedAndProject" in plan  # top-20 never global-sorts
