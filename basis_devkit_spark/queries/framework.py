@@ -814,6 +814,34 @@ def a26(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @register(
+    "a28_zorder_pruned_read",
+    """
+    select event_id, user_id, value
+    from events
+    where value > 90.0 and user_id < 200
+    """,
+    doc="Z-order clustered store (bit-interleaved quantile ranks on "
+    "user_id+value): read_pruned skips files on EITHER dimension's filter "
+    "— result must equal the plain filtered scan exactly",
+)
+def a28(spark: SparkSession, sf: str) -> DataFrame:
+    """Writes events into a store Z-ordered on (user_id, value) — the
+    multi-dimensional layout (store.py _zorder_value) — then reads through
+    the data-skipping path with filters on BOTH dimensions. Pruning is a
+    conservative superset, so the result must be identical to the oracle's
+    WHERE; the layout's pruning WIN is asserted in
+    tests/test_storage.py::test_zorder_prunes_on_every_dimension."""
+    from basis_devkit_spark.storage.store import TableStore
+
+    tmp = tempfile.mkdtemp(prefix="bds_a28_")
+    store = TableStore(tmp, "events", spark)
+    store.configure(zorder_by=["user_id", "value"])
+    ev = load(spark, sf, "events").select("event_id", "user_id", "value")
+    store.write_replace(ev)
+    return store.read_pruned([("value", ">", 90.0), ("user_id", "<", 200)])
+
+
+@register(
     "a27_parallel_graph_run",
     """
     with rev as (

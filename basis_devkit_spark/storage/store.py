@@ -129,6 +129,14 @@ class _Manifest:
     # the footer stats above actually prune. The Delta OPTIMIZE ZORDER
     # idea, applied eagerly at write time for single-column lineorder.
     cluster_by: list[str] | None = None
+    # Multi-dimensional clustering: Z-ORDER (bit-interleaved quantile
+    # ranks) instead of lexicographic range order. ``cluster_by`` gives
+    # perfect pruning on its FIRST column and next to none on the rest;
+    # interleaving spreads locality across all listed dimensions so a
+    # filter on ANY of them prunes files (the Delta OPTIMIZE ZORDER BY
+    # layout, applied eagerly at write time). Mutually exclusive with
+    # ``cluster_by``; columns must be numeric/timestamp.
+    zorder_by: list[str] | None = None
     # Auto-compact: when an append stretches the version lineage past this
     # many directories, rewrite it into one (bounds file-count growth on
     # append-heavy tables without a separate maintenance job).
@@ -297,6 +305,7 @@ class TableStore:
         partition_by: str | list[str] | None = None,
         stats_columns: str | list[str] | None = None,
         cluster_by: str | list[str] | None = None,
+        zorder_by: str | list[str] | None = None,
         compact_after: int | None = None,
         expectations: dict[str, str] | None = None,
         expectations_mode: str | None = None,
@@ -318,6 +327,18 @@ class TableStore:
             )
             # Clustered columns are skipping targets by construction.
             for c in m.cluster_by:
+                if not m.stats_columns or c not in m.stats_columns:
+                    m.stats_columns = (m.stats_columns or []) + [c]
+        if zorder_by is not None:
+            m.zorder_by = (
+                [zorder_by] if isinstance(zorder_by, str) else list(zorder_by)
+            )
+            if m.cluster_by:
+                raise ValueError(
+                    "cluster_by and zorder_by are mutually exclusive; "
+                    "pick one layout"
+                )
+            for c in m.zorder_by:
                 if not m.stats_columns or c not in m.stats_columns:
                     m.stats_columns = (m.stats_columns or []) + [c]
         if compact_after is not None:
@@ -618,7 +639,22 @@ class TableStore:
     # ---------------- writes (A4, A5, A6, A7) ----------------
     def _write(self, df: DataFrame, path: str, mode: str) -> None:
         cb = self._manifest.cluster_by
-        if cb and all(c in df.columns for c in cb):
+        zb = self._manifest.zorder_by
+        if zb and all(c in df.columns for c in zb):
+            # Z-order: bit-interleave per-column quantile ranks into one
+            # curve value, then range-cluster on it. Every listed dimension
+            # gets partial locality in every file → footer stats prune on
+            # any of them. Costs one approxQuantile pass + one range
+            # shuffle per write; reads on the non-leading dimensions win
+            # it back (cluster_by prunes only its first column).
+            zcol = "__z"
+            df = (
+                df.withColumn(zcol, _zorder_value(df, zb))
+                .repartitionByRange(zcol)
+                .sortWithinPartitions(zcol)
+                .drop(zcol)
+            )
+        elif cb and all(c in df.columns for c in cb):
             # Range-cluster so each file covers a tight, near-disjoint
             # range of the cluster key → footer stats prune hard. One
             # extra range shuffle per write; reads win it back every time.
@@ -930,6 +966,37 @@ class TableStore:
         untouched = old.filter(~in_touched)
         scoped = _anti_join_nullsafe(old.filter(in_touched), df, keys)
         return untouched.unionByName(scoped)
+
+
+def _zorder_value(df: DataFrame, cols: list[str], bits: int = 8):
+    """Z-curve value column: per-column quantile-rank buckets (``bits``
+    bits each; boundaries from ONE approxQuantile pass over this batch)
+    bit-interleaved into a single long. Rank-based (not min/max-uniform)
+    bucketing keeps the curve balanced under skew — the same idea as
+    Delta ZORDER's range-partition ids. Nulls rank lowest (bucket 0);
+    per Spark comparison semantics NaN ranks highest. The bucket fold and
+    the interleave are pure codegen'd column expressions — the only jobs
+    are the quantile pass and the range shuffle the caller adds."""
+    n = len(cols)
+    nb = (1 << bits) - 1  # boundaries per column
+    probs = [i / (nb + 1) for i in range(1, nb + 1)]
+    numeric = df.select(*[F.col(c).cast("double").alias(c) for c in cols])
+    quantiles = numeric.approxQuantile(cols, probs, 0.001)
+    z = F.lit(0).cast("long")
+    for ci, (c, bnds) in enumerate(zip(cols, quantiles)):
+        if not bnds:  # empty batch: approxQuantile found no rows
+            continue
+        v = F.coalesce(F.col(c).cast("double"), F.lit(float("-inf")))
+        arr = F.array(*[F.lit(float(b)) for b in bnds])
+        bucket = F.aggregate(
+            arr, F.lit(0), lambda acc, x: acc + F.when(v > x, 1).otherwise(0)
+        )
+        for bit in range(bits):
+            z = z + F.shiftleft(
+                F.shiftright(bucket, bit).bitwiseAND(F.lit(1)).cast("long"),
+                bit * n + ci,
+            )
+    return z
 
 
 def _semi_join_nullsafe(old: DataFrame, new: DataFrame, keys: list[str]) -> DataFrame:

@@ -690,3 +690,77 @@ def test_expectations_null_passes_in_every_mode(spark, tmp_path):
     sf.configure(expectations={"v_nonneg": "v >= 0"}, expectations_mode="fail")
     sf.write_replace(spark.createDataFrame([(9, None)], "k int, v double"))
     assert sf.record_count == 1
+
+
+# ------------------------------------------------------------- Z-order layout
+def _mk_xy(spark, n=20_000, seed=11):
+    """Two independent uniform dimensions — the layout-sensitivity probe:
+    range clustering on x gives y-filters no pruning; Z-order must."""
+    df = spark.range(n).select(
+        F.col("id").alias("rid"),
+        (F.hash(F.col("id"), F.lit(seed)) % 10_000).alias("x"),
+        (F.hash(F.col("id"), F.lit(seed + 1)) % 10_000).alias("y"),
+    )
+    return df.select("rid", F.abs("x").alias("x"), F.abs("y").alias("y"))
+
+
+def test_zorder_write_roundtrip_exact(spark, tmp_path):
+    df = _mk_xy(spark, n=5_000)
+    store = TableStore(str(tmp_path), "zt", spark)
+    store.configure(zorder_by=["x", "y"])
+    store.write_replace(df)
+    got = sorted((r.rid, r.x, r.y) for r in store.read().collect())
+    want = sorted((r.rid, r.x, r.y) for r in df.collect())
+    assert got == want
+
+
+def test_zorder_prunes_on_every_dimension(spark, tmp_path):
+    """The reason zorder_by exists: cluster_by=['x'] prunes y-filters not
+    at all, Z-order prunes files for BOTH dimensions."""
+    df = _mk_xy(spark)
+    rng = TableStore(str(tmp_path / "rng"), "t", spark)
+    rng.configure(cluster_by=["x"], stats_columns=["x", "y"])
+    zo = TableStore(str(tmp_path / "zo"), "t", spark)
+    zo.configure(zorder_by=["x", "y"])
+    # At sf-test sizes AQE coalesces the range shuffle to one partition
+    # (one file — nothing to prune). Pin a small advisory size so the
+    # write produces the multi-file layout any real table has.
+    keys = (
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+        "spark.sql.adaptive.coalescePartitions.minPartitionSize",
+    )
+    prev = {k: spark.conf.get(k) for k in keys}
+    for k in keys:
+        spark.conf.set(k, "8192")
+    try:
+        rng.write_replace(df)
+        zo.write_replace(df)
+    finally:
+        for k, v in prev.items():
+            spark.conf.set(k, v)
+
+    def kept(store, filters):
+        files, total = store.prune_files(filters)
+        return sum(len(v) for v in files.values()), total
+
+    y_filter = [("y", ">", 9_000)]
+    x_filter = [("x", "<", 1_000)]
+    rng_y, rng_total = kept(rng, y_filter)
+    zo_y, zo_total = kept(zo, y_filter)
+    assert rng_total > 4 and zo_total > 4  # enough files to mean anything
+    # range layout cannot skip anything for the non-leading dimension
+    assert rng_y == rng_total
+    # Z-order must skip a real fraction of files on y AND on x
+    assert zo_y < zo_total * 0.8, (zo_y, zo_total)
+    zo_x, _ = kept(zo, x_filter)
+    assert zo_x < zo_total * 0.8, (zo_x, zo_total)
+    # and pruning never changes results
+    want = df.filter(F.col("y") > 9_000).count()
+    assert zo.read_pruned(y_filter).count() == want
+
+
+def test_zorder_and_cluster_by_are_exclusive(spark, tmp_path):
+    store = TableStore(str(tmp_path), "zc", spark)
+    store.configure(cluster_by=["x"])
+    with pytest.raises(ValueError):
+        store.configure(zorder_by=["x", "y"])
