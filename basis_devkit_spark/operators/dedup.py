@@ -336,6 +336,68 @@ def minhash_dedup(
     return df.join(losers, id_col, "left_anti")
 
 
+def minhash_dedup_against(
+    new_df: DataFrame,
+    corpus_df: DataFrame | None,
+    id_col: str,
+    text_col: str,
+    num_hashes: int = 64,
+    bands: int = 16,
+    shingle_size: int = 3,
+    jaccard_threshold: float = 0.8,
+    corpus_sig: DataFrame | None = None,
+) -> DataFrame:
+    """Incremental near-dedup — the crawl-refresh shape: drop rows of
+    ``new_df`` that near-duplicate the EXISTING corpus (any est-Jaccard
+    ≥ threshold band-mate), then keep-one within the new batch itself.
+
+    The corpus side is never self-joined and never rewritten: pass
+    ``corpus_sig`` = a persisted ``minhash_signatures`` frame (id, sig)
+    — e.g. a managed signature table maintained alongside the corpus —
+    and only the NEW batch is shingled/hashed this run. At 100 TB the
+    per-refresh cost is O(|new| + matched buckets), not O(corpus): band
+    buckets are equi-join keys, so corpus bucket rows shuffle once on
+    (band, bh) against the (small) new batch; with a pre-bucketed/
+    persisted corpus layout the exchange is on the corpus's own compact
+    (id, band-hash) frame, never its text."""
+    if corpus_sig is None:
+        if corpus_df is None:
+            raise ValueError("pass corpus_df or corpus_sig")
+        corpus_sig = minhash_signatures(
+            corpus_df, id_col, text_col, num_hashes, shingle_size
+        )
+    new_sig = minhash_signatures(
+        new_df, id_col, text_col, num_hashes, shingle_size
+    )
+    nb = _band_buckets_frame(new_sig, id_col, num_hashes, bands)
+    cb = _band_buckets_frame(corpus_sig, id_col, num_hashes, bands)
+    est = (
+        F.size(
+            F.filter(
+                F.zip_with(F.col("n.sig"), F.col("c.sig"), lambda x, y: x == y),
+                lambda v: v,
+            )
+        )
+        / F.lit(num_hashes)
+    )
+    vs_corpus = (
+        nb.alias("n")
+        .join(
+            cb.alias("c"),
+            (F.col("n.band") == F.col("c.band")) & (F.col("n.bh") == F.col("c.bh")),
+        )
+        .filter(est >= jaccard_threshold)
+        .select(F.col(f"n.{id_col}").alias(id_col))
+        .distinct()
+    )
+    survivors = new_df.join(vs_corpus, id_col, "left_anti")
+    # keep-one within the remaining new batch (smaller-id neighbor rule)
+    return minhash_dedup(
+        survivors, id_col, text_col, num_hashes, bands, shingle_size,
+        jaccard_threshold,
+    )
+
+
 # ---------------------------------------------------------------- SimHash
 def simhash(
     df: DataFrame, id_col: str, text_col: str, bits: int = 64

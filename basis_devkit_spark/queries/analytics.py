@@ -291,6 +291,33 @@ def d02b(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @register(
+    "d02h_incremental_minhash_dedup",
+    # Literal-table oracle: the independent XXH64 model replays BOTH
+    # phases (vs-corpus drop, then within-batch keep-one) and emits the
+    # surviving new-batch ids as VALUES.
+    pyoracle.incremental_minhash_sql,
+    doc="incremental crawl-refresh dedup: new batch (odd doc_ids + exact "
+    "copies of corpus docs) near-deduped AGAINST the existing corpus "
+    "(even doc_ids) via band-bucket join, then keep-one within the batch "
+    "— planted copies must be dropped by phase 1",
+)
+def d02h(spark: SparkSession, sf: str) -> DataFrame:
+    from basis_devkit_spark.operators.dedup import minhash_dedup_against
+
+    docs = load(spark, sf, "documents").select("doc_id", "text")
+    corpus = docs.filter(F.col("doc_id") % 2 == 0)
+    new = docs.filter(F.col("doc_id") % 2 == 1)
+    planted = corpus.filter(F.col("doc_id") < 40).select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"), "text"
+    )
+    out = minhash_dedup_against(
+        new.unionByName(planted), corpus, "doc_id", "text",
+        jaccard_threshold=0.7,
+    )
+    return out.select("doc_id")
+
+
+@register(
     "d02c_simhash",
     # Literal fingerprints from the Python SimHash model; DuckDB does the
     # Hamming pairing itself via xor + bit_count (exact: pigeonhole with

@@ -229,6 +229,95 @@ def minhash_dedup_sql() -> str:
     return f"select doc_id, lang, source from documents {anti}"
 
 
+def _band_keys_model(sig: list[int], num_hashes: int, bands: int):
+    rows_per_band = num_hashes // bands
+    return [
+        (
+            b,
+            xxh64_bytes(
+                ",".join(
+                    str(sig[b * rows_per_band + r]) for r in range(rows_per_band)
+                ).encode("utf-8")
+            ),
+        )
+        for b in range(bands)
+    ]
+
+
+def incremental_minhash_survivor_ids(
+    sf_dir: str,
+    num_hashes: int = 64,
+    bands: int = 16,
+    threshold: float = 0.7,
+    planted_below: int = 40,
+) -> tuple[int, ...]:
+    """Model of ``operators.dedup.minhash_dedup_against`` for d02h:
+    corpus = even doc_ids; new batch = odd doc_ids plus exact copies
+    (id+1_000_000) of corpus docs with id < planted_below. Phase 1 drops
+    any new doc with a corpus band-mate at est-Jaccard >= threshold;
+    phase 2 applies the keep-one smaller-id-neighbor rule WITHIN the
+    remaining new batch. Returns surviving new-batch ids."""
+    docs = _documents(sf_dir)
+    corpus = [(i, t) for i, t in docs if i % 2 == 0]
+    new = [(i, t) for i, t in docs if i % 2 == 1]
+    new += [(i + 1_000_000, t) for i, t in corpus if i < planted_below]
+
+    def sigs_of(items):
+        out = {}
+        for i, t in items:
+            s = minhash_signature_model(t, num_hashes)
+            if s is not None:
+                out[i] = s
+        return out
+
+    csig, nsig = sigs_of(corpus), sigs_of(new)
+    cbuckets: dict[tuple[int, int], list[int]] = {}
+    for i, s in csig.items():
+        for k in _band_keys_model(s, num_hashes, bands):
+            cbuckets.setdefault(k, []).append(i)
+    dropped: set[int] = set()
+    for i, s in nsig.items():
+        checked: set[int] = set()
+        for k in _band_keys_model(s, num_hashes, bands):
+            for cid in cbuckets.get(k, ()):
+                if cid in checked:
+                    continue
+                checked.add(cid)
+                eq = sum(x == y for x, y in zip(s, csig[cid]))
+                if eq / num_hashes >= threshold:
+                    dropped.add(i)
+                    break
+            if i in dropped:
+                break
+    buckets: dict[tuple[int, int], list[int]] = {}
+    for i in sorted(nsig):
+        if i in dropped:
+            continue
+        for k in _band_keys_model(nsig[i], num_hashes, bands):
+            buckets.setdefault(k, []).append(i)
+    losers: set[int] = set()
+    seen: set[tuple[int, int]] = set()
+    for ids in buckets.values():
+        for ai, a in enumerate(ids):
+            for b_ in ids[ai + 1 :]:
+                lo, hi = (a, b_) if a < b_ else (b_, a)
+                if (lo, hi) in seen:
+                    continue
+                seen.add((lo, hi))
+                eq = sum(x == y for x, y in zip(nsig[lo], nsig[hi]))
+                if eq / num_hashes >= threshold:
+                    losers.add(hi)
+    return tuple(
+        sorted(i for i, _ in new if i not in dropped and i not in losers)
+    )
+
+
+def incremental_minhash_sql() -> str:
+    ids = incremental_minhash_survivor_ids(oracle_sf_dir())
+    vals = ", ".join(f"({i})" for i in ids)
+    return f"select doc_id from (values {vals}) as t(doc_id)"
+
+
 # -------------------------------------------------------- SimHash (d02c)
 @lru_cache(maxsize=2)
 def simhash_fps(sf_dir: str, bits: int = 64) -> dict[int, int]:

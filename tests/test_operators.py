@@ -832,3 +832,49 @@ def test_normalize_text_semantics(spark):
            for r in normalize_text(df, "text").collect()}
     assert got[1] == ("hello world x9", 22, 14)
     assert got[2] == ("a b c", 5, 5)
+
+
+def test_minhash_dedup_against_corpus(spark):
+    """Incremental dedup: new docs duplicating the corpus are dropped,
+    fresh docs survive, and the persisted-signature path (corpus_sig=)
+    matches hashing the corpus in-line."""
+    from basis_devkit_spark.operators.dedup import (
+        minhash_dedup_against,
+        minhash_signatures,
+    )
+
+    mk = lambda i, t: (i, t)
+    corpus = spark.createDataFrame(
+        [
+            mk(0, "the quick brown fox jumps over the lazy dog again and again"),
+            mk(2, "pack my box with five dozen liquor jugs before noon today"),
+        ],
+        "doc_id int, text string",
+    )
+    new = spark.createDataFrame(
+        [
+            # exact copy of corpus doc 0 -> must be dropped in phase 1
+            mk(11, "the quick brown fox jumps over the lazy dog again and again"),
+            # unrelated -> survives
+            mk(13, "completely different content about spark physical plans"),
+            # two copies of each other (not in corpus): keep-one drops 17
+            mk(15, "llm training data pipelines need deduplication at scale"),
+            mk(17, "llm training data pipelines need deduplication at scale"),
+        ],
+        "doc_id int, text string",
+    )
+    got = {
+        r.doc_id
+        for r in minhash_dedup_against(
+            new, corpus, "doc_id", "text", jaccard_threshold=0.7
+        ).collect()
+    }
+    assert got == {13, 15}
+    sig = minhash_signatures(corpus, "doc_id", "text")
+    got2 = {
+        r.doc_id
+        for r in minhash_dedup_against(
+            new, None, "doc_id", "text", jaccard_threshold=0.7, corpus_sig=sig
+        ).collect()
+    }
+    assert got2 == got
