@@ -102,7 +102,8 @@ _SAMPLE_PRIORITY = [
     "b56_bitwise_ops", "b57_orc_roundtrip", "b58_url_funcs",
     "b59_tpch_q5_regional_revenue", "b60_tpch_q10_returned_items",
     "c10_stream_stream_interval_join", "d09_salted_agg",
-    "a27_parallel_graph_run", "a28_zorder_pruned_read", "c11_stream_upsert_aggregate",
+    "a27_parallel_graph_run", "a28_zorder_pruned_read",
+    "a29_bucketed_colocated_join", "c11_stream_upsert_aggregate",
     "d03e_dot_topk", "d03f_l2_topk", "d02g_semantic_dedup",
     "d02h_incremental_minhash_dedup",
     "d02c_simhash", "d03b_lsh_topk", "d04d_fingerprint",

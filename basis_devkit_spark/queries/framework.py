@@ -842,6 +842,55 @@ def a28(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @register(
+    "a29_bucketed_colocated_join",
+    """
+    select c.c_custkey, count(*) as n_orders,
+           round(sum(o.o_totalprice), 2) as spend
+    from orders o join customer c on o.o_custkey = c.c_custkey
+    where c.c_mktsegment = 'BUILDING'
+    group by c.c_custkey
+    """,
+    doc="hash-bucketed store layout: orders and customer bucketed on the "
+    "join key, read through the catalog binding (read_bucketed) and "
+    "joined with ZERO exchanges (plan-asserted in-query) — result must "
+    "equal the plain join",
+)
+def a29(spark: SparkSession, sf: str) -> DataFrame:
+    """Writes orders+customer into stores bucketed on the join key
+    (store.py bucket_by= / read_bucketed) and joins them co-located. The
+    zero-shuffle property is asserted HERE (broadcast disabled for the
+    probe) as well as plan-gated in tests — the oracle equality then
+    proves the bucketed layout changes nothing about results."""
+    from basis_devkit_spark.storage.store import TableStore
+
+    tmp = tempfile.mkdtemp(prefix="bds_a29_")
+    so = TableStore(tmp, "orders_b", spark)
+    so.configure(bucket_by=["o_custkey"], num_buckets=8)
+    so.write_replace(
+        load(spark, sf, "orders").select("o_orderkey", "o_custkey", "o_totalprice")
+    )
+    sc = TableStore(tmp, "customer_b", spark)
+    sc.configure(bucket_by=["c_custkey"], num_buckets=8)
+    sc.write_replace(
+        load(spark, sf, "customer").select("c_custkey", "c_mktsegment")
+    )
+    o = so.read_bucketed()
+    c = sc.read_bucketed().filter(F.col("c_mktsegment") == "BUILDING")
+    joined = o.join(c, o.o_custkey == c.c_custkey)
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        probe = joined._jdf.queryExecution().executedPlan().toString()
+        assert probe.count("Exchange hashpartitioning") == 0, "bucketed join shuffled"
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    return joined.groupBy("c_custkey").agg(
+        F.count("*").alias("n_orders"),
+        F.round(F.sum("o_totalprice"), 2).alias("spend"),
+    )
+
+
+@register(
     "a27_parallel_graph_run",
     """
     with rev as (

@@ -137,6 +137,14 @@ class _Manifest:
     # layout, applied eagerly at write time). Mutually exclusive with
     # ``cluster_by``; columns must be numeric/timestamp.
     zorder_by: list[str] | None = None
+    # Hash-bucketed layout for CO-LOCATED JOINS: written with
+    # ``bucketBy(num_buckets, *bucket_by).sortBy(*bucket_by)``, read back
+    # through ``read_bucketed()`` (a catalog binding over the same files).
+    # Two stores bucketed the same way join with ZERO exchanges — the fact
+    # join that never shuffles at 100 TB. Orthogonal to stats pruning;
+    # mutually exclusive with cluster_by/zorder_by/partition_by.
+    bucket_by: list[str] | None = None
+    num_buckets: int | None = None
     # Auto-compact: when an append stretches the version lineage past this
     # many directories, rewrite it into one (bounds file-count growth on
     # append-heavy tables without a separate maintenance job).
@@ -306,6 +314,8 @@ class TableStore:
         stats_columns: str | list[str] | None = None,
         cluster_by: str | list[str] | None = None,
         zorder_by: str | list[str] | None = None,
+        bucket_by: str | list[str] | None = None,
+        num_buckets: int | None = None,
         compact_after: int | None = None,
         expectations: dict[str, str] | None = None,
         expectations_mode: str | None = None,
@@ -341,6 +351,16 @@ class TableStore:
             for c in m.zorder_by:
                 if not m.stats_columns or c not in m.stats_columns:
                     m.stats_columns = (m.stats_columns or []) + [c]
+        if bucket_by is not None:
+            m.bucket_by = (
+                [bucket_by] if isinstance(bucket_by, str) else list(bucket_by)
+            )
+            m.num_buckets = int(num_buckets or 8)
+            if m.cluster_by or m.zorder_by or m.partition_by:
+                raise ValueError(
+                    "bucket_by is mutually exclusive with cluster_by/"
+                    "zorder_by/partition_by"
+                )
         if compact_after is not None:
             m.compact_after = compact_after
         if expectations is not None:
@@ -542,6 +562,48 @@ class TableStore:
             out = out.filter(_filter_expr(col, op, val))
         return out
 
+    def read_bucketed(self) -> DataFrame:
+        """Catalog-bound bucketed read: binds the active version's files
+        as a bucketed table (``CLUSTERED BY ... INTO n BUCKETS`` over the
+        same location) so a join between two stores bucketed the same way
+        plans with ZERO exchanges — the co-located fact join at 100 TB.
+        Plain ``read()`` still works (bucket layout is ordinary parquet);
+        only this path carries the bucket metadata into the planner.
+        Requires a single-directory active version (appends build lineage
+        — ``compact()`` re-buckets into one)."""
+        import re as _re
+
+        m = self._manifest
+        if not m.bucket_by:
+            raise ValueError(
+                f"table '{self.name}' is not bucketed; configure(bucket_by=...)"
+            )
+        if not self.has_active_version():
+            raise FileNotFoundError(f"table '{self.name}' has no active version")
+        dirs = self._version_dirs(m.active_version)
+        if len(dirs) != 1:
+            raise ValueError(
+                "bucketed read needs a single-directory version; "
+                "run compact() first"
+            )
+        loc = os.path.join(self.path, dirs[0])
+        schema = self.read().schema
+        cols = ", ".join(
+            f"`{f.name}` {f.dataType.simpleString()}" for f in schema.fields
+        )
+        bcols = ", ".join(f"`{c}`" for c in m.bucket_by)
+        ident = (
+            f"bds_{_re.sub('[^A-Za-z0-9_]', '_', self.name)}"
+            f"_v{m.active_version}_bucketed"
+        )
+        self.spark.sql(f"drop table if exists `{ident}`")
+        self.spark.sql(
+            f"create table `{ident}` ({cols}) using parquet "
+            f"clustered by ({bcols}) sorted by ({bcols}) "
+            f"into {m.num_buckets or 8} buckets location '{loc}'"
+        )
+        return self.spark.table(ident)
+
     # ---------------- read (A1) ----------------
     def read(self) -> DataFrame:
         if not self.has_active_version():
@@ -662,6 +724,30 @@ class TableStore:
         w = df.write.mode(mode)
         if self._manifest.partition_by:
             w = w.partitionBy(*self._manifest.partition_by)
+        bb = self._manifest.bucket_by
+        if bb and all(c in df.columns for c in bb):
+            # Bucketed layouts must go through saveAsTable (bucket ids ride
+            # the file names + catalog metadata). Write as a throwaway
+            # EXTERNAL table on the version path, then drop the catalog
+            # entry — files stay; read_bucketed() re-binds them.
+            import uuid as _uuid
+
+            tmp = f"__bds_bw_{_uuid.uuid4().hex[:12]}"
+            key = "spark.sql.parquet.outputTimestampType"
+            with _WRITE_CONF_LOCK:
+                prev = self.spark.conf.get(key)
+                self.spark.conf.set(key, "TIMESTAMP_MICROS")
+                try:
+                    (
+                        w.bucketBy(self._manifest.num_buckets or 8, *bb)
+                        .sortBy(*bb)
+                        .option("path", path)
+                        .saveAsTable(tmp)
+                    )
+                finally:
+                    self.spark.conf.set(key, prev)
+                    self.spark.sql(f"drop table if exists {tmp}")
+            return
         # Spark's legacy INT96 parquet timestamp encoding carries NO footer
         # min/max statistics, which would silently disable data skipping on
         # every timestamp column. Force TIMESTAMP_MICROS for OUR writes

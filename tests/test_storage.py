@@ -764,3 +764,56 @@ def test_zorder_and_cluster_by_are_exclusive(spark, tmp_path):
     store.configure(cluster_by=["x"])
     with pytest.raises(ValueError):
         store.configure(zorder_by=["x", "y"])
+
+
+# ---------------------------------------------------------- bucketed layout
+def test_bucketed_store_colocated_join_no_shuffle(spark, tmp_path):
+    """Two stores bucketed the same way must join with ZERO hash
+    exchanges (co-located sort-merge join) — the fact join that never
+    shuffles at 100 TB — and the result must equal the plain join."""
+    a = spark.range(50_000).select(
+        F.col("id").alias("k"), (F.col("id") * 2).alias("va")
+    )
+    b = spark.range(50_000).select(
+        F.col("id").alias("k"), (F.col("id") * 3).alias("vb")
+    )
+    sa = TableStore(str(tmp_path / "a"), "ta", spark)
+    sa.configure(bucket_by=["k"], num_buckets=8)
+    sa.write_replace(a)
+    sb = TableStore(str(tmp_path / "b"), "tb", spark)
+    sb.configure(bucket_by=["k"], num_buckets=8)
+    sb.write_replace(b)
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        j = sa.read_bucketed().join(sb.read_bucketed(), "k")
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert plan.count("Exchange hashpartitioning") == 0, plan
+        assert "SortMergeJoin" in plan
+        assert plan.count("Bucketed: true") == 2
+        assert j.count() == 50_000
+        # plain read still works and agrees
+        assert sa.read().count() == 50_000
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+
+def test_bucketed_store_append_then_compact_rebuckets(spark, tmp_path):
+    st = TableStore(str(tmp_path), "tc", spark)
+    st.configure(bucket_by=["k"], num_buckets=4)
+    mk = lambda lo, hi: spark.range(lo, hi).select(
+        F.col("id").alias("k"), F.col("id").alias("v")
+    )
+    st.write_replace(mk(0, 100))
+    st.append(mk(100, 200))
+    with pytest.raises(ValueError, match="compact"):
+        st.read_bucketed()
+    st.compact()
+    assert st.read_bucketed().count() == 200
+
+
+def test_bucket_by_exclusive_with_other_layouts(spark, tmp_path):
+    st = TableStore(str(tmp_path), "tx", spark)
+    st.configure(cluster_by=["k"])
+    with pytest.raises(ValueError):
+        st.configure(bucket_by=["k"])
