@@ -106,6 +106,10 @@ class Engine:
                         "unique_on",
                         "partition_by",
                         "cluster_by",
+                        "zorder_by",
+                        "bucket_by",
+                        "num_buckets",
+                        "stats_columns",
                         "expectations",
                         "expectations_mode",
                     )

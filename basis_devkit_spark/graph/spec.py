@@ -35,6 +35,10 @@ class StoreSpec(BaseModel):
     unique_on: Optional[list[str]] = None
     partition_by: Optional[list[str]] = None
     cluster_by: Optional[list[str]] = None
+    zorder_by: Optional[list[str]] = None
+    bucket_by: Optional[list[str]] = None
+    num_buckets: Optional[int] = None
+    stats_columns: Optional[list[str]] = None
     expectations: Optional[dict[str, str]] = None
     expectations_mode: Optional[str] = None
 

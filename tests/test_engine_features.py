@@ -497,6 +497,51 @@ def test_store_expectations_from_graph_yaml(spark, tmp_path):
     assert eng.store("clean").expectation_violations() == {"v_nonneg": 1}
 
 
+def test_store_layout_from_graph_yaml(spark, tmp_path):
+    """Declarative layout config: bucket_by/num_buckets (and zorder_by on
+    another store) flow from graph.yml into TableStore.configure, so a
+    node's managed write lands bucketed and read_bucketed() binds it."""
+    from pyspark.sql import functions as F
+
+    app = write_app(
+        tmp_path / "app",
+        """
+        functions:
+          - node_file: pass.sql
+            id: passnode1
+            inputs:
+              src: raw
+            outputs:
+              out: bucketed
+        stores:
+          - table: raw
+          - table: bucketed
+            bucket_by: [k]
+            num_buckets: 4
+        """,
+        **{"pass.sql": "select * from {{ src }}"},
+    )
+    from basis_devkit_spark.engine import Engine
+
+    eng = Engine(spark, str(tmp_path / "store"))
+    eng.load_graph(app)
+    eng.seed_store(
+        "raw",
+        spark.range(1000).select(F.col("id").alias("k"), (F.col("id") * 2).alias("v")),
+    )
+    eng.run_graph()
+    st = eng.store("bucketed")
+    assert st._manifest.bucket_by == ["k"] and st._manifest.num_buckets == 4
+    df = st.read_bucketed()
+    assert df.count() == 1000
+    # bucketing is exploited where it pays: a group-by on the bucket key
+    # needs NO exchange (the scan itself is hash-distributed on k)
+    g = df.groupBy("k").agg(F.sum("v").alias("s"))
+    plan = g._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange hashpartitioning" not in plan, plan
+    assert "Bucketed: true" in plan
+
+
 def test_run_graph_parallel_levels_match_sequential(spark, tmp_path):
     """parallelism>1 submits each topo level's independent nodes
     concurrently; results must equal the sequential run, downstream nodes
