@@ -1375,6 +1375,61 @@ def c11(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @register(
+    "c12_stream_neardup_collapse",
+    pyoracle.stream_neardup_sql,
+    doc="streaming near-dup collapse: per-row MinHash signatures "
+    "(shuffle-free projection, works unchanged on a streaming DF) hashed "
+    "into a group key, update-mode min-id + member-count aggregation, "
+    "exactly-once UPSERT into a managed table — the final table must "
+    "equal the batch signature group-by; planted copies (2nd micro-batch "
+    "file) must collapse onto their originals",
+)
+def c12(spark: SparkSession, sf: str) -> DataFrame:
+    import glob as _glob
+    import os as _os
+    import shutil as _shutil
+    import tempfile as _tf
+
+    from basis_devkit_spark.operators.dedup import minhash_signatures
+    from basis_devkit_spark.storage.store import TableStore
+    from basis_devkit_spark.streaming.ops import stream_upsert_to_store
+
+    tmp = _tf.mkdtemp(prefix="bds_c12_")
+    drop = _os.path.join(tmp, "drop")
+    _os.makedirs(drop, exist_ok=True)
+    _os.symlink(f"{sf}/documents.parquet", _os.path.join(drop, "b0.parquet"))
+    d = spark.read.parquet(f"{sf}/documents.parquet")
+    planted = d.filter(F.col("doc_id") < 10).withColumn(
+        "doc_id", F.col("doc_id") + F.lit(1_000_000)
+    )
+    pdir = _os.path.join(tmp, "planted")
+    planted.coalesce(1).write.parquet(pdir)
+    for i, f in enumerate(_glob.glob(_os.path.join(pdir, "part-*.parquet"))):
+        _shutil.copy(f, _os.path.join(drop, f"b1_{i}.parquet"))
+    stream = spark.readStream.schema(d.schema).parquet(drop)
+    sig = minhash_signatures(stream, "doc_id", "text")
+    key = F.xxhash64(
+        F.concat_ws(",", F.transform("sig", lambda x: x.cast("string")))
+    )
+    agg = (
+        sig.select("doc_id", key.alias("sig_key"))
+        .groupBy("sig_key")
+        .agg(
+            F.min("doc_id").alias("rep_id"),
+            F.count(F.lit(1)).alias("n_members"),
+        )
+    )
+    store = TableStore(tmp, "collapsed", spark)
+    store.configure(unique_on="sig_key")
+    q = stream_upsert_to_store(agg, store, f"{tmp}/_ckpt").start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return store.read().select("sig_key", "rep_id", "n_members")
+
+
+@register(
     "d04n_token_budget_sample",
     """
     with t as (

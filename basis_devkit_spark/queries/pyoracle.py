@@ -318,6 +318,34 @@ def incremental_minhash_sql() -> str:
     return f"select doc_id from (values {vals}) as t(doc_id)"
 
 
+def stream_neardup_sql() -> str:
+    """Oracle for c12: the batch equivalent of the streaming signature
+    collapse — full-signature hash key → (min doc_id, member count).
+    Corpus = documents plus exact copies (id+1_000_000) of doc_id < 10;
+    each planted copy must land in its original's group."""
+    docs = _documents(oracle_sf_dir())
+    alld = docs + [(i + 1_000_000, t) for i, t in docs if i < 10]
+    groups: dict[int, list[int]] = {}
+    for i, t in alld:
+        s = minhash_signature_model(t)
+        if s is None:
+            continue
+        key = to_signed(
+            xxh64_bytes(",".join(str(c) for c in s).encode("utf-8"))
+        )
+        g = groups.setdefault(key, [0, i])
+        g[0] += 1
+        g[1] = min(g[1], i)
+    vals = ", ".join(
+        f"({k}, {rep}, {n})" for k, (n, rep) in sorted(groups.items())
+    )
+    return (
+        f"select sig_key::BIGINT as sig_key, rep_id::BIGINT as rep_id, "
+        f"n_members::BIGINT as n_members "
+        f"from (values {vals}) as t(sig_key, rep_id, n_members)"
+    )
+
+
 # -------------------------------------------------------- SimHash (d02c)
 @lru_cache(maxsize=2)
 def simhash_fps(sf_dir: str, bits: int = 64) -> dict[int, int]:
