@@ -592,11 +592,13 @@ class TableStore:
             f"`{f.name}` {f.dataType.simpleString()}" for f in schema.fields
         )
         bcols = ", ".join(f"`{c}`" for c in m.bucket_by)
-        ident = (
-            f"bds_{_re.sub('[^A-Za-z0-9_]', '_', self.name)}"
-            f"_v{m.active_version}_bucketed"
-        )
-        self.spark.sql(f"drop table if exists `{ident}`")
+        base = f"bds_{_re.sub('[^A-Za-z0-9_]', '_', self.name)}"
+        ident = f"{base}_v{m.active_version}_bucketed"
+        # Stale bindings of older versions would dangle once vacuum removes
+        # their directories — drop every version's binding for this store.
+        for t in self.spark.catalog.listTables():
+            if t.name.startswith(f"{base}_v") and t.name.endswith("_bucketed"):
+                self.spark.sql(f"drop table if exists `{t.name}`")
         self.spark.sql(
             f"create table `{ident}` ({cols}) using parquet "
             f"clustered by ({bcols}) sorted by ({bcols}) "

@@ -297,3 +297,35 @@ def test_tpch_q10_broadcast_customer_dim(spark):
     plan = plan_of(df)
     assert "BroadcastHashJoin" in plan
     assert "TakeOrderedAndProject" in plan  # top-20 never global-sorts
+
+
+def test_minhash_dedup_against_plan_shape(spark):
+    """d02h incremental dedup: no Python UDF, no cartesian/NLJ — the
+    corpus meets the new batch only through the band-bucket equi-join."""
+    from basis_devkit_spark.operators.dedup import minhash_dedup_against
+
+    docs = load(spark, SF, "documents").select("doc_id", "text")
+    corpus = docs.filter(F.col("doc_id") % 2 == 0)
+    new = docs.filter(F.col("doc_id") % 2 == 1)
+    out = minhash_dedup_against(new, corpus, "doc_id", "text")
+    plan = plan_of(out)
+    assert "BatchEvalPython" not in plan and "PythonUDF" not in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_semantic_dedup_plan_shape(spark):
+    """d02g with injected centroids: assignment is a projection (no
+    window, no cartesian); cells meet only via the equi-self-join."""
+    from basis_devkit_spark.operators.similarity import semantic_dup_pairs
+
+    emb = load(spark, SF, "embeddings")
+    cents = emb.filter(F.col("vec_id") < 4).select(
+        F.col("vec_id").cast("int").alias("cell"),
+        F.transform("embedding", lambda x: x.cast("double")).alias("center"),
+    )
+    out = semantic_dup_pairs(emb, threshold=0.9, centroids=cents)
+    plan = plan_of(out)
+    assert "BatchEvalPython" not in plan and "PythonUDF" not in plan
+    assert "CartesianProduct" not in plan
+    assert "Window" not in plan  # assignment never windows
