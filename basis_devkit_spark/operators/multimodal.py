@@ -247,3 +247,62 @@ def sample_frames(
             )
         ),
     )
+
+
+RESIZED_IMAGE_SCHEMA = T.StructType(
+    [
+        T.StructField("uri", T.StringType(), False),
+        T.StructField("width", T.IntegerType(), True),
+        T.StructField("height", T.IntegerType(), True),
+        T.StructField("resized", T.BinaryType(), True),
+    ]
+)
+
+
+def fake_resize(content: bytes, width: int, height: int) -> bytes:
+    """Deterministic resize stand-in: a sha256-seeded byte buffer of the
+    target pixel count (RGB). Real pipelines pass a PIL/torchvision
+    resizer; this keeps the distributed plumbing testable here."""
+    seed = hashlib.sha256(content or b"").digest()
+    n = width * height * 3
+    reps = n // len(seed) + 1
+    return (seed * reps)[:n]
+
+
+def resize_images(
+    df: DataFrame,
+    width: int,
+    height: int,
+    content_col: str = "content",
+    uri_col: str = "media.uri",
+    resize_fn: Callable[[bytes, int, int], bytes] | None = None,
+) -> DataFrame:
+    """Batch image resize over ``mapInPandas`` (Arrow) — the training-data
+    preprocessing shape: bytes in, fixed-size bytes out, embarrassingly
+    parallel, no shuffle. ``resize_fn(bytes, w, h) -> bytes`` is the codec
+    boundary (same contract as ``decode_fn``): pass a real
+    PIL/torchvision implementation in production; the default raises
+    ``NotImplementedError`` for real formats — use ``fake_resize`` for
+    deterministic plumbing tests."""
+
+    def _default(content: bytes, w: int, h: int) -> bytes:
+        raise NotImplementedError(
+            "pixel-level resize needs a codec library; pass resize_fn="
+        )
+
+    fn = resize_fn or _default
+
+    def _resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"uri": [], "width": [], "height": [], "resized": []}
+            for uri, content in zip(pdf["__uri"], pdf["__content"]):
+                out["uri"].append(uri)
+                out["width"].append(width)
+                out["height"].append(height)
+                out["resized"].append(fn(content, width, height))
+            yield pd.DataFrame(out)
+
+    prepared = df.select(
+        F.col(uri_col).alias("__uri"), F.col(content_col).alias("__content")
+    )
+    return prepared.mapInPandas(_resize, RESIZED_IMAGE_SCHEMA)

@@ -394,6 +394,40 @@ def test_multimodal_decode_plumbing(spark):
     assert idx == [0, 10, 20]
 
 
+def test_multimodal_resize_plumbing(spark):
+    from basis_devkit_spark.operators.multimodal import (
+        attach_media_ref,
+        fake_resize,
+        resize_images,
+    )
+
+    df = spark.createDataFrame(
+        [("a.png", b"bytes-a"), ("b.jpg", b"bytes-b")], "uri string, content binary"
+    )
+    media = attach_media_ref(df, "uri", "content")
+    got = resize_images(
+        media, 8, 4, content_col="content", uri_col="media.uri",
+        resize_fn=fake_resize,
+    ).collect()
+    assert len(got) == 2
+    assert all(r.width == 8 and r.height == 4 for r in got)
+    assert all(len(r.resized) == 8 * 4 * 3 for r in got)
+    # deterministic per input bytes, distinct across inputs
+    by_uri = {r.uri: bytes(r.resized) for r in got}
+    assert by_uri["a.png"] != by_uri["b.jpg"]
+    again = {
+        r.uri: bytes(r.resized)
+        for r in resize_images(
+            media, 8, 4, content_col="content", uri_col="media.uri",
+            resize_fn=fake_resize,
+        ).collect()
+    }
+    assert again == by_uri
+    # codec boundary: default must refuse rather than fake it
+    with pytest.raises(Exception, match="NotImplementedError|resize"):
+        resize_images(media, 8, 4, content_col="content", uri_col="media.uri").collect()
+
+
 def test_parse_image_header_real_formats():
     """The default decode parses REAL header bytes: hand-built PNG/GIF
     and JPEG (including one with leading APP0/comment segments before the
