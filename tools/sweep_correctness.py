@@ -140,6 +140,21 @@ def main() -> None:
 
     bad = {k: v for k, v in results.items() if v != "OK" and not v.startswith("rows-only")}
     print(json.dumps({"total": len(results), "bad": bad}, indent=2))
+    out = os.environ.get("SWEEP_OUT")
+    if out:  # commit-able artifact (SWEEP_r*.json)
+        with open(out, "w") as f:
+            json.dump(
+                {
+                    "round": int(os.environ.get("SWEEP_ROUND", "0")),
+                    "sf": SF_DIR,
+                    "total": len(results),
+                    "bad": bad,
+                    "note": os.environ.get("SWEEP_NOTE", ""),
+                    "statuses": results,
+                },
+                f,
+                indent=1,
+            )
     spark.stop()
 
 
