@@ -646,3 +646,49 @@ def train_val_test_split(
         .otherwise(F.lit("test"))
     )
     return df.withColumn(out_col, label)
+
+
+def drop_repeated_lines(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    max_occurrences: int = 1,
+    sep: str = "\n",
+) -> DataFrame:
+    """C4-style corpus-level line dedup (Raffel et al. 2020 §2.2 removed
+    any three-sentence span occurring more than once): drop every line
+    that occurs more than ``max_occurrences`` times across the corpus
+    (boilerplate, footers, cookie banners), reassemble each document's
+    surviving lines in their original order. Documents whose lines are
+    all dropped keep an empty string.
+
+    Scale shape: posexplode → one hash agg to find the (small) repeated
+    set → anti-join lines against it (AQE broadcasts the repeated set
+    when it fits) → per-doc re-pack via sort-free collect_list +
+    array_sort. Only the repeated-line table is corpus-wide state."""
+    lines = df.select(
+        F.col(id_col).alias("__id"),
+        F.posexplode(F.split(F.col(text_col), sep)).alias("__pos", "__line"),
+    )
+    repeated = (
+        lines.groupBy("__line")
+        .agg(F.count(F.lit(1)).alias("__n"))
+        .filter(F.col("__n") > max_occurrences)
+        .select("__line")
+    )
+    kept = lines.join(repeated, "__line", "left_anti")
+    packed = kept.groupBy("__id").agg(
+        F.concat_ws(
+            sep,
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("__pos", "__line"))),
+                lambda s: s.getField("__line"),
+            ),
+        ).alias("__text")
+    )
+    return df.join(
+        packed, F.col(id_col) == F.col("__id"), "left"
+    ).select(
+        *[c for c in df.columns if c != text_col],
+        F.coalesce(F.col("__text"), F.lit("")).alias(text_col),
+    )

@@ -1375,6 +1375,53 @@ def c11(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @register(
+    "d04q_drop_repeated_lines",
+    """
+    with p as (
+      select doc_id,
+             case when doc_id % 3 = 0
+                  then text || chr(10) || 'subscribe to our newsletter for updates'
+                  else text end as text
+      from documents
+    ),
+    l as (
+      select doc_id,
+             unnest(string_split(text, chr(10))) as line,
+             generate_subscripts(string_split(text, chr(10)), 1) as pos
+      from p
+    ),
+    rep as (select line from l group by line having count(*) > 1),
+    kept as (select * from l where line not in (select line from rep)),
+    packed as (
+      select doc_id, string_agg(line, chr(10) order by pos) as text2
+      from kept group by doc_id
+    )
+    select p.doc_id, coalesce(k.text2, '') as text2
+    from p left join packed k on p.doc_id = k.doc_id
+    """,
+    doc="C4-style corpus-level repeated-line removal: a footer planted on "
+    "every third doc (and any exactly-duplicated body line) must be "
+    "stripped, unique lines survive in order, fully-dropped docs keep ''",
+)
+def d04q(spark: SparkSession, sf: str) -> DataFrame:
+    from basis_devkit_spark.operators.text import drop_repeated_lines
+
+    d = load(spark, sf, "documents").select("doc_id", "text")
+    planted = d.withColumn(
+        "text",
+        F.when(
+            F.col("doc_id") % 3 == 0,
+            F.concat(
+                F.col("text"),
+                F.lit("\nsubscribe to our newsletter for updates"),
+            ),
+        ).otherwise(F.col("text")),
+    )
+    out = drop_repeated_lines(planted, "doc_id", "text", max_occurrences=1)
+    return out.select("doc_id", F.col("text").alias("text2"))
+
+
+@register(
     "c12_stream_neardup_collapse",
     pyoracle.stream_neardup_sql,
     doc="streaming near-dup collapse: per-row MinHash signatures "

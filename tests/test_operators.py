@@ -912,3 +912,33 @@ def test_minhash_dedup_against_corpus(spark):
         ).collect()
     }
     assert got2 == got
+
+
+def test_drop_repeated_lines_handcomputed(spark):
+    from basis_devkit_spark.operators.text import drop_repeated_lines
+
+    rows = [
+        (1, "unique alpha\nSHARED FOOTER\nunique beta"),
+        (2, "different text\nSHARED FOOTER"),
+        (3, "SHARED FOOTER"),              # loses everything -> ""
+        (4, "standalone document body"),   # untouched
+    ]
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    got = {
+        r.doc_id: r.text
+        for r in drop_repeated_lines(df, "doc_id", "text").collect()
+    }
+    assert got == {
+        1: "unique alpha\nunique beta",   # order preserved, footer gone
+        2: "different text",
+        3: "",
+        4: "standalone document body",
+    }
+    # max_occurrences=3 tolerates the 3x footer
+    got2 = {
+        r.doc_id: r.text
+        for r in drop_repeated_lines(
+            df, "doc_id", "text", max_occurrences=3
+        ).collect()
+    }
+    assert got2 == {r[0]: r[1] for r in rows}
