@@ -1375,6 +1375,36 @@ def c11(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @register(
+    "d04r_trained_quality_filter",
+    None,  # LogisticRegression training is not bit-reproducible across
+    # engines (float reduction order) — rows-only; separability and the
+    # no-UDF scoring plan are pytest-asserted
+    # (test_quality_classifier_separates_planted_classes).
+    doc="fastText-style trained quality filter: hashed-BoW logistic "
+    "regression trained on weak labels (heuristic quality_score median "
+    "split), corpus scored JVM-side; rows-only by design",
+)
+def d04r(spark: SparkSession, sf: str) -> DataFrame:
+    from basis_devkit_spark.operators.quality_model import (
+        score_quality,
+        train_quality_classifier,
+    )
+    from basis_devkit_spark.operators.text import quality_score
+
+    d = load(spark, sf, "documents").select("doc_id", "text")
+    q = quality_score(d, "text")
+    med = q.approxQuantile("quality_score", [0.5], 0.01)[0]
+    labeled = q.select(
+        "doc_id", "text",
+        (F.col("quality_score") >= med).cast("int").alias("label"),
+    )
+    model = train_quality_classifier(labeled, "text", "label", max_iter=10)
+    return score_quality(model, labeled.select("doc_id", "text")).select(
+        "doc_id", "quality_prob"
+    )
+
+
+@register(
     "d04q_drop_repeated_lines",
     """
     with p as (

@@ -942,3 +942,39 @@ def test_drop_repeated_lines_handcomputed(spark):
         ).collect()
     }
     assert got2 == {r[0]: r[1] for r in rows}
+
+
+def test_quality_classifier_separates_planted_classes(spark):
+    """Trained quality filter: clean prose vs token-soup gibberish must be
+    separable on held-out docs (hashed BoW + logistic regression)."""
+    import random
+
+    from basis_devkit_spark.operators.quality_model import (
+        score_quality,
+        train_quality_classifier,
+    )
+
+    rng = random.Random(13)
+    clean_vocab = "the of and to in a is that for with on as are was".split()
+    junk_vocab = [f"xq{i}zk" for i in range(50)]
+    mk = lambda vocab: " ".join(rng.choice(vocab) for _ in range(40))
+    rows = [(i, mk(clean_vocab), 1) for i in range(80)]
+    rows += [(100 + i, mk(junk_vocab), 0) for i in range(80)]
+    df = spark.createDataFrame(rows, "doc_id int, text string, label int")
+    train = df.filter(F.col("doc_id") % 2 == 0)
+    heldout = df.filter(F.col("doc_id") % 2 == 1)
+    model = train_quality_classifier(train, "text", "label")
+    scored = score_quality(model, heldout)
+    acc = (
+        scored.filter(
+            ((F.col("quality_prob") >= 0.5) & (F.col("label") == 1))
+            | ((F.col("quality_prob") < 0.5) & (F.col("label") == 0))
+        ).count()
+        / heldout.count()
+    )
+    assert acc >= 0.9, acc
+    kept = score_quality(model, heldout, keep_threshold=0.5)
+    assert 0 < kept.count() < heldout.count()
+    # scoring is JVM-side: no Python UDF in the plan
+    plan = scored._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan
