@@ -692,3 +692,35 @@ def drop_repeated_lines(
         *[c for c in df.columns if c != text_col],
         F.coalesce(F.col("__text"), F.lit("")).alias(text_col),
     )
+
+
+def quality_weighted_sample(
+    df: DataFrame,
+    quality_col: str = "quality_score",
+    id_col: str = "doc_id",
+    alpha: float = 1.0,
+    salt: str = "qws",
+) -> DataFrame:
+    """Quality-weighted importance sampling — the GPT-3-style retention
+    rule (documents kept with probability ≈ quality^alpha, so higher
+    ``alpha`` skews the kept set harder toward high quality): keep a row
+    iff ``md5-uniform(id) < quality^alpha``. Same scale properties as
+    ``mixture_sample``: a pure deterministic filter (no RNG state, no
+    shuffle, pushes toward the scan), reproducible across engines, and
+    monotone in quality — raising a doc's score can only help it."""
+    u = (
+        F.pmod(
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(F.lit(salt), F.col(id_col).cast("string"))),
+                    1,
+                    8,
+                ),
+                16,
+                10,
+            ).cast("long"),
+            F.lit(10000),
+        )
+        / F.lit(10000.0)
+    )
+    return df.filter(u < F.pow(F.col(quality_col), F.lit(float(alpha))))

@@ -105,7 +105,7 @@ _SAMPLE_PRIORITY = [
     "a27_parallel_graph_run", "a28_zorder_pruned_read",
     "a29_bucketed_colocated_join", "c11_stream_upsert_aggregate",
     "c12_stream_neardup_collapse", "d04q_drop_repeated_lines",
-    "d04r_trained_quality_filter",
+    "d04r_trained_quality_filter", "d04s_quality_weighted_sample",
     "d03e_dot_topk", "d03f_l2_topk", "d02g_semantic_dedup",
     "d02h_incremental_minhash_dedup",
     "d02c_simhash", "d03b_lsh_topk", "d04d_fingerprint",

@@ -1375,6 +1375,34 @@ def c11(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @register(
+    "d04s_quality_weighted_sample",
+    f"""
+    with q as (
+      select doc_id, {_QUALITY_EXPR} as quality_score
+      from ({_STATS_SQL})
+    )
+    select doc_id, quality_score from q
+    where (('0x' || substr(md5('qws' || cast(doc_id as varchar)), 1, 8))::ubigint
+           % 10000) / 10000.0 < power(quality_score, 2.0)
+    """,
+    doc="quality-weighted importance sampling (keep with probability "
+    "~ quality^2): deterministic md5-uniform vs the heuristic quality "
+    "score — a pure filter, no RNG state, reproducible across engines",
+)
+def d04s(spark: SparkSession, sf: str) -> DataFrame:
+    from basis_devkit_spark.operators.text import (
+        quality_score,
+        quality_weighted_sample,
+    )
+
+    d = load(spark, sf, "documents")
+    q = quality_score(d, "text")
+    return quality_weighted_sample(q, alpha=2.0).select(
+        "doc_id", "quality_score"
+    )
+
+
+@register(
     "d04r_trained_quality_filter",
     None,  # LogisticRegression training is not bit-reproducible across
     # engines (float reduction order) — rows-only; separability and the

@@ -978,3 +978,28 @@ def test_quality_classifier_separates_planted_classes(spark):
     # scoring is JVM-side: no Python UDF in the plan
     plan = scored._jdf.queryExecution().executedPlan().toString()
     assert "BatchEvalPython" not in plan
+
+
+def test_quality_weighted_sample_monotone_in_alpha_and_quality(spark):
+    from basis_devkit_spark.operators.text import (
+        quality_score,
+        quality_weighted_sample,
+    )
+
+    docs = load(spark, SF, "documents")
+    q = quality_score(docs, "text")
+    n = q.count()
+    k1 = quality_weighted_sample(q, alpha=1.0).count()
+    k2 = quality_weighted_sample(q, alpha=2.0).count()
+    k0 = quality_weighted_sample(q, alpha=0.0).count()  # q^0=1 -> keep all
+    assert k0 == n
+    assert 0 < k2 <= k1 <= n  # harder skew keeps fewer
+    # kept set at alpha=2 is a subset of alpha=1 (same uniform, smaller prob)
+    ids1 = {r.doc_id for r in quality_weighted_sample(q, alpha=1.0).select("doc_id").collect()}
+    ids2 = {r.doc_id for r in quality_weighted_sample(q, alpha=2.0).select("doc_id").collect()}
+    assert ids2 <= ids1
+    # mean quality of the kept set does not decrease under the skew
+    from pyspark.sql import functions as SF_
+    m_all = q.agg(SF_.avg("quality_score")).first()[0]
+    m_k2 = quality_weighted_sample(q, alpha=2.0).agg(SF_.avg("quality_score")).first()[0]
+    assert m_k2 >= m_all
