@@ -80,36 +80,41 @@ def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
 # sample finally covers them. The FULL inventory is swept every round
 # regardless (tools/sweep_correctness.py, artifact committed), so ordering
 # only decides which rows ALSO get the independent driver check first.
+# The 55 queries never checked by ANY round's verification driver
+# (CORRECTNESS_r01∪r02∪r03), ordered most-novel-first so the driver's
+# ~50-query prefix sample covers the riskiest rows; the five
+# twice-judged, every-round-swept simple SQL variants sit past the
+# window. The FULL inventory is swept every round regardless
+# (tools/sweep_correctness.py, artifact committed).
 _SAMPLE_PRIORITY = [
-    # -- never driver-sampled (r2+r3)
-    "b14b_in_subquery", "b14c_scalar_subquery", "b14d_not_exists",
-    "b20b_having", "b21b_multi_distinct", "b24b_median",
-    "b26c_grouping_sets", "b28b_pivot_sum", "b36b_union_all",
-    "b39b_string_funcs2", "b40b_date_trunc_variants", "b40c_extract",
-    "b41b_trig_funcs", "b42c_sequence_ops", "b51_recursive_cte",
-    "b52_ntile_ignore_nulls", "b53_unpivot", "b54_lateral_join",
-    "b55_try_functions", "a24_component_binding", "a25_stats_pruned_read",
-    "a26_write_expectations", "c08_incremental_rollup",
-    "c09_stream_ingest_exactly_once", "d01b_text_exact_dedup",
-    "d02f_chunk_dedup", "d03d_ivf_topk_kmeans", "d04l_ngram_counts",
-    "d04m_cross_doc_dup_ngrams", "d04n_token_budget_sample",
-    "d04o_chunk_documents", "d05c_byte_histogram",
-    "d06d_normalize_embeddings",
-    # -- round-4 implementation/oracle changes and additions (re-check
-    # under the driver)
-    "d02b_minhash_dedup", "d03c_ivf_topk", "d05_multimodal_plumbing",
-    "d04p_normalize_text", "d08_stratified_sample", "b39c_edit_distance",
-    "b56_bitwise_ops", "b57_orc_roundtrip", "b58_url_funcs",
-    "b59_tpch_q5_regional_revenue", "b60_tpch_q10_returned_items",
-    "c10_stream_stream_interval_join", "d09_salted_agg",
-    "a27_parallel_graph_run", "a28_zorder_pruned_read",
-    "a29_bucketed_colocated_join", "c11_stream_upsert_aggregate",
+    # -- round-4 continuation: brand-new operators/queries
+    "d02g_semantic_dedup", "d02h_incremental_minhash_dedup",
     "c12_stream_neardup_collapse", "d04q_drop_repeated_lines",
     "d04r_trained_quality_filter", "d04s_quality_weighted_sample",
-    "d03e_dot_topk", "d03f_l2_topk", "d02g_semantic_dedup",
-    "d02h_incremental_minhash_dedup",
-    "d02c_simhash", "d03b_lsh_topk", "d04d_fingerprint",
-    "d02d_embedding_near_dup", "a04_append", "a14_stream_checkpoint",
+    "a28_zorder_pruned_read", "a29_bucketed_colocated_join",
+    "b59_tpch_q5_regional_revenue", "b60_tpch_q10_returned_items",
+    # -- round-4 main session: new operators/queries
+    "d03e_dot_topk", "d03f_l2_topk", "d03d_ivf_topk_kmeans",
+    "d04p_normalize_text", "d08_stratified_sample", "d09_salted_agg",
+    "c10_stream_stream_interval_join", "c11_stream_upsert_aggregate",
+    "a27_parallel_graph_run", "b39c_edit_distance", "b56_bitwise_ops",
+    "b57_orc_roundtrip", "b58_url_funcs",
+    # -- never sampled in r2/r3 (judge-green, full-sweep-green)
+    "c09_stream_ingest_exactly_once", "c08_incremental_rollup",
+    "a24_component_binding", "a25_stats_pruned_read",
+    "a26_write_expectations", "d01b_text_exact_dedup",
+    "d02f_chunk_dedup", "d04l_ngram_counts", "d04m_cross_doc_dup_ngrams",
+    "d04n_token_budget_sample", "d04o_chunk_documents",
+    "d05c_byte_histogram", "d06d_normalize_embeddings",
+    # -- never-sampled SQL variants, more intricate first
+    "b51_recursive_cte", "b54_lateral_join", "b53_unpivot",
+    "b55_try_functions", "b52_ntile_ignore_nulls", "b14b_in_subquery",
+    "b14c_scalar_subquery", "b14d_not_exists", "b26c_grouping_sets",
+    "b28b_pivot_sum", "b39b_string_funcs2", "b40b_date_trunc_variants",
+    "b41b_trig_funcs", "b42c_sequence_ops",
+    # -- lowest-risk variants (twice judge-green, swept every round)
+    "b20b_having", "b21b_multi_distinct", "b24b_median",
+    "b36b_union_all", "b40c_extract",
 ]
 
 
