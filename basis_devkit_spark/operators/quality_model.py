@@ -61,7 +61,27 @@ def train_quality_classifier(
             ),
         ]
     )
-    return pipe.fit(train)
+    model = pipe.fit(train)
+    # Strip the training summary before handing the model out: the fitted
+    # LogisticRegressionModel keeps a NON-transient reference to its
+    # summary, which references the SparkSession — so any task closure
+    # that captures the model drags the session (and its non-serializable
+    # ObservationManager) into task serialization and scoring dies with
+    # "Task not serializable" (observed whenever the session has touched
+    # certain catalog paths). Persist/reload drops the summary (summaries
+    # are never saved) — the exact shape of production scoring from a
+    # saved artifact.
+    import shutil
+    import tempfile
+
+    from pyspark.ml import PipelineModel
+
+    path = tempfile.mkdtemp(prefix="bds_qm_")
+    try:
+        model.write().overwrite().save(path + "/model")
+        return PipelineModel.load(path + "/model")
+    finally:
+        shutil.rmtree(path, ignore_errors=True)
 
 
 def score_quality(model, df: DataFrame, keep_threshold: float | None = None) -> DataFrame:
