@@ -74,13 +74,7 @@ def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
     return df
 
 
-# Queries never sampled by the verification driver through round 3
-# (CORRECTNESS_r02 ∪ CORRECTNESS_r03), plus queries whose implementation or
-# oracle changed in round 4 — registered first so the driver's prefix
-# sample finally covers them. The FULL inventory is swept every round
-# regardless (tools/sweep_correctness.py, artifact committed), so ordering
-# only decides which rows ALSO get the independent driver check first.
-# The 55 queries never checked by ANY round's verification driver
+# The queries never checked by ANY round's verification driver
 # (CORRECTNESS_r01∪r02∪r03), ordered most-novel-first so the driver's
 # ~50-query prefix sample covers the riskiest rows; the five
 # twice-judged, every-round-swept simple SQL variants sit past the
@@ -93,6 +87,7 @@ _SAMPLE_PRIORITY = [
     "d04r_trained_quality_filter", "d04s_quality_weighted_sample",
     "a28_zorder_pruned_read", "a29_bucketed_colocated_join",
     "b59_tpch_q5_regional_revenue", "b60_tpch_q10_returned_items",
+    "b61_tpch_q18_large_orders",
     # -- round-4 main session: new operators/queries
     "d03e_dot_topk", "d03f_l2_topk", "d03d_ivf_topk_kmeans",
     "d04p_normalize_text", "d08_stratified_sample", "d09_salted_agg",

@@ -715,3 +715,49 @@ def b60(spark: SparkSession, sf: str) -> DataFrame:
         .orderBy(F.col("revenue").desc(), "c_custkey")
         .limit(20)
     )
+
+
+@register(
+    "b61_tpch_q18_large_orders",
+    """
+    with big as (
+      select l_orderkey
+      from lineitem group by l_orderkey
+      having sum(l_quantity) > 300
+    )
+    select c_custkey, o_orderkey, o_orderdate,
+           cast(sum(cast(l_quantity as decimal(18,2))) as double) as total_qty
+    from customer, orders, lineitem
+    where o_orderkey in (select l_orderkey from big)
+      and c_custkey = o_custkey
+      and o_orderkey = l_orderkey
+    group by c_custkey, o_orderkey, o_orderdate
+    order by total_qty desc, o_orderkey
+    limit 20
+    """,
+    doc="TPC-H Q18-style: aggregate-derived key set (HAVING sum>300) "
+    "semi-joined back to the fact chain, top-20 by total quantity — the "
+    "agg-subquery composite; lineitem aggregates map-side before either "
+    "join",
+)
+def b61(spark: SparkSession, sf: str) -> DataFrame:
+    li = load(spark, sf, "lineitem").select("l_orderkey", "l_quantity")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("__sq"))
+        .filter(F.col("__sq") > 300)
+        .select("l_orderkey")
+    )
+    o = load(spark, sf, "orders").select("o_orderkey", "o_custkey", "o_orderdate")
+    c = load(spark, sf, "customer").select("c_custkey")
+    flt = li.join(big.withColumnRenamed("l_orderkey", "__bk"),
+                  F.col("l_orderkey") == F.col("__bk"), "left_semi")
+    joined = flt.join(o, F.col("l_orderkey") == F.col("o_orderkey")).join(
+        F.broadcast(c), F.col("o_custkey") == F.col("c_custkey")
+    )
+    return (
+        joined.groupBy("c_custkey", "o_orderkey", "o_orderdate")
+        .agg(dsum_expr(F.col("l_quantity")).alias("total_qty"))
+        .orderBy(F.col("total_qty").desc(), "o_orderkey")
+        .limit(20)
+    )
