@@ -676,3 +676,87 @@ def test_run_graph_parallel_stress_wide_level(spark, tmp_path):
             got = sorted(r.v for r in eng.table_df(f"out{b}").collect())
             assert got == [i * (b + 1) for i in range(n_rows)], f"branch {b}"
         assert eng.table_df("total").agg({"v": "sum"}).collect()[0][0] == expect_total
+
+
+def test_all_layouts_parallel_graph_then_ml_scoring(spark, tmp_path):
+    """Cross-feature stress: one parallel graph run writes the SAME source
+    through all four layouts (plain, cluster_by, zorder_by, bucket_by);
+    every read path agrees; a bucketed co-located join and a fresh
+    ML fit+score both work in the same session afterwards (regression for
+    the trainingSummary->SparkSession task-serialization bug, which
+    surfaced only after a bucketed saveAsTable)."""
+    from pyspark.sql import functions as F
+
+    yml = """
+    functions:
+      - node_file: p.sql
+        id: n_plain
+        inputs: { src: raw }
+        outputs: { out: t_plain }
+      - node_file: p.sql
+        id: n_clu
+        inputs: { src: raw }
+        outputs: { out: t_clu }
+      - node_file: p.sql
+        id: n_zo
+        inputs: { src: raw }
+        outputs: { out: t_zo }
+      - node_file: p.sql
+        id: n_bkt
+        inputs: { src: raw }
+        outputs: { out: t_bkt }
+    stores:
+      - table: raw
+      - table: t_plain
+      - table: t_clu
+        cluster_by: [x]
+      - table: t_zo
+        zorder_by: [x, y]
+      - table: t_bkt
+        bucket_by: [x]
+        num_buckets: 4
+    """
+    app = write_app(tmp_path / "app", yml, **{"p.sql": "select * from {{ src }}"})
+    eng = Engine(spark, str(tmp_path / "store"))
+    eng.load_graph(app)
+    src = spark.range(5000).select(
+        F.col("id").alias("x"),
+        (F.hash("id") % 1000).alias("y"),
+        (F.col("id") % 7).alias("v"),
+    )
+    eng.seed_store("raw", src)
+    for _ in range(2):  # repeat: version flips, re-bucketing, re-binding
+        eng.run_graph(parallelism=4)
+    want = sorted((r.x, r.y, r.v) for r in src.collect())
+    for t in ("t_plain", "t_clu", "t_zo", "t_bkt"):
+        got = sorted((r.x, r.y, r.v) for r in eng.table_df(t).collect())
+        assert got == want, t
+    # zorder store prunes and agrees under read_pruned
+    zo = eng.store("t_zo")
+    assert zo.read_pruned([("x", "<", 100)]).count() == 100
+    # bucketed co-located self-join: zero exchanges, right count
+    bkt = eng.store("t_bkt")
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        a, b = bkt.read_bucketed().alias("a"), bkt.read_bucketed().alias("b")
+        j = a.join(b, F.col("a.x") == F.col("b.x"))
+        assert "Exchange hashpartitioning" not in (
+            j._jdf.queryExecution().executedPlan().toString()
+        )
+        assert j.count() == 5000
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    # ML fit + score in the SAME session still serializes tasks fine
+    from basis_devkit_spark.operators.quality_model import (
+        score_quality,
+        train_quality_classifier,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, "clean common words here", 1) for i in range(30)]
+        + [(50 + i, f"zzq{i} qqz{i} xx{i}", 0) for i in range(30)],
+        "doc_id int, text string, label int",
+    )
+    model = train_quality_classifier(docs, "text", "label", max_iter=5)
+    assert score_quality(model, docs).count() == 60
