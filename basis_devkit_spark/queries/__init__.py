@@ -87,7 +87,7 @@ _SAMPLE_PRIORITY = [
     "d04r_trained_quality_filter", "d04s_quality_weighted_sample",
     "a28_zorder_pruned_read", "a29_bucketed_colocated_join",
     "b59_tpch_q5_regional_revenue", "b60_tpch_q10_returned_items",
-    "b61_tpch_q18_large_orders",
+    "b61_tpch_q18_large_orders", "b62_tpch_q14_type_revenue_share",
     # -- round-4 main session: new operators/queries
     "d03e_dot_topk", "d03f_l2_topk", "d03d_ivf_topk_kmeans",
     "d04p_normalize_text", "d08_stratified_sample", "d09_salted_agg",

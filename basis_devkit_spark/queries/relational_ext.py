@@ -761,3 +761,34 @@ def b61(spark: SparkSession, sf: str) -> DataFrame:
         .orderBy(F.col("total_qty").desc(), "o_orderkey")
         .limit(20)
     )
+
+
+@register(
+    "b62_tpch_q14_type_revenue_share",
+    """
+    select round(
+      100.0 * cast(sum(case when p_type = 'ECONOMY'
+                   then cast(l_extendedprice * (1 - l_discount) as decimal(18,2))
+                   else cast(0 as decimal(18,2)) end) as double)
+            / cast(sum(cast(l_extendedprice * (1 - l_discount) as decimal(18,2)))
+                   as double), 6) as economy_share
+    from lineitem, part
+    where l_partkey = p_partkey
+      and l_shipdate >= '1997-01-01' and l_shipdate < '1997-02-01'
+    """,
+    doc="TPC-H Q14-style conditional revenue share: broadcast part dim, "
+    "single-pass conditional decimal sums, scalar ratio output",
+)
+def b62(spark: SparkSession, sf: str) -> DataFrame:
+    li = load(spark, sf, "lineitem").filter(
+        (F.col("l_shipdate") >= "1997-01-01") & (F.col("l_shipdate") < "1997-02-01")
+    ).select("l_partkey", "l_extendedprice", "l_discount")
+    p = load(spark, sf, "part").select("p_partkey", "p_type")
+    j = li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+    rev = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(18,2)")
+    eco = F.when(F.col("p_type") == "ECONOMY", rev).otherwise(F.lit(0).cast("decimal(18,2)"))
+    return j.agg(
+        F.round(
+            100.0 * F.sum(eco).cast("double") / F.sum(rev).cast("double"), 6
+        ).alias("economy_share")
+    )
