@@ -1003,3 +1003,37 @@ def test_quality_weighted_sample_monotone_in_alpha_and_quality(spark):
     m_all = q.agg(SF_.avg("quality_score")).first()[0]
     m_k2 = quality_weighted_sample(q, alpha=2.0).agg(SF_.avg("quality_score")).first()[0]
     assert m_k2 >= m_all
+
+
+def test_drop_repeated_lines_properties_random_corpora(spark):
+    """Properties on random corpora: output lines ⊆ input lines per doc,
+    original order preserved, and the operator is idempotent (a second
+    pass with the same threshold removes nothing — survivors are unique
+    corpus-wide by construction)."""
+    import random
+
+    from basis_devkit_spark.operators.text import drop_repeated_lines
+
+    rng = random.Random(99)
+    shared = [f"shared line {i}" for i in range(5)]
+    rows = []
+    for d in range(60):
+        lines = [f"doc{d} unique {i}" for i in range(rng.randint(0, 4))]
+        for s in shared:
+            if rng.random() < 0.4:
+                lines.append(s)
+        rng.shuffle(lines)
+        rows.append((d, "\n".join(lines)))
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    once = drop_repeated_lines(df, "doc_id", "text", max_occurrences=1)
+    got1 = {r.doc_id: r.text for r in once.collect()}
+    orig = dict(rows)
+    for d, t in got1.items():
+        in_lines = orig[d].split("\n") if orig[d] else []
+        out_lines = t.split("\n") if t else []
+        # subset, order preserved (subsequence check)
+        it = iter(in_lines)
+        assert all(any(x == y for y in it) for x in out_lines), (d, t)
+    twice = drop_repeated_lines(once, "doc_id", "text", max_occurrences=1)
+    got2 = {r.doc_id: r.text for r in twice.collect()}
+    assert got2 == got1  # idempotent
