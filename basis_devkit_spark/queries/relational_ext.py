@@ -792,3 +792,53 @@ def b62(spark: SparkSession, sf: str) -> DataFrame:
             100.0 * F.sum(eco).cast("double") / F.sum(rev).cast("double"), 6
         ).alias("economy_share")
     )
+
+
+@register(
+    "b63_tpch_q7_nation_trade",
+    """
+    select n1.n_name as supp_nation, n2.n_name as cust_nation,
+           cast(year(l_shipdate) as int) as l_year,
+           cast(sum(cast(l_extendedprice * (1 - l_discount) as decimal(18,2)))
+                as double) as volume
+    from supplier, lineitem, orders, customer, nation n1, nation n2
+    where s_suppkey = l_suppkey
+      and o_orderkey = l_orderkey
+      and c_custkey = o_custkey
+      and s_nationkey = n1.n_nationkey
+      and c_nationkey = n2.n_nationkey
+      and ((n1.n_name = 'NATION_1' and n2.n_name = 'NATION_2')
+        or (n1.n_name = 'NATION_2' and n2.n_name = 'NATION_1'))
+      and l_shipdate >= '1996-01-01' and l_shipdate < '1998-01-01'
+    group by supp_nation, cust_nation, l_year
+    """,
+    doc="TPC-H Q7-style bilateral trade volume: both nation dims broadcast "
+    "onto their fact side, cross-filter on the name pair, per-year decimal "
+    "volume — the two-sided-dim composite",
+)
+def b63(spark: SparkSession, sf: str) -> DataFrame:
+    n = load(spark, sf, "nation").select("n_nationkey", "n_name")
+    s = load(spark, sf, "supplier").join(
+        F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey")
+    ).select("s_suppkey", F.col("n_name").alias("supp_nation"))
+    c = load(spark, sf, "customer").join(
+        F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey")
+    ).select("c_custkey", F.col("n_name").alias("cust_nation"))
+    li = load(spark, sf, "lineitem").filter(
+        (F.col("l_shipdate") >= "1996-01-01") & (F.col("l_shipdate") < "1998-01-01")
+    ).select("l_orderkey", "l_suppkey", "l_shipdate", "l_extendedprice", "l_discount")
+    o = load(spark, sf, "orders").select("o_orderkey", "o_custkey")
+    j = (
+        li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+        .filter(
+            ((F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2"))
+            | ((F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1"))
+        )
+    )
+    return j.groupBy(
+        "supp_nation", "cust_nation", F.year("l_shipdate").cast("int").alias("l_year")
+    ).agg(
+        dsum_expr(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("volume")
+    )
