@@ -88,7 +88,7 @@ _SAMPLE_PRIORITY = [
     "a28_zorder_pruned_read", "a29_bucketed_colocated_join",
     "b59_tpch_q5_regional_revenue", "b60_tpch_q10_returned_items",
     "b61_tpch_q18_large_orders", "b62_tpch_q14_type_revenue_share",
-    "b63_tpch_q7_nation_trade",
+    "b63_tpch_q7_nation_trade", "b64_tpch_q19_disjunctive_filter",
     # -- round-4 main session: new operators/queries
     "d03e_dot_topk", "d03f_l2_topk", "d03d_ivf_topk_kmeans",
     "d04p_normalize_text", "d08_stratified_sample", "d09_salted_agg",

@@ -842,3 +842,41 @@ def b63(spark: SparkSession, sf: str) -> DataFrame:
     ).agg(
         dsum_expr(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("volume")
     )
+
+
+@register(
+    "b64_tpch_q19_disjunctive_filter",
+    """
+    select cast(sum(cast(l_extendedprice * (1 - l_discount) as decimal(18,2)))
+                as double) as revenue,
+           count(*) as n_rows
+    from lineitem, part
+    where l_partkey = p_partkey
+      and ((p_type = 'ECONOMY' and p_size between 1 and 15
+            and l_quantity between 1 and 20)
+        or (p_type = 'SMALL' and p_size between 10 and 30
+            and l_quantity between 10 and 40))
+    """,
+    doc="TPC-H Q19-style disjunctive join filter: OR of conjunct groups "
+    "over both sides — Catalyst pushes the per-side disjunction residuals "
+    "into the scans; broadcast part dim",
+)
+def b64(spark: SparkSession, sf: str) -> DataFrame:
+    li = load(spark, sf, "lineitem").select(
+        "l_partkey", "l_quantity", "l_extendedprice", "l_discount"
+    )
+    p = load(spark, sf, "part").select("p_partkey", "p_type", "p_size")
+    j = li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+    cond = (
+        (F.col("p_type") == "ECONOMY")
+        & F.col("p_size").between(1, 15)
+        & F.col("l_quantity").between(1, 20)
+    ) | (
+        (F.col("p_type") == "SMALL")
+        & F.col("p_size").between(10, 30)
+        & F.col("l_quantity").between(10, 40)
+    )
+    return j.filter(cond).agg(
+        dsum_expr(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"),
+        F.count("*").alias("n_rows"),
+    )

@@ -329,3 +329,38 @@ def test_semantic_dedup_plan_shape(spark):
     assert "BatchEvalPython" not in plan and "PythonUDF" not in plan
     assert "CartesianProduct" not in plan
     assert "Window" not in plan  # assignment never windows
+
+
+def test_tpch_q18_map_side_combine_and_semi(spark):
+    from basis_devkit_spark.queries import all_queries
+
+    df = all_queries()["b61_tpch_q18_large_orders"].spark(spark, SF)
+    plan = plan_of(df)
+    assert plan.count("HashAggregate") >= 2  # big-order agg combines map-side
+    assert "TakeOrderedAndProject" in plan   # top-20 without global sort
+
+
+def test_tpch_q7_broadcasts_both_nation_dims(spark):
+    from basis_devkit_spark.queries import all_queries
+
+    df = all_queries()["b63_tpch_q7_nation_trade"].spark(spark, SF)
+    plan = plan_of(df)
+    assert plan.count("BroadcastHashJoin") >= 2  # supplier-side and customer-side dims
+    # the only hash exchanges: lineitem><orders + final agg
+    assert n_shuffles(df) <= 3, plan
+
+
+def test_tpch_q19_disjunction_prunes_scan(spark):
+    """The OR-of-conjuncts filter must not block column pruning or the
+    broadcast join; each scan reads only needed columns."""
+    from basis_devkit_spark.queries import all_queries
+
+    df = all_queries()["b64_tpch_q19_disjunctive_filter"].spark(spark, SF)
+    plan = plan_of(df)
+    assert "BroadcastHashJoin" in plan
+    import re
+    scans = re.findall(r"ReadSchema: struct<([^>]*)>", plan)
+    li_scan = next(s for s in scans if "l_partkey" in s)
+    assert set(c.split(":")[0] for c in li_scan.split(",")) == {
+        "l_partkey", "l_quantity", "l_extendedprice", "l_discount"
+    }, li_scan
