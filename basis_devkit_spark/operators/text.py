@@ -724,3 +724,45 @@ def quality_weighted_sample(
         / F.lit(10000.0)
     )
     return df.filter(u < F.pow(F.col(quality_col), F.lit(float(alpha))))
+
+
+def corpus_drift(
+    a: DataFrame,
+    b: DataFrame,
+    strat_col: str = "lang",
+) -> DataFrame:
+    """Distribution drift between two corpus snapshots — the
+    dataset-versioning monitor: per-stratum counts and fractions in each
+    snapshot plus the absolute fraction shift. Total variation distance is
+    ``sum(abs_diff) / 2`` over the result. Missing strata count as 0.
+
+    Scale shape: one hash agg per side (partial-combining), totals ride a
+    broadcast single-row crossJoin (never a window over the whole table),
+    full-outer merge on the (small) stratum key set."""
+    def side(df: DataFrame, tag: str) -> DataFrame:
+        g = df.groupBy(F.col(strat_col).alias("stratum")).agg(
+            F.count(F.lit(1)).alias(f"n_{tag}")
+        )
+        tot = df.agg(F.count(F.lit(1)).alias(f"__tot_{tag}"))
+        return g.crossJoin(F.broadcast(tot))
+
+    from pyspark.sql.window import Window
+
+    ga, gb = side(a, "a"), side(b, "b")
+    m = ga.join(gb, "stratum", "full_outer")
+    n_a = F.coalesce(F.col("n_a"), F.lit(0))
+    n_b = F.coalesce(F.col("n_b"), F.lit(0))
+    # a missing side's total is still needed: take the max over the merged
+    # frame (it is a constant column where present)
+    tot_a = F.coalesce(F.col("__tot_a"), F.max("__tot_a").over(Window.partitionBy()))
+    tot_b = F.coalesce(F.col("__tot_b"), F.max("__tot_b").over(Window.partitionBy()))
+    frac_a = F.round(n_a / tot_a, 6)
+    frac_b = F.round(n_b / tot_b, 6)
+    return m.select(
+        "stratum",
+        n_a.alias("n_a"),
+        n_b.alias("n_b"),
+        frac_a.alias("frac_a"),
+        frac_b.alias("frac_b"),
+        F.round(F.abs(frac_a - frac_b), 6).alias("abs_diff"),
+    )

@@ -1375,6 +1375,42 @@ def c11(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @register(
+    "d10_corpus_drift",
+    """
+    with a as (select * from documents where doc_id % 2 = 0),
+         b as (select * from documents where doc_id % 2 = 1),
+    ga as (select lang as stratum, count(*) as n_a from a group by lang),
+    gb as (select lang as stratum, count(*) as n_b from b group by lang),
+    ta as (select count(*) as tot_a from a),
+    tb as (select count(*) as tot_b from b),
+    m as (
+      select coalesce(ga.stratum, gb.stratum) as stratum,
+             coalesce(n_a, 0) as n_a, coalesce(n_b, 0) as n_b
+      from ga full outer join gb on ga.stratum = gb.stratum
+    )
+    select stratum, n_a, n_b,
+           round(n_a / tot_a, 6) as frac_a,
+           round(n_b / tot_b, 6) as frac_b,
+           round(abs(round(n_a / tot_a, 6) - round(n_b / tot_b, 6)), 6)
+             as abs_diff
+    from m, ta, tb
+    """,
+    doc="corpus snapshot drift monitor: per-language counts/fractions of "
+    "two halves of the corpus + absolute fraction shift (TV distance = "
+    "sum/2) — the dataset-versioning diff",
+)
+def d10(spark: SparkSession, sf: str) -> DataFrame:
+    from basis_devkit_spark.operators.text import corpus_drift
+
+    d = load(spark, sf, "documents")
+    return corpus_drift(
+        d.filter(F.col("doc_id") % 2 == 0),
+        d.filter(F.col("doc_id") % 2 == 1),
+        "lang",
+    )
+
+
+@register(
     "d04s_quality_weighted_sample",
     f"""
     with q as (

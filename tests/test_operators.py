@@ -1037,3 +1037,21 @@ def test_drop_repeated_lines_properties_random_corpora(spark):
     twice = drop_repeated_lines(once, "doc_id", "text", max_occurrences=1)
     got2 = {r.doc_id: r.text for r in twice.collect()}
     assert got2 == got1  # idempotent
+
+
+def test_corpus_drift_handcomputed(spark):
+    from basis_devkit_spark.operators.text import corpus_drift
+
+    a = spark.createDataFrame(
+        [(1, "en"), (2, "en"), (3, "fr"), (4, "de")], "doc_id int, lang string"
+    )
+    b = spark.createDataFrame(
+        [(5, "en"), (6, "fr"), (7, "fr"), (8, "zh")], "doc_id int, lang string"
+    )
+    got = {r.stratum: r for r in corpus_drift(a, b, "lang").collect()}
+    assert got["en"].n_a == 2 and got["en"].n_b == 1
+    assert abs(got["en"].frac_a - 0.5) < 1e-9 and abs(got["en"].frac_b - 0.25) < 1e-9
+    assert got["de"].n_b == 0 and abs(got["de"].frac_b) < 1e-9  # missing stratum -> 0
+    assert got["zh"].n_a == 0
+    tv = sum(r.abs_diff for r in got.values()) / 2
+    assert abs(tv - 0.5) < 1e-6  # hand-computed total variation
