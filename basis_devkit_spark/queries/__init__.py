@@ -85,8 +85,9 @@ _SAMPLE_PRIORITY = [
     "d02g_semantic_dedup", "d02h_incremental_minhash_dedup",
     "c12_stream_neardup_collapse", "d04q_drop_repeated_lines",
     "d04r_trained_quality_filter", "d04s_quality_weighted_sample",
-    "d10_corpus_drift",
+    "d10_corpus_drift", "d02i_duplicate_cluster_stats",
     "a28_zorder_pruned_read", "a29_bucketed_colocated_join",
+    "a30_vacuum_retention",
     "b59_tpch_q5_regional_revenue", "b60_tpch_q10_returned_items",
     "b61_tpch_q18_large_orders", "b62_tpch_q14_type_revenue_share",
     "b63_tpch_q7_nation_trade", "b64_tpch_q19_disjunctive_filter",

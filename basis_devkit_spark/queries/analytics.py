@@ -275,6 +275,78 @@ def d02e(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @register(
+    "d02i_duplicate_cluster_stats",
+    """
+    with recursive toks as (
+      select doc_id, string_split(lower(text), ' ') as ws from documents
+    ),
+    sh0 as (
+      select doc_id, ws,
+             unnest(range(1, greatest(len(ws) - 2, 1) + 1)) as i
+      from toks
+    ),
+    sh as (
+      select distinct doc_id,
+             array_to_string(list_slice(ws, i, i + 2), ' ') as s
+      from sh0
+    ),
+    capped as (select s from sh group by s having count(*) <= 200),
+    shc as (select sh.doc_id, sh.s from sh join capped using (s)),
+    sizes as (select doc_id, count(*) as sz from shc group by doc_id),
+    ints as (
+      select a.doc_id as id_a, b.doc_id as id_b, count(*) as n_i
+      from shc a join shc b on a.s = b.s and a.doc_id < b.doc_id
+      group by 1, 2
+    ),
+    edges as (
+      select id_a, id_b from ints
+      join sizes sa on sa.doc_id = id_a
+      join sizes sb on sb.doc_id = id_b
+      where n_i / (sa.sz + sb.sz - n_i) >= 0.6
+    ),
+    und as (
+      select id_a as a, id_b as b from edges
+      union
+      select id_b, id_a from edges
+    ),
+    reach as (
+      select a, b from und
+      union
+      select r.a, u.b from reach r join und u on r.b = u.a
+    ),
+    comp as (
+      select a as node, least(a, min(b)) as component
+      from reach group by a
+    )
+    select cluster_size, count(*) as n_clusters
+    from (select component, count(*) as cluster_size from comp
+          group by component)
+    group by cluster_size
+    """,
+    doc="duplicate-cluster size histogram: the dedup-audit summary "
+    "(how much of the corpus sits in clusters of what size) over the "
+    "connected components of the Jaccard edge graph",
+)
+def d02i(spark: SparkSession, sf: str) -> DataFrame:
+    from basis_devkit_spark.operators.dedup import (
+        connected_components,
+        ngram_jaccard_pairs,
+    )
+
+    d = load(spark, sf, "documents")
+    pairs = ngram_jaccard_pairs(
+        d, "doc_id", "text", shingle_size=3, threshold=0.6, max_shingle_df=200
+    )
+    comp = connected_components(pairs, "id_a", "id_b")
+    return (
+        comp.groupBy("component")
+        .agg(F.count(F.lit(1)).alias("cluster_size"))
+        .groupBy("cluster_size")
+        .agg(F.count(F.lit(1)).alias("n_clusters"))
+    )
+
+
+@register(
     "d02b_minhash_dedup",
     # Literal-table oracle: an independent Python XXH64 model recomputes the
     # banded-LSH loser set; DuckDB applies the anti-filter to the table.

@@ -891,6 +891,33 @@ def a29(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @register(
+    "a30_vacuum_retention",
+    """
+    select c_custkey, c_acctbal from customer where c_acctbal > 5000
+    """,
+    doc="vacuum retention: three versions written, vacuum(keep_last=2) "
+    "deletes the oldest from disk; the ACTIVE version must still read "
+    "exactly (pointer untouched), and the dropped version's files are "
+    "gone while the kept previous version still time-travels",
+)
+def a30(spark: SparkSession, sf: str) -> DataFrame:
+    import os as _os
+
+    from basis_devkit_spark.storage.store import TableStore
+
+    tmp = tempfile.mkdtemp(prefix="bds_a30_")
+    store = TableStore(tmp, "cust", spark)
+    c = load(spark, sf, "customer").select("c_custkey", "c_acctbal")
+    v1 = store.write_replace(c.filter(F.col("c_acctbal") > 9000))
+    v2 = store.write_replace(c.filter(F.col("c_acctbal") > 7000))
+    store.write_replace(c.filter(F.col("c_acctbal") > 5000))
+    store.vacuum(keep_last=2)
+    assert not _os.path.isdir(store.version_path(v1)), "v1 should be deleted"
+    assert store.read_version(v2).count() > 0, "kept version must time-travel"
+    return store.read()
+
+
+@register(
     "a27_parallel_graph_run",
     """
     with rev as (
