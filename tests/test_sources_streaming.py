@@ -339,3 +339,53 @@ def test_stream_upsert_sink_converges_and_skips_replay(spark, tmp_path):
     assert store.upsert_stream_batch(stale, batch_id=0) is False
     got2 = {r.user_id: (r.n, r.s) for r in store.read().collect()}
     assert got2 == got
+
+
+def test_stream_append_into_zorder_store_prunes(spark, tmp_path):
+    """Streaming ingest into a Z-ordered store: every micro-batch write is
+    clustered (one approxQuantile pass per batch), footer stats land in
+    the manifest, and read_pruned skips files on either dimension while
+    matching the plain filtered read exactly. Exactly-once still holds."""
+    import json as _json
+
+    from basis_devkit_spark.storage.store import TableStore
+    from basis_devkit_spark.streaming import (
+        read_stream_directory,
+        stream_append_to_store,
+    )
+
+    src = tmp_path / "drop"
+    src.mkdir()
+    for b in range(2):  # two micro-batch files
+        with open(src / f"b{b}.json", "w") as f:
+            for i in range(500):
+                x = b * 500 + i
+                f.write(_json.dumps({"x": x, "y": (x * 37) % 1000}) + "\n")
+
+    store = TableStore(str(tmp_path / "root"), "t", spark)
+    store.configure(zorder_by=["x", "y"])
+    keys = (
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+        "spark.sql.adaptive.coalescePartitions.minPartitionSize",
+    )
+    prev = {k: spark.conf.get(k) for k in keys}
+    for k in keys:
+        spark.conf.set(k, "4096")
+    try:
+        stream = read_stream_directory(
+            spark, str(src), format="json", schema="x long, y long"
+        )
+        q = stream_append_to_store(stream, store, str(tmp_path / "ckpt")).start()
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+    finally:
+        for k, v in prev.items():
+            spark.conf.set(k, v)
+    assert store.record_count == 1000
+    kept, total = store.prune_files([("y", ">", 900)])
+    n_kept = sum(len(v) for v in kept.values())
+    assert total > 2 and n_kept < total, (n_kept, total)  # real skipping
+    want = store.read().filter("y > 900").count()
+    assert store.read_pruned([("y", ">", 900)]).count() == want
