@@ -75,11 +75,14 @@ def quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
     ).cast("double")
     stop_score = F.least(F.col("stopword_ratio") * 5.0, F.lit(1.0))
     punct_penalty = F.greatest(F.lit(0.0), F.lit(1.0) - F.col("punct_ratio") * 5.0)
+    # Rounding is the explicit IEEE formula floor(x*1e6 + 0.5)/1e6, not the
+    # engine's round(): engine round modes disagree on near-tie doubles
+    # (found at sf0.1 — one doc scored 0.8762625, Spark rounded down,
+    # DuckDB up). The explicit form is the same IEEE ops in any engine, so
+    # the cross-engine oracle stays bit-exact at every scale.
+    raw = (len_score + word_len_ok + stop_score + punct_penalty) / 4.0
     return stats.withColumn(
-        "quality_score",
-        F.round(
-            (len_score + word_len_ok + stop_score + punct_penalty) / 4.0, 6
-        ),
+        "quality_score", F.floor(raw * 1000000.0 + 0.5) / 1000000.0
     )
 
 

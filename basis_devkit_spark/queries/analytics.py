@@ -601,11 +601,15 @@ _STATS_SQL = """
   from documents
 """
 
+# Final rounding is the explicit IEEE floor(x*1e6+0.5)/1e6 on BOTH sides
+# (engine round() modes disagree on near-tie doubles; see
+# operators/text.py:quality_score).
 _QUALITY_EXPR = """
-      round((least(n_words / 50.0, 1.0)
+      floor(((least(n_words / 50.0, 1.0)
              + cast(mean_word_len >= 3 and mean_word_len <= 10 as double)
              + least(stopword_ratio * 5.0, 1.0)
-             + greatest(0.0, 1.0 - punct_ratio * 5.0)) / 4.0, 6)
+             + greatest(0.0, 1.0 - punct_ratio * 5.0)) / 4.0)
+            * 1000000.0 + 0.5) / 1000000.0
 """
 
 
