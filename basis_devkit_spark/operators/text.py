@@ -769,3 +769,91 @@ def corpus_drift(
         frac_b.alias("frac_b"),
         F.round(F.abs(frac_a - frac_b), 6).alias("abs_diff"),
     )
+
+
+# The Gopher quality-rule repertoire (Rae et al. 2021, "Scaling Language
+# Models: ...Gopher", §A1.1 — public paper). Each rule is a named boolean
+# column so downstream pipelines can keep, drop, or audit per rule.
+GOPHER_STOPWORDS = ["the", "be", "to", "of", "and", "that", "have", "with"]
+
+
+def gopher_rules(
+    df: DataFrame,
+    text_col: str = "text",
+    min_words: int = 50,
+    max_words: int = 100_000,
+    stopwords: list[str] | None = None,
+    min_stopwords: int = 2,
+) -> DataFrame:
+    """Per-document Gopher quality rules, each as a boolean flag plus the
+    conjunction ``passes_gopher``:
+
+    - ``ok_word_count``: word count in [min_words, max_words]
+    - ``ok_mean_word_len``: mean word length in [3, 10]
+    - ``ok_symbol_ratio``: ('#' + '...') occurrences / words <= 0.1
+    - ``ok_bullet_lines``: <= 90% of lines start with a bullet
+    - ``ok_ellipsis_lines``: <= 30% of lines end with '...'
+    - ``ok_alpha_words``: >= 80% of words contain an alphabetic char
+    - ``ok_stopwords``: contains >= ``min_stopwords`` distinct required
+      stop words (default list = the paper's; pass a corpus-appropriate
+      list for non-English-prose corpora)
+
+    All pure column expressions (split + HOFs) — one projection, no
+    shuffle, no UDF; patterns are RE2/Java-compatible so SQL oracles
+    replay them exactly. At 100 TB this fuses into the scan like any
+    other filter stage.
+    """
+    c = F.col(text_col)
+    words = F.split(F.trim(c), r"\s+")
+    n_words = F.greatest(F.size(words), F.lit(1))
+    word_chars = F.aggregate(
+        F.transform(words, lambda w: F.length(w)), F.lit(0), lambda a, x: a + x
+    )
+    mean_wl = (
+        F.floor(word_chars / n_words * 1000000.0 + 0.5) / 1000000.0
+    )
+    n_hash = F.length(c) - F.length(F.regexp_replace(c, r"#", ""))
+    n_ellipsis = (
+        F.length(c) - F.length(F.regexp_replace(c, r"\.\.\.", ""))
+    ) / 3
+    symbol_ratio = (n_hash + n_ellipsis) / n_words
+    lines = F.split(c, r"\n")
+    n_lines = F.greatest(F.size(lines), F.lit(1))
+    bullet_frac = (
+        F.size(
+            F.filter(
+                lines,
+                lambda l: l.startswith("- ")
+                | l.startswith("* ")
+                | l.startswith("•"),
+            )
+        )
+        / n_lines
+    )
+    ellipsis_frac = F.size(F.filter(lines, lambda l: l.endswith("..."))) / n_lines
+    alpha_frac = (
+        F.size(F.filter(words, lambda w: w.rlike("[A-Za-z]"))) / n_words
+    )
+    lower_words = F.transform(words, F.lower)
+    stop_count = sum(
+        F.array_contains(lower_words, w).cast("int")
+        for w in (stopwords if stopwords is not None else GOPHER_STOPWORDS)
+    )
+    flags = {
+        "n_words": F.size(words),
+        "mean_word_len": mean_wl,
+        "ok_word_count": F.size(words).between(min_words, max_words),
+        "ok_mean_word_len": mean_wl.between(3.0, 10.0),
+        "ok_symbol_ratio": symbol_ratio <= 0.1,
+        "ok_bullet_lines": bullet_frac <= 0.9,
+        "ok_ellipsis_lines": ellipsis_frac <= 0.3,
+        "ok_alpha_words": alpha_frac >= 0.8,
+        "ok_stopwords": stop_count >= min_stopwords,
+    }
+    out = df.withColumns(flags)
+    passes = None
+    for name in flags:
+        if name.startswith("ok_"):
+            col = F.col(name)
+            passes = col if passes is None else (passes & col)
+    return out.withColumn("passes_gopher", passes)

@@ -81,6 +81,11 @@ def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
 # window. The FULL inventory is swept every round regardless
 # (tools/sweep_correctness.py, artifact committed).
 _SAMPLE_PRIORITY = [
+    # -- round-4 continuation (second session): brand-new queries
+    "d04t_gopher_rules",
+    "b70_tpch_q21_waiting_supplier", "b67_tpch_q17_small_qty_revenue",
+    "b65_tpch_q4_priority_check", "b66_tpch_q13_order_distribution",
+    "b69_tpch_q15_top_supplier", "b68_tpch_q22_dormant_customers",
     # -- round-4 continuation: brand-new operators/queries
     "d02g_semantic_dedup", "d02h_incremental_minhash_dedup",
     "c12_stream_neardup_collapse", "d04q_drop_repeated_lines",

@@ -1954,3 +1954,69 @@ def d09(spark: SparkSession, sf: str) -> DataFrame:
         F.round("min_value", 4).alias("min_r"),
         F.round("max_value", 4).alias("max_r"),
     )
+
+
+@register(
+    "d04t_gopher_rules",
+    r"""
+    with w as (
+      select doc_id,
+             regexp_split_to_array(trim(text), '\s+') as words,
+             string_split(text, chr(10)) as lines,
+             length(text) - length(regexp_replace(text, '#', '', 'g')) as n_hash,
+             (length(text) - length(regexp_replace(text, '\.\.\.', '', 'g'))) / 3.0
+               as n_ellipsis
+      from documents
+    ), s as (
+      select doc_id, words,
+             greatest(len(words), 1) as nw,
+             greatest(len(lines), 1) as nl,
+             n_hash, n_ellipsis,
+             list_sum(list_transform(words, x -> length(x))) as word_chars,
+             len(list_filter(words, x -> regexp_matches(x, '[A-Za-z]'))) as n_alpha,
+             len(list_filter(lines,
+                 x -> starts_with(x, '- ') or starts_with(x, '* ')
+                      or starts_with(x, '•'))) as n_bullet,
+             len(list_filter(lines, x -> x like '%...')) as n_ell_lines,
+             (cast(list_contains(list_transform(words, x -> lower(x)), 'the') as int)
+              + cast(list_contains(list_transform(words, x -> lower(x)), 'a') as int))
+               as stop_count
+      from w
+    ), f as (
+      select doc_id,
+             cast(len(words) as int) as n_words,
+             floor(word_chars / nw * 1000000.0 + 0.5) / 1000000.0 as mean_word_len,
+             len(words) between 50 and 100000 as ok_word_count,
+             floor(word_chars / nw * 1000000.0 + 0.5) / 1000000.0 between 3.0 and 10.0
+               as ok_mean_word_len,
+             (n_hash + n_ellipsis) / nw <= 0.1 as ok_symbol_ratio,
+             n_bullet / cast(nl as double) <= 0.9 as ok_bullet_lines,
+             n_ell_lines / cast(nl as double) <= 0.3 as ok_ellipsis_lines,
+             n_alpha / cast(nw as double) >= 0.8 as ok_alpha_words,
+             stop_count >= 2 as ok_stopwords
+      from s
+    )
+    select *,
+           (ok_word_count and ok_mean_word_len and ok_symbol_ratio
+            and ok_bullet_lines and ok_ellipsis_lines and ok_alpha_words
+            and ok_stopwords) as passes_gopher
+    from f
+    """,
+    doc="Gopher quality-rule repertoire (Rae et al. 2021 §A1.1): word-count "
+    "bounds, mean word length, symbol-to-word ratio, bullet/ellipsis line "
+    "fractions, alphabetic-word fraction, required stop words — each a "
+    "named boolean flag plus the conjunction; one UDF-free projection. "
+    "Stop-word list configured for the synthetic corpus ('the','a' — the "
+    "paper's English-prose list never fires on word-soup text, which "
+    "would make the conjunction trivially false)",
+)
+def d04t(spark: SparkSession, sf: str) -> DataFrame:
+    from basis_devkit_spark.operators.text import gopher_rules
+
+    d = load(spark, sf, "documents").select("doc_id", "text")
+    return gopher_rules(d, "text", stopwords=["the", "a"]).select(
+        "doc_id", "n_words", "mean_word_len",
+        "ok_word_count", "ok_mean_word_len", "ok_symbol_ratio",
+        "ok_bullet_lines", "ok_ellipsis_lines", "ok_alpha_words",
+        "ok_stopwords", "passes_gopher",
+    )

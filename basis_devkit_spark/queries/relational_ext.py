@@ -880,3 +880,249 @@ def b64(spark: SparkSession, sf: str) -> DataFrame:
         dsum_expr(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"),
         F.count("*").alias("n_rows"),
     )
+
+
+@register(
+    "b65_tpch_q4_priority_check",
+    """
+    select o_orderpriority, count(*) as order_count
+    from orders
+    where o_orderdate >= '1997-01-01' and o_orderdate < '1997-04-01'
+      and exists (select 1 from lineitem
+                  where l_orderkey = o_orderkey
+                    and l_shipdate > o_orderdate + interval 30 day)
+    group by o_orderpriority
+    """,
+    doc="TPC-H Q4-style order-priority check: correlated EXISTS with a "
+    "non-equi date condition (line shipped >30 days after order) → "
+    "left-semi hash join with residual condition; the orders date filter "
+    "is pushed into the scan (adapted: testdata has no l_commitdate/"
+    "l_receiptdate, so 'late' = shipped >30 days after o_orderdate)",
+)
+def b65(spark: SparkSession, sf: str) -> DataFrame:
+    o = load(spark, sf, "orders").filter(
+        (F.col("o_orderdate") >= "1997-01-01") & (F.col("o_orderdate") < "1997-04-01")
+    ).select("o_orderkey", "o_orderdate", "o_orderpriority")
+    li = load(spark, sf, "lineitem").select("l_orderkey", "l_shipdate")
+    late = o.join(
+        li,
+        (F.col("l_orderkey") == F.col("o_orderkey"))
+        & (F.col("l_shipdate") > F.col("o_orderdate") + F.expr("interval 30 days")),
+        "left_semi",
+    )
+    return late.groupBy("o_orderpriority").agg(F.count("*").alias("order_count"))
+
+
+@register(
+    "b66_tpch_q13_order_distribution",
+    """
+    select c_count, count(*) as custdist
+    from (select c_custkey, count(o_orderkey) as c_count
+          from customer left outer join orders
+            on c_custkey = o_custkey and o_orderpriority <> '1-URGENT'
+          group by c_custkey) t
+    group by c_count
+    """,
+    doc="TPC-H Q13-style customer order-count distribution: left outer "
+    "join with a compound join condition (priority filter lives IN the "
+    "join, preserving zero-order customers), count(non-null) per customer, "
+    "then a second agg over the counts — the join-preserving-histogram "
+    "composite",
+)
+def b66(spark: SparkSession, sf: str) -> DataFrame:
+    c = load(spark, sf, "customer").select("c_custkey")
+    o = load(spark, sf, "orders").select("o_orderkey", "o_custkey", "o_orderpriority")
+    per_cust = (
+        c.join(
+            o,
+            (F.col("c_custkey") == F.col("o_custkey"))
+            & (F.col("o_orderpriority") != "1-URGENT"),
+            "left_outer",
+        )
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(F.count("*").alias("custdist"))
+
+
+@register(
+    "b67_tpch_q17_small_qty_revenue",
+    """
+    select cast(sum(cast(l_extendedprice as decimal(18,2))) as double) / 7.0
+           as avg_yearly
+    from lineitem, part
+    where p_partkey = l_partkey
+      and p_brand = (select min(p_brand) from part)
+      and p_size < 15
+      and l_quantity < (select 0.5 * avg(l_quantity)
+                        from lineitem l2 where l2.l_partkey = p_partkey)
+    """,
+    doc="TPC-H Q17-style small-quantity revenue: per-part correlated AVG "
+    "subquery decorrelated into a pre-aggregated broadcast dim (one hash "
+    "agg over lineitem grouped by partkey, then broadcast-joined back — "
+    "lineitem itself never shuffles); the brand is itself a scalar "
+    "subquery so the query is SF-independent",
+)
+def b67(spark: SparkSession, sf: str) -> DataFrame:
+    p = load(spark, sf, "part").select("p_partkey", "p_brand", "p_size")
+    min_brand = p.agg(F.min("p_brand").alias("__mb"))
+    psel = (
+        p.join(F.broadcast(min_brand))
+        .filter((F.col("p_brand") == F.col("__mb")) & (F.col("p_size") < 15))
+        .select("p_partkey")
+    )
+    li = load(spark, sf, "lineitem").select(
+        "l_partkey", "l_quantity", "l_extendedprice"
+    )
+    part_avg = li.groupBy("l_partkey").agg(
+        (0.5 * F.avg("l_quantity")).alias("__thresh")
+    ).withColumnRenamed("l_partkey", "__pk")
+    j = (
+        li.join(F.broadcast(psel), F.col("l_partkey") == F.col("p_partkey"))
+        .join(F.broadcast(part_avg.join(
+            F.broadcast(psel), F.col("__pk") == F.col("p_partkey"), "left_semi"
+        )), F.col("l_partkey") == F.col("__pk"))
+        .filter(F.col("l_quantity") < F.col("__thresh"))
+    )
+    return j.agg(
+        (dsum_expr(F.col("l_extendedprice")) / 7.0).alias("avg_yearly")
+    )
+
+
+@register(
+    "b68_tpch_q22_dormant_customers",
+    """
+    select c_nationkey, count(*) as numcust,
+           cast(sum(cast(c_acctbal as decimal(18,2))) as double) as totacctbal
+    from customer
+    where c_acctbal > (select avg(c_acctbal) from customer where c_acctbal > 0)
+      and not exists (select 1 from orders
+                      where o_custkey = c_custkey
+                        and o_orderpriority = '1-URGENT')
+    group by c_nationkey
+    """,
+    doc="TPC-H Q22-style dormant-customer roll-up: scalar AVG subquery as "
+    "a broadcast filter + NOT EXISTS anti-join against urgent orders, "
+    "grouped by nation (adapted: testdata has no c_phone, so the TPC-H "
+    "country-code substring becomes c_nationkey; 'no orders at all' is "
+    "empty here, so dormant = no 1-URGENT orders)",
+)
+def b68(spark: SparkSession, sf: str) -> DataFrame:
+    c = load(spark, sf, "customer").select("c_custkey", "c_nationkey", "c_acctbal")
+    avg_bal = c.filter(F.col("c_acctbal") > 0).agg(
+        F.avg("c_acctbal").alias("__avg")
+    )
+    urgent = (
+        load(spark, sf, "orders")
+        .filter(F.col("o_orderpriority") == "1-URGENT")
+        .select("o_custkey")
+    )
+    rich = c.join(F.broadcast(avg_bal)).filter(F.col("c_acctbal") > F.col("__avg"))
+    dormant = rich.join(
+        urgent, F.col("c_custkey") == F.col("o_custkey"), "left_anti"
+    )
+    return dormant.groupBy("c_nationkey").agg(
+        F.count("*").alias("numcust"),
+        dsum_expr(F.col("c_acctbal")).alias("totacctbal"),
+    )
+
+
+@register(
+    "b69_tpch_q15_top_supplier",
+    """
+    with rev as (
+      select l_suppkey,
+             cast(sum(cast(l_extendedprice * (1 - l_discount) as decimal(18,2)))
+                  as double) as total_revenue
+      from lineitem
+      where l_shipdate >= '1997-01-01' and l_shipdate < '1997-04-01'
+      group by l_suppkey
+    )
+    select s_suppkey, s_name, total_revenue
+    from supplier, rev
+    where s_suppkey = l_suppkey
+      and total_revenue = (select max(total_revenue) from rev)
+    """,
+    doc="TPC-H Q15-style top supplier: revenue view reused twice (per-"
+    "supplier agg + its own MAX as a scalar broadcast) — the self-"
+    "referencing-view composite; exact equality on the decimal-summed "
+    "revenue is sound in both engines",
+)
+def b69(spark: SparkSession, sf: str) -> DataFrame:
+    li = load(spark, sf, "lineitem").filter(
+        (F.col("l_shipdate") >= "1997-01-01") & (F.col("l_shipdate") < "1997-04-01")
+    ).select("l_suppkey", "l_extendedprice", "l_discount")
+    rev = li.groupBy("l_suppkey").agg(
+        dsum_expr(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
+            "total_revenue"
+        )
+    )
+    rev = rev.persist()
+    mx = rev.agg(F.max("total_revenue").alias("__mx"))
+    s = load(spark, sf, "supplier").select("s_suppkey", "s_name")
+    return (
+        rev.join(F.broadcast(mx))
+        .filter(F.col("total_revenue") == F.col("__mx"))
+        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .select("s_suppkey", "s_name", "total_revenue")
+    )
+
+
+@register(
+    "b70_tpch_q21_waiting_supplier",
+    """
+    select s_name, count(*) as numwait
+    from supplier, lineitem l1, orders
+    where s_suppkey = l1.l_suppkey
+      and o_orderkey = l1.l_orderkey
+      and o_orderstatus = 'F'
+      and l1.l_shipdate > o_orderdate + interval 60 day
+      and exists (select 1 from lineitem l2
+                  where l2.l_orderkey = l1.l_orderkey
+                    and l2.l_suppkey <> l1.l_suppkey)
+      and not exists (select 1 from lineitem l3
+                      where l3.l_orderkey = l1.l_orderkey
+                        and l3.l_suppkey <> l1.l_suppkey
+                        and l3.l_shipdate > o_orderdate + interval 60 day)
+    group by s_name
+    """,
+    doc="TPC-H Q21-style waiting supplier: EXISTS (another supplier in the "
+    "order) + NOT EXISTS (no OTHER supplier was also late) — the double-"
+    "correlated-quantifier composite; both quantifiers become one hash "
+    "semi/anti join pair on l_orderkey with residual suppkey/date "
+    "conditions (adapted: 'late' = shipped >60 days after o_orderdate)",
+)
+def b70(spark: SparkSession, sf: str) -> DataFrame:
+    li = load(spark, sf, "lineitem").select("l_orderkey", "l_suppkey", "l_shipdate")
+    o = load(spark, sf, "orders").filter(F.col("o_orderstatus") == "F").select(
+        "o_orderkey", "o_orderdate"
+    )
+    l1 = (
+        li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .filter(F.col("l_shipdate") > F.col("o_orderdate") + F.expr("interval 60 days"))
+    )
+    l2 = li.select(
+        F.col("l_orderkey").alias("__k2"), F.col("l_suppkey").alias("__s2")
+    )
+    l3 = li.select(
+        F.col("l_orderkey").alias("__k3"),
+        F.col("l_suppkey").alias("__s3"),
+        F.col("l_shipdate").alias("__d3"),
+    )
+    waiting = l1.join(
+        l2,
+        (F.col("__k2") == F.col("l_orderkey")) & (F.col("__s2") != F.col("l_suppkey")),
+        "left_semi",
+    ).join(
+        l3,
+        (F.col("__k3") == F.col("l_orderkey"))
+        & (F.col("__s3") != F.col("l_suppkey"))
+        & (F.col("__d3") > F.col("o_orderdate") + F.expr("interval 60 days")),
+        "left_anti",
+    )
+    s = load(spark, sf, "supplier").select("s_suppkey", "s_name")
+    return (
+        waiting.join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("s_name")
+        .agg(F.count("*").alias("numwait"))
+    )

@@ -1055,3 +1055,49 @@ def test_corpus_drift_handcomputed(spark):
     assert got["zh"].n_a == 0
     tv = sum(r.abs_diff for r in got.values()) / 2
     assert abs(tv - 0.5) < 1e-6  # hand-computed total variation
+
+
+def test_gopher_rules_handcomputed(spark):
+    from basis_devkit_spark.operators.text import gopher_rules
+
+    good = " ".join(
+        ["the", "be", "to", "of", "and"] + ["alpha", "word", "row", "table", "scan"] * 10
+    )  # 55 words, all alphabetic, 5 stopwords, mean len ~3.6
+    rows = [
+        (1, good),
+        (2, "short doc"),  # fails word count + stopwords
+        (3, " ".join(["#@!"] * 60)),  # symbols, no alpha, no stopwords
+        (4, "\n".join(["- bullet %d and the rest of it be to" % i for i in range(10)])),
+        (5, good + " " + " ".join(["supercalifragilistic" * 3] * 40)),  # long words
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r["doc_id"]: r for r in gopher_rules(df).collect()}
+
+    assert out[1]["passes_gopher"] is True
+    assert out[1]["n_words"] == 55
+    assert out[2]["ok_word_count"] is False
+    assert out[2]["ok_stopwords"] is False
+    assert out[2]["passes_gopher"] is False
+    # doc 3: every "word" is symbols — alpha fraction 0, symbol ratio high
+    assert out[3]["ok_alpha_words"] is False
+    assert out[3]["ok_symbol_ratio"] is False
+    # doc 4: 100% bullet lines
+    assert out[4]["ok_bullet_lines"] is False
+    # doc 5: mean word length pushed over 10
+    assert out[5]["ok_mean_word_len"] is False
+    assert out[5]["mean_word_len"] > 10
+
+
+def test_gopher_rules_flags_conjunction(spark):
+    """passes_gopher must equal the AND of every ok_ flag, row by row."""
+    from pyspark.sql import functions as F
+
+    from basis_devkit_spark.operators.text import gopher_rules
+
+    df = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    out = gopher_rules(df.select("doc_id", "text"))
+    ok_cols = [c for c in out.columns if c.startswith("ok_")]
+    recomputed = None
+    for c in ok_cols:
+        recomputed = F.col(c) if recomputed is None else (recomputed & F.col(c))
+    assert out.filter(F.col("passes_gopher") != recomputed).count() == 0

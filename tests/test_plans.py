@@ -364,3 +364,51 @@ def test_tpch_q19_disjunction_prunes_scan(spark):
     assert set(c.split(":")[0] for c in li_scan.split(",")) == {
         "l_partkey", "l_quantity", "l_extendedprice", "l_discount"
     }, li_scan
+
+
+def test_tpch_q4_semi_join_with_residual_date_condition(spark):
+    from basis_devkit_spark.queries import all_queries
+
+    df = all_queries()["b65_tpch_q4_priority_check"].spark(spark, SF)
+    plan = plan_of(df)
+    # correlated EXISTS must become a semi hash join, never a nested loop
+    assert "LeftSemi" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    # orders date filter pushes into its scan
+    assert "PushedFilters" in plan
+
+
+def test_tpch_q21_double_quantifier_no_nested_loop(spark):
+    from basis_devkit_spark.queries import all_queries
+
+    df = all_queries()["b70_tpch_q21_waiting_supplier"].spark(spark, SF)
+    plan = plan_of(df)
+    # EXISTS → semi, NOT EXISTS → anti; both as hash joins with residual
+    # non-equi conditions on the equi key l_orderkey
+    assert "LeftSemi" in plan
+    assert "LeftAnti" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_tpch_q17_lineitem_never_shuffles(spark):
+    from basis_devkit_spark.queries import all_queries
+
+    df = all_queries()["b67_tpch_q17_small_qty_revenue"].spark(spark, SF)
+    plan = plan_of(df)
+    # the decorrelated per-part AVG joins back via broadcast: the outer
+    # lineitem scan reaches the final agg without an Exchange of its own
+    # (the only hash exchange allowed is the one building the broadcast
+    # per-part dim)
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert n_shuffles(df) <= 1
+
+
+def test_gopher_rules_single_projection_no_shuffle(spark):
+    from basis_devkit_spark.operators.text import gopher_rules
+
+    df = gopher_rules(load(spark, SF, "documents").select("doc_id", "text"))
+    plan = plan_of(df)
+    assert n_shuffles(df) == 0
+    assert "pythonUDF" not in plan and "BatchEvalPython" not in plan
