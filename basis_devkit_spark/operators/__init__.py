@@ -89,4 +89,17 @@ __all__ = [
     "cross_doc_dup_ngram_frac",
     "token_budget_sample",
     "chunk_documents",
+    "gopher_rules",
+    "sessionize",
+    "session_stats",
+    "funnel",
+    "retention_cohorts",
 ]
+
+from basis_devkit_spark.operators.events import (  # noqa: E402
+    funnel,
+    retention_cohorts,
+    session_stats,
+    sessionize,
+)
+from basis_devkit_spark.operators.text import gopher_rules  # noqa: E402

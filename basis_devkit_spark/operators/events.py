@@ -1,0 +1,154 @@
+"""Event analytics operators: gap sessionization, ordered funnels,
+retention cohorts (SURVEY §2.E).
+
+The reference's hosted SQL surface serves exactly this kind of product
+analytics over event streams (webhook-ingested tables; cf.
+`/root/reference/patterns/node/node.py` stream semantics); here each is a
+declarative Spark plan:
+
+- ``sessionize``: one shuffle on the user key, then a single window pass
+  (lag + running sum) — per-user state is bounded, so the shape holds at
+  any fan-out of users.
+- ``funnel``: per-step conditional MIN aggregations; the per-user step
+  frame stays user-cardinality-sized (≪ events) and is broadcast back —
+  the events fact is scanned once per step but never self-joined.
+- ``retention_cohorts``: two hash aggs (first-touch, distinct activity)
+  joined on the user key; the output is cohort × offset, tiny by
+  construction.
+
+All pure DataFrame expressions — no UDFs, no collects.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def sessionize(
+    df: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    gap_minutes: int = 30,
+    id_col: str = "event_id",
+) -> DataFrame:
+    """Assign gap-based sessions per user: a new session starts when the
+    time since the previous event exceeds ``gap_minutes``. Adds
+    ``session_seq`` (1-based per user) to every event row.
+
+    Interval comparison (not epoch arithmetic) keeps sub-second precision
+    and replays identically in ANSI SQL engines. Ties on ``ts`` are
+    ordered by ``id_col`` so the assignment is deterministic.
+    """
+    w = Window.partitionBy(user_col).orderBy(ts_col, id_col)
+    prev_ts = F.lag(ts_col).over(w)
+    new_sess = (
+        prev_ts.isNull()
+        | (F.col(ts_col) - prev_ts > F.expr(f"interval {int(gap_minutes)} minutes"))
+    ).cast("int")
+    running = Window.partitionBy(user_col).orderBy(ts_col, id_col).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return df.withColumn("session_seq", F.sum(new_sess).over(running).cast("int"))
+
+
+def session_stats(
+    df: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    gap_minutes: int = 30,
+    id_col: str = "event_id",
+) -> DataFrame:
+    """Per-session roll-up over :func:`sessionize`: event count, start,
+    end, duration in seconds."""
+    s = sessionize(df, user_col, ts_col, gap_minutes, id_col)
+    return s.groupBy(user_col, "session_seq").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.min(ts_col).alias("session_start"),
+        F.max(ts_col).alias("session_end"),
+        (
+            # ts may be TIMESTAMP_NTZ (parquet micros); unix_micros wants
+            # TIMESTAMP — the session runs UTC, so the cast is lossless.
+            F.unix_micros(F.max(ts_col).cast("timestamp"))
+            - F.unix_micros(F.min(ts_col).cast("timestamp"))
+        ).alias("duration_us"),
+    )
+
+
+def funnel(
+    df: DataFrame,
+    steps: list[str],
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    event_col: str = "event_type",
+) -> DataFrame:
+    """Strictly-ordered funnel: for each step k, count users whose
+    earliest qualifying step-k event happened AFTER their earliest
+    qualifying step-(k-1) event. Returns one row per step:
+    ``(step, event_type, users)``.
+
+    Shape at scale: step 1 is one hash agg over the (filtered) events;
+    each later step joins the events fact against the previous step's
+    per-user frame — user-cardinality-sized, broadcast by AQE — and
+    aggregates again. Events are never self-joined.
+    """
+    if not steps:
+        raise ValueError("funnel needs at least one step")
+    prev: DataFrame | None = None
+    out: DataFrame | None = None
+    for k, step in enumerate(steps, start=1):
+        ev = df.filter(F.col(event_col) == step).select(
+            F.col(user_col).alias("__u"), F.col(ts_col).alias("__t")
+        )
+        if prev is None:
+            cur = ev.groupBy("__u").agg(F.min("__t").alias("__t_min"))
+        else:
+            cur = (
+                ev.join(
+                    F.broadcast(prev.select(F.col("__u").alias("__pu"), "__t_min")),
+                    F.col("__u") == F.col("__pu"),
+                )
+                .filter(F.col("__t") > F.col("__t_min"))
+                .groupBy("__u")
+                .agg(F.min("__t").alias("__t_min"))
+            )
+        step_row = cur.agg(
+            F.lit(k).alias("step"),
+            F.lit(step).alias("event_type"),
+            F.count(F.lit(1)).alias("users"),
+        )
+        out = step_row if out is None else out.unionByName(step_row)
+        prev = cur
+    return out
+
+
+def retention_cohorts(
+    df: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    period_days: int = 7,
+) -> DataFrame:
+    """Cohort retention matrix: cohort = calendar start of the user's
+    first-event period (``date_trunc('week')`` for 7-day periods), offset
+    = whole periods between the cohort start and the activity day.
+    Returns ``(cohort, period_offset, n_users)`` with distinct-user
+    counts.
+    """
+    trunc_unit = "week" if period_days == 7 else "day"
+    first = df.groupBy(F.col(user_col).alias("__u")).agg(
+        F.date_trunc(trunc_unit, F.min(ts_col)).cast("date").alias("cohort")
+    )
+    activity = df.select(
+        F.col(user_col).alias("__au"),
+        F.col(ts_col).cast("date").alias("__day"),
+    ).distinct()
+    j = activity.join(F.broadcast(first), F.col("__au") == F.col("__u"))
+    offset = F.floor(
+        F.datediff(F.col("__day"), F.col("cohort")) / period_days
+    ).cast("int")
+    return (
+        j.select("cohort", offset.alias("period_offset"), "__au")
+        .distinct()
+        .groupBy("cohort", "period_offset")
+        .agg(F.count(F.lit(1)).alias("n_users"))
+    )

@@ -82,6 +82,7 @@ def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
 # (tools/sweep_correctness.py, artifact committed).
 _SAMPLE_PRIORITY = [
     # -- round-4 continuation (second session): brand-new queries
+    "e01_sessionize", "e02_funnel", "e03_retention_cohorts",
     "d04t_gopher_rules",
     "b70_tpch_q21_waiting_supplier", "b67_tpch_q17_small_qty_revenue",
     "b65_tpch_q4_priority_check", "b66_tpch_q13_order_distribution",
@@ -134,7 +135,7 @@ def all_queries() -> dict[str, Query]:
     for name in _SAMPLE_PRIORITY:
         if name in _REGISTRY:
             ordered[name] = _REGISTRY[name]
-    for prefix in ("a", "c", "d", "b"):
+    for prefix in ("a", "c", "d", "e", "b"):
         for name, q in _REGISTRY.items():
             if name.startswith(prefix) and name not in ordered:
                 ordered[name] = q

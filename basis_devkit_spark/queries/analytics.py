@@ -2020,3 +2020,100 @@ def d04t(spark: SparkSession, sf: str) -> DataFrame:
         "ok_bullet_lines", "ok_ellipsis_lines", "ok_alpha_words",
         "ok_stopwords", "passes_gopher",
     )
+
+
+@register(
+    "e01_sessionize",
+    """
+    with o as (
+      select user_id, event_id, ts,
+             lag(ts) over (partition by user_id order by ts, event_id) as prev_ts
+      from events
+    ), f as (
+      select user_id, event_id, ts,
+             case when prev_ts is null or ts - prev_ts > interval 30 minute
+                  then 1 else 0 end as ns
+      from o
+    ), s as (
+      select user_id, ts,
+             cast(sum(ns) over (partition by user_id order by ts, event_id
+                                rows unbounded preceding) as int) as session_seq
+      from f
+    )
+    select user_id, session_seq, count(*) as n_events,
+           min(ts) as session_start, max(ts) as session_end,
+           epoch_us(cast(max(ts) as timestamp))
+             - epoch_us(cast(min(ts) as timestamp)) as duration_us
+    from s group by user_id, session_seq
+    """,
+    doc="gap-based sessionization (30-min inactivity): lag + running sum "
+    "per user, then per-session roll-up — one shuffle on the user key, "
+    "bounded per-user window state; interval comparison keeps sub-second "
+    "precision identical across engines",
+)
+def e01(spark: SparkSession, sf: str) -> DataFrame:
+    from basis_devkit_spark.operators.events import session_stats
+
+    ev = load(spark, sf, "events")
+    return session_stats(ev, gap_minutes=30)
+
+
+@register(
+    "e02_funnel",
+    """
+    with s1 as (
+      select user_id, min(ts) as t from events
+      where event_type = 'view' group by user_id
+    ), s2 as (
+      select e.user_id, min(e.ts) as t
+      from events e join s1 on e.user_id = s1.user_id and e.ts > s1.t
+      where e.event_type = 'click' group by e.user_id
+    ), s3 as (
+      select e.user_id, min(e.ts) as t
+      from events e join s2 on e.user_id = s2.user_id and e.ts > s2.t
+      where e.event_type = 'purchase' group by e.user_id
+    )
+    select cast(1 as int) as step, 'view' as event_type,
+           (select count(*) from s1) as users
+    union all
+    select cast(2 as int), 'click', (select count(*) from s2)
+    union all
+    select cast(3 as int), 'purchase', (select count(*) from s3)
+    """,
+    doc="strictly-ordered funnel view→click→purchase: per-step earliest "
+    "qualifying event via conditional MIN aggs; each later step joins the "
+    "fact against the user-sized previous-step frame (broadcast) — the "
+    "events fact never self-joins",
+)
+def e02(spark: SparkSession, sf: str) -> DataFrame:
+    from basis_devkit_spark.operators.events import funnel
+
+    ev = load(spark, sf, "events")
+    return funnel(ev, ["view", "click", "purchase"])
+
+
+@register(
+    "e03_retention_cohorts",
+    """
+    with first as (
+      select user_id, cast(date_trunc('week', min(ts)) as date) as cohort
+      from events group by user_id
+    ), act as (
+      select distinct user_id, cast(ts as date) as day from events
+    )
+    select cohort,
+           cast(floor(date_diff('day', cohort, day) / 7.0) as int)
+             as period_offset,
+           count(distinct a.user_id) as n_users
+    from act a join first f on a.user_id = f.user_id
+    group by cohort, period_offset
+    """,
+    doc="weekly retention cohorts: first-touch ISO-week cohort × whole-"
+    "week offset, distinct-user counts — two hash aggs + a broadcast "
+    "user-dim join; output is cohort×offset-sized",
+)
+def e03(spark: SparkSession, sf: str) -> DataFrame:
+    from basis_devkit_spark.operators.events import retention_cohorts
+
+    ev = load(spark, sf, "events")
+    return retention_cohorts(ev, period_days=7)

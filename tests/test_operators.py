@@ -1101,3 +1101,80 @@ def test_gopher_rules_flags_conjunction(spark):
     for c in ok_cols:
         recomputed = F.col(c) if recomputed is None else (recomputed & F.col(c))
     assert out.filter(F.col("passes_gopher") != recomputed).count() == 0
+
+
+def test_sessionize_handcomputed(spark):
+    import datetime as dt
+
+    from basis_devkit_spark.operators.events import session_stats, sessionize
+
+    t0 = dt.datetime(2024, 1, 1, 12, 0, 0)
+    m = dt.timedelta(minutes=1)
+    rows = [
+        # user 1: 3 events within gaps, then a 31-min jump -> 2 sessions
+        (1, 1, t0), (2, 1, t0 + 5 * m), (3, 1, t0 + 20 * m),
+        (4, 1, t0 + 51 * m),
+        # user 2: single event
+        (5, 2, t0),
+        # user 1 again: exactly 30-min gap is NOT a new session (strict >)
+        (6, 1, t0 + 81 * m),
+    ]
+    df = spark.createDataFrame(rows, ["event_id", "user_id", "ts"])
+    out = {r["event_id"]: r["session_seq"] for r in sessionize(df).collect()}
+    assert out == {1: 1, 2: 1, 3: 1, 4: 2, 5: 1, 6: 2}
+
+    stats = {
+        (r["user_id"], r["session_seq"]): r
+        for r in session_stats(df).collect()
+    }
+    assert stats[(1, 1)]["n_events"] == 3
+    assert stats[(1, 1)]["duration_us"] == 20 * 60 * 1_000_000
+    assert stats[(1, 2)]["n_events"] == 2
+    assert stats[(2, 1)]["duration_us"] == 0
+
+
+def test_funnel_strict_ordering(spark):
+    import datetime as dt
+
+    from basis_devkit_spark.operators.events import funnel
+
+    t0 = dt.datetime(2024, 1, 1)
+    h = dt.timedelta(hours=1)
+    rows = [
+        # u1 completes a->b->c in order
+        (1, "a", t0), (1, "b", t0 + h), (1, "c", t0 + 2 * h),
+        # u2 does b BEFORE a: must not count for step 2
+        (2, "b", t0), (2, "a", t0 + h),
+        # u3 does a only
+        (3, "a", t0),
+        # u4 does a and c but no b: step 3 requires step 2
+        (4, "a", t0), (4, "c", t0 + h),
+    ]
+    df = spark.createDataFrame(rows, ["user_id", "event_type", "ts"])
+    out = {r["step"]: r["users"] for r in funnel(df, ["a", "b", "c"]).collect()}
+    assert out == {1: 4, 2: 1, 3: 1}
+
+
+def test_retention_cohorts_offsets(spark):
+    import datetime as dt
+
+    from basis_devkit_spark.operators.events import retention_cohorts
+
+    mon = dt.datetime(2024, 1, 1)  # a Monday
+    d = dt.timedelta(days=1)
+    rows = [
+        (1, mon), (1, mon + 8 * d),          # cohort wk0, active offset 0 and 1
+        (2, mon + 2 * d),                    # cohort wk0, offset 0 only
+        (3, mon + 7 * d), (3, mon + 20 * d), # cohort wk1, offsets 0 and 1
+    ]
+    df = spark.createDataFrame(rows, ["user_id", "ts"])
+    out = {
+        (r["cohort"].isoformat(), r["period_offset"]): r["n_users"]
+        for r in retention_cohorts(df).collect()
+    }
+    assert out == {
+        ("2024-01-01", 0): 2,
+        ("2024-01-01", 1): 1,
+        ("2024-01-08", 0): 1,
+        ("2024-01-08", 1): 1,
+    }

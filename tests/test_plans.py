@@ -412,3 +412,22 @@ def test_gopher_rules_single_projection_no_shuffle(spark):
     plan = plan_of(df)
     assert n_shuffles(df) == 0
     assert "pythonUDF" not in plan and "BatchEvalPython" not in plan
+
+
+def test_sessionize_single_shuffle(spark):
+    from basis_devkit_spark.operators.events import sessionize
+
+    df = sessionize(load(spark, SF, "events"))
+    assert n_shuffles(df) == 1  # one hash exchange on user_id, reused by both windows
+    assert "pythonUDF" not in plan_of(df)
+
+
+def test_funnel_no_fact_self_join(spark):
+    from basis_devkit_spark.operators.events import funnel
+
+    df = funnel(load(spark, SF, "events"), ["view", "click", "purchase"])
+    plan = plan_of(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    # later steps join fact x user-frame via broadcast hash joins
+    assert "BroadcastHashJoin" in plan
