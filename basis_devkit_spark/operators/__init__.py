@@ -94,9 +94,13 @@ __all__ = [
     "session_stats",
     "funnel",
     "retention_cohorts",
+    "event_transitions",
+    "conversion_latency",
 ]
 
 from basis_devkit_spark.operators.events import (  # noqa: E402
+    conversion_latency,
+    event_transitions,
     funnel,
     retention_cohorts,
     session_stats,

@@ -152,3 +152,63 @@ def retention_cohorts(
         .groupBy("cohort", "period_offset")
         .agg(F.count(F.lit(1)).alias("n_users"))
     )
+
+
+def event_transitions(
+    df: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    event_col: str = "event_type",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """First-order transition counts (Markov matrix): for each user's
+    time-ordered event sequence, count ``(prev_event -> event)`` pairs
+    across the corpus. One shuffle on the user key for the lag window,
+    one hash agg on the (small) event-type pair space.
+    """
+    w = Window.partitionBy(user_col).orderBy(ts_col, id_col)
+    pairs = df.select(
+        F.lag(event_col).over(w).alias("prev_event"),
+        F.col(event_col).alias("event"),
+    ).filter(F.col("prev_event").isNotNull())
+    return pairs.groupBy("prev_event", "event").agg(
+        F.count(F.lit(1)).alias("n_transitions")
+    )
+
+
+def conversion_latency(
+    df: DataFrame,
+    from_event: str,
+    to_event: str,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    event_col: str = "event_type",
+) -> DataFrame:
+    """Time from each user's first ``from_event`` to their first
+    STRICTLY LATER ``to_event``. Returns one summary row:
+    ``(n_converted, min_us, max_us, sum_us)`` — all exact integers, so
+    any mean/rate derived downstream is reproducible across engines.
+
+    Same shape as :func:`funnel` steps: two conditional-MIN aggs with a
+    broadcast user-frame join between them; the fact never self-joins.
+    """
+    src = df.filter(F.col(event_col) == from_event).groupBy(
+        F.col(user_col).alias("__u")
+    ).agg(F.min(ts_col).alias("__t0"))
+    dst = (
+        df.filter(F.col(event_col) == to_event)
+        .select(F.col(user_col).alias("__du"), F.col(ts_col).alias("__t"))
+        .join(F.broadcast(src), F.col("__du") == F.col("__u"))
+        .filter(F.col("__t") > F.col("__t0"))
+        .groupBy("__du", "__t0")
+        .agg(F.min("__t").alias("__t1"))
+    )
+    lat = F.unix_micros(F.col("__t1").cast("timestamp")) - F.unix_micros(
+        F.col("__t0").cast("timestamp")
+    )
+    return dst.select(lat.alias("__lat")).agg(
+        F.count(F.lit(1)).alias("n_converted"),
+        F.min("__lat").alias("min_us"),
+        F.max("__lat").alias("max_us"),
+        F.sum("__lat").alias("sum_us"),
+    )

@@ -2117,3 +2117,55 @@ def e03(spark: SparkSession, sf: str) -> DataFrame:
 
     ev = load(spark, sf, "events")
     return retention_cohorts(ev, period_days=7)
+
+
+@register(
+    "e04_event_transitions",
+    """
+    with o as (
+      select user_id, event_type,
+             lag(event_type) over (partition by user_id
+                                   order by ts, event_id) as prev_event
+      from events
+    )
+    select prev_event, event_type as event, count(*) as n_transitions
+    from o where prev_event is not null
+    group by prev_event, event
+    """,
+    doc="first-order event transition matrix (Markov counts): per-user "
+    "lag window + one hash agg over the event-type pair space",
+)
+def e04(spark: SparkSession, sf: str) -> DataFrame:
+    from basis_devkit_spark.operators.events import event_transitions
+
+    return event_transitions(load(spark, sf, "events"))
+
+
+@register(
+    "e05_conversion_latency",
+    """
+    with su as (
+      select user_id, min(ts) as t0 from events
+      where event_type = 'signup' group by user_id
+    ), pu as (
+      select e.user_id, min(e.ts) as t1, min(su.t0) as t0
+      from events e join su on e.user_id = su.user_id and e.ts > su.t0
+      where e.event_type = 'purchase' group by e.user_id
+    )
+    select count(*) as n_converted,
+           min(epoch_us(cast(t1 as timestamp))
+               - epoch_us(cast(t0 as timestamp))) as min_us,
+           max(epoch_us(cast(t1 as timestamp))
+               - epoch_us(cast(t0 as timestamp))) as max_us,
+           sum(epoch_us(cast(t1 as timestamp))
+               - epoch_us(cast(t0 as timestamp))) as sum_us
+    from pu
+    """,
+    doc="signup→purchase conversion latency summary: first-touch "
+    "conditional MINs + broadcast user-frame join; all-integer outputs "
+    "so derived means are engine-reproducible",
+)
+def e05(spark: SparkSession, sf: str) -> DataFrame:
+    from basis_devkit_spark.operators.events import conversion_latency
+
+    return conversion_latency(load(spark, sf, "events"), "signup", "purchase")

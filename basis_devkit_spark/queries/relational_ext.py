@@ -1126,3 +1126,111 @@ def b70(spark: SparkSession, sf: str) -> DataFrame:
         .groupBy("s_name")
         .agg(F.count("*").alias("numwait"))
     )
+
+
+@register(
+    "b71_tpch_q6_forecast_revenue",
+    """
+    select cast(sum(cast(l_extendedprice * l_discount as decimal(18,4)))
+                as double) as revenue
+    from lineitem
+    where l_shipdate >= '1997-01-01' and l_shipdate < '1998-01-01'
+      and l_discount between 0.05 and 0.07 and l_quantity < 24
+    """,
+    doc="TPC-H Q6: pure scan-filter-aggregate — every predicate pushes "
+    "into the parquet scan, one partial+final agg, zero joins; the "
+    "whole-stage-codegen sanity row",
+)
+def b71(spark: SparkSession, sf: str) -> DataFrame:
+    li = load(spark, sf, "lineitem").filter(
+        (F.col("l_shipdate") >= "1997-01-01")
+        & (F.col("l_shipdate") < "1998-01-01")
+        & F.col("l_discount").between(0.05, 0.07)
+        & (F.col("l_quantity") < 24)
+    )
+    return li.agg(
+        F.sum(
+            (F.col("l_extendedprice") * F.col("l_discount")).cast("decimal(18,4)")
+        )
+        .cast("double")
+        .alias("revenue")
+    )
+
+
+@register(
+    "b72_tpch_q8_market_share",
+    """
+    select o_year,
+      floor(cast(sum(case when nation = 'NATION_1' then volume
+                     else cast(0 as decimal(18,2)) end) as double)
+            / cast(sum(volume) as double) * 1000000.0 + 0.5) / 1000000.0
+        as mkt_share
+    from (select cast(year(o_orderdate) as int) as o_year,
+                 cast(l_extendedprice * (1 - l_discount) as decimal(18,2))
+                   as volume,
+                 n2.n_name as nation
+          from part, supplier, lineitem, orders, customer,
+               nation n1, nation n2, region
+          where p_partkey = l_partkey and s_suppkey = l_suppkey
+            and l_orderkey = o_orderkey and o_custkey = c_custkey
+            and c_nationkey = n1.n_nationkey
+            and n1.n_regionkey = r_regionkey and r_name = 'ASIA'
+            and s_nationkey = n2.n_nationkey
+            and o_orderdate >= '1996-01-01' and o_orderdate < '1998-01-01'
+            and p_type = 'ECONOMY') t
+    group by o_year
+    """,
+    doc="TPC-H Q8-style national market share: seven-table snowflake — "
+    "every dim chain (part; supplier→nation; customer→nation→region) "
+    "broadcasts onto the fact spine lineitem→orders, which shuffles only "
+    "for the orders key join; conditional decimal share with explicit "
+    "IEEE rounding",
+)
+def b72(spark: SparkSession, sf: str) -> DataFrame:
+    n = load(spark, sf, "nation").select("n_nationkey", "n_name", "n_regionkey")
+    r = load(spark, sf, "region").filter(F.col("r_name") == "ASIA").select(
+        "r_regionkey"
+    )
+    cust = (
+        load(spark, sf, "customer")
+        .select("c_custkey", "c_nationkey")
+        .join(
+            F.broadcast(
+                n.join(F.broadcast(r), n.n_regionkey == F.col("r_regionkey"))
+                .select("n_nationkey")
+            ),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+            "left_semi",
+        )
+    )
+    supp = load(spark, sf, "supplier").join(
+        F.broadcast(n.select(F.col("n_nationkey").alias("__snk"),
+                             F.col("n_name").alias("nation"))),
+        F.col("s_nationkey") == F.col("__snk"),
+    ).select("s_suppkey", "nation")
+    p = load(spark, sf, "part").filter(F.col("p_type") == "ECONOMY").select(
+        "p_partkey"
+    )
+    li = load(spark, sf, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_suppkey", "l_extendedprice", "l_discount"
+    )
+    o = load(spark, sf, "orders").filter(
+        (F.col("o_orderdate") >= "1996-01-01") & (F.col("o_orderdate") < "1998-01-01")
+    ).select("o_orderkey", "o_custkey", "o_orderdate")
+    j = (
+        li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"), "left_semi")
+    )
+    vol = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(18,2)")
+    nat_vol = F.when(F.col("nation") == "NATION_1", vol).otherwise(
+        F.lit(0).cast("decimal(18,2)")
+    )
+    share = (
+        F.sum(nat_vol).cast("double") / F.sum(vol).cast("double") * 1000000.0
+    )
+    return (
+        j.groupBy(F.year("o_orderdate").cast("int").alias("o_year"))
+        .agg((F.floor(share + 0.5) / 1000000.0).alias("mkt_share"))
+    )

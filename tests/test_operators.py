@@ -1178,3 +1178,45 @@ def test_retention_cohorts_offsets(spark):
         ("2024-01-08", 0): 1,
         ("2024-01-08", 1): 1,
     }
+
+
+def test_event_transitions_handcomputed(spark):
+    import datetime as dt
+
+    from basis_devkit_spark.operators.events import event_transitions
+
+    t0 = dt.datetime(2024, 1, 1)
+    m = dt.timedelta(minutes=1)
+    rows = [
+        (1, 1, "a", t0), (2, 1, "b", t0 + m), (3, 1, "a", t0 + 2 * m),
+        (4, 2, "a", t0), (5, 2, "b", t0 + m),
+    ]
+    df = spark.createDataFrame(rows, ["event_id", "user_id", "event_type", "ts"])
+    out = {
+        (r["prev_event"], r["event"]): r["n_transitions"]
+        for r in event_transitions(df).collect()
+    }
+    assert out == {("a", "b"): 2, ("b", "a"): 1}
+
+
+def test_conversion_latency_strictly_after(spark):
+    import datetime as dt
+
+    from basis_devkit_spark.operators.events import conversion_latency
+
+    t0 = dt.datetime(2024, 1, 1)
+    h = dt.timedelta(hours=1)
+    rows = [
+        # u1: signup then purchase 2h later
+        (1, "signup", t0), (1, "purchase", t0 + 2 * h),
+        # u2: purchase BEFORE signup only -> not converted
+        (2, "purchase", t0), (2, "signup", t0 + h),
+        # u3: signup, two purchases -> first one counts (1h)
+        (3, "signup", t0), (3, "purchase", t0 + h), (3, "purchase", t0 + 5 * h),
+    ]
+    df = spark.createDataFrame(rows, ["user_id", "event_type", "ts"])
+    row = conversion_latency(df, "signup", "purchase").collect()[0]
+    assert row["n_converted"] == 2
+    assert row["min_us"] == 3600 * 1_000_000
+    assert row["max_us"] == 2 * 3600 * 1_000_000
+    assert row["sum_us"] == 3 * 3600 * 1_000_000

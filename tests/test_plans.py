@@ -431,3 +431,25 @@ def test_funnel_no_fact_self_join(spark):
     assert "BroadcastNestedLoopJoin" not in plan
     # later steps join fact x user-frame via broadcast hash joins
     assert "BroadcastHashJoin" in plan
+
+
+def test_tpch_q6_predicates_push_to_scan(spark):
+    from basis_devkit_spark.queries import all_queries
+
+    df = all_queries()["b71_tpch_q6_forecast_revenue"].spark(spark, SF)
+    plan = plan_of(df)
+    assert "PushedFilters" in plan
+    assert "Join" not in plan
+    assert n_shuffles(df) <= 1  # partial+final agg exchange only
+
+
+def test_tpch_q8_fact_spine_single_shuffle_join(spark):
+    from basis_devkit_spark.queries import all_queries
+
+    df = all_queries()["b72_tpch_q8_market_share"].spark(spark, SF)
+    plan = plan_of(df)
+    # all dim chains broadcast; the only sort-merge-eligible join is the
+    # lineitem-orders spine
+    assert plan.count("BroadcastHashJoin") >= 3
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
