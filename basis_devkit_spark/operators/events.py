@@ -25,6 +25,14 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
+def _maybe_broadcast(df: DataFrame, flag: bool) -> DataFrame:
+    """Broadcast hint gated by the caller: product-analytics user frames
+    are usually ≪ the events fact (broadcast is right), but at extreme
+    user cardinality the caller disables the hint and lets Catalyst/AQE
+    pick a shuffled hash join on the user key."""
+    return F.broadcast(df) if flag else df
+
+
 def sessionize(
     df: DataFrame,
     user_col: str = "user_id",
@@ -81,6 +89,7 @@ def funnel(
     user_col: str = "user_id",
     ts_col: str = "ts",
     event_col: str = "event_type",
+    broadcast_user_frames: bool = True,
 ) -> DataFrame:
     """Strictly-ordered funnel: for each step k, count users whose
     earliest qualifying step-k event happened AFTER their earliest
@@ -89,8 +98,11 @@ def funnel(
 
     Shape at scale: step 1 is one hash agg over the (filtered) events;
     each later step joins the events fact against the previous step's
-    per-user frame — user-cardinality-sized, broadcast by AQE — and
-    aggregates again. Events are never self-joined.
+    per-user frame — user-cardinality-sized — and aggregates again.
+    Events are never self-joined. ``broadcast_user_frames`` forces the
+    user-frame side to broadcast (right for the usual users ≪ events
+    case); pass False when the user dimension itself is huge (1e9+ ids)
+    and the step joins should shuffle-hash on the user key instead.
     """
     if not steps:
         raise ValueError("funnel needs at least one step")
@@ -105,7 +117,10 @@ def funnel(
         else:
             cur = (
                 ev.join(
-                    F.broadcast(prev.select(F.col("__u").alias("__pu"), "__t_min")),
+                    _maybe_broadcast(
+                        prev.select(F.col("__u").alias("__pu"), "__t_min"),
+                        broadcast_user_frames,
+                    ),
                     F.col("__u") == F.col("__pu"),
                 )
                 .filter(F.col("__t") > F.col("__t_min"))
@@ -127,6 +142,7 @@ def retention_cohorts(
     user_col: str = "user_id",
     ts_col: str = "ts",
     period_days: int = 7,
+    broadcast_user_frames: bool = True,
 ) -> DataFrame:
     """Cohort retention matrix: cohort = calendar start of the user's
     first-event period (``date_trunc('week')`` for 7-day periods), offset
@@ -142,7 +158,10 @@ def retention_cohorts(
         F.col(user_col).alias("__au"),
         F.col(ts_col).cast("date").alias("__day"),
     ).distinct()
-    j = activity.join(F.broadcast(first), F.col("__au") == F.col("__u"))
+    j = activity.join(
+        _maybe_broadcast(first, broadcast_user_frames),
+        F.col("__au") == F.col("__u"),
+    )
     offset = F.floor(
         F.datediff(F.col("__day"), F.col("cohort")) / period_days
     ).cast("int")
@@ -183,6 +202,7 @@ def conversion_latency(
     user_col: str = "user_id",
     ts_col: str = "ts",
     event_col: str = "event_type",
+    broadcast_user_frames: bool = True,
 ) -> DataFrame:
     """Time from each user's first ``from_event`` to their first
     STRICTLY LATER ``to_event``. Returns one summary row:
@@ -198,7 +218,10 @@ def conversion_latency(
     dst = (
         df.filter(F.col(event_col) == to_event)
         .select(F.col(user_col).alias("__du"), F.col(ts_col).alias("__t"))
-        .join(F.broadcast(src), F.col("__du") == F.col("__u"))
+        .join(
+            _maybe_broadcast(src, broadcast_user_frames),
+            F.col("__du") == F.col("__u"),
+        )
         .filter(F.col("__t") > F.col("__t0"))
         .groupBy("__du", "__t0")
         .agg(F.min("__t").alias("__t1"))

@@ -1220,3 +1220,33 @@ def test_conversion_latency_strictly_after(spark):
     assert row["min_us"] == 3600 * 1_000_000
     assert row["max_us"] == 2 * 3600 * 1_000_000
     assert row["sum_us"] == 3 * 3600 * 1_000_000
+
+
+def test_event_ops_broadcast_flag_equivalent(spark):
+    """broadcast_user_frames=False (huge-user-dim mode) must be
+    result-identical to the broadcast default."""
+    from basis_devkit_spark.operators.events import (
+        conversion_latency,
+        funnel,
+        retention_cohorts,
+    )
+    from basis_devkit_spark.queries import load
+
+    ev = load(spark, "/root/testdata/sf0.001", "events")
+    steps = ["view", "click", "purchase"]
+    a = {r["step"]: r["users"] for r in funnel(ev, steps).collect()}
+    b = {
+        r["step"]: r["users"]
+        for r in funnel(ev, steps, broadcast_user_frames=False).collect()
+    }
+    assert a == b
+    ra = sorted(map(tuple, retention_cohorts(ev).collect()))
+    rb = sorted(
+        map(tuple, retention_cohorts(ev, broadcast_user_frames=False).collect())
+    )
+    assert ra == rb
+    ca = conversion_latency(ev, "signup", "purchase").collect()[0]
+    cb = conversion_latency(
+        ev, "signup", "purchase", broadcast_user_frames=False
+    ).collect()[0]
+    assert tuple(ca) == tuple(cb)
