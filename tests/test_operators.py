@@ -1250,3 +1250,49 @@ def test_event_ops_broadcast_flag_equivalent(spark):
         ev, "signup", "purchase", broadcast_user_frames=False
     ).collect()[0]
     assert tuple(ca) == tuple(cb)
+
+
+def test_sessionize_matches_pandas_model_random(spark):
+    """Randomized parity: session assignment equals an independent pandas
+    per-user scan model (sorted by ts,event_id; gap strictly > 30 min)."""
+    import datetime as dt
+
+    import numpy as np
+    import pandas as pd
+
+    from basis_devkit_spark.operators.events import sessionize
+
+    rng = np.random.default_rng(7)
+    n = 2000
+    base = dt.datetime(2024, 1, 1)
+    pdf = pd.DataFrame(
+        {
+            "event_id": np.arange(n),
+            "user_id": rng.integers(0, 40, n),
+            # lumpy gaps: mostly minutes, occasionally hours
+            "ts": [
+                base
+                + dt.timedelta(
+                    seconds=int(x)
+                )
+                for x in np.cumsum(rng.choice([30, 300, 2400, 7200], n))
+            ],
+        }
+    )
+    # shuffle row order so the operator can't rely on input order
+    pdf = pdf.sample(frac=1.0, random_state=1).reset_index(drop=True)
+
+    df = spark.createDataFrame(pdf)
+    got = {
+        r["event_id"]: r["session_seq"] for r in sessionize(df).collect()
+    }
+
+    want = {}
+    for _, grp in pdf.sort_values(["user_id", "ts", "event_id"]).groupby("user_id"):
+        seq, prev = 0, None
+        for _, row in grp.iterrows():
+            if prev is None or (row.ts - prev) > dt.timedelta(minutes=30):
+                seq += 1
+            want[int(row.event_id)] = seq
+            prev = row.ts
+    assert got == want
