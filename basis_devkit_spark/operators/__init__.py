@@ -96,6 +96,7 @@ __all__ = [
     "retention_cohorts",
     "event_transitions",
     "conversion_latency",
+    "session_paths",
 ]
 
 from basis_devkit_spark.operators.events import (  # noqa: E402
@@ -103,6 +104,7 @@ from basis_devkit_spark.operators.events import (  # noqa: E402
     event_transitions,
     funnel,
     retention_cohorts,
+    session_paths,
     session_stats,
     sessionize,
 )

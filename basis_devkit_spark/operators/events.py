@@ -235,3 +235,43 @@ def conversion_latency(
         F.max("__lat").alias("max_us"),
         F.sum("__lat").alias("sum_us"),
     )
+
+
+def session_paths(
+    df: DataFrame,
+    k: int = 20,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    event_col: str = "event_type",
+    gap_minutes: int = 30,
+    id_col: str = "event_id",
+) -> DataFrame:
+    """Top-k most common session paths: the time-ordered event-type
+    sequence within each session (e.g. ``view->click->purchase``),
+    counted across all sessions. Returns ``(path, n_sessions)`` with a
+    deterministic (count desc, path) order, limited to ``k``.
+
+    The per-session ordering is a sort-free re-pack: ``collect_list`` of
+    ``(ts, id, event)`` structs + ``array_sort`` + ``transform`` — no
+    per-session window, so the only shuffles are the sessionize user
+    exchange and the path count agg; the final top-k is a
+    TakeOrdered, never a global sort.
+    """
+    s = sessionize(df, user_col, ts_col, gap_minutes, id_col)
+    paths = s.groupBy(user_col, "session_seq").agg(
+        F.concat_ws(
+            "->",
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct(ts_col, id_col, event_col))
+                ),
+                lambda x: x.getField(event_col),
+            ),
+        ).alias("path")
+    )
+    return (
+        paths.groupBy("path")
+        .agg(F.count(F.lit(1)).alias("n_sessions"))
+        .orderBy(F.col("n_sessions").desc(), "path")
+        .limit(k)
+    )

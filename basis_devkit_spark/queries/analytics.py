@@ -2169,3 +2169,40 @@ def e05(spark: SparkSession, sf: str) -> DataFrame:
     from basis_devkit_spark.operators.events import conversion_latency
 
     return conversion_latency(load(spark, sf, "events"), "signup", "purchase")
+
+
+@register(
+    "e06_session_paths",
+    """
+    with o as (
+      select user_id, event_id, ts, event_type,
+             lag(ts) over (partition by user_id order by ts, event_id) as prev_ts
+      from events
+    ), f as (
+      select user_id, event_id, ts, event_type,
+             case when prev_ts is null or ts - prev_ts > interval 30 minute
+                  then 1 else 0 end as ns
+      from o
+    ), s as (
+      select user_id, event_id, ts, event_type,
+             sum(ns) over (partition by user_id order by ts, event_id
+                           rows unbounded preceding) as session_seq
+      from f
+    ), p as (
+      select user_id, session_seq,
+             string_agg(event_type, '->' order by ts, event_id) as path
+      from s group by user_id, session_seq
+    )
+    select path, count(*) as n_sessions
+    from p group by path
+    order by n_sessions desc, path
+    limit 20
+    """,
+    doc="top-20 session paths: sessionize + order-preserving event-"
+    "sequence re-pack (collect_list + array_sort, no per-session window) "
+    "+ path count + TakeOrdered top-k",
+)
+def e06(spark: SparkSession, sf: str) -> DataFrame:
+    from basis_devkit_spark.operators.events import session_paths
+
+    return session_paths(load(spark, sf, "events"), k=20, gap_minutes=30)

@@ -1296,3 +1296,23 @@ def test_sessionize_matches_pandas_model_random(spark):
             want[int(row.event_id)] = seq
             prev = row.ts
     assert got == want
+
+
+def test_session_paths_handcomputed(spark):
+    import datetime as dt
+
+    from basis_devkit_spark.operators.events import session_paths
+
+    t0 = dt.datetime(2024, 1, 1)
+    m = dt.timedelta(minutes=1)
+    rows = [
+        # u1 session 1: a,b  (order determined by ts)
+        (1, 1, "a", t0), (2, 1, "b", t0 + m),
+        # u1 session 2 (90-min gap): a,b again
+        (3, 1, "a", t0 + 92 * m), (4, 1, "b", t0 + 93 * m),
+        # u2: single-event session c
+        (5, 2, "c", t0),
+    ]
+    df = spark.createDataFrame(rows, ["event_id", "user_id", "event_type", "ts"])
+    out = [(r["path"], r["n_sessions"]) for r in session_paths(df, k=10).collect()]
+    assert out == [("a->b", 2), ("c", 1)]

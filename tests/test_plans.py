@@ -453,3 +453,12 @@ def test_tpch_q8_fact_spine_single_shuffle_join(spark):
     assert plan.count("BroadcastHashJoin") >= 3
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_session_paths_takeordered_no_global_sort(spark):
+    from basis_devkit_spark.operators.events import session_paths
+
+    df = session_paths(load(spark, SF, "events"), k=20)
+    plan = plan_of(df)
+    assert "TakeOrderedAndProject" in plan
+    assert "pythonUDF" not in plan
