@@ -55,6 +55,13 @@ from pyspark.sql.window import Window
 
 MANIFEST = "_manifest.json"
 
+
+class ConcurrentWriteError(RuntimeError):
+    """Another writer committed this store since this handle loaded its
+    manifest — committing would silently drop their version (lost
+    update). Call ``refresh()`` and re-derive the write, or serialize
+    writers (the engine does: one cached handle per store)."""
+
 # Serializes the scoped outputTimestampType set/restore across concurrent
 # node writes (session conf is global to the SparkSession).
 _WRITE_CONF_LOCK = threading.Lock()
@@ -164,6 +171,12 @@ class _Manifest:
     # version pointer flip, so a replayed micro-batch after a crash is
     # detected and skipped — exactly-once into the managed table.
     last_stream_batch_id: int = -1
+    # Optimistic-concurrency fence (Delta-protocol-style): bumped on every
+    # manifest commit. A handle that loaded seq N may only commit if the
+    # on-disk manifest still carries seq N — otherwise another writer got
+    # there first and the commit raises ConcurrentWriteError instead of
+    # clobbering their pointer flip.
+    commit_seq: int = 0
 
     def to_json(self) -> dict[str, Any]:
         return dict(self.__dict__)
@@ -186,6 +199,7 @@ class TableStore:
         self.path = os.path.join(root, name)
         os.makedirs(self.path, exist_ok=True)
         self._manifest = self._load_manifest()
+        self._loaded_seq = self._manifest.commit_seq
         # Batches pinned (persisted) during a write so the id-assignment
         # count job and the write job see identical partitions.
         self._pinned: list[DataFrame] = []
@@ -203,19 +217,60 @@ class TableStore:
                 return _Manifest.from_json(json.load(f))
         return _Manifest(name=self.name)
 
+    def _disk_commit_seq(self) -> int:
+        p = self._manifest_path()
+        if not os.path.exists(p):
+            return 0
+        try:
+            with open(p) as f:
+                return int(json.load(f).get("commit_seq", 0))
+        except (OSError, ValueError):
+            return 0
+
+    def refresh(self) -> None:
+        """Reload the manifest from disk (picks up another writer's
+        commits); after this the handle may commit again."""
+        self._manifest = self._load_manifest()
+        self._loaded_seq = self._manifest.commit_seq
+
     def _commit_manifest(self) -> None:
+        # Optimistic concurrency check-and-swap: the commit is only valid
+        # if nobody else committed since this handle's manifest load. The
+        # check+flip is not itself atomic across processes (no file lock),
+        # but it converts the silent lost-update of two interleaved
+        # same-process handles — the realistic hazard — into a hard error.
+        disk_seq = self._disk_commit_seq()
+        if disk_seq != self._loaded_seq:
+            raise ConcurrentWriteError(
+                f"store '{self.name}': manifest commit_seq moved "
+                f"{self._loaded_seq} -> {disk_seq} under this handle; "
+                "another writer committed. refresh() and retry."
+            )
+        self._manifest.commit_seq = self._loaded_seq + 1
         tmp = self._manifest_path() + ".tmp"
         with open(tmp, "w") as f:
             json.dump(self._manifest.to_json(), f, indent=1)
             f.flush()
             os.fsync(f.fileno())
         os.replace(tmp, self._manifest_path())  # atomic pointer flip
+        self._loaded_seq = self._manifest.commit_seq
 
     # ---------------- versions (A9) ----------------
     def version_path(self, version: int) -> str:
         return os.path.join(self.path, f"v={version}")
 
     def create_new_version(self) -> int:
+        # Early fence: a stale handle would allocate the SAME version
+        # number another writer already used — its data write would land
+        # in (and clobber) their directory before the commit-time check
+        # ever runs. Fail before touching disk.
+        disk_seq = self._disk_commit_seq()
+        if disk_seq != self._loaded_seq:
+            raise ConcurrentWriteError(
+                f"store '{self.name}': manifest commit_seq moved "
+                f"{self._loaded_seq} -> {disk_seq} under this handle; "
+                "another writer committed. refresh() and retry."
+            )
         v = self._manifest.next_version
         self._manifest.next_version += 1
         self._manifest.versions[str(v)] = {"version": v, "created_at": time.time()}

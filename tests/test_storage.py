@@ -817,3 +817,28 @@ def test_bucket_by_exclusive_with_other_layouts(spark, tmp_path):
     st.configure(cluster_by=["k"])
     with pytest.raises(ValueError):
         st.configure(bucket_by=["k"])
+
+
+def test_concurrent_writer_lost_update_detected(spark, tmp_path):
+    """Two live handles on one store: the slower writer must get
+    ConcurrentWriteError instead of silently clobbering the faster one's
+    pointer flip; refresh() re-arms it."""
+    from basis_devkit_spark.storage.store import ConcurrentWriteError, TableStore
+
+    a = TableStore(str(tmp_path), "t", spark)
+    a.write_replace(spark.range(3).toDF("x"))
+
+    b = TableStore(str(tmp_path), "t", spark)  # loads seq from a's commit
+    a.write_replace(spark.range(5).toDF("x"))  # a commits again
+
+    import pytest as _pytest
+
+    with _pytest.raises(ConcurrentWriteError):
+        b.write_replace(spark.range(7).toDF("x"))
+    # a's data survived the attempted clobber
+    assert a.read().count() == 5
+
+    b.refresh()
+    b.write_replace(spark.range(7).toDF("x"))
+    a.refresh()
+    assert a.read().count() == 7
