@@ -21,7 +21,7 @@ All pure DataFrame expressions — no UDFs, no collects.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 

@@ -1316,3 +1316,41 @@ def test_session_paths_handcomputed(spark):
     df = spark.createDataFrame(rows, ["event_id", "user_id", "event_type", "ts"])
     out = [(r["path"], r["n_sessions"]) for r in session_paths(df, k=10).collect()]
     assert out == [("a->b", 2), ("c", 1)]
+
+
+def test_funnel_matches_pandas_model_random(spark):
+    """Randomized parity: strict-order funnel counts equal an independent
+    pandas per-user scan model."""
+    import datetime as dt
+
+    import numpy as np
+    import pandas as pd
+
+    from basis_devkit_spark.operators.events import funnel
+
+    rng = np.random.default_rng(11)
+    n = 1500
+    base = dt.datetime(2024, 1, 1)
+    pdf = pd.DataFrame(
+        {
+            "user_id": rng.integers(0, 60, n),
+            "event_type": rng.choice(["a", "b", "c", "x"], n),
+            "ts": [base + dt.timedelta(seconds=int(x)) for x in
+                   rng.choice(10**7, n, replace=False)],
+        }
+    )
+    steps = ["a", "b", "c"]
+    got = {r["step"]: r["users"] for r in funnel(spark.createDataFrame(pdf), steps).collect()}
+
+    want = {1: 0, 2: 0, 3: 0}
+    for _, g in pdf.sort_values("ts").groupby("user_id"):
+        t_prev = None
+        for k, step in enumerate(steps, start=1):
+            sel = g[g.event_type == step]
+            if t_prev is not None:
+                sel = sel[sel.ts > t_prev]
+            if sel.empty:
+                break
+            t_prev = sel.ts.min()
+            want[k] += 1
+    assert got == want
