@@ -90,11 +90,14 @@ def funnel(
     ts_col: str = "ts",
     event_col: str = "event_type",
     broadcast_user_frames: bool = True,
+    within_minutes: int | None = None,
 ) -> DataFrame:
     """Strictly-ordered funnel: for each step k, count users whose
     earliest qualifying step-k event happened AFTER their earliest
     qualifying step-(k-1) event. Returns one row per step:
-    ``(step, event_type, users)``.
+    ``(step, event_type, users)``. With ``within_minutes``, every later
+    step must also land within that window of the user's FIRST-step
+    event (the standard bounded conversion window).
 
     Shape at scale: step 1 is one hash agg over the (filtered) events;
     each later step joins the events fact against the previous step's
@@ -114,18 +117,25 @@ def funnel(
         )
         if prev is None:
             cur = ev.groupBy("__u").agg(F.min("__t").alias("__t_min"))
+            cur = cur.withColumn("__t_first", F.col("__t_min"))
         else:
-            cur = (
-                ev.join(
-                    _maybe_broadcast(
-                        prev.select(F.col("__u").alias("__pu"), "__t_min"),
-                        broadcast_user_frames,
+            j = ev.join(
+                _maybe_broadcast(
+                    prev.select(
+                        F.col("__u").alias("__pu"), "__t_min", "__t_first"
                     ),
-                    F.col("__u") == F.col("__pu"),
+                    broadcast_user_frames,
+                ),
+                F.col("__u") == F.col("__pu"),
+            ).filter(F.col("__t") > F.col("__t_min"))
+            if within_minutes is not None:
+                j = j.filter(
+                    F.col("__t")
+                    <= F.col("__t_first")
+                    + F.expr(f"interval {int(within_minutes)} minutes")
                 )
-                .filter(F.col("__t") > F.col("__t_min"))
-                .groupBy("__u")
-                .agg(F.min("__t").alias("__t_min"))
+            cur = j.groupBy("__u", "__t_first").agg(
+                F.min("__t").alias("__t_min")
             )
         step_row = cur.agg(
             F.lit(k).alias("step"),

@@ -2206,3 +2206,43 @@ def e06(spark: SparkSession, sf: str) -> DataFrame:
     from basis_devkit_spark.operators.events import session_paths
 
     return session_paths(load(spark, sf, "events"), k=20, gap_minutes=30)
+
+
+@register(
+    "e02b_funnel_within_window",
+    """
+    with s1 as (
+      select user_id, min(ts) as t1 from events
+      where event_type = 'view' group by user_id
+    ), s2 as (
+      select e.user_id, min(e.ts) as t2, min(s1.t1) as t1
+      from events e
+      join s1 on e.user_id = s1.user_id and e.ts > s1.t1
+             and e.ts <= s1.t1 + interval 1440 minute
+      where e.event_type = 'click' group by e.user_id
+    ), s3 as (
+      select e.user_id, min(e.ts) as t3
+      from events e
+      join s2 on e.user_id = s2.user_id and e.ts > s2.t2
+             and e.ts <= s2.t1 + interval 1440 minute
+      where e.event_type = 'purchase' group by e.user_id
+    )
+    select cast(1 as int) as step, 'view' as event_type,
+           (select count(*) from s1) as users
+    union all
+    select cast(2 as int), 'click', (select count(*) from s2)
+    union all
+    select cast(3 as int), 'purchase', (select count(*) from s3)
+    """,
+    doc="bounded-window funnel: every later step must land within 24h of "
+    "the user's first-step event — the standard conversion-window "
+    "semantics; the first-step timestamp rides the per-user step frame",
+)
+def e02b(spark: SparkSession, sf: str) -> DataFrame:
+    from basis_devkit_spark.operators.events import funnel
+
+    return funnel(
+        load(spark, sf, "events"),
+        ["view", "click", "purchase"],
+        within_minutes=1440,
+    )

@@ -1354,3 +1354,26 @@ def test_funnel_matches_pandas_model_random(spark):
             t_prev = sel.ts.min()
             want[k] += 1
     assert got == want
+
+
+def test_funnel_within_window(spark):
+    import datetime as dt
+
+    from basis_devkit_spark.operators.events import funnel
+
+    t0 = dt.datetime(2024, 1, 1)
+    m = dt.timedelta(minutes=1)
+    rows = [
+        # u1 converts within 10 min
+        (1, "a", t0), (1, "b", t0 + 5 * m),
+        # u2 converts but only after 60 min -> excluded by within=10
+        (2, "a", t0), (2, "b", t0 + 60 * m),
+    ]
+    df = spark.createDataFrame(rows, ["user_id", "event_type", "ts"])
+    unbounded = {r["step"]: r["users"] for r in funnel(df, ["a", "b"]).collect()}
+    bounded = {
+        r["step"]: r["users"]
+        for r in funnel(df, ["a", "b"], within_minutes=10).collect()
+    }
+    assert unbounded == {1: 2, 2: 2}
+    assert bounded == {1: 2, 2: 1}
