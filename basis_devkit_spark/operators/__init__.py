@@ -93,6 +93,7 @@ __all__ = [
     "sessionize",
     "session_stats",
     "funnel",
+    "funnel_single_pass",
     "retention_cohorts",
     "event_transitions",
     "conversion_latency",
@@ -103,6 +104,7 @@ from basis_devkit_spark.operators.events import (  # noqa: E402
     conversion_latency,
     event_transitions,
     funnel,
+    funnel_single_pass,
     retention_cohorts,
     session_paths,
     session_stats,

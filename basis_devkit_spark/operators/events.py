@@ -285,3 +285,65 @@ def session_paths(
         .orderBy(F.col("n_sessions").desc(), "path")
         .limit(k)
     )
+
+
+def funnel_single_pass(
+    df: DataFrame,
+    steps: list[str],
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    event_col: str = "event_type",
+) -> DataFrame:
+    """Semantically identical to :func:`funnel` (strict ordering, earliest
+    qualifying events) in ONE scan: per user, sort the (ts, event) pairs
+    and walk them with an ``aggregate`` HOF, advancing a (step index,
+    last-ts) state machine. Returns the same ``(step, event_type,
+    users)`` rows.
+
+    Trade-off vs the per-step strategy: one events scan + one shuffle
+    (vs k filtered scans + k small aggs), but per-user memory is the
+    user's full event list — prefer :func:`funnel` when single users can
+    own millions of events, this form when the fact is scan-dominated.
+    """
+    if not steps:
+        raise ValueError("funnel needs at least one step")
+    steps_arr = F.array(*[F.lit(s) for s in steps])
+    per_user = (
+        df.filter(F.col(event_col).isin(steps))
+        .groupBy(F.col(user_col).alias("__u"))
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct(F.col(ts_col).alias("t"),
+                                        F.col(event_col).alias("e")))
+            ).alias("__evs")
+        )
+    )
+    # state: (idx = steps completed, t = ts of the last completed step)
+    init = F.struct(
+        F.lit(0).alias("idx"), F.lit(None).cast("timestamp").alias("t")
+    )
+    walk = F.aggregate(
+        F.col("__evs"),
+        init,
+        lambda acc, x: F.when(
+            (acc["idx"] < F.lit(len(steps)))
+            & (x["e"] == F.element_at(steps_arr, acc["idx"] + 1))
+            & (acc["t"].isNull() | (x["t"].cast("timestamp") > acc["t"])),
+            F.struct((acc["idx"] + 1).alias("idx"),
+                     x["t"].cast("timestamp").alias("t")),
+        ).otherwise(acc),
+    )
+    reached = per_user.select(walk["idx"].alias("__reached"))
+    conds = [
+        F.sum((F.col("__reached") >= k).cast("long")).alias(f"__s{k}")
+        for k in range(1, len(steps) + 1)
+    ]
+    wide = reached.agg(*conds)
+    stack_args = ", ".join(
+        f"{k}, '{steps[k - 1]}', __s{k}" for k in range(1, len(steps) + 1)
+    )
+    return wide.selectExpr(
+        f"stack({len(steps)}, {stack_args}) as (step, event_type, users)"
+    ).select(
+        F.col("step").cast("int").alias("step"), "event_type", "users"
+    )

@@ -1377,3 +1377,31 @@ def test_funnel_within_window(spark):
     }
     assert unbounded == {1: 2, 2: 2}
     assert bounded == {1: 2, 2: 1}
+
+
+def test_funnel_single_pass_equivalent_random(spark):
+    """The one-scan array-fold funnel must match the per-step strategy on
+    random data (including the handcrafted edge rows)."""
+    import datetime as dt
+
+    import numpy as np
+    import pandas as pd
+
+    from basis_devkit_spark.operators.events import funnel, funnel_single_pass
+
+    rng = np.random.default_rng(23)
+    n = 1200
+    base = dt.datetime(2024, 1, 1)
+    pdf = pd.DataFrame(
+        {
+            "user_id": rng.integers(0, 50, n),
+            "event_type": rng.choice(["a", "b", "c", "x"], n),
+            "ts": [base + dt.timedelta(seconds=int(x)) for x in
+                   rng.choice(10**7, n, replace=False)],
+        }
+    )
+    df = spark.createDataFrame(pdf)
+    steps = ["a", "b", "c"]
+    a = sorted(map(tuple, funnel(df, steps).collect()))
+    b = sorted(map(tuple, funnel_single_pass(df, steps).collect()))
+    assert a == b
