@@ -98,6 +98,7 @@ __all__ = [
     "event_transitions",
     "conversion_latency",
     "session_paths",
+    "rfm_profiles",
 ]
 
 from basis_devkit_spark.operators.events import (  # noqa: E402
@@ -106,6 +107,7 @@ from basis_devkit_spark.operators.events import (  # noqa: E402
     funnel,
     funnel_single_pass,
     retention_cohorts,
+    rfm_profiles,
     session_paths,
     session_stats,
     sessionize,

@@ -347,3 +347,42 @@ def funnel_single_pass(
     ).select(
         F.col("step").cast("int").alias("step"), "event_type", "users"
     )
+
+
+def rfm_profiles(
+    df: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    monetary_event: str | None = "purchase",
+    event_col: str = "event_type",
+) -> DataFrame:
+    """RFM user profiles: recency (days from the user's last event to the
+    corpus max timestamp), frequency (event count), monetary (decimal-
+    exact sum of ``value_col`` over ``monetary_event`` rows; all events
+    when None). One hash agg on the user key + a broadcast scalar for
+    the corpus max — no windows, no self-joins.
+    """
+    mx = df.agg(F.max(ts_col).alias("__mx"))
+    mon = (
+        F.when(F.col(event_col) == monetary_event, F.col(value_col))
+        if monetary_event is not None
+        else F.col(value_col)
+    )
+    per_user = df.groupBy(user_col).agg(
+        F.max(ts_col).alias("__last"),
+        F.count(F.lit(1)).alias("frequency"),
+        F.coalesce(
+            F.sum(mon.cast("decimal(18,6)")), F.lit(0).cast("decimal(18,6)")
+        )
+        .cast("double")
+        .alias("monetary"),
+    )
+    return per_user.join(F.broadcast(mx)).select(
+        user_col,
+        F.datediff(F.col("__mx").cast("date"), F.col("__last").cast("date"))
+        .cast("int")
+        .alias("recency_days"),
+        "frequency",
+        "monetary",
+    )

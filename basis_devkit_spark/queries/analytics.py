@@ -2246,3 +2246,26 @@ def e02b(spark: SparkSession, sf: str) -> DataFrame:
         ["view", "click", "purchase"],
         within_minutes=1440,
     )
+
+
+@register(
+    "e07_rfm_profiles",
+    """
+    with mx as (select max(ts) as m from events)
+    select user_id,
+           cast(date_diff('day', cast(max(ts) as date),
+                          cast((select m from mx) as date)) as int)
+             as recency_days,
+           count(*) as frequency,
+           cast(coalesce(sum(case when event_type = 'purchase'
+                              then cast(value as decimal(18,6)) end),
+                         cast(0 as decimal(18,6))) as double) as monetary
+    from events group by user_id
+    """,
+    doc="RFM user profiles: one hash agg on the user key + broadcast "
+    "corpus-max scalar; decimal-exact monetary sum",
+)
+def e07(spark: SparkSession, sf: str) -> DataFrame:
+    from basis_devkit_spark.operators.events import rfm_profiles
+
+    return rfm_profiles(load(spark, sf, "events"))

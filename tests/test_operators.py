@@ -1405,3 +1405,24 @@ def test_funnel_single_pass_equivalent_random(spark):
     a = sorted(map(tuple, funnel(df, steps).collect()))
     b = sorted(map(tuple, funnel_single_pass(df, steps).collect()))
     assert a == b
+
+
+def test_rfm_profiles_handcomputed(spark):
+    import datetime as dt
+
+    from basis_devkit_spark.operators.events import rfm_profiles
+
+    t0 = dt.datetime(2024, 1, 1)
+    d = dt.timedelta(days=1)
+    rows = [
+        (1, "view", t0, 10.0),
+        (1, "purchase", t0 + d, 25.5),
+        (1, "purchase", t0 + 3 * d, 4.5),   # corpus max ts
+        (2, "view", t0, 99.0),              # no purchases -> monetary 0
+    ]
+    df = spark.createDataFrame(rows, ["user_id", "event_type", "ts", "value"])
+    out = {r["user_id"]: r for r in rfm_profiles(df).collect()}
+    assert out[1]["recency_days"] == 0 and out[1]["frequency"] == 3
+    assert out[1]["monetary"] == 30.0
+    assert out[2]["recency_days"] == 3 and out[2]["frequency"] == 1
+    assert out[2]["monetary"] == 0.0
