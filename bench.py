@@ -194,6 +194,17 @@ def ngram_top(tabs):
     return ngram_counts(tabs["documents"], "text", n=2, k=100)
 
 
+def sessionize_q(tabs):
+    """E-layer: 30-min gap sessionization roll-up over events (e01
+    shape). One user-key shuffle + lag/running-sum window + session agg;
+    count() materializer — the 95k per-session rows' py4j transfer is
+    result delivery, not the operator under test. DuckDB reference for
+    the identical window SQL at sf0.1: ~0.09 s."""
+    from basis_devkit_spark.operators.events import session_stats
+
+    return session_stats(tabs["events"], gap_minutes=30)
+
+
 def minhash_dedup_q(tabs):
     """D-layer: MinHash-LSH keep-one dedup over documents (d02b shape) —
     the flagship near-dup operator, timed for wall-clock regression (no
@@ -236,8 +247,9 @@ BENCH_QUERIES = {
 DLAYER_QUERIES = {
     "ngram_top": (ngram_top, "collect", False),       # 100 result rows
     "minhash_dedup": (minhash_dedup_q, "count", True),  # survivors; rebuild/run
+    "sessionize": (sessionize_q, "count", False),     # ~95k sessions; count
 }
-DLAYER_BASELINES_S = {"ngram_top": 0.26}  # DuckDB, identical SQL, same parquet
+DLAYER_BASELINES_S = {"ngram_top": 0.26, "sessionize": 0.09}  # DuckDB, identical SQL, same parquet
 
 
 def _run(df, how: str) -> int:
