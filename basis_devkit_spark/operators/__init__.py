@@ -99,6 +99,7 @@ __all__ = [
     "conversion_latency",
     "session_paths",
     "rfm_profiles",
+    "time_bucket_gapfill",
 ]
 
 from basis_devkit_spark.operators.events import (  # noqa: E402
@@ -113,3 +114,4 @@ from basis_devkit_spark.operators.events import (  # noqa: E402
     sessionize,
 )
 from basis_devkit_spark.operators.text import gopher_rules  # noqa: E402
+from basis_devkit_spark.operators.timeseries import time_bucket_gapfill  # noqa: E402

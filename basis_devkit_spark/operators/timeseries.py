@@ -1,0 +1,73 @@
+"""Time-series operators: bucket roll-up with gap filling and LOCF
+(the TimescaleDB ``time_bucket_gapfill``/``locf`` analogue — public
+semantics), Spark-first.
+
+Scale shape: the per-group aggregate is one hash agg; the dense bucket
+spine is ``sequence()`` over the GLOBAL [min, max] bucket range
+(broadcast scalars) exploded per group — its size is groups × buckets,
+a *chosen* densification, never data-dependent skew; LOCF is one
+bounded window pass per group. No UDFs, no collects.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def time_bucket_gapfill(
+    df: DataFrame,
+    ts_col: str = "ts",
+    value_col: str = "value",
+    group_col: str = "user_id",
+    bucket: str = "hour",
+    fill: str = "locf",
+) -> DataFrame:
+    """Dense per-group time buckets over the corpus [min, max] range:
+    aggregate ``value_col`` (decimal-exact sum) into ``bucket``-truncated
+    slots, emit EVERY slot for every group, and fill empty slots —
+    ``fill='locf'`` carries the last observed value forward (leading
+    gaps stay NULL, as TimescaleDB's ``locf`` does), ``'null'`` leaves
+    gaps NULL, ``'zero'`` fills 0.
+
+    Returns ``(group, bucket_ts, v, filled)`` where ``v`` is the slot's
+    own aggregate (NULL when empty) and ``filled`` is the gap-filled
+    series.
+    """
+    if fill not in ("locf", "null", "zero"):
+        raise ValueError(f"unknown fill mode: {fill!r}")
+    b = F.date_trunc(bucket, F.col(ts_col))
+    agg = df.groupBy(F.col(group_col).alias("__g"), b.alias("__b")).agg(
+        F.sum(F.col(value_col).cast("decimal(18,6)")).alias("__v")
+    )
+    rng = agg.agg(F.min("__b").alias("__lo"), F.max("__b").alias("__hi"))
+    groups = df.select(F.col(group_col).alias("__sg")).distinct()
+    spine = groups.join(F.broadcast(rng)).select(
+        "__sg",
+        F.explode(
+            F.sequence("__lo", "__hi", F.expr(f"interval 1 {bucket}"))
+        ).alias("__sb"),
+    )
+    j = spine.join(
+        agg,
+        (F.col("__sg") == F.col("__g")) & (F.col("__sb") == F.col("__b")),
+        "left",
+    )
+    v = F.col("__v").cast("double")
+    if fill == "locf":
+        w = (
+            Window.partitionBy("__sg")
+            .orderBy("__sb")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        filled = F.last("__v", ignorenulls=True).over(w).cast("double")
+    elif fill == "zero":
+        filled = F.coalesce(v, F.lit(0.0))
+    else:
+        filled = v
+    return j.select(
+        F.col("__sg").alias(group_col),
+        F.col("__sb").alias("bucket_ts"),
+        v.alias("v"),
+        filled.alias("filled"),
+    )

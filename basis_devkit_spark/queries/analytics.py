@@ -2269,3 +2269,38 @@ def e07(spark: SparkSession, sf: str) -> DataFrame:
     from basis_devkit_spark.operators.events import rfm_profiles
 
     return rfm_profiles(load(spark, sf, "events"))
+
+
+@register(
+    "e08_time_gapfill",
+    r"""
+    with b as (
+      select user_id, date_trunc('hour', ts) as bucket,
+             sum(cast(value as decimal(18,6))) as v
+      from events group by user_id, bucket
+    ), rng as (select min(bucket) as lo, max(bucket) as hi from b),
+    spine as (
+      select u.user_id, g.bucket
+      from (select distinct user_id from events) u
+      cross join (select unnest(generate_series((select lo from rng),
+                                                (select hi from rng),
+                                                interval 1 hour)) as bucket) g
+    )
+    select s.user_id, s.bucket as bucket_ts,
+           cast(b.v as double) as v,
+           cast(last_value(b.v ignore nulls) over (
+                  partition by s.user_id order by s.bucket
+                  rows between unbounded preceding and current row) as double)
+             as filled
+    from spine s left join b on s.user_id = b.user_id and s.bucket = b.bucket
+    """,
+    doc="hypertable-style time_bucket_gapfill + locf (TimescaleDB "
+    "semantics): hourly decimal-exact roll-up, dense per-user spine over "
+    "the global bucket range (sequence + explode, broadcast scalars), "
+    "last-observation-carried-forward via one bounded window; leading "
+    "gaps stay NULL",
+)
+def e08(spark: SparkSession, sf: str) -> DataFrame:
+    from basis_devkit_spark.operators.timeseries import time_bucket_gapfill
+
+    return time_bucket_gapfill(load(spark, sf, "events"))

@@ -1426,3 +1426,33 @@ def test_rfm_profiles_handcomputed(spark):
     assert out[1]["monetary"] == 30.0
     assert out[2]["recency_days"] == 3 and out[2]["frequency"] == 1
     assert out[2]["monetary"] == 0.0
+
+
+def test_time_bucket_gapfill_modes(spark):
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    from basis_devkit_spark.operators.timeseries import time_bucket_gapfill
+
+    t0 = dt.datetime(2024, 1, 1, 0, 30)
+    h = dt.timedelta(hours=1)
+    rows = [
+        (1, t0, 2.0),            # hour 0
+        (1, t0 + 3 * h, 5.0),    # hour 3 -> gaps at 1,2
+        (2, t0 + 1 * h, 7.0),    # hour 1 -> leading gap at 0, trailing 2,3
+    ]
+    df = spark.createDataFrame(rows, ["user_id", "ts", "value"])
+
+    locf = {(r["user_id"], r["bucket_ts"].hour): (r["v"], r["filled"])
+            for r in time_bucket_gapfill(df).collect()}
+    assert len(locf) == 8  # 2 users x 4 hourly slots (global range)
+    assert locf[(1, 1)] == (None, 2.0) and locf[(1, 2)] == (None, 2.0)
+    assert locf[(1, 3)] == (5.0, 5.0)
+    assert locf[(2, 0)] == (None, None)  # leading gap stays NULL
+    assert locf[(2, 3)] == (None, 7.0)
+
+    zero = time_bucket_gapfill(df, fill="zero")
+    assert zero.filter(F.col("filled").isNull()).count() == 0
+    null_mode = time_bucket_gapfill(df, fill="null")
+    assert null_mode.filter(F.col("v").isNull() & F.col("filled").isNotNull()).count() == 0

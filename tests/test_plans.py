@@ -462,3 +462,13 @@ def test_session_paths_takeordered_no_global_sort(spark):
     plan = plan_of(df)
     assert "TakeOrderedAndProject" in plan
     assert "pythonUDF" not in plan
+
+
+def test_time_gapfill_no_udf_single_window(spark):
+    from basis_devkit_spark.operators.timeseries import time_bucket_gapfill
+
+    df = time_bucket_gapfill(load(spark, SF, "events"))
+    plan = plan_of(df)
+    assert "pythonUDF" not in plan and "BatchEvalPython" not in plan
+    assert plan.count("Window") <= 1  # single LOCF window pass
+    assert "CartesianProduct" not in plan.replace("BroadcastNestedLoopJoin", "")
