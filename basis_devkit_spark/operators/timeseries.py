@@ -22,19 +22,22 @@ def time_bucket_gapfill(
     group_col: str = "user_id",
     bucket: str = "hour",
     fill: str = "locf",
-) -> DataFrame:
+) -> DataFrame:  # noqa: C901
     """Dense per-group time buckets over the corpus [min, max] range:
     aggregate ``value_col`` (decimal-exact sum) into ``bucket``-truncated
     slots, emit EVERY slot for every group, and fill empty slots —
     ``fill='locf'`` carries the last observed value forward (leading
-    gaps stay NULL, as TimescaleDB's ``locf`` does), ``'null'`` leaves
-    gaps NULL, ``'zero'`` fills 0.
+    gaps stay NULL, as TimescaleDB's ``locf`` does), ``'interp'``
+    linearly interpolates between the surrounding observations (edge
+    gaps with only one neighbor stay NULL, as TimescaleDB's
+    ``interpolate`` does), ``'null'`` leaves gaps NULL, ``'zero'``
+    fills 0.
 
     Returns ``(group, bucket_ts, v, filled)`` where ``v`` is the slot's
     own aggregate (NULL when empty) and ``filled`` is the gap-filled
     series.
     """
-    if fill not in ("locf", "null", "zero"):
+    if fill not in ("locf", "null", "zero", "interp"):
         raise ValueError(f"unknown fill mode: {fill!r}")
     b = F.date_trunc(bucket, F.col(ts_col))
     agg = df.groupBy(F.col(group_col).alias("__g"), b.alias("__b")).agg(
@@ -61,6 +64,30 @@ def time_bucket_gapfill(
             .rowsBetween(Window.unboundedPreceding, Window.currentRow)
         )
         filled = F.last("__v", ignorenulls=True).over(w).cast("double")
+    elif fill == "interp":
+        wf = (
+            Window.partitionBy("__sg")
+            .orderBy("__sb")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        wb = (
+            Window.partitionBy("__sg")
+            .orderBy("__sb")
+            .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+        )
+        # ts may be TIMESTAMP_NTZ; unix_micros wants TIMESTAMP (UTC session)
+        obs_t = F.when(
+            F.col("__v").isNotNull(), F.unix_micros(F.col("__sb").cast("timestamp"))
+        )
+        pv = F.last("__v", ignorenulls=True).over(wf).cast("double")
+        pt = F.last(obs_t, ignorenulls=True).over(wf)
+        nv = F.first("__v", ignorenulls=True).over(wb).cast("double")
+        nt = F.first(obs_t, ignorenulls=True).over(wb)
+        t = F.unix_micros(F.col("__sb").cast("timestamp"))
+        frac = (t - pt).cast("double") / (nt - pt).cast("double")
+        filled = F.when(F.col("__v").isNotNull(), v).otherwise(
+            pv + (nv - pv) * frac  # NULL when either neighbor is missing
+        )
     elif fill == "zero":
         filled = F.coalesce(v, F.lit(0.0))
     else:

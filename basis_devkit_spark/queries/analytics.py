@@ -2304,3 +2304,52 @@ def e08(spark: SparkSession, sf: str) -> DataFrame:
     from basis_devkit_spark.operators.timeseries import time_bucket_gapfill
 
     return time_bucket_gapfill(load(spark, sf, "events"))
+
+
+@register(
+    "e08b_time_gapfill_interp",
+    r"""
+    with b as (
+      select user_id, date_trunc('hour', ts) as bucket,
+             sum(cast(value as decimal(18,6))) as v
+      from events group by user_id, bucket
+    ), rng as (select min(bucket) as lo, max(bucket) as hi from b),
+    spine as (
+      select u.user_id, g.bucket
+      from (select distinct user_id from events) u
+      cross join (select unnest(generate_series((select lo from rng),
+                                                (select hi from rng),
+                                                interval 1 hour)) as bucket) g
+    ), j as (
+      select s.user_id, s.bucket,
+             cast(b.v as double) as v,
+             case when b.v is not null
+                  then epoch_us(cast(s.bucket as timestamp)) end as ot
+      from spine s left join b on s.user_id = b.user_id and s.bucket = b.bucket
+    ), w as (
+      select user_id, bucket, v,
+             cast(last_value(v ignore nulls) over fwd as double) as pv,
+             last_value(ot ignore nulls) over fwd as pt,
+             cast(first_value(v ignore nulls) over bwd as double) as nv,
+             first_value(ot ignore nulls) over bwd as nt,
+             epoch_us(cast(bucket as timestamp)) as t
+      from j
+      window fwd as (partition by user_id order by bucket
+                     rows between unbounded preceding and current row),
+             bwd as (partition by user_id order by bucket
+                     rows between current row and unbounded following)
+    )
+    select user_id, bucket as bucket_ts, v,
+           case when v is not null then v
+                else pv + (nv - pv) * (cast(t - pt as double)
+                                       / cast(nt - pt as double)) end as filled
+    from w
+    """,
+    doc="gap-fill with LINEAR INTERPOLATION (TimescaleDB interpolate "
+    "semantics): surrounding-observation windows (last/first IGNORE "
+    "NULLS), identical IEEE formula both engines; edge gaps stay NULL",
+)
+def e08b(spark: SparkSession, sf: str) -> DataFrame:
+    from basis_devkit_spark.operators.timeseries import time_bucket_gapfill
+
+    return time_bucket_gapfill(load(spark, sf, "events"), fill="interp")

@@ -1456,3 +1456,20 @@ def test_time_bucket_gapfill_modes(spark):
     assert zero.filter(F.col("filled").isNull()).count() == 0
     null_mode = time_bucket_gapfill(df, fill="null")
     assert null_mode.filter(F.col("v").isNull() & F.col("filled").isNotNull()).count() == 0
+
+
+def test_time_bucket_gapfill_interp(spark):
+    import datetime as dt
+
+    from basis_devkit_spark.operators.timeseries import time_bucket_gapfill
+
+    t0 = dt.datetime(2024, 1, 1, 0, 30)
+    h = dt.timedelta(hours=1)
+    rows = [(1, t0, 2.0), (1, t0 + 3 * h, 5.0), (2, t0 + h, 7.0)]
+    df = spark.createDataFrame(rows, ["user_id", "ts", "value"])
+    out = {(r["user_id"], r["bucket_ts"].hour): r["filled"]
+           for r in time_bucket_gapfill(df, fill="interp").collect()}
+    # linear between 2.0@h0 and 5.0@h3
+    assert out[(1, 1)] == 3.0 and out[(1, 2)] == 4.0
+    # edge gaps (single neighbor) stay NULL
+    assert out[(2, 0)] is None and out[(2, 3)] is None
