@@ -760,3 +760,68 @@ def test_all_layouts_parallel_graph_then_ml_scoring(spark, tmp_path):
     )
     model = train_quality_classifier(docs, "text", "label", max_iter=5)
     assert score_quality(model, docs).count() == 60
+
+
+def test_event_analytics_pipeline_through_engine(spark, tmp_path):
+    """User-style app: python node sessionizes events into a store, SQL
+    node rolls sessions up per user — end-to-end through graph loading,
+    topo execution, and versioned commits."""
+    app = write_app(
+        tmp_path / "app",
+        """
+        functions:
+          - node_file: sess.py
+            inputs:
+              events: events
+            outputs:
+              out: sessions
+          - node_file: per_user.sql
+            inputs:
+              sessions: sessions
+            outputs:
+              out: user_sessions
+        stores:
+          - table: events
+          - table: sessions
+          - table: user_sessions
+        """,
+        **{
+            "sess.py": """
+            from basis_devkit_spark import *
+
+            @node
+            def sess(events=InputTable, out=OutputTable):
+                from basis_devkit_spark.operators.events import session_stats
+                out.replace(session_stats(events.read_dataframe(), gap_minutes=30))
+            """,
+            "per_user.sql": """
+            select user_id, count(*) as n_sessions, sum(n_events) as n_events
+            from {{ sessions }} group by user_id
+            """,
+        },
+    )
+    eng = Engine(spark, str(tmp_path / "store"))
+    eng.load_graph(app)
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    eng.seed_store("events", ev)
+    eng.run_graph()
+    per_user = {r["user_id"]: r for r in eng.table_df("user_sessions").collect()}
+    assert len(per_user) == ev.select("user_id").distinct().count()
+    # total events conserved through sessionization + rollup
+    assert sum(r["n_events"] for r in per_user.values()) == ev.count()
+
+
+def test_funnel_empty_step_yields_zero_not_error(spark):
+    from basis_devkit_spark.operators.events import funnel, funnel_single_pass
+
+    df = spark.createDataFrame(
+        [(1, "a", __import__("datetime").datetime(2024, 1, 1))],
+        ["user_id", "event_type", "ts"],
+    )
+    out = {r["step"]: r["users"] for r in funnel(df, ["a", "zz", "c"]).collect()}
+    assert out == {1: 1, 2: 0, 3: 0}
+    out2 = {
+        r["step"]: r["users"]
+        for r in funnel_single_pass(df, ["a", "zz", "c"]).collect()
+    }
+    assert out2 == out
