@@ -100,6 +100,7 @@ __all__ = [
     "session_paths",
     "rfm_profiles",
     "time_bucket_gapfill",
+    "zscore_anomalies",
 ]
 
 from basis_devkit_spark.operators.events import (  # noqa: E402
@@ -114,4 +115,7 @@ from basis_devkit_spark.operators.events import (  # noqa: E402
     sessionize,
 )
 from basis_devkit_spark.operators.text import gopher_rules  # noqa: E402
-from basis_devkit_spark.operators.timeseries import time_bucket_gapfill  # noqa: E402
+from basis_devkit_spark.operators.timeseries import (  # noqa: E402
+    time_bucket_gapfill,
+    zscore_anomalies,
+)

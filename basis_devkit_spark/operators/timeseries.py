@@ -98,3 +98,52 @@ def time_bucket_gapfill(
         v.alias("v"),
         filled.alias("filled"),
     )
+
+
+def zscore_anomalies(
+    df: DataFrame,
+    ts_col: str = "ts",
+    group_col: str = "user_id",
+    bucket: str = "hour",
+    trailing: int = 24,
+    min_periods: int = 12,
+    threshold: float = 3.0,
+) -> DataFrame:
+    """Trailing-window anomaly detection on per-group activity rates:
+    bucket counts per group, then z-score each bucket against the mean /
+    sample-stddev of its own STRICTLY PRECEDING ``trailing`` buckets
+    (never the current one — the anomaly must not contaminate its own
+    baseline). Buckets with fewer than ``min_periods`` baseline points
+    or zero variance get a NULL z (explicitly — no engine-specific
+    division-by-zero semantics). Returns flagged rows
+    ``(group, bucket_ts, n_events, zscore)`` where ``|z| > threshold``.
+
+    Shape: one hash agg + one bounded window per group — same cost class
+    as any windowed rollup; scales with group-key partitioning.
+    """
+    b = F.date_trunc(bucket, F.col(ts_col))
+    counts = df.groupBy(F.col(group_col).alias("__g"), b.alias("__b")).agg(
+        F.count(F.lit(1)).alias("n_events")
+    )
+    w = (
+        Window.partitionBy("__g")
+        .orderBy("__b")
+        .rowsBetween(-trailing, -1)
+    )
+    mu = F.avg("n_events").over(w)
+    sd = F.stddev_samp("n_events").over(w)
+    npts = F.count("n_events").over(w)
+    z = F.when(
+        (npts >= min_periods) & (sd > 0),
+        F.floor((F.col("n_events") - mu) / sd * 1000000.0 + 0.5) / 1000000.0,
+    )
+    return (
+        counts.withColumn("zscore", z)
+        .filter(F.abs(F.col("zscore")) > threshold)
+        .select(
+            F.col("__g").alias(group_col),
+            F.col("__b").alias("bucket_ts"),
+            "n_events",
+            "zscore",
+        )
+    )

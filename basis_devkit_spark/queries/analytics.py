@@ -2353,3 +2353,37 @@ def e08b(spark: SparkSession, sf: str) -> DataFrame:
     from basis_devkit_spark.operators.timeseries import time_bucket_gapfill
 
     return time_bucket_gapfill(load(spark, sf, "events"), fill="interp")
+
+
+@register(
+    "e09_zscore_anomalies",
+    """
+    with counts as (
+      select user_id, date_trunc('hour', ts) as bucket,
+             count(*) as n_events
+      from events group by user_id, bucket
+    ), scored as (
+      select user_id, bucket, n_events,
+             avg(n_events) over w as mu,
+             stddev_samp(n_events) over w as sd,
+             count(n_events) over w as npts
+      from counts
+      window w as (partition by user_id order by bucket
+                   rows between 24 preceding and 1 preceding)
+    )
+    select user_id, bucket as bucket_ts, n_events,
+           floor((n_events - mu) / sd * 1000000.0 + 0.5) / 1000000.0 as zscore
+    from scored
+    where npts >= 12 and sd > 0
+      and abs(floor((n_events - mu) / sd * 1000000.0 + 0.5) / 1000000.0) > 2.5
+    """,
+    doc="trailing-window rate anomalies: per-user hourly counts z-scored "
+    "against the strictly-preceding 24-bucket baseline (the anomaly "
+    "never contaminates its own baseline); explicit NULL on thin or "
+    "zero-variance baselines — no engine div-by-zero semantics; "
+    "explicit IEEE rounding",
+)
+def e09(spark: SparkSession, sf: str) -> DataFrame:
+    from basis_devkit_spark.operators.timeseries import zscore_anomalies
+
+    return zscore_anomalies(load(spark, sf, "events"), threshold=2.5)

@@ -1473,3 +1473,33 @@ def test_time_bucket_gapfill_interp(spark):
     assert out[(1, 1)] == 3.0 and out[(1, 2)] == 4.0
     # edge gaps (single neighbor) stay NULL
     assert out[(2, 0)] is None and out[(2, 3)] is None
+
+
+def test_zscore_anomalies_baseline_exclusion(spark):
+    """A spike is flagged against its PRECEDING baseline only; thin or
+    zero-variance baselines yield no flag."""
+    import datetime as dt
+
+    from basis_devkit_spark.operators.timeseries import zscore_anomalies
+
+    t0 = dt.datetime(2024, 1, 1)
+    h = dt.timedelta(hours=1)
+    rows = []
+    # user 1: 23 hours alternating 1/2 events, then a 40-event spike
+    for i in range(23):
+        rows.append((1, t0 + i * h))
+        if i % 2 == 0:
+            rows.append((1, t0 + i * h + dt.timedelta(minutes=5)))
+    for j in range(40):
+        rows.append((1, t0 + 23 * h + dt.timedelta(minutes=j)))
+    # user 2: constant rate (zero variance) then a spike -> NOT flagged
+    for i in range(23):
+        rows.append((2, t0 + i * h))
+    for j in range(10):
+        rows.append((2, t0 + 23 * h + dt.timedelta(minutes=j)))
+    df = spark.createDataFrame([(u, t, "view") for u, t in rows],
+                               ["user_id", "ts", "event_type"])
+    out = {(r["user_id"], r["bucket_ts"].hour): r["zscore"]
+           for r in zscore_anomalies(df, threshold=3.0).collect()}
+    assert (1, 23) in out and out[(1, 23)] > 3
+    assert not any(u == 2 for u, _ in out)  # sd=0 baseline -> NULL z
