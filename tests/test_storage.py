@@ -842,3 +842,32 @@ def test_concurrent_writer_lost_update_detected(spark, tmp_path):
     b.write_replace(spark.range(7).toDF("x"))
     a.refresh()
     assert a.read().count() == 7
+
+
+def test_append_schema_evolution_contract(spark, tmp_path):
+    """Pins the schema-evolution behavior on append:
+    - a NEW column widens the table; old rows read back NULL for it
+    - a MISSING column is null-filled in the appended batch
+    - a type-mismatched column is cast to the table's declared type
+      (schema-from-first-write wins)"""
+    from basis_devkit_spark.storage.store import TableStore
+
+    st = TableStore(str(tmp_path), "t", spark)
+    st.write_replace(spark.createDataFrame([(1, "a", 10)], ["id", "x", "n"]))
+
+    # widen: new 'score' column
+    st.append(spark.createDataFrame([(2, "b", 20, 9.5)], ["id", "x", "n", "score"]))
+    rows = {r["id"]: r for r in st.read().collect()}
+    assert set(st.read().columns) == {"id", "x", "n", "score"}
+    assert rows[1]["score"] is None and rows[2]["score"] == 9.5
+
+    # missing 'x' is null-filled; string '30' cast to the table's long n
+    st.append(spark.createDataFrame([(3, "30")], ["id", "n"]))
+    rows = {r["id"]: r for r in st.read().collect()}
+    assert rows[3]["x"] is None and rows[3]["n"] == 30
+    assert isinstance(rows[3]["n"], int)
+
+    # time travel: the pre-widening version still reads with its own schema
+    versions = sorted(int(v) for v in st._manifest.versions)
+    old = st.read_version(versions[0])
+    assert "score" not in old.columns
