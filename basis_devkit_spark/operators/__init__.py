@@ -90,6 +90,7 @@ __all__ = [
     "token_budget_sample",
     "chunk_documents",
     "gopher_rules",
+    "weighted_reservoir_sample",
     "sessionize",
     "session_stats",
     "funnel",
@@ -114,7 +115,10 @@ from basis_devkit_spark.operators.events import (  # noqa: E402
     session_stats,
     sessionize,
 )
-from basis_devkit_spark.operators.text import gopher_rules  # noqa: E402
+from basis_devkit_spark.operators.text import (  # noqa: E402
+    gopher_rules,
+    weighted_reservoir_sample,
+)
 from basis_devkit_spark.operators.timeseries import (  # noqa: E402
     time_bucket_gapfill,
     zscore_anomalies,

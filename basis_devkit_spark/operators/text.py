@@ -857,3 +857,44 @@ def gopher_rules(
             col = F.col(name)
             passes = col if passes is None else (passes & col)
     return out.withColumn("passes_gopher", passes)
+
+
+def weighted_reservoir_sample(
+    df: DataFrame,
+    weight_col: str,
+    k: int,
+    id_col: str = "doc_id",
+    salt: str = "ares",
+) -> DataFrame:
+    """Exact-size weighted sampling without replacement — the
+    Efraimidis–Spirakis A-Res scheme (public algorithm): each row gets
+    key ``u^(1/w)`` for a deterministic md5-uniform ``u`` in (0,1]; the
+    k largest keys are the sample. Inclusion probability is
+    proportional-to-weight at each draw; the whole thing is one
+    projection + a TakeOrdered top-k — no shuffle-sort, no RNG state,
+    reproducible across engines and runs.
+
+    Complements :func:`quality_weighted_sample` (Bernoulli thinning with
+    an EXPECTED rate): A-Res returns an EXACT k.
+    """
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit(salt), F.col(id_col).cast("string"))), 1, 8
+            ),
+            16,
+            10,
+        ).cast("double")
+        + 1.0
+    ) / 4294967296.0  # (0, 1]
+    w = F.greatest(F.col(weight_col).cast("double"), F.lit(1e-12))
+    key = F.pow(u, 1.0 / w)
+    # explicit IEEE rounding (repo convention): engine round() modes
+    # disagree on near-tie doubles, the floor form never does
+    key12 = F.floor(key * 1.0e12 + 0.5) / 1.0e12
+    return (
+        df.withColumn("__ares", key12)
+        .orderBy(F.col("__ares").desc(), F.col(id_col))
+        .limit(k)
+        .drop("__ares")
+    )

@@ -2387,3 +2387,39 @@ def e09(spark: SparkSession, sf: str) -> DataFrame:
     from basis_devkit_spark.operators.timeseries import zscore_anomalies
 
     return zscore_anomalies(load(spark, sf, "events"), threshold=2.5)
+
+
+@register(
+    "d04u_weighted_reservoir",
+    f"""
+    with q as (
+      select doc_id, {_QUALITY_EXPR} as quality_score
+      from ({_STATS_SQL})
+    ), keyed as (
+      select doc_id, quality_score,
+             floor(power(
+                     ((('0x' || substr(md5('ares' || cast(doc_id as varchar)),
+                                       1, 8))::ubigint)::double + 1.0)
+                       / 4294967296.0,
+                     1.0 / greatest(quality_score, 1e-12)
+                   ) * 1e12 + 0.5) / 1e12 as ares_key
+      from q
+    )
+    select doc_id, quality_score
+    from keyed order by ares_key desc, doc_id limit 50
+    """,
+    doc="Efraimidis-Spirakis A-Res weighted reservoir: exact-k sampling "
+    "without replacement, inclusion ~ weight; deterministic md5-uniform "
+    "u, key = u^(1/w), TakeOrdered top-k — no shuffle-sort, no RNG "
+    "state; explicit IEEE rounding on the key",
+)
+def d04u(spark: SparkSession, sf: str) -> DataFrame:
+    from basis_devkit_spark.operators.text import (
+        quality_score,
+        weighted_reservoir_sample,
+    )
+
+    d = quality_score(load(spark, sf, "documents"), "text")
+    return weighted_reservoir_sample(d, "quality_score", 50, salt="ares").select(
+        "doc_id", "quality_score"
+    )

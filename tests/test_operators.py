@@ -1503,3 +1503,30 @@ def test_zscore_anomalies_baseline_exclusion(spark):
            for r in zscore_anomalies(df, threshold=3.0).collect()}
     assert (1, 23) in out and out[(1, 23)] > 3
     assert not any(u == 2 for u, _ in out)  # sd=0 baseline -> NULL z
+
+
+def test_weighted_reservoir_properties(spark):
+    """A-Res: exact k, no replacement, weight-monotone inclusion (heavier
+    duplicate of the same uniform beats lighter), deterministic."""
+    from pyspark.sql import functions as F
+
+    from basis_devkit_spark.operators.text import weighted_reservoir_sample
+
+    df = spark.range(1000).select(
+        F.col("id").alias("doc_id"),
+        # weights 1..4: ids 0-249 -> 1, 250-499 -> 2, ...
+        (F.floor(F.col("id") / 250) + 1).cast("double").alias("w"),
+    )
+    out = weighted_reservoir_sample(df, "w", 100)
+    rows = out.collect()
+    assert len(rows) == 100
+    assert len({r["doc_id"] for r in rows}) == 100  # without replacement
+    # determinism
+    again = weighted_reservoir_sample(df, "w", 100).collect()
+    assert sorted(r["doc_id"] for r in rows) == sorted(r["doc_id"] for r in again)
+    # heavier strata should be overrepresented vs uniform expectation
+    by_w = {w: 0 for w in (1.0, 2.0, 3.0, 4.0)}
+    for r in rows:
+        by_w[r["w"]] += 1
+    assert by_w[4.0] > by_w[1.0]
+    assert by_w[4.0] + by_w[3.0] > by_w[1.0] + by_w[2.0]
