@@ -222,6 +222,11 @@ class Table:
         return self._require_store().exists
 
     # ---------------- versioning (A9) ----------------
+    def history(self) -> list[dict]:
+        """Version history, newest first (DESCRIBE HISTORY analogue) —
+        bounded metadata records, no data-file reads."""
+        return self._require_store().history()
+
     def get_active_version(self) -> TableVersion | None:
         store = self._require_store()
         v = store.get_active_version()

@@ -295,6 +295,37 @@ class TableStore:
         self._manifest.active_version = None
         self._commit_manifest()
 
+    def history(self) -> list[dict]:
+        """Version history, newest first (the DESCRIBE HISTORY analogue):
+        one record per retained version with creation time, row count,
+        lineage depth, expectation-violation counts, and whether it is
+        the active pointer. Bounded driver-side metadata — never touches
+        data files."""
+        active = self._manifest.active_version
+        out = []
+        for vs, meta in sorted(
+            self._manifest.versions.items(), key=lambda kv: -int(kv[0])
+        ):
+            v = int(vs)
+            out.append(
+                {
+                    "version": v,
+                    "created_at": meta.get("created_at"),
+                    "record_count": meta.get("record_count"),
+                    "n_dirs": len(meta.get("dirs", [f"v={v}"])),
+                    "expectation_violations": meta.get(
+                        "expectation_violations"
+                    ),
+                    "active": v == active,
+                    "on_disk": os.path.isdir(self.version_path(v))
+                    or all(
+                        os.path.isdir(os.path.join(self.path, d))
+                        for d in meta.get("dirs", [])
+                    ),
+                }
+            )
+        return out
+
     def vacuum(self, keep_last: int = 2) -> None:
         """Retention GC: drop all but the newest ``keep_last`` versions
         (never the active one). A directory is deleted only if NO retained

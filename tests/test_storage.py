@@ -871,3 +871,24 @@ def test_append_schema_evolution_contract(spark, tmp_path):
     versions = sorted(int(v) for v in st._manifest.versions)
     old = st.read_version(versions[0])
     assert "score" not in old.columns
+
+
+def test_history_describes_versions(spark, tmp_path):
+    from basis_devkit_spark.storage.store import TableStore
+
+    st = TableStore(str(tmp_path), "t", spark)
+    st.write_replace(spark.range(3).toDF("x"))
+    st.append(spark.range(2).toDF("x"))
+    st.write_replace(spark.range(7).toDF("x"))
+
+    h = st.history()
+    assert [e["version"] for e in h] == sorted(
+        (e["version"] for e in h), reverse=True
+    )
+    active = [e for e in h if e["active"]]
+    assert len(active) == 1 and active[0]["record_count"] == 7
+    # the append version carries lineage depth 2 (previous dir + its own)
+    by_count = {e["record_count"]: e for e in h}
+    assert by_count[5]["n_dirs"] == 2
+    assert all(e["on_disk"] for e in h)
+    assert all(e["created_at"] is not None for e in h)
