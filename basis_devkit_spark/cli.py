@@ -175,6 +175,17 @@ def cmd_list(args, spark) -> int:
 
         _out(_paginate(list_graph_versions(_root(args)), args))
         return 0
+    if args.kind == "history":
+        # store version history (Table.history / DESCRIBE HISTORY analogue)
+        if not getattr(args, "table", None):
+            raise SystemExit("list history requires --table NAME")
+        from basis_devkit_spark.storage.store import TableStore
+
+        st = TableStore(_root(args), args.table, _get_spark(spark))
+        if not st.exists:
+            raise SystemExit(f"no such store: {args.table}")
+        _out(_paginate(st.history(), args))
+        return 0
     if args.kind == "apps":
         # Local analogue of list.py:27-40: the app registered at this root
         # plus every published component in the registry (with deprecation).
@@ -709,9 +720,11 @@ def build_parser() -> argparse.ArgumentParser:
     ls = sub.add_parser("list", help="list graph objects")
     ls.add_argument(
         "kind",
-        choices=["nodes", "stores", "webhooks", "apps", "orgs", "versions"],
+        choices=["nodes", "stores", "webhooks", "apps", "orgs", "versions",
+                 "history"],
     )
     ls.add_argument("app", nargs="?")
+    ls.add_argument("--table", help="store name (kind=history)")
     ls.add_argument("--limit", type=int, help="page size")
     ls.add_argument("--offset", type=int, default=0, help="page start")
 

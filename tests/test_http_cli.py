@@ -503,3 +503,21 @@ def test_http_idempotency_key(hook_app):
     status, body = post_with_key("evt-2")        # new delivery
     assert status == 202
     assert eng.table_df("totals").collect()[0].n == 2  # not 3
+
+
+def test_cli_list_history(spark, tmp_path, capsys):
+    from basis_devkit_spark.cli import main
+    from basis_devkit_spark.storage.store import TableStore
+
+    root = str(tmp_path)
+    st = TableStore(root, "t", spark)
+    st.write_replace(spark.range(3).toDF("x"))
+    st.append(spark.range(2).toDF("x"))
+
+    assert main(["--root", root, "list", "history", "--table", "t"], spark=spark) == 0
+    rows = json.loads(capsys.readouterr().out)
+    assert [r["version"] for r in rows] == [2, 1]
+    assert rows[0]["active"] and rows[0]["record_count"] == 5
+
+    with pytest.raises(SystemExit):
+        main(["--root", root, "list", "history", "--table", "missing"], spark=spark)
