@@ -91,6 +91,7 @@ __all__ = [
     "chunk_documents",
     "gopher_rules",
     "weighted_reservoir_sample",
+    "wav_header_fields",
     "sessionize",
     "session_stats",
     "funnel",
@@ -119,6 +120,7 @@ from basis_devkit_spark.operators.text import (  # noqa: E402
     gopher_rules,
     weighted_reservoir_sample,
 )
+from basis_devkit_spark.operators.multimodal import wav_header_fields  # noqa: E402
 from basis_devkit_spark.operators.timeseries import (  # noqa: E402
     time_bucket_gapfill,
     zscore_anomalies,

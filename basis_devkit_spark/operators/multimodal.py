@@ -306,3 +306,36 @@ def resize_images(
         F.col(uri_col).alias("__uri"), F.col(content_col).alias("__content")
     )
     return prepared.mapInPandas(_resize, RESIZED_IMAGE_SCHEMA)
+
+
+def wav_header_fields(content_col: str | Column) -> Column:
+    """Decode-free AUDIO metadata: parse a PCM WAV (RIFF) header's format
+    chunk — channels, sample rate, bits/sample, byte rate — as PURE
+    column expressions (hex-slice + little-endian byte swap + conv), no
+    UDF, no codec. Only the first 36 bytes are sliced, so cost is O(1)
+    per row regardless of blob size (same contract as sniff_format).
+
+    Returns a struct ``(is_wav, channels, sample_rate, bits, byte_rate)``
+    — all NULL when the RIFF/WAVE magic is absent. Duration derives as
+    ``(octet_length - 44) / byte_rate`` for the canonical 44-byte-header
+    layout the fixtures use.
+    """
+    c = F.col(content_col) if isinstance(content_col, str) else content_col
+    hx = F.hex(F.substring(c, 1, 36))
+
+    def le(hexstr: Column, start_byte: int, n_bytes: int) -> Column:
+        # bytes are stored little-endian: swap byte pairs, then conv base 16
+        pos = (start_byte - 1) * 2 + 1
+        pairs = [F.substring(hexstr, pos + 2 * i, 2) for i in range(n_bytes)]
+        return F.conv(F.concat(*reversed(pairs)), 16, 10).cast("int")
+
+    is_wav = (F.substring(hx, 1, 8) == "52494646") & (
+        F.substring(hx, 17, 8) == "57415645"
+    )
+    return F.struct(
+        is_wav.alias("is_wav"),
+        F.when(is_wav, le(hx, 23, 2)).alias("channels"),
+        F.when(is_wav, le(hx, 25, 4)).alias("sample_rate"),
+        F.when(is_wav, le(hx, 35, 2)).alias("bits"),
+        F.when(is_wav, le(hx, 29, 4)).alias("byte_rate"),
+    )

@@ -2423,3 +2423,67 @@ def d04u(spark: SparkSession, sf: str) -> DataFrame:
     return weighted_reservoir_sample(d, "quality_score", 50, salt="ares").select(
         "doc_id", "quality_score"
     )
+
+
+# Six fixed valid 44-byte PCM WAV headers (channels x sample-rate
+# variants), generated once with struct.pack per the public RIFF/WAVE
+# spec. The Spark side PARSES the bytes; the oracle states the ground
+# truth from the construction table — an independent check of the parse.
+_WAV_HEADERS = [
+    ("524946460000000057415645666D74201000000001000100401F0000803E0000020010006461746100000000", 1, 8000, 16000),
+    ("524946460000000057415645666D74201000000001000200401F0000007D0000040010006461746100000000", 2, 8000, 32000),
+    ("524946460000000057415645666D74201000000001000100803E0000007D0000020010006461746100000000", 1, 16000, 32000),
+    ("524946460000000057415645666D74201000000001000200803E000000FA0000040010006461746100000000", 2, 16000, 64000),
+    ("524946460000000057415645666D7420100000000100010044AC000088580100020010006461746100000000", 1, 44100, 88200),
+    ("524946460000000057415645666D7420100000000100020044AC000010B10200040010006461746100000000", 2, 44100, 176400),
+]
+
+
+@register(
+    "d05d_wav_header_parse",
+    f"""
+    with blobs as (
+      select doc_id,
+             doc_id % 6 as variant,
+             44 + octet_length(encode(text)) as n_bytes
+      from documents
+    ), truth as (
+      select * from (values
+        {", ".join(f"({i}, {ch}, {rate}, {br})" for i, (_, ch, rate, br) in enumerate(_WAV_HEADERS))}
+      ) as t(variant, channels, sample_rate, byte_rate)
+    )
+    select b.doc_id, true as is_wav,
+           cast(t.channels as int) as channels,
+           cast(t.sample_rate as int) as sample_rate,
+           cast(16 as int) as bits,
+           cast(t.byte_rate as int) as byte_rate,
+           floor((b.n_bytes - 44) * 1000.0 / t.byte_rate * 1000000.0 + 0.5)
+             / 1000000.0 as duration_ms
+    from blobs b join truth t on b.variant = t.variant
+    """,
+    doc="decode-free AUDIO metadata: PCM WAV headers parsed from the "
+    "binary column as pure expressions (hex-slice + little-endian swap "
+    "+ conv, no UDF/codec); the oracle derives ground truth from the "
+    "construction table, independently checking the byte-level parse",
+)
+def d05d(spark: SparkSession, sf: str) -> DataFrame:
+    from basis_devkit_spark.operators.multimodal import wav_header_fields
+
+    d = load(spark, sf, "documents").select("doc_id", "text")
+    hdr = None
+    for i, (hx, _, _, _) in enumerate(_WAV_HEADERS):
+        cond = F.col("doc_id") % 6 == i
+        lit = F.lit(bytes.fromhex(hx))
+        hdr = F.when(cond, lit) if hdr is None else hdr.when(cond, lit)
+    blobs = d.withColumn("content", F.concat(hdr, F.encode("text", "utf-8")))
+    w = wav_header_fields("content")
+    flat = blobs.select(
+        "doc_id", F.length("content").alias("__n"), w.alias("w")
+    ).select("doc_id", "__n", "w.*")
+    dur = (
+        F.floor(
+            (F.col("__n") - 44) * 1000.0 / F.col("byte_rate") * 1000000.0 + 0.5
+        )
+        / 1000000.0
+    )
+    return flat.withColumn("duration_ms", dur).drop("__n")

@@ -1530,3 +1530,37 @@ def test_weighted_reservoir_properties(spark):
         by_w[r["w"]] += 1
     assert by_w[4.0] > by_w[1.0]
     assert by_w[4.0] + by_w[3.0] > by_w[1.0] + by_w[2.0]
+
+
+def test_wav_header_fields_parse(spark):
+    import struct
+
+    from pyspark.sql import functions as F
+
+    from basis_devkit_spark.operators.multimodal import wav_header_fields
+
+    def hdr(ch, rate, bits=16):
+        br = rate * ch * bits // 8
+        return (
+            b"RIFF" + struct.pack("<I", 0) + b"WAVE" + b"fmt "
+            + struct.pack("<IHHIIHH", 16, 1, ch, rate, br, ch * bits // 8, bits)
+            + b"data" + struct.pack("<I", 0)
+        )
+
+    rows = [
+        (1, hdr(1, 8000) + b"\x00" * 16000),     # exactly 1 s mono 8 kHz
+        (2, hdr(2, 44100) + b"\x00" * 352800),   # exactly 2 s stereo 44.1 kHz
+        (3, b"RIFFxxxxAVI LIST"),                # RIFF but not WAVE
+        (4, b"plainbytes"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id int, content binary")
+    out = {
+        r["doc_id"]: r
+        for r in df.select("doc_id", wav_header_fields("content").alias("w"))
+        .select("doc_id", "w.*")
+        .collect()
+    }
+    assert out[1]["is_wav"] and (out[1]["channels"], out[1]["sample_rate"]) == (1, 8000)
+    assert out[2]["byte_rate"] == 176400 and out[2]["bits"] == 16
+    assert out[3]["is_wav"] is False and out[3]["sample_rate"] is None
+    assert out[4]["is_wav"] is False
