@@ -825,3 +825,35 @@ def test_funnel_empty_step_yields_zero_not_error(spark):
         for r in funnel_single_pass(df, ["a", "zz", "c"]).collect()
     }
     assert out2 == out
+
+
+def test_pretrain_pipeline_example_app(spark, tmp_path):
+    """The examples/pretrain_pipeline app runs end-to-end: quality gates
+    -> exact+MinHash dedup -> benchmark decontamination -> sequence
+    packing, each stage a versioned store commit."""
+    from pyspark.sql import functions as F
+
+    eng = Engine(spark, str(tmp_path / "store"))
+    eng.load_graph("examples/pretrain_pipeline")
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    eng.seed_store("documents", docs)
+    # benchmark = a handful of corpus docs -> those must be removed as
+    # contaminated downstream
+    eng.seed_store("benchmark_docs", docs.filter(F.col("doc_id") < 5))
+    eng.run_graph()
+
+    n_docs = docs.count()
+    n_clean = eng.table_df("clean_docs").count()
+    n_dedup = eng.table_df("deduped_docs").count()
+    final = eng.table_df("final_docs")
+    n_final = final.count()
+    packed = eng.table_df("packed_sequences")
+
+    assert 0 < n_clean <= n_docs
+    assert 0 < n_dedup <= n_clean
+    assert 0 < n_final < n_dedup  # planted benchmark overlap was removed
+    # no benchmark doc survives
+    assert final.filter(F.col("doc_id") < 5).count() == 0
+    # packing conserves docs and respects the chunk budget granularity
+    assert packed.agg(F.sum("n_docs")).collect()[0][0] == n_final
+    assert packed.filter(F.col("chunk_id") < 0).count() == 0
