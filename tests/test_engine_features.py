@@ -857,3 +857,24 @@ def test_pretrain_pipeline_example_app(spark, tmp_path):
     # packing conserves docs and respects the chunk budget granularity
     assert packed.agg(F.sum("n_docs")).collect()[0][0] == n_final
     assert packed.filter(F.col("chunk_id") < 0).count() == 0
+
+
+def test_event_analytics_example_app(spark, tmp_path):
+    """examples/event_analytics runs end-to-end with python + SQL nodes."""
+    from pyspark.sql import functions as F
+
+    eng = Engine(spark, str(tmp_path / "store"))
+    eng.load_graph("examples/event_analytics")
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    eng.seed_store("events", ev)
+    eng.run_graph()
+
+    roll = eng.table_df("user_rollup")
+    assert roll.count() == ev.select("user_id").distinct().count()
+    assert roll.agg(F.sum("n_events")).collect()[0][0] == ev.count()
+    steps = {r["step"]: r["users"] for r in eng.table_df("funnel_steps").collect()}
+    assert set(steps) == {1, 2, 3} and steps[1] >= steps[2] >= steps[3]
+    # anomalies table exists (may be empty at this scale) with the right shape
+    assert set(eng.table_df("rate_anomalies").columns) == {
+        "user_id", "bucket_ts", "n_events", "zscore"
+    }
