@@ -1564,3 +1564,56 @@ def test_wav_header_fields_parse(spark):
     assert out[2]["byte_rate"] == 176400 and out[2]["bits"] == 16
     assert out[3]["is_wav"] is False and out[3]["sample_rate"] is None
     assert out[4]["is_wav"] is False
+
+
+def test_gopher_rules_matches_python_model_random(spark):
+    """Randomized parity: every flag equals an independent pure-Python
+    implementation of the rule set on 300 random docs."""
+    import math
+
+    import numpy as np
+
+    from basis_devkit_spark.operators.text import gopher_rules
+
+    rng = np.random.default_rng(31)
+    vocab = ["the", "a", "data", "spark", "x1", "##", "...", "word",
+             "supercalifragilisticexpialidocious", "-", "*", "9"]
+    docs = []
+    for i in range(300):
+        n = int(rng.integers(1, 120))
+        words = [vocab[int(k)] for k in rng.integers(0, len(vocab), n)]
+        lines = []
+        j = 0
+        while j < len(words):
+            take = int(rng.integers(1, 12))
+            lines.append(" ".join(words[j : j + take]))
+            j += take
+        docs.append((i, "\n".join(lines)))
+
+    out = {r["doc_id"]: r for r in gopher_rules(
+        spark.createDataFrame(docs, ["doc_id", "text"]),
+        min_words=30, stopwords=["the", "a"],
+    ).collect()}
+
+    for i, text in docs:
+        words = text.strip().split()
+        words = [w for w in " ".join(words).split(" ") if w != ""] or [""]
+        nw = max(len(words), 1)
+        mean_wl = math.floor(sum(len(w) for w in words) / nw * 1e6 + 0.5) / 1e6
+        n_hash = text.count("#")
+        n_ell = (len(text) - len(text.replace("...", ""))) / 3
+        lines = text.split("\n")
+        nl = max(len(lines), 1)
+        bullet = sum(l.startswith(("- ", "* ", "•")) for l in lines) / nl
+        ell_l = sum(l.endswith("...") for l in lines) / nl
+        alpha = sum(any(c.isalpha() and c.isascii() for c in w) for w in words) / nw
+        lower = [w.lower() for w in words]
+        stop = ("the" in lower) + ("a" in lower)
+        r = out[i]
+        assert r["ok_word_count"] == (30 <= len(words) <= 100_000), i
+        assert r["mean_word_len"] == mean_wl, i
+        assert r["ok_symbol_ratio"] == ((n_hash + n_ell) / nw <= 0.1), i
+        assert r["ok_bullet_lines"] == (bullet <= 0.9), i
+        assert r["ok_ellipsis_lines"] == (ell_l <= 0.3), i
+        assert r["ok_alpha_words"] == (alpha >= 0.8), i
+        assert r["ok_stopwords"] == (stop >= 2), i
