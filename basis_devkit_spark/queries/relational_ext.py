@@ -1234,3 +1234,37 @@ def b72(spark: SparkSession, sf: str) -> DataFrame:
         j.groupBy(F.year("o_orderdate").cast("int").alias("o_year"))
         .agg((F.floor(share + 0.5) / 1000000.0).alias("mkt_share"))
     )
+
+
+@register(
+    "b73_intersect_except_all",
+    """
+    with i as (
+      select o_custkey as k from orders where o_orderstatus = 'F'
+      intersect all
+      select o_custkey as k from orders where o_orderstatus = 'O'
+    ), e as (
+      select o_custkey as k from orders where o_orderstatus = 'F'
+      except all
+      select o_custkey as k from orders where o_orderstatus = 'O'
+    )
+    select 'intersect_all' as op, k, count(*) as n from i group by k
+    union all
+    select 'except_all', k, count(*) from e group by k
+    """,
+    doc="INTERSECT ALL / EXCEPT ALL multiset semantics (duplicate "
+    "multiplicities min'd / subtracted, not collapsed) — "
+    "df.intersectAll/exceptAll; counts grouped so the multiplicities "
+    "themselves are what the oracle checks",
+)
+def b73(spark: SparkSession, sf: str) -> DataFrame:
+    o = load(spark, sf, "orders")
+    f = o.filter(F.col("o_orderstatus") == "F").select(F.col("o_custkey").alias("k"))
+    op = o.filter(F.col("o_orderstatus") == "O").select(F.col("o_custkey").alias("k"))
+    i = f.intersectAll(op).groupBy("k").agg(F.count("*").alias("n")).select(
+        F.lit("intersect_all").alias("op"), "k", "n"
+    )
+    e = f.exceptAll(op).groupBy("k").agg(F.count("*").alias("n")).select(
+        F.lit("except_all").alias("op"), "k", "n"
+    )
+    return i.unionByName(e)
