@@ -87,6 +87,7 @@ _SAMPLE_PRIORITY = [
     "e06_session_paths", "e02b_funnel_within_window", "e07_rfm_profiles", "e08_time_gapfill", "e08b_time_gapfill_interp", "e09_zscore_anomalies",
     "d04t_gopher_rules", "d04u_weighted_reservoir", "d05d_wav_header_parse",
     "b72_tpch_q8_market_share", "b73_intersect_except_all",
+    "b74_tpch_q9_profit",
     "b70_tpch_q21_waiting_supplier", "b67_tpch_q17_small_qty_revenue",
     "b65_tpch_q4_priority_check", "b66_tpch_q13_order_distribution",
     "b69_tpch_q15_top_supplier", "b68_tpch_q22_dormant_customers",

@@ -1268,3 +1268,51 @@ def b73(spark: SparkSession, sf: str) -> DataFrame:
         F.lit("except_all").alias("op"), "k", "n"
     )
     return i.unionByName(e)
+
+
+@register(
+    "b74_tpch_q9_profit",
+    """
+    select nation, o_year,
+           cast(sum(cast(l_extendedprice * (1 - l_discount)
+                         - p_retailprice * l_quantity * 0.6
+                    as decimal(18,4))) as double) as profit
+    from (select n_name as nation, cast(year(o_orderdate) as int) as o_year,
+                 l_extendedprice, l_discount, p_retailprice, l_quantity
+          from lineitem, part, supplier, orders, nation
+          where s_suppkey = l_suppkey and p_partkey = l_partkey
+            and o_orderkey = l_orderkey and s_nationkey = n_nationkey
+            and p_name like '%a%') t
+    group by nation, o_year
+    """,
+    doc="TPC-H Q9-style product-type profit by nation and year (adapted: "
+    "no partsupp in testdata, so supply cost = 0.6 * p_retailprice * "
+    "qty): the scan-heaviest join tree in the suite — part (LIKE-"
+    "filtered) and supplier→nation broadcast onto the lineitem→orders "
+    "spine; single decimal agg by nation×year",
+)
+def b74(spark: SparkSession, sf: str) -> DataFrame:
+    li = load(spark, sf, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_suppkey",
+        "l_extendedprice", "l_discount", "l_quantity",
+    )
+    p = load(spark, sf, "part").filter(F.col("p_name").like("%a%")).select(
+        "p_partkey", "p_retailprice"
+    )
+    n = load(spark, sf, "nation").select("n_nationkey", "n_name")
+    s = load(spark, sf, "supplier").join(
+        F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey")
+    ).select("s_suppkey", F.col("n_name").alias("nation"))
+    o = load(spark, sf, "orders").select("o_orderkey", "o_orderdate")
+    j = (
+        li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+    )
+    amount = (
+        F.col("l_extendedprice") * (1 - F.col("l_discount"))
+        - F.col("p_retailprice") * F.col("l_quantity") * 0.6
+    ).cast("decimal(18,4)")
+    return j.groupBy(
+        "nation", F.year("o_orderdate").cast("int").alias("o_year")
+    ).agg(F.sum(amount).cast("double").alias("profit"))

@@ -472,3 +472,13 @@ def test_time_gapfill_no_udf_single_window(spark):
     assert "pythonUDF" not in plan and "BatchEvalPython" not in plan
     assert plan.count("Window") <= 1  # single LOCF window pass
     assert "CartesianProduct" not in plan.replace("BroadcastNestedLoopJoin", "")
+
+
+def test_tpch_q9_dims_broadcast_fact_spine(spark):
+    from basis_devkit_spark.queries import all_queries
+
+    df = all_queries()["b74_tpch_q9_profit"].spark(spark, SF)
+    plan = plan_of(df)
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
