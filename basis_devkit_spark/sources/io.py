@@ -132,3 +132,35 @@ def write_orc(
     max_records_per_file: int | None = None,
 ) -> None:
     _writer(df, mode, partition_by, max_records_per_file).orc(path)
+
+
+def read_avro(spark: SparkSession, path: str, **options: Any) -> DataFrame:
+    """Avro source — requires the external ``spark-avro`` package
+    (``org.apache.spark:spark-avro_2.13:<spark-version>`` on the
+    classpath; it is NOT bundled with Spark or this container). The
+    call is format-gated so environments without the jar get a clear
+    actionable error instead of a ClassNotFoundException mid-job."""
+    try:
+        return spark.read.format("avro").options(**options).load(path)
+    except Exception as exc:  # AnalysisException: failed to find data source
+        if "avro" in str(exc).lower():
+            raise RuntimeError(
+                "Avro support needs the spark-avro package on the "
+                "classpath: start the session with "
+                "spark.jars.packages=org.apache.spark:spark-avro_2.13:<ver>"
+            ) from exc
+        raise
+
+
+def write_avro(df: DataFrame, path: str, mode: str = "overwrite", **options: Any) -> None:
+    """Avro sink — same external-package gate as :func:`read_avro`."""
+    try:
+        df.write.format("avro").mode(mode).options(**options).save(path)
+    except Exception as exc:
+        if "avro" in str(exc).lower():
+            raise RuntimeError(
+                "Avro support needs the spark-avro package on the "
+                "classpath: start the session with "
+                "spark.jars.packages=org.apache.spark:spark-avro_2.13:<ver>"
+            ) from exc
+        raise

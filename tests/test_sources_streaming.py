@@ -389,3 +389,18 @@ def test_stream_append_into_zorder_store_prunes(spark, tmp_path):
     assert total > 2 and n_kept < total, (n_kept, total)  # real skipping
     want = store.read().filter("y > 900").count()
     assert store.read_pruned([("y", ">", 900)]).count() == want
+
+
+def test_avro_gate_gives_actionable_error(spark, tmp_path):
+    """This container has no spark-avro jar: the gate must convert the
+    ClassNotFound-ish failure into an actionable RuntimeError (and would
+    pass data through unchanged where the jar IS present)."""
+    import pytest as _pytest
+
+    from basis_devkit_spark.sources.io import read_avro, write_avro
+
+    df = spark.range(3).toDF("x")
+    with _pytest.raises(RuntimeError, match="spark-avro"):
+        write_avro(df, str(tmp_path / "a.avro"))
+    with _pytest.raises(RuntimeError, match="spark-avro"):
+        read_avro(spark, str(tmp_path / "a.avro"))
