@@ -112,6 +112,8 @@ class Engine:
                         "stats_columns",
                         "expectations",
                         "expectations_mode",
+                        "strictly_monotonic_ordering",
+                        "created_ordering",
                     )
                     if getattr(spec, k, None) is not None
                 }

@@ -41,6 +41,12 @@ class StoreSpec(BaseModel):
     stats_columns: Optional[list[str]] = None
     expectations: Optional[dict[str, str]] = None
     expectations_mode: Optional[str] = None
+    # Schema ordering roles (the reference's CommonModel
+    # strictly_monotonic_ordering / created_ordering schema roles,
+    # node.py:196-200): as_stream() resolves its default cursor column
+    # from these when no order_by is passed.
+    strictly_monotonic_ordering: Optional[str] = None
+    created_ordering: Optional[str] = None
 
     model_config = {"populate_by_name": True}
 

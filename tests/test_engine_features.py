@@ -878,3 +878,32 @@ def test_event_analytics_example_app(spark, tmp_path):
     assert set(eng.table_df("rate_anomalies").columns) == {
         "user_id", "bucket_ts", "n_events", "zscore"
     }
+
+
+def test_incremental_stream_example_app(spark, tmp_path):
+    """examples/incremental_stream: two engine runs with an append in
+    between — the rollup advances by exactly the new records (stream
+    cursor exactly-once), and a third run with no new data is a no-op."""
+    from pyspark.sql import functions as F
+
+    eng = Engine(spark, str(tmp_path / "store"))
+    eng.load_graph("examples/incremental_stream")
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    first = ev.filter(F.col("event_id") < 500)
+    rest = ev.filter(F.col("event_id") >= 500)
+
+    eng.seed_store("events", first)
+    eng.run_graph()
+    t1 = {r["event_type"]: r for r in eng.table_df("running_totals").collect()}
+    assert sum(r["n"] for r in t1.values()) == first.count()
+
+    eng.store("events").append(rest)
+    eng.run_graph()
+    t2 = {r["event_type"]: r for r in eng.table_df("running_totals").collect()}
+    assert sum(r["n"] for r in t2.values()) == ev.count()
+
+    eng.run_graph()  # no new records -> totals unchanged
+    t3 = {r["event_type"]: r for r in eng.table_df("running_totals").collect()}
+    assert {k: (v["n"], v["total"]) for k, v in t2.items()} == {
+        k: (v["n"], v["total"]) for k, v in t3.items()
+    }
