@@ -1617,3 +1617,30 @@ def test_gopher_rules_matches_python_model_random(spark):
         assert r["ok_ellipsis_lines"] == (ell_l <= 0.3), i
         assert r["ok_alpha_words"] == (alpha >= 0.8), i
         assert r["ok_stopwords"] == (stop >= 2), i
+
+
+def test_sessionize_agrees_with_session_window(spark):
+    """Two independent session implementations — lag/cumsum (e01) and
+    Spark's session_window (c05) — must produce identical session
+    structure on real data: same session count and same (user, start,
+    n_events) triples."""
+    from pyspark.sql import functions as F
+
+    from basis_devkit_spark.operators.events import session_stats
+    from basis_devkit_spark.queries import load
+
+    ev = load(spark, "/root/testdata/sf0.001", "events")
+    ours = {
+        (r["user_id"], r["session_start"], r["n_events"])
+        for r in session_stats(ev, gap_minutes=30).collect()
+    }
+    sw = {
+        (r["user_id"], r["start"], r["n"])
+        for r in ev.groupBy(
+            F.session_window("ts", "30 minutes").alias("w"), "user_id"
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select("user_id", F.col("w.start").alias("start"), "n")
+        .collect()
+    }
+    assert ours == sw
