@@ -1,5 +1,7 @@
-"""Event analytics operators: gap sessionization, ordered funnels,
-retention cohorts (SURVEY §2.E).
+"""Event analytics operators (SURVEY §2.E): gap sessionization, ordered
+funnels (per-step and single-pass strategies, optional bounded
+conversion window), retention cohorts, transition matrices, conversion
+latency, session paths, RFM profiles.
 
 The reference's hosted SQL surface serves exactly this kind of product
 analytics over event streams (webhook-ingested tables; cf.
