@@ -284,16 +284,32 @@ class TableStore:
         return v is not None and os.path.isdir(self.version_path(v))
 
     def set_active_version(self, version: int, record_count: int | None = None) -> None:
+        # Restore-on-raise: if the durable commit fails, the in-memory
+        # pointer must NOT keep pointing at the uncommitted version —
+        # this handle's reads would see data the disk never committed,
+        # and a later unrelated commit would silently persist the failed
+        # operation's pointer (same hazard class as stamping a stream
+        # batch id before its commit).
+        prev_active = self._manifest.active_version
         self._manifest.active_version = version
         if record_count is not None:
             self._manifest.versions.setdefault(str(version), {})["record_count"] = record_count
-        self._commit_manifest()
+        try:
+            self._commit_manifest()
+        except BaseException:
+            self._manifest.active_version = prev_active
+            raise
 
     def reset(self) -> None:
         """Point at a fresh null version; old data kept for retention GC
         (`node.py:399-405`)."""
+        prev_active = self._manifest.active_version
         self._manifest.active_version = None
-        self._commit_manifest()
+        try:
+            self._commit_manifest()
+        except BaseException:
+            self._manifest.active_version = prev_active
+            raise
 
     def history(self) -> list[dict]:
         """Version history, newest first (the DESCRIBE HISTORY analogue):

@@ -892,3 +892,37 @@ def test_history_describes_versions(spark, tmp_path):
     assert by_count[5]["n_dirs"] == 2
     assert all(e["on_disk"] for e in h)
     assert all(e["created_at"] is not None for e in h)
+
+
+def test_failed_upsert_commit_leaves_table_intact(spark, tmp_path, monkeypatch):
+    """Crash injection at the pointer flip during UPSERT: the active
+    version must stay untouched, and a retry after the fault clears
+    succeeds with the merged result."""
+    from basis_devkit_spark.storage.store import TableStore
+
+    st = TableStore(str(tmp_path), "t", spark)
+    st.configure(unique_on="k")
+    st.write_replace(spark.createDataFrame([(1, "a"), (2, "b")], ["k", "v"]))
+
+    real = st._commit_manifest
+    calls = {"n": 0}
+
+    def flaky():
+        calls["n"] += 1
+        if calls["n"] == 1:
+            raise OSError("disk full (injected)")
+        return real()
+
+    monkeypatch.setattr(st, "_commit_manifest", flaky)
+    import pytest as _pytest
+
+    with _pytest.raises(OSError):
+        st.upsert(spark.createDataFrame([(2, "B"), (3, "c")], ["k", "v"]))
+    # pointer never flipped: reads still see the original rows
+    assert sorted(map(tuple, st.read().collect())) == [(1, "a"), (2, "b")]
+
+    st.upsert(spark.createDataFrame([(2, "B"), (3, "c")], ["k", "v"]))
+    assert sorted(map(tuple, st.read().collect())) == [(1, "a"), (2, "B"), (3, "c")]
+    # vacuum reclaims the orphaned crash directory without touching live data
+    st.vacuum(keep_last=1)
+    assert sorted(map(tuple, st.read().collect())) == [(1, "a"), (2, "B"), (3, "c")]
