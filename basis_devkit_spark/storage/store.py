@@ -357,13 +357,24 @@ class TableStore:
         referenced: set[str] = set()
         for v in keep:
             referenced.update(self._version_dirs(v))
+        # LOGICAL delete first (manifest commit), PHYSICAL delete after —
+        # a crash between the two leaves harmless orphan directories that
+        # the next vacuum's orphan sweep reclaims, never a committed
+        # manifest referencing directories that no longer exist.
+        doomed: list[str] = []
         for v in versions:
             if v in keep:
                 continue
             d = f"v={v}"
             if d not in referenced:
-                shutil.rmtree(os.path.join(self.path, d), ignore_errors=True)
+                doomed.append(d)
             self._manifest.versions.pop(str(v), None)
+        self._manifest.dir_stats = {
+            d: s for d, s in self._manifest.dir_stats.items() if d in referenced
+        }
+        self._commit_manifest()
+        for d in doomed:
+            shutil.rmtree(os.path.join(self.path, d), ignore_errors=True)
         # Crash-orphaned dirs: on disk, unreferenced, not in the manifest —
         # and older than a grace period, so an in-flight write from another
         # process (data landed, manifest not yet flipped) is never
@@ -379,10 +390,6 @@ class TableStore:
                 and os.path.getmtime(full) < grace
             ):
                 shutil.rmtree(full, ignore_errors=True)
-        self._manifest.dir_stats = {
-            d: s for d, s in self._manifest.dir_stats.items() if d in referenced
-        }
-        self._commit_manifest()
 
     # ---------------- metadata (A12) ----------------
     @property

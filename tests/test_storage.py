@@ -926,3 +926,33 @@ def test_failed_upsert_commit_leaves_table_intact(spark, tmp_path, monkeypatch):
     # vacuum reclaims the orphaned crash directory without touching live data
     st.vacuum(keep_last=1)
     assert sorted(map(tuple, st.read().collect())) == [(1, "a"), (2, "B"), (3, "c")]
+
+
+def test_vacuum_commits_manifest_before_deleting_dirs(spark, tmp_path, monkeypatch):
+    """Crash between vacuum's manifest commit and the physical deletes
+    must leave only harmless orphan dirs — never a committed manifest
+    referencing directories that are gone."""
+    import shutil as _shutil
+
+    from basis_devkit_spark.storage.store import TableStore
+
+    st = TableStore(str(tmp_path), "t", spark)
+    for i in range(4):
+        st.write_replace(spark.range(i + 1).toDF("x"))
+
+    # simulate the crash: physical deletes never happen
+    monkeypatch.setattr(_shutil, "rmtree", lambda *a, **k: None)
+    st.vacuum(keep_last=1)
+    monkeypatch.undo()
+
+    # fresh handle: manifest is already vacuumed, every remaining entry's
+    # dirs exist, active reads fine
+    st2 = TableStore(str(tmp_path), "t", spark)
+    assert st2.read().count() == 4
+    assert all(e["on_disk"] for e in st2.history())
+    # the undeleted dirs are orphans on disk, invisible to the manifest
+    import os as _os
+
+    on_disk = {d for d in _os.listdir(str(tmp_path / "t")) if d.startswith("v=")}
+    referenced = {d for e in st2._manifest.versions.values() for d in e.get("dirs", [])}
+    assert on_disk - referenced  # orphans exist, harmlessly
