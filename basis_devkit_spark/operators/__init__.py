@@ -45,6 +45,7 @@ from basis_devkit_spark.operators.text import (
 from basis_devkit_spark.operators.joins import as_of_join, range_join
 from basis_devkit_spark.operators.skew import salted_agg, salted_join
 from basis_devkit_spark.operators.embeddings import (
+    label_centroids,
     corpus_embedding_stats,
     dequantize_int8,
     quantize_int8,
@@ -78,6 +79,7 @@ __all__ = [
     "quantize_int8",
     "dequantize_int8",
     "corpus_embedding_stats",
+    "label_centroids",
     "train_val_test_split",
     "filter_corpus",
     "pack_sequences",

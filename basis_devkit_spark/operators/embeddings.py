@@ -70,3 +70,36 @@ def corpus_embedding_stats(
         F.round(F.max("__norm"), 4).alias("max_norm"),
         F.max("__dim").alias("dim"),
     )
+
+
+def label_centroids(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    label_col: str = "label",
+) -> DataFrame:
+    """Per-label centroid vectors: element-wise mean over each label's
+    embeddings. posexplode → one (label, pos) hash agg (decimal-exact
+    sums) → order-preserving re-pack via array_sort over (pos, mean)
+    structs — no windows, no UDFs. The classic class-prototype /
+    nearest-centroid-classifier building block.
+    """
+    pos = df.select(
+        F.col(label_col).alias("__l"),
+        F.posexplode(F.col(vec_col)).alias("__p", "__v"),
+    )
+    means = pos.groupBy("__l", "__p").agg(
+        (
+            F.sum(F.col("__v").cast("decimal(18,9)")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("__m")
+    )
+    return (
+        means.groupBy("__l")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("__p", "__m"))),
+                lambda s: s.getField("__m"),
+            ).alias("centroid")
+        )
+        .select(F.col("__l").alias(label_col), "centroid")
+    )

@@ -86,6 +86,7 @@ _SAMPLE_PRIORITY = [
     "e04_event_transitions", "e05_conversion_latency",
     "e06_session_paths", "e02b_funnel_within_window", "e07_rfm_profiles", "e08_time_gapfill", "e08b_time_gapfill_interp", "e09_zscore_anomalies",
     "d04t_gopher_rules", "d04u_weighted_reservoir", "d05d_wav_header_parse",
+    "d06e_label_centroids",
     "b72_tpch_q8_market_share", "b73_intersect_except_all",
     "b74_tpch_q9_profit",
     "b70_tpch_q21_waiting_supplier", "b67_tpch_q17_small_qty_revenue",

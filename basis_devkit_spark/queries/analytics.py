@@ -2487,3 +2487,31 @@ def d05d(spark: SparkSession, sf: str) -> DataFrame:
         / 1000000.0
     )
     return flat.withColumn("duration_ms", dur).drop("__n")
+
+
+@register(
+    "d06e_label_centroids",
+    """
+    with p as (
+      select unnest(generate_series(1,
+               (select max(len(embedding)) from embeddings))) as pos
+    ), e as (
+      select label, p.pos, embedding[p.pos] as v
+      from embeddings cross join p
+    )
+    select label, cast(pos as int) as pos,
+           cast(sum(cast(v as decimal(18,9))) as double) / count(*) as mv
+    from e group by label, pos
+    """,
+    doc="per-label embedding centroids (class prototypes): posexplode -> "
+    "one (label, position) hash agg with decimal-exact sums; flattened "
+    "to (label, pos, mean) rows for the oracle comparison",
+)
+def d06e(spark: SparkSession, sf: str) -> DataFrame:
+    from basis_devkit_spark.operators.embeddings import label_centroids
+
+    cents = label_centroids(load(spark, sf, "embeddings"))
+    return cents.select(
+        "label",
+        F.posexplode("centroid").alias("__p0", "mv"),
+    ).select("label", (F.col("__p0") + 1).cast("int").alias("pos"), "mv")

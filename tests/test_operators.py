@@ -1644,3 +1644,16 @@ def test_sessionize_agrees_with_session_window(spark):
         .collect()
     }
     assert ours == sw
+
+
+def test_label_centroids_handcomputed(spark):
+    from basis_devkit_spark.operators.embeddings import label_centroids
+
+    rows = [
+        ("a", [1.0, 2.0]), ("a", [3.0, 4.0]),
+        ("b", [10.0, 20.0]),
+    ]
+    df = spark.createDataFrame(rows, ["label", "embedding"])
+    out = {r["label"]: r["centroid"] for r in label_centroids(df).collect()}
+    assert out["a"] == [2.0, 3.0]
+    assert out["b"] == [10.0, 20.0]
