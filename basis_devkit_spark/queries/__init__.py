@@ -88,7 +88,8 @@ _SAMPLE_PRIORITY = [
     "d04t_gopher_rules", "d04u_weighted_reservoir", "d05d_wav_header_parse",
     "d06e_label_centroids",
     "b72_tpch_q8_market_share", "b73_intersect_except_all",
-    "b74_tpch_q9_profit",
+    "b74_tpch_q9_profit", "b75_tpch_q3_bench_flagship",
+    "b76_topk_algebraic_rewrite",
     "b70_tpch_q21_waiting_supplier", "b67_tpch_q17_small_qty_revenue",
     "b65_tpch_q4_priority_check", "b66_tpch_q13_order_distribution",
     "b69_tpch_q15_top_supplier", "b68_tpch_q22_dormant_customers",

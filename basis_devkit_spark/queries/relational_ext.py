@@ -1316,3 +1316,84 @@ def b74(spark: SparkSession, sf: str) -> DataFrame:
     return j.groupBy(
         "nation", F.year("o_orderdate").cast("int").alias("o_year")
     ).agg(F.sum(amount).cast("double").alias("profit"))
+
+
+@register(
+    "b75_tpch_q3_bench_flagship",
+    """
+    select o_orderkey, o_orderdate,
+           cast(sum(cast(l_extendedprice * (1 - l_discount) as decimal(18,2)))
+                as double) as revenue
+    from customer, orders, lineitem
+    where c_mktsegment = 'BUILDING'
+      and c_custkey = o_custkey and l_orderkey = o_orderkey
+    group by o_orderkey, o_orderdate
+    order by revenue desc, o_orderkey
+    limit 10
+    """,
+    doc="the bench.py q3 flagship, correctness-gated: same double-"
+    "broadcast dim-chain plan (lineitem never shuffles), decimal-exact "
+    "revenue so the oracle hash matches bit-for-bit; ties broken by "
+    "o_orderkey",
+)
+def b75(spark: SparkSession, sf: str) -> DataFrame:
+    c = load(spark, sf, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    ).select("c_custkey")
+    o = load(spark, sf, "orders").select("o_orderkey", "o_custkey", "o_orderdate")
+    li = load(spark, sf, "lineitem").select(
+        "l_orderkey", "l_extendedprice", "l_discount"
+    )
+    dim = o.join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey")).select(
+        "o_orderkey", "o_orderdate"
+    )
+    return (
+        li.join(F.broadcast(dim), F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("o_orderkey", "o_orderdate")
+        .agg(
+            dsum_expr(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
+                "revenue"
+            )
+        )
+        .orderBy(F.col("revenue").desc(), "o_orderkey")
+        .limit(10)
+    )
+
+
+@register(
+    "b76_topk_algebraic_rewrite",
+    """
+    with r as (
+      select o_custkey, o_orderkey, o_totalprice,
+             row_number() over (partition by o_custkey
+                                order by o_totalprice desc, o_orderkey desc)
+               as rn
+      from orders
+    )
+    select o_custkey, o_orderkey, o_totalprice, cast(rn as int) as rn
+    from r where rn <= 3
+    """,
+    doc="the bench.py window flagship's ALGEBRAIC REWRITE, correctness-"
+    "gated: collect_list + sort_array(desc) + slice top-3 per customer "
+    "must equal the row_number window form (struct sort orders by "
+    "(o_totalprice, o_orderkey) desc — the oracle mirrors that tiebreak)",
+)
+def b76(spark: SparkSession, sf: str) -> DataFrame:
+    o = load(spark, sf, "orders")
+    packed = o.groupBy("o_custkey").agg(
+        F.slice(
+            F.sort_array(
+                F.collect_list(F.struct("o_totalprice", "o_orderkey")), False
+            ),
+            1,
+            3,
+        ).alias("top3")
+    )
+    return packed.select(
+        "o_custkey", F.posexplode("top3").alias("pos", "t")
+    ).select(
+        "o_custkey",
+        F.col("t.o_orderkey").alias("o_orderkey"),
+        F.col("t.o_totalprice").alias("o_totalprice"),
+        (F.col("pos") + 1).cast("int").alias("rn"),
+    )
