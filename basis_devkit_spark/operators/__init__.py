@@ -103,6 +103,7 @@ __all__ = [
     "conversion_latency",
     "session_paths",
     "rfm_profiles",
+    "inter_event_gaps",
     "time_bucket_gapfill",
     "zscore_anomalies",
 ]
@@ -112,6 +113,7 @@ from basis_devkit_spark.operators.events import (  # noqa: E402
     event_transitions,
     funnel,
     funnel_single_pass,
+    inter_event_gaps,
     retention_cohorts,
     rfm_profiles,
     session_paths,

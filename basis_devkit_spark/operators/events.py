@@ -388,3 +388,28 @@ def rfm_profiles(
         "frequency",
         "monetary",
     )
+
+
+def inter_event_gaps(
+    df: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """Per-user inter-event gap statistics — the engagement-cadence
+    profile: count of gaps, min/max/sum of the microsecond deltas
+    between consecutive events (all exact integers, so derived means
+    are engine-reproducible). One lag window + one hash agg.
+    """
+    w = Window.partitionBy(user_col).orderBy(ts_col, id_col)
+    t = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    gap = t - F.lag(t).over(w)
+    gaps = df.select(F.col(user_col), gap.alias("__gap")).filter(
+        F.col("__gap").isNotNull()
+    )
+    return gaps.groupBy(user_col).agg(
+        F.count(F.lit(1)).alias("n_gaps"),
+        F.min("__gap").alias("min_gap_us"),
+        F.max("__gap").alias("max_gap_us"),
+        F.sum("__gap").alias("sum_gap_us"),
+    )

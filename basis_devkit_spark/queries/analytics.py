@@ -2515,3 +2515,29 @@ def d06e(spark: SparkSession, sf: str) -> DataFrame:
         "label",
         F.posexplode("centroid").alias("__p0", "mv"),
     ).select("label", (F.col("__p0") + 1).cast("int").alias("pos"), "mv")
+
+
+@register(
+    "e10_inter_event_gaps",
+    """
+    with g as (
+      select user_id,
+             epoch_us(cast(ts as timestamp))
+               - lag(epoch_us(cast(ts as timestamp)))
+                   over (partition by user_id order by ts, event_id) as gap
+      from events
+    )
+    select user_id, count(*) as n_gaps,
+           min(gap) as min_gap_us, max(gap) as max_gap_us,
+           sum(gap) as sum_gap_us
+    from g where gap is not null
+    group by user_id
+    """,
+    doc="per-user inter-event gap profile (engagement cadence): lag "
+    "window + hash agg, all-integer microsecond outputs — derived "
+    "means are exactly reproducible across engines",
+)
+def e10(spark: SparkSession, sf: str) -> DataFrame:
+    from basis_devkit_spark.operators.events import inter_event_gaps
+
+    return inter_event_gaps(load(spark, sf, "events"))

@@ -1657,3 +1657,23 @@ def test_label_centroids_handcomputed(spark):
     out = {r["label"]: r["centroid"] for r in label_centroids(df).collect()}
     assert out["a"] == [2.0, 3.0]
     assert out["b"] == [10.0, 20.0]
+
+
+def test_inter_event_gaps_handcomputed(spark):
+    import datetime as dt
+
+    from basis_devkit_spark.operators.events import inter_event_gaps
+
+    t0 = dt.datetime(2024, 1, 1)
+    s = dt.timedelta(seconds=1)
+    rows = [
+        (1, 1, t0), (2, 1, t0 + 5 * s), (3, 1, t0 + 7 * s),  # gaps 5s, 2s
+        (4, 2, t0),                                          # single event: no gaps
+    ]
+    df = spark.createDataFrame(rows, ["event_id", "user_id", "ts"])
+    out = {r["user_id"]: r for r in inter_event_gaps(df).collect()}
+    assert out[1]["n_gaps"] == 2
+    assert out[1]["min_gap_us"] == 2_000_000
+    assert out[1]["max_gap_us"] == 5_000_000
+    assert out[1]["sum_gap_us"] == 7_000_000
+    assert 2 not in out
