@@ -104,6 +104,7 @@ __all__ = [
     "session_paths",
     "rfm_profiles",
     "inter_event_gaps",
+    "trailing_window_counts",
     "time_bucket_gapfill",
     "zscore_anomalies",
 ]
@@ -118,6 +119,7 @@ from basis_devkit_spark.operators.events import (  # noqa: E402
     rfm_profiles,
     session_paths,
     session_stats,
+    trailing_window_counts,
     sessionize,
 )
 from basis_devkit_spark.operators.text import (  # noqa: E402

@@ -413,3 +413,30 @@ def inter_event_gaps(
         F.max("__gap").alias("max_gap_us"),
         F.sum("__gap").alias("sum_gap_us"),
     )
+
+
+def trailing_window_counts(
+    df: DataFrame,
+    minutes: int = 60,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Per-event trailing activity rate: for every event, the number of
+    events by the same user in the preceding ``minutes`` window
+    (inclusive of the event itself) — a TIME-RANGE window frame
+    (``rangeBetween`` over epoch micros), not a row frame, so irregular
+    event spacing is handled exactly. The real-time feature behind rate
+    limiting / burst detection.
+    """
+    t = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    w = (
+        Window.partitionBy(user_col)
+        .orderBy(t)
+        .rangeBetween(-int(minutes) * 60_000_000, 0)
+    )
+    return df.select(
+        user_col,
+        ts_col,
+        F.col("event_id"),
+        F.count(F.lit(1)).over(w).alias("n_trailing"),
+    )

@@ -2541,3 +2541,23 @@ def e10(spark: SparkSession, sf: str) -> DataFrame:
     from basis_devkit_spark.operators.events import inter_event_gaps
 
     return inter_event_gaps(load(spark, sf, "events"))
+
+
+@register(
+    "e11_trailing_window_rate",
+    """
+    select user_id, ts, event_id,
+           count(*) over (partition by user_id order by ts
+                          range between interval 60 minute preceding
+                                    and current row) as n_trailing
+    from events
+    """,
+    doc="per-event trailing-hour activity count via a TIME-RANGE window "
+    "frame (rangeBetween over epoch micros == interval arithmetic on "
+    "timestamps, microsecond-exact in both engines) — the rate-limit / "
+    "burst-detection feature",
+)
+def e11(spark: SparkSession, sf: str) -> DataFrame:
+    from basis_devkit_spark.operators.events import trailing_window_counts
+
+    return trailing_window_counts(load(spark, sf, "events"), minutes=60)

@@ -1397,3 +1397,29 @@ def b76(spark: SparkSession, sf: str) -> DataFrame:
         F.col("t.o_totalprice").alias("o_totalprice"),
         (F.col("pos") + 1).cast("int").alias("rn"),
     )
+
+
+@register(
+    "b77_group_by_all",
+    """
+    select o_orderstatus, o_orderpriority,
+           count(*) as n,
+           cast(sum(cast(o_totalprice as decimal(18,2))) as double) as total
+    from orders
+    group by all
+    """,
+    doc="GROUP BY ALL (group on every non-aggregate select item — the "
+    "modern SQL ergonomic both Spark 4 and DuckDB support), via the "
+    "SQL-node path",
+)
+def b77(spark: SparkSession, sf: str) -> DataFrame:
+    load(spark, sf, "orders").createOrReplaceTempView("orders")
+    return spark.sql(
+        """
+        select o_orderstatus, o_orderpriority,
+               count(*) as n,
+               cast(sum(cast(o_totalprice as decimal(18,2))) as double) as total
+        from orders
+        group by all
+        """
+    )

@@ -1677,3 +1677,24 @@ def test_inter_event_gaps_handcomputed(spark):
     assert out[1]["max_gap_us"] == 5_000_000
     assert out[1]["sum_gap_us"] == 7_000_000
     assert 2 not in out
+
+
+def test_trailing_window_counts_range_semantics(spark):
+    """RANGE (time) frame, not ROWS: counts depend on actual spacing,
+    and the boundary is inclusive at exactly -window."""
+    import datetime as dt
+
+    from basis_devkit_spark.operators.events import trailing_window_counts
+
+    t0 = dt.datetime(2024, 1, 1)
+    m = dt.timedelta(minutes=1)
+    rows = [
+        (1, 1, t0),
+        (2, 1, t0 + 30 * m),
+        (3, 1, t0 + 60 * m),   # exactly 60 min after #1: inclusive
+        (4, 1, t0 + 121 * m),  # everything else out of range
+    ]
+    df = spark.createDataFrame(rows, ["event_id", "user_id", "ts"])
+    out = {r["event_id"]: r["n_trailing"]
+           for r in trailing_window_counts(df, minutes=60).collect()}
+    assert out == {1: 1, 2: 2, 3: 3, 4: 1}
