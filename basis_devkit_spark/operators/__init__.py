@@ -93,6 +93,7 @@ __all__ = [
     "chunk_documents",
     "gopher_rules",
     "weighted_reservoir_sample",
+    "profile_numeric",
     "wav_header_fields",
     "sessionize",
     "session_stats",
@@ -124,6 +125,7 @@ from basis_devkit_spark.operators.events import (  # noqa: E402
 )
 from basis_devkit_spark.operators.text import (  # noqa: E402
     gopher_rules,
+    profile_numeric,
     weighted_reservoir_sample,
 )
 from basis_devkit_spark.operators.multimodal import wav_header_fields  # noqa: E402

@@ -898,3 +898,39 @@ def weighted_reservoir_sample(
         .limit(k)
         .drop("__ares")
     )
+
+
+def profile_numeric(df: DataFrame, columns: list[str] | None = None) -> DataFrame:
+    """Data-quality profile of the numeric columns: one output row per
+    column with null count, exact distinct count, min, max, and a
+    decimal-exact sum — the standard table-health snapshot (dbt-style
+    profiling / DESCRIBE EXTENDED numerics). One pass per column pair
+    of aggregates, unioned; no collects.
+    """
+    import pyspark.sql.types as T
+
+    numeric = [
+        f.name
+        for f in df.schema.fields
+        if isinstance(
+            f.dataType,
+            (T.IntegerType, T.LongType, T.DoubleType, T.FloatType, T.DecimalType,
+             T.ShortType, T.ByteType),
+        )
+    ]
+    cols = [c for c in (columns or numeric) if c in numeric]
+    if not cols:
+        raise ValueError("no numeric columns to profile")
+    out: DataFrame | None = None
+    for c in cols:
+        row = df.agg(
+            F.lit(c).alias("column"),
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(F.col(c).isNull().cast("long")).alias("n_nulls"),
+            F.countDistinct(F.col(c)).alias("n_distinct"),
+            F.min(F.col(c)).cast("double").alias("min_v"),
+            F.max(F.col(c)).cast("double").alias("max_v"),
+            F.sum(F.col(c).cast("decimal(27,6)")).cast("double").alias("sum_v"),
+        )
+        out = row if out is None else out.unionByName(row)
+    return out

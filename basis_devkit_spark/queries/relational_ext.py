@@ -1423,3 +1423,41 @@ def b77(spark: SparkSession, sf: str) -> DataFrame:
         group by all
         """
     )
+
+
+@register(
+    "b78_numeric_profile",
+    """
+    select 'l_quantity' as column, count(*) as n_rows,
+           sum(cast(l_quantity is null as bigint)) as n_nulls,
+           count(distinct l_quantity) as n_distinct,
+           cast(min(l_quantity) as double) as min_v,
+           cast(max(l_quantity) as double) as max_v,
+           cast(sum(cast(l_quantity as decimal(27,6))) as double) as sum_v
+    from lineitem
+    union all
+    select 'l_extendedprice', count(*),
+           sum(cast(l_extendedprice is null as bigint)),
+           count(distinct l_extendedprice),
+           cast(min(l_extendedprice) as double),
+           cast(max(l_extendedprice) as double),
+           cast(sum(cast(l_extendedprice as decimal(27,6))) as double)
+    from lineitem
+    union all
+    select 'l_discount', count(*),
+           sum(cast(l_discount is null as bigint)),
+           count(distinct l_discount),
+           cast(min(l_discount) as double),
+           cast(max(l_discount) as double),
+           cast(sum(cast(l_discount as decimal(27,6))) as double)
+    from lineitem
+    """,
+    doc="numeric column profiling (table-health snapshot): null count, "
+    "exact distinct, min/max, decimal-exact sum per column — the "
+    "dbt-style profile as one unioned aggregate plan",
+)
+def b78(spark: SparkSession, sf: str) -> DataFrame:
+    from basis_devkit_spark.operators.text import profile_numeric
+
+    li = load(spark, sf, "lineitem")
+    return profile_numeric(li, ["l_quantity", "l_extendedprice", "l_discount"])

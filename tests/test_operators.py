@@ -1698,3 +1698,23 @@ def test_trailing_window_counts_range_semantics(spark):
     out = {r["event_id"]: r["n_trailing"]
            for r in trailing_window_counts(df, minutes=60).collect()}
     assert out == {1: 1, 2: 2, 3: 3, 4: 1}
+
+
+def test_profile_numeric_handcomputed(spark):
+    from basis_devkit_spark.operators.text import profile_numeric
+
+    df = spark.createDataFrame(
+        [(1, 2.0, "x"), (2, None, "y"), (2, 4.0, "z")],
+        ["a", "b", "s"],
+    )
+    out = {r["column"]: r for r in profile_numeric(df).collect()}
+    assert set(out) == {"a", "b"}  # string column excluded
+    assert out["a"]["n_nulls"] == 0 and out["a"]["n_distinct"] == 2
+    assert out["a"]["sum_v"] == 5.0
+    assert out["b"]["n_nulls"] == 1 and out["b"]["n_distinct"] == 2
+    assert out["b"]["min_v"] == 2.0 and out["b"]["max_v"] == 4.0
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        profile_numeric(df.select("s"))
