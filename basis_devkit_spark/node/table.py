@@ -227,6 +227,11 @@ class Table:
         bounded metadata records, no data-file reads."""
         return self._require_store().history()
 
+    def read_at(self, timestamp: float):
+        """Time-travel read AS OF TIMESTAMP (unix seconds): the newest
+        version committed at or before that time."""
+        return self._require_store().read_at(timestamp)
+
     def get_active_version(self) -> TableVersion | None:
         store = self._require_store()
         v = store.get_active_version()

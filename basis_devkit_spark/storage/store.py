@@ -737,6 +737,23 @@ class TableStore:
             raise FileNotFoundError(f"table '{self.name}' has no version {version}")
         return self._read_dirs(dirs)
 
+    def read_at(self, timestamp: float) -> DataFrame:
+        """Time-travel read AS OF TIMESTAMP (Delta's ``TIMESTAMP AS OF``
+        analogue): the newest retained version whose commit time is at or
+        before ``timestamp`` (unix seconds). Raises when every retained
+        version is newer (nothing existed yet at that time)."""
+        best = None
+        for vs, meta in self._manifest.versions.items():
+            created = meta.get("created_at")
+            if created is not None and created <= timestamp:
+                if best is None or int(vs) > best:
+                    best = int(vs)
+        if best is None:
+            raise FileNotFoundError(
+                f"table '{self.name}' has no version at or before {timestamp}"
+            )
+        return self.read_version(best)
+
     def read_or_empty(self, schema: T.StructType | None = None) -> DataFrame:
         if self.has_active_version():
             return self.read()

@@ -956,3 +956,22 @@ def test_vacuum_commits_manifest_before_deleting_dirs(spark, tmp_path, monkeypat
     on_disk = {d for d in _os.listdir(str(tmp_path / "t")) if d.startswith("v=")}
     referenced = {d for e in st2._manifest.versions.values() for d in e.get("dirs", [])}
     assert on_disk - referenced  # orphans exist, harmlessly
+
+
+def test_read_at_timestamp_time_travel(spark, tmp_path):
+    import time as _time
+
+    from basis_devkit_spark.storage.store import TableStore
+
+    st = TableStore(str(tmp_path), "t", spark)
+    st.write_replace(spark.range(2).toDF("x"))
+    t_after_v1 = _time.time()
+    _time.sleep(0.05)
+    st.write_replace(spark.range(5).toDF("x"))
+
+    assert st.read_at(t_after_v1).count() == 2      # snapshot as of then
+    assert st.read_at(_time.time()).count() == 5    # now -> active
+    import pytest as _pytest
+
+    with _pytest.raises(FileNotFoundError):
+        st.read_at(t_after_v1 - 1e6)                # before any version
