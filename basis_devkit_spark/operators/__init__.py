@@ -15,6 +15,7 @@ from basis_devkit_spark.operators.dedup import (
     ngram_jaccard_pairs,
     ngram_contamination,
     connected_components,
+    source_vocab_overlap,
 )
 from basis_devkit_spark.operators.similarity import (
     cosine_similarity_col,
@@ -94,6 +95,7 @@ __all__ = [
     "gopher_rules",
     "weighted_reservoir_sample",
     "profile_numeric",
+    "source_vocab_overlap",
     "wav_header_fields",
     "sessionize",
     "session_stats",

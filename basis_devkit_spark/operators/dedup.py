@@ -670,3 +670,45 @@ def ngram_contamination(
         .filter(F.col("shared_grams") >= min_overlap)
     )
     return hits.select(F.col("__id").alias(id_col), "shared_grams")
+
+
+def source_vocab_overlap(
+    df: DataFrame,
+    group_col: str = "source",
+    text_col: str = "text",
+    shingle_size: int = 3,
+) -> DataFrame:
+    """Pairwise vocabulary overlap between corpus slices: for every pair
+    of groups, the number of shared distinct word ``shingle_size``-grams
+    and the Jaccard of their gram sets — the cross-slice contamination /
+    homogeneity diagnostic that complements ``corpus_drift``.
+
+    Shape: one distinct per (group, gram), then an equi-self-join ON THE
+    GRAM (groups-per-gram fan-out is bounded by the number of slices —
+    tiny — never by corpus size), then a pair-space hash agg.
+    """
+    grams = df.select(
+        F.col(group_col).alias("__g"),
+        F.explode(shingle_col(text_col, shingle_size)).alias("__s"),
+    ).distinct()
+    sizes = grams.groupBy("__g").agg(F.count(F.lit(1)).alias("__n"))
+    a = grams.select(F.col("__g").alias("ga"), "__s")
+    b = grams.select(F.col("__g").alias("gb"), F.col("__s").alias("__s2"))
+    inter = (
+        a.join(b, (F.col("__s") == F.col("__s2")) & (F.col("ga") < F.col("gb")))
+        .groupBy("ga", "gb")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    na = sizes.select(F.col("__g").alias("ga"), F.col("__n").alias("na"))
+    nb = sizes.select(F.col("__g").alias("gb"), F.col("__n").alias("nb"))
+    jac = F.col("n_shared") / (F.col("na") + F.col("nb") - F.col("n_shared"))
+    return (
+        inter.join(F.broadcast(na), "ga")
+        .join(F.broadcast(nb), "gb")
+        .select(
+            F.col("ga").alias("group_a"),
+            F.col("gb").alias("group_b"),
+            "n_shared",
+            (F.floor(jac * 1000000.0 + 0.5) / 1000000.0).alias("jaccard"),
+        )
+    )

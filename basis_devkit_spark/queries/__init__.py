@@ -87,7 +87,7 @@ _SAMPLE_PRIORITY = [
     "e06_session_paths", "e02b_funnel_within_window", "e07_rfm_profiles", "e08_time_gapfill", "e08b_time_gapfill_interp", "e09_zscore_anomalies", "e10_inter_event_gaps",
     "e11_trailing_window_rate", "b77_group_by_all", "b78_numeric_profile",
     "d04t_gopher_rules", "d04u_weighted_reservoir", "d05d_wav_header_parse",
-    "d06e_label_centroids",
+    "d06e_label_centroids", "d02j_source_vocab_overlap",
     "b72_tpch_q8_market_share", "b73_intersect_except_all",
     "b74_tpch_q9_profit", "b75_tpch_q3_bench_flagship",
     "b76_topk_algebraic_rewrite",

@@ -2561,3 +2561,40 @@ def e11(spark: SparkSession, sf: str) -> DataFrame:
     from basis_devkit_spark.operators.events import trailing_window_counts
 
     return trailing_window_counts(load(spark, sf, "events"), minutes=60)
+
+
+@register(
+    "d02j_source_vocab_overlap",
+    r"""
+    with toks as (
+      select source, string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') as w
+      from documents
+    ), grams as (
+      select distinct source,
+             w[p.pos] || ' ' || w[p.pos + 1] || ' ' || w[p.pos + 2] as g
+      from toks cross join
+           (select unnest(generate_series(1, 400)) as pos) p
+      where p.pos + 2 <= len(w)
+    ), sizes as (
+      select source, count(*) as n from grams group by source
+    ), inter as (
+      select a.source as group_a, b.source as group_b, count(*) as n_shared
+      from grams a join grams b on a.g = b.g and a.source < b.source
+      group by a.source, b.source
+    )
+    select group_a, group_b, n_shared,
+           floor(cast(n_shared as double) / (sa.n + sb.n - n_shared)
+                 * 1000000.0 + 0.5) / 1000000.0 as jaccard
+    from inter
+    join sizes sa on sa.source = group_a
+    join sizes sb on sb.source = group_b
+    """,
+    doc="pairwise vocabulary overlap between corpus sources (shared "
+    "distinct word 3-grams + Jaccard): the cross-slice homogeneity "
+    "diagnostic; gram self-join fan-out bounded by the slice count, "
+    "never corpus size",
+)
+def d02j(spark: SparkSession, sf: str) -> DataFrame:
+    from basis_devkit_spark.operators.dedup import source_vocab_overlap
+
+    return source_vocab_overlap(load(spark, sf, "documents"))

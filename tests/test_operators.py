@@ -1718,3 +1718,19 @@ def test_profile_numeric_handcomputed(spark):
 
     with _pytest.raises(ValueError):
         profile_numeric(df.select("s"))
+
+
+def test_source_vocab_overlap_handcomputed(spark):
+    from basis_devkit_spark.operators.dedup import source_vocab_overlap
+
+    rows = [
+        ("s1", 1, "a b c d"),        # grams: abc, bcd
+        ("s2", 2, "a b c e"),        # grams: abc, bce
+        ("s3", 3, "x y z w"),        # grams: xyz, yzw (disjoint)
+    ]
+    df = spark.createDataFrame(rows, ["source", "doc_id", "text"])
+    out = {
+        (r["group_a"], r["group_b"]): (r["n_shared"], r["jaccard"])
+        for r in source_vocab_overlap(df).collect()
+    }
+    assert out == {("s1", "s2"): (1, 0.333333)}  # |{abc}| / |{abc,bcd,bce}|
