@@ -2598,3 +2598,59 @@ def d02j(spark: SparkSession, sf: str) -> DataFrame:
     from basis_devkit_spark.operators.dedup import source_vocab_overlap
 
     return source_vocab_overlap(load(spark, sf, "documents"))
+
+
+@register(
+    "c13_stream_static_enrich",
+    """
+    with seg as (
+      select distinct user_id, user_id % 5 as segment from events
+    )
+    select s.segment, count(*) as n_events,
+           round(sum(e.value), 4) as total_value
+    from events e join seg s on e.user_id = s.user_id
+    group by s.segment
+    """,
+    doc="stream-static enrichment join: a STREAMING events scan joins a "
+    "static dimension (per-user segment) before an update-mode "
+    "aggregation into an exactly-once UPSERT store — the canonical "
+    "streaming enrichment pattern; final table must equal the batch "
+    "join+group-by exactly",
+)
+def c13(spark: SparkSession, sf: str) -> DataFrame:
+    import os as _os
+    import tempfile as _tf
+
+    from basis_devkit_spark.storage.store import TableStore
+    from basis_devkit_spark.streaming.ops import stream_upsert_to_store
+
+    tmp = _tf.mkdtemp(prefix="bds_c13_")
+    drop = _os.path.join(tmp, "drop")
+    _os.makedirs(drop, exist_ok=True)
+    _os.symlink(f"{sf}/events.parquet", _os.path.join(drop, "events.parquet"))
+    raw_schema = spark.read.parquet(f"{sf}/events.parquet").schema
+    static_dim = (
+        spark.read.parquet(f"{sf}/events.parquet")
+        .select("user_id")
+        .distinct()
+        .withColumn("segment", F.col("user_id") % 5)
+        .withColumnRenamed("user_id", "__u")
+    )
+    agg = (
+        spark.readStream.schema(raw_schema)
+        .parquet(drop)
+        .join(F.broadcast(static_dim), F.col("user_id") == F.col("__u"))
+        .groupBy("segment")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 4).alias("total_value"),
+        )
+    )
+    store = TableStore(tmp, "segment_stats", spark)
+    store.configure(unique_on="segment")
+    q = stream_upsert_to_store(agg, store, f"{tmp}/_ckpt").start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return store.read().select("segment", "n_events", "total_value")
