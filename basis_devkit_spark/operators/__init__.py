@@ -108,11 +108,14 @@ __all__ = [
     "rfm_profiles",
     "inter_event_gaps",
     "trailing_window_counts",
+    "assign_experiment",
+    "srm_check",
     "time_bucket_gapfill",
     "zscore_anomalies",
 ]
 
 from basis_devkit_spark.operators.events import (  # noqa: E402
+    assign_experiment,
     conversion_latency,
     event_transitions,
     funnel,
@@ -122,6 +125,7 @@ from basis_devkit_spark.operators.events import (  # noqa: E402
     rfm_profiles,
     session_paths,
     session_stats,
+    srm_check,
     trailing_window_counts,
     sessionize,
 )

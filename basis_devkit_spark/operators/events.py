@@ -440,3 +440,62 @@ def trailing_window_counts(
         F.col("event_id"),
         F.count(F.lit(1)).over(w).alias("n_trailing"),
     )
+
+
+def assign_experiment(
+    df: DataFrame,
+    arms: list[str],
+    unit_col: str = "user_id",
+    salt: str = "exp1",
+) -> DataFrame:
+    """Deterministic experiment-arm assignment: unit → arm via an
+    md5-uniform bucket (stable across runs/engines, no RNG state; the
+    same unit always lands in the same arm for a given salt). Adds an
+    ``arm`` column.
+    """
+    if not arms:
+        raise ValueError("need at least one arm")
+    bucket = F.pmod(
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit(salt), F.col(unit_col).cast("string"))), 1, 8
+            ),
+            16,
+            10,
+        ).cast("long"),
+        F.lit(len(arms)),
+    )
+    arm = None
+    for i, name in enumerate(arms):
+        arm = F.when(bucket == i, name) if arm is None else arm.when(bucket == i, name)
+    return df.withColumn("arm", arm)
+
+
+def srm_check(
+    df: DataFrame,
+    arms: list[str],
+    unit_col: str = "user_id",
+    salt: str = "exp1",
+) -> DataFrame:
+    """Sample-ratio-mismatch check for an equal-split assignment: per-arm
+    DISTINCT unit counts plus the chi-square statistic against the
+    uniform expectation — the standard A/B-test health gate. Exact
+    integer counts; the chi2 float derives from them deterministically.
+    Returns one row per arm: ``(arm, n_units, chi2)`` (chi2 repeated —
+    it is a property of the whole assignment).
+    """
+    assigned = assign_experiment(
+        df.select(unit_col).distinct(), arms, unit_col, salt
+    )
+    counts = assigned.groupBy("arm").agg(F.count(F.lit(1)).alias("n_units"))
+    total = counts.agg(
+        F.sum("n_units").alias("__total"), F.count(F.lit(1)).alias("__k")
+    )
+    j = counts.join(F.broadcast(total))
+    expected = F.col("__total") / F.lit(len(arms))
+    contrib = (F.col("n_units") - expected) * (F.col("n_units") - expected) / expected
+    per_arm = j.select("arm", "n_units", contrib.alias("__c"))
+    chi2 = per_arm.agg(
+        (F.floor(F.sum("__c") * 1000000.0 + 0.5) / 1000000.0).alias("chi2")
+    )
+    return per_arm.join(F.broadcast(chi2)).select("arm", "n_units", "chi2")

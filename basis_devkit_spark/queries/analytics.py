@@ -2654,3 +2654,37 @@ def c13(spark: SparkSession, sf: str) -> DataFrame:
     finally:
         q.stop()
     return store.read().select("segment", "n_events", "total_value")
+
+
+@register(
+    "e12_experiment_srm",
+    """
+    with units as (select distinct user_id from events),
+    assigned as (
+      select user_id,
+             case (('0x' || substr(md5('exp1' || cast(user_id as varchar)),
+                                   1, 8))::ubigint % 3)
+               when 0 then 'control' when 1 then 'variant_a'
+               else 'variant_b' end as arm
+      from units
+    ), counts as (
+      select arm, count(*) as n_units from assigned group by arm
+    ), tot as (select sum(n_units) as total from counts),
+    chi as (
+      select floor(sum((n_units - total / 3.0) * (n_units - total / 3.0)
+                       / (total / 3.0)) * 1000000.0 + 0.5) / 1000000.0 as chi2
+      from counts, tot
+    )
+    select arm, n_units, chi.chi2 from counts, chi
+    """,
+    doc="deterministic A/B assignment + sample-ratio-mismatch check: "
+    "md5-uniform arm bucketing (stable across engines/runs) and the "
+    "chi-square statistic against the uniform split — the experiment "
+    "health gate; exact integer counts, explicit IEEE rounding on chi2",
+)
+def e12(spark: SparkSession, sf: str) -> DataFrame:
+    from basis_devkit_spark.operators.events import srm_check
+
+    return srm_check(
+        load(spark, sf, "events"), ["control", "variant_a", "variant_b"]
+    )

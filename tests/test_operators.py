@@ -1734,3 +1734,28 @@ def test_source_vocab_overlap_handcomputed(spark):
         for r in source_vocab_overlap(df).collect()
     }
     assert out == {("s1", "s2"): (1, 0.333333)}  # |{abc}| / |{abc,bcd,bce}|
+
+
+def test_experiment_assignment_deterministic_and_partitioned(spark):
+    from pyspark.sql import functions as F
+
+    from basis_devkit_spark.operators.events import assign_experiment, srm_check
+
+    df = spark.range(3000).toDF("user_id")
+    arms = ["a", "b", "c"]
+    x = assign_experiment(df, arms).collect()
+    y = assign_experiment(df, arms).collect()
+    assert sorted(map(tuple, x)) == sorted(map(tuple, y))  # stable
+    got = {r["user_id"]: r["arm"] for r in x}
+    assert set(got.values()) == set(arms)
+    # different salt reshuffles at least some units
+    z = {r["user_id"]: r["arm"] for r in assign_experiment(df, arms, salt="other").collect()}
+    assert any(got[u] != z[u] for u in got)
+
+    srm = srm_check(df, arms)
+    rows = srm.collect()
+    assert len(rows) == 3
+    assert sum(r["n_units"] for r in rows) == 3000
+    # a healthy md5-uniform split over 3000 units: chi2 well under 13.8
+    # (p=0.001 at 2 dof) — a deterministic fact of this salt, not flaky
+    assert all(r["chi2"] < 13.8 for r in rows)
