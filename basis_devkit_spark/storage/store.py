@@ -281,7 +281,14 @@ class TableStore:
 
     def has_active_version(self) -> bool:
         v = self._manifest.active_version
-        return v is not None and os.path.isdir(self.version_path(v))
+        if v is None:
+            return False
+        dirs = self._version_dirs(v)
+        # a restored version owns no v=N dir of its own — validate its
+        # referenced lineage instead
+        return bool(dirs) and all(
+            os.path.isdir(os.path.join(self.path, d)) for d in dirs
+        )
 
     def set_active_version(self, version: int, record_count: int | None = None) -> None:
         # Restore-on-raise: if the durable commit fails, the in-memory
@@ -733,9 +740,31 @@ class TableStore:
                 f"table '{self.name}' has no version {version} (vacuumed?)"
             )
         dirs = self._version_dirs(version)
-        if not os.path.isdir(self.version_path(version)):
+        # validate the version's LINEAGE dirs (a restored version owns no
+        # v=N directory of its own — it references older lineage)
+        if not dirs or not all(
+            os.path.isdir(os.path.join(self.path, d)) for d in dirs
+        ):
             raise FileNotFoundError(f"table '{self.name}' has no version {version}")
         return self._read_dirs(dirs)
+
+    def restore(self, version: int) -> int:
+        """Delta-style RESTORE TABLE: make an old version's contents the
+        new ACTIVE version as a fresh commit — no data copy, the new
+        version entry references the old version's immutable lineage
+        directories. History is preserved (the restore is itself a
+        version); returns the new version number."""
+        if str(version) not in self._manifest.versions:
+            raise FileNotFoundError(
+                f"table '{self.name}' has no version {version} (vacuumed?)"
+            )
+        dirs = list(self._version_dirs(version))
+        rc = self._manifest.versions[str(version)].get("record_count")
+        v = self.create_new_version()
+        self._set_version_dirs(v, dirs)
+        self._manifest.versions[str(v)]["restored_from"] = version
+        self.set_active_version(v, record_count=rc)
+        return v
 
     def read_at(self, timestamp: float) -> DataFrame:
         """Time-travel read AS OF TIMESTAMP (Delta's ``TIMESTAMP AS OF``

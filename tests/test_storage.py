@@ -975,3 +975,23 @@ def test_read_at_timestamp_time_travel(spark, tmp_path):
 
     with _pytest.raises(FileNotFoundError):
         st.read_at(t_after_v1 - 1e6)                # before any version
+
+
+def test_restore_old_version_as_new_commit(spark, tmp_path):
+    from basis_devkit_spark.storage.store import TableStore
+
+    st = TableStore(str(tmp_path), "t", spark)
+    st.write_replace(spark.range(3).toDF("x"))
+    v1 = st.get_active_version()
+    st.write_replace(spark.range(9).toDF("x"))
+
+    v3 = st.restore(v1)
+    assert st.read().count() == 3                       # contents restored
+    assert st.get_active_version() == v3 and v3 != v1   # as a NEW commit
+    assert st.read_version(v3).count() == 3             # readable by number
+    h = st.history()
+    assert h[0]["version"] == v3 and h[0]["active"]
+    assert any(e["record_count"] == 9 for e in h)       # history preserved
+    # restore survives vacuum as long as its lineage is retained
+    st.append(spark.range(2).toDF("x"))
+    assert st.read().count() == 5
