@@ -457,7 +457,21 @@ def cmd_pull(args, spark) -> int:
 
 def cmd_restore(args, spark) -> int:
     """Extract an uploaded graph version into a directory with conflict
-    protection (graph_versions.py's restore path, pull semantics)."""
+    protection (graph_versions.py's restore path, pull semantics); with
+    --table, Delta-style RESTORE TABLE on a managed store."""
+    if getattr(args, "table", None):
+        from basis_devkit_spark.storage.store import TableStore
+
+        st = TableStore(_root(args), args.table, _get_spark(spark))
+        if not st.exists:
+            raise SystemExit(f"no such store: {args.table}")
+        try:
+            v = st.restore(args.version)
+        except FileNotFoundError as exc:
+            raise SystemExit(str(exc))
+        _out({"table": args.table, "restored_from": args.version,
+              "new_version": v, "records": st.record_count})
+        return 0
     from basis_devkit_spark.graph.versions import restore_graph_version
 
     try:
@@ -783,9 +797,11 @@ def build_parser() -> argparse.ArgumentParser:
     pl.add_argument("--registry", help="registry dir override")
 
     rs = sub.add_parser(
-        "restore", help="extract an uploaded graph version into a directory"
+        "restore", help="extract an uploaded graph version into a directory; "
+        "with --table, RESTORE TABLE to an old store version"
     )
     rs.add_argument("--version", type=int, required=True)
+    rs.add_argument("--table", help="restore this STORE to --version instead")
     rs.add_argument("directory", nargs="?", help="target dir (default: cwd)")
     rs.add_argument("--force", action="store_true", help="overwrite local files")
     rs.add_argument("--diff", action="store_true", help="show full diff of conflicts")

@@ -521,3 +521,21 @@ def test_cli_list_history(spark, tmp_path, capsys):
 
     with pytest.raises(SystemExit):
         main(["--root", root, "list", "history", "--table", "missing"], spark=spark)
+
+
+def test_cli_restore_table(spark, tmp_path, capsys):
+    from basis_devkit_spark.cli import main
+    from basis_devkit_spark.storage.store import TableStore
+
+    root = str(tmp_path)
+    st = TableStore(root, "t", spark)
+    st.write_replace(spark.range(3).toDF("x"))
+    v1 = st.get_active_version()
+    st.write_replace(spark.range(9).toDF("x"))
+
+    assert main(["--root", root, "restore", "--table", "t", "--version", str(v1)],
+                spark=spark) == 0
+    out = json.loads(capsys.readouterr().out)
+    assert out["restored_from"] == v1 and out["records"] == 3
+    st.refresh()
+    assert st.read().count() == 3
