@@ -114,6 +114,7 @@ class Engine:
                         "expectations_mode",
                         "strictly_monotonic_ordering",
                         "created_ordering",
+                        "strict_schema",
                     )
                     if getattr(spec, k, None) is not None
                 }

@@ -47,6 +47,8 @@ class StoreSpec(BaseModel):
     # from these when no order_by is passed.
     strictly_monotonic_ordering: Optional[str] = None
     created_ordering: Optional[str] = None
+    # Governance: reject schema drift on writes instead of evolving.
+    strict_schema: Optional[bool] = None
 
     model_config = {"populate_by_name": True}
 

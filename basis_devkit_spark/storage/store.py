@@ -56,6 +56,11 @@ from pyspark.sql.window import Window
 MANIFEST = "_manifest.json"
 
 
+class SchemaMismatchError(ValueError):
+    """Raised under ``strict_schema`` when a write's columns don't match
+    the table's declared schema exactly."""
+
+
 class ConcurrentWriteError(RuntimeError):
     """Another writer committed this store since this handle loaded its
     manifest — committing would silently drop their version (lost
@@ -171,6 +176,11 @@ class _Manifest:
     # version pointer flip, so a replayed micro-batch after a crash is
     # detected and skipped — exactly-once into the managed table.
     last_stream_batch_id: int = -1
+    # Strict schema governance: when True, appends/upserts whose columns
+    # don't EXACTLY match the declared schema raise SchemaMismatchError
+    # instead of evolving (the opt-in counterpart to the default
+    # widen/null-fill/cast behavior).
+    strict_schema: bool = False
     # Optimistic-concurrency fence (Delta-protocol-style): bumped on every
     # manifest commit. A handle that loaded seq N may only commit if the
     # on-disk manifest still carries seq N — otherwise another writer got
@@ -435,8 +445,11 @@ class TableStore:
         compact_after: int | None = None,
         expectations: dict[str, str] | None = None,
         expectations_mode: str | None = None,
+        strict_schema: bool | None = None,
     ) -> None:
         m = self._manifest
+        if strict_schema is not None:
+            m.strict_schema = bool(strict_schema)
         if partition_by is not None:
             m.partition_by = (
                 [partition_by] if isinstance(partition_by, str) else list(partition_by)
@@ -994,6 +1007,19 @@ class TableStore:
         DataFrame over the whole lineage just to learn the schema."""
         self._manifest.versions.setdefault(str(v), {})["schema_json"] = df.schema.json()
 
+    def _check_strict_schema(self, df: DataFrame, target: T.StructType) -> None:
+        if not self._manifest.strict_schema:
+            return
+        incoming = set(df.columns)
+        declared = {f.name for f in target.fields}
+        extra = sorted(incoming - declared)
+        missing = sorted(declared - incoming)
+        if extra or missing:
+            raise SchemaMismatchError(
+                f"store '{self.name}' (strict_schema): batch columns do not "
+                f"match the declared schema; extra={extra} missing={missing}"
+            )
+
     def _commit_single_dir_version(self, df: DataFrame) -> tuple[int, int]:
         """Write ``df`` as a fresh one-directory version; returns (v, n).
         Does NOT flip the active pointer — callers commit."""
@@ -1028,6 +1054,7 @@ class TableStore:
                 return
             prev = self._manifest.active_version
             existing = self.read()
+            self._check_strict_schema(df, existing.schema)
             df = _align_columns(df, existing.schema)
             prev_dirs = self._version_dirs(prev)
             prev_count = self._manifest.versions.get(str(prev), {}).get("record_count")
@@ -1141,6 +1168,7 @@ class TableStore:
                 self.set_active_version(v, record_count=n)
                 return
             old = self.read()
+            self._check_strict_schema(df, old.schema)
             df = _align_columns(df, old.schema)
             survivors = self._upsert_survivors(old, df, keys)
             merged = survivors.unionByName(df, allowMissingColumns=True)

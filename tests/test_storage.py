@@ -995,3 +995,26 @@ def test_restore_old_version_as_new_commit(spark, tmp_path):
     # restore survives vacuum as long as its lineage is retained
     st.append(spark.range(2).toDF("x"))
     assert st.read().count() == 5
+
+
+def test_strict_schema_rejects_drift(spark, tmp_path):
+    import pytest as _pytest
+
+    from basis_devkit_spark.storage.store import SchemaMismatchError, TableStore
+
+    st = TableStore(str(tmp_path), "t", spark)
+    st.configure(strict_schema=True, unique_on="id")
+    st.write_replace(spark.createDataFrame([(1, "a")], ["id", "x"]))
+
+    with _pytest.raises(SchemaMismatchError, match="extra=\\['y'\\]"):
+        st.append(spark.createDataFrame([(2, "b", 1.0)], ["id", "x", "y"]))
+    with _pytest.raises(SchemaMismatchError, match="missing=\\['x'\\]"):
+        st.upsert(spark.createDataFrame([(2,)], ["id"]))
+    # exact-match writes still work; type coercion still applies
+    st.append(spark.createDataFrame([(2, "b")], ["id", "x"]))
+    assert st.read().count() == 2
+    # and the default store remains evolving
+    st2 = TableStore(str(tmp_path), "t2", spark)
+    st2.write_replace(spark.createDataFrame([(1, "a")], ["id", "x"]))
+    st2.append(spark.createDataFrame([(2, "b", 1.0)], ["id", "x", "y"]))
+    assert "y" in st2.read().columns
