@@ -232,6 +232,20 @@ class Table:
         version committed at or before that time."""
         return self._require_store().read_at(timestamp)
 
+    def delete_where(self, condition: str) -> int:
+        """Managed DELETE (copy-on-write, new version); returns rows
+        deleted."""
+        n = self._require_store().delete_where(condition)
+        self._signals.append("update")
+        return n
+
+    def update_where(self, assignments: dict, condition: str) -> int:
+        """Managed UPDATE (copy-on-write, new version); returns rows
+        updated."""
+        n = self._require_store().update_where(assignments, condition)
+        self._signals.append("update")
+        return n
+
     def get_active_version(self) -> TableVersion | None:
         store = self._require_store()
         v = store.get_active_version()

@@ -988,3 +988,34 @@ def a27(spark: SparkSession, sf: str) -> DataFrame:
     assert [len(lvl) for lvl in eng.topo_levels()] == [2, 1]
     eng.run_graph(parallelism=4)
     return eng.table_df("big_spenders")
+
+
+@register(
+    "a31_dml_delete_update",
+    """
+    select o_orderkey,
+           case when o_orderkey % 7 = 0
+                then cast(cast(o_totalprice * 1.1 as decimal(18,4)) as double)
+                else o_totalprice end as o_totalprice
+    from orders
+    where not (o_totalprice < 50000)
+    """,
+    doc="managed DML (Delta parity): DELETE WHERE + UPDATE WHERE as "
+    "copy-on-write rewrites with new-version commits; result must equal "
+    "the equivalent filter + CASE projection",
+)
+def a31(spark: SparkSession, sf: str) -> DataFrame:
+    import tempfile as _tf
+
+    from basis_devkit_spark.storage.store import TableStore
+
+    tmp = _tf.mkdtemp(prefix="bds_a31_")
+    store = TableStore(tmp, "t", spark)
+    orders = load(spark, sf, "orders").select("o_orderkey", "o_totalprice")
+    store.write_replace(orders)
+    store.delete_where("o_totalprice < 50000")
+    store.update_where(
+        {"o_totalprice": "cast(cast(o_totalprice * 1.1 as decimal(18,4)) as double)"},
+        "o_orderkey % 7 = 0",
+    )
+    return store.read()

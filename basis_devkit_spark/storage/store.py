@@ -1134,6 +1134,45 @@ class TableStore:
         self.set_active_version(v, record_count=n0 if n0 is not None else n)
         return v
 
+    def delete_where(self, condition: str) -> int:
+        """Managed DELETE (Delta DML parity): copy-on-write rewrite that
+        drops rows matching the SQL ``condition``; commits as a new
+        version (time travel sees the pre-delete data). Returns the
+        number of rows deleted. NULL-evaluating conditions keep the row
+        (SQL DELETE semantics: only TRUE deletes)."""
+        old = self.read()
+        cond = F.coalesce(F.expr(condition), F.lit(False))
+        survivors = old.filter(~cond)
+        v, n = self._commit_single_dir_version(survivors)
+        before = self.record_count
+        self.set_active_version(v, record_count=n)
+        return (before - n) if before is not None else -1
+
+    def update_where(self, assignments: dict[str, str], condition: str) -> int:
+        """Managed UPDATE (Delta DML parity): copy-on-write rewrite
+        applying ``{column: SQL expr}`` to rows matching ``condition``;
+        other rows pass through unchanged. Returns the number of rows
+        updated (condition TRUE only, as in SQL UPDATE)."""
+        old = self.read()
+        cond = F.coalesce(F.expr(condition), F.lit(False))
+        bad = [c for c in assignments if c not in old.columns]
+        if bad:
+            raise ValueError(f"unknown columns in UPDATE: {bad}")
+        n_updated = old.filter(cond).count()
+        updated = old.select(
+            *[
+                F.when(cond, F.expr(assignments[c])).otherwise(F.col(c))
+                .cast(old.schema[c].dataType)
+                .alias(c)
+                if c in assignments
+                else F.col(c)
+                for c in old.columns
+            ]
+        )
+        v, n = self._commit_single_dir_version(updated)
+        self.set_active_version(v, record_count=n)
+        return n_updated
+
     def truncate(self) -> None:
         """Delete all rows, keep schema (A7)."""
         if not self.has_active_version():

@@ -1018,3 +1018,31 @@ def test_strict_schema_rejects_drift(spark, tmp_path):
     st2.write_replace(spark.createDataFrame([(1, "a")], ["id", "x"]))
     st2.append(spark.createDataFrame([(2, "b", 1.0)], ["id", "x", "y"]))
     assert "y" in st2.read().columns
+
+
+def test_delete_where_and_update_where(spark, tmp_path):
+    from basis_devkit_spark.storage.store import TableStore
+
+    st = TableStore(str(tmp_path), "t", spark)
+    st.write_replace(
+        spark.createDataFrame(
+            [(1, "a", 10.0), (2, "b", 20.0), (3, None, 30.0)], ["id", "x", "v"]
+        )
+    )
+    v1 = st.get_active_version()
+
+    # NULL-evaluating condition keeps the row (only TRUE deletes)
+    assert st.delete_where("x = 'a'") == 1
+    assert sorted(r["id"] for r in st.read().collect()) == [2, 3]
+
+    assert st.update_where({"v": "v * 2"}, "id = 2") == 1
+    rows = {r["id"]: r for r in st.read().collect()}
+    assert rows[2]["v"] == 40.0 and rows[3]["v"] == 30.0
+
+    # time travel still sees the pre-DML data
+    assert st.read_version(v1).count() == 3
+    # updating an unknown column is an error
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="unknown columns"):
+        st.update_where({"nope": "1"}, "id = 2")
