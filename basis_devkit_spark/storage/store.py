@@ -1173,6 +1173,64 @@ class TableStore:
         self.set_active_version(v, record_count=n)
         return n_updated
 
+    def changes_between(
+        self, from_version: int, to_version: int, keys: list[str] | None = None
+    ) -> DataFrame:
+        """Change feed between two versions (Delta CDF analogue): rows
+        classified as ``insert`` / ``delete`` / ``update_preimage`` /
+        ``update_postimage`` by the merge keys (defaults to the store's
+        ``unique_on``). A full-outer null-safe key join of the two
+        snapshots; value comparison over all shared non-key columns.
+        Output: the union of changed rows with a ``_change_type``
+        column, keys first."""
+        ks = keys or self._manifest.unique_on
+        if not ks:
+            raise ValueError("changes_between needs merge keys (unique_on)")
+        old = self.read_version(from_version)
+        new = self.read_version(to_version)
+        shared = [c for c in old.columns if c in new.columns and c not in ks]
+        cond = None
+        for k in ks:
+            e = F.col(f"__o_{k}").eqNullSafe(F.col(f"__n_{k}"))
+            cond = e if cond is None else (cond & e)
+        # presence flags must distinguish "row absent" from "key is NULL":
+        # a definitely-non-null marker per side
+        o = old.select(
+            F.lit(1).alias("__op"), *[F.col(c).alias(f"__o_{c}") for c in old.columns]
+        )
+        n = new.select(
+            F.lit(1).alias("__np"), *[F.col(c).alias(f"__n_{c}") for c in new.columns]
+        )
+        j = o.join(n, cond, "full_outer")
+        changed_vals = None
+        for c in shared:
+            ne = ~F.col(f"__o_{c}").eqNullSafe(F.col(f"__n_{c}"))
+            changed_vals = ne if changed_vals is None else (changed_vals | ne)
+        if changed_vals is None:
+            changed_vals = F.lit(False)
+        inserts = j.filter(F.col("__op").isNull()).select(
+            F.lit("insert").alias("_change_type"),
+            *[F.col(f"__n_{c}").alias(c) for c in new.columns if not c.startswith("__")],
+        )
+        deletes = j.filter(F.col("__np").isNull()).select(
+            F.lit("delete").alias("_change_type"),
+            *[F.col(f"__o_{c}").alias(c) for c in old.columns if not c.startswith("__")],
+        )
+        both = j.filter(F.col("__op").isNotNull() & F.col("__np").isNotNull()).filter(
+            changed_vals
+        )
+        pre = both.select(
+            F.lit("update_preimage").alias("_change_type"),
+            *[F.col(f"__o_{c}").alias(c) for c in old.columns if not c.startswith("__")],
+        )
+        post = both.select(
+            F.lit("update_postimage").alias("_change_type"),
+            *[F.col(f"__n_{c}").alias(c) for c in new.columns if not c.startswith("__")],
+        )
+        return inserts.unionByName(deletes, allowMissingColumns=True).unionByName(
+            pre, allowMissingColumns=True
+        ).unionByName(post, allowMissingColumns=True)
+
     def truncate(self) -> None:
         """Delete all rows, keep schema (A7)."""
         if not self.has_active_version():

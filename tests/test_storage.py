@@ -1046,3 +1046,30 @@ def test_delete_where_and_update_where(spark, tmp_path):
 
     with _pytest.raises(ValueError, match="unknown columns"):
         st.update_where({"nope": "1"}, "id = 2")
+
+
+def test_changes_between_versions_cdf(spark, tmp_path):
+    from basis_devkit_spark.storage.store import TableStore
+
+    st = TableStore(str(tmp_path), "t", spark)
+    st.configure(unique_on="id")
+    st.write_replace(
+        spark.createDataFrame([(1, "a"), (2, "b"), (3, "c")], ["id", "x"])
+    )
+    v1 = st.get_active_version()
+    st.write_replace(
+        spark.createDataFrame([(2, "B"), (3, "c"), (4, "d")], ["id", "x"])
+    )
+    v2 = st.get_active_version()
+
+    ch = {(r["_change_type"], r["id"]): r["x"]
+          for r in st.changes_between(v1, v2).collect()}
+    assert ch == {
+        ("delete", 1): "a",
+        ("update_preimage", 2): "b",
+        ("update_postimage", 2): "B",
+        ("insert", 4): "d",
+    }
+    # unchanged row 3 absent; reverse direction flips the classification
+    rev = {(r["_change_type"], r["id"]) for r in st.changes_between(v2, v1).collect()}
+    assert ("insert", 1) in rev and ("delete", 4) in rev
