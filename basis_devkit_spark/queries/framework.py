@@ -1019,3 +1019,53 @@ def a31(spark: SparkSession, sf: str) -> DataFrame:
         "o_orderkey % 7 = 0",
     )
     return store.read()
+
+
+@register(
+    "a32_change_feed",
+    """
+    with v1 as (
+      select o_orderkey as k, o_totalprice as p from orders where o_orderkey % 2 = 0
+    ), v2 as (
+      select o_orderkey as k,
+             case when o_orderkey % 6 = 0 then o_totalprice * 2
+                  else o_totalprice end as p
+      from orders where o_orderkey % 3 = 0
+    )
+    select 'insert' as _change_type, k, p from v2
+    where k not in (select k from v1)
+    union all
+    select 'delete', k, p from v1
+    where k not in (select k from v2)
+    union all
+    select 'update_preimage', v1.k, v1.p from v1 join v2 on v1.k = v2.k
+    where v1.p <> v2.p
+    union all
+    select 'update_postimage', v2.k, v2.p from v1 join v2 on v1.k = v2.k
+    where v1.p <> v2.p
+    """,
+    doc="change feed between two real store versions (Delta CDF "
+    "analogue): REPLACE even-keyed orders, then REPLACE multiple-of-3 "
+    "keys with some prices doubled; changes_between must equal the "
+    "set-algebra classification",
+)
+def a32(spark: SparkSession, sf: str) -> DataFrame:
+    import tempfile as _tf
+
+    from basis_devkit_spark.storage.store import TableStore
+
+    tmp = _tf.mkdtemp(prefix="bds_a32_")
+    store = TableStore(tmp, "t", spark)
+    store.configure(unique_on="k")
+    orders = load(spark, sf, "orders").select(
+        F.col("o_orderkey").alias("k"), F.col("o_totalprice").alias("p")
+    )
+    store.write_replace(orders.filter(F.col("k") % 2 == 0))
+    v1 = store.get_active_version()
+    store.write_replace(
+        orders.filter(F.col("k") % 3 == 0).withColumn(
+            "p", F.when(F.col("k") % 6 == 0, F.col("p") * 2).otherwise(F.col("p"))
+        )
+    )
+    v2 = store.get_active_version()
+    return store.changes_between(v1, v2)
