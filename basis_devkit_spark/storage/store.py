@@ -1231,6 +1231,28 @@ class TableStore:
             pre, allowMissingColumns=True
         ).unionByName(post, allowMissingColumns=True)
 
+    def apply_changes(self, changes: DataFrame, keys: list[str] | None = None) -> None:
+        """CDC consumer (the ``changes_between`` counterpart): apply a
+        change feed — delete rows whose keys carry ``delete``, upsert the
+        ``insert``/``update_postimage`` rows — in ONE new-version commit.
+        Replaying a source's feed onto a replica converges the replica to
+        the source snapshot (see the replication test)."""
+        ks = keys or self._manifest.unique_on
+        if not ks:
+            raise ValueError("apply_changes needs merge keys (unique_on)")
+        if "_change_type" not in changes.columns:
+            raise ValueError("changes frame lacks _change_type")
+        deletes = changes.filter(F.col("_change_type") == "delete").select(ks)
+        upserts = changes.filter(
+            F.col("_change_type").isin("insert", "update_postimage")
+        ).drop("_change_type")
+        old = self.read_or_empty(upserts.schema)
+        survivors = _anti_join_nullsafe(old, deletes, ks)
+        survivors = _anti_join_nullsafe(survivors, upserts, ks)
+        merged = survivors.unionByName(upserts, allowMissingColumns=True)
+        v, n = self._commit_single_dir_version(merged)
+        self.set_active_version(v, record_count=n)
+
     def truncate(self) -> None:
         """Delete all rows, keep schema (A7)."""
         if not self.has_active_version():

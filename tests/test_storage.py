@@ -1073,3 +1073,30 @@ def test_changes_between_versions_cdf(spark, tmp_path):
     # unchanged row 3 absent; reverse direction flips the classification
     rev = {(r["_change_type"], r["id"]) for r in st.changes_between(v2, v1).collect()}
     assert ("insert", 1) in rev and ("delete", 4) in rev
+
+
+def test_cdc_round_trip_replication_converges(spark, tmp_path):
+    """changes_between -> apply_changes replication: a replica that
+    replays the source's feed converges to the source snapshot exactly."""
+    from basis_devkit_spark.storage.store import TableStore
+
+    src = TableStore(str(tmp_path / "src"), "t", spark)
+    src.configure(unique_on="id")
+    src.write_replace(
+        spark.createDataFrame([(1, "a"), (2, "b"), (3, "c")], ["id", "x"])
+    )
+    v1 = src.get_active_version()
+
+    replica = TableStore(str(tmp_path / "rep"), "t", spark)
+    replica.configure(unique_on="id")
+    replica.write_replace(src.read_version(v1))  # initial sync
+
+    src.write_replace(
+        spark.createDataFrame([(2, "B"), (4, "d"), (5, "e")], ["id", "x"])
+    )
+    v2 = src.get_active_version()
+
+    replica.apply_changes(src.changes_between(v1, v2))
+    assert sorted(map(tuple, replica.read().collect())) == sorted(
+        map(tuple, src.read().collect())
+    )
