@@ -1100,3 +1100,35 @@ def test_cdc_round_trip_replication_converges(spark, tmp_path):
     assert sorted(map(tuple, replica.read().collect())) == sorted(
         map(tuple, src.read().collect())
     )
+
+
+def test_cdc_replication_random_mutation_rounds(spark, tmp_path):
+    """Randomized: 4 rounds of random snapshot mutations; the replica
+    replays each round's feed and must converge every time."""
+    import numpy as np
+
+    from basis_devkit_spark.storage.store import TableStore
+
+    rng = np.random.default_rng(5)
+
+    def snapshot():
+        ids = sorted(rng.choice(20, size=rng.integers(5, 15), replace=False))
+        return [(int(i), f"v{int(rng.integers(0, 4))}") for i in ids]
+
+    src = TableStore(str(tmp_path / "src"), "t", spark)
+    src.configure(unique_on="id")
+    src.write_replace(spark.createDataFrame(snapshot(), ["id", "x"]))
+    prev = src.get_active_version()
+
+    rep = TableStore(str(tmp_path / "rep"), "t", spark)
+    rep.configure(unique_on="id")
+    rep.write_replace(src.read())
+
+    for _ in range(4):
+        src.write_replace(spark.createDataFrame(snapshot(), ["id", "x"]))
+        cur = src.get_active_version()
+        rep.apply_changes(src.changes_between(prev, cur))
+        assert sorted(map(tuple, rep.read().collect())) == sorted(
+            map(tuple, src.read().collect())
+        )
+        prev = cur
