@@ -43,7 +43,7 @@ from basis_devkit_spark.operators.text import (
     token_budget_sample,
     chunk_documents,
 )
-from basis_devkit_spark.operators.joins import as_of_join, range_join
+from basis_devkit_spark.operators.joins import scd2_merge, as_of_join, range_join
 from basis_devkit_spark.operators.skew import salted_agg, salted_join
 from basis_devkit_spark.operators.embeddings import (
     label_centroids,
@@ -75,6 +75,7 @@ __all__ = [
     "doc_fingerprint",
     "as_of_join",
     "range_join",
+    "scd2_merge",
     "salted_agg",
     "salted_join",
     "quantize_int8",

@@ -122,3 +122,54 @@ def range_join(
         (F.col(right_ts) >= F.col("__lo")) & (F.col(right_ts) <= F.col("__hi"))
     )
     return joined.drop("__bucket", "__lo", "__hi")
+
+
+def scd2_merge(
+    dim: DataFrame,
+    updates: DataFrame,
+    keys: list[str],
+    effective_ts: str,
+    valid_from: str = "valid_from",
+    valid_to: str = "valid_to",
+    current_flag: str = "is_current",
+) -> DataFrame:
+    """Slowly-changing-dimension Type 2 merge: for every incoming update
+    row, EXPIRE the key's current dimension row (``valid_to`` := the
+    update's ``effective_ts``, ``is_current`` := false) and INSERT the
+    update as the new current row (open-ended ``valid_to``). Unchanged
+    keys and already-expired history pass through untouched.
+
+    ``dim`` must carry the three SCD columns; ``updates`` carries the
+    natural key + attributes + ``effective_ts``. One shuffle on the key
+    (updates are broadcast when small); at scale this is the standard
+    warehouse dimension-maintenance plan. Value-identical updates still
+    open a new interval — version on every delivery; dedupe upstream if
+    idempotent replays must not create intervals.
+    """
+    upd_keyed = updates.select(
+        *[F.col(k).alias(f"__uk_{k}") for k in keys],
+        F.col(effective_ts).alias("__eff"),
+    )
+    cond = None
+    for k in keys:
+        e = F.col(k).eqNullSafe(F.col(f"__uk_{k}"))
+        cond = e if cond is None else (cond & e)
+    hit = cond & F.col(current_flag)
+    expired = (
+        dim.join(F.broadcast(upd_keyed), hit, "inner")
+        .select(
+            *[F.col(c) for c in dim.columns if c not in (valid_to, current_flag)],
+            F.col("__eff").alias(valid_to),
+            F.lit(False).alias(current_flag),
+        )
+    )
+    untouched = dim.join(F.broadcast(upd_keyed), hit, "left_anti")
+    inserts = updates.select(
+        *[F.col(c) for c in updates.columns if c != effective_ts],
+        F.col(effective_ts).alias(valid_from),
+        F.lit(None).cast(dim.schema[valid_to].dataType).alias(valid_to),
+        F.lit(True).alias(current_flag),
+    )
+    return untouched.unionByName(expired).unionByName(
+        inserts, allowMissingColumns=True
+    )

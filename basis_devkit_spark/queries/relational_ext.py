@@ -1461,3 +1461,49 @@ def b78(spark: SparkSession, sf: str) -> DataFrame:
 
     li = load(spark, sf, "lineitem")
     return profile_numeric(li, ["l_quantity", "l_extendedprice", "l_discount"])
+
+
+@register(
+    "b79_scd2_dimension_merge",
+    """
+    with dim as (
+      select c_custkey, c_acctbal,
+             timestamp '2024-01-01 00:00:00' as valid_from,
+             cast(null as timestamp) as valid_to,
+             true as is_current
+      from customer
+    ), upd as (
+      select c_custkey, c_acctbal + 100.0 as c_acctbal,
+             timestamp '2024-06-01 00:00:00' as effective_ts
+      from customer where c_custkey % 4 = 0
+    )
+    select c_custkey, c_acctbal, valid_from,
+           case when c_custkey % 4 = 0
+                then timestamp '2024-06-01 00:00:00' end as valid_to,
+           (c_custkey % 4 <> 0) as is_current
+    from dim
+    union all
+    select c_custkey, c_acctbal, effective_ts, cast(null as timestamp), true
+    from upd
+    """,
+    doc="SCD Type 2 dimension merge: updated keys' current rows expire at "
+    "the update's effective time, updates insert as new current rows, "
+    "untouched keys pass through — the warehouse dimension-maintenance "
+    "pattern as one declarative plan",
+)
+def b79(spark: SparkSession, sf: str) -> DataFrame:
+    from basis_devkit_spark.operators.joins import scd2_merge
+
+    c = load(spark, sf, "customer").select("c_custkey", "c_acctbal")
+    dim = c.select(
+        "c_custkey", "c_acctbal",
+        F.lit("2024-01-01 00:00:00").cast("timestamp").alias("valid_from"),
+        F.lit(None).cast("timestamp").alias("valid_to"),
+        F.lit(True).alias("is_current"),
+    )
+    upd = c.filter(F.col("c_custkey") % 4 == 0).select(
+        "c_custkey",
+        (F.col("c_acctbal") + 100.0).alias("c_acctbal"),
+        F.lit("2024-06-01 00:00:00").cast("timestamp").alias("effective_ts"),
+    )
+    return scd2_merge(dim, upd, ["c_custkey"], "effective_ts")

@@ -1759,3 +1759,39 @@ def test_experiment_assignment_deterministic_and_partitioned(spark):
     # a healthy md5-uniform split over 3000 units: chi2 well under 13.8
     # (p=0.001 at 2 dof) — a deterministic fact of this salt, not flaky
     assert all(r["chi2"] < 13.8 for r in rows)
+
+
+def test_scd2_merge_expire_and_insert(spark):
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    from basis_devkit_spark.operators.joins import scd2_merge
+
+    t0 = dt.datetime(2024, 1, 1)
+    t1 = dt.datetime(2024, 6, 1)
+    dim = spark.createDataFrame(
+        [
+            # key 1: one expired + one current row
+            (1, "old-addr", t0 - dt.timedelta(days=100), t0, False),
+            (1, "addr-a", t0, None, True),
+            # key 2: current only, not updated this batch
+            (2, "addr-b", t0, None, True),
+        ],
+        "id int, addr string, valid_from timestamp, valid_to timestamp, is_current boolean",
+    )
+    updates = spark.createDataFrame(
+        [(1, "addr-a2", t1), (3, "addr-c", t1)],
+        "id int, addr string, effective_ts timestamp",
+    )
+    out = scd2_merge(dim, updates, ["id"], "effective_ts")
+    rows = sorted(
+        ((r["id"], r["addr"], r["is_current"], r["valid_to"]) for r in out.collect())
+    )
+    assert (1, "addr-a", False, t1) in rows          # expired at update time
+    assert (1, "addr-a2", True, None) in rows        # new current
+    assert (1, "old-addr", False, t0) in rows        # history untouched
+    assert (2, "addr-b", True, None) in rows         # unrelated current kept
+    assert (3, "addr-c", True, None) in rows         # brand-new key inserted
+    cur = out.filter(F.col("is_current"))
+    assert cur.count() == 3 and cur.select("id").distinct().count() == 3
