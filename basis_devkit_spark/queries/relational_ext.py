@@ -1507,3 +1507,55 @@ def b79(spark: SparkSession, sf: str) -> DataFrame:
         F.lit("2024-06-01 00:00:00").cast("timestamp").alias("effective_ts"),
     )
     return scd2_merge(dim, upd, ["c_custkey"], "effective_ts")
+
+
+@register(
+    "b80_scd2_point_in_time_lookup",
+    """
+    with dim as (
+      select c_custkey, c_acctbal,
+             timestamp '1995-01-01 00:00:00' as valid_from,
+             case when c_custkey % 4 = 0
+                  then timestamp '1997-01-01 00:00:00' end as valid_to,
+             (c_custkey % 4 <> 0) as is_current
+      from customer
+      union all
+      select c_custkey, c_acctbal + 100.0,
+             timestamp '1997-01-01 00:00:00', cast(null as timestamp), true
+      from customer where c_custkey % 4 = 0
+    )
+    select o.o_orderkey, d.c_acctbal
+    from orders o join dim d
+      on o.o_custkey = d.c_custkey
+     and o.o_orderdate >= d.valid_from
+     and (d.valid_to is null or o.o_orderdate < d.valid_to)
+    """,
+    doc="point-in-time correct dimension lookup (the SCD2 consumer): "
+    "each fact joins the dimension row whose validity interval contains "
+    "the fact timestamp — broadcast dim, half-open [from, to) semantics "
+    "so interval boundaries never double-match",
+)
+def b80(spark: SparkSession, sf: str) -> DataFrame:
+    c = load(spark, sf, "customer").select("c_custkey", "c_acctbal")
+    old = c.select(
+        "c_custkey", "c_acctbal",
+        F.lit("1995-01-01 00:00:00").cast("timestamp").alias("valid_from"),
+        F.when(F.col("c_custkey") % 4 == 0,
+               F.lit("1997-01-01 00:00:00").cast("timestamp")).alias("valid_to"),
+        (F.col("c_custkey") % 4 != 0).alias("is_current"),
+    )
+    new = c.filter(F.col("c_custkey") % 4 == 0).select(
+        "c_custkey",
+        (F.col("c_acctbal") + 100.0).alias("c_acctbal"),
+        F.lit("1997-01-01 00:00:00").cast("timestamp").alias("valid_from"),
+        F.lit(None).cast("timestamp").alias("valid_to"),
+        F.lit(True).alias("is_current"),
+    )
+    dim = old.unionByName(new)
+    o = load(spark, sf, "orders").select("o_orderkey", "o_custkey", "o_orderdate")
+    return o.join(
+        F.broadcast(dim),
+        (F.col("o_custkey") == F.col("c_custkey"))
+        & (F.col("o_orderdate") >= F.col("valid_from"))
+        & (F.col("valid_to").isNull() | (F.col("o_orderdate") < F.col("valid_to"))),
+    ).select("o_orderkey", "c_acctbal")
