@@ -15,6 +15,7 @@ from basis_devkit_spark.operators.dedup import (
     ngram_jaccard_pairs,
     ngram_contamination,
     connected_components,
+    multi_benchmark_contamination,
     source_vocab_overlap,
 )
 from basis_devkit_spark.operators.similarity import (
@@ -97,6 +98,7 @@ __all__ = [
     "weighted_reservoir_sample",
     "profile_numeric",
     "source_vocab_overlap",
+    "multi_benchmark_contamination",
     "wav_header_fields",
     "sessionize",
     "session_stats",

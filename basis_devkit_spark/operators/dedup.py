@@ -712,3 +712,42 @@ def source_vocab_overlap(
             (F.floor(jac * 1000000.0 + 0.5) / 1000000.0).alias("jaccard"),
         )
     )
+
+
+def multi_benchmark_contamination(
+    corpus: DataFrame,
+    benchmarks: DataFrame,
+    bench_col: str = "bench_name",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_size: int = 8,
+) -> DataFrame:
+    """Decontamination against MANY eval suites at once, with
+    attribution: for each (corpus doc, benchmark) pair that shares at
+    least one distinct word ``shingle_size``-gram, the shared-gram
+    count. One corpus shingle pass serves every benchmark; the combined
+    (bench, gram) set is still eval-suite-sized, so it broadcasts — the
+    corpus is never shuffled by gram and never self-joins, exactly like
+    the single-benchmark screen.
+    """
+    c = corpus.select(
+        F.col(id_col).alias("__id"),
+        F.explode(shingle_col(text_col, shingle_size)).alias("__s"),
+    )
+    b = (
+        benchmarks.select(
+            F.col(bench_col).alias("__b"),
+            F.explode(shingle_col(text_col, shingle_size)).alias("__s"),
+        )
+        .distinct()
+    )
+    return (
+        c.join(F.broadcast(b), "__s")
+        .groupBy("__id", "__b")
+        .agg(F.count(F.lit(1)).alias("shared_grams"))
+        .select(
+            F.col("__id").alias(id_col),
+            F.col("__b").alias(bench_col),
+            "shared_grams",
+        )
+    )

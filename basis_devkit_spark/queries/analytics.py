@@ -2688,3 +2688,39 @@ def e12(spark: SparkSession, sf: str) -> DataFrame:
     return srm_check(
         load(spark, sf, "events"), ["control", "variant_a", "variant_b"]
     )
+
+
+@register(
+    "d07b_multi_benchmark_contamination",
+    r"""
+    with toks as (
+      select doc_id,
+             string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') as w
+      from documents
+    ), cg as (
+      select doc_id, w[p.pos] || ' ' || w[p.pos+1] || ' ' || w[p.pos+2] || ' '
+             || w[p.pos+3] || ' ' || w[p.pos+4] as g
+      from toks cross join (select unnest(generate_series(1, 400)) as pos) p
+      where p.pos + 4 <= len(w)
+    ), bg as (
+      select distinct case when doc_id < 5 then 'bench_a' else 'bench_b' end
+               as bench_name, g
+      from cg where doc_id < 10
+    ), cd as (select distinct doc_id, g from cg)
+    select cd.doc_id, bg.bench_name, count(*) as shared_grams
+    from cd join bg on cd.g = bg.g
+    group by cd.doc_id, bg.bench_name
+    """,
+    doc="multi-benchmark decontamination with attribution: one corpus "
+    "shingle pass vs the combined broadcast (bench, gram) set — per-doc "
+    "per-benchmark shared 5-gram counts; corpus never self-joins",
+)
+def d07b(spark: SparkSession, sf: str) -> DataFrame:
+    from basis_devkit_spark.operators.dedup import multi_benchmark_contamination
+
+    d = load(spark, sf, "documents").select("doc_id", "text")
+    bench = d.filter(F.col("doc_id") < 10).select(
+        F.when(F.col("doc_id") < 5, "bench_a").otherwise("bench_b").alias("bench_name"),
+        "text",
+    )
+    return multi_benchmark_contamination(d, bench, shingle_size=5)

@@ -1795,3 +1795,28 @@ def test_scd2_merge_expire_and_insert(spark):
     assert (3, "addr-c", True, None) in rows         # brand-new key inserted
     cur = out.filter(F.col("is_current"))
     assert cur.count() == 3 and cur.select("id").distinct().count() == 3
+
+
+def test_multi_benchmark_contamination_attribution(spark):
+    from basis_devkit_spark.operators.dedup import multi_benchmark_contamination
+
+    corpus = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta"),   # hits bench A only
+            (2, "epsilon zeta eta theta"),   # hits bench B only
+            (3, "alpha beta gamma epsilon zeta eta"),  # hits both
+            (4, "totally different words here"),       # clean
+        ],
+        ["doc_id", "text"],
+    )
+    bench = spark.createDataFrame(
+        [("A", "alpha beta gamma xxx"), ("B", "epsilon zeta eta yyy")],
+        ["bench_name", "text"],
+    )
+    out = {
+        (r["doc_id"], r["bench_name"]): r["shared_grams"]
+        for r in multi_benchmark_contamination(
+            corpus, bench, shingle_size=3
+        ).collect()
+    }
+    assert out == {(1, "A"): 1, (2, "B"): 1, (3, "A"): 1, (3, "B"): 1}
