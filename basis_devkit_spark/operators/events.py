@@ -499,3 +499,41 @@ def srm_check(
         (F.floor(F.sum("__c") * 1000000.0 + 0.5) / 1000000.0).alias("chi2")
     )
     return per_arm.join(F.broadcast(chi2)).select("arm", "n_units", "chi2")
+
+
+def experiment_readout(
+    df: DataFrame,
+    arms: list[str],
+    metric_event: str = "purchase",
+    value_col: str = "value",
+    unit_col: str = "user_id",
+    event_col: str = "event_type",
+    salt: str = "exp1",
+) -> DataFrame:
+    """Per-arm experiment readout: unit counts, converting-unit counts
+    (did the metric event at least once), conversion rate, and the
+    decimal-exact metric value sum — the A/B result table that pairs
+    with :func:`assign_experiment` / :func:`srm_check`. All derived
+    floats come from exact integers/decimals with explicit rounding.
+    """
+    assigned = assign_experiment(df, arms, unit_col, salt)
+    per_unit = assigned.groupBy(F.col(unit_col).alias("__u"), "arm").agg(
+        F.max((F.col(event_col) == metric_event).cast("int")).alias("__conv"),
+        F.sum(
+            F.when(F.col(event_col) == metric_event, F.col(value_col))
+            .cast("decimal(18,6)")
+        ).alias("__val"),
+    )
+    return per_unit.groupBy("arm").agg(
+        F.count(F.lit(1)).alias("n_units"),
+        F.sum("__conv").alias("n_converted"),
+        (
+            F.floor(
+                F.sum("__conv") / F.count(F.lit(1)) * 1000000.0 + 0.5
+            )
+            / 1000000.0
+        ).alias("conversion_rate"),
+        F.coalesce(F.sum("__val"), F.lit(0).cast("decimal(28,6)"))
+        .cast("double")
+        .alias("metric_value"),
+    )

@@ -2724,3 +2724,39 @@ def d07b(spark: SparkSession, sf: str) -> DataFrame:
         "text",
     )
     return multi_benchmark_contamination(d, bench, shingle_size=5)
+
+
+@register(
+    "e13_experiment_readout",
+    """
+    with assigned as (
+      select user_id, event_type, value,
+             case (('0x' || substr(md5('exp1' || cast(user_id as varchar)),
+                                   1, 8))::ubigint % 3)
+               when 0 then 'control' when 1 then 'variant_a'
+               else 'variant_b' end as arm
+      from events
+    ), per_unit as (
+      select user_id, arm,
+             max(cast(event_type = 'purchase' as int)) as conv,
+             sum(case when event_type = 'purchase'
+                      then cast(value as decimal(18,6)) end) as val
+      from assigned group by user_id, arm
+    )
+    select arm, count(*) as n_units, sum(conv) as n_converted,
+           floor(sum(conv) / cast(count(*) as double) * 1000000.0 + 0.5)
+             / 1000000.0 as conversion_rate,
+           cast(coalesce(sum(val), cast(0 as decimal(28,6))) as double)
+             as metric_value
+    from per_unit group by arm
+    """,
+    doc="per-arm A/B readout: unit counts, converters, conversion rate "
+    "(explicit IEEE rounding), decimal-exact metric value sum — pairs "
+    "with the e12 assignment + SRM gate",
+)
+def e13(spark: SparkSession, sf: str) -> DataFrame:
+    from basis_devkit_spark.operators.events import experiment_readout
+
+    return experiment_readout(
+        load(spark, sf, "events"), ["control", "variant_a", "variant_b"]
+    )

@@ -1820,3 +1820,35 @@ def test_multi_benchmark_contamination_attribution(spark):
         ).collect()
     }
     assert out == {(1, "A"): 1, (2, "B"): 1, (3, "A"): 1, (3, "B"): 1}
+
+
+def test_experiment_readout_handcomputed(spark):
+    import datetime as dt
+
+    from basis_devkit_spark.operators.events import (
+        assign_experiment,
+        experiment_readout,
+    )
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = []
+    for u in range(60):
+        rows.append((u, "view", t0, 1.0))
+        if u % 2 == 0:
+            rows.append((u, "purchase", t0, 10.0))
+    df = spark.createDataFrame(rows, ["user_id", "event_type", "ts", "value"])
+    arms = ["a", "b"]
+    out = {r["arm"]: r for r in experiment_readout(df, arms).collect()}
+    # totals across arms must reconstruct the ground truth exactly
+    assert sum(r["n_units"] for r in out.values()) == 60
+    assert sum(r["n_converted"] for r in out.values()) == 30
+    assert sum(r["metric_value"] for r in out.values()) == 300.0
+    # conversion rate consistent with its own integers
+    for r in out.values():
+        assert r["conversion_rate"] == __import__("math").floor(
+            r["n_converted"] / r["n_units"] * 1e6 + 0.5
+        ) / 1e6
+    # every unit's arm matches assign_experiment
+    arms_of = {r["user_id"]: r["arm"]
+               for r in assign_experiment(df.select("user_id").distinct(), arms).collect()}
+    assert set(arms_of.values()) == {"a", "b"}
