@@ -103,3 +103,36 @@ def label_centroids(
         )
         .select(F.col("__l").alias(label_col), "centroid")
     )
+
+
+def embedding_standardize_fit(
+    df: DataFrame, vec_col: str = "embedding"
+) -> DataFrame:
+    """Per-dimension standardization fit — the feature-normalization
+    step before clustering/classification: for each vector position,
+    mean and sample stddev derived from DECIMAL-EXACT sums (the sigma
+    formula evaluates in float64 from exact sums, so both engines
+    compute bit-identical results; explicit IEEE rounding on output).
+    Returns (pos, mu, sigma) — apply downstream as (v - mu) / sigma
+    with a broadcast of these 64-ish rows.
+    """
+    pos = df.select(F.posexplode(F.col(vec_col)).alias("__p", "__v"))
+    agg = pos.groupBy("__p").agg(
+        F.count(F.lit(1)).alias("__n"),
+        F.sum(F.col("__v").cast("decimal(18,9)")).cast("double").alias("__s"),
+        F.sum(
+            (F.col("__v").cast("decimal(18,9)") * F.col("__v").cast("decimal(18,9)"))
+        )
+        .cast("double")
+        .alias("__sq"),
+    )
+    mu = F.col("__s") / F.col("__n")
+    var = (F.col("__sq") - F.col("__s") * F.col("__s") / F.col("__n")) / (
+        F.col("__n") - 1
+    )
+    r6 = lambda c: F.floor(c * 1000000.0 + 0.5) / 1000000.0  # noqa: E731
+    return agg.select(
+        (F.col("__p") + 1).cast("int").alias("pos"),
+        r6(mu).alias("mu"),
+        r6(F.sqrt(var)).alias("sigma"),
+    )

@@ -2760,3 +2760,35 @@ def e13(spark: SparkSession, sf: str) -> DataFrame:
     return experiment_readout(
         load(spark, sf, "events"), ["control", "variant_a", "variant_b"]
     )
+
+
+@register(
+    "d06f_embedding_standardize_fit",
+    """
+    with p as (
+      select unnest(generate_series(1,
+               (select max(len(embedding)) from embeddings))) as pos
+    ), e as (
+      select p.pos, embedding[p.pos] as v
+      from embeddings cross join p
+    ), a as (
+      select pos, count(*) as n,
+             cast(sum(cast(v as decimal(18,9))) as double) as s,
+             cast(sum(cast(v as decimal(18,9)) * cast(v as decimal(18,9)))
+                  as double) as sq
+      from e group by pos
+    )
+    select cast(pos as int) as pos,
+           floor(s / n * 1000000.0 + 0.5) / 1000000.0 as mu,
+           floor(sqrt((sq - s * s / n) / (n - 1)) * 1000000.0 + 0.5)
+             / 1000000.0 as sigma
+    from a
+    """,
+    doc="per-dimension standardization fit (feature normalization): mean "
+    "and sample stddev from decimal-exact sums, identical float64 "
+    "formula both engines, explicit IEEE rounding",
+)
+def d06f(spark: SparkSession, sf: str) -> DataFrame:
+    from basis_devkit_spark.operators.embeddings import embedding_standardize_fit
+
+    return embedding_standardize_fit(load(spark, sf, "embeddings"))

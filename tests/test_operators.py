@@ -1852,3 +1852,17 @@ def test_experiment_readout_handcomputed(spark):
     arms_of = {r["user_id"]: r["arm"]
                for r in assign_experiment(df.select("user_id").distinct(), arms).collect()}
     assert set(arms_of.values()) == {"a", "b"}
+
+
+def test_embedding_standardize_fit_handcomputed(spark):
+    import math
+
+    from basis_devkit_spark.operators.embeddings import embedding_standardize_fit
+
+    df = spark.createDataFrame(
+        [([1.0, 10.0],), ([3.0, 10.0],), ([5.0, 10.0],)], ["embedding"]
+    )
+    out = {r["pos"]: (r["mu"], r["sigma"])
+           for r in embedding_standardize_fit(df).collect()}
+    assert out[1] == (3.0, 2.0)  # mean 3, sample std 2
+    assert out[2][0] == 10.0 and out[2][1] == 0.0  # constant dim
