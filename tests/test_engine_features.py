@@ -907,3 +907,48 @@ def test_incremental_stream_example_app(spark, tmp_path):
     assert {k: (v["n"], v["total"]) for k, v in t2.items()} == {
         k: (v["n"], v["total"]) for k, v in t3.items()
     }
+
+
+def test_warehouse_dim_example_app(spark, tmp_path):
+    """examples/warehouse_dim: SCD2 merge + point-in-time enrichment.
+    Orders before the update's effective date see the OLD balance;
+    orders after see the NEW one."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    eng = Engine(spark, str(tmp_path / "store"))
+    eng.load_graph("examples/warehouse_dim")
+
+    cust = spark.read.parquet("/root/testdata/sf0.001/customer.parquet")
+    dim = cust.select(
+        "c_custkey", "c_acctbal",
+        F.lit("1995-01-01").cast("timestamp").alias("valid_from"),
+        F.lit(None).cast("timestamp").alias("valid_to"),
+        F.lit(True).alias("is_current"),
+    )
+    updates = cust.filter(F.col("c_custkey") % 3 == 0).select(
+        "c_custkey",
+        (F.col("c_acctbal") + 500.0).alias("c_acctbal"),
+        F.lit("1997-01-01").cast("timestamp").alias("effective_ts"),
+    )
+    orders = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+    eng.seed_store("customer_dim", dim)
+    eng.seed_store("dim_updates", updates)
+    eng.seed_store("orders", orders)
+    eng.run_graph()
+
+    enr = eng.table_df("enriched_orders")
+    assert enr.count() == orders.count()  # every order matched exactly one interval
+    bal = {r["c_custkey"]: r["c_acctbal"] for r in cust.collect()}
+    probe = enr.join(
+        orders.select("o_orderkey", "o_custkey"), "o_orderkey"
+    ).filter(F.col("o_custkey") % 3 == 0)
+    pre = probe.filter(F.col("o_orderdate") < "1997-01-01").collect()
+    post = probe.filter(F.col("o_orderdate") >= "1997-01-01").collect()
+    assert pre and post
+    assert all(abs(r["acctbal_at_order_time"] - bal[r["o_custkey"]]) < 1e-6 for r in pre)
+    assert all(
+        abs(r["acctbal_at_order_time"] - (bal[r["o_custkey"]] + 500.0)) < 1e-6
+        for r in post
+    )
