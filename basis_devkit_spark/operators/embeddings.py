@@ -9,6 +9,8 @@ difference between a feasible job and not.
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -136,3 +138,35 @@ def embedding_standardize_fit(
         r6(mu).alias("mu"),
         r6(F.sqrt(var)).alias("sigma"),
     )
+
+
+def nearest_centroid_assign(
+    df: DataFrame,
+    centroids: DataFrame,
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    centroid_col: str = "centroid",
+) -> DataFrame:
+    """Nearest-centroid classification (Rocchio): assign each vector to
+    the centroid with the highest cosine similarity. The centroid table
+    (one row per class — tiny) collects to literal arrays and the whole
+    scoring is a pure per-row expression chain: no join, no shuffle, no
+    UDF; ties break toward the lexicographically smallest label.
+    Adds ``pred_label``.
+    """
+    rows = centroids.select(label_col, centroid_col).collect()
+    if not rows:
+        raise ValueError("empty centroid table")
+    v = F.col(vec_col)
+    vnorm = F.sqrt(F.aggregate(v, F.lit(0.0), lambda a, x: a + x * x))
+    best = None
+    for r in sorted(rows, key=lambda r: str(r[label_col])):
+        c = F.array(*[F.lit(float(x)) for x in r[centroid_col]])
+        dot = F.aggregate(
+            F.zip_with(v, c, lambda a, b: a * b), F.lit(0.0), lambda a, x: a + x
+        )
+        cn = math.sqrt(sum(float(x) * float(x) for x in r[centroid_col])) or 1.0
+        score = dot / (vnorm * cn)
+        entry = F.struct(score.alias("s"), F.lit(str(r[label_col])).alias("l"))
+        best = entry if best is None else F.when(score > best["s"], entry).otherwise(best)
+    return df.withColumn("pred_label", best["l"])

@@ -89,7 +89,7 @@ _SAMPLE_PRIORITY = [
     "a31_dml_delete_update", "a32_change_feed",
     "e11_trailing_window_rate", "b77_group_by_all", "b78_numeric_profile", "b79_scd2_dimension_merge", "b80_scd2_point_in_time_lookup",
     "d04t_gopher_rules", "d04u_weighted_reservoir", "d05d_wav_header_parse",
-    "d06e_label_centroids", "d06f_embedding_standardize_fit", "d02j_source_vocab_overlap", "d07b_multi_benchmark_contamination",
+    "d06e_label_centroids", "d06f_embedding_standardize_fit", "d03g_nearest_centroid_confusion", "d02j_source_vocab_overlap", "d07b_multi_benchmark_contamination",
     "b72_tpch_q8_market_share", "b73_intersect_except_all",
     "b74_tpch_q9_profit", "b75_tpch_q3_bench_flagship",
     "b76_topk_algebraic_rewrite",

@@ -2792,3 +2792,30 @@ def d06f(spark: SparkSession, sf: str) -> DataFrame:
     from basis_devkit_spark.operators.embeddings import embedding_standardize_fit
 
     return embedding_standardize_fit(load(spark, sf, "embeddings"))
+
+
+@register(
+    "d03g_nearest_centroid_confusion",
+    None,  # rows-only: the cosine argmax is float-order-sensitive across
+    # engines (same class of boundary as the IVF KMeans variant); quality
+    # is guarded by the 4x-over-chance accuracy pytest instead
+    doc="nearest-centroid (Rocchio) classification confusion matrix: "
+    "class centroids from label_centroids, per-row literal-expression "
+    "cosine argmax (no join/shuffle/UDF; the small-class-count form — "
+    "use a centroid JOIN when classes number in the thousands); "
+    "rows-only by design, accuracy-tested in pytest",
+)
+def d03g(spark: SparkSession, sf: str) -> DataFrame:
+    from basis_devkit_spark.operators.embeddings import (
+        label_centroids,
+        nearest_centroid_assign,
+    )
+
+    e = load(spark, sf, "embeddings")
+    pred = nearest_centroid_assign(e, label_centroids(e))
+    return (
+        pred.groupBy(
+            F.col("label").cast("string").alias("true_label"), "pred_label"
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+    )

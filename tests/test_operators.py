@@ -1866,3 +1866,31 @@ def test_embedding_standardize_fit_handcomputed(spark):
            for r in embedding_standardize_fit(df).collect()}
     assert out[1] == (3.0, 2.0)  # mean 3, sample std 2
     assert out[2][0] == 10.0 and out[2][1] == 0.0  # constant dim
+
+
+def test_nearest_centroid_beats_chance_and_separates_planted(spark):
+    from pyspark.sql import functions as F
+
+    from basis_devkit_spark.operators.embeddings import (
+        label_centroids,
+        nearest_centroid_assign,
+    )
+
+    # planted well-separated classes: perfect recovery expected
+    rows = []
+    for lab, base in (("a", [10.0, 0.0, 0.0]), ("b", [0.0, 10.0, 0.0])):
+        for i in range(20):
+            rows.append((lab, [x + (i % 3) * 0.1 for x in base]))
+    df = spark.createDataFrame(rows, ["label", "embedding"])
+    pred = nearest_centroid_assign(df, label_centroids(df))
+    assert pred.filter(F.col("pred_label") != F.col("label")).count() == 0
+
+    # real corpus: must beat chance (10 labels) by a wide margin
+    from basis_devkit_spark.queries import load
+
+    e = load(spark, "/root/testdata/sf0.001", "embeddings")
+    p = nearest_centroid_assign(e, label_centroids(e))
+    acc = p.filter(
+        F.col("pred_label") == F.col("label").cast("string")
+    ).count() / e.count()
+    assert acc > 0.25  # chance is 0.1
