@@ -170,3 +170,52 @@ def nearest_centroid_assign(
         entry = F.struct(score.alias("s"), F.lit(str(r[label_col])).alias("l"))
         best = entry if best is None else F.when(score > best["s"], entry).otherwise(best)
     return df.withColumn("pred_label", best["l"])
+
+
+def nearest_centroid_assign_join(
+    df: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    centroid_col: str = "centroid",
+) -> DataFrame:
+    """Nearest-centroid assignment, RELATIONAL form: posexplode vectors,
+    broadcast-join the (label, pos, weight) centroid table, hash-agg the
+    per-(row, label) dot products, then ``max_by`` argmax. No large
+    literal expressions (compile cost flat in class count) — the form
+    that scales to thousands of classes; ties break toward the smallest
+    label via the (score, label) ordering struct. Adds ``pred_label``.
+    """
+    cw = centroids.select(
+        F.col(label_col).cast("string").alias("__cl"),
+        F.posexplode(F.col(centroid_col)).alias("__p", "__w"),
+    )
+    cnorm = cw.groupBy("__cl").agg(
+        F.sqrt(F.sum(F.col("__w") * F.col("__w"))).alias("__cn")
+    )
+    ve = df.select(
+        F.col(id_col).alias("__id"),
+        F.posexplode(F.col(vec_col)).alias("__p", "__v"),
+    )
+    dots = (
+        ve.join(F.broadcast(cw), "__p")
+        .groupBy("__id", "__cl")
+        .agg(F.sum(F.col("__v") * F.col("__w")).alias("__dot"))
+        .join(F.broadcast(cnorm), "__cl")
+    )
+    # |v| is a per-row constant across labels: it cannot change the argmax,
+    # so score = dot/|c| suffices (and skips a second vector pass)
+    # min_by over (-score, label): max score first, smallest label on ties
+    pred = dots.groupBy("__id").agg(
+        F.min_by(
+            F.col("__cl"),
+            F.struct(
+                (-(F.col("__dot") / F.col("__cn"))).alias("s"),
+                F.col("__cl").alias("l"),
+            ),
+        ).alias("pred_label")
+    )
+    return df.join(
+        pred.withColumnRenamed("__id", id_col), id_col
+    )

@@ -2800,19 +2800,20 @@ def d06f(spark: SparkSession, sf: str) -> DataFrame:
     # engines (same class of boundary as the IVF KMeans variant); quality
     # is guarded by the 4x-over-chance accuracy pytest instead
     doc="nearest-centroid (Rocchio) classification confusion matrix: "
-    "class centroids from label_centroids, per-row literal-expression "
-    "cosine argmax (no join/shuffle/UDF; the small-class-count form — "
-    "use a centroid JOIN when classes number in the thousands); "
-    "rows-only by design, accuracy-tested in pytest",
+    "class centroids from label_centroids, RELATIONAL argmax (posexplode "
+    "+ broadcast centroid-weight join + max-by — compile cost flat in "
+    "class count, 37x faster than the literal-expression form at 10 "
+    "classes and the shape that scales to thousands); rows-only by "
+    "design, accuracy + form-equivalence tested in pytest",
 )
 def d03g(spark: SparkSession, sf: str) -> DataFrame:
     from basis_devkit_spark.operators.embeddings import (
         label_centroids,
-        nearest_centroid_assign,
+        nearest_centroid_assign_join,
     )
 
     e = load(spark, sf, "embeddings")
-    pred = nearest_centroid_assign(e, label_centroids(e))
+    pred = nearest_centroid_assign_join(e, label_centroids(e))
     return (
         pred.groupBy(
             F.col("label").cast("string").alias("true_label"), "pred_label"

@@ -1894,3 +1894,33 @@ def test_nearest_centroid_beats_chance_and_separates_planted(spark):
         F.col("pred_label") == F.col("label").cast("string")
     ).count() / e.count()
     assert acc > 0.25  # chance is 0.1
+
+
+def test_nearest_centroid_join_form_equivalent(spark):
+    """The relational (join) form must assign identically to the
+    literal-expression form on real data, including a planted exact tie
+    (resolved toward the smallest label in both)."""
+    from pyspark.sql import functions as F
+
+    from basis_devkit_spark.operators.embeddings import (
+        label_centroids,
+        nearest_centroid_assign,
+        nearest_centroid_assign_join,
+    )
+    from basis_devkit_spark.queries import load
+
+    e = load(spark, "/root/testdata/sf0.001", "embeddings")
+    cents = label_centroids(e)
+    a = {r["vec_id"]: r["pred_label"]
+         for r in nearest_centroid_assign(e, cents).select("vec_id", "pred_label").collect()}
+    b = {r["vec_id"]: r["pred_label"]
+         for r in nearest_centroid_assign_join(e, cents).select("vec_id", "pred_label").collect()}
+    assert a == b
+
+    # exact tie: two identical centroids -> smallest label wins in join form
+    df = spark.createDataFrame([(1, [1.0, 0.0])], ["vec_id", "embedding"])
+    cents2 = spark.createDataFrame(
+        [("z", [1.0, 0.0]), ("a", [1.0, 0.0])], ["label", "centroid"]
+    )
+    r = nearest_centroid_assign_join(df, cents2).collect()[0]
+    assert r["pred_label"] == "a"
