@@ -537,3 +537,37 @@ def experiment_readout(
         .cast("double")
         .alias("metric_value"),
     )
+
+
+def activity_concentration(
+    df: DataFrame,
+    user_col: str = "user_id",
+    top_fraction: float = 0.1,
+) -> DataFrame:
+    """Activity-concentration summary (the power-user metric): what share
+    of all events comes from the top ``top_fraction`` of users by event
+    count? One user hash-agg + a rank window over the (small) per-user
+    frame; exact integer sums, ties broken by user id, ceil'd top-k so
+    the bucket is never empty. Returns one row:
+    ``(n_users, top_k, top_events, total_events, top_share)``.
+    """
+    per_user = df.groupBy(user_col).agg(F.count(F.lit(1)).alias("__n"))
+    w = Window.orderBy(F.col("__n").desc(), F.col(user_col))
+    ranked = per_user.withColumn("__r", F.row_number().over(w))
+    totals = per_user.agg(
+        F.count(F.lit(1)).alias("n_users"), F.sum("__n").alias("total_events")
+    )
+    k = F.ceil(F.col("n_users") * top_fraction).cast("long")
+    top = ranked.join(F.broadcast(totals)).filter(F.col("__r") <= k)
+    return top.groupBy("n_users", "total_events").agg(
+        F.max(F.ceil(F.col("n_users") * top_fraction)).cast("long").alias("top_k"),
+        F.sum("__n").alias("top_events"),
+    ).select(
+        "n_users", "top_k", "top_events", "total_events",
+        (
+            F.floor(
+                F.col("top_events") / F.col("total_events") * 1000000.0 + 0.5
+            )
+            / 1000000.0
+        ).alias("top_share"),
+    )

@@ -85,7 +85,7 @@ _SAMPLE_PRIORITY = [
     "e01_sessionize", "e02_funnel", "e03_retention_cohorts",
     "e04_event_transitions", "e05_conversion_latency",
     "e06_session_paths", "e02b_funnel_within_window", "e07_rfm_profiles", "e08_time_gapfill", "e08b_time_gapfill_interp", "e09_zscore_anomalies", "e10_inter_event_gaps",
-    "c13_stream_static_enrich", "e12_experiment_srm", "e13_experiment_readout",
+    "c13_stream_static_enrich", "e12_experiment_srm", "e13_experiment_readout", "e14_activity_concentration",
     "a31_dml_delete_update", "a32_change_feed",
     "e11_trailing_window_rate", "b77_group_by_all", "b78_numeric_profile", "b79_scd2_dimension_merge", "b80_scd2_point_in_time_lookup",
     "d04t_gopher_rules", "d04u_weighted_reservoir", "d05d_wav_header_parse",

@@ -2820,3 +2820,34 @@ def d03g(spark: SparkSession, sf: str) -> DataFrame:
         )
         .agg(F.count(F.lit(1)).alias("n"))
     )
+
+
+@register(
+    "e14_activity_concentration",
+    """
+    with per_user as (
+      select user_id, count(*) as n from events group by user_id
+    ), ranked as (
+      select n, row_number() over (order by n desc, user_id) as r
+      from per_user
+    ), totals as (
+      select count(*) as n_users, sum(n) as total_events from per_user
+    )
+    select t.n_users,
+           cast(ceil(t.n_users * 0.1) as bigint) as top_k,
+           sum(r.n) as top_events,
+           t.total_events,
+           floor(sum(r.n) / cast(t.total_events as double) * 1000000.0 + 0.5)
+             / 1000000.0 as top_share
+    from ranked r cross join totals t
+    where r.r <= ceil(t.n_users * 0.1)
+    group by t.n_users, t.total_events
+    """,
+    doc="activity concentration (power-user share): fraction of all "
+    "events from the top 10% of users by count — exact integers, "
+    "deterministic user-id tie-break, explicit IEEE rounding",
+)
+def e14(spark: SparkSession, sf: str) -> DataFrame:
+    from basis_devkit_spark.operators.events import activity_concentration
+
+    return activity_concentration(load(spark, sf, "events"), top_fraction=0.1)

@@ -1924,3 +1924,24 @@ def test_nearest_centroid_join_form_equivalent(spark):
     )
     r = nearest_centroid_assign_join(df, cents2).collect()[0]
     assert r["pred_label"] == "a"
+
+
+def test_activity_concentration_handcomputed(spark):
+    import datetime as dt
+
+    from basis_devkit_spark.operators.events import activity_concentration
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = []
+    # 10 users: user 0 fires 91 events, the rest 1 each -> top 10% (=1 user)
+    # owns 91 of 100
+    for i in range(91):
+        rows.append((0, t0))
+    for u in range(1, 10):
+        rows.append((u, t0))
+    df = spark.createDataFrame(rows, ["user_id", "ts"])
+    r = activity_concentration(df, top_fraction=0.1).collect()[0]
+    assert (r["n_users"], r["top_k"], r["top_events"], r["total_events"]) == (
+        10, 1, 91, 100,
+    )
+    assert r["top_share"] == 0.91
