@@ -2157,8 +2157,8 @@ def e04(spark: SparkSession, sf: str) -> DataFrame:
                - epoch_us(cast(t0 as timestamp))) as min_us,
            max(epoch_us(cast(t1 as timestamp))
                - epoch_us(cast(t0 as timestamp))) as max_us,
-           sum(epoch_us(cast(t1 as timestamp))
-               - epoch_us(cast(t0 as timestamp))) as sum_us
+           cast(sum(epoch_us(cast(t1 as timestamp))
+                    - epoch_us(cast(t0 as timestamp))) as bigint) as sum_us
     from pu
     """,
     doc="signup→purchase conversion latency summary: first-touch "
@@ -2529,7 +2529,7 @@ def d06e(spark: SparkSession, sf: str) -> DataFrame:
     )
     select user_id, count(*) as n_gaps,
            min(gap) as min_gap_us, max(gap) as max_gap_us,
-           sum(gap) as sum_gap_us
+           cast(sum(gap) as bigint) as sum_gap_us
     from g where gap is not null
     group by user_id
     """,
@@ -2743,7 +2743,8 @@ def d07b(spark: SparkSession, sf: str) -> DataFrame:
                       then cast(value as decimal(18,6)) end) as val
       from assigned group by user_id, arm
     )
-    select arm, count(*) as n_units, sum(conv) as n_converted,
+    select arm, count(*) as n_units,
+           cast(sum(conv) as bigint) as n_converted,
            floor(sum(conv) / cast(count(*) as double) * 1000000.0 + 0.5)
              / 1000000.0 as conversion_rate,
            cast(coalesce(sum(val), cast(0 as decimal(28,6))) as double)
@@ -2831,11 +2832,12 @@ def d03g(spark: SparkSession, sf: str) -> DataFrame:
       select n, row_number() over (order by n desc, user_id) as r
       from per_user
     ), totals as (
-      select count(*) as n_users, sum(n) as total_events from per_user
+      select count(*) as n_users,
+             cast(sum(n) as bigint) as total_events from per_user
     )
     select t.n_users,
            cast(ceil(t.n_users * 0.1) as bigint) as top_k,
-           sum(r.n) as top_events,
+           cast(sum(r.n) as bigint) as top_events,
            t.total_events,
            floor(sum(r.n) / cast(t.total_events as double) * 1000000.0 + 0.5)
              / 1000000.0 as top_share

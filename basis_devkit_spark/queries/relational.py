@@ -20,7 +20,37 @@ def dsum(col: str):
 
 
 def dsum_expr(expr) -> F.Column:
+    """Exact decimal sum of an expression that is ALREADY exact at 2dp
+    (a raw money column, or a decimal product). Do NOT feed it a double
+    product whose true scale exceeds 2 — the double→decimal(18,2) cast
+    rounds at the .005 boundary and Spark/DuckDB can disagree on which
+    side the nearest binary double falls (the b75 one-cent bug; judge's
+    reproducer: order 12376, line revenue exactly 96901.815). For
+    price*(1-discount) revenue use :func:`drev`, which multiplies in
+    decimal so no rounding ever happens."""
     return F.sum(expr.cast("decimal(18,2)")).cast("double")
+
+
+def drev(price: str = "l_extendedprice", discount: str = "l_discount") -> F.Column:
+    """Exact decimal revenue ``price * (1 - discount)``: the price (a 2dp
+    money value) is cast to decimal BEFORE the multiply, and the
+    ``1 - discount`` factor — a 2dp value whose double error (~1e-17) is
+    nowhere near a 4dp rounding boundary — is cast to decimal(6,4), so
+    the decimal(19,6) product is EXACT and engines cannot diverge at a
+    .005 boundary. SQL-side mirror:
+    ``(cast(price as decimal(12,2)) * cast(1 - discount as decimal(6,4)))``.
+    """
+    return F.col(price).cast("decimal(12,2)") * (
+        F.lit(1) - F.col(discount)
+    ).cast("decimal(6,4)")
+
+
+def dsum_rev(
+    price: str = "l_extendedprice", discount: str = "l_discount"
+) -> F.Column:
+    """``sum(drev())`` cast back to double — the decimal-exact revenue
+    aggregate used by every TPC-H-style money query."""
+    return F.sum(drev(price, discount)).cast("double")
 
 
 # =============================== scans (B1, B4) ===============================

@@ -9,7 +9,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from basis_devkit_spark.queries import load, register
-from basis_devkit_spark.queries.relational import dsum_expr
+from basis_devkit_spark.queries.relational import drev, dsum_expr
 
 
 def _views(spark: SparkSession, sf: str, *tables: str) -> None:
@@ -625,7 +625,8 @@ def b58(spark: SparkSession, sf: str) -> DataFrame:
     "b59_tpch_q5_regional_revenue",
     """
     select n_name,
-           cast(sum(cast(l_extendedprice * (1 - l_discount) as decimal(18,2)))
+           cast(sum((cast(l_extendedprice as decimal(12,2))
+                 * cast(1 - l_discount as decimal(6,4))))
                 as double) as revenue
     from customer, orders, lineitem, supplier, nation, region
     where c_custkey = o_custkey
@@ -664,7 +665,7 @@ def b59(spark: SparkSession, sf: str) -> DataFrame:
         F.col("c_nationkey") == F.col("s_nationkey")
     )
     return joined.groupBy("n_name").agg(
-        dsum_expr(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
+        F.sum(drev()).cast("double").alias(
             "revenue"
         )
     )
@@ -674,7 +675,8 @@ def b59(spark: SparkSession, sf: str) -> DataFrame:
     "b60_tpch_q10_returned_items",
     """
     select c_custkey, c_name, n_name,
-           cast(sum(cast(l_extendedprice * (1 - l_discount) as decimal(18,2)))
+           cast(sum((cast(l_extendedprice as decimal(12,2))
+                 * cast(1 - l_discount as decimal(6,4))))
                 as double) as revenue
     from customer, orders, lineitem, nation
     where c_custkey = o_custkey
@@ -708,9 +710,7 @@ def b60(spark: SparkSession, sf: str) -> DataFrame:
     return (
         facts.groupBy("c_custkey", "c_name", "n_name")
         .agg(
-            dsum_expr(
-                F.col("l_extendedprice") * (1 - F.col("l_discount"))
-            ).alias("revenue")
+            F.sum(drev()).cast("double").alias("revenue")
         )
         .orderBy(F.col("revenue").desc(), "c_custkey")
         .limit(20)
@@ -768,9 +768,11 @@ def b61(spark: SparkSession, sf: str) -> DataFrame:
     """
     select round(
       100.0 * cast(sum(case when p_type = 'ECONOMY'
-                   then cast(l_extendedprice * (1 - l_discount) as decimal(18,2))
+                   then (cast(l_extendedprice as decimal(12,2))
+                 * cast(1 - l_discount as decimal(6,4)))
                    else cast(0 as decimal(18,2)) end) as double)
-            / cast(sum(cast(l_extendedprice * (1 - l_discount) as decimal(18,2)))
+            / cast(sum((cast(l_extendedprice as decimal(12,2))
+                 * cast(1 - l_discount as decimal(6,4))))
                    as double), 6) as economy_share
     from lineitem, part
     where l_partkey = p_partkey
@@ -785,7 +787,7 @@ def b62(spark: SparkSession, sf: str) -> DataFrame:
     ).select("l_partkey", "l_extendedprice", "l_discount")
     p = load(spark, sf, "part").select("p_partkey", "p_type")
     j = li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
-    rev = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(18,2)")
+    rev = drev()  # exact decimal product — no .005-boundary rounding
     eco = F.when(F.col("p_type") == "ECONOMY", rev).otherwise(F.lit(0).cast("decimal(18,2)"))
     return j.agg(
         F.round(
@@ -799,7 +801,8 @@ def b62(spark: SparkSession, sf: str) -> DataFrame:
     """
     select n1.n_name as supp_nation, n2.n_name as cust_nation,
            cast(year(l_shipdate) as int) as l_year,
-           cast(sum(cast(l_extendedprice * (1 - l_discount) as decimal(18,2)))
+           cast(sum((cast(l_extendedprice as decimal(12,2))
+                 * cast(1 - l_discount as decimal(6,4))))
                 as double) as volume
     from supplier, lineitem, orders, customer, nation n1, nation n2
     where s_suppkey = l_suppkey
@@ -840,14 +843,15 @@ def b63(spark: SparkSession, sf: str) -> DataFrame:
     return j.groupBy(
         "supp_nation", "cust_nation", F.year("l_shipdate").cast("int").alias("l_year")
     ).agg(
-        dsum_expr(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("volume")
+        F.sum(drev()).cast("double").alias("volume")
     )
 
 
 @register(
     "b64_tpch_q19_disjunctive_filter",
     """
-    select cast(sum(cast(l_extendedprice * (1 - l_discount) as decimal(18,2)))
+    select cast(sum((cast(l_extendedprice as decimal(12,2))
+                 * cast(1 - l_discount as decimal(6,4))))
                 as double) as revenue,
            count(*) as n_rows
     from lineitem, part
@@ -877,7 +881,7 @@ def b64(spark: SparkSession, sf: str) -> DataFrame:
         & F.col("l_quantity").between(10, 40)
     )
     return j.filter(cond).agg(
-        dsum_expr(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"),
+        F.sum(drev()).cast("double").alias("revenue"),
         F.count("*").alias("n_rows"),
     )
 
@@ -1032,7 +1036,8 @@ def b68(spark: SparkSession, sf: str) -> DataFrame:
     """
     with rev as (
       select l_suppkey,
-             cast(sum(cast(l_extendedprice * (1 - l_discount) as decimal(18,2)))
+             cast(sum((cast(l_extendedprice as decimal(12,2))
+                 * cast(1 - l_discount as decimal(6,4))))
                   as double) as total_revenue
       from lineitem
       where l_shipdate >= '1997-01-01' and l_shipdate < '1997-04-01'
@@ -1053,7 +1058,7 @@ def b69(spark: SparkSession, sf: str) -> DataFrame:
         (F.col("l_shipdate") >= "1997-01-01") & (F.col("l_shipdate") < "1997-04-01")
     ).select("l_suppkey", "l_extendedprice", "l_discount")
     rev = li.groupBy("l_suppkey").agg(
-        dsum_expr(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
+        F.sum(drev()).cast("double").alias(
             "total_revenue"
         )
     )
@@ -1166,7 +1171,8 @@ def b71(spark: SparkSession, sf: str) -> DataFrame:
             / cast(sum(volume) as double) * 1000000.0 + 0.5) / 1000000.0
         as mkt_share
     from (select cast(year(o_orderdate) as int) as o_year,
-                 cast(l_extendedprice * (1 - l_discount) as decimal(18,2))
+                 (cast(l_extendedprice as decimal(12,2))
+                 * cast(1 - l_discount as decimal(6,4)))
                    as volume,
                  n2.n_name as nation
           from part, supplier, lineitem, orders, customer,
@@ -1223,7 +1229,7 @@ def b72(spark: SparkSession, sf: str) -> DataFrame:
         .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
         .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"), "left_semi")
     )
-    vol = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(18,2)")
+    vol = drev()  # exact decimal product — no .005-boundary rounding
     nat_vol = F.when(F.col("nation") == "NATION_1", vol).otherwise(
         F.lit(0).cast("decimal(18,2)")
     )
@@ -1274,9 +1280,11 @@ def b73(spark: SparkSession, sf: str) -> DataFrame:
     "b74_tpch_q9_profit",
     """
     select nation, o_year,
-           cast(sum(cast(l_extendedprice * (1 - l_discount)
-                         - p_retailprice * l_quantity * 0.6
-                    as decimal(18,4))) as double) as profit
+           cast(sum((cast(l_extendedprice as decimal(12,2))
+                     * cast(1 - l_discount as decimal(6,4)))
+                    - (cast(p_retailprice as decimal(12,2))
+                       * cast(l_quantity as decimal(8,0))
+                       * cast(0.6 as decimal(2,1)))) as double) as profit
     from (select n_name as nation, cast(year(o_orderdate) as int) as o_year,
                  l_extendedprice, l_discount, p_retailprice, l_quantity
           from lineitem, part, supplier, orders, nation
@@ -1309,10 +1317,14 @@ def b74(spark: SparkSession, sf: str) -> DataFrame:
         .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
         .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
     )
-    amount = (
-        F.col("l_extendedprice") * (1 - F.col("l_discount"))
-        - F.col("p_retailprice") * F.col("l_quantity") * 0.6
-    ).cast("decimal(18,4)")
+    # fully-decimal profit: revenue via drev(); supply cost multiplied in
+    # decimal too (retailprice 2dp × integral qty × 0.6) so no double
+    # product is ever rounded to a coarser decimal scale (b75 hazard class)
+    amount = drev() - (
+        F.col("p_retailprice").cast("decimal(12,2)")
+        * F.col("l_quantity").cast("decimal(8,0)")
+        * F.lit(0.6).cast("decimal(2,1)")
+    )
     return j.groupBy(
         "nation", F.year("o_orderdate").cast("int").alias("o_year")
     ).agg(F.sum(amount).cast("double").alias("profit"))
@@ -1322,7 +1334,8 @@ def b74(spark: SparkSession, sf: str) -> DataFrame:
     "b75_tpch_q3_bench_flagship",
     """
     select o_orderkey, o_orderdate,
-           cast(sum(cast(l_extendedprice * (1 - l_discount) as decimal(18,2)))
+           cast(sum((cast(l_extendedprice as decimal(12,2))
+                 * cast(1 - l_discount as decimal(6,4))))
                 as double) as revenue
     from customer, orders, lineitem
     where c_mktsegment = 'BUILDING'
@@ -1351,7 +1364,7 @@ def b75(spark: SparkSession, sf: str) -> DataFrame:
         li.join(F.broadcast(dim), F.col("l_orderkey") == F.col("o_orderkey"))
         .groupBy("o_orderkey", "o_orderdate")
         .agg(
-            dsum_expr(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
+            F.sum(drev()).cast("double").alias(
                 "revenue"
             )
         )
@@ -1429,7 +1442,7 @@ def b77(spark: SparkSession, sf: str) -> DataFrame:
     "b78_numeric_profile",
     """
     select 'l_quantity' as column, count(*) as n_rows,
-           sum(cast(l_quantity is null as bigint)) as n_nulls,
+           cast(sum(cast(l_quantity is null as bigint)) as bigint) as n_nulls,
            count(distinct l_quantity) as n_distinct,
            cast(min(l_quantity) as double) as min_v,
            cast(max(l_quantity) as double) as max_v,
@@ -1437,7 +1450,7 @@ def b77(spark: SparkSession, sf: str) -> DataFrame:
     from lineitem
     union all
     select 'l_extendedprice', count(*),
-           sum(cast(l_extendedprice is null as bigint)),
+           cast(sum(cast(l_extendedprice is null as bigint)) as bigint),
            count(distinct l_extendedprice),
            cast(min(l_extendedprice) as double),
            cast(max(l_extendedprice) as double),
@@ -1445,7 +1458,7 @@ def b77(spark: SparkSession, sf: str) -> DataFrame:
     from lineitem
     union all
     select 'l_discount', count(*),
-           sum(cast(l_discount is null as bigint)),
+           cast(sum(cast(l_discount is null as bigint)) as bigint),
            count(distinct l_discount),
            cast(min(l_discount) as double),
            cast(max(l_discount) as double),

@@ -43,6 +43,33 @@ def canon(df: pd.DataFrame) -> pd.DataFrame:
     return df.reset_index(drop=True)
 
 
+def exact_strings(df: pd.DataFrame) -> pd.DataFrame:
+    """Driver-style canonical string form: every cell stringified as-is
+    (no numeric coercion), datetimes normalized to one resolution first
+    (Spark→pandas is ns, DuckDB→pandas is us — same instant, different
+    repr). An int64 `44` vs float64 `44.0` therefore DIFFERS here, exactly
+    as it does under the driver's value hash — this is the ruler the r4
+    episode (builder 205/205 tolerant vs driver 42/50 exact) showed we
+    must measure with."""
+    out = {}
+    for col in df.columns:
+        x = df[col]
+        if pd.api.types.is_datetime64_any_dtype(x):
+            try:
+                x = x.astype("datetime64[us]")
+            except (ValueError, TypeError):
+                pass
+        out[col] = x.astype(str)
+    return pd.DataFrame(out)
+
+
+def exact_match(a: pd.DataFrame, b: pd.DataFrame) -> bool:
+    if a.shape != b.shape or list(a.columns) != list(b.columns):
+        return False
+    ea, eb = exact_strings(a), exact_strings(b)
+    return bool((ea.values == eb.values).all()) if len(a) else True
+
+
 def values_match(a: pd.DataFrame, b: pd.DataFrame) -> bool:
     if a.shape != b.shape or list(a.columns) != list(b.columns):
         return False
@@ -134,6 +161,19 @@ def main() -> None:
                 a.astype(str).values != b.astype(str).values
             ).any(axis=1).sum()
             results[name] = f"VALUES differ in {diff}/{len(a)} rows"
+        elif not exact_match(a, b):
+            # values agree within tolerance but the driver's exact value
+            # hash would fail (representation/typing divergence) — name
+            # the first offending column so the fix is one grep away
+            bad_cols = [
+                c
+                for c in a.columns
+                if not (
+                    exact_strings(a[[c]])[c].values
+                    == exact_strings(b[[c]])[c].values
+                ).all()
+            ]
+            results[name] = f"EXACT-HASH differs in cols {bad_cols}"
         else:
             results[name] = "OK"
         print(name, results[name], flush=True)
