@@ -420,6 +420,7 @@ def trailing_window_counts(
     minutes: int = 60,
     user_col: str = "user_id",
     ts_col: str = "ts",
+    id_col: str = "event_id",
 ) -> DataFrame:
     """Per-event trailing activity rate: for every event, the number of
     events by the same user in the preceding ``minutes`` window
@@ -437,7 +438,7 @@ def trailing_window_counts(
     return df.select(
         user_col,
         ts_col,
-        F.col("event_id"),
+        F.col(id_col),
         F.count(F.lit(1)).over(w).alias("n_trailing"),
     )
 
@@ -487,7 +488,16 @@ def srm_check(
     assigned = assign_experiment(
         df.select(unit_col).distinct(), arms, unit_col, salt
     )
-    counts = assigned.groupBy("arm").agg(F.count(F.lit(1)).alias("n_units"))
+    # left-join observed counts onto the FULL arm list so an arm that
+    # received zero units still contributes its (0-expected)²/expected
+    # term — the most severe mismatch must yield the largest chi2, not
+    # silently vanish from the groupBy
+    spark = df.sparkSession
+    all_arms = spark.createDataFrame([(a,) for a in arms], ["arm"])
+    observed = assigned.groupBy("arm").agg(F.count(F.lit(1)).alias("__obs"))
+    counts = all_arms.join(observed, "arm", "left").select(
+        "arm", F.coalesce("__obs", F.lit(0)).alias("n_units")
+    )
     total = counts.agg(
         F.sum("n_units").alias("__total"), F.count(F.lit(1)).alias("__k")
     )
@@ -546,22 +556,40 @@ def activity_concentration(
 ) -> DataFrame:
     """Activity-concentration summary (the power-user metric): what share
     of all events comes from the top ``top_fraction`` of users by event
-    count? One user hash-agg + a rank window over the (small) per-user
-    frame; exact integer sums, ties broken by user id, ceil'd top-k so
-    the bucket is never empty. Returns one row:
-    ``(n_users, top_k, top_events, total_events, top_share)``.
+    count? One user hash-agg, then the top-k selection runs over the
+    COUNT DISTRIBUTION, not the users: group the per-user counts by
+    value, take a running user total down the distinct count values
+    (a window over a frame bounded by the number of DISTINCT per-user
+    counts — ~sqrt(2·total_events) worst case, thousands at 10⁹ users —
+    never over the users themselves), and take each value's
+    contribution as ``included_users × value``. Because users tied at
+    the boundary count all contribute exactly the boundary value, this
+    is EXACTLY the rank-window answer (any tie-break selects the same
+    event mass) without ever sorting the per-user frame in one task.
+    Exact integer sums, ceil'd top-k so the bucket is never empty.
+    Returns one row: ``(n_users, top_k, top_events, total_events,
+    top_share)``.
     """
     per_user = df.groupBy(user_col).agg(F.count(F.lit(1)).alias("__n"))
-    w = Window.orderBy(F.col("__n").desc(), F.col(user_col))
-    ranked = per_user.withColumn("__r", F.row_number().over(w))
+    dist = per_user.groupBy("__n").agg(F.count(F.lit(1)).alias("__users"))
     totals = per_user.agg(
         F.count(F.lit(1)).alias("n_users"), F.sum("__n").alias("total_events")
     )
+    # running users at-or-above each count value, descending (bounded frame)
+    wd = Window.orderBy(F.col("__n").desc()).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = dist.withColumn("__cum", F.sum("__users").over(wd))
     k = F.ceil(F.col("n_users") * top_fraction).cast("long")
-    top = ranked.join(F.broadcast(totals)).filter(F.col("__r") <= k)
-    return top.groupBy("n_users", "total_events").agg(
-        F.max(F.ceil(F.col("n_users") * top_fraction)).cast("long").alias("top_k"),
-        F.sum("__n").alias("top_events"),
+    j = cum.join(F.broadcast(totals)).withColumn("__k", k)
+    # rows that contribute: some of their users rank <= k
+    take = F.least(F.col("__users"), F.col("__k") - (F.col("__cum") - F.col("__users")))
+    contrib = j.filter(F.col("__cum") - F.col("__users") < F.col("__k")).select(
+        "n_users", "total_events", "__k", (take * F.col("__n")).alias("__ev")
+    )
+    return contrib.groupBy("n_users", "total_events").agg(
+        F.max("__k").alias("top_k"),
+        F.sum("__ev").alias("top_events"),
     ).select(
         "n_users", "top_k", "top_events", "total_events",
         (

@@ -145,7 +145,24 @@ def scd2_merge(
     warehouse dimension-maintenance plan. Value-identical updates still
     open a new interval — version on every delivery; dedupe upstream if
     idempotent replays must not create intervals.
+
+    A batch carrying MULTIPLE updates for the same key is collapsed to
+    the LATEST ``effective_ts`` per key before merging (the standard
+    Delta/warehouse latest-wins merge): otherwise the current row would
+    expire once per update and every update would insert as current,
+    corrupting the dimension. Exact ``effective_ts`` ties are broken
+    deterministically by the remaining update columns, descending.
     """
+    # latest-wins collapse of intra-batch multi-updates per key
+    other = [c for c in updates.columns if c not in [*keys, effective_ts]]
+    wu = Window.partitionBy(*keys).orderBy(
+        F.col(effective_ts).desc(), *[F.col(c).desc() for c in other]
+    )
+    updates = (
+        updates.withColumn("__scd_rn", F.row_number().over(wu))
+        .filter(F.col("__scd_rn") == 1)
+        .drop("__scd_rn")
+    )
     upd_keyed = updates.select(
         *[F.col(k).alias(f"__uk_{k}") for k in keys],
         F.col(effective_ts).alias("__eff"),

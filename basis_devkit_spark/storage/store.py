@@ -307,25 +307,29 @@ class TableStore:
         # and a later unrelated commit would silently persist the failed
         # operation's pointer (same hazard class as stamping a stream
         # batch id before its commit).
-        prev_active = self._manifest.active_version
         self._manifest.active_version = version
         if record_count is not None:
             self._manifest.versions.setdefault(str(version), {})["record_count"] = record_count
         try:
             self._commit_manifest()
         except BaseException:
-            self._manifest.active_version = prev_active
+            # Full in-memory rollback to committed truth: restoring just
+            # the pointer would leave the version entry registered by
+            # create_new_version in self._manifest.versions, and the next
+            # successful commit would persist it — read_at()/history()
+            # would then surface a version that was never the table's
+            # committed state.
+            self.refresh()
             raise
 
     def reset(self) -> None:
         """Point at a fresh null version; old data kept for retention GC
         (`node.py:399-405`)."""
-        prev_active = self._manifest.active_version
         self._manifest.active_version = None
         try:
             self._commit_manifest()
         except BaseException:
-            self._manifest.active_version = prev_active
+            self.refresh()  # full rollback to committed truth (see above)
             raise
 
     def history(self) -> list[dict]:
@@ -1194,7 +1198,10 @@ class TableStore:
             e = F.col(f"__o_{k}").eqNullSafe(F.col(f"__n_{k}"))
             cond = e if cond is None else (cond & e)
         # presence flags must distinguish "row absent" from "key is NULL":
-        # a definitely-non-null marker per side
+        # a definitely-non-null marker per side. The output projections
+        # iterate old.columns/new.columns (the USER schemas) directly —
+        # the prefixed copies and the __op/__np markers are never exposed,
+        # so user columns that themselves start with "__" survive intact.
         o = old.select(
             F.lit(1).alias("__op"), *[F.col(c).alias(f"__o_{c}") for c in old.columns]
         )
@@ -1210,22 +1217,22 @@ class TableStore:
             changed_vals = F.lit(False)
         inserts = j.filter(F.col("__op").isNull()).select(
             F.lit("insert").alias("_change_type"),
-            *[F.col(f"__n_{c}").alias(c) for c in new.columns if not c.startswith("__")],
+            *[F.col(f"__n_{c}").alias(c) for c in new.columns],
         )
         deletes = j.filter(F.col("__np").isNull()).select(
             F.lit("delete").alias("_change_type"),
-            *[F.col(f"__o_{c}").alias(c) for c in old.columns if not c.startswith("__")],
+            *[F.col(f"__o_{c}").alias(c) for c in old.columns],
         )
         both = j.filter(F.col("__op").isNotNull() & F.col("__np").isNotNull()).filter(
             changed_vals
         )
         pre = both.select(
             F.lit("update_preimage").alias("_change_type"),
-            *[F.col(f"__o_{c}").alias(c) for c in old.columns if not c.startswith("__")],
+            *[F.col(f"__o_{c}").alias(c) for c in old.columns],
         )
         post = both.select(
             F.lit("update_postimage").alias("_change_type"),
-            *[F.col(f"__n_{c}").alias(c) for c in new.columns if not c.startswith("__")],
+            *[F.col(f"__n_{c}").alias(c) for c in new.columns],
         )
         return inserts.unionByName(deletes, allowMissingColumns=True).unionByName(
             pre, allowMissingColumns=True

@@ -1945,3 +1945,103 @@ def test_activity_concentration_handcomputed(spark):
         10, 1, 91, 100,
     )
     assert r["top_share"] == 0.91
+
+
+def test_scd2_merge_intra_batch_multi_update_latest_wins(spark):
+    """ADVICE r4: a batch with multiple updates for one key must not
+    expire the current row once per update nor insert multiple current
+    rows — the operator collapses to the latest effective_ts per key
+    (standard Delta latest-wins merge)."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    from basis_devkit_spark.operators.joins import scd2_merge
+
+    t0 = dt.datetime(2024, 1, 1)
+    t1 = dt.datetime(2024, 6, 1)
+    t2 = dt.datetime(2024, 9, 1)
+    dim = spark.createDataFrame(
+        [(1, "addr-a", t0, None, True), (2, "addr-b", t0, None, True)],
+        "id int, addr string, valid_from timestamp, valid_to timestamp, is_current boolean",
+    )
+    updates = spark.createDataFrame(
+        [(1, "addr-mid", t1), (1, "addr-new", t2)],
+        "id int, addr string, effective_ts timestamp",
+    )
+    out = scd2_merge(dim, updates, ["id"], "effective_ts")
+    rows = sorted(
+        (r["id"], r["addr"], r["is_current"], r["valid_to"], r["valid_from"])
+        for r in out.collect()
+    )
+    # exactly ONE expired row for key 1, at the LATEST update's ts
+    expired = [r for r in rows if r[0] == 1 and not r[2]]
+    assert expired == [(1, "addr-a", False, t2, t0)]
+    # exactly ONE current row per key; key 1's carries the latest value
+    cur = {r[0]: r for r in rows if r[2]}
+    assert set(cur) == {1, 2}
+    assert cur[1][1] == "addr-new" and cur[1][4] == t2
+    # key1 expired + key1 new current + key2 untouched current = 3 rows;
+    # the intermediate addr-mid update leaves no row at all
+    assert out.count() == 3
+
+
+def test_srm_check_zero_unit_arm_counts_in_chi2(spark):
+    """ADVICE r4: an arm that received ZERO units must still contribute
+    its (0-expected)^2/expected term — one user across three arms gives
+    chi2 = (1-1/3)^2/(1/3) + 2*(0-1/3)^2/(1/3) = 2.0 exactly."""
+    import datetime as dt
+
+    from basis_devkit_spark.operators.events import srm_check
+
+    df = spark.createDataFrame(
+        [(7, dt.datetime(2024, 1, 1))], ["user_id", "ts"]
+    )
+    rows = srm_check(df, ["control", "variant_a", "variant_b"]).collect()
+    assert len(rows) == 3
+    assert sorted(r["arm"] for r in rows) == ["control", "variant_a", "variant_b"]
+    assert sum(r["n_units"] for r in rows) == 1
+    assert all(r["chi2"] == 2.0 for r in rows)
+
+
+def test_activity_concentration_matches_rank_window_with_boundary_ties(spark):
+    """The r5 scale-safe form (count-distribution threshold, no global
+    per-user rank window) must equal the rank-window definition even
+    when the top-k boundary cuts through a tie group."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    from basis_devkit_spark.operators.events import activity_concentration
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = []
+    # 20 users: two at 10 events, SIX tied at 5 (k=2 boundary cuts the
+    # tie group when top_fraction=0.2 -> k=4), the rest 1 each
+    for u in range(2):
+        rows += [(u, t0)] * 10
+    for u in range(2, 8):
+        rows += [(u, t0)] * 5
+    for u in range(8, 20):
+        rows += [(u, t0)]
+    df = spark.createDataFrame(rows, ["user_id", "ts"])
+
+    got = activity_concentration(df, top_fraction=0.2).collect()[0]
+
+    # reference: literal rank-window formulation
+    per_user = df.groupBy("user_id").agg(F.count(F.lit(1)).alias("n"))
+    w = Window.orderBy(F.col("n").desc(), F.col("user_id"))
+    ranked = per_user.withColumn("r", F.row_number().over(w))
+    n_users = per_user.count()
+    import math
+
+    k = math.ceil(n_users * 0.2)
+    top_events = (
+        ranked.filter(F.col("r") <= k).agg(F.sum("n")).collect()[0][0]
+    )
+    total = per_user.agg(F.sum("n")).collect()[0][0]
+    assert (got["n_users"], got["top_k"]) == (n_users, k)
+    assert got["top_events"] == top_events == 30  # 10+10+5+5
+    assert got["total_events"] == total == 62
+    assert got["top_share"] == math.floor(30 / 62 * 1e6 + 0.5) / 1e6

@@ -1132,3 +1132,73 @@ def test_cdc_replication_random_mutation_rounds(spark, tmp_path):
             map(tuple, src.read().collect())
         )
         prev = cur
+
+
+def test_commit_failure_discards_uncommitted_version_entry(spark, tmp_path):
+    """ADVICE r4: when the manifest commit fails, the in-memory manifest
+    must roll back to committed truth ENTIRELY — not just the active
+    pointer. Otherwise the version entry registered by
+    create_new_version survives in memory, the next successful commit
+    persists it, and history()/read_at() surface a version that was
+    never the table's committed state."""
+    from basis_devkit_spark.storage.store import TableStore
+
+    st = TableStore(str(tmp_path), "t", spark)
+    st.append(spark.createDataFrame([(1, "a")], "k int, v string"))
+    v1 = st.get_active_version()
+    committed_versions = set(st._manifest.versions)
+
+    ghost = st.create_new_version()
+    orig = st._commit_manifest
+
+    def boom():
+        raise OSError("disk full")
+
+    st._commit_manifest = boom
+    try:
+        with pytest.raises(OSError):
+            st.set_active_version(ghost)
+    finally:
+        st._commit_manifest = orig
+
+    # pointer restored AND the ghost version entry is gone from memory
+    assert st.get_active_version() == v1
+    assert set(st._manifest.versions) == committed_versions
+    # a later unrelated commit persists only committed-truth-derived
+    # state: a fresh handle sees a consistent manifest whose active
+    # version exists in its own version table (the ghost number is
+    # legitimately REUSED by the next writer after the rollback).
+    st.append(spark.createDataFrame([(2, "b")], "k int, v string"))
+    st2 = TableStore(str(tmp_path), "t", spark)
+    disk_versions = {int(v) for v in st2._manifest.versions}
+    assert st2.get_active_version() in disk_versions
+    assert st2.read().count() == 2
+
+
+def test_changes_between_preserves_dunder_named_columns(spark, tmp_path):
+    """ADVICE r4: a user column that happens to start with '__' must not
+    be silently dropped from the change feed (the internal __op/__np
+    markers are selected by exact name, not by prefix)."""
+    from basis_devkit_spark.storage.store import TableStore
+
+    st = TableStore(str(tmp_path), "t", spark)
+    st.configure(unique_on="id")
+    st.write_replace(
+        spark.createDataFrame([(1, "a", "m1"), (2, "b", "m2")],
+                              ["id", "x", "__meta"])
+    )
+    v1 = st.get_active_version()
+    st.write_replace(
+        spark.createDataFrame([(1, "a", "M1"), (3, "c", "m3")],
+                              ["id", "x", "__meta"])
+    )
+    v2 = st.get_active_version()
+    ch = st.changes_between(v1, v2)
+    assert "__meta" in ch.columns
+    got = {(r["_change_type"], r["id"]): r["__meta"] for r in ch.collect()}
+    assert got == {
+        ("update_preimage", 1): "m1",
+        ("update_postimage", 1): "M1",
+        ("delete", 2): "m2",
+        ("insert", 3): "m3",
+    }
