@@ -91,7 +91,7 @@ def label_centroids(
     )
     means = pos.groupBy("__l", "__p").agg(
         (
-            F.sum(F.col("__v").cast("decimal(18,9)")).cast("double")
+            F.sum(F.col("__v").cast("double").cast("decimal(18,9)")).cast("double")
             / F.count(F.lit(1))
         ).alias("__m")
     )
@@ -121,9 +121,10 @@ def embedding_standardize_fit(
     pos = df.select(F.posexplode(F.col(vec_col)).alias("__p", "__v"))
     agg = pos.groupBy("__p").agg(
         F.count(F.lit(1)).alias("__n"),
-        F.sum(F.col("__v").cast("decimal(18,9)")).cast("double").alias("__s"),
+        F.sum(F.col("__v").cast("double").cast("decimal(18,9)")).cast("double").alias("__s"),
         F.sum(
-            (F.col("__v").cast("decimal(18,9)") * F.col("__v").cast("decimal(18,9)"))
+            (F.col("__v").cast("double").cast("decimal(18,9)")
+             * F.col("__v").cast("double").cast("decimal(18,9)"))
         )
         .cast("double")
         .alias("__sq"),
@@ -179,6 +180,7 @@ def nearest_centroid_assign_join(
     vec_col: str = "embedding",
     label_col: str = "label",
     centroid_col: str = "centroid",
+    margin: float | None = None,
 ) -> DataFrame:
     """Nearest-centroid assignment, RELATIONAL form: posexplode vectors,
     broadcast-join the (label, pos, weight) centroid table, hash-agg the
@@ -186,6 +188,17 @@ def nearest_centroid_assign_join(
     literal expressions (compile cost flat in class count) — the form
     that scales to thousands of classes; ties break toward the smallest
     label via the (score, label) ordering struct. Adds ``pred_label``.
+
+    ``margin``: when set, rows whose top-2 score separation is below
+    ``margin × max(|v|, 1e-12)`` are DROPPED from the output — the
+    float-argmax boundary gate. Dot products are float sums whose
+    engine-specific summation order perturbs scores at ~1e-15 relative;
+    an exact tie (symmetric/duplicate vectors) can therefore argmax
+    differently across engines. Gating on a scale-normalized margin
+    (≫ the perturbation, ≪ any genuine separation) makes the
+    prediction set engine-reproducible and oracle-checkable; boundary
+    rows are the caller's to handle (here: excluded, quality covered by
+    the accuracy pytest).
     """
     cw = centroids.select(
         F.col(label_col).cast("string").alias("__cl"),
@@ -207,15 +220,34 @@ def nearest_centroid_assign_join(
     # |v| is a per-row constant across labels: it cannot change the argmax,
     # so score = dot/|c| suffices (and skips a second vector pass)
     # min_by over (-score, label): max score first, smallest label on ties
-    pred = dots.groupBy("__id").agg(
+    scored = dots.withColumn("__s", F.col("__dot") / F.col("__cn"))
+    aggs = [
         F.min_by(
             F.col("__cl"),
-            F.struct(
-                (-(F.col("__dot") / F.col("__cn"))).alias("s"),
-                F.col("__cl").alias("l"),
-            ),
+            F.struct((-F.col("__s")).alias("s"), F.col("__cl").alias("l")),
         ).alias("pred_label")
-    )
+    ]
+    if margin is not None:
+        # top-2 scores: k-element sorted array per row (k = class count,
+        # small by construction — this is a centroid classifier)
+        aggs.append(F.sort_array(F.collect_list("__s"), False).alias("__ss"))
+    pred = scored.groupBy("__id").agg(*aggs)
+    if margin is not None:
+        vn = ve.groupBy("__id").agg(
+            F.sqrt(
+                F.sum(F.col("__v").cast("double") * F.col("__v").cast("double"))
+            ).alias("__vn")
+        )
+        s1 = F.get(F.col("__ss"), 0)
+        s2 = F.get(F.col("__ss"), 1)  # null for single-class edge case
+        pred = (
+            pred.join(vn, "__id")
+            .filter(
+                s2.isNull()
+                | ((s1 - s2) > F.lit(margin) * F.greatest(F.col("__vn"), F.lit(1e-12)))
+            )
+            .drop("__ss", "__vn")
+        )
     return df.join(
         pred.withColumnRenamed("__id", id_col), id_col
     )

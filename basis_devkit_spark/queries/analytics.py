@@ -2500,7 +2500,8 @@ def d05d(spark: SparkSession, sf: str) -> DataFrame:
       from embeddings cross join p
     )
     select label, cast(pos as int) as pos,
-           cast(sum(cast(v as decimal(18,9))) as double) / count(*) as mv
+           cast(sum(cast(cast(v as double) as decimal(18,9))) as double)
+             / count(*) as mv
     from e group by label, pos
     """,
     doc="per-label embedding centroids (class prototypes): posexplode -> "
@@ -2774,8 +2775,9 @@ def e13(spark: SparkSession, sf: str) -> DataFrame:
       from embeddings cross join p
     ), a as (
       select pos, count(*) as n,
-             cast(sum(cast(v as decimal(18,9))) as double) as s,
-             cast(sum(cast(v as decimal(18,9)) * cast(v as decimal(18,9)))
+             cast(sum(cast(cast(v as double) as decimal(18,9))) as double) as s,
+             cast(sum(cast(cast(v as double) as decimal(18,9))
+                      * cast(cast(v as double) as decimal(18,9)))
                   as double) as sq
       from e group by pos
     )
@@ -2797,15 +2799,56 @@ def d06f(spark: SparkSession, sf: str) -> DataFrame:
 
 @register(
     "d03g_nearest_centroid_confusion",
-    None,  # rows-only: the cosine argmax is float-order-sensitive across
-    # engines (same class of boundary as the IVF KMeans variant); quality
-    # is guarded by the 4x-over-chance accuracy pytest instead
+    """
+    with p as (
+      select unnest(generate_series(1,
+               (select max(len(embedding)) from embeddings))) as pos
+    ), cw as (
+      select cast(label as varchar) as cl, p.pos,
+             cast(sum(cast(cast(embedding[p.pos] as double)
+                           as decimal(18,9))) as double)
+               / count(*) as w
+      from embeddings cross join p
+      group by label, p.pos
+    ), cn as (select cl, sqrt(sum(w*w)) as cn from cw group by cl),
+    ve as (
+      select vec_id, p.pos, cast(embedding[p.pos] as double) as v
+      from embeddings cross join p
+    ),
+    vn as (select vec_id, sqrt(sum(v*v)) as vnorm from ve group by vec_id),
+    scored as (
+      select ve.vec_id, cw.cl, sum(ve.v * cw.w) / min(cn.cn) as s
+      from ve join cw on ve.pos = cw.pos join cn on cw.cl = cn.cl
+      group by ve.vec_id, cw.cl
+    ),
+    ranked as (
+      select vec_id, cl, s,
+             row_number() over (partition by vec_id order by s desc, cl) as r
+      from scored
+    ),
+    gated as (
+      select a.vec_id, a.cl as pred_label
+      from ranked a
+      left join ranked b on a.vec_id = b.vec_id and b.r = 2
+      join vn on a.vec_id = vn.vec_id
+      where a.r = 1
+        and (b.s is null
+             or (a.s - b.s) > 0.000000001 * greatest(vn.vnorm, 1e-12))
+    )
+    select cast(e.label as varchar) as true_label, g.pred_label,
+           count(*) as n
+    from gated g join embeddings e on g.vec_id = e.vec_id
+    group by true_label, g.pred_label
+    """,
     doc="nearest-centroid (Rocchio) classification confusion matrix: "
     "class centroids from label_centroids, RELATIONAL argmax (posexplode "
     "+ broadcast centroid-weight join + max-by — compile cost flat in "
     "class count, 37x faster than the literal-expression form at 10 "
-    "classes and the shape that scales to thousands); rows-only by "
-    "design, accuracy + form-equivalence tested in pytest",
+    "classes and the shape that scales to thousands). MARGIN-GATED "
+    "(r5): rows whose top-2 cosine separation is under 1e-9·|v| are "
+    "excluded on both sides, so the float-argmax boundary rows that "
+    "made this rows-only in r4 can no longer flip between engines; "
+    "boundary-row quality remains covered by the accuracy pytest",
 )
 def d03g(spark: SparkSession, sf: str) -> DataFrame:
     from basis_devkit_spark.operators.embeddings import (
@@ -2814,7 +2857,9 @@ def d03g(spark: SparkSession, sf: str) -> DataFrame:
     )
 
     e = load(spark, sf, "embeddings")
-    pred = nearest_centroid_assign_join(e, label_centroids(e))
+    pred = nearest_centroid_assign_join(
+        e, label_centroids(e), margin=1e-9
+    )
     return (
         pred.groupBy(
             F.col("label").cast("string").alias("true_label"), "pred_label"

