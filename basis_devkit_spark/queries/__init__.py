@@ -74,60 +74,217 @@ def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
     return df
 
 
-# The queries never checked by ANY round's verification driver
-# (CORRECTNESS_r01∪r02∪r03), ordered most-novel-first so the driver's
-# ~50-query prefix sample covers the riskiest rows; the five
-# twice-judged, every-round-swept simple SQL variants sit past the
-# window. The FULL inventory is swept every round regardless
-# (tools/sweep_correctness.py, artifact committed).
+# Round-5 sample priority: the 55 queries NEVER sampled by any driver
+# round (CORRECTNESS_r01..r04 union), stable-partitioned to the front of
+# the existing risk ranking; previously-sampled queries follow in their
+# prior order. The FULL inventory is swept every round regardless
+# (tools/sweep_correctness.py exact-hash mode, artifact committed).
 _SAMPLE_PRIORITY = [
-    # -- round-4 continuation (second session): brand-new queries
-    "e01_sessionize", "e02_funnel", "e03_retention_cohorts",
-    "e04_event_transitions", "e05_conversion_latency",
-    "e06_session_paths", "e02b_funnel_within_window", "e07_rfm_profiles", "e08_time_gapfill", "e08b_time_gapfill_interp", "e09_zscore_anomalies", "e10_inter_event_gaps",
-    "c13_stream_static_enrich", "e12_experiment_srm", "e13_experiment_readout", "e14_activity_concentration",
-    "a31_dml_delete_update", "a32_change_feed",
-    "e11_trailing_window_rate", "b77_group_by_all", "b78_numeric_profile", "b79_scd2_dimension_merge", "b80_scd2_point_in_time_lookup",
-    "d04t_gopher_rules", "d04u_weighted_reservoir", "d05d_wav_header_parse",
-    "d06e_label_centroids", "d06f_embedding_standardize_fit", "d03g_nearest_centroid_confusion", "d02j_source_vocab_overlap", "d07b_multi_benchmark_contamination",
-    "b72_tpch_q8_market_share", "b73_intersect_except_all",
-    "b74_tpch_q9_profit", "b75_tpch_q3_bench_flagship",
-    "b76_topk_algebraic_rewrite",
-    "b70_tpch_q21_waiting_supplier", "b67_tpch_q17_small_qty_revenue",
-    "b65_tpch_q4_priority_check", "b66_tpch_q13_order_distribution",
-    "b69_tpch_q15_top_supplier", "b68_tpch_q22_dormant_customers",
-    # -- round-4 continuation: brand-new operators/queries
-    "d02g_semantic_dedup", "d02h_incremental_minhash_dedup",
-    "c12_stream_neardup_collapse", "d04q_drop_repeated_lines",
-    "d04r_trained_quality_filter", "d04s_quality_weighted_sample",
-    "d10_corpus_drift", "d02i_duplicate_cluster_stats",
-    "a28_zorder_pruned_read", "a29_bucketed_colocated_join",
+    "a28_zorder_pruned_read",
+    "a29_bucketed_colocated_join",
     "a30_vacuum_retention",
-    "b59_tpch_q5_regional_revenue", "b60_tpch_q10_returned_items",
-    "b61_tpch_q18_large_orders", "b62_tpch_q14_type_revenue_share",
-    "b63_tpch_q7_nation_trade", "b64_tpch_q19_disjunctive_filter",
-    # -- round-4 main session: new operators/queries
-    "d03e_dot_topk", "d03f_l2_topk", "d03d_ivf_topk_kmeans",
-    "d04p_normalize_text", "d08_stratified_sample", "d09_salted_agg",
-    "c10_stream_stream_interval_join", "c11_stream_upsert_aggregate",
-    "a27_parallel_graph_run", "b39c_edit_distance", "b56_bitwise_ops",
-    "b57_orc_roundtrip", "b58_url_funcs",
-    # -- never sampled in r2/r3 (judge-green, full-sweep-green)
-    "c09_stream_ingest_exactly_once", "c08_incremental_rollup",
-    "a24_component_binding", "a25_stats_pruned_read",
-    "a26_write_expectations", "d01b_text_exact_dedup",
-    "d02f_chunk_dedup", "d04l_ngram_counts", "d04m_cross_doc_dup_ngrams",
-    "d04n_token_budget_sample", "d04o_chunk_documents",
-    "d05c_byte_histogram", "d06d_normalize_embeddings",
-    # -- never-sampled SQL variants, more intricate first
-    "b51_recursive_cte", "b54_lateral_join", "b53_unpivot",
-    "b55_try_functions", "b52_ntile_ignore_nulls", "b14b_in_subquery",
-    "b14c_scalar_subquery", "b14d_not_exists", "b26c_grouping_sets",
-    "b28b_pivot_sum", "b39b_string_funcs2", "b40b_date_trunc_variants",
-    "b41b_trig_funcs", "b42c_sequence_ops",
-    # -- lowest-risk variants (twice judge-green, swept every round)
-    "b20b_having", "b21b_multi_distinct", "b24b_median",
-    "b36b_union_all", "b40c_extract",
+    "b59_tpch_q5_regional_revenue",
+    "b60_tpch_q10_returned_items",
+    "b61_tpch_q18_large_orders",
+    "b62_tpch_q14_type_revenue_share",
+    "b63_tpch_q7_nation_trade",
+    "b64_tpch_q19_disjunctive_filter",
+    "d03e_dot_topk",
+    "d03f_l2_topk",
+    "d03d_ivf_topk_kmeans",
+    "d04p_normalize_text",
+    "d08_stratified_sample",
+    "d09_salted_agg",
+    "c10_stream_stream_interval_join",
+    "c11_stream_upsert_aggregate",
+    "a27_parallel_graph_run",
+    "b39c_edit_distance",
+    "b56_bitwise_ops",
+    "b57_orc_roundtrip",
+    "b58_url_funcs",
+    "c09_stream_ingest_exactly_once",
+    "c08_incremental_rollup",
+    "a24_component_binding",
+    "a25_stats_pruned_read",
+    "a26_write_expectations",
+    "d01b_text_exact_dedup",
+    "d02f_chunk_dedup",
+    "d04l_ngram_counts",
+    "d04m_cross_doc_dup_ngrams",
+    "d04n_token_budget_sample",
+    "d04o_chunk_documents",
+    "d05c_byte_histogram",
+    "d06d_normalize_embeddings",
+    "b51_recursive_cte",
+    "b54_lateral_join",
+    "b53_unpivot",
+    "b55_try_functions",
+    "b52_ntile_ignore_nulls",
+    "b14b_in_subquery",
+    "b14c_scalar_subquery",
+    "b14d_not_exists",
+    "b26c_grouping_sets",
+    "b28b_pivot_sum",
+    "b39b_string_funcs2",
+    "b40b_date_trunc_variants",
+    "b41b_trig_funcs",
+    "b42c_sequence_ops",
+    "b20b_having",
+    "b21b_multi_distinct",
+    "b24b_median",
+    "b36b_union_all",
+    "b40c_extract",
+    "b71_tpch_q6_forecast_revenue",
+    "e01_sessionize",
+    "e02_funnel",
+    "e03_retention_cohorts",
+    "e04_event_transitions",
+    "e05_conversion_latency",
+    "e06_session_paths",
+    "e02b_funnel_within_window",
+    "e07_rfm_profiles",
+    "e08_time_gapfill",
+    "e08b_time_gapfill_interp",
+    "e09_zscore_anomalies",
+    "e10_inter_event_gaps",
+    "c13_stream_static_enrich",
+    "e12_experiment_srm",
+    "e13_experiment_readout",
+    "e14_activity_concentration",
+    "a31_dml_delete_update",
+    "a32_change_feed",
+    "e11_trailing_window_rate",
+    "b77_group_by_all",
+    "b78_numeric_profile",
+    "b79_scd2_dimension_merge",
+    "b80_scd2_point_in_time_lookup",
+    "d04t_gopher_rules",
+    "d04u_weighted_reservoir",
+    "d05d_wav_header_parse",
+    "d06e_label_centroids",
+    "d06f_embedding_standardize_fit",
+    "d03g_nearest_centroid_confusion",
+    "d02j_source_vocab_overlap",
+    "d07b_multi_benchmark_contamination",
+    "b72_tpch_q8_market_share",
+    "b73_intersect_except_all",
+    "b74_tpch_q9_profit",
+    "b75_tpch_q3_bench_flagship",
+    "b76_topk_algebraic_rewrite",
+    "b70_tpch_q21_waiting_supplier",
+    "b67_tpch_q17_small_qty_revenue",
+    "b65_tpch_q4_priority_check",
+    "b66_tpch_q13_order_distribution",
+    "b69_tpch_q15_top_supplier",
+    "b68_tpch_q22_dormant_customers",
+    "d02g_semantic_dedup",
+    "d02h_incremental_minhash_dedup",
+    "c12_stream_neardup_collapse",
+    "d04q_drop_repeated_lines",
+    "d04r_trained_quality_filter",
+    "d04s_quality_weighted_sample",
+    "d10_corpus_drift",
+    "d02i_duplicate_cluster_stats",
+    "a01_table_scan",
+    "a03_read_sql",
+    "a05_upsert",
+    "a06_replace",
+    "a13_stream_consume",
+    "a08_execute_sql_ctas",
+    "a07_truncate",
+    "a09_version_rollback",
+    "a02_read_chunks",
+    "a04_append",
+    "a06b_partitioned_store",
+    "a09b_time_travel",
+    "a14_stream_checkpoint",
+    "a15_stream_seek",
+    "a17_state_persistence",
+    "a19_rerun_chunked",
+    "a20_parameters",
+    "a22_webhook_ingest",
+    "a23_cron_schedule",
+    "c03_tumbling_window",
+    "c06_late_data_filter",
+    "c04_sliding_window",
+    "c05_session_window",
+    "c07_stateful_dedup",
+    "d01_exact_dedup",
+    "d02_ngram_jaccard_pairs",
+    "d02e_duplicate_clusters",
+    "d02b_minhash_dedup",
+    "d02c_simhash",
+    "d03_similarity_topk",
+    "d03b_lsh_topk",
+    "d06_embedding_norms",
+    "d04_text_stats",
+    "d04b_lang_id",
+    "d04c_quality_score",
+    "d04d_fingerprint",
+    "d05b_media_sniff",
+    "d05_multimodal_plumbing",
+    "d04e_tfidf",
+    "d02d_embedding_near_dup",
+    "d03c_ivf_topk",
+    "d06b_quantize_int8",
+    "d06c_corpus_embedding_stats",
+    "d04i_redact_pii",
+    "d04j_repetition_stats",
+    "d04h_data_mixture",
+    "d04g_sequence_pack",
+    "d04f_filter_corpus",
+    "d07_decontaminate",
+    "d04k_train_val_test_split",
+    "b02_csv_scan",
+    "b02b_jsonl_scan",
+    "b01_parquet_scan_pushdown",
+    "b07_project_compute",
+    "b08_filter_predicates",
+    "b09_distinct",
+    "b10_case_cast_coalesce",
+    "b11_deterministic_sample",
+    "b12_join_inner",
+    "b13_join_left_outer",
+    "b13b_join_full_outer",
+    "b14_semi_anti_join",
+    "b15_cross_join",
+    "b16_theta_join",
+    "b17_broadcast_join",
+    "b18_asof_join",
+    "b19_interval_join",
+    "b20_groupby_agg",
+    "b21_count_distinct",
+    "b22_approx_count_distinct",
+    "b23_stat_aggs",
+    "b24_percentiles",
+    "b25_collect_string_agg",
+    "b26_rollup",
+    "b26b_cube",
+    "b27_filtered_agg",
+    "b28_pivot",
+    "b29_ranking_windows",
+    "b30_lag_lead",
+    "b31_window_frames",
+    "b32_cume_dist_percent_rank",
+    "b33_order_nulls",
+    "b34_limit_offset",
+    "b35_topk_per_group",
+    "b36_union",
+    "b37_intersect",
+    "b38_except",
+    "b39_string_funcs",
+    "b40_date_funcs",
+    "b41_math_funcs",
+    "b42_array_funcs",
+    "b42b_array_hof",
+    "b43_map_funcs",
+    "b44_json_funcs",
+    "b45_null_funcs",
+    "b46_hash_funcs",
+    "b47_pandas_udf_scalar",
+    "b48_grouped_map",
+    "b49_flatmap_udtf",
+    "b50_pandas_udaf",
 ]
 
 
