@@ -482,3 +482,20 @@ def test_tpch_q9_dims_broadcast_fact_spine(spark):
     assert plan.count("BroadcastHashJoin") >= 2
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_activity_concentration_no_per_user_rank_window(spark):
+    """r5 scale-safe e14: the top-k selection must run over the count
+    DISTRIBUTION, never a global rank window over the per-user frame —
+    at 1e9 users an unpartitioned row_number is a single-task sort. The
+    plan must contain no row_number at all, and the one (bounded-frame)
+    running-sum window must sit ABOVE the per-user aggregation."""
+    from basis_devkit_spark.operators.events import activity_concentration
+
+    df = activity_concentration(load(spark, SF, "events"), top_fraction=0.1)
+    plan = plan_of(df)
+    assert "row_number" not in plan
+    # the running-sum window input is the (count-value, users) aggregate,
+    # so a Window node must appear and HashAggregates must outnumber it
+    assert plan.count("Window") >= 1
+    assert plan.count("HashAggregate") >= 4  # per-user, dist, totals (partial+final)
