@@ -934,3 +934,101 @@ def profile_numeric(df: DataFrame, columns: list[str] | None = None) -> DataFram
         )
         out = row if out is None else out.unionByName(row)
     return out
+
+
+def sequence_pack(
+    df: DataFrame,
+    budget: int,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_buckets: int = 1024,
+) -> DataFrame:
+    """Concat-and-chunk sequence packing for LLM training: documents are
+    laid out into one global token stream in deterministic ``id_col``
+    order and chunked into fixed training sequences of ``budget`` tokens
+    (the GPT-style packing where a document may straddle a sequence
+    boundary). Returns ``(id, n_tokens, seq_id, seq_offset)``: the
+    sequence a document STARTS in and its token offset within it —
+    exactly what a pack-and-shard writer needs to place every document.
+
+    Scale shape: the global running token sum uses the two-pass bucketed
+    prefix pattern (per-id-range-bucket sums → running offsets over the
+    tiny bucket table → within-bucket windows in parallel), never a
+    one-task global window over the documents; ``id_col`` must be
+    numeric and non-negative (dense or sparse both fine — buckets are
+    id-range slices, and empty slices cost nothing).
+    """
+    from pyspark.sql.window import Window
+
+    ntok = F.size(F.split(F.lower(F.trim(F.col(text_col))), r"\s+"))
+    d = df.select(
+        F.col(id_col), ntok.alias("n_tokens")
+    )
+    mx = d.agg(F.max(id_col).alias("__mx"))
+    d = d.join(F.broadcast(mx)).withColumn(
+        "__b",
+        F.floor(
+            F.col(id_col).cast("double") * n_buckets / (F.col("__mx") + 1)
+        ).cast("long"),
+    ).drop("__mx")
+    bsum = d.groupBy("__b").agg(F.sum("n_tokens").alias("__bsum"))
+    wb = Window.orderBy("__b").rowsBetween(Window.unboundedPreceding, -1)
+    bprev = bsum.withColumn(
+        "__prev", F.coalesce(F.sum("__bsum").over(wb), F.lit(0))
+    ).select("__b", "__prev")
+    wr = (
+        Window.partitionBy("__b")
+        .orderBy(id_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    out = (
+        d.join(F.broadcast(bprev), "__b")
+        .withColumn(
+            "__cum_before",
+            F.col("__prev") + F.coalesce(F.sum("n_tokens").over(wr), F.lit(0)),
+        )
+        .select(
+            id_col,
+            "n_tokens",
+            F.floor(F.col("__cum_before") / budget).cast("long").alias("seq_id"),
+            F.pmod(F.col("__cum_before"), F.lit(budget)).cast("long").alias(
+                "seq_offset"
+            ),
+        )
+    )
+    return out
+
+
+# PII patterns shared by redact_pii / pii_stats — kept in the regex
+# subset common to Java regex (Spark) and RE2 (DuckDB): no backrefs, no
+# lookaround. Order matters: SSN before phone (a phone pattern would
+# otherwise swallow SSNs).
+PII_PATTERNS: list[tuple[str, str, str]] = [
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "[EMAIL]"),
+    ("ip", r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "[IP]"),
+    ("ssn", r"\b\d{3}-\d{2}-\d{4}\b", "[SSN]"),
+    ("phone", r"\+?\d[\d \-]{7,}\d", "[PHONE]"),
+]
+
+
+def redact_pii(
+    df: DataFrame, text_col: str = "text", out_col: str | None = None
+) -> DataFrame:
+    """PII redaction over a text column: emails, IPv4s, SSN-shaped and
+    phone-shaped numbers replaced by typed placeholders, plus a per-row
+    match count per category (``n_email``/``n_ip``/``n_ssn``/``n_phone``).
+    Pure ``regexp_replace``/``regexp_count`` column expressions — fuses
+    into the scan, shuffle-free, trivially parallel at corpus scale; the
+    compliance pre-step every training-data pipeline runs before
+    publishing a corpus.
+    """
+    out = out_col or text_col
+    red = F.col(text_col)
+    counts = []
+    for name, pat, repl in PII_PATTERNS:
+        counts.append(
+            F.regexp_count(red, F.lit(pat)).cast("long").alias(f"n_{name}")
+        )
+        red = F.regexp_replace(red, pat, repl)
+    keep = [c for c in df.columns if c != out]
+    return df.select(*keep, *counts, red.alias(out))
