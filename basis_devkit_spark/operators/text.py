@@ -999,11 +999,13 @@ def sequence_pack(
     return out
 
 
-# PII patterns shared by redact_pii / pii_stats — kept in the regex
+# Patterns for the COUNTED redaction variant (redact_pii_counted) — the
+# classic redact_pii above keeps its original 3-category list for the
+# d04i oracle; this list adds IPv4 and per-category counting. Same regex
 # subset common to Java regex (Spark) and RE2 (DuckDB): no backrefs, no
 # lookaround. Order matters: SSN before phone (a phone pattern would
 # otherwise swallow SSNs).
-PII_PATTERNS: list[tuple[str, str, str]] = [
+PII_PATTERNS_COUNTED: list[tuple[str, str, str]] = [
     ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "[EMAIL]"),
     ("ip", r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "[IP]"),
     ("ssn", r"\b\d{3}-\d{2}-\d{4}\b", "[SSN]"),
@@ -1011,7 +1013,7 @@ PII_PATTERNS: list[tuple[str, str, str]] = [
 ]
 
 
-def redact_pii(
+def redact_pii_counted(
     df: DataFrame, text_col: str = "text", out_col: str | None = None
 ) -> DataFrame:
     """PII redaction over a text column: emails, IPv4s, SSN-shaped and
@@ -1025,7 +1027,7 @@ def redact_pii(
     out = out_col or text_col
     red = F.col(text_col)
     counts = []
-    for name, pat, repl in PII_PATTERNS:
+    for name, pat, repl in PII_PATTERNS_COUNTED:
         counts.append(
             F.regexp_count(red, F.lit(pat)).cast("long").alias(f"n_{name}")
         )

@@ -80,6 +80,8 @@ def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
 # prior order. The FULL inventory is swept every round regardless
 # (tools/sweep_correctness.py exact-hash mode, artifact committed).
 _SAMPLE_PRIORITY = [
+    "d11_sequence_packing",
+    "d12_pii_redaction",
     "a28_zorder_pruned_read",
     "a29_bucketed_colocated_join",
     "a30_vacuum_retention",

@@ -2898,3 +2898,104 @@ def e14(spark: SparkSession, sf: str) -> DataFrame:
     from basis_devkit_spark.operators.events import activity_concentration
 
     return activity_concentration(load(spark, sf, "events"), top_fraction=0.1)
+
+
+@register(
+    "d11_sequence_packing",
+    """
+    with t as (
+      select doc_id,
+             cast(len(string_split(lower(trim(text)), ' ')) as int) as n_tokens
+      from documents
+    ), c as (
+      select doc_id, n_tokens,
+             cast(coalesce(sum(n_tokens) over (order by doc_id
+                     rows between unbounded preceding and 1 preceding),
+                   0) as bigint) as cb
+      from t
+    )
+    select doc_id, n_tokens,
+           cast(floor(cb / 2048.0) as bigint) as seq_id,
+           cast(cb % 2048 as bigint) as seq_offset
+    from c
+    """,
+    doc="concat-and-chunk sequence packing (GPT-style training-sequence "
+    "layout): documents laid into one global token stream in doc_id "
+    "order, chunked into 2048-token sequences; each doc reports the "
+    "sequence it starts in and its offset. Global running sum via the "
+    "two-pass bucketed prefix pattern — no one-task window over the "
+    "corpus",
+)
+def d11(spark: SparkSession, sf: str) -> DataFrame:
+    from basis_devkit_spark.operators.text import sequence_pack
+
+    return sequence_pack(load(spark, sf, "documents"), budget=2048)
+
+
+@register(
+    "d12_pii_redaction",
+    """
+    with t0 as (
+      select doc_id,
+             text || ' contact u' || cast(doc_id as varchar)
+                  || '@example.com or 10.0.'
+                  || cast(doc_id % 256 as varchar)
+                  || '.7 ssn 123-45-6789 tel +1 555 0100 999' as s
+      from documents
+    ), t1 as (
+      select doc_id,
+             cast(len(regexp_extract_all(s,
+               '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) as bigint)
+               as n_email,
+             regexp_replace(s,
+               '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}',
+               '[EMAIL]', 'g') as s
+      from t0
+    ), t2 as (
+      select doc_id, n_email,
+             cast(len(regexp_extract_all(s,
+               '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b')) as bigint)
+               as n_ip,
+             regexp_replace(s,
+               '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b',
+               '[IP]', 'g') as s
+      from t1
+    ), t3 as (
+      select doc_id, n_email, n_ip,
+             cast(len(regexp_extract_all(s, '\\b\\d{3}-\\d{2}-\\d{4}\\b'))
+               as bigint) as n_ssn,
+             regexp_replace(s, '\\b\\d{3}-\\d{2}-\\d{4}\\b', '[SSN]', 'g') as s
+      from t2
+    ), t4 as (
+      select doc_id, n_email, n_ip, n_ssn,
+             cast(len(regexp_extract_all(s, '\\+?\\d[\\d \\-]{7,}\\d'))
+               as bigint) as n_phone,
+             regexp_replace(s, '\\+?\\d[\\d \\-]{7,}\\d', '[PHONE]', 'g') as s
+      from t3
+    )
+    select doc_id, n_email, n_ip, n_ssn, n_phone, s as redacted
+    from t4
+    """,
+    doc="PII redaction (compliance pre-step before publishing a corpus): "
+    "emails / IPv4s / SSN-shaped / phone-shaped spans replaced by typed "
+    "placeholders with per-category match counts, applied in a fixed "
+    "order (SSN before phone) so categories never swallow each other; "
+    "deterministic synthetic PII is appended per doc so the oracle "
+    "exercises real matches, not an all-zeros pass. Pure regexp "
+    "expressions — fuses into the scan, shuffle-free",
+)
+def d12(spark: SparkSession, sf: str) -> DataFrame:
+    from basis_devkit_spark.operators.text import redact_pii_counted
+
+    d = load(spark, sf, "documents").select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact u"),
+            F.col("doc_id").cast("string"),
+            F.lit("@example.com or 10.0."),
+            (F.col("doc_id") % 256).cast("string"),
+            F.lit(".7 ssn 123-45-6789 tel +1 555 0100 999"),
+        ).alias("text"),
+    )
+    return redact_pii_counted(d, "text").withColumnRenamed("text", "redacted")

@@ -2045,3 +2045,52 @@ def test_activity_concentration_matches_rank_window_with_boundary_ties(spark):
     assert got["top_events"] == top_events == 30  # 10+10+5+5
     assert got["total_events"] == total == 62
     assert got["top_share"] == math.floor(30 / 62 * 1e6 + 0.5) / 1e6
+
+
+def test_sequence_pack_matches_bruteforce(spark):
+    docs = [
+        (0, "a b c"),            # 3 tokens
+        (3, "d e f g h"),        # 5
+        (7, "i j"),              # 2
+        (8, "k l m n o p q r"),  # 8 — straddles the budget-8 boundary
+        (12, "s"),               # 1
+    ]
+    from basis_devkit_spark.operators.text import sequence_pack
+
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    got = {
+        r["doc_id"]: (r["n_tokens"], r["seq_id"], r["seq_offset"])
+        for r in sequence_pack(df, budget=8, n_buckets=4).collect()
+    }
+    cum = 0
+    want = {}
+    for i, t in sorted(docs):
+        n = len(t.split())
+        want[i] = (n, cum // 8, cum % 8)
+        cum += n
+    assert got == want
+
+
+def test_redact_pii_counted_handcomputed(spark):
+    from basis_devkit_spark.operators.text import redact_pii_counted
+
+    df = spark.createDataFrame(
+        [
+            (1, "mail me at bob.smith+x@corp.example.org today"),
+            (2, "server 192.168.1.10 and ssn 123-45-6789"),
+            (3, "call +44 20 7946 0958 now"),
+            (4, "nothing sensitive here"),
+        ],
+        ["id", "text"],
+    )
+    rows = {r["id"]: r for r in redact_pii_counted(df).collect()}
+    assert rows[1]["n_email"] == 1 and "[EMAIL]" in rows[1]["text"]
+    assert "bob.smith" not in rows[1]["text"]
+    assert rows[2]["n_ip"] == 1 and rows[2]["n_ssn"] == 1
+    assert "[IP]" in rows[2]["text"] and "[SSN]" in rows[2]["text"]
+    # the SSN must be redacted BEFORE the phone pass can swallow it
+    assert rows[2]["n_phone"] == 0
+    assert rows[3]["n_phone"] == 1 and "[PHONE]" in rows[3]["text"]
+    assert rows[4]["text"] == "nothing sensitive here"
+    assert (rows[4]["n_email"], rows[4]["n_ip"], rows[4]["n_ssn"],
+            rows[4]["n_phone"]) == (0, 0, 0, 0)

@@ -499,3 +499,34 @@ def test_activity_concentration_no_per_user_rank_window(spark):
     # so a Window node must appear and HashAggregates must outnumber it
     assert plan.count("Window") >= 1
     assert plan.count("HashAggregate") >= 4  # per-user, dist, totals (partial+final)
+
+
+def test_sequence_pack_bucketed_prefix(spark):
+    """sequence_pack's global running token sum must use the two-pass
+    bucketed prefix pattern: the data-level window partitions by __b
+    (parallel), and the only single-partition stage is the bucket-level
+    cumsum over the tiny bucket table."""
+    from basis_devkit_spark.operators.text import sequence_pack
+
+    df = sequence_pack(load(spark, SF, "documents"), budget=512)
+    plan = plan_of(df)
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert re.search(r"windowspecdefinition\(__b#\d+", plan), plan
+    # bounded single-partition stages only: the 1-row global-max agg
+    # (appears once per consumer branch pre-AQE) and the n_buckets-row
+    # bucket cumsum — never the document frame itself. The data-level
+    # window above proves the per-doc cumsum is partitioned by __b.
+    assert plan.count("Exchange SinglePartition") <= 3
+    assert df.count() > 0
+
+
+def test_redact_pii_counted_pure_projection(spark):
+    """redact_pii_counted must stay a shuffle-free projection chain that
+    fuses into the scan — no exchange, no Python, no window."""
+    from basis_devkit_spark.operators.text import redact_pii_counted
+
+    df = redact_pii_counted(load(spark, SF, "documents").select("doc_id", "text"))
+    plan = plan_of(df)
+    assert "Exchange" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "Window" not in plan
