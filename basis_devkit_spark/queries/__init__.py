@@ -5,10 +5,22 @@ string (DuckDB-runnable). The driver hash-compares both at sf0.01; keys
 without an oracle get a rows-only check (genuinely non-SQL-expressible ops).
 
 Determinism rules used throughout (so value hashes match bit-for-bit):
-- SUMs over double columns go through DECIMAL(18,2) (exact accumulation in
-  both engines), then cast back to double.
-- Remaining float outputs are rounded (4-6 dp) on BOTH sides.
+- SUMs over raw 2dp money columns go through DECIMAL(18,2) (exact
+  accumulation in both engines), then cast back to double.
+- PRODUCTS are multiplied IN decimal (``relational.drev``): inputs are
+  cast to decimal BEFORE the multiply, so no double product is ever
+  rounded to a coarser decimal scale — a double→decimal(18,2) cast of a
+  4dp product rounds at the .005 boundary, where Spark and DuckDB can
+  legitimately disagree on the nearest binary double (the r4 b75
+  one-cent bug; property-tested in tests/test_properties.py).
+- float32 inputs (embeddings) are cast to double BEFORE any decimal
+  cast: DuckDB's FLOAT→DECIMAL scales in float32 (~8e-9 error).
+- Remaining float outputs are rounded (4-6 dp) on BOTH sides; float
+  ARGMAX outputs are margin-gated (d03g) so boundary rows can't flip.
 - Ties in any top-k / row_number are broken by a unique key.
+- Integer sums in oracle SQL are CAST(... AS BIGINT): DuckDB sums
+  integers into HUGEINT, which lands in pandas as float64 and fails the
+  driver's representation hash even when every value matches.
 """
 
 from __future__ import annotations
