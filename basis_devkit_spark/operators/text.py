@@ -942,6 +942,7 @@ def sequence_pack(
     id_col: str = "doc_id",
     text_col: str = "text",
     n_buckets: int = 1024,
+    id_max: int | None = None,
 ) -> DataFrame:
     """Concat-and-chunk sequence packing for LLM training: documents are
     laid out into one global token stream in deterministic ``id_col``
@@ -956,7 +957,10 @@ def sequence_pack(
     tiny bucket table → within-bucket windows in parallel), never a
     one-task global window over the documents; ``id_col`` must be
     numeric and non-negative (dense or sparse both fine — buckets are
-    id-range slices, and empty slices cost nothing).
+    id-range slices, and empty slices cost nothing). Pass ``id_max``
+    (e.g. from the table's manifest stats) to skip the max-id
+    aggregation scan — at corpus scale that saves one pass over the
+    token counts per consumer branch.
     """
     from pyspark.sql.window import Window
 
@@ -964,8 +968,12 @@ def sequence_pack(
     d = df.select(
         F.col(id_col), ntok.alias("n_tokens")
     )
-    mx = d.agg(F.max(id_col).alias("__mx"))
-    d = d.join(F.broadcast(mx)).withColumn(
+    if id_max is not None:
+        d = d.withColumn("__mx", F.lit(int(id_max)))
+    else:
+        mx = d.agg(F.max(id_col).alias("__mx"))
+        d = d.join(F.broadcast(mx))
+    d = d.withColumn(
         "__b",
         F.floor(
             F.col(id_col).cast("double") * n_buckets / (F.col("__mx") + 1)

@@ -2094,3 +2094,17 @@ def test_redact_pii_counted_handcomputed(spark):
     assert rows[4]["text"] == "nothing sensitive here"
     assert (rows[4]["n_email"], rows[4]["n_ip"], rows[4]["n_ssn"],
             rows[4]["n_phone"]) == (0, 0, 0, 0)
+
+
+def test_sequence_pack_id_max_hint_equivalent(spark):
+    """Passing id_max (manifest-stats hint) must produce identical
+    placements while skipping the max-id aggregation scan."""
+    docs = [(0, "a b c"), (3, "d e f g h"), (7, "i j"), (12, "k l m")]
+    from basis_devkit_spark.operators.text import sequence_pack
+
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    a = sequence_pack(df, budget=4, n_buckets=4)
+    b = sequence_pack(df, budget=4, n_buckets=4, id_max=12)
+    assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+    plan = b._jdf.queryExecution().executedPlan().toString()
+    assert "max(doc_id" not in plan
