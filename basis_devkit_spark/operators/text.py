@@ -941,8 +941,7 @@ def sequence_pack(
     budget: int,
     id_col: str = "doc_id",
     text_col: str = "text",
-    n_buckets: int = 1024,
-    id_max: int | None = None,
+    bucket_size: int = 8192,
 ) -> DataFrame:
     """Concat-and-chunk sequence packing for LLM training: documents are
     laid out into one global token stream in deterministic ``id_col``
@@ -951,60 +950,26 @@ def sequence_pack(
     boundary). Returns ``(id, n_tokens, seq_id, seq_offset)``: the
     sequence a document STARTS in and its token offset within it —
     exactly what a pack-and-shard writer needs to place every document.
+    The per-CHUNK summary view of the same layout is
+    :func:`pack_sequences`.
 
-    Scale shape: the global running token sum uses the two-pass bucketed
-    prefix pattern (per-id-range-bucket sums → running offsets over the
-    tiny bucket table → within-bucket windows in parallel), never a
-    one-task global window over the documents; ``id_col`` must be
-    numeric and non-negative (dense or sparse both fine — buckets are
-    id-range slices, and empty slices cost nothing). Pass ``id_max``
-    (e.g. from the table's manifest stats) to skip the max-id
-    aggregation scan — at corpus scale that saves one pass over the
-    token counts per consumer branch.
+    Scale shape: the global running token sum is
+    :func:`exclusive_prefix_sum` — the two-pass bucketed prefix pattern
+    (per-id-range-bucket sums → running offsets over the tiny non-empty
+    bucket table → within-bucket windows in parallel), never a one-task
+    global window over the documents; ``id_col`` must be numeric.
     """
-    from pyspark.sql.window import Window
-
     ntok = F.size(F.split(F.lower(F.trim(F.col(text_col))), r"\s+"))
-    d = df.select(
-        F.col(id_col), ntok.alias("n_tokens")
+    d = df.select(F.col(id_col), ntok.alias("n_tokens"))
+    d = exclusive_prefix_sum(d, id_col, "n_tokens", "__cum_before", bucket_size)
+    return d.select(
+        id_col,
+        "n_tokens",
+        F.floor(F.col("__cum_before") / budget).cast("long").alias("seq_id"),
+        F.pmod(F.col("__cum_before"), F.lit(budget)).cast("long").alias(
+            "seq_offset"
+        ),
     )
-    if id_max is not None:
-        d = d.withColumn("__mx", F.lit(int(id_max)))
-    else:
-        mx = d.agg(F.max(id_col).alias("__mx"))
-        d = d.join(F.broadcast(mx))
-    d = d.withColumn(
-        "__b",
-        F.floor(
-            F.col(id_col).cast("double") * n_buckets / (F.col("__mx") + 1)
-        ).cast("long"),
-    ).drop("__mx")
-    bsum = d.groupBy("__b").agg(F.sum("n_tokens").alias("__bsum"))
-    wb = Window.orderBy("__b").rowsBetween(Window.unboundedPreceding, -1)
-    bprev = bsum.withColumn(
-        "__prev", F.coalesce(F.sum("__bsum").over(wb), F.lit(0))
-    ).select("__b", "__prev")
-    wr = (
-        Window.partitionBy("__b")
-        .orderBy(id_col)
-        .rowsBetween(Window.unboundedPreceding, -1)
-    )
-    out = (
-        d.join(F.broadcast(bprev), "__b")
-        .withColumn(
-            "__cum_before",
-            F.col("__prev") + F.coalesce(F.sum("n_tokens").over(wr), F.lit(0)),
-        )
-        .select(
-            id_col,
-            "n_tokens",
-            F.floor(F.col("__cum_before") / budget).cast("long").alias("seq_id"),
-            F.pmod(F.col("__cum_before"), F.lit(budget)).cast("long").alias(
-                "seq_offset"
-            ),
-        )
-    )
-    return out
 
 
 # Patterns for the COUNTED redaction variant (redact_pii_counted) — the

@@ -2060,7 +2060,7 @@ def test_sequence_pack_matches_bruteforce(spark):
     df = spark.createDataFrame(docs, ["doc_id", "text"])
     got = {
         r["doc_id"]: (r["n_tokens"], r["seq_id"], r["seq_offset"])
-        for r in sequence_pack(df, budget=8, n_buckets=4).collect()
+        for r in sequence_pack(df, budget=8, bucket_size=4).collect()
     }
     cum = 0
     want = {}
@@ -2096,15 +2096,13 @@ def test_redact_pii_counted_handcomputed(spark):
             rows[4]["n_phone"]) == (0, 0, 0, 0)
 
 
-def test_sequence_pack_id_max_hint_equivalent(spark):
-    """Passing id_max (manifest-stats hint) must produce identical
-    placements while skipping the max-id aggregation scan."""
+def test_sequence_pack_bucket_size_invariant(spark):
+    """Placements must not depend on the bucket width (an internal
+    parallelism knob of the two-pass prefix sum)."""
     docs = [(0, "a b c"), (3, "d e f g h"), (7, "i j"), (12, "k l m")]
     from basis_devkit_spark.operators.text import sequence_pack
 
     df = spark.createDataFrame(docs, ["doc_id", "text"])
-    a = sequence_pack(df, budget=4, n_buckets=4)
-    b = sequence_pack(df, budget=4, n_buckets=4, id_max=12)
+    a = sequence_pack(df, budget=4, bucket_size=2)
+    b = sequence_pack(df, budget=4, bucket_size=8192)
     assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
-    plan = b._jdf.queryExecution().executedPlan().toString()
-    assert "max(doc_id" not in plan

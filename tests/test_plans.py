@@ -512,11 +512,10 @@ def test_sequence_pack_bucketed_prefix(spark):
     plan = plan_of(df)
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     assert re.search(r"windowspecdefinition\(__b#\d+", plan), plan
-    # bounded single-partition stages only: the 1-row global-max agg
-    # (appears once per consumer branch pre-AQE) and the n_buckets-row
-    # bucket cumsum — never the document frame itself. The data-level
-    # window above proves the per-doc cumsum is partitioned by __b.
-    assert plan.count("Exchange SinglePartition") <= 3
+    # the only single-partition stage is the tiny non-empty-bucket
+    # cumsum; the data-level window above proves the per-doc cumsum is
+    # partitioned by __b
+    assert plan.count("Exchange SinglePartition") <= 1
     assert df.count() > 0
 
 
