@@ -1007,3 +1007,70 @@ def redact_pii_counted(
         red = F.regexp_replace(red, pat, repl)
     keep = [c for c in df.columns if c != out]
     return df.select(*keep, *counts, red.alias(out))
+
+
+def shard_assign(
+    df: DataFrame,
+    n_shards: int,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    salt: str = "shard",
+) -> DataFrame:
+    """Deterministic output-shard assignment for corpus writes: shard =
+    md5-uniform hash of the document id — reproducible across engines
+    and runs (no RNG, no sort), a pure projection that fuses into the
+    scan. Adds ``shard`` and ``n_bytes`` (the document's UTF-8 payload
+    size, the quantity shard balance is measured in). At corpus scale,
+    hash sharding balances byte totals by the law of large numbers;
+    verify with :func:`shard_plan` before committing a layout.
+    """
+    if n_shards < 1:
+        raise ValueError("n_shards must be >= 1")
+    shard = F.pmod(
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit(salt), F.col(id_col).cast("string"))), 1, 8
+            ),
+            16,
+            10,
+        ).cast("long"),
+        F.lit(n_shards),
+    ).cast("int")
+    return df.withColumn("shard", shard).withColumn(
+        "n_bytes", F.octet_length(F.col(text_col)).cast("long")
+    )
+
+
+def shard_plan(
+    df: DataFrame,
+    n_shards: int,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    salt: str = "shard",
+) -> DataFrame:
+    """Shard-layout health report: per-shard document count and byte
+    total for the :func:`shard_assign` layout, plus the global byte
+    imbalance ratio ``max_shard_bytes / mean_shard_bytes`` (repeated per
+    row — a property of the layout; 1.0 is perfect balance). The check a
+    100 TB writer runs before committing an output layout: one hash agg
+    over the assignment + a broadcast of the ``n_shards``-row totals.
+    """
+    a = shard_assign(df, n_shards, id_col, text_col, salt)
+    per = a.groupBy("shard").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_bytes").alias("total_bytes"),
+    )
+    tot = per.agg(
+        (
+            F.floor(
+                F.max("total_bytes")
+                / (F.sum("total_bytes") / F.count(F.lit(1)))
+                * 1000000.0
+                + 0.5
+            )
+            / 1000000.0
+        ).alias("imbalance")
+    )
+    return per.join(F.broadcast(tot)).select(
+        "shard", "n_docs", "total_bytes", "imbalance"
+    )

@@ -94,6 +94,7 @@ def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
 _SAMPLE_PRIORITY = [
     "d11_sequence_packing",
     "d12_pii_redaction",
+    "d13_shard_plan",
     "a28_zorder_pruned_read",
     "a29_bucketed_colocated_join",
     "a30_vacuum_retention",

@@ -2999,3 +2999,36 @@ def d12(spark: SparkSession, sf: str) -> DataFrame:
         ).alias("text"),
     )
     return redact_pii_counted(d, "text").withColumnRenamed("text", "redacted")
+
+
+@register(
+    "d13_shard_plan",
+    """
+    with a as (
+      select doc_id,
+             cast(('0x' || substr(md5('shard' || cast(doc_id as varchar)),
+                                  1, 8))::ubigint % 8 as int) as shard,
+             cast(strlen(text) as bigint) as n_bytes
+      from documents
+    ), per as (
+      select shard, count(*) as n_docs,
+             cast(sum(n_bytes) as bigint) as total_bytes
+      from a group by shard
+    ), tot as (
+      select floor(max(total_bytes)
+                   / (sum(total_bytes) / cast(count(*) as double))
+                   * 1000000.0 + 0.5) / 1000000.0 as imbalance
+      from per
+    )
+    select shard, n_docs, total_bytes, imbalance
+    from per cross join tot
+    """,
+    doc="output-shard layout plan (the 100 TB writer's pre-commit check): "
+    "md5-deterministic shard assignment, per-shard doc and byte totals, "
+    "and the global max/mean byte-imbalance ratio — one hash agg plus a "
+    "broadcast of the n_shards-row totals; no sort, no RNG, no window",
+)
+def d13(spark: SparkSession, sf: str) -> DataFrame:
+    from basis_devkit_spark.operators.text import shard_plan
+
+    return shard_plan(load(spark, sf, "documents"), n_shards=8)

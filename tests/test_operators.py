@@ -2106,3 +2106,29 @@ def test_sequence_pack_bucket_size_invariant(spark):
     a = sequence_pack(df, budget=4, bucket_size=2)
     b = sequence_pack(df, budget=4, bucket_size=8192)
     assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+
+
+def test_shard_assign_deterministic_and_plan_balance(spark):
+    from basis_devkit_spark.operators.text import shard_assign, shard_plan
+
+    df = spark.createDataFrame(
+        [(i, "x" * (10 + i % 7)) for i in range(400)], ["doc_id", "text"]
+    )
+    a = shard_assign(df, 8)
+    b = shard_assign(df, 8)
+    # deterministic: identical assignment across invocations
+    assert a.exceptAll(b).count() == 0
+    assert a.filter((F.col("shard") < 0) | (F.col("shard") >= 8)).count() == 0
+    # bytes measured in UTF-8 octets
+    row = a.filter(F.col("doc_id") == 0).collect()[0]
+    assert row["n_bytes"] == 10
+    plan = shard_plan(df, 8).collect()
+    assert len(plan) == 8
+    assert {r["shard"] for r in plan} == set(range(8))
+    total = sum(r["n_docs"] for r in plan)
+    assert total == 400
+    imb = plan[0]["imbalance"]
+    assert all(r["imbalance"] == imb for r in plan)
+    mean = sum(r["total_bytes"] for r in plan) / 8
+    assert abs(imb - max(r["total_bytes"] for r in plan) / mean) < 1e-6
+    assert imb < 2.0  # md5-uniform: no shard is pathologically hot
