@@ -1068,32 +1068,58 @@ def b47(spark: SparkSession, sf: str) -> DataFrame:
 @register(
     "b48_grouped_map",
     """
-    select c_custkey,
-           round((c_acctbal - avg(c_acctbal) over (partition by c_nationkey))
-                 / stddev_samp(c_acctbal) over (partition by c_nationkey), 4)
-             as bal_z
-    from customer
+    with g as (
+      select c_nationkey,
+             cast(sum(cast(c_acctbal as decimal(12,2))) as double) as s,
+             cast(sum(cast(c_acctbal as decimal(12,2))
+                      * cast(c_acctbal as decimal(12,2))) as double) as sq,
+             count(*) as n
+      from customer group by c_nationkey
+    )
+    select c.c_custkey,
+           floor((c.c_acctbal - g.s / g.n)
+                 / sqrt((g.sq - g.s * g.s / g.n) / (g.n - 1))
+                 * 10000.0 + 0.5) / 10000.0 as bal_z
+    from customer c join g on c.c_nationkey = g.c_nationkey
     """,
-    doc="applyInPandas per-group transform (z-score) vs window-SQL oracle",
+    doc="applyInPandas per-group transform (z-score) vs moment-formula "
+    "oracle. Exactness recipe (caught by the sf0.1 exact-hash sweep): "
+    "pandas' pairwise-summed mean/std and the engine's stddev_samp "
+    "differ in final ulps, which flips a 4dp round at a .00005 "
+    "boundary — so BOTH sides compute the moments from decimal-exact "
+    "sums (integer cents in the UDF, DECIMAL(12,2) in SQL) and derive "
+    "z through the identical float64 formula with explicit IEEE "
+    "rounding (the d06f standardize-fit recipe at the UDF boundary)",
 )
 def b48(spark: SparkSession, sf: str) -> DataFrame:
+    import math
+
+    import numpy as np
+
     c = load(spark, sf, "customer")
 
     def zscore(pdf: pd.DataFrame) -> pd.DataFrame:
-        mu = pdf["c_acctbal"].mean()
-        sd = pdf["c_acctbal"].std(ddof=1)
+        # exact moments: 2dp money -> integer cents (int64, exact)
+        cents = (pdf["c_acctbal"] * 100).round().astype("int64")
+        n = len(pdf)
+        s = float(cents.sum()) / 100.0          # == cast(decimal sum as double)
+        sq = float((cents * cents).sum()) / 10000.0
+        if n < 2:
+            z = pd.Series([float("nan")] * n, index=pdf.index)
+        else:
+            mu = s / n
+            sd = math.sqrt((sq - s * s / n) / (n - 1))
+            z = (pdf["c_acctbal"] - mu) / sd
         return pd.DataFrame(
             {
                 "c_custkey": pdf["c_custkey"],
-                "bal_z": (pdf["c_acctbal"] - mu) / sd,
+                "bal_z": np.floor(z * 10000.0 + 0.5) / 10000.0,
             }
         )
 
-    out = c.groupBy("c_nationkey").applyInPandas(
+    return c.groupBy("c_nationkey").applyInPandas(
         zscore, "c_custkey bigint, bal_z double"
     )
-    # round JVM-side (numpy would round half-to-even)
-    return out.select("c_custkey", F.round("bal_z", 4).alias("bal_z"))
 
 
 @register(
