@@ -829,8 +829,8 @@ def test_funnel_empty_step_yields_zero_not_error(spark):
 
 def test_pretrain_pipeline_example_app(spark, tmp_path):
     """The examples/pretrain_pipeline app runs end-to-end: quality gates
-    -> exact+MinHash dedup -> benchmark decontamination -> sequence
-    packing, each stage a versioned store commit."""
+    -> exact+MinHash dedup -> benchmark decontamination -> PII redaction
+    -> sequence packing, each stage a versioned store commit."""
     from pyspark.sql import functions as F
 
     eng = Engine(spark, str(tmp_path / "store"))
@@ -854,6 +854,12 @@ def test_pretrain_pipeline_example_app(spark, tmp_path):
     assert 0 < n_final < n_dedup  # planted benchmark overlap was removed
     # no benchmark doc survives
     assert final.filter(F.col("doc_id") < 5).count() == 0
+    # redaction stage: row-preserving, typed count columns present
+    red = eng.table_df("redacted_docs")
+    assert red.count() == n_final
+    for col in ("n_email", "n_ip", "n_ssn", "n_phone"):
+        assert col in red.columns
+        assert red.filter(F.col(col) < 0).count() == 0
     # packing conserves docs and respects the chunk budget granularity
     assert packed.agg(F.sum("n_docs")).collect()[0][0] == n_final
     assert packed.filter(F.col("chunk_id") < 0).count() == 0
