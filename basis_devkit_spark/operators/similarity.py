@@ -457,3 +457,59 @@ def semantic_dedup(
         .distinct()
     )
     return df.join(dropped, on=F.col(id_col) == F.col("__drop"), how="left_anti")
+
+
+def ann_join(
+    left: DataFrame,
+    right: DataFrame,
+    k: int = 5,
+    nlist: int = 16,
+    nprobe: int = 4,
+    vec_col: str = "embedding",
+    left_id: str = "vec_id",
+    right_id: str = "vec_id",
+    centroids: DataFrame | None = None,
+    max_cell_size: int | None = None,
+    seed: int = 42,
+    max_train_rows: int = 100_000,
+) -> DataFrame:
+    """Corpus-to-corpus approximate nearest-neighbor JOIN: EVERY left
+    vector gets its top-``k`` cosine neighbors from ``right`` — the
+    retrieval shape (dataset enrichment, eval-set neighbor lookup,
+    RAG index build) where BOTH sides are large, so neither can be
+    broadcast the way ``brute_force_topk`` broadcasts its query set.
+
+    Scale shape: both sides share one coarse quantizer (sampled KMeans,
+    or explicit ``centroids`` for a deterministic shuffle-free literal
+    projection). ``right`` lands in exactly ONE cell; each ``left`` row
+    replicates to its ``nprobe`` nearest cells (bounded fan-out). The
+    candidate set is the cell EQUI-join — one shuffle of each side on
+    ``__cell``, never a cross join — and the exact cosine re-rank runs
+    only on candidates, reduced by the same two-phase map-side top-k as
+    every other similarity operator (no per-query window). Hot cells are
+    capped on the right with ``max_cell_size`` (the MinHash/SimHash/
+    semantic-dedup degenerate-bucket rail). Output:
+    ``(query_id, match_id, score, rank)``.
+    """
+    r_assigned, cents = _assign_cells(
+        right, vec_col, right_id, "__rid", nlist, seed, max_train_rows, centroids
+    )
+    if max_cell_size is not None:
+        from basis_devkit_spark.operators.dedup import _drop_hot_buckets
+
+        r_assigned = _drop_hot_buckets(r_assigned, ["__cell"], max_cell_size)
+    lv = left.select(F.col(left_id).alias("__lid"), F.col(vec_col).alias("__lv"))
+    probe_cells = F.slice(
+        F.array_sort(_cell_rank_structs(F.col("__lv"), cents)), 1, nprobe
+    )
+    l_probe = lv.withColumn(
+        "__cell",
+        F.explode(F.transform(probe_cells, lambda s: s.getField("cell"))),
+    )
+    cand = l_probe.join(r_assigned, "__cell")
+    scored = cand.select(
+        F.col("__lid").alias("query_id"),
+        F.col("__rid").alias("match_id"),
+        cosine_similarity_col(F.col("__lv"), F.col("__cv")).alias("score"),
+    )
+    return _topk_by_query(scored, k)

@@ -95,6 +95,7 @@ _SAMPLE_PRIORITY = [
     "d11_sequence_packing",
     "d12_pii_redaction",
     "d13_shard_plan",
+    "d03h_ann_join",
     "a28_zorder_pruned_read",
     "a29_bucketed_colocated_join",
     "a30_vacuum_retention",

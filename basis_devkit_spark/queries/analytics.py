@@ -3032,3 +3032,27 @@ def d13(spark: SparkSession, sf: str) -> DataFrame:
     from basis_devkit_spark.operators.text import shard_plan
 
     return shard_plan(load(spark, sf, "documents"), n_shards=8)
+
+
+@register(
+    "d03h_ann_join",
+    pyoracle.ann_join_sql,
+    doc="corpus-to-corpus ANN top-3 JOIN (the retrieval shape: every left "
+    "vector gets k right-corpus neighbors, NEITHER side broadcast): "
+    "shared deterministic seed quantizer, right corpus lands in one cell, "
+    "left probes its 4 nearest cells, candidates from the cell EQUI-join, "
+    "exact cosine re-rank via the two-phase map-side top-k; candidates "
+    "independently modeled in Python (pyoracle), DuckDB exact re-rank",
+)
+def d03h(spark: SparkSession, sf: str) -> DataFrame:
+    from basis_devkit_spark.operators.similarity import ann_join
+
+    emb = load(spark, sf, "embeddings")
+    left = emb.filter(F.col("vec_id") % 2 == 0)
+    right = emb.filter(F.col("vec_id") % 2 == 1)
+    return ann_join(
+        left, right, k=3, nlist=8, nprobe=4,
+        centroids=_ivf_seed_centroids(emb, 8),
+    ).select(
+        "query_id", "match_id", F.round("score", 4).alias("score"), "rank"
+    )

@@ -610,3 +610,58 @@ def embedding_neardup_sql(threshold: float = 0.9) -> str:
     select id_a, id_b, round(cosine, 4) as cosine
     from scored where cosine >= {threshold}
     """
+
+
+@lru_cache(maxsize=2)
+def ann_join_candidates(
+    sf_dir: str, nlist: int = 8, nprobe: int = 4
+) -> tuple[tuple[int, int], ...]:
+    """(query_id, match_id) candidates of the deterministic-quantizer ANN
+    corpus-to-corpus JOIN: left corpus = even vec_ids, right corpus = odd
+    vec_ids, centroids = vectors with vec_id < nlist (as double); every
+    RIGHT vector is assigned to its max-cosine cell (ties → smallest
+    cell); each LEFT vector probes its ``nprobe`` top cells; candidates
+    are the right-corpus members of the probed cells."""
+    ids, mat = _embeddings(sf_dir)
+    id2vec = {vid: [float(x) for x in mat[i]] for i, vid in enumerate(ids)}
+    cents = [(j, id2vec[j]) for j in range(nlist)]
+
+    def ranked_cells(vec) -> list[int]:
+        return [
+            c for _, c in sorted((-_seq_cosine(vec, cv), j) for j, cv in cents)
+        ]
+
+    cells: dict[int, list[int]] = {}
+    for vid in ids:
+        if vid % 2 == 1:
+            cells.setdefault(ranked_cells(id2vec[vid])[0], []).append(vid)
+    cands: set[tuple[int, int]] = set()
+    for vid in ids:
+        if vid % 2 == 0:
+            for c in ranked_cells(id2vec[vid])[:nprobe]:
+                for mid in cells.get(c, ()):
+                    cands.add((vid, mid))
+    return tuple(sorted(cands))
+
+
+def ann_join_sql(k: int = 3) -> str:
+    cands = ann_join_candidates(oracle_sf_dir())
+    vals = ", ".join(f"({q}, {m})" for q, m in cands)
+    return f"""
+    with cand(query_id, match_id) as (values {vals}),
+    scored as (
+      select c.query_id::BIGINT as query_id, c.match_id::BIGINT as match_id,
+             list_cosine_similarity(
+               list_transform(q.embedding, x -> cast(x as double)),
+               list_transform(m.embedding, x -> cast(x as double))) as score
+      from cand c
+      join embeddings q on q.vec_id = c.query_id
+      join embeddings m on m.vec_id = c.match_id
+    ), ranked as (
+      select query_id, match_id, score,
+             row_number() over (partition by query_id
+                                order by score desc, match_id) as rank
+      from scored)
+    select query_id, match_id, round(score, 4) as score, rank
+    from ranked where rank <= {k}
+    """

@@ -2132,3 +2132,47 @@ def test_shard_assign_deterministic_and_plan_balance(spark):
     mean = sum(r["total_bytes"] for r in plan) / 8
     assert abs(imb - max(r["total_bytes"] for r in plan) / mean) < 1e-6
     assert imb < 2.0  # md5-uniform: no shard is pathologically hot
+
+
+def test_ann_join_recall_vs_bruteforce(spark, sf_dir):
+    """ann_join with the deterministic quantizer must recover most of the
+    exact top-3 neighbor set (recall is the ANN quality contract; the
+    candidate SET itself is oracle-checked by d03h)."""
+    from basis_devkit_spark.operators.similarity import ann_join, brute_force_topk
+    from basis_devkit_spark.queries import load
+    from basis_devkit_spark.queries.analytics import _ivf_seed_centroids
+
+    emb = load(spark, sf_dir, "embeddings")
+    left = emb.filter(F.col("vec_id") % 2 == 0).limit(40)
+    right = emb.filter(F.col("vec_id") % 2 == 1)
+    approx = {
+        (r["query_id"], r["match_id"])
+        for r in ann_join(
+            left, right, k=3, nlist=8, nprobe=4,
+            centroids=_ivf_seed_centroids(emb, 8),
+        ).collect()
+    }
+    exact = {
+        (r["query_id"], r["match_id"])
+        for r in brute_force_topk(left, right, k=3).collect()
+    }
+    assert len(exact) > 0
+    recall = len(approx & exact) / len(exact)
+    assert recall >= 0.5, recall  # nprobe=4 of 8 cells: well above half
+
+
+def test_ann_join_hot_cell_guard(spark, sf_dir):
+    from basis_devkit_spark.operators.similarity import ann_join
+    from basis_devkit_spark.queries import load
+    from basis_devkit_spark.queries.analytics import _ivf_seed_centroids
+
+    emb = load(spark, sf_dir, "embeddings")
+    left = emb.filter(F.col("vec_id") % 2 == 0).limit(10)
+    right = emb.filter(F.col("vec_id") % 2 == 1)
+    out = ann_join(
+        left, right, k=3, nlist=8, nprobe=8,
+        centroids=_ivf_seed_centroids(emb, 8), max_cell_size=1,
+    )
+    # with every cell capped at 1 member, each query sees <= 8 candidates
+    per_q = out.groupBy("query_id").count().agg(F.max("count")).collect()[0][0]
+    assert per_q is None or per_q <= 3

@@ -529,3 +529,23 @@ def test_redact_pii_counted_pure_projection(spark):
     assert "Exchange" not in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     assert "Window" not in plan
+
+
+def test_ann_join_cell_equi_join_no_cross(spark):
+    """ann_join must candidate-generate through a cell EQUI-join: no
+    cartesian product, no broadcast nested loop, no Python, and the
+    final top-k is the two-phase aggregation (no per-query window
+    row_number)."""
+    from basis_devkit_spark.operators.similarity import ann_join
+    from basis_devkit_spark.queries.analytics import _ivf_seed_centroids
+
+    emb = load(spark, SF, "embeddings")
+    left = emb.filter(F.col("vec_id") % 2 == 0)
+    right = emb.filter(F.col("vec_id") % 2 == 1)
+    df = ann_join(left, right, k=3, nlist=8, nprobe=4,
+                  centroids=_ivf_seed_centroids(emb, 8))
+    plan = plan_of(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "row_number" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
