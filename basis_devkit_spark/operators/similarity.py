@@ -11,6 +11,9 @@
 - ``ivf_topk`` — IVF: KMeans centroids (Spark ML, trained on a sample),
   probe the ``nprobe`` nearest centroids per query — the classic
   coarse-quantizer ANN layout.
+- ``ann_join`` — corpus-to-corpus top-k join (neither side broadcast):
+  shared coarse quantizer, cell EQUI-join candidates, two-phase top-k —
+  the retrieval shape that still exists when both sides are huge.
 """
 
 from __future__ import annotations
