@@ -475,6 +475,7 @@ def ann_join(
     max_cell_size: int | None = None,
     seed: int = 42,
     max_train_rows: int = 100_000,
+    score_round: int | None = None,
 ) -> DataFrame:
     """Corpus-to-corpus approximate nearest-neighbor JOIN: EVERY left
     vector gets its top-``k`` cosine neighbors from ``right`` — the
@@ -493,6 +494,16 @@ def ann_join(
     capped on the right with ``max_cell_size`` (the MinHash/SimHash/
     semantic-dedup degenerate-bucket rail). Output:
     ``(query_id, match_id, score, rank)``.
+
+    ``score_round``: round scores to N decimal places BEFORE the top-k
+    rank, so ordering is decided on the rounded value with the
+    deterministic ``match_id`` tie-break. Two engines computing the same
+    cosine through different float pipelines can disagree in the final
+    ulps; ranking on raw doubles lets such sub-1e-15 differences flip
+    rank/membership at near-ties, while the rounded rank only flips in
+    the (far rarer) case of a true value within ~1 ulp of a rounding
+    boundary. Use it whenever results must be reproducible across
+    engines/hardware (cross-engine oracle checks, regression baselines).
     """
     r_assigned, cents = _assign_cells(
         right, vec_col, right_id, "__rid", nlist, seed, max_train_rows, centroids
@@ -527,12 +538,12 @@ def ann_join(
         .drop("__lv")
     )
     cand = l_probe.join(r_side, "__cell")
+    score = _dot(F.col("__lvd"), F.col("__cvd")) / (F.col("__ln") * F.col("__rn"))
+    if score_round is not None:
+        score = F.round(score, score_round)
     scored = cand.select(
         F.col("__lid").alias("query_id"),
         F.col("__rid").alias("match_id"),
-        (
-            _dot(F.col("__lvd"), F.col("__cvd"))
-            / (F.col("__ln") * F.col("__rn"))
-        ).alias("score"),
+        score.alias("score"),
     )
     return _topk_by_query(scored, k)

@@ -2668,8 +2668,16 @@ def c13(spark: SparkSession, sf: str) -> DataFrame:
                when 0 then 'control' when 1 then 'variant_a'
                else 'variant_b' end as arm
       from units
-    ), counts as (
+    ), obs as (
       select arm, count(*) as n_units from assigned group by arm
+    ), arms(arm) as (values ('control'), ('variant_a'), ('variant_b')),
+    counts as (
+      -- mirror the operator's zero-arm semantics: every DECLARED arm gets
+      -- a row (coalesced to 0), so the chi2 sum includes the (0-E)^2/E
+      -- term for an arm that received no units — identical to srm_check's
+      -- left join onto the full arm list.
+      select a.arm, coalesce(o.n_units, cast(0 as bigint)) as n_units
+      from arms a left join obs o on a.arm = o.arm
     ), tot as (select sum(n_units) as total from counts),
     chi as (
       select floor(sum((n_units - total / 3.0) * (n_units - total / 3.0)
@@ -2904,8 +2912,12 @@ def e14(spark: SparkSession, sf: str) -> DataFrame:
     "d11_sequence_packing",
     """
     with t as (
+      -- regex \\s+ split: the SAME tokenization definition as the operator
+      -- (multi-space/tab/newline runs count as one separator), not the
+      -- single-literal-space convention
       select doc_id,
-             cast(len(string_split(lower(trim(text)), ' ')) as int) as n_tokens
+             cast(len(regexp_split_to_array(lower(trim(text)), '\\s+')) as int)
+               as n_tokens
       from documents
     ), c as (
       select doc_id, n_tokens,
@@ -3042,7 +3054,10 @@ def d13(spark: SparkSession, sf: str) -> DataFrame:
     "shared deterministic seed quantizer, right corpus lands in one cell, "
     "left probes its 4 nearest cells, candidates from the cell EQUI-join, "
     "exact cosine re-rank via the two-phase map-side top-k; candidates "
-    "independently modeled in Python (pyoracle), DuckDB exact re-rank",
+    "independently modeled in Python (pyoracle), DuckDB exact re-rank. "
+    "Ranking is on 4dp-ROUNDED scores (score_round=4, match_id "
+    "tie-break) on both sides, so sub-ulp float-pipeline differences "
+    "between the engines cannot flip rank membership at near-ties",
 )
 def d03h(spark: SparkSession, sf: str) -> DataFrame:
     from basis_devkit_spark.operators.similarity import ann_join
@@ -3052,7 +3067,5 @@ def d03h(spark: SparkSession, sf: str) -> DataFrame:
     right = emb.filter(F.col("vec_id") % 2 == 1)
     return ann_join(
         left, right, k=3, nlist=8, nprobe=4,
-        centroids=_ivf_seed_centroids(emb, 8),
-    ).select(
-        "query_id", "match_id", F.round("score", 4).alias("score"), "rank"
-    )
+        centroids=_ivf_seed_centroids(emb, 8), score_round=4,
+    ).select("query_id", "match_id", "score", "rank")

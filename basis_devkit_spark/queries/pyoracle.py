@@ -647,13 +647,17 @@ def ann_join_candidates(
 def ann_join_sql(k: int = 3) -> str:
     cands = ann_join_candidates(oracle_sf_dir())
     vals = ", ".join(f"({q}, {m})" for q, m in cands)
+    # Rank on the 4dp-ROUNDED score (match_id tie-break), mirroring the
+    # declared query's score_round=4 — raw-double ranking would let
+    # sub-ulp differences between DuckDB's list_cosine_similarity and
+    # Spark's sequential fold flip membership at near-ties.
     return f"""
     with cand(query_id, match_id) as (values {vals}),
     scored as (
       select c.query_id::BIGINT as query_id, c.match_id::BIGINT as match_id,
-             list_cosine_similarity(
+             round(list_cosine_similarity(
                list_transform(q.embedding, x -> cast(x as double)),
-               list_transform(m.embedding, x -> cast(x as double))) as score
+               list_transform(m.embedding, x -> cast(x as double))), 4) as score
       from cand c
       join embeddings q on q.vec_id = c.query_id
       join embeddings m on m.vec_id = c.match_id
@@ -662,6 +666,6 @@ def ann_join_sql(k: int = 3) -> str:
              row_number() over (partition by query_id
                                 order by score desc, match_id) as rank
       from scored)
-    select query_id, match_id, round(score, 4) as score, rank
+    select query_id, match_id, score, rank
     from ranked where rank <= {k}
     """

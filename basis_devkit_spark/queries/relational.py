@@ -1100,10 +1100,17 @@ def b48(spark: SparkSession, sf: str) -> DataFrame:
 
     def zscore(pdf: pd.DataFrame) -> pd.DataFrame:
         # exact moments: 2dp money -> integer cents (int64, exact)
+        from fractions import Fraction
+
         cents = (pdf["c_acctbal"] * 100).round().astype("int64")
         n = len(pdf)
-        s = float(cents.sum()) / 100.0          # == cast(decimal sum as double)
-        sq = float((cents * cents).sum()) / 10000.0
+        # Single rounding from the exact rational — float(Fraction) is the
+        # correctly-rounded nearest double, i.e. identical to the oracle's
+        # one-step decimal→double cast.  int→float-then-divide would round
+        # TWICE, which can differ by one ulp once the cents² sum exceeds
+        # 2^53 (large scale factors) and flip the 4dp floor at .00005.
+        s = float(Fraction(int(cents.sum()), 100))
+        sq = float(Fraction(int((cents * cents).sum()), 10000))
         if n < 2:
             z = pd.Series([float("nan")] * n, index=pdf.index)
         else:
