@@ -751,3 +751,151 @@ def multi_benchmark_contamination(
             "shared_grams",
         )
     )
+
+
+# ------------------------------------------- exact-substring spans (D21/d14)
+def duplicate_span_intervals(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    span_tokens: int = 50,
+) -> DataFrame:
+    """Token intervals covered by REPEATED spans — the detection half of
+    :func:`exact_substring_dedup` (Lee et al. 2022, "Deduplicating
+    Training Data Makes Language Models Better": repeated >=N-token
+    substrings are removed everywhere but their first occurrence; unlike
+    whole-doc near-dup (``minhash_dedup``) or repeated-line removal
+    (``drop_repeated_lines``), this catches boilerplate SPANS embedded in
+    otherwise-distinct documents).
+
+    Model: whitespace-token shingles of length ``span_tokens`` at every
+    start position. A span string occurring >=2 times corpus-wide is a
+    duplicate; its occurrence with the smallest ``(doc_id, pos)`` is the
+    keeper, every other occurrence yields an excision interval
+    ``[pos, pos + span_tokens)``. Overlapping/touching intervals are
+    merged per doc (a duplicated region of length M > span_tokens shows
+    up as M - span_tokens + 1 overlapping shingles — the merge collapses
+    them to one interval, recovering the full repeated region).
+
+    Scale shape (the suffix-array construction of the paper is a
+    single-node build; this is the distributed equivalent):
+    - shingle stream is one row per token position — linear in corpus
+      tokens, generated by a pure projection + explode;
+    - duplicate detection is TWO-PHASE so full span strings never shuffle
+      for the (overwhelmingly common) unique spans: phase 1 group-bys the
+      8-byte ``xxhash64`` of each span and keeps hashes seen >=2 times;
+      phase 2 re-groups only those suspects by the exact span string
+      (hash collisions die here — count-by-string >= 2 is the real test,
+      the hash is only a prefilter);
+    - keeper selection is ``min(struct(doc_id, pos))`` inside the same
+      phase-2 aggregation — no per-span window, so a pathological span
+      repeated 10^9 times costs one combinable agg, not a single-reducer
+      sort;
+    - interval merging is a per-``doc_id`` window (bounded by document
+      length, never global).
+
+    Returns ``(id_col, s, e)`` merged excision intervals, token-indexed,
+    half-open.
+    """
+    toks = F.split(F.trim(F.col(text_col)), r"\s+")
+    base = df.select(F.col(id_col).alias("__id"), toks.alias("__toks"))
+    L = int(span_tokens)
+    # one struct per start position: (pos, span string); docs shorter than
+    # L emit nothing (sequence() with a negative stop would DESCEND)
+    sh = (
+        base.filter(F.size("__toks") >= L)
+        .select(
+            "__id",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(0), F.size("__toks") - L),
+                    lambda i: F.struct(
+                        i.alias("pos"),
+                        F.array_join(
+                            F.slice("__toks", i + 1, L), " "
+                        ).alias("span"),
+                    ),
+                )
+            ).alias("__sh"),
+        )
+        .select("__id", F.col("__sh.pos").alias("__pos"), F.col("__sh.span").alias("__span"))
+        .withColumn("__sig", F.xxhash64("__span"))
+    )
+    dup_sigs = (
+        sh.groupBy("__sig").agg(F.count(F.lit(1)).alias("__c"))
+        .filter(F.col("__c") >= 2)
+        .select("__sig")
+    )
+    suspects = sh.join(dup_sigs, "__sig", "left_semi")
+    dup_spans = (
+        suspects.groupBy("__span")
+        .agg(
+            F.count(F.lit(1)).alias("__n_occ"),
+            F.min(F.struct(F.col("__id").alias("i"), F.col("__pos").alias("p"))).alias("__keep"),
+        )
+        .filter(F.col("__n_occ") >= 2)
+        .select("__span", "__keep")
+    )
+    excise = (
+        suspects.join(dup_spans, "__span")
+        .filter(
+            (F.col("__id") != F.col("__keep.i")) | (F.col("__pos") != F.col("__keep.p"))
+        )
+        .select("__id", F.col("__pos").alias("s"), (F.col("__pos") + L).alias("e"))
+    )
+    # merge overlapping/touching intervals per doc: an interval starts a
+    # new group iff its s exceeds the running max end of everything before
+    w = Window.partitionBy("__id").orderBy("s", "e")
+    prev_max_e = F.max("e").over(w.rowsBetween(Window.unboundedPreceding, -1))
+    grouped = excise.withColumn(
+        "__new", (F.col("s") > F.coalesce(prev_max_e, F.lit(-1))).cast("int")
+    ).withColumn(
+        "__grp", F.sum("__new").over(w.rowsBetween(Window.unboundedPreceding, 0))
+    )
+    return (
+        grouped.groupBy("__id", "__grp")
+        .agg(F.min("s").alias("s"), F.max("e").alias("e"))
+        .select(F.col("__id").alias(id_col), "s", "e")
+    )
+
+
+def exact_substring_dedup(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    span_tokens: int = 50,
+) -> DataFrame:
+    """Remove repeated >=``span_tokens``-token substrings everywhere but
+    their first occurrence (Lee et al. 2022 ExactSubstr, distributed —
+    see :func:`duplicate_span_intervals` for the detection model and the
+    100 TB shape). Tokens whose index falls in any excision interval are
+    dropped and the document is re-joined with single spaces (the corpus
+    convention; original inter-token whitespace is normalized). Returns
+    ``(id_col, text_clean, n_removed)`` — every input doc keeps its row,
+    fully-excised docs come back as the empty string.
+    """
+    iv = duplicate_span_intervals(df, id_col, text_col, span_tokens)
+    per_doc = iv.groupBy(id_col).agg(
+        F.collect_list(F.struct("s", "e")).alias("__iv")
+    )
+    toks = F.split(F.trim(F.col(text_col)), r"\s+")
+    base = df.select(F.col(id_col), toks.alias("__toks")).join(
+        per_doc, id_col, "left"
+    )
+    ivs = F.coalesce(F.col("__iv"), F.array().cast("array<struct<s:int,e:int>>"))
+    indexed = F.zip_with(
+        F.col("__toks"),
+        F.sequence(F.lit(0), F.size("__toks") - 1),
+        lambda t, i: F.struct(t.alias("t"), i.alias("i")),
+    )
+    kept = F.filter(
+        indexed,
+        lambda s: ~F.exists(
+            ivs, lambda v: (s["i"] >= v["s"]) & (s["i"] < v["e"])
+        ),
+    )
+    return base.select(
+        id_col,
+        F.array_join(F.transform(kept, lambda s: s["t"]), " ").alias("text_clean"),
+        (F.size("__toks") - F.size(kept)).cast("long").alias("n_removed"),
+    )

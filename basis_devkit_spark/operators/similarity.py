@@ -120,6 +120,67 @@ def _topk_by_query(scored: DataFrame, k: int) -> DataFrame:
     )
 
 
+def deterministic_kmeans(mat, k: int, iters: int = 10, seed: int = 42) -> list[list[float]]:
+    """Spherical Lloyd's k-means, bit-deterministic given the same input
+    row order: float64 numpy throughout (fixed-order reductions), seeded
+    k-means++ init via ``RandomState``, max-cosine assignment (argmax ties
+    → lowest cell), mean-then-renormalize update, empty cells keep their
+    previous center. Runs on the DRIVER over a bounded sample — the
+    quantizer-fit shape that is tractable at any corpus scale (centroid
+    quality converges long before the sample cap; the Spark ML KMeans
+    path in :func:`ivf_topk` exists for in-cluster fits but its
+    cross-partition float reduction order is not reproducible, so
+    pipelines that must be replayable — or oracle-checkable — use this).
+    """
+    import numpy as np
+
+    X = np.asarray(mat, dtype=np.float64)
+    norms = np.linalg.norm(X, axis=1, keepdims=True)
+    unit = X / np.where(norms == 0.0, 1.0, norms)
+    rng = np.random.RandomState(seed)
+    chosen = [int(rng.randint(len(unit)))]
+    for _ in range(k - 1):
+        d = np.maximum(1.0 - (unit @ unit[chosen].T).max(axis=1), 0.0)
+        s = d.sum()
+        p = d / s if s > 0.0 else np.full(len(unit), 1.0 / len(unit))
+        chosen.append(int(rng.choice(len(unit), p=p)))
+    cents = unit[chosen].copy()
+    for _ in range(iters):
+        assign = np.argmax(unit @ cents.T, axis=1)
+        for j in range(k):
+            members = unit[assign == j]
+            if len(members):
+                c = members.sum(axis=0)
+                n = float(np.linalg.norm(c))
+                if n > 0.0:
+                    cents[j] = c / n
+    return [[float(x) for x in c] for c in cents]
+
+
+def fit_quantizer_sample(
+    corpus: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    k: int = 16,
+    max_train_rows: int = 100_000,
+    iters: int = 10,
+    seed: int = 42,
+) -> list[tuple[int, list[float]]]:
+    """Fit a reproducible coarse quantizer on the first ``max_train_rows``
+    corpus vectors by ``id_col`` (a TakeOrdered limit — one bounded
+    collect) via :func:`deterministic_kmeans`. Returns ``[(cell, center)]``
+    ready for the ``centroids=`` parameter of :func:`ivf_topk` /
+    :func:`ann_join` — same fit in, same cells out, on every replay."""
+    rows = (
+        corpus.select(F.col(id_col), F.col(vec_col))
+        .orderBy(id_col)
+        .limit(max_train_rows)
+        .collect()
+    )
+    mat = [[float(x) for x in r[1]] for r in rows]
+    return [(j, c) for j, c in enumerate(deterministic_kmeans(mat, k, iters, seed))]
+
+
 def _vec_dim(df: DataFrame, vec_col: str) -> int:
     """Embedding dimensionality from one row — fetches only the size int,
     not the vector itself (cheap driver round-trip)."""
@@ -234,7 +295,7 @@ def _assign_cells(
     nlist: int,
     seed: int,
     max_train_rows: int,
-    centroids: DataFrame | None,
+    centroids: DataFrame | list[tuple[int, list[float]]] | None,
 ) -> tuple[DataFrame, list[tuple[int, list[float]]]]:
     """Coarse-quantizer cell assignment shared by ``ivf_topk`` and
     ``semantic_dedup``: returns ``(assigned, cents)`` where ``assigned``
@@ -274,11 +335,16 @@ def _assign_cells(
         # collects its centers too) — fold them into literal expressions so
         # BOTH cell assignment and query probing are shuffle-free per-row
         # projections (no crossJoin, no window). Keep the centroid count
-        # modest (≲10^4) — it multiplies expression size.
-        cents = [
-            (int(r["cell"]), [float(x) for x in r["center"]])
-            for r in centroids.collect()
-        ]
+        # modest (≲10^4) — it multiplies expression size. Accepts either a
+        # (cell, center) DataFrame or a driver-resident [(cell, center)]
+        # list (e.g. from fit_quantizer_sample / a persisted ann_index).
+        if isinstance(centroids, DataFrame):
+            cents = [
+                (int(r["cell"]), [float(x) for x in r["center"]])
+                for r in centroids.collect()
+            ]
+        else:
+            cents = [(int(j), [float(x) for x in c]) for j, c in centroids]
         corpus_v = corpus.select(
             F.col(id_col).alias(out_id), F.col(vec_col).alias("__cv")
         )
@@ -298,7 +364,8 @@ def ivf_topk(
     nprobe: int = 4,
     seed: int = 42,
     max_train_rows: int = 100_000,
-    centroids: DataFrame | None = None,
+    centroids: DataFrame | list[tuple[int, list[float]]] | None = None,
+    score_round: int | None = None,
 ) -> DataFrame:
     """IVF ANN: coarse quantizer → corpus rows assigned to their nearest
     centroid → queries probe ``nprobe`` nearest centroids → exact cosine
@@ -327,11 +394,11 @@ def ivf_topk(
         "query_id", "__qv", F.col("__probe.cell").alias("__cell")
     )
     cand = q_cells.join(assigned, "__cell").filter(F.col("query_id") != F.col("match_id"))
-    scored = cand.select(
-        "query_id",
-        "match_id",
-        cosine_similarity_col(F.col("__qv"), F.col("__cv")).alias("score"),
-    )
+    score = cosine_similarity_col(F.col("__qv"), F.col("__cv"))
+    if score_round is not None:
+        # rank on the rounded value (match_id tie-break) — see ann_join
+        score = F.round(score, score_round)
+    scored = cand.select("query_id", "match_id", score.alias("score"))
     return _topk_by_query(scored, k)
 
 
@@ -471,7 +538,7 @@ def ann_join(
     vec_col: str = "embedding",
     left_id: str = "vec_id",
     right_id: str = "vec_id",
-    centroids: DataFrame | None = None,
+    centroids: DataFrame | list[tuple[int, list[float]]] | None = None,
     max_cell_size: int | None = None,
     seed: int = 42,
     max_train_rows: int = 100_000,

@@ -930,18 +930,28 @@ def d03c(spark: SparkSession, sf: str) -> DataFrame:
 
 @register(
     "d03d_ivf_topk_kmeans",
-    None,  # KMeans-probed ANN; recall vs exact checked in tests
+    pyoracle.ivf_kmeans_topk_sql,
     doc="IVF (KMeans coarse quantizer) ANN top-5 — the trained-quantizer "
-    "variant; rows-only (KMeans training is not bit-reproducible)",
+    "variant. The quantizer is the deterministic spherical Lloyd's fit "
+    "on a bounded vec_id-ordered sample (driver-side float64 numpy, "
+    "bit-reproducible; fit_quantizer_sample — Spark ML KMeans' "
+    "cross-partition reduction order is not), so the full pipeline is "
+    "oracle-checkable: candidates from the independent Python probe "
+    "model over the SAME fitted centroids, DuckDB exact cosine re-rank, "
+    "4dp round-before-rank on both sides",
 )
 def d03d(spark: SparkSession, sf: str) -> DataFrame:
-    from basis_devkit_spark.operators.similarity import ivf_topk
+    from basis_devkit_spark.operators.similarity import (
+        fit_quantizer_sample,
+        ivf_topk,
+    )
 
     emb = load(spark, sf, "embeddings")
+    cents = fit_quantizer_sample(emb, k=8, max_train_rows=100_000, iters=10)
     q = emb.filter(F.col("vec_id") < 5)
-    return ivf_topk(q, emb, k=5, nlist=8, nprobe=4).select(
-        "query_id", "match_id", F.round("score", 4).alias("score"), "rank"
-    )
+    return ivf_topk(
+        q, emb, k=5, nlist=8, nprobe=4, centroids=cents, score_round=4
+    ).select("query_id", "match_id", "score", "rank")
 
 
 @register(
@@ -3044,6 +3054,86 @@ def d13(spark: SparkSession, sf: str) -> DataFrame:
     from basis_devkit_spark.operators.text import shard_plan
 
     return shard_plan(load(spark, sf, "documents"), n_shards=8)
+
+
+@register(
+    "d14_exact_substring_dedup",
+    r"""
+    with corpus as (
+      select doc_id, text from documents
+      union all
+      select doc_id + 1000000 as doc_id,
+             text || ' planted unique tail ' || cast(doc_id as varchar) as text
+      from documents where doc_id < 15
+    ), base as (
+      select doc_id, regexp_split_to_array(trim(text), '\s+') as toks
+      from corpus
+    ), sh as (
+      select doc_id, p.pos as s,
+             array_to_string(toks[p.pos+1 : p.pos+20], ' ') as span
+      from base, lateral (select unnest(range(len(toks) - 19)) as pos) p
+      where len(toks) >= 20
+    ), marked as (
+      select doc_id, s,
+             count(*) over (partition by span) as c,
+             row_number() over (partition by span order by doc_id, s) as rn
+      from sh
+    ), excise as (
+      select doc_id, s, s + 20 as e from marked where c >= 2 and rn > 1
+    ), flagged as (
+      select doc_id, s, e,
+             case when s > coalesce(max(e) over (partition by doc_id
+                    order by s, e
+                    rows between unbounded preceding and 1 preceding), -1)
+                  then 1 else 0 end as f
+      from excise
+    ), grp as (
+      select doc_id, s, e,
+             sum(f) over (partition by doc_id order by s, e
+                          rows between unbounded preceding and current row) as g
+      from flagged
+    ), merged as (
+      select doc_id, min(s) as ms, max(e) as me from grp group by doc_id, g
+    ), tokens as (
+      select b.doc_id, p.i as idx, b.toks[p.i+1] as tok
+      from base b, lateral (select unnest(range(len(b.toks))) as i) p
+    ), kept as (
+      select t.doc_id, t.idx, t.tok from tokens t
+      where not exists (select 1 from merged m
+                        where m.doc_id = t.doc_id
+                          and t.idx >= m.ms and t.idx < m.me)
+    ), kagg as (
+      select doc_id, string_agg(tok, ' ' order by idx) as text_clean,
+             count(*) as nk
+      from kept group by doc_id
+    )
+    select b.doc_id, coalesce(k.text_clean, '') as text_clean,
+           cast(len(b.toks) - coalesce(k.nk, 0) as bigint) as n_removed
+    from base b left join kagg k on b.doc_id = k.doc_id
+    """,
+    doc="exact-substring span dedup (Lee et al. 2022 ExactSubstr, "
+    "distributed): repeated >=20-token spans removed everywhere but "
+    "their first (doc_id, pos) occurrence, overlapping excisions "
+    "merged, docs re-joined. Corpus = documents plus planted copies "
+    "(doc_id<15 shifted +1e6 with a unique tail) whose duplicated "
+    "prefixes must be excised while the tails survive. Oracle "
+    "recomputes the full model in SQL: shingle windows, count/keeper "
+    "per span, interval merge via running-max window, token-level "
+    "anti-semi-join rebuild",
+)
+def d14(spark: SparkSession, sf: str) -> DataFrame:
+    from basis_devkit_spark.operators.dedup import exact_substring_dedup
+
+    d = load(spark, sf, "documents").select("doc_id", "text")
+    planted = d.filter(F.col("doc_id") < 15).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"),
+        F.concat(
+            F.col("text"),
+            F.lit(" planted unique tail "),
+            F.col("doc_id").cast("string"),
+        ).alias("text"),
+    )
+    return exact_substring_dedup(d.unionByName(planted), span_tokens=20)
 
 
 @register(

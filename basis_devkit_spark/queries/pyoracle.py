@@ -496,18 +496,15 @@ def _seq_cosine(a, b) -> float:
     return dot / (math.sqrt(na) * math.sqrt(nb))
 
 
-@lru_cache(maxsize=2)
-def ivf_candidates(
-    sf_dir: str, query_max_id: int = 5, nlist: int = 8, nprobe: int = 4
+def _ivf_probe_candidates(
+    ids, id2vec, cents, query_max_id: int, nprobe: int
 ) -> tuple[tuple[int, int], ...]:
-    """(query_id, match_id) candidates of the deterministic-quantizer IVF:
-    centroids = corpus vectors with vec_id < nlist (as double); every
-    corpus vector is assigned to its max-cosine cell (ties → smallest
-    cell); each query probes its ``nprobe`` top cells; candidates are the
-    corpus members of probed cells minus the query itself."""
-    ids, mat = _embeddings(sf_dir)
-    id2vec = {vid: [float(x) for x in mat[i]] for i, vid in enumerate(ids)}
-    cents = [(j, id2vec[j]) for j in range(nlist)]
+    """Shared IVF candidate model: every corpus vector is assigned to its
+    max-cosine cell (ties → smallest cell); each query (vec_id <
+    ``query_max_id``) probes its ``nprobe`` top cells; candidates are the
+    corpus members of probed cells minus the query itself. ``cents`` is
+    ``[(cell, center)]`` — seed vectors (d03c) or the deterministic
+    KMeans fit (d03d)."""
 
     def ranked_cells(vec) -> list[int]:
         # sort by (-cos, cell): cosine desc, cell asc on ties
@@ -529,6 +526,43 @@ def ivf_candidates(
     return tuple(sorted(cands))
 
 
+@lru_cache(maxsize=2)
+def ivf_candidates(
+    sf_dir: str, query_max_id: int = 5, nlist: int = 8, nprobe: int = 4
+) -> tuple[tuple[int, int], ...]:
+    """Candidates of the seed-vector-quantizer IVF (d03c): centroids =
+    corpus vectors with vec_id < nlist (as double)."""
+    ids, mat = _embeddings(sf_dir)
+    id2vec = {vid: [float(x) for x in mat[i]] for i, vid in enumerate(ids)}
+    cents = [(j, id2vec[j]) for j in range(nlist)]
+    return _ivf_probe_candidates(ids, id2vec, cents, query_max_id, nprobe)
+
+
+@lru_cache(maxsize=2)
+def ivf_kmeans_candidates(
+    sf_dir: str, query_max_id: int = 5, nlist: int = 8, nprobe: int = 4
+) -> tuple[tuple[int, int], ...]:
+    """Candidates of the KMeans-quantizer IVF (d03d): centroids from the
+    deterministic spherical Lloyd's fit over the vec_id-ordered corpus
+    (operators.similarity.deterministic_kmeans — driver-side float64
+    numpy, bit-reproducible). The FIT is a shared parameter computation,
+    deliberately the same code on both sides; what the oracle check
+    verifies is everything downstream of the centroids — Spark's
+    distributed cell assignment (literal-centroid cosine folds), probe
+    fan-out, cell equi-join candidate generation, exact cosine re-rank,
+    and two-phase top-k — against this independent Python model plus
+    DuckDB's exact re-rank."""
+    from basis_devkit_spark.operators.similarity import deterministic_kmeans
+
+    ids, mat = _embeddings(sf_dir)
+    id2vec = {vid: [float(x) for x in mat[i]] for i, vid in enumerate(ids)}
+    # same sample rule as the declared query: first max_train_rows by
+    # vec_id (ids are already sorted); 100k cap never binds at test SFs
+    fit_rows = [id2vec[vid] for vid in ids[:100_000]]
+    cents = list(enumerate(deterministic_kmeans(fit_rows, k=nlist, iters=10, seed=42)))
+    return _ivf_probe_candidates(ids, id2vec, cents, query_max_id, nprobe)
+
+
 def ivf_topk_sql(k: int = 5) -> str:
     cands = ivf_candidates(oracle_sf_dir())
     vals = ", ".join(f"({q}, {m})" for q, m in cands)
@@ -548,6 +582,32 @@ def ivf_topk_sql(k: int = 5) -> str:
                                 order by score desc, match_id) as rank
       from scored)
     select query_id, match_id, round(score, 4) as score, rank
+    from ranked where rank <= {k}
+    """
+
+
+def ivf_kmeans_topk_sql(k: int = 5) -> str:
+    cands = ivf_kmeans_candidates(oracle_sf_dir())
+    vals = ", ".join(f"({q}, {m})" for q, m in cands)
+    # round-before-rank: mirrors the declared query's score_round=4 (see
+    # ann_join_sql) so sub-ulp float-pipeline differences cannot flip
+    # top-k membership at near-ties.
+    return f"""
+    with cand(query_id, match_id) as (values {vals}),
+    scored as (
+      select c.query_id::BIGINT as query_id, c.match_id::BIGINT as match_id,
+             round(list_cosine_similarity(
+               list_transform(q.embedding, x -> cast(x as double)),
+               list_transform(m.embedding, x -> cast(x as double))), 4) as score
+      from cand c
+      join embeddings q on q.vec_id = c.query_id
+      join embeddings m on m.vec_id = c.match_id
+    ), ranked as (
+      select query_id, match_id, score,
+             row_number() over (partition by query_id
+                                order by score desc, match_id) as rank
+      from scored)
+    select query_id, match_id, score, rank
     from ranked where rank <= {k}
     """
 

@@ -205,6 +205,36 @@ def test_ivf_topk_recall(spark, emb):
     assert recall >= 0.5, f"IVF recall too low: {recall}"
 
 
+def test_deterministic_kmeans_reproducible_and_recall(spark, emb):
+    """The driver-side spherical Lloyd's fit is bit-reproducible (same
+    input → identical centers, twice), produces unit-norm centers, and
+    the IVF pipeline built on it (the d03d shape) keeps usable recall
+    vs exact top-5."""
+    import math
+
+    from basis_devkit_spark.operators.similarity import (
+        deterministic_kmeans,
+        fit_quantizer_sample,
+    )
+
+    cents1 = fit_quantizer_sample(emb, k=8, iters=10)
+    cents2 = fit_quantizer_sample(emb, k=8, iters=10)
+    assert cents1 == cents2  # bit-identical floats, not approx
+    for _, c in cents1:
+        assert abs(math.sqrt(sum(x * x for x in c)) - 1.0) < 1e-12
+    # direct call with a permuted-row copy must also be self-consistent
+    mat = [c for _, c in cents1]
+    assert deterministic_kmeans(mat, 3) == deterministic_kmeans(mat, 3)
+
+    q = emb.filter("vec_id < 10")
+    exact = brute_force_topk(q, emb, k=5).collect()
+    approx = ivf_topk(q, emb, k=5, nprobe=4, centroids=cents1).collect()
+    exact_set = {(r.query_id, r.match_id) for r in exact}
+    approx_set = {(r.query_id, r.match_id) for r in approx}
+    recall = len(exact_set & approx_set) / len(exact_set)
+    assert recall >= 0.5, f"deterministic-KMeans IVF recall too low: {recall}"
+
+
 def test_embedding_near_dup_pairs_verified(spark):
     df = spark.createDataFrame(
         [
@@ -2176,3 +2206,53 @@ def test_ann_join_hot_cell_guard(spark, sf_dir):
     # with every cell capped at 1 member, each query sees <= 8 candidates
     per_q = out.groupBy("query_id").count().agg(F.max("count")).collect()[0][0]
     assert per_q is None or per_q <= 3
+
+
+def test_exact_substring_dedup_semantics(spark):
+    """ExactSubstr model: a doc fully contained in a later doc is excised
+    from the later one (first occurrence kept), self-repetition collapses
+    to its first span, unique docs pass through, sub-span-length docs
+    never shingle."""
+    from basis_devkit_spark.operators.dedup import exact_substring_dedup
+
+    rows = [
+        (1, "a b c d e f g h i j"),
+        (2, "a b c d e f g h i j extra tail here"),
+        (3, "z y x w v u t s r q"),
+        (4, "m m m m m m m m"),
+        (5, "too short"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    out = {
+        r["doc_id"]: (r["text_clean"], r["n_removed"])
+        for r in exact_substring_dedup(df, span_tokens=4).collect()
+    }
+    assert out[1] == ("a b c d e f g h i j", 0)
+    assert out[2] == ("extra tail here", 10)
+    assert out[3] == ("z y x w v u t s r q", 0)
+    assert out[4] == ("m", 7)
+    assert out[5] == ("too short", 0)
+
+
+def test_exact_substring_dedup_merges_disjoint_and_overlapping_spans(spark):
+    """Two separate duplicated regions in one doc produce two disjoint
+    excision intervals; overlapping shingles of one long region merge."""
+    from basis_devkit_spark.operators.dedup import exact_substring_dedup
+
+    dup1 = "p q r s"
+    dup2 = "w x y z"
+    rows = [
+        (1, f"{dup1} one filler {dup2}"),
+        (2, f"{dup1} two filler {dup2} trailing bits"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    out = {
+        r["doc_id"]: (r["text_clean"], r["n_removed"])
+        for r in exact_substring_dedup(df, span_tokens=4).collect()
+    }
+    assert out[1] == (f"{dup1} one filler {dup2}", 0)
+    # doc2 loses both planted regions AND 'filler' — 'filler w x y' is
+    # itself a shared 4-gram spanning the region boundary, so the merged
+    # excisions are [0,4) and [5,10): 9 tokens gone, 'two' survives
+    # because no shared 4-gram starts at or covers position 4 only.
+    assert out[2] == ("two trailing bits", 9)

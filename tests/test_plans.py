@@ -549,3 +549,20 @@ def test_ann_join_cell_equi_join_no_cross(spark):
     assert "BroadcastNestedLoopJoin" not in plan
     assert "row_number" not in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_exact_substring_dedup_plan_shape(spark):
+    """d14: no cartesian/nested-loop anywhere (duplicate detection is a
+    hash-prefiltered equi-join pipeline) and every Window is partitioned
+    by the doc id (interval merge is per-doc, bounded by doc length —
+    never a global single-reducer window)."""
+    from basis_devkit_spark.operators.dedup import exact_substring_dedup
+
+    df = exact_substring_dedup(
+        load(spark, SF, "documents").select("doc_id", "text"), span_tokens=20
+    )
+    plan = plan_of(df)
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan, plan
+    for line in plan.splitlines():
+        if "windowspecdefinition(" in line:
+            assert "__id" in line, f"unpartitioned window: {line}"
