@@ -14,6 +14,13 @@
 - ``ann_join`` — corpus-to-corpus top-k join (neither side broadcast):
   shared coarse quantizer, cell EQUI-join candidates, two-phase top-k —
   the retrieval shape that still exists when both sides are huge.
+- ``ann_index_build`` / ``ann_join_indexed`` — the persistable split of
+  ``ann_join``: fit + assign + pre-cast/pre-norm once at ingest, store
+  the artifact (cells partitioned by cell), answer queries with only
+  left-side probe work. Build-once/query-many for serving corpora.
+- ``deterministic_kmeans`` / ``fit_quantizer_sample`` — bit-reproducible
+  driver-side spherical Lloyd's quantizer fit on a bounded ordered
+  sample, for pipelines that must replay (or oracle-check) exactly.
 """
 
 from __future__ import annotations
@@ -571,6 +578,65 @@ def ann_join(
     the (far rarer) case of a true value within ~1 ulp of a rounding
     boundary. Use it whenever results must be reproducible across
     engines/hardware (cross-engine oracle checks, regression baselines).
+
+    One-shot convenience over the persistable pair
+    :func:`ann_index_build` + :func:`ann_join_indexed` — this fits the
+    quantizer and assigns the right corpus EVERY call; a serving index
+    does that once and persists it.
+    """
+    centroids_df, cells = ann_index_build(
+        right,
+        vec_col=vec_col,
+        right_id=right_id,
+        nlist=nlist,
+        centroids=centroids,
+        max_cell_size=max_cell_size,
+        seed=seed,
+        max_train_rows=max_train_rows,
+    )
+    return ann_join_indexed(
+        left,
+        centroids_df,
+        cells,
+        k=k,
+        nprobe=nprobe,
+        vec_col=vec_col,
+        left_id=left_id,
+        right_id=right_id,
+        score_round=score_round,
+    )
+
+
+def ann_index_build(
+    right: DataFrame,
+    vec_col: str = "embedding",
+    right_id: str = "vec_id",
+    nlist: int = 16,
+    centroids: DataFrame | list[tuple[int, list[float]]] | None = None,
+    max_cell_size: int | None = None,
+    seed: int = 42,
+    max_train_rows: int = 100_000,
+) -> tuple[DataFrame, DataFrame]:
+    """Build the persistable half of an ANN retrieval index — the IVF
+    build-once artifact a 100 TB RAG corpus computes at ingest, not per
+    query. Returns two plain-schema DataFrames ready for managed storage
+    (write both to a :class:`~basis_devkit_spark.storage.store.TableStore`,
+    the ``corpus_sig=`` pattern of ``minhash_dedup_against``):
+
+    - centroids: ``(cell int, center array<double>)`` — the fitted coarse
+      quantizer (sampled KMeans, or the explicit deterministic
+      ``centroids``);
+    - cells: ``(<right_id> , cell int, vecd array<double>, vnorm double)``
+      — every right vector assigned to exactly ONE cell, pre-cast to
+      double with its norm pre-folded, so query-time candidates pay a
+      single dot product each and the corpus is NEVER re-cast, re-normed
+      or re-assigned.
+
+    Parquet round-trips preserve doubles bit-for-bit, so
+    ``ann_join_indexed`` over the persisted index returns byte-identical
+    results to the one-shot :func:`ann_join` with the same quantizer.
+    Partition/bucket the persisted cells table BY ``cell`` and the
+    query-time equi-join prunes straight to probed cells.
     """
     r_assigned, cents = _assign_cells(
         right, vec_col, right_id, "__rid", nlist, seed, max_train_rows, centroids
@@ -580,16 +646,61 @@ def ann_join(
 
         r_assigned = _drop_hot_buckets(r_assigned, ["__cell"], max_cell_size)
     # Hoist everything per-SIDE out of the per-PAIR score: cast each
-    # vector to double ONCE and fold its norm ONCE before the join, so a
-    # candidate pair costs a single dot fold + one divide instead of two
-    # cast-transforms and three folds. Bit-exact: the hoisted norm is the
-    # same sequential fold over the same double array the per-pair form
-    # evaluates, so score = dot/(ln*rn) is the identical expression value
-    # (measured 2.6x faster at 3.1M candidates, sf0.1).
+    # vector to double ONCE and fold its norm ONCE at BUILD time, so a
+    # query-time candidate pair costs a single dot fold + one divide
+    # instead of two cast-transforms and three folds. Bit-exact: the
+    # hoisted norm is the same sequential fold over the same double array
+    # the per-pair form evaluates, so score = dot/(ln*rn) is the identical
+    # expression value (measured 2.6x faster at 3.1M candidates, sf0.1).
     rvd = F.transform(F.col("__cv"), lambda x: x.cast("double"))
-    r_side = r_assigned.select(
-        "__rid", "__cell", rvd.alias("__cvd")
-    ).withColumn("__rn", _norm(F.col("__cvd")))
+    cells = (
+        r_assigned.select("__rid", "__cell", rvd.alias("vecd"))
+        .withColumn("vnorm", _norm(F.col("vecd")))
+        .select(
+            F.col("__rid").alias(right_id),
+            F.col("__cell").cast("int").alias("cell"),
+            "vecd",
+            "vnorm",
+        )
+    )
+    spark = right.sparkSession
+    centroids_df = spark.createDataFrame(
+        [(int(j), list(c)) for j, c in cents],
+        "cell int, center array<double>",
+    )
+    return centroids_df, cells
+
+
+def ann_join_indexed(
+    left: DataFrame,
+    centroids: DataFrame | list[tuple[int, list[float]]],
+    cells: DataFrame,
+    k: int = 5,
+    nprobe: int = 4,
+    vec_col: str = "embedding",
+    left_id: str = "vec_id",
+    right_id: str = "vec_id",
+    score_round: int | None = None,
+) -> DataFrame:
+    """Query a persisted ANN index (see :func:`ann_index_build`): each
+    left vector probes its ``nprobe`` nearest centroids (a per-row
+    projection over centroid literals — no fit, no shuffle), candidates
+    come from the cell equi-join against the prebuilt ``cells`` table,
+    and only the left side pays cast/norm folds at query time. Same
+    output contract and determinism options as :func:`ann_join`."""
+    if isinstance(centroids, DataFrame):
+        cents = [
+            (int(r["cell"]), [float(x) for x in r["center"]])
+            for r in centroids.collect()
+        ]
+    else:
+        cents = [(int(j), [float(x) for x in c]) for j, c in centroids]
+    r_side = cells.select(
+        F.col(right_id).alias("__rid"),
+        F.col("cell").alias("__cell"),
+        F.col("vecd").alias("__cvd"),
+        F.col("vnorm").alias("__rn"),
+    )
     lv = left.select(F.col(left_id).alias("__lid"), F.col(vec_col).alias("__lv"))
     probe_cells = F.slice(
         F.array_sort(_cell_rank_structs(F.col("__lv"), cents)), 1, nprobe

@@ -92,6 +92,26 @@ def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
 # prior order. The FULL inventory is swept every round regardless
 # (tools/sweep_correctness.py exact-hash mode, artifact committed).
 _SAMPLE_PRIORITY = [
+    # -- r6 front block: the 9 queries never sampled by any driver round
+    # (r1..r5 union), then the queries whose behavior or oracle changed
+    # in r6 (d03d newly oracled via the deterministic quantizer; d14/d15
+    # new; d03h round-before-rank; e12/b48/d11 oracle hardening). Names
+    # repeat lower down; dict insertion order keeps this first position.
+    "b20b_having",
+    "b21b_multi_distinct",
+    "b24b_median",
+    "b36b_union_all",
+    "b40b_date_trunc_variants",
+    "b40c_extract",
+    "b41b_trig_funcs",
+    "b42c_sequence_ops",
+    "b71_tpch_q6_forecast_revenue",
+    "d03d_ivf_topk_kmeans",
+    "d14_exact_substring_dedup",
+    "d15_ann_index_join",
+    "d03h_ann_join",
+    "e12_experiment_srm",
+    "b48_grouped_map",
     "d11_sequence_packing",
     "d12_pii_redaction",
     "d13_shard_plan",

@@ -3137,6 +3137,45 @@ def d14(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @register(
+    "d15_ann_index_join",
+    pyoracle.ann_join_sql,
+    doc="persisted ANN index, build-once/query-many (the 100 TB RAG "
+    "shape): ann_index_build writes the fitted quantizer and the "
+    "cell-assigned/pre-cast/pre-normed right corpus to managed stores "
+    "(cells PARTITIONED BY cell, so probed-cell equi-joins prune at the "
+    "layout level); ann_join_indexed then answers queries with no fit "
+    "and no right-side work beyond the candidate dot products. Same "
+    "quantizer and determinism contract as the one-shot d03h, so the "
+    "SAME oracle must match byte-for-byte — parquet round-trips "
+    "preserve the doubles exactly",
+)
+def d15(spark: SparkSession, sf: str) -> DataFrame:
+    import tempfile as _tf
+
+    from basis_devkit_spark.operators.similarity import (
+        ann_index_build,
+        ann_join_indexed,
+    )
+    from basis_devkit_spark.storage.store import TableStore
+
+    emb = load(spark, sf, "embeddings")
+    left = emb.filter(F.col("vec_id") % 2 == 0)
+    right = emb.filter(F.col("vec_id") % 2 == 1)
+    centroids_df, cells = ann_index_build(
+        right, nlist=8, centroids=_ivf_seed_centroids(emb, 8)
+    )
+    tmp = _tf.mkdtemp(prefix="bds_d15_")
+    cstore = TableStore(tmp, "ann_centroids", spark)
+    cstore.write_replace(centroids_df)
+    kstore = TableStore(tmp, "ann_cells", spark)
+    kstore.configure(partition_by="cell")
+    kstore.write_replace(cells)
+    return ann_join_indexed(
+        left, cstore.read(), kstore.read(), k=3, nprobe=4, score_round=4
+    ).select("query_id", "match_id", "score", "rank")
+
+
+@register(
     "d03h_ann_join",
     pyoracle.ann_join_sql,
     doc="corpus-to-corpus ANN top-3 JOIN (the retrieval shape: every left "

@@ -2256,3 +2256,49 @@ def test_exact_substring_dedup_merges_disjoint_and_overlapping_spans(spark):
     # excisions are [0,4) and [5,10): 9 tokens gone, 'two' survives
     # because no shared 4-gram starts at or covers position 4 only.
     assert out[2] == ("two trailing bits", 9)
+
+
+def test_ann_index_build_query_equals_one_shot(spark, emb):
+    """Build-once/query-many: ann_join_indexed over the persisted index
+    returns byte-identical rows to the one-shot ann_join with the same
+    quantizer (parquet round-trips preserve doubles bit-for-bit), and a
+    second query against the same index is served without rebuilding."""
+    import tempfile
+
+    from basis_devkit_spark.operators.similarity import (
+        ann_index_build,
+        ann_join,
+        ann_join_indexed,
+    )
+    from basis_devkit_spark.storage.store import TableStore
+    from pyspark.sql import functions as F
+
+    left = emb.filter(F.col("vec_id") % 2 == 0)
+    right = emb.filter(F.col("vec_id") % 2 == 1)
+    seed_cents = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").cast("int").alias("cell"),
+        F.transform("embedding", lambda x: x.cast("double")).alias("center"),
+    )
+    one_shot = {
+        tuple(r)
+        for r in ann_join(
+            left, right, k=3, nlist=8, nprobe=4, centroids=seed_cents
+        ).collect()
+    }
+    centroids_df, cells = ann_index_build(
+        right, nlist=8, centroids=seed_cents
+    )
+    tmp = tempfile.mkdtemp(prefix="bds_annidx_")
+    cstore = TableStore(tmp, "cents", spark)
+    cstore.write_replace(centroids_df)
+    kstore = TableStore(tmp, "cells", spark)
+    kstore.configure(partition_by="cell")
+    kstore.write_replace(cells)
+    for _ in range(2):  # query TWICE against the same persisted artifact
+        indexed = {
+            tuple(r)
+            for r in ann_join_indexed(
+                left, cstore.read(), kstore.read(), k=3, nprobe=4
+            ).collect()
+        }
+        assert indexed == one_shot

@@ -566,3 +566,40 @@ def test_exact_substring_dedup_plan_shape(spark):
     for line in plan.splitlines():
         if "windowspecdefinition(" in line:
             assert "__id" in line, f"unpartitioned window: {line}"
+
+
+def test_ann_join_indexed_skips_assignment(spark):
+    """d15: querying a persisted ANN index must do NO right-side work
+    beyond the candidate equi-join — the cell ASSIGNMENT projection
+    (array_min over centroid-distance structs) exists only at build
+    time; the query plan carries just the left-side probe (array_sort +
+    slice) and no cartesian/NLJ."""
+    import tempfile
+
+    from basis_devkit_spark.operators.similarity import (
+        ann_index_build,
+        ann_join_indexed,
+    )
+    from basis_devkit_spark.storage.store import TableStore
+
+    emb = load(spark, SF, "embeddings")
+    left = emb.filter(F.col("vec_id") % 2 == 0)
+    right = emb.filter(F.col("vec_id") % 2 == 1)
+    seed_cents = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").cast("int").alias("cell"),
+        F.transform("embedding", lambda x: x.cast("double")).alias("center"),
+    )
+    centroids_df, cells = ann_index_build(right, nlist=8, centroids=seed_cents)
+    build_plan = plan_of(cells)
+    assert "array_min" in build_plan  # assignment happens at build...
+    tmp = tempfile.mkdtemp(prefix="bds_annidx_plan_")
+    cstore = TableStore(tmp, "cents", spark)
+    cstore.write_replace(centroids_df)
+    kstore = TableStore(tmp, "cells", spark)
+    kstore.configure(partition_by="cell")
+    kstore.write_replace(cells)
+    q = ann_join_indexed(left, cstore.read(), kstore.read(), k=3, nprobe=4)
+    plan = plan_of(q)
+    assert "array_min" not in plan, plan  # ...never at query time
+    assert "sort_array" in plan or "array_sort" in plan  # left probe remains
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan
