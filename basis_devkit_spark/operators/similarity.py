@@ -671,6 +671,42 @@ def ann_index_build(
     return centroids_df, cells
 
 
+def ann_index_assign(
+    df: DataFrame,
+    centroids: DataFrame | list[tuple[int, list[float]]],
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """The INCREMENTAL half of :func:`ann_index_build`: assign new
+    vectors to the cells of an EXISTING quantizer and emit rows in the
+    persisted-cells schema ``(id, cell, vecd, vnorm)``, ready to append/
+    upsert into the index's cells store. The whole thing is a pure
+    per-row projection over centroid literals — no fit, no shuffle, no
+    state — so it runs unchanged under Structured Streaming: a 100 TB
+    serving index ingests its crawl feed by streaming batches through
+    this and appending, refitting the quantizer only on drift, never per
+    batch. Assignment arithmetic is identical to build time, so
+    incrementally-added rows land in exactly the cell a full rebuild
+    would give them."""
+    if isinstance(centroids, DataFrame):
+        cents = [
+            (int(r["cell"]), [float(x) for x in r["center"]])
+            for r in centroids.collect()
+        ]
+    else:
+        cents = [(int(j), [float(x) for x in c]) for j, c in centroids]
+    vecd = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    return (
+        df.select(F.col(id_col), vecd.alias("vecd"))
+        .withColumn(
+            "cell",
+            F.array_min(_cell_rank_structs(F.col("vecd"), cents)).getField("cell"),
+        )
+        .withColumn("vnorm", _norm(F.col("vecd")))
+        .select(id_col, F.col("cell").cast("int"), "vecd", "vnorm")
+    )
+
+
 def ann_join_indexed(
     left: DataFrame,
     centroids: DataFrame | list[tuple[int, list[float]]],

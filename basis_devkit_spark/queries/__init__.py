@@ -109,13 +109,13 @@ _SAMPLE_PRIORITY = [
     "d03d_ivf_topk_kmeans",
     "d14_exact_substring_dedup",
     "d15_ann_index_join",
+    "c14_stream_ann_index_ingest",
     "d03h_ann_join",
     "e12_experiment_srm",
     "b48_grouped_map",
     "d11_sequence_packing",
     "d12_pii_redaction",
     "d13_shard_plan",
-    "d03h_ann_join",
     "a28_zorder_pruned_read",
     "a29_bucketed_colocated_join",
     "a30_vacuum_retention",
@@ -127,7 +127,6 @@ _SAMPLE_PRIORITY = [
     "b64_tpch_q19_disjunctive_filter",
     "d03e_dot_topk",
     "d03f_l2_topk",
-    "d03d_ivf_topk_kmeans",
     "d04p_normalize_text",
     "d08_stratified_sample",
     "d09_salted_agg",
@@ -162,15 +161,6 @@ _SAMPLE_PRIORITY = [
     "b26c_grouping_sets",
     "b28b_pivot_sum",
     "b39b_string_funcs2",
-    "b40b_date_trunc_variants",
-    "b41b_trig_funcs",
-    "b42c_sequence_ops",
-    "b20b_having",
-    "b21b_multi_distinct",
-    "b24b_median",
-    "b36b_union_all",
-    "b40c_extract",
-    "b71_tpch_q6_forecast_revenue",
     "e01_sessionize",
     "e02_funnel",
     "e03_retention_cohorts",
@@ -184,7 +174,6 @@ _SAMPLE_PRIORITY = [
     "e09_zscore_anomalies",
     "e10_inter_event_gaps",
     "c13_stream_static_enrich",
-    "e12_experiment_srm",
     "e13_experiment_readout",
     "e14_activity_concentration",
     "a31_dml_delete_update",
@@ -318,7 +307,6 @@ _SAMPLE_PRIORITY = [
     "b45_null_funcs",
     "b46_hash_funcs",
     "b47_pandas_udf_scalar",
-    "b48_grouped_map",
     "b49_flatmap_udtf",
     "b50_pandas_udaf",
 ]

@@ -3176,6 +3176,63 @@ def d15(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @register(
+    "c14_stream_ann_index_ingest",
+    pyoracle.ann_join_sql,
+    doc="streaming ANN index maintenance (the crawl-feed ingest shape): "
+    "the right corpus arrives as TWO micro-batches (maxFilesPerTrigger="
+    "1); each batch flows through ann_index_assign — a pure projection "
+    "over the FIXED quantizer's centroid literals, no fit, no shuffle — "
+    "into an exactly-once UPSERT cells store. Because incremental "
+    "assignment arithmetic is identical to a full build, querying the "
+    "streamed index must match the one-shot d03h oracle byte-for-byte",
+)
+def c14(spark: SparkSession, sf: str) -> DataFrame:
+    import glob as _glob
+    import os as _os
+    import shutil as _shutil
+    import tempfile as _tf
+
+    from basis_devkit_spark.operators.similarity import (
+        ann_index_assign,
+        ann_join_indexed,
+    )
+    from basis_devkit_spark.storage.store import TableStore
+    from basis_devkit_spark.streaming.ops import stream_upsert_to_store
+
+    emb = load(spark, sf, "embeddings")
+    left = emb.filter(F.col("vec_id") % 2 == 0)
+    cents = _ivf_seed_centroids(emb, 8)
+
+    tmp = _tf.mkdtemp(prefix="bds_c14_")
+    drop = _os.path.join(tmp, "drop")
+    _os.makedirs(drop, exist_ok=True)
+    # the odd-id (right) corpus arrives as two single-file batches
+    for tag, mod in (("a", 1), ("b", 3)):
+        part_dir = _os.path.join(tmp, f"part_{tag}")
+        emb.filter(F.col("vec_id") % 4 == mod).coalesce(1).write.parquet(part_dir)
+        src = _glob.glob(_os.path.join(part_dir, "part-*.parquet"))[0]
+        _shutil.copy(src, _os.path.join(drop, f"{tag}.parquet"))
+    raw_schema = spark.read.parquet(_os.path.join(drop, "a.parquet")).schema
+
+    stream = (
+        spark.readStream.schema(raw_schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(drop)
+    )
+    assigned = ann_index_assign(stream, cents)
+    store = TableStore(tmp, "ann_cells", spark)
+    store.configure(unique_on="vec_id")
+    q = stream_upsert_to_store(assigned, store, f"{tmp}/_ckpt").start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return ann_join_indexed(
+        left, cents, store.read(), k=3, nprobe=4, score_round=4
+    ).select("query_id", "match_id", "score", "rank")
+
+
+@register(
     "d03h_ann_join",
     pyoracle.ann_join_sql,
     doc="corpus-to-corpus ANN top-3 JOIN (the retrieval shape: every left "

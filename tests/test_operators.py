@@ -2302,3 +2302,26 @@ def test_ann_index_build_query_equals_one_shot(spark, emb):
             ).collect()
         }
         assert indexed == one_shot
+
+
+def test_ann_index_assign_matches_build(spark, emb):
+    """Incremental assignment (ann_index_assign, the streaming-ingest
+    path) produces EXACTLY the rows a full ann_index_build would — same
+    cell, same pre-cast vector, same pre-folded norm — so an index grown
+    batch-by-batch equals a rebuild."""
+    from pyspark.sql import functions as F
+
+    from basis_devkit_spark.operators.similarity import (
+        ann_index_assign,
+        ann_index_build,
+    )
+
+    right = emb.filter(F.col("vec_id") % 2 == 1)
+    seed_cents = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").cast("int").alias("cell"),
+        F.transform("embedding", lambda x: x.cast("double")).alias("center"),
+    )
+    _, built = ann_index_build(right, nlist=8, centroids=seed_cents)
+    incr = ann_index_assign(right, seed_cents)
+    key = lambda r: (r["vec_id"], r["cell"], tuple(r["vecd"]), r["vnorm"])
+    assert {key(r) for r in built.collect()} == {key(r) for r in incr.collect()}
