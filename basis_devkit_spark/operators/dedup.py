@@ -780,46 +780,56 @@ def duplicate_span_intervals(
     Scale shape (the suffix-array construction of the paper is a
     single-node build; this is the distributed equivalent):
     - shingle stream is one row per token position — linear in corpus
-      tokens, generated by a pure projection + explode;
-    - duplicate detection is TWO-PHASE so full span strings never shuffle
-      for the (overwhelmingly common) unique spans: phase 1 group-bys the
-      8-byte ``xxhash64`` of each span and keeps hashes seen >=2 times;
-      phase 2 re-groups only those suspects by the exact span string
-      (hash collisions die here — count-by-string >= 2 is the real test,
-      the hash is only a prefilter);
-    - keeper selection is ``min(struct(doc_id, pos))`` inside the same
-      phase-2 aggregation — no per-span window, so a pathological span
-      repeated 10^9 times costs one combinable agg, not a single-reducer
-      sort;
+      tokens, generated by a pure projection + explode; the span STRING
+      exists only transiently inside that projection (hashed to an
+      8-byte ``xxhash64`` sig and dropped before anything shuffles);
+    - duplicate detection is TWO-PHASE: phase 1 group-bys the sig and
+      keeps hashes seen >=2 times — unique spans (the overwhelming
+      majority of a clean corpus) never cost more than their 8-byte sig;
+    - phase 2 verifies suspects by EXACT span string, but the strings
+      are REBUILT from the doc token arrays (one bounded by-id join)
+      only for suspect positions, and the verify aggregation groups by
+      sig carrying ``min/max(span)`` + ``min(struct(doc_id, pos))`` —
+      all combinable aggs, so the shuffle carries (sig, id, pos) rows
+      plus at most two span strings per (sig, partition), never one
+      span string per occurrence (r6 measured the occurrence-level span
+      shuffle at ~span_tokens× corpus bytes on an all-dup corpus; this
+      shape cuts it ~50×). ``min(span) == max(span)`` proves the sig
+      maps to ONE string — the exactness guarantee — and the keeper/
+      excise join then needs only the 8-byte sig; colliding sigs
+      (different strings, same hash — astronomically rare, usually
+      zero) fall back to the exact per-string grouping on just those
+      rows, so semantics stay exactly count-by-string >= 2;
+    - keeper selection is inside the same combinable aggregation — no
+      per-span window, so a pathological span repeated 10^9 times costs
+      one partial-aggregated pass, not a single-reducer sort;
     - interval merging is a per-``doc_id`` window (bounded by document
       length, never global).
 
     Returns ``(id_col, s, e)`` merged excision intervals, token-indexed,
     half-open.
     """
-    toks = F.split(F.trim(F.col(text_col)), r"\s+")
+    toks = F.split(F.trim(F.coalesce(F.col(text_col), F.lit(""))), r"\s+")
     base = df.select(F.col(id_col).alias("__id"), toks.alias("__toks"))
     L = int(span_tokens)
-    # one struct per start position: (pos, span string); docs shorter than
-    # L emit nothing (sequence() with a negative stop would DESCEND)
-    sh = (
-        base.filter(F.size("__toks") >= L)
-        .select(
-            "__id",
-            F.explode(
-                F.transform(
-                    F.sequence(F.lit(0), F.size("__toks") - L),
-                    lambda i: F.struct(
-                        i.alias("pos"),
-                        F.array_join(
-                            F.slice("__toks", i + 1, L), " "
-                        ).alias("span"),
-                    ),
-                )
-            ).alias("__sh"),
-        )
-        .select("__id", F.col("__sh.pos").alias("__pos"), F.col("__sh.span").alias("__span"))
-        .withColumn("__sig", F.xxhash64("__span"))
+    long_docs = base.filter(F.size("__toks") >= L)
+    # one row per start position carrying ONLY (id, pos, sig): the span
+    # string is built and hashed inside the projection, never shuffled;
+    # docs shorter than L emit nothing (sequence() with a negative stop
+    # would DESCEND)
+    span_at = lambda i: F.array_join(F.slice("__toks", i + 1, L), " ")  # noqa: E731
+    sh = long_docs.select(
+        "__id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.size("__toks") - L),
+                lambda i: F.struct(
+                    i.alias("pos"), F.xxhash64(span_at(i)).alias("sig")
+                ),
+            )
+        ).alias("__sh"),
+    ).select(
+        "__id", F.col("__sh.pos").alias("__pos"), F.col("__sh.sig").alias("__sig")
     )
     dup_sigs = (
         sh.groupBy("__sig").agg(F.count(F.lit(1)).alias("__c"))
@@ -827,22 +837,57 @@ def duplicate_span_intervals(
         .select("__sig")
     )
     suspects = sh.join(dup_sigs, "__sig", "left_semi")
-    dup_spans = (
-        suspects.groupBy("__span")
-        .agg(
-            F.count(F.lit(1)).alias("__n_occ"),
-            F.min(F.struct(F.col("__id").alias("i"), F.col("__pos").alias("p"))).alias("__keep"),
-        )
-        .filter(F.col("__n_occ") >= 2)
-        .select("__span", "__keep")
+    # rebuild span strings for suspect positions only: one by-id equi-join
+    # against the token arrays (the corpus shuffles its tokens ONCE here,
+    # vs every suspect occurrence shuffling a span_tokens-long string)
+    spanned = suspects.join(long_docs, "__id").select(
+        "__id", "__pos", "__sig",
+        F.array_join(F.slice("__toks", F.col("__pos") + 1, L), " ").alias("__span"),
     )
-    excise = (
-        suspects.join(dup_spans, "__span")
+    sig_stats = spanned.groupBy("__sig").agg(
+        F.count(F.lit(1)).alias("__n_occ"),
+        F.min("__span").alias("__mn"),
+        F.max("__span").alias("__mx"),
+        F.min(
+            F.struct(F.col("__id").alias("i"), F.col("__pos").alias("p"))
+        ).alias("__keep"),
+    )
+    # sig ↔ one exact string: count/keeper over the sig group ARE the
+    # per-string values — excise via the slim 8-byte-sig join
+    clean = sig_stats.filter(
+        (F.col("__mn") == F.col("__mx")) & (F.col("__n_occ") >= 2)
+    ).select("__sig", "__keep")
+    excise_clean = (
+        suspects.join(clean, "__sig")
         .filter(
             (F.col("__id") != F.col("__keep.i")) | (F.col("__pos") != F.col("__keep.p"))
         )
         .select("__id", F.col("__pos").alias("s"), (F.col("__pos") + L).alias("e"))
     )
+    # hash-collision fallback (different strings, same sig): exact
+    # per-string grouping on just the colliding rows — keeps the
+    # documented count-by-string >= 2 semantics bit-for-bit
+    collide_sigs = sig_stats.filter(F.col("__mn") != F.col("__mx")).select("__sig")
+    collide_spanned = spanned.join(collide_sigs, "__sig", "left_semi")
+    collide_groups = (
+        collide_spanned.groupBy("__span")
+        .agg(
+            F.count(F.lit(1)).alias("__n_occ"),
+            F.min(
+                F.struct(F.col("__id").alias("i"), F.col("__pos").alias("p"))
+            ).alias("__keep"),
+        )
+        .filter(F.col("__n_occ") >= 2)
+        .select("__span", "__keep")
+    )
+    excise_collide = (
+        collide_spanned.join(collide_groups, "__span")
+        .filter(
+            (F.col("__id") != F.col("__keep.i")) | (F.col("__pos") != F.col("__keep.p"))
+        )
+        .select("__id", F.col("__pos").alias("s"), (F.col("__pos") + L).alias("e"))
+    )
+    excise = excise_clean.unionByName(excise_collide)
     # merge overlapping/touching intervals per doc: an interval starts a
     # new group iff its s exceeds the running max end of everything before
     w = Window.partitionBy("__id").orderBy("s", "e")
@@ -878,7 +923,11 @@ def exact_substring_dedup(
     per_doc = iv.groupBy(id_col).agg(
         F.collect_list(F.struct("s", "e")).alias("__iv")
     )
-    toks = F.split(F.trim(F.col(text_col)), r"\s+")
+    # null text coalesces to '' BEFORE tokenizing (as in detection) so the
+    # documented contract holds: every input doc keeps its row, null/empty
+    # text comes back as text_clean='' with n_removed=0 — without this,
+    # sequence(0, size(null)-1) propagates nulls into both outputs
+    toks = F.split(F.trim(F.coalesce(F.col(text_col), F.lit(""))), r"\s+")
     base = df.select(F.col(id_col), toks.alias("__toks")).join(
         per_doc, id_col, "left"
     )

@@ -128,11 +128,16 @@ def _topk_by_query(scored: DataFrame, k: int) -> DataFrame:
 
 
 def deterministic_kmeans(mat, k: int, iters: int = 10, seed: int = 42) -> list[list[float]]:
-    """Spherical Lloyd's k-means, bit-deterministic given the same input
-    row order: float64 numpy throughout (fixed-order reductions), seeded
-    k-means++ init via ``RandomState``, max-cosine assignment (argmax ties
-    → lowest cell), mean-then-renormalize update, empty cells keep their
-    previous center. Runs on the DRIVER over a bounded sample — the
+    """Spherical Lloyd's k-means, deterministic given the same input
+    row order AND the same numpy/BLAS build: seeded k-means++ init via
+    ``RandomState``, max-cosine assignment (argmax ties → lowest cell),
+    mean-then-renormalize update, empty cells keep their previous center.
+    The ``unit @ cents.T`` products go through BLAS gemm, whose float
+    reduction order can differ across BLAS builds/thread counts — so
+    bit-reproducibility is scoped to one numpy/BLAS build; a fit replayed
+    on different hardware may assign near-tie rows to different cells
+    (persist the FITTED centroids, not the fit recipe, when an index must
+    be portable). Runs on the DRIVER over a bounded sample — the
     quantizer-fit shape that is tractable at any corpus scale (centroid
     quality converges long before the sample cap; the Spark ML KMeans
     path in :func:`ivf_topk` exists for in-cluster fits but its
@@ -282,7 +287,17 @@ def _cell_rank_structs(vec: Column, cents: list[tuple[int, list[float]]]) -> Col
     """Array of (−cosine(vec, centroid), cell) structs — ``array_min`` of it
     is the nearest cell (cosine desc, cell asc on ties; struct comparison
     is lexicographic), ``array_sort`` ranks all cells. Centroids are SQL
-    literals: evaluation is a per-row projection, no join, no shuffle."""
+    literals: evaluation is a per-row projection, no join, no shuffle.
+
+    LITERAL form — the plan embeds ``nlist × dim`` literal nodes, so
+    Catalyst compile/codegen time grows with the quantizer (~1.5 s floor
+    at nlist=16·dim=16, blowing up at production nlist=4096·dim=768).
+    Production paths use :func:`_with_cell_ranks` (``probe_form=
+    "broadcast"``, the default), which moves the centroids into a
+    broadcast RELATION and keeps compile time flat in nlist; this literal
+    form is kept as the comparison/probe baseline and for ad-hoc tiny
+    quantizers. Both forms are bit-identical (same sequential folds over
+    the same doubles — equivalence-tested)."""
     return F.array(
         *[
             F.struct(
@@ -291,6 +306,62 @@ def _cell_rank_structs(vec: Column, cents: list[tuple[int, list[float]]]) -> Col
             )
             for j, c in cents
         ]
+    )
+
+
+def _with_cell_ranks(
+    df: DataFrame,
+    cents: list[tuple[int, list[float]]],
+    vec: Column,
+    out_col: str,
+    probe_form: str = "broadcast",
+) -> DataFrame:
+    """Attach the (−cosine, cell) rank array for every centroid to each
+    row as ``out_col`` — ``array_min`` of it is the assigned cell,
+    ``slice(array_sort(...), 1, nprobe)`` the probe set.
+
+    ``probe_form="broadcast"`` (default, the 100 TB shape): the centroid
+    matrix rides in a single-row broadcast relation holding
+    ``array<struct<cell,center>>`` and the ranks are a per-row
+    ``transform`` over that array — a constant-key BroadcastHashJoin
+    against ONE row (map-side, no shuffle, no per-query re-fit) whose
+    plan size and Catalyst compile time are FLAT in nlist, vs the
+    literal form's ``nlist × dim`` expression nodes (which at
+    IVF-production scale, nlist=4096 · dim=768 ≈ 3M literals, explodes
+    driver-side plan construction). Arithmetic is bit-identical to the
+    literal form: the same sequential ``aggregate`` folds evaluate over
+    the same double arrays, only their storage differs (relation data vs
+    plan literals).
+
+    ``probe_form="literal"`` keeps the legacy inline-literal projection
+    (fine for tiny ad-hoc quantizers; compile cost grows with nlist).
+    """
+    if probe_form == "literal":
+        return df.withColumn(out_col, _cell_rank_structs(vec, cents))
+    if probe_form != "broadcast":
+        raise ValueError(f"unknown probe_form {probe_form!r}")
+    spark = df.sparkSession
+    packed = spark.createDataFrame(
+        [(0, [(int(j), [float(x) for x in c]) for j, c in sorted(cents)])],
+        "__ck int, __cents array<struct<cell:int,center:array<double>>>",
+    )
+    ranked = F.transform(
+        F.col("__cents"),
+        lambda s: F.struct(
+            (-cosine_similarity_col(vec, s["center"])).alias("nc"),
+            s["cell"].alias("cell"),
+        ),
+    )
+    # The join key is 0 for every row but derived from the vector column
+    # (x*0 can't constant-fold: null*0 is null) so the equi-join survives
+    # optimization as a BroadcastHashJoin instead of degenerating into a
+    # nested-loop join; coalesce keeps null-vector rows joinable.
+    ck = F.coalesce(F.size(vec) * 0, F.lit(0))
+    return (
+        df.withColumn("__ck", ck)
+        .join(F.broadcast(packed), "__ck")
+        .withColumn(out_col, ranked)
+        .drop("__ck", "__cents")
     )
 
 
@@ -303,6 +374,7 @@ def _assign_cells(
     seed: int,
     max_train_rows: int,
     centroids: DataFrame | list[tuple[int, list[float]]] | None,
+    probe_form: str = "broadcast",
 ) -> tuple[DataFrame, list[tuple[int, list[float]]]]:
     """Coarse-quantizer cell assignment shared by ``ivf_topk`` and
     ``semantic_dedup``: returns ``(assigned, cents)`` where ``assigned``
@@ -313,7 +385,8 @@ def _assign_cells(
     (``max_train_rows`` cap — fitting on the full corpus is a scale killer
     at 100 TB; centroid quality converges long before that). With explicit
     ``centroids`` (``cell int, center array<double>``) the assignment is a
-    deterministic shuffle-free per-row projection over centroid literals."""
+    deterministic shuffle-free per-row projection over a broadcast
+    centroid relation (``probe_form`` selects the legacy literal form)."""
     if centroids is None:
         from pyspark.ml.clustering import KMeans
         from pyspark.ml.functions import array_to_vector
@@ -339,12 +412,13 @@ def _assign_cells(
         ]
     else:
         # Centroids are driver-resident constants either way (KMeans
-        # collects its centers too) — fold them into literal expressions so
-        # BOTH cell assignment and query probing are shuffle-free per-row
-        # projections (no crossJoin, no window). Keep the centroid count
-        # modest (≲10^4) — it multiplies expression size. Accepts either a
-        # (cell, center) DataFrame or a driver-resident [(cell, center)]
-        # list (e.g. from fit_quantizer_sample / a persisted ann_index).
+        # collects its centers too — bounded index metadata, nlist rows).
+        # Cell assignment is a shuffle-free per-row projection (no window,
+        # no re-fit); with the default probe_form="broadcast" the centroid
+        # matrix rides in a broadcast relation so plan size stays flat in
+        # nlist (see _with_cell_ranks). Accepts either a (cell, center)
+        # DataFrame or a driver-resident [(cell, center)] list (e.g. from
+        # fit_quantizer_sample / a persisted ann_index).
         if isinstance(centroids, DataFrame):
             cents = [
                 (int(r["cell"]), [float(x) for x in r["center"]])
@@ -355,9 +429,9 @@ def _assign_cells(
         corpus_v = corpus.select(
             F.col(id_col).alias(out_id), F.col(vec_col).alias("__cv")
         )
-        assigned = corpus_v.withColumn(
-            "__cell", F.array_min(_cell_rank_structs(F.col("__cv"), cents)).getField("cell")
-        )
+        assigned = _with_cell_ranks(
+            corpus_v, cents, F.col("__cv"), "__cr", probe_form
+        ).withColumn("__cell", F.array_min("__cr").getField("cell")).drop("__cr")
     return assigned, cents
 
 
@@ -373,6 +447,7 @@ def ivf_topk(
     max_train_rows: int = 100_000,
     centroids: DataFrame | list[tuple[int, list[float]]] | None = None,
     score_round: int | None = None,
+    probe_form: str = "broadcast",
 ) -> DataFrame:
     """IVF ANN: coarse quantizer → corpus rows assigned to their nearest
     centroid → queries probe ``nprobe`` nearest centroids → exact cosine
@@ -387,17 +462,17 @@ def ivf_topk(
     deterministic centroids make the whole pipeline reproducible enough to
     oracle-check (queries/pyoracle.py ivf_candidates)."""
     assigned, cents = _assign_cells(
-        corpus, vec_col, id_col, "match_id", nlist, seed, max_train_rows, centroids
+        corpus, vec_col, id_col, "match_id", nlist, seed, max_train_rows,
+        centroids, probe_form,
     )
 
     q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qv"))
     # Probe the nprobe nearest centroids per query: sort (−cos, cell)
     # structs ascending → cosine desc with cell-asc tie-break, a total
     # deterministic order. Pure projection + explode of ≤ nprobe rows.
-    probes = F.slice(
-        F.array_sort(_cell_rank_structs(F.col("__qv"), cents)), 1, nprobe
-    )
-    q_cells = q.withColumn("__probe", F.explode(probes)).select(
+    q_ranked = _with_cell_ranks(q, cents, F.col("__qv"), "__cr", probe_form)
+    probes = F.slice(F.array_sort(F.col("__cr")), 1, nprobe)
+    q_cells = q_ranked.withColumn("__probe", F.explode(probes)).select(
         "query_id", "__qv", F.col("__probe.cell").alias("__cell")
     )
     cand = q_cells.join(assigned, "__cell").filter(F.col("query_id") != F.col("match_id"))
@@ -460,6 +535,7 @@ def semantic_dup_pairs(
     max_train_rows: int = 100_000,
     centroids: DataFrame | None = None,
     max_cell_size: int | None = None,
+    probe_form: str = "broadcast",
 ) -> DataFrame:
     """SemDeDup-style semantic duplicate pairs (Abbas et al. 2023,
     arXiv:2303.09540, public): coarse-quantize the embedding space into
@@ -472,14 +548,15 @@ def semantic_dup_pairs(
     algorithm, tunable via ``nlist`` (recall test: tests/test_operators.py).
 
     Scale shape: cell assignment is either a sampled KMeans fit + model
-    projection or (with explicit ``centroids``) a shuffle-free literal
-    projection; the self-join shuffles the corpus ONCE on ``__cell``.
+    projection or (with explicit ``centroids``) a shuffle-free broadcast-
+    relation projection; the self-join shuffles the corpus ONCE on ``__cell``.
     ``max_cell_size`` is the same degenerate-bucket safety rail as the
     MinHash/SimHash self-joins (a cell of n identical vectors is n²/2
     pairs): cells over the cap are dropped from pairing and must be
     handled upstream (exact_dedup first is the documented workflow)."""
     assigned, _ = _assign_cells(
-        df, vec_col, id_col, "__id", nlist, seed, max_train_rows, centroids
+        df, vec_col, id_col, "__id", nlist, seed, max_train_rows, centroids,
+        probe_form,
     )
     assigned = assigned.select("__id", "__cv", "__cell")
     if max_cell_size is not None:
@@ -513,6 +590,7 @@ def semantic_dedup(
     max_train_rows: int = 100_000,
     centroids: DataFrame | None = None,
     max_cell_size: int | None = None,
+    probe_form: str = "broadcast",
 ) -> DataFrame:
     """Keep-one semantic dedup over ``semantic_dup_pairs``: drop every row
     that has a LOWER-id near-duplicate in its cell (the same deterministic
@@ -529,6 +607,7 @@ def semantic_dedup(
             max_train_rows,
             centroids,
             max_cell_size,
+            probe_form,
         )
         .select(F.col("id_b").alias("__drop"))
         .distinct()
@@ -550,6 +629,7 @@ def ann_join(
     seed: int = 42,
     max_train_rows: int = 100_000,
     score_round: int | None = None,
+    probe_form: str = "broadcast",
 ) -> DataFrame:
     """Corpus-to-corpus approximate nearest-neighbor JOIN: EVERY left
     vector gets its top-``k`` cosine neighbors from ``right`` — the
@@ -558,8 +638,8 @@ def ann_join(
     broadcast the way ``brute_force_topk`` broadcasts its query set.
 
     Scale shape: both sides share one coarse quantizer (sampled KMeans,
-    or explicit ``centroids`` for a deterministic shuffle-free literal
-    projection). ``right`` lands in exactly ONE cell; each ``left`` row
+    or explicit ``centroids`` for a deterministic shuffle-free
+    broadcast-relation projection). ``right`` lands in exactly ONE cell; each ``left`` row
     replicates to its ``nprobe`` nearest cells (bounded fan-out). The
     candidate set is the cell EQUI-join — one shuffle of each side on
     ``__cell``, never a cross join — and the exact cosine re-rank runs
@@ -593,6 +673,7 @@ def ann_join(
         max_cell_size=max_cell_size,
         seed=seed,
         max_train_rows=max_train_rows,
+        probe_form=probe_form,
     )
     return ann_join_indexed(
         left,
@@ -604,6 +685,7 @@ def ann_join(
         left_id=left_id,
         right_id=right_id,
         score_round=score_round,
+        probe_form=probe_form,
     )
 
 
@@ -616,6 +698,7 @@ def ann_index_build(
     max_cell_size: int | None = None,
     seed: int = 42,
     max_train_rows: int = 100_000,
+    probe_form: str = "broadcast",
 ) -> tuple[DataFrame, DataFrame]:
     """Build the persistable half of an ANN retrieval index — the IVF
     build-once artifact a 100 TB RAG corpus computes at ingest, not per
@@ -639,7 +722,8 @@ def ann_index_build(
     query-time equi-join prunes straight to probed cells.
     """
     r_assigned, cents = _assign_cells(
-        right, vec_col, right_id, "__rid", nlist, seed, max_train_rows, centroids
+        right, vec_col, right_id, "__rid", nlist, seed, max_train_rows,
+        centroids, probe_form,
     )
     if max_cell_size is not None:
         from basis_devkit_spark.operators.dedup import _drop_hot_buckets
@@ -676,18 +760,23 @@ def ann_index_assign(
     centroids: DataFrame | list[tuple[int, list[float]]],
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    probe_form: str = "broadcast",
 ) -> DataFrame:
     """The INCREMENTAL half of :func:`ann_index_build`: assign new
     vectors to the cells of an EXISTING quantizer and emit rows in the
     persisted-cells schema ``(id, cell, vecd, vnorm)``, ready to append/
     upsert into the index's cells store. The whole thing is a pure
-    per-row projection over centroid literals — no fit, no shuffle, no
-    state — so it runs unchanged under Structured Streaming: a 100 TB
-    serving index ingests its crawl feed by streaming batches through
-    this and appending, refitting the quantizer only on drift, never per
-    batch. Assignment arithmetic is identical to build time, so
+    per-row projection over a broadcast centroid relation — no fit, no
+    shuffle, no state — so it runs unchanged under Structured Streaming:
+    a 100 TB serving index ingests its crawl feed by streaming batches
+    through this and appending, refitting the quantizer only on drift,
+    never per batch. Assignment arithmetic is identical to build time, so
     incrementally-added rows land in exactly the cell a full rebuild
-    would give them."""
+    would give them — PROVIDED the index was built with
+    ``max_cell_size=None``: the build path drops hot-cell rows past that
+    cap while this incremental path has no such rail, so a capped index
+    diverges from a rebuild as batches accumulate (re-apply the cap with
+    a periodic compaction over the cells store if it matters)."""
     if isinstance(centroids, DataFrame):
         cents = [
             (int(r["cell"]), [float(x) for x in r["center"]])
@@ -696,12 +785,11 @@ def ann_index_assign(
     else:
         cents = [(int(j), [float(x) for x in c]) for j, c in centroids]
     vecd = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    base = df.select(F.col(id_col), vecd.alias("vecd"))
     return (
-        df.select(F.col(id_col), vecd.alias("vecd"))
-        .withColumn(
-            "cell",
-            F.array_min(_cell_rank_structs(F.col("vecd"), cents)).getField("cell"),
-        )
+        _with_cell_ranks(base, cents, F.col("vecd"), "__cr", probe_form)
+        .withColumn("cell", F.array_min("__cr").getField("cell"))
+        .drop("__cr")
         .withColumn("vnorm", _norm(F.col("vecd")))
         .select(id_col, F.col("cell").cast("int"), "vecd", "vnorm")
     )
@@ -717,10 +805,12 @@ def ann_join_indexed(
     left_id: str = "vec_id",
     right_id: str = "vec_id",
     score_round: int | None = None,
+    probe_form: str = "broadcast",
 ) -> DataFrame:
     """Query a persisted ANN index (see :func:`ann_index_build`): each
     left vector probes its ``nprobe`` nearest centroids (a per-row
-    projection over centroid literals — no fit, no shuffle), candidates
+    projection over a broadcast centroid relation — no fit, no shuffle,
+    plan size flat in nlist; see :func:`_with_cell_ranks`), candidates
     come from the cell equi-join against the prebuilt ``cells`` table,
     and only the left side pays cast/norm folds at query time. Same
     output contract and determinism options as :func:`ann_join`."""
@@ -738,18 +828,17 @@ def ann_join_indexed(
         F.col("vnorm").alias("__rn"),
     )
     lv = left.select(F.col(left_id).alias("__lid"), F.col(vec_col).alias("__lv"))
-    probe_cells = F.slice(
-        F.array_sort(_cell_rank_structs(F.col("__lv"), cents)), 1, nprobe
-    )
+    lv_ranked = _with_cell_ranks(lv, cents, F.col("__lv"), "__cr", probe_form)
+    probe_cells = F.slice(F.array_sort(F.col("__cr")), 1, nprobe)
     lvd = F.transform(F.col("__lv"), lambda x: x.cast("double"))
     l_probe = (
-        lv.withColumn("__lvd", lvd)
+        lv_ranked.withColumn("__lvd", lvd)
         .withColumn("__ln", _norm(F.col("__lvd")))
         .withColumn(
             "__cell",
             F.explode(F.transform(probe_cells, lambda s: s.getField("cell"))),
         )
-        .drop("__lv")
+        .drop("__lv", "__cr")
     )
     cand = l_probe.join(r_side, "__cell")
     score = _dot(F.col("__lvd"), F.col("__cvd")) / (F.col("__ln") * F.col("__rn"))

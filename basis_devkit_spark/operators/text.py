@@ -340,6 +340,7 @@ def token_budget_sample(
     text_col: str = "text",
     salt: str = "tok",
     n_buckets: int = 1024,
+    n_tokens_col: str | None = None,
 ) -> DataFrame:
     """Token-budget mixture sampling: per stratum, keep documents in a
     deterministic md5-priority order until the stratum's TOKEN budget is
@@ -352,10 +353,17 @@ def token_budget_sample(
     two-pass bucketed prefix pattern (per-(stratum, bucket) sums → tiny
     cumulative table broadcast back → within-bucket windows in parallel),
     NOT a one-task-per-stratum global window — skew-safe when strata are
-    few and huge."""
+    few and huge.
+
+    Token counting: whitespace tokens by default; pass ``n_tokens_col``
+    to budget by a precomputed (e.g. BPE-tokenizer) count column instead
+    — same sampling shape, exact training-token budgets."""
     from pyspark.sql.window import Window
 
-    toks = F.size(F.split(F.lower(F.trim(F.col(text_col))), r"\s+"))
+    if n_tokens_col is not None:
+        toks = F.col(n_tokens_col).cast("long")
+    else:
+        toks = F.size(F.split(F.lower(F.trim(F.col(text_col))), r"\s+"))
     prio = F.conv(
         F.substring(
             F.md5(F.concat(F.lit(salt), F.col(id_col).cast("string"))), 1, 8
@@ -942,6 +950,7 @@ def sequence_pack(
     id_col: str = "doc_id",
     text_col: str = "text",
     bucket_size: int = 8192,
+    n_tokens_col: str | None = None,
 ) -> DataFrame:
     """Concat-and-chunk sequence packing for LLM training: documents are
     laid out into one global token stream in deterministic ``id_col``
@@ -958,8 +967,17 @@ def sequence_pack(
     (per-id-range-bucket sums → running offsets over the tiny non-empty
     bucket table → within-bucket windows in parallel), never a one-task
     global window over the documents; ``id_col`` must be numeric.
+
+    Token counting: by default whitespace tokens of ``text_col``; real
+    pretraining packs by TOKENIZER counts, so pass ``n_tokens_col`` to
+    use a precomputed per-doc count column (cast to long) — e.g. a BPE
+    tokenizer stage's output — without changing the prefix-sum shape
+    (the packing layout is a pure function of the counts).
     """
-    ntok = F.size(F.split(F.lower(F.trim(F.col(text_col))), r"\s+"))
+    if n_tokens_col is not None:
+        ntok = F.col(n_tokens_col).cast("long")
+    else:
+        ntok = F.size(F.split(F.lower(F.trim(F.col(text_col))), r"\s+"))
     d = df.select(F.col(id_col), ntok.alias("n_tokens"))
     d = exclusive_prefix_sum(d, id_col, "n_tokens", "__cum_before", bucket_size)
     return d.select(

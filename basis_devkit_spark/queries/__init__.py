@@ -92,11 +92,21 @@ def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
 # prior order. The FULL inventory is swept every round regardless
 # (tools/sweep_correctness.py exact-hash mode, artifact committed).
 _SAMPLE_PRIORITY = [
-    # -- r6 front block: the 9 queries never sampled by any driver round
-    # (r1..r5 union), then the queries whose behavior or oracle changed
-    # in r6 (d03d newly oracled via the deterministic quantizer; d14/d15
-    # new; d03h round-before-rank; e12/b48/d11 oracle hardening). Names
-    # repeat lower down; dict insertion order keeps this first position.
+    # -- r7 front block: the queries whose implementation changed this
+    # round (d11b new; d14 suspect-phase restructure; the six ANN/
+    # semantic queries now default to the broadcast-relation probe
+    # form), MOVED here from their old positions — the list stays one
+    # entry per query (212+ unique names; it feeds an insertion-ordered
+    # dict, so a duplicate would be harmless but is kept out for
+    # clarity). r6 front block follows, then the prior risk ranking.
+    "d11b_sequence_packing_tokcol",
+    "d14_exact_substring_dedup",
+    "d15_ann_index_join",
+    "c14_stream_ann_index_ingest",
+    "d03h_ann_join",
+    "d03c_ivf_topk",
+    "d03d_ivf_topk_kmeans",
+    "d02g_semantic_dedup",
     "b20b_having",
     "b21b_multi_distinct",
     "b24b_median",
@@ -106,11 +116,6 @@ _SAMPLE_PRIORITY = [
     "b41b_trig_funcs",
     "b42c_sequence_ops",
     "b71_tpch_q6_forecast_revenue",
-    "d03d_ivf_topk_kmeans",
-    "d14_exact_substring_dedup",
-    "d15_ann_index_join",
-    "c14_stream_ann_index_ingest",
-    "d03h_ann_join",
     "e12_experiment_srm",
     "b48_grouped_map",
     "d11_sequence_packing",
@@ -202,7 +207,6 @@ _SAMPLE_PRIORITY = [
     "b66_tpch_q13_order_distribution",
     "b69_tpch_q15_top_supplier",
     "b68_tpch_q22_dormant_customers",
-    "d02g_semantic_dedup",
     "d02h_incremental_minhash_dedup",
     "c12_stream_neardup_collapse",
     "d04q_drop_repeated_lines",
@@ -250,7 +254,6 @@ _SAMPLE_PRIORITY = [
     "d05_multimodal_plumbing",
     "d04e_tfidf",
     "d02d_embedding_near_dup",
-    "d03c_ivf_topk",
     "d06b_quantize_int8",
     "d06c_corpus_embedding_stats",
     "d04i_redact_pii",

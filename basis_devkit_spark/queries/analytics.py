@@ -2955,6 +2955,43 @@ def d11(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @register(
+    "d11b_sequence_packing_tokcol",
+    """
+    with t as (
+      -- deterministic stand-in for a BPE tokenizer's per-doc counts
+      -- (~chars/4): the operator packs by the SUPPLIED column, so the
+      -- layout is a pure function of these counts, not of whitespace
+      select doc_id,
+             cast(length(text) // 4 + 1 as bigint) as n_tokens
+      from documents
+    ), c as (
+      select doc_id, n_tokens,
+             cast(coalesce(sum(n_tokens) over (order by doc_id
+                     rows between unbounded preceding and 1 preceding),
+                   0) as bigint) as cb
+      from t
+    )
+    select doc_id, n_tokens,
+           cast(floor(cb / 2048.0) as bigint) as seq_id,
+           cast(cb % 2048 as bigint) as seq_offset
+    from c
+    """,
+    doc="sequence packing by a SUPPLIED token-count column (r6 verdict "
+    "task 7: real pretraining packs by BPE counts, not whitespace) — "
+    "here a deterministic ~chars/4 stand-in computed per doc feeds "
+    "sequence_pack(n_tokens_col=...); the prefix-sum layout shape is "
+    "unchanged, only the measure differs",
+)
+def d11b(spark: SparkSession, sf: str) -> DataFrame:
+    from basis_devkit_spark.operators.text import sequence_pack
+
+    docs = load(spark, sf, "documents").withColumn(
+        "bpe_ct", (F.floor(F.length("text") / 4) + 1).cast("long")
+    )
+    return sequence_pack(docs, budget=2048, n_tokens_col="bpe_ct")
+
+
+@register(
     "d12_pii_redaction",
     """
     with t0 as (

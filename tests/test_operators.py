@@ -2325,3 +2325,128 @@ def test_ann_index_assign_matches_build(spark, emb):
     incr = ann_index_assign(right, seed_cents)
     key = lambda r: (r["vec_id"], r["cell"], tuple(r["vecd"]), r["vnorm"])
     assert {key(r) for r in built.collect()} == {key(r) for r in incr.collect()}
+
+
+def test_probe_form_broadcast_bit_identical_to_literal(spark, emb):
+    """The broadcast-relation probe form (the 100 TB default: centroids in
+    a single-row broadcast relation, ranks via a per-row transform) is
+    BIT-identical to the legacy literal form — same sequential cosine
+    folds over the same doubles, only the centroid storage differs. Both
+    the assigned cell AND the raw (-cosine) rank score must match to the
+    last ulp, row for row."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from basis_devkit_spark.operators.similarity import (
+        _cell_rank_structs,
+        _with_cell_ranks,
+    )
+
+    rng = random.Random(7)
+    dim = emb.select(F.size("embedding")).first()[0]
+    cents = [
+        (j, [rng.gauss(0, 1) for _ in range(dim)]) for j in range(8)
+    ]
+    lit = emb.withColumn("__cr", _cell_rank_structs(F.col("embedding"), cents))
+    bc = _with_cell_ranks(emb, cents, F.col("embedding"), "__cr", "broadcast")
+    pick = lambda df: (
+        df.select(
+            "vec_id",
+            F.array_min("__cr").getField("cell").alias("cell"),
+            F.array_min("__cr").getField("nc").alias("nc"),
+            F.slice(F.array_sort("__cr"), 1, 4).alias("probes"),
+        )
+        .orderBy("vec_id")
+        .collect()
+    )
+    a, b = pick(lit), pick(bc)
+    assert len(a) == len(b) > 0
+    for x, y in zip(a, b):
+        assert x["vec_id"] == y["vec_id"]
+        assert x["cell"] == y["cell"]
+        assert x["nc"] == y["nc"]  # bit-exact, not approx
+        assert x["probes"] == y["probes"]
+
+
+def test_probe_form_broadcast_plan_flat_in_nlist(spark, emb):
+    """The scale gate for r6's one flagged flaw: at nlist=64 the broadcast
+    probe plan must (a) attach centroids through a broadcast HASH join —
+    never a nested loop/cartesian — and (b) carry NO giant literal
+    array: its plan string stays a fraction of the literal form's (which
+    embeds nlist x dim double literals) and, unlike the literal form,
+    does not grow with nlist."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from basis_devkit_spark.operators.similarity import ann_join_indexed, ann_index_build
+
+    rng = random.Random(11)
+    dim = emb.select(F.size("embedding")).first()[0]
+    left = emb.filter(F.col("vec_id") % 2 == 0)
+    right = emb.filter(F.col("vec_id") % 2 == 1)
+
+    def plan_for(nlist, form):
+        cents = [
+            (j, [rng.gauss(0, 1) for _ in range(dim)]) for j in range(nlist)
+        ]
+        _, cells = ann_index_build(right, nlist=nlist, centroids=cents,
+                                   probe_form=form)
+        q = ann_join_indexed(left, cents, cells, k=3, nprobe=4,
+                             probe_form=form)
+        return q._jdf.queryExecution().executedPlan().toString()
+
+    bc64 = plan_for(64, "broadcast")
+    assert "BroadcastHashJoin" in bc64
+    assert "BroadcastNestedLoopJoin" not in bc64
+    assert "CartesianProduct" not in bc64
+    lit64 = plan_for(64, "literal")
+    assert len(bc64) < len(lit64) / 5, (len(bc64), len(lit64))
+    bc8 = plan_for(8, "broadcast")
+    # flat in nlist: within noise of the nlist=8 plan (same operators,
+    # same column ids modulo counters)
+    assert len(bc64) < 1.2 * len(bc8), (len(bc8), len(bc64))
+
+
+def test_sequence_pack_supplied_counts_equivalence(spark):
+    """n_tokens_col (tokenizer-pluggable packing): supplying a count
+    column that EQUALS the whitespace count reproduces the default
+    layout exactly; supplying different counts repacks by them."""
+    from pyspark.sql import functions as F
+
+    from basis_devkit_spark.operators.text import sequence_pack
+
+    rows = [(i, " ".join(f"w{j}" for j in range(3 + (i * 7) % 11))) for i in range(40)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    ws = df.withColumn(
+        "ct", F.size(F.split(F.lower(F.trim(F.col("text"))), r"\s+"))
+    )
+    a = sequence_pack(df, budget=16).orderBy("doc_id").collect()
+    b = sequence_pack(ws, budget=16, n_tokens_col="ct").orderBy("doc_id").collect()
+    assert [tuple(r) for r in a] == [tuple(r) for r in b]
+    # different counts -> layout is a pure function of the supplied column
+    bpe = df.withColumn("ct", (F.floor(F.length("text") / 4) + 1).cast("long"))
+    c = sequence_pack(bpe, budget=16, n_tokens_col="ct").orderBy("doc_id").collect()
+    cum = 0
+    for r in c:
+        assert r["seq_id"] == cum // 16 and r["seq_offset"] == cum % 16
+        cum += r["n_tokens"]
+
+
+def test_exact_substring_dedup_null_text_contract(spark):
+    """Documented contract: EVERY input doc keeps its row; null/empty
+    text yields text_clean='' with n_removed=0 (not nulls)."""
+    from basis_devkit_spark.operators.dedup import exact_substring_dedup
+
+    df = spark.createDataFrame(
+        [(1, "a b c d e f"), (2, None), (3, ""), (4, "a b c d e f")],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in exact_substring_dedup(df, span_tokens=3).collect()}
+    assert len(out) == 4
+    assert out[2]["text_clean"] == "" and out[2]["n_removed"] == 0
+    assert out[3]["text_clean"] == "" and out[3]["n_removed"] == 0
+    # doc 4 duplicates doc 1's whole body -> fully excised; doc 1 keeps
+    assert out[1]["text_clean"] == "a b c d e f" and out[1]["n_removed"] == 0
+    assert out[4]["text_clean"] == "" and out[4]["n_removed"] == 6
