@@ -244,10 +244,34 @@ def minhash_near_dup_pairs(
     jaccard_threshold: float | None = None,
     max_shingle_df: int | None = None,
     max_bucket_size: int | None = None,
+    materialize_signatures: bool = True,
 ) -> DataFrame:
     """Candidate near-dup pairs (id_a < id_b) via LSH banding; if
     ``jaccard_threshold`` is set, verify with estimated Jaccard
     (signature agreement fraction) and attach ``est_jaccard``.
+
+    ``materialize_signatures`` selects between two equivalent physical
+    shapes (identical output rows either way — mode-equivalence tested):
+
+    - True (default, the corpus-scale shape): persist the compact
+      (id, sig) frame so the shingle explode + 64-way min fold — the
+      expensive pass over the raw TEXT — runs ONCE; the banded self-join
+      then runs SLIM ((id, band, bh), ~24 bytes/row — the (band, bh)
+      shuffle never carries a 64-long array per bucket row) and the
+      est verification joins the cached sig frame back by id, bounded
+      by the deduped candidate count. Minimal folds AND minimal shuffle
+      bytes; signatures are 64 longs/doc, ~100× smaller than the text.
+    - False (persist-free, for prepared-plan reuse / embedding in a
+      larger statement): no cache is available to rejoin, so the bucket
+      frame CARRIES the signatures through a SHUFFLE_MERGE-hinted
+      self-join and est is computed at the join (before the pair dedup
+      — est depends only on the pair, so dedup-after is equivalent).
+      The merge hint makes both join sides byte-identical exchanges,
+      which Spark's ReuseExchange collapses — the fold still runs only
+      ONCE (a broadcast join would break that reuse and recompute the
+      fold per side; measured 1.6× slower at sf0.1 despite the cheaper
+      join). Shuffle carries bands× the signature bytes — the trade for
+      not caching.
 
     ``max_bucket_size`` is the 100 TB safety rail against degenerate
     corpora (thousands of near-identical docs collapsing into one band
@@ -263,49 +287,72 @@ def minhash_near_dup_pairs(
     assert num_hashes % bands == 0, "bands must divide num_hashes"
     from pyspark import StorageLevel
 
-    # Both sides of the bucket self-join derive from the signatures; persist
-    # them so the shingle explode + 64-way min aggregation runs once, not
-    # twice (one compact row per doc — bounded, spills to disk if needed).
     sig = minhash_signatures(
         df, id_col, text_col, num_hashes, shingle_size, max_shingle_df
-    ).persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    if materialize_signatures:
+        sig = sig.persist(StorageLevel.MEMORY_AND_DISK)
     star = None
     if max_bucket_size is not None:
         sig, star = _collapse_identical(sig, id_col, "sig")
-        sig = sig.persist(StorageLevel.MEMORY_AND_DISK)
+        if materialize_signatures:
+            sig = sig.persist(StorageLevel.MEMORY_AND_DISK)
         star = star.withColumn("est_jaccard", F.lit(1.0))
+    def _agree(a, b):
+        return (
+            F.size(F.filter(F.zip_with(a, b, lambda x, y: x == y), lambda v: v))
+            / F.lit(num_hashes)
+        ).alias("est_jaccard")
+
     buckets = _band_buckets_frame(sig, id_col, num_hashes, bands)
-    if max_bucket_size is not None:
-        buckets = _drop_hot_buckets(buckets, ["band", "bh"], max_bucket_size)
-    left = buckets.alias("a")
-    right = buckets.alias("b")
-    # est_jaccard is computed BEFORE the pair dedup so the dedup shuffle
-    # moves (id_a, id_b, est) — 3 scalars — instead of two 64-element
-    # signature arrays per candidate; est is identical for every banded
-    # duplicate of a pair, so dedup-after is equivalent.
-    est = (
-        F.size(
-            F.filter(
-                F.zip_with(F.col("a.sig"), F.col("b.sig"), lambda x, y: x == y),
-                lambda v: v,
+    if materialize_signatures:
+        # slim join + est-after-dedup against the cached sig frame
+        buckets = buckets.drop("sig")
+        if max_bucket_size is not None:
+            buckets = _drop_hot_buckets(buckets, ["band", "bh"], max_bucket_size)
+        left = buckets.alias("a")
+        right = buckets.alias("b")
+        cand = (
+            left.join(
+                right,
+                (F.col("a.band") == F.col("b.band"))
+                & (F.col("a.bh") == F.col("b.bh"))
+                & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
             )
+            .select(
+                F.col(f"a.{id_col}").alias("id_a"),
+                F.col(f"b.{id_col}").alias("id_b"),
+            )
+            .dropDuplicates(["id_a", "id_b"])
         )
-        / F.lit(num_hashes)
-    ).alias("est_jaccard")
-    pairs = (
-        left.join(
-            right,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.bh") == F.col("b.bh"))
-            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        sa = sig.select(F.col(id_col).alias("id_a"), F.col("sig").alias("__sa"))
+        sb = sig.select(F.col(id_col).alias("id_b"), F.col("sig").alias("__sb"))
+        pairs = cand.join(sa, "id_a").join(sb, "id_b").select(
+            "id_a", "id_b", _agree(F.col("__sa"), F.col("__sb"))
         )
-        .select(
-            F.col(f"a.{id_col}").alias("id_a"),
-            F.col(f"b.{id_col}").alias("id_b"),
-            est,
+    else:
+        # persist-free: sig rides the merge-hinted self-join (identical
+        # exchanges -> ReuseExchange -> one fold), est at the join,
+        # dedup afterwards on (id_a, id_b, est) scalars
+        if max_bucket_size is not None:
+            buckets = _drop_hot_buckets(buckets, ["band", "bh"], max_bucket_size)
+        buckets = buckets.hint("merge")
+        left = buckets.alias("a")
+        right = buckets.alias("b")
+        pairs = (
+            left.join(
+                right,
+                (F.col("a.band") == F.col("b.band"))
+                & (F.col("a.bh") == F.col("b.bh"))
+                & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+            )
+            .select(
+                F.col(f"a.{id_col}").alias("id_a"),
+                F.col(f"b.{id_col}").alias("id_b"),
+                _agree(F.col("a.sig"), F.col("b.sig")),
+            )
+            .dropDuplicates(["id_a", "id_b"])
         )
-        .dropDuplicates(["id_a", "id_b"])
-    )
     if jaccard_threshold is not None:
         pairs = pairs.filter(F.col("est_jaccard") >= jaccard_threshold)
     if star is not None:
@@ -322,6 +369,7 @@ def minhash_dedup(
     shingle_size: int = 3,
     jaccard_threshold: float = 0.8,
     max_bucket_size: int | None = None,
+    materialize_signatures: bool = True,
 ) -> DataFrame:
     """Keep-one near-dedup: drop any doc with a candidate neighbor of
     smaller id (scalable CC approximation — see module docstring).
@@ -331,8 +379,11 @@ def minhash_dedup(
     pairs = minhash_near_dup_pairs(
         df, id_col, text_col, num_hashes, bands, shingle_size,
         jaccard_threshold, max_bucket_size=max_bucket_size,
+        materialize_signatures=materialize_signatures,
     )
-    losers = pairs.select(F.col("id_b").alias(id_col)).distinct()
+    # no .distinct() on the loser keys: LEFT ANTI ignores build-side
+    # duplicates, so the extra aggregation stage would only add a shuffle
+    losers = pairs.select(F.col("id_b").alias(id_col))
     return df.join(losers, id_col, "left_anti")
 
 

@@ -58,7 +58,10 @@ SPLIT_DIR = os.environ.get(
 # Per-table split counts: sized so each task gets meaningful work — tiny
 # tables at more splits just pay task-launch overhead (measured: events
 # 100k rows runs fastest at 8 splits, lineitem 600k at 32).
-SPLIT_N = {"lineitem": 32, "orders": 16, "customer": 8, "events": 8, "documents": 8}
+# documents at 32: its bench rows (minhash fold, ngram explode) are
+# CPU-bound, not scan-bound — measured minhash 1.42s@8 -> 1.05s@32,
+# ngram fresh 0.86s@8 -> 0.38s@32 on local[32].
+SPLIT_N = {"lineitem": 32, "orders": 16, "customer": 8, "events": 8, "documents": 32}
 BENCH_TABLES = tuple(SPLIT_N)
 
 
@@ -70,7 +73,12 @@ def bind_tables(spark) -> dict:
     tabs = {}
     for t in BENCH_TABLES:
         dst = os.path.join(SPLIT_DIR, key, f"{t}.parquet")
-        if not os.path.exists(os.path.join(dst, "_SUCCESS")):
+        have = (
+            len([f for f in os.listdir(dst) if f.endswith(".parquet")])
+            if os.path.exists(os.path.join(dst, "_SUCCESS"))
+            else -1
+        )
+        if have != SPLIT_N[t]:  # missing OR split count changed
             load(spark, SF_DIR, t).repartition(SPLIT_N[t]).write.mode(
                 "overwrite"
             ).parquet(dst)
@@ -220,11 +228,19 @@ def minhash_dedup_q(tabs):
 
     Scale shape: shuffle-free signatures (array_min over transform) →
     banded equi-self-join → anti-join. The count() materializer sums the
-    survivor set without transferring text bodies."""
+    survivor set without transferring text bodies.
+
+    Bench shape: ``materialize_signatures=False`` — the persist-free
+    single-fold plan (merge-hinted self-join + ReuseExchange) — so the
+    plan is prepared/reused steady-state like every other row; the
+    default materialized mode is the corpus-scale shape but its
+    persisted relation can't be re-timed honestly after a cache clear
+    (re-materialization mode, see r6 notes)."""
     from basis_devkit_spark.operators.dedup import minhash_dedup
 
     return minhash_dedup(
-        tabs["documents"], "doc_id", "text", jaccard_threshold=0.7
+        tabs["documents"], "doc_id", "text", jaccard_threshold=0.7,
+        materialize_signatures=False,
     )
 
 
@@ -245,24 +261,129 @@ BENCH_QUERIES = {
 # `value` — BASELINE.md has no row for them; mixing them in would make the
 # headline ratio incomparable across rounds). ngram_top carries a measured
 # DuckDB reference; minhash_dedup is wall-time regression tracking only.
-# minhash is REBUILT per timed run (plan compile included): its compiled
-# plan embeds a persisted signatures relation, and re-executing that exact
-# plan after a cache clear hits a pathological re-materialization mode
-# (measured 1.7-3.1 s vs 1.0 s for an identical fresh plan) that no real
-# workload exhibits — a user either reuses the cache (0.44 s) or builds
-# the operator fresh.
+# minhash now runs persist-free (materialize_signatures=False, see
+# minhash_dedup_q) so its plan is prepared once and re-timed steady-state
+# like the other rows — the r5/r6 rebuild-per-run special case (persisted
+# relation re-materialization weirdness) no longer applies.
 DLAYER_QUERIES = {
     "ngram_top": (ngram_top, "collect", False),       # 100 result rows
-    "minhash_dedup": (minhash_dedup_q, "count", True),  # survivors; rebuild/run
+    "minhash_dedup": (minhash_dedup_q, "count", False),  # survivor count
     "sessionize": (sessionize_q, "pandas", False),    # ~95k sessions; Arrow fetch
 }
-# DuckDB references, identical work on the same parquet: ngram_top and
-# sessionize run the identical SQL with the SAME materialization shape
-# (sessionize: full result fetch on both sides — see sessionize_q);
-# minhash_dedup replays the identical LSH pipeline (64-min signature,
-# 16x4 banding, pair verify, anti-join) via
-# tools/minhash_duckdb_baseline.py — median-of-5 0.835 s at sf0.1.
-DLAYER_BASELINES_S = {"ngram_top": 0.26, "sessionize": 0.106, "minhash_dedup": 0.835}
+# Historical frozen DuckDB references (measured once 2026-08-13) — kept
+# for round-over-round context ONLY. The GRADED ratios use the live
+# measurements below (duck_* medians from THIS bench process, interleaved
+# run-for-run with the Spark side), because a frozen constant against a
+# live measurement makes the ratio track machine load, not code: r6's
+# loaded box read minhash 1.40 s vs the frozen 0.835 s — an apparent
+# 1.67x "regression" on untouched code.
+DLAYER_BASELINES_FROZEN_S = {
+    "ngram_top": 0.26, "sessionize": 0.106, "minhash_dedup": 0.835,
+}
+HEADLINE_BASELINES_FROZEN_S = {  # BASELINE.md §3, same 2026-08-13 session
+    "q1_agg": 0.177, "q3_join": 0.128, "window": 0.112, "events_sess": 0.040,
+}
+
+
+def duck_connect(split_key: str):
+    """DuckDB session over the SAME split parquet copies Spark scans —
+    views bound once (catalog semantics, the oracle's own methodology)."""
+    import duckdb
+
+    con = duckdb.connect()
+    con.execute(
+        f"SET threads = {os.environ.get('SPARK_GRAFT_CPUS', str(os.cpu_count() or 32))}"
+    )
+    for t in BENCH_TABLES:
+        glob = os.path.join(SPLIT_DIR, split_key, f"{t}.parquet", "*.parquet")
+        con.execute(f"create view {t} as select * from read_parquet('{glob}')")
+    return con
+
+
+# DuckDB equivalents, identical work over the identical split files, with
+# the same materialization shape as the Spark side (fetchall vs
+# collect/toPandas; count vs count). Run INTERLEAVED with the Spark
+# rounds so transient machine load lands on both engines' medians.
+DUCK_HEADLINE_SQL = {
+    "q1_agg": """
+        select l_returnflag, l_linestatus,
+               sum(l_quantity) as sum_qty,
+               sum(l_extendedprice) as sum_base_price,
+               sum(l_extendedprice * (1 - l_discount)) as sum_disc_price,
+               avg(l_quantity) as avg_qty,
+               avg(l_extendedprice) as avg_price,
+               count(*) as count_order
+        from lineitem where l_shipdate <= '1998-09-02'
+        group by l_returnflag, l_linestatus
+    """,
+    "q3_join": """
+        select o_orderkey, o_orderdate,
+               sum(l_extendedprice * (1 - l_discount)) as revenue
+        from lineitem
+        join orders on l_orderkey = o_orderkey
+        join customer on o_custkey = c_custkey
+        where c_mktsegment = 'BUILDING'
+        group by o_orderkey, o_orderdate
+        order by revenue desc, o_orderkey limit 10
+    """,
+    "window": """
+        select o_custkey, o_orderkey, o_totalprice, rn from (
+          select o_custkey, o_orderkey, o_totalprice,
+                 row_number() over (partition by o_custkey
+                                    order by o_totalprice desc, o_orderkey) as rn
+          from orders) t
+        where rn <= 3
+    """,
+    "events_sess": """
+        select date_trunc('hour', ts) as hour, event_type,
+               count(*) as n, sum(value) as total_value
+        from events group by 1, 2
+    """,
+}
+DUCK_DLAYER_SQL = {
+    "ngram_top": """
+        with toks as (
+          select doc_id, string_split(lower(trim(text)), ' ') as ws from documents
+        ),
+        g as (
+          select doc_id, array_to_string(list_slice(ws, i, i + 1), ' ') as gram
+          from (
+            select doc_id, ws, unnest(range(1, len(ws) - 2 + 2)) as i
+            from toks where len(ws) >= 2
+          )
+        )
+        select gram, count(*) as n_occurrences,
+               count(distinct doc_id) as n_docs
+        from g group by gram
+        order by n_occurrences desc, gram limit 100
+    """,
+    "sessionize": """
+        with o as (
+          select user_id, event_id, ts,
+                 lag(ts) over (partition by user_id order by ts, event_id) as prev_ts
+          from events
+        ), f as (
+          select user_id, event_id, ts,
+                 case when prev_ts is null or ts - prev_ts > interval 30 minute
+                      then 1 else 0 end as ns
+          from o
+        ), s as (
+          select user_id, ts,
+                 cast(sum(ns) over (partition by user_id order by ts, event_id
+                                    rows unbounded preceding) as int) as session_seq
+          from f
+        )
+        select user_id, session_seq, count(*) as n_events,
+               min(ts) as session_start, max(ts) as session_end,
+               epoch_us(cast(max(ts) as timestamp))
+                 - epoch_us(cast(min(ts) as timestamp)) as duration_us
+        from s group by user_id, session_seq
+    """,
+    # minhash_dedup: built below (64-col signature SQL) via
+    # tools/minhash_duckdb_baseline.build_sql over the split docs glob —
+    # the identical LSH pipeline (shingles, 64-min signature, 16x4 bands,
+    # verify, anti-join), count materializer on both sides.
+}
 
 
 def _run(df, how: str) -> int:
@@ -283,6 +404,18 @@ def main() -> None:
     spark.conf.set("spark.sql.adaptive.enabled", "false")
     spark.conf.set("spark.sql.shuffle.partitions", "8")
     tabs = bind_tables(spark)
+    split_key = os.path.basename(os.path.normpath(SF_DIR))
+    con = duck_connect(split_key)
+    sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), "tools"))
+    from minhash_duckdb_baseline import build_sql as minhash_sql
+
+    duck_sql = dict(DUCK_HEADLINE_SQL)
+    duck_dsql = dict(DUCK_DLAYER_SQL)
+    duck_dsql["minhash_dedup"] = minhash_sql(
+        os.path.join(SPLIT_DIR, split_key, "documents.parquet", "*.parquet")
+    )
+    for sql in (*duck_sql.values(), *duck_dsql.values()):
+        con.execute(sql).fetchall()  # warm (file handles, caches)
     # Prepare phase (untimed): build + warm one plan per query.
     prepared = {}
     for name, (fn, how) in BENCH_QUERIES.items():
@@ -298,6 +431,7 @@ def main() -> None:
     # on this shared box lands on all medians equally instead of sinking
     # one query.
     steady_samples: dict[str, list[float]] = {n: [] for n in BENCH_QUERIES}
+    duck_samples: dict[str, list[float]] = {n: [] for n in BENCH_QUERIES}
     for _ in range(9):
         for name, (df, how) in prepared.items():
             # Steady-state reuses the PLAN, never materialized data: drop
@@ -307,7 +441,13 @@ def main() -> None:
             t0 = time.perf_counter()
             _run(df, how)
             steady_samples[name].append(time.perf_counter() - t0)
+            # the DuckDB reference runs IMMEDIATELY after its Spark twin,
+            # so load spikes hit both sides of every ratio equally
+            t0 = time.perf_counter()
+            con.execute(duck_sql[name]).fetchall()
+            duck_samples[name].append(time.perf_counter() - t0)
     dlayer_samples: dict[str, list[float]] = {n: [] for n in DLAYER_QUERIES}
+    duck_dlayer_samples: dict[str, list[float]] = {n: [] for n in DLAYER_QUERIES}
     for _ in range(5):
         for name, (fn, how, rebuild) in DLAYER_QUERIES.items():
             spark.catalog.clearCache()
@@ -315,6 +455,9 @@ def main() -> None:
             t0 = time.perf_counter()
             _run(df, how)
             dlayer_samples[name].append(time.perf_counter() - t0)
+            t0 = time.perf_counter()
+            con.execute(duck_dsql[name]).fetchall()
+            duck_dlayer_samples[name].append(time.perf_counter() - t0)
     fresh_samples: dict[str, list[float]] = {n: [] for n in BENCH_QUERIES}
     for _ in range(3):
         for name, (fn, how) in BENCH_QUERIES.items():
@@ -339,7 +482,13 @@ def main() -> None:
     compile_t = {
         n: round(statistics.median(s), 4) for n, s in compile_samples.items()
     }
+    duck = {n: round(statistics.median(s), 4) for n, s in duck_samples.items()}
+    duck_d = {
+        n: round(statistics.median(s), 4) for n, s in duck_dlayer_samples.items()
+    }
     total = round(sum(timings.values()), 4)
+    duck_total = round(sum(duck.values()), 4)
+    ratio = lambda a, b: round(a / b, 3) if b > 0 else None  # noqa: E731
     print(
         json.dumps(
             {
@@ -351,10 +500,29 @@ def main() -> None:
                 "fresh_total": round(sum(fresh.values()), 4),
                 "compile_queries": compile_t,
                 "compile_total": round(sum(compile_t.values()), 4),
+                "duckdb_measured": duck,
+                "duckdb_measured_total": duck_total,
+                "ratio_measured": ratio(total, duck_total),
+                "ratio_measured_queries": {
+                    n: ratio(timings[n], duck[n]) for n in timings
+                },
                 "dlayer_queries": dlayer,
-                "dlayer_baselines": DLAYER_BASELINES_S,
+                "dlayer_baselines_measured": duck_d,
+                "dlayer_ratio_measured": {
+                    n: ratio(dlayer[n], duck_d[n]) for n in dlayer
+                },
+                "dlayer_baselines_frozen": DLAYER_BASELINES_FROZEN_S,
+                "headline_baselines_frozen": HEADLINE_BASELINES_FROZEN_S,
                 "sf": SF_DIR,
                 "notes": (
+                    "duckdb_measured / dlayer_baselines_measured are LIVE "
+                    "DuckDB medians from THIS process, each reference run "
+                    "interleaved immediately after its Spark twin over the "
+                    "identical split parquet files with the same "
+                    "materialization shape — ratios (ratio_measured, "
+                    "dlayer_ratio_measured) therefore cancel machine load; "
+                    "the *_frozen constants are the 2026-08-13 one-off "
+                    "measurements kept only for historical context. "
                     "value/queries = the four BASELINE.md SS3 queries "
                     "(steady-state: tables bound once + prepared plans; every "
                     "timed run does full scan+shuffle+agg+fetch, cache cleared "

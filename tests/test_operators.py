@@ -2450,3 +2450,47 @@ def test_exact_substring_dedup_null_text_contract(spark):
     # doc 4 duplicates doc 1's whole body -> fully excised; doc 1 keeps
     assert out[1]["text_clean"] == "a b c d e f" and out[1]["n_removed"] == 0
     assert out[4]["text_clean"] == "" and out[4]["n_removed"] == 6
+
+
+def test_minhash_modes_equivalent(spark, docs):
+    """materialize_signatures True (slim join + cached-sig est rejoin)
+    and False (merge-hinted sig-carrying join, est at join) are two
+    physical shapes of the SAME operator: identical pair sets (with
+    identical est values) and identical survivors, with and without the
+    hot-bucket guard."""
+    from basis_devkit_spark.operators.dedup import (
+        minhash_dedup,
+        minhash_near_dup_pairs,
+    )
+
+    for kw in ({}, {"max_bucket_size": 8}):
+        a = {
+            tuple(r)
+            for r in minhash_near_dup_pairs(
+                docs, "doc_id", "text", jaccard_threshold=0.6,
+                materialize_signatures=True, **kw
+            ).collect()
+        }
+        b = {
+            tuple(r)
+            for r in minhash_near_dup_pairs(
+                docs, "doc_id", "text", jaccard_threshold=0.6,
+                materialize_signatures=False, **kw
+            ).collect()
+        }
+        assert a == b and len(a) > 0
+    sa = {
+        r["doc_id"]
+        for r in minhash_dedup(
+            docs, "doc_id", "text", jaccard_threshold=0.6,
+            materialize_signatures=True,
+        ).collect()
+    }
+    sb = {
+        r["doc_id"]
+        for r in minhash_dedup(
+            docs, "doc_id", "text", jaccard_threshold=0.6,
+            materialize_signatures=False,
+        ).collect()
+    }
+    assert sa == sb

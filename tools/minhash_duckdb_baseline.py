@@ -32,7 +32,8 @@ ROWS = NUM_HASHES // BANDS
 THRESHOLD = 0.7  # bench.py minhash_dedup_q uses jaccard_threshold=0.7
 
 
-def build_sql() -> str:
+def build_sql(docs_path: str | None = None) -> str:
+    docs_path = docs_path or f"{SF_DIR}/documents.parquet"
     mins = ",\n         ".join(
         f"min(hash(h + {i})) as h{i}" for i in range(NUM_HASHES)
     )
@@ -47,7 +48,7 @@ def build_sql() -> str:
     return f"""
 with toks as (
   select doc_id, string_split_regex(lower(text), '\\s+') as w
-  from read_parquet('{SF_DIR}/documents.parquet')
+  from read_parquet('{docs_path}')
 ),
 grams as (
   select doc_id,
@@ -79,7 +80,7 @@ est as (
 ),
 losers as (select distinct id_b from est where ej >= {THRESHOLD})
 select count(*)
-from read_parquet('{SF_DIR}/documents.parquet') d
+from read_parquet('{docs_path}') d
 anti join losers l on d.doc_id = l.id_b
 """
 
