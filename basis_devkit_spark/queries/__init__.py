@@ -95,10 +95,12 @@ _SAMPLE_PRIORITY = [
     # -- r7 front block: the queries whose implementation changed this
     # round (d11b new; d14 suspect-phase restructure; the six ANN/
     # semantic queries now default to the broadcast-relation probe
-    # form), MOVED here from their old positions — the list stays one
-    # entry per query (212+ unique names; it feeds an insertion-ordered
-    # dict, so a duplicate would be harmless but is kept out for
-    # clarity). r6 front block follows, then the prior risk ranking.
+    # form; the d02 minhash family got the materialized/persist-free
+    # join-shape rework), MOVED here from their old positions — the
+    # list stays one entry per query (212+ unique names; it feeds an
+    # insertion-ordered dict, so a duplicate would be harmless but is
+    # kept out for clarity). r6 front block follows, then the prior
+    # risk ranking.
     "d11b_sequence_packing_tokcol",
     "d14_exact_substring_dedup",
     "d15_ann_index_join",
@@ -107,6 +109,10 @@ _SAMPLE_PRIORITY = [
     "d03c_ivf_topk",
     "d03d_ivf_topk_kmeans",
     "d02g_semantic_dedup",
+    "d02b_minhash_dedup",
+    "d02e_duplicate_clusters",
+    "d02h_incremental_minhash_dedup",
+    "d02i_duplicate_cluster_stats",
     "b20b_having",
     "b21b_multi_distinct",
     "b24b_median",
@@ -207,13 +213,11 @@ _SAMPLE_PRIORITY = [
     "b66_tpch_q13_order_distribution",
     "b69_tpch_q15_top_supplier",
     "b68_tpch_q22_dormant_customers",
-    "d02h_incremental_minhash_dedup",
     "c12_stream_neardup_collapse",
     "d04q_drop_repeated_lines",
     "d04r_trained_quality_filter",
     "d04s_quality_weighted_sample",
     "d10_corpus_drift",
-    "d02i_duplicate_cluster_stats",
     "a01_table_scan",
     "a03_read_sql",
     "a05_upsert",
@@ -240,8 +244,6 @@ _SAMPLE_PRIORITY = [
     "c07_stateful_dedup",
     "d01_exact_dedup",
     "d02_ngram_jaccard_pairs",
-    "d02e_duplicate_clusters",
-    "d02b_minhash_dedup",
     "d02c_simhash",
     "d03_similarity_topk",
     "d03b_lsh_topk",

@@ -103,10 +103,30 @@ def probe_compaction(spark) -> dict:
         for r in centroids_df.collect()
     ]
     tmp = tempfile.mkdtemp(prefix="bds_r7_compact_")
+    # Two ingest modes, two different fragmentation stories:
+    # - append (default): each micro-batch lands in a NEW lineage dir
+    #   (cheap write, lineage grows linearly) — the read path fragments
+    #   and compact() is the recovery; batches carry disjoint vec_ids so
+    #   append and upsert produce the same table.
+    # - upsert: copy-on-write MERGE commits a fresh single-dir version
+    #   per batch — the read path NEVER fragments (active lineage stays
+    #   one dir); the costs move to write amplification and dead-version
+    #   disk (vacuum's job), not query latency.
+    mode = os.environ.get("SPARK_GRAFT_COMPACT_MODE", "append")
     kstore = TableStore(tmp, "cells", spark)
     kstore.configure(partition_by="cell", unique_on="vec_id")
-    n_batches = 12
+    n_batches = int(os.environ.get("SPARK_GRAFT_COMPACT_BATCHES", "12"))
     curve = []
+
+    def active_files() -> int:
+        """Parquet files in the ACTIVE version's lineage — what a query
+        actually opens (the copy-on-write tree also holds dead versions
+        that only vacuum removes; counting those overstates read cost)."""
+        n = 0
+        for d in kstore._version_dirs(kstore._manifest.active_version):
+            for _, _, fs in os.walk(os.path.join(kstore.path, d)):
+                n += len([f for f in fs if f.endswith(".parquet")])
+        return n
 
     def query_latency() -> float:
         spark.catalog.clearCache()
@@ -115,20 +135,21 @@ def probe_compaction(spark) -> dict:
         return time.perf_counter() - t0
 
     # split the right corpus into n_batches slices and stream them in
+    # (right holds ODD vec_ids, so slice on vec_id % (2*n_batches) ==
+    # 2b+1 — every slice non-empty and the union covers right exactly)
     for b in range(n_batches):
-        batch = right.filter(F.col("vec_id") % n_batches == b)
+        batch = right.filter(F.col("vec_id") % (2 * n_batches) == 2 * b + 1)
         rows = ann_index_assign(batch, cents)
         if b == 0:
             kstore.write_replace(rows)
+        elif mode == "append":
+            kstore.append(rows)
         else:
             kstore.upsert(rows)
         curve.append(
             {
                 "batch": b + 1,
-                "files": sum(
-                    len([f for f in fs if f.endswith(".parquet")])
-                    for _, _, fs in os.walk(tmp)
-                ),
+                "files": active_files(),
                 "query_s": round(query_latency(), 3),
             }
         )
@@ -146,8 +167,10 @@ def probe_compaction(spark) -> dict:
     }
     assert before == after, "compaction changed query results"
     return {
+        "mode": mode,
         "curve": curve,
         "compact_s": round(compact_s, 3),
+        "post_compact_files": active_files(),
         "post_compact_query_s": statistics.median(after_lat),
         "results_invariant": True,
     }
