@@ -101,6 +101,7 @@ _SAMPLE_PRIORITY = [
     # insertion-ordered dict, so a duplicate would be harmless but is
     # kept out for clarity). r6 front block follows, then the prior
     # risk ranking.
+    "d16_quantized_ann_topk",
     "d11b_sequence_packing_tokcol",
     "d14_exact_substring_dedup",
     "d15_ann_index_join",

@@ -3292,3 +3292,28 @@ def d03h(spark: SparkSession, sf: str) -> DataFrame:
         left, right, k=3, nlist=8, nprobe=4,
         centroids=_ivf_seed_centroids(emb, 8), score_round=4,
     ).select("query_id", "match_id", "score", "rank")
+
+
+@register(
+    "d16_quantized_ann_topk",
+    pyoracle.quantized_ann_sql,
+    doc="int8 scalar-quantized ANN top-5 (queries = vec_id < 30, corpus = "
+    "all): per-dim [min,max] fit on the corpus (bounded dim-row agg), "
+    "codes via IEEE-double floor projection against a one-row broadcast "
+    "stats relation, coarse candidates = top k*refine per query by the "
+    "EXACT-INTEGER centered-code dot (associative — bit-identical under "
+    "any partitioning), float cosine rescore on candidates only, 4dp-"
+    "rounded before the final rank. The candidate set itself is exactly "
+    "modeled in numpy (pyoracle.quantized_ann_candidates); DuckDB does "
+    "the float rescore. The 100 TB shape: the corpus-wide scan touches "
+    "1-byte-range codes with integer arithmetic; float vectors are read "
+    "only for |queries| x k x refine candidate rows",
+)
+def d16(spark: SparkSession, sf: str) -> DataFrame:
+    from basis_devkit_spark.operators.similarity import quantized_topk
+
+    emb = load(spark, sf, "embeddings")
+    q = emb.filter(F.col("vec_id") < 30)
+    return quantized_topk(q, emb, k=5, refine=4, score_round=4).select(
+        "query_id", "match_id", "score", "rank"
+    )

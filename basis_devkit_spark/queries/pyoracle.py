@@ -729,3 +729,72 @@ def ann_join_sql(k: int = 3) -> str:
     select query_id, match_id, score, rank
     from ranked where rank <= {k}
     """
+
+
+@lru_cache(maxsize=2)
+def quantized_ann_candidates(
+    sf_dir: str,
+    k: int = 5,
+    refine: int = 4,
+    query_max_id: int = 30,
+    bits: int = 8,
+) -> tuple[tuple[int, int], ...]:
+    """(query_id, match_id) coarse candidates of the int8 scalar-quantized
+    ANN (queries = vec_id < query_max_id, corpus = everything): per-dim
+    [min, max] fit over the corpus floats, codes = clamp(floor((x - mn) /
+    span * levels)) in double (IEEE-elementwise — bit-identical to Spark's
+    zip_with projection), coarse score = exact-int64 dot of the centered
+    codes, top k*refine per query by (-dot, match_id), self excluded. The
+    integer coarse pass makes the CANDIDATE SET itself exactly modelable —
+    no float fold-order caveats."""
+    import numpy as np
+
+    ids, mat = _embeddings(sf_dir)
+    levels = float((1 << bits) - 1)
+    center = 1 << (bits - 1)
+    mn = mat.min(axis=0).astype(np.float64)
+    span = mat.max(axis=0).astype(np.float64) - mn
+    d = mat.astype(np.float64) - mn
+    with np.errstate(divide="ignore", invalid="ignore"):
+        raw = np.floor(d / span * levels)
+    codes = np.where(span == 0.0, 0.0, np.clip(raw, 0.0, levels)).astype(np.int64)
+    cent = codes - center
+    idarr = np.array(ids, dtype=np.int64)
+    qidx = [i for i, vid in enumerate(idarr) if vid < query_max_id]
+    dots = cent[qidx] @ cent.T  # int64 matmul — exact
+    cands: list[tuple[int, int]] = []
+    for row, i in enumerate(qidx):
+        qid = int(idarr[i])
+        order = sorted(
+            (-int(dots[row, ci]), int(mid))
+            for ci, mid in enumerate(idarr)
+            if int(mid) != qid
+        )[: k * refine]
+        cands.extend((qid, mid) for _, mid in order)
+    return tuple(sorted(cands))
+
+
+def quantized_ann_sql(k: int = 5) -> str:
+    cands = quantized_ann_candidates(oracle_sf_dir())
+    vals = ", ".join(f"({q}, {m})" for q, m in cands)
+    # Candidates from the exact-integer coarse pass (modeled above);
+    # DuckDB performs only the float rescore — rounded to 4dp BEFORE
+    # ranking, mirroring the declared query's score_round=4.
+    return f"""
+    with cand(query_id, match_id) as (values {vals}),
+    scored as (
+      select c.query_id::BIGINT as query_id, c.match_id::BIGINT as match_id,
+             round(list_cosine_similarity(
+               list_transform(q.embedding, x -> cast(x as double)),
+               list_transform(m.embedding, x -> cast(x as double))), 4) as score
+      from cand c
+      join embeddings q on q.vec_id = c.query_id
+      join embeddings m on m.vec_id = c.match_id
+    ), ranked as (
+      select query_id, match_id, score,
+             row_number() over (partition by query_id
+                                order by score desc, match_id) as rank
+      from scored)
+    select query_id, match_id, score, rank
+    from ranked where rank <= {k}
+    """

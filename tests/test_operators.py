@@ -2494,3 +2494,87 @@ def test_minhash_modes_equivalent(spark, docs):
         ).collect()
     }
     assert sa == sb
+
+
+# ------------------------------------------------- scalar-quantized ANN (d16)
+
+
+def test_quantize_codes_matches_numpy_model(spark, emb):
+    """Spark's quantization projection (broadcast stats relation +
+    zip_with floor expression) is bit-identical to the independent numpy
+    model (IEEE double elementwise) — this is the equivalence the d16
+    oracle's candidate modeling rests on."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from basis_devkit_spark.operators.similarity import (
+        fit_scalar_quantizer,
+        quantize_codes,
+    )
+
+    quant = fit_scalar_quantizer(emb)
+    got = {
+        r["vec_id"]: list(r["codes"])
+        for r in quantize_codes(emb, quant).select("vec_id", "codes").collect()
+    }
+    rows = sorted(
+        (r["vec_id"], r["embedding"]) for r in emb.select("vec_id", "embedding").collect()
+    )
+    mat = np.array([e for _, e in rows], dtype=np.float32)
+    mn = mat.min(axis=0).astype(np.float64)
+    span = mat.max(axis=0).astype(np.float64) - mn
+    d = mat.astype(np.float64) - mn
+    with np.errstate(divide="ignore", invalid="ignore"):
+        raw = np.floor(d / span * 255.0)
+    want = np.where(span == 0.0, 0.0, np.clip(raw, 0.0, 255.0)).astype(np.int64)
+    for i, (vid, _) in enumerate(rows):
+        assert got[vid] == [int(x) for x in want[i]], vid
+
+
+def test_quantized_topk_recall_and_determinism(spark, emb):
+    """refine=4 recall@5 vs exact brute force stays high on the test
+    corpus, and passing a persisted quantizer frame (build-once/query-many)
+    returns byte-identical results to the in-line fit."""
+    from pyspark.sql import functions as F
+
+    from basis_devkit_spark.operators.similarity import (
+        brute_force_topk,
+        fit_scalar_quantizer,
+        quantized_topk,
+    )
+
+    q = emb.filter(F.col("vec_id") < 20)
+    res = quantized_topk(q, emb, k=5, refine=4).collect()
+    assert len(res) == 20 * 5
+    bf = {(r["query_id"], r["match_id"]) for r in brute_force_topk(q, emb, k=5).collect()}
+    got = {(r["query_id"], r["match_id"]) for r in res}
+    assert len(bf & got) / len(bf) >= 0.9
+    quant = fit_scalar_quantizer(emb)
+    key = lambda rows: sorted(
+        (r["query_id"], r["match_id"], r["score"], r["rank"]) for r in rows
+    )
+    assert key(res) == key(quantized_topk(q, emb, k=5, refine=4, quant=quant).collect())
+
+
+def test_quantized_topk_plan_shape(spark, emb):
+    """Scale gates: no Window (two-phase top-k only), the quantizer stats
+    attach via broadcast HASH joins (no nested loop/cartesian beyond the
+    documented broadcast query cross join), and the plan carries no
+    per-dimension literal arrays (stats ride as relation data)."""
+    from pyspark.sql import functions as F
+
+    from basis_devkit_spark.operators.similarity import quantized_topk
+
+    q = emb.filter(F.col("vec_id") < 20)
+    plan = (
+        quantized_topk(q, emb, k=5, refine=4)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Window" not in plan
+    assert "BroadcastHashJoin" in plan
+    # the ONLY nested-loop join allowed is the documented coarse
+    # broadcast-queries cross scan (the quantized analogue of
+    # brute_force_topk); the quantizer-stats joins must be hash joins,
+    # never "BroadcastNestedLoopJoin ... Inner"
+    bnlj = [ln for ln in plan.splitlines() if "BroadcastNestedLoopJoin" in ln]
+    assert len(bnlj) == 1 and "Cross" in bnlj[0], bnlj
