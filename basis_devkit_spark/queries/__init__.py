@@ -102,6 +102,8 @@ _SAMPLE_PRIORITY = [
     # kept out for clarity). r6 front block follows, then the prior
     # risk ranking.
     "d16_quantized_ann_topk",
+    "d17_bm25_topk",
+    "d18_hybrid_rrf",
     "d11b_sequence_packing_tokcol",
     "d14_exact_substring_dedup",
     "d15_ann_index_join",

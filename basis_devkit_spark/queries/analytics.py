@@ -3317,3 +3317,132 @@ def d16(spark: SparkSession, sf: str) -> DataFrame:
     return quantized_topk(q, emb, k=5, refine=4, score_round=4).select(
         "query_id", "match_id", "score", "rank"
     )
+
+
+_BM25_TERMS = ["spark", "customer", "vector"]
+
+
+def _bm25_sql(terms: list[str], k: int = 10) -> str:
+    toks = "string_split(lower(coalesce(text, '')), ' ')"
+    tf_cols = ",\n             ".join(
+        f"len(list_filter({toks}, x -> x = '{t}')) as tf{i}"
+        for i, t in enumerate(terms)
+    )
+    df_cols = ",\n             ".join(
+        f"sum(case when tf{i} > 0 then 1 else 0 end) as df{i}"
+        for i in range(len(terms))
+    )
+    # EXPLICIT fixed-order sum c0 + c1 + ... and the exact operator
+    # nesting of the Spark expression: (idf * (tf * 2.2)) / denom
+    contribs = " + ".join(
+        f"ln((n - df{i} + 0.5) / (df{i} + 0.5) + 1.0)"
+        f" * (tf{i} * 2.2) / (tf{i} + 1.2 * (1.0 - 0.75 + 0.75 * (dl / avgdl)))"
+        for i in range(len(terms))
+    )
+    return f"""
+    with base as (
+      select doc_id, len({toks}) as dl,
+             {tf_cols}
+      from documents
+    ),
+    stats as (
+      select count(*) as n, cast(sum(dl) as double) / count(*) as avgdl,
+             {df_cols}
+      from base
+    ),
+    scored as (
+      select doc_id, round({contribs}, 4) as score
+      from base cross join stats
+    ),
+    ranked as (
+      select doc_id, score,
+             row_number() over (order by score desc, doc_id) as rank
+      from scored where score > 0)
+    select doc_id, score, rank from ranked where rank <= {k}
+    """
+
+
+@register(
+    "d17_bm25_topk",
+    lambda: _bm25_sql(_BM25_TERMS, 10),
+    doc="Okapi BM25 top-10 for a 3-term query over documents: corpus "
+    "stats (N, avgdl, per-term df) from ONE single-row aggregation "
+    "broadcast back, per-doc score a pure fixed-term-order column "
+    "expression (tf/df/N exact ints; the only float-risk op is ln, "
+    "mitigated by round-4-before-rank + doc_id tie-break), top-k via "
+    "TakeOrderedAndProject — one scan, one tiny agg, no corpus shuffle",
+)
+def d17(spark: SparkSession, sf: str) -> DataFrame:
+    from basis_devkit_spark.operators.retrieval import bm25_topk
+
+    d = load(spark, sf, "documents")
+    return bm25_topk(d, _BM25_TERMS, k=10).select("doc_id", "score", "rank")
+
+
+def _hybrid_rrf_sql(k: int = 10) -> str:
+    from basis_devkit_spark.queries.pyoracle import (
+        oracle_sf_dir,
+        quantized_ann_candidates,
+    )
+
+    cands = quantized_ann_candidates(
+        oracle_sf_dir(), k=20, refine=1, query_max_id=1
+    )
+    vals = ", ".join(f"({q}, {m})" for q, m in cands)
+    bm25 = _bm25_sql(_BM25_TERMS, 20)
+    return f"""
+    with bm25r as ({bm25}),
+    cand(query_id, match_id) as (values {vals}),
+    ann_scored as (
+      select c.match_id::BIGINT as doc_id,
+             round(list_cosine_similarity(
+               list_transform(q.embedding, x -> cast(x as double)),
+               list_transform(m.embedding, x -> cast(x as double))), 4) as s
+      from cand c
+      join embeddings q on q.vec_id = c.query_id
+      join embeddings m on m.vec_id = c.match_id
+    ),
+    annr as (
+      select doc_id, rank from (
+        select doc_id, row_number() over (order by s desc, doc_id) as rank
+        from ann_scored) t
+      where rank <= 20
+    ),
+    fused as (
+      select coalesce(b.doc_id, a.doc_id) as doc_id,
+             round(coalesce(1.0 / (60.0 + b.rank), 0.0)
+                   + coalesce(1.0 / (60.0 + a.rank), 0.0), 6) as score
+      from bm25r b full outer join annr a on b.doc_id = a.doc_id
+    ),
+    ranked as (
+      select doc_id, score,
+             row_number() over (order by score desc, doc_id) as rank
+      from fused)
+    select doc_id, score, rank from ranked where rank <= {k}
+    """
+
+
+@register(
+    "d18_hybrid_rrf",
+    _hybrid_rrf_sql,
+    doc="hybrid retrieval: reciprocal-rank fusion (kr=60) of the BM25 "
+    "top-20 lexical ranking (d17's formula) with the int8-quantized ANN "
+    "top-20 vector ranking for query vec_id=0 (refine=1 - rescore of "
+    "the exactly-modeled integer coarse candidates). Both input ranks "
+    "are deterministic ints (round-before-rank + id tie-breaks), the "
+    "RRF sum is two exact IEEE divisions in fixed order, rounded to 6dp "
+    "before the fused rank. Each ranking is top-k-bounded upstream, so "
+    "the fusion join is trivially broadcastable at any corpus scale",
+)
+def d18(spark: SparkSession, sf: str) -> DataFrame:
+    from basis_devkit_spark.operators.retrieval import bm25_topk, rrf_fuse
+    from basis_devkit_spark.operators.similarity import quantized_topk
+
+    d = load(spark, sf, "documents")
+    emb = load(spark, sf, "embeddings")
+    lex = bm25_topk(d, _BM25_TERMS, k=20)
+    q0 = emb.filter(F.col("vec_id") < 1)
+    ann = quantized_topk(q0, emb, k=20, refine=1, score_round=4).select(
+        F.col("match_id").alias("doc_id"), "rank"
+    )
+    return rrf_fuse([lex, ann], k=10).select("doc_id", "score", "rank")
