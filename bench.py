@@ -536,7 +536,17 @@ def main() -> None:
                     "steady gap is a per-query CONSTANT (Catalyst compile + "
                     "codegen + job setup), independent of data volume; at "
                     "cluster scale it is noise, while steady tracks the "
-                    "data. Inputs re-laid to multi-file parquet at "
+                    "data. The same invariance governs the STEADY "
+                    "per-query ratios at this toy SF: events_sess steady is "
+                    "27.6 ms at sf0.01 vs 35.7 ms at sf0.1 (measured "
+                    "2026-08-14) — a 10x data increase adds ~8 ms, i.e. "
+                    "Spark's wall here is ~25 ms of fixed job-dispatch "
+                    "constant plus a small data term, while DuckDB's "
+                    "single-process dispatch is ~0 — so a 3-4x "
+                    "ratio_measured on a sub-40ms query is the overhead "
+                    "floor showing through, not a plan defect; the data "
+                    "terms (what survives at 100x) are comparable. "
+                    "Inputs re-laid to multi-file parquet at "
                     "setup (seed files are single-row-group -> single-task "
                     "scans). dlayer_queries are the LLM-pipeline operator rows "
                     "(own section: BASELINE.md has no row for them): "
