@@ -1092,3 +1092,75 @@ def shard_plan(
     return per.join(F.broadcast(tot)).select(
         "shard", "n_docs", "total_bytes", "imbalance"
     )
+
+
+def bigram_lm_score(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    score_round: int = 6,
+) -> DataFrame:
+    """Corpus-fit language-model score per document — the perplexity-proxy
+    quality filter (CCNet/Gopher-style: score each doc by how well an
+    n-gram LM trained on the corpus predicts it; low scores flag
+    boilerplate/noise): ``(doc_id, n_bigrams, lm_score)`` where lm_score
+    is the mean add-one-smoothed bigram log-probability
+    ``mean_i ln((c(w_i, w_i+1) + 1) / (c(w_i) + V))`` with counts and
+    vocab V from this corpus. Docs with fewer than 2 tokens are excluded
+    (no bigrams to score).
+
+    Determinism at scale — the integerize-before-reduce trick (the float
+    analogue of d16's integer coarse dot): each bigram's log-prob is
+    scaled by 1e9 and FLOORED TO A LONG before the per-doc sum, so the
+    distributed aggregation is exact integer arithmetic — associative,
+    bit-identical under any partitioning and any engine, AND map-side
+    combinable (a fixed-order float fold would serialize per doc; an
+    unordered float sum would drift per run). The only float ops left are
+    one ln and one final division per row — oracle-matched by the
+    round-before-output rule.
+
+    Scale shape: bigram/unigram count aggs are partial-combining hash
+    aggs on the token keys; the count-attach joins co-partition with
+    those aggs' output (vocab-sized, not corpus-sized); the per-doc agg
+    shuffles only (doc_id, long) pairs. No windows, no UDFs, no driver
+    collect."""
+    toks = F.split(F.lower(F.coalesce(F.col(text_col), F.lit(""))), " ")
+    base = df.select(F.col(id_col).alias("doc_id"), toks.alias("__ws"))
+    uni = base.select(F.explode("__ws").alias("w1"))
+    ucnt = uni.groupBy("w1").agg(F.count(F.lit(1)).alias("__cu"))
+    vocab = uni.agg(F.countDistinct("w1").alias("__v"))
+    pairs = base.filter(F.size("__ws") >= 2).select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.size("__ws") - 2),
+                lambda i: F.struct(
+                    F.col("__ws")[i].alias("w1"), F.col("__ws")[i + 1].alias("w2")
+                ),
+            )
+        ).alias("__bg"),
+    ).select("doc_id", F.col("__bg.w1").alias("w1"), F.col("__bg.w2").alias("w2"))
+    bcnt = pairs.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("__cb"))
+    scored = (
+        pairs.join(bcnt, ["w1", "w2"])
+        .join(ucnt, "w1")
+        .crossJoin(F.broadcast(vocab))
+        .select(
+            "doc_id",
+            F.floor(
+                F.log((F.col("__cb") + 1.0) / (F.col("__cu") + F.col("__v")))
+                * F.lit(1000000000.0)
+            ).cast("long").alias("__lp"),
+        )
+    )
+    agg = scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_bigrams"), F.sum("__lp").alias("__slp")
+    )
+    return agg.select(
+        "doc_id",
+        "n_bigrams",
+        F.round(
+            F.col("__slp").cast("double") / F.col("n_bigrams") / 1000000000.0,
+            score_round,
+        ).alias("lm_score"),
+    )

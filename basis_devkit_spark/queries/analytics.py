@@ -3446,3 +3446,50 @@ def d18(spark: SparkSession, sf: str) -> DataFrame:
         F.col("match_id").alias("doc_id"), "rank"
     )
     return rrf_fuse([lex, ann], k=10).select("doc_id", "score", "rank")
+
+
+@register(
+    "d19_bigram_lm_score",
+    """
+    with toks as (
+      select doc_id, string_split(lower(coalesce(text, '')), ' ') as ws
+      from documents
+    ),
+    big as (
+      select doc_id, ws[i] as w1, ws[i + 1] as w2
+      from (select doc_id, ws, unnest(range(1, len(ws))) as i
+            from toks where len(ws) >= 2)
+    ),
+    bc as (select w1, w2, count(*) as cb from big group by 1, 2),
+    uc as (select w1, count(*) as cu
+           from (select unnest(ws) as w1 from toks) group by 1),
+    vv as (select count(distinct w1) as v
+           from (select unnest(ws) as w1 from toks)),
+    scored as (
+      select b.doc_id,
+             cast(floor(ln((bc.cb + 1.0) / (uc.cu + vv.v))
+                        * 1000000000.0) as bigint) as lp
+      from big b join bc using (w1, w2) join uc using (w1) cross join vv
+    ),
+    agg as (
+      select doc_id, cast(count(*) as bigint) as n_bigrams,
+             sum(lp) as slp
+      from scored group by 1)
+    select doc_id, n_bigrams,
+           round(cast(slp as double) / n_bigrams / 1000000000.0, 6) as lm_score
+    from agg
+    """,
+    doc="corpus-fit bigram LM score per doc (perplexity-proxy quality "
+    "filter, add-one smoothing, V and counts from this corpus): mean "
+    "ln((c(w1,w2)+1)/(c(w1)+V)) over the doc's bigrams. Exactly "
+    "deterministic at scale via integerize-before-reduce: each log-prob "
+    "is floored to a 1e-9-scaled LONG before the per-doc sum, so the "
+    "distributed aggregation is associative integer arithmetic (map-side "
+    "combinable, bit-identical under any partitioning/engine); DuckDB "
+    "recomputes the identical integer pipeline in pure SQL",
+)
+def d19(spark: SparkSession, sf: str) -> DataFrame:
+    from basis_devkit_spark.operators.text import bigram_lm_score
+
+    d = load(spark, sf, "documents")
+    return bigram_lm_score(d).select("doc_id", "n_bigrams", "lm_score")
