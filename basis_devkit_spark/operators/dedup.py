@@ -290,13 +290,26 @@ def minhash_near_dup_pairs(
     sig = minhash_signatures(
         df, id_col, text_col, num_hashes, shingle_size, max_shingle_df
     )
+    cached: list[DataFrame] = []
     if materialize_signatures:
         sig = sig.persist(StorageLevel.MEMORY_AND_DISK)
+        cached.append(sig)
     star = None
     if max_bucket_size is not None:
+        pre = sig
         sig, star = _collapse_identical(sig, id_col, "sig")
         if materialize_signatures:
+            # The pre-collapse cache exists only so the shingle fold runs
+            # ONCE while both derived frames (collapsed sig + star pairs)
+            # materialize; populate them eagerly, then release it so
+            # repeated calls don't accumulate superseded MEMORY_AND_DISK
+            # blocks in the session.
             sig = sig.persist(StorageLevel.MEMORY_AND_DISK)
+            star = star.persist(StorageLevel.MEMORY_AND_DISK)
+            sig.count()
+            star.count()
+            pre.unpersist(False)
+            cached = [sig, star]
         star = star.withColumn("est_jaccard", F.lit(1.0))
     def _agree(a, b):
         return (
@@ -357,7 +370,23 @@ def minhash_near_dup_pairs(
         pairs = pairs.filter(F.col("est_jaccard") >= jaccard_threshold)
     if star is not None:
         pairs = pairs.unionByName(star)
+    # Materialized mode: the returned (lazy) frame reads through these
+    # caches, so the operator cannot unpersist them itself — the caller
+    # owns their lifetime. Release with ``release_signature_caches(result)``
+    # after the terminal action (or rely on session teardown).
+    pairs._bds_cached = cached  # type: ignore[attr-defined]
     return pairs
+
+
+def release_signature_caches(df: DataFrame) -> int:
+    """Unpersist the signature frames a ``materialize_signatures=True``
+    call cached for ``df`` (propagated through ``minhash_dedup``); returns
+    the number of frames released. No-op for persist-free mode."""
+    n = 0
+    for frame in getattr(df, "_bds_cached", []):
+        frame.unpersist(False)
+        n += 1
+    return n
 
 
 def minhash_dedup(
@@ -384,7 +413,9 @@ def minhash_dedup(
     # no .distinct() on the loser keys: LEFT ANTI ignores build-side
     # duplicates, so the extra aggregation stage would only add a shuffle
     losers = pairs.select(F.col("id_b").alias(id_col))
-    return df.join(losers, id_col, "left_anti")
+    out = df.join(losers, id_col, "left_anti")
+    out._bds_cached = getattr(pairs, "_bds_cached", [])  # type: ignore[attr-defined]
+    return out
 
 
 def minhash_dedup_against(

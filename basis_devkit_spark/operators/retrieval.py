@@ -54,6 +54,9 @@ def bm25_topk(
     top-k is TakeOrderedAndProject."""
     if not terms:
         raise ValueError("terms must be non-empty")
+    # Documents are lowercased below, so match terms in the same space —
+    # a verbatim mixed-case term (e.g. "Spark") would silently score 0.
+    terms = [t.lower() for t in terms]
     toks = F.split(F.lower(F.coalesce(F.col(text_col), F.lit(""))), " ")
     base = docs.select(
         F.col(id_col).alias("doc_id"),

@@ -931,11 +931,28 @@ def quantize_codes(
             ).cast("int")
         ),
     )
+    # Fail fast on a mis-dimensioned frame: zip_with pads the shorter side
+    # with nulls, which would silently propagate null codes → null coarse
+    # scores instead of surfacing the error. assert_true rides inside the
+    # output expression so column pruning can't drop the check; null
+    # vectors pass through (null codes) as before.
+    dim_ok = F.col(vec_col).isNull() | (
+        F.size(F.col(vec_col)) == F.size(F.col("__mn"))
+    )
+    guard = F.assert_true(
+        dim_ok,
+        F.concat(
+            F.lit("quantize_codes: vector length "),
+            F.size(F.col(vec_col)).cast("string"),
+            F.lit(" != fitted dimension "),
+            F.size(F.col("__mn")).cast("string"),
+        ),
+    )
     ck = F.coalesce(F.size(F.col(vec_col)) * 0, F.lit(0))
     return (
         df.withColumn("__ck", ck)
         .join(F.broadcast(_packed_quantizer(quant)), "__ck")
-        .withColumn(out_col, code)
+        .withColumn(out_col, F.when(guard.isNull(), code))
         .drop("__ck", "__mn", "__span")
     )
 
@@ -1008,6 +1025,92 @@ def quantized_topk(
     # bounded by the broadcastable-queries contract — broadcast them into
     # the corpus join so the corpus float vectors never shuffle.
     rescored = cv.join(F.broadcast(cand.join(qv, "query_id")), "match_id")
+    score = cosine_similarity_col(F.col("__qv"), F.col("__cv"))
+    if score_round is not None:
+        score = F.round(score, score_round)
+    return _topk_by_query(
+        rescored.select("query_id", "match_id", score.alias("score")), k
+    )
+
+
+def ivf_quantized_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    k: int = 5,
+    nlist: int = 16,
+    nprobe: int = 4,
+    refine: int = 4,
+    bits: int = 8,
+    seed: int = 42,
+    max_train_rows: int = 100_000,
+    centroids: DataFrame | list[tuple[int, list[float]]] | None = None,
+    quant: DataFrame | None = None,
+    score_round: int | None = 4,
+) -> DataFrame:
+    """IVF × scalar-quantization composed ANN top-k — the production
+    layout OPERATORS_BENCH's d16 probe calls for: ``quantized_topk``'s
+    all-pairs coarse scan is replaced by the IVF cell equi-join, so the
+    coarse pass touches only the int8 codes of the ``nprobe`` probed
+    cells per query. ``(query_id, match_id, score, rank)``.
+
+    Phase 0 (layout): corpus rows are assigned to their max-cosine
+    centroid cell (``_assign_cells``) and scalar-quantized with the
+    corpus-fitted per-dim stats; the coarse-phase corpus relation carries
+    ONLY ``(match_id, cell, codes)`` — 1-byte-range ints, no floats.
+    Phase 1 (coarse): each query probes its ``nprobe`` top cells; the
+    bounded query side (ids + probed cells + query codes) BROADCASTS into
+    a cell equi-join against the code relation; candidates = top
+    ``k × refine`` per query by the exact-integer centered-code dot
+    (match_id tie-break, map-side two-phase top-k). Phase 2 (rescore):
+    float cosine on candidates only, rounded before the final rank.
+
+    Determinism: with explicit ``centroids`` the cell assignment is the
+    same deterministic projection ``ivf_topk`` oracles against; codes and
+    the integer dot are exactly modelable — so the full candidate set is
+    reproducible in numpy (pyoracle.ivf_quantized_candidates) and only
+    the float rescore needs the round-before-rank rule. Pass persisted
+    ``centroids`` + ``quant`` artifacts for the build-once/query-many
+    path (both are bounded: nlist rows / dim rows)."""
+    assigned, cents = _assign_cells(
+        corpus, vec_col, id_col, "match_id", nlist, seed, max_train_rows,
+        centroids,
+    )
+    if quant is None:
+        quant = fit_scalar_quantizer(corpus, vec_col)
+    center = 1 << (bits - 1)
+    # coarse corpus relation: (match_id, __cell, __cc) — codes only
+    cc = quantize_codes(
+        assigned.select("match_id", "__cell", F.col("__cv").alias(vec_col)),
+        quant, vec_col, "__cc", bits,
+    ).select("match_id", "__cell", "__cc")
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qv")
+    )
+    q_ranked = _with_cell_ranks(q, cents, F.col("__qv"), "__cr")
+    probes = F.slice(F.array_sort(F.col("__cr")), 1, nprobe)
+    q_cells = q_ranked.withColumn("__probe", F.explode(probes)).select(
+        "query_id", F.col("__probe.cell").alias("__cell")
+    )
+    qc = quantize_codes(
+        queries.select(F.col(id_col).alias("query_id"), vec_col),
+        quant, vec_col, "__qc", bits,
+    ).select("query_id", "__qc")
+    coarse = (
+        cc.join(F.broadcast(q_cells.join(qc, "query_id")), "__cell")
+        .filter(F.col("query_id") != F.col("match_id"))
+        .select(
+            "query_id",
+            "match_id",
+            _int_dot_centered(F.col("__qc"), F.col("__cc"), center)
+            .cast("double")
+            .alias("score"),
+        )
+    )
+    cand = _topk_by_query(coarse, k * refine).select("query_id", "match_id")
+    cv = corpus.select(F.col(id_col).alias("match_id"), F.col(vec_col).alias("__cv"))
+    rescored = cv.join(F.broadcast(cand.join(q, "query_id")), "match_id")
     score = cosine_similarity_col(F.col("__qv"), F.col("__cv"))
     if score_round is not None:
         score = F.round(score, score_round)

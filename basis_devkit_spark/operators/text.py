@@ -1112,12 +1112,19 @@ def bigram_lm_score(
     Determinism at scale — the integerize-before-reduce trick (the float
     analogue of d16's integer coarse dot): each bigram's log-prob is
     scaled by 1e9 and FLOORED TO A LONG before the per-doc sum, so the
-    distributed aggregation is exact integer arithmetic — associative,
-    bit-identical under any partitioning and any engine, AND map-side
+    distributed aggregation is exact integer arithmetic — associative and
+    bit-identical under any partitioning WITHIN an engine, AND map-side
     combinable (a fixed-order float fold would serialize per doc; an
-    unordered float sum would drift per run). The only float ops left are
-    one ln and one final division per row — oracle-matched by the
-    round-before-output rule.
+    unordered float sum would drift per run). CROSS-engine exactness is
+    strong but not absolute: the floor happens per-bigram before the
+    reduce, so it still relies on JVM ``Math.log`` and the oracle's ``ln``
+    agreeing at 1e-9 granularity (~1 ulp of ln ≈ 4e-6 scaled units →
+    per-distinct-value flip probability ~1e-5). A unit flip shifts the
+    per-doc mean by only 1/(n_bigrams·1e9), which the final
+    ``score_round`` absorbs unless the mean also sits within ~2e-11 of a
+    0.5e-6 rounding boundary — a ~3e-10/doc double-coincidence, accepted
+    rather than margin-gated because any gate's own keep/drop threshold
+    reintroduces the same boundary one level up.
 
     Scale shape: bigram/unigram count aggs are partial-combining hash
     aggs on the token keys; the count-attach joins co-partition with

@@ -92,17 +92,23 @@ def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
 # prior order. The FULL inventory is swept every round regardless
 # (tools/sweep_correctness.py exact-hash mode, artifact committed).
 _SAMPLE_PRIORITY = [
-    # -- r7 front block: the queries whose implementation changed this
-    # round (d11b new; d14 suspect-phase restructure; the six ANN/
-    # semantic queries now default to the broadcast-relation probe
-    # form; the d02 minhash family got the materialized/persist-free
-    # join-shape rework), MOVED here from their old positions — the
-    # list stays one entry per query (212+ unique names; it feeds an
-    # insertion-ordered dict, so a duplicate would be harmless but is
-    # kept out for clarity). r6 front block follows, then the prior
-    # risk ranking.
+    # -- r8 front block: d20 is NEW (composed IVF × int8 ANN); d19 was
+    # registered in r7 but omitted from this list, so the driver has
+    # never sampled it; d16 gained the dimension-mismatch assert_true
+    # guard, d17 the term-lowercasing fix, and the d02 minhash family
+    # the cache-lifetime rework (eager collapse materialization +
+    # pre-collapse unpersist) — all code the r7 sample predates.
+    "d20_ivf_quantized_topk",
+    "d19_bigram_lm_score",
     "d16_quantized_ann_topk",
     "d17_bm25_topk",
+    "d02b_minhash_dedup",
+    "d02e_duplicate_clusters",
+    "d02i_duplicate_cluster_stats",
+    # -- r7 front block (d11b new; d14 suspect-phase restructure; the
+    # ANN/semantic queries' broadcast-relation probe form; minhash
+    # join-shape rework). One entry per query — it feeds an
+    # insertion-ordered dict; duplicates are kept out for clarity.
     "d18_hybrid_rrf",
     "d11b_sequence_packing_tokcol",
     "d14_exact_substring_dedup",
@@ -112,10 +118,7 @@ _SAMPLE_PRIORITY = [
     "d03c_ivf_topk",
     "d03d_ivf_topk_kmeans",
     "d02g_semantic_dedup",
-    "d02b_minhash_dedup",
-    "d02e_duplicate_clusters",
     "d02h_incremental_minhash_dedup",
-    "d02i_duplicate_cluster_stats",
     "b20b_having",
     "b21b_multi_distinct",
     "b24b_median",

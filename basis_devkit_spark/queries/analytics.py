@@ -3481,15 +3481,42 @@ def d18(spark: SparkSession, sf: str) -> DataFrame:
     """,
     doc="corpus-fit bigram LM score per doc (perplexity-proxy quality "
     "filter, add-one smoothing, V and counts from this corpus): mean "
-    "ln((c(w1,w2)+1)/(c(w1)+V)) over the doc's bigrams. Exactly "
-    "deterministic at scale via integerize-before-reduce: each log-prob "
-    "is floored to a 1e-9-scaled LONG before the per-doc sum, so the "
-    "distributed aggregation is associative integer arithmetic (map-side "
-    "combinable, bit-identical under any partitioning/engine); DuckDB "
-    "recomputes the identical integer pipeline in pure SQL",
+    "ln((c(w1,w2)+1)/(c(w1)+V)) over the doc's bigrams. Deterministic at "
+    "scale via integerize-before-reduce: each log-prob is floored to a "
+    "1e-9-scaled LONG before the per-doc sum, so the distributed "
+    "aggregation is associative integer arithmetic (map-side combinable, "
+    "bit-identical under any partitioning within an engine); DuckDB "
+    "recomputes the identical integer pipeline in pure SQL — cross-engine "
+    "agreement additionally rides JVM/libm ln agreeing at 1e-9 "
+    "granularity, a ~3e-10/doc residual risk (see operator docstring)",
 )
 def d19(spark: SparkSession, sf: str) -> DataFrame:
     from basis_devkit_spark.operators.text import bigram_lm_score
 
     d = load(spark, sf, "documents")
     return bigram_lm_score(d).select("doc_id", "n_bigrams", "lm_score")
+
+
+@register(
+    "d20_ivf_quantized_topk",
+    pyoracle.ivf_quantized_sql,
+    doc="composed IVF × int8-scalar-quantized ANN top-5 (queries = vec_id "
+    "< 30, corpus = all, seed-vector cells nlist=8, nprobe=4) — the "
+    "production layout the d16 probe notes call for: the coarse pass is "
+    "a cell EQUI-join touching only the probed cells' 1-byte-range codes "
+    "(no all-pairs scan, no floats), candidates = top k*refine per query "
+    "by the exact-integer centered-code dot, float cosine rescore on "
+    "candidates only, 4dp round-before-rank. Candidate set exactly "
+    "modeled (pyoracle.ivf_quantized_candidates: the proven d03c cell "
+    "model composed with the proven d16 integer-code model); DuckDB does "
+    "the float rescore",
+)
+def d20(spark: SparkSession, sf: str) -> DataFrame:
+    from basis_devkit_spark.operators.similarity import ivf_quantized_topk
+
+    emb = load(spark, sf, "embeddings")
+    q = emb.filter(F.col("vec_id") < 30)
+    return ivf_quantized_topk(
+        q, emb, k=5, nlist=8, nprobe=4, refine=4,
+        centroids=_ivf_seed_centroids(emb, 8), score_round=4,
+    ).select("query_id", "match_id", "score", "rank")

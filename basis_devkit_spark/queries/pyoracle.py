@@ -798,3 +798,88 @@ def quantized_ann_sql(k: int = 5) -> str:
     select query_id, match_id, score, rank
     from ranked where rank <= {k}
     """
+
+
+@lru_cache(maxsize=2)
+def ivf_quantized_candidates(
+    sf_dir: str,
+    k: int = 5,
+    refine: int = 4,
+    query_max_id: int = 30,
+    nlist: int = 8,
+    nprobe: int = 4,
+    bits: int = 8,
+) -> tuple[tuple[int, int], ...]:
+    """(query_id, match_id) coarse candidates of the composed IVF ×
+    scalar-quantized ANN (d20): seed-vector centroids (vec_id < nlist as
+    double), every corpus vector assigned to its max-cosine cell (ties →
+    smallest cell), each query (vec_id < query_max_id) probes its
+    ``nprobe`` top cells, and WITHIN the probed cells the coarse ranking
+    is the exact-int64 centered-code dot (codes from the corpus-wide
+    per-dim [min,max] fit — the quantized_ann_candidates model), top
+    ``k × refine`` per query by (-dot, match_id), self excluded. The cell
+    step reuses the float model the d03c/d03h oracles proved; the code
+    step is exact integer — so the whole candidate set is reproducible."""
+    import numpy as np
+
+    ids, mat = _embeddings(sf_dir)
+    id2vec = {vid: [float(x) for x in mat[i]] for i, vid in enumerate(ids)}
+    cents = [(j, id2vec[j]) for j in range(nlist)]
+
+    def ranked_cells(vec) -> list[int]:
+        return [
+            c for _, c in sorted((-_seq_cosine(vec, cv), j) for j, cv in cents)
+        ]
+
+    levels = float((1 << bits) - 1)
+    center = 1 << (bits - 1)
+    mn = mat.min(axis=0).astype(np.float64)
+    span = mat.max(axis=0).astype(np.float64) - mn
+    d = mat.astype(np.float64) - mn
+    with np.errstate(divide="ignore", invalid="ignore"):
+        raw = np.floor(d / span * levels)
+    codes = np.where(span == 0.0, 0.0, np.clip(raw, 0.0, levels)).astype(np.int64)
+    cent = codes - center
+    idarr = np.array(ids, dtype=np.int64)
+    idx_of = {int(v): i for i, v in enumerate(idarr)}
+    cells: dict[int, list[int]] = {}
+    for vid in ids:
+        cells.setdefault(ranked_cells(id2vec[vid])[0], []).append(vid)
+    cands: list[tuple[int, int]] = []
+    for vid in ids:
+        if vid >= query_max_id:
+            continue
+        qrow = cent[idx_of[int(vid)]]
+        pool: list[int] = []
+        for c in ranked_cells(id2vec[vid])[:nprobe]:
+            pool.extend(int(m) for m in cells.get(c, ()) if int(m) != int(vid))
+        order = sorted(
+            (-int(qrow @ cent[idx_of[m]]), m) for m in pool
+        )[: k * refine]
+        cands.extend((int(vid), m) for _, m in order)
+    return tuple(sorted(cands))
+
+
+def ivf_quantized_sql(k: int = 5) -> str:
+    cands = ivf_quantized_candidates(oracle_sf_dir())
+    vals = ", ".join(f"({q}, {m})" for q, m in cands)
+    # Candidates from the composed cell+integer coarse model above;
+    # DuckDB performs only the float rescore, 4dp round-before-rank.
+    return f"""
+    with cand(query_id, match_id) as (values {vals}),
+    scored as (
+      select c.query_id::BIGINT as query_id, c.match_id::BIGINT as match_id,
+             round(list_cosine_similarity(
+               list_transform(q.embedding, x -> cast(x as double)),
+               list_transform(m.embedding, x -> cast(x as double))), 4) as score
+      from cand c
+      join embeddings q on q.vec_id = c.query_id
+      join embeddings m on m.vec_id = c.match_id
+    ), ranked as (
+      select query_id, match_id, score,
+             row_number() over (partition by query_id
+                                order by score desc, match_id) as rank
+      from scored)
+    select query_id, match_id, score, rank
+    from ranked where rank <= {k}
+    """

@@ -1129,24 +1129,65 @@ class TableStore:
             raise
         return True
 
-    def compact(self) -> int:
+    def compact(self, max_records_per_file: int = 4_000_000) -> int:
         """Rewrite the active version's lineage into one directory (file-
         count hygiene after many appends). Same data, new version.
 
         Also bin-packs small files: a partitioned store is shuffled by its
         partition columns first, so every incoming task holds whole
-        partition values and each ``p=.../`` dir lands as ONE file instead
-        of inheriting one-file-per-upstream-task from the lineage read
-        (36 appended micro-batches otherwise leave ~batches×cells small
-        files in the compacted dir — measured in tools/r7_probes.py). An
-        unpartitioned store keeps the plain rewrite: its file count equals
-        the scan's task count, already bounded by maxPartitionBytes."""
+        partition values and small files collapse instead of inheriting
+        one-file-per-upstream-task from the lineage read (36 appended
+        micro-batches otherwise leave ~batches×cells small files in the
+        compacted dir — measured in tools/r7_probes.py). Hot partitions do
+        NOT serialize through one task: a per-partition-value count (one
+        extra agg scan, acceptable for a maintenance op) assigns each
+        value ``ceil(rows / max_records_per_file)`` salt splits (capped at
+        1024), so a skewed value rewrites across a bounded number of
+        parallel tasks, and ``spark.sql.files.maxRecordsPerFile`` caps the
+        output file size on every path. An unpartitioned store keeps the
+        plain rewrite: its file count equals the scan's task count,
+        already bounded by maxPartitionBytes."""
         df = self.read()
         pcols = self._manifest.partition_by
         if pcols:
-            df = df.repartition(*[F.col(c) for c in pcols])
+            keys = [F.col(c) for c in pcols]
+            if max_records_per_file > 0:
+                splits = (
+                    df.groupBy(*keys)
+                    .agg(F.count(F.lit(1)).alias("__pn"))
+                    .select(
+                        *pcols,
+                        F.least(
+                            F.lit(1024),
+                            F.ceil(F.col("__pn") / F.lit(max_records_per_file)),
+                        )
+                        .cast("int")
+                        .alias("__nsplit"),
+                    )
+                )
+                df = (
+                    df.join(F.broadcast(splits), on=pcols, how="left")
+                    .withColumn(
+                        "__salt",
+                        F.pmod(
+                            F.xxhash64(F.monotonically_increasing_id()),
+                            F.coalesce(F.col("__nsplit"), F.lit(1)),
+                        ),
+                    )
+                    .repartition(*keys, F.col("__salt"))
+                    .drop("__nsplit", "__salt")
+                )
+            else:
+                df = df.repartition(*keys)
         n0 = self.record_count
-        v, n = self._commit_single_dir_version(df)
+        key = "spark.sql.files.maxRecordsPerFile"
+        prev = self.spark.conf.get(key, "0")
+        if max_records_per_file > 0:
+            self.spark.conf.set(key, str(max_records_per_file))
+        try:
+            v, n = self._commit_single_dir_version(df)
+        finally:
+            self.spark.conf.set(key, prev)
         self.set_active_version(v, record_count=n0 if n0 is not None else n)
         return v
 

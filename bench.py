@@ -489,79 +489,35 @@ def main() -> None:
     total = round(sum(timings.values()), 4)
     duck_total = round(sum(duck.values()), 4)
     ratio = lambda a, b: round(a / b, 3) if b > 0 else None  # noqa: E731
-    print(
-        json.dumps(
-            {
-                "metric": "headline query wall time (steady-state prepared plans, median of 9 interleaved)",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "fresh_queries": fresh,
-                "fresh_total": round(sum(fresh.values()), 4),
-                "compile_queries": compile_t,
-                "compile_total": round(sum(compile_t.values()), 4),
-                "duckdb_measured": duck,
-                "duckdb_measured_total": duck_total,
-                "ratio_measured": ratio(total, duck_total),
-                "ratio_measured_queries": {
-                    n: ratio(timings[n], duck[n]) for n in timings
-                },
-                "dlayer_queries": dlayer,
-                "dlayer_baselines_measured": duck_d,
-                "dlayer_ratio_measured": {
-                    n: ratio(dlayer[n], duck_d[n]) for n in dlayer
-                },
-                "dlayer_baselines_frozen": DLAYER_BASELINES_FROZEN_S,
-                "headline_baselines_frozen": HEADLINE_BASELINES_FROZEN_S,
-                "sf": SF_DIR,
-                "notes": (
-                    "duckdb_measured / dlayer_baselines_measured are LIVE "
-                    "DuckDB medians from THIS process, each reference run "
-                    "interleaved immediately after its Spark twin over the "
-                    "identical split parquet files with the same "
-                    "materialization shape — ratios (ratio_measured, "
-                    "dlayer_ratio_measured) therefore cancel machine load; "
-                    "the *_frozen constants are the 2026-08-13 one-off "
-                    "measurements kept only for historical context. "
-                    "value/queries = the four BASELINE.md SS3 queries "
-                    "(steady-state: tables bound once + prepared plans; every "
-                    "timed run does full scan+shuffle+agg+fetch, cache cleared "
-                    "per run). fresh_queries rebuilds the plan per run (adds "
-                    "~0.35-0.5s/query Catalyst compile, a fixed cost invariant "
-                    "in data size); compile_queries isolates that fixed term — "
-                    "plan build+analyze+optimize+physical-plan only, no "
-                    "execution (fresh ~= compile + codegen/job-setup + "
-                    "steady). Measured invariance: fresh_total is 1.22s at "
-                    "sf0.01 vs 1.25s at sf0.1 on this box — the fresh-vs-"
-                    "steady gap is a per-query CONSTANT (Catalyst compile + "
-                    "codegen + job setup), independent of data volume; at "
-                    "cluster scale it is noise, while steady tracks the "
-                    "data. The same invariance governs the STEADY "
-                    "per-query ratios at this toy SF: events_sess steady is "
-                    "27.6 ms at sf0.01 vs 35.7 ms at sf0.1 (measured "
-                    "2026-08-14) — a 10x data increase adds ~8 ms, i.e. "
-                    "Spark's wall here is ~25 ms of fixed job-dispatch "
-                    "constant plus a small data term, while DuckDB's "
-                    "single-process dispatch is ~0 — so a 3-4x "
-                    "ratio_measured on a sub-40ms query is the overhead "
-                    "floor showing through, not a plan defect; the data "
-                    "terms (what survives at 100x) are comparable. "
-                    "Inputs re-laid to multi-file parquet at "
-                    "setup (seed files are single-row-group -> single-task "
-                    "scans). dlayer_queries are the LLM-pipeline operator rows "
-                    "(own section: BASELINE.md has no row for them): "
-                    "ngram_top vs its measured DuckDB reference in "
-                    "dlayer_baselines (identical unnest+group+limit SQL, same "
-                    "parquet); minhash_dedup (no SQL equivalent; correctness "
-                    "via the pyoracle literal-table model) is rebuilt per "
-                    "timed run, plan compile included, because re-executing a "
-                    "persist-bearing compiled plan after a cache clear hits a "
-                    "re-materialization mode no real workload has. See "
-                    "OPERATORS_BENCH.md."
-                ),
-            }
-        )
+    line = json.dumps(
+        {
+            "metric": "headline query wall sec (steady, median of 9 interleaved)",
+            "value": total,
+            "unit": "sec",
+            "queries": timings,
+            "fresh_queries": fresh,
+            "fresh_total": round(sum(fresh.values()), 4),
+            "compile_total": round(sum(compile_t.values()), 4),
+            "duckdb_measured": duck,
+            "duckdb_measured_total": duck_total,
+            "ratio_measured": ratio(total, duck_total),
+            "ratio_measured_queries": {
+                n: ratio(timings[n], duck[n]) for n in timings
+            },
+            "dlayer_queries": dlayer,
+            "dlayer_baselines_measured": duck_d,
+            "dlayer_ratio_measured": {
+                n: ratio(dlayer[n], duck_d[n]) for n in dlayer
+            },
+            "sf": SF_DIR,
+            "notes": "DuckDB refs measured live, interleaved, same process/files; methodology + frozen 2026-08-13 constants: OPERATORS_BENCH.md 'Bench methodology'.",
+        }
     )
+    # The round driver parses this line out of the LAST ~2000 chars of
+    # stdout; a longer line loses its opening brace and parses as null
+    # (this is exactly what voided BENCH_r07). Hard-gate the length.
+    assert len(line) < 1600, f"bench JSON line too long ({len(line)} chars)"
+    print(line)
 
 
 if __name__ == "__main__":

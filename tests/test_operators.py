@@ -2578,3 +2578,143 @@ def test_quantized_topk_plan_shape(spark, emb):
     # never "BroadcastNestedLoopJoin ... Inner"
     bnlj = [ln for ln in plan.splitlines() if "BroadcastNestedLoopJoin" in ln]
     assert len(bnlj) == 1 and "Cross" in bnlj[0], bnlj
+
+
+# ---------------------------------------- composed IVF x quantized ANN (d20)
+
+
+def test_ivf_quantized_full_probe_equals_quantized_topk(spark, emb):
+    """With nprobe = nlist (every cell probed) the composed operator's
+    candidate pool per query is the whole corpus minus self — exactly
+    quantized_topk's pool under the same integer coarse ranking — so the
+    results must be byte-identical. This pins the cell plumbing: any
+    assignment/probe/join defect shows up as a diff."""
+    from pyspark.sql import functions as F
+
+    from basis_devkit_spark.operators.similarity import (
+        ivf_quantized_topk,
+        quantized_topk,
+    )
+
+    cents = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").cast("int").alias("cell"),
+        F.transform("embedding", lambda x: x.cast("double")).alias("center"),
+    )
+    q = emb.filter(F.col("vec_id") < 20)
+    key = lambda rows: sorted(
+        (r["query_id"], r["match_id"], r["score"], r["rank"]) for r in rows
+    )
+    composed = ivf_quantized_topk(
+        q, emb, k=5, nlist=8, nprobe=8, refine=4, centroids=cents,
+        score_round=4,
+    ).collect()
+    flat = quantized_topk(q, emb, k=5, refine=4, score_round=4).collect()
+    assert key(composed) == key(flat) and len(composed) == 20 * 5
+
+
+def test_ivf_quantized_topk_recall_and_artifacts(spark, emb):
+    """At nprobe < nlist the composed coarse pass still keeps high recall
+    vs exact brute force, and the build-once path (persisted centroids +
+    persisted quantizer) is byte-identical to the inline fit."""
+    from pyspark.sql import functions as F
+
+    from basis_devkit_spark.operators.similarity import (
+        brute_force_topk,
+        fit_scalar_quantizer,
+        ivf_quantized_topk,
+    )
+
+    cents = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").cast("int").alias("cell"),
+        F.transform("embedding", lambda x: x.cast("double")).alias("center"),
+    )
+    q = emb.filter(F.col("vec_id") < 20)
+    res = ivf_quantized_topk(
+        q, emb, k=5, nlist=8, nprobe=4, refine=4, centroids=cents
+    ).collect()
+    assert len(res) == 20 * 5
+    bf = {
+        (r["query_id"], r["match_id"])
+        for r in brute_force_topk(q, emb, k=5).collect()
+    }
+    got = {(r["query_id"], r["match_id"]) for r in res}
+    assert len(bf & got) / len(bf) >= 0.8
+    quant = fit_scalar_quantizer(emb)
+    key = lambda rows: sorted(
+        (r["query_id"], r["match_id"], r["score"], r["rank"]) for r in rows
+    )
+    assert key(res) == key(
+        ivf_quantized_topk(
+            q, emb, k=5, nlist=8, nprobe=4, refine=4, centroids=cents,
+            quant=quant,
+        ).collect()
+    )
+
+
+def test_ivf_quantized_topk_plan_shape(spark, emb):
+    """Scale gates for the composed layout: NO all-pairs join anywhere —
+    unlike quantized_topk there is no cross scan, so the plan must carry
+    zero nested-loop/cartesian joins; no Window (two-phase top-k only);
+    centroids and quantizer stats ride broadcast HASH joins."""
+    from pyspark.sql import functions as F
+
+    from basis_devkit_spark.operators.similarity import ivf_quantized_topk
+
+    cents = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").cast("int").alias("cell"),
+        F.transform("embedding", lambda x: x.cast("double")).alias("center"),
+    )
+    q = emb.filter(F.col("vec_id") < 20)
+    plan = (
+        ivf_quantized_topk(q, emb, k=5, nlist=8, nprobe=4, centroids=cents)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Window" not in plan
+    assert "BroadcastHashJoin" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_quantize_codes_dimension_mismatch_raises(spark, emb):
+    """A frame whose vectors don't match the fitted dimension must fail
+    fast (assert_true in the output expression), not silently null-pad;
+    null vectors still pass through as null codes."""
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from basis_devkit_spark.operators.similarity import (
+        fit_scalar_quantizer,
+        quantize_codes,
+    )
+
+    quant = fit_scalar_quantizer(emb)
+    bad = emb.withColumn("embedding", F.slice("embedding", 1, 3))
+    with _pytest.raises(Exception, match="quantize_codes"):
+        quantize_codes(bad, quant).collect()
+    nulled = emb.withColumn(
+        "embedding",
+        F.when(F.col("vec_id") == 0, F.lit(None)).otherwise(F.col("embedding")),
+    )
+    rows = {r["vec_id"]: r["codes"] for r in quantize_codes(nulled, quant).collect()}
+    assert rows[0] is None and rows[1] is not None
+
+
+def test_minhash_materialized_cache_release(spark, docs):
+    """Materialized-mode calls cache signature frames the returned plan
+    reads through; release_signature_caches frees them (2 when the
+    hot-bucket collapse is active: collapsed sig + star; 1 otherwise;
+    0 for frames that cached nothing)."""
+    from basis_devkit_spark.operators.dedup import (
+        minhash_dedup,
+        release_signature_caches,
+    )
+
+    out = minhash_dedup(
+        docs, "doc_id", "text", jaccard_threshold=0.6, max_bucket_size=16
+    )
+    out.count()
+    assert release_signature_caches(out) == 2
+    out2 = minhash_dedup(docs, "doc_id", "text", jaccard_threshold=0.6)
+    out2.count()
+    assert release_signature_caches(out2) == 1
+    assert release_signature_caches(docs) == 0

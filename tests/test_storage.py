@@ -1202,3 +1202,35 @@ def test_changes_between_preserves_dunder_named_columns(spark, tmp_path):
         ("delete", 2): "m2",
         ("insert", 3): "m3",
     }
+
+
+def test_compact_splits_hot_partition_and_caps_file_size(spark, tmp_path):
+    """compact() on a partitioned store must not serialize a hot
+    partition value through one task/one file: with max_records_per_file
+    set, the skewed value's rewrite lands as multiple bounded files while
+    small partitions still collapse to one."""
+    import glob
+
+    store = TableStore(str(tmp_path), "hot", spark)
+    store.configure(partition_by=["p"])
+    hot = spark.createDataFrame(
+        [(i, "hot") for i in range(1000)], "k int, p string"
+    )
+    cold = spark.createDataFrame([(i, "cold") for i in range(10)], "k int, p string")
+    store.write_replace(hot.unionByName(cold))
+    for j in range(3):  # fragment the store a bit
+        store.append(
+            spark.createDataFrame([(10_000 + j, "hot")], "k int, p string")
+        )
+    store.compact(max_records_per_file=100)
+    assert store.read().count() == 1013
+    vdir = store.version_path(store.get_active_version())
+    hot_files = glob.glob(os.path.join(vdir, "p=hot", "*.parquet"))
+    cold_files = glob.glob(os.path.join(vdir, "p=cold", "*.parquet"))
+    assert len(hot_files) >= 2, hot_files  # salted: parallel tasks, capped files
+    assert len(cold_files) == 1, cold_files  # small partition still bin-packs
+    # every hot file respects the record cap
+    import pyarrow.parquet as pq
+
+    for f in hot_files:
+        assert pq.ParquetFile(f).metadata.num_rows <= 100
