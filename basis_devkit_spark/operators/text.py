@@ -1171,3 +1171,101 @@ def bigram_lm_score(
             score_round,
         ).alias("lm_score"),
     )
+
+
+def lm_quality_buckets(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_buckets: int = 3,
+    score_round: int = 6,
+    bucket_scale: float = 1000.0,
+) -> DataFrame:
+    """CCNet-style perplexity bucketing: rank every document by its
+    corpus-fit LM score (:func:`bigram_lm_score`, best first, doc_id
+    tie-break) and split the ranking into ``n_buckets`` equal-count
+    buckets — ``(doc_id, n_bigrams, lm_score, bucket, label)`` with
+    bucket 0 = most fluent (CCNet labels head/middle/tail when
+    ``n_buckets == 3``). ``bucket = ((rank-1) * n_buckets) div N`` in
+    exact integer arithmetic.
+
+    Scale shape — NO single-reducer global window: the global rank is a
+    value-bucketed two-phase prefix (the ``exclusive_prefix_sum``
+    pattern adapted to a continuous key): rows coarse-bucket by
+    ``floor(-lm_score * bucket_scale)`` (monotone in the order key, so
+    per-bucket local ranks + an exclusive prefix over the BOUNDED bucket
+    list compose into the exact global rank); the within-bucket windows
+    run in parallel and the bucket-list window touches only
+    ``O(score_range × bucket_scale)`` rows. Ranks depend only on values
+    (never on partition assignment), so the result is deterministic under
+    any partitioning and equals the oracle's plain ``row_number()``."""
+    from pyspark.sql.window import Window
+
+    s = bigram_lm_score(df, id_col, text_col, score_round)
+    nrow = s.agg(F.count(F.lit(1)).cast("long").alias("__n"))
+    d = s.withColumn("__nk", -F.col("lm_score")).withColumn(
+        "__vb", F.floor(F.col("__nk") * F.lit(float(bucket_scale)))
+    )
+    bc = d.groupBy("__vb").agg(F.count(F.lit(1)).alias("__bn"))
+    wb = Window.orderBy("__vb").rowsBetween(Window.unboundedPreceding, -1)
+    boff = bc.withColumn(
+        "__boff", F.coalesce(F.sum("__bn").over(wb), F.lit(0))
+    ).select("__vb", "__boff")
+    wl = Window.partitionBy("__vb").orderBy("__nk", "doc_id")
+    ranked = (
+        d.join(F.broadcast(boff), "__vb")
+        .withColumn("__rnk", F.row_number().over(wl) + F.col("__boff"))
+        .crossJoin(F.broadcast(nrow))
+    )
+    bucket = F.expr(f"((__rnk - 1) * {int(n_buckets)}) div __n")
+    if n_buckets == 3:
+        label = (
+            F.when(bucket == 0, F.lit("head"))
+            .when(bucket == 1, F.lit("middle"))
+            .otherwise(F.lit("tail"))
+        )
+    else:
+        label = bucket.cast("string")
+    return ranked.select(
+        "doc_id",
+        "n_bigrams",
+        "lm_score",
+        bucket.cast("int").alias("bucket"),
+        label.alias("label"),
+    )
+
+
+def source_mixture_weights(
+    df: DataFrame,
+    source_col: str = "source",
+    alpha: float = 0.7,
+    weight_round: int = 6,
+) -> DataFrame:
+    """Temperature-scaled mixture reweighting per source (the multinomial
+    up/down-sampling scheme of XLM-R / mT5 data mixing): ``(source,
+    n_docs, share, rel_weight)`` where ``share = n_s / N`` and
+    ``rel_weight = (n_s / n_max)^alpha`` — the sampling weight RELATIVE
+    to the largest source. ``alpha < 1`` flattens the mixture (upweights
+    small sources). The relative form is deliberate: it needs only exact
+    integer counts, one division of exact rationals and one ``pow`` per
+    source — no float SUM across sources, whose reduction order would be
+    engine/partitioning-dependent; the caller normalizes ``q_s = rel_s /
+    Σ rel`` driver-side over the bounded source list if true
+    probabilities are needed. One hash agg + a one-row broadcast: flat
+    at any corpus size."""
+    counts = df.groupBy(F.col(source_col).alias("source")).agg(
+        F.count(F.lit(1)).alias("n_docs")
+    )
+    tot = counts.agg(
+        F.sum("n_docs").cast("long").alias("__N"),
+        F.max("n_docs").cast("long").alias("__M"),
+    )
+    return counts.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "n_docs",
+        F.round(F.col("n_docs") / F.col("__N"), weight_round).alias("share"),
+        F.round(
+            F.pow(F.col("n_docs") / F.col("__M"), F.lit(float(alpha))),
+            weight_round,
+        ).alias("rel_weight"),
+    )

@@ -3448,10 +3448,11 @@ def d18(spark: SparkSession, sf: str) -> DataFrame:
     return rrf_fuse([lex, ann], k=10).select("doc_id", "score", "rank")
 
 
-@register(
-    "d19_bigram_lm_score",
-    """
-    with toks as (
+# Shared DuckDB CTE body for the bigram-LM pipeline (d19 scores it,
+# d21 buckets the resulting ranking) — ends at `lm(doc_id, n_bigrams,
+# lm_score)`.
+_BIGRAM_LM_CTES = """
+    toks as (
       select doc_id, string_split(lower(coalesce(text, '')), ' ') as ws
       from documents
     ),
@@ -3474,10 +3475,20 @@ def d18(spark: SparkSession, sf: str) -> DataFrame:
     agg as (
       select doc_id, cast(count(*) as bigint) as n_bigrams,
              sum(lp) as slp
-      from scored group by 1)
-    select doc_id, n_bigrams,
-           round(cast(slp as double) / n_bigrams / 1000000000.0, 6) as lm_score
-    from agg
+      from scored group by 1),
+    lm as (
+      select doc_id, n_bigrams,
+             round(cast(slp as double) / n_bigrams / 1000000000.0, 6)
+               as lm_score
+      from agg)
+"""
+
+
+@register(
+    "d19_bigram_lm_score",
+    f"""
+    with {_BIGRAM_LM_CTES}
+    select doc_id, n_bigrams, lm_score from lm
     """,
     doc="corpus-fit bigram LM score per doc (perplexity-proxy quality "
     "filter, add-one smoothing, V and counts from this corpus): mean "
@@ -3520,3 +3531,69 @@ def d20(spark: SparkSession, sf: str) -> DataFrame:
         q, emb, k=5, nlist=8, nprobe=4, refine=4,
         centroids=_ivf_seed_centroids(emb, 8), score_round=4,
     ).select("query_id", "match_id", "score", "rank")
+
+
+@register(
+    "d21_lm_quality_buckets",
+    f"""
+    with {_BIGRAM_LM_CTES},
+    ranked as (
+      select doc_id, n_bigrams, lm_score,
+             row_number() over (order by lm_score desc, doc_id) as rnk,
+             count(*) over () as n
+      from lm)
+    select doc_id, n_bigrams, lm_score,
+           cast(((rnk - 1) * 3) // n as int) as bucket,
+           case ((rnk - 1) * 3) // n
+             when 0 then 'head' when 1 then 'middle' else 'tail'
+           end as label
+    from ranked
+    """,
+    doc="CCNet-style perplexity bucketing (head/middle/tail thirds of the "
+    "corpus-fit bigram-LM ranking, best first, doc_id tie-break; bucket = "
+    "((rank-1)*3) div N in exact integer arithmetic). The Spark side "
+    "computes the global rank WITHOUT a single-reducer window — "
+    "value-bucketed two-phase prefix (per-bucket parallel windows + an "
+    "exclusive prefix over the bounded bucket list), deterministic under "
+    "any partitioning; the oracle's plain row_number() must agree exactly",
+)
+def d21(spark: SparkSession, sf: str) -> DataFrame:
+    from basis_devkit_spark.operators.text import lm_quality_buckets
+
+    d = load(spark, sf, "documents")
+    return lm_quality_buckets(d).select(
+        "doc_id", "n_bigrams", "lm_score", "bucket", "label"
+    )
+
+
+@register(
+    "d22_source_mixture_weights",
+    """
+    with c as (
+      select source, cast(count(*) as bigint) as n_docs
+      from documents group by 1
+    ),
+    t as (
+      select cast(sum(n_docs) as bigint) as N,
+             cast(max(n_docs) as bigint) as M
+      from c
+    )
+    select source, n_docs,
+           round(n_docs / N, 6) as share,
+           round(pow(n_docs / M, 0.7), 6) as rel_weight
+    from c cross join t
+    """,
+    doc="temperature-scaled mixture reweighting per source (XLM-R/mT5 "
+    "multinomial data-mixing, alpha=0.7): share = n_s/N, rel_weight = "
+    "(n_s/n_max)^alpha relative to the largest source — exact integer "
+    "counts, one rational division + one pow per source (no float sum "
+    "across sources whose reduction order could drift), 6dp-rounded. One "
+    "hash agg + a one-row broadcast: flat at any corpus size",
+)
+def d22(spark: SparkSession, sf: str) -> DataFrame:
+    from basis_devkit_spark.operators.text import source_mixture_weights
+
+    d = load(spark, sf, "documents")
+    return source_mixture_weights(d, alpha=0.7).select(
+        "source", "n_docs", "share", "rel_weight"
+    )

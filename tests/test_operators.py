@@ -2718,3 +2718,89 @@ def test_minhash_materialized_cache_release(spark, docs):
     out2.count()
     assert release_signature_caches(out2) == 1
     assert release_signature_caches(docs) == 0
+
+
+# ------------------------------------ perplexity buckets & mixture weights
+
+
+def test_lm_quality_buckets_matches_naive_window(spark, docs):
+    """The value-bucketed two-phase rank must equal the naive global
+    row_number() bucketing exactly, buckets must be equal-count (±1),
+    and the result must be invariant under input repartitioning."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    from basis_devkit_spark.operators.text import (
+        bigram_lm_score,
+        lm_quality_buckets,
+    )
+
+    got = lm_quality_buckets(docs).collect()
+    s = bigram_lm_score(docs)
+    n = s.count()
+    naive = {
+        r["doc_id"]: ((r["rnk"] - 1) * 3) // n
+        for r in s.withColumn(
+            "rnk",
+            F.row_number().over(
+                Window.orderBy(F.desc("lm_score"), "doc_id")
+            ),
+        ).collect()
+    }
+    assert len(got) == n > 0
+    for r in got:
+        assert r["bucket"] == naive[r["doc_id"]], r
+        assert r["label"] == ["head", "middle", "tail"][r["bucket"]]
+    from collections import Counter
+
+    counts = Counter(r["bucket"] for r in got)
+    assert max(counts.values()) - min(counts.values()) <= 1
+    again = lm_quality_buckets(docs.repartition(7)).collect()
+    key = lambda rows: sorted((r["doc_id"], r["bucket"]) for r in rows)
+    assert key(again) == key(got)
+
+
+def test_lm_quality_buckets_no_global_window(spark, docs):
+    """Every Window in the plan must be partitioned (parallel); the only
+    unpartitioned window allowed is the exclusive prefix over the BOUNDED
+    value-bucket list, whose input is an aggregate of ≤ score_range ×
+    bucket_scale rows, never the corpus."""
+    from basis_devkit_spark.operators.text import lm_quality_buckets
+
+    plan = (
+        lm_quality_buckets(docs)
+        ._jdf.queryExecution().optimizedPlan().toString()
+    )
+    import re
+
+    # optimized plan prints windows as Window [...], [part spec], [order]
+    wins = re.findall(r"Window \[[^\]]*\](?:, \[([^\]]*)\])?", plan)
+    # the corpus-rank window partitions by __vb; the bucket-prefix window
+    # is global but windows over the tiny __vb aggregate — identified by
+    # its frame input being the grouped bucket count column __bn
+    global_wins = [w for w in wins if "__vb" not in (w or "")]
+    for w in global_wins:
+        assert "__bn" in (w or "") or "__boff" in (w or ""), (w, plan)
+
+
+def test_source_mixture_weights_hand_model(spark):
+    """Exact hand-computed weights on a tiny skewed corpus, plus the
+    flattening property: alpha < 1 raises small sources' relative weight."""
+    from basis_devkit_spark.operators.text import source_mixture_weights
+
+    rows = (
+        [("a", i) for i in range(80)]
+        + [("b", i) for i in range(16)]
+        + [("c", i) for i in range(4)]
+    )
+    df = spark.createDataFrame(rows, "source string, k int")
+    got = {
+        r["source"]: r for r in source_mixture_weights(df, alpha=0.5).collect()
+    }
+    assert got["a"]["n_docs"] == 80 and got["a"]["rel_weight"] == 1.0
+    assert got["b"]["share"] == 0.16
+    assert got["b"]["rel_weight"] == round((16 / 80) ** 0.5, 6)
+    assert got["c"]["rel_weight"] == round((4 / 80) ** 0.5, 6)
+    # flattening: with alpha=1 rel equals the raw ratio; alpha=0.5 is above
+    raw_c = 4 / 80
+    assert got["c"]["rel_weight"] > raw_c
