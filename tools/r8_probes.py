@@ -1,0 +1,147 @@
+#!/usr/bin/env python
+"""Round-8 scale probes (results → OPERATORS_BENCH.md).
+
+1. composed_ann — d20 (ivf_quantized_topk) vs the flat all-pairs
+   quantized_topk (d16) at sf0.1: wall time AND coarse-candidate row
+   counts (the number of (query, corpus) pairs the integer dot ever
+   touches). The composed layout's claim is that the coarse pass scans
+   |probed cells| instead of |corpus| per query — the count is the
+   100 TB argument, the wall is the local confirmation.
+
+2. lm_buckets_scale — d21's value-bucketed two-phase global rank at
+   sf0.01 vs sf0.1 (10× docs): wall should scale ~linearly (hash aggs +
+   parallel bucket windows), never like a single-reducer sort, and the
+   bucket-list prefix input stays bounded (distinct value-buckets).
+
+Usage: python tools/r8_probes.py [composed_ann|lm_buckets]
+"""
+from __future__ import annotations
+
+import json
+import os
+import statistics
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F
+
+from basis_devkit_spark.queries import load
+from basis_devkit_spark.session import get_spark
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def _med(fn, n=5):
+    xs = []
+    for _ in range(n):
+        t0 = time.perf_counter()
+        fn()
+        xs.append(time.perf_counter() - t0)
+    return round(statistics.median(xs), 3)
+
+
+def probe_composed_ann(spark) -> dict:
+    from basis_devkit_spark.operators.similarity import (
+        _assign_cells,
+        _with_cell_ranks,
+        fit_scalar_quantizer,
+        ivf_quantized_topk,
+        quantized_topk,
+    )
+
+    emb = load(spark, SF_DIR, "embeddings")
+    n_corpus = emb.count()
+    cents_df = emb.filter(F.col("vec_id") < 16).select(
+        F.col("vec_id").cast("int").alias("cell"),
+        F.transform("embedding", lambda x: x.cast("double")).alias("center"),
+    )
+    q = emb.filter(F.col("vec_id") < 100)
+    quant = fit_scalar_quantizer(emb)
+
+    flat = lambda: quantized_topk(q, emb, k=5, refine=4, quant=quant).count()
+    composed = lambda: ivf_quantized_topk(
+        q, emb, k=5, nlist=16, nprobe=4, refine=4, centroids=cents_df,
+        quant=quant,
+    ).count()
+    flat_s = _med(flat)
+    composed_s = _med(composed)
+
+    # coarse-candidate pair counts: flat = |q| * (|corpus| - 1); composed =
+    # sum over queries of |probed cells' members| (minus self) — recompute
+    # the cell sizes the operator's equi-join produces.
+    assigned, cents = _assign_cells(
+        emb, "embedding", "vec_id", "match_id", 16, 42, 100_000, cents_df
+    )
+    cell_sizes = {
+        r["__cell"]: r["n"]
+        for r in assigned.groupBy("__cell").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    qr = _with_cell_ranks(
+        q.select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("__qv")),
+        cents, F.col("__qv"), "__cr",
+    )
+    probes = qr.select(
+        "query_id",
+        F.slice(F.array_sort(F.col("__cr")), 1, 4).alias("__p"),
+    ).collect()
+    composed_pairs = sum(
+        sum(cell_sizes.get(s["cell"], 0) for s in r["__p"]) for r in probes
+    )
+    n_q = len(probes)
+    flat_pairs = n_q * (n_corpus - 1)
+    # recall-vs-cost dial: composed top-5 vs the flat quantized reference
+    b = {
+        (r["query_id"], r["match_id"])
+        for r in quantized_topk(q, emb, k=5, refine=4, quant=quant).collect()
+    }
+    recall = {}
+    for nprobe in (4, 8, 12):
+        a = {
+            (r["query_id"], r["match_id"])
+            for r in ivf_quantized_topk(
+                q, emb, k=5, nlist=16, nprobe=nprobe, refine=4,
+                centroids=cents_df, quant=quant,
+            ).collect()
+        }
+        recall[f"nprobe{nprobe}"] = round(len(a & b) / len(b), 3)
+    return {
+        "sf": SF_DIR,
+        "n_corpus": n_corpus,
+        "n_queries": n_q,
+        "flat_s": flat_s,
+        "composed_s": composed_s,
+        "flat_coarse_pairs": flat_pairs,
+        "composed_coarse_pairs": composed_pairs,
+        "pair_reduction_x": round(flat_pairs / max(1, composed_pairs), 2),
+        "recall_vs_flat": recall,
+    }
+
+
+def probe_lm_buckets(spark) -> dict:
+    from basis_devkit_spark.operators.text import lm_quality_buckets
+
+    out = {}
+    for sf in ("/root/testdata/sf0.01", "/root/testdata/sf0.1"):
+        docs = load(spark, sf, "documents")
+        n = docs.count()
+        wall = _med(lambda: lm_quality_buckets(docs).count(), n=3)
+        nb = (
+            lm_quality_buckets(docs)
+            .select(F.countDistinct(F.floor(-F.col("lm_score") * 1000.0)))
+            .collect()[0][0]
+        )
+        out[sf] = {"docs": n, "wall_s": wall, "distinct_value_buckets": nb}
+    return out
+
+
+if __name__ == "__main__":
+    which = sys.argv[1] if len(sys.argv) > 1 else "composed_ann"
+    spark = get_spark()
+    if which == "composed_ann":
+        print(json.dumps(probe_composed_ann(spark)))
+    elif which == "lm_buckets":
+        print(json.dumps(probe_lm_buckets(spark)))
+    else:
+        raise SystemExit(f"unknown probe {which}")
