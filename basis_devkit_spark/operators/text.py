@@ -1235,6 +1235,40 @@ def lm_quality_buckets(
     )
 
 
+def quality_pipeline(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    lang: str = "en",
+    stopwords: list[str] | None = None,
+    n_buckets: int = 3,
+) -> DataFrame:
+    """FineWeb/CCNet-style end-to-end corpus curation in ONE composed
+    plan: language-ID filter → Gopher quality rules → exact dedup on
+    normalized text (keep the smallest id per canonical form) →
+    corpus-fit LM perplexity buckets over the SURVIVORS. Returns the d21
+    shape ``(doc_id, n_bigrams, lm_score, bucket, label)`` — note the LM
+    is fit on the FILTERED corpus, so bucket boundaries reflect what
+    survives curation, exactly as a real pretraining pipeline refits its
+    quality model post-filter.
+
+    Every stage is an existing proven operator: the filters are
+    shuffle-free projections that fuse into the scan, the dedup is one
+    hash-partitioned window on the normalized text, the bucket rank is
+    the value-bucketed two-phase prefix — nothing here adds a shuffle a
+    100 TB corpus can't pay."""
+    from basis_devkit_spark.operators.dedup import exact_dedup
+
+    d1 = language_id(df, text_col).filter(F.col("lang_pred") == lang)
+    d2 = gopher_rules(d1, text_col, stopwords=stopwords).filter(
+        F.col("passes_gopher")
+    )
+    d3 = normalize_text(d2, text_col)
+    d4 = exact_dedup(d3, ["norm_text"], order_by=id_col, keep="first")
+    survivors = d4.select(F.col(id_col), F.col(text_col))
+    return lm_quality_buckets(survivors, id_col, text_col, n_buckets)
+
+
 def source_mixture_weights(
     df: DataFrame,
     source_col: str = "source",

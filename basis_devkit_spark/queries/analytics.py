@@ -3448,13 +3448,15 @@ def d18(spark: SparkSession, sf: str) -> DataFrame:
     return rrf_fuse([lex, ann], k=10).select("doc_id", "score", "rank")
 
 
-# Shared DuckDB CTE body for the bigram-LM pipeline (d19 scores it,
-# d21 buckets the resulting ranking) — ends at `lm(doc_id, n_bigrams,
-# lm_score)`.
-_BIGRAM_LM_CTES = """
+# Shared DuckDB CTE body for the bigram-LM pipeline (d19 scores it, d21
+# buckets the resulting ranking, d23 runs it over the curated survivors)
+# — ends at `lm(doc_id, n_bigrams, lm_score)`; `src` is the relation the
+# LM is fit on.
+def _bigram_lm_ctes(src: str = "documents") -> str:
+    return f"""
     toks as (
       select doc_id, string_split(lower(coalesce(text, '')), ' ') as ws
-      from documents
+      from {src}
     ),
     big as (
       select doc_id, ws[i] as w1, ws[i + 1] as w2
@@ -3482,6 +3484,9 @@ _BIGRAM_LM_CTES = """
                as lm_score
       from agg)
 """
+
+
+_BIGRAM_LM_CTES = _bigram_lm_ctes()
 
 
 @register(
@@ -3596,4 +3601,98 @@ def d22(spark: SparkSession, sf: str) -> DataFrame:
     d = load(spark, sf, "documents")
     return source_mixture_weights(d, alpha=0.7).select(
         "source", "n_docs", "share", "rel_weight"
+    )
+
+
+@register(
+    "d23_quality_pipeline",
+    f"""
+    with lw as (
+      select doc_id, text, string_split(lower(trim(text)), ' ') as ws
+      from documents
+    ),
+    ls as (select doc_id, text,
+      len(list_intersect(ws, {_LANG_ARR['en']})) as s_en,
+      len(list_intersect(ws, {_LANG_ARR['de']})) as s_de,
+      len(list_intersect(ws, {_LANG_ARR['fr']})) as s_fr,
+      len(list_intersect(ws, {_LANG_ARR['es']})) as s_es,
+      len(list_intersect(ws, {_LANG_ARR['zh']})) as s_zh
+    from lw),
+    en as (
+      select doc_id, text from ls
+      where greatest(s_en, s_de, s_fr, s_es, s_zh) > 0
+        and s_en >= s_de and s_en >= s_fr and s_en >= s_es and s_en >= s_zh
+    ),
+    gw as (
+      select doc_id, text,
+             regexp_split_to_array(trim(text), '\\s+') as words,
+             string_split(text, chr(10)) as lines,
+             length(text) - length(regexp_replace(text, '#', '', 'g')) as n_hash,
+             (length(text) - length(regexp_replace(text, '\\.\\.\\.', '', 'g'))) / 3.0
+               as n_ellipsis
+      from en
+    ), gs as (
+      select doc_id, text, words,
+             greatest(len(words), 1) as nw,
+             greatest(len(lines), 1) as nl,
+             n_hash, n_ellipsis,
+             list_sum(list_transform(words, x -> length(x))) as word_chars,
+             len(list_filter(words, x -> regexp_matches(x, '[A-Za-z]'))) as n_alpha,
+             len(list_filter(lines,
+                 x -> starts_with(x, '- ') or starts_with(x, '* ')
+                      or starts_with(x, '•'))) as n_bullet,
+             len(list_filter(lines, x -> x like '%...')) as n_ell_lines,
+             (cast(list_contains(list_transform(words, x -> lower(x)), 'the') as int)
+              + cast(list_contains(list_transform(words, x -> lower(x)), 'a') as int))
+               as stop_count
+      from gw
+    ), gpass as (
+      select doc_id, text
+      from gs
+      where len(words) between 50 and 100000
+        and floor(word_chars / nw * 1000000.0 + 0.5) / 1000000.0 between 3.0 and 10.0
+        and (n_hash + n_ellipsis) / nw <= 0.1
+        and n_bullet / cast(nl as double) <= 0.9
+        and n_ell_lines / cast(nl as double) <= 0.3
+        and n_alpha / cast(nw as double) >= 0.8
+        and stop_count >= 2
+    ),
+    nrm as (
+      select doc_id, text,
+             trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\\s]', ' ', 'g'),
+                                 '\\s+', ' ', 'g')) as norm_text
+      from gpass
+    ),
+    ded as (
+      select doc_id, text from nrm
+      qualify row_number() over (partition by norm_text order by doc_id) = 1
+    ),
+    {_bigram_lm_ctes("ded")},
+    ranked as (
+      select doc_id, n_bigrams, lm_score,
+             row_number() over (order by lm_score desc, doc_id) as rnk,
+             count(*) over () as n
+      from lm)
+    select doc_id, n_bigrams, lm_score,
+           cast(((rnk - 1) * 3) // n as int) as bucket,
+           case ((rnk - 1) * 3) // n
+             when 0 then 'head' when 1 then 'middle' else 'tail'
+           end as label
+    from ranked
+    """,
+    doc="FineWeb/CCNet-style end-to-end curation pipeline in ONE composed "
+    "plan: language-ID filter ('en' argmax, d04b's model) → Gopher rules "
+    "(d04t's repertoire, corpus stopword list) → exact dedup on d04p's "
+    "canonical normalization (keep smallest doc_id) → perplexity buckets "
+    "(d21) with the bigram LM REFIT on the curated survivors. The oracle "
+    "chains the same proven SQL fragments over the same filter "
+    "boundaries — end-to-end exact-hash, demonstrating operator "
+    "composition, not just isolated correctness",
+)
+def d23(spark: SparkSession, sf: str) -> DataFrame:
+    from basis_devkit_spark.operators.text import quality_pipeline
+
+    d = load(spark, sf, "documents").select("doc_id", "text")
+    return quality_pipeline(d, stopwords=["the", "a"]).select(
+        "doc_id", "n_bigrams", "lm_score", "bucket", "label"
     )
