@@ -1079,12 +1079,88 @@ def ivf_quantized_topk(
     )
     if quant is None:
         quant = fit_scalar_quantizer(corpus, vec_col)
-    center = 1 << (bits - 1)
-    # coarse corpus relation: (match_id, __cell, __cc) — codes only
-    cc = quantize_codes(
+    # coarse corpus relation: (match_id, cell, codes) — codes only
+    cells = quantize_codes(
         assigned.select("match_id", "__cell", F.col("__cv").alias(vec_col)),
-        quant, vec_col, "__cc", bits,
-    ).select("match_id", "__cell", "__cc")
+        quant, vec_col, "codes", bits,
+    ).select(
+        F.col("match_id").alias(id_col),
+        F.col("__cell").alias("cell"),
+        "codes",
+    )
+    return ivf_quantized_topk_indexed(
+        queries, cells, corpus, cents, quant,
+        vec_col=vec_col, id_col=id_col, k=k, nprobe=nprobe, refine=refine,
+        bits=bits, score_round=score_round,
+    )
+
+
+def quantized_cells_assign(
+    df: DataFrame,
+    centroids: DataFrame | list[tuple[int, list[float]]],
+    quant: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    bits: int = 8,
+) -> DataFrame:
+    """Ingest-side projection for the composed IVF × quantized index:
+    ``(id, cell, codes)`` for each incoming vector against a FIXED
+    quantizer (explicit centroids + persisted per-dim stats). Pure
+    per-row work — a broadcast-relation argmax for the cell and the
+    stats-relation floor projection for the codes — so it runs
+    identically over a static frame or a STREAMING micro-batch (the
+    crawl-feed ingest shape, c15): incremental assignment arithmetic is
+    byte-identical to a full rebuild."""
+    if isinstance(centroids, DataFrame):
+        cents = [
+            (int(r["cell"]), [float(x) for x in r["center"]])
+            for r in centroids.collect()
+        ]
+    else:
+        cents = [(int(j), [float(x) for x in c]) for j, c in centroids]
+    base = df.select(F.col(id_col), F.col(vec_col).alias("__cv"))
+    assigned = _with_cell_ranks(
+        base, cents, F.col("__cv"), "__cr"
+    ).withColumn("cell", F.array_min("__cr").getField("cell")).drop("__cr")
+    return quantize_codes(
+        assigned.select(id_col, "cell", F.col("__cv").alias(vec_col)),
+        quant, vec_col, "codes", bits,
+    ).select(id_col, "cell", "codes")
+
+
+def ivf_quantized_topk_indexed(
+    queries: DataFrame,
+    cells: DataFrame,
+    corpus: DataFrame,
+    centroids: DataFrame | list[tuple[int, list[float]]],
+    quant: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    k: int = 5,
+    nprobe: int = 4,
+    refine: int = 4,
+    bits: int = 8,
+    score_round: int | None = 4,
+) -> DataFrame:
+    """Query side of the composed IVF × quantized ANN against a PREBUILT
+    ``(id, cell, codes)`` relation (from :func:`quantized_cells_assign` /
+    the tail of :func:`ivf_quantized_topk`, possibly persisted in a
+    managed store and maintained by streaming upserts — c15). ``corpus``
+    supplies the float vectors for the rescore join only; the coarse
+    pass never touches it."""
+    if isinstance(centroids, DataFrame):
+        cents = [
+            (int(r["cell"]), [float(x) for x in r["center"]])
+            for r in centroids.collect()
+        ]
+    else:
+        cents = [(int(j), [float(x) for x in c]) for j, c in centroids]
+    center = 1 << (bits - 1)
+    cc = cells.select(
+        F.col(id_col).alias("match_id"),
+        F.col("cell").alias("__cell"),
+        F.col("codes").alias("__cc"),
+    )
     q = queries.select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qv")
     )

@@ -3270,6 +3270,68 @@ def c14(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @register(
+    "c15_stream_quantized_index_ingest",
+    pyoracle.ivf_quantized_sql,
+    doc="streaming maintenance of the composed IVF × int8 index (the "
+    "crawl-feed ingest shape for d20): the corpus arrives as TWO "
+    "micro-batches (maxFilesPerTrigger=1); each batch flows through "
+    "quantized_cells_assign — cell argmax + code floor against the FIXED "
+    "persisted artifacts (centroids + per-dim stats), pure per-row "
+    "projections, no fit, no shuffle — into an exactly-once UPSERT cells "
+    "store. Incremental assignment arithmetic is byte-identical to a "
+    "full build, so querying the streamed index must equal the one-shot "
+    "d20 oracle exactly",
+)
+def c15(spark: SparkSession, sf: str) -> DataFrame:
+    import glob as _glob
+    import os as _os
+    import shutil as _shutil
+    import tempfile as _tf
+
+    from basis_devkit_spark.operators.similarity import (
+        fit_scalar_quantizer,
+        ivf_quantized_topk_indexed,
+        quantized_cells_assign,
+    )
+    from basis_devkit_spark.storage.store import TableStore
+    from basis_devkit_spark.streaming.ops import stream_upsert_to_store
+
+    emb = load(spark, sf, "embeddings")
+    q_side = emb.filter(F.col("vec_id") < 30)
+    cents = _ivf_seed_centroids(emb, 8)
+    quant = fit_scalar_quantizer(emb)
+
+    tmp = _tf.mkdtemp(prefix="bds_c15_")
+    drop = _os.path.join(tmp, "drop")
+    _os.makedirs(drop, exist_ok=True)
+    # the corpus arrives as two single-file batches (even ids, odd ids)
+    for tag, mod in (("a", 0), ("b", 1)):
+        part_dir = _os.path.join(tmp, f"part_{tag}")
+        emb.filter(F.col("vec_id") % 2 == mod).coalesce(1).write.parquet(part_dir)
+        src = _glob.glob(_os.path.join(part_dir, "part-*.parquet"))[0]
+        _shutil.copy(src, _os.path.join(drop, f"{tag}.parquet"))
+    raw_schema = spark.read.parquet(_os.path.join(drop, "a.parquet")).schema
+
+    stream = (
+        spark.readStream.schema(raw_schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(drop)
+    )
+    assigned = quantized_cells_assign(stream, cents, quant)
+    store = TableStore(tmp, "quant_cells", spark)
+    store.configure(unique_on="vec_id")
+    q = stream_upsert_to_store(assigned, store, f"{tmp}/_ckpt").start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return ivf_quantized_topk_indexed(
+        q_side, store.read(), emb, cents, quant, k=5, nprobe=4, refine=4,
+        score_round=4,
+    ).select("query_id", "match_id", "score", "rank")
+
+
+@register(
     "d03h_ann_join",
     pyoracle.ann_join_sql,
     doc="corpus-to-corpus ANN top-3 JOIN (the retrieval shape: every left "

@@ -2804,3 +2804,44 @@ def test_source_mixture_weights_hand_model(spark):
     # flattening: with alpha=1 rel equals the raw ratio; alpha=0.5 is above
     raw_c = 4 / 80
     assert got["c"]["rel_weight"] > raw_c
+
+
+def test_quantized_cells_ingest_equals_build(spark, emb):
+    """The ingest-side projection (quantized_cells_assign against the
+    fixed artifacts) + indexed query must be byte-identical to the
+    one-shot ivf_quantized_topk build — the invariant c15's streamed
+    ingest rests on, checked here statically (and in halves: the union
+    of two disjoint ingest batches equals the full build)."""
+    from pyspark.sql import functions as F
+
+    from basis_devkit_spark.operators.similarity import (
+        fit_scalar_quantizer,
+        ivf_quantized_topk,
+        ivf_quantized_topk_indexed,
+        quantized_cells_assign,
+    )
+
+    cents = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").cast("int").alias("cell"),
+        F.transform("embedding", lambda x: x.cast("double")).alias("center"),
+    )
+    quant = fit_scalar_quantizer(emb)
+    q = emb.filter(F.col("vec_id") < 20)
+    key = lambda rows: sorted(
+        (r["query_id"], r["match_id"], r["score"], r["rank"]) for r in rows
+    )
+    one_shot = ivf_quantized_topk(
+        q, emb, k=5, nlist=8, nprobe=4, refine=4, centroids=cents,
+        quant=quant,
+    ).collect()
+    batch_a = quantized_cells_assign(
+        emb.filter(F.col("vec_id") % 2 == 0), cents, quant
+    )
+    batch_b = quantized_cells_assign(
+        emb.filter(F.col("vec_id") % 2 == 1), cents, quant
+    )
+    cells = batch_a.unionByName(batch_b)
+    indexed = ivf_quantized_topk_indexed(
+        q, cells, emb, cents, quant, k=5, nprobe=4, refine=4
+    ).collect()
+    assert key(indexed) == key(one_shot) and len(one_shot) > 0
