@@ -1,4 +1,4 @@
-"""Stage 5 — sequence packing: documents assigned (in id order) to fixed
+"""Stage 6 — sequence packing: documents assigned (in id order) to fixed
 token-budget chunks via a distributed exclusive prefix sum — no windows,
 no driver loops."""
 from basis_devkit_spark import *

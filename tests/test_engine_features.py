@@ -830,7 +830,7 @@ def test_funnel_empty_step_yields_zero_not_error(spark):
 def test_pretrain_pipeline_example_app(spark, tmp_path):
     """The examples/pretrain_pipeline app runs end-to-end: quality gates
     -> exact+MinHash dedup -> benchmark decontamination -> PII redaction
-    -> sequence packing, each stage a versioned store commit."""
+    -> perplexity curation -> sequence packing, each stage a versioned store commit."""
     from pyspark.sql import functions as F
 
     eng = Engine(spark, str(tmp_path / "store"))
@@ -860,8 +860,14 @@ def test_pretrain_pipeline_example_app(spark, tmp_path):
     for col in ("n_email", "n_ip", "n_ssn", "n_phone"):
         assert col in red.columns
         assert red.filter(F.col(col) < 0).count() == 0
-    # packing conserves docs and respects the chunk budget granularity
-    assert packed.agg(F.sum("n_docs")).collect()[0][0] == n_final
+    # perplexity curation: head+middle kept (~2/3 of survivors), labels
+    # valid, tail gone
+    cur = eng.table_df("curated_docs")
+    n_cur = cur.count()
+    assert 0 < n_cur < n_final
+    assert cur.filter(~F.col("label").isin(["head", "middle"])).count() == 0
+    # packing conserves the CURATED docs and respects the chunk budget
+    assert packed.agg(F.sum("n_docs")).collect()[0][0] == n_cur
     assert packed.filter(F.col("chunk_id") < 0).count() == 0
 
 
