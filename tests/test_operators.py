@@ -2845,3 +2845,21 @@ def test_quantized_cells_ingest_equals_build(spark, emb):
         q, cells, emb, cents, quant, k=5, nprobe=4, refine=4
     ).collect()
     assert key(indexed) == key(one_shot) and len(one_shot) > 0
+
+
+def test_lm_quality_buckets_all_tied_scores(spark):
+    """Adversarial tie case: every doc has identical text, so every
+    lm_score is identical and ALL rows land in one value-bucket — the
+    rank must fall back to the doc_id tie-break, buckets stay
+    equal-count, and the result matches the naive formula."""
+    from basis_devkit_spark.operators.text import lm_quality_buckets
+
+    docs = spark.createDataFrame(
+        [(i, "alpha beta gamma alpha beta") for i in range(12)],
+        "doc_id bigint, text string",
+    )
+    got = sorted(
+        (r["doc_id"], r["bucket"]) for r in lm_quality_buckets(docs).collect()
+    )
+    # identical scores -> rank order is doc_id order -> first 4 head, ...
+    assert got == [(i, i * 3 // 12) for i in range(12)]
