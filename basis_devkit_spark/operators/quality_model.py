@@ -98,3 +98,99 @@ def score_quality(model, df: DataFrame, keep_threshold: float | None = None) -> 
     if keep_threshold is not None:
         scored = scored.filter(F.col("quality_prob") >= keep_threshold)
     return scored
+
+
+# -------------------------------------------- deterministic variant (d24)
+
+
+def fit_hashed_logreg(
+    rows: list[tuple[str, int]],
+    num_features: int = 1024,
+    iters: int = 60,
+    lr: float = 1.0,
+    l2: float = 1e-3,
+) -> tuple[list[int], float]:
+    """Bit-reproducible hashed-BoW logistic fit — the trained-classifier
+    analogue of ``deterministic_kmeans`` (d03d): full-batch float64
+    gradient descent over an ORDERED driver-side sample, no randomness,
+    no cross-partition reduction, so the fitted coefficients are
+    identical across processes and engines. ``rows`` = (text, 0/1 label)
+    in a deterministic order (callers pass the first-N-by-id sample).
+
+    Features: token → ``xxhash64(token) mod num_features`` bucket counts
+    — the SAME public-spec hash the distributed scoring expression uses
+    (pyoracle.xxh64_str is the proven Python model of Spark's xxhash64),
+    so fit-side and score-side features agree exactly.
+
+    Returns ``(wq, bias)`` where ``wq[j] = floor(w[j] * 1e9)`` as exact
+    ints — the integerize-before-reduce contract of
+    :func:`score_hashed_logreg`: sharing the QUANTIZED weights makes the
+    distributed score an exact integer sum (associative, engine- and
+    partitioning-independent), leaving one division, one addition and
+    one ``exp`` per document as the only float ops."""
+    import math
+    import re
+
+    import numpy as np
+
+    from basis_devkit_spark.queries.pyoracle import xxh64_str
+
+    ws = re.compile(r"\s+")
+    n = len(rows)
+    if n == 0:
+        raise ValueError("fit_hashed_logreg needs a non-empty sample")
+    X = np.zeros((n, num_features), dtype=np.float64)
+    y = np.zeros(n, dtype=np.float64)
+    for i, (text, label) in enumerate(rows):
+        y[i] = float(label)
+        for t in ws.split((text or "").strip().lower()):
+            X[i, xxh64_str(t) % num_features] += 1.0
+    w = np.zeros(num_features, dtype=np.float64)
+    b = 0.0
+    for _ in range(iters):
+        z = X @ w + b
+        p = 1.0 / (1.0 + np.exp(-z))
+        g = X.T @ (p - y) / n + l2 * w
+        w -= lr * g
+        b -= lr * float(np.mean(p - y))
+    return [int(math.floor(float(x) * 1e9)) for x in w], float(b)
+
+
+def score_hashed_logreg(
+    df: DataFrame,
+    wq: list[int],
+    bias: float,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_features: int = 1024,
+    score_round: int = 6,
+) -> DataFrame:
+    """Distributed scoring against a :func:`fit_hashed_logreg` model:
+    ``(id, quality_prob)``. Exactness at scale: each token's weight is
+    the pre-quantized LONG ``wq[bucket]``, so the per-doc aggregation is
+    an exact integer sum (map-side combinable, bit-identical under any
+    partitioning); ``z = sum/1e9 + bias`` and the sigmoid are the only
+    float ops, rounded to ``score_round`` for the oracle contract. The
+    weight table rides as a broadcast RELATION (num_features rows), not
+    plan literals — flat compile time, the `_with_cell_ranks` rule."""
+    spark = df.sparkSession
+    wdf = spark.createDataFrame(
+        [(int(i), int(v)) for i, v in enumerate(wq)], "bucket int, wq long"
+    )
+    toks = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+    ex = df.select(F.col(id_col), F.explode(toks).alias("__t")).select(
+        id_col,
+        F.pmod(F.xxhash64("__t"), F.lit(num_features)).cast("int").alias("bucket"),
+    )
+    s = (
+        ex.join(F.broadcast(wdf), "bucket")
+        .groupBy(id_col)
+        .agg(F.sum("wq").alias("__swq"))
+    )
+    z = F.col("__swq").cast("double") / F.lit(1e9) + F.lit(float(bias))
+    return s.select(
+        id_col,
+        F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-z)), score_round).alias(
+            "quality_prob"
+        ),
+    )

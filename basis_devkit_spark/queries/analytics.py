@@ -3758,3 +3758,33 @@ def d23(spark: SparkSession, sf: str) -> DataFrame:
     return quality_pipeline(d, stopwords=["the", "a"]).select(
         "doc_id", "n_bigrams", "lm_score", "bucket", "label"
     )
+
+
+@register(
+    "d24_deterministic_quality_filter",
+    pyoracle.hashed_logreg_sql,
+    doc="trained quality filter, DETERMINISTIC variant (closes d04r's "
+    "rows-only gap the way d03d closed KMeans'): hashed-BoW logistic "
+    "model fit driver-side by bit-reproducible float64 full-batch GD on "
+    "the first-200-by-id sample (weak label: >=60 tokens), weights "
+    "quantized to floor(w*1e9) LONGS and shared with the oracle; the "
+    "distributed score is then an EXACT integer sum over xxhash64 token "
+    "buckets (broadcast weight relation, map-side combinable) + one "
+    "division + one sigmoid, 6dp round-before-output. The oracle "
+    "recomputes feature hashing + scoring independently (pyoracle XXH64 "
+    "model) for every doc",
+)
+def d24(spark: SparkSession, sf: str) -> DataFrame:
+    from basis_devkit_spark.operators.quality_model import (
+        fit_hashed_logreg,
+        score_hashed_logreg,
+    )
+
+    d = load(spark, sf, "documents").select("doc_id", "text")
+    toks = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+    labeled = d.withColumn("label", (F.size(toks) >= 60).cast("int"))
+    sample = (
+        labeled.orderBy("doc_id").limit(200).select("text", "label").collect()
+    )
+    wq, bias = fit_hashed_logreg([(r["text"], r["label"]) for r in sample])
+    return score_hashed_logreg(d, wq, bias).select("doc_id", "quality_prob")

@@ -883,3 +883,53 @@ def ivf_quantized_sql(k: int = 5) -> str:
     select query_id, match_id, score, rank
     from ranked where rank <= {k}
     """
+
+
+@lru_cache(maxsize=2)
+def hashed_logreg_scores(
+    sf_dir: str,
+    num_features: int = 1024,
+    sample_rows: int = 200,
+    min_tokens: int = 60,
+) -> tuple[tuple[int, float], ...]:
+    """(doc_id, quality_prob) model of d24's deterministic trained quality
+    filter. The FIT is a shared parameter computation (the d03d rule —
+    operators.quality_model.fit_hashed_logreg, driver-side float64 GD
+    over the first ``sample_rows`` docs by doc_id, weak label = token
+    count >= min_tokens); what the oracle verifies is everything
+    DOWNSTREAM of the fitted (wq, bias): Spark's distributed hashed
+    feature extraction (xxhash64 buckets), the exact-integer weight sum,
+    and the final sigmoid+round — recomputed here independently with the
+    proven XXH64 model."""
+    import math
+    import re
+
+    from basis_devkit_spark.operators.quality_model import fit_hashed_logreg
+
+    ws = re.compile(r"\s+")
+
+    def toks(t: str) -> list[str]:
+        return ws.split((t or "").strip().lower())
+
+    docs = _documents(sf_dir)
+    labeled = [
+        (t, 1 if len(toks(t)) >= min_tokens else 0)
+        for _, t in docs[:sample_rows]
+    ]
+    wq, bias = fit_hashed_logreg(labeled, num_features)
+    out = []
+    for did, t in docs:
+        s = sum(wq[xxh64_str(x) % num_features] for x in toks(t))
+        z = s / 1e9 + bias
+        out.append((did, round(1.0 / (1.0 + math.exp(-z)), 6)))
+    return tuple(out)
+
+
+def hashed_logreg_sql() -> str:
+    rows = hashed_logreg_scores(oracle_sf_dir())
+    vals = ", ".join(f"({d}, {p!r})" for d, p in rows)
+    return f"""
+    select cast(doc_id as bigint) as doc_id,
+           cast(quality_prob as double) as quality_prob
+    from (values {vals}) t(doc_id, quality_prob)
+    """

@@ -2863,3 +2863,36 @@ def test_lm_quality_buckets_all_tied_scores(spark):
     )
     # identical scores -> rank order is doc_id order -> first 4 head, ...
     assert got == [(i, i * 3 // 12) for i in range(12)]
+
+
+def test_hashed_logreg_deterministic_and_separates(spark, docs):
+    """The deterministic fit is bit-reproducible (two fits identical),
+    and the trained scores actually separate the weak classes (mean
+    prob of label-1 docs > mean prob of label-0 docs)."""
+    from pyspark.sql import functions as F
+
+    from basis_devkit_spark.operators.quality_model import (
+        fit_hashed_logreg,
+        score_hashed_logreg,
+    )
+
+    toks = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+    labeled = docs.withColumn("label", (F.size(toks) >= 8).cast("int"))
+    sample = [
+        (r["text"], r["label"])
+        for r in labeled.orderBy("doc_id").select("text", "label").collect()
+    ]
+    wq1, b1 = fit_hashed_logreg(sample)
+    wq2, b2 = fit_hashed_logreg(sample)
+    assert wq1 == wq2 and b1 == b2
+    scored = score_hashed_logreg(docs, wq1, b1).join(
+        labeled.select("doc_id", "label"), "doc_id"
+    )
+    means = {
+        r["label"]: r["m"]
+        for r in scored.groupBy("label")
+        .agg(F.avg("quality_prob").alias("m"))
+        .collect()
+    }
+    if 0 in means and 1 in means:
+        assert means[1] > means[0]
