@@ -1,0 +1,122 @@
+"""Distinct-count sketching — an HLL-style register sketch built ONLY
+from engine-exact primitives, so (unlike the opaque built-in HLL++
+behind ``approx_count_distinct``, b22 — permanently rows-only) the whole
+estimate is bit-reproducible cross-engine and exact-hash oracle-able.
+
+Design (the "XXH64-TZ" sketch): hash each value with the public-spec
+``xxhash64``; low ``p`` bits pick one of ``m = 2^p`` registers, the
+remaining bits ``w = h >>> p`` contribute a rank = 1 + trailing-zero
+count of ``w`` (geometric, the same statistics as HLL's leading-zero
+rank); a register keeps the MAX rank it sees. The estimate applies the
+standard HyperLogLog bias correction ``alpha_m · m² / Σ 2^-R_j`` with
+linear counting for the small range.
+
+Exactness at scale, stage by stage:
+- ranks are pure integer expressions (the trailing-zero bit trick
+  ``bit_count((w & -w) - 1)`` — ``w ≥ 0`` after the unsigned shift, so
+  no ANSI negation overflow);
+- the register MAX and the harmonic sum are associative — the sum is
+  integerized as ``Σ 2^(60-R_j)`` in ``decimal(38,0)`` (exact: ranks ≤
+  55 at p ≥ 10, 2^69 worst-case total fits 38 digits), never a float
+  reduction whose order could drift;
+- the final formula is a handful of IEEE double ops on identical
+  inputs, rounded before output.
+
+Mergeability (the property that matters at 100 TB): registers combine by
+MAX, so partial sketches from any partitioning — or from yesterday's
+persisted sketch plus today's delta — merge losslessly; tested in
+``test_hll_sketch_merge_equals_rebuild``.
+
+Beyond-reference LLM-pipeline layer; no reference-file counterpart.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+_SCALE = 60  # Σ 2^(SCALE - R) stays integral for every attainable rank
+
+
+def _alpha(m: int) -> float:
+    if m >= 128:
+        return 0.7213 / (1.0 + 1.079 / m)
+    if m == 64:
+        return 0.709
+    if m == 32:
+        return 0.697
+    return 0.673
+
+
+def hll_registers(
+    df: DataFrame,
+    value_col: str,
+    p: int = 10,
+    group_cols: list[str] | None = None,
+) -> DataFrame:
+    """``(group..., bucket, r)`` register relation — the persistable /
+    mergeable sketch state (merge = MAX per bucket). One hash agg."""
+    if not 4 <= p <= 16:
+        raise ValueError("p must be in [4, 16]")
+    m = 1 << p
+    h = F.xxhash64(F.col(value_col))
+    bucket = h.bitwiseAND(F.lit(m - 1)).cast("int")
+    w = F.shiftrightunsigned(h, p)
+    rank = F.when(w == 0, F.lit(64 - p + 1)).otherwise(
+        F.bit_count((w.bitwiseAND(-w)) - 1) + 1
+    )
+    keys = [F.col(c) for c in (group_cols or [])]
+    return (
+        df.select(*keys, bucket.alias("bucket"), rank.cast("int").alias("__r"))
+        .groupBy(*[c for c in (group_cols or [])], "bucket")
+        .agg(F.max("__r").alias("r"))
+    )
+
+
+def hll_estimate(
+    registers: DataFrame,
+    p: int = 10,
+    group_cols: list[str] | None = None,
+    est_round: int = 4,
+) -> DataFrame:
+    """Fold a register relation into ``(group..., est_distinct)``."""
+    m = 1 << p
+    gcols = list(group_cols or [])
+    # shiftleft's bit-count arg must be a literal int in the Python API —
+    # use the SQL form for the per-row exponent
+    pow2 = F.expr(
+        f"cast(shiftleft(cast(1 as bigint), {_SCALE} - r) as decimal(38,0))"
+    )
+    agg = registers.groupBy(*gcols).agg(
+        F.sum(pow2).alias("__s_present"),
+        F.count(F.lit(1)).alias("__present"),
+    )
+    # absent registers carry rank 0 → each contributes 2^SCALE exactly
+    s_total = F.col("__s_present") + (
+        (F.lit(m).cast("long") - F.col("__present")).cast("decimal(38,0)")
+        * F.lit(1 << _SCALE).cast("decimal(38,0)")
+    )
+    zeros = (F.lit(m) - F.col("__present")).cast("double")
+    raw = F.lit(_alpha(m) * m * m * float(1 << _SCALE)) / s_total.cast("double")
+    est = F.when(
+        (raw <= 2.5 * m) & (zeros > 0),
+        F.lit(float(m)) * F.log(F.lit(float(m)) / zeros),
+    ).otherwise(raw)
+    return agg.select(
+        *gcols, F.round(est, est_round).alias("est_distinct")
+    )
+
+
+def hll_distinct(
+    df: DataFrame,
+    value_col: str,
+    p: int = 10,
+    group_cols: list[str] | None = None,
+    est_round: int = 4,
+) -> DataFrame:
+    """One-shot sketch + fold: ``(group..., est_distinct)``."""
+    return hll_estimate(
+        hll_registers(df, value_col, p, group_cols), p, group_cols, est_round
+    )

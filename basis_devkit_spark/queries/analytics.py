@@ -3788,3 +3788,43 @@ def d24(spark: SparkSession, sf: str) -> DataFrame:
     )
     wq, bias = fit_hashed_logreg([(r["text"], r["label"]) for r in sample])
     return score_hashed_logreg(d, wq, bias).select("doc_id", "quality_prob")
+
+
+@register(
+    "d25_hll_sketch_distinct",
+    pyoracle.hll_sketch_sql,
+    doc="XXH64-TZ distinct sketch (custom HLL-style, operators/sketches.py) "
+    "— per-event-type user_id estimates (linear-counting branch at test "
+    "SFs) + the global event_id estimate (raw HLL branch), each beside "
+    "its exact count. Unlike the opaque built-in HLL++ (b22, rows-only "
+    "forever), every stage here is engine-exact: integer trailing-zero "
+    "ranks, MAX registers, the harmonic sum integerized as "
+    "decimal(38,0) Σ2^(60-R) (never a float reduction), and a final "
+    "double formula rounded before output — so the ESTIMATE itself is "
+    "exact-hash oracled against an independent Python model",
+)
+def d25(spark: SparkSession, sf: str) -> DataFrame:
+    from basis_devkit_spark.operators.sketches import hll_distinct
+
+    ev = load(spark, sf, "events")
+    per_type = hll_distinct(ev, "user_id", p=10, group_cols=["event_type"])
+    exact_t = ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("exact_distinct")
+    )
+    part1 = per_type.join(exact_t, "event_type").select(
+        F.concat(F.lit("users:"), F.col("event_type")).alias("metric"),
+        "est_distinct",
+        "exact_distinct",
+    )
+    part2 = (
+        hll_distinct(ev, "event_id", p=10)
+        .crossJoin(
+            F.broadcast(
+                ev.agg(F.countDistinct("event_id").alias("exact_distinct"))
+            )
+        )
+        .select(
+            F.lit("event_ids").alias("metric"), "est_distinct", "exact_distinct"
+        )
+    )
+    return part1.unionByName(part2)

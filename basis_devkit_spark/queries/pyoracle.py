@@ -933,3 +933,78 @@ def hashed_logreg_sql() -> str:
            cast(quality_prob as double) as quality_prob
     from (values {vals}) t(doc_id, quality_prob)
     """
+
+
+def _hll_est(values, p: int = 10, est_round: int = 4) -> float:
+    """Model of operators.sketches.hll_distinct for one group: identical
+    integer register pipeline (xxh64 already computed by the caller),
+    identical integerized harmonic sum, identical double formula."""
+    import math
+
+    from basis_devkit_spark.operators.sketches import _SCALE, _alpha
+
+    m = 1 << p
+    regs: dict[int, int] = {}
+    for h in values:
+        hu = h & ((1 << 64) - 1)
+        bucket = h & (m - 1)
+        w = hu >> p
+        rank = (64 - p + 1) if w == 0 else ((w & -w).bit_length() - 1) + 1
+        if regs.get(bucket, 0) < rank:
+            regs[bucket] = rank
+    present = len(regs)
+    s_total = sum(1 << (_SCALE - r) for r in regs.values()) + (
+        (m - present) << _SCALE
+    )
+    raw = (_alpha(m) * m * m * float(1 << _SCALE)) / float(s_total)
+    zeros = float(m - present)
+    if raw <= 2.5 * m and zeros > 0:
+        est = float(m) * math.log(float(m) / zeros)
+    else:
+        est = raw
+    return round(est, est_round)
+
+
+@lru_cache(maxsize=2)
+def hll_sketch_rows(sf_dir: str, p: int = 10) -> tuple[tuple[str, float], ...]:
+    """(metric, est_distinct) rows of d25: per-event-type user_id
+    estimates (exercises the linear-counting branch at test SFs) plus the
+    global event_id estimate (the raw HLL branch)."""
+    import duckdb
+
+    con = duckdb.connect()
+    rows = con.execute(
+        f"select event_type, user_id, event_id from "
+        f"read_parquet('{sf_dir}/events.parquet')"
+    ).fetchall()
+    con.close()
+    by_type: dict[str, list[int]] = {}
+    eids = []
+    for et, uid, eid in rows:
+        by_type.setdefault(et, []).append(xxh64_long(int(uid), 42))
+        eids.append(xxh64_long(int(eid), 42))
+    out = [
+        (f"users:{et}", _hll_est(hs, p)) for et, hs in sorted(by_type.items())
+    ]
+    out.append(("event_ids", _hll_est(eids, p)))
+    return tuple(out)
+
+
+def hll_sketch_sql() -> str:
+    rows = hll_sketch_rows(oracle_sf_dir())
+    vals = ", ".join(f"('{mname}', {est!r})" for mname, est in rows)
+    return f"""
+    with est(metric, est_distinct) as (values {vals}),
+    ex as (
+      select 'users:' || event_type as metric,
+             cast(count(distinct user_id) as bigint) as exact_distinct
+      from events group by 1
+      union all
+      select 'event_ids' as metric,
+             cast(count(distinct event_id) as bigint) as exact_distinct
+      from events
+    )
+    select e.metric, cast(est.est_distinct as double) as est_distinct,
+           e.exact_distinct
+    from est join ex e using (metric)
+    """

@@ -2896,3 +2896,46 @@ def test_hashed_logreg_deterministic_and_separates(spark, docs):
     }
     if 0 in means and 1 in means:
         assert means[1] > means[0]
+
+
+# ------------------------------------------------- XXH64-TZ sketch (d25)
+
+
+def test_hll_sketch_merge_equals_rebuild(spark):
+    """Registers merge by MAX: sketching two disjoint halves and merging
+    must give the exact same registers (and therefore estimate) as
+    sketching everything at once — the property that lets partial
+    sketches combine across partitions/days at 100 TB."""
+    from pyspark.sql import functions as F
+
+    from basis_devkit_spark.operators.sketches import (
+        hll_distinct,
+        hll_estimate,
+        hll_registers,
+    )
+
+    df = spark.range(50_000).select((F.col("id") % 7000).alias("v"))
+    full = hll_distinct(df, "v", p=10).collect()[0]["est_distinct"]
+    a = hll_registers(df.filter(F.col("id") < 25_000), "v", p=10)
+    b = hll_registers(df.filter(F.col("id") >= 25_000), "v", p=10)
+    merged = (
+        a.unionByName(b).groupBy("bucket").agg(F.max("r").alias("r"))
+    )
+    m_est = hll_estimate(merged, p=10).collect()[0]["est_distinct"]
+    assert m_est == full
+
+
+def test_hll_sketch_accuracy_and_branches(spark):
+    """Estimate error stays within a few standard errors (sigma =
+    1.04/sqrt(m) ~ 3.25% at p=10) on the raw branch, and the
+    linear-counting branch is near-exact for tiny cardinalities."""
+    from pyspark.sql import functions as F
+
+    from basis_devkit_spark.operators.sketches import hll_distinct
+
+    big = spark.range(200_000).select((F.col("id") % 30_000).alias("v"))
+    est = hll_distinct(big, "v", p=10).collect()[0]["est_distinct"]
+    assert abs(est - 30_000) / 30_000 < 0.1
+    small = spark.range(1000).select((F.col("id") % 37).alias("v"))
+    est2 = hll_distinct(small, "v", p=10).collect()[0]["est_distinct"]
+    assert abs(est2 - 37) < 2
