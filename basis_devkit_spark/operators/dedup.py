@@ -1030,3 +1030,109 @@ def exact_substring_dedup(
         F.array_join(F.transform(kept, lambda s: s["t"]), " ").alias("text_clean"),
         (F.size("__toks") - F.size(kept)).cast("long").alias("n_removed"),
     )
+
+
+# ---------------------------------------- bloom-prefilter decontamination
+
+
+def bloom_build(
+    df: DataFrame, value_col: str, m_bits: int = 1 << 18, k: int = 4
+) -> DataFrame:
+    """Build a Bloom filter over a value column as a ``(word int, bits
+    long)`` relation — ``m_bits/64`` longs max, OR-aggregated, mergeable
+    (union + bit_or), persistable. Positions are ``pmod(xxhash64(value,
+    i), m_bits)`` for i in 0..k-1 — the public-spec hash chain the
+    pyoracle model replays exactly, so membership decisions are
+    deterministic cross-engine. A 2^18-bit filter is 32 KB: the
+    broadcast-screening artifact stays ~100× smaller than broadcasting
+    the distinct value set itself."""
+    pos = F.array(
+        *[
+            F.pmod(F.xxhash64(F.col(value_col), F.lit(i)), F.lit(m_bits))
+            for i in range(k)
+        ]
+    )
+    ex = df.select(F.explode(pos).alias("__p"))
+    return (
+        ex.select(
+            F.shiftright("__p", 6).cast("int").alias("word"),
+            F.expr(
+                "shiftleft(cast(1 as bigint), cast(pmod(__p, 64) as int))"
+            ).alias("__mask"),
+        )
+        .groupBy("word")
+        .agg(F.bit_or("__mask").alias("bits"))
+    )
+
+
+def _bloom_screen(
+    df: DataFrame,
+    value_col: str,
+    bloom: DataFrame,
+    m_bits: int,
+    k: int,
+) -> DataFrame:
+    """Keep only rows whose value MAY be in the bloom (all k bits set) —
+    k broadcast-hash joins against the tiny word relation, no shuffle of
+    ``df``. No false negatives, so downstream exact logic sees every
+    true match; false positives only add rows the exact join drops."""
+    out = df
+    cond = None
+    for i in range(k):
+        p = F.pmod(F.xxhash64(F.col(value_col), F.lit(i)), F.lit(m_bits))
+        out = out.withColumn(f"__p{i}", p)
+        bl = bloom.select(
+            F.col("word").alias(f"__w{i}"), F.col("bits").alias(f"__b{i}")
+        )
+        out = out.withColumn(
+            f"__w{i}", F.shiftright(F.col(f"__p{i}"), 6).cast("int")
+        ).join(F.broadcast(bl), f"__w{i}", "left")
+        mask = F.expr(
+            f"shiftleft(cast(1 as bigint), cast(pmod(__p{i}, 64) as int))"
+        )
+        hit = F.coalesce(F.col(f"__b{i}"), F.lit(0).cast("long")).bitwiseAND(
+            mask
+        ) != 0
+        cond = hit if cond is None else (cond & hit)
+    drop = [c for i in range(k) for c in (f"__p{i}", f"__w{i}", f"__b{i}")]
+    return out.filter(cond).drop(*drop)
+
+
+def ngram_contamination_bloom(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_size: int = 8,
+    min_overlap: int = 1,
+    m_bits: int = 1 << 18,
+    k: int = 4,
+) -> DataFrame:
+    """:func:`ngram_contamination` with a Bloom screening pass — the
+    100 TB shape when the benchmark gram set itself is too big to be the
+    FIRST thing every corpus gram probes: build a 32 KB-scale bloom over
+    the benchmark grams, screen the exploded corpus grams with k
+    broadcast int-joins (no strings move), and only the surviving grams
+    — true matches plus the ~(1-e^{-kn/m})^k false-positive sliver — pay
+    the exact string equi-join. No false negatives, so the result is
+    IDENTICAL to the plain operator (d26 oracles against d07's exact
+    SQL; equality also unit-tested)."""
+    b_grams = (
+        benchmark.select(
+            F.explode(shingle_col(text_col, shingle_size)).alias("__s")
+        )
+        .distinct()
+    )
+    bloom = bloom_build(b_grams, "__s", m_bits, k)
+    c = corpus.select(
+        F.col(id_col).alias("__id"),
+        F.explode(shingle_col(text_col, shingle_size)).alias("__s"),
+    )
+    survivors = _bloom_screen(c, "__s", bloom, m_bits, k)
+    hits = (
+        survivors.join(F.broadcast(b_grams), "__s")
+        .groupBy("__id")
+        .agg(F.count(F.lit(1)).alias("shared_grams"))
+        .filter(F.col("shared_grams") >= min_overlap)
+    )
+    return hits.select(F.col("__id").alias(id_col), "shared_grams")

@@ -1162,9 +1162,10 @@ def d04f(spark: SparkSession, sf: str) -> DataFrame:
     ).select("doc_id", "lang", "n_words", "quality_score")
 
 
-@register(
-    "d07_decontaminate",
-    """
+# Shared by d07 (plain) and d26 (bloom-prefiltered — the screen adds no
+# false negatives and the exact join drops false positives, so BOTH
+# operators must produce exactly these rows).
+_D07_SQL = """
     with toks as (
       select doc_id, string_split(lower(text), ' ') as ws from documents
     ),
@@ -1183,7 +1184,12 @@ def d04f(spark: SparkSession, sf: str) -> DataFrame:
     from sh join bench using (s)
     where sh.doc_id % 20 != 0
     group by sh.doc_id
-    """,
+    """
+
+
+@register(
+    "d07_decontaminate",
+    _D07_SQL,
     doc="benchmark decontamination: corpus docs sharing any word 3-gram "
     "with the held-out 'benchmark' slice (doc_id % 20 = 0); benchmark gram "
     "set is broadcast — the corpus is never shuffled or self-joined",
@@ -1196,6 +1202,31 @@ def d07(spark: SparkSession, sf: str) -> DataFrame:
     bench = d.filter(F.col("doc_id") % 20 == 0)
     return ngram_contamination(
         corpus, bench, "doc_id", "text", shingle_size=3, min_overlap=1
+    )
+
+
+@register(
+    "d26_decontaminate_bloom",
+    _D07_SQL,
+    doc="Bloom-prefiltered benchmark decontamination — d07's semantics "
+    "with a 32 KB screening artifact: benchmark grams build a "
+    "(word, bits) bloom relation; exploded corpus grams pass k=4 "
+    "broadcast INT-joins (no strings move) and only survivors — true "
+    "matches plus the false-positive sliver — pay the exact string "
+    "equi-join. No false negatives by construction, so the oracle is "
+    "d07's exact SQL verbatim: the screen must change NOTHING. The "
+    "100 TB shape when the benchmark suite's gram set is itself too "
+    "big to be the first thing every corpus gram probes",
+)
+def d26(spark: SparkSession, sf: str) -> DataFrame:
+    from basis_devkit_spark.operators.dedup import ngram_contamination_bloom
+
+    d = load(spark, sf, "documents")
+    corpus = d.filter(F.col("doc_id") % 20 != 0)
+    bench = d.filter(F.col("doc_id") % 20 == 0)
+    return ngram_contamination_bloom(
+        corpus, bench, "doc_id", "text", shingle_size=3, min_overlap=1,
+        m_bits=1 << 16, k=4,
     )
 
 

@@ -2939,3 +2939,40 @@ def test_hll_sketch_accuracy_and_branches(spark):
     small = spark.range(1000).select((F.col("id") % 37).alias("v"))
     est2 = hll_distinct(small, "v", p=10).collect()[0]["est_distinct"]
     assert abs(est2 - 37) < 2
+
+
+def test_bloom_prefilter_decontamination_equals_plain(spark, docs):
+    """The bloom screen must change nothing (no false negatives; false
+    positives die in the exact join) — byte-equal to ngram_contamination
+    even with a deliberately tiny, collision-heavy filter — and the
+    screen itself must actually drop gram rows on disjoint inputs."""
+    from pyspark.sql import functions as F
+
+    from basis_devkit_spark.operators.dedup import (
+        bloom_build,
+        _bloom_screen,
+        ngram_contamination,
+        ngram_contamination_bloom,
+    )
+
+    corpus = docs.filter(F.col("doc_id") % 5 != 0)
+    bench = docs.filter(F.col("doc_id") % 5 == 0)
+    key = lambda rows: sorted((r["doc_id"], r["shared_grams"]) for r in rows)
+    plain = ngram_contamination(corpus, bench, shingle_size=3).collect()
+    for m_bits in (1 << 8, 1 << 16):  # tiny filter = heavy false positives
+        got = ngram_contamination_bloom(
+            corpus, bench, shingle_size=3, m_bits=m_bits, k=4
+        ).collect()
+        assert key(got) == key(plain)
+    # screening power: values not in the filter are mostly dropped
+    vals = spark.range(5000).select(
+        F.concat(F.lit("absent-"), F.col("id")).alias("v")
+    )
+    present = spark.range(100).select(
+        F.concat(F.lit("present-"), F.col("id")).alias("v")
+    )
+    bloom = bloom_build(present, "v", m_bits=1 << 16, k=4)
+    kept = _bloom_screen(vals, "v", bloom, 1 << 16, 4).count()
+    assert kept < 250  # fp rate well under 5% at this fill
+    kept_present = _bloom_screen(present, "v", bloom, 1 << 16, 4).count()
+    assert kept_present == 100  # zero false negatives
