@@ -1,7 +1,8 @@
-"""Distinct-count sketching — an HLL-style register sketch built ONLY
-from engine-exact primitives, so (unlike the opaque built-in HLL++
-behind ``approx_count_distinct``, b22 — permanently rows-only) the whole
-estimate is bit-reproducible cross-engine and exact-hash oracle-able.
+"""Mergeable sketches built ONLY from engine-exact primitives — an
+HLL-style distinct-count register sketch (d25) and a count-min frequency
+sketch (d27) — so (unlike the opaque built-in HLL++ behind
+``approx_count_distinct``, b22 — permanently rows-only) every estimate
+is bit-reproducible cross-engine and exact-hash oracle-able.
 
 Design (the "XXH64-TZ" sketch): hash each value with the public-spec
 ``xxhash64``; low ``p`` bits pick one of ``m = 2^p`` registers, the
@@ -119,4 +120,79 @@ def hll_distinct(
     """One-shot sketch + fold: ``(group..., est_distinct)``."""
     return hll_estimate(
         hll_registers(df, value_col, p, group_cols), p, group_cols, est_round
+    )
+
+
+# ------------------------------------------------- count-min sketch (d27)
+
+
+def cms_build(
+    df: DataFrame,
+    value_col: str,
+    width: int = 1 << 14,
+    depth: int = 4,
+    group_cols: list[str] | None = None,
+) -> DataFrame:
+    """Count-min sketch as a ``(group..., row, col, cnt)`` relation —
+    at most ``depth × width`` cells, mergeable by SUM (union + groupBy),
+    persistable. Entirely integer: positions are ``pmod(xxhash64(value,
+    i), width)`` and cells are exact counts, so estimates are
+    bit-identical cross-engine with NO rounding contract at all —
+    the strongest exactness class a sketch can have."""
+    if depth < 1 or width < 2:
+        raise ValueError("need depth >= 1, width >= 2")
+    pos = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("row"),
+                F.pmod(F.xxhash64(F.col(value_col), F.lit(i)), F.lit(width))
+                .cast("int")
+                .alias("col"),
+            )
+            for i in range(depth)
+        ]
+    )
+    gcols = list(group_cols or [])
+    ex = df.select(*gcols, F.explode(pos).alias("__rc"))
+    return (
+        ex.select(*gcols, F.col("__rc.row").alias("row"), F.col("__rc.col").alias("col"))
+        .groupBy(*gcols, "row", "col")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def cms_estimate(
+    probes: DataFrame,
+    cms: DataFrame,
+    value_col: str,
+    width: int = 1 << 14,
+    depth: int = 4,
+) -> DataFrame:
+    """Point-frequency estimates for each probe value: ``est_count = min``
+    over the sketch's depth cells (0 if any cell is absent). Never
+    underestimates; overestimates by collision mass ≤ ~N/width per row.
+    The probe side explodes to ``depth`` rows and joins the cell relation
+    on (row, col) — with a broadcast-sized sketch this is depth map-side
+    lookups, no shuffle of the probe frame's source."""
+    pos = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("row"),
+                F.pmod(F.xxhash64(F.col(value_col), F.lit(i)), F.lit(width))
+                .cast("int")
+                .alias("col"),
+            )
+            for i in range(depth)
+        ]
+    )
+    ex = probes.select(F.col(value_col), F.explode(pos).alias("__rc")).select(
+        value_col,
+        F.col("__rc.row").alias("row"),
+        F.col("__rc.col").alias("col"),
+    )
+    joined = ex.join(F.broadcast(cms), ["row", "col"], "left")
+    return joined.groupBy(value_col).agg(
+        F.min(F.coalesce(F.col("cnt"), F.lit(0).cast("long"))).alias(
+            "est_count"
+        )
     )

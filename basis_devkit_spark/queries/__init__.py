@@ -98,6 +98,7 @@ _SAMPLE_PRIORITY = [
     # guard, d17 the term-lowercasing fix, and the d02 minhash family
     # the cache-lifetime rework (eager collapse materialization +
     # pre-collapse unpersist) — all code the r7 sample predates.
+    "d27_count_min_probe",
     "d26_decontaminate_bloom",
     "d25_hll_sketch_distinct",
     "d24_deterministic_quality_filter",

@@ -1231,6 +1231,35 @@ def d26(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @register(
+    "d27_count_min_probe",
+    pyoracle.cms_probe_sql,
+    doc="count-min frequency sketch (operators/sketches.py): token-"
+    "occurrence counts sketched into a depth=4 × width=4096 cell "
+    "relation (mergeable by SUM, persistable), probed with doc 0's "
+    "distinct tokens and shown beside the exact counts. Entirely "
+    "integer — positions are xxhash64 chains, cells exact counts, the "
+    "estimate a MIN — so it is bit-identical cross-engine with NO "
+    "rounding contract, the strongest exactness class a sketch can "
+    "have; the oracle recomputes the full sketch in Python",
+)
+def d27(spark: SparkSession, sf: str) -> DataFrame:
+    from basis_devkit_spark.operators.sketches import cms_build, cms_estimate
+
+    d = load(spark, sf, "documents")
+    tok = F.explode(F.split(F.lower(F.trim(F.col("text"))), r"\s+")).alias(
+        "token"
+    )
+    toks = d.select(tok)
+    cms = cms_build(toks, "token", width=1 << 12, depth=4)
+    probes = d.filter(F.col("doc_id") == 0).select(tok).distinct()
+    est = cms_estimate(probes, cms, "token", width=1 << 12, depth=4)
+    exact = toks.groupBy("token").agg(
+        F.count(F.lit(1)).alias("exact_count")
+    )
+    return est.join(exact, "token").select("token", "est_count", "exact_count")
+
+
+@register(
     "d04k_train_val_test_split",
     """
     select doc_id,

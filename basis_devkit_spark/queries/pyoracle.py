@@ -1008,3 +1008,52 @@ def hll_sketch_sql() -> str:
            e.exact_distinct
     from est join ex e using (metric)
     """
+
+
+@lru_cache(maxsize=2)
+def cms_probe_rows(
+    sf_dir: str, width: int = 1 << 12, depth: int = 4
+) -> tuple[tuple[str, int], ...]:
+    """(token, est_count) model of d27: count-min sketch over every token
+    OCCURRENCE in the corpus (positions = pmod(xxhash64(token, i), width)
+    — the proven chain semantics), probed with doc 0's distinct tokens.
+    Entirely integer — no rounding contract at all."""
+    cells: dict[tuple[int, int], int] = {}
+    probes: set[str] = set()
+    for did, text in _documents(sf_dir):
+        toks = _WS.split((text or "").strip().lower())
+        if did == 0:
+            probes.update(toks)
+        for t in toks:
+            base = xxh64_bytes(t.encode("utf-8"), 42)
+            for i in range(depth):
+                col = to_signed(xxh64_int(i, base)) % width
+                cells[(i, col)] = cells.get((i, col), 0) + 1
+    out = []
+    for t in sorted(probes):
+        base = xxh64_bytes(t.encode("utf-8"), 42)
+        est = min(
+            cells.get((i, to_signed(xxh64_int(i, base)) % width), 0)
+            for i in range(depth)
+        )
+        out.append((t, est))
+    return tuple(out)
+
+
+def cms_probe_sql() -> str:
+    rows = cms_probe_rows(oracle_sf_dir())
+    vals = ", ".join(
+        "('{}', {})".format(t.replace("'", "''"), est) for t, est in rows
+    )
+    return f"""
+    with est(token, est_count) as (values {vals}),
+    toks as (
+      select unnest(string_split(lower(trim(text)), ' ')) as token
+      from documents
+    ),
+    ex as (select token, cast(count(*) as bigint) as exact_count
+           from toks group by 1)
+    select e.token, cast(e.est_count as bigint) as est_count,
+           x.exact_count
+    from est e join ex x using (token)
+    """

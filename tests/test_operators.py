@@ -2976,3 +2976,36 @@ def test_bloom_prefilter_decontamination_equals_plain(spark, docs):
     assert kept < 250  # fp rate well under 5% at this fill
     kept_present = _bloom_screen(present, "v", bloom, 1 << 16, 4).count()
     assert kept_present == 100  # zero false negatives
+
+
+def test_cms_merge_never_underestimates_and_bounds(spark):
+    """Count-min invariants: (1) two halves merged by SUM == full
+    rebuild, cell-exact; (2) estimates never underestimate the true
+    count; (3) with width >> distinct values the estimate is exact."""
+    from pyspark.sql import functions as F
+
+    from basis_devkit_spark.operators.sketches import cms_build, cms_estimate
+
+    df = spark.range(30_000).select(
+        F.concat(F.lit("t"), (F.col("id") % 500)).alias("v")
+    )
+    full = cms_build(df, "v", width=1 << 12, depth=4)
+    a = cms_build(df.filter(F.col("id") < 15_000), "v", 1 << 12, 4)
+    b = cms_build(df.filter(F.col("id") >= 15_000), "v", 1 << 12, 4)
+    merged = (
+        a.unionByName(b).groupBy("row", "col").agg(F.sum("cnt").alias("cnt"))
+    )
+    key = lambda x: sorted((r["row"], r["col"], r["cnt"]) for r in x.collect())
+    assert key(merged) == key(full)
+    probes = df.select("v").distinct()
+    est = {
+        r["v"]: r["est_count"]
+        for r in cms_estimate(probes, full, "v", 1 << 12, 4).collect()
+    }
+    # every value occurs exactly 60 times; width 4096 >> 500 distinct ->
+    # per-row collision chance is low and MIN over 4 rows is exact here
+    assert all(e >= 60 for e in est.values())
+    assert sum(1 for e in est.values() if e == 60) >= 490
+    absent = spark.createDataFrame([("never-seen",)], "v string")
+    got = cms_estimate(absent, full, "v", 1 << 12, 4).collect()[0]
+    assert got["est_count"] >= 0
