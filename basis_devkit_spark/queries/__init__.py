@@ -92,12 +92,16 @@ def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
 # prior order. The FULL inventory is swept every round regardless
 # (tools/sweep_correctness.py exact-hash mode, artifact committed).
 _SAMPLE_PRIORITY = [
-    # -- r8 front block: d20 is NEW (composed IVF × int8 ANN); d19 was
-    # registered in r7 but omitted from this list, so the driver has
-    # never sampled it; d16 gained the dimension-mismatch assert_true
-    # guard, d17 the term-lowercasing fix, and the d02 minhash family
-    # the cache-lifetime rework (eager collapse materialization +
-    # pre-collapse unpersist) — all code the r7 sample predates.
+    # -- r8 front block. NEW queries: c16 streaming sketch maintenance,
+    # d27 count-min, d26 bloom decontamination, d25 HLL sketch, d24
+    # deterministic quality filter, c15 streaming quantized-index
+    # ingest, d23 end-to-end curation pipeline, d20-d22 (composed ANN,
+    # perplexity buckets, mixture weights). d19 was registered in r7 but
+    # omitted from this list, so the driver has never sampled it; d16
+    # gained the dimension-mismatch guard, d17 the term-lowercasing fix,
+    # and the d02 minhash family the cache-lifetime rework — all code
+    # the r7 sample predates.
+    "c16_stream_sketch_maintenance",
     "d27_count_min_probe",
     "d26_decontaminate_bloom",
     "d25_hll_sketch_distinct",

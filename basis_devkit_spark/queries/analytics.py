@@ -3392,6 +3392,103 @@ def c15(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @register(
+    "c16_stream_sketch_maintenance",
+    pyoracle.hll_sketch_sql,
+    doc="streaming sketch maintenance: events arrive as TWO micro-batches; "
+    "each batch's XXH64-TZ registers (per-type user_id + global event_id, "
+    "keyed (metric, bucket)) MAX-merge into an exactly-once managed store "
+    "via stream_merge_to_store — the general merge sink for state whose "
+    "per-key combine is not last-write-wins. Registers merge losslessly "
+    "by MAX, so folding the streamed store must equal the one-shot d25 "
+    "oracle byte-for-byte",
+)
+def c16(spark: SparkSession, sf: str) -> DataFrame:
+    import glob as _glob
+    import os as _os
+    import shutil as _shutil
+    import tempfile as _tf
+
+    from basis_devkit_spark.operators.sketches import (
+        hll_estimate,
+        hll_registers,
+    )
+    from basis_devkit_spark.storage.store import TableStore
+    from basis_devkit_spark.streaming.ops import stream_merge_to_store
+
+    ev = load(spark, sf, "events")
+
+    tmp = _tf.mkdtemp(prefix="bds_c16_")
+    drop = _os.path.join(tmp, "drop")
+    _os.makedirs(drop, exist_ok=True)
+    for tag, mod in (("a", 0), ("b", 1)):
+        part_dir = _os.path.join(tmp, f"part_{tag}")
+        ev.filter(F.col("event_id") % 2 == mod).coalesce(1).write.parquet(
+            part_dir
+        )
+        src = _glob.glob(_os.path.join(part_dir, "part-*.parquet"))[0]
+        _shutil.copy(src, _os.path.join(drop, f"{tag}.parquet"))
+    raw_schema = spark.read.parquet(_os.path.join(drop, "a.parquet")).schema
+
+    def batch_registers(batch: DataFrame) -> DataFrame:
+        users = hll_registers(
+            batch, "user_id", p=10, group_cols=["event_type"]
+        ).select(
+            F.concat(F.lit("users:"), F.col("event_type")).alias("metric"),
+            "bucket",
+            "r",
+        )
+        eids = hll_registers(batch, "event_id", p=10).select(
+            F.lit("event_ids").alias("metric"), "bucket", "r"
+        )
+        return users.unionByName(eids)
+
+    def merge(batch: DataFrame, existing: DataFrame | None) -> DataFrame:
+        regs = batch_registers(batch)
+        if existing is None:
+            return regs
+        prev = existing.select(
+            "metric", "bucket", F.col("r").alias("__prev_r")
+        )
+        return (
+            regs.join(prev, ["metric", "bucket"], "left")
+            .select(
+                "metric",
+                "bucket",
+                F.greatest(
+                    F.col("r"), F.coalesce("__prev_r", F.col("r"))
+                ).alias("r"),
+            )
+        )
+
+    stream = (
+        spark.readStream.schema(raw_schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(drop)
+    )
+    store = TableStore(tmp, "sketch_regs", spark)
+    store.configure(unique_on=["metric", "bucket"])
+    q = stream_merge_to_store(stream, store, f"{tmp}/_ckpt", merge).start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    est = hll_estimate(store.read(), p=10, group_cols=["metric"])
+    exact_t = ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("exact_distinct")
+    ).select(
+        F.concat(F.lit("users:"), F.col("event_type")).alias("metric"),
+        "exact_distinct",
+    )
+    exact_g = ev.agg(
+        F.countDistinct("event_id").alias("exact_distinct")
+    ).select(F.lit("event_ids").alias("metric"), "exact_distinct")
+    return est.join(exact_t.unionByName(exact_g), "metric").select(
+        "metric", "est_distinct", "exact_distinct"
+    )
+
+
+@register(
     "d03h_ann_join",
     pyoracle.ann_join_sql,
     doc="corpus-to-corpus ANN top-3 JOIN (the retrieval shape: every left "

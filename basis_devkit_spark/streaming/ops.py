@@ -318,3 +318,31 @@ def stream_upsert_to_store(
     if trigger_seconds is not None:
         w = w.trigger(processingTime=f"{trigger_seconds} seconds")
     return w
+
+
+def stream_merge_to_store(
+    df: DataFrame,
+    store,
+    checkpoint_dir: str,
+    merge_fn,
+    trigger_seconds: int | None = None,
+):
+    """Exactly-once streaming MERGE sink — the general form of
+    ``stream_upsert_to_store`` for state whose per-key combine is not
+    last-write-wins (sketch registers MAX/SUM-merge, counters add, …):
+    each micro-batch is passed through ``merge_fn(batch_df, existing)``
+    (``existing`` = the store's current frame, or ``None`` before the
+    first commit) and the result upserts on the store's ``unique_on``
+    key. Batch-id idempotency rides the store's atomic manifest commit,
+    so replays after a crash re-merge nothing."""
+
+    def _write(batch_df: DataFrame, batch_id: int) -> None:
+        existing = store.read() if store.has_active_version() else None
+        store.upsert_stream_batch(merge_fn(batch_df, existing), batch_id)
+
+    w = df.writeStream.foreachBatch(_write).option(
+        "checkpointLocation", checkpoint_dir
+    ).outputMode("update")
+    if trigger_seconds is not None:
+        w = w.trigger(processingTime=f"{trigger_seconds} seconds")
+    return w
