@@ -1,0 +1,104 @@
+"""Link-analysis ranking over edge relations — fixed-point integer
+PageRank (the domain-authority signal pretraining pipelines use to
+weight crawl sources, à la CommonCrawl seed ranking).
+
+Standard float PageRank is NOT cross-engine reproducible: each
+iteration sums float contributions whose reduction order differs by
+partitioning. This implementation keeps every rank as an exact scaled
+INTEGER (``R_i ≈ rank_i × scale``):
+
+- out-contribution  ``R_i div outdeg_i``     (integer floor division)
+- damping           ``(x × 17) div 20``      for d = 0.85 (exact ints)
+- teleport base     ``((scale × 3) div 20) div N``
+- dangling mass     summed exactly, redistributed ``div N``
+
+Integer sums are associative — every iteration is bit-identical under
+any partitioning and any engine, so the full 10-iteration ranking
+exact-hash oracles against an independent Python model (d28). The
+final ``rank = R / scale`` is one double division per node, rounded.
+
+Scale shape: each iteration is one equi-join (ranks ⋈ edges on src) +
+one groupBy(dst) integer sum + one broadcast of two scalar aggregates
+(dangling mass, N) — no windows, no collect of per-node state; the
+driver loop holds only DataFrame handles (lineage truncated every few
+rounds like ``connected_components``).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def pagerank_fixed_point(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    iters: int = 10,
+    scale: int = 10**12,
+    rank_round: int = 9,
+    raw_scaled: bool = False,
+) -> DataFrame:
+    """``(node, rank)`` after ``iters`` exact-integer PageRank rounds
+    with damping 0.85 over the DISTINCT edge set. Dangling-node mass is
+    redistributed uniformly. ``rank`` sums to ~1 over nodes.
+
+    ``raw_scaled=True`` returns ``(node, rank_scaled: long)`` — the
+    exact integer state itself, NO float op anywhere. This is the
+    oracle-grade output: the rounded-double form can land exactly on a
+    0.5·10^-rank_round boundary (ranks are rationals), where Python's
+    banker's rounding and Spark/DuckDB's half-away-from-zero disagree —
+    observed once in 16k rows at sf0.1."""
+    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).distinct()
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .unionByName(e.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    n = nodes.count()
+    if n == 0:
+        return nodes.withColumn("rank", F.lit(0.0))
+    outdeg = e.groupBy("src").agg(F.count(F.lit(1)).alias("__deg"))
+    base = ((scale * 3) // 20) // n  # (1-d)·scale / N in exact ints
+    ranks = nodes.withColumn("__r", F.lit(scale // n).cast("long"))
+    for it in range(iters):
+        with_deg = ranks.join(
+            outdeg, ranks["node"] == outdeg["src"], "left"
+        ).select("node", "__r", "__deg")
+        # dangling mass: ranks of nodes with no out-edges, redistributed
+        dang = with_deg.filter(F.col("__deg").isNull()).agg(
+            F.coalesce(F.sum("__r"), F.lit(0)).cast("long").alias("__dm")
+        )
+        contrib = (
+            with_deg.filter(F.col("__deg").isNotNull())
+            .join(e, with_deg["node"] == e["src"])
+            .select(
+                F.col("dst").alias("node2"),
+                F.expr("__r div __deg").cast("long").alias("__c"),
+            )
+            .groupBy("node2")
+            .agg(F.sum("__c").cast("long").alias("__in"))
+        )
+        ranks = (
+            nodes.join(contrib, nodes["node"] == contrib["node2"], "left")
+            .crossJoin(F.broadcast(dang))
+            .select(
+                "node",
+                (
+                    F.lit(base).cast("long")
+                    + F.expr(
+                        f"((coalesce(__in, 0) + (__dm div {n})) * 17) div 20"
+                    ).cast("long")
+                ).alias("__r"),
+            )
+        )
+        if (it + 1) % 4 == 0:
+            ranks = ranks.localCheckpoint(eager=True)
+    if raw_scaled:
+        return ranks.select("node", F.col("__r").alias("rank_scaled"))
+    return ranks.select(
+        "node",
+        F.round(F.col("__r").cast("double") / F.lit(float(scale)), rank_round).alias(
+            "rank"
+        ),
+    )

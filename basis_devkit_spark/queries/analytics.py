@@ -1231,6 +1231,38 @@ def d26(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @register(
+    "d28_pagerank_fixed_point",
+    pyoracle.pagerank_sql,
+    doc="fixed-point integer PageRank (operators/graphrank.py) over the "
+    "distinct customer→supplier purchase graph (orders ⋈ lineitem) — the "
+    "domain-authority signal crawl pipelines use to weight sources. "
+    "Float PageRank is not cross-engine reproducible (per-iteration sum "
+    "order); here every rank is an exact scaled integer (contributions "
+    "div outdeg, damping ×17 div 20, teleport and dangling mass in "
+    "exact ints), each iteration one equi-join + one integer-sum agg — "
+    "so 10 iterations exact-hash oracle against an independent Python "
+    "model with NO float op anywhere (the query emits the exact scaled-"
+    "integer ranks; the rounded-double form is for humans — rational "
+    "ranks can land exactly on rounding half-boundaries)",
+)
+def d28(spark: SparkSession, sf: str) -> DataFrame:
+    from basis_devkit_spark.operators.graphrank import pagerank_fixed_point
+
+    o = load(spark, sf, "orders")
+    li = load(spark, sf, "lineitem")
+    edges = (
+        o.join(li, o["o_orderkey"] == li["l_orderkey"])
+        .select(
+            F.concat(F.lit("c"), F.col("o_custkey")).alias("src"),
+            F.concat(F.lit("s"), F.col("l_suppkey")).alias("dst"),
+        )
+    )
+    return pagerank_fixed_point(edges, iters=10, raw_scaled=True).select(
+        "node", "rank_scaled"
+    )
+
+
+@register(
     "d27_count_min_probe",
     pyoracle.cms_probe_sql,
     doc="count-min frequency sketch (operators/sketches.py): token-"

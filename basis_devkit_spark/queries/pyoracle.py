@@ -1057,3 +1057,63 @@ def cms_probe_sql() -> str:
            x.exact_count
     from est e join ex x using (token)
     """
+
+
+@lru_cache(maxsize=2)
+def pagerank_rows(
+    sf_dir: str, iters: int = 10, scale: int = 10**12
+) -> tuple[tuple[str, float], ...]:
+    """(node, rank) model of d28: exact-integer PageRank (damping 17/20,
+    teleport ((scale*3)//20)//N, dangling mass redistributed div N) over
+    the distinct customer→supplier edges of orders ⋈ lineitem — the same
+    integer recurrence operators/graphrank.py runs distributed; integer
+    sums are order-independent, so the two implementations must agree
+    bit-for-bit before the single final float division."""
+    import duckdb
+
+    con = duckdb.connect()
+    edges = con.execute(
+        f"""
+        select distinct 'c' || o.o_custkey as src, 's' || l.l_suppkey as dst
+        from read_parquet('{sf_dir}/orders.parquet') o
+        join read_parquet('{sf_dir}/lineitem.parquet') l
+          on l.l_orderkey = o.o_orderkey
+        """
+    ).fetchall()
+    con.close()
+    out_adj: dict[str, list[str]] = {}
+    nodes: set[str] = set()
+    for s, d in edges:
+        out_adj.setdefault(s, []).append(d)
+        nodes.add(s)
+        nodes.add(d)
+    n = len(nodes)
+    base = ((scale * 3) // 20) // n
+    r = {v: scale // n for v in nodes}
+    for _ in range(iters):
+        incoming: dict[str, int] = {}
+        dangling = 0
+        for v in nodes:
+            outs = out_adj.get(v)
+            if not outs:
+                dangling += r[v]
+                continue
+            c = r[v] // len(outs)
+            for d in outs:
+                incoming[d] = incoming.get(d, 0) + c
+        r = {
+            v: base + ((incoming.get(v, 0) + dangling // n) * 17) // 20
+            for v in nodes
+        }
+    return tuple(sorted((v, r[v]) for v in nodes))
+
+
+def pagerank_sql() -> str:
+    # exact scaled-integer ranks — no float op anywhere, so no rounding
+    # convention (Python banker's vs engine half-up) can ever bite
+    rows = pagerank_rows(oracle_sf_dir())
+    vals = ", ".join(f"('{v}', {rank})" for v, rank in rows)
+    return f"""
+    select node, cast(rank_scaled as bigint) as rank_scaled
+    from (values {vals}) t(node, rank_scaled)
+    """

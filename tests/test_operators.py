@@ -3009,3 +3009,28 @@ def test_cms_merge_never_underestimates_and_bounds(spark):
     absent = spark.createDataFrame([("never-seen",)], "v string")
     got = cms_estimate(absent, full, "v", 1 << 12, 4).collect()[0]
     assert got["est_count"] >= 0
+
+
+def test_pagerank_fixed_point_properties(spark):
+    """Structural invariants on a known graph: the sink every node links
+    to out-ranks everyone; total rank mass ~1; the ranking is invariant
+    under input repartitioning (integer arithmetic, no float sums)."""
+    from pyspark.sql import functions as F
+
+    from basis_devkit_spark.operators.graphrank import pagerank_fixed_point
+
+    # star: a,b,c,d all link to hub; hub links back to a
+    edges = spark.createDataFrame(
+        [("a", "hub"), ("b", "hub"), ("c", "hub"), ("d", "hub"), ("hub", "a")],
+        "src string, dst string",
+    )
+    r = {x["node"]: x["rank"] for x in pagerank_fixed_point(edges).collect()}
+    # hub and a trade the bulk of the mass (hub's entire rank flows to a
+    # each round); both must dominate the leaf nodes b/c/d
+    assert min(r["hub"], r["a"]) > r["b"] == r["c"] == r["d"]
+    assert abs(sum(r.values()) - 1.0) < 0.01
+    again = {
+        x["node"]: x["rank"]
+        for x in pagerank_fixed_point(edges.repartition(7)).collect()
+    }
+    assert again == r
