@@ -136,6 +136,38 @@ def probe_lm_buckets(spark) -> dict:
     return out
 
 
+def probe_sketches(spark) -> dict:
+    """Sketch-relation sizes must stay BOUNDED as data grows — that is
+    the whole 100 TB argument: the shuffle/state is m registers or
+    depth×width cells regardless of row count."""
+    import time as _t
+
+    from basis_devkit_spark.operators.sketches import (
+        cms_build,
+        hll_registers,
+    )
+    from basis_devkit_spark.queries import load
+
+    out = {}
+    for sf in ("/root/testdata/sf0.01", "/root/testdata/sf0.1"):
+        ev = load(spark, sf, "events")
+        n = ev.count()
+        t0 = _t.perf_counter()
+        regs = hll_registers(ev, "event_id", p=10).count()
+        t_hll = _t.perf_counter() - t0
+        t0 = _t.perf_counter()
+        cells = cms_build(ev, "event_id", width=1 << 14, depth=4).count()
+        t_cms = _t.perf_counter() - t0
+        out[sf] = {
+            "rows": n,
+            "hll_registers": regs,
+            "hll_wall_s": round(t_hll, 3),
+            "cms_cells": cells,
+            "cms_wall_s": round(t_cms, 3),
+        }
+    return out
+
+
 if __name__ == "__main__":
     which = sys.argv[1] if len(sys.argv) > 1 else "composed_ann"
     spark = get_spark()
@@ -143,5 +175,7 @@ if __name__ == "__main__":
         print(json.dumps(probe_composed_ann(spark)))
     elif which == "lm_buckets":
         print(json.dumps(probe_lm_buckets(spark)))
+    elif which == "sketches":
+        print(json.dumps(probe_sketches(spark)))
     else:
         raise SystemExit(f"unknown probe {which}")
