@@ -603,3 +603,51 @@ def test_ann_join_indexed_skips_assignment(spark):
     assert "array_min" not in plan, plan  # ...never at query time
     assert "sort_array" in plan or "array_sort" in plan  # left probe remains
     assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan
+
+
+def test_sketch_and_graphrank_plan_shapes(spark):
+    """r8 operators lock their scale shapes: sketch builds are single
+    hash-agg pipelines (no window, no cartesian/NLJ); the CMS probe and
+    bloom screen join broadcast relations; one PageRank iteration is
+    joins + integer aggs only."""
+    from pyspark.sql import functions as F
+
+    from basis_devkit_spark.operators.dedup import bloom_build, _bloom_screen
+    from basis_devkit_spark.operators.graphrank import pagerank_fixed_point
+    from basis_devkit_spark.operators.sketches import (
+        cms_build,
+        cms_estimate,
+        hll_distinct,
+    )
+
+    df = spark.range(5000).select(
+        F.concat(F.lit("v"), F.col("id") % 700).alias("v")
+    )
+
+    def plan(frame):
+        return frame._jdf.queryExecution().executedPlan().toString()
+
+    for p in (
+        plan(hll_distinct(df, "v", p=8)),
+        plan(cms_build(df, "v", width=1 << 10, depth=4)),
+    ):
+        assert "Window" not in p
+        assert "CartesianProduct" not in p
+        assert "BroadcastNestedLoopJoin" not in p
+
+    cms = cms_build(df, "v", width=1 << 10, depth=4)
+    probe_plan = plan(
+        cms_estimate(df.limit(50), cms, "v", width=1 << 10, depth=4)
+    )
+    assert "BroadcastHashJoin" in probe_plan and "Window" not in probe_plan
+
+    bloom = bloom_build(df, "v", m_bits=1 << 12, k=3)
+    screen_plan = plan(_bloom_screen(df, "v", bloom, 1 << 12, 3))
+    assert screen_plan.count("BroadcastHashJoin") == 3
+    assert "SortMergeJoin" not in screen_plan  # screened frame never shuffles
+
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "a")], "src string, dst string"
+    )
+    pr_plan = plan(pagerank_fixed_point(edges, iters=1, raw_scaled=True))
+    assert "Window" not in pr_plan and "CartesianProduct" not in pr_plan
