@@ -964,3 +964,30 @@ def test_warehouse_dim_example_app(spark, tmp_path):
         abs(r["acctbal_at_order_time"] - (bal[r["o_custkey"]] + 500.0)) < 1e-6
         for r in post
     )
+
+
+def test_retrieval_serving_example_app(spark, tmp_path):
+    """examples/retrieval_serving: index artifacts persist as versioned
+    stores and the hybrid query serves from them."""
+    from pyspark.sql import functions as F
+
+    eng = Engine(spark, str(tmp_path / "store"))
+    eng.load_graph("examples/retrieval_serving")
+    eng.seed_store(
+        "documents",
+        spark.read.parquet("/root/testdata/sf0.001/documents.parquet"),
+    )
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    eng.seed_store("embeddings", emb)
+    eng.run_graph()
+
+    dim = emb.select(F.size("embedding")).first()[0]
+    assert eng.table_df("quantizer").count() == dim
+    cells = eng.table_df("index_cells")
+    assert cells.count() == emb.count()
+    assert set(cells.columns) == {"vec_id", "cell", "codes"}
+    res = eng.table_df("results")
+    rows = res.orderBy("rank").collect()
+    assert len(rows) == 10
+    assert [r["rank"] for r in rows] == list(range(1, 11))
+    assert all(r["score"] > 0 for r in rows)
