@@ -208,3 +208,69 @@ def test_drev_revenue_sum_exact_across_engines(spark, pairs):
         Fraction(0),
     )
     assert got_spark == got_duck == float(exact)
+
+
+@settings(max_examples=5, deadline=None)
+@given(
+    st.lists(
+        st.integers(min_value=-(10**9), max_value=10**9),
+        min_size=1,
+        max_size=400,
+    )
+)
+def test_hll_spark_matches_python_model(spark, values):
+    """d25's exactness contract, property-tested beyond the fixed corpus:
+    Spark's distributed XXH64-TZ estimate equals pyoracle's independent
+    Python model bit-for-bit on arbitrary integer multisets."""
+    from basis_devkit_spark.operators.sketches import hll_distinct
+    from basis_devkit_spark.queries.pyoracle import _hll_est, xxh64_long
+
+    df = spark.createDataFrame([(int(v),) for v in values], "v bigint")
+    got = hll_distinct(df, "v", p=10).collect()[0]["est_distinct"]
+    want = _hll_est([xxh64_long(int(v), 42) for v in values], p=10)
+    assert got == want
+
+
+@settings(max_examples=5, deadline=None)
+@given(
+    st.lists(
+        st.sampled_from(["aa", "bb", "cc", "dd", "ee", "ff"]),
+        min_size=1,
+        max_size=300,
+    )
+)
+def test_cms_spark_matches_python_model(spark, values):
+    """d27's contract on arbitrary multisets: every probe's Spark
+    count-min estimate equals the Python cell model exactly, and is
+    >= the true count."""
+    from collections import Counter
+
+    from basis_devkit_spark.operators.sketches import cms_build, cms_estimate
+    from basis_devkit_spark.queries.pyoracle import (
+        to_signed,
+        xxh64_bytes,
+        xxh64_int,
+    )
+
+    width, depth = 1 << 8, 3
+    df = spark.createDataFrame([(v,) for v in values], "v string")
+    cms = cms_build(df, "v", width=width, depth=depth)
+    probes = df.distinct()
+    got = {
+        r["v"]: r["est_count"]
+        for r in cms_estimate(probes, cms, "v", width, depth).collect()
+    }
+    cells: dict = {}
+    for v in values:
+        base = xxh64_bytes(v.encode("utf-8"), 42)
+        for i in range(depth):
+            col = to_signed(xxh64_int(i, base)) % width
+            cells[(i, col)] = cells.get((i, col), 0) + 1
+    true = Counter(values)
+    for v in set(values):
+        base = xxh64_bytes(v.encode("utf-8"), 42)
+        want = min(
+            cells.get((i, to_signed(xxh64_int(i, base)) % width), 0)
+            for i in range(depth)
+        )
+        assert got[v] == want and got[v] >= true[v]
