@@ -168,6 +168,63 @@ def probe_sketches(spark) -> dict:
     return out
 
 
+def probe_bloom(spark) -> dict:
+    """d26's screening claim, measured: how many exploded corpus gram
+    rows survive the k=4 int-join bloom screen vs reach the exact string
+    join unscreened, and the filter's physical size vs the distinct
+    benchmark gram set it replaces as the first probe target."""
+    import time as _t
+
+    from pyspark.sql import functions as F
+
+    from basis_devkit_spark.operators.dedup import (
+        _bloom_screen,
+        bloom_build,
+        ngram_contamination,
+        ngram_contamination_bloom,
+        shingle_col,
+    )
+    from basis_devkit_spark.queries import load
+
+    d = load(spark, SF_DIR, "documents")
+    corpus = d.filter(F.col("doc_id") % 20 != 0)
+    bench = d.filter(F.col("doc_id") % 20 == 0)
+    c = corpus.select(
+        F.col("doc_id").alias("__id"),
+        F.explode(shingle_col("text", 8)).alias("__s"),
+    )
+    b_grams = bench.select(
+        F.explode(shingle_col("text", 8)).alias("__s")
+    ).distinct()
+    n_gram_rows = c.count()
+    n_bench = b_grams.count()
+    m_bits = 1 << 18
+    bloom = bloom_build(b_grams, "__s", m_bits, 4)
+    survivors = _bloom_screen(c, "__s", bloom, m_bits, 4).count()
+    bloom_words = bloom.count()
+    t0 = _t.perf_counter()
+    plain = ngram_contamination(corpus, bench, shingle_size=8).count()
+    t_plain = _t.perf_counter() - t0
+    t0 = _t.perf_counter()
+    bloomed = ngram_contamination_bloom(
+        corpus, bench, shingle_size=8, m_bits=m_bits, k=4
+    ).count()
+    t_bloom = _t.perf_counter() - t0
+    assert plain == bloomed
+    return {
+        "sf": SF_DIR,
+        "corpus_gram_rows": n_gram_rows,
+        "bench_distinct_grams": n_bench,
+        "bloom_words_64bit": bloom_words,
+        "bloom_bytes": bloom_words * 8,
+        "screen_survivor_rows": survivors,
+        "screen_drop_pct": round(100 * (1 - survivors / n_gram_rows), 2),
+        "plain_s": round(t_plain, 3),
+        "bloom_s": round(t_bloom, 3),
+        "results_equal": True,
+    }
+
+
 if __name__ == "__main__":
     which = sys.argv[1] if len(sys.argv) > 1 else "composed_ann"
     spark = get_spark()
@@ -177,5 +234,7 @@ if __name__ == "__main__":
         print(json.dumps(probe_lm_buckets(spark)))
     elif which == "sketches":
         print(json.dumps(probe_sketches(spark)))
+    elif which == "bloom":
+        print(json.dumps(probe_bloom(spark)))
     else:
         raise SystemExit(f"unknown probe {which}")
