@@ -274,3 +274,45 @@ def test_cms_spark_matches_python_model(spark, values):
             for i in range(depth)
         )
         assert got[v] == want and got[v] >= true[v]
+
+
+@settings(max_examples=6, deadline=None)
+@given(
+    st.lists(
+        st.lists(
+            st.sampled_from(["the", "cat", "sat", "on", "a", "mat", "dog"]),
+            min_size=2,
+            max_size=12,
+        ),
+        min_size=1,
+        max_size=10,
+    )
+)
+def test_bigram_lm_score_cross_engine_exact(spark, doc_tokens):
+    """The d19 integerize-before-reduce pipeline, fuzzed cross-engine:
+    random tiny corpora through Spark's bigram_lm_score and DuckDB's
+    shared CTE body must agree exactly (the accepted residual is a
+    ~3e-10/doc double-coincidence — effectively unobservable here; any
+    systematic dialect divergence in split/ln/floor would fail loudly)."""
+    import duckdb
+    import pandas as pd
+
+    from basis_devkit_spark.operators.text import bigram_lm_score
+    from basis_devkit_spark.queries.analytics import _bigram_lm_ctes
+
+    rows = [(i, " ".join(toks)) for i, toks in enumerate(doc_tokens)]
+    sdf = spark.createDataFrame(rows, "doc_id bigint, text string")
+    got = {
+        (r["doc_id"], r["n_bigrams"], r["lm_score"])
+        for r in bigram_lm_score(sdf).collect()
+    }
+    con = duckdb.connect()
+    con.register("documents", pd.DataFrame(rows, columns=["doc_id", "text"]))
+    want = {
+        (int(d), int(n), float(s))
+        for d, n, s in con.execute(
+            f"with {_bigram_lm_ctes()} select doc_id, n_bigrams, lm_score from lm"
+        ).fetchall()
+    }
+    con.close()
+    assert got == want
