@@ -36,13 +36,26 @@ def exact_dedup(
     keys: list[str],
     order_by: str | None = None,
     keep: str = "first",
+    unique_order: bool = False,
 ) -> DataFrame:
     """Exact dedup on ``keys``; with ``order_by``, keep the first/last row
     per key by that ordering (deterministic). Without it, an arbitrary
     single row per key (``dropDuplicates`` — one shuffle, map-side
-    partial aggregation)."""
+    partial aggregation).
+
+    ``unique_order=True`` is the 100 TB form when ``order_by`` is unique
+    within every key group (a row id): keep-first/last becomes a
+    map-side-combinable MIN/MAX aggregation + a semi-join on (keys,
+    extreme) — no per-key window, so a hot key (millions of identical
+    normalized texts in a real corpus) never serializes its whole
+    cluster through one window task. With ties in ``order_by`` it would
+    keep every tied row, hence opt-in."""
     if order_by is None:
         return df.dropDuplicates(keys)
+    if unique_order:
+        ext = (F.min if keep == "first" else F.max)(order_by).alias(order_by)
+        reps = df.groupBy(*keys).agg(ext)
+        return df.join(reps, [*keys, order_by], "left_semi")
     ob = F.col(order_by).asc() if keep == "first" else F.col(order_by).desc()
     w = Window.partitionBy(*keys).orderBy(ob)
     return (

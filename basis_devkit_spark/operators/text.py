@@ -617,7 +617,8 @@ def filter_corpus(
         from basis_devkit_spark.operators.dedup import exact_dedup
 
         out = exact_dedup(
-            out.withColumn("__h", F.md5(F.col(text_col))), ["__h"], order_by=id_col
+            out.withColumn("__h", F.md5(F.col(text_col))), ["__h"],
+            order_by=id_col, unique_order=True,
         ).drop("__h")
     return out
 
@@ -1264,7 +1265,9 @@ def quality_pipeline(
         F.col("passes_gopher")
     )
     d3 = normalize_text(d2, text_col)
-    d4 = exact_dedup(d3, ["norm_text"], order_by=id_col, keep="first")
+    d4 = exact_dedup(
+        d3, ["norm_text"], order_by=id_col, keep="first", unique_order=True
+    )
     survivors = d4.select(F.col(id_col), F.col(text_col))
     return lm_quality_buckets(survivors, id_col, text_col, n_buckets)
 

@@ -3034,3 +3034,29 @@ def test_pagerank_fixed_point_properties(spark):
         for x in pagerank_fixed_point(edges.repartition(7)).collect()
     }
     assert again == r
+
+
+def test_exact_dedup_unique_order_equals_window_form(spark):
+    """The agg+semi-join keep-first form must equal the window form when
+    the order column is unique per key group, and its plan must carry no
+    Window (the hot-key scale property)."""
+    from pyspark.sql import functions as F
+
+    from basis_devkit_spark.operators.dedup import exact_dedup
+
+    df = spark.createDataFrame(
+        [(i, f"k{i % 7}", f"v{i}") for i in range(200)],
+        "rid int, k string, v string",
+    )
+    key = lambda rows: sorted((r["rid"], r["k"], r["v"]) for r in rows)
+    for keep in ("first", "last"):
+        a = exact_dedup(df, ["k"], order_by="rid", keep=keep).collect()
+        b = exact_dedup(
+            df, ["k"], order_by="rid", keep=keep, unique_order=True
+        ).collect()
+        assert key(a) == key(b) and len(a) == 7
+    plan = (
+        exact_dedup(df, ["k"], order_by="rid", unique_order=True)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Window" not in plan
