@@ -1193,3 +1193,251 @@ def ivf_quantized_topk_indexed(
     return _topk_by_query(
         rescored.select("query_id", "match_id", score.alias("score")), k
     )
+
+
+# ------------------------------------------------------ product quantization
+# PQ-ADC ANN (D40): the vector is split into `m` subspaces; each subspace
+# is coded against a `ksub`-entry codebook, so a corpus row's coarse
+# representation is `m` small ints (m bytes at ksub<=256) instead of
+# `dim` floats — 32x fewer coarse-scan bytes than float32 at
+# dim=64/m=8. Queries never encode: they build an ADC (asymmetric
+# distance computation) lookup table of query-subvector <-> codeword
+# distances, INTEGERIZED (floor(d2 * 1e6) as long) so the coarse score
+# is an exact integer sum — bit-identical under any partitioning and
+# exactly modelable in the pyoracle (the same contract as d16's
+# centered-code dot). Reference parity: mirrors the reference's ANN
+# surface (basis-devkit patterns/vector; cf. VERDICT coverage D24-D30) —
+# re-expressed as broadcast-relation joins + two-phase top-k.
+#
+# The codebook is a seed-vector quantizer (the first `ksub` corpus rows
+# by id, sliced per subspace) — the same deterministic-fit contract as
+# ivf_topk's seed-vector coarse quantizer (d03c), chosen so the FIT
+# itself is exactly reproducible cross-engine; swap in per-subspace
+# k-means offline for better recall (the plumbing is codebook-agnostic:
+# any (sub, code, cw) relation works).
+
+
+def _l2sq_col(a: Column, b: Column) -> Column:
+    """Left-to-right fold of sum((a-b)^2) in double — IEEE-elementwise in
+    array order, so a Python loop with the same order is bit-identical."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0).cast("double"),
+        lambda acc, v: acc + v,
+    )
+
+
+def fit_pq_codebook(
+    corpus: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    m: int = 8,
+    ksub: int = 16,
+) -> DataFrame:
+    """Deterministic PQ codebook: ``(sub int, code int, cw array<double>)``
+    — ``m × ksub`` rows, a persistable build-once artifact (store next to
+    the codes relation; re-fit only on corpus drift).
+
+    Codewords for every subspace come from the first ``ksub`` corpus
+    vectors in ``id_col`` order (TakeOrdered — bounded driver-free fetch),
+    sliced into ``m`` equal sub-vectors; ``code`` is the vector's rank in
+    that id order. min/TakeOrdered + slicing are order-independent /
+    exactly reproducible, so the fit has no RNG or float-fold caveats."""
+    vecd = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    seeds = (
+        corpus.select(F.col(id_col).alias("__i"), vecd.alias("__v"))
+        .orderBy("__i")
+        .limit(ksub)
+    )
+    packed = seeds.groupBy().agg(
+        F.array_sort(F.collect_list(F.struct("__i", "__v"))).alias("__s")
+    )
+    dim_ok = F.size(F.col("__fv")) % m == 0
+    guard = F.assert_true(
+        dim_ok,
+        F.concat(
+            F.lit("fit_pq_codebook: dimension "),
+            F.size(F.col("__fv")).cast("string"),
+            F.lit(f" not divisible by m={m}"),
+        ),
+    )
+    subdim = (F.size(F.col("__fv")) / m).cast("int")
+    return (
+        packed.select(F.posexplode("__s").alias("code", "__sv"))
+        .select("code", F.col("__sv.__v").alias("__fv"))
+        .withColumn("sub", F.explode(F.sequence(F.lit(0), F.lit(m - 1))))
+        .select(
+            "sub",
+            "code",
+            F.when(
+                guard.isNull(), F.slice(F.col("__fv"), F.col("sub") * subdim + 1, subdim)
+            ).alias("cw"),
+        )
+    )
+
+
+def _packed_pq(codebook: DataFrame) -> DataFrame:
+    """Fold the codebook into ONE broadcastable row ``(__ck=0, __cb =
+    array<array<double>> ordered by (sub, code) — flat index sub*ksub +
+    code)``. Codewords ride as relation data, not plan literals, so plan
+    size stays flat in m × ksub (the same contract as
+    :func:`_packed_quantizer`); the join key is derived from a nullable
+    data access so Catalyst keeps a live equi key (BroadcastHashJoin,
+    never a degenerate nested loop)."""
+    packed = codebook.groupBy().agg(
+        F.array_sort(F.collect_list(F.struct("sub", "code", "cw"))).alias("__q")
+    )
+    return packed.select(
+        F.coalesce(F.col("__q")[0]["sub"] * 0, F.lit(0)).alias("__ck"),
+        F.transform("__q", lambda s: s.getField("cw")).alias("__cb"),
+    )
+
+
+def pq_encode(
+    df: DataFrame,
+    codebook: DataFrame,
+    vec_col: str = "embedding",
+    out_col: str = "pq_codes",
+    m: int = 8,
+    ksub: int = 16,
+) -> DataFrame:
+    """Attach ``out_col`` = PQ codes (``array<int>`` of length ``m``):
+    per subspace, the argmin-L2 codeword index (first/lowest code wins
+    ties). All arithmetic is IEEE double in fixed array order — the
+    numpy/Python model reproduces codes exactly. The codebook attaches
+    via a one-row broadcast hash join; encoding is a pure projection
+    (no shuffle of ``df``)."""
+    vecd = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    subdim = F.size(F.element_at(F.col("__cb"), 1))
+    dim_ok = F.col(vec_col).isNull() | (F.size(F.col(vec_col)) == subdim * m)
+    guard = F.assert_true(
+        dim_ok,
+        F.concat(
+            F.lit("pq_encode: vector length "),
+            F.size(F.col(vec_col)).cast("string"),
+            F.lit(" != fitted dimension "),
+            (subdim * m).cast("string"),
+        ),
+    )
+    codes = F.transform(
+        F.sequence(F.lit(0), F.lit(m - 1)),
+        lambda s: (
+            F.array_position(
+                F.transform(
+                    F.sequence(F.lit(0), F.lit(ksub - 1)),
+                    lambda c: _l2sq_col(
+                        F.slice(vecd, s * subdim + 1, subdim),
+                        F.element_at(F.col("__cb"), s * ksub + c + 1),
+                    ),
+                ),
+                F.array_min(
+                    F.transform(
+                        F.sequence(F.lit(0), F.lit(ksub - 1)),
+                        lambda c: _l2sq_col(
+                            F.slice(vecd, s * subdim + 1, subdim),
+                            F.element_at(F.col("__cb"), s * ksub + c + 1),
+                        ),
+                    )
+                ),
+            )
+            - 1
+        ).cast("int"),
+    )
+    ck = F.coalesce(F.size(F.col(vec_col)) * 0, F.lit(0))
+    out = F.when(
+        guard.isNull() & F.col(vec_col).isNotNull(), codes
+    )  # null vector -> null codes (not an array of nulls)
+    return (
+        df.withColumn("__ck", ck)
+        .join(F.broadcast(_packed_pq(codebook)), "__ck")
+        .withColumn(out_col, out)
+        .drop("__ck", "__cb")
+    )
+
+
+_PQ_LUT_SCALE = 1_000_000.0
+
+
+def pq_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    k: int = 5,
+    m: int = 8,
+    ksub: int = 16,
+    refine: int = 4,
+    codebook: DataFrame | None = None,
+    codes: DataFrame | None = None,
+    score_round: int | None = 4,
+) -> DataFrame:
+    """PQ-ADC ANN top-k: ``(query_id, match_id, score, rank)``.
+
+    Phase 1 (coarse, integer ADC): the corpus rides as ``m`` small-int
+    codes; each query broadcasts its integerized LUT (``m × ksub`` longs:
+    ``floor(l2²(query_sub, codeword) · 1e6)``) and the coarse distance is
+    the exact-integer sum of ``m`` LUT hits — no per-row float work, no
+    square roots, bit-identical under any partitioning. Candidates = top
+    ``k × refine`` per query by (distance asc, match_id asc) via the
+    map-side two-phase top-k. Phase 2: float cosine rescore on candidates
+    only, rounded to ``score_round`` before the final rank. Self-matches
+    excluded.
+
+    Pass persisted ``codebook`` (from :func:`fit_pq_codebook`) and/or
+    ``codes`` (``(id_col, pq_codes)`` from :func:`pq_encode`) for the
+    build-once/query-many path — the 100 TB layout stores codes beside
+    the vectors and re-reads only the ``m``-byte codes on the coarse
+    scan (dim×4 → m bytes, 32× fewer at dim=64/m=8)."""
+    if codebook is None:
+        codebook = fit_pq_codebook(corpus, vec_col, id_col, m, ksub)
+    if codes is None:
+        codes = pq_encode(
+            corpus.select(F.col(id_col), vec_col), codebook, vec_col, "pq_codes",
+            m, ksub,
+        ).select(id_col, "pq_codes")
+    cc = codes.select(
+        F.col(id_col).alias("match_id"), F.col("pq_codes").alias("__cc")
+    )
+    vecd = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    subdim = F.size(F.element_at(F.col("__cb"), 1))
+    lut = F.transform(
+        F.sequence(F.lit(0), F.lit(m * ksub - 1)),
+        lambda i: F.floor(
+            _l2sq_col(
+                F.slice(
+                    vecd,
+                    F.floor(i / F.lit(ksub)).cast("int") * subdim + 1,
+                    subdim,
+                ),
+                F.element_at(F.col("__cb"), i + 1),
+            )
+            * F.lit(_PQ_LUT_SCALE)
+        ).cast("long"),
+    )
+    ck = F.coalesce(F.size(F.col(vec_col)) * 0, F.lit(0))
+    ql = (
+        queries.select(F.col(id_col).alias("query_id"), vec_col)
+        .withColumn("__ck", ck)
+        .join(F.broadcast(_packed_pq(codebook)), "__ck")
+        .select("query_id", lut.alias("__lut"))
+    )
+    hits = F.transform(
+        F.col("__cc"),
+        lambda c, s: F.element_at(F.col("__lut"), s * F.lit(ksub) + c + 1),
+    )
+    dist = F.aggregate(hits, F.lit(0).cast("long"), lambda acc, v: acc + v)
+    coarse = (
+        cc.crossJoin(F.broadcast(ql))
+        .filter(F.col("query_id") != F.col("match_id"))
+        .select("query_id", "match_id", (-dist).cast("double").alias("score"))
+    )
+    cand = _topk_by_query(coarse, k * refine).select("query_id", "match_id")
+    qv = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qv"))
+    cv = corpus.select(F.col(id_col).alias("match_id"), F.col(vec_col).alias("__cv"))
+    rescored = cv.join(F.broadcast(cand.join(qv, "query_id")), "match_id")
+    score = cosine_similarity_col(F.col("__qv"), F.col("__cv"))
+    if score_round is not None:
+        score = F.round(score, score_round)
+    return _topk_by_query(
+        rescored.select("query_id", "match_id", score.alias("score")), k
+    )

@@ -4017,3 +4017,31 @@ def d25(spark: SparkSession, sf: str) -> DataFrame:
         )
     )
     return part1.unionByName(part2)
+
+
+@register(
+    "d29_pq_topk",
+    pyoracle.pq_ann_sql,
+    doc="product-quantization ADC ANN top-5 (queries = vec_id < 30, corpus "
+    "= all): deterministic seed-vector codebook (first ksub=16 ids, m=8 "
+    "subspaces — a bounded TakeOrdered fit, no RNG), corpus coded to m "
+    "small ints via argmin-L2 against the one-row broadcast codebook "
+    "relation, coarse candidates = top k*refine per query by the EXACT-"
+    "INTEGER sum of integerized ADC LUT hits (floor(l2^2 * 1e6) longs — "
+    "associative, bit-identical under any partitioning), float cosine "
+    "rescore on candidates only, 4dp-rounded before the final rank. The "
+    "candidate set itself is exactly modeled in Python "
+    "(pyoracle.pq_ann_candidates); DuckDB does the float rescore. The "
+    "100 TB shape: the coarse scan reads m=8 ints per row instead of 64 "
+    "floats (~32x fewer bytes than float32), queries ship only their "
+    "m*ksub-long LUTs, and float vectors are read for |queries| x k x "
+    "refine candidate rows",
+)
+def d29(spark: SparkSession, sf: str) -> DataFrame:
+    from basis_devkit_spark.operators.similarity import pq_topk
+
+    emb = load(spark, sf, "embeddings")
+    q = emb.filter(F.col("vec_id") < 30)
+    return pq_topk(q, emb, k=5, m=8, ksub=16, refine=4, score_round=4).select(
+        "query_id", "match_id", "score", "rank"
+    )

@@ -1117,3 +1117,107 @@ def pagerank_sql() -> str:
     select node, cast(rank_scaled as bigint) as rank_scaled
     from (values {vals}) t(node, rank_scaled)
     """
+
+
+# ------------------------------------------------- PQ-ADC ANN top-k (d29)
+@lru_cache(maxsize=2)
+def pq_ann_candidates(
+    sf_dir: str,
+    k: int = 5,
+    refine: int = 4,
+    query_max_id: int = 30,
+    m: int = 8,
+    ksub: int = 16,
+) -> tuple[tuple[int, int], ...]:
+    """(query_id, match_id) coarse candidates of the PQ-ADC ANN (queries =
+    vec_id < query_max_id, corpus = everything). Model of
+    ``operators.similarity.pq_topk``'s integer coarse pass:
+
+    - codebook: the first ``ksub`` corpus vectors by id, cast to double,
+      sliced into ``m`` subspaces (seed-vector fit — no RNG, no floats
+      folded across rows);
+    - corpus codes: per subspace, argmin L2² codeword (left-to-right
+      double fold, exactly Spark's ``aggregate`` order; lowest code wins
+      ties via first-occurrence ``index(min)``);
+    - query LUTs: ``floor(l2²(query_sub, codeword) * 1e6)`` as int64 —
+      the SAME doubles Spark computes, so the integerization agrees
+      bit-for-bit;
+    - coarse distance = exact-integer sum of the ``m`` LUT hits; top
+      ``k*refine`` per query by (distance asc, match_id asc), self
+      excluded.
+
+    The integer coarse pass makes the CANDIDATE SET exactly modelable,
+    like d16's centered-code dot — only the float rescore is delegated
+    to DuckDB (round-before-rank)."""
+    import math
+
+    ids, mat = _embeddings(sf_dir)
+    dim = mat.shape[1]
+    subdim = dim // m
+    vecs = [[float(x) for x in row] for row in mat]
+
+    def l2sq(a, b):
+        d = 0.0
+        for x, y in zip(a, b):
+            t = (x - y) * (x - y)
+            d = d + t
+        return d
+
+    seeds = vecs[:ksub]  # ids are sorted ascending in _embeddings
+
+    def sub(v, s):
+        return v[s * subdim : (s + 1) * subdim]
+
+    codes = []
+    for v in vecs:
+        row = []
+        for s in range(m):
+            dists = [l2sq(sub(v, s), sub(seeds[c], s)) for c in range(ksub)]
+            row.append(dists.index(min(dists)))
+        codes.append(row)
+
+    cands: list[tuple[int, int]] = []
+    for qi, qid in enumerate(ids):
+        if qid >= query_max_id:
+            continue
+        q = vecs[qi]
+        lut = [
+            [
+                int(math.floor(l2sq(sub(q, s), sub(seeds[c], s)) * 1_000_000.0))
+                for c in range(ksub)
+            ]
+            for s in range(m)
+        ]
+        scored = sorted(
+            (sum(lut[s][codes[ci][s]] for s in range(m)), int(mid))
+            for ci, mid in enumerate(ids)
+            if int(mid) != qid
+        )[: k * refine]
+        cands.extend((qid, mid) for _, mid in scored)
+    return tuple(sorted(cands))
+
+
+def pq_ann_sql(k: int = 5) -> str:
+    cands = pq_ann_candidates(oracle_sf_dir())
+    vals = ", ".join(f"({q}, {m_})" for q, m_ in cands)
+    # Candidates from the exact-integer ADC coarse pass (modeled above);
+    # DuckDB performs only the float rescore — rounded to 4dp BEFORE
+    # ranking, mirroring the declared query's score_round=4.
+    return f"""
+    with cand(query_id, match_id) as (values {vals}),
+    scored as (
+      select c.query_id::BIGINT as query_id, c.match_id::BIGINT as match_id,
+             round(list_cosine_similarity(
+               list_transform(q.embedding, x -> cast(x as double)),
+               list_transform(m.embedding, x -> cast(x as double))), 4) as score
+      from cand c
+      join embeddings q on q.vec_id = c.query_id
+      join embeddings m on m.vec_id = c.match_id
+    ), ranked as (
+      select query_id, match_id, score,
+             row_number() over (partition by query_id
+                                order by score desc, match_id) as rank
+      from scored)
+    select query_id, match_id, score, rank
+    from ranked where rank <= {k}
+    """

@@ -2699,6 +2699,155 @@ def test_quantize_codes_dimension_mismatch_raises(spark, emb):
     assert rows[0] is None and rows[1] is not None
 
 
+# --------------------------------------------- product quantization (d29)
+
+
+def test_pq_full_refine_equals_brute_force(spark, emb):
+    """With k*refine >= |corpus| the ADC coarse pass keeps EVERY corpus
+    row as a candidate, so the rescore is a full exact-cosine scan — the
+    result must be byte-identical to brute_force_topk (same unrounded
+    scores, same (score desc, match_id) tie-breaks). This pins the whole
+    pipeline: any encode/LUT/ranking defect shows up as a diff."""
+    from pyspark.sql import functions as F
+
+    from basis_devkit_spark.operators.similarity import brute_force_topk, pq_topk
+
+    q = emb.filter(F.col("vec_id") < 20)
+    key = lambda rows: sorted(
+        (r["query_id"], r["match_id"], r["score"], r["rank"]) for r in rows
+    )
+    full = pq_topk(
+        q, emb, k=5, m=8, ksub=16, refine=100, score_round=None
+    ).collect()
+    assert key(full) == key(brute_force_topk(q, emb, k=5).collect())
+
+
+def test_pq_encode_matches_python_model(spark, emb):
+    """Cross-engine determinism of the codes: the left-to-right double
+    fold + first-min argmin in pure Python reproduces every Spark code
+    exactly — the property the d29 oracle's candidate model rests on."""
+    from pyspark.sql import functions as F
+
+    from basis_devkit_spark.operators.similarity import fit_pq_codebook, pq_encode
+
+    m, ksub = 8, 16
+    cb = fit_pq_codebook(emb, m=m, ksub=ksub)
+    got = {
+        r["vec_id"]: list(r["pq_codes"])
+        for r in pq_encode(emb, cb, m=m, ksub=ksub).select(
+            "vec_id", "pq_codes"
+        ).collect()
+    }
+    rows = sorted(
+        (r["vec_id"], [float(x) for x in r["embedding"]])
+        for r in emb.select("vec_id", "embedding").collect()
+    )
+    vecs = {i: v for i, v in rows}
+    dim = len(rows[0][1])
+    subdim = dim // m
+    seeds = [v for _, v in rows[:ksub]]
+
+    def l2sq(a, b):
+        d = 0.0
+        for x, y in zip(a, b):
+            t = (x - y) * (x - y)
+            d = d + t
+        return d
+
+    for vid, v in vecs.items():
+        model = []
+        for s in range(m):
+            sub = v[s * subdim : (s + 1) * subdim]
+            dists = [
+                l2sq(sub, seeds[c][s * subdim : (s + 1) * subdim])
+                for c in range(ksub)
+            ]
+            model.append(dists.index(min(dists)))
+        assert got[vid] == model, vid
+
+
+def test_pq_topk_recall_and_artifacts(spark, emb):
+    """Moderate-refine recall vs exact brute force is useful and improves
+    with refine, and the build-once path (persisted codebook + persisted
+    codes relation) is byte-identical to the inline fit."""
+    from pyspark.sql import functions as F
+
+    from basis_devkit_spark.operators.similarity import (
+        brute_force_topk,
+        fit_pq_codebook,
+        pq_encode,
+        pq_topk,
+    )
+
+    q = emb.filter(F.col("vec_id") < 20)
+    bf = {
+        (r["query_id"], r["match_id"])
+        for r in brute_force_topk(q, emb, k=5).collect()
+    }
+
+    def recall(refine):
+        got = {
+            (r["query_id"], r["match_id"])
+            for r in pq_topk(q, emb, k=5, m=8, ksub=16, refine=refine).collect()
+        }
+        return len(bf & got) / len(bf)
+
+    r4, r8 = recall(4), recall(8)
+    assert r4 >= 0.4 and r8 >= r4 and r8 >= 0.6, (r4, r8)
+    cb = fit_pq_codebook(emb, m=8, ksub=16)
+    codes = pq_encode(emb, cb, m=8, ksub=16).select("vec_id", "pq_codes")
+    key = lambda rows: sorted(
+        (r["query_id"], r["match_id"], r["score"], r["rank"]) for r in rows
+    )
+    assert key(
+        pq_topk(q, emb, k=5, m=8, ksub=16, refine=4, codebook=cb, codes=codes).collect()
+    ) == key(pq_topk(q, emb, k=5, m=8, ksub=16, refine=4).collect())
+
+
+def test_pq_topk_plan_shape(spark, emb):
+    """Scale gates: no Window (two-phase top-k only); the codebook
+    attaches via one-row broadcast HASH joins (codewords ride as relation
+    data, not plan literals); the ONLY nested-loop join is the documented
+    coarse broadcast-queries cross scan against the m-int code relation."""
+    from pyspark.sql import functions as F
+
+    from basis_devkit_spark.operators.similarity import pq_topk
+
+    q = emb.filter(F.col("vec_id") < 20)
+    plan = (
+        pq_topk(q, emb, k=5, m=8, ksub=16, refine=4)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Window" not in plan
+    assert "BroadcastHashJoin" in plan
+    bnlj = [ln for ln in plan.splitlines() if "BroadcastNestedLoopJoin" in ln]
+    assert len(bnlj) == 1 and "Cross" in bnlj[0], bnlj
+
+
+def test_pq_encode_dimension_mismatch_raises(spark, emb):
+    """Mis-dimensioned vectors fail fast (assert_true inside the codes
+    expression), mirroring quantize_codes' guard; null vectors pass
+    through as null codes."""
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from basis_devkit_spark.operators.similarity import fit_pq_codebook, pq_encode
+
+    cb = fit_pq_codebook(emb, m=8, ksub=16)
+    bad = emb.withColumn("embedding", F.slice("embedding", 1, 3))
+    with _pytest.raises(Exception, match="pq_encode"):
+        pq_encode(bad, cb, m=8, ksub=16).collect()
+    nulled = emb.withColumn(
+        "embedding",
+        F.when(F.col("vec_id") == 0, F.lit(None)).otherwise(F.col("embedding")),
+    )
+    rows = {
+        r["vec_id"]: r["pq_codes"]
+        for r in pq_encode(nulled, cb, m=8, ksub=16).collect()
+    }
+    assert rows[0] is None and rows[1] is not None
+
+
 def test_minhash_materialized_cache_release(spark, docs):
     """Materialized-mode calls cache signature frames the returned plan
     reads through; release_signature_caches frees them (2 when the
