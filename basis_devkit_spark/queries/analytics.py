@@ -4045,3 +4045,32 @@ def d29(spark: SparkSession, sf: str) -> DataFrame:
     return pq_topk(q, emb, k=5, m=8, ksub=16, refine=4, score_round=4).select(
         "query_id", "match_id", "score", "rank"
     )
+
+
+@register(
+    "d30_bpe_learn_merges",
+    pyoracle.bpe_merges_sql,
+    doc="BPE vocabulary induction (Sennrich-style merge learning) on the "
+    "documents corpus: ONE corpus scan builds the distinct-word frequency "
+    "relation; each of the 8 merge rounds is a single vocabulary-sized "
+    "hash agg (adjacent symbol pairs weighted by word count, exact "
+    "integer sums) + a bounded one-row top-pair fetch (count desc, pair "
+    "asc) + a pure-projection greedy merge rewrite. Entirely integer/"
+    "string arithmetic — the learned merge table is exactly reproducible "
+    "by the Python model (pyoracle.bpe_merges_model), the same literal-"
+    "table oracle contract as d28. The 100 TB shape: iteration state is "
+    "the distinct-word relation (millions of rows), never the corpus "
+    "(trillions of tokens); exactly one vocabulary-sized frame stays "
+    "pinned across rounds",
+)
+def d30(spark: SparkSession, sf: str) -> DataFrame:
+    from basis_devkit_spark.operators.bpe import bpe_learn_merges
+
+    docs = load(spark, sf, "documents")
+    return bpe_learn_merges(docs, "text", num_merges=8).select(
+        "merge_rank",
+        F.col("left").alias("left_sym"),
+        F.col("right").alias("right_sym"),
+        "merged",
+        "pair_count",
+    )

@@ -1221,3 +1221,65 @@ def pq_ann_sql(k: int = 5) -> str:
     select query_id, match_id, score, rank
     from ranked where rank <= {k}
     """
+
+
+# --------------------------------------------- BPE merge learning (d30)
+@lru_cache(maxsize=2)
+def bpe_merges_model(
+    sf_dir: str, num_merges: int = 8
+) -> tuple[tuple[int, str, str, str, int], ...]:
+    """Model of ``operators.bpe.bpe_learn_merges`` over the documents
+    table: whitespace-lowered word frequencies, then ``num_merges``
+    rounds of (integer pair-count sum → top pair by (count desc, pair
+    asc) → greedy left-to-right merge rewrite). Entirely integer
+    arithmetic — no float/fold-order caveats — so the learned merge
+    table is exactly reproducible cross-engine."""
+    import collections
+
+    docs = _documents(sf_dir)
+    wc: collections.Counter = collections.Counter()
+    for _, text in docs:
+        for w in _WS.split((text or "").lower()):
+            if w:
+                wc[w] += 1
+    vocab = {tuple(list(w) + ["</w>"]): c for w, c in wc.items()}
+    merges: list[tuple[int, str, str, str, int]] = []
+    for r in range(num_merges):
+        pc: collections.Counter = collections.Counter()
+        for syms, c in vocab.items():
+            for i in range(len(syms) - 1):
+                pc[(syms[i], syms[i + 1])] += c
+        if not pc:
+            break
+        (left, right), cnt = min(pc.items(), key=lambda kv: (-kv[1], kv[0]))
+        merges.append((r, left, right, left + right, int(cnt)))
+        nxt: dict[tuple[str, ...], int] = {}
+        for syms, c in vocab.items():
+            out: list[str] = []
+            for x in syms:
+                if out and out[-1] == left and x == right:
+                    out[-1] = left + right
+                else:
+                    out.append(x)
+            key = tuple(out)
+            nxt[key] = nxt.get(key, 0) + c
+        vocab = nxt
+    return tuple(merges)
+
+
+def bpe_merges_sql(num_merges: int = 8) -> str:
+    rows = bpe_merges_model(oracle_sf_dir(), num_merges)
+
+    def q(s: str) -> str:
+        return "'" + s.replace("'", "''") + "'"
+
+    vals = ", ".join(
+        f"({r}, {q(l)}, {q(rr)}, {q(m)}, {c})" for r, l, rr, m, c in rows
+    )
+    # The whole computation is integer/string — the Python model IS the
+    # oracle (same contract as d28's fixed-point pagerank literal table).
+    return f"""
+    select cast(merge_rank as int) as merge_rank, left_sym, right_sym,
+           merged, cast(pair_count as bigint) as pair_count
+    from (values {vals}) t(merge_rank, left_sym, right_sym, merged, pair_count)
+    """

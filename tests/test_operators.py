@@ -3209,3 +3209,85 @@ def test_exact_dedup_unique_order_equals_window_form(spark):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "Window" not in plan
+
+
+# ------------------------------------------------- BPE induction (d30)
+
+
+def test_bpe_apply_greedy_fold_semantics(spark):
+    """One round merges left-to-right without re-merging its own output:
+    pair (a,a) over 'aaa' yields [aa, a, </w>], and a rank-ordered table
+    applies merges in sequence (chars -> 'ab' -> 'ab</w>')."""
+    from basis_devkit_spark.operators.bpe import bpe_apply
+
+    mt = spark.createDataFrame(
+        [(0, "a", "a", "aa", 9)],
+        "merge_rank int, left string, right string, merged string, pair_count long",
+    )
+    df = spark.createDataFrame([("aaa",)], "text string")
+    [row] = bpe_apply(df, mt).collect()
+    assert list(row["bpe_tokens"]) == ["aa", "a", "</w>"]
+    mt2 = spark.createDataFrame(
+        [(0, "a", "b", "ab", 9), (1, "ab", "</w>", "ab</w>", 9)],
+        "merge_rank int, left string, right string, merged string, pair_count long",
+    )
+    df2 = spark.createDataFrame([("ab ba",)], "text string")
+    [row2] = bpe_apply(df2, mt2).collect()
+    assert list(row2["bpe_tokens"]) == ["ab</w>", "b", "a", "</w>"]
+
+
+def test_bpe_learn_deterministic_and_artifact_path(spark, docs):
+    """Learned merges are invariant under corpus repartitioning (integer
+    pair sums are associative), and the precomputed-words build-once path
+    returns the identical table."""
+    from basis_devkit_spark.operators.bpe import _word_weights, bpe_learn_merges
+
+    key = lambda df: [tuple(r) for r in df.orderBy("merge_rank").collect()]
+    base = key(bpe_learn_merges(docs, "text", num_merges=5))
+    assert len(base) == 5
+    repart = key(bpe_learn_merges(docs.repartition(13), "text", num_merges=5))
+    assert base == repart
+    words = _word_weights(docs, "text")
+    assert base == key(bpe_learn_merges(docs, "text", num_merges=5, words=words))
+
+
+def test_bpe_apply_uses_learned_merges(spark, docs):
+    """Applying the learned table actually compresses: token count per
+    doc is strictly below the char+EOW count, and every emitted
+    multi-char token (sans EOW) is a learned merge product."""
+    from pyspark.sql import functions as F
+
+    from basis_devkit_spark.operators.bpe import bpe_learn_merges, bpe_apply
+
+    mt = bpe_learn_merges(docs, "text", num_merges=6)
+    learned = {r["merged"] for r in mt.collect()}
+    sample = docs.orderBy("doc_id").limit(20)
+    out = bpe_apply(sample, mt)
+    rows = out.select("doc_id", "bpe_tokens").collect()
+    assert rows
+    seen_merged = set()
+    for r in rows:
+        toks = list(r["bpe_tokens"])
+        for t in toks:
+            base = t[:-4] if t.endswith("</w>") else t
+            if len(t) > 1 and t != "</w>":
+                assert t in learned or (len(base) <= 1 and t.endswith("</w>")), t
+            if t in learned:
+                seen_merged.add(t)
+    assert seen_merged  # merges really fire on real text
+
+
+def test_bpe_apply_plan_is_pure_projection(spark, docs):
+    """Tokenization with a learned table is shuffle-free: the apply plan
+    contains no Exchange, no Window, no UDF eval — it composes with
+    downstream packing at any scale."""
+    from basis_devkit_spark.operators.bpe import bpe_learn_merges, bpe_apply
+
+    mt = bpe_learn_merges(docs, "text", num_merges=3)
+    plan = (
+        bpe_apply(docs, mt)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Exchange" not in plan
+    assert "Window" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
