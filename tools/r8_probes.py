@@ -225,6 +225,125 @@ def probe_bloom(spark) -> dict:
     }
 
 
+def probe_pq(spark) -> dict:
+    """d29 PQ-ADC: (a) coarse-artifact bytes — the persisted codes
+    relation vs the float vectors it replaces on the coarse scan; (b)
+    corpus-scale wall — coarse+rescore at 1× vs 16× corpus (new ids, same
+    queries): linear is the pass grade; (c) result invariance — the 1×
+    answer is byte-identical under repartitioning (integer coarse pass),
+    and every 1× candidate's integer distance is unchanged by the 16×
+    blow-up (scores are per-pair, corpus-size-independent)."""
+    import shutil
+    import tempfile
+
+    from basis_devkit_spark.operators.similarity import (
+        fit_pq_codebook,
+        pq_encode,
+        pq_topk,
+    )
+
+    emb = load(spark, SF_DIR, "embeddings")
+    q = emb.filter(F.col("vec_id") < 30)
+    cb = fit_pq_codebook(emb, m=8, ksub=16)
+    tmp = tempfile.mkdtemp(prefix="pq_probe_")
+    try:
+        emb.select("vec_id", "embedding").write.mode("overwrite").parquet(
+            f"{tmp}/floats"
+        )
+        pq_encode(emb, cb, m=8, ksub=16).select("vec_id", "pq_codes").write.mode(
+            "overwrite"
+        ).parquet(f"{tmp}/codes")
+
+        def du(p):
+            return sum(
+                os.path.getsize(os.path.join(r, f))
+                for r, _, fs in os.walk(p)
+                for f in fs
+                if f.endswith(".parquet")
+            )
+
+        bytes_floats, bytes_codes = du(f"{tmp}/floats"), du(f"{tmp}/codes")
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+    key = lambda rows: sorted(
+        (r["query_id"], r["match_id"], r["score"], r["rank"]) for r in rows
+    )
+    base = pq_topk(q, emb, k=5, m=8, ksub=16, refine=4).collect()
+    repart = pq_topk(
+        q, emb.repartition(13), k=5, m=8, ksub=16, refine=4
+    ).collect()
+    invariant = key(base) == key(repart)
+    wall_1x = _med(lambda: pq_topk(q, emb, k=5, m=8, ksub=16, refine=4).count())
+    n = emb.count()
+    big = emb
+    for i in range(1, 16):
+        big = big.unionByName(
+            emb.withColumn("vec_id", F.col("vec_id") + F.lit(i * n))
+        )
+    big = big.repartition(32).persist()
+    big.count()
+    try:
+        wall_16x = _med(
+            lambda: pq_topk(q, big, k=5, m=8, ksub=16, codebook=cb, refine=4).count(),
+            n=3,
+        )
+    finally:
+        big.unpersist()
+    return {
+        "probe": "pq",
+        "sf_dir": SF_DIR,
+        "corpus_rows": n,
+        "bytes_float_vectors": bytes_floats,
+        "bytes_pq_codes": bytes_codes,
+        "bytes_ratio": round(bytes_floats / max(bytes_codes, 1), 2),
+        "wall_1x_s": wall_1x,
+        "wall_16x_s": wall_16x,
+        "scale_ratio_16x": round(wall_16x / wall_1x, 2),
+        "repartition_invariant": invariant,
+    }
+
+
+def probe_bpe(spark) -> dict:
+    """d30 BPE: the iteration state is the distinct-word relation, not
+    the corpus — report corpus tokens vs distinct words at two scales
+    (the vocab-bounded claim), and the duplication invariance: a 2×
+    corpus (every doc twice) must learn the IDENTICAL merge sequence
+    with exactly doubled pair counts (pure-integer pipeline)."""
+    from basis_devkit_spark.operators.bpe import _word_weights, bpe_learn_merges
+
+    out: dict = {"probe": "bpe"}
+    for sf in ("/root/testdata/sf0.01", SF_DIR):
+        docs = load(spark, sf, "documents")
+        words = _word_weights(docs, "text").persist()
+        n_words = words.count()
+        n_tokens = int(words.agg(F.sum("weight")).collect()[0][0])
+        t0 = time.perf_counter()
+        merges = bpe_learn_merges(docs, "text", num_merges=8, words=words)
+        rows = merges.collect()
+        wall = round(time.perf_counter() - t0, 3)
+        words.unpersist()
+        tag = sf.rsplit("sf", 1)[1]
+        out[f"sf{tag}"] = {
+            "corpus_tokens": n_tokens,
+            "distinct_words": n_words,
+            "vocab_fraction": round(n_words / n_tokens, 4),
+            "wall_8_merges_s": wall,
+        }
+    docs = load(spark, SF_DIR, "documents")
+    doubled = docs.unionByName(
+        docs.withColumn("doc_id", F.col("doc_id") + F.lit(10_000_000))
+    )
+    m1 = [tuple(r) for r in bpe_learn_merges(docs, "text", num_merges=8).collect()]
+    m2 = [
+        tuple(r) for r in bpe_learn_merges(doubled, "text", num_merges=8).collect()
+    ]
+    out["duplication_invariant"] = all(
+        a[:4] == b[:4] and b[4] == 2 * a[4] for a, b in zip(m1, m2)
+    ) and len(m1) == len(m2) == 8
+    return out
+
+
 if __name__ == "__main__":
     which = sys.argv[1] if len(sys.argv) > 1 else "composed_ann"
     spark = get_spark()
@@ -236,5 +355,9 @@ if __name__ == "__main__":
         print(json.dumps(probe_sketches(spark)))
     elif which == "bloom":
         print(json.dumps(probe_bloom(spark)))
+    elif which == "pq":
+        print(json.dumps(probe_pq(spark)))
+    elif which == "bpe":
+        print(json.dumps(probe_bpe(spark)))
     else:
         raise SystemExit(f"unknown probe {which}")
