@@ -1283,3 +1283,54 @@ def bpe_merges_sql(num_merges: int = 8) -> str:
            merged, cast(pair_count as bigint) as pair_count
     from (values {vals}) t(merge_rank, left_sym, right_sym, merged, pair_count)
     """
+
+
+@lru_cache(maxsize=2)
+def bpe_token_counts_model(
+    sf_dir: str, num_merges: int = 8
+) -> tuple[tuple[int, int], ...]:
+    """Per-doc BPE token counts under the learned merge table — model of
+    ``bpe_apply`` (greedy left-to-right fold per merge, in rank order)
+    composed over ``bpe_merges_model``. Integer/string only."""
+    ranked = [(l, r) for _, l, r, _, _ in bpe_merges_model(sf_dir, num_merges)]
+    out: list[tuple[int, int]] = []
+    for doc_id, text in _documents(sf_dir):
+        cnt = 0
+        for w in _WS.split((text or "").lower()):
+            if not w:
+                continue
+            syms = list(w) + ["</w>"]
+            for left, right in ranked:
+                ns: list[str] = []
+                for x in syms:
+                    if ns and ns[-1] == left and x == right:
+                        ns[-1] = left + right
+                    else:
+                        ns.append(x)
+                syms = ns
+            cnt += len(syms)
+        out.append((int(doc_id), cnt))
+    return tuple(out)
+
+
+def bpe_packing_sql(num_merges: int = 8, budget: int = 2048) -> str:
+    rows = bpe_token_counts_model(oracle_sf_dir(), num_merges)
+    vals = ", ".join(f"({d}, {c})" for d, c in rows)
+    # Counts from the independent Python BPE model (merges + greedy
+    # apply are all-integer — exactly reproducible); DuckDB lays the
+    # packing prefix over them, the same shape as the d11/d11b oracles.
+    return f"""
+    with t(doc_id, n_tokens) as (values {vals}),
+    c as (
+      select cast(doc_id as bigint) as doc_id,
+             cast(n_tokens as bigint) as n_tokens,
+             cast(coalesce(sum(n_tokens) over (order by doc_id
+                     rows between unbounded preceding and 1 preceding),
+                   0) as bigint) as cb
+      from t
+    )
+    select doc_id, n_tokens,
+           cast(floor(cb / {budget}.0) as bigint) as seq_id,
+           cast(cb % {budget} as bigint) as seq_offset
+    from c
+    """

@@ -3291,3 +3291,30 @@ def test_bpe_apply_plan_is_pure_projection(spark, docs):
     assert "Exchange" not in plan
     assert "Window" not in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_bpe_tokenized_packing_self_consistent(spark, docs):
+    """d31 composition sanity: packing by the real BPE counts yields
+    offsets inside the budget, monotone seq_ids in doc order, and each
+    doc's n_tokens equals its tokenized array length."""
+    from pyspark.sql import functions as F
+
+    from basis_devkit_spark.operators.bpe import bpe_apply, bpe_learn_merges
+    from basis_devkit_spark.operators.text import sequence_pack
+
+    mt = bpe_learn_merges(docs, "text", num_merges=4)
+    counted = bpe_apply(docs, mt).withColumn(
+        "bpe_ct", F.size("bpe_tokens").cast("long")
+    )
+    packed = sequence_pack(counted, budget=512, n_tokens_col="bpe_ct")
+    rows = packed.orderBy("doc_id").collect()
+    sizes = {
+        r["doc_id"]: r["bpe_ct"]
+        for r in counted.select("doc_id", "bpe_ct").collect()
+    }
+    assert all(0 <= r["seq_offset"] < 512 for r in rows)
+    assert all(r["n_tokens"] == sizes[r["doc_id"]] for r in rows)
+    cum = 0
+    for r in rows:
+        assert r["seq_id"] == cum // 512 and r["seq_offset"] == cum % 512
+        cum += r["n_tokens"]
