@@ -196,3 +196,100 @@ def cms_estimate(
             "est_count"
         )
     )
+
+
+# ------------------------------- fixed-histogram quantile sketch (d32)
+# Completes the engine-exact sketch family (membership: bloom_build,
+# distinct: hll_*, frequency: cms_*) with QUANTILES. GK/t-digest are
+# order- or RNG-dependent (not exact-hash oracle-able); the fixed
+# equal-width histogram is the deterministic alternative: bin counts are
+# integer SUMs (mergeable, partition-order-free), bin edges come from an
+# exact min/max fit, and the estimate is a short IEEE-double formula on
+# identical integer inputs — so DuckDB running the SAME SQL arithmetic
+# reproduces every estimate bit-for-bit. Error bound: an interpolated
+# estimate is within one bin width of the true quantile value.
+
+
+def hist_fit(df: DataFrame, value_col: str, nbins: int = 1024) -> DataFrame:
+    """One-row ``(lo double, hi double, width double)`` fit — exact
+    min/max (order-independent), ``width = (hi - lo) / nbins`` in double.
+    A persistable artifact: re-fit only when the value range drifts."""
+    xd = F.col(value_col).cast("double")
+    return df.agg(
+        F.min(xd).alias("lo"),
+        F.max(xd).alias("hi"),
+        ((F.max(xd) - F.min(xd)) / F.lit(float(nbins))).alias("width"),
+    )
+
+
+def hist_build(
+    df: DataFrame,
+    value_col: str,
+    nbins: int = 1024,
+    fit: DataFrame | None = None,
+) -> DataFrame:
+    """``(bin int, cnt long)`` — at most ``nbins`` rows, mergeable by
+    SUM (halves built separately and summed equal the full build —
+    tested). ``bin = clamp(floor((x - lo) / width), 0, nbins-1)`` in
+    IEEE double; a zero-width (constant) column lands everything in bin
+    0. Nulls are dropped. One hash agg; state bounded by ``nbins``
+    regardless of data size."""
+    if fit is None:
+        fit = hist_fit(df, value_col, nbins)
+    xd = F.col(value_col).cast("double")
+    bin_ = F.when(F.col("width") == 0.0, F.lit(0)).otherwise(
+        F.least(
+            F.greatest(
+                F.floor((xd - F.col("lo")) / F.col("width")), F.lit(0).cast("long")
+            ),
+            F.lit(nbins - 1).cast("long"),
+        )
+    ).cast("int")
+    return (
+        df.filter(F.col(value_col).isNotNull())
+        .crossJoin(F.broadcast(fit))  # one-row fit: broadcast by construction
+        .groupBy(bin_.alias("bin"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def hist_quantiles(
+    hist: DataFrame,
+    fit: DataFrame,
+    qs: list[float],
+    est_round: int | None = 6,
+) -> DataFrame:
+    """``(q double, est double)`` quantile estimates from a histogram
+    sketch: ``target = ceil(q · N)``; the answer bin is the first whose
+    running count reaches the target; the estimate interpolates inside
+    it: ``lo + width · (bin + (target - cum_before) / cnt)``. The
+    running sum runs over the BOUNDED bin relation (≤ nbins rows — a
+    driver-free but bounded window, like the shard-plan prefix), and
+    every arithmetic step is the same IEEE expression the oracle SQL
+    spells out, so estimates hash-match cross-engine."""
+    from pyspark.sql.window import Window as W
+
+    w = W.orderBy("bin").rowsBetween(W.unboundedPreceding, W.currentRow)
+    cum = hist.select("bin", "cnt", F.sum("cnt").over(w).alias("cum"))
+    total = hist.agg(F.sum("cnt").alias("n"))
+    qdf = hist.sparkSession.createDataFrame([(float(q),) for q in qs], "q double")
+    target = F.ceil(F.col("q") * F.col("n").cast("double")).alias("target")
+    hits = (
+        cum.crossJoin(F.broadcast(total))
+        .crossJoin(F.broadcast(qdf))
+        .withColumn("target", target)
+        .filter(F.col("cum") >= F.col("target"))
+    )
+    first = hits.groupBy("q", "target").agg(
+        F.min(F.struct("bin", "cnt", "cum")).alias("s")
+    )
+    est = F.col("lo") + F.col("width") * (
+        F.col("s.bin").cast("double")
+        + (
+            (F.col("target") - (F.col("s.cum") - F.col("s.cnt"))).cast("double")
+            / F.col("s.cnt").cast("double")
+        )
+    )
+    if est_round is not None:
+        est = F.round(est, est_round)
+    return first.crossJoin(F.broadcast(fit)).select("q", est.alias("est"))

@@ -101,6 +101,7 @@ _SAMPLE_PRIORITY = [
     # gained the dimension-mismatch guard, d17 the term-lowercasing fix,
     # and the d02 minhash family the cache-lifetime rework — all code
     # the r7 sample predates.
+    "d32_hist_quantile_sketch",
     "d31_bpe_tokenized_packing",
     "d30_bpe_learn_merges",
     "d29_pq_topk",

@@ -4100,3 +4100,64 @@ def d31(spark: SparkSession, sf: str) -> DataFrame:
         "bpe_ct", F.size("bpe_tokens").cast("long")
     )
     return sequence_pack(counted, budget=2048, n_tokens_col="bpe_ct")
+
+
+@register(
+    "d32_hist_quantile_sketch",
+    """
+    with fit as (
+      select min(cast(l_extendedprice as double)) as lo,
+             max(cast(l_extendedprice as double)) as hi,
+             (max(cast(l_extendedprice as double))
+              - min(cast(l_extendedprice as double))) / 1024.0 as width
+      from lineitem
+    ), binned as (
+      select case when f.width = 0 then 0
+                  else cast(least(greatest(floor(
+                    (cast(l.l_extendedprice as double) - f.lo) / f.width), 0),
+                    1023) as bigint) end as bin
+      from lineitem l cross join fit f
+      where l.l_extendedprice is not null
+    ), hist as (
+      select cast(bin as int) as bin, count(*) as cnt from binned group by bin
+    ), cum as (
+      select bin, cnt, sum(cnt) over (order by bin
+               rows between unbounded preceding and current row) as cum
+      from hist
+    ), total as (select cast(sum(cnt) as bigint) as n from hist),
+    qsv(q) as (values (0.25), (0.5), (0.75), (0.9), (0.99)),
+    hits as (
+      select q, ceil(q * cast(n as double)) as target, bin
+      from cum cross join total cross join qsv
+      where cum >= ceil(q * cast(n as double))
+    ), first as (
+      select q, target, min(bin) as bin from hits group by q, target
+    )
+    select cast(fr.q as double) as q,
+           round(f.lo + f.width * (cast(c.bin as double)
+                 + cast(fr.target - (c.cum - c.cnt) as double)
+                   / cast(c.cnt as double)), 6) as est
+    from first fr join cum c using (bin) cross join fit f
+    """,
+    doc="fixed-histogram quantile sketch over l_extendedprice (nbins="
+    "1024): completes the engine-exact sketch family (bloom membership, "
+    "HLL-style distinct, count-min frequency, now quantiles). Bin "
+    "counts are integer SUMs (mergeable, partition-order-free — halves "
+    "summed equal the full build, tested), edges come from the exact "
+    "min/max fit, and the interpolated estimate is the SAME IEEE-double "
+    "formula in both engines — a shared-SQL oracle, no literal table. "
+    "Estimate error is bounded by one bin width. 100 TB: sketch state "
+    "is <= nbins rows regardless of data; the only window runs over "
+    "the bounded bin relation",
+)
+def d32(spark: SparkSession, sf: str) -> DataFrame:
+    from basis_devkit_spark.operators.sketches import (
+        hist_build,
+        hist_fit,
+        hist_quantiles,
+    )
+
+    li = load(spark, sf, "lineitem")
+    fit = hist_fit(li, "l_extendedprice", 1024)
+    hist = hist_build(li, "l_extendedprice", 1024, fit=fit)
+    return hist_quantiles(hist, fit, [0.25, 0.5, 0.75, 0.9, 0.99])

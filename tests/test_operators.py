@@ -3318,3 +3318,50 @@ def test_bpe_tokenized_packing_self_consistent(spark, docs):
     for r in rows:
         assert r["seq_id"] == cum // 512 and r["seq_offset"] == cum % 512
         cum += r["n_tokens"]
+
+
+def test_hist_sketch_merge_accuracy_and_edges(spark):
+    """Quantile histogram sketch: halves summed equal the full build
+    cell-exact; every interpolated estimate is within one bin width of
+    the true quantile value; a constant column (width 0) estimates the
+    constant itself."""
+    from pyspark.sql import functions as F
+
+    from basis_devkit_spark.operators.sketches import (
+        hist_build,
+        hist_fit,
+        hist_quantiles,
+    )
+
+    li = load(spark, "/root/testdata/sf0.001", "lineitem")
+    fit = hist_fit(li, "l_extendedprice", 256)
+    full = hist_build(li, "l_extendedprice", 256, fit=fit)
+    h1 = hist_build(
+        li.filter(F.col("l_orderkey") % 2 == 0), "l_extendedprice", 256, fit=fit
+    )
+    h2 = hist_build(
+        li.filter(F.col("l_orderkey") % 2 == 1), "l_extendedprice", 256, fit=fit
+    )
+    merged = h1.unionByName(h2).groupBy("bin").agg(F.sum("cnt").alias("cnt"))
+    assert sorted(map(tuple, full.collect())) == sorted(map(tuple, merged.collect()))
+
+    qs = [0.1, 0.25, 0.5, 0.75, 0.9, 0.99]
+    est = {r["q"]: r["est"] for r in hist_quantiles(full, fit, qs).collect()}
+    [frow] = fit.collect()
+    width = frow["width"]
+    true = li.agg(
+        *[
+            F.expr(
+                f"percentile(cast(l_extendedprice as double), {q})"
+            ).alias(str(q))
+            for q in qs
+        ]
+    ).collect()[0]
+    for q in qs:
+        assert abs(est[q] - true[str(q)]) <= width, (q, est[q], true[str(q)], width)
+
+    const = spark.range(100).select(F.lit(7.5).alias("x"))
+    cfit = hist_fit(const, "x", 64)
+    chist = hist_build(const, "x", 64, fit=cfit)
+    [crow] = hist_quantiles(chist, cfit, [0.5]).collect()
+    assert crow["est"] == 7.5
