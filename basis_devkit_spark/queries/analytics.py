@@ -4139,4109 +4139,6 @@ _HIST_QUANTILE_SQL = """
     """
 
 
-"""§2.C streaming-semantics queries (tumbling/sliding/session windows) and
-§2.D LLM-pipeline queries (dedup, similarity, text analysis, embeddings)."""
-
-from __future__ import annotations
-
-from pyspark.sql import DataFrame, SparkSession
-from pyspark.sql import functions as F
-from pyspark.sql.window import Window
-
-from basis_devkit_spark.queries import load, pyoracle, register
-
-
-# ========================= §2.C windowed aggregations =========================
-@register(
-    "c03_tumbling_window",
-    """
-    select cast(date_trunc('hour', ts) as timestamp) as window_start,
-           event_type,
-           count(*) as n_events,
-           cast(sum(cast(value as decimal(18,6))) as double) as total_value
-    from events group by 1, 2
-    """,
-    doc="1-hour tumbling window rollup (F.window == epoch-aligned date_trunc)",
-)
-def c03(spark: SparkSession, sf: str) -> DataFrame:
-    e = load(spark, sf, "events")
-    return (
-        e.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
-        .agg(
-            F.count("*").alias("n_events"),
-            F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias(
-                "total_value"
-            ),
-        )
-        .select(
-            F.col("w.start").alias("window_start"),
-            "event_type",
-            "n_events",
-            "total_value",
-        )
-    )
-
-
-@register(
-    "c06_late_data_filter",
-    """
-    select event_id, event_type, cast(ts as timestamp) as ts
-    from (
-      select event_id, event_type, ts,
-             max(ts) over (order by event_id
-                           rows between unbounded preceding and 1 preceding)
-               as wm_ts
-      from events
-    )
-    where wm_ts is null or ts >= wm_ts - interval 10 minute
-    """,
-    doc="watermark late-data policy replayed on batch: drop rows whose event "
-    "time is below (max event time at arrival - 10 min); distributed "
-    "two-pass prefix-max, no global sort",
-)
-def c06(spark: SparkSession, sf: str) -> DataFrame:
-    from basis_devkit_spark.streaming.ops import drop_late_events
-
-    e = load(spark, sf, "events").select("event_id", "event_type", "ts")
-    return drop_late_events(
-        e, ts_col="ts", arrival_col="event_id", delay="10 minutes"
-    )
-
-
-@register(
-    "c04_sliding_window",
-    """
-    with shifts as (select unnest([0, 1, 2, 3]) as i)
-    select cast(to_timestamp(floor(epoch(ts) / 900) * 900 - i * 900) as timestamp)
-             as window_start,
-           count(*) as n_events
-    from events cross join shifts
-    group by 1
-    """,
-    doc="1-hour window sliding every 15 min (each event in exactly 4 windows)",
-)
-def c04(spark: SparkSession, sf: str) -> DataFrame:
-    e = load(spark, sf, "events")
-    return (
-        e.groupBy(F.window("ts", "1 hour", "15 minutes").alias("w"))
-        .agg(F.count("*").alias("n_events"))
-        .select(F.col("w.start").alias("window_start"), "n_events")
-    )
-
-
-@register(
-    "c05_session_window",
-    """
-    with gaps as (
-      select user_id, ts, value,
-             case when ts - lag(ts) over (partition by user_id order by ts)
-                       > interval 30 minute
-                  or lag(ts) over (partition by user_id order by ts) is null
-                  then 1 else 0 end as new_session
-      from events
-    ), sessions as (
-      select user_id, ts, value,
-             sum(new_session) over (partition by user_id order by ts
-                                    rows unbounded preceding) as session_id
-      from gaps
-    )
-    select user_id,
-           cast(min(ts) as timestamp) as session_start,
-           count(*) as n_events,
-           cast(sum(cast(value as decimal(18,6))) as double) as total_value
-    from sessions group by user_id, session_id
-    """,
-    doc="30-min-gap sessionization (F.session_window vs lag/cumsum oracle)",
-)
-def c05(spark: SparkSession, sf: str) -> DataFrame:
-    e = load(spark, sf, "events")
-    return (
-        e.groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
-        .agg(
-            F.count("*").alias("n_events"),
-            F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias(
-                "total_value"
-            ),
-        )
-        .select(
-            "user_id",
-            F.col("w.start").alias("session_start"),
-            "n_events",
-            "total_value",
-        )
-    )
-
-
-@register(
-    "c07_stateful_dedup",
-    """
-    select user_id, event_type, min(event_id) as first_event_id
-    from events group by user_id, event_type
-    """,
-    doc="dedup-by-key keeping first occurrence (cross-batch unique_on semantics)",
-)
-def c07(spark: SparkSession, sf: str) -> DataFrame:
-    from basis_devkit_spark.operators.dedup import exact_dedup
-
-    e = load(spark, sf, "events")
-    kept = exact_dedup(e, ["user_id", "event_type"], order_by="event_id", keep="first")
-    return kept.select(
-        "user_id", "event_type", F.col("event_id").alias("first_event_id")
-    )
-
-
-# ============================ §2.D dedup operators ============================
-@register(
-    "d01_exact_dedup",
-    """
-    select doc_id, lang, source from (
-      select doc_id, lang, source,
-             row_number() over (partition by lang, source order by doc_id) as rn
-      from documents) t
-    where rn = 1
-    """,
-)
-def d01(spark: SparkSession, sf: str) -> DataFrame:
-    from basis_devkit_spark.operators.dedup import exact_dedup
-
-    d = load(spark, sf, "documents")
-    return exact_dedup(d, ["lang", "source"], order_by="doc_id", keep="first").select(
-        "doc_id", "lang", "source"
-    )
-
-
-@register(
-    "d02_ngram_jaccard_pairs",
-    """
-    with toks as (
-      select doc_id, string_split(lower(text), ' ') as ws from documents
-    ),
-    sh0 as (
-      select doc_id, ws,
-             unnest(range(1, greatest(len(ws) - 2, 1) + 1)) as i
-      from toks
-    ),
-    sh as (
-      select distinct doc_id,
-             array_to_string(list_slice(ws, i, i + 2), ' ') as s
-      from sh0
-    ),
-    capped as (select s from sh group by s having count(*) <= 200),
-    shc as (select sh.doc_id, sh.s from sh join capped using (s)),
-    sizes as (select doc_id, count(*) as sz from shc group by doc_id),
-    ints as (
-      select a.doc_id as id_a, b.doc_id as id_b, count(*) as n_i
-      from shc a join shc b on a.s = b.s and a.doc_id < b.doc_id
-      group by 1, 2
-    )
-    select id_a, id_b, n_i / (sa.sz + sb.sz - n_i) as jaccard
-    from ints
-    join sizes sa on sa.doc_id = id_a
-    join sizes sb on sb.doc_id = id_b
-    where n_i / (sa.sz + sb.sz - n_i) >= 0.6
-    """,
-    doc="exact word-set Jaccard near-dup pairs (threshold 0.6); oracle "
-    "recomputes the inverted-index join on shingle STRINGS (hash-free), so "
-    "it also witnesses the xxhash64 shingle hashing being collision-clean",
-)
-def d02(spark: SparkSession, sf: str) -> DataFrame:
-    from basis_devkit_spark.operators.dedup import ngram_jaccard_pairs
-
-    d = load(spark, sf, "documents")
-    # max_shingle_df caps hot-shingle posting lists — without it the
-    # inverted-index self-join explodes on skewed shingles at scale.
-    return ngram_jaccard_pairs(
-        d, "doc_id", "text", shingle_size=3, threshold=0.6, max_shingle_df=200
-    )
-
-
-@register(
-    "d02e_duplicate_clusters",
-    """
-    with recursive toks as (
-      select doc_id, string_split(lower(text), ' ') as ws from documents
-    ),
-    sh0 as (
-      select doc_id, ws,
-             unnest(range(1, greatest(len(ws) - 2, 1) + 1)) as i
-      from toks
-    ),
-    sh as (
-      select distinct doc_id,
-             array_to_string(list_slice(ws, i, i + 2), ' ') as s
-      from sh0
-    ),
-    capped as (select s from sh group by s having count(*) <= 200),
-    shc as (select sh.doc_id, sh.s from sh join capped using (s)),
-    sizes as (select doc_id, count(*) as sz from shc group by doc_id),
-    ints as (
-      select a.doc_id as id_a, b.doc_id as id_b, count(*) as n_i
-      from shc a join shc b on a.s = b.s and a.doc_id < b.doc_id
-      group by 1, 2
-    ),
-    edges as (
-      select id_a, id_b from ints
-      join sizes sa on sa.doc_id = id_a
-      join sizes sb on sb.doc_id = id_b
-      where n_i / (sa.sz + sb.sz - n_i) >= 0.6
-    ),
-    und as (
-      select id_a as a, id_b as b from edges
-      union
-      select id_b, id_a from edges
-    ),
-    reach as (
-      select a, b from und
-      union
-      select r.a, u.b from reach r join und u on r.b = u.a
-    )
-    select a as node, least(a, min(b)) as component
-    from reach group by a
-    """,
-    doc="exact duplicate clusters: Jaccard pair edges -> distributed "
-    "connected components (hash-min label propagation); oracle recomputes "
-    "via a recursive-CTE transitive closure",
-)
-def d02e(spark: SparkSession, sf: str) -> DataFrame:
-    from basis_devkit_spark.operators.dedup import (
-        connected_components,
-        ngram_jaccard_pairs,
-    )
-
-    d = load(spark, sf, "documents")
-    pairs = ngram_jaccard_pairs(
-        d, "doc_id", "text", shingle_size=3, threshold=0.6, max_shingle_df=200
-    )
-    return connected_components(pairs, "id_a", "id_b")
-
-
-@register(
-    "d02i_duplicate_cluster_stats",
-    """
-    with recursive toks as (
-      select doc_id, string_split(lower(text), ' ') as ws from documents
-    ),
-    sh0 as (
-      select doc_id, ws,
-             unnest(range(1, greatest(len(ws) - 2, 1) + 1)) as i
-      from toks
-    ),
-    sh as (
-      select distinct doc_id,
-             array_to_string(list_slice(ws, i, i + 2), ' ') as s
-      from sh0
-    ),
-    capped as (select s from sh group by s having count(*) <= 200),
-    shc as (select sh.doc_id, sh.s from sh join capped using (s)),
-    sizes as (select doc_id, count(*) as sz from shc group by doc_id),
-    ints as (
-      select a.doc_id as id_a, b.doc_id as id_b, count(*) as n_i
-      from shc a join shc b on a.s = b.s and a.doc_id < b.doc_id
-      group by 1, 2
-    ),
-    edges as (
-      select id_a, id_b from ints
-      join sizes sa on sa.doc_id = id_a
-      join sizes sb on sb.doc_id = id_b
-      where n_i / (sa.sz + sb.sz - n_i) >= 0.6
-    ),
-    und as (
-      select id_a as a, id_b as b from edges
-      union
-      select id_b, id_a from edges
-    ),
-    reach as (
-      select a, b from und
-      union
-      select r.a, u.b from reach r join und u on r.b = u.a
-    ),
-    comp as (
-      select a as node, least(a, min(b)) as component
-      from reach group by a
-    )
-    select cluster_size, count(*) as n_clusters
-    from (select component, count(*) as cluster_size from comp
-          group by component)
-    group by cluster_size
-    """,
-    doc="duplicate-cluster size histogram: the dedup-audit summary "
-    "(how much of the corpus sits in clusters of what size) over the "
-    "connected components of the Jaccard edge graph",
-)
-def d02i(spark: SparkSession, sf: str) -> DataFrame:
-    from basis_devkit_spark.operators.dedup import (
-        connected_components,
-        ngram_jaccard_pairs,
-    )
-
-    d = load(spark, sf, "documents")
-    pairs = ngram_jaccard_pairs(
-        d, "doc_id", "text", shingle_size=3, threshold=0.6, max_shingle_df=200
-    )
-    comp = connected_components(pairs, "id_a", "id_b")
-    return (
-        comp.groupBy("component")
-        .agg(F.count(F.lit(1)).alias("cluster_size"))
-        .groupBy("cluster_size")
-        .agg(F.count(F.lit(1)).alias("n_clusters"))
-    )
-
-
-@register(
-    "d02b_minhash_dedup",
-    # Literal-table oracle: an independent Python XXH64 model recomputes the
-    # banded-LSH loser set; DuckDB applies the anti-filter to the table.
-    pyoracle.minhash_dedup_sql,
-    doc="MinHash LSH near-dedup survivors (64 hashes, 16 bands)",
-)
-def d02b(spark: SparkSession, sf: str) -> DataFrame:
-    from basis_devkit_spark.operators.dedup import minhash_dedup
-
-    d = load(spark, sf, "documents")
-    return minhash_dedup(
-        d, "doc_id", "text", num_hashes=64, bands=16, jaccard_threshold=0.7
-    ).select("doc_id", "lang", "source")
-
-
-@register(
-    "d02h_incremental_minhash_dedup",
-    # Literal-table oracle: the independent XXH64 model replays BOTH
-    # phases (vs-corpus drop, then within-batch keep-one) and emits the
-    # surviving new-batch ids as VALUES.
-    pyoracle.incremental_minhash_sql,
-    doc="incremental crawl-refresh dedup: new batch (odd doc_ids + exact "
-    "copies of corpus docs) near-deduped AGAINST the existing corpus "
-    "(even doc_ids) via band-bucket join, then keep-one within the batch "
-    "— planted copies must be dropped by phase 1",
-)
-def d02h(spark: SparkSession, sf: str) -> DataFrame:
-    from basis_devkit_spark.operators.dedup import minhash_dedup_against
-
-    docs = load(spark, sf, "documents").select("doc_id", "text")
-    corpus = docs.filter(F.col("doc_id") % 2 == 0)
-    new = docs.filter(F.col("doc_id") % 2 == 1)
-    planted = corpus.filter(F.col("doc_id") < 40).select(
-        (F.col("doc_id") + 1_000_000).alias("doc_id"), "text"
-    )
-    out = minhash_dedup_against(
-        new.unionByName(planted), corpus, "doc_id", "text",
-        jaccard_threshold=0.7,
-    )
-    return out.select("doc_id")
-
-
-@register(
-    "d02c_simhash",
-    # Literal fingerprints from the Python SimHash model; DuckDB does the
-    # Hamming pairing itself via xor + bit_count (exact: pigeonhole with
-    # max_hamming < blocks is lossless, so all-pairs == blocked pairs).
-    pyoracle.simhash_pairs_sql,
-    doc="SimHash 64-bit fingerprints + Hamming near-dup pairs (≤3 bits)",
-)
-def d02c(spark: SparkSession, sf: str) -> DataFrame:
-    from basis_devkit_spark.operators.dedup import simhash_near_dup_pairs
-
-    d = load(spark, sf, "documents")
-    return simhash_near_dup_pairs(d, "doc_id", "text", max_hamming=3)
-
-
-# ========================= §2.D similarity search =============================
-@register(
-    "d03_similarity_topk",
-    """
-    with q as (select vec_id, embedding from embeddings where vec_id < 5),
-    scored as (
-      select q.vec_id as query_id, c.vec_id as match_id,
-             list_cosine_similarity(
-               list_transform(q.embedding, x -> cast(x as double)),
-               list_transform(c.embedding, x -> cast(x as double))) as score
-      from q join embeddings c on q.vec_id != c.vec_id
-    ), ranked as (
-      select query_id, match_id, score,
-             row_number() over (partition by query_id
-                                order by score desc, match_id) as rank
-      from scored)
-    select query_id, match_id, round(score, 4) as score, rank
-    from ranked where rank <= 5
-    """,
-    doc="exact brute-force cosine top-5 (broadcast queries, zip_with dot product)",
-)
-def d03(spark: SparkSession, sf: str) -> DataFrame:
-    from basis_devkit_spark.operators.similarity import brute_force_topk
-
-    emb = load(spark, sf, "embeddings")
-    q = emb.filter(F.col("vec_id") < 5)
-    out = brute_force_topk(q, emb, vec_col="embedding", id_col="vec_id", k=5)
-    return out.select(
-        "query_id", "match_id", F.round("score", 4).alias("score"), "rank"
-    )
-
-
-@register(
-    "d03e_dot_topk",
-    """
-    with q as (select vec_id, embedding from embeddings where vec_id < 5),
-    scored as (
-      select q.vec_id as query_id, c.vec_id as match_id,
-             list_inner_product(
-               list_transform(q.embedding, x -> cast(x as double)),
-               list_transform(c.embedding, x -> cast(x as double))) as score
-      from q join embeddings c on q.vec_id != c.vec_id
-    ), ranked as (
-      select query_id, match_id, score,
-             row_number() over (partition by query_id
-                                order by score desc, match_id) as rank
-      from scored)
-    select query_id, match_id, round(score, 4) as score, rank
-    from ranked where rank <= 5
-    """,
-    doc="exact inner-product (MIPS) top-5 — the metric un-normalized "
-    "embedding models are trained with",
-)
-def d03e(spark: SparkSession, sf: str) -> DataFrame:
-    from basis_devkit_spark.operators.similarity import brute_force_topk
-
-    emb = load(spark, sf, "embeddings")
-    q = emb.filter(F.col("vec_id") < 5)
-    out = brute_force_topk(q, emb, k=5, metric="dot")
-    return out.select(
-        "query_id", "match_id", F.round("score", 4).alias("score"), "rank"
-    )
-
-
-@register(
-    "d03f_l2_topk",
-    """
-    with q as (select vec_id, embedding from embeddings where vec_id < 5),
-    scored as (
-      select q.vec_id as query_id, c.vec_id as match_id,
-             -list_distance(
-               list_transform(q.embedding, x -> cast(x as double)),
-               list_transform(c.embedding, x -> cast(x as double))) as score
-      from q join embeddings c on q.vec_id != c.vec_id
-    ), ranked as (
-      select query_id, match_id, score,
-             row_number() over (partition by query_id
-                                order by score desc, match_id) as rank
-      from scored)
-    select query_id, match_id, round(score, 4) as score, rank
-    from ranked where rank <= 5
-    """,
-    doc="exact euclidean nearest-5 (score = negated L2 so higher is "
-    "closer, same top-k machinery)",
-)
-def d03f(spark: SparkSession, sf: str) -> DataFrame:
-    from basis_devkit_spark.operators.similarity import brute_force_topk
-
-    emb = load(spark, sf, "embeddings")
-    q = emb.filter(F.col("vec_id") < 5)
-    out = brute_force_topk(q, emb, k=5, metric="l2")
-    return out.select(
-        "query_id", "match_id", F.round("score", 4).alias("score"), "rank"
-    )
-
-
-@register(
-    "d03b_lsh_topk",
-    # Candidate pairs from the Python sign-LSH model (same seeded planes,
-    # same sequential-fold dot product); DuckDB re-ranks them with exact
-    # cosine + row_number — the re-rank half is fully oracle-verified.
-    pyoracle.lsh_topk_sql,
-    doc="sign-LSH bucketed ANN top-5 + exact re-rank",
-)
-def d03b(spark: SparkSession, sf: str) -> DataFrame:
-    from basis_devkit_spark.operators.similarity import lsh_topk
-
-    emb = load(spark, sf, "embeddings")
-    q = emb.filter(F.col("vec_id") < 5)
-    return lsh_topk(q, emb, k=5, num_planes=16, bands=8).select(
-        "query_id", "match_id", F.round("score", 4).alias("score"), "rank"
-    )
-
-
-@register(
-    "d06_embedding_norms",
-    """
-    select vec_id, label,
-           round(sqrt(list_sum(list_transform(embedding,
-                 x -> cast(x as double) * cast(x as double)))), 4) as l2_norm,
-           round(list_sum(list_transform(embedding, x -> cast(x as double))), 4)
-             as comp_sum,
-           len(embedding) as dim
-    from embeddings
-    """,
-    doc="embedding column ops: per-vector norm/sum/dim via array HOFs",
-)
-def d06(spark: SparkSession, sf: str) -> DataFrame:
-    e = load(spark, sf, "embeddings")
-    vd = F.transform("embedding", lambda x: x.cast("double"))
-    return e.select(
-        "vec_id",
-        "label",
-        F.round(
-            F.sqrt(
-                F.aggregate(vd, F.lit(0.0), lambda acc, x: acc + x * x)
-            ),
-            4,
-        ).alias("l2_norm"),
-        F.round(F.aggregate(vd, F.lit(0.0), lambda acc, x: acc + x), 4).alias(
-            "comp_sum"
-        ),
-        F.size("embedding").alias("dim"),
-    )
-
-
-# ============================ §2.D text analysis ==============================
-@register(
-    "d04_text_stats",
-    """
-    select doc_id,
-           length(text) as n_chars_calc,
-           len(string_split(trim(text), ' ')) as n_words,
-           len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^ A-Za-z0-9]'))
-             as n_tokens_bpe,
-           round(len(list_filter(string_split(lower(trim(text)), ' '),
-                 w -> list_contains(['the','and','of','to','in','is','that',
-                                     'for','with','a','it','on','as','at','by',
-                                     'an','be','or','are','was','this'], w)))
-                 / greatest(len(string_split(trim(text), ' ')), 1), 6)
-             as stopword_ratio
-    from documents
-    """,
-    doc="per-document text statistics (counts + stopword ratio)",
-)
-def d04(spark: SparkSession, sf: str) -> DataFrame:
-    from basis_devkit_spark.operators.text import text_stats
-
-    d = load(spark, sf, "documents")
-    return text_stats(d, "text").select(
-        "doc_id", "n_chars_calc", "n_words", "n_tokens_bpe", "stopword_ratio"
-    )
-
-
-_LANG_ARR = {
-    "en": "['the','and','of','to','in','is','that','for','with','a']",
-    "de": "['der','die','das','und','ist','nicht','mit','ein','zu','den']",
-    "fr": "['le','la','les','et','est','pas','des','une','que','dans']",
-    "es": "['el','la','los','las','y','es','no','una','que','por']",
-    "zh": "['的','是','不','了','在','人','有','我','他','这']",
-}
-
-_STATS_SQL = """
-  select *,
-    len(string_split(trim(text), ' ')) as n_words,
-    round(len(regexp_replace(text, '[^\\.,;:!\\?''"()\\[\\]-]', '', 'g'))
-          / greatest(len(text), 1), 6) as punct_ratio,
-    round(len(list_filter(string_split(lower(trim(text)), ' '),
-          w -> list_contains(['the','and','of','to','in','is','that','for',
-                              'with','a','it','on','as','at','by','an','be',
-                              'or','are','was','this'], w)))
-          / greatest(len(string_split(trim(text), ' ')), 1), 6) as stopword_ratio,
-    round(len(regexp_replace(text, '\\s+', '', 'g'))
-          / greatest(len(string_split(trim(text), ' ')), 1), 6) as mean_word_len
-  from documents
-"""
-
-# Final rounding is the explicit IEEE floor(x*1e6+0.5)/1e6 on BOTH sides
-# (engine round() modes disagree on near-tie doubles; see
-# operators/text.py:quality_score).
-_QUALITY_EXPR = """
-      floor(((least(n_words / 50.0, 1.0)
-             + cast(mean_word_len >= 3 and mean_word_len <= 10 as double)
-             + least(stopword_ratio * 5.0, 1.0)
-             + greatest(0.0, 1.0 - punct_ratio * 5.0)) / 4.0)
-            * 1000000.0 + 0.5) / 1000000.0
-"""
-
-
-@register(
-    "d04b_lang_id",
-    f"""
-    with w as (
-      select doc_id, lang, string_split(lower(trim(text)), ' ') as ws
-      from documents
-    ),
-    s as (select doc_id, lang,
-      len(list_intersect(ws, {_LANG_ARR['en']})) as s_en,
-      len(list_intersect(ws, {_LANG_ARR['de']})) as s_de,
-      len(list_intersect(ws, {_LANG_ARR['fr']})) as s_fr,
-      len(list_intersect(ws, {_LANG_ARR['es']})) as s_es,
-      len(list_intersect(ws, {_LANG_ARR['zh']})) as s_zh
-    from w)
-    select doc_id, lang,
-      case when greatest(s_en, s_de, s_fr, s_es, s_zh) = 0 then 'und'
-           when s_en >= s_de and s_en >= s_fr and s_en >= s_es
-                and s_en >= s_zh then 'en'
-           when s_de >= s_fr and s_de >= s_es and s_de >= s_zh then 'de'
-           when s_fr >= s_es and s_fr >= s_zh then 'fr'
-           when s_es >= s_zh then 'es'
-           else 'zh' end as lang_pred
-    from s
-    """,
-    doc="marker-word language-ID heuristic (argmax of per-language marker "
-    "hits; ties keep the earlier language; zero hits -> 'und')",
-)
-def d04b(spark: SparkSession, sf: str) -> DataFrame:
-    from basis_devkit_spark.operators.text import language_id
-
-    d = load(spark, sf, "documents")
-    return language_id(d, "text").select("doc_id", "lang", "lang_pred")
-
-
-@register(
-    "d04c_quality_score",
-    f"""
-    select doc_id, {_QUALITY_EXPR} as quality_score
-    from ({_STATS_SQL})
-    """,
-    doc="document quality scoring (length/stopword/punctuation composite)",
-)
-def d04c(spark: SparkSession, sf: str) -> DataFrame:
-    from basis_devkit_spark.operators.text import quality_score
-
-    d = load(spark, sf, "documents")
-    return quality_score(d, "text").select("doc_id", "quality_score")
-
-
-@register(
-    "d04d_fingerprint",
-    # Literal-table oracle: independent Python XXH64 fold model.
-    pyoracle.fingerprint_sql,
-    doc="order-sensitive rolling-hash document fingerprint",
-)
-def d04d(spark: SparkSession, sf: str) -> DataFrame:
-    from basis_devkit_spark.operators.text import doc_fingerprint
-
-    d = load(spark, sf, "documents")
-    return doc_fingerprint(d, "text").select("doc_id", "fingerprint")
-
-
-@register(
-    "d05b_media_sniff",
-    r"""
-    with blobs as (
-      select doc_id,
-             case doc_id % 3
-               when 0 then '\x89PNG\x0D\x0A\x1A\x0A'::blob
-               when 1 then '\xFF\xD8\xFF\xE0'::blob
-               else 'RIFF'::blob
-             end || encode(text) as content
-      from documents
-    )
-    select doc_id,
-           case when substr(hex(content), 1, 16) = '89504E470D0A1A0A' then 'png'
-                when substr(hex(content), 1, 6) = 'FFD8FF' then 'jpeg'
-                when substr(hex(content), 1, 8) = '52494646' then 'riff'
-                else 'bin' end as fmt,
-           octet_length(content) as n_bytes,
-           md5(hex(content)) as content_hash
-    from blobs
-    """,
-    doc="binary media column pipeline that needs NO codec: deterministic "
-    "blobs with real magic bytes, content-based format sniffing, byte "
-    "length, and a content hash — all on the binary column, JVM-side",
-)
-def d05b(spark: SparkSession, sf: str) -> DataFrame:
-    from basis_devkit_spark.operators.multimodal import sniff_format
-
-    d = load(spark, sf, "documents").select("doc_id", "text")
-    hdr = (
-        F.when(
-            F.col("doc_id") % 3 == 0,
-            F.lit(bytes([0x89, 0x50, 0x4E, 0x47, 0x0D, 0x0A, 0x1A, 0x0A])),
-        )
-        .when(F.col("doc_id") % 3 == 1, F.lit(b"\xff\xd8\xff\xe0"))
-        .otherwise(F.lit(b"RIFF"))
-    )
-    blobs = d.withColumn("content", F.concat(hdr, F.encode("text", "utf-8")))
-    return blobs.select(
-        "doc_id",
-        sniff_format("content").alias("fmt"),
-        F.length("content").cast("long").alias("n_bytes"),
-        F.md5(F.hex("content")).alias("content_hash"),
-    )
-
-
-@register(
-    "d05_multimodal_plumbing",
-    """
-    select doc_id,
-           case cast(doc_id % 3 as int) when 0 then 'png'
-                                        when 1 then 'jpeg'
-                                        else 'gif' end as fmt,
-           cast(16 + (doc_id * 7) % 500 as int) as width,
-           cast(16 + (doc_id * 13) % 300 as int) as height,
-           3 as channels
-    from documents where doc_id < 200
-    """,
-    doc="multimodal decode END-TO-END: synthesize valid PNG/JPEG/GIF "
-    "headers with doc_id-derived dimensions as binary columns (JVM-side "
-    "byte construction), sniff the format from magic bytes, and decode "
-    "width/height/channels back out through mapInPandas with the REAL "
-    "pure-Python header parser; the oracle recomputes the dimensions "
-    "arithmetically — a decode bug cannot hash-match",
-)
-def d05(spark: SparkSession, sf: str) -> DataFrame:
-    from basis_devkit_spark.operators.multimodal import decode_images, sniff_format
-
-    d = load(spark, sf, "documents").filter(F.col("doc_id") < 200)
-
-    def be(col, hex_width):  # big-endian fixed-width binary from an int col
-        return F.unhex(F.lpad(F.hex(col), hex_width, "0"))
-
-    w = (F.lit(16) + (F.col("doc_id") * 7) % 500).cast("int")
-    h = (F.lit(16) + (F.col("doc_id") * 13) % 300).cast("int")
-    le16 = lambda col: F.unhex(  # noqa: E731 — little-endian uint16
-        F.concat(
-            F.lpad(F.hex(col.bitwiseAND(F.lit(255))), 2, "0"),
-            F.lpad(F.hex(F.shiftright(col, 8)), 2, "0"),
-        )
-    )
-    png = F.concat(
-        F.lit(bytes([0x89, 0x50, 0x4E, 0x47, 0x0D, 0x0A, 0x1A, 0x0A])),
-        F.lit(b"\x00\x00\x00\x0dIHDR"),
-        be(w, 8),
-        be(h, 8),
-        F.lit(b"\x08\x02\x00\x00\x00" + b"\x00" * 4),  # RGB8 + CRC slot
-    )
-    jpeg = F.concat(
-        F.lit(b"\xff\xd8\xff\xc0\x00\x11\x08"), be(h, 4), be(w, 4), F.lit(b"\x03")
-    )
-    gif = F.concat(F.lit(b"GIF89a"), le16(w), le16(h))
-    header = (
-        F.when(F.col("doc_id") % 3 == 0, png)
-        .when(F.col("doc_id") % 3 == 1, jpeg)
-        .otherwise(gif)
-    )
-    blobs = d.select(
-        "doc_id",
-        F.concat(header, F.encode("text", "utf-8")).alias("content"),
-    )
-    sniffed = blobs.select("doc_id", sniff_format("content").alias("fmt"))
-    decoded = decode_images(
-        blobs.withColumn("uri", F.col("doc_id").cast("string")),
-        content_col="content",
-        uri_col="uri",
-    ).select(
-        F.col("uri").cast("long").alias("doc_id"), "width", "height", "channels"
-    )
-    return sniffed.join(decoded, "doc_id").select(
-        "doc_id", "fmt", "width", "height", "channels"
-    )
-
-
-@register(
-    "d04e_tfidf",
-    """
-    with terms as (
-      select doc_id as doc, unnest(string_split(lower(trim(text)), ' ')) as term
-      from documents where doc_id < 100
-    ), tf as (
-      select doc, term, count(*) as tf from terms group by doc, term
-    ), df_t as (
-      select term, count(distinct doc) as df from tf group by term
-    ), n as (select count(*) as n_docs from documents where doc_id < 100)
-    select tf.doc, tf.term, tf.tf, df_t.df,
-           round(tf.tf * (ln((n.n_docs + 1.0) / (df_t.df + 1.0)) + 1.0), 6) as tfidf
-    from tf join df_t using (term) cross join n
-    """,
-    doc="TF-IDF as pure relational ops (explode + two aggs + broadcast join)",
-)
-def d04e(spark: SparkSession, sf: str) -> DataFrame:
-    from basis_devkit_spark.operators.text import tfidf
-
-    d = load(spark, sf, "documents").filter(F.col("doc_id") < 100)
-    return tfidf(d, "doc_id", "text")
-
-
-@register(
-    "d02d_embedding_near_dup",
-    # Candidates from the Python sign-LSH model over corpus + planted
-    # copies; DuckDB reconstructs the planted vectors and verifies cosine.
-    pyoracle.embedding_neardup_sql,
-    doc="embedding-cosine near-dup pairs (LSH candidates + exact verify)",
-)
-def d02d(spark: SparkSession, sf: str) -> DataFrame:
-    from basis_devkit_spark.operators.similarity import embedding_near_dup_pairs
-
-    e = load(spark, sf, "embeddings").select("vec_id", "embedding")
-    # Random embeddings almost never exceed cosine 0.9, so plant
-    # deterministic perturbed copies of the first 20 vectors — the operator
-    # must recover (orig, planted) pairs, making this a real recall check
-    # rather than a vacuous 0-row pass.
-    planted = e.filter(F.col("vec_id") < 20).select(
-        (F.col("vec_id") + 1_000_000).alias("vec_id"),
-        F.transform(
-            "embedding", lambda x: (x.cast("double") * 1.02 + 0.003).cast("float")
-        ).alias("embedding"),
-    )
-    return embedding_near_dup_pairs(
-        e.unionByName(planted), threshold=0.9, num_planes=16, bands=8
-    ).select("id_a", "id_b", F.round("cosine", 4).alias("cosine"))
-
-
-@register(
-    "d02g_semantic_dedup",
-    # Pure-SQL oracle: same deterministic seed-vector quantizer (first 8
-    # corpus vectors), same within-cell pairing and keep-lowest-id rule —
-    # DuckDB recomputes the whole pipeline with list_cosine_similarity.
-    """
-    with base as (
-      select vec_id, list_transform(embedding, x -> cast(x as double)) as vd
-      from embeddings
-    ),
-    planted as (
-      select vec_id + 1000000 as vec_id,
-             list_transform(embedding,
-               x -> cast(cast(cast(x as double) * 1.02 + 0.003 as float) as double)) as vd
-      from embeddings where vec_id < 20
-    ),
-    v as (select * from base union all select * from planted),
-    c as (select vec_id as cell, vd as center from base where vec_id < 8),
-    scored as (
-      select v.vec_id, v.vd, c.cell,
-             row_number() over (
-               partition by v.vec_id
-               order by list_cosine_similarity(v.vd, c.center) desc, c.cell
-             ) as rn
-      from v cross join c
-    ),
-    assigned as (select vec_id, vd, cell from scored where rn = 1),
-    dropped as (
-      select distinct b.vec_id
-      from assigned a
-      join assigned b on a.cell = b.cell and a.vec_id < b.vec_id
-      where list_cosine_similarity(a.vd, b.vd) >= 0.9
-    )
-    select vec_id from v
-    where vec_id not in (select vec_id from dropped)
-    """,
-    doc="SemDeDup-style semantic dedup (arXiv:2303.09540): seed-vector "
-    "coarse quantizer, within-cell cosine pairs, keep-lowest-id survivors; "
-    "planted perturbed copies must be dropped (real recall, not a 0-row pass)",
-)
-def d02g(spark: SparkSession, sf: str) -> DataFrame:
-    from basis_devkit_spark.operators.similarity import semantic_dedup
-
-    e = load(spark, sf, "embeddings").select("vec_id", "embedding")
-    planted = e.filter(F.col("vec_id") < 20).select(
-        (F.col("vec_id") + 1_000_000).alias("vec_id"),
-        F.transform(
-            "embedding", lambda x: (x.cast("double") * 1.02 + 0.003).cast("float")
-        ).alias("embedding"),
-    )
-    corpus = e.unionByName(planted)
-    out = semantic_dedup(
-        corpus,
-        threshold=0.9,
-        nlist=8,
-        centroids=_ivf_seed_centroids(e, 8),
-    )
-    return out.select("vec_id")
-
-
-def _ivf_seed_centroids(emb, nlist: int):
-    """Deterministic coarse quantizer: the first ``nlist`` corpus vectors
-    (by vec_id) as centroids, cast to double — fully reproducible, so the
-    IVF candidate generation is modelable (pyoracle.ivf_candidates) and
-    the exact re-rank oracle-checkable."""
-    return emb.filter(F.col("vec_id") < nlist).select(
-        F.col("vec_id").cast("int").alias("cell"),
-        F.transform("embedding", lambda x: x.cast("double")).alias("center"),
-    )
-
-
-@register(
-    "d03c_ivf_topk",
-    pyoracle.ivf_topk_sql,
-    doc="IVF ANN top-5 (deterministic seed-vector quantizer; candidates "
-    "from the independent Python model, DuckDB exact cosine re-rank)",
-)
-def d03c(spark: SparkSession, sf: str) -> DataFrame:
-    from basis_devkit_spark.operators.similarity import ivf_topk
-
-    emb = load(spark, sf, "embeddings")
-    q = emb.filter(F.col("vec_id") < 5)
-    return ivf_topk(
-        q, emb, k=5, nlist=8, nprobe=4, centroids=_ivf_seed_centroids(emb, 8)
-    ).select(
-        "query_id", "match_id", F.round("score", 4).alias("score"), "rank"
-    )
-
-
-@register(
-    "d03d_ivf_topk_kmeans",
-    pyoracle.ivf_kmeans_topk_sql,
-    doc="IVF (KMeans coarse quantizer) ANN top-5 — the trained-quantizer "
-    "variant. The quantizer is the deterministic spherical Lloyd's fit "
-    "on a bounded vec_id-ordered sample (driver-side float64 numpy, "
-    "bit-reproducible; fit_quantizer_sample — Spark ML KMeans' "
-    "cross-partition reduction order is not), so the full pipeline is "
-    "oracle-checkable: candidates from the independent Python probe "
-    "model over the SAME fitted centroids, DuckDB exact cosine re-rank, "
-    "4dp round-before-rank on both sides",
-)
-def d03d(spark: SparkSession, sf: str) -> DataFrame:
-    from basis_devkit_spark.operators.similarity import (
-        fit_quantizer_sample,
-        ivf_topk,
-    )
-
-    emb = load(spark, sf, "embeddings")
-    cents = fit_quantizer_sample(emb, k=8, max_train_rows=100_000, iters=10)
-    q = emb.filter(F.col("vec_id") < 5)
-    return ivf_topk(
-        q, emb, k=5, nlist=8, nprobe=4, centroids=cents, score_round=4
-    ).select("query_id", "match_id", "score", "rank")
-
-
-@register(
-    "d06b_quantize_int8",
-    """
-    select vec_id,
-           round(list_max(list_transform(embedding, x -> abs(cast(x as double)))) / 127.0, 6)
-             as scale_r,
-           len(embedding) as dim
-    from embeddings
-    """,
-    doc="int8 quantization scale derivation (oracle checks the scale math)",
-)
-def d06b(spark: SparkSession, sf: str) -> DataFrame:
-    from basis_devkit_spark.operators.embeddings import quantize_int8
-
-    e = load(spark, sf, "embeddings")
-    q = quantize_int8(e, "embedding")
-    return q.select(
-        "vec_id",
-        F.round("embedding_scale", 6).alias("scale_r"),
-        F.size("embedding").alias("dim"),
-    )
-
-
-@register(
-    "d06c_corpus_embedding_stats",
-    """
-    select label,
-           count(*) as n_vectors,
-           round(avg(norm), 4) as mean_norm,
-           round(min(norm), 4) as min_norm,
-           round(max(norm), 4) as max_norm,
-           max(dim) as dim
-    from (
-      select label,
-             sqrt(list_sum(list_transform(embedding,
-                  x -> cast(x as double) * cast(x as double)))) as norm,
-             len(embedding) as dim
-      from embeddings) t
-    group by label
-    """,
-    doc="per-label corpus embedding statistics (one agg pass)",
-)
-def d06c(spark: SparkSession, sf: str) -> DataFrame:
-    from basis_devkit_spark.operators.embeddings import corpus_embedding_stats
-
-    e = load(spark, sf, "embeddings")
-    return corpus_embedding_stats(e, "embedding", by="label")
-
-
-@register(
-    "d04i_redact_pii",
-    """
-    with planted as (
-      select doc_id,
-             case when doc_id % 10 = 0
-                  then text || ' contact user' || cast(doc_id as varchar)
-                       || '@example.com or 555-123-4567 ssn 123-45-6789'
-                  else text end as text
-      from documents
-    )
-    select doc_id,
-           regexp_replace(
-             regexp_replace(
-               regexp_replace(text,
-                 '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
-               '\\b\\d{3}-\\d{2}-\\d{4}\\b', '<SSN>', 'g'),
-             '\\+?\\d[\\d\\s().-]{7,}\\d', '<PHONE>', 'g') as text
-    from planted
-    """,
-    doc="PII redaction pass (emails/SSN/phone shapes) over a corpus with "
-    "deterministically planted PII — oracle replays the same regex chain",
-)
-def d04i(spark: SparkSession, sf: str) -> DataFrame:
-    from basis_devkit_spark.operators.text import redact_pii
-
-    d = load(spark, sf, "documents").select("doc_id", "text")
-    planted = d.withColumn(
-        "text",
-        F.when(
-            F.col("doc_id") % 10 == 0,
-            F.concat(
-                F.col("text"),
-                F.lit(" contact user"),
-                F.col("doc_id").cast("string"),
-                F.lit("@example.com or 555-123-4567 ssn 123-45-6789"),
-            ),
-        ).otherwise(F.col("text")),
-    )
-    return redact_pii(planted, "text")
-
-
-@register(
-    "d04j_repetition_stats",
-    """
-    with toks as (
-      select doc_id, string_split(lower(trim(text)), ' ') as ws from documents
-    ),
-    g as (
-      select doc_id,
-        list_transform(range(1, greatest(len(ws) - 1, 1) + 1),
-                       i -> array_to_string(list_slice(ws, i, i + 1), ' ')) as g2,
-        list_transform(range(1, greatest(len(ws) - 4, 1) + 1),
-                       i -> array_to_string(list_slice(ws, i, i + 4), ' ')) as g5
-      from toks
-    )
-    select doc_id,
-      case when nw < 2 then 0.0 else
-        round(list_max(list_transform(list_distinct(g2),
-                       d -> len(list_filter(g2, x -> x = d))))
-              / greatest(len(g2), 1), 6) end as top_2gram_frac,
-      case when nw < 5 then 0.0 else
-        round(1 - len(list_distinct(g5)) / greatest(len(g5), 1), 6) end
-        as dup_5gram_frac
-    from (select *, len(ws) as nw from toks) t
-    join g using (doc_id)
-    """,
-    doc="Gopher-style repetition filters: top-2-gram occupancy and "
-    "duplicate-5-gram fraction per document (pure array expressions)",
-)
-def d04j(spark: SparkSession, sf: str) -> DataFrame:
-    from basis_devkit_spark.operators.text import repetition_stats
-
-    d = load(spark, sf, "documents")
-    return repetition_stats(d, "text").select(
-        "doc_id", "top_2gram_frac", "dup_5gram_frac"
-    )
-
-
-@register(
-    "d04h_data_mixture",
-    """
-    select doc_id, lang
-    from documents
-    where (('0x' || substr(md5('mix' || cast(doc_id as varchar)), 1, 8))::ubigint
-           % 10000)
-          < 10000 * (case lang when 'en' then 0.5
-                               when 'zh' then 1.0
-                               else 0.25 end)
-    """,
-    doc="training-data mixture sampling: deterministic md5-bucket keep "
-    "fraction per language stratum — a pure filter, reproducible across "
-    "engines, monotone in the weights",
-)
-def d04h(spark: SparkSession, sf: str) -> DataFrame:
-    from basis_devkit_spark.operators.text import mixture_sample
-
-    d = load(spark, sf, "documents")
-    return mixture_sample(
-        d, {"en": 0.5, "zh": 1.0}, stratum_col="lang", id_col="doc_id",
-        default_weight=0.25,
-    ).select("doc_id", "lang")
-
-
-@register(
-    "d04g_sequence_pack",
-    """
-    with t as (
-      select doc_id, len(string_split(trim(text), ' ')) as ntok
-      from documents
-    ),
-    o as (
-      select doc_id, ntok,
-             coalesce(sum(ntok) over (order by doc_id
-                      rows between unbounded preceding and 1 preceding), 0)
-               as off
-      from t
-    )
-    select cast(floor(off / 2048) as bigint) as chunk_id,
-           count(*) as n_docs,
-           cast(sum(ntok) as bigint) as total_tokens,
-           min(doc_id) as first_doc,
-           max(doc_id) as last_doc
-    from o group by 1
-    """,
-    doc="sequence packing: docs assigned to fixed 2048-token chunks by "
-    "exclusive prefix token count (distributed two-pass prefix sum)",
-)
-def d04g(spark: SparkSession, sf: str) -> DataFrame:
-    from basis_devkit_spark.operators.text import pack_sequences
-
-    d = load(spark, sf, "documents")
-    return pack_sequences(d, "doc_id", "text", budget=2048)
-
-
-@register(
-    "d04f_filter_corpus",
-    f"""
-    with q as (
-      select doc_id, lang, n_words, {_QUALITY_EXPR} as quality_score,
-             md5(text) as h
-      from ({_STATS_SQL})
-    )
-    select doc_id, lang, n_words, quality_score from q
-    where n_words >= 10 and quality_score >= 0.3
-    qualify row_number() over (partition by h order by doc_id) = 1
-    """,
-    doc="training-corpus filter pipeline: length + quality + lang + dedup",
-)
-def d04f(spark: SparkSession, sf: str) -> DataFrame:
-    from basis_devkit_spark.operators.text import filter_corpus
-
-    d = load(spark, sf, "documents")
-    return filter_corpus(
-        d, min_words=10, min_quality=0.3, langs=["en", "de", "fr", "es", "zh", "und"],
-        dedup_exact=True,
-    ).select("doc_id", "lang", "n_words", "quality_score")
-
-
-# Shared by d07 (plain) and d26 (bloom-prefiltered — the screen adds no
-# false negatives and the exact join drops false positives, so BOTH
-# operators must produce exactly these rows).
-_D07_SQL = """
-    with toks as (
-      select doc_id, string_split(lower(text), ' ') as ws from documents
-    ),
-    sh0 as (
-      select doc_id, ws,
-             unnest(range(1, greatest(len(ws) - 2, 1) + 1)) as i
-      from toks
-    ),
-    sh as (
-      select distinct doc_id,
-             array_to_string(list_slice(ws, i, i + 2), ' ') as s
-      from sh0
-    ),
-    bench as (select distinct s from sh where doc_id % 20 = 0)
-    select sh.doc_id, count(*) as shared_grams
-    from sh join bench using (s)
-    where sh.doc_id % 20 != 0
-    group by sh.doc_id
-    """
-
-
-@register(
-    "d07_decontaminate",
-    _D07_SQL,
-    doc="benchmark decontamination: corpus docs sharing any word 3-gram "
-    "with the held-out 'benchmark' slice (doc_id % 20 = 0); benchmark gram "
-    "set is broadcast — the corpus is never shuffled or self-joined",
-)
-def d07(spark: SparkSession, sf: str) -> DataFrame:
-    from basis_devkit_spark.operators.dedup import ngram_contamination
-
-    d = load(spark, sf, "documents")
-    corpus = d.filter(F.col("doc_id") % 20 != 0)
-    bench = d.filter(F.col("doc_id") % 20 == 0)
-    return ngram_contamination(
-        corpus, bench, "doc_id", "text", shingle_size=3, min_overlap=1
-    )
-
-
-@register(
-    "d26_decontaminate_bloom",
-    _D07_SQL,
-    doc="Bloom-prefiltered benchmark decontamination — d07's semantics "
-    "with a 32 KB screening artifact: benchmark grams build a "
-    "(word, bits) bloom relation; exploded corpus grams pass k=4 "
-    "broadcast INT-joins (no strings move) and only survivors — true "
-    "matches plus the false-positive sliver — pay the exact string "
-    "equi-join. No false negatives by construction, so the oracle is "
-    "d07's exact SQL verbatim: the screen must change NOTHING. The "
-    "100 TB shape when the benchmark suite's gram set is itself too "
-    "big to be the first thing every corpus gram probes",
-)
-def d26(spark: SparkSession, sf: str) -> DataFrame:
-    from basis_devkit_spark.operators.dedup import ngram_contamination_bloom
-
-    d = load(spark, sf, "documents")
-    corpus = d.filter(F.col("doc_id") % 20 != 0)
-    bench = d.filter(F.col("doc_id") % 20 == 0)
-    return ngram_contamination_bloom(
-        corpus, bench, "doc_id", "text", shingle_size=3, min_overlap=1,
-        m_bits=1 << 16, k=4,
-    )
-
-
-@register(
-    "d28_pagerank_fixed_point",
-    pyoracle.pagerank_sql,
-    doc="fixed-point integer PageRank (operators/graphrank.py) over the "
-    "distinct customer→supplier purchase graph (orders ⋈ lineitem) — the "
-    "domain-authority signal crawl pipelines use to weight sources. "
-    "Float PageRank is not cross-engine reproducible (per-iteration sum "
-    "order); here every rank is an exact scaled integer (contributions "
-    "div outdeg, damping ×17 div 20, teleport and dangling mass in "
-    "exact ints), each iteration one equi-join + one integer-sum agg — "
-    "so 10 iterations exact-hash oracle against an independent Python "
-    "model with NO float op anywhere (the query emits the exact scaled-"
-    "integer ranks; the rounded-double form is for humans — rational "
-    "ranks can land exactly on rounding half-boundaries)",
-)
-def d28(spark: SparkSession, sf: str) -> DataFrame:
-    from basis_devkit_spark.operators.graphrank import pagerank_fixed_point
-
-    o = load(spark, sf, "orders")
-    li = load(spark, sf, "lineitem")
-    edges = (
-        o.join(li, o["o_orderkey"] == li["l_orderkey"])
-        .select(
-            F.concat(F.lit("c"), F.col("o_custkey")).alias("src"),
-            F.concat(F.lit("s"), F.col("l_suppkey")).alias("dst"),
-        )
-    )
-    return pagerank_fixed_point(edges, iters=10, raw_scaled=True).select(
-        "node", "rank_scaled"
-    )
-
-
-@register(
-    "d27_count_min_probe",
-    pyoracle.cms_probe_sql,
-    doc="count-min frequency sketch (operators/sketches.py): token-"
-    "occurrence counts sketched into a depth=4 × width=4096 cell "
-    "relation (mergeable by SUM, persistable), probed with doc 0's "
-    "distinct tokens and shown beside the exact counts. Entirely "
-    "integer — positions are xxhash64 chains, cells exact counts, the "
-    "estimate a MIN — so it is bit-identical cross-engine with NO "
-    "rounding contract, the strongest exactness class a sketch can "
-    "have; the oracle recomputes the full sketch in Python",
-)
-def d27(spark: SparkSession, sf: str) -> DataFrame:
-    from basis_devkit_spark.operators.sketches import cms_build, cms_estimate
-
-    d = load(spark, sf, "documents")
-    tok = F.explode(F.split(F.lower(F.trim(F.col("text"))), r"\s+")).alias(
-        "token"
-    )
-    toks = d.select(tok)
-    cms = cms_build(toks, "token", width=1 << 12, depth=4)
-    probes = d.filter(F.col("doc_id") == 0).select(tok).distinct()
-    est = cms_estimate(probes, cms, "token", width=1 << 12, depth=4)
-    exact = toks.groupBy("token").agg(
-        F.count(F.lit(1)).alias("exact_count")
-    )
-    return est.join(exact, "token").select("token", "est_count", "exact_count")
-
-
-@register(
-    "d04k_train_val_test_split",
-    """
-    select doc_id,
-           case when b < 9800 then 'train'
-                when b < 9900 then 'val'
-                else 'test' end as split
-    from (
-      select doc_id,
-             ('0x' || substr(md5('split' || cast(doc_id as varchar)), 1, 8))::ubigint
-             % 10000 as b
-      from documents
-    )
-    """,
-    doc="deterministic train/val/test assignment (98/1/1): md5-bucket vs "
-    "cumulative cutoffs — pure projection, no shuffle, engine-reproducible, "
-    "and stable under fraction changes (cumulative cutoffs only move docs "
-    "across adjacent splits)",
-)
-def d04k(spark: SparkSession, sf: str) -> DataFrame:
-    from basis_devkit_spark.operators.text import train_val_test_split
-
-    d = load(spark, sf, "documents")
-    return train_val_test_split(
-        d, (0.98, 0.01, 0.01), id_col="doc_id", salt="split"
-    ).select("doc_id", "split")
-
-
-@register(
-    "d04l_ngram_counts",
-    """
-    with toks as (
-      select doc_id, string_split(lower(trim(text)), ' ') as ws from documents
-    ),
-    g as (
-      select doc_id, array_to_string(list_slice(ws, i, i + 1), ' ') as gram
-      from (
-        select doc_id, ws, unnest(range(1, len(ws) - 2 + 2)) as i
-        from toks where len(ws) >= 2
-      )
-    )
-    select gram, count(*) as n_occurrences,
-           count(distinct doc_id) as n_docs
-    from g group by gram
-    order by n_occurrences desc, gram limit 100
-    """,
-    doc="corpus-wide top-100 word 2-grams by occurrence (boilerplate / "
-    "contamination analysis); explode -> one partial-combining hash agg -> "
-    "TakeOrdered top-k, deterministic gram tie-break",
-)
-def d04l(spark: SparkSession, sf: str) -> DataFrame:
-    from basis_devkit_spark.operators.text import ngram_counts
-
-    d = load(spark, sf, "documents")
-    return ngram_counts(d, "text", n=2, k=100)
-
-
-@register(
-    "d04m_cross_doc_dup_ngrams",
-    """
-    with toks as (
-      select doc_id, string_split(lower(trim(text)), ' ') as ws from documents
-    ),
-    g as (
-      select doc_id, array_to_string(list_slice(ws, i, i + 2), ' ') as gram
-      from (
-        select doc_id, ws, unnest(range(1, len(ws) - 3 + 2)) as i
-        from toks where len(ws) >= 3
-      )
-    ),
-    pdg as (select doc_id, gram, count(*) as occ from g group by 1, 2),
-    shared as (
-      select gram from pdg group by gram having count(distinct doc_id) > 1
-    ),
-    tot as (select doc_id, sum(occ) as t from pdg group by 1),
-    dup as (
-      select pdg.doc_id, sum(occ) as d
-      from pdg join shared using (gram) group by 1
-    )
-    select docs.doc_id,
-           cast(coalesce(round(dup.d / tot.t, 6), 0.0) as double)
-             as dup_ngram_frac
-    from documents docs
-    left join tot on tot.doc_id = docs.doc_id
-    left join dup on dup.doc_id = docs.doc_id
-    """,
-    doc="per-doc fraction of 3-gram occurrences shared with another doc — "
-    "cross-document Gopher duplicate-n-gram signal (d04j covers the "
-    "intra-doc form); shared-gram table shrinks before the join back",
-)
-def d04m(spark: SparkSession, sf: str) -> DataFrame:
-    from basis_devkit_spark.operators.text import cross_doc_dup_ngram_frac
-
-    d = load(spark, sf, "documents")
-    return cross_doc_dup_ngram_frac(d, "doc_id", "text", n=3)
-
-
-@register(
-    "c09_stream_ingest_exactly_once",
-    """
-    select event_id, event_type, value from events
-    """,
-    doc="true Structured Streaming ingest into the managed store: file "
-    "source over the events parquet -> foreachBatch exactly-once append "
-    "(batch id rides the atomic manifest flip) -> read back; the managed "
-    "table must equal the batch relation exactly (no loss, no dupes)",
-)
-def c09(spark: SparkSession, sf: str) -> DataFrame:
-    import tempfile as _tf
-
-    from basis_devkit_spark.storage.store import TableStore
-    from basis_devkit_spark.streaming.ops import stream_append_to_store
-
-    import os as _os
-
-    tmp = _tf.mkdtemp(prefix="bds_c09_")
-    store = TableStore(tmp, "ev", spark)
-    # The file streaming source requires a DIRECTORY; stage the single
-    # parquet file behind a symlink (no data copy). Schema from the batch
-    # read; ts column excluded — its nanos conversion is a batch-side
-    # rewrite, and this query targets the ingest path, not the column.
-    drop = _os.path.join(tmp, "drop")
-    _os.makedirs(drop, exist_ok=True)
-    _os.symlink(f"{sf}/events.parquet", _os.path.join(drop, "events.parquet"))
-    raw_schema = spark.read.parquet(f"{sf}/events.parquet").schema
-    stream = (
-        spark.readStream.schema(raw_schema)
-        .parquet(drop)
-        .select("event_id", "event_type", "value")
-    )
-    q = stream_append_to_store(stream, store, f"{tmp}/_ckpt").start()
-    try:
-        q.processAllAvailable()
-    finally:
-        q.stop()
-    return store.read()
-
-
-@register(
-    "c10_stream_stream_interval_join",
-    """
-    select c.event_id as click_id, p.event_id as purchase_id,
-           c.user_id as user_id, round(p.value, 4) as purchase_value
-    from events c join events p on p.user_id = c.user_id
-    where c.event_type = 'click' and p.event_type = 'purchase'
-      and p.ts >= c.ts and p.ts <= c.ts + interval 1 hour
-    """,
-    doc="true stream-stream event-time interval join (click -> purchase "
-    "by the same user within 1 hour): two file streams, watermarks + "
-    "range condition bound the join state, exactly-once foreachBatch "
-    "sink; result must equal the batch interval join exactly",
-)
-def c10(spark: SparkSession, sf: str) -> DataFrame:
-    import os as _os
-    import tempfile as _tf
-
-    from basis_devkit_spark.storage.store import TableStore
-    from basis_devkit_spark.streaming.ops import (
-        stream_append_to_store,
-        stream_interval_join,
-    )
-
-    tmp = _tf.mkdtemp(prefix="bds_c10_")
-    drop = _os.path.join(tmp, "drop")
-    _os.makedirs(drop, exist_ok=True)
-    _os.symlink(f"{sf}/events.parquet", _os.path.join(drop, "events.parquet"))
-    raw_schema = spark.read.parquet(f"{sf}/events.parquet").schema
-
-    from pyspark.sql import types as T
-
-    ts_is_long = isinstance(raw_schema["ts"].dataType, T.LongType)
-
-    def src():
-        s = spark.readStream.schema(raw_schema).parquet(drop)
-        # events.ts is parquet TIMESTAMP(NANOS): depending on the session's
-        # nanosAsLong conf it surfaces as long (convert to micros exactly
-        # as the batch loader does) or as a timestamp already.
-        if ts_is_long:
-            s = s.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
-        # Watermarks need TIMESTAMP (ltz), not NTZ; session tz is UTC so
-        # the cast is a deterministic relabel, comparisons unchanged.
-        return s.withColumn("ts", F.col("ts").cast("timestamp"))
-
-    clicks = (
-        src()
-        .filter(F.col("event_type") == "click")
-        .select(
-            F.col("event_id").alias("click_id"),
-            "user_id",
-            F.col("ts").alias("click_ts"),
-        )
-    )
-    purchases = (
-        src()
-        .filter(F.col("event_type") == "purchase")
-        .select(
-            F.col("event_id").alias("purchase_id"),
-            "user_id",
-            F.col("ts").alias("purchase_ts"),
-            "value",
-        )
-    )
-    joined = stream_interval_join(
-        clicks, purchases, "user_id", "click_ts", "purchase_ts",
-        max_delay="1 hour", watermark="35 days",
-    ).select(
-        "click_id", "purchase_id", "user_id",
-        F.round("value", 4).alias("purchase_value"),
-    )
-    store = TableStore(tmp, "attrib", spark)
-    q = stream_append_to_store(joined, store, f"{tmp}/_ckpt").start()
-    try:
-        q.processAllAvailable()
-    finally:
-        q.stop()
-    return store.read()
-
-
-@register(
-    "c11_stream_upsert_aggregate",
-    """
-    select user_id, count(*) as n_events,
-           round(sum(value), 4) as total_value
-    from events group by user_id
-    """,
-    doc="update-mode streaming aggregation into a managed-table UPSERT "
-    "sink: per-user running counts merge on unique_on each micro-batch "
-    "(exactly-once batch-id contract); the final table must equal the "
-    "batch group-by exactly",
-)
-def c11(spark: SparkSession, sf: str) -> DataFrame:
-    import os as _os
-    import tempfile as _tf
-
-    from basis_devkit_spark.storage.store import TableStore
-    from basis_devkit_spark.streaming.ops import stream_upsert_to_store
-
-    tmp = _tf.mkdtemp(prefix="bds_c11_")
-    drop = _os.path.join(tmp, "drop")
-    _os.makedirs(drop, exist_ok=True)
-    _os.symlink(f"{sf}/events.parquet", _os.path.join(drop, "events.parquet"))
-    raw_schema = spark.read.parquet(f"{sf}/events.parquet").schema
-    agg = (
-        spark.readStream.schema(raw_schema)
-        .parquet(drop)
-        .groupBy("user_id")
-        .agg(
-            F.count(F.lit(1)).alias("n_events"),
-            F.round(F.sum("value"), 4).alias("total_value"),
-        )
-    )
-    store = TableStore(tmp, "user_stats", spark)
-    store.configure(unique_on="user_id")
-    q = stream_upsert_to_store(agg, store, f"{tmp}/_ckpt").start()
-    try:
-        q.processAllAvailable()
-    finally:
-        q.stop()
-    return store.read().select("user_id", "n_events", "total_value")
-
-
-@register(
-    "d10_corpus_drift",
-    """
-    with a as (select * from documents where doc_id % 2 = 0),
-         b as (select * from documents where doc_id % 2 = 1),
-    ga as (select lang as stratum, count(*) as n_a from a group by lang),
-    gb as (select lang as stratum, count(*) as n_b from b group by lang),
-    ta as (select count(*) as tot_a from a),
-    tb as (select count(*) as tot_b from b),
-    m as (
-      select coalesce(ga.stratum, gb.stratum) as stratum,
-             coalesce(n_a, 0) as n_a, coalesce(n_b, 0) as n_b
-      from ga full outer join gb on ga.stratum = gb.stratum
-    )
-    select stratum, n_a, n_b,
-           round(n_a / tot_a, 6) as frac_a,
-           round(n_b / tot_b, 6) as frac_b,
-           round(abs(round(n_a / tot_a, 6) - round(n_b / tot_b, 6)), 6)
-             as abs_diff
-    from m, ta, tb
-    """,
-    doc="corpus snapshot drift monitor: per-language counts/fractions of "
-    "two halves of the corpus + absolute fraction shift (TV distance = "
-    "sum/2) — the dataset-versioning diff",
-)
-def d10(spark: SparkSession, sf: str) -> DataFrame:
-    from basis_devkit_spark.operators.text import corpus_drift
-
-    d = load(spark, sf, "documents")
-    return corpus_drift(
-        d.filter(F.col("doc_id") % 2 == 0),
-        d.filter(F.col("doc_id") % 2 == 1),
-        "lang",
-    )
-
-
-@register(
-    "d04s_quality_weighted_sample",
-    f"""
-    with q as (
-      select doc_id, {_QUALITY_EXPR} as quality_score
-      from ({_STATS_SQL})
-    )
-    select doc_id, quality_score from q
-    where (('0x' || substr(md5('qws' || cast(doc_id as varchar)), 1, 8))::ubigint
-           % 10000) / 10000.0 < power(quality_score, 2.0)
-    """,
-    doc="quality-weighted importance sampling (keep with probability "
-    "~ quality^2): deterministic md5-uniform vs the heuristic quality "
-    "score — a pure filter, no RNG state, reproducible across engines",
-)
-def d04s(spark: SparkSession, sf: str) -> DataFrame:
-    from basis_devkit_spark.operators.text import (
-        quality_score,
-        quality_weighted_sample,
-    )
-
-    d = load(spark, sf, "documents")
-    q = quality_score(d, "text")
-    return quality_weighted_sample(q, alpha=2.0).select(
-        "doc_id", "quality_score"
-    )
-
-
-@register(
-    "d04r_trained_quality_filter",
-    None,  # LogisticRegression training is not bit-reproducible across
-    # engines (float reduction order) — rows-only; separability and the
-    # no-UDF scoring plan are pytest-asserted
-    # (test_quality_classifier_separates_planted_classes).
-    doc="fastText-style trained quality filter: hashed-BoW logistic "
-    "regression trained on weak labels (heuristic quality_score median "
-    "split), corpus scored JVM-side; rows-only by design",
-)
-def d04r(spark: SparkSession, sf: str) -> DataFrame:
-    from basis_devkit_spark.operators.quality_model import (
-        score_quality,
-        train_quality_classifier,
-    )
-    from basis_devkit_spark.operators.text import quality_score
-
-    d = load(spark, sf, "documents").select("doc_id", "text")
-    q = quality_score(d, "text")
-    med = q.approxQuantile("quality_score", [0.5], 0.01)[0]
-    labeled = q.select(
-        "doc_id", "text",
-        (F.col("quality_score") >= med).cast("int").alias("label"),
-    )
-    model = train_quality_classifier(labeled, "text", "label", max_iter=10)
-    return score_quality(model, labeled.select("doc_id", "text")).select(
-        "doc_id", "quality_prob"
-    )
-
-
-@register(
-    "d04q_drop_repeated_lines",
-    """
-    with p as (
-      select doc_id,
-             case when doc_id % 3 = 0
-                  then text || chr(10) || 'subscribe to our newsletter for updates'
-                  else text end as text
-      from documents
-    ),
-    l as (
-      select doc_id,
-             unnest(string_split(text, chr(10))) as line,
-             generate_subscripts(string_split(text, chr(10)), 1) as pos
-      from p
-    ),
-    rep as (select line from l group by line having count(*) > 1),
-    kept as (select * from l where line not in (select line from rep)),
-    packed as (
-      select doc_id, string_agg(line, chr(10) order by pos) as text2
-      from kept group by doc_id
-    )
-    select p.doc_id, coalesce(k.text2, '') as text2
-    from p left join packed k on p.doc_id = k.doc_id
-    """,
-    doc="C4-style corpus-level repeated-line removal: a footer planted on "
-    "every third doc (and any exactly-duplicated body line) must be "
-    "stripped, unique lines survive in order, fully-dropped docs keep ''",
-)
-def d04q(spark: SparkSession, sf: str) -> DataFrame:
-    from basis_devkit_spark.operators.text import drop_repeated_lines
-
-    d = load(spark, sf, "documents").select("doc_id", "text")
-    planted = d.withColumn(
-        "text",
-        F.when(
-            F.col("doc_id") % 3 == 0,
-            F.concat(
-                F.col("text"),
-                F.lit("\nsubscribe to our newsletter for updates"),
-            ),
-        ).otherwise(F.col("text")),
-    )
-    out = drop_repeated_lines(planted, "doc_id", "text", max_occurrences=1)
-    return out.select("doc_id", F.col("text").alias("text2"))
-
-
-@register(
-    "c12_stream_neardup_collapse",
-    pyoracle.stream_neardup_sql,
-    doc="streaming near-dup collapse: per-row MinHash signatures "
-    "(shuffle-free projection, works unchanged on a streaming DF) hashed "
-    "into a group key, update-mode min-id + member-count aggregation, "
-    "exactly-once UPSERT into a managed table — the final table must "
-    "equal the batch signature group-by; planted copies (2nd micro-batch "
-    "file) must collapse onto their originals",
-)
-def c12(spark: SparkSession, sf: str) -> DataFrame:
-    import glob as _glob
-    import os as _os
-    import shutil as _shutil
-    import tempfile as _tf
-
-    from basis_devkit_spark.operators.dedup import minhash_signatures
-    from basis_devkit_spark.storage.store import TableStore
-    from basis_devkit_spark.streaming.ops import stream_upsert_to_store
-
-    tmp = _tf.mkdtemp(prefix="bds_c12_")
-    drop = _os.path.join(tmp, "drop")
-    _os.makedirs(drop, exist_ok=True)
-    _os.symlink(f"{sf}/documents.parquet", _os.path.join(drop, "b0.parquet"))
-    d = spark.read.parquet(f"{sf}/documents.parquet")
-    planted = d.filter(F.col("doc_id") < 10).withColumn(
-        "doc_id", F.col("doc_id") + F.lit(1_000_000)
-    )
-    pdir = _os.path.join(tmp, "planted")
-    planted.coalesce(1).write.parquet(pdir)
-    for i, f in enumerate(_glob.glob(_os.path.join(pdir, "part-*.parquet"))):
-        _shutil.copy(f, _os.path.join(drop, f"b1_{i}.parquet"))
-    stream = spark.readStream.schema(d.schema).parquet(drop)
-    sig = minhash_signatures(stream, "doc_id", "text")
-    key = F.xxhash64(
-        F.concat_ws(",", F.transform("sig", lambda x: x.cast("string")))
-    )
-    agg = (
-        sig.select("doc_id", key.alias("sig_key"))
-        .groupBy("sig_key")
-        .agg(
-            F.min("doc_id").alias("rep_id"),
-            F.count(F.lit(1)).alias("n_members"),
-        )
-    )
-    store = TableStore(tmp, "collapsed", spark)
-    store.configure(unique_on="sig_key")
-    q = stream_upsert_to_store(agg, store, f"{tmp}/_ckpt").start()
-    try:
-        q.processAllAvailable()
-    finally:
-        q.stop()
-    return store.read().select("sig_key", "rep_id", "n_members")
-
-
-@register(
-    "d04n_token_budget_sample",
-    """
-    with t as (
-      select doc_id, lang,
-             len(string_split(lower(trim(text)), ' ')) as tokens,
-             ('0x' || substr(md5('tok' || cast(doc_id as varchar)), 1, 8))::ubigint
-               as prio
-      from documents
-    ), c as (
-      select doc_id, lang, tokens,
-             coalesce(sum(tokens) over (partition by lang order by prio, doc_id
-                                        rows between unbounded preceding
-                                        and 1 preceding), 0) as cum_before
-      from t
-    )
-    select doc_id, lang, tokens from c
-    where (lang = 'en' and cum_before < 5000)
-       or (lang = 'zh' and cum_before < 2000)
-    """,
-    doc="token-budget mixture sampling (budgets in TOKENS, not documents): "
-    "md5-priority greedy fill per stratum via the bucketed two-pass prefix "
-    "sum (no one-task-per-stratum window); keep iff the doc STARTS within "
-    "budget; strata without budgets drop",
-)
-def d04n(spark: SparkSession, sf: str) -> DataFrame:
-    from basis_devkit_spark.operators.text import token_budget_sample
-
-    d = load(spark, sf, "documents")
-    return token_budget_sample(
-        d, {"en": 5000, "zh": 2000}, stratum_col="lang", id_col="doc_id"
-    ).select("doc_id", "lang", "tokens")
-
-
-@register(
-    "d04o_chunk_documents",
-    """
-    with t as (
-      select doc_id, string_split(lower(trim(text)), ' ') as ws,
-             len(string_split(lower(trim(text)), ' ')) as n
-      from documents
-    ), nc as (
-      select doc_id, ws, n,
-             case when n <= 40 then 1
-                  else cast(ceil((n - 40) / 30.0) as int) + 1 end as n_chunks
-      from t
-    ), ex as (
-      select doc_id, unnest(range(0, n_chunks)) as chunk_id, ws
-      from nc
-    )
-    select doc_id, cast(chunk_id as int) as chunk_id,
-           array_to_string(list_slice(ws, chunk_id * 30 + 1,
-                                      chunk_id * 30 + 40), ' ') as chunk_text,
-           len(list_slice(ws, chunk_id * 30 + 1, chunk_id * 30 + 40))
-             as n_tokens
-    from ex
-    """,
-    doc="overlapping token-window chunking (chunk 40, overlap 10, stride "
-    "30) — embedding/RAG preprocessing as a pure projection + posexplode",
-)
-def d04o(spark: SparkSession, sf: str) -> DataFrame:
-    from basis_devkit_spark.operators.text import chunk_documents
-
-    d = load(spark, sf, "documents")
-    return chunk_documents(d, "doc_id", "text", chunk_tokens=40, overlap=10)
-
-
-@register(
-    "d04p_normalize_text",
-    r"""
-    with n as (
-      select doc_id, length(text) as n_chars_raw,
-             trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\s]', ' ', 'g'),
-                                 '\s+', ' ', 'g')) as norm_text
-      from documents
-    )
-    select doc_id, n_chars_raw, norm_text,
-           length(norm_text) as n_chars_norm
-    from n
-    """,
-    doc="canonical text normalization (lowercase, strip non-alnum, "
-    "collapse whitespace) — the dedup/fingerprint pre-pass, pure column "
-    "expressions",
-)
-def d04p(spark: SparkSession, sf: str) -> DataFrame:
-    from basis_devkit_spark.operators.text import normalize_text
-
-    d = load(spark, sf, "documents")
-    return normalize_text(d, "text").select(
-        "doc_id", "n_chars_raw", "norm_text", "n_chars_norm"
-    )
-
-
-@register(
-    "d08_stratified_sample",
-    """
-    with ranked as (
-      select source, doc_id, n_chars,
-             row_number() over (
-               partition by source
-               order by md5('strat' || cast(doc_id as varchar)), doc_id
-             ) as sample_rank
-      from documents)
-    select source, doc_id, n_chars, cast(sample_rank as int) as sample_rank
-    from ranked where sample_rank <= 5
-    """,
-    doc="deterministic stratified sample: 5 docs per source in salted-md5 "
-    "priority order — reproducible eval-slice / mixture-preview sampling; "
-    "two-phase top-k agg, no per-group window reducer",
-)
-def d08(spark: SparkSession, sf: str) -> DataFrame:
-    from basis_devkit_spark.operators.text import stratified_sample
-
-    d = load(spark, sf, "documents").select("source", "doc_id", "n_chars")
-    return stratified_sample(d, "source", 5).select(
-        "source", "doc_id", "n_chars", F.col("sample_rank").cast("int").alias("sample_rank")
-    )
-
-
-@register(
-    "d02f_chunk_dedup",
-    """
-    with src as (
-      select doc_id, text from documents
-      union all
-      select doc_id + 1000000 as doc_id, text from documents
-      where doc_id < 25
-    ), t as (
-      select doc_id, string_split(lower(trim(text)), ' ') as ws,
-             len(string_split(lower(trim(text)), ' ')) as n
-      from src
-    ), nc as (
-      select doc_id, ws, n,
-             case when n <= 40 then 1
-                  else cast(ceil((n - 40) / 30.0) as int) + 1 end as n_chunks
-      from t
-    ), ex as (
-      select doc_id, unnest(range(0, n_chunks)) as chunk_id, ws from nc
-    ), chunks as (
-      select doc_id, cast(chunk_id as int) as chunk_id,
-             array_to_string(list_slice(ws, chunk_id * 30 + 1,
-                                        chunk_id * 30 + 40), ' ') as chunk_text
-      from ex
-    )
-    select doc_id, chunk_id, chunk_text from (
-      select doc_id, chunk_id, chunk_text,
-             row_number() over (partition by chunk_text
-                                order by doc_id, chunk_id) as rn
-      from chunks
-    ) where rn = 1
-    """,
-    doc="chunk-level exact dedup over chunked docs + planted clones "
-    "(doc_id+1e6 copies of the first 25 docs): every clone chunk must lose "
-    "to its original — composes chunk_documents with keep-first dedup; "
-    "non-vacuous by construction",
-)
-def d02f(spark: SparkSession, sf: str) -> DataFrame:
-    from basis_devkit_spark.operators.dedup import exact_dedup
-    from basis_devkit_spark.operators.text import chunk_documents
-
-    d = load(spark, sf, "documents").select("doc_id", "text")
-    planted = d.filter(F.col("doc_id") < 25).select(
-        (F.col("doc_id") + 1_000_000).alias("doc_id"), "text"
-    )
-    chunks = chunk_documents(
-        d.unionByName(planted), "doc_id", "text", chunk_tokens=40, overlap=10
-    ).select("doc_id", "chunk_id", "chunk_text")
-    kept = exact_dedup(
-        chunks.withColumn(
-            "__ord", F.col("doc_id") * 10_000 + F.col("chunk_id")
-        ),
-        keys=["chunk_text"],
-        order_by="__ord",
-        keep="first",
-    )
-    return kept.select("doc_id", "chunk_id", "chunk_text")
-
-
-@register(
-    "d05c_byte_histogram",
-    r"""
-    with blobs as (
-      select doc_id,
-             case doc_id % 3
-               when 0 then '\x89PNG\x0D\x0A\x1A\x0A'::blob
-               when 1 then '\xFF\xD8\xFF\xE0'::blob
-               else 'RIFF'::blob
-             end || encode(text) as content
-      from documents where doc_id < 200
-    ), h as (
-      select doc_id, hex(content) as hx, octet_length(content) as n_bytes
-      from blobs
-    ), arrs as (
-      select doc_id, n_bytes,
-             list_transform(range(0, n_bytes),
-                            i -> substr(hx, cast(i*2+1 as int), 2)) as bytes
-      from h
-    )
-    select doc_id, n_bytes,
-           len(list_distinct(bytes)) as distinct_bytes,
-           list_max(list_transform(list_distinct(bytes),
-                    d -> len(list_filter(bytes, x -> x = d)))) as top_byte_freq
-    from arrs
-    """,
-    doc="byte-level feature extraction on a BINARY column (per-blob byte "
-    "histogram stats: distinct bytes + modal byte frequency) — the "
-    "decode-free half of multimodal feature extraction, all JVM-side hex/"
-    "array expressions, replayed exactly by DuckDB",
-)
-def d05c(spark: SparkSession, sf: str) -> DataFrame:
-    d = load(spark, sf, "documents").filter(F.col("doc_id") < 200)
-    hdr = (
-        F.when(
-            F.col("doc_id") % 3 == 0,
-            F.lit(bytes([0x89, 0x50, 0x4E, 0x47, 0x0D, 0x0A, 0x1A, 0x0A])),
-        )
-        .when(F.col("doc_id") % 3 == 1, F.lit(b"\xff\xd8\xff\xe0"))
-        .otherwise(F.lit(b"RIFF"))
-    )
-    blobs = d.select(
-        "doc_id", F.concat(hdr, F.encode("text", "utf-8")).alias("content")
-    )
-    hx = F.hex("content")
-    n = F.length("content").cast("long")
-    arr = F.transform(
-        F.sequence(F.lit(0), n.cast("int") - 1),
-        lambda i: F.substring(hx, i * 2 + 1, 2),
-    )
-    distinct = F.array_distinct(arr)
-    return blobs.select(
-        "doc_id",
-        n.alias("n_bytes"),
-        F.size(distinct).cast("long").alias("distinct_bytes"),
-        F.array_max(
-            F.transform(
-                distinct, lambda d_: F.size(F.filter(arr, lambda x: x == d_))
-            )
-        ).cast("long").alias("top_byte_freq"),
-    )
-
-
-@register(
-    "d06d_normalize_embeddings",
-    """
-    with n as (
-      select vec_id,
-             sqrt(list_sum(list_transform(embedding,
-                   x -> cast(x as double) * cast(x as double)))) as l2
-      from embeddings
-    )
-    select e.vec_id,
-           round(cast(e.embedding[1] as double) / n.l2, 6) as first_comp,
-           round(sqrt(list_sum(list_transform(e.embedding,
-                 x -> (cast(x as double) / n.l2) * (cast(x as double) / n.l2)))), 4)
-             as unit_norm
-    from embeddings e join n on n.vec_id = e.vec_id
-    """,
-    doc="L2 normalization of the embedding column: normalized first "
-    "component + the norm of the normalized vector (must be 1.0)",
-)
-def d06d(spark: SparkSession, sf: str) -> DataFrame:
-    from basis_devkit_spark.operators.similarity import normalize_embeddings
-
-    e = load(spark, sf, "embeddings")
-    nn = normalize_embeddings(e, "embedding", out_col="nv")
-    from basis_devkit_spark.operators.similarity import _norm
-
-    return nn.select(
-        "vec_id",
-        F.round(F.element_at("nv", 1), 6).alias("first_comp"),
-        F.round(_norm(F.col("nv")), 4).alias("unit_norm"),
-    )
-
-
-@register(
-    "d09_salted_agg",
-    """
-    select event_type,
-           count(value) as count_value,
-           round(sum(value), 4) as sum_r,
-           round(min(value), 4) as min_r,
-           round(max(value), 4) as max_r
-    from events group by event_type
-    """,
-    doc="skew-salted two-phase aggregation: partial agg on (key, salt) "
-    "spreads a hot key over N reducers, final agg merges — results must "
-    "equal the plain group-by exactly (decomposable aggregates)",
-)
-def d09(spark: SparkSession, sf: str) -> DataFrame:
-    from basis_devkit_spark.operators.skew import salted_agg
-
-    e = load(spark, sf, "events")
-    out = salted_agg(
-        e, ["event_type"], {"value": "count"}, salt=16
-    ).join(
-        salted_agg(e, ["event_type"], {"value": "sum"}, salt=16), "event_type"
-    ).join(
-        salted_agg(e, ["event_type"], {"value": "min"}, salt=16), "event_type"
-    ).join(
-        salted_agg(e, ["event_type"], {"value": "max"}, salt=16), "event_type"
-    )
-    return out.select(
-        "event_type",
-        "count_value",
-        F.round("sum_value", 4).alias("sum_r"),
-        F.round("min_value", 4).alias("min_r"),
-        F.round("max_value", 4).alias("max_r"),
-    )
-
-
-@register(
-    "d04t_gopher_rules",
-    r"""
-    with w as (
-      select doc_id,
-             regexp_split_to_array(trim(text), '\s+') as words,
-             string_split(text, chr(10)) as lines,
-             length(text) - length(regexp_replace(text, '#', '', 'g')) as n_hash,
-             (length(text) - length(regexp_replace(text, '\.\.\.', '', 'g'))) / 3.0
-               as n_ellipsis
-      from documents
-    ), s as (
-      select doc_id, words,
-             greatest(len(words), 1) as nw,
-             greatest(len(lines), 1) as nl,
-             n_hash, n_ellipsis,
-             list_sum(list_transform(words, x -> length(x))) as word_chars,
-             len(list_filter(words, x -> regexp_matches(x, '[A-Za-z]'))) as n_alpha,
-             len(list_filter(lines,
-                 x -> starts_with(x, '- ') or starts_with(x, '* ')
-                      or starts_with(x, '•'))) as n_bullet,
-             len(list_filter(lines, x -> x like '%...')) as n_ell_lines,
-             (cast(list_contains(list_transform(words, x -> lower(x)), 'the') as int)
-              + cast(list_contains(list_transform(words, x -> lower(x)), 'a') as int))
-               as stop_count
-      from w
-    ), f as (
-      select doc_id,
-             cast(len(words) as int) as n_words,
-             floor(word_chars / nw * 1000000.0 + 0.5) / 1000000.0 as mean_word_len,
-             len(words) between 50 and 100000 as ok_word_count,
-             floor(word_chars / nw * 1000000.0 + 0.5) / 1000000.0 between 3.0 and 10.0
-               as ok_mean_word_len,
-             (n_hash + n_ellipsis) / nw <= 0.1 as ok_symbol_ratio,
-             n_bullet / cast(nl as double) <= 0.9 as ok_bullet_lines,
-             n_ell_lines / cast(nl as double) <= 0.3 as ok_ellipsis_lines,
-             n_alpha / cast(nw as double) >= 0.8 as ok_alpha_words,
-             stop_count >= 2 as ok_stopwords
-      from s
-    )
-    select *,
-           (ok_word_count and ok_mean_word_len and ok_symbol_ratio
-            and ok_bullet_lines and ok_ellipsis_lines and ok_alpha_words
-            and ok_stopwords) as passes_gopher
-    from f
-    """,
-    doc="Gopher quality-rule repertoire (Rae et al. 2021 §A1.1): word-count "
-    "bounds, mean word length, symbol-to-word ratio, bullet/ellipsis line "
-    "fractions, alphabetic-word fraction, required stop words — each a "
-    "named boolean flag plus the conjunction; one UDF-free projection. "
-    "Stop-word list configured for the synthetic corpus ('the','a' — the "
-    "paper's English-prose list never fires on word-soup text, which "
-    "would make the conjunction trivially false)",
-)
-def d04t(spark: SparkSession, sf: str) -> DataFrame:
-    from basis_devkit_spark.operators.text import gopher_rules
-
-    d = load(spark, sf, "documents").select("doc_id", "text")
-    return gopher_rules(d, "text", stopwords=["the", "a"]).select(
-        "doc_id", "n_words", "mean_word_len",
-        "ok_word_count", "ok_mean_word_len", "ok_symbol_ratio",
-        "ok_bullet_lines", "ok_ellipsis_lines", "ok_alpha_words",
-        "ok_stopwords", "passes_gopher",
-    )
-
-
-@register(
-    "e01_sessionize",
-    """
-    with o as (
-      select user_id, event_id, ts,
-             lag(ts) over (partition by user_id order by ts, event_id) as prev_ts
-      from events
-    ), f as (
-      select user_id, event_id, ts,
-             case when prev_ts is null or ts - prev_ts > interval 30 minute
-                  then 1 else 0 end as ns
-      from o
-    ), s as (
-      select user_id, ts,
-             cast(sum(ns) over (partition by user_id order by ts, event_id
-                                rows unbounded preceding) as int) as session_seq
-      from f
-    )
-    select user_id, session_seq, count(*) as n_events,
-           min(ts) as session_start, max(ts) as session_end,
-           epoch_us(cast(max(ts) as timestamp))
-             - epoch_us(cast(min(ts) as timestamp)) as duration_us
-    from s group by user_id, session_seq
-    """,
-    doc="gap-based sessionization (30-min inactivity): lag + running sum "
-    "per user, then per-session roll-up — one shuffle on the user key, "
-    "bounded per-user window state; interval comparison keeps sub-second "
-    "precision identical across engines",
-)
-def e01(spark: SparkSession, sf: str) -> DataFrame:
-    from basis_devkit_spark.operators.events import session_stats
-
-    ev = load(spark, sf, "events")
-    return session_stats(ev, gap_minutes=30)
-
-
-@register(
-    "e02_funnel",
-    """
-    with s1 as (
-      select user_id, min(ts) as t from events
-      where event_type = 'view' group by user_id
-    ), s2 as (
-      select e.user_id, min(e.ts) as t
-      from events e join s1 on e.user_id = s1.user_id and e.ts > s1.t
-      where e.event_type = 'click' group by e.user_id
-    ), s3 as (
-      select e.user_id, min(e.ts) as t
-      from events e join s2 on e.user_id = s2.user_id and e.ts > s2.t
-      where e.event_type = 'purchase' group by e.user_id
-    )
-    select cast(1 as int) as step, 'view' as event_type,
-           (select count(*) from s1) as users
-    union all
-    select cast(2 as int), 'click', (select count(*) from s2)
-    union all
-    select cast(3 as int), 'purchase', (select count(*) from s3)
-    """,
-    doc="strictly-ordered funnel view→click→purchase: per-step earliest "
-    "qualifying event via conditional MIN aggs; each later step joins the "
-    "fact against the user-sized previous-step frame (broadcast) — the "
-    "events fact never self-joins",
-)
-def e02(spark: SparkSession, sf: str) -> DataFrame:
-    from basis_devkit_spark.operators.events import funnel
-
-    ev = load(spark, sf, "events")
-    return funnel(ev, ["view", "click", "purchase"])
-
-
-@register(
-    "e03_retention_cohorts",
-    """
-    with first as (
-      select user_id, cast(date_trunc('week', min(ts)) as date) as cohort
-      from events group by user_id
-    ), act as (
-      select distinct user_id, cast(ts as date) as day from events
-    )
-    select cohort,
-           cast(floor(date_diff('day', cohort, day) / 7.0) as int)
-             as period_offset,
-           count(distinct a.user_id) as n_users
-    from act a join first f on a.user_id = f.user_id
-    group by cohort, period_offset
-    """,
-    doc="weekly retention cohorts: first-touch ISO-week cohort × whole-"
-    "week offset, distinct-user counts — two hash aggs + a broadcast "
-    "user-dim join; output is cohort×offset-sized",
-)
-def e03(spark: SparkSession, sf: str) -> DataFrame:
-    from basis_devkit_spark.operators.events import retention_cohorts
-
-    ev = load(spark, sf, "events")
-    return retention_cohorts(ev, period_days=7)
-
-
-@register(
-    "e04_event_transitions",
-    """
-    with o as (
-      select user_id, event_type,
-             lag(event_type) over (partition by user_id
-                                   order by ts, event_id) as prev_event
-      from events
-    )
-    select prev_event, event_type as event, count(*) as n_transitions
-    from o where prev_event is not null
-    group by prev_event, event
-    """,
-    doc="first-order event transition matrix (Markov counts): per-user "
-    "lag window + one hash agg over the event-type pair space",
-)
-def e04(spark: SparkSession, sf: str) -> DataFrame:
-    from basis_devkit_spark.operators.events import event_transitions
-
-    return event_transitions(load(spark, sf, "events"))
-
-
-@register(
-    "e05_conversion_latency",
-    """
-    with su as (
-      select user_id, min(ts) as t0 from events
-      where event_type = 'signup' group by user_id
-    ), pu as (
-      select e.user_id, min(e.ts) as t1, min(su.t0) as t0
-      from events e join su on e.user_id = su.user_id and e.ts > su.t0
-      where e.event_type = 'purchase' group by e.user_id
-    )
-    select count(*) as n_converted,
-           min(epoch_us(cast(t1 as timestamp))
-               - epoch_us(cast(t0 as timestamp))) as min_us,
-           max(epoch_us(cast(t1 as timestamp))
-               - epoch_us(cast(t0 as timestamp))) as max_us,
-           cast(sum(epoch_us(cast(t1 as timestamp))
-                    - epoch_us(cast(t0 as timestamp))) as bigint) as sum_us
-    from pu
-    """,
-    doc="signup→purchase conversion latency summary: first-touch "
-    "conditional MINs + broadcast user-frame join; all-integer outputs "
-    "so derived means are engine-reproducible",
-)
-def e05(spark: SparkSession, sf: str) -> DataFrame:
-    from basis_devkit_spark.operators.events import conversion_latency
-
-    return conversion_latency(load(spark, sf, "events"), "signup", "purchase")
-
-
-@register(
-    "e06_session_paths",
-    """
-    with o as (
-      select user_id, event_id, ts, event_type,
-             lag(ts) over (partition by user_id order by ts, event_id) as prev_ts
-      from events
-    ), f as (
-      select user_id, event_id, ts, event_type,
-             case when prev_ts is null or ts - prev_ts > interval 30 minute
-                  then 1 else 0 end as ns
-      from o
-    ), s as (
-      select user_id, event_id, ts, event_type,
-             sum(ns) over (partition by user_id order by ts, event_id
-                           rows unbounded preceding) as session_seq
-      from f
-    ), p as (
-      select user_id, session_seq,
-             string_agg(event_type, '->' order by ts, event_id) as path
-      from s group by user_id, session_seq
-    )
-    select path, count(*) as n_sessions
-    from p group by path
-    order by n_sessions desc, path
-    limit 20
-    """,
-    doc="top-20 session paths: sessionize + order-preserving event-"
-    "sequence re-pack (collect_list + array_sort, no per-session window) "
-    "+ path count + TakeOrdered top-k",
-)
-def e06(spark: SparkSession, sf: str) -> DataFrame:
-    from basis_devkit_spark.operators.events import session_paths
-
-    return session_paths(load(spark, sf, "events"), k=20, gap_minutes=30)
-
-
-@register(
-    "e02b_funnel_within_window",
-    """
-    with s1 as (
-      select user_id, min(ts) as t1 from events
-      where event_type = 'view' group by user_id
-    ), s2 as (
-      select e.user_id, min(e.ts) as t2, min(s1.t1) as t1
-      from events e
-      join s1 on e.user_id = s1.user_id and e.ts > s1.t1
-             and e.ts <= s1.t1 + interval 1440 minute
-      where e.event_type = 'click' group by e.user_id
-    ), s3 as (
-      select e.user_id, min(e.ts) as t3
-      from events e
-      join s2 on e.user_id = s2.user_id and e.ts > s2.t2
-             and e.ts <= s2.t1 + interval 1440 minute
-      where e.event_type = 'purchase' group by e.user_id
-    )
-    select cast(1 as int) as step, 'view' as event_type,
-           (select count(*) from s1) as users
-    union all
-    select cast(2 as int), 'click', (select count(*) from s2)
-    union all
-    select cast(3 as int), 'purchase', (select count(*) from s3)
-    """,
-    doc="bounded-window funnel: every later step must land within 24h of "
-    "the user's first-step event — the standard conversion-window "
-    "semantics; the first-step timestamp rides the per-user step frame",
-)
-def e02b(spark: SparkSession, sf: str) -> DataFrame:
-    from basis_devkit_spark.operators.events import funnel
-
-    return funnel(
-        load(spark, sf, "events"),
-        ["view", "click", "purchase"],
-        within_minutes=1440,
-    )
-
-
-@register(
-    "e07_rfm_profiles",
-    """
-    with mx as (select max(ts) as m from events)
-    select user_id,
-           cast(date_diff('day', cast(max(ts) as date),
-                          cast((select m from mx) as date)) as int)
-             as recency_days,
-           count(*) as frequency,
-           cast(coalesce(sum(case when event_type = 'purchase'
-                              then cast(value as decimal(18,6)) end),
-                         cast(0 as decimal(18,6))) as double) as monetary
-    from events group by user_id
-    """,
-    doc="RFM user profiles: one hash agg on the user key + broadcast "
-    "corpus-max scalar; decimal-exact monetary sum",
-)
-def e07(spark: SparkSession, sf: str) -> DataFrame:
-    from basis_devkit_spark.operators.events import rfm_profiles
-
-    return rfm_profiles(load(spark, sf, "events"))
-
-
-@register(
-    "e08_time_gapfill",
-    r"""
-    with b as (
-      select user_id, date_trunc('hour', ts) as bucket,
-             sum(cast(value as decimal(18,6))) as v
-      from events group by user_id, bucket
-    ), rng as (select min(bucket) as lo, max(bucket) as hi from b),
-    spine as (
-      select u.user_id, g.bucket
-      from (select distinct user_id from events) u
-      cross join (select unnest(generate_series((select lo from rng),
-                                                (select hi from rng),
-                                                interval 1 hour)) as bucket) g
-    )
-    select s.user_id, s.bucket as bucket_ts,
-           cast(b.v as double) as v,
-           cast(last_value(b.v ignore nulls) over (
-                  partition by s.user_id order by s.bucket
-                  rows between unbounded preceding and current row) as double)
-             as filled
-    from spine s left join b on s.user_id = b.user_id and s.bucket = b.bucket
-    """,
-    doc="hypertable-style time_bucket_gapfill + locf (TimescaleDB "
-    "semantics): hourly decimal-exact roll-up, dense per-user spine over "
-    "the global bucket range (sequence + explode, broadcast scalars), "
-    "last-observation-carried-forward via one bounded window; leading "
-    "gaps stay NULL",
-)
-def e08(spark: SparkSession, sf: str) -> DataFrame:
-    from basis_devkit_spark.operators.timeseries import time_bucket_gapfill
-
-    return time_bucket_gapfill(load(spark, sf, "events"))
-
-
-@register(
-    "e08b_time_gapfill_interp",
-    r"""
-    with b as (
-      select user_id, date_trunc('hour', ts) as bucket,
-             sum(cast(value as decimal(18,6))) as v
-      from events group by user_id, bucket
-    ), rng as (select min(bucket) as lo, max(bucket) as hi from b),
-    spine as (
-      select u.user_id, g.bucket
-      from (select distinct user_id from events) u
-      cross join (select unnest(generate_series((select lo from rng),
-                                                (select hi from rng),
-                                                interval 1 hour)) as bucket) g
-    ), j as (
-      select s.user_id, s.bucket,
-             cast(b.v as double) as v,
-             case when b.v is not null
-                  then epoch_us(cast(s.bucket as timestamp)) end as ot
-      from spine s left join b on s.user_id = b.user_id and s.bucket = b.bucket
-    ), w as (
-      select user_id, bucket, v,
-             cast(last_value(v ignore nulls) over fwd as double) as pv,
-             last_value(ot ignore nulls) over fwd as pt,
-             cast(first_value(v ignore nulls) over bwd as double) as nv,
-             first_value(ot ignore nulls) over bwd as nt,
-             epoch_us(cast(bucket as timestamp)) as t
-      from j
-      window fwd as (partition by user_id order by bucket
-                     rows between unbounded preceding and current row),
-             bwd as (partition by user_id order by bucket
-                     rows between current row and unbounded following)
-    )
-    select user_id, bucket as bucket_ts, v,
-           case when v is not null then v
-                else pv + (nv - pv) * (cast(t - pt as double)
-                                       / cast(nt - pt as double)) end as filled
-    from w
-    """,
-    doc="gap-fill with LINEAR INTERPOLATION (TimescaleDB interpolate "
-    "semantics): surrounding-observation windows (last/first IGNORE "
-    "NULLS), identical IEEE formula both engines; edge gaps stay NULL",
-)
-def e08b(spark: SparkSession, sf: str) -> DataFrame:
-    from basis_devkit_spark.operators.timeseries import time_bucket_gapfill
-
-    return time_bucket_gapfill(load(spark, sf, "events"), fill="interp")
-
-
-@register(
-    "e09_zscore_anomalies",
-    """
-    with counts as (
-      select user_id, date_trunc('hour', ts) as bucket,
-             count(*) as n_events
-      from events group by user_id, bucket
-    ), scored as (
-      select user_id, bucket, n_events,
-             avg(n_events) over w as mu,
-             stddev_samp(n_events) over w as sd,
-             count(n_events) over w as npts
-      from counts
-      window w as (partition by user_id order by bucket
-                   rows between 24 preceding and 1 preceding)
-    )
-    select user_id, bucket as bucket_ts, n_events,
-           floor((n_events - mu) / sd * 1000000.0 + 0.5) / 1000000.0 as zscore
-    from scored
-    where npts >= 12 and sd > 0
-      and abs(floor((n_events - mu) / sd * 1000000.0 + 0.5) / 1000000.0) > 2.5
-    """,
-    doc="trailing-window rate anomalies: per-user hourly counts z-scored "
-    "against the strictly-preceding 24-bucket baseline (the anomaly "
-    "never contaminates its own baseline); explicit NULL on thin or "
-    "zero-variance baselines — no engine div-by-zero semantics; "
-    "explicit IEEE rounding",
-)
-def e09(spark: SparkSession, sf: str) -> DataFrame:
-    from basis_devkit_spark.operators.timeseries import zscore_anomalies
-
-    return zscore_anomalies(load(spark, sf, "events"), threshold=2.5)
-
-
-@register(
-    "d04u_weighted_reservoir",
-    f"""
-    with q as (
-      select doc_id, {_QUALITY_EXPR} as quality_score
-      from ({_STATS_SQL})
-    ), keyed as (
-      select doc_id, quality_score,
-             floor(power(
-                     ((('0x' || substr(md5('ares' || cast(doc_id as varchar)),
-                                       1, 8))::ubigint)::double + 1.0)
-                       / 4294967296.0,
-                     1.0 / greatest(quality_score, 1e-12)
-                   ) * 1e12 + 0.5) / 1e12 as ares_key
-      from q
-    )
-    select doc_id, quality_score
-    from keyed order by ares_key desc, doc_id limit 50
-    """,
-    doc="Efraimidis-Spirakis A-Res weighted reservoir: exact-k sampling "
-    "without replacement, inclusion ~ weight; deterministic md5-uniform "
-    "u, key = u^(1/w), TakeOrdered top-k — no shuffle-sort, no RNG "
-    "state; explicit IEEE rounding on the key",
-)
-def d04u(spark: SparkSession, sf: str) -> DataFrame:
-    from basis_devkit_spark.operators.text import (
-        quality_score,
-        weighted_reservoir_sample,
-    )
-
-    d = quality_score(load(spark, sf, "documents"), "text")
-    return weighted_reservoir_sample(d, "quality_score", 50, salt="ares").select(
-        "doc_id", "quality_score"
-    )
-
-
-# Six fixed valid 44-byte PCM WAV headers (channels x sample-rate
-# variants), generated once with struct.pack per the public RIFF/WAVE
-# spec. The Spark side PARSES the bytes; the oracle states the ground
-# truth from the construction table — an independent check of the parse.
-_WAV_HEADERS = [
-    ("524946460000000057415645666D74201000000001000100401F0000803E0000020010006461746100000000", 1, 8000, 16000),
-    ("524946460000000057415645666D74201000000001000200401F0000007D0000040010006461746100000000", 2, 8000, 32000),
-    ("524946460000000057415645666D74201000000001000100803E0000007D0000020010006461746100000000", 1, 16000, 32000),
-    ("524946460000000057415645666D74201000000001000200803E000000FA0000040010006461746100000000", 2, 16000, 64000),
-    ("524946460000000057415645666D7420100000000100010044AC000088580100020010006461746100000000", 1, 44100, 88200),
-    ("524946460000000057415645666D7420100000000100020044AC000010B10200040010006461746100000000", 2, 44100, 176400),
-]
-
-
-@register(
-    "d05d_wav_header_parse",
-    f"""
-    with blobs as (
-      select doc_id,
-             doc_id % 6 as variant,
-             44 + octet_length(encode(text)) as n_bytes
-      from documents
-    ), truth as (
-      select * from (values
-        {", ".join(f"({i}, {ch}, {rate}, {br})" for i, (_, ch, rate, br) in enumerate(_WAV_HEADERS))}
-      ) as t(variant, channels, sample_rate, byte_rate)
-    )
-    select b.doc_id, true as is_wav,
-           cast(t.channels as int) as channels,
-           cast(t.sample_rate as int) as sample_rate,
-           cast(16 as int) as bits,
-           cast(t.byte_rate as int) as byte_rate,
-           floor((b.n_bytes - 44) * 1000.0 / t.byte_rate * 1000000.0 + 0.5)
-             / 1000000.0 as duration_ms
-    from blobs b join truth t on b.variant = t.variant
-    """,
-    doc="decode-free AUDIO metadata: PCM WAV headers parsed from the "
-    "binary column as pure expressions (hex-slice + little-endian swap "
-    "+ conv, no UDF/codec); the oracle derives ground truth from the "
-    "construction table, independently checking the byte-level parse",
-)
-def d05d(spark: SparkSession, sf: str) -> DataFrame:
-    from basis_devkit_spark.operators.multimodal import wav_header_fields
-
-    d = load(spark, sf, "documents").select("doc_id", "text")
-    hdr = None
-    for i, (hx, _, _, _) in enumerate(_WAV_HEADERS):
-        cond = F.col("doc_id") % 6 == i
-        lit = F.lit(bytes.fromhex(hx))
-        hdr = F.when(cond, lit) if hdr is None else hdr.when(cond, lit)
-    blobs = d.withColumn("content", F.concat(hdr, F.encode("text", "utf-8")))
-    w = wav_header_fields("content")
-    flat = blobs.select(
-        "doc_id", F.length("content").alias("__n"), w.alias("w")
-    ).select("doc_id", "__n", "w.*")
-    dur = (
-        F.floor(
-            (F.col("__n") - 44) * 1000.0 / F.col("byte_rate") * 1000000.0 + 0.5
-        )
-        / 1000000.0
-    )
-    return flat.withColumn("duration_ms", dur).drop("__n")
-
-
-@register(
-    "d06e_label_centroids",
-    """
-    with p as (
-      select unnest(generate_series(1,
-               (select max(len(embedding)) from embeddings))) as pos
-    ), e as (
-      select label, p.pos, embedding[p.pos] as v
-      from embeddings cross join p
-    )
-    select label, cast(pos as int) as pos,
-           cast(sum(cast(cast(v as double) as decimal(18,9))) as double)
-             / count(*) as mv
-    from e group by label, pos
-    """,
-    doc="per-label embedding centroids (class prototypes): posexplode -> "
-    "one (label, position) hash agg with decimal-exact sums; flattened "
-    "to (label, pos, mean) rows for the oracle comparison",
-)
-def d06e(spark: SparkSession, sf: str) -> DataFrame:
-    from basis_devkit_spark.operators.embeddings import label_centroids
-
-    cents = label_centroids(load(spark, sf, "embeddings"))
-    return cents.select(
-        "label",
-        F.posexplode("centroid").alias("__p0", "mv"),
-    ).select("label", (F.col("__p0") + 1).cast("int").alias("pos"), "mv")
-
-
-@register(
-    "e10_inter_event_gaps",
-    """
-    with g as (
-      select user_id,
-             epoch_us(cast(ts as timestamp))
-               - lag(epoch_us(cast(ts as timestamp)))
-                   over (partition by user_id order by ts, event_id) as gap
-      from events
-    )
-    select user_id, count(*) as n_gaps,
-           min(gap) as min_gap_us, max(gap) as max_gap_us,
-           cast(sum(gap) as bigint) as sum_gap_us
-    from g where gap is not null
-    group by user_id
-    """,
-    doc="per-user inter-event gap profile (engagement cadence): lag "
-    "window + hash agg, all-integer microsecond outputs — derived "
-    "means are exactly reproducible across engines",
-)
-def e10(spark: SparkSession, sf: str) -> DataFrame:
-    from basis_devkit_spark.operators.events import inter_event_gaps
-
-    return inter_event_gaps(load(spark, sf, "events"))
-
-
-@register(
-    "e11_trailing_window_rate",
-    """
-    select user_id, ts, event_id,
-           count(*) over (partition by user_id order by ts
-                          range between interval 60 minute preceding
-                                    and current row) as n_trailing
-    from events
-    """,
-    doc="per-event trailing-hour activity count via a TIME-RANGE window "
-    "frame (rangeBetween over epoch micros == interval arithmetic on "
-    "timestamps, microsecond-exact in both engines) — the rate-limit / "
-    "burst-detection feature",
-)
-def e11(spark: SparkSession, sf: str) -> DataFrame:
-    from basis_devkit_spark.operators.events import trailing_window_counts
-
-    return trailing_window_counts(load(spark, sf, "events"), minutes=60)
-
-
-@register(
-    "d02j_source_vocab_overlap",
-    r"""
-    with toks as (
-      select source, string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') as w
-      from documents
-    ), grams as (
-      select distinct source,
-             w[p.pos] || ' ' || w[p.pos + 1] || ' ' || w[p.pos + 2] as g
-      from toks cross join
-           (select unnest(generate_series(1, 400)) as pos) p
-      where p.pos + 2 <= len(w)
-    ), sizes as (
-      select source, count(*) as n from grams group by source
-    ), inter as (
-      select a.source as group_a, b.source as group_b, count(*) as n_shared
-      from grams a join grams b on a.g = b.g and a.source < b.source
-      group by a.source, b.source
-    )
-    select group_a, group_b, n_shared,
-           floor(cast(n_shared as double) / (sa.n + sb.n - n_shared)
-                 * 1000000.0 + 0.5) / 1000000.0 as jaccard
-    from inter
-    join sizes sa on sa.source = group_a
-    join sizes sb on sb.source = group_b
-    """,
-    doc="pairwise vocabulary overlap between corpus sources (shared "
-    "distinct word 3-grams + Jaccard): the cross-slice homogeneity "
-    "diagnostic; gram self-join fan-out bounded by the slice count, "
-    "never corpus size",
-)
-def d02j(spark: SparkSession, sf: str) -> DataFrame:
-    from basis_devkit_spark.operators.dedup import source_vocab_overlap
-
-    return source_vocab_overlap(load(spark, sf, "documents"))
-
-
-@register(
-    "c13_stream_static_enrich",
-    """
-    with seg as (
-      select distinct user_id, user_id % 5 as segment from events
-    )
-    select s.segment, count(*) as n_events,
-           round(sum(e.value), 4) as total_value
-    from events e join seg s on e.user_id = s.user_id
-    group by s.segment
-    """,
-    doc="stream-static enrichment join: a STREAMING events scan joins a "
-    "static dimension (per-user segment) before an update-mode "
-    "aggregation into an exactly-once UPSERT store — the canonical "
-    "streaming enrichment pattern; final table must equal the batch "
-    "join+group-by exactly",
-)
-def c13(spark: SparkSession, sf: str) -> DataFrame:
-    import os as _os
-    import tempfile as _tf
-
-    from basis_devkit_spark.storage.store import TableStore
-    from basis_devkit_spark.streaming.ops import stream_upsert_to_store
-
-    tmp = _tf.mkdtemp(prefix="bds_c13_")
-    drop = _os.path.join(tmp, "drop")
-    _os.makedirs(drop, exist_ok=True)
-    _os.symlink(f"{sf}/events.parquet", _os.path.join(drop, "events.parquet"))
-    raw_schema = spark.read.parquet(f"{sf}/events.parquet").schema
-    static_dim = (
-        spark.read.parquet(f"{sf}/events.parquet")
-        .select("user_id")
-        .distinct()
-        .withColumn("segment", F.col("user_id") % 5)
-        .withColumnRenamed("user_id", "__u")
-    )
-    agg = (
-        spark.readStream.schema(raw_schema)
-        .parquet(drop)
-        .join(F.broadcast(static_dim), F.col("user_id") == F.col("__u"))
-        .groupBy("segment")
-        .agg(
-            F.count(F.lit(1)).alias("n_events"),
-            F.round(F.sum("value"), 4).alias("total_value"),
-        )
-    )
-    store = TableStore(tmp, "segment_stats", spark)
-    store.configure(unique_on="segment")
-    q = stream_upsert_to_store(agg, store, f"{tmp}/_ckpt").start()
-    try:
-        q.processAllAvailable()
-    finally:
-        q.stop()
-    return store.read().select("segment", "n_events", "total_value")
-
-
-@register(
-    "e12_experiment_srm",
-    """
-    with units as (select distinct user_id from events),
-    assigned as (
-      select user_id,
-             case (('0x' || substr(md5('exp1' || cast(user_id as varchar)),
-                                   1, 8))::ubigint % 3)
-               when 0 then 'control' when 1 then 'variant_a'
-               else 'variant_b' end as arm
-      from units
-    ), obs as (
-      select arm, count(*) as n_units from assigned group by arm
-    ), arms(arm) as (values ('control'), ('variant_a'), ('variant_b')),
-    counts as (
-      -- mirror the operator's zero-arm semantics: every DECLARED arm gets
-      -- a row (coalesced to 0), so the chi2 sum includes the (0-E)^2/E
-      -- term for an arm that received no units — identical to srm_check's
-      -- left join onto the full arm list.
-      select a.arm, coalesce(o.n_units, cast(0 as bigint)) as n_units
-      from arms a left join obs o on a.arm = o.arm
-    ), tot as (select sum(n_units) as total from counts),
-    chi as (
-      select floor(sum((n_units - total / 3.0) * (n_units - total / 3.0)
-                       / (total / 3.0)) * 1000000.0 + 0.5) / 1000000.0 as chi2
-      from counts, tot
-    )
-    select arm, n_units, chi.chi2 from counts, chi
-    """,
-    doc="deterministic A/B assignment + sample-ratio-mismatch check: "
-    "md5-uniform arm bucketing (stable across engines/runs) and the "
-    "chi-square statistic against the uniform split — the experiment "
-    "health gate; exact integer counts, explicit IEEE rounding on chi2",
-)
-def e12(spark: SparkSession, sf: str) -> DataFrame:
-    from basis_devkit_spark.operators.events import srm_check
-
-    return srm_check(
-        load(spark, sf, "events"), ["control", "variant_a", "variant_b"]
-    )
-
-
-@register(
-    "d07b_multi_benchmark_contamination",
-    r"""
-    with toks as (
-      select doc_id,
-             string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') as w
-      from documents
-    ), cg as (
-      select doc_id, w[p.pos] || ' ' || w[p.pos+1] || ' ' || w[p.pos+2] || ' '
-             || w[p.pos+3] || ' ' || w[p.pos+4] as g
-      from toks cross join (select unnest(generate_series(1, 400)) as pos) p
-      where p.pos + 4 <= len(w)
-    ), bg as (
-      select distinct case when doc_id < 5 then 'bench_a' else 'bench_b' end
-               as bench_name, g
-      from cg where doc_id < 10
-    ), cd as (select distinct doc_id, g from cg)
-    select cd.doc_id, bg.bench_name, count(*) as shared_grams
-    from cd join bg on cd.g = bg.g
-    group by cd.doc_id, bg.bench_name
-    """,
-    doc="multi-benchmark decontamination with attribution: one corpus "
-    "shingle pass vs the combined broadcast (bench, gram) set — per-doc "
-    "per-benchmark shared 5-gram counts; corpus never self-joins",
-)
-def d07b(spark: SparkSession, sf: str) -> DataFrame:
-    from basis_devkit_spark.operators.dedup import multi_benchmark_contamination
-
-    d = load(spark, sf, "documents").select("doc_id", "text")
-    bench = d.filter(F.col("doc_id") < 10).select(
-        F.when(F.col("doc_id") < 5, "bench_a").otherwise("bench_b").alias("bench_name"),
-        "text",
-    )
-    return multi_benchmark_contamination(d, bench, shingle_size=5)
-
-
-@register(
-    "e13_experiment_readout",
-    """
-    with assigned as (
-      select user_id, event_type, value,
-             case (('0x' || substr(md5('exp1' || cast(user_id as varchar)),
-                                   1, 8))::ubigint % 3)
-               when 0 then 'control' when 1 then 'variant_a'
-               else 'variant_b' end as arm
-      from events
-    ), per_unit as (
-      select user_id, arm,
-             max(cast(event_type = 'purchase' as int)) as conv,
-             sum(case when event_type = 'purchase'
-                      then cast(value as decimal(18,6)) end) as val
-      from assigned group by user_id, arm
-    )
-    select arm, count(*) as n_units,
-           cast(sum(conv) as bigint) as n_converted,
-           floor(sum(conv) / cast(count(*) as double) * 1000000.0 + 0.5)
-             / 1000000.0 as conversion_rate,
-           cast(coalesce(sum(val), cast(0 as decimal(28,6))) as double)
-             as metric_value
-    from per_unit group by arm
-    """,
-    doc="per-arm A/B readout: unit counts, converters, conversion rate "
-    "(explicit IEEE rounding), decimal-exact metric value sum — pairs "
-    "with the e12 assignment + SRM gate",
-)
-def e13(spark: SparkSession, sf: str) -> DataFrame:
-    from basis_devkit_spark.operators.events import experiment_readout
-
-    return experiment_readout(
-        load(spark, sf, "events"), ["control", "variant_a", "variant_b"]
-    )
-
-
-@register(
-    "d06f_embedding_standardize_fit",
-    """
-    with p as (
-      select unnest(generate_series(1,
-               (select max(len(embedding)) from embeddings))) as pos
-    ), e as (
-      select p.pos, embedding[p.pos] as v
-      from embeddings cross join p
-    ), a as (
-      select pos, count(*) as n,
-             cast(sum(cast(cast(v as double) as decimal(18,9))) as double) as s,
-             cast(sum(cast(cast(v as double) as decimal(18,9))
-                      * cast(cast(v as double) as decimal(18,9)))
-                  as double) as sq
-      from e group by pos
-    )
-    select cast(pos as int) as pos,
-           floor(s / n * 1000000.0 + 0.5) / 1000000.0 as mu,
-           floor(sqrt((sq - s * s / n) / (n - 1)) * 1000000.0 + 0.5)
-             / 1000000.0 as sigma
-    from a
-    """,
-    doc="per-dimension standardization fit (feature normalization): mean "
-    "and sample stddev from decimal-exact sums, identical float64 "
-    "formula both engines, explicit IEEE rounding",
-)
-def d06f(spark: SparkSession, sf: str) -> DataFrame:
-    from basis_devkit_spark.operators.embeddings import embedding_standardize_fit
-
-    return embedding_standardize_fit(load(spark, sf, "embeddings"))
-
-
-@register(
-    "d03g_nearest_centroid_confusion",
-    """
-    with p as (
-      select unnest(generate_series(1,
-               (select max(len(embedding)) from embeddings))) as pos
-    ), cw as (
-      select cast(label as varchar) as cl, p.pos,
-             cast(sum(cast(cast(embedding[p.pos] as double)
-                           as decimal(18,9))) as double)
-               / count(*) as w
-      from embeddings cross join p
-      group by label, p.pos
-    ), cn as (select cl, sqrt(sum(w*w)) as cn from cw group by cl),
-    ve as (
-      select vec_id, p.pos, cast(embedding[p.pos] as double) as v
-      from embeddings cross join p
-    ),
-    vn as (select vec_id, sqrt(sum(v*v)) as vnorm from ve group by vec_id),
-    scored as (
-      select ve.vec_id, cw.cl, sum(ve.v * cw.w) / min(cn.cn) as s
-      from ve join cw on ve.pos = cw.pos join cn on cw.cl = cn.cl
-      group by ve.vec_id, cw.cl
-    ),
-    ranked as (
-      select vec_id, cl, s,
-             row_number() over (partition by vec_id order by s desc, cl) as r
-      from scored
-    ),
-    gated as (
-      select a.vec_id, a.cl as pred_label
-      from ranked a
-      left join ranked b on a.vec_id = b.vec_id and b.r = 2
-      join vn on a.vec_id = vn.vec_id
-      where a.r = 1
-        and (b.s is null
-             or (a.s - b.s) > 0.000000001 * greatest(vn.vnorm, 1e-12))
-    )
-    select cast(e.label as varchar) as true_label, g.pred_label,
-           count(*) as n
-    from gated g join embeddings e on g.vec_id = e.vec_id
-    group by true_label, g.pred_label
-    """,
-    doc="nearest-centroid (Rocchio) classification confusion matrix: "
-    "class centroids from label_centroids, RELATIONAL argmax (posexplode "
-    "+ broadcast centroid-weight join + max-by — compile cost flat in "
-    "class count, 37x faster than the literal-expression form at 10 "
-    "classes and the shape that scales to thousands). MARGIN-GATED "
-    "(r5): rows whose top-2 cosine separation is under 1e-9·|v| are "
-    "excluded on both sides, so the float-argmax boundary rows that "
-    "made this rows-only in r4 can no longer flip between engines; "
-    "boundary-row quality remains covered by the accuracy pytest",
-)
-def d03g(spark: SparkSession, sf: str) -> DataFrame:
-    from basis_devkit_spark.operators.embeddings import (
-        label_centroids,
-        nearest_centroid_assign_join,
-    )
-
-    e = load(spark, sf, "embeddings")
-    pred = nearest_centroid_assign_join(
-        e, label_centroids(e), margin=1e-9
-    )
-    return (
-        pred.groupBy(
-            F.col("label").cast("string").alias("true_label"), "pred_label"
-        )
-        .agg(F.count(F.lit(1)).alias("n"))
-    )
-
-
-@register(
-    "e14_activity_concentration",
-    """
-    with per_user as (
-      select user_id, count(*) as n from events group by user_id
-    ), ranked as (
-      select n, row_number() over (order by n desc, user_id) as r
-      from per_user
-    ), totals as (
-      select count(*) as n_users,
-             cast(sum(n) as bigint) as total_events from per_user
-    )
-    select t.n_users,
-           cast(ceil(t.n_users * 0.1) as bigint) as top_k,
-           cast(sum(r.n) as bigint) as top_events,
-           t.total_events,
-           floor(sum(r.n) / cast(t.total_events as double) * 1000000.0 + 0.5)
-             / 1000000.0 as top_share
-    from ranked r cross join totals t
-    where r.r <= ceil(t.n_users * 0.1)
-    group by t.n_users, t.total_events
-    """,
-    doc="activity concentration (power-user share): fraction of all "
-    "events from the top 10% of users by count — exact integers, "
-    "deterministic user-id tie-break, explicit IEEE rounding",
-)
-def e14(spark: SparkSession, sf: str) -> DataFrame:
-    from basis_devkit_spark.operators.events import activity_concentration
-
-    return activity_concentration(load(spark, sf, "events"), top_fraction=0.1)
-
-
-@register(
-    "d11_sequence_packing",
-    """
-    with t as (
-      -- regex \\s+ split: the SAME tokenization definition as the operator
-      -- (multi-space/tab/newline runs count as one separator), not the
-      -- single-literal-space convention
-      select doc_id,
-             cast(len(regexp_split_to_array(lower(trim(text)), '\\s+')) as int)
-               as n_tokens
-      from documents
-    ), c as (
-      select doc_id, n_tokens,
-             cast(coalesce(sum(n_tokens) over (order by doc_id
-                     rows between unbounded preceding and 1 preceding),
-                   0) as bigint) as cb
-      from t
-    )
-    select doc_id, n_tokens,
-           cast(floor(cb / 2048.0) as bigint) as seq_id,
-           cast(cb % 2048 as bigint) as seq_offset
-    from c
-    """,
-    doc="concat-and-chunk sequence packing (GPT-style training-sequence "
-    "layout): documents laid into one global token stream in doc_id "
-    "order, chunked into 2048-token sequences; each doc reports the "
-    "sequence it starts in and its offset. Global running sum via the "
-    "two-pass bucketed prefix pattern — no one-task window over the "
-    "corpus",
-)
-def d11(spark: SparkSession, sf: str) -> DataFrame:
-    from basis_devkit_spark.operators.text import sequence_pack
-
-    return sequence_pack(load(spark, sf, "documents"), budget=2048)
-
-
-@register(
-    "d11b_sequence_packing_tokcol",
-    """
-    with t as (
-      -- deterministic stand-in for a BPE tokenizer's per-doc counts
-      -- (~chars/4): the operator packs by the SUPPLIED column, so the
-      -- layout is a pure function of these counts, not of whitespace
-      select doc_id,
-             cast(length(text) // 4 + 1 as bigint) as n_tokens
-      from documents
-    ), c as (
-      select doc_id, n_tokens,
-             cast(coalesce(sum(n_tokens) over (order by doc_id
-                     rows between unbounded preceding and 1 preceding),
-                   0) as bigint) as cb
-      from t
-    )
-    select doc_id, n_tokens,
-           cast(floor(cb / 2048.0) as bigint) as seq_id,
-           cast(cb % 2048 as bigint) as seq_offset
-    from c
-    """,
-    doc="sequence packing by a SUPPLIED token-count column (r6 verdict "
-    "task 7: real pretraining packs by BPE counts, not whitespace) — "
-    "here a deterministic ~chars/4 stand-in computed per doc feeds "
-    "sequence_pack(n_tokens_col=...); the prefix-sum layout shape is "
-    "unchanged, only the measure differs",
-)
-def d11b(spark: SparkSession, sf: str) -> DataFrame:
-    from basis_devkit_spark.operators.text import sequence_pack
-
-    docs = load(spark, sf, "documents").withColumn(
-        "bpe_ct", (F.floor(F.length("text") / 4) + 1).cast("long")
-    )
-    return sequence_pack(docs, budget=2048, n_tokens_col="bpe_ct")
-
-
-@register(
-    "d12_pii_redaction",
-    """
-    with t0 as (
-      select doc_id,
-             text || ' contact u' || cast(doc_id as varchar)
-                  || '@example.com or 10.0.'
-                  || cast(doc_id % 256 as varchar)
-                  || '.7 ssn 123-45-6789 tel +1 555 0100 999' as s
-      from documents
-    ), t1 as (
-      select doc_id,
-             cast(len(regexp_extract_all(s,
-               '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) as bigint)
-               as n_email,
-             regexp_replace(s,
-               '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}',
-               '[EMAIL]', 'g') as s
-      from t0
-    ), t2 as (
-      select doc_id, n_email,
-             cast(len(regexp_extract_all(s,
-               '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b')) as bigint)
-               as n_ip,
-             regexp_replace(s,
-               '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b',
-               '[IP]', 'g') as s
-      from t1
-    ), t3 as (
-      select doc_id, n_email, n_ip,
-             cast(len(regexp_extract_all(s, '\\b\\d{3}-\\d{2}-\\d{4}\\b'))
-               as bigint) as n_ssn,
-             regexp_replace(s, '\\b\\d{3}-\\d{2}-\\d{4}\\b', '[SSN]', 'g') as s
-      from t2
-    ), t4 as (
-      select doc_id, n_email, n_ip, n_ssn,
-             cast(len(regexp_extract_all(s, '\\+?\\d[\\d \\-]{7,}\\d'))
-               as bigint) as n_phone,
-             regexp_replace(s, '\\+?\\d[\\d \\-]{7,}\\d', '[PHONE]', 'g') as s
-      from t3
-    )
-    select doc_id, n_email, n_ip, n_ssn, n_phone, s as redacted
-    from t4
-    """,
-    doc="PII redaction (compliance pre-step before publishing a corpus): "
-    "emails / IPv4s / SSN-shaped / phone-shaped spans replaced by typed "
-    "placeholders with per-category match counts, applied in a fixed "
-    "order (SSN before phone) so categories never swallow each other; "
-    "deterministic synthetic PII is appended per doc so the oracle "
-    "exercises real matches, not an all-zeros pass. Pure regexp "
-    "expressions — fuses into the scan, shuffle-free",
-)
-def d12(spark: SparkSession, sf: str) -> DataFrame:
-    from basis_devkit_spark.operators.text import redact_pii_counted
-
-    d = load(spark, sf, "documents").select(
-        "doc_id",
-        F.concat(
-            F.col("text"),
-            F.lit(" contact u"),
-            F.col("doc_id").cast("string"),
-            F.lit("@example.com or 10.0."),
-            (F.col("doc_id") % 256).cast("string"),
-            F.lit(".7 ssn 123-45-6789 tel +1 555 0100 999"),
-        ).alias("text"),
-    )
-    return redact_pii_counted(d, "text").withColumnRenamed("text", "redacted")
-
-
-@register(
-    "d13_shard_plan",
-    """
-    with a as (
-      select doc_id,
-             cast(('0x' || substr(md5('shard' || cast(doc_id as varchar)),
-                                  1, 8))::ubigint % 8 as int) as shard,
-             cast(strlen(text) as bigint) as n_bytes
-      from documents
-    ), per as (
-      select shard, count(*) as n_docs,
-             cast(sum(n_bytes) as bigint) as total_bytes
-      from a group by shard
-    ), tot as (
-      select floor(max(total_bytes)
-                   / (sum(total_bytes) / cast(count(*) as double))
-                   * 1000000.0 + 0.5) / 1000000.0 as imbalance
-      from per
-    )
-    select shard, n_docs, total_bytes, imbalance
-    from per cross join tot
-    """,
-    doc="output-shard layout plan (the 100 TB writer's pre-commit check): "
-    "md5-deterministic shard assignment, per-shard doc and byte totals, "
-    "and the global max/mean byte-imbalance ratio — one hash agg plus a "
-    "broadcast of the n_shards-row totals; no sort, no RNG, no window",
-)
-def d13(spark: SparkSession, sf: str) -> DataFrame:
-    from basis_devkit_spark.operators.text import shard_plan
-
-    return shard_plan(load(spark, sf, "documents"), n_shards=8)
-
-
-@register(
-    "d14_exact_substring_dedup",
-    r"""
-    with corpus as (
-      select doc_id, text from documents
-      union all
-      select doc_id + 1000000 as doc_id,
-             text || ' planted unique tail ' || cast(doc_id as varchar) as text
-      from documents where doc_id < 15
-    ), base as (
-      select doc_id, regexp_split_to_array(trim(text), '\s+') as toks
-      from corpus
-    ), sh as (
-      select doc_id, p.pos as s,
-             array_to_string(toks[p.pos+1 : p.pos+20], ' ') as span
-      from base, lateral (select unnest(range(len(toks) - 19)) as pos) p
-      where len(toks) >= 20
-    ), marked as (
-      select doc_id, s,
-             count(*) over (partition by span) as c,
-             row_number() over (partition by span order by doc_id, s) as rn
-      from sh
-    ), excise as (
-      select doc_id, s, s + 20 as e from marked where c >= 2 and rn > 1
-    ), flagged as (
-      select doc_id, s, e,
-             case when s > coalesce(max(e) over (partition by doc_id
-                    order by s, e
-                    rows between unbounded preceding and 1 preceding), -1)
-                  then 1 else 0 end as f
-      from excise
-    ), grp as (
-      select doc_id, s, e,
-             sum(f) over (partition by doc_id order by s, e
-                          rows between unbounded preceding and current row) as g
-      from flagged
-    ), merged as (
-      select doc_id, min(s) as ms, max(e) as me from grp group by doc_id, g
-    ), tokens as (
-      select b.doc_id, p.i as idx, b.toks[p.i+1] as tok
-      from base b, lateral (select unnest(range(len(b.toks))) as i) p
-    ), kept as (
-      select t.doc_id, t.idx, t.tok from tokens t
-      where not exists (select 1 from merged m
-                        where m.doc_id = t.doc_id
-                          and t.idx >= m.ms and t.idx < m.me)
-    ), kagg as (
-      select doc_id, string_agg(tok, ' ' order by idx) as text_clean,
-             count(*) as nk
-      from kept group by doc_id
-    )
-    select b.doc_id, coalesce(k.text_clean, '') as text_clean,
-           cast(len(b.toks) - coalesce(k.nk, 0) as bigint) as n_removed
-    from base b left join kagg k on b.doc_id = k.doc_id
-    """,
-    doc="exact-substring span dedup (Lee et al. 2022 ExactSubstr, "
-    "distributed): repeated >=20-token spans removed everywhere but "
-    "their first (doc_id, pos) occurrence, overlapping excisions "
-    "merged, docs re-joined. Corpus = documents plus planted copies "
-    "(doc_id<15 shifted +1e6 with a unique tail) whose duplicated "
-    "prefixes must be excised while the tails survive. Oracle "
-    "recomputes the full model in SQL: shingle windows, count/keeper "
-    "per span, interval merge via running-max window, token-level "
-    "anti-semi-join rebuild",
-)
-def d14(spark: SparkSession, sf: str) -> DataFrame:
-    from basis_devkit_spark.operators.dedup import exact_substring_dedup
-
-    d = load(spark, sf, "documents").select("doc_id", "text")
-    planted = d.filter(F.col("doc_id") < 15).select(
-        (F.col("doc_id") + 1000000).alias("doc_id"),
-        F.concat(
-            F.col("text"),
-            F.lit(" planted unique tail "),
-            F.col("doc_id").cast("string"),
-        ).alias("text"),
-    )
-    return exact_substring_dedup(d.unionByName(planted), span_tokens=20)
-
-
-@register(
-    "d15_ann_index_join",
-    pyoracle.ann_join_sql,
-    doc="persisted ANN index, build-once/query-many (the 100 TB RAG "
-    "shape): ann_index_build writes the fitted quantizer and the "
-    "cell-assigned/pre-cast/pre-normed right corpus to managed stores "
-    "(cells PARTITIONED BY cell, so probed-cell equi-joins prune at the "
-    "layout level); ann_join_indexed then answers queries with no fit "
-    "and no right-side work beyond the candidate dot products. Same "
-    "quantizer and determinism contract as the one-shot d03h, so the "
-    "SAME oracle must match byte-for-byte — parquet round-trips "
-    "preserve the doubles exactly",
-)
-def d15(spark: SparkSession, sf: str) -> DataFrame:
-    import tempfile as _tf
-
-    from basis_devkit_spark.operators.similarity import (
-        ann_index_build,
-        ann_join_indexed,
-    )
-    from basis_devkit_spark.storage.store import TableStore
-
-    emb = load(spark, sf, "embeddings")
-    left = emb.filter(F.col("vec_id") % 2 == 0)
-    right = emb.filter(F.col("vec_id") % 2 == 1)
-    centroids_df, cells = ann_index_build(
-        right, nlist=8, centroids=_ivf_seed_centroids(emb, 8)
-    )
-    tmp = _tf.mkdtemp(prefix="bds_d15_")
-    cstore = TableStore(tmp, "ann_centroids", spark)
-    cstore.write_replace(centroids_df)
-    kstore = TableStore(tmp, "ann_cells", spark)
-    kstore.configure(partition_by="cell")
-    kstore.write_replace(cells)
-    return ann_join_indexed(
-        left, cstore.read(), kstore.read(), k=3, nprobe=4, score_round=4
-    ).select("query_id", "match_id", "score", "rank")
-
-
-@register(
-    "c14_stream_ann_index_ingest",
-    pyoracle.ann_join_sql,
-    doc="streaming ANN index maintenance (the crawl-feed ingest shape): "
-    "the right corpus arrives as TWO micro-batches (maxFilesPerTrigger="
-    "1); each batch flows through ann_index_assign — a pure projection "
-    "over the FIXED quantizer's centroid literals, no fit, no shuffle — "
-    "into an exactly-once UPSERT cells store. Because incremental "
-    "assignment arithmetic is identical to a full build, querying the "
-    "streamed index must match the one-shot d03h oracle byte-for-byte",
-)
-def c14(spark: SparkSession, sf: str) -> DataFrame:
-    import glob as _glob
-    import os as _os
-    import shutil as _shutil
-    import tempfile as _tf
-
-    from basis_devkit_spark.operators.similarity import (
-        ann_index_assign,
-        ann_join_indexed,
-    )
-    from basis_devkit_spark.storage.store import TableStore
-    from basis_devkit_spark.streaming.ops import stream_upsert_to_store
-
-    emb = load(spark, sf, "embeddings")
-    left = emb.filter(F.col("vec_id") % 2 == 0)
-    cents = _ivf_seed_centroids(emb, 8)
-
-    tmp = _tf.mkdtemp(prefix="bds_c14_")
-    drop = _os.path.join(tmp, "drop")
-    _os.makedirs(drop, exist_ok=True)
-    # the odd-id (right) corpus arrives as two single-file batches
-    for tag, mod in (("a", 1), ("b", 3)):
-        part_dir = _os.path.join(tmp, f"part_{tag}")
-        emb.filter(F.col("vec_id") % 4 == mod).coalesce(1).write.parquet(part_dir)
-        src = _glob.glob(_os.path.join(part_dir, "part-*.parquet"))[0]
-        _shutil.copy(src, _os.path.join(drop, f"{tag}.parquet"))
-    raw_schema = spark.read.parquet(_os.path.join(drop, "a.parquet")).schema
-
-    stream = (
-        spark.readStream.schema(raw_schema)
-        .option("maxFilesPerTrigger", 1)
-        .parquet(drop)
-    )
-    assigned = ann_index_assign(stream, cents)
-    store = TableStore(tmp, "ann_cells", spark)
-    store.configure(unique_on="vec_id")
-    q = stream_upsert_to_store(assigned, store, f"{tmp}/_ckpt").start()
-    try:
-        q.processAllAvailable()
-    finally:
-        q.stop()
-    return ann_join_indexed(
-        left, cents, store.read(), k=3, nprobe=4, score_round=4
-    ).select("query_id", "match_id", "score", "rank")
-
-
-@register(
-    "c15_stream_quantized_index_ingest",
-    pyoracle.ivf_quantized_sql,
-    doc="streaming maintenance of the composed IVF × int8 index (the "
-    "crawl-feed ingest shape for d20): the corpus arrives as TWO "
-    "micro-batches (maxFilesPerTrigger=1); each batch flows through "
-    "quantized_cells_assign — cell argmax + code floor against the FIXED "
-    "persisted artifacts (centroids + per-dim stats), pure per-row "
-    "projections, no fit, no shuffle — into an exactly-once UPSERT cells "
-    "store. Incremental assignment arithmetic is byte-identical to a "
-    "full build, so querying the streamed index must equal the one-shot "
-    "d20 oracle exactly",
-)
-def c15(spark: SparkSession, sf: str) -> DataFrame:
-    import glob as _glob
-    import os as _os
-    import shutil as _shutil
-    import tempfile as _tf
-
-    from basis_devkit_spark.operators.similarity import (
-        fit_scalar_quantizer,
-        ivf_quantized_topk_indexed,
-        quantized_cells_assign,
-    )
-    from basis_devkit_spark.storage.store import TableStore
-    from basis_devkit_spark.streaming.ops import stream_upsert_to_store
-
-    emb = load(spark, sf, "embeddings")
-    q_side = emb.filter(F.col("vec_id") < 30)
-    cents = _ivf_seed_centroids(emb, 8)
-    quant = fit_scalar_quantizer(emb)
-
-    tmp = _tf.mkdtemp(prefix="bds_c15_")
-    drop = _os.path.join(tmp, "drop")
-    _os.makedirs(drop, exist_ok=True)
-    # the corpus arrives as two single-file batches (even ids, odd ids)
-    for tag, mod in (("a", 0), ("b", 1)):
-        part_dir = _os.path.join(tmp, f"part_{tag}")
-        emb.filter(F.col("vec_id") % 2 == mod).coalesce(1).write.parquet(part_dir)
-        src = _glob.glob(_os.path.join(part_dir, "part-*.parquet"))[0]
-        _shutil.copy(src, _os.path.join(drop, f"{tag}.parquet"))
-    raw_schema = spark.read.parquet(_os.path.join(drop, "a.parquet")).schema
-
-    stream = (
-        spark.readStream.schema(raw_schema)
-        .option("maxFilesPerTrigger", 1)
-        .parquet(drop)
-    )
-    assigned = quantized_cells_assign(stream, cents, quant)
-    store = TableStore(tmp, "quant_cells", spark)
-    store.configure(unique_on="vec_id")
-    q = stream_upsert_to_store(assigned, store, f"{tmp}/_ckpt").start()
-    try:
-        q.processAllAvailable()
-    finally:
-        q.stop()
-    return ivf_quantized_topk_indexed(
-        q_side, store.read(), emb, cents, quant, k=5, nprobe=4, refine=4,
-        score_round=4,
-    ).select("query_id", "match_id", "score", "rank")
-
-
-@register(
-    "c16_stream_sketch_maintenance",
-    pyoracle.hll_sketch_sql,
-    doc="streaming sketch maintenance: events arrive as TWO micro-batches; "
-    "each batch's XXH64-TZ registers (per-type user_id + global event_id, "
-    "keyed (metric, bucket)) MAX-merge into an exactly-once managed store "
-    "via stream_merge_to_store — the general merge sink for state whose "
-    "per-key combine is not last-write-wins. Registers merge losslessly "
-    "by MAX, so folding the streamed store must equal the one-shot d25 "
-    "oracle byte-for-byte",
-)
-def c16(spark: SparkSession, sf: str) -> DataFrame:
-    import glob as _glob
-    import os as _os
-    import shutil as _shutil
-    import tempfile as _tf
-
-    from basis_devkit_spark.operators.sketches import (
-        hll_estimate,
-        hll_registers,
-    )
-    from basis_devkit_spark.storage.store import TableStore
-    from basis_devkit_spark.streaming.ops import stream_merge_to_store
-
-    ev = load(spark, sf, "events")
-
-    tmp = _tf.mkdtemp(prefix="bds_c16_")
-    drop = _os.path.join(tmp, "drop")
-    _os.makedirs(drop, exist_ok=True)
-    for tag, mod in (("a", 0), ("b", 1)):
-        part_dir = _os.path.join(tmp, f"part_{tag}")
-        ev.filter(F.col("event_id") % 2 == mod).coalesce(1).write.parquet(
-            part_dir
-        )
-        src = _glob.glob(_os.path.join(part_dir, "part-*.parquet"))[0]
-        _shutil.copy(src, _os.path.join(drop, f"{tag}.parquet"))
-    raw_schema = spark.read.parquet(_os.path.join(drop, "a.parquet")).schema
-
-    def batch_registers(batch: DataFrame) -> DataFrame:
-        users = hll_registers(
-            batch, "user_id", p=10, group_cols=["event_type"]
-        ).select(
-            F.concat(F.lit("users:"), F.col("event_type")).alias("metric"),
-            "bucket",
-            "r",
-        )
-        eids = hll_registers(batch, "event_id", p=10).select(
-            F.lit("event_ids").alias("metric"), "bucket", "r"
-        )
-        return users.unionByName(eids)
-
-    def merge(batch: DataFrame, existing: DataFrame | None) -> DataFrame:
-        regs = batch_registers(batch)
-        if existing is None:
-            return regs
-        prev = existing.select(
-            "metric", "bucket", F.col("r").alias("__prev_r")
-        )
-        return (
-            regs.join(prev, ["metric", "bucket"], "left")
-            .select(
-                "metric",
-                "bucket",
-                F.greatest(
-                    F.col("r"), F.coalesce("__prev_r", F.col("r"))
-                ).alias("r"),
-            )
-        )
-
-    stream = (
-        spark.readStream.schema(raw_schema)
-        .option("maxFilesPerTrigger", 1)
-        .parquet(drop)
-    )
-    store = TableStore(tmp, "sketch_regs", spark)
-    store.configure(unique_on=["metric", "bucket"])
-    q = stream_merge_to_store(stream, store, f"{tmp}/_ckpt", merge).start()
-    try:
-        q.processAllAvailable()
-    finally:
-        q.stop()
-
-    est = hll_estimate(store.read(), p=10, group_cols=["metric"])
-    exact_t = ev.groupBy("event_type").agg(
-        F.countDistinct("user_id").alias("exact_distinct")
-    ).select(
-        F.concat(F.lit("users:"), F.col("event_type")).alias("metric"),
-        "exact_distinct",
-    )
-    exact_g = ev.agg(
-        F.countDistinct("event_id").alias("exact_distinct")
-    ).select(F.lit("event_ids").alias("metric"), "exact_distinct")
-    return est.join(exact_t.unionByName(exact_g), "metric").select(
-        "metric", "est_distinct", "exact_distinct"
-    )
-
-
-@register(
-    "d03h_ann_join",
-    pyoracle.ann_join_sql,
-    doc="corpus-to-corpus ANN top-3 JOIN (the retrieval shape: every left "
-    "vector gets k right-corpus neighbors, NEITHER side broadcast): "
-    "shared deterministic seed quantizer, right corpus lands in one cell, "
-    "left probes its 4 nearest cells, candidates from the cell EQUI-join, "
-    "exact cosine re-rank via the two-phase map-side top-k; candidates "
-    "independently modeled in Python (pyoracle), DuckDB exact re-rank. "
-    "Ranking is on 4dp-ROUNDED scores (score_round=4, match_id "
-    "tie-break) on both sides, so sub-ulp float-pipeline differences "
-    "between the engines cannot flip rank membership at near-ties",
-)
-def d03h(spark: SparkSession, sf: str) -> DataFrame:
-    from basis_devkit_spark.operators.similarity import ann_join
-
-    emb = load(spark, sf, "embeddings")
-    left = emb.filter(F.col("vec_id") % 2 == 0)
-    right = emb.filter(F.col("vec_id") % 2 == 1)
-    return ann_join(
-        left, right, k=3, nlist=8, nprobe=4,
-        centroids=_ivf_seed_centroids(emb, 8), score_round=4,
-    ).select("query_id", "match_id", "score", "rank")
-
-
-@register(
-    "d16_quantized_ann_topk",
-    pyoracle.quantized_ann_sql,
-    doc="int8 scalar-quantized ANN top-5 (queries = vec_id < 30, corpus = "
-    "all): per-dim [min,max] fit on the corpus (bounded dim-row agg), "
-    "codes via IEEE-double floor projection against a one-row broadcast "
-    "stats relation, coarse candidates = top k*refine per query by the "
-    "EXACT-INTEGER centered-code dot (associative — bit-identical under "
-    "any partitioning), float cosine rescore on candidates only, 4dp-"
-    "rounded before the final rank. The candidate set itself is exactly "
-    "modeled in numpy (pyoracle.quantized_ann_candidates); DuckDB does "
-    "the float rescore. The 100 TB shape: the corpus-wide scan touches "
-    "1-byte-range codes with integer arithmetic; float vectors are read "
-    "only for |queries| x k x refine candidate rows",
-)
-def d16(spark: SparkSession, sf: str) -> DataFrame:
-    from basis_devkit_spark.operators.similarity import quantized_topk
-
-    emb = load(spark, sf, "embeddings")
-    q = emb.filter(F.col("vec_id") < 30)
-    return quantized_topk(q, emb, k=5, refine=4, score_round=4).select(
-        "query_id", "match_id", "score", "rank"
-    )
-
-
-_BM25_TERMS = ["spark", "customer", "vector"]
-
-
-def _bm25_sql(terms: list[str], k: int = 10) -> str:
-    toks = "string_split(lower(coalesce(text, '')), ' ')"
-    tf_cols = ",\n             ".join(
-        f"len(list_filter({toks}, x -> x = '{t}')) as tf{i}"
-        for i, t in enumerate(terms)
-    )
-    df_cols = ",\n             ".join(
-        f"sum(case when tf{i} > 0 then 1 else 0 end) as df{i}"
-        for i in range(len(terms))
-    )
-    # EXPLICIT fixed-order sum c0 + c1 + ... and the exact operator
-    # nesting of the Spark expression: (idf * (tf * 2.2)) / denom
-    contribs = " + ".join(
-        f"ln((n - df{i} + 0.5) / (df{i} + 0.5) + 1.0)"
-        f" * (tf{i} * 2.2) / (tf{i} + 1.2 * (1.0 - 0.75 + 0.75 * (dl / avgdl)))"
-        for i in range(len(terms))
-    )
-    return f"""
-    with base as (
-      select doc_id, len({toks}) as dl,
-             {tf_cols}
-      from documents
-    ),
-    stats as (
-      select count(*) as n, cast(sum(dl) as double) / count(*) as avgdl,
-             {df_cols}
-      from base
-    ),
-    scored as (
-      select doc_id, round({contribs}, 4) as score
-      from base cross join stats
-    ),
-    ranked as (
-      select doc_id, score,
-             row_number() over (order by score desc, doc_id) as rank
-      from scored where score > 0)
-    select doc_id, score, rank from ranked where rank <= {k}
-    """
-
-
-@register(
-    "d17_bm25_topk",
-    lambda: _bm25_sql(_BM25_TERMS, 10),
-    doc="Okapi BM25 top-10 for a 3-term query over documents: corpus "
-    "stats (N, avgdl, per-term df) from ONE single-row aggregation "
-    "broadcast back, per-doc score a pure fixed-term-order column "
-    "expression (tf/df/N exact ints; the only float-risk op is ln, "
-    "mitigated by round-4-before-rank + doc_id tie-break), top-k via "
-    "TakeOrderedAndProject — one scan, one tiny agg, no corpus shuffle",
-)
-def d17(spark: SparkSession, sf: str) -> DataFrame:
-    from basis_devkit_spark.operators.retrieval import bm25_topk
-
-    d = load(spark, sf, "documents")
-    return bm25_topk(d, _BM25_TERMS, k=10).select("doc_id", "score", "rank")
-
-
-def _hybrid_rrf_sql(k: int = 10) -> str:
-    from basis_devkit_spark.queries.pyoracle import (
-        oracle_sf_dir,
-        quantized_ann_candidates,
-    )
-
-    cands = quantized_ann_candidates(
-        oracle_sf_dir(), k=20, refine=1, query_max_id=1
-    )
-    vals = ", ".join(f"({q}, {m})" for q, m in cands)
-    bm25 = _bm25_sql(_BM25_TERMS, 20)
-    return f"""
-    with bm25r as ({bm25}),
-    cand(query_id, match_id) as (values {vals}),
-    ann_scored as (
-      select c.match_id::BIGINT as doc_id,
-             round(list_cosine_similarity(
-               list_transform(q.embedding, x -> cast(x as double)),
-               list_transform(m.embedding, x -> cast(x as double))), 4) as s
-      from cand c
-      join embeddings q on q.vec_id = c.query_id
-      join embeddings m on m.vec_id = c.match_id
-    ),
-    annr as (
-      select doc_id, rank from (
-        select doc_id, row_number() over (order by s desc, doc_id) as rank
-        from ann_scored) t
-      where rank <= 20
-    ),
-    fused as (
-      select coalesce(b.doc_id, a.doc_id) as doc_id,
-             round(coalesce(1.0 / (60.0 + b.rank), 0.0)
-                   + coalesce(1.0 / (60.0 + a.rank), 0.0), 6) as score
-      from bm25r b full outer join annr a on b.doc_id = a.doc_id
-    ),
-    ranked as (
-      select doc_id, score,
-             row_number() over (order by score desc, doc_id) as rank
-      from fused)
-    select doc_id, score, rank from ranked where rank <= {k}
-    """
-
-
-@register(
-    "d18_hybrid_rrf",
-    _hybrid_rrf_sql,
-    doc="hybrid retrieval: reciprocal-rank fusion (kr=60) of the BM25 "
-    "top-20 lexical ranking (d17's formula) with the int8-quantized ANN "
-    "top-20 vector ranking for query vec_id=0 (refine=1 - rescore of "
-    "the exactly-modeled integer coarse candidates). Both input ranks "
-    "are deterministic ints (round-before-rank + id tie-breaks), the "
-    "RRF sum is two exact IEEE divisions in fixed order, rounded to 6dp "
-    "before the fused rank. Each ranking is top-k-bounded upstream, so "
-    "the fusion join is trivially broadcastable at any corpus scale",
-)
-def d18(spark: SparkSession, sf: str) -> DataFrame:
-    from basis_devkit_spark.operators.retrieval import bm25_topk, rrf_fuse
-    from basis_devkit_spark.operators.similarity import quantized_topk
-
-    d = load(spark, sf, "documents")
-    emb = load(spark, sf, "embeddings")
-    lex = bm25_topk(d, _BM25_TERMS, k=20)
-    q0 = emb.filter(F.col("vec_id") < 1)
-    ann = quantized_topk(q0, emb, k=20, refine=1, score_round=4).select(
-        F.col("match_id").alias("doc_id"), "rank"
-    )
-    return rrf_fuse([lex, ann], k=10).select("doc_id", "score", "rank")
-
-
-# Shared DuckDB CTE body for the bigram-LM pipeline (d19 scores it, d21
-# buckets the resulting ranking, d23 runs it over the curated survivors)
-# — ends at `lm(doc_id, n_bigrams, lm_score)`; `src` is the relation the
-# LM is fit on.
-def _bigram_lm_ctes(src: str = "documents") -> str:
-    return f"""
-    toks as (
-      select doc_id, string_split(lower(coalesce(text, '')), ' ') as ws
-      from {src}
-    ),
-    big as (
-      select doc_id, ws[i] as w1, ws[i + 1] as w2
-      from (select doc_id, ws, unnest(range(1, len(ws))) as i
-            from toks where len(ws) >= 2)
-    ),
-    bc as (select w1, w2, count(*) as cb from big group by 1, 2),
-    uc as (select w1, count(*) as cu
-           from (select unnest(ws) as w1 from toks) group by 1),
-    vv as (select count(distinct w1) as v
-           from (select unnest(ws) as w1 from toks)),
-    scored as (
-      select b.doc_id,
-             cast(floor(ln((bc.cb + 1.0) / (uc.cu + vv.v))
-                        * 1000000000.0) as bigint) as lp
-      from big b join bc using (w1, w2) join uc using (w1) cross join vv
-    ),
-    agg as (
-      select doc_id, cast(count(*) as bigint) as n_bigrams,
-             sum(lp) as slp
-      from scored group by 1),
-    lm as (
-      select doc_id, n_bigrams,
-             round(cast(slp as double) / n_bigrams / 1000000000.0, 6)
-               as lm_score
-      from agg)
-"""
-
-
-_BIGRAM_LM_CTES = _bigram_lm_ctes()
-
-
-@register(
-    "d19_bigram_lm_score",
-    f"""
-    with {_BIGRAM_LM_CTES}
-    select doc_id, n_bigrams, lm_score from lm
-    """,
-    doc="corpus-fit bigram LM score per doc (perplexity-proxy quality "
-    "filter, add-one smoothing, V and counts from this corpus): mean "
-    "ln((c(w1,w2)+1)/(c(w1)+V)) over the doc's bigrams. Deterministic at "
-    "scale via integerize-before-reduce: each log-prob is floored to a "
-    "1e-9-scaled LONG before the per-doc sum, so the distributed "
-    "aggregation is associative integer arithmetic (map-side combinable, "
-    "bit-identical under any partitioning within an engine); DuckDB "
-    "recomputes the identical integer pipeline in pure SQL — cross-engine "
-    "agreement additionally rides JVM/libm ln agreeing at 1e-9 "
-    "granularity, a ~3e-10/doc residual risk (see operator docstring)",
-)
-def d19(spark: SparkSession, sf: str) -> DataFrame:
-    from basis_devkit_spark.operators.text import bigram_lm_score
-
-    d = load(spark, sf, "documents")
-    return bigram_lm_score(d).select("doc_id", "n_bigrams", "lm_score")
-
-
-@register(
-    "d20_ivf_quantized_topk",
-    pyoracle.ivf_quantized_sql,
-    doc="composed IVF × int8-scalar-quantized ANN top-5 (queries = vec_id "
-    "< 30, corpus = all, seed-vector cells nlist=8, nprobe=4) — the "
-    "production layout the d16 probe notes call for: the coarse pass is "
-    "a cell EQUI-join touching only the probed cells' 1-byte-range codes "
-    "(no all-pairs scan, no floats), candidates = top k*refine per query "
-    "by the exact-integer centered-code dot, float cosine rescore on "
-    "candidates only, 4dp round-before-rank. Candidate set exactly "
-    "modeled (pyoracle.ivf_quantized_candidates: the proven d03c cell "
-    "model composed with the proven d16 integer-code model); DuckDB does "
-    "the float rescore",
-)
-def d20(spark: SparkSession, sf: str) -> DataFrame:
-    from basis_devkit_spark.operators.similarity import ivf_quantized_topk
-
-    emb = load(spark, sf, "embeddings")
-    q = emb.filter(F.col("vec_id") < 30)
-    return ivf_quantized_topk(
-        q, emb, k=5, nlist=8, nprobe=4, refine=4,
-        centroids=_ivf_seed_centroids(emb, 8), score_round=4,
-    ).select("query_id", "match_id", "score", "rank")
-
-
-@register(
-    "d21_lm_quality_buckets",
-    f"""
-    with {_BIGRAM_LM_CTES},
-    ranked as (
-      select doc_id, n_bigrams, lm_score,
-             row_number() over (order by lm_score desc, doc_id) as rnk,
-             count(*) over () as n
-      from lm)
-    select doc_id, n_bigrams, lm_score,
-           cast(((rnk - 1) * 3) // n as int) as bucket,
-           case ((rnk - 1) * 3) // n
-             when 0 then 'head' when 1 then 'middle' else 'tail'
-           end as label
-    from ranked
-    """,
-    doc="CCNet-style perplexity bucketing (head/middle/tail thirds of the "
-    "corpus-fit bigram-LM ranking, best first, doc_id tie-break; bucket = "
-    "((rank-1)*3) div N in exact integer arithmetic). The Spark side "
-    "computes the global rank WITHOUT a single-reducer window — "
-    "value-bucketed two-phase prefix (per-bucket parallel windows + an "
-    "exclusive prefix over the bounded bucket list), deterministic under "
-    "any partitioning; the oracle's plain row_number() must agree exactly",
-)
-def d21(spark: SparkSession, sf: str) -> DataFrame:
-    from basis_devkit_spark.operators.text import lm_quality_buckets
-
-    d = load(spark, sf, "documents")
-    return lm_quality_buckets(d).select(
-        "doc_id", "n_bigrams", "lm_score", "bucket", "label"
-    )
-
-
-@register(
-    "d22_source_mixture_weights",
-    """
-    with c as (
-      select source, cast(count(*) as bigint) as n_docs
-      from documents group by 1
-    ),
-    t as (
-      select cast(sum(n_docs) as bigint) as N,
-             cast(max(n_docs) as bigint) as M
-      from c
-    )
-    select source, n_docs,
-           round(n_docs / N, 6) as share,
-           round(pow(n_docs / M, 0.7), 6) as rel_weight
-    from c cross join t
-    """,
-    doc="temperature-scaled mixture reweighting per source (XLM-R/mT5 "
-    "multinomial data-mixing, alpha=0.7): share = n_s/N, rel_weight = "
-    "(n_s/n_max)^alpha relative to the largest source — exact integer "
-    "counts, one rational division + one pow per source (no float sum "
-    "across sources whose reduction order could drift), 6dp-rounded. One "
-    "hash agg + a one-row broadcast: flat at any corpus size",
-)
-def d22(spark: SparkSession, sf: str) -> DataFrame:
-    from basis_devkit_spark.operators.text import source_mixture_weights
-
-    d = load(spark, sf, "documents")
-    return source_mixture_weights(d, alpha=0.7).select(
-        "source", "n_docs", "share", "rel_weight"
-    )
-
-
-@register(
-    "d23_quality_pipeline",
-    f"""
-    with lw as (
-      select doc_id, text, string_split(lower(trim(text)), ' ') as ws
-      from documents
-    ),
-    ls as (select doc_id, text,
-      len(list_intersect(ws, {_LANG_ARR['en']})) as s_en,
-      len(list_intersect(ws, {_LANG_ARR['de']})) as s_de,
-      len(list_intersect(ws, {_LANG_ARR['fr']})) as s_fr,
-      len(list_intersect(ws, {_LANG_ARR['es']})) as s_es,
-      len(list_intersect(ws, {_LANG_ARR['zh']})) as s_zh
-    from lw),
-    en as (
-      select doc_id, text from ls
-      where greatest(s_en, s_de, s_fr, s_es, s_zh) > 0
-        and s_en >= s_de and s_en >= s_fr and s_en >= s_es and s_en >= s_zh
-    ),
-    gw as (
-      select doc_id, text,
-             regexp_split_to_array(trim(text), '\\s+') as words,
-             string_split(text, chr(10)) as lines,
-             length(text) - length(regexp_replace(text, '#', '', 'g')) as n_hash,
-             (length(text) - length(regexp_replace(text, '\\.\\.\\.', '', 'g'))) / 3.0
-               as n_ellipsis
-      from en
-    ), gs as (
-      select doc_id, text, words,
-             greatest(len(words), 1) as nw,
-             greatest(len(lines), 1) as nl,
-             n_hash, n_ellipsis,
-             list_sum(list_transform(words, x -> length(x))) as word_chars,
-             len(list_filter(words, x -> regexp_matches(x, '[A-Za-z]'))) as n_alpha,
-             len(list_filter(lines,
-                 x -> starts_with(x, '- ') or starts_with(x, '* ')
-                      or starts_with(x, '•'))) as n_bullet,
-             len(list_filter(lines, x -> x like '%...')) as n_ell_lines,
-             (cast(list_contains(list_transform(words, x -> lower(x)), 'the') as int)
-              + cast(list_contains(list_transform(words, x -> lower(x)), 'a') as int))
-               as stop_count
-      from gw
-    ), gpass as (
-      select doc_id, text
-      from gs
-      where len(words) between 50 and 100000
-        and floor(word_chars / nw * 1000000.0 + 0.5) / 1000000.0 between 3.0 and 10.0
-        and (n_hash + n_ellipsis) / nw <= 0.1
-        and n_bullet / cast(nl as double) <= 0.9
-        and n_ell_lines / cast(nl as double) <= 0.3
-        and n_alpha / cast(nw as double) >= 0.8
-        and stop_count >= 2
-    ),
-    nrm as (
-      select doc_id, text,
-             trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\\s]', ' ', 'g'),
-                                 '\\s+', ' ', 'g')) as norm_text
-      from gpass
-    ),
-    ded as (
-      select doc_id, text from nrm
-      qualify row_number() over (partition by norm_text order by doc_id) = 1
-    ),
-    {_bigram_lm_ctes("ded")},
-    ranked as (
-      select doc_id, n_bigrams, lm_score,
-             row_number() over (order by lm_score desc, doc_id) as rnk,
-             count(*) over () as n
-      from lm)
-    select doc_id, n_bigrams, lm_score,
-           cast(((rnk - 1) * 3) // n as int) as bucket,
-           case ((rnk - 1) * 3) // n
-             when 0 then 'head' when 1 then 'middle' else 'tail'
-           end as label
-    from ranked
-    """,
-    doc="FineWeb/CCNet-style end-to-end curation pipeline in ONE composed "
-    "plan: language-ID filter ('en' argmax, d04b's model) → Gopher rules "
-    "(d04t's repertoire, corpus stopword list) → exact dedup on d04p's "
-    "canonical normalization (keep smallest doc_id) → perplexity buckets "
-    "(d21) with the bigram LM REFIT on the curated survivors. The oracle "
-    "chains the same proven SQL fragments over the same filter "
-    "boundaries — end-to-end exact-hash, demonstrating operator "
-    "composition, not just isolated correctness",
-)
-def d23(spark: SparkSession, sf: str) -> DataFrame:
-    from basis_devkit_spark.operators.text import quality_pipeline
-
-    d = load(spark, sf, "documents").select("doc_id", "text")
-    return quality_pipeline(d, stopwords=["the", "a"]).select(
-        "doc_id", "n_bigrams", "lm_score", "bucket", "label"
-    )
-
-
-@register(
-    "d24_deterministic_quality_filter",
-    pyoracle.hashed_logreg_sql,
-    doc="trained quality filter, DETERMINISTIC variant (closes d04r's "
-    "rows-only gap the way d03d closed KMeans'): hashed-BoW logistic "
-    "model fit driver-side by bit-reproducible float64 full-batch GD on "
-    "the first-200-by-id sample (weak label: >=60 tokens), weights "
-    "quantized to floor(w*1e9) LONGS and shared with the oracle; the "
-    "distributed score is then an EXACT integer sum over xxhash64 token "
-    "buckets (broadcast weight relation, map-side combinable) + one "
-    "division + one sigmoid, 6dp round-before-output. The oracle "
-    "recomputes feature hashing + scoring independently (pyoracle XXH64 "
-    "model) for every doc",
-)
-def d24(spark: SparkSession, sf: str) -> DataFrame:
-    from basis_devkit_spark.operators.quality_model import (
-        fit_hashed_logreg,
-        score_hashed_logreg,
-    )
-
-    d = load(spark, sf, "documents").select("doc_id", "text")
-    toks = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
-    labeled = d.withColumn("label", (F.size(toks) >= 60).cast("int"))
-    sample = (
-        labeled.orderBy("doc_id").limit(200).select("text", "label").collect()
-    )
-    wq, bias = fit_hashed_logreg([(r["text"], r["label"]) for r in sample])
-    return score_hashed_logreg(d, wq, bias).select("doc_id", "quality_prob")
-
-
-@register(
-    "d25_hll_sketch_distinct",
-    pyoracle.hll_sketch_sql,
-    doc="XXH64-TZ distinct sketch (custom HLL-style, operators/sketches.py) "
-    "— per-event-type user_id estimates (linear-counting branch at test "
-    "SFs) + the global event_id estimate (raw HLL branch), each beside "
-    "its exact count. Unlike the opaque built-in HLL++ (b22, rows-only "
-    "forever), every stage here is engine-exact: integer trailing-zero "
-    "ranks, MAX registers, the harmonic sum integerized as "
-    "decimal(38,0) Σ2^(60-R) (never a float reduction), and a final "
-    "double formula rounded before output — so the ESTIMATE itself is "
-    "exact-hash oracled against an independent Python model",
-)
-def d25(spark: SparkSession, sf: str) -> DataFrame:
-    from basis_devkit_spark.operators.sketches import hll_distinct
-
-    ev = load(spark, sf, "events")
-    per_type = hll_distinct(ev, "user_id", p=10, group_cols=["event_type"])
-    exact_t = ev.groupBy("event_type").agg(
-        F.countDistinct("user_id").alias("exact_distinct")
-    )
-    part1 = per_type.join(exact_t, "event_type").select(
-        F.concat(F.lit("users:"), F.col("event_type")).alias("metric"),
-        "est_distinct",
-        "exact_distinct",
-    )
-    part2 = (
-        hll_distinct(ev, "event_id", p=10)
-        .crossJoin(
-            F.broadcast(
-                ev.agg(F.countDistinct("event_id").alias("exact_distinct"))
-            )
-        )
-        .select(
-            F.lit("event_ids").alias("metric"), "est_distinct", "exact_distinct"
-        )
-    )
-    return part1.unionByName(part2)
-
-
-@register(
-    "d29_pq_topk",
-    pyoracle.pq_ann_sql,
-    doc="product-quantization ADC ANN top-5 (queries = vec_id < 30, corpus "
-    "= all): deterministic seed-vector codebook (first ksub=16 ids, m=8 "
-    "subspaces — a bounded TakeOrdered fit, no RNG), corpus coded to m "
-    "small ints via argmin-L2 against the one-row broadcast codebook "
-    "relation, coarse candidates = top k*refine per query by the EXACT-"
-    "INTEGER sum of integerized ADC LUT hits (floor(l2^2 * 1e6) longs — "
-    "associative, bit-identical under any partitioning), float cosine "
-    "rescore on candidates only, 4dp-rounded before the final rank. The "
-    "candidate set itself is exactly modeled in Python "
-    "(pyoracle.pq_ann_candidates); DuckDB does the float rescore. The "
-    "100 TB shape: the coarse scan reads m=8 ints per row instead of 64 "
-    "floats (~32x fewer bytes than float32), queries ship only their "
-    "m*ksub-long LUTs, and float vectors are read for |queries| x k x "
-    "refine candidate rows",
-)
-def d29(spark: SparkSession, sf: str) -> DataFrame:
-    from basis_devkit_spark.operators.similarity import pq_topk
-
-    emb = load(spark, sf, "embeddings")
-    q = emb.filter(F.col("vec_id") < 30)
-    return pq_topk(q, emb, k=5, m=8, ksub=16, refine=4, score_round=4).select(
-        "query_id", "match_id", "score", "rank"
-    )
-
-
-@register(
-    "d30_bpe_learn_merges",
-    pyoracle.bpe_merges_sql,
-    doc="BPE vocabulary induction (Sennrich-style merge learning) on the "
-    "documents corpus: ONE corpus scan builds the distinct-word frequency "
-    "relation; each of the 8 merge rounds is a single vocabulary-sized "
-    "hash agg (adjacent symbol pairs weighted by word count, exact "
-    "integer sums) + a bounded one-row top-pair fetch (count desc, pair "
-    "asc) + a pure-projection greedy merge rewrite. Entirely integer/"
-    "string arithmetic — the learned merge table is exactly reproducible "
-    "by the Python model (pyoracle.bpe_merges_model), the same literal-"
-    "table oracle contract as d28. The 100 TB shape: iteration state is "
-    "the distinct-word relation (millions of rows), never the corpus "
-    "(trillions of tokens); exactly one vocabulary-sized frame stays "
-    "pinned across rounds",
-)
-def d30(spark: SparkSession, sf: str) -> DataFrame:
-    from basis_devkit_spark.operators.bpe import bpe_learn_merges
-
-    docs = load(spark, sf, "documents")
-    return bpe_learn_merges(docs, "text", num_merges=8).select(
-        "merge_rank",
-        F.col("left").alias("left_sym"),
-        F.col("right").alias("right_sym"),
-        "merged",
-        "pair_count",
-    )
-
-
-@register(
-    "d31_bpe_tokenized_packing",
-    pyoracle.bpe_packing_sql,
-    doc="END-TO-END tokenizer-exact packing: the d30-learned BPE merge "
-    "table tokenizes every document (bpe_apply — rank-ordered greedy "
-    "folds, a pure projection) and the REAL subword counts feed "
-    "sequence_pack's bucketed two-phase prefix (d11's layout shape with "
-    "the tokenizer measure r6 task 7 called for, no whitespace stand-"
-    "in). All-integer: the oracle chains the independent Python BPE "
-    "model's per-doc counts (pyoracle.bpe_token_counts_model) into the "
-    "same packing SQL. 100 TB: one corpus scan learns the vocab-bounded "
-    "merges, tokenization is shuffle-free, packing adds the two "
-    "bucketed prefix aggs — no global window anywhere",
-)
-def d31(spark: SparkSession, sf: str) -> DataFrame:
-    from basis_devkit_spark.operators.bpe import bpe_apply, bpe_learn_merges
-    from basis_devkit_spark.operators.text import sequence_pack
-
-    docs = load(spark, sf, "documents")
-    mt = bpe_learn_merges(docs, "text", num_merges=8)
-    counted = bpe_apply(docs, mt).withColumn(
-        "bpe_ct", F.size("bpe_tokens").cast("long")
-    )
-    return sequence_pack(counted, budget=2048, n_tokens_col="bpe_ct")
-
 
 @register(
     "d32_hist_quantile_sketch",

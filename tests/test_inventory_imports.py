@@ -1,0 +1,53 @@
+"""Spark-free smoke test: the query inventory must always import.
+
+Round-8 shipped a corrupted ``queries/analytics.py`` (a duplicated module
+block introduced a second ``from __future__`` import mid-file ->
+SyntaxError), which silently voided the entire correctness gate because
+nothing re-imported the inventory after the final edit.  This test is the
+cheap tripwire: it imports every query module, builds the full registry and
+the oracle map, and asserts the counts — no SparkSession, runs in seconds,
+collected first (alphabetical) in the suite.
+"""
+from __future__ import annotations
+
+
+# Keep in sync with the registered inventory; bump when queries are added.
+MIN_QUERIES = 233
+# Rows-only-by-design queries (no DuckDB oracle): b22 HLL++, d04r Spark-ML.
+MAX_ORACLE_GAP = 4
+
+
+def test_all_query_modules_compile() -> None:
+    import compileall
+    import pathlib
+
+    pkg = pathlib.Path(__file__).resolve().parents[1] / "basis_devkit_spark"
+    assert compileall.compile_dir(str(pkg), quiet=2, force=True)
+
+
+def test_inventory_builds_and_counts() -> None:
+    from basis_devkit_spark.queries import all_queries
+
+    qs = all_queries()
+    assert len(qs) >= MIN_QUERIES, (
+        f"query inventory shrank: {len(qs)} < {MIN_QUERIES}"
+    )
+    oracled = sum(1 for q in qs.values() if q.oracle is not None)
+    assert len(qs) - oracled <= MAX_ORACLE_GAP, (
+        f"too many rows-only queries: {len(qs) - oracled}"
+    )
+    # every name unique and well-formed; every entry callable
+    for name, q in qs.items():
+        assert callable(q.spark), name
+        assert name and name == name.strip(), repr(name)
+
+
+def test_entry_module_contract() -> None:
+    import __spark_entry__ as entry
+
+    qs = entry.queries()
+    oracles = entry.oracle_sql()
+    assert len(qs) >= MIN_QUERIES
+    assert set(oracles) <= set(qs), "oracle_sql keys must be registered queries"
+    for name, sql in oracles.items():
+        assert isinstance(sql, str) and sql.strip(), name
