@@ -49,13 +49,33 @@ def exact_dedup(
     extreme) — no per-key window, so a hot key (millions of identical
     normalized texts in a real corpus) never serializes its whole
     cluster through one window task. With ties in ``order_by`` it would
-    keep every tied row, hence opt-in."""
+    keep every tied row, hence opt-in.
+
+    Null handling matches the window path: NULL key values form their own
+    group (null-safe join), and NULL ``order_by`` values sort first for
+    ``keep="first"`` (Spark's ``asc`` default) and last for
+    ``keep="last"`` (``desc`` default)."""
     if order_by is None:
         return df.dropDuplicates(keys)
     if unique_order:
-        ext = (F.min if keep == "first" else F.max)(order_by).alias(order_by)
+        if keep == "first":
+            # asc nulls-first: the winner is NULL iff the group has one.
+            ext = (
+                F.min(
+                    F.struct(
+                        F.col(order_by).isNotNull().alias("nn"),
+                        F.col(order_by).alias("v"),
+                    )
+                )
+                .getField("v")
+                .alias(order_by)
+            )
+        else:
+            # desc nulls-last: max() already skips NULLs.
+            ext = F.max(order_by).alias(order_by)
         reps = df.groupBy(*keys).agg(ext)
-        return df.join(reps, [*keys, order_by], "left_semi")
+        cond = [df[c].eqNullSafe(reps[c]) for c in [*keys, order_by]]
+        return df.join(reps, cond, "left_semi")
     ob = F.col(order_by).asc() if keep == "first" else F.col(order_by).desc()
     w = Window.partitionBy(*keys).orderBy(ob)
     return (

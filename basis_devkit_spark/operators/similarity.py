@@ -1252,6 +1252,19 @@ def fit_pq_codebook(
     packed = seeds.groupBy().agg(
         F.array_sort(F.collect_list(F.struct("__i", "__v"))).alias("__s")
     )
+    # ksub seed rows or the packed flat index (sub*ksub + code) used by
+    # pq_encode/pq_topk would silently misalign subspaces.
+    seed_guard = F.assert_true(
+        F.size(F.col("__s")) == ksub,
+        F.concat(
+            F.lit("fit_pq_codebook: corpus has "),
+            F.size(F.col("__s")).cast("string"),
+            F.lit(f" seed vectors, need exactly ksub={ksub}"),
+        ),
+    )
+    packed = packed.select(
+        F.when(seed_guard.isNull(), F.col("__s")).alias("__s")
+    )
     dim_ok = F.size(F.col("__fv")) % m == 0
     guard = F.assert_true(
         dim_ok,

@@ -167,13 +167,27 @@ def cms_estimate(
     value_col: str,
     width: int = 1 << 14,
     depth: int = 4,
+    group_cols: list[str] | None = None,
 ) -> DataFrame:
     """Point-frequency estimates for each probe value: ``est_count = min``
     over the sketch's depth cells (0 if any cell is absent). Never
     underestimates; overestimates by collision mass ≤ ~N/width per row.
     The probe side explodes to ``depth`` rows and joins the cell relation
-    on (row, col) — with a broadcast-sized sketch this is depth map-side
-    lookups, no shuffle of the probe frame's source."""
+    on (group..., row, col) — with a broadcast-sized sketch this is depth
+    map-side lookups, no shuffle of the probe frame's source.
+
+    For a sketch built with ``cms_build(group_cols=...)`` pass the same
+    ``group_cols`` here (the probe frame must carry them); otherwise
+    cells from different groups would be conflated and the min taken
+    across groups would silently underestimate — a sketch relation with
+    unexpected extra columns is rejected."""
+    gcols = list(group_cols or [])
+    extra = sorted(set(cms.columns) - {*gcols, "row", "col", "cnt"})
+    if extra:
+        raise ValueError(
+            f"cms_estimate: sketch carries grouping columns {extra}; "
+            "pass the cms_build group_cols"
+        )
     pos = F.array(
         *[
             F.struct(
@@ -185,13 +199,16 @@ def cms_estimate(
             for i in range(depth)
         ]
     )
-    ex = probes.select(F.col(value_col), F.explode(pos).alias("__rc")).select(
+    ex = probes.select(
+        *gcols, F.col(value_col), F.explode(pos).alias("__rc")
+    ).select(
+        *gcols,
         value_col,
         F.col("__rc.row").alias("row"),
         F.col("__rc.col").alias("col"),
     )
-    joined = ex.join(F.broadcast(cms), ["row", "col"], "left")
-    return joined.groupBy(value_col).agg(
+    joined = ex.join(F.broadcast(cms), [*gcols, "row", "col"], "left")
+    return joined.groupBy(*gcols, value_col).agg(
         F.min(F.coalesce(F.col("cnt"), F.lit(0).cast("long"))).alias(
             "est_count"
         )

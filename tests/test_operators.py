@@ -3211,6 +3211,86 @@ def test_exact_dedup_unique_order_equals_window_form(spark):
     assert "Window" not in plan
 
 
+def test_exact_dedup_unique_order_null_keys_and_order(spark):
+    """r8 advisor: the agg+semi-join path dropped groups whose key (or
+    winning order value) was NULL. It must now match the window path:
+    NULL keys form their own group; NULL order values sort first for
+    keep='first' (asc default) and last for keep='last' (desc default)."""
+    from basis_devkit_spark.operators.dedup import exact_dedup
+
+    df = spark.createDataFrame(
+        [
+            (1, "a", "x1"),
+            (2, "a", "x2"),
+            (None, "a", "x3"),   # null order value inside a group
+            (5, None, "y1"),     # null-key group
+            (6, None, "y2"),
+            (7, "b", "z1"),
+        ],
+        "rid int, k string, v string",
+    )
+    key = lambda rows: sorted(
+        (repr(r["rid"]), repr(r["k"]), r["v"]) for r in rows
+    )
+    for keep in ("first", "last"):
+        a = exact_dedup(df, ["k"], order_by="rid", keep=keep).collect()
+        b = exact_dedup(
+            df, ["k"], order_by="rid", keep=keep, unique_order=True
+        ).collect()
+        assert key(a) == key(b), (keep, key(a), key(b))
+        assert len(b) == 3  # groups a, b, NULL all survive
+
+
+def test_cms_estimate_grouped(spark):
+    """Grouped sketches probe within their own group only; probing a
+    grouped sketch without group_cols is rejected (r8 advisor: the old
+    join on (row, col) alone took the min across groups and silently
+    underestimated)."""
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from basis_devkit_spark.operators.sketches import cms_build, cms_estimate
+
+    df = spark.range(0, 3000).select(
+        F.when(F.col("id") % 2 == 0, "even").otherwise("odd").alias("g"),
+        (F.col("id") % 10).cast("string").alias("v"),
+    )
+    sk = cms_build(df, "v", width=1 << 12, depth=4, group_cols=["g"])
+    probes = spark.createDataFrame(
+        [("even", "0"), ("odd", "0"), ("even", "1"), ("odd", "1")],
+        "g string, v string",
+    )
+    got = {
+        (r["g"], r["v"]): r["est_count"]
+        for r in cms_estimate(
+            probes, sk, "v", 1 << 12, 4, group_cols=["g"]
+        ).collect()
+    }
+    # exact truth: value "0" appears only in even rows, "1" only in odd
+    assert got[("even", "0")] == 300 and got[("odd", "0")] == 0
+    assert got[("even", "1")] == 0 and got[("odd", "1")] == 300
+    with _pytest.raises(ValueError, match="grouping columns"):
+        cms_estimate(probes, sk, "v", 1 << 12, 4)
+
+
+def test_fit_pq_codebook_rejects_short_corpus(spark):
+    """r8 advisor: fewer than ksub seed vectors misaligns the packed
+    flat index (sub*ksub + code); the fit must fail loudly instead."""
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from basis_devkit_spark.operators.similarity import fit_pq_codebook
+
+    emb = spark.range(0, 5).select(
+        F.col("id").alias("vec_id"),
+        F.array(*[(F.col("id") + i).cast("double") for i in range(8)]).alias(
+            "embedding"
+        ),
+    )
+    with _pytest.raises(Exception, match="seed vectors"):
+        fit_pq_codebook(emb, m=4, ksub=16).collect()
+
+
 # ------------------------------------------------- BPE induction (d30)
 
 
