@@ -403,6 +403,16 @@ def main() -> None:
     # are forced by explicit hints, so no plan regresses.
     spark.conf.set("spark.sql.adaptive.enabled", "false")
     spark.conf.set("spark.sql.shuffle.partitions", "8")
+    # Larger columnar read batches amortize per-batch virtual-call overhead
+    # on scan-bound rows (r9 measured: events_sess at 1M rows 40.4 -> 36.1
+    # ms; sub-1% change elsewhere). 16k rows x widest bench row is still
+    # well under executor memory at any realistic column width.
+    spark.conf.set("spark.sql.parquet.columnarReaderBatchSize", "16384")
+    # First-level codegen'd VECTORIZED aggregate hash map (off by default
+    # upstream): columnar probe/update for the partial agg. r9 measured on
+    # events_sess at 1M rows: 48.6 -> 31.9 ms median; no headline row
+    # regressed (bench re-run vs r8).
+    spark.conf.set("spark.sql.codegen.aggregate.map.vectorized.enable", "true")
     tabs = bind_tables(spark)
     split_key = os.path.basename(os.path.normpath(SF_DIR))
     con = duck_connect(split_key)
