@@ -76,6 +76,7 @@ def bpe_learn_merges(
     text_col: str = "text",
     num_merges: int = 8,
     words: DataFrame | None = None,
+    batch_merges: int = 1,
 ) -> DataFrame:
     """Learn ``num_merges`` BPE merges; returns the merge table
     ``(merge_rank int, left string, right string, merged string,
@@ -84,17 +85,37 @@ def bpe_learn_merges(
     ``sequence_pack``'s token-count column).
 
     Round r: explode adjacent symbol pairs of every distinct word
-    (weighted by word frequency), integer-sum per pair, fetch THE single
-    winning row (count desc, then (left, right) asc — a bounded
-    ``limit(1)`` fetch, the same bounded-driver-fetch contract as
-    pagerank's per-round convergence scalar), then rewrite the symbol
-    arrays with the greedy fold. The evolving word-symbols frame is
+    (weighted by word frequency), integer-sum per pair, fetch the top
+    ``batch_merges`` rows (count desc, then (left, right) asc — a
+    bounded ``limit(N)`` fetch, the same bounded-driver-fetch contract
+    as pagerank's per-round convergence scalar), then rewrite the symbol
+    arrays with the greedy fold(s). The evolving word-symbols frame is
     re-persisted each round and the previous round's cache released — at
     any moment exactly one vocabulary-sized frame is pinned.
+
+    **Scale bound — rounds are inherently sequential.** Each round is
+    one Spark job whose input is the previous round's output; with
+    ``batch_merges=1`` (classic BPE, the d30 oracle semantics) a
+    production 32k-merge vocabulary means 32k sequential vocabulary-
+    sized jobs — correct, but latency-bound by round count, not data.
+    ``batch_merges=N`` is the scale path: per round, greedily admit from
+    the top-N pairs every pair whose symbols {left, right, left+right}
+    are disjoint from all pairs already admitted this round. Disjoint
+    merges cannot create, destroy, or consume one another's adjacencies
+    (a merge replaces [l, r] with one new symbol; its neighbors become
+    adjacent to the NEW symbol, never to each other), so each admitted
+    pair's count is exactly its pre-batch count and the per-round fetch
+    stays bounded. Round count drops ~N-fold. The learned table can
+    diverge from classic BPE only where classic's successive top pairs
+    would have overlapped — a documented, deterministic semantics
+    (mirrored exactly by the ``pyoracle.bpe_merges_model`` oracle, which
+    takes the same ``batch_merges``).
 
     Pass a precomputed ``words`` (``(word, weight)``) to skip the corpus
     scan — the build-once path when several tokenizers are fit on one
     corpus."""
+    if batch_merges < 1:
+        raise ValueError("batch_merges must be >= 1")
     if words is None:
         words = _word_weights(corpus, text_col)
     syms = words.select(
@@ -105,7 +126,7 @@ def bpe_learn_merges(
     ).persist()
     merges: list[tuple[int, str, str, str, int]] = []
     try:
-        for r in range(num_merges):
+        while len(merges) < num_merges:
             pairs = (
                 syms.select(
                     "weight",
@@ -124,14 +145,28 @@ def bpe_learn_merges(
             )
             top = pairs.orderBy(
                 F.col("cnt").desc(), F.col("l"), F.col("r")
-            ).limit(1).collect()  # bounded: ONE row per round
+            ).limit(batch_merges).collect()  # bounded: <= N rows per round
             if not top:
                 break
-            left, right, cnt = top[0]["l"], top[0]["r"], int(top[0]["cnt"])
-            merges.append((r, left, right, left + right, cnt))
-            nxt = syms.select(
-                "weight", _merge_fold(F.col("syms"), left, right).alias("syms")
-            ).persist()
+            # Greedy disjoint admission: the first candidate is always
+            # admitted, so every round makes progress.
+            used: set[str] = set()
+            batch: list[tuple[str, str, int]] = []
+            for row in top:
+                if len(merges) + len(batch) >= num_merges:
+                    break
+                left, right = row["l"], row["r"]
+                if {left, right, left + right} & used:
+                    continue
+                used |= {left, right, left + right}
+                batch.append((left, right, int(row["cnt"])))
+            col = F.col("syms")
+            for left, right, cnt in batch:
+                merges.append(
+                    (len(merges), left, right, left + right, cnt)
+                )
+                col = _merge_fold(col, left, right)
+            nxt = syms.select("weight", col.alias("syms")).persist()
             nxt.count()  # materialize before releasing the parent cache
             syms.unpersist()
             syms = nxt

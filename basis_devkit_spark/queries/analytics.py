@@ -4077,6 +4077,36 @@ def d30(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @register(
+    "d33_bpe_batched_merges",
+    lambda: pyoracle.bpe_merges_sql(num_merges=8, batch_merges=4),
+    doc="batched BPE merge learning (batch_merges=4): the d30 scale path "
+    "for production vocab sizes — classic BPE's rounds are inherently "
+    "sequential (a 32k-merge vocabulary is 32k sequential jobs), so each "
+    "round here fetches the top-4 pairs and greedily admits every pair "
+    "whose symbols {left, right, merged} are disjoint from the pairs "
+    "already admitted this round. Disjoint merges cannot create, destroy, "
+    "or consume one another's adjacencies, so each admitted pair's count "
+    "is exactly its pre-batch count and round count drops ~4x. "
+    "Deterministic divergence from classic BPE only where classic's "
+    "successive top pairs would overlap; the Python model mirrors the "
+    "admission rule exactly (literal-table oracle, the d28/d30 contract)",
+)
+def d33(spark: SparkSession, sf: str) -> DataFrame:
+    from basis_devkit_spark.operators.bpe import bpe_learn_merges
+
+    docs = load(spark, sf, "documents")
+    return bpe_learn_merges(
+        docs, "text", num_merges=8, batch_merges=4
+    ).select(
+        "merge_rank",
+        F.col("left").alias("left_sym"),
+        F.col("right").alias("right_sym"),
+        "merged",
+        "pair_count",
+    )
+
+
+@register(
     "d31_bpe_tokenized_packing",
     pyoracle.bpe_packing_sql,
     doc="END-TO-END tokenizer-exact packing: the d30-learned BPE merge "

@@ -1226,14 +1226,15 @@ def pq_ann_sql(k: int = 5) -> str:
 # --------------------------------------------- BPE merge learning (d30)
 @lru_cache(maxsize=2)
 def bpe_merges_model(
-    sf_dir: str, num_merges: int = 8
+    sf_dir: str, num_merges: int = 8, batch_merges: int = 1
 ) -> tuple[tuple[int, str, str, str, int], ...]:
     """Model of ``operators.bpe.bpe_learn_merges`` over the documents
-    table: whitespace-lowered word frequencies, then ``num_merges``
-    rounds of (integer pair-count sum → top pair by (count desc, pair
-    asc) → greedy left-to-right merge rewrite). Entirely integer
-    arithmetic — no float/fold-order caveats — so the learned merge
-    table is exactly reproducible cross-engine."""
+    table: whitespace-lowered word frequencies, then rounds of (integer
+    pair-count sum → top ``batch_merges`` pairs by (count desc, pair
+    asc) → greedy disjoint admission → greedy left-to-right merge
+    rewrites in rank order). Entirely integer arithmetic — no
+    float/fold-order caveats — so the learned merge table is exactly
+    reproducible cross-engine. ``batch_merges=1`` is classic BPE."""
     import collections
 
     docs = _documents(sf_dir)
@@ -1244,31 +1245,43 @@ def bpe_merges_model(
                 wc[w] += 1
     vocab = {tuple(list(w) + ["</w>"]): c for w, c in wc.items()}
     merges: list[tuple[int, str, str, str, int]] = []
-    for r in range(num_merges):
+    while len(merges) < num_merges:
         pc: collections.Counter = collections.Counter()
         for syms, c in vocab.items():
             for i in range(len(syms) - 1):
                 pc[(syms[i], syms[i + 1])] += c
         if not pc:
             break
-        (left, right), cnt = min(pc.items(), key=lambda kv: (-kv[1], kv[0]))
-        merges.append((r, left, right, left + right, int(cnt)))
-        nxt: dict[tuple[str, ...], int] = {}
-        for syms, c in vocab.items():
-            out: list[str] = []
-            for x in syms:
-                if out and out[-1] == left and x == right:
-                    out[-1] = left + right
-                else:
-                    out.append(x)
-            key = tuple(out)
-            nxt[key] = nxt.get(key, 0) + c
-        vocab = nxt
+        top = sorted(pc.items(), key=lambda kv: (-kv[1], kv[0]))[
+            :batch_merges
+        ]
+        used: set = set()
+        batch: list = []
+        for (left, right), cnt in top:
+            if len(merges) + len(batch) >= num_merges:
+                break
+            if {left, right, left + right} & used:
+                continue
+            used |= {left, right, left + right}
+            batch.append((left, right, int(cnt)))
+        for left, right, cnt in batch:
+            merges.append((len(merges), left, right, left + right, cnt))
+            nxt: dict = {}
+            for syms, c in vocab.items():
+                out: list = []
+                for x in syms:
+                    if out and out[-1] == left and x == right:
+                        out[-1] = left + right
+                    else:
+                        out.append(x)
+                key = tuple(out)
+                nxt[key] = nxt.get(key, 0) + c
+            vocab = nxt
     return tuple(merges)
 
 
-def bpe_merges_sql(num_merges: int = 8) -> str:
-    rows = bpe_merges_model(oracle_sf_dir(), num_merges)
+def bpe_merges_sql(num_merges: int = 8, batch_merges: int = 1) -> str:
+    rows = bpe_merges_model(oracle_sf_dir(), num_merges, batch_merges)
 
     def q(s: str) -> str:
         return "'" + s.replace("'", "''") + "'"
