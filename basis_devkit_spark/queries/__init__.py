@@ -101,7 +101,8 @@ _SAMPLE_PRIORITY = [
     # gained the dimension-mismatch guard, d17 the term-lowercasing fix,
     # and the d02 minhash family the cache-lifetime rework — all code
     # the r7 sample predates.
-    # -- r9 front block: d33 batched BPE is new this round.
+    # -- r9 front block: c18 stream pagerank + d33 batched BPE are new.
+    "c18_stream_pagerank_maintenance",
     "d33_bpe_batched_merges",
     "d32_hist_quantile_sketch",
     "d31_bpe_tokenized_packing",

@@ -4265,3 +4265,70 @@ def c17(spark: SparkSession, sf: str) -> DataFrame:
     finally:
         q.stop()
     return hist_quantiles(store.read(), fit, [0.25, 0.5, 0.75, 0.9, 0.99])
+
+
+@register(
+    "c18_stream_pagerank_maintenance",
+    pyoracle.pagerank_sql,
+    doc="streaming graph-signal maintenance: the customer→supplier "
+    "purchase edges arrive as TWO micro-batches into an exactly-once "
+    "edge store (stream_merge_to_store, unique_on=(src,dst) — the "
+    "distinct edge set is exactly the state pagerank_fixed_point "
+    "consumes), then ranks recomputed over the streamed store equal the "
+    "one-shot d28 oracle byte-for-byte (exact scaled-integer ranks — "
+    "order/partition-free). Completes the streaming-maintenance family: "
+    "ANN cells c14, quantized index c15, HLL c16, histogram c17, now "
+    "the graph signal. 100 TB: the edge store absorbs crawl-cadence "
+    "edge arrivals incrementally; rank recomputation is the same "
+    "bounded per-iteration join+agg as d28, on state that never "
+    "re-ingests the history",
+)
+def c18(spark: SparkSession, sf: str) -> DataFrame:
+    import glob as _glob
+    import os as _os
+    import shutil as _shutil
+    import tempfile as _tf
+
+    from basis_devkit_spark.operators.graphrank import pagerank_fixed_point
+    from basis_devkit_spark.storage.store import TableStore
+    from basis_devkit_spark.streaming.ops import stream_merge_to_store
+
+    o = load(spark, sf, "orders")
+    li = load(spark, sf, "lineitem")
+    edges = o.join(li, o["o_orderkey"] == li["l_orderkey"]).select(
+        F.concat(F.lit("c"), F.col("o_custkey")).alias("src"),
+        F.concat(F.lit("s"), F.col("l_suppkey")).alias("dst"),
+    )
+
+    tmp = _tf.mkdtemp(prefix="bds_c18_")
+    drop = _os.path.join(tmp, "drop")
+    _os.makedirs(drop, exist_ok=True)
+    for tag, mod in (("a", 0), ("b", 1)):
+        part_dir = _os.path.join(tmp, f"part_{tag}")
+        edges.filter(F.pmod(F.xxhash64("src", "dst"), F.lit(2)) == mod).coalesce(
+            1
+        ).write.parquet(part_dir)
+        src_f = _glob.glob(_os.path.join(part_dir, "part-*.parquet"))[0]
+        _shutil.copy(src_f, _os.path.join(drop, f"{tag}.parquet"))
+    raw_schema = spark.read.parquet(_os.path.join(drop, "a.parquet")).schema
+
+    def merge(batch: DataFrame, existing: DataFrame | None) -> DataFrame:
+        # per-key combine IS last-write-wins here (edges carry no
+        # payload): distinct within the batch, upsert dedups vs store
+        return batch.select("src", "dst").distinct()
+
+    stream = (
+        spark.readStream.schema(raw_schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(drop)
+    )
+    store = TableStore(tmp, "edges", spark)
+    store.configure(unique_on=["src", "dst"])
+    q = stream_merge_to_store(stream, store, f"{tmp}/_ckpt", merge).start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return pagerank_fixed_point(
+        store.read(), iters=10, raw_scaled=True
+    ).select("node", "rank_scaled")

@@ -404,3 +404,32 @@ def test_avro_gate_gives_actionable_error(spark, tmp_path):
         write_avro(df, str(tmp_path / "a.avro"))
     with _pytest.raises(RuntimeError, match="spark-avro"):
         read_avro(spark, str(tmp_path / "a.avro"))
+
+
+def test_stream_pagerank_maintenance_equals_one_shot(spark):
+    """c18: edges streamed in two micro-batches into an exactly-once
+    edge store yield EXACTLY the one-shot distinct edge set, so the
+    recomputed scaled-integer ranks are byte-identical to d28's."""
+    from basis_devkit_spark.operators.graphrank import pagerank_fixed_point
+    from basis_devkit_spark.queries import all_queries, load
+
+    sf = "/root/testdata/sf0.001"
+    streamed = {
+        (r["node"], r["rank_scaled"])
+        for r in all_queries()["c18_stream_pagerank_maintenance"]
+        .spark(spark, sf)
+        .collect()
+    }
+    o = load(spark, sf, "orders")
+    li = load(spark, sf, "lineitem")
+    edges = o.join(li, o["o_orderkey"] == li["l_orderkey"]).select(
+        F.concat(F.lit("c"), F.col("o_custkey")).alias("src"),
+        F.concat(F.lit("s"), F.col("l_suppkey")).alias("dst"),
+    )
+    one_shot = {
+        (r["node"], r["rank_scaled"])
+        for r in pagerank_fixed_point(edges, iters=10, raw_scaled=True)
+        .select("node", "rank_scaled")
+        .collect()
+    }
+    assert streamed == one_shot and len(streamed) > 0
