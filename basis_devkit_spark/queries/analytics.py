@@ -4332,3 +4332,28 @@ def c18(spark: SparkSession, sf: str) -> DataFrame:
     return pagerank_fixed_point(
         store.read(), iters=10, raw_scaled=True
     ).select("node", "rank_scaled")
+
+
+@register(
+    "d34_dsir_importance_scores",
+    pyoracle.dsir_scores_sql,
+    doc="DSIR-style hashed n-gram importance weighting (Xie et al. 2023 "
+    "— 'make CommonCrawl look like Wikipedia'): score every raw document "
+    "by the log-likelihood ratio of hashed bag-of-ngrams models fit on a "
+    "target set (source='src0') vs the raw corpus. Feature extraction is "
+    "a pure column expression (unigram+bigram occurrences hashed to 4096 "
+    "buckets via pmod(xxhash64)); counts are ONE hash agg per side; the "
+    "Laplace-smoothed log-ratio weights are a bounded driver-side fit "
+    "(floor(1e6*Δln), the d24 contract — floats live in one runtime), "
+    "then scoring is explode + broadcast weight join + integer SUM: no "
+    "cross-engine float op anywhere, exact-hash oracled vs the "
+    "independent Python model. 100 TB: two scans to fit (raw counts are "
+    "a mergeable persistable artifact), one scan + broadcast join + one "
+    "agg to score; no gram strings shuffle beyond the bounded count aggs",
+)
+def d34(spark: SparkSession, sf: str) -> DataFrame:
+    from basis_devkit_spark.operators.dsir import dsir_pipeline
+
+    docs = load(spark, sf, "documents")
+    target = docs.filter(F.col("source") == "src0")
+    return dsir_pipeline(docs, target, "text", "doc_id")

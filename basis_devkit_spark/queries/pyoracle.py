@@ -1347,3 +1347,85 @@ def bpe_packing_sql(num_merges: int = 8, budget: int = 2048) -> str:
            cast(cb % {budget} as bigint) as seq_offset
     from c
     """
+
+
+def dsir_scores_model(
+    sf_dir: str,
+    num_buckets: int = 4096,
+    ngram_n: int = 2,
+    target_source: str = "src0",
+    scale: int = 10**6,
+) -> list[tuple[int, int, int]]:
+    """Independent model of ``operators.dsir.dsir_pipeline`` over the
+    documents table (target = one source): hashed gram-occurrence counts
+    (public-spec XXH64, signed pmod), Laplace-smoothed integerized
+    log-ratio weights, integer score sums. The only floats are the
+    driver-side ``math.log`` calls — the SAME runtime the Spark operator
+    fits its weights in, so there is no cross-engine float op at all."""
+    import duckdb
+    import math
+
+    con = duckdb.connect()
+    rows = con.execute(
+        f"select doc_id, text, source from read_parquet('{sf_dir}/documents.parquet') "
+        "order by doc_id"
+    ).fetchall()
+    con.close()
+
+    def buckets(text: str) -> list[int]:
+        toks = [w for w in _WS.split((text or "").lower()) if w]
+        out = []
+        for n in range(1, ngram_n + 1):
+            for i in range(len(toks) - n + 1):
+                g = " ".join(toks[i : i + n])
+                out.append(xxh64_str(g, 42) % num_buckets)
+        return out
+
+    docs = [(int(d), buckets(t)) for d, t, _ in rows]
+    tgt = [buckets(t) for d, t, s in rows if s == target_source]
+    cr: dict[int, int] = {}
+    for _, bs in docs:
+        for b in bs:
+            cr[b] = cr.get(b, 0) + 1
+    ct: dict[int, int] = {}
+    for bs in tgt:
+        for b in bs:
+            ct[b] = ct.get(b, 0) + 1
+    tr, tt = sum(cr.values()), sum(ct.values())
+    w = {
+        bk: math.floor(
+            scale
+            * (
+                math.log((ct.get(bk, 0) + 1) / (tt + num_buckets))
+                - math.log((cr.get(bk, 0) + 1) / (tr + num_buckets))
+            )
+        )
+        for bk in set(cr) | set(ct)
+    }
+    default_w = math.floor(
+        scale
+        * (math.log(1 / (tt + num_buckets)) - math.log(1 / (tr + num_buckets)))
+    )
+    return [
+        (d, sum(w.get(b, default_w) for b in bs), len(bs)) for d, bs in docs
+    ]
+
+
+def dsir_scores_sql(
+    num_buckets: int = 4096,
+    ngram_n: int = 2,
+    target_source: str = "src0",
+) -> str:
+    rows = dsir_scores_model(
+        oracle_sf_dir(), num_buckets, ngram_n, target_source
+    )
+    vals = ", ".join(f"({d}, {s}, {g})" for d, s, g in rows)
+    # All-integer pipeline (floats only in the shared driver-side log
+    # fit) — the Python model IS the oracle, the d28/d30 literal-table
+    # contract.
+    return f"""
+    select cast(doc_id as bigint) as doc_id,
+           cast(dsir_score as bigint) as dsir_score,
+           cast(n_grams as bigint) as n_grams
+    from (values {vals}) t(doc_id, dsir_score, n_grams)
+    """

@@ -3512,3 +3512,74 @@ def test_hist_sketch_merge_accuracy_and_edges(spark):
     chist = hist_build(const, "x", 64, fit=cfit)
     [crow] = hist_quantiles(chist, cfit, [0.5]).collect()
     assert crow["est"] == 7.5
+
+
+# ------------------------------------------------- DSIR importance (d34)
+
+
+def test_dsir_scores_favor_target_and_are_partition_invariant(spark, docs):
+    """DSIR sanity: (1) docs from the target source score higher on
+    average than the rest (the selection signal exists); (2) scores are
+    exact integers, invariant under repartitioning (integer sums);
+    (3) every doc appears exactly once, empty docs score 0 grams."""
+    from pyspark.sql import functions as F
+
+    from basis_devkit_spark.operators.dsir import dsir_pipeline
+
+    d = docs.withColumn(
+        "source", F.concat(F.lit("s"), (F.col("doc_id") % 4).cast("string"))
+    )
+    target = d.filter(F.col("source") == "s0")
+    scored = dsir_pipeline(d, target, "text", "doc_id")
+    rows = {r["doc_id"]: (r["dsir_score"], r["n_grams"]) for r in scored.collect()}
+    assert len(rows) == d.count()
+    t_ids = {r["doc_id"] for r in target.select("doc_id").collect()}
+    t_avg = sum(rows[i][0] / max(rows[i][1], 1) for i in t_ids) / len(t_ids)
+    o_ids = set(rows) - t_ids
+    o_avg = sum(rows[i][0] / max(rows[i][1], 1) for i in o_ids) / len(o_ids)
+    assert t_avg > o_avg, (t_avg, o_avg)
+    again = {
+        r["doc_id"]: (r["dsir_score"], r["n_grams"])
+        for r in dsir_pipeline(
+            d.repartition(13), target, "text", "doc_id"
+        ).collect()
+    }
+    assert again == rows
+
+
+def test_dsir_score_plan_is_broadcast_join_no_window(spark, docs):
+    """The scoring path must be explode + BroadcastHashJoin on the
+    bounded weight relation + one hash agg — no Window, no cartesian,
+    no sort-merge shuffle of the corpus against the weights."""
+    from pyspark.sql import functions as F
+
+    from basis_devkit_spark.operators.dsir import (
+        dsir_bucket_counts,
+        dsir_score,
+        dsir_weights,
+    )
+
+    rc = dsir_bucket_counts(docs)
+    tc = dsir_bucket_counts(docs.limit(20))
+    rows, default_w = dsir_weights(rc, tc)
+    scored = dsir_score(docs, rows, default_w=default_w)
+    plan = scored._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert "Window" not in plan and "Cartesian" not in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_dsir_empty_doc_scores_zero(spark):
+    from basis_devkit_spark.operators.dsir import dsir_score
+
+    df = spark.createDataFrame(
+        [(1, "hello hello"), (2, ""), (3, None)], "doc_id long, text string"
+    )
+    got = {
+        r["doc_id"]: (r["dsir_score"], r["n_grams"])
+        for r in dsir_score(df, [(0, 5)], default_w=7).collect()
+    }
+    assert got[2] == (0, 0) and got[3] == (0, 0)
+    # doc 1: grams = [hello, hello, 'hello hello'] -> 3 grams, every
+    # bucket unseen in the 1-row weight table unless it collides with 0
+    assert got[1][1] == 3
