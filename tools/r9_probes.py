@@ -129,9 +129,75 @@ def events_scaled(replicas: int = 10) -> dict:
     return out
 
 
+def bpe_batch() -> dict:
+    """d33 scale claim: batch_merges=N cuts sequential rounds ~N-fold.
+    Measures wall + divergence-from-classic for 16 merges at batch 1/4/8
+    on the sf0.01 corpus."""
+    from basis_devkit_spark.operators.bpe import bpe_learn_merges
+    from basis_devkit_spark.queries import load
+    from basis_devkit_spark.session import get_spark
+
+    spark = get_spark(app_name="r9-bpe-batch-probe")
+    spark.sparkContext.setLogLevel("ERROR")
+    docs = load(spark, "/root/testdata/sf0.01", "documents")
+    out: dict = {"probe": "bpe_batch", "num_merges": 16}
+    classic = None
+    for b in (1, 4, 8):
+        t0 = time.perf_counter()
+        rows = [
+            (r["left"], r["right"])
+            for r in bpe_learn_merges(
+                docs, "text", num_merges=16, batch_merges=b
+            ).orderBy("merge_rank").collect()
+        ]
+        wall = round(time.perf_counter() - t0, 2)
+        if b == 1:
+            classic = rows
+        # positional equality understates agreement (order shifts where
+        # counts interact); the learned VOCABULARY overlap is the signal
+        common = len(set(rows) & set(classic))
+        out[f"batch{b}"] = {"wall_s": wall, "vocab_overlap": common}
+    print(json.dumps(out))
+    return out
+
+
+def dsir_scale() -> dict:
+    """d34 scale claim: the weight relation is bounded by num_buckets
+    regardless of corpus size; scoring wall grows ~linearly while fit
+    state stays flat. Measured at sf0.01 (500 docs) vs sf0.1 (5000)."""
+    from pyspark.sql import functions as F
+
+    from basis_devkit_spark.operators.dsir import (
+        dsir_bucket_counts,
+        dsir_pipeline,
+    )
+    from basis_devkit_spark.queries import load
+    from basis_devkit_spark.session import get_spark
+
+    spark = get_spark(app_name="r9-dsir-probe")
+    spark.sparkContext.setLogLevel("ERROR")
+    out: dict = {"probe": "dsir_scale"}
+    for tag, sfd in (("sf0.01", "/root/testdata/sf0.01"),
+                     ("sf0.1", "/root/testdata/sf0.1")):
+        docs = load(spark, sfd, "documents")
+        target = docs.filter(F.col("source") == "src0")
+        wrows = dsir_bucket_counts(docs).count()
+        t0 = time.perf_counter()
+        n = dsir_pipeline(docs, target).count()
+        out[tag] = {
+            "docs": n,
+            "weight_state_rows": int(wrows),
+            "wall_s": round(time.perf_counter() - t0, 2),
+        }
+    print(json.dumps(out))
+    return out
+
+
 if __name__ == "__main__":
     which = sys.argv[1] if len(sys.argv) > 1 else "events_sf1"
     {
         "events_sf1": lambda: events_scaled(10),
         "events_sf10": lambda: events_scaled(100),
+        "bpe_batch": bpe_batch,
+        "dsir_scale": dsir_scale,
     }[which]()
