@@ -251,3 +251,64 @@ def nearest_centroid_assign_join(
     return df.join(
         pred.withColumnRenamed("__id", id_col), id_col
     )
+
+
+def jl_project(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    out_col: str = "jl",
+    out_dim: int = 16,
+    seed: int = 42,
+) -> DataFrame:
+    """Johnson–Lindenstrauss random projection with a DETERMINISTIC
+    hashed ±1 sign matrix (Achlioptas 2001 database-friendly
+    construction — public method): ``out[j] = Σ_i s(j,i) · v[i]`` with
+    ``s(j,i) = ±1`` from ``xxhash64(j·2^20 + i, seed)`` parity. The
+    dimension cut (64 → 16 here) shrinks every downstream shuffle,
+    cache, and ANN-candidate distance 4×; distances are preserved within
+    the JL distortion bound in expectation.
+
+    Exactness contract (the repo's integerization pattern): components
+    are computed as EXACT INTEGER sums of the ±(value·10⁹) longs derived
+    from the float32 inputs via the established
+    ``cast(double)·cast(decimal(18,9))`` path — no float op in the fold,
+    so the result is order/partition/engine-invariant and exact-hash
+    oracled. ``{out_col}`` is the long array (scale 10⁹);
+    ``{out_col}_f`` the double view for geometry.
+
+    100 TB: a PURE PROJECTION — no shuffle, no UDF, no fit artifact
+    (the "matrix" is a hash function); composable with quantize_int8
+    and the IVF/PQ index builds on the reduced vectors."""
+    vlong = F.transform(
+        F.col(vec_col),
+        lambda x: (x.cast("double").cast("decimal(18,9)") * 1_000_000_000)
+        .cast("long"),
+    )
+    d = F.size(F.col(vec_col))
+
+    def comp(j: Column) -> Column:
+        return F.aggregate(
+            F.sequence(F.lit(0), d - 1),
+            F.lit(0).cast("long"),
+            lambda acc, i: acc
+            + F.when(
+                F.pmod(
+                    F.xxhash64(
+                        (
+                            F.lit(seed).cast("long") * F.lit(1 << 40)
+                            + j.cast("long") * F.lit(1 << 20)
+                            + i.cast("long")
+                        )
+                    ),
+                    F.lit(2),
+                )
+                == 0,
+                F.element_at(vlong, i + 1),
+            ).otherwise(-F.element_at(vlong, i + 1)),
+        )
+
+    jl = F.transform(F.sequence(F.lit(0), F.lit(out_dim - 1)), comp)
+    return df.withColumn(out_col, jl).withColumn(
+        f"{out_col}_f",
+        F.transform(F.col(out_col), lambda c: c.cast("double") / 1e9),
+    )

@@ -4357,3 +4357,27 @@ def d34(spark: SparkSession, sf: str) -> DataFrame:
     docs = load(spark, sf, "documents")
     target = docs.filter(F.col("source") == "src0")
     return dsir_pipeline(docs, target, "text", "doc_id")
+
+
+@register(
+    "d35_jl_projection",
+    pyoracle.jl_project_sql,
+    doc="Johnson-Lindenstrauss random projection (Achlioptas ±1 "
+    "construction) of the 64-d embeddings to 16-d with a DETERMINISTIC "
+    "hashed sign matrix — the cheap dimension cut that shrinks every "
+    "downstream shuffle/cache/ANN-distance 4x. A PURE PROJECTION: no "
+    "shuffle, no UDF, no fit artifact (the matrix IS a hash function). "
+    "Components are exact integer sums of ±(value·1e9) longs (the "
+    "float32→double→decimal(18,9) path), so the result is order/"
+    "partition/engine-invariant; only the hash-derived sign matrix is a "
+    "literal in the oracle — DuckDB recomputes the scaled longs and the "
+    "signed sums from the parquet itself",
+)
+def d35(spark: SparkSession, sf: str) -> DataFrame:
+    from basis_devkit_spark.operators.embeddings import jl_project
+
+    emb = load(spark, sf, "embeddings")
+    proj = jl_project(emb, "embedding", "jl", out_dim=16)
+    return proj.select(
+        "vec_id", F.posexplode("jl").alias("j", "comp")
+    ).select("vec_id", F.col("j").cast("int").alias("j"), "comp")

@@ -1429,3 +1429,40 @@ def dsir_scores_sql(
            cast(n_grams as bigint) as n_grams
     from (values {vals}) t(doc_id, dsir_score, n_grams)
     """
+
+
+def jl_signs_model(
+    out_dim: int = 16, in_dim: int = 64, seed: int = 42
+) -> list[tuple[int, int, int]]:
+    """The deterministic JL sign matrix (j, i, s): s = +1 when
+    xxhash64(seed*2^40 + j*2^20 + i) is even (pmod 2 == 0), else -1 —
+    public-spec XXH64 of the 8-byte LE long, Spark LongType path."""
+    rows = []
+    for j in range(out_dim):
+        for i in range(in_dim):
+            key = (seed << 40) + (j << 20) + i
+            h = to_signed(xxh64_long(key, 42))
+            rows.append((j, i, 1 if h % 2 == 0 else -1))
+    return rows
+
+
+def jl_project_sql(out_dim: int = 16, in_dim: int = 64, seed: int = 42) -> str:
+    vals = ", ".join(f"({j}, {i}, {s})" for j, i, s in jl_signs_model(out_dim, in_dim, seed))
+    # Only the hash-derived sign matrix is literal (DuckDB lacks
+    # xxhash64); the projection itself — float32 -> double ->
+    # decimal(18,9) -> scaled long, then the signed integer sums — is
+    # real relational work DuckDB performs over the parquet, exactly
+    # mirroring the Spark fold (integer sums are order-free).
+    return f"""
+    with s(j, i, sgn) as (values {vals}),
+    x as (
+      select vec_id, i.i as i,
+             cast(cast(cast(embedding[i.i + 1] as double) as decimal(18,9))
+                  * 1000000000 as bigint) as vl
+      from embeddings, (select unnest(range({in_dim})) as i) i
+    )
+    select x.vec_id, cast(s.j as int) as j,
+           cast(sum(s.sgn * x.vl) as bigint) as comp
+    from x join s on s.i = x.i
+    group by x.vec_id, s.j
+    """

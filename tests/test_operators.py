@@ -3583,3 +3583,45 @@ def test_dsir_empty_doc_scores_zero(spark):
     # doc 1: grams = [hello, hello, 'hello hello'] -> 3 grams, every
     # bucket unseen in the 1-row weight table unless it collides with 0
     assert got[1][1] == 3
+
+
+# ------------------------------------------------- JL projection (d35)
+
+
+def test_jl_projection_preserves_geometry_and_is_pure_projection(spark):
+    """JL sanity: norms are preserved in expectation (mean relative
+    distortion of squared norms under the ±1 construction is small for
+    k=16), the integer components are partition-invariant, and the plan
+    is a pure projection — no Exchange, no UDF eval."""
+    import math
+    import random
+
+    from pyspark.sql import functions as F
+
+    from basis_devkit_spark.operators.embeddings import jl_project
+
+    rng = random.Random(7)
+    rows = [
+        (i, [rng.gauss(0, 1) for _ in range(64)]) for i in range(200)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    proj = jl_project(df, "embedding", "jl", out_dim=16)
+    got = proj.select("vec_id", "jl_f", "embedding").collect()
+    dist = []
+    for r in got:
+        n_in = sum(x * x for x in r["embedding"])
+        # E[||out||^2] = k * ||v||^2 for the ±1 construction
+        n_out = sum(x * x for x in r["jl_f"]) / 16.0
+        dist.append(abs(n_out - n_in) / n_in)
+    assert sum(dist) / len(dist) < 0.5, sum(dist) / len(dist)
+    # partition invariance of the exact integer components
+    a = {(r["vec_id"], tuple(r["jl"])) for r in proj.select("vec_id", "jl").collect()}
+    b = {
+        (r["vec_id"], tuple(r["jl"]))
+        for r in jl_project(df.repartition(13), "embedding", "jl", 16)
+        .select("vec_id", "jl")
+        .collect()
+    }
+    assert a == b
+    plan = proj._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan and "Python" not in plan
