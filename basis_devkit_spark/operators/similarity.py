@@ -1454,3 +1454,88 @@ def pq_topk(
     return _topk_by_query(
         rescored.select("query_id", "match_id", score.alias("score")), k
     )
+
+
+def jl_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    k: int = 5,
+    refine: int = 4,
+    out_dim: int = 16,
+    seed: int = 42,
+    score_round: int | None = 4,
+) -> DataFrame:
+    """JL-coarse ANN top-k: ``(query_id, match_id, score, rank)``.
+
+    Phase 1 (coarse): both sides pass through :func:`jl_project`'s
+    exact-integer Johnson–Lindenstrauss projection (64-d floats → 16
+    longs at scale 10⁹ — a pure expression, NO fit artifact: the matrix
+    is a hash function), then downscale to int codes by ARITHMETIC SHIFT
+    ``>> 7`` (floor division by 128 — bit-identical in Python, so the
+    candidate set stays exactly modelable; a plain ``/100`` double
+    division could flip truncation at representation boundaries).
+    Candidates = top ``k × refine`` corpus rows per query by the exact
+    int64 dot of the codes (match_id tie-break), via the map-side
+    two-phase top-k — no window, no float op. Phase 2 (rescore, float):
+    candidates join back their float vectors for the exact cosine,
+    rounded before the final rank. Self-matches excluded.
+
+    vs :func:`quantized_topk` (d16): no corpus-wide stats fit at all —
+    the projection is stateless, so streaming ingest needs no artifact
+    maintenance — and the coarse scan reads 16 ints (64 B) per row vs
+    the 64-float (256 B) vectors: a 4× coarse-byte cut on a different
+    axis than int8 (fewer DIMENSIONS, not narrower cells); the two
+    compose. Overflow rails: |code| is guarded < 2³¹ and a 16-term dot
+    of such codes is < 2⁶³."""
+    from basis_devkit_spark.operators.embeddings import jl_project
+
+    def codes(df: DataFrame, out_id: str, col: str) -> DataFrame:
+        p = jl_project(
+            df.select(F.col(id_col).alias(out_id), vec_col),
+            vec_col,
+            "__jl",
+            out_dim,
+            seed,
+        )
+        guard = F.assert_true(
+            F.forall(
+                F.col("__jl"),
+                lambda c: F.abs(F.shiftright(c, 7)) < F.lit(1 << 31),
+            ),
+            F.lit("jl_topk: downscaled JL code exceeds int32 range"),
+        )
+        code = F.transform(
+            F.col("__jl"), lambda c: F.shiftright(c, 7).cast("int")
+        )
+        return p.select(
+            out_id, F.when(guard.isNull(), code).alias(col)
+        )
+
+    qc = codes(queries, "query_id", "__qj")
+    cc = codes(corpus, "match_id", "__cj")
+    dot = lambda a, b: F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("long") * y.cast("long")),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    coarse = (
+        cc.crossJoin(F.broadcast(qc))
+        .filter(F.col("query_id") != F.col("match_id"))
+        .select(
+            "query_id",
+            "match_id",
+            dot(F.col("__qj"), F.col("__cj")).cast("double").alias("score"),
+        )
+    )
+    cand = _topk_by_query(coarse, k * refine).select("query_id", "match_id")
+    qv = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qv"))
+    cv = corpus.select(F.col(id_col).alias("match_id"), F.col(vec_col).alias("__cv"))
+    rescored = cv.join(F.broadcast(cand.join(qv, "query_id")), "match_id")
+    score = cosine_similarity_col(F.col("__qv"), F.col("__cv"))
+    if score_round is not None:
+        score = F.round(score, score_round)
+    return _topk_by_query(
+        rescored.select("query_id", "match_id", score.alias("score")), k
+    )

@@ -4381,3 +4381,27 @@ def d35(spark: SparkSession, sf: str) -> DataFrame:
     return proj.select(
         "vec_id", F.posexplode("jl").alias("j", "comp")
     ).select("vec_id", F.col("j").cast("int").alias("j"), "comp")
+
+
+@register(
+    "d36_jl_ann_topk",
+    pyoracle.jl_ann_sql,
+    doc="JL-coarse ANN top-5 (queries = vec_id < 30, corpus = all): both "
+    "sides pass through the d35 exact-integer JL projection (STATELESS — "
+    "no fit artifact to maintain, unlike d16's corpus stats), codes = "
+    "arithmetic-shift downscale (>>7, bit-identical in the Python "
+    "model), coarse candidates = top k*refine by the exact int64 code "
+    "dot, float cosine rescore on candidates only. The coarse scan reads "
+    "16 ints (64 B)/row vs 64 floats (256 B) — a 4x byte cut on the "
+    "DIMENSION axis that composes with d16's int8 cell narrowing. "
+    "Candidate set exactly modeled (pyoracle.jl_ann_candidates); DuckDB "
+    "does the float rescore",
+)
+def d36(spark: SparkSession, sf: str) -> DataFrame:
+    from basis_devkit_spark.operators.similarity import jl_topk
+
+    emb = load(spark, sf, "embeddings")
+    q = emb.filter(F.col("vec_id") < 30)
+    return jl_topk(q, emb, k=5, refine=4, score_round=4).select(
+        "query_id", "match_id", "score", "rank"
+    )

@@ -1466,3 +1466,86 @@ def jl_project_sql(out_dim: int = 16, in_dim: int = 64, seed: int = 42) -> str:
     from x join s on s.i = x.i
     group by x.vec_id, s.j
     """
+
+
+@lru_cache(maxsize=2)
+def jl_ann_candidates(
+    sf_dir: str,
+    k: int = 5,
+    refine: int = 4,
+    query_max_id: int = 30,
+    out_dim: int = 16,
+    seed: int = 42,
+) -> tuple[tuple[int, int], ...]:
+    """(query_id, match_id) coarse candidates of the JL-coarse ANN
+    (queries = vec_id < query_max_id, corpus = everything): JL longs =
+    HALF_UP(value·10⁹) exactly as Spark's double→decimal(18,9)→·10⁹→long
+    path (java BigDecimal(double).setScale(9, HALF_UP) == Python
+    Decimal(float)·10⁹ to_integral HALF_UP — both round the exact binary
+    value), signed-summed with the hashed sign matrix, downscaled by the
+    arithmetic shift >> 7 (Python floor-shift == Spark shiftright), then
+    exact int dots, top k·refine per query by (-dot, match_id), self
+    excluded."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    ids, mat = _embeddings(sf_dir)
+    signs = {}
+    for j, i, s in jl_signs_model(out_dim, mat.shape[1], seed):
+        signs[(j, i)] = s
+
+    def vlong(x: float) -> int:
+        return int(
+            (Decimal(float(x)) * (10**9)).to_integral_value(
+                rounding=ROUND_HALF_UP
+            )
+        )
+
+    codes = []
+    for row in mat:
+        vl = [vlong(x) for x in row]
+        codes.append(
+            [
+                sum(signs[(j, i)] * vl[i] for i in range(len(vl))) >> 7
+                for j in range(out_dim)
+            ]
+        )
+    cands: list[tuple[int, int]] = []
+    for qi, qid in enumerate(ids):
+        if qid >= query_max_id:
+            continue
+        scored = sorted(
+            (
+                -sum(a * b for a, b in zip(codes[qi], codes[ci])),
+                int(mid),
+            )
+            for ci, mid in enumerate(ids)
+            if int(mid) != int(qid)
+        )[: k * refine]
+        cands.extend((int(qid), mid) for _, mid in scored)
+    return tuple(sorted(cands))
+
+
+def jl_ann_sql(k: int = 5) -> str:
+    cands = jl_ann_candidates(oracle_sf_dir())
+    vals = ", ".join(f"({q}, {m})" for q, m in cands)
+    # Candidates from the exact-integer JL coarse pass (modeled above);
+    # DuckDB performs only the float rescore — rounded to 4dp BEFORE
+    # ranking, mirroring the declared query's score_round=4.
+    return f"""
+    with cand(query_id, match_id) as (values {vals}),
+    scored as (
+      select c.query_id::BIGINT as query_id, c.match_id::BIGINT as match_id,
+             round(list_cosine_similarity(
+               list_transform(q.embedding, x -> cast(x as double)),
+               list_transform(m.embedding, x -> cast(x as double))), 4) as score
+      from cand c
+      join embeddings q on q.vec_id = c.query_id
+      join embeddings m on m.vec_id = c.match_id
+    ), ranked as (
+      select query_id, match_id, score,
+             row_number() over (partition by query_id
+                                order by score desc, match_id) as rank
+      from scored)
+    select query_id, match_id, score, rank
+    from ranked where rank <= {k}
+    """

@@ -3625,3 +3625,43 @@ def test_jl_projection_preserves_geometry_and_is_pure_projection(spark):
     assert a == b
     plan = proj._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan and "Python" not in plan
+
+
+def test_jl_topk_full_refine_equals_brute_force_and_recall(spark, emb):
+    """With k*refine >= |corpus| the JL coarse pass keeps every corpus
+    row, so the rescore must be byte-identical to brute_force_topk; at
+    the production refine the coarse integer dot still finds most true
+    neighbors (recall sanity), and the plan carries no Window."""
+    from pyspark.sql import functions as F
+
+    from basis_devkit_spark.operators.similarity import brute_force_topk, jl_topk
+
+    q = emb.filter(F.col("vec_id") < 20)
+    key = lambda rows: sorted(
+        (r["query_id"], r["match_id"], r["score"], r["rank"]) for r in rows
+    )
+    full = jl_topk(q, emb, k=5, refine=100_000, score_round=None).collect()
+    assert key(full) == key(brute_force_topk(q, emb, k=5).collect())
+    truth = {
+        (r["query_id"], r["match_id"])
+        for r in brute_force_topk(q, emb, k=5).collect()
+    }
+    def recall(refine: int) -> float:
+        got = {
+            (r["query_id"], r["match_id"])
+            for r in jl_topk(q, emb, k=5, refine=refine).collect()
+        }
+        return len(got & truth) / len(truth)
+
+    # near-uniform random embeddings are JL's worst case (all cosines
+    # ~0, coarse dots noise-dominated — the same caveat as the IVF
+    # recall note in OPERATORS_BENCH.md): assert the DIAL works — recall
+    # rises with refine and the floor is well above k/N chance
+    r4, r16 = recall(4), recall(16)
+    assert r4 >= 0.15, r4
+    assert r16 > r4, (r4, r16)
+    plan = (
+        jl_topk(q, emb, k=5, refine=4)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Window" not in plan
