@@ -102,6 +102,7 @@ _SAMPLE_PRIORITY = [
     # and the d02 minhash family the cache-lifetime rework — all code
     # the r7 sample predates.
     # -- r9 front block: c18 stream pagerank + d33 batched BPE are new.
+    "c19_stream_dsir_maintenance",
     "d36_jl_ann_topk",
     "d35_jl_projection",
     "d34_dsir_importance_scores",

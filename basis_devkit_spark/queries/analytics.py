@@ -4405,3 +4405,74 @@ def d36(spark: SparkSession, sf: str) -> DataFrame:
     return jl_topk(q, emb, k=5, refine=4, score_round=4).select(
         "query_id", "match_id", "score", "rank"
     )
+
+
+@register(
+    "c19_stream_dsir_maintenance",
+    pyoracle.dsir_scores_sql,
+    doc="streaming DSIR maintenance: the raw corpus arrives as TWO "
+    "micro-batches; each batch's hashed-gram bucket counts SUM-merge "
+    "into an exactly-once managed store (stream_merge_to_store — the "
+    "c17 pattern; counts are integer and associative, so the streamed "
+    "fold is lossless), then the weight fit + scoring run against the "
+    "maintained count state and must equal the one-shot d34 oracle "
+    "byte-for-byte. The production shape: the raw-count artifact "
+    "absorbs corpus growth at crawl cadence; re-scoring never re-counts "
+    "history",
+)
+def c19(spark: SparkSession, sf: str) -> DataFrame:
+    import glob as _glob
+    import os as _os
+    import shutil as _shutil
+    import tempfile as _tf
+
+    from basis_devkit_spark.operators.dsir import (
+        dsir_bucket_counts,
+        dsir_score,
+        dsir_weights,
+    )
+    from basis_devkit_spark.storage.store import TableStore
+    from basis_devkit_spark.streaming.ops import stream_merge_to_store
+
+    docs = load(spark, sf, "documents")
+    tmp = _tf.mkdtemp(prefix="bds_c19_")
+    drop = _os.path.join(tmp, "drop")
+    _os.makedirs(drop, exist_ok=True)
+    for tag, mod in (("a", 0), ("b", 1)):
+        part_dir = _os.path.join(tmp, f"part_{tag}")
+        docs.filter(F.col("doc_id") % 2 == mod).coalesce(1).write.parquet(
+            part_dir
+        )
+        src_f = _glob.glob(_os.path.join(part_dir, "part-*.parquet"))[0]
+        _shutil.copy(src_f, _os.path.join(drop, f"{tag}.parquet"))
+    raw_schema = spark.read.parquet(_os.path.join(drop, "a.parquet")).schema
+
+    def merge(batch: DataFrame, existing: DataFrame | None) -> DataFrame:
+        cnts = dsir_bucket_counts(batch)
+        if existing is None:
+            return cnts
+        prev = existing.select("bucket", F.col("cnt").alias("__prev"))
+        return cnts.join(prev, "bucket", "full").select(
+            "bucket",
+            (
+                F.coalesce(F.col("cnt"), F.lit(0))
+                + F.coalesce(F.col("__prev"), F.lit(0))
+            ).alias("cnt"),
+        )
+
+    stream = (
+        spark.readStream.schema(raw_schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(drop)
+    )
+    store = TableStore(tmp, "dsir_counts", spark)
+    store.configure(unique_on="bucket")
+    q = stream_merge_to_store(stream, store, f"{tmp}/_ckpt", merge).start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    target = docs.filter(F.col("source") == "src0")
+    tc = dsir_bucket_counts(target)
+    rows, default_w = dsir_weights(store.read(), tc)
+    return dsir_score(docs, rows, default_w=default_w)
