@@ -145,6 +145,13 @@ def dsir_score(
     broadcast hash join; docs with no grams score 0. Exact integer
     arithmetic end to end."""
     spark = df.sparkSession
+    # public API for persisted weight artifacts: duplicate buckets would
+    # silently fan out the join and inflate both score and n_grams
+    seen: set[int] = set()
+    for bk, _ in weight_rows:
+        if bk in seen:
+            raise ValueError(f"dsir_score: duplicate bucket {bk} in weight_rows")
+        seen.add(bk)
     wdf = spark.createDataFrame(weight_rows, "bucket long, w long")
     ex = df.select(
         F.col(id_col).alias("__id"),

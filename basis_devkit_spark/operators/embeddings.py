@@ -285,6 +285,21 @@ def jl_project(
         .cast("long"),
     )
     d = F.size(F.col(vec_col))
+    # loud rail (the fit_pq_codebook/jl_topk pattern): |x| ≥ 1e9
+    # overflows the decimal(18,9) cast to a silent NULL, and
+    # Σ|x·10⁹| ≥ 2⁶² could wrap the integer fold — refuse both rather
+    # than diverge quietly. Real embedding components are O(1).
+    guard = F.assert_true(
+        F.forall(
+            F.col(vec_col),
+            lambda x: (F.abs(x.cast("double")) < F.lit(1e9))
+            & (F.abs(x.cast("double")) * d.cast("double") < F.lit(4.6e9)),
+        ),
+        F.lit(
+            "jl_project: input component magnitude exceeds the exact-"
+            "integer rails (|x| < 1e9 and |x|*dim < 4.6e9)"
+        ),
+    )
 
     def comp(j: Column) -> Column:
         return F.aggregate(
@@ -308,6 +323,7 @@ def jl_project(
         )
 
     jl = F.transform(F.sequence(F.lit(0), F.lit(out_dim - 1)), comp)
+    jl = F.when(guard.isNull(), jl)
     return df.withColumn(out_col, jl).withColumn(
         f"{out_col}_f",
         F.transform(F.col(out_col), lambda c: c.cast("double") / 1e9),

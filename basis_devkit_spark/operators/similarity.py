@@ -1487,9 +1487,17 @@ def jl_topk(
     maintenance — and the coarse scan reads 16 ints (64 B) per row vs
     the 64-float (256 B) vectors: a 4× coarse-byte cut on a different
     axis than int8 (fewer DIMENSIONS, not narrower cells); the two
-    compose. Overflow rails: |code| is guarded < 2³¹ and a 16-term dot
-    of such codes is < 2⁶³."""
+    compose. Overflow rails: the coarse score stays LONG through the
+    top-k (no float op, no double cast anywhere in phase 1 — so no 2⁵³
+    exactness cliff), and |code| is guarded < isqrt(2⁶²/out_dim)
+    (2²⁹ at out_dim=16), which bounds the ``out_dim``-term dot < 2⁶² —
+    int64-safe with 2× headroom."""
     from basis_devkit_spark.operators.embeddings import jl_project
+
+    import math as _math
+
+    # also capped at 2^31 so the int32 code storage below never wraps
+    code_cap = min(_math.isqrt((1 << 62) // max(out_dim, 1)), 1 << 31)
 
     def codes(df: DataFrame, out_id: str, col: str) -> DataFrame:
         p = jl_project(
@@ -1502,9 +1510,12 @@ def jl_topk(
         guard = F.assert_true(
             F.forall(
                 F.col("__jl"),
-                lambda c: F.abs(F.shiftright(c, 7)) < F.lit(1 << 31),
+                lambda c: F.abs(F.shiftright(c, 7)) < F.lit(code_cap),
             ),
-            F.lit("jl_topk: downscaled JL code exceeds int32 range"),
+            F.lit(
+                "jl_topk: downscaled JL code exceeds the int64 dot-safety "
+                f"bound isqrt(2^62/out_dim)={code_cap}"
+            ),
         )
         code = F.transform(
             F.col("__jl"), lambda c: F.shiftright(c, 7).cast("int")
@@ -1526,7 +1537,7 @@ def jl_topk(
         .select(
             "query_id",
             "match_id",
-            dot(F.col("__qj"), F.col("__cj")).cast("double").alias("score"),
+            dot(F.col("__qj"), F.col("__cj")).alias("score"),
         )
     )
     cand = _topk_by_query(coarse, k * refine).select("query_id", "match_id")

@@ -101,6 +101,12 @@ _SAMPLE_PRIORITY = [
     # gained the dimension-mismatch guard, d17 the term-lowercasing fix,
     # and the d02 minhash family the cache-lifetime rework — all code
     # the r7 sample predates.
+    # -- r10 front block: d37 indexed BPE apply, d38 JL→IVF composed
+    # index, d39 hashed-logreg language ID are new; c17 was registered
+    # in r8 but omitted from this list (the d19 failure mode again) —
+    # tests/test_inventory_imports.py now asserts every c*/d* query
+    # appears here.
+    "c17_stream_hist_maintenance",
     # -- r9 front block: c18 stream pagerank + d33 batched BPE are new.
     "c19_stream_dsir_maintenance",
     "d36_jl_ann_topk",

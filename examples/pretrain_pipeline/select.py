@@ -17,9 +17,13 @@ def select(
 
     from basis_devkit_spark.operators.dsir import dsir_pipeline
 
+    kf = min(max(float(keep_fraction), 0.0), 1.0)
     df = docs.read_dataframe()
-    scored = dsir_pipeline(df, target.read_dataframe(), "text", "doc_id")
-    n_keep = int(scored.count() * float(keep_fraction))
+    # persist: count() and the top-k join below both consume the scored
+    # frame, and the DSIR pipeline is two corpus scans + a driver fit —
+    # don't run it twice
+    scored = dsir_pipeline(df, target.read_dataframe(), "text", "doc_id").persist()
+    n_keep = int(scored.count() * kf)
     # deterministic top-fraction by (score desc, doc_id) — a bounded
     # TakeOrdered, no window
     top = (
@@ -28,3 +32,4 @@ def select(
         .select("doc_id", "dsir_score")
     )
     out.replace(df.join(top, "doc_id"))
+    scored.unpersist()

@@ -840,6 +840,9 @@ def test_pretrain_pipeline_example_app(spark, tmp_path):
     # benchmark = a handful of corpus docs -> those must be removed as
     # contaminated downstream
     eng.seed_store("benchmark_docs", docs.filter(F.col("doc_id") < 5))
+    # DSIR target: a small "high-quality" slice whose n-gram profile the
+    # selection stage should steer toward (two sources stand in for it)
+    eng.seed_store("target_docs", docs.filter(F.col("source").isin("src0", "src1")))
     eng.run_graph()
 
     n_docs = docs.count()
@@ -866,8 +869,14 @@ def test_pretrain_pipeline_example_app(spark, tmp_path):
     n_cur = cur.count()
     assert 0 < n_cur < n_final
     assert cur.filter(~F.col("label").isin(["head", "middle"])).count() == 0
-    # packing conserves the CURATED docs and respects the chunk budget
-    assert packed.agg(F.sum("n_docs")).collect()[0][0] == n_cur
+    # DSIR selection: keep_fraction=0.5 of the curated survivors, chosen
+    # by target-resemblance score — row count is exactly floor(n_cur/2)
+    sel = eng.table_df("selected_docs")
+    n_sel = sel.count()
+    assert n_sel == n_cur // 2
+    assert sel.join(cur, "doc_id").count() == n_sel  # subset of curated
+    # packing conserves the SELECTED docs and respects the chunk budget
+    assert packed.agg(F.sum("n_docs")).collect()[0][0] == n_sel
     assert packed.filter(F.col("chunk_id") < 0).count() == 0
 
 

@@ -42,6 +42,26 @@ def test_inventory_builds_and_counts() -> None:
         assert name and name == name.strip(), repr(name)
 
 
+def test_sample_priority_covers_streaming_and_llm_queries() -> None:
+    """Every registered c*/d* query must be in _SAMPLE_PRIORITY — the
+    driver samples ~50 queries per round from the front of that list, and
+    a c/d query omitted from it is never driver-sampled (the d19-in-r7 /
+    c17-in-r8 failure mode)."""
+    from basis_devkit_spark.queries import _SAMPLE_PRIORITY, all_queries
+
+    prio = set(_SAMPLE_PRIORITY)
+    missing = [
+        name
+        for name in all_queries()
+        if name[0] in ("c", "d") and name not in prio
+    ]
+    assert not missing, f"c*/d* queries absent from _SAMPLE_PRIORITY: {missing}"
+    # and no stale entries pointing at queries that no longer exist
+    registered = set(all_queries())
+    stale = [n for n in _SAMPLE_PRIORITY if n not in registered]
+    assert not stale, f"_SAMPLE_PRIORITY names unregistered queries: {stale}"
+
+
 def test_entry_module_contract() -> None:
     import __spark_entry__ as entry
 
