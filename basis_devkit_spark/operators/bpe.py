@@ -77,7 +77,8 @@ def bpe_learn_merges(
     num_merges: int = 8,
     words: DataFrame | None = None,
     batch_merges: int = 1,
-) -> DataFrame:
+    emit_vocab: bool = False,
+) -> DataFrame | tuple[DataFrame, DataFrame]:
     """Learn ``num_merges`` BPE merges; returns the merge table
     ``(merge_rank int, left string, right string, merged string,
     pair_count long)`` — ``num_merges`` rows, the persistable tokenizer
@@ -113,17 +114,27 @@ def bpe_learn_merges(
 
     Pass a precomputed ``words`` (``(word, weight)``) to skip the corpus
     scan — the build-once path when several tokenizers are fit on one
-    corpus."""
+    corpus.
+
+    ``emit_vocab=True`` additionally returns the fitted TOKENIZED
+    VOCABULARY ``(word string, subwords array<string>)`` — the evolving
+    word-symbols frame already holds it when the loop ends, so emitting
+    it costs ZERO extra passes (one extra string column rides the cached
+    frame). This is the build-once artifact :func:`bpe_apply_indexed`
+    consumes; persist it next to the merge table. Returns
+    ``(merges_df, vocab_df)``."""
     if batch_merges < 1:
         raise ValueError("batch_merges must be >= 1")
     if words is None:
         words = _word_weights(corpus, text_col)
     syms = words.select(
+        "word",
         "weight",
         F.concat(
             F.split(F.col("word"), ""), F.array(F.lit(EOW))
         ).alias("syms"),
     ).persist()
+    vocab: DataFrame | None = None
     merges: list[tuple[int, str, str, str, int]] = []
     try:
         while len(merges) < num_merges:
@@ -166,17 +177,37 @@ def bpe_learn_merges(
                     (len(merges), left, right, left + right, cnt)
                 )
                 col = _merge_fold(col, left, right)
-            nxt = syms.select("weight", col.alias("syms")).persist()
-            nxt.count()  # materialize before releasing the parent cache
+            # localCheckpoint (not persist) — CUTS LINEAGE each round.
+            # With persist the logical plan still chains every previous
+            # round's folds; across hundreds of rounds the accumulated
+            # plan string / codegen blows the driver heap (observed OOM
+            # at 8 rounds x 32 batched folds under an 8g heap) long
+            # before data size matters. Checkpointing keeps every
+            # round's plan exactly one fold-batch deep.
+            nxt = syms.select(
+                "word", "weight", col.alias("syms")
+            ).localCheckpoint(eager=True)
             syms.unpersist()
             syms = nxt
+        if emit_vocab:
+            # shallow select over the checkpointed frame — the vocab
+            # survives the unpersist below without re-deriving any fold.
+            # Deployment path: write it to a store.
+            vocab = syms.select("word", F.col("syms").alias("subwords"))
     finally:
-        syms.unpersist()
+        # a localCheckpoint'ed frame's blocks are its ONLY copy (lineage
+        # is truncated) — when emitting the vocab, the final frame must
+        # stay alive; it is released when the caller drops the vocab.
+        if vocab is None:  # not emitting, or the loop raised
+            syms.unpersist()
     spark = corpus.sparkSession
-    return spark.createDataFrame(
+    merges_df = spark.createDataFrame(
         merges,
         "merge_rank int, left string, right string, merged string, pair_count long",
     )
+    if emit_vocab:
+        return merges_df, vocab
+    return merges_df
 
 
 def bpe_apply(
@@ -211,3 +242,127 @@ def bpe_apply(
     return df.withColumn(
         out_col, F.flatten(F.transform(wordarr, tokenize_word))
     )
+
+
+def bpe_tokenize_words(
+    words: DataFrame,
+    merges: DataFrame,
+    word_col: str = "word",
+    out_col: str = "subwords",
+    chunk: int = 16,
+) -> DataFrame:
+    """Tokenized-vocabulary relation ``(word, subwords array<string>)``
+    from a distinct-word frame and a PERSISTED merge table — the
+    refit-free path to the artifact :func:`bpe_apply_indexed` consumes
+    (``bpe_learn_merges(emit_vocab=True)`` yields it for free at fit
+    time).
+
+    The merge folds are applied in ``chunk``-sized slices with an eager
+    ``localCheckpoint`` between slices, so CATALYST PLAN DEPTH stays ≤
+    ``chunk`` folds regardless of merge count — a 32k-merge vocabulary
+    is 32k/chunk vocabulary-sized jobs, not one 32k-deep expression
+    tree (analysis/codegen on that tree blows up long before any data
+    moves). Deployment path: write the result to a store."""
+    if chunk < 1:
+        raise ValueError("chunk must be >= 1")
+    ranked = [
+        (r["left"], r["right"])
+        for r in merges.orderBy("merge_rank").collect()  # bounded artifact
+    ]
+    cur = words.select(
+        F.col(word_col).alias("word"),
+        F.concat(F.split(F.col(word_col), ""), F.array(F.lit(EOW))).alias(
+            out_col
+        ),
+    )
+    for lo in range(0, len(ranked), chunk):
+        col = F.col(out_col)
+        for left, right in ranked[lo : lo + chunk]:
+            col = _merge_fold(col, left, right)
+        cur = cur.select("word", col.alias(out_col))
+        if lo + chunk < len(ranked):
+            cur = cur.localCheckpoint(eager=True)
+    return cur
+
+
+def bpe_apply_indexed(
+    df: DataFrame,
+    vocab: DataFrame,
+    merges: DataFrame | None = None,
+    text_col: str = "text",
+    out_col: str = "bpe_tokens",
+    id_col: str = "doc_id",
+    oov_merge_depth: int = 0,
+    broadcast_vocab: bool = True,
+) -> DataFrame:
+    """Vocabulary-scale tokenization: join each document's words against
+    the precomputed ``(word, subwords)`` vocabulary relation instead of
+    folding every merge inline. :func:`bpe_apply` is a pure projection
+    but builds one nested fold PER MERGE RANK — plan depth linear in
+    vocab size, a compile-time killer at a production 32k-merge
+    tokenizer. This form's plan depth is CONSTANT in merge count: the
+    merges live in the vocab relation's data, not the expression tree.
+
+    Shape: ``posexplode_outer`` words → hash join the vocabulary
+    (broadcast by default — a 32k-merge vocab's word relation is
+    ~10⁶–10⁷ rows of short strings; pass ``broadcast_vocab=False`` to
+    let AQE pick a shuffled hash join when it is bigger than executor
+    memory allows) → regroup by document with an ``array_sort`` on word
+    position → flatten. Costs one corpus shuffle (the regroup) that
+    :func:`bpe_apply` avoids — the trade: one data-sized shuffle vs a
+    vocab-sized expression tree; at 32k merges only this form compiles.
+
+    OOV words (absent from the vocabulary) fall back to character +
+    ``</w>`` symbols with only the FIRST ``oov_merge_depth`` merges
+    folded inline (requires ``merges`` when > 0) — the inline fold is
+    capped by this parameter BY CONSTRUCTION, never by vocab size;
+    early merges capture most compression and OOV mass is small when
+    the vocab was fit on in-distribution data. Other columns of ``df``
+    are preserved via a final id join."""
+    if oov_merge_depth > 0 and merges is None:
+        raise ValueError("oov_merge_depth > 0 requires the merges table")
+    ranked: list[tuple[str, str]] = []
+    if oov_merge_depth > 0:
+        ranked = [
+            (r["left"], r["right"])
+            for r in merges.orderBy("merge_rank").limit(
+                oov_merge_depth
+            ).collect()
+        ]
+    wordarr = F.filter(
+        F.split(F.lower(F.coalesce(F.col(text_col), F.lit(""))), r"\s+"),
+        lambda w: w != "",
+    )
+    ex = df.select(
+        F.col(id_col).alias("__id"),
+        F.posexplode_outer(wordarr).alias("__pos", "__w"),
+    )
+    voc = vocab.select(
+        F.col("word").alias("__w"), F.col("subwords").alias("__sub")
+    )
+    if broadcast_vocab:
+        voc = F.broadcast(voc)
+    j = ex.join(voc, "__w", "left")
+    oov = F.concat(F.split(F.col("__w"), ""), F.array(F.lit(EOW)))
+    for left, right in ranked:
+        oov = _merge_fold(oov, left, right)
+    toks = F.when(
+        F.col("__w").isNull(), F.array().cast("array<string>")
+    ).otherwise(F.coalesce(F.col("__sub"), oov))
+    grouped = (
+        j.groupBy("__id")
+        .agg(
+            F.array_sort(
+                F.collect_list(
+                    F.struct(F.col("__pos").alias("p"), toks.alias("t"))
+                )
+            ).alias("__tt")
+        )
+        .select(
+            F.col("__id").alias(id_col),
+            F.flatten(
+                F.transform(F.col("__tt"), lambda s: s["t"])
+            ).alias(out_col),
+        )
+    )
+    return df.join(grouped, id_col)

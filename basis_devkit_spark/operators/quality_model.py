@@ -194,3 +194,139 @@ def score_hashed_logreg(
             "quality_prob"
         ),
     )
+
+
+# --------------------------------------- multiclass language ID (d39)
+
+
+def _char_bigrams_col(text_col: str):
+    """Character-bigram array of ``lower(trim(text))`` — the language-ID
+    feature (character statistics carry the language signal; token
+    hashing would need a per-language vocabulary). Spark ``substring``
+    is codepoint-based, so a Python ``s[i:i+2]`` loop over the same
+    string is the exact model."""
+    s = F.lower(F.trim(F.col(text_col)))
+    grams = F.transform(
+        F.sequence(F.lit(1), F.length(s) - 1),
+        lambda i: F.substring(s, i, 2),
+    )
+    return F.when(F.length(s) >= 2, grams).otherwise(
+        F.array().cast("array<string>")
+    )
+
+
+def fit_hashed_softmax(
+    rows: list[tuple[str, int]],
+    num_classes: int,
+    num_features: int = 1024,
+    iters: int = 60,
+    lr: float = 1.0,
+    l2: float = 1e-3,
+) -> tuple[list[tuple[int, int, int]], list[int]]:
+    """Bit-reproducible hashed char-bigram SOFTMAX fit — the multiclass
+    analogue of :func:`fit_hashed_logreg` (same d24 deterministic-fit
+    contract: full-batch float64 GD over an ORDERED driver-side sample,
+    no randomness, one numpy/BLAS runtime). ``rows`` = (text, class_idx)
+    with class_idx in [0, num_classes).
+
+    Returns ``(weight_rows, bq)``: ``weight_rows`` =
+    [(bucket, cls, floor(w*1e9))] for EVERY (bucket, cls) —
+    num_features × num_classes rows, the broadcastable artifact — and
+    ``bq[c] = floor(bias_c * 1e9)``. Quantizing BOTH weights and biases
+    makes the distributed argmax an exact INTEGER comparison
+    (engine/partition-invariant), the integerize-before-reduce rule."""
+    import math
+
+    import numpy as np
+
+    from basis_devkit_spark.queries.pyoracle import xxh64_str
+
+    n = len(rows)
+    if n == 0:
+        raise ValueError("fit_hashed_softmax needs a non-empty sample")
+    X = np.zeros((n, num_features), dtype=np.float64)
+    Y = np.zeros((n, num_classes), dtype=np.float64)
+    for i, (text, cls) in enumerate(rows):
+        Y[i, int(cls)] = 1.0
+        s = (text or "").strip(" ").lower()
+        for j in range(len(s) - 1):
+            X[i, xxh64_str(s[j : j + 2]) % num_features] += 1.0
+    W = np.zeros((num_features, num_classes), dtype=np.float64)
+    b = np.zeros(num_classes, dtype=np.float64)
+    for _ in range(iters):
+        z = X @ W + b
+        z = z - z.max(axis=1, keepdims=True)
+        e = np.exp(z)
+        p = e / e.sum(axis=1, keepdims=True)
+        G = X.T @ (p - Y) / n + l2 * W
+        W -= lr * G
+        b -= lr * (p - Y).mean(axis=0)
+    weight_rows = [
+        (j, c, int(math.floor(float(W[j, c]) * 1e9)))
+        for j in range(num_features)
+        for c in range(num_classes)
+    ]
+    bq = [int(math.floor(float(x) * 1e9)) for x in b]
+    return weight_rows, bq
+
+
+def score_hashed_softmax(
+    df: DataFrame,
+    weight_rows: list[tuple[int, int, int]],
+    bq: list[int],
+    classes: list[str],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_features: int = 1024,
+) -> DataFrame:
+    """Distributed multiclass scoring against a
+    :func:`fit_hashed_softmax` model: ``(id, lang)`` with ``lang`` =
+    ``classes[argmax_c(Σ wq[bucket,c] + bq[c])]`` — an EXACT integer
+    argmax (quantized weights and biases, associative integer sums;
+    ties break to the smallest class index via struct-min). The weight
+    table rides as a broadcast relation (num_features × num_classes
+    rows); per doc the plan is explode char bigrams → broadcast join →
+    one hash agg → struct-min argmax. Docs with no bigrams get the
+    bias-only argmax."""
+    spark = df.sparkSession
+    wdf = spark.createDataFrame(
+        [(int(bkt), int(c), int(v)) for bkt, c, v in weight_rows],
+        "bucket int, cls int, wq long",
+    )
+    bias_default = min((-v, c) for c, v in enumerate(bq))[1]
+    ex = df.select(
+        F.col(id_col).alias("__id"),
+        F.explode(_char_bigrams_col(text_col)).alias("__g"),
+    ).select(
+        "__id",
+        F.pmod(F.xxhash64("__g"), F.lit(num_features)).cast("int").alias(
+            "bucket"
+        ),
+    )
+    bdf = spark.createDataFrame(
+        [(int(c), int(v)) for c, v in enumerate(bq)], "cls int, bq long"
+    )
+    scored = (
+        ex.join(F.broadcast(wdf), "bucket")
+        .groupBy("__id", "cls")
+        .agg(F.sum("wq").alias("__s"))
+        .join(F.broadcast(bdf), "cls")
+        .groupBy("__id")
+        .agg(
+            F.min(
+                F.struct(
+                    (-(F.col("__s") + F.col("bq"))).alias("ns"),
+                    F.col("cls").alias("cls"),
+                )
+            )["cls"].alias("__cls")
+        )
+    )
+    cls_map = F.array(*[F.lit(c) for c in classes])
+    return df.select(F.col(id_col)).join(
+        scored.withColumnRenamed("__id", id_col), id_col, "left"
+    ).select(
+        id_col,
+        F.element_at(
+            cls_map, F.coalesce(F.col("__cls"), F.lit(bias_default)) + 1
+        ).alias("lang"),
+    )

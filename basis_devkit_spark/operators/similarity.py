@@ -1550,3 +1550,120 @@ def jl_topk(
     return _topk_by_query(
         rescored.select("query_id", "match_id", score.alias("score")), k
     )
+
+
+def jl_ivf_quantized_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    k: int = 5,
+    out_dim: int = 16,
+    jl_seed: int = 42,
+    nlist: int = 16,
+    nprobe: int = 4,
+    refine: int = 4,
+    bits: int = 8,
+    centroids: list[tuple[int, list[float]]] | None = None,
+    quant: DataFrame | None = None,
+    score_round: int | None = 4,
+) -> DataFrame:
+    """JL × IVF × int8 composed ANN top-k — d46's dimension cut grafted
+    onto d20's persisted index layout, the two byte reductions
+    composing: the coarse pass touches ``out_dim`` int8 codes per corpus
+    row (16 B at out_dim=16) instead of d20's ``dim`` codes (64 B) or
+    the raw ``dim`` float32s (256 B) — a 16× coarse-byte cut total, on
+    two independent axes (fewer DIMENSIONS × narrower CELLS).
+
+    Phase 0 (layout): both sides pass through :func:`jl_project`'s
+    exact-integer JL projection; the 16-d double views (exactly
+    ``long/1e9`` — deterministic cross-engine) get the standard IVF
+    treatment IN THE REDUCED SPACE: max-cosine cell assignment against
+    ``nlist`` seed-vector centroids (default: the reduced vectors of the
+    ``nlist`` smallest-id corpus rows — fully modelable) and the
+    corpus-fitted per-dim [min,max] int8 codes. Phase 1 (coarse): each
+    query probes its ``nprobe`` top reduced-space cells; bounded query
+    side broadcasts into the cell equi-join; candidates = top
+    ``k × refine`` by the exact-integer centered-code dot. Phase 2:
+    float cosine rescore on the ORIGINAL full-dimension vectors —
+    recall costs of the reduced coarse space never reach the final
+    scores. Self-matches excluded.
+
+    Determinism: JL longs are exact integers, ``long/1e9`` is one IEEE
+    op, cell cosines reuse the proven d03c fold contract, codes are
+    IEEE-elementwise floor, the coarse dot is integer — the full
+    candidate set is exactly modelable (pyoracle.jl_ivf_candidates),
+    only the rescore needs the round-before-rank rule. Pass persisted
+    ``centroids``/``quant`` (both bounded: nlist rows / out_dim rows)
+    for the build-once/query-many path."""
+    from basis_devkit_spark.operators.embeddings import jl_project
+
+    def reduced(df: DataFrame, out_id: str) -> DataFrame:
+        # localCheckpoint: phase 0 MATERIALIZES the reduced relation
+        # (out_dim doubles/row — the small artifact a production build
+        # persists; c15 maintains it under ingest). Without it every
+        # downstream reference (nlist cell cosines + quant fit + codes)
+        # re-evaluates the interpreted JL fold per row — measured 50 s
+        # vs ~8 s on the sf0.01 corpus.
+        return jl_project(
+            df.select(F.col(id_col).alias(out_id), vec_col),
+            vec_col, "__jlr", out_dim, jl_seed,
+        ).select(
+            out_id, F.col("__jlr_f").alias("__rv")
+        ).localCheckpoint(eager=False)
+
+    cr = reduced(corpus, "match_id")
+    if centroids is None:
+        cent_rows = cr.select("match_id", "__rv").orderBy("match_id").limit(
+            nlist
+        ).collect()  # bounded: nlist rows
+        centroids = [
+            (i, [float(x) for x in r["__rv"]])
+            for i, r in enumerate(cent_rows)
+        ]
+    if quant is None:
+        quant = fit_scalar_quantizer(cr, "__rv")
+    assigned = _with_cell_ranks(
+        cr.select("match_id", "__rv"), centroids, F.col("__rv"), "__cr"
+    ).withColumn("__cell", F.array_min("__cr").getField("cell")).drop("__cr")
+    cc = quantize_codes(
+        assigned, quant, "__rv", "__cc", bits
+    ).select("match_id", "__cell", "__cc")
+
+    qr = reduced(queries, "query_id")
+    q_ranked = _with_cell_ranks(
+        qr.select("query_id", "__rv"), centroids, F.col("__rv"), "__cr"
+    )
+    probes = F.slice(F.array_sort(F.col("__cr")), 1, nprobe)
+    q_cells = q_ranked.withColumn("__probe", F.explode(probes)).select(
+        "query_id", F.col("__probe.cell").alias("__cell")
+    )
+    qc = quantize_codes(
+        qr.select("query_id", "__rv"), quant, "__rv", "__qc", bits
+    ).select("query_id", "__qc")
+    center = 1 << (bits - 1)
+    coarse = (
+        cc.join(F.broadcast(q_cells.join(qc, "query_id")), "__cell")
+        .filter(F.col("query_id") != F.col("match_id"))
+        .select(
+            "query_id",
+            "match_id",
+            _int_dot_centered(F.col("__qc"), F.col("__cc"), center)
+            .cast("double")
+            .alias("score"),
+        )
+    )
+    cand = _topk_by_query(coarse, k * refine).select("query_id", "match_id")
+    qv = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qv")
+    )
+    cv = corpus.select(
+        F.col(id_col).alias("match_id"), F.col(vec_col).alias("__cv")
+    )
+    rescored = cv.join(F.broadcast(cand.join(qv, "query_id")), "match_id")
+    score = cosine_similarity_col(F.col("__qv"), F.col("__cv"))
+    if score_round is not None:
+        score = F.round(score, score_round)
+    return _topk_by_query(
+        rescored.select("query_id", "match_id", score.alias("score")), k
+    )

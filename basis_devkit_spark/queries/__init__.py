@@ -107,6 +107,9 @@ _SAMPLE_PRIORITY = [
     # tests/test_inventory_imports.py now asserts every c*/d* query
     # appears here.
     "c17_stream_hist_maintenance",
+    "d37_bpe_indexed_tokens",
+    "d38_jl_ivf_quantized_topk",
+    "d39_langid_softmax",
     # -- r9 front block: c18 stream pagerank + d33 batched BPE are new.
     "c19_stream_dsir_maintenance",
     "d36_jl_ann_topk",

@@ -4132,6 +4132,111 @@ def d31(spark: SparkSession, sf: str) -> DataFrame:
     return sequence_pack(counted, budget=2048, n_tokens_col="bpe_ct")
 
 
+@register(
+    "d37_bpe_indexed_tokens",
+    pyoracle.bpe_indexed_tokens_sql,
+    doc="vocabulary-indexed BPE tokenization (bpe_apply_indexed): the "
+    "apply-side scale path closing d33's learn-side fix — bpe_apply "
+    "builds one nested merge fold PER RANK (plan depth linear in vocab "
+    "size, a Catalyst analysis/codegen killer at a production 32k-merge "
+    "tokenizer), so the fit emits the tokenized vocabulary (word, "
+    "subwords) as a build-once artifact (emit_vocab=True — the evolving "
+    "word-symbols frame already holds it, ZERO extra passes) and apply "
+    "becomes posexplode words -> broadcast vocab join -> regroup by doc "
+    "with position sort -> flatten: plan depth CONSTANT in merge count, "
+    "merges live in data not expressions. Result fingerprint = per-doc "
+    "token count + md5 of the space-joined token sequence, exact-hash "
+    "oracled vs the independent Python model (pyoracle.bpe_tokens_model "
+    "— the full SEQUENCE, proving the join-and-regroup preserves greedy-"
+    "fold order). 100 TB: vocab relation is millions of rows "
+    "(broadcastable; broadcast_vocab=False for a shuffled hash join), "
+    "cost is one corpus regroup shuffle vs a 32k-deep expression tree "
+    "that never compiles",
+)
+def d37(spark: SparkSession, sf: str) -> DataFrame:
+    from basis_devkit_spark.operators.bpe import (
+        bpe_apply_indexed,
+        bpe_learn_merges,
+    )
+
+    docs = load(spark, sf, "documents")
+    mt, vocab = bpe_learn_merges(docs, "text", num_merges=8, emit_vocab=True)
+    return bpe_apply_indexed(docs, vocab, mt).select(
+        "doc_id",
+        F.size("bpe_tokens").cast("long").alias("n_bpe_tokens"),
+        F.md5(F.concat_ws(" ", "bpe_tokens")).alias("tok_md5"),
+    )
+
+
+@register(
+    "d38_jl_ivf_quantized_topk",
+    pyoracle.jl_ivf_quantized_sql,
+    doc="JL x IVF x int8 composed ANN top-5 (queries = vec_id < 30, "
+    "corpus = all, reduced-space seed-vector cells nlist=8, nprobe=4) — "
+    "d35's dimension cut grafted onto d20's persisted index layout, the "
+    "two byte reductions composing on independent axes: the coarse pass "
+    "touches 16 int8 codes per probed corpus row (16 B) vs d20's 64 "
+    "(64 B) vs raw float32 (256 B) — 16x total. Both sides pass through "
+    "the exact-integer JL projection; cells + per-dim [min,max] int8 "
+    "codes are fitted IN THE REDUCED SPACE; coarse ranking = exact-"
+    "integer centered-code dot; rescore = float cosine on the ORIGINAL "
+    "full-dimension vectors, 4dp round-before-rank. Candidate set "
+    "exactly modeled (pyoracle.jl_ivf_candidates: the proven JL-long "
+    "model composed with the proven d03c cell + d16 code models); "
+    "DuckDB does the float rescore. 100 TB: coarse bytes/row 16 vs 256, "
+    "all artifacts bounded (nlist centroids, out_dim quant rows) and "
+    "streaming-maintainable via the c15 ingest projection",
+)
+def d38(spark: SparkSession, sf: str) -> DataFrame:
+    from basis_devkit_spark.operators.similarity import jl_ivf_quantized_topk
+
+    emb = load(spark, sf, "embeddings")
+    q = emb.filter(F.col("vec_id") < 30)
+    return jl_ivf_quantized_topk(
+        q, emb, k=5, nlist=8, nprobe=4, refine=4, score_round=4
+    ).select("query_id", "match_id", "score", "rank")
+
+
+@register(
+    "d39_langid_softmax",
+    pyoracle.langid_softmax_sql,
+    doc="TRAINED multiclass language ID (hashed char-bigram softmax) — "
+    "the production path beside the d04b n-gram heuristic, built on the "
+    "d24 deterministic-fit contract extended to multiclass: full-batch "
+    "float64 softmax GD driver-side on the even-id half of a planted "
+    "multilingual fixture corpus (the synthetic documents table's lang "
+    "label is uncorrelated with its text, so fixtures carry the "
+    "signal), weights AND biases quantized to floor(1e9) longs, and the "
+    "distributed argmax an EXACT integer comparison: explode char "
+    "bigrams -> broadcast (bucket, cls, wq) join -> one hash agg -> "
+    "struct-min argmax (ties -> smallest class). 95% held-out accuracy "
+    "on the odd-id half (asserted in pytest). Oracle reimplements fit + "
+    "scoring end-to-end (pyoracle.langid_softmax_labels). 100 TB: "
+    "scoring is one scan + a 5,120-row broadcast relation + two "
+    "map-side-combinable aggs — no Python in the hot path",
+)
+def d39(spark: SparkSession, sf: str) -> DataFrame:
+    from basis_devkit_spark.operators.quality_model import (
+        fit_hashed_softmax,
+        score_hashed_softmax,
+    )
+
+    classes = list(pyoracle.LANGID_CLASSES)
+    cls_idx = {c: i for i, c in enumerate(classes)}
+    fixtures = spark.createDataFrame(
+        list(pyoracle.LANGID_FIXTURES), "doc_id long, true_lang string, text string"
+    )
+    train = [
+        (t, cls_idx[l])
+        for i, l, t in pyoracle.LANGID_FIXTURES
+        if i % 2 == 0
+    ]
+    weight_rows, bq = fit_hashed_softmax(train, num_classes=len(classes))
+    return score_hashed_softmax(fixtures, weight_rows, bq, classes).select(
+        "doc_id", "lang"
+    )
+
+
 _HIST_QUANTILE_SQL = """
     with fit as (
       select min(cast(l_extendedprice as double)) as lo,

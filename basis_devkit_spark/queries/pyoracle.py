@@ -1349,6 +1349,57 @@ def bpe_packing_sql(num_merges: int = 8, budget: int = 2048) -> str:
     """
 
 
+@lru_cache(maxsize=2)
+def bpe_tokens_model(
+    sf_dir: str, num_merges: int = 8
+) -> tuple[tuple[int, int, str], ...]:
+    """Per-doc ``(doc_id, n_tokens, md5(space-joined token string))``
+    under the learned merge table — the full token SEQUENCE fingerprint
+    (vs :func:`bpe_token_counts_model`'s counts only), verifying
+    ``bpe_apply_indexed``'s join-and-regroup path reproduces the exact
+    greedy-fold tokenization order-preservingly. Integer/string only;
+    md5 keeps the literal oracle table compact."""
+    import hashlib
+
+    ranked = [(l, r) for _, l, r, _, _ in bpe_merges_model(sf_dir, num_merges)]
+    out: list[tuple[int, int, str]] = []
+    for doc_id, text in _documents(sf_dir):
+        toks: list[str] = []
+        for w in _WS.split((text or "").lower()):
+            if not w:
+                continue
+            syms = list(w) + ["</w>"]
+            for left, right in ranked:
+                ns: list[str] = []
+                for x in syms:
+                    if ns and ns[-1] == left and x == right:
+                        ns[-1] = left + right
+                    else:
+                        ns.append(x)
+                syms = ns
+            toks.extend(syms)
+        out.append(
+            (
+                int(doc_id),
+                len(toks),
+                hashlib.md5(" ".join(toks).encode()).hexdigest(),
+            )
+        )
+    return tuple(out)
+
+
+def bpe_indexed_tokens_sql(num_merges: int = 8) -> str:
+    rows = bpe_tokens_model(oracle_sf_dir(), num_merges)
+    vals = ", ".join(f"({d}, {n}, '{h}')" for d, n, h in rows)
+    # All-integer/string pipeline — the Python model IS the oracle (the
+    # d28/d30 literal-table contract); md5 compacts the token sequence.
+    return f"""
+    select cast(doc_id as bigint) as doc_id,
+           cast(n_bpe_tokens as bigint) as n_bpe_tokens, tok_md5
+    from (values {vals}) t(doc_id, n_bpe_tokens, tok_md5)
+    """
+
+
 def dsir_scores_model(
     sf_dir: str,
     num_buckets: int = 4096,
@@ -1548,4 +1599,252 @@ def jl_ann_sql(k: int = 5) -> str:
       from scored)
     select query_id, match_id, score, rank
     from ranked where rank <= {k}
+    """
+
+
+@lru_cache(maxsize=2)
+def _jl_reduced(sf_dir: str, out_dim: int = 16, seed: int = 42):
+    """id -> 16-d reduced double vector (exactly ``long / 1e9`` of the
+    exact-integer JL components — one IEEE division, engine-invariant),
+    shared by the jl_ivf model below."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    ids, mat = _embeddings(sf_dir)
+    signs = {}
+    for j, i, s in jl_signs_model(out_dim, mat.shape[1], seed):
+        signs[(j, i)] = s
+
+    def vlong(x: float) -> int:
+        return int(
+            (Decimal(float(x)) * (10**9)).to_integral_value(
+                rounding=ROUND_HALF_UP
+            )
+        )
+
+    out = {}
+    for row_i, vid in enumerate(ids):
+        vl = [vlong(x) for x in mat[row_i]]
+        out[int(vid)] = [
+            sum(signs[(j, i)] * vl[i] for i in range(len(vl))) / 1e9
+            for j in range(out_dim)
+        ]
+    return ids, out
+
+
+def jl_ivf_candidates(
+    sf_dir: str,
+    k: int = 5,
+    refine: int = 4,
+    query_max_id: int = 30,
+    out_dim: int = 16,
+    jl_seed: int = 42,
+    nlist: int = 8,
+    nprobe: int = 4,
+    bits: int = 8,
+) -> tuple[tuple[int, int], ...]:
+    """(query_id, match_id) coarse candidates of the JL × IVF × int8
+    composed ANN (d38): every vector reduced to its exact JL double view
+    (``_jl_reduced``), seed-vector centroids = the reduced vectors of
+    the ``nlist`` smallest ids (cell = rank order), max-cosine cell
+    assignment (the proven d03c sequential-fold model, ties → smallest
+    cell), per-dim [min,max] int8 codes fitted on the REDUCED corpus
+    (the proven d16 numpy model), queries probe their ``nprobe`` top
+    cells, coarse ranking = exact-int64 centered-code dot within the
+    probed cells, top ``k × refine`` per query by (-dot, match_id),
+    self excluded."""
+    import numpy as np
+
+    ids, red = _jl_reduced(sf_dir, out_dim, jl_seed)
+    cents = [(c, red[vid]) for c, vid in enumerate(sorted(red)[:nlist])]
+
+    def ranked_cells(vec) -> list[int]:
+        return [
+            c for _, c in sorted((-_seq_cosine(vec, cv), j) for j, cv in cents)
+        ]
+
+    levels = float((1 << bits) - 1)
+    center = 1 << (bits - 1)
+    idarr = sorted(red)
+    mat = np.array([red[v] for v in idarr], dtype=np.float64)
+    mn = mat.min(axis=0)
+    span = mat.max(axis=0) - mn
+    d = mat - mn
+    with np.errstate(divide="ignore", invalid="ignore"):
+        raw = np.floor(d / span * levels)
+    codes = np.where(span == 0.0, 0.0, np.clip(raw, 0.0, levels)).astype(np.int64)
+    cent = codes - center
+    idx_of = {int(v): i for i, v in enumerate(idarr)}
+    cells: dict[int, list[int]] = {}
+    for vid in idarr:
+        cells.setdefault(ranked_cells(red[vid])[0], []).append(vid)
+    cands: list[tuple[int, int]] = []
+    for vid in idarr:
+        if vid >= query_max_id:
+            continue
+        qrow = cent[idx_of[vid]]
+        pool: list[int] = []
+        for c in ranked_cells(red[vid])[:nprobe]:
+            pool.extend(int(m) for m in cells.get(c, ()) if int(m) != vid)
+        order = sorted(
+            (-int(qrow @ cent[idx_of[m]]), m) for m in pool
+        )[: k * refine]
+        cands.extend((vid, m) for _, m in order)
+    return tuple(sorted(cands))
+
+
+def jl_ivf_quantized_sql(k: int = 5) -> str:
+    cands = jl_ivf_candidates(oracle_sf_dir())
+    vals = ", ".join(f"({q}, {m})" for q, m in cands)
+    # Candidates from the composed JL+cell+integer coarse model above;
+    # DuckDB performs only the full-dimension float rescore, 4dp
+    # round-before-rank (the d20/d36 contract).
+    return f"""
+    with cand(query_id, match_id) as (values {vals}),
+    scored as (
+      select c.query_id::BIGINT as query_id, c.match_id::BIGINT as match_id,
+             round(list_cosine_similarity(
+               list_transform(q.embedding, x -> cast(x as double)),
+               list_transform(m.embedding, x -> cast(x as double))), 4) as score
+      from cand c
+      join embeddings q on q.vec_id = c.query_id
+      join embeddings m on m.vec_id = c.match_id
+    ), ranked as (
+      select query_id, match_id, score,
+             row_number() over (partition by query_id
+                                order by score desc, match_id) as rank
+      from scored)
+    select query_id, match_id, score, rank
+    from ranked where rank <= {k}
+    """
+
+
+# -------------------------------------------- multiclass language ID (d39)
+
+#: Planted multilingual corpus for the trained language-ID query — the
+#: synthetic documents table's ``lang`` label is uncorrelated with its
+#: text (all tables share one fake-word generator), so the classifier is
+#: trained and verified on these fixtures instead. Single source for the
+#: Spark query AND this oracle. Even doc_ids train; odd ids are held out.
+LANGID_CLASSES = ("de", "en", "es", "fr", "zh")
+LANGID_FIXTURES: tuple[tuple[int, str, str], ...] = tuple(
+    (i, lang, text)
+    for i, (lang, text) in enumerate(
+        pair
+        for group in zip(
+            [
+                ("de", "das wetter ist heute klar und die kinder gehen zusammen zur schule"),
+                ("de", "der zug kommt am abend an und wir warten auf dem bahnsteig"),
+                ("de", "ich möchte ein brot und etwas käse vom markt kaufen"),
+                ("de", "die katze schläft den ganzen tag auf dem warmen sofa"),
+                ("de", "morgen fahren wir mit dem fahrrad durch den schönen wald"),
+                ("de", "das buch liegt seit einer woche auf dem kleinen tisch"),
+                ("de", "meine schwester wohnt in einer alten stadt am fluss"),
+                ("de", "wir trinken kaffee und sprechen über die lange reise"),
+            ],
+            [
+                ("en", "the weather today is bright and the children walk to school together"),
+                ("en", "the train arrives in the evening and we wait on the platform"),
+                ("en", "i would like to buy some bread and cheese from the market"),
+                ("en", "the cat sleeps on the warm sofa for the whole day"),
+                ("en", "tomorrow we will ride our bicycles through the beautiful forest"),
+                ("en", "the book has been lying on the small table for a week"),
+                ("en", "my sister lives in an old town beside the river"),
+                ("en", "we drink coffee and talk about the long journey ahead"),
+            ],
+            [
+                ("es", "el tiempo de hoy es claro y los niños caminan juntos a la escuela"),
+                ("es", "el tren llega por la tarde y esperamos en el andén"),
+                ("es", "quiero comprar pan y un poco de queso en el mercado"),
+                ("es", "el gato duerme todo el día en el sofá caliente"),
+                ("es", "mañana vamos en bicicleta por el bosque hermoso"),
+                ("es", "el libro está sobre la mesa pequeña desde hace una semana"),
+                ("es", "mi hermana vive en una ciudad antigua junto al río"),
+                ("es", "bebemos café y hablamos del largo viaje que viene"),
+            ],
+            [
+                ("fr", "le temps est clair aujourd'hui et les enfants marchent ensemble vers l'école"),
+                ("fr", "le train arrive le soir et nous attendons sur le quai"),
+                ("fr", "je voudrais acheter du pain et un peu de fromage au marché"),
+                ("fr", "le chat dort toute la journée sur le canapé chaud"),
+                ("fr", "demain nous ferons du vélo à travers la belle forêt"),
+                ("fr", "le livre est posé sur la petite table depuis une semaine"),
+                ("fr", "ma sœur habite dans une vieille ville au bord de la rivière"),
+                ("fr", "nous buvons du café et parlons du long voyage à venir"),
+            ],
+            [
+                ("zh", "今天天气晴朗孩子们一起走路去学校"),
+                ("zh", "火车晚上到达我们在站台上等候"),
+                ("zh", "我想在市场买一些面包和奶酪"),
+                ("zh", "猫整天睡在温暖的沙发上"),
+                ("zh", "明天我们骑自行车穿过美丽的森林"),
+                ("zh", "这本书在小桌子上放了一个星期"),
+                ("zh", "我的姐姐住在河边的一座老城里"),
+                ("zh", "我们喝咖啡谈论即将到来的长途旅行"),
+            ],
+        )
+        for pair in group
+    )
+)
+
+
+@lru_cache(maxsize=1)
+def langid_softmax_labels() -> tuple[tuple[int, str], ...]:
+    """Independent model of d39: hashed char-bigram softmax fit on the
+    EVEN-id fixtures (full-batch float64 GD, the d24 deterministic-fit
+    contract reimplemented here end-to-end), then every fixture scored
+    by the exact-integer argmax over floor(1e9)-quantized weights +
+    biases (ties -> smallest class index). Mirrors
+    operators.quality_model.fit_hashed_softmax/score_hashed_softmax
+    formula-for-formula without importing them."""
+    import math
+
+    import numpy as np
+
+    num_features, num_classes = 1024, len(LANGID_CLASSES)
+    cls_idx = {c: i for i, c in enumerate(LANGID_CLASSES)}
+
+    def grams(text: str) -> list[str]:
+        s = (text or "").strip(" ").lower()
+        return [s[j : j + 2] for j in range(len(s) - 1)]
+
+    train = [(t, cls_idx[l]) for i, l, t in LANGID_FIXTURES if i % 2 == 0]
+    n = len(train)
+    X = np.zeros((n, num_features), dtype=np.float64)
+    Y = np.zeros((n, num_classes), dtype=np.float64)
+    for i, (text, cls) in enumerate(train):
+        Y[i, cls] = 1.0
+        for g in grams(text):
+            X[i, xxh64_str(g) % num_features] += 1.0
+    W = np.zeros((num_features, num_classes), dtype=np.float64)
+    b = np.zeros(num_classes, dtype=np.float64)
+    lr, l2 = 1.0, 1e-3
+    for _ in range(60):
+        z = X @ W + b
+        z = z - z.max(axis=1, keepdims=True)
+        e = np.exp(z)
+        p = e / e.sum(axis=1, keepdims=True)
+        G = X.T @ (p - Y) / n + l2 * W
+        W -= lr * G
+        b -= lr * (p - Y).mean(axis=0)
+    wq = np.floor(W * 1e9).astype(np.int64)
+    bq = [int(math.floor(float(x) * 1e9)) for x in b]
+    out: list[tuple[int, str]] = []
+    for i, _, text in LANGID_FIXTURES:
+        scores = [int(bq[c]) for c in range(num_classes)]
+        for g in grams(text):
+            bkt = xxh64_str(g) % num_features
+            for c in range(num_classes):
+                scores[c] += int(wq[bkt, c])
+        best = min((-s, c) for c, s in enumerate(scores))[1]
+        out.append((i, LANGID_CLASSES[best]))
+    return tuple(out)
+
+
+def langid_softmax_sql() -> str:
+    vals = ", ".join(f"({i}, '{l}')" for i, l in langid_softmax_labels())
+    # Entirely integer argmax over a deterministic float64 fit — the
+    # Python model IS the oracle (the d24/d28 literal-table contract).
+    return f"""
+    select cast(doc_id as bigint) as doc_id, lang
+    from (values {vals}) t(doc_id, lang)
     """

@@ -3047,6 +3047,47 @@ def test_hashed_logreg_deterministic_and_separates(spark, docs):
         assert means[1] > means[0]
 
 
+def test_hashed_softmax_langid_holdout_accuracy_and_plan(spark):
+    """d39: the multiclass fit is bit-reproducible, classifies ≥90% of
+    the HELD-OUT (odd-id) multilingual fixtures correctly, ties/empty
+    docs resolve deterministically, and scoring stays JVM-side (no
+    Python eval) with the weight relation broadcast."""
+    from pyspark.sql import functions as F
+
+    from basis_devkit_spark.operators.quality_model import (
+        fit_hashed_softmax,
+        score_hashed_softmax,
+    )
+    from basis_devkit_spark.queries.pyoracle import (
+        LANGID_CLASSES,
+        LANGID_FIXTURES,
+    )
+
+    classes = list(LANGID_CLASSES)
+    cls_idx = {c: i for i, c in enumerate(classes)}
+    train = [(t, cls_idx[l]) for i, l, t in LANGID_FIXTURES if i % 2 == 0]
+    w1, b1 = fit_hashed_softmax(train, num_classes=len(classes))
+    w2, b2 = fit_hashed_softmax(train, num_classes=len(classes))
+    assert w1 == w2 and b1 == b2  # bit-reproducible
+    fixtures = spark.createDataFrame(
+        list(LANGID_FIXTURES), "doc_id long, true_lang string, text string"
+    )
+    out = score_hashed_softmax(fixtures, w1, b1, classes)
+    got = {r["doc_id"]: r["lang"] for r in out.collect()}
+    truth = {i: l for i, l, _ in LANGID_FIXTURES}
+    holdout = [i for i in truth if i % 2 == 1]
+    acc = sum(got[i] == truth[i] for i in holdout) / len(holdout)
+    assert acc >= 0.9, acc
+    # empty text -> bias-only argmax, never null/crash
+    empty = spark.createDataFrame([(999, "x", "")], "doc_id long, true_lang string, text string")
+    r = score_hashed_softmax(empty, w1, b1, classes).collect()
+    assert r[0]["lang"] in classes
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "BroadcastHashJoin" in plan
+    assert "Window" not in plan
+
+
 # ------------------------------------------------- XXH64-TZ sketch (d25)
 
 
@@ -3440,6 +3481,99 @@ def test_bpe_apply_plan_is_pure_projection(spark, docs):
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
 
 
+def test_bpe_apply_indexed_equals_fold(spark, docs):
+    """d37 semantics: the vocabulary-indexed apply (explode -> broadcast
+    vocab join -> position-sorted regroup) reproduces bpe_apply's greedy
+    fold tokenization BYTE-FOR-BYTE, including empty/null-text docs, and
+    the emitted vocab costs no refit."""
+    from pyspark.sql import functions as F
+
+    from basis_devkit_spark.operators.bpe import (
+        bpe_apply,
+        bpe_apply_indexed,
+        bpe_learn_merges,
+    )
+
+    extra = spark.createDataFrame(
+        [(9001, ""), (9002, None), (9003, "  ")],
+        "doc_id long, text string",
+    )
+    d = docs.select("doc_id", "text").unionByName(extra)
+    mt, vocab = bpe_learn_merges(d, "text", num_merges=6, emit_vocab=True)
+    a = bpe_apply(d, mt).select(
+        "doc_id", F.concat_ws("\x01", "bpe_tokens").alias("s")
+    )
+    b = bpe_apply_indexed(d, vocab, mt).select(
+        "doc_id", F.concat_ws("\x01", "bpe_tokens").alias("s2")
+    )
+    j = a.join(b, "doc_id")
+    assert j.count() == d.count()
+    assert j.filter(F.col("s") != F.col("s2")).count() == 0
+
+
+def test_bpe_apply_indexed_oov_and_plan_depth(spark, docs):
+    """OOV words fall back to char+EOW with only the first
+    ``oov_merge_depth`` merges folded, and the inline-fold count in the
+    plan is capped by that parameter BY CONSTRUCTION — independent of
+    the merge-table size (the vocab-scale contract: merges live in
+    data, not in the expression tree)."""
+    from basis_devkit_spark.operators.bpe import (
+        bpe_apply_indexed,
+        bpe_learn_merges,
+    )
+
+    mt, vocab = bpe_learn_merges(docs, "text", num_merges=8, emit_vocab=True)
+    oov = spark.createDataFrame(
+        [(1, "zzqxv zzqxv")], "doc_id long, text string"
+    )
+    toks = bpe_apply_indexed(
+        oov, vocab, mt, oov_merge_depth=2
+    ).collect()[0]["bpe_tokens"]
+    # unseen word -> character symbols (+ EOW), possibly early-merged
+    assert toks and all(len(t.replace("</w>", "")) <= 2 for t in toks)
+
+    def n_folds(df):
+        return df._jdf.queryExecution().analyzed().toString().count(
+            "aggregate("
+        )
+
+    deep = n_folds(bpe_apply_indexed(docs, vocab, mt, oov_merge_depth=4))
+    none = n_folds(bpe_apply_indexed(docs, vocab, mt, oov_merge_depth=0))
+    assert none == 0
+    assert 0 < deep <= 4  # capped by the parameter, not the 8-row table
+
+
+def test_bpe_tokenize_words_matches_emitted_vocab(spark, docs):
+    """The refit-free chunked vocab builder (localCheckpoint every
+    ``chunk`` folds — bounded plan depth) produces exactly the
+    vocabulary the fit emits."""
+    from pyspark.sql import functions as F
+
+    from basis_devkit_spark.operators.bpe import (
+        bpe_learn_merges,
+        bpe_tokenize_words,
+    )
+
+    mt, vocab = bpe_learn_merges(docs, "text", num_merges=7, emit_vocab=True)
+    words = (
+        docs.select(
+            F.explode(F.split(F.lower("text"), r"\s+")).alias("word")
+        )
+        .filter(F.col("word") != "")
+        .distinct()
+    )
+    # chunk=3 < 7 merges forces at least two checkpoint boundaries
+    v2 = bpe_tokenize_words(words, mt, chunk=3)
+    j = vocab.join(v2.withColumnRenamed("subwords", "s2"), "word")
+    assert j.count() == vocab.count() == v2.count()
+    assert (
+        j.filter(
+            F.concat_ws("\x01", "subwords") != F.concat_ws("\x01", "s2")
+        ).count()
+        == 0
+    )
+
+
 def test_bpe_tokenized_packing_self_consistent(spark, docs):
     """d31 composition sanity: packing by the real BPE counts yields
     offsets inside the budget, monotone seq_ids in doc order, and each
@@ -3665,3 +3799,50 @@ def test_jl_topk_full_refine_equals_brute_force_and_recall(spark, emb):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "Window" not in plan
+
+
+def test_jl_ivf_quantized_full_probe_equals_brute_force(spark, emb):
+    """d38 composition: with nprobe = nlist and k*refine >= |corpus| the
+    JL x IVF x int8 coarse pass keeps every corpus row, so the full-
+    dimension rescore must be byte-identical to brute_force_topk; at
+    production settings the recall dial works and the plan has no
+    Window and no cartesian product (the coarse pass is a cell
+    equi-join)."""
+    from pyspark.sql import functions as F
+
+    from basis_devkit_spark.operators.similarity import (
+        brute_force_topk,
+        jl_ivf_quantized_topk,
+    )
+
+    q = emb.filter(F.col("vec_id") < 20)
+    key = lambda rows: sorted(
+        (r["query_id"], r["match_id"], r["score"], r["rank"]) for r in rows
+    )
+    full = jl_ivf_quantized_topk(
+        q, emb, k=5, nlist=4, nprobe=4, refine=100_000, score_round=None
+    ).collect()
+    assert key(full) == key(brute_force_topk(q, emb, k=5).collect())
+    truth = {
+        (r["query_id"], r["match_id"])
+        for r in brute_force_topk(q, emb, k=5).collect()
+    }
+
+    def recall(nprobe: int) -> float:
+        got = {
+            (r["query_id"], r["match_id"])
+            for r in jl_ivf_quantized_topk(
+                q, emb, k=5, nlist=8, nprobe=nprobe, refine=16
+            ).collect()
+        }
+        return len(got & truth) / len(truth)
+
+    r2, r8 = recall(2), recall(8)
+    assert r8 > r2, (r2, r8)  # probing more reduced-space cells helps
+    assert r2 >= 0.1, r2
+    plan = (
+        jl_ivf_quantized_topk(q, emb, k=5, nlist=8, nprobe=4, refine=4)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Window" not in plan
+    assert "CartesianProduct" not in plan
