@@ -1626,11 +1626,86 @@ def jl_ivf_quantized_topk(
     assigned = _with_cell_ranks(
         cr.select("match_id", "__rv"), centroids, F.col("__rv"), "__cr"
     ).withColumn("__cell", F.array_min("__cr").getField("cell")).drop("__cr")
-    cc = quantize_codes(
-        assigned, quant, "__rv", "__cc", bits
-    ).select("match_id", "__cell", "__cc")
+    cells = quantize_codes(
+        assigned, quant, "__rv", "codes", bits
+    ).select(
+        F.col("match_id").alias(id_col),
+        F.col("__cell").alias("cell"),
+        "codes",
+    )
+    return jl_ivf_quantized_topk_indexed(
+        queries, cells, corpus, centroids, quant,
+        vec_col=vec_col, id_col=id_col, k=k, out_dim=out_dim,
+        jl_seed=jl_seed, nprobe=nprobe, refine=refine, bits=bits,
+        score_round=score_round,
+    )
 
-    qr = reduced(queries, "query_id")
+
+def jl_quantized_cells_assign(
+    df: DataFrame,
+    centroids: list[tuple[int, list[float]]],
+    quant: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    out_dim: int = 16,
+    jl_seed: int = 42,
+    bits: int = 8,
+) -> DataFrame:
+    """Ingest-side projection for the JL-composed index (d38's phase 0
+    against FIXED artifacts): ``(id, cell, codes)`` for each incoming
+    vector — the stateless JL projection chained into
+    :func:`quantized_cells_assign` over the reduced view. Pure per-row
+    work (the JL "matrix" is a hash function; cell + codes are
+    broadcast-relation projections), so it runs identically over a
+    static frame or a STREAMING micro-batch (c20), and incremental
+    assignment arithmetic is byte-identical to a full rebuild. NOTE:
+    being a pure projection, the JL fold is re-evaluated per reference
+    inside the cell/code expressions — fine at micro-batch row counts;
+    a bulk REBUILD should go through :func:`jl_ivf_quantized_topk`'s
+    materialized phase 0 instead."""
+    from basis_devkit_spark.operators.embeddings import jl_project
+
+    r = jl_project(df, vec_col, "__jlr", out_dim, jl_seed)
+    return quantized_cells_assign(
+        r.select(id_col, "__jlr_f"), centroids, quant, "__jlr_f", id_col, bits
+    )
+
+
+def jl_ivf_quantized_topk_indexed(
+    queries: DataFrame,
+    cells: DataFrame,
+    corpus: DataFrame,
+    centroids: list[tuple[int, list[float]]],
+    quant: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    k: int = 5,
+    out_dim: int = 16,
+    jl_seed: int = 42,
+    nprobe: int = 4,
+    refine: int = 4,
+    bits: int = 8,
+    score_round: int | None = 4,
+) -> DataFrame:
+    """Query side of the JL-composed index against a PREBUILT
+    ``(id, cell, codes)`` relation (from the tail of
+    :func:`jl_ivf_quantized_topk` or :func:`jl_quantized_cells_assign`,
+    possibly persisted and maintained by streaming upserts — c20).
+    ``corpus`` supplies the ORIGINAL full-dimension float vectors for
+    the rescore join only; the coarse pass never touches it."""
+    from basis_devkit_spark.operators.embeddings import jl_project
+
+    qr = jl_project(
+        queries.select(F.col(id_col).alias("query_id"), vec_col),
+        vec_col, "__jlr", out_dim, jl_seed,
+    ).select("query_id", F.col("__jlr_f").alias("__rv")).localCheckpoint(
+        eager=False
+    )  # bounded query side — materialize the reduced view once
+    cc = cells.select(
+        F.col(id_col).alias("match_id"),
+        F.col("cell").alias("__cell"),
+        F.col("codes").alias("__cc"),
+    )
     q_ranked = _with_cell_ranks(
         qr.select("query_id", "__rv"), centroids, F.col("__rv"), "__cr"
     )

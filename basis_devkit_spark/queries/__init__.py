@@ -110,6 +110,8 @@ _SAMPLE_PRIORITY = [
     "d37_bpe_indexed_tokens",
     "d38_jl_ivf_quantized_topk",
     "d39_langid_softmax",
+    "c20_stream_jl_index_ingest",
+    "c21_stream_bpe_vocab_maintenance",
     # -- r9 front block: c18 stream pagerank + d33 batched BPE are new.
     "c19_stream_dsir_maintenance",
     "d36_jl_ann_topk",

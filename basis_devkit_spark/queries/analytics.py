@@ -4581,3 +4581,167 @@ def c19(spark: SparkSession, sf: str) -> DataFrame:
     tc = dsir_bucket_counts(target)
     rows, default_w = dsir_weights(store.read(), tc)
     return dsir_score(docs, rows, default_w=default_w)
+
+
+@register(
+    "c20_stream_jl_index_ingest",
+    pyoracle.jl_ivf_quantized_sql,
+    doc="streaming maintenance of the JL-composed index (the crawl-feed "
+    "ingest shape for d38): the corpus arrives as TWO micro-batches; "
+    "each batch flows through jl_quantized_cells_assign — the stateless "
+    "exact-integer JL projection chained into cell argmax + int8 code "
+    "floor against the FIXED reduced-space artifacts (centroids + "
+    "per-dim stats), pure per-row projections, no fit, no shuffle — "
+    "into an exactly-once UPSERT cells store. The JL projection needs "
+    "NO artifact maintenance at all (the matrix is a hash function), so "
+    "the only streamed state is the 16-byte code relation; incremental "
+    "assignment arithmetic is byte-identical to a full build and "
+    "querying the streamed index must equal the one-shot d38 oracle "
+    "exactly",
+)
+def c20(spark: SparkSession, sf: str) -> DataFrame:
+    import glob as _glob
+    import os as _os
+    import shutil as _shutil
+    import tempfile as _tf
+
+    from basis_devkit_spark.operators.embeddings import jl_project
+    from basis_devkit_spark.operators.similarity import (
+        fit_scalar_quantizer,
+        jl_ivf_quantized_topk_indexed,
+        jl_quantized_cells_assign,
+    )
+    from basis_devkit_spark.storage.store import TableStore
+    from basis_devkit_spark.streaming.ops import stream_upsert_to_store
+
+    emb = load(spark, sf, "embeddings")
+    q_side = emb.filter(F.col("vec_id") < 30)
+    # fixed artifacts, derived exactly as d38's one-shot defaults
+    cr = (
+        jl_project(
+            emb.select(F.col("vec_id").alias("match_id"), "embedding"),
+            "embedding", "__jlr", 16, 42,
+        )
+        .select("match_id", F.col("__jlr_f").alias("__rv"))
+        .localCheckpoint(eager=False)
+    )
+    cent_rows = cr.orderBy("match_id").limit(8).collect()
+    centroids = [
+        (i, [float(x) for x in r["__rv"]]) for i, r in enumerate(cent_rows)
+    ]
+    quant = fit_scalar_quantizer(cr, "__rv")
+
+    tmp = _tf.mkdtemp(prefix="bds_c20_")
+    drop = _os.path.join(tmp, "drop")
+    _os.makedirs(drop, exist_ok=True)
+    for tag, mod in (("a", 0), ("b", 1)):
+        part_dir = _os.path.join(tmp, f"part_{tag}")
+        emb.filter(F.col("vec_id") % 2 == mod).coalesce(1).write.parquet(
+            part_dir
+        )
+        src = _glob.glob(_os.path.join(part_dir, "part-*.parquet"))[0]
+        _shutil.copy(src, _os.path.join(drop, f"{tag}.parquet"))
+    raw_schema = spark.read.parquet(_os.path.join(drop, "a.parquet")).schema
+
+    stream = (
+        spark.readStream.schema(raw_schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(drop)
+    )
+    assigned = jl_quantized_cells_assign(stream, centroids, quant)
+    store = TableStore(tmp, "jl_cells", spark)
+    store.configure(unique_on="vec_id")
+    q = stream_upsert_to_store(assigned, store, f"{tmp}/_ckpt").start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return jl_ivf_quantized_topk_indexed(
+        q_side, store.read(), emb, centroids, quant, k=5, nprobe=4,
+        refine=4, score_round=4,
+    ).select("query_id", "match_id", "score", "rank")
+
+
+@register(
+    "c21_stream_bpe_vocab_maintenance",
+    pyoracle.bpe_merges_sql,
+    doc="streaming BPE vocabulary maintenance: the corpus arrives as TWO "
+    "micro-batches; each batch's distinct-word frequencies SUM-merge "
+    "into an exactly-once managed store (stream_merge_to_store — "
+    "integer counts are associative, the streamed fold is lossless), "
+    "then bpe_learn_merges runs on the MAINTAINED word relation "
+    "(words=...) and must equal the one-shot d30 oracle byte-for-byte. "
+    "The production shape: the tokenizer's ONLY corpus-wide input is "
+    "the word-frequency relation, so crawl-cadence arrivals update "
+    "counts incrementally and a refit never re-reads history — "
+    "completing the streamed-state story for the BPE family (d30/d33 "
+    "learn, d37 apply)",
+)
+def c21(spark: SparkSession, sf: str) -> DataFrame:
+    import glob as _glob
+    import os as _os
+    import shutil as _shutil
+    import tempfile as _tf
+
+    from basis_devkit_spark.operators.bpe import bpe_learn_merges
+    from basis_devkit_spark.storage.store import TableStore
+    from basis_devkit_spark.streaming.ops import stream_merge_to_store
+
+    docs = load(spark, sf, "documents")
+    tmp = _tf.mkdtemp(prefix="bds_c21_")
+    drop = _os.path.join(tmp, "drop")
+    _os.makedirs(drop, exist_ok=True)
+    for tag, mod in (("a", 0), ("b", 1)):
+        part_dir = _os.path.join(tmp, f"part_{tag}")
+        docs.filter(F.col("doc_id") % 2 == mod).coalesce(1).write.parquet(
+            part_dir
+        )
+        src_f = _glob.glob(_os.path.join(part_dir, "part-*.parquet"))[0]
+        _shutil.copy(src_f, _os.path.join(drop, f"{tag}.parquet"))
+    raw_schema = spark.read.parquet(_os.path.join(drop, "a.parquet")).schema
+
+    def word_weights(batch: DataFrame) -> DataFrame:
+        toks = F.explode(
+            F.split(F.lower(F.coalesce(F.col("text"), F.lit(""))), r"\s+")
+        ).alias("word")
+        return (
+            batch.select(toks)
+            .filter(F.col("word") != "")
+            .groupBy("word")
+            .agg(F.count(F.lit(1)).alias("weight"))
+        )
+
+    def merge(batch: DataFrame, existing: DataFrame | None) -> DataFrame:
+        w = word_weights(batch)
+        if existing is None:
+            return w
+        prev = existing.select("word", F.col("weight").alias("__prev"))
+        return w.join(prev, "word", "full").select(
+            "word",
+            (
+                F.coalesce(F.col("weight"), F.lit(0))
+                + F.coalesce(F.col("__prev"), F.lit(0))
+            ).alias("weight"),
+        )
+
+    stream = (
+        spark.readStream.schema(raw_schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(drop)
+    )
+    store = TableStore(tmp, "bpe_words", spark)
+    store.configure(unique_on="word")
+    q = stream_merge_to_store(stream, store, f"{tmp}/_ckpt", merge).start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return bpe_learn_merges(
+        docs, num_merges=8, words=store.read()
+    ).select(
+        "merge_rank",
+        F.col("left").alias("left_sym"),
+        F.col("right").alias("right_sym"),
+        "merged",
+        "pair_count",
+    )
