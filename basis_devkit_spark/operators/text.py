@@ -567,6 +567,7 @@ def pack_sequences(
     id_col: str = "doc_id",
     text_col: str = "text",
     budget: int = 2048,
+    n_tokens_col: str | None = None,
 ) -> DataFrame:
     """Sequence packing for training pipelines: assign documents (in id
     order) to fixed token-budget chunks by exclusive prefix token count —
@@ -576,8 +577,14 @@ def pack_sequences(
 
     Returns one row per chunk: (chunk_id, n_docs, total_tokens, first_doc,
     last_doc). Fully distributed — the prefix sum never funnels rows
-    through a single-task window."""
-    d = df.withColumn("__ntok", token_count(text_col, "whitespace"))
+    through a single-task window. Pass ``n_tokens_col`` to pack by REAL
+    tokenizer counts (e.g. ``size(bpe_tokens)`` from
+    ``bpe_apply_indexed``) instead of the whitespace stand-in — the
+    same measure upgrade as ``sequence_pack``'s d31 path."""
+    if n_tokens_col is not None:
+        d = df.withColumn("__ntok", F.col(n_tokens_col).cast("long"))
+    else:
+        d = df.withColumn("__ntok", token_count(text_col, "whitespace"))
     d = exclusive_prefix_sum(d, id_col, "__ntok", "__off")
     return (
         d.withColumn("chunk_id", F.floor(F.col("__off") / F.lit(budget)))

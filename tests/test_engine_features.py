@@ -875,8 +875,17 @@ def test_pretrain_pipeline_example_app(spark, tmp_path):
     n_sel = sel.count()
     assert n_sel == n_cur // 2
     assert sel.join(cur, "doc_id").count() == n_sel  # subset of curated
-    # packing conserves the SELECTED docs and respects the chunk budget
+    # learned tokenizer: merge table persisted (16 rows), every selected
+    # doc got a positive exact subword count
+    assert eng.table_df("bpe_merges").count() == 16
+    tok = eng.table_df("tokenized_docs")
+    assert tok.count() == n_sel
+    assert tok.filter(F.col("n_bpe_tokens") <= 0).count() == 0
+    # packing conserves the SELECTED docs, by REAL tokenizer counts
     assert packed.agg(F.sum("n_docs")).collect()[0][0] == n_sel
+    assert packed.agg(F.sum("total_tokens")).collect()[0][0] == (
+        tok.agg(F.sum("n_bpe_tokens")).collect()[0][0]
+    )
     assert packed.filter(F.col("chunk_id") < 0).count() == 0
 
 

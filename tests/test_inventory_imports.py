@@ -62,6 +62,26 @@ def test_sample_priority_covers_streaming_and_llm_queries() -> None:
     assert not stale, f"_SAMPLE_PRIORITY names unregistered queries: {stale}"
 
 
+def test_readme_inventory_counts_match_registry() -> None:
+    """README's 'inventory (N queries, M oracle-checked)' line must match
+    the live registry — doc-count drift was flagged by review in two
+    consecutive rounds; this pins it."""
+    import pathlib
+    import re
+
+    from basis_devkit_spark.queries import all_queries
+
+    readme = (
+        pathlib.Path(__file__).resolve().parents[1] / "README.md"
+    ).read_text()
+    m = re.search(r"inventory \((\d+) queries, (\d+) oracle-checked\)", readme)
+    assert m, "README inventory count line missing"
+    qs = all_queries()
+    oracled = sum(1 for q in qs.values() if q.oracle is not None)
+    assert int(m.group(1)) == len(qs), (m.group(1), len(qs))
+    assert int(m.group(2)) == oracled, (m.group(2), oracled)
+
+
 def test_entry_module_contract() -> None:
     import __spark_entry__ as entry
 
