@@ -366,3 +366,62 @@ def bpe_apply_indexed(
         )
     )
     return df.join(grouped, id_col)
+
+
+def bpe_token_counts_indexed(
+    df: DataFrame,
+    vocab: DataFrame,
+    merges: DataFrame | None = None,
+    text_col: str = "text",
+    out_col: str = "n_bpe_tokens",
+    id_col: str = "doc_id",
+    oov_merge_depth: int = 0,
+    broadcast_vocab: bool = True,
+) -> DataFrame:
+    """Exact per-document subword COUNTS against the tokenized
+    vocabulary — the packing-path shortcut: when downstream needs only
+    ``n_tokens`` (sequence packing, shard planning, budget checks), the
+    position-sorted token-array regroup of :func:`bpe_apply_indexed` is
+    wasted work. Here the vocabulary broadcasts as ``(word, n_sub)``
+    longs and the per-doc count is one SUM — map-side combinable, so
+    the regroup shuffle carries one long per (doc, partition) instead
+    of per-word token ARRAYS. Same OOV contract (char count + capped
+    fold when ``oov_merge_depth`` > 0); docs with no words count 0.
+    Other columns of ``df`` are preserved."""
+    if oov_merge_depth > 0 and merges is None:
+        raise ValueError("oov_merge_depth > 0 requires the merges table")
+    ranked: list[tuple[str, str]] = []
+    if oov_merge_depth > 0:
+        ranked = [
+            (r["left"], r["right"])
+            for r in merges.orderBy("merge_rank").limit(
+                oov_merge_depth
+            ).collect()
+        ]
+    wordarr = F.filter(
+        F.split(F.lower(F.coalesce(F.col(text_col), F.lit(""))), r"\s+"),
+        lambda w: w != "",
+    )
+    ex = df.select(
+        F.col(id_col).alias("__id"),
+        F.explode_outer(wordarr).alias("__w"),
+    )
+    voc = vocab.select(
+        F.col("word").alias("__w"),
+        F.size("subwords").cast("long").alias("__n"),
+    )
+    if broadcast_vocab:
+        voc = F.broadcast(voc)
+    oov = F.concat(F.split(F.col("__w"), ""), F.array(F.lit(EOW)))
+    for left, right in ranked:
+        oov = _merge_fold(oov, left, right)
+    n = F.when(F.col("__w").isNull(), F.lit(0).cast("long")).otherwise(
+        F.coalesce(F.col("__n"), F.size(oov).cast("long"))
+    )
+    counts = (
+        ex.join(voc, "__w", "left")
+        .groupBy("__id")
+        .agg(F.sum(n).alias(out_col))
+        .withColumnRenamed("__id", id_col)
+    )
+    return df.join(counts, id_col)

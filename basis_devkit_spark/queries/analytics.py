@@ -4169,6 +4169,32 @@ def d37(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @register(
+    "d40_bpe_counts_indexed",
+    pyoracle.bpe_counts_indexed_sql,
+    doc="counts-only vocabulary-indexed tokenization "
+    "(bpe_token_counts_indexed): the packing-path shortcut over d37 — "
+    "when downstream needs only n_tokens (sequence packing, shard "
+    "planning), the position-sorted token-array regroup is wasted work, "
+    "so the vocabulary broadcasts as (word, n_sub) LONGS and the "
+    "per-doc count is one SUM: map-side combinable, the regroup shuffle "
+    "carries one long per (doc, partition) instead of per-word token "
+    "arrays. Must agree exactly with the full d37 tokenization's "
+    "counts (same independent Python model, counts projection)",
+)
+def d40(spark: SparkSession, sf: str) -> DataFrame:
+    from basis_devkit_spark.operators.bpe import (
+        bpe_learn_merges,
+        bpe_token_counts_indexed,
+    )
+
+    docs = load(spark, sf, "documents")
+    mt, vocab = bpe_learn_merges(docs, "text", num_merges=8, emit_vocab=True)
+    return bpe_token_counts_indexed(docs, vocab, mt).select(
+        "doc_id", "n_bpe_tokens"
+    )
+
+
+@register(
     "d38_jl_ivf_quantized_topk",
     pyoracle.jl_ivf_quantized_sql,
     doc="JL x IVF x int8 composed ANN top-5 (queries = vec_id < 30, "

@@ -1848,3 +1848,15 @@ def langid_softmax_sql() -> str:
     select cast(doc_id as bigint) as doc_id, lang
     from (values {vals}) t(doc_id, lang)
     """
+
+
+def bpe_counts_indexed_sql(num_merges: int = 8) -> str:
+    rows = bpe_tokens_model(oracle_sf_dir(), num_merges)
+    vals = ", ".join(f"({d}, {n})" for d, n, _ in rows)
+    # Same independent token-sequence model as d37, counts projection —
+    # the counts-only indexed path must agree with the full tokenization.
+    return f"""
+    select cast(doc_id as bigint) as doc_id,
+           cast(n_bpe_tokens as bigint) as n_bpe_tokens
+    from (values {vals}) t(doc_id, n_bpe_tokens)
+    """

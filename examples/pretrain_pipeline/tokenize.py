@@ -15,11 +15,9 @@ def tokenize(
     merges_out=OutputTable,
     num_merges=Parameter(type="int", default=16),
 ):
-    from pyspark.sql import functions as F
-
     from basis_devkit_spark.operators.bpe import (
-        bpe_apply_indexed,
         bpe_learn_merges,
+        bpe_token_counts_indexed,
     )
 
     df = docs.read_dataframe()
@@ -27,9 +25,6 @@ def tokenize(
         df, num_merges=int(num_merges), batch_merges=4, emit_vocab=True
     )
     merges_out.replace(mt)
-    toks = bpe_apply_indexed(df, vocab, mt)
-    out.replace(
-        toks.withColumn(
-            "n_bpe_tokens", F.size("bpe_tokens").cast("long")
-        ).drop("bpe_tokens")
-    )
+    # counts-only indexed path: packing needs n_tokens, not the token
+    # arrays — the regroup shuffle carries one long per doc-partition
+    out.replace(bpe_token_counts_indexed(df, vocab, mt))

@@ -3543,6 +3543,40 @@ def test_bpe_apply_indexed_oov_and_plan_depth(spark, docs):
     assert 0 < deep <= 4  # capped by the parameter, not the 8-row table
 
 
+def test_bpe_counts_indexed_equals_apply_sizes(spark, docs):
+    """d40: the counts-only indexed path (broadcast (word, n_sub) longs,
+    one map-side-combinable SUM — no token-array regroup) agrees exactly
+    with size(bpe_apply_indexed(...).bpe_tokens), including OOV words
+    under the capped fold and empty/null-text docs (count 0)."""
+    from pyspark.sql import functions as F
+
+    from basis_devkit_spark.operators.bpe import (
+        bpe_apply_indexed,
+        bpe_learn_merges,
+        bpe_token_counts_indexed,
+    )
+
+    extra = spark.createDataFrame(
+        [(9001, ""), (9002, None), (9003, "zzqxv hello zzqxv")],
+        "doc_id long, text string",
+    )
+    d = docs.select("doc_id", "text").unionByName(extra)
+    mt, vocab = bpe_learn_merges(docs, "text", num_merges=6, emit_vocab=True)
+    full = bpe_apply_indexed(d, vocab, mt, oov_merge_depth=2).select(
+        "doc_id", F.size("bpe_tokens").cast("long").alias("__n_full")
+    )
+    fast = bpe_token_counts_indexed(d, vocab, mt, oov_merge_depth=2)
+    j = fast.join(full, "doc_id")
+    assert j.count() == d.count()
+    assert j.filter(F.col("n_bpe_tokens") != F.col("__n_full")).count() == 0
+    assert (
+        fast.filter(F.col("doc_id").isin(9001, 9002))
+        .filter(F.col("n_bpe_tokens") != 0)
+        .count()
+        == 0
+    )
+
+
 def test_bpe_tokenize_words_matches_emitted_vocab(spark, docs):
     """The refit-free chunked vocab builder (localCheckpoint every
     ``chunk`` folds — bounded plan depth) produces exactly the
