@@ -3577,6 +3577,27 @@ def test_bpe_counts_indexed_equals_apply_sizes(spark, docs):
     )
 
 
+def test_bpe_counts_indexed_plan_partial_agg(spark, docs):
+    """d40's shuffle-payload claim, gated in the plan: the per-doc count
+    SUM must have a map-side partial phase (partial_sum before the
+    doc_id exchange), the vocab join must be broadcast, and there is no
+    collect_list/sort of token arrays anywhere."""
+    from basis_devkit_spark.operators.bpe import (
+        bpe_learn_merges,
+        bpe_token_counts_indexed,
+    )
+
+    mt, vocab = bpe_learn_merges(docs, "text", num_merges=4, emit_vocab=True)
+    plan = (
+        bpe_token_counts_indexed(docs, vocab, mt)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "partial_sum" in plan
+    assert "BroadcastHashJoin" in plan
+    assert "collect_list" not in plan
+    assert "Window" not in plan
+
+
 def test_bpe_tokenize_words_matches_emitted_vocab(spark, docs):
     """The refit-free chunked vocab builder (localCheckpoint every
     ``chunk`` folds — bounded plan depth) produces exactly the

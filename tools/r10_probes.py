@@ -181,7 +181,57 @@ def probe_jl_compose() -> dict:
     }
 
 
+def probe_bpe_counts() -> dict:
+    """d40's shuffle-payload claim with data: per-doc counts via the
+    counts-only path (broadcast (word, n_sub) longs + partial SUM) vs
+    size() over the full d37 array regroup, on the synthetic corpus at
+    1x and 4x docs — the counts path's advantage should GROW with data
+    (its shuffle carries one long per doc-partition; d37's carries every
+    word's token array)."""
+    from pyspark.sql import functions as F
+
+    from basis_devkit_spark.operators.bpe import (
+        bpe_apply_indexed,
+        bpe_learn_merges,
+        bpe_token_counts_indexed,
+    )
+
+    spark = _spark()
+    out = {"points": []}
+    for mult in (1, 4):
+        corpus = _synth_corpus(spark, n_docs=20000 * mult).persist()
+        corpus.count()
+        mt, vocab = bpe_learn_merges(
+            corpus, num_merges=64, batch_merges=16, emit_vocab=True
+        )
+        t0 = time.monotonic()
+        n_fast = (
+            bpe_token_counts_indexed(corpus, vocab, mt)
+            .agg(F.sum("n_bpe_tokens")).collect()[0][0]
+        )
+        fast_s = time.monotonic() - t0
+        t0 = time.monotonic()
+        n_full = (
+            bpe_apply_indexed(corpus, vocab, mt)
+            .agg(F.sum(F.size("bpe_tokens"))).collect()[0][0]
+        )
+        full_s = time.monotonic() - t0
+        corpus.unpersist()
+        assert n_fast == n_full, (mult, n_fast, n_full)
+        out["points"].append({
+            "docs": 20000 * mult,
+            "counts_path_s": round(fast_s, 2),
+            "array_regroup_s": round(full_s, 2),
+            "tokens": int(n_fast),
+        })
+    return out
+
+
 if __name__ == "__main__":
     which = sys.argv[1] if len(sys.argv) > 1 else "bpe_apply"
-    fn = {"bpe_apply": probe_bpe_apply, "jl_compose": probe_jl_compose}[which]
+    fn = {
+        "bpe_apply": probe_bpe_apply,
+        "jl_compose": probe_jl_compose,
+        "bpe_counts": probe_bpe_counts,
+    }[which]
     print(json.dumps({which: fn()}, indent=2))
