@@ -522,12 +522,23 @@ def exclusive_prefix_sum(
     value_col: str,
     out_col: str,
     bucket_size: int = 8192,
+    bucket_col: str | None = None,
+    tiebreak_col: str | None = None,
 ) -> DataFrame:
     """Exclusive running sum of ``value_col`` in ``order_col`` order,
     computed distributed: per-bucket sums (tiny agg) get an exclusive
     cumulative sum on the bucket list, broadcast back; each bucket then
     windows internally in parallel. No no-partition global window — the
-    same two-pass prefix pattern as ``streaming.ops.drop_late_events``."""
+    same two-pass prefix pattern as ``streaming.ops.drop_late_events``.
+
+    Default bucketing (``floor(order/bucket_size)``) assumes DENSE
+    numeric order values; for sparse keys (e.g. hash-valued orders,
+    where value-range buckets would hold ~1 row each and the bucket
+    table would be row-count-sized) pass a precomputed ``bucket_col``
+    that is MONOTONE in ``order_col`` with a bounded distinct count
+    (e.g. the hash's top bits). ``tiebreak_col`` pins within-bucket
+    order when ``order_col`` is not unique (hash collisions) — without
+    it, ties make the prefix nondeterministic."""
     from pyspark.sql import types as T
     from pyspark.sql.window import Window
 
@@ -537,15 +548,21 @@ def exclusive_prefix_sum(
             f"{order_col!r} is {df.schema[order_col].dataType.simpleString()} "
             "(derive a numeric rank first)"
         )
-    df2 = df.withColumn("__b", F.floor(F.col(order_col) / F.lit(bucket_size)))
+    if bucket_col is not None:
+        df2 = df.withColumn("__b", F.col(bucket_col))
+    else:
+        df2 = df.withColumn(
+            "__b", F.floor(F.col(order_col) / F.lit(bucket_size))
+        )
     bsum = df2.groupBy("__b").agg(F.sum(value_col).alias("__bsum"))
     wb = Window.orderBy("__b").rowsBetween(Window.unboundedPreceding, -1)
     bprev = bsum.withColumn(
         "__prev", F.coalesce(F.sum("__bsum").over(wb), F.lit(0))
     ).select("__b", "__prev")
+    order_keys = [order_col] + ([tiebreak_col] if tiebreak_col else [])
     wr = (
         Window.partitionBy("__b")
-        .orderBy(order_col)
+        .orderBy(*order_keys)
         .rowsBetween(Window.unboundedPreceding, -1)
     )
     # Left join + coalesce: a NULL order value yields a NULL bucket, which
@@ -988,6 +1005,55 @@ def sequence_pack(
         ntok = F.size(F.split(F.lower(F.trim(F.col(text_col))), r"\s+"))
     d = df.select(F.col(id_col), ntok.alias("n_tokens"))
     d = exclusive_prefix_sum(d, id_col, "n_tokens", "__cum_before", bucket_size)
+    return d.select(
+        id_col,
+        "n_tokens",
+        F.floor(F.col("__cum_before") / budget).cast("long").alias("seq_id"),
+        F.pmod(F.col("__cum_before"), F.lit(budget)).cast("long").alias(
+            "seq_offset"
+        ),
+    )
+
+
+def sequence_pack_shuffled(
+    df: DataFrame,
+    budget: int,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_tokens_col: str | None = None,
+    salt: int = 42,
+) -> DataFrame:
+    """:func:`sequence_pack` in DETERMINISTIC SHUFFLED order — the
+    training practice id-order packing misses: adjacent ids are usually
+    corpus-correlated (same crawl host, same source shard), so packing
+    in id order puts correlated documents in the same training sequence;
+    shuffling the layout order decorrelates sequences while staying
+    fully reproducible (re-running the pack for a resume or an audit
+    yields the identical layout — no RNG state to persist).
+
+    Order key = ``xxhash64(id, salt)`` with the id itself as the
+    collision tie-break (hash ties are certain at trillion-row scale —
+    ~n²/2⁶⁵ birthday rate — and an untied window order would make the
+    layout nondeterministic exactly there). Buckets for the two-pass
+    prefix come from the hash's top 12 bits (4,096 buckets): value-range
+    bucketing would put ~1 row per bucket under a uniform hash and blow
+    the bucket table up to row count. Same output contract as
+    :func:`sequence_pack`: ``(id, n_tokens, seq_id, seq_offset)``."""
+    if n_tokens_col is not None:
+        ntok = F.col(n_tokens_col).cast("long")
+    else:
+        ntok = F.size(F.split(F.lower(F.trim(F.col(text_col))), r"\s+"))
+    d = df.select(
+        F.col(id_col),
+        ntok.alias("n_tokens"),
+        F.xxhash64(F.col(id_col), F.lit(int(salt)).cast("long")).alias(
+            "__h"
+        ),
+    ).withColumn("__hb", F.shiftright(F.col("__h"), 52))
+    d = exclusive_prefix_sum(
+        d, "__h", "n_tokens", "__cum_before",
+        bucket_col="__hb", tiebreak_col=id_col,
+    )
     return d.select(
         id_col,
         "n_tokens",

@@ -4169,6 +4169,33 @@ def d37(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @register(
+    "d41_shuffled_packing",
+    pyoracle.shuffled_packing_sql,
+    doc="sequence packing in DETERMINISTIC SHUFFLED order "
+    "(sequence_pack_shuffled, budget=512): adjacent ids are corpus-"
+    "correlated (same crawl host/shard), so id-order packing puts "
+    "correlated docs in the same training sequence — the layout order "
+    "here is xxhash64(doc_id, salt) with the id as collision tie-break "
+    "(hash ties are certain at trillion-row scale; an untied window "
+    "would be nondeterministic exactly there), fully reproducible with "
+    "no RNG state. Prefix buckets come from the hash's TOP 12 BITS "
+    "(4,096 buckets) — value-range bucketing under a uniform hash "
+    "would hold ~1 row per bucket and blow the bucket table to row "
+    "count. Oracle: literal rank table from the Python xxh64 chain "
+    "model + the d11 count/prefix SQL in that order",
+)
+def d41(spark: SparkSession, sf: str) -> DataFrame:
+    from basis_devkit_spark.operators.text import sequence_pack_shuffled
+
+    return sequence_pack_shuffled(
+        load(spark, sf, "documents"), budget=512
+    ).select(
+        "doc_id", F.col("n_tokens").cast("long").alias("n_tokens"),
+        "seq_id", "seq_offset",
+    )
+
+
+@register(
     "d40_bpe_counts_indexed",
     pyoracle.bpe_counts_indexed_sql,
     doc="counts-only vocabulary-indexed tokenization "

@@ -1860,3 +1860,34 @@ def bpe_counts_indexed_sql(num_merges: int = 8) -> str:
            cast(n_bpe_tokens as bigint) as n_bpe_tokens
     from (values {vals}) t(doc_id, n_bpe_tokens)
     """
+
+
+def shuffled_packing_sql(budget: int = 512, salt: int = 42) -> str:
+    # Deterministic shuffle order: rank by signed xxhash64(doc_id, salt)
+    # with doc_id tie-break — the exact two-column hash chain Spark's
+    # F.xxhash64(col, lit) computes (seed 42 folded left-to-right).
+    ids = [i for i, _ in _documents(oracle_sf_dir())]
+    keyed = sorted(
+        (to_signed(xxh64_long(salt, xxh64_long(i, 42))), i) for i in ids
+    )
+    vals = ", ".join(f"({i}, {rk})" for rk, (_, i) in enumerate(keyed))
+    return f"""
+    with ord(doc_id, rk) as (values {vals}),
+    t as (
+      select d.doc_id,
+             cast(len(regexp_split_to_array(lower(trim(d.text)), '\\s+'))
+               as bigint) as n_tokens,
+             o.rk
+      from documents d join ord o using (doc_id)
+    ), c as (
+      select doc_id, n_tokens,
+             cast(coalesce(sum(n_tokens) over (order by rk
+                     rows between unbounded preceding and 1 preceding),
+                   0) as bigint) as cb
+      from t
+    )
+    select doc_id, n_tokens,
+           cast(floor(cb / {budget}.0) as bigint) as seq_id,
+           cast(cb % {budget} as bigint) as seq_offset
+    from c
+    """

@@ -3629,6 +3629,54 @@ def test_bpe_tokenize_words_matches_emitted_vocab(spark, docs):
     )
 
 
+def test_sequence_pack_shuffled_permutation_and_determinism(spark, docs):
+    """d41: the shuffled layout is a PERMUTATION of the id-order layout
+    (same docs, same per-doc counts, same total token stream, seq_ids
+    covering the same range), genuinely different from id order, and
+    byte-identical across re-runs and repartitioning (no RNG state)."""
+    from pyspark.sql import functions as F
+
+    from basis_devkit_spark.operators.text import (
+        sequence_pack,
+        sequence_pack_shuffled,
+    )
+
+    plain = sequence_pack(docs, budget=256)
+    shuf = sequence_pack_shuffled(docs, budget=256)
+    key = lambda df: sorted(
+        (r["doc_id"], r["n_tokens"], r["seq_id"], r["seq_offset"])
+        for r in df.collect()
+    )
+    s1 = key(shuf)
+    assert s1 == key(sequence_pack_shuffled(docs, budget=256))  # rerun
+    assert s1 == key(
+        sequence_pack_shuffled(docs.repartition(13), budget=256)
+    )
+    # permutation of the same stream: identical doc/count sets, same
+    # total tokens, same final sequence id
+    assert {(d, n) for d, n, _, _ in s1} == {
+        (d, n) for d, n, _, _ in key(plain)
+    }
+    tot = docs.select(
+        F.sum(F.size(F.split(F.lower(F.trim("text")), r"\s+")))
+    ).collect()[0][0]
+    assert max(s for _, _, s, _ in s1) == (tot - 1) // 256
+    # and the order really changed: some doc starts in a different seq
+    diff = {
+        d: s for d, _, s, _ in s1
+    } != {d: s for d, _, s, _ in key(plain)}
+    assert diff
+    # a different salt yields a different (still valid) layout
+    s2 = key(sequence_pack_shuffled(docs, budget=256, salt=7))
+    assert s2 != s1
+    # bucketed two-pass prefix: exactly two Windows — the corpus one
+    # partitioned by bucket, the unpartitioned one only over the
+    # <=4096-row bucket table (optimizedPlan: AQE's executed plan
+    # prints the tree twice and double-counts)
+    plan = shuf._jdf.queryExecution().optimizedPlan().toString()
+    assert plan.count("Window") == 2
+
+
 def test_bpe_tokenized_packing_self_consistent(spark, docs):
     """d31 composition sanity: packing by the real BPE counts yields
     offsets inside the budget, monotone seq_ids in doc order, and each
