@@ -114,6 +114,7 @@ _SAMPLE_PRIORITY = [
     "c21_stream_bpe_vocab_maintenance",
     "d40_bpe_counts_indexed",
     "d41_shuffled_packing",
+    "c22_stream_tokenized_counts",
     # -- r9 front block: c18 stream pagerank + d33 batched BPE are new.
     "c19_stream_dsir_maintenance",
     "d36_jl_ann_topk",

@@ -4798,3 +4798,74 @@ def c21(spark: SparkSession, sf: str) -> DataFrame:
         "merged",
         "pair_count",
     )
+
+
+@register(
+    "c22_stream_tokenized_counts",
+    pyoracle.bpe_counts_indexed_sql,
+    doc="streaming tokenization against FIXED tokenizer artifacts — the "
+    "apply-side streaming story completing c21's learn side: documents "
+    "arrive as TWO micro-batches; each batch's exact subword counts "
+    "(bpe_token_counts_indexed against the persisted merge table + "
+    "vocabulary — broadcast (word, n_sub) longs, one batch-local SUM) "
+    "upsert into an exactly-once store keyed by doc_id. Tokenization "
+    "is a pure per-doc function of the fixed artifacts, so incremental "
+    "arrival must equal the one-shot d40 oracle byte-for-byte; the "
+    "production shape: crawl-cadence docs tokenize on ingest, a "
+    "tokenizer refit (c21) triggers one re-tokenization pass, never a "
+    "re-read of raw history at query time",
+)
+def c22(spark: SparkSession, sf: str) -> DataFrame:
+    import glob as _glob
+    import os as _os
+    import shutil as _shutil
+    import tempfile as _tf
+
+    from basis_devkit_spark.operators.bpe import (
+        bpe_learn_merges,
+        bpe_token_counts_indexed,
+    )
+    from basis_devkit_spark.storage.store import TableStore
+    from basis_devkit_spark.streaming.ops import stream_merge_to_store
+
+    docs = load(spark, sf, "documents")
+    # fixed artifacts: one-shot fit on the full corpus (the c21-
+    # maintained word relation in production)
+    mt, vocab = bpe_learn_merges(docs, "text", num_merges=8, emit_vocab=True)
+
+    tmp = _tf.mkdtemp(prefix="bds_c22_")
+    drop = _os.path.join(tmp, "drop")
+    _os.makedirs(drop, exist_ok=True)
+    for tag, mod in (("a", 0), ("b", 1)):
+        part_dir = _os.path.join(tmp, f"part_{tag}")
+        docs.filter(F.col("doc_id") % 2 == mod).coalesce(1).write.parquet(
+            part_dir
+        )
+        src_f = _glob.glob(_os.path.join(part_dir, "part-*.parquet"))[0]
+        _shutil.copy(src_f, _os.path.join(drop, f"{tag}.parquet"))
+    raw_schema = spark.read.parquet(_os.path.join(drop, "a.parquet")).schema
+
+    def merge(batch: DataFrame, existing: DataFrame | None) -> DataFrame:
+        counted = bpe_token_counts_indexed(batch, vocab, mt).select(
+            "doc_id", "n_bpe_tokens"
+        )
+        if existing is None:
+            return counted
+        # doc_ids never repeat across batches here; union is the merge
+        return counted.unionByName(
+            existing.join(counted.select("doc_id"), "doc_id", "left_anti")
+        )
+
+    stream = (
+        spark.readStream.schema(raw_schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(drop)
+    )
+    store = TableStore(tmp, "tok_counts", spark)
+    store.configure(unique_on="doc_id")
+    q = stream_merge_to_store(stream, store, f"{tmp}/_ckpt", merge).start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return store.read().select("doc_id", "n_bpe_tokens")

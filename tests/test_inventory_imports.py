@@ -12,7 +12,7 @@ from __future__ import annotations
 
 
 # Keep in sync with the registered inventory; bump when queries are added.
-MIN_QUERIES = 246
+MIN_QUERIES = 247
 # Rows-only-by-design queries (no DuckDB oracle): b22 HLL++, d04r Spark-ML.
 MAX_ORACLE_GAP = 4
 
