@@ -31,6 +31,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from .lineage import release_plan_blocks
+
 #: End-of-word marker appended to every word's symbol sequence, so merges
 #: can distinguish word-final subwords ("est</w>" vs "est") — the
 #: standard Sennrich formulation.
@@ -121,8 +123,9 @@ def bpe_learn_merges(
     word-symbols frame already holds it when the loop ends, so emitting
     it costs ZERO extra passes (one extra string column rides the cached
     frame). This is the build-once artifact :func:`bpe_apply_indexed`
-    consumes; persist it next to the merge table. Returns
-    ``(merges_df, vocab_df)``."""
+    consumes; persist it next to the merge table, then call
+    :func:`release_tokenizer_vocab` to drop the pinned checkpoint
+    blocks. Returns ``(merges_df, vocab_df)``."""
     if batch_merges < 1:
         raise ValueError("batch_merges must be >= 1")
     if words is None:
@@ -187,19 +190,27 @@ def bpe_learn_merges(
             nxt = syms.select(
                 "word", "weight", col.alias("syms")
             ).localCheckpoint(eager=True)
-            syms.unpersist()
+            # release_plan_blocks, not unpersist: DataFrame.unpersist()
+            # is a silent no-op on checkpointed frames (see lineage.py),
+            # so the superseded round's blocks must be dropped via the
+            # backing RDD or they pin storage until GC.
+            release_plan_blocks(syms)
             syms = nxt
         if emit_vocab:
             # shallow select over the checkpointed frame — the vocab
             # survives the unpersist below without re-deriving any fold.
-            # Deployment path: write it to a store.
+            # Deployment path: write it to a store, then call
+            # release_tokenizer_vocab(vocab) to drop the pinned blocks.
             vocab = syms.select("word", F.col("syms").alias("subwords"))
+            vocab._bds_backing = syms  # type: ignore[attr-defined]
     finally:
         # a localCheckpoint'ed frame's blocks are its ONLY copy (lineage
         # is truncated) — when emitting the vocab, the final frame must
-        # stay alive; it is released when the caller drops the vocab.
+        # stay alive until the caller materializes/persists it; the
+        # explicit release path is release_tokenizer_vocab() (GC +
+        # ContextCleaner is only the fallback).
         if vocab is None:  # not emitting, or the loop raised
-            syms.unpersist()
+            release_plan_blocks(syms)
     spark = corpus.sparkSession
     merges_df = spark.createDataFrame(
         merges,
@@ -208,6 +219,22 @@ def bpe_learn_merges(
     if emit_vocab:
         return merges_df, vocab
     return merges_df
+
+
+def release_tokenizer_vocab(vocab: DataFrame) -> None:
+    """Release the checkpoint blocks pinned behind a vocabulary frame
+    returned by :func:`bpe_learn_merges` (``emit_vocab=True``) or
+    :func:`bpe_tokenize_words` — call AFTER the vocab has been written
+    to a store (or otherwise materialized). A ``localCheckpoint``'ed
+    frame's blocks are its only copy, so the fit functions cannot drop
+    them before returning; without an explicit release a long-lived
+    session fitting several tokenizers accumulates vocabulary-sized
+    block sets until Python GC + ContextCleaner get around to them.
+    No-op for frames with no pinned backing."""
+    backing = getattr(vocab, "_bds_backing", None)
+    if backing is not None:
+        release_plan_blocks(backing)
+        vocab._bds_backing = None  # type: ignore[attr-defined]
 
 
 def bpe_apply(
@@ -275,13 +302,28 @@ def bpe_tokenize_words(
             out_col
         ),
     )
+    prev_ckpt: DataFrame | None = None
     for lo in range(0, len(ranked), chunk):
         col = F.col(out_col)
         for left, right in ranked[lo : lo + chunk]:
             col = _merge_fold(col, left, right)
         cur = cur.select("word", col.alias(out_col))
         if lo + chunk < len(ranked):
+            # eager checkpoint truncates lineage; the PREVIOUS slice's
+            # checkpoint blocks are now unreachable from any live frame,
+            # so release them immediately instead of waiting on GC +
+            # ContextCleaner — a 32k-merge build at chunk=16 is ~2000
+            # vocabulary-sized block sets otherwise (one frame pinned at
+            # any moment, matching bpe_learn_merges' loop discipline).
             cur = cur.localCheckpoint(eager=True)
+            if prev_ckpt is not None:
+                release_plan_blocks(prev_ckpt)
+            prev_ckpt = cur
+    # the LAST checkpoint backs the returned frame and must stay alive;
+    # release it via release_tokenizer_vocab() after persisting the
+    # result to a store.
+    if prev_ckpt is not None:
+        cur._bds_backing = prev_ckpt  # type: ignore[attr-defined]
     return cur
 
 
@@ -318,7 +360,14 @@ def bpe_apply_indexed(
     capped by this parameter BY CONSTRUCTION, never by vocab size;
     early merges capture most compression and OOV mass is small when
     the vocab was fit on in-distribution data. Other columns of ``df``
-    are preserved via a final id join."""
+    are preserved via a final id join.
+
+    **Precondition:** ``id_col`` must be NON-NULL and UNIQUE per row —
+    the regroup keys on it and the final join is inner, so NULL ids are
+    silently dropped and duplicate ids fan out (unlike
+    :func:`bpe_apply`'s pure-projection contract, which preserves every
+    input row). Synthesize a key first
+    (``monotonically_increasing_id``) if the frame has none."""
     if oov_merge_depth > 0 and merges is None:
         raise ValueError("oov_merge_depth > 0 requires the merges table")
     ranked: list[tuple[str, str]] = []
@@ -387,7 +436,9 @@ def bpe_token_counts_indexed(
     the regroup shuffle carries one long per (doc, partition) instead
     of per-word token ARRAYS. Same OOV contract (char count + capped
     fold when ``oov_merge_depth`` > 0); docs with no words count 0.
-    Other columns of ``df`` are preserved."""
+    Other columns of ``df`` are preserved. Same ``id_col`` precondition
+    as :func:`bpe_apply_indexed`: non-null and unique per row (NULL ids
+    drop, duplicates fan out)."""
     if oov_merge_depth > 0 and merges is None:
         raise ValueError("oov_merge_depth > 0 requires the merges table")
     ranked: list[tuple[str, str]] = []

@@ -30,6 +30,8 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from .lineage import release_plan_blocks
+
 # ---------------------------------------------------------------- exact (D1)
 def exact_dedup(
     df: DataFrame,
@@ -736,7 +738,10 @@ def connected_components(
             .filter(F.col("n.label") != F.col("o.label"))
             .count()
         )
-        labels.unpersist()
+        # labels alternates persist()/localCheckpoint() rounds;
+        # release_plan_blocks handles both (plain unpersist() silently
+        # no-ops on the checkpoint rounds — see lineage.py)
+        release_plan_blocks(labels)
         labels = new_labels
         if changed == 0:
             break

@@ -289,8 +289,13 @@ def jl_project(
     # overflows the decimal(18,9) cast to a silent NULL, and
     # Σ|x·10⁹| ≥ 2⁶² could wrap the integer fold — refuse both rather
     # than diverge quietly. Real embedding components are O(1).
+    # NULL vectors pass through (forall over a null array is NULL and
+    # assert_true(NULL) throws): OR the null case into the condition,
+    # mirroring quantize_codes' guard, so null embeddings project to
+    # null output instead of aborting every consumer.
     guard = F.assert_true(
-        F.forall(
+        F.col(vec_col).isNull()
+        | F.forall(
             F.col(vec_col),
             lambda x: (F.abs(x.cast("double")) < F.lit(1e9))
             & (F.abs(x.cast("double")) * d.cast("double") < F.lit(4.6e9)),
@@ -323,7 +328,10 @@ def jl_project(
         )
 
     jl = F.transform(F.sequence(F.lit(0), F.lit(out_dim - 1)), comp)
-    jl = F.when(guard.isNull(), jl)
+    # guard is NULL when the rail passes; null inputs yield null output
+    # (not an array of null components) so downstream null-tolerant
+    # guards (quantize_codes) see them the same way they see null vecs.
+    jl = F.when(guard.isNull() & F.col(vec_col).isNotNull(), jl)
     return df.withColumn(out_col, jl).withColumn(
         f"{out_col}_f",
         F.transform(F.col(out_col), lambda c: c.cast("double") / 1e9),

@@ -29,6 +29,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from .lineage import release_plan_blocks
+
 
 def pagerank_fixed_point(
     edges: DataFrame,
@@ -61,6 +63,7 @@ def pagerank_fixed_point(
     outdeg = e.groupBy("src").agg(F.count(F.lit(1)).alias("__deg"))
     base = ((scale * 3) // 20) // n  # (1-d)·scale / N in exact ints
     ranks = nodes.withColumn("__r", F.lit(scale // n).cast("long"))
+    prev_ckpt: DataFrame | None = None
     for it in range(iters):
         with_deg = ranks.join(
             outdeg, ranks["node"] == outdeg["src"], "left"
@@ -93,7 +96,15 @@ def pagerank_fixed_point(
             )
         )
         if (it + 1) % 4 == 0:
+            # eager checkpoint truncates lineage; the previous round's
+            # checkpoint is now unreachable — release its blocks rather
+            # than pinning one node-sized block set per 4 rounds until
+            # GC (DataFrame.unpersist() can't do this — see lineage.py).
+            # The LAST checkpoint backs the returned frame and stays.
             ranks = ranks.localCheckpoint(eager=True)
+            if prev_ckpt is not None:
+                release_plan_blocks(prev_ckpt)
+            prev_ckpt = ranks
     if raw_scaled:
         return ranks.select("node", F.col("__r").alias("rank_scaled"))
     return ranks.select(

@@ -3481,11 +3481,16 @@ def test_bpe_apply_plan_is_pure_projection(spark, docs):
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
 
 
-def test_bpe_apply_indexed_equals_fold(spark, docs):
-    """d37 semantics: the vocabulary-indexed apply (explode -> broadcast
-    vocab join -> position-sorted regroup) reproduces bpe_apply's greedy
+@pytest.mark.parametrize("broadcast_vocab", [True, False])
+def test_bpe_apply_indexed_equals_fold(spark, docs, broadcast_vocab):
+    """d37 semantics: the vocabulary-indexed apply (explode -> vocab
+    join -> position-sorted regroup) reproduces bpe_apply's greedy
     fold tokenization BYTE-FOR-BYTE, including empty/null-text docs, and
-    the emitted vocab costs no refit."""
+    the emitted vocab costs no refit. Both vocab-join strategies are
+    equivalence-gated: broadcast (the default) and the
+    ``broadcast_vocab=False`` escape hatch for vocabularies bigger than
+    executor broadcast budget, whose plan must carry NO broadcast of
+    the vocab side (AQE picks a shuffled/sort-merge join)."""
     from pyspark.sql import functions as F
 
     from basis_devkit_spark.operators.bpe import (
@@ -3503,12 +3508,23 @@ def test_bpe_apply_indexed_equals_fold(spark, docs):
     a = bpe_apply(d, mt).select(
         "doc_id", F.concat_ws("\x01", "bpe_tokens").alias("s")
     )
-    b = bpe_apply_indexed(d, vocab, mt).select(
-        "doc_id", F.concat_ws("\x01", "bpe_tokens").alias("s2")
-    )
+    b = bpe_apply_indexed(
+        d, vocab, mt, broadcast_vocab=broadcast_vocab
+    ).select("doc_id", F.concat_ws("\x01", "bpe_tokens").alias("s2"))
     j = a.join(b, "doc_id")
     assert j.count() == d.count()
     assert j.filter(F.col("s") != F.col("s2")).count() == 0
+    if not broadcast_vocab:
+        # the escape hatch must not silently re-broadcast: no broadcast
+        # hint survives on the vocab side of the word join (AQE may
+        # still pick a broadcast join from SIZE stats on this tiny test
+        # vocab, so gate the optimized logical plan's hint, not the
+        # physical operator)
+        opt = (
+            bpe_apply_indexed(d, vocab, mt, broadcast_vocab=False)
+            ._jdf.queryExecution().optimizedPlan().toString()
+        )
+        assert "ResolvedHint" not in opt
 
 
 def test_bpe_apply_indexed_oov_and_plan_depth(spark, docs):
@@ -3543,11 +3559,14 @@ def test_bpe_apply_indexed_oov_and_plan_depth(spark, docs):
     assert 0 < deep <= 4  # capped by the parameter, not the 8-row table
 
 
-def test_bpe_counts_indexed_equals_apply_sizes(spark, docs):
+@pytest.mark.parametrize("broadcast_vocab", [True, False])
+def test_bpe_counts_indexed_equals_apply_sizes(spark, docs, broadcast_vocab):
     """d40: the counts-only indexed path (broadcast (word, n_sub) longs,
     one map-side-combinable SUM — no token-array regroup) agrees exactly
     with size(bpe_apply_indexed(...).bpe_tokens), including OOV words
-    under the capped fold and empty/null-text docs (count 0)."""
+    under the capped fold and empty/null-text docs (count 0) — under
+    both vocab-join strategies (``broadcast_vocab=False`` is the
+    huge-vocab escape hatch)."""
     from pyspark.sql import functions as F
 
     from basis_devkit_spark.operators.bpe import (
@@ -3565,7 +3584,9 @@ def test_bpe_counts_indexed_equals_apply_sizes(spark, docs):
     full = bpe_apply_indexed(d, vocab, mt, oov_merge_depth=2).select(
         "doc_id", F.size("bpe_tokens").cast("long").alias("__n_full")
     )
-    fast = bpe_token_counts_indexed(d, vocab, mt, oov_merge_depth=2)
+    fast = bpe_token_counts_indexed(
+        d, vocab, mt, oov_merge_depth=2, broadcast_vocab=broadcast_vocab
+    )
     j = fast.join(full, "doc_id")
     assert j.count() == d.count()
     assert j.filter(F.col("n_bpe_tokens") != F.col("__n_full")).count() == 0
@@ -3627,6 +3648,65 @@ def test_bpe_tokenize_words_matches_emitted_vocab(spark, docs):
         ).count()
         == 0
     )
+
+
+def test_release_tokenizer_vocab_drops_pinned_blocks(spark, docs):
+    """The explicit release path for fit artifacts: both vocab producers
+    pin exactly one checkpointed backing frame;
+    release_tokenizer_vocab() unpersists it deterministically (instead
+    of waiting on GC + ContextCleaner) and is idempotent/no-op on
+    frames with no backing. Superseded intermediate checkpoints in
+    bpe_tokenize_words are released inside the loop, so at most ONE
+    checkpoint block set survives the call."""
+    from pyspark.sql import functions as F
+
+    from basis_devkit_spark.operators.bpe import (
+        bpe_learn_merges,
+        bpe_tokenize_words,
+        release_tokenizer_vocab,
+    )
+
+    def cached_rdd_ids():
+        # block-level truth: DataFrame.unpersist() no-ops on checkpoints,
+        # so assert against the context's storage info, not storage levels
+        return {
+            i.id()
+            for i in spark.sparkContext._jsc.sc().getRDDStorageInfo()
+            if i.numCachedPartitions() > 0
+        }
+
+    def backing_rdd_id(frame):
+        return frame._jdf.queryExecution().analyzed().rdd().id()
+
+    mt, vocab = bpe_learn_merges(docs, "text", num_merges=6, emit_vocab=True)
+    backing = getattr(vocab, "_bds_backing", None)
+    assert backing is not None
+    bid = backing_rdd_id(backing)
+    assert bid in cached_rdd_ids()  # really pinned
+    vocab.count()  # caller materializes (stand-in for a store write)
+    release_tokenizer_vocab(vocab)
+    assert bid not in cached_rdd_ids()
+    release_tokenizer_vocab(vocab)  # idempotent
+
+    words = (
+        docs.select(F.explode(F.split(F.lower("text"), r"\s+")).alias("word"))
+        .filter(F.col("word") != "")
+        .distinct()
+    )
+    before = cached_rdd_ids()
+    v2 = bpe_tokenize_words(words, mt, chunk=2)  # several boundaries
+    b2 = getattr(v2, "_bds_backing", None)
+    assert b2 is not None
+    bid2 = backing_rdd_id(b2)
+    assert bid2 in cached_rdd_ids()
+    # superseded intermediate checkpoints were released INSIDE the loop:
+    # the build leaves exactly one new pinned block set (the final one)
+    assert cached_rdd_ids() - before == {bid2}
+    v2.count()
+    release_tokenizer_vocab(v2)
+    assert bid2 not in cached_rdd_ids()
+    # no-backing frames are a clean no-op
+    release_tokenizer_vocab(docs)
 
 
 def test_sequence_pack_shuffled_permutation_and_determinism(spark, docs):
@@ -3862,6 +3942,35 @@ def test_jl_projection_preserves_geometry_and_is_pure_projection(spark):
     assert a == b
     plan = proj._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan and "Python" not in plan
+
+
+def test_jl_project_null_vectors_pass_through_as_null(spark):
+    """The magnitude rail must not fire on NULL embeddings: forall over
+    a null array is NULL and assert_true(NULL) throws, so the guard ORs
+    the null case in (mirroring quantize_codes). Null vectors project to
+    null output; genuine rail violations still raise."""
+    import pytest
+
+    from basis_devkit_spark.operators.embeddings import jl_project
+
+    df = spark.createDataFrame(
+        [(1, [0.5, -0.25, 1.0]), (2, None), (3, [0.0, 0.0, 0.0])],
+        "vec_id long, embedding array<float>",
+    )
+    got = {
+        r["vec_id"]: (r["jl"], r["jl_f"])
+        for r in jl_project(df, "embedding", "jl", out_dim=4).collect()
+    }
+    assert got[2] == (None, None)
+    assert got[1][0] is not None and len(got[1][0]) == 4
+    assert got[3][0] == [0, 0, 0, 0]
+    # the rail still fires loudly on genuine magnitude violations
+    bad = spark.createDataFrame(
+        [(1, [2.0e9, 0.0])], "vec_id long, embedding array<float>"
+    )
+    with pytest.raises(Exception) as ei:
+        jl_project(bad, "embedding", "jl", out_dim=4).collect()
+    assert "exceeds the exact-integer rails" in str(ei.value)
 
 
 def test_jl_topk_full_refine_equals_brute_force_and_recall(spark, emb):
