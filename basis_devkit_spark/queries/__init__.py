@@ -106,6 +106,9 @@ _SAMPLE_PRIORITY = [
     # in r8 but omitted from this list (the d19 failure mode again) —
     # tests/test_inventory_imports.py now asserts every c*/d* query
     # appears here.
+    # -- r11 front block: d42 chains d40 counts into d41 shuffled
+    # packing (the flagship example's packing stage).
+    "d42_tokenized_shuffled_packing",
     "c17_stream_hist_maintenance",
     "d37_bpe_indexed_tokens",
     "d38_jl_ivf_quantized_topk",

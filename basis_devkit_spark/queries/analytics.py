@@ -4222,6 +4222,42 @@ def d40(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @register(
+    "d42_tokenized_shuffled_packing",
+    pyoracle.tokenized_shuffled_packing_sql,
+    doc="the packing stage as the flagship example now runs it: d40's "
+    "counts-only indexed tokenization CHAINED into d41's deterministic "
+    "shuffled packing — per-doc budget positions come from REAL learned-"
+    "tokenizer subword counts (broadcast (word, n_sub) longs, map-side-"
+    "combinable SUM) laid out in xxhash64(doc_id, salt) order with id "
+    "tie-break (decorrelates same-host/same-shard neighbors inside a "
+    "training sequence, zero RNG state). Oracle = literal composition "
+    "of the two proven independent models (bpe_tokens_model counts + "
+    "the signed-xxh64 rank chain + the d11 prefix SQL). 100 TB: one "
+    "corpus shuffle for the counts regroup + the two bounded bucketed "
+    "prefix aggs (4,096-row bucket table at any corpus size) — no "
+    "global window, no token arrays in any exchange",
+)
+def d42(spark: SparkSession, sf: str) -> DataFrame:
+    from basis_devkit_spark.operators.bpe import (
+        bpe_learn_merges,
+        bpe_token_counts_indexed,
+    )
+    from basis_devkit_spark.operators.text import sequence_pack_shuffled
+
+    docs = load(spark, sf, "documents")
+    mt, vocab = bpe_learn_merges(docs, "text", num_merges=8, emit_vocab=True)
+    counted = bpe_token_counts_indexed(docs, vocab, mt)
+    return sequence_pack_shuffled(
+        counted, budget=512, n_tokens_col="n_bpe_tokens"
+    ).select(
+        "doc_id",
+        F.col("n_tokens").cast("long").alias("n_bpe_tokens"),
+        "seq_id",
+        "seq_offset",
+    )
+
+
+@register(
     "d38_jl_ivf_quantized_topk",
     pyoracle.jl_ivf_quantized_sql,
     doc="JL x IVF x int8 composed ANN top-5 (queries = vec_id < 30, "

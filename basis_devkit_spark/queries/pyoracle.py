@@ -1862,6 +1862,38 @@ def bpe_counts_indexed_sql(num_merges: int = 8) -> str:
     """
 
 
+def tokenized_shuffled_packing_sql(
+    budget: int = 512, salt: int = 42, num_merges: int = 8
+) -> str:
+    """d42: the d40 counts model composed with the d41 hash-order chain
+    — per-doc n_tokens comes from the independent BPE tokenization
+    model (not the whitespace stand-in), layout order from the same
+    signed-xxhash64(doc_id, salt) rank table. The chained oracle is
+    literally the composition of the two proven models."""
+    counts = {d: n for d, n, _ in bpe_tokens_model(oracle_sf_dir(), num_merges)}
+    keyed = sorted(
+        (to_signed(xxh64_long(salt, xxh64_long(i, 42))), i) for i in counts
+    )
+    vals = ", ".join(
+        f"({i}, {rk}, {counts[i]})" for rk, (_, i) in enumerate(keyed)
+    )
+    return f"""
+    with ord(doc_id, rk, n_tokens) as (values {vals}),
+    c as (
+      select cast(doc_id as bigint) as doc_id,
+             cast(n_tokens as bigint) as n_bpe_tokens,
+             cast(coalesce(sum(n_tokens) over (order by rk
+                     rows between unbounded preceding and 1 preceding),
+                   0) as bigint) as cb
+      from ord
+    )
+    select doc_id, n_bpe_tokens,
+           cast(floor(cb / {budget}.0) as bigint) as seq_id,
+           cast(cb % {budget} as bigint) as seq_offset
+    from c
+    """
+
+
 def shuffled_packing_sql(budget: int = 512, salt: int = 42) -> str:
     # Deterministic shuffle order: rank by signed xxhash64(doc_id, salt)
     # with doc_id tie-break — the exact two-column hash chain Spark's

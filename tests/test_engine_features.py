@@ -887,6 +887,34 @@ def test_pretrain_pipeline_example_app(spark, tmp_path):
         tok.agg(F.sum("n_bpe_tokens")).collect()[0][0]
     )
     assert packed.filter(F.col("chunk_id") < 0).count() == 0
+    # the layout is the HASH-SHUFFLED one over BPE counts (shuffle=true
+    # default): byte-identical to sequence_pack_shuffled on the
+    # tokenize stage's output, and genuinely different from id order
+    from basis_devkit_spark.operators.text import sequence_pack_shuffled
+
+    expect = (
+        sequence_pack_shuffled(
+            tok, budget=512, id_col="doc_id", n_tokens_col="n_bpe_tokens"
+        )
+        .groupBy(F.col("seq_id").alias("chunk_id"))
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("total_tokens"),
+            F.min("doc_id").alias("first_doc"),
+            F.max("doc_id").alias("last_doc"),
+        )
+    )
+    key = lambda df: sorted(tuple(r) for r in df.collect())
+    assert key(packed) == key(expect)
+    # in id order, chunks partition the sorted id line: every chunk's
+    # [first_doc, last_doc] ranges are disjoint. The shuffled layout
+    # interleaves them — assert at least one overlap exists.
+    ranges = sorted(
+        (r["first_doc"], r["last_doc"]) for r in packed.collect()
+    )
+    assert any(
+        ranges[i][1] > ranges[i + 1][0] for i in range(len(ranges) - 1)
+    ), "packed layout looks like id order, expected hash-shuffled"
 
 
 def test_event_analytics_example_app(spark, tmp_path):
