@@ -1595,7 +1595,35 @@ def jl_ivf_quantized_topk(
     candidate set is exactly modelable (pyoracle.jl_ivf_candidates),
     only the rescore needs the round-before-rank rule. Pass persisted
     ``centroids``/``quant`` (both bounded: nlist rows / out_dim rows)
-    for the build-once/query-many path."""
+    for the build-once/query-many path.
+
+    **When to choose d38 vs d20 vs d29 — measured guidance**
+    (``tools/r11_probes.py jl_structured``; recall@5, nlist=8,
+    nprobe=4, 64-d corpus):
+
+    ========================  =========================  ==============
+    fixture                   d38 (out_dim=16)           d20 (no JL)
+    ========================  =========================  ==============
+    16 planted clusters       0.747 @ refine=16,         0.840 / 0.993
+    (intrinsic dim ≈ 16 —     **0.993 @ refine=32**      @ refine=16/32
+    real-corpus shape)
+    i.i.d. random (worst      0.540 @ refine=16,         0.700 (refine-
+    case: no structure)       0.727 @ refine=32          insensitive)
+    ========================  =========================  ==============
+
+    Rule of thumb: choose d38 when the corpus has LOW INTRINSIC
+    DIMENSION (clustered/manifold real embeddings) and coarse-scan
+    bytes dominate — set ``out_dim`` ≥ the intrinsic dimension (16 for
+    typical topic/language cluster structure) and ``refine`` ≈ 2× what
+    d20 needs; at those defaults d38 matched d20's 0.993 recall at 1/4
+    the coarse bytes. Choose d20 when vectors are near-isotropic (JL
+    to 16-d then discards real neighbor information — recall caps well
+    below d20 at any refine) or when ``dim`` is already small. Choose
+    d29 (PQ) when even int8-per-dim coarse bytes are too wide and a
+    trained codebook is acceptable. Recall floor gated on the
+    structured fixture in
+    ``test_jl_ivf_topk_recall_on_structured_fixture`` (≥0.9 at the
+    guidance defaults)."""
     from basis_devkit_spark.operators.embeddings import jl_project
 
     def reduced(df: DataFrame, out_id: str) -> DataFrame:

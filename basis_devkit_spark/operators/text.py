@@ -1064,6 +1064,79 @@ def sequence_pack_shuffled(
     )
 
 
+def sequence_pack_append(
+    new_docs: DataFrame,
+    budget: int,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_tokens_col: str | None = None,
+    cursor_tokens: int = 0,
+) -> DataFrame:
+    """Incremental :func:`sequence_pack` for APPEND-ONLY corpora: lay
+    out ONLY the new batch, continuing the global token stream from
+    ``cursor_tokens`` (the total token count already packed). Every
+    other ``sequence_pack*`` form is a global prefix — any new crawl
+    batch forces a full repack; this closes the streaming story for the
+    last batch-only pretrain stage: per batch, one batch-sized prefix
+    (the same two-pass bucketed pattern, over batch rows only) plus a
+    constant added in, and the emitted ``(id, n_tokens, seq_id,
+    seq_offset)`` rows are BYTE-IDENTICAL to what a one-shot pack of
+    the concatenated corpus (prior docs first, then this batch in
+    ``id_col`` order) assigns these docs — seq ids and offsets are pure
+    functions of the absolute cumulative count, so packed history never
+    needs rewriting and never needs re-reading.
+
+    The cursor after this batch is ``cursor_tokens + sum(n_tokens)``;
+    :func:`sequence_pack_state` derives the persistable one-row state
+    relation from this function's output. 100 TB: cost per batch is
+    batch-sized, not corpus-sized — the whole point."""
+    if n_tokens_col is not None:
+        ntok = F.col(n_tokens_col).cast("long")
+    else:
+        ntok = F.size(
+            F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+        ).cast("long")
+    d = new_docs.select(F.col(id_col), ntok.alias("n_tokens"))
+    d = exclusive_prefix_sum(d, id_col, "n_tokens", "__cum_in_batch")
+    cum = F.col("__cum_in_batch") + F.lit(int(cursor_tokens)).cast("long")
+    return d.select(
+        id_col,
+        "n_tokens",
+        F.floor(cum / budget).cast("long").alias("seq_id"),
+        F.pmod(cum, F.lit(budget)).cast("long").alias("seq_offset"),
+    )
+
+
+def sequence_pack_state(
+    layout: DataFrame, budget: int, cursor_tokens: int = 0
+) -> DataFrame:
+    """One-row pack-cursor state relation ``(state_id, total_tokens,
+    last_seq_id, last_seq_offset)`` after the batch laid out by
+    :func:`sequence_pack_append` — the frame a streaming pack persists
+    per micro-batch (exactly-once via the store's batch-id idempotent
+    upsert on ``state_id``) so the NEXT batch starts from a one-row
+    read instead of an aggregate over all packed history.
+    ``cursor_tokens`` is the pre-batch cursor (returned unchanged when
+    the batch is empty). One bounded agg over batch rows only."""
+    total = F.coalesce(
+        F.max(
+            F.col("seq_id") * budget + F.col("seq_offset")
+            + F.col("n_tokens")
+        ),
+        F.lit(int(cursor_tokens)).cast("long"),
+    )
+    return layout.agg(total.alias("total_tokens")).select(
+        F.lit(0).alias("state_id"),
+        F.col("total_tokens").cast("long"),
+        F.expr(f"total_tokens div {int(budget)}").cast("long").alias(
+            "last_seq_id"
+        ),
+        F.pmod(F.col("total_tokens"), F.lit(int(budget)))
+        .cast("long")
+        .alias("last_seq_offset"),
+    )
+
+
 # Patterns for the COUNTED redaction variant (redact_pii_counted) — the
 # classic redact_pii above keeps its original 3-category list for the
 # d04i oracle; this list adds IPv4 and per-category counting. Same regex

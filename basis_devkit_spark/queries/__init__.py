@@ -107,8 +107,10 @@ _SAMPLE_PRIORITY = [
     # tests/test_inventory_imports.py now asserts every c*/d* query
     # appears here.
     # -- r11 front block: d42 chains d40 counts into d41 shuffled
-    # packing (the flagship example's packing stage).
+    # packing (the flagship example's packing stage); c23 streams
+    # incremental packing from a persisted one-row cursor.
     "d42_tokenized_shuffled_packing",
+    "c23_stream_incremental_packing",
     "c17_stream_hist_maintenance",
     "d37_bpe_indexed_tokens",
     "d38_jl_ivf_quantized_topk",

@@ -4905,3 +4905,89 @@ def c22(spark: SparkSession, sf: str) -> DataFrame:
     finally:
         q.stop()
     return store.read().select("doc_id", "n_bpe_tokens")
+
+
+@register(
+    "c23_stream_incremental_packing",
+    """
+    with t as (
+      select doc_id,
+             cast(len(regexp_split_to_array(lower(trim(text)), '\\s+'))
+               as bigint) as n_tokens
+      from documents
+    ), c as (
+      select doc_id, n_tokens,
+             cast(coalesce(sum(n_tokens) over (order by doc_id
+                     rows between unbounded preceding and 1 preceding),
+                   0) as bigint) as cb
+      from t
+    )
+    select doc_id, n_tokens,
+           cast(floor(cb / 512.0) as bigint) as seq_id,
+           cast(cb % 512 as bigint) as seq_offset
+    from c
+    """,
+    doc="incremental sequence packing for append-only corpora (r10 "
+    "verdict task 6) — the streaming completion of the LAST batch-only "
+    "pretrain stage: documents arrive as TWO id-ordered micro-batches; "
+    "each batch is laid out by sequence_pack_append starting from the "
+    "PERSISTED one-row pack cursor (state store: total_tokens / "
+    "last_seq_id / last_seq_offset), layout rows upsert exactly-once "
+    "keyed by doc_id, and the streamed result must equal the ONE-SHOT "
+    "d11-style pack of the concatenated corpus byte-for-byte (seq "
+    "ids/offsets are pure functions of the absolute cumulative count). "
+    "100 TB: per-batch cost is batch-sized — one batch prefix + a "
+    "one-row state read/write; packed history is never re-read, never "
+    "rewritten",
+)
+def c23(spark: SparkSession, sf: str) -> DataFrame:
+    import glob as _glob
+    import os as _os
+    import shutil as _shutil
+    import tempfile as _tf
+
+    from basis_devkit_spark.storage.store import TableStore
+    from basis_devkit_spark.streaming.ops import stream_pack_append_to_store
+
+    docs = load(spark, sf, "documents")
+    half = docs.count() // 2
+
+    tmp = _tf.mkdtemp(prefix="bds_c23_")
+    drop = _os.path.join(tmp, "drop")
+    _os.makedirs(drop, exist_ok=True)
+    # id-RANGE batches (not id-parity): arrival order == global id
+    # order, so the one-shot oracle is the plain d11 prefix
+    for i, (tag, cond) in enumerate(
+        (("a", F.col("doc_id") < half), ("b", F.col("doc_id") >= half))
+    ):
+        part_dir = _os.path.join(tmp, f"part_{tag}")
+        docs.filter(cond).coalesce(1).write.parquet(part_dir)
+        src_f = _glob.glob(_os.path.join(part_dir, "part-*.parquet"))[0]
+        dst = _os.path.join(drop, f"{tag}.parquet")
+        _shutil.copy(src_f, dst)
+        # pin mtimes so the file source's batch order IS arrival order
+        _os.utime(dst, (1_700_000_000 + i, 1_700_000_000 + i))
+    raw_schema = spark.read.parquet(_os.path.join(drop, "a.parquet")).schema
+
+    layout_store = TableStore(tmp, "packed", spark)
+    layout_store.configure(unique_on="doc_id")
+    state_store = TableStore(tmp, "pack_state", spark)
+    state_store.configure(unique_on="state_id")
+    stream = (
+        spark.readStream.schema(raw_schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(drop)
+    )
+    q = stream_pack_append_to_store(
+        stream, layout_store, state_store, f"{tmp}/_ckpt", budget=512
+    ).start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return layout_store.read().select(
+        "doc_id",
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        "seq_id",
+        "seq_offset",
+    )

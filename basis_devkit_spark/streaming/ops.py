@@ -346,3 +346,94 @@ def stream_merge_to_store(
     if trigger_seconds is not None:
         w = w.trigger(processingTime=f"{trigger_seconds} seconds")
     return w
+
+
+def stream_pack_append_to_store(
+    df: DataFrame,
+    layout_store,
+    state_store,
+    checkpoint_dir: str,
+    budget: int,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_tokens_col: str | None = None,
+    trigger_seconds: int | None = None,
+):
+    """Exactly-once INCREMENTAL sequence packing (c23) — the streaming
+    completion of the last batch-only pretrain stage: every other
+    ``sequence_pack*`` form is a global prefix over the whole corpus,
+    so a new crawl batch forces a full repack; here each micro-batch is
+    laid out by ``operators.text.sequence_pack_append`` starting from
+    the PERSISTED pack cursor (``state_store``: one row —
+    (state_id, total_tokens, last_seq_id, last_seq_offset)), so the
+    per-batch cost is batch-sized and packed history is never re-read
+    and never rewritten (seq ids/offsets are pure functions of the
+    absolute cumulative token count).
+
+    Exactly-once: both stores use the batch-id idempotent
+    ``upsert_stream_batch`` contract (``layout_store`` keyed on
+    ``id_col``, ``state_store`` on ``state_id``). The layout commit
+    happens FIRST; on a crash between the two commits the replay
+    recomputes the same layout from the still-pre-batch cursor, the
+    layout store skips it (batch id already stamped), and only the
+    state commit applies — the pair converges without a cross-store
+    transaction. Two-batch == one-shot byte parity is the c23 oracle."""
+    def _write(batch_df: DataFrame, batch_id: int) -> None:
+        pack_append_batch(
+            layout_store, state_store, batch_df, batch_id, budget,
+            id_col=id_col, text_col=text_col, n_tokens_col=n_tokens_col,
+        )
+
+    w = df.writeStream.foreachBatch(_write).option(
+        "checkpointLocation", checkpoint_dir
+    ).outputMode("update")
+    if trigger_seconds is not None:
+        w = w.trigger(processingTime=f"{trigger_seconds} seconds")
+    return w
+
+
+def pack_append_batch(
+    layout_store,
+    state_store,
+    batch_df: DataFrame,
+    batch_id: int,
+    budget: int,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_tokens_col: str | None = None,
+) -> None:
+    """One micro-batch of the incremental pack —
+    :func:`stream_pack_append_to_store`'s foreachBatch body, public so
+    the crash/replay contract is directly testable: read the pre-batch
+    cursor (one state row), lay out the batch from it, commit layout
+    then state, each under the store's batch-id idempotency. Replays of
+    a fully-committed batch are no-ops in both stores; a replay after a
+    crash BETWEEN the commits recomputes the identical layout from the
+    still-pre-batch cursor, the layout store skips it, and only the
+    state commit applies."""
+    from basis_devkit_spark.operators.lineage import release_plan_blocks
+    from basis_devkit_spark.operators.text import (
+        sequence_pack_append,
+        sequence_pack_state,
+    )
+
+    cursor = 0
+    if state_store.has_active_version():
+        row = state_store.read().collect()  # one row by construction
+        if row:
+            cursor = int(row[0]["total_tokens"])
+    layout = sequence_pack_append(
+        batch_df, budget, id_col=id_col, text_col=text_col,
+        n_tokens_col=n_tokens_col, cursor_tokens=cursor,
+    ).localCheckpoint(eager=True)
+    # materialized once: the layout upsert and the state agg must see
+    # the SAME rows, and the lineage must not re-read the micro-batch
+    # source after it advances
+    try:
+        layout_store.upsert_stream_batch(layout, batch_id)
+        state_store.upsert_stream_batch(
+            sequence_pack_state(layout, budget, cursor_tokens=cursor),
+            batch_id,
+        )
+    finally:
+        release_plan_blocks(layout)

@@ -2101,6 +2101,52 @@ def test_sequence_pack_matches_bruteforce(spark):
     assert got == want
 
 
+def test_sequence_pack_append_equals_one_shot(spark):
+    """c23 batch semantics: laying out the corpus in N successive
+    batches (each continuing from the prior cursor) is byte-identical
+    to the one-shot sequence_pack over the concatenation, the state
+    helper reports the exact cursor after each batch, and an empty
+    batch leaves the cursor unchanged."""
+    from pyspark.sql import functions as F
+
+    from basis_devkit_spark.operators.text import (
+        sequence_pack,
+        sequence_pack_append,
+        sequence_pack_state,
+    )
+
+    docs = [
+        (0, "a b c"), (3, "d e f g h"), (7, "i j"),
+        (8, "k l m n o p q r"), (12, "s"), (15, "t u v w"),
+    ]
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    one_shot = {
+        r["doc_id"]: (r["n_tokens"], r["seq_id"], r["seq_offset"])
+        for r in sequence_pack(df, budget=8).collect()
+    }
+    cursor = 0
+    got = {}
+    for lo, hi in ((0, 8), (8, 13), (13, 99)):
+        batch = df.filter((F.col("doc_id") >= lo) & (F.col("doc_id") < hi))
+        layout = sequence_pack_append(batch, 8, cursor_tokens=cursor)
+        for r in layout.collect():
+            got[r["doc_id"]] = (r["n_tokens"], r["seq_id"], r["seq_offset"])
+        st = sequence_pack_state(layout, 8, cursor_tokens=cursor).collect()[0]
+        assert st["total_tokens"] == cursor + sum(
+            len(t.split()) for i, t in docs if lo <= i < hi
+        )
+        assert st["last_seq_id"] == st["total_tokens"] // 8
+        assert st["last_seq_offset"] == st["total_tokens"] % 8
+        cursor = int(st["total_tokens"])
+    assert got == one_shot
+    # empty batch: layout empty, cursor unchanged
+    empty = df.filter(F.col("doc_id") < 0)
+    layout = sequence_pack_append(empty, 8, cursor_tokens=cursor)
+    assert layout.count() == 0
+    st = sequence_pack_state(layout, 8, cursor_tokens=cursor).collect()[0]
+    assert st["total_tokens"] == cursor
+
+
 def test_redact_pii_counted_handcomputed(spark):
     from basis_devkit_spark.operators.text import redact_pii_counted
 
@@ -2673,6 +2719,60 @@ def test_ivf_quantized_topk_plan_shape(spark, emb):
     assert "BroadcastHashJoin" in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+def _clustered_embeddings(spark, n=2000, dim=64, n_centers=16, noise=0.25,
+                          seed=11):
+    """Planted-cluster fixture (mirror of tools/r11_probes.py): points
+    live near n_centers Gaussian centers — intrinsic dimension ≈
+    n_centers ≪ dim, the manifold shape real embedding corpora have and
+    the shipped random vectors lack."""
+    import random as _random
+
+    rng = _random.Random(seed)
+    centers = [
+        [rng.gauss(0, 1.0) for _ in range(dim)] for _ in range(n_centers)
+    ]
+    rows = [
+        (i, [c + rng.gauss(0, noise) for c in centers[i % n_centers]])
+        for i in range(n)
+    ]
+    return spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>"
+    ).repartition(16)
+
+
+def test_jl_ivf_topk_recall_on_structured_fixture(spark):
+    """d38's production-recommendation evidence (r10 verdict task 2):
+    on embeddings WITH low-dimensional structure (16 planted clusters
+    in 64-d — the manifold shape real corpora have), the composed
+    JL x IVF x int8 pass at the guidance defaults (out_dim=16,
+    refine=32) recovers >= 0.9 of the exact top-5 — measured 0.993,
+    EQUAL to d20 (no JL) at the same refine while touching 4x fewer
+    coarse bytes per row. The shipped random sf* vectors are the
+    documented JL worst case (probe: tools/r11_probes.py
+    jl_structured; guidance table in the operator docstring)."""
+    from pyspark.sql import functions as F
+
+    from basis_devkit_spark.operators.similarity import (
+        brute_force_topk,
+        jl_ivf_quantized_topk,
+    )
+
+    emb = _clustered_embeddings(spark).persist()
+    q = emb.filter(F.col("vec_id") < 30)
+    exact = {
+        (r["query_id"], r["match_id"])
+        for r in brute_force_topk(q, emb, k=5).collect()
+    }
+    got = {
+        (r["query_id"], r["match_id"])
+        for r in jl_ivf_quantized_topk(
+            q, emb, k=5, out_dim=16, nlist=8, nprobe=4, refine=32
+        ).collect()
+    }
+    emb.unpersist()
+    assert len(got & exact) / len(exact) >= 0.9
 
 
 def test_quantize_codes_dimension_mismatch_raises(spark, emb):

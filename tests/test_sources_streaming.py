@@ -433,3 +433,66 @@ def test_stream_pagerank_maintenance_equals_one_shot(spark):
         .collect()
     }
     assert streamed == one_shot and len(streamed) > 0
+
+
+def test_pack_append_batch_two_store_crash_replay(spark, tmp_path):
+    """c23's two-store exactly-once contract, exercised directly on the
+    foreachBatch body: (1) batches accumulate layout + a one-row cursor
+    that matches the one-shot pack; (2) replaying a fully-committed
+    batch id is a no-op in BOTH stores; (3) a crash BETWEEN the layout
+    and state commits (layout stamped, state not) converges on replay —
+    the identical layout is recomputed from the still-pre-batch cursor,
+    the layout store skips it, the state commit applies."""
+    from pyspark.sql import functions as F
+
+    from basis_devkit_spark.operators.text import sequence_pack
+    from basis_devkit_spark.storage.store import TableStore
+    from basis_devkit_spark.streaming.ops import pack_append_batch
+
+    docs = [(i, " ".join(["w"] * (3 + i % 5))) for i in range(20)]
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+
+    layout_store = TableStore(str(tmp_path / "root"), "packed", spark)
+    layout_store.configure(unique_on="doc_id")
+    state_store = TableStore(str(tmp_path / "root"), "pack_state", spark)
+    state_store.configure(unique_on="state_id")
+
+    b1 = df.filter(F.col("doc_id") < 10)
+    b2 = df.filter(F.col("doc_id") >= 10)
+    pack_append_batch(layout_store, state_store, b1, 0, budget=8)
+    cursor_after_b1 = state_store.read().collect()[0]["total_tokens"]
+    assert cursor_after_b1 == sum(3 + i % 5 for i in range(10))
+
+    # (3) crash between commits: run batch 1's layout commit, then
+    # "crash" before state — simulate by replaying batch id 1 after a
+    # manual layout-only commit
+    from basis_devkit_spark.operators.text import (
+        sequence_pack_append,
+    )
+
+    partial = sequence_pack_append(
+        b2, 8, cursor_tokens=int(cursor_after_b1)
+    )
+    layout_store.upsert_stream_batch(partial, 1)  # layout stamped
+    assert state_store.read().collect()[0]["total_tokens"] == cursor_after_b1
+    # replay of batch 1 (restart): layout skipped, state converges
+    pack_append_batch(layout_store, state_store, b2, 1, budget=8)
+    total = sum(3 + i % 5 for i in range(20))
+    assert state_store.read().collect()[0]["total_tokens"] == total
+
+    # (1) streamed layout == one-shot pack of the concatenation
+    key = lambda rows: sorted(
+        (r["doc_id"], r["n_tokens"], r["seq_id"], r["seq_offset"])
+        for r in rows
+    )
+    assert key(layout_store.read().collect()) == key(
+        sequence_pack(df, budget=8).collect()
+    )
+
+    # (2) full replay of a committed batch id: no-op in both stores
+    lv, sv = layout_store.get_active_version(), state_store.get_active_version()
+    pack_append_batch(layout_store, state_store, b2, 1, budget=8)
+    assert layout_store.get_active_version() == lv
+    assert state_store.get_active_version() == sv
+    st = state_store.read().collect()
+    assert len(st) == 1 and st[0]["total_tokens"] == total
