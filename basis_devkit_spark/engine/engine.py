@@ -90,6 +90,43 @@ class Engine:
     def graph_store_names(self) -> set[str]:
         return self.graph.store_names() if self.graph else set()
 
+    # ---------------- build-once artifacts ----------------
+    def artifact_store_names(self) -> set[str]:
+        """Stores declared ``artifact: true`` in graph.yml — build-once
+        operator artifacts (merge tables, vocabularies, centroids,
+        quantizer stats, codebooks, index cells)."""
+        if self.graph is None:
+            return set()
+        return {s.name for s in self.graph.stores if s.artifact}
+
+    def _is_fit_node(self, node) -> bool:
+        """A FIT node writes ONLY artifact stores — the build-once
+        producer run_graph skips once its artifacts exist. A node that
+        also writes a regular table is NOT a fit node (its table output
+        must stay fresh)."""
+        arts = self.artifact_store_names()
+        outs = set(node.outputs.values())
+        return bool(outs) and outs <= arts
+
+    def _artifacts_built(self, node) -> bool:
+        return all(
+            self.store(s).has_active_version()
+            for s in node.outputs.values()
+        )
+
+    def artifact_usage(self) -> dict[str, list[str]]:
+        """node id -> the artifact stores it READS (graph wiring, no
+        plan compilation) — the inspection surface that shows which
+        queries consume which build-once artifact; producers appear via
+        their outputs in ``graph.yml`` itself."""
+        arts = self.artifact_store_names()
+        out: dict[str, list[str]] = {}
+        for n in self.graph.functions if self.graph else []:
+            used = sorted(set(n.inputs.values()) & arts)
+            if used:
+                out[n.id] = used
+        return out
+
     # ---------------- stores ----------------
     def store(self, name: str) -> TableStore:
         if name not in self._stores:
@@ -234,18 +271,23 @@ class Engine:
         plan-inspection surface (``cli explain``). Python nodes have no
         static plan; returns their file path instead."""
         node = self._node_by_id_or_name(key)
+        arts = sorted(
+            set(node.inputs.values()) & self.artifact_store_names()
+        )
+        extra = {"artifacts": ", ".join(arts)} if arts else {}
         if not (node.node_file or "").endswith(".sql"):
             return {
                 "node": node.id or key,
                 "kind": "python" if node.node_file else (node.kind or "other"),
                 "note": "no static plan (not a SQL node)",
+                **extra,
             }
         rendered = self._render_sql_node(node)
         df = self.spark.sql(rendered)
         plan = df._sc._jvm.PythonSQLUtils.explainString(
             df._jdf.queryExecution(), mode
         )
-        return {"node": node.id or key, "sql": rendered, "plan": plan}
+        return {"node": node.id or key, "sql": rendered, "plan": plan, **extra}
 
     def _run_sql_node(self, ctx: ExecutionContext, node: NodeSpec) -> None:
         rendered = self._render_sql_node(node)
@@ -431,11 +473,29 @@ class Engine:
                 reruns[node.id] += 1
                 rerun_queue.append(node)
 
+        def _skip_built_fit(node: NodeSpec) -> bool:
+            # build-once artifact producer with all artifacts present:
+            # skipped — the refit-free run never rescans raw history.
+            # Refit paths: explicit run_node()/trigger(), or a streaming
+            # maintainer (c21-style) keeping the artifact fresh.
+            if self._is_fit_node(node) and self._artifacts_built(node):
+                self._run_log.append(
+                    {
+                        "node": node.id,
+                        "kind": node.kind,
+                        "seconds": 0.0,
+                        "signals": {},
+                        "skipped": "artifact built",
+                    }
+                )
+                return True
+            return False
+
         if parallelism <= 1:
             queue = deque(self.topo_order())
             while queue:
                 node = queue.popleft()
-                if node.kind == "webhook":
+                if node.kind == "webhook" or _skip_built_fit(node):
                     continue
                 ctx = self.run_node(node)
                 _after(node, ctx)
@@ -446,7 +506,11 @@ class Engine:
         from concurrent.futures import ThreadPoolExecutor
 
         for level in self.topo_levels():
-            runnable = [n for n in level if n.kind != "webhook"]
+            runnable = [
+                n
+                for n in level
+                if n.kind != "webhook" and not _skip_built_fit(n)
+            ]
             # Split into waves with disjoint output stores.
             waves: list[list[NodeSpec]] = []
             for n in runnable:

@@ -49,6 +49,14 @@ class StoreSpec(BaseModel):
     created_ordering: Optional[str] = None
     # Governance: reject schema drift on writes instead of evolving.
     strict_schema: Optional[bool] = None
+    # Build-once operator artifact (BPE merge table / tokenized vocab,
+    # IVF centroids, quantizer stats, PQ codebooks, ANN index cells —
+    # what the c14/c15/c20-c22 streaming maintainers keep fresh): a
+    # node whose outputs are ALL artifact stores is a FIT node and is
+    # skipped by run_graph once its artifacts exist (refit = explicit
+    # run_node/trigger, or a streaming maintainer). Engine.artifact_
+    # usage() / explain_node report which nodes read which artifact.
+    artifact: Optional[bool] = None
 
     model_config = {"populate_by_name": True}
 

@@ -28,6 +28,8 @@ equivalent as a first-class relational operator.
 
 from __future__ import annotations
 
+import logging
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -37,6 +39,40 @@ from .lineage import release_plan_blocks
 #: can distinguish word-final subwords ("est</w>" vs "est") — the
 #: standard Sennrich formulation.
 EOW = "</w>"
+
+#: Auto-sizing threshold for the vocabulary join in the indexed apply
+#: forms: vocabularies at or below this many rows broadcast (a (word,
+#: subwords) row is ~100 B, so 2M rows ≈ 200 MB — inside a healthy
+#: executor broadcast budget); bigger ones go to AQE's shuffled hash
+#: join. Callers can still force either path with ``broadcast_vocab``.
+BROADCAST_VOCAB_MAX_ROWS = 2_000_000
+
+
+def _vocab_join_broadcasts(
+    vocab: DataFrame, broadcast_vocab: bool | None
+) -> bool:
+    """Resolve the vocab-join strategy: an explicit ``broadcast_vocab``
+    wins; otherwise size the vocabulary — from ``_bds_row_count`` when
+    the frame came off a managed store (the manifest persists the row
+    count, so no job runs) or one vocabulary-sized count otherwise
+    (cached on the frame object) — and broadcast iff it fits
+    ``BROADCAST_VOCAB_MAX_ROWS``. The choice is logged."""
+    if broadcast_vocab is not None:
+        return bool(broadcast_vocab)
+    rows = getattr(vocab, "_bds_row_count", None)
+    if rows is None:
+        rows = vocab.count()
+        try:
+            vocab._bds_row_count = rows  # type: ignore[attr-defined]
+        except AttributeError:
+            pass
+    choice = rows <= BROADCAST_VOCAB_MAX_ROWS
+    logging.getLogger(__name__).info(
+        "bpe vocab join auto-sized: %d rows -> %s",
+        rows,
+        "broadcast" if choice else "shuffled hash (AQE)",
+    )
+    return choice
 
 
 def _word_weights(corpus: DataFrame, text_col: str) -> DataFrame:
@@ -335,7 +371,7 @@ def bpe_apply_indexed(
     out_col: str = "bpe_tokens",
     id_col: str = "doc_id",
     oov_merge_depth: int = 0,
-    broadcast_vocab: bool = True,
+    broadcast_vocab: bool | None = None,
 ) -> DataFrame:
     """Vocabulary-scale tokenization: join each document's words against
     the precomputed ``(word, subwords)`` vocabulary relation instead of
@@ -346,11 +382,12 @@ def bpe_apply_indexed(
     merges live in the vocab relation's data, not the expression tree.
 
     Shape: ``posexplode_outer`` words → hash join the vocabulary
-    (broadcast by default — a 32k-merge vocab's word relation is
-    ~10⁶–10⁷ rows of short strings; pass ``broadcast_vocab=False`` to
-    let AQE pick a shuffled hash join when it is bigger than executor
-    memory allows) → regroup by document with an ``array_sort`` on word
-    position → flatten. Costs one corpus shuffle (the regroup) that
+    (AUTO-SIZED by default: vocabularies ≤ ``BROADCAST_VOCAB_MAX_ROWS``
+    broadcast — the row count comes free from the store manifest when
+    the artifact was persisted, else one vocabulary-sized count — and
+    bigger ones go to AQE's shuffled hash join, the choice logged; pass
+    ``broadcast_vocab=True/False`` to force either) → regroup by
+    document with an ``array_sort`` on word position → flatten. Costs one corpus shuffle (the regroup) that
     :func:`bpe_apply` avoids — the trade: one data-sized shuffle vs a
     vocab-sized expression tree; at 32k merges only this form compiles.
 
@@ -389,7 +426,7 @@ def bpe_apply_indexed(
     voc = vocab.select(
         F.col("word").alias("__w"), F.col("subwords").alias("__sub")
     )
-    if broadcast_vocab:
+    if _vocab_join_broadcasts(vocab, broadcast_vocab):
         voc = F.broadcast(voc)
     j = ex.join(voc, "__w", "left")
     oov = F.concat(F.split(F.col("__w"), ""), F.array(F.lit(EOW)))
@@ -425,7 +462,7 @@ def bpe_token_counts_indexed(
     out_col: str = "n_bpe_tokens",
     id_col: str = "doc_id",
     oov_merge_depth: int = 0,
-    broadcast_vocab: bool = True,
+    broadcast_vocab: bool | None = None,
 ) -> DataFrame:
     """Exact per-document subword COUNTS against the tokenized
     vocabulary — the packing-path shortcut: when downstream needs only
@@ -461,7 +498,7 @@ def bpe_token_counts_indexed(
         F.col("word").alias("__w"),
         F.size("subwords").cast("long").alias("__n"),
     )
-    if broadcast_vocab:
+    if _vocab_join_broadcasts(vocab, broadcast_vocab):
         voc = F.broadcast(voc)
     oov = F.concat(F.split(F.col("__w"), ""), F.array(F.lit(EOW)))
     for left, right in ranked:

@@ -743,7 +743,14 @@ class TableStore:
     def read(self) -> DataFrame:
         if not self.has_active_version():
             raise FileNotFoundError(f"table '{self.name}' has no active version")
-        return self._read_dirs(self._version_dirs(self._manifest.active_version))
+        df = self._read_dirs(self._version_dirs(self._manifest.active_version))
+        # expose the manifest's persisted row count on the frame: size-
+        # aware consumers (e.g. the BPE vocab join auto-sizer) can pick
+        # a join strategy without an extra count job over the artifact
+        rc = self.record_count
+        if rc is not None:
+            df._bds_row_count = rc  # type: ignore[attr-defined]
+        return df
 
     def read_version(self, version: int) -> DataFrame:
         """Time-travel read of any retained version (TableVersion access,

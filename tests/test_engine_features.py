@@ -917,6 +917,59 @@ def test_pretrain_pipeline_example_app(spark, tmp_path):
     ), "packed layout looks like id order, expected hash-shuffled"
 
 
+def test_artifact_stores_build_once_and_refit_free_rerun(spark, tmp_path):
+    """The build-once artifact convention (r10 verdict task 5) at the
+    ENGINE level: graph.yml declares the tokenizer stores
+    ``artifact: true``; the fit node (whose outputs are all artifacts)
+    runs on the first pass, and a re-run SKIPS it — the refit-free run
+    never rescans raw history for the tokenizer (artifact versions
+    untouched). Explicit run_node() remains the refit path, and
+    artifact_usage()/explain_node() report which nodes read which
+    artifact."""
+    from pyspark.sql import functions as F
+
+    eng = Engine(spark, str(tmp_path / "store"))
+    eng.load_graph("examples/pretrain_pipeline")
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    eng.seed_store("documents", docs)
+    eng.seed_store("benchmark_docs", docs.filter(F.col("doc_id") < 5))
+    eng.seed_store(
+        "target_docs", docs.filter(F.col("source").isin("src0", "src1"))
+    )
+    eng.run_graph()
+
+    assert eng.artifact_store_names() == {"bpe_merges", "bpe_vocab"}
+    ran = [
+        e for e in eng.run_log
+        if e["node"] == "tokenizer_fit" and "skipped" not in e
+    ]
+    assert len(ran) == 1  # fit ran once (artifacts absent)
+    vm = eng.store("bpe_merges").get_active_version()
+    vv = eng.store("bpe_vocab").get_active_version()
+    n_tok = eng.table_df("tokenized_docs").count()
+    assert n_tok > 0
+
+    # re-run: the fit is skipped, artifacts untouched; the apply node
+    # still runs off the persisted artifacts (no refit, no raw-history
+    # rescan for the tokenizer)
+    eng.run_graph()
+    skips = [e for e in eng.run_log if e.get("skipped") == "artifact built"]
+    assert [e["node"] for e in skips] == ["tokenizer_fit"]
+    assert eng.store("bpe_merges").get_active_version() == vm
+    assert eng.store("bpe_vocab").get_active_version() == vv
+    assert eng.table_df("tokenized_docs").count() == n_tok
+
+    # inspection surface: consumers of each artifact are declared
+    assert eng.artifact_usage() == {"tokenize": ["bpe_merges", "bpe_vocab"]}
+    ex = eng.explain_node("tokenize")
+    assert ex["artifacts"] == "bpe_merges, bpe_vocab"
+
+    # explicit refit path still works and commits new artifact versions
+    eng.run_node("tokenizer_fit")
+    assert eng.store("bpe_merges").get_active_version() > vm
+    assert eng.store("bpe_vocab").get_active_version() > vv
+
+
 def test_event_analytics_example_app(spark, tmp_path):
     """examples/event_analytics runs end-to-end with python + SQL nodes."""
     from pyspark.sql import functions as F

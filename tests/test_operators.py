@@ -3618,13 +3618,13 @@ def test_bpe_apply_indexed_equals_fold(spark, docs, broadcast_vocab):
         # the escape hatch must not silently re-broadcast: no broadcast
         # hint survives on the vocab side of the word join (AQE may
         # still pick a broadcast join from SIZE stats on this tiny test
-        # vocab, so gate the optimized logical plan's hint, not the
-        # physical operator)
+        # vocab, so gate the optimized logical plan's join hint, not
+        # the physical operator)
         opt = (
             bpe_apply_indexed(d, vocab, mt, broadcast_vocab=False)
             ._jdf.queryExecution().optimizedPlan().toString()
         )
-        assert "ResolvedHint" not in opt
+        assert "strategy=broadcast" not in opt
 
 
 def test_bpe_apply_indexed_oov_and_plan_depth(spark, docs):
@@ -3748,6 +3748,44 @@ def test_bpe_tokenize_words_matches_emitted_vocab(spark, docs):
         ).count()
         == 0
     )
+
+
+def test_bpe_vocab_join_auto_sizing(spark, docs, tmp_path):
+    """r10 verdict task 7: with broadcast_vocab unset, the vocab join
+    strategy comes from the vocabulary's ROW COUNT — at or below
+    BROADCAST_VOCAB_MAX_ROWS the plan keeps the broadcast hint, above
+    it the hint is dropped (AQE's shuffled hash join), with no caller
+    change. A store-read vocab carries the manifest's persisted
+    record_count so the decision costs no count job."""
+    from pyspark.sql import functions as F
+
+    from basis_devkit_spark.operators.bpe import (
+        bpe_learn_merges,
+        bpe_token_counts_indexed,
+    )
+    from basis_devkit_spark.storage.store import TableStore
+
+    mt, vocab = bpe_learn_merges(docs, "text", num_merges=4, emit_vocab=True)
+
+    def has_hint(voc):
+        opt = (
+            bpe_token_counts_indexed(docs, voc, mt)
+            ._jdf.queryExecution().optimizedPlan().toString()
+        )
+        return "strategy=broadcast" in opt
+
+    # small vocab (auto -> count once, cached) broadcasts
+    assert has_hint(vocab)
+    assert getattr(vocab, "_bds_row_count", None) == vocab.count()
+    # same vocab claimed huge -> shuffled path, no caller change
+    vocab._bds_row_count = 10_000_001
+    assert not has_hint(vocab)
+    # store round-trip: read() exposes the persisted record_count
+    store = TableStore(str(tmp_path / "root"), "vocab", spark)
+    store.write_replace(vocab)
+    off_store = store.read()
+    assert getattr(off_store, "_bds_row_count", None) == vocab.count()
+    assert has_hint(off_store)
 
 
 def test_release_tokenizer_vocab_drops_pinned_blocks(spark, docs):

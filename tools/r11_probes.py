@@ -141,9 +141,83 @@ def probe_jl_structured() -> dict:
     return out
 
 
+def probe_pack_append() -> dict:
+    """c23's scale claim with data: appending a new crawl batch to an
+    already-packed corpus costs BATCH-sized work (one batch prefix +
+    a one-row cursor read), while the only alternative before r11 —
+    full repack — costs CORPUS-sized work that grows with history.
+    Measured as layout-compute wall (collect of the layout rows) for a
+    fixed 5k-doc batch arriving on top of growing packed history."""
+    from pyspark.sql import functions as F
+
+    from basis_devkit_spark.operators.text import (
+        sequence_pack,
+        sequence_pack_append,
+    )
+
+    spark = _spark()
+    rng = random.Random(3)
+    batch_n = 5_000
+
+    def corpus(n, start=0):
+        rows = [
+            (i, " ".join("w%d" % rng.randint(0, 500) for _ in range(60)))
+            for i in range(start, start + n)
+        ]
+        return spark.createDataFrame(
+            rows, "doc_id long, text string"
+        ).repartition(32)
+
+    out = {"batch_docs": batch_n, "points": []}
+    for hist_n in (20_000, 80_000, 320_000):
+        hist = corpus(hist_n).persist()
+        cursor = (
+            sequence_pack(hist, budget=2048)
+            .agg(
+                F.max(
+                    F.col("seq_id") * 2048 + F.col("seq_offset")
+                    + F.col("n_tokens")
+                )
+            )
+            .collect()[0][0]
+        )
+        batch = corpus(batch_n, start=hist_n).persist()
+        batch.count()
+
+        def force(layout):
+            # count() alone lets Catalyst prune the whole prefix
+            # computation; aggregate the COMPUTED columns instead
+            r = layout.agg(
+                F.count(F.lit(1)), F.max("seq_id"), F.sum("seq_offset")
+            ).collect()[0]
+            return int(r[0])
+
+        t0 = time.monotonic()
+        n_inc = force(
+            sequence_pack_append(batch, 2048, cursor_tokens=int(cursor))
+        )
+        inc_s = time.monotonic() - t0
+        full = hist.unionByName(batch)
+        t0 = time.monotonic()
+        n_full = force(sequence_pack(full, budget=2048))
+        full_s = time.monotonic() - t0
+        hist.unpersist()
+        batch.unpersist()
+        assert n_inc == batch_n and n_full == hist_n + batch_n
+        out["points"].append(
+            {
+                "history_docs": hist_n,
+                "append_s": round(inc_s, 2),
+                "full_repack_s": round(full_s, 2),
+            }
+        )
+    return out
+
+
 if __name__ == "__main__":
     which = sys.argv[1] if len(sys.argv) > 1 else "jl_structured"
     fn = {
         "jl_structured": probe_jl_structured,
+        "pack_append": probe_pack_append,
     }[which]
     print(json.dumps({which: fn()}, indent=2))
