@@ -307,6 +307,27 @@ def bpe_apply(
     )
 
 
+def bpe_decode(
+    df: DataFrame,
+    tokens_col: str = "bpe_tokens",
+    out_col: str = "text_decoded",
+) -> DataFrame:
+    """Inverse of the apply path over NORMALIZED text: concatenate the
+    subword stream and turn each end-of-word marker back into one
+    space. For any merge table,
+    ``bpe_decode(bpe_apply*(df)) == trim(regexp_replace(lower(text),
+    '\\s+', ' '))`` — BPE merges only regroup characters, they never
+    create or destroy them, so tokenization is LOSSLESS up to the
+    whitespace/lowercase normalization the word split applies. The d43
+    oracle states exactly that invariant (the oracle never runs the
+    tokenizer — losslessness means the round trip is derivable from the
+    input alone). Pure projection: no shuffle, no UDF."""
+    joined = F.array_join(F.col(tokens_col), "")
+    return df.withColumn(
+        out_col, F.trim(F.replace(joined, F.lit(EOW), F.lit(" ")))
+    )
+
+
 def bpe_tokenize_words(
     words: DataFrame,
     merges: DataFrame,

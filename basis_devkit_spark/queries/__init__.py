@@ -111,6 +111,8 @@ _SAMPLE_PRIORITY = [
     # incremental packing from a persisted one-row cursor.
     "d42_tokenized_shuffled_packing",
     "c23_stream_incremental_packing",
+    "c24_stream_tokenize_pack",
+    "d43_bpe_roundtrip",
     "c17_stream_hist_maintenance",
     "d37_bpe_indexed_tokens",
     "d38_jl_ivf_quantized_topk",

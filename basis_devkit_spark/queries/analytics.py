@@ -4991,3 +4991,111 @@ def c23(spark: SparkSession, sf: str) -> DataFrame:
         "seq_id",
         "seq_offset",
     )
+
+
+@register(
+    "c24_stream_tokenize_pack",
+    pyoracle.bpe_packing_sql_512,
+    doc="the COMPLETE streaming pretrain tail — c22's tokenize-on-"
+    "ingest chained into c23's incremental packing in ONE exactly-once "
+    "sink: document micro-batches tokenize on arrival against FIXED "
+    "tokenizer artifacts (bpe_token_counts_indexed — a pure per-doc "
+    "function, so replays prepare identically) and the real subword "
+    "counts feed sequence_pack_append from the persisted one-row "
+    "cursor; the streamed layout must equal the one-shot d31-style "
+    "pack (BPE counts model + d11 prefix, budget 512) byte-for-byte. "
+    "With c21 (vocab maintenance) this closes the loop: every stage "
+    "of tokenizer fit -> apply -> pack now runs incrementally with "
+    "batch-sized cost and no raw-history rescans",
+)
+def c24(spark: SparkSession, sf: str) -> DataFrame:
+    import glob as _glob
+    import os as _os
+    import shutil as _shutil
+    import tempfile as _tf
+
+    from basis_devkit_spark.operators.bpe import (
+        bpe_learn_merges,
+        bpe_token_counts_indexed,
+    )
+    from basis_devkit_spark.storage.store import TableStore
+    from basis_devkit_spark.streaming.ops import stream_pack_append_to_store
+
+    docs = load(spark, sf, "documents")
+    mt, vocab = bpe_learn_merges(docs, "text", num_merges=8, emit_vocab=True)
+    half = docs.count() // 2
+
+    tmp = _tf.mkdtemp(prefix="bds_c24_")
+    drop = _os.path.join(tmp, "drop")
+    _os.makedirs(drop, exist_ok=True)
+    for i, (tag, cond) in enumerate(
+        (("a", F.col("doc_id") < half), ("b", F.col("doc_id") >= half))
+    ):
+        part_dir = _os.path.join(tmp, f"part_{tag}")
+        docs.filter(cond).coalesce(1).write.parquet(part_dir)
+        src_f = _glob.glob(_os.path.join(part_dir, "part-*.parquet"))[0]
+        dst = _os.path.join(drop, f"{tag}.parquet")
+        _shutil.copy(src_f, dst)
+        _os.utime(dst, (1_700_000_000 + i, 1_700_000_000 + i))
+    raw_schema = spark.read.parquet(_os.path.join(drop, "a.parquet")).schema
+
+    def tokenize(batch: DataFrame) -> DataFrame:
+        return bpe_token_counts_indexed(batch, vocab, mt).select(
+            "doc_id", "n_bpe_tokens"
+        )
+
+    layout_store = TableStore(tmp, "packed", spark)
+    layout_store.configure(unique_on="doc_id")
+    state_store = TableStore(tmp, "pack_state", spark)
+    state_store.configure(unique_on="state_id")
+    stream = (
+        spark.readStream.schema(raw_schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(drop)
+    )
+    q = stream_pack_append_to_store(
+        stream, layout_store, state_store, f"{tmp}/_ckpt", budget=512,
+        n_tokens_col="n_bpe_tokens", prepare_fn=tokenize,
+    ).start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return layout_store.read().select(
+        "doc_id",
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        "seq_id",
+        "seq_offset",
+    )
+
+
+@register(
+    "d43_bpe_roundtrip",
+    """
+    select doc_id,
+           trim(regexp_replace(lower(coalesce(text, '')), '\\s+', ' '))
+             as text_decoded
+    from documents
+    """,
+    doc="lossless-tokenization invariant (bpe_decode): decoding the "
+    "vocabulary-indexed tokenization — concatenate subwords, end-of-"
+    "word markers back to spaces — must reproduce the whitespace/"
+    "lowercase-NORMALIZED input text exactly, for every doc including "
+    "empty/null text. BPE merges only regroup characters, so the "
+    "oracle never runs a tokenizer: the round trip is derivable from "
+    "the input alone, which is what makes this a true end-to-end "
+    "integrity check of learn -> emit vocab -> indexed apply -> "
+    "decode (any dropped word, reordered position, or corrupted "
+    "subword breaks the hash). Pure projections on both ends",
+)
+def d43(spark: SparkSession, sf: str) -> DataFrame:
+    from basis_devkit_spark.operators.bpe import (
+        bpe_apply_indexed,
+        bpe_decode,
+        bpe_learn_merges,
+    )
+
+    docs = load(spark, sf, "documents")
+    mt, vocab = bpe_learn_merges(docs, "text", num_merges=8, emit_vocab=True)
+    toks = bpe_apply_indexed(docs, vocab, mt)
+    return bpe_decode(toks).select("doc_id", "text_decoded")

@@ -1894,6 +1894,12 @@ def tokenized_shuffled_packing_sql(
     """
 
 
+def bpe_packing_sql_512() -> str:
+    """c24: the d31 oracle shape at the streaming budget — id-order
+    packing of the independent BPE counts model at budget 512."""
+    return bpe_packing_sql(num_merges=8, budget=512)
+
+
 def shuffled_packing_sql(budget: int = 512, salt: int = 42) -> str:
     # Deterministic shuffle order: rank by signed xxhash64(doc_id, salt)
     # with doc_id tie-break — the exact two-column hash chain Spark's

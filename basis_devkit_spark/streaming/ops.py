@@ -358,6 +358,7 @@ def stream_pack_append_to_store(
     text_col: str = "text",
     n_tokens_col: str | None = None,
     trigger_seconds: int | None = None,
+    prepare_fn=None,
 ):
     """Exactly-once INCREMENTAL sequence packing (c23) — the streaming
     completion of the last batch-only pretrain stage: every other
@@ -382,6 +383,7 @@ def stream_pack_append_to_store(
         pack_append_batch(
             layout_store, state_store, batch_df, batch_id, budget,
             id_col=id_col, text_col=text_col, n_tokens_col=n_tokens_col,
+            prepare_fn=prepare_fn,
         )
 
     w = df.writeStream.foreachBatch(_write).option(
@@ -401,6 +403,7 @@ def pack_append_batch(
     id_col: str = "doc_id",
     text_col: str = "text",
     n_tokens_col: str | None = None,
+    prepare_fn=None,
 ) -> None:
     """One micro-batch of the incremental pack —
     :func:`stream_pack_append_to_store`'s foreachBatch body, public so
@@ -417,6 +420,11 @@ def pack_append_batch(
         sequence_pack_state,
     )
 
+    if prepare_fn is not None:
+        # per-batch pre-step against FIXED artifacts (e.g. tokenize on
+        # ingest — c24 chains bpe_token_counts_indexed here): a pure
+        # per-row function, so the replayed batch prepares identically
+        batch_df = prepare_fn(batch_df)
     cursor = 0
     if state_store.has_active_version():
         row = state_store.read().collect()  # one row by construction
