@@ -308,6 +308,49 @@ def resize_images(
     return prepared.mapInPandas(_resize, RESIZED_IMAGE_SCHEMA)
 
 
+def flac_streaminfo_fields(content_col: str | Column) -> Column:
+    """Decode-free FLAC metadata: parse the mandatory STREAMINFO block
+    (the first metadata block of every FLAC stream — public spec,
+    RFC 9639) as PURE column expressions, no UDF, no codec. Only the
+    first 26 bytes are sliced — O(1) per row regardless of blob size.
+
+    Field layout is big-endian bit-packed: after the ``fLaC`` magic and
+    the 4-byte metadata-block header, bytes 19-26 (1-based) hold
+    sample rate (20 bits), channels-1 (3 bits), bits-per-sample-1
+    (5 bits) and total samples (36 bits); the bit surgery is integer
+    div/mod over ``conv(hex, 16, 10)`` windows. Returns a struct
+    ``(is_flac, sample_rate, channels, bits, total_samples)`` — all
+    NULL when the magic or STREAMINFO block type is absent."""
+    c = F.col(content_col) if isinstance(content_col, str) else content_col
+    hx = F.hex(F.substring(c, 1, 26))
+
+    def be(start_byte: int, n_bytes: int) -> Column:
+        pos = (start_byte - 1) * 2 + 1
+        return F.conv(F.substring(hx, pos, n_bytes * 2), 16, 10).cast("long")
+
+    is_flac = (F.substring(hx, 1, 8) == "664C6143") & (
+        (be(5, 1) % 128) == 0  # block type 0 = STREAMINFO (7 low bits)
+    )
+    v1 = be(19, 3)  # sample_rate(20) | channels-1(3) | bps high bit
+    v2 = be(21, 2)  # bps low bits | total_samples high nibble
+    return F.struct(
+        is_flac.alias("is_flac"),
+        F.when(is_flac, (v1 / 16).cast("int")).alias("sample_rate"),
+        F.when(is_flac, ((v1 / 2).cast("long") % 8 + 1).cast("int")).alias(
+            "channels"
+        ),
+        F.when(is_flac, ((v2 / 16).cast("long") % 32 + 1).cast("int")).alias(
+            "bits"
+        ),
+        F.when(
+            is_flac,
+            ((v2 % 16) * F.lit(4294967296).cast("long") + be(23, 4)).cast(
+                "long"
+            ),
+        ).alias("total_samples"),
+    )
+
+
 def wav_header_fields(content_col: str | Column) -> Column:
     """Decode-free AUDIO metadata: parse a PCM WAV (RIFF) header's format
     chunk — channels, sample rate, bits/sample, byte rate — as PURE

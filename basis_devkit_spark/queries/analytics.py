@@ -2591,6 +2591,56 @@ def d05d(spark: SparkSession, sf: str) -> DataFrame:
     return flat.withColumn("duration_ms", dur).drop("__n")
 
 
+_FLAC_HEADERS = [
+    ("664C6143800000221000100000000000000001F400F00001388000000000000000000000000000000000", 8000, 1, 16, 80000),
+    ("664C6143800000221000100000000000000003E802F00004E20000000000000000000000000000000000", 16000, 2, 16, 320000),
+    ("664C61438000002210001000000000000000056220700000562200000000000000000000000000000000", 22050, 1, 8, 22050),
+    ("664C614380000022100010000000000000000AC442F00006BAA800000000000000000000000000000000", 44100, 2, 16, 441000),
+    ("664C614380000022100010000000000000000BB803700007530000000000000000000000000000000000", 48000, 2, 24, 480000),
+    ("664C6143800000221000100000000000000017700FF20000303900000000000000000000000000000000", 96000, 8, 32, 8589946937),
+]
+
+
+@register(
+    "d05e_flac_streaminfo_parse",
+    f"""
+    with blobs as (
+      select doc_id, doc_id % 6 as variant from documents
+    ), truth as (
+      select * from (values
+        {", ".join(f"({i}, {sr}, {ch}, {b}, {ts})" for i, (_, sr, ch, b, ts) in enumerate(_FLAC_HEADERS))}
+      ) as t(variant, sample_rate, channels, bits, total_samples)
+    )
+    select b.doc_id, true as is_flac,
+           cast(t.sample_rate as int) as sample_rate,
+           cast(t.channels as int) as channels,
+           cast(t.bits as int) as bits,
+           cast(t.total_samples as bigint) as total_samples
+    from blobs b join truth t on b.variant = t.variant
+    """,
+    doc="decode-free FLAC metadata (RFC 9639 STREAMINFO): sample rate "
+    "(20-bit), channels (3-bit), bits/sample (5-bit) and the 36-bit "
+    "total-sample count parsed out of the big-endian bit-packed block "
+    "as pure hex-slice + conv + integer div/mod expressions — no UDF, "
+    "no codec, O(1) bytes touched per row; the variants exercise the "
+    "8-channel field maximum and a >2^32 sample count that spans the "
+    "nibble boundary. Oracle derives ground truth from the "
+    "construction table, independently checking the bit surgery",
+)
+def d05e(spark: SparkSession, sf: str) -> DataFrame:
+    from basis_devkit_spark.operators.multimodal import flac_streaminfo_fields
+
+    d = load(spark, sf, "documents").select("doc_id", "text")
+    hdr = None
+    for i, (hx, _, _, _, _) in enumerate(_FLAC_HEADERS):
+        cond = F.col("doc_id") % 6 == i
+        lit = F.lit(bytes.fromhex(hx))
+        hdr = F.when(cond, lit) if hdr is None else hdr.when(cond, lit)
+    blobs = d.withColumn("content", F.concat(hdr, F.encode("text", "utf-8")))
+    s = flac_streaminfo_fields("content")
+    return blobs.select("doc_id", s.alias("s")).select("doc_id", "s.*")
+
+
 @register(
     "d06e_label_centroids",
     """

@@ -1596,6 +1596,46 @@ def test_wav_header_fields_parse(spark):
     assert out[4]["is_wav"] is False
 
 
+def test_flac_streaminfo_fields_parse(spark):
+    """d05e bit surgery against a hand-built spec-conformant header
+    (RFC 9639): 20-bit sample rate, 3-bit channels, 5-bit bps, 36-bit
+    total samples — including the >2^32 count that spans the nibble
+    boundary — plus rejections: wrong magic, and fLaC whose first block
+    is NOT STREAMINFO."""
+    from basis_devkit_spark.operators.multimodal import flac_streaminfo_fields
+
+    def hdr(sr, ch, bps, total, block_type=0):
+        h = b"fLaC" + bytes([0x80 | block_type]) + (34).to_bytes(3, "big")
+        si = (4096).to_bytes(2, "big") * 2 + (0).to_bytes(3, "big") * 2
+        packed = (sr << 44) | ((ch - 1) << 41) | ((bps - 1) << 36) | total
+        return h + si + packed.to_bytes(8, "big") + bytes(16)
+
+    rows = [
+        (1, hdr(44100, 2, 16, 441000)),
+        (2, hdr(96000, 8, 32, (1 << 33) + 7)),   # field maxima + >2^32
+        (3, hdr(192000, 1, 4, 0)),               # sr needs >16 bits; 0 samples
+        (4, b"fLaX" + bytes(40)),                # wrong magic
+        (5, hdr(44100, 2, 16, 1, block_type=4)), # first block not STREAMINFO
+    ]
+    df = spark.createDataFrame(rows, "doc_id int, content binary")
+    out = {
+        r["doc_id"]: r
+        for r in df.select(
+            "doc_id", flac_streaminfo_fields("content").alias("s")
+        ).select("doc_id", "s.*").collect()
+    }
+    assert out[1]["is_flac"] and (
+        out[1]["sample_rate"], out[1]["channels"], out[1]["bits"],
+        out[1]["total_samples"],
+    ) == (44100, 2, 16, 441000)
+    assert (out[2]["channels"], out[2]["bits"], out[2]["total_samples"]) == (
+        8, 32, (1 << 33) + 7
+    )
+    assert (out[3]["sample_rate"], out[3]["total_samples"]) == (192000, 0)
+    assert out[4]["is_flac"] is False and out[4]["sample_rate"] is None
+    assert out[5]["is_flac"] is False and out[5]["total_samples"] is None
+
+
 def test_gopher_rules_matches_python_model_random(spark):
     """Randomized parity: every flag equals an independent pure-Python
     implementation of the rule set on 300 random docs."""

@@ -316,3 +316,57 @@ def test_bigram_lm_score_cross_engine_exact(spark, doc_tokens):
     }
     con.close()
     assert got == want
+
+
+# ---------------------------------------------------------------------------
+# c23/D53: incremental packing == one-shot packing, for ANY batch split and
+# ANY budget. The model is independent Python (running integer division),
+# not sequence_pack — so this also re-proves the one-shot operator.
+@settings(max_examples=8, deadline=None)
+@given(
+    counts=st.lists(st.integers(min_value=0, max_value=25), min_size=1, max_size=40),
+    cuts=st.lists(st.integers(min_value=0, max_value=40), max_size=3),
+    budget=st.integers(min_value=1, max_value=60),
+)
+def test_sequence_pack_append_any_split_matches_model(spark, counts, cuts, budget):
+    from pyspark.sql import functions as F
+
+    from basis_devkit_spark.operators.text import (
+        sequence_pack_append,
+        sequence_pack_state,
+    )
+
+    n = len(counts)
+    bounds = sorted({0, n, *[min(c, n) for c in cuts]})
+    # independent model: absolute running offset per doc in id order
+    cum, model = 0, {}
+    for i, c in enumerate(counts):
+        model[i] = (c, cum // budget, cum % budget)
+        cum += c
+
+    rows = [(i, " ".join(["w"] * c) if c else None) for i, c in enumerate(counts)]
+    df = spark.createDataFrame(rows, "doc_id long, text string").withColumn(
+        "n_tok", F.coalesce(
+            F.when(F.col("text").isNotNull(),
+                   F.size(F.split(F.trim(F.col("text")), r"\s+"))),
+            F.lit(0),
+        ).cast("long")
+    ).withColumn(  # size(split("")) == 1; zero-count docs ride the column
+        "n_tok", F.when(F.col("text").isNull(), F.lit(0)).otherwise(F.col("n_tok"))
+    )
+    got = {}
+    cursor = 0
+    for lo, hi in zip(bounds, bounds[1:]):
+        batch = df.filter((F.col("doc_id") >= lo) & (F.col("doc_id") < hi))
+        layout = sequence_pack_append(
+            batch, budget, n_tokens_col="n_tok", cursor_tokens=cursor
+        )
+        for r in layout.collect():
+            got[r["doc_id"]] = (r["n_tokens"], r["seq_id"], r["seq_offset"])
+        st_row = sequence_pack_state(
+            layout, budget, cursor_tokens=cursor
+        ).collect()[0]
+        assert st_row["total_tokens"] == cursor + sum(counts[lo:hi])
+        cursor = int(st_row["total_tokens"])
+    assert got == model
+    assert cursor == sum(counts)
