@@ -1064,6 +1064,98 @@ def sequence_pack_shuffled(
     )
 
 
+def repetition_signals(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Within-document repetition signals — the Gopher repetition rules
+    (Rae et al. 2021 §A1.1, public paper) the flag set in
+    :func:`gopher_rules` doesn't cover; boilerplate-heavy and
+    degenerate-generation documents score high here while passing
+    simple length/symbol gates:
+
+    - ``dup_line_fraction``: duplicate line occurrences / total lines
+      (a line's 2nd..nth occurrences are duplicates)
+    - ``dup_line_char_fraction``: characters inside those duplicate
+      occurrences / total line characters
+    - ``top_bigram_count``: occurrences of the document's most frequent
+      word bigram (ties → lexicographically smallest bigram)
+    - ``top_bigram_fraction``: that count / total bigram count
+
+    Line signals are pure per-row HOF expressions (no shuffle). The
+    bigram signals explode to ``(doc, gram)`` → one hash agg → a
+    struct-min argmax per doc → join back: two map-side-combinable
+    shuffles, no window, no per-doc quadratic work — the explode path
+    scales to book-length documents where a within-array O(n²) count
+    would not. Fractions are ``floor(x·10⁶+0.5)/10⁶`` with integer
+    numerators, so both engines compute the identical double. Docs with
+    no bigrams report count 0, fraction 0.0."""
+    c = F.coalesce(F.col(text_col), F.lit(""))
+    lines = F.filter(F.split(c, r"\n"), lambda l: F.trim(l) != "")
+    n_lines = F.size(lines)
+    n_dist = F.size(F.array_distinct(lines))
+    line_chars = F.aggregate(
+        F.transform(lines, lambda l: F.length(l)),
+        F.lit(0).cast("long"),
+        lambda a, x: a + x,
+    )
+    # chars in duplicate occurrences = total chars − chars of one copy
+    # of each distinct line
+    dist_chars = F.aggregate(
+        F.transform(F.array_distinct(lines), lambda l: F.length(l)),
+        F.lit(0).cast("long"),
+        lambda a, x: a + x,
+    )
+    r6 = lambda num, den: F.when(
+        den > 0, F.floor(num / den * 1000000.0 + 0.5) / 1000000.0
+    ).otherwise(F.lit(0.0))
+    base = df.select(
+        F.col(id_col),
+        r6((n_lines - n_dist).cast("double"), n_lines.cast("double")).alias(
+            "dup_line_fraction"
+        ),
+        r6(
+            (line_chars - dist_chars).cast("double"),
+            line_chars.cast("double"),
+        ).alias("dup_line_char_fraction"),
+    )
+    words = F.filter(
+        F.split(F.lower(F.trim(c)), r"\s+"), lambda w: w != ""
+    )
+    grams = F.zip_with(
+        F.slice(words, 1, F.greatest(F.size(words) - 1, F.lit(0))),
+        F.slice(words, 2, F.greatest(F.size(words) - 1, F.lit(0))),
+        lambda a, b: F.concat_ws(" ", a, b),
+    )
+    ex = df.select(F.col(id_col), F.explode(grams).alias("__g"))
+    counts = ex.groupBy(id_col, "__g").agg(
+        F.count(F.lit(1)).cast("long").alias("__c")
+    )
+    top = counts.groupBy(id_col).agg(
+        F.min(F.struct((-F.col("__c")).alias("nc"), F.col("__g"))).alias(
+            "__t"
+        ),
+        F.sum("__c").alias("__n"),
+    ).select(
+        id_col,
+        (-F.col("__t.nc")).cast("long").alias("top_bigram_count"),
+        r6(
+            (-F.col("__t.nc")).cast("double"), F.col("__n").cast("double")
+        ).alias("top_bigram_fraction"),
+    )
+    return (
+        base.join(top, id_col, "left")
+        .withColumn(
+            "top_bigram_count",
+            F.coalesce("top_bigram_count", F.lit(0).cast("long")),
+        )
+        .withColumn(
+            "top_bigram_fraction", F.coalesce("top_bigram_fraction", F.lit(0.0))
+        )
+    )
+
+
 def sequence_pack_append(
     new_docs: DataFrame,
     budget: int,

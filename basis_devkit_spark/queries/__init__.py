@@ -114,6 +114,7 @@ _SAMPLE_PRIORITY = [
     "c24_stream_tokenize_pack",
     "d43_bpe_roundtrip",
     "d05e_flac_streaminfo_parse",
+    "d44_repetition_signals",
     "c17_stream_hist_maintenance",
     "d37_bpe_indexed_tokens",
     "d38_jl_ivf_quantized_topk",

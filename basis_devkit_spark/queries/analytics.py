@@ -5149,3 +5149,83 @@ def d43(spark: SparkSession, sf: str) -> DataFrame:
     mt, vocab = bpe_learn_merges(docs, "text", num_merges=8, emit_vocab=True)
     toks = bpe_apply_indexed(docs, vocab, mt)
     return bpe_decode(toks).select("doc_id", "text_decoded")
+
+
+@register(
+    "d44_repetition_signals",
+    """
+    with l as (  -- untrimmed char count, trimmed-nonempty membership like Spark
+      select doc_id, x as line, len(x) as nch
+      from (select doc_id,
+                   unnest(string_split(coalesce(text, ''), chr(10))) as x
+            from documents)
+      where trim(x) <> ''
+    ), la as (
+      select doc_id, count(*) as n_lines, count(distinct line) as n_dist,
+             sum(nch) as all_chars
+      from l group by doc_id
+    ), ld as (
+      select doc_id, sum(one_len) as dist_chars
+      from (select doc_id, line, min(nch) as one_len
+            from l group by doc_id, line)
+      group by doc_id
+    ), base as (
+      select d.doc_id,
+             case when la.n_lines > 0 then
+               floor((la.n_lines - la.n_dist) * 1.0 / la.n_lines
+                     * 1000000.0 + 0.5) / 1000000.0 else 0.0 end
+               as dup_line_fraction,
+             case when la.all_chars > 0 then
+               floor((la.all_chars - ld.dist_chars) * 1.0 / la.all_chars
+                     * 1000000.0 + 0.5) / 1000000.0 else 0.0 end
+               as dup_line_char_fraction
+      from documents d
+      left join la using (doc_id) left join ld using (doc_id)
+    ), w as (
+      select doc_id, ord, word from (
+        select doc_id, unnest(words) as word,
+               generate_subscripts(words, 1) as ord
+        from (select doc_id,
+                     list_filter(regexp_split_to_array(
+                       lower(trim(coalesce(text, ''))), '\\s+'),
+                       x -> x <> '') as words
+              from documents)
+      )
+    ), g as (
+      select a.doc_id, a.word || ' ' || b.word as gram
+      from w a join w b on a.doc_id = b.doc_id and b.ord = a.ord + 1
+    ), gc as (
+      select doc_id, gram, count(*) as c from g group by doc_id, gram
+    ), gt as (
+      select doc_id, c as top_c, total from (
+        select doc_id, gram, c,
+               sum(c) over (partition by doc_id) as total,
+               row_number() over (partition by doc_id
+                                  order by c desc, gram) as rn
+        from gc) where rn = 1
+    )
+    select b.doc_id,
+           coalesce(b.dup_line_fraction, 0.0) as dup_line_fraction,
+           coalesce(b.dup_line_char_fraction, 0.0) as dup_line_char_fraction,
+           cast(coalesce(gt.top_c, 0) as bigint) as top_bigram_count,
+           case when gt.total > 0 then
+             floor(gt.top_c * 1.0 / gt.total * 1000000.0 + 0.5) / 1000000.0
+             else 0.0 end as top_bigram_fraction
+    from base b left join gt using (doc_id)
+    """,
+    doc="within-document repetition signals — the Gopher repetition "
+    "rules (Rae et al. 2021 §A1.1) completing the d04t flag set: "
+    "duplicate-line fraction + duplicate-line CHARACTER fraction (pure "
+    "per-row HOF expressions over the line array — no shuffle) and the "
+    "top word-bigram count/fraction (explode -> one (doc, gram) hash "
+    "agg -> struct-min argmax with deterministic smallest-gram "
+    "tie-break -> join back: two map-side-combinable shuffles, no "
+    "window, no per-doc quadratic work). Fractions floor-scaled at "
+    "1e6 with integer numerators so both engines compute the identical "
+    "double. Boilerplate/degenerate docs score high here while passing "
+    "simple length gates",
+)
+def d44(spark: SparkSession, sf: str) -> DataFrame:
+    from basis_devkit_spark.operators.text import repetition_signals
+
+    return repetition_signals(load(spark, sf, "documents"))

@@ -1636,6 +1636,44 @@ def test_flac_streaminfo_fields_parse(spark):
     assert out[5]["is_flac"] is False and out[5]["total_samples"] is None
 
 
+def test_repetition_signals_handcomputed(spark):
+    """d44 against hand-computed values on planted repetitive docs —
+    the sf corpora are near-repetition-free, so the oracle sweep alone
+    never exercises nonzero fractions."""
+    from basis_devkit_spark.operators.text import repetition_signals
+
+    rows = [
+        # 4 lines, "ab" twice (1 dup of 2 chars; 2+3+2+4=11 chars);
+        # bigrams of "x y x y x": (x y)x2, (y x)x2 -> tie broken to
+        # smallest gram "x y", count 2 of 4
+        (1, "ab\nabc\nab\nabcd\nx y x y x"),
+        (2, "one two three"),       # no repetition: top bigram count 1
+        (3, "same\nsame\nsame"),    # all dup lines: 2/3, 8/12 chars
+        (4, ""),                    # empty: all zeros
+        (5, None),                  # null text: all zeros
+        (6, "word"),                # one word: no bigram
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in repetition_signals(df).collect()}
+    # doc 1: lines [ab, abc, ab, abcd] -> 1 dup of 4 lines = 0.25;
+    # wait — doc 1 text also has the 'x y x y x' line (5 lines total)
+    assert out[1]["dup_line_fraction"] == round(1 / 5 * 1e6) / 1e6
+    # chars: 2+3+2+4+9=20, distinct copy chars: 2+3+4+9=18 -> 2/20
+    assert out[1]["dup_line_char_fraction"] == 0.1
+    assert out[1]["top_bigram_count"] == 2
+    assert out[2] ["dup_line_fraction"] == 0.0
+    assert out[2]["top_bigram_count"] == 1
+    assert out[2]["top_bigram_fraction"] == 0.5
+    assert out[3]["dup_line_fraction"] == round(2 / 3 * 1e6 + 0.5) / 1e6
+    assert out[3]["dup_line_char_fraction"] == round(8 / 12 * 1e6 + 0.5) / 1e6
+    for i in (4, 5):
+        assert (
+            out[i]["dup_line_fraction"], out[i]["dup_line_char_fraction"],
+            out[i]["top_bigram_count"], out[i]["top_bigram_fraction"],
+        ) == (0.0, 0.0, 0, 0.0)
+    assert out[6]["top_bigram_count"] == 0
+
+
 def test_gopher_rules_matches_python_model_random(spark):
     """Randomized parity: every flag equals an independent pure-Python
     implementation of the rule set on 300 random docs."""
