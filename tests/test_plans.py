@@ -651,3 +651,18 @@ def test_sketch_and_graphrank_plan_shapes(spark):
     )
     pr_plan = plan(pagerank_fixed_point(edges, iters=1, raw_scaled=True))
     assert "Window" not in pr_plan and "CartesianProduct" not in pr_plan
+
+
+def test_repetition_signals_plan_shape(spark):
+    """d44 scale gates: line signals are per-row HOFs (the only
+    exchanges are the bigram hash agg + the doc join — no Window
+    anywhere, unlike the oracle's SQL), the (doc, gram) count has a
+    map-side partial phase, and no Python eval appears."""
+    from basis_devkit_spark.operators.text import repetition_signals
+
+    docs = load(spark, SF, "documents")
+    plan = plan_of(repetition_signals(docs))
+    assert "Window" not in plan
+    assert "partial_count" in plan or "partial_min" in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "CartesianProduct" not in plan
