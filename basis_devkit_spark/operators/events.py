@@ -599,3 +599,58 @@ def activity_concentration(
             / 1000000.0
         ).alias("top_share"),
     )
+
+
+def dau_wau_stickiness(
+    df: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    window_days: int = 7,
+) -> DataFrame:
+    """Per-day engagement stickiness: ``(day, dau, wau, stickiness)``
+    where ``dau`` = distinct users active that calendar day, ``wau`` =
+    distinct users active in the trailing ``window_days`` window ending
+    that day (inclusive), ``stickiness = dau/wau`` — the standard
+    DAU/WAU product-analytics ratio. Only days with activity are
+    reported.
+
+    Scale shape: the raw event stream compacts FIRST to the distinct
+    ``(day, user)`` activity relation (one hash shuffle — everything
+    after is activity-sized, not event-sized); each activity row then
+    contributes to the ``window_days`` trailing windows it falls in
+    via a ``sequence``/``explode`` (bounded ×window_days fan-out of
+    the compact relation), a second distinct, and one count per day.
+    No windows, no self-join, no per-day rescans of the event table."""
+    day = F.to_date(F.col(ts_col))
+    act = (
+        df.filter(F.col(ts_col).isNotNull() & F.col(user_col).isNotNull())
+        .select(day.alias("day"), F.col(user_col).alias("__u"))
+        .distinct()
+    )
+    dau = act.groupBy("day").agg(F.count(F.lit(1)).cast("long").alias("dau"))
+    contrib = act.select(
+        F.explode(
+            F.sequence(
+                F.col("day"),
+                F.date_add(F.col("day"), int(window_days) - 1),
+            )
+        ).alias("day"),
+        "__u",
+    ).distinct()
+    wau = contrib.groupBy("day").agg(
+        F.count(F.lit(1)).cast("long").alias("wau")
+    )
+    return (
+        dau.join(wau, "day")  # inner: report only days with activity
+        .select(
+            "day",
+            "dau",
+            "wau",
+            (
+                F.floor(
+                    F.col("dau") / F.col("wau") * 1000000.0 + 0.5
+                )
+                / 1000000.0
+            ).alias("stickiness"),
+        )
+    )

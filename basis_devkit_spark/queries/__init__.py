@@ -115,6 +115,7 @@ _SAMPLE_PRIORITY = [
     "d43_bpe_roundtrip",
     "d05e_flac_streaminfo_parse",
     "d44_repetition_signals",
+    "e15_dau_wau_stickiness",
     "c17_stream_hist_maintenance",
     "d37_bpe_indexed_tokens",
     "d38_jl_ivf_quantized_topk",

@@ -5229,3 +5229,37 @@ def d44(spark: SparkSession, sf: str) -> DataFrame:
     from basis_devkit_spark.operators.text import repetition_signals
 
     return repetition_signals(load(spark, sf, "documents"))
+
+
+@register(
+    "e15_dau_wau_stickiness",
+    """
+    with act as (
+      select distinct cast(ts as date) as day, user_id
+      from events where ts is not null and user_id is not null
+    ), dau as (
+      select day, cast(count(*) as bigint) as dau from act group by day
+    ), contrib as (
+      select distinct day + cast(x as int) as day, user_id
+      from act, unnest(generate_series(0, 6)) t(x)
+    ), wau as (
+      select day, cast(count(*) as bigint) as wau from contrib group by day
+    )
+    select d.day, d.dau, w.wau,
+           floor(d.dau * 1.0 / w.wau * 1000000.0 + 0.5) / 1000000.0
+             as stickiness
+    from dau d join wau w using (day)
+    """,
+    doc="per-day DAU/WAU engagement stickiness: the raw event stream "
+    "compacts FIRST to the distinct (day, user) activity relation — "
+    "one hash shuffle; everything after is activity-sized, not event-"
+    "sized — then each activity row fans out to the 7 trailing windows "
+    "it falls in (bounded sequence/explode), a second distinct, one "
+    "count per day. No windows, no self-join, no per-day event "
+    "rescans; ratio floor-scaled 1e6 with integer numerators so both "
+    "engines compute the identical double",
+)
+def e15(spark: SparkSession, sf: str) -> DataFrame:
+    from basis_devkit_spark.operators.events import dau_wau_stickiness
+
+    return dau_wau_stickiness(load(spark, sf, "events"))

@@ -2034,6 +2034,39 @@ def test_nearest_centroid_join_form_equivalent(spark):
     assert r["pred_label"] == "a"
 
 
+def test_dau_wau_stickiness_handcomputed(spark):
+    """e15 on a planted calendar: user A active every day, user B only
+    day 1, user C days 1 and 8 (outside the 7-day window of day 1's
+    contributions by day 8? no — day 8's trailing window is days 2-8,
+    so B's day-1 activity has aged out but C's day-8 counts)."""
+    from datetime import datetime
+
+    from basis_devkit_spark.operators.events import dau_wau_stickiness
+
+    rows = []
+    for d in range(1, 9):  # days 1..8, user A daily
+        rows.append((100, datetime(2024, 3, d, 12, 0, 0)))
+    rows.append((200, datetime(2024, 3, 1, 9, 0, 0)))   # B: day 1 only
+    rows.append((300, datetime(2024, 3, 1, 9, 0, 0)))   # C: days 1, 8
+    rows.append((300, datetime(2024, 3, 8, 9, 0, 0)))
+    rows.append((None, datetime(2024, 3, 2, 0, 0, 0)))  # null user dropped
+    rows.append((400, None))                            # null ts dropped
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp")
+    out = {
+        str(r["day"]): (r["dau"], r["wau"], r["stickiness"])
+        for r in dau_wau_stickiness(df).collect()
+    }
+    assert len(out) == 8
+    # day 1: A,B,C active; window = day 1 only (no earlier activity)
+    assert out["2024-03-01"] == (3, 3, 1.0)
+    # day 2: A only; window days -4..2 covers day 1 -> A,B,C
+    assert out["2024-03-02"] == (1, 3, int(1 / 3 * 1e6 + 0.5) / 1e6)
+    # day 7: A; window days 1..7 -> A,B,C
+    assert out["2024-03-07"] == (1, 3, int(1 / 3 * 1e6 + 0.5) / 1e6)
+    # day 8: A,C; window days 2..8 -> A,C (B aged out)
+    assert out["2024-03-08"] == (2, 2, 1.0)
+
+
 def test_activity_concentration_handcomputed(spark):
     import datetime as dt
 
