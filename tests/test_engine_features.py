@@ -964,6 +964,12 @@ def test_artifact_stores_build_once_and_refit_free_rerun(spark, tmp_path):
     ex = eng.explain_node("tokenize")
     assert ex["artifacts"] == "bpe_merges, bpe_vocab"
 
+    # the parallel scheduler path skips built fit nodes too
+    eng.run_graph(parallelism=2)
+    skips2 = [e for e in eng.run_log if e.get("skipped") == "artifact built"]
+    assert [e["node"] for e in skips2] == ["tokenizer_fit", "tokenizer_fit"]
+    assert eng.store("bpe_merges").get_active_version() == vm
+
     # explicit refit path still works and commits new artifact versions
     eng.run_node("tokenizer_fit")
     assert eng.store("bpe_merges").get_active_version() > vm
