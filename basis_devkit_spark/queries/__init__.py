@@ -116,6 +116,7 @@ _SAMPLE_PRIORITY = [
     "d05e_flac_streaminfo_parse",
     "d44_repetition_signals",
     "e15_dau_wau_stickiness",
+    "d45_tokenizer_fertility",
     "c17_stream_hist_maintenance",
     "d37_bpe_indexed_tokens",
     "d38_jl_ivf_quantized_topk",

@@ -5263,3 +5263,85 @@ def e15(spark: SparkSession, sf: str) -> DataFrame:
     from basis_devkit_spark.operators.events import dau_wau_stickiness
 
     return dau_wau_stickiness(load(spark, sf, "events"))
+
+
+@register(
+    "d45_tokenizer_fertility",
+    lambda: f"""
+    with counts(doc_id, n_bpe) as (values {", ".join(f"({d}, {n})" for d, n in pyoracle.bpe_token_counts_model(pyoracle.oracle_sf_dir(), 8))}),
+    per as (
+      select d.source,
+             cast(c.n_bpe as bigint) as n_bpe,
+             cast(len(list_filter(regexp_split_to_array(
+               lower(coalesce(d.text, '')), '\\s+'), x -> x <> ''))
+               as bigint) as n_words,
+             cast(octet_length(encode(coalesce(d.text, ''))) as bigint) as n_bytes
+      from documents d join counts c using (doc_id)
+    )
+    select source,
+           cast(count(*) as bigint) as n_docs,
+           cast(sum(n_bpe) as bigint) as n_tokens,
+           cast(sum(n_words) as bigint) as n_words,
+           cast(sum(n_bytes) as bigint) as n_bytes,
+           case when sum(n_words) > 0 then
+             floor(sum(n_bpe) * 1.0 / sum(n_words) * 1000000.0 + 0.5)
+               / 1000000.0 else 0.0 end as tokens_per_word,
+           case when sum(n_bpe) > 0 then
+             floor(sum(n_bytes) * 1.0 / sum(n_bpe) * 1000000.0 + 0.5)
+               / 1000000.0 else 0.0 end as bytes_per_token
+    from per group by source
+    """,
+    doc="per-source tokenizer FERTILITY — the standard tokenizer-eval "
+    "metric (tokens per word, bytes per token) that decides whether a "
+    "fitted vocabulary serves every corpus slice or over-fragments "
+    "some source/language: d40's counts-only indexed tokenization "
+    "grouped by source with integer sums and floor-scaled ratios "
+    "(identical double formula both engines). In production the "
+    "per-doc counts come free from the c22-maintained store, so the "
+    "fertility report is one source-keyed agg over maintained state — "
+    "no retokenization. Oracle joins the independent counts model to "
+    "the documents table and aggregates identically",
+)
+def d45(spark: SparkSession, sf: str) -> DataFrame:
+    from basis_devkit_spark.operators.bpe import (
+        bpe_learn_merges,
+        bpe_token_counts_indexed,
+    )
+
+    docs = load(spark, sf, "documents")
+    mt, vocab = bpe_learn_merges(docs, "text", num_merges=8, emit_vocab=True)
+    counted = bpe_token_counts_indexed(docs, vocab, mt)
+    n_words = F.size(
+        F.filter(
+            F.split(F.lower(F.coalesce(F.col("text"), F.lit(""))), r"\s+"),
+            lambda w: w != "",
+        )
+    ).cast("long")
+    n_bytes = F.octet_length(F.coalesce(F.col("text"), F.lit(""))).cast("long")
+    per = counted.select(
+        "source",
+        F.col("n_bpe_tokens").alias("__nb"),
+        n_words.alias("__nw"),
+        n_bytes.alias("__nby"),
+    )
+    r6 = lambda num, den: F.when(
+        den > 0, F.floor(num / den * 1000000.0 + 0.5) / 1000000.0
+    ).otherwise(F.lit(0.0))
+    return per.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("__nb").cast("long").alias("n_tokens"),
+        F.sum("__nw").cast("long").alias("n_words"),
+        F.sum("__nby").cast("long").alias("n_bytes"),
+    ).select(
+        "source",
+        "n_docs",
+        "n_tokens",
+        "n_words",
+        "n_bytes",
+        r6(
+            F.col("n_tokens").cast("double"), F.col("n_words").cast("double")
+        ).alias("tokens_per_word"),
+        r6(
+            F.col("n_bytes").cast("double"), F.col("n_tokens").cast("double")
+        ).alias("bytes_per_token"),
+    )
