@@ -266,7 +266,13 @@ def release_tokenizer_vocab(vocab: DataFrame) -> None:
     them before returning; without an explicit release a long-lived
     session fitting several tokenizers accumulates vocabulary-sized
     block sets until Python GC + ContextCleaner get around to them.
-    No-op for frames with no pinned backing."""
+    No-op for frames with no pinned backing.
+
+    **Call it on the frame the fit RETURNED, before deriving from it**:
+    the release handle rides a Python attribute, so any transformation
+    (``vocab.filter(...)``, ``select``, …) yields a new frame WITHOUT
+    it and the release silently degrades to the GC fallback. Persist /
+    materialize first, release, then derive from the store."""
     backing = getattr(vocab, "_bds_backing", None)
     if backing is not None:
         release_plan_blocks(backing)
@@ -321,11 +327,25 @@ def bpe_decode(
     whitespace/lowercase normalization the word split applies. The d43
     oracle states exactly that invariant (the oracle never runs the
     tokenizer — losslessness means the round trip is derivable from the
-    input alone). Pure projection: no shuffle, no UDF."""
-    joined = F.array_join(F.col(tokens_col), "")
-    return df.withColumn(
-        out_col, F.trim(F.replace(joined, F.lit(EOW), F.lit(" ")))
+    input alone). Pure projection: no shuffle, no UDF.
+
+    The marker is stripped PER TOKEN (``</w>`` suffix → space), never by
+    a global string replace: the end-of-word marker is an array SYMBOL,
+    so text that literally contains ``</w>`` survives the round trip —
+    its characters tokenize as four separate ``<``, ``/``, ``w``, ``>``
+    symbols that no per-token suffix match can touch. The one
+    precondition: the merge table must not itself assemble the literal
+    marker string out of those text characters (three adjacent specific
+    merges — not observed on natural text; fit vocabularies exclude the
+    reserved marker by construction)."""
+    joined = F.array_join(
+        F.transform(
+            F.col(tokens_col),
+            lambda t: F.regexp_replace(t, r"</w>$", " "),
+        ),
+        "",
     )
+    return df.withColumn(out_col, F.trim(joined))
 
 
 def bpe_tokenize_words(

@@ -621,6 +621,10 @@ def dau_wau_stickiness(
     via a ``sequence``/``explode`` (bounded ×window_days fan-out of
     the compact relation), a second distinct, and one count per day.
     No windows, no self-join, no per-day rescans of the event table."""
+    if window_days < 1:
+        # sequence(day, day + (w-1)) with w < 1 would DESCEND and leak
+        # future activity into the trailing window — refuse loudly
+        raise ValueError("window_days must be >= 1")
     day = F.to_date(F.col(ts_col))
     act = (
         df.filter(F.col(ts_col).isNotNull() & F.col(user_col).isNotNull())

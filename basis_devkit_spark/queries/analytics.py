@@ -2547,7 +2547,7 @@ _WAV_HEADERS = [
     with blobs as (
       select doc_id,
              doc_id % 6 as variant,
-             44 + octet_length(encode(text)) as n_bytes
+             44 + octet_length(encode(coalesce(text, ''))) as n_bytes
       from documents
     ), truth as (
       select * from (values
@@ -2577,7 +2577,10 @@ def d05d(spark: SparkSession, sf: str) -> DataFrame:
         cond = F.col("doc_id") % 6 == i
         lit = F.lit(bytes.fromhex(hx))
         hdr = F.when(cond, lit) if hdr is None else hdr.when(cond, lit)
-    blobs = d.withColumn("content", F.concat(hdr, F.encode("text", "utf-8")))
+    blobs = d.withColumn(
+        "content",
+        F.concat(hdr, F.encode(F.coalesce(F.col("text"), F.lit("")), "utf-8")),
+    )
     w = wav_header_fields("content")
     flat = blobs.select(
         "doc_id", F.length("content").alias("__n"), w.alias("w")
@@ -2636,7 +2639,10 @@ def d05e(spark: SparkSession, sf: str) -> DataFrame:
         cond = F.col("doc_id") % 6 == i
         lit = F.lit(bytes.fromhex(hx))
         hdr = F.when(cond, lit) if hdr is None else hdr.when(cond, lit)
-    blobs = d.withColumn("content", F.concat(hdr, F.encode("text", "utf-8")))
+    blobs = d.withColumn(
+        "content",
+        F.concat(hdr, F.encode(F.coalesce(F.col("text"), F.lit("")), "utf-8")),
+    )
     s = flac_streaminfo_fields("content")
     return blobs.select("doc_id", s.alias("s")).select("doc_id", "s.*")
 
@@ -4886,6 +4892,35 @@ def c21(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def _stream_drop_dir(spark, df, prefix: str, conds):
+    """Shared scaffold for the file-source streaming queries (c22/c23/
+    c24): write ``df`` split by the ordered ``conds`` predicates into a
+    drop directory, one parquet file per micro-batch, with PINNED
+    mtimes so the file source's batch order IS the list order (the
+    arrival-order invariant the cursor-carrying queries depend on).
+    Returns ``(tmp_root, drop_dir, schema)``."""
+    import glob as _glob
+    import os as _os
+    import shutil as _shutil
+    import tempfile as _tf
+
+    tmp = _tf.mkdtemp(prefix=prefix)
+    drop = _os.path.join(tmp, "drop")
+    _os.makedirs(drop, exist_ok=True)
+    first = None
+    for i, cond in enumerate(conds):
+        tag = chr(ord("a") + i)
+        part_dir = _os.path.join(tmp, f"part_{tag}")
+        df.filter(cond).coalesce(1).write.parquet(part_dir)
+        src = _glob.glob(_os.path.join(part_dir, "part-*.parquet"))[0]
+        dst = _os.path.join(drop, f"{tag}.parquet")
+        _shutil.copy(src, dst)
+        _os.utime(dst, (1_700_000_000 + i, 1_700_000_000 + i))
+        if first is None:
+            first = dst
+    return tmp, drop, spark.read.parquet(first).schema
+
+
 @register(
     "c22_stream_tokenized_counts",
     pyoracle.bpe_counts_indexed_sql,
@@ -4902,11 +4937,6 @@ def c21(spark: SparkSession, sf: str) -> DataFrame:
     "re-read of raw history at query time",
 )
 def c22(spark: SparkSession, sf: str) -> DataFrame:
-    import glob as _glob
-    import os as _os
-    import shutil as _shutil
-    import tempfile as _tf
-
     from basis_devkit_spark.operators.bpe import (
         bpe_learn_merges,
         bpe_token_counts_indexed,
@@ -4919,17 +4949,10 @@ def c22(spark: SparkSession, sf: str) -> DataFrame:
     # maintained word relation in production)
     mt, vocab = bpe_learn_merges(docs, "text", num_merges=8, emit_vocab=True)
 
-    tmp = _tf.mkdtemp(prefix="bds_c22_")
-    drop = _os.path.join(tmp, "drop")
-    _os.makedirs(drop, exist_ok=True)
-    for tag, mod in (("a", 0), ("b", 1)):
-        part_dir = _os.path.join(tmp, f"part_{tag}")
-        docs.filter(F.col("doc_id") % 2 == mod).coalesce(1).write.parquet(
-            part_dir
-        )
-        src_f = _glob.glob(_os.path.join(part_dir, "part-*.parquet"))[0]
-        _shutil.copy(src_f, _os.path.join(drop, f"{tag}.parquet"))
-    raw_schema = spark.read.parquet(_os.path.join(drop, "a.parquet")).schema
+    tmp, drop, raw_schema = _stream_drop_dir(
+        spark, docs, "bds_c22_",
+        [F.col("doc_id") % 2 == 0, F.col("doc_id") % 2 == 1],
+    )
 
     def merge(batch: DataFrame, existing: DataFrame | None) -> DataFrame:
         counted = bpe_token_counts_indexed(batch, vocab, mt).select(
@@ -4991,33 +5014,17 @@ def c22(spark: SparkSession, sf: str) -> DataFrame:
     "rewritten",
 )
 def c23(spark: SparkSession, sf: str) -> DataFrame:
-    import glob as _glob
-    import os as _os
-    import shutil as _shutil
-    import tempfile as _tf
-
     from basis_devkit_spark.storage.store import TableStore
     from basis_devkit_spark.streaming.ops import stream_pack_append_to_store
 
     docs = load(spark, sf, "documents")
     half = docs.count() // 2
-
-    tmp = _tf.mkdtemp(prefix="bds_c23_")
-    drop = _os.path.join(tmp, "drop")
-    _os.makedirs(drop, exist_ok=True)
     # id-RANGE batches (not id-parity): arrival order == global id
     # order, so the one-shot oracle is the plain d11 prefix
-    for i, (tag, cond) in enumerate(
-        (("a", F.col("doc_id") < half), ("b", F.col("doc_id") >= half))
-    ):
-        part_dir = _os.path.join(tmp, f"part_{tag}")
-        docs.filter(cond).coalesce(1).write.parquet(part_dir)
-        src_f = _glob.glob(_os.path.join(part_dir, "part-*.parquet"))[0]
-        dst = _os.path.join(drop, f"{tag}.parquet")
-        _shutil.copy(src_f, dst)
-        # pin mtimes so the file source's batch order IS arrival order
-        _os.utime(dst, (1_700_000_000 + i, 1_700_000_000 + i))
-    raw_schema = spark.read.parquet(_os.path.join(drop, "a.parquet")).schema
+    tmp, drop, raw_schema = _stream_drop_dir(
+        spark, docs, "bds_c23_",
+        [F.col("doc_id") < half, F.col("doc_id") >= half],
+    )
 
     layout_store = TableStore(tmp, "packed", spark)
     layout_store.configure(unique_on="doc_id")
@@ -5059,11 +5066,6 @@ def c23(spark: SparkSession, sf: str) -> DataFrame:
     "batch-sized cost and no raw-history rescans",
 )
 def c24(spark: SparkSession, sf: str) -> DataFrame:
-    import glob as _glob
-    import os as _os
-    import shutil as _shutil
-    import tempfile as _tf
-
     from basis_devkit_spark.operators.bpe import (
         bpe_learn_merges,
         bpe_token_counts_indexed,
@@ -5074,20 +5076,10 @@ def c24(spark: SparkSession, sf: str) -> DataFrame:
     docs = load(spark, sf, "documents")
     mt, vocab = bpe_learn_merges(docs, "text", num_merges=8, emit_vocab=True)
     half = docs.count() // 2
-
-    tmp = _tf.mkdtemp(prefix="bds_c24_")
-    drop = _os.path.join(tmp, "drop")
-    _os.makedirs(drop, exist_ok=True)
-    for i, (tag, cond) in enumerate(
-        (("a", F.col("doc_id") < half), ("b", F.col("doc_id") >= half))
-    ):
-        part_dir = _os.path.join(tmp, f"part_{tag}")
-        docs.filter(cond).coalesce(1).write.parquet(part_dir)
-        src_f = _glob.glob(_os.path.join(part_dir, "part-*.parquet"))[0]
-        dst = _os.path.join(drop, f"{tag}.parquet")
-        _shutil.copy(src_f, dst)
-        _os.utime(dst, (1_700_000_000 + i, 1_700_000_000 + i))
-    raw_schema = spark.read.parquet(_os.path.join(drop, "a.parquet")).schema
+    tmp, drop, raw_schema = _stream_drop_dir(
+        spark, docs, "bds_c24_",
+        [F.col("doc_id") < half, F.col("doc_id") >= half],
+    )
 
     def tokenize(batch: DataFrame) -> DataFrame:
         return bpe_token_counts_indexed(batch, vocab, mt).select(

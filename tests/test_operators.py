@@ -2832,25 +2832,14 @@ def test_ivf_quantized_topk_plan_shape(spark, emb):
     assert "CartesianProduct" not in plan
 
 
-def _clustered_embeddings(spark, n=2000, dim=64, n_centers=16, noise=0.25,
-                          seed=11):
-    """Planted-cluster fixture (mirror of tools/r11_probes.py): points
-    live near n_centers Gaussian centers — intrinsic dimension ≈
-    n_centers ≪ dim, the manifold shape real embedding corpora have and
-    the shipped random vectors lack."""
-    import random as _random
+def _clustered_embeddings(spark):
+    """Planted-cluster fixture — IMPORTED from the probe so the pytest
+    recall floor and the OPERATORS_BENCH evidence are measured on the
+    byte-identical fixture (a drift in one would silently invalidate
+    the cross-reference)."""
+    from tools.r11_probes import clustered_embeddings
 
-    rng = _random.Random(seed)
-    centers = [
-        [rng.gauss(0, 1.0) for _ in range(dim)] for _ in range(n_centers)
-    ]
-    rows = [
-        (i, [c + rng.gauss(0, noise) for c in centers[i % n_centers]])
-        for i in range(n)
-    ]
-    return spark.createDataFrame(
-        rows, "vec_id long, embedding array<float>"
-    ).repartition(16)
+    return clustered_embeddings(spark)
 
 
 def test_jl_ivf_topk_recall_on_structured_fixture(spark):
@@ -4307,3 +4296,55 @@ def test_jl_ivf_quantized_full_probe_equals_brute_force(spark, emb):
     )
     assert "Window" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_bpe_decode_roundtrip_with_literal_marker(spark):
+    """d43's lossless contract survives ADVERSARIAL text containing the
+    literal end-of-word marker: the marker is an array SYMBOL stripped
+    per token (suffix match), never a global string replace, so
+    '</w>' inside a word round-trips intact."""
+    from pyspark.sql import functions as F
+
+    from basis_devkit_spark.operators.bpe import (
+        bpe_apply,
+        bpe_apply_indexed,
+        bpe_decode,
+        bpe_learn_merges,
+    )
+
+    rows = [
+        (1, "foo</w>bar baz"),
+        (2, "x</w>"),
+        (3, "</w> </w></w>"),
+        (4, "plain  words\nhere"),
+        (5, None),
+        (6, ""),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    # fit on NEUTRAL text (the precondition: a real vocabulary never
+    # assembles the reserved marker out of text characters — a corpus
+    # made of markers would, which is out of contract)
+    neutral = spark.createDataFrame(
+        [(i, "the quick brown fox jumps over the lazy dog") for i in range(8)],
+        "doc_id long, text string",
+    )
+    mt, vocab = bpe_learn_merges(neutral, "text", num_merges=6, emit_vocab=True)
+    want = {
+        r["doc_id"]: r["norm"]
+        for r in df.select(
+            "doc_id",
+            F.trim(
+                F.regexp_replace(
+                    F.lower(F.coalesce(F.col("text"), F.lit(""))),
+                    r"\s+",
+                    " ",
+                )
+            ).alias("norm"),
+        ).collect()
+    }
+    for toks in (bpe_apply(df, mt), bpe_apply_indexed(df, vocab, mt)):
+        got = {
+            r["doc_id"]: r["text_decoded"]
+            for r in bpe_decode(toks).collect()
+        }
+        assert got == want, got
