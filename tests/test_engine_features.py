@@ -995,6 +995,14 @@ def test_event_analytics_example_app(spark, tmp_path):
     assert set(eng.table_df("rate_anomalies").columns) == {
         "user_id", "bucket_ts", "n_events", "zscore"
     }
+    # engagement stickiness: one row per active day, ratio in (0, 1]
+    stick = eng.table_df("engagement")
+    n_days = ev.select(F.to_date("ts")).where(F.col("ts").isNotNull()).distinct().count()
+    assert stick.count() == n_days
+    assert stick.filter(
+        (F.col("stickiness") <= 0) | (F.col("stickiness") > 1)
+        | (F.col("dau") > F.col("wau"))
+    ).count() == 0
 
 
 def test_incremental_stream_example_app(spark, tmp_path):
