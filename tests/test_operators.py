@@ -4348,3 +4348,59 @@ def test_bpe_decode_roundtrip_with_literal_marker(spark):
             for r in bpe_decode(toks).collect()
         }
         assert got == want, got
+
+
+def test_repetition_signals_matches_python_model_random(spark):
+    """Randomized parity for d44: every signal equals an independent
+    pure-Python model on 200 random docs with PLANTED repetition
+    (repeated lines, bursty bigrams) — the adversarial shapes the
+    near-repetition-free sf corpora never exercise."""
+    import math
+    import random as _random
+
+    from basis_devkit_spark.operators.text import repetition_signals
+
+    rng = _random.Random(97)
+    vocab = ["spam", "ham", "eggs", "the", "end", "xx"]
+    docs = []
+    for i in range(200):
+        lines = []
+        for _ in range(rng.randint(0, 8)):
+            n = rng.randint(0, 6)
+            line = " ".join(rng.choice(vocab) for _ in range(n))
+            reps = rng.randint(1, 3)  # plant duplicate lines
+            lines.extend([line] * reps)
+        docs.append((i, "\n".join(lines) if lines else rng.choice(["", None])))
+
+    def model(text):
+        text = text or ""
+        ls = [l for l in text.split("\n") if l.strip() != ""]
+        n, nd = len(ls), len(dict.fromkeys(ls))
+        ac = sum(len(l) for l in ls)
+        dc = ac - sum(len(l) for l in dict.fromkeys(ls))
+        r6 = lambda num, den: (
+            math.floor(num / den * 1e6 + 0.5) / 1e6 if den > 0 else 0.0
+        )
+        ws = [w for w in text.lower().strip().split() if w]
+        gs = [f"{a} {b}" for a, b in zip(ws, ws[1:])]
+        if gs:
+            cnt = {}
+            for g in gs:
+                cnt[g] = cnt.get(g, 0) + 1
+            top = min((-c, g) for g, c in cnt.items())
+            tc, tf = -top[0], r6(-top[0], len(gs))
+        else:
+            tc, tf = 0, 0.0
+        return (r6(n - nd, n), r6(dc, ac), tc, tf)
+
+    out = {
+        r["doc_id"]: (
+            r["dup_line_fraction"], r["dup_line_char_fraction"],
+            r["top_bigram_count"], r["top_bigram_fraction"],
+        )
+        for r in repetition_signals(
+            spark.createDataFrame(docs, "doc_id long, text string")
+        ).collect()
+    }
+    for i, text in docs:
+        assert out[i] == model(text), (i, text, out[i], model(text))
