@@ -1320,6 +1320,87 @@ class TableStore:
         v, n = self._commit_single_dir_version(merged)
         self.set_active_version(v, record_count=n)
 
+    def stats_drift(
+        self,
+        from_version: int,
+        to_version: int,
+        columns: list[str] | None = None,
+    ) -> DataFrame:
+        """Per-column distribution drift between two versions — the
+        corpus-governance report behind "did the new crawl batch shift
+        the data?": one row per ``(column, metric)`` with the metric's
+        value in each version, stringified for a uniform schema
+        ``(column, metric, old, new)``.
+
+        Metrics: ``row_count`` (table-level, column ``<table>``);
+        ``schema`` rows for added/removed/type-changed columns (from
+        the schemas alone — no scan); and per shared ATOMIC column
+        ``nulls``, ``min``, ``max``, ``distinct`` (typed min/max, exact
+        distinct — all deterministic; array/struct/map columns report
+        ``nulls`` only). Each side is ONE aggregate job over its
+        version snapshot; results are bounded (columns × metrics) and
+        assembled driver-side. Exact ``countDistinct`` per column costs
+        one expand pass — pass ``columns=[...]`` to scope a wide table.
+        Complements :meth:`changes_between` (row-level feed, needs
+        keys): drift needs no keys and stays cheap when almost
+        everything changed."""
+        from pyspark.sql import types as T
+
+        old = self.read_version(from_version)
+        new = self.read_version(to_version)
+        o_types = {f.name: f.dataType for f in old.schema.fields}
+        n_types = {f.name: f.dataType for f in new.schema.fields}
+        rows: list[tuple] = []
+        for c in sorted(set(o_types) | set(n_types)):
+            ot = o_types.get(c) and o_types[c].simpleString()
+            nt = n_types.get(c) and n_types[c].simpleString()
+            if ot != nt:
+                rows.append((c, "schema", ot, nt))
+        shared = [
+            c
+            for c in old.columns
+            if c in n_types and (columns is None or c in columns)
+        ]
+
+        def atomic(dt) -> bool:
+            return isinstance(dt, T.AtomicType)
+
+        def side(df, types):
+            aggs = [F.count(F.lit(1)).cast("long").alias("__rows")]
+            for c in shared:
+                aggs.append(
+                    F.sum(F.col(c).isNull().cast("long")).alias(f"__nulls_{c}")
+                )
+                if atomic(types[c]):
+                    aggs.append(
+                        F.min(F.col(c)).cast("string").alias(f"__min_{c}")
+                    )
+                    aggs.append(
+                        F.max(F.col(c)).cast("string").alias(f"__max_{c}")
+                    )
+                    aggs.append(
+                        F.count_distinct(F.col(c)).alias(f"__dist_{c}")
+                    )
+            return df.agg(*aggs).collect()[0]  # bounded: one row
+
+        o, n = side(old, o_types), side(new, n_types)
+        rows.append(("<table>", "row_count", str(o["__rows"]), str(n["__rows"])))
+        for c in shared:
+            rows.append((c, "nulls", str(o[f"__nulls_{c}"]), str(n[f"__nulls_{c}"])))
+            if atomic(o_types[c]) and atomic(n_types[c]):
+                for m in ("min", "max", "dist"):
+                    rows.append(
+                        (
+                            c,
+                            {"dist": "distinct"}.get(m, m),
+                            None if o[f"__{m}_{c}"] is None else str(o[f"__{m}_{c}"]),
+                            None if n[f"__{m}_{c}"] is None else str(n[f"__{m}_{c}"]),
+                        )
+                    )
+        return self.spark.createDataFrame(
+            rows, "column string, metric string, old string, new string"
+        )
+
     def truncate(self) -> None:
         """Delete all rows, keep schema (A7)."""
         if not self.has_active_version():

@@ -1234,3 +1234,46 @@ def test_compact_splits_hot_partition_and_caps_file_size(spark, tmp_path):
 
     for f in hot_files:
         assert pq.ParquetFile(f).metadata.num_rows <= 100
+
+
+def test_stats_drift_between_versions(spark, tmp_path):
+    """Corpus-governance drift report: row counts, per-column nulls /
+    typed min / max / exact distinct across two versions, schema rows
+    for added columns, nulls-only for array columns — all hand-computed."""
+    from basis_devkit_spark.storage.store import TableStore
+
+    st = TableStore(str(tmp_path / "root"), "t", spark)
+    st.write_replace(
+        spark.createDataFrame(
+            [(1, "a", [1]), (2, "b", None), (3, None, [2])],
+            "k long, s string, arr array<int>",
+        )
+    )
+    v1 = st.get_active_version()
+    st.write_replace(
+        spark.createDataFrame(
+            [(2, "b", None, 1.5), (9, "zz", [9], 2.5), (9, "zz", None, None)],
+            "k long, s string, arr array<int>, q double",
+        )
+    )
+    v2 = st.get_active_version()
+    rep = {
+        (r["column"], r["metric"]): (r["old"], r["new"])
+        for r in st.stats_drift(v1, v2).collect()
+    }
+    assert rep[("<table>", "row_count")] == ("3", "3")
+    assert rep[("q", "schema")] == (None, "double")
+    assert rep[("k", "min")] == ("1", "2")
+    assert rep[("k", "max")] == ("3", "9")
+    assert rep[("k", "distinct")] == ("3", "2")
+    assert rep[("s", "nulls")] == ("1", "0")
+    assert rep[("s", "max")] == ("b", "zz")
+    assert rep[("arr", "nulls")] == ("1", "2")
+    assert ("arr", "min") not in rep  # non-atomic: nulls only
+    assert ("q", "nulls") not in rep  # not shared between versions
+    # column scoping skips the expensive distinct on unlisted columns
+    scoped = {
+        (r["column"], r["metric"])
+        for r in st.stats_drift(v1, v2, columns=["k"]).collect()
+    }
+    assert ("s", "nulls") not in scoped and ("k", "distinct") in scoped
