@@ -933,6 +933,65 @@ def weighted_reservoir_sample(
     )
 
 
+def weighted_reservoir_sample_grouped(
+    df: DataFrame,
+    weight_col: str,
+    k: int,
+    group_col: str = "source",
+    id_col: str = "doc_id",
+    salt: str = "ares",
+) -> DataFrame:
+    """STRATIFIED exact-size weighted sampling: A-Res
+    (Efraimidis–Spirakis) independently within every ``group_col``
+    stratum — exactly ``min(k, |stratum|)`` rows per group, inclusion
+    proportional-to-weight within the group. Completes the sampling
+    family: :func:`weighted_reservoir_sample` is global-weighted,
+    ``stratified_sample`` is per-group-uniform; corpus curation wants
+    this one ("top-quality k per source, quality-weighted, exact
+    count").
+
+    Same deterministic key as the global form (md5-uniform u, key =
+    u^(1/w), floor-rounded at 1e12), but per-group top-k via TWO-PHASE
+    aggregation — a local top-k per (group, input partition) completes
+    map-side, then per-group merge — never a Window row_number, whose
+    plan funnels every row of a stratum through one reducer task (the
+    scale-killer when one source dominates a 100 TB corpus). Returns
+    ``(group, id, weight, rank)``; rank 1 = largest key."""
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit(salt), F.col(id_col).cast("string"))), 1, 8
+            ),
+            16,
+            10,
+        ).cast("double")
+        + 1.0
+    ) / 4294967296.0  # (0, 1]
+    w = F.greatest(F.col(weight_col).cast("double"), F.lit(1e-12))
+    key12 = F.floor(F.pow(u, 1.0 / w) * 1.0e12 + 0.5) / 1.0e12
+    skey = F.struct(
+        (-key12).alias("nk"), F.col(id_col).cast("long").alias("i"),
+        F.col(weight_col).cast("double").alias("w"),
+    )
+    local = (
+        df.withColumn("__pid", F.spark_partition_id())
+        .groupBy(group_col, "__pid")
+        .agg(F.slice(F.array_sort(F.collect_list(skey)), 1, k).alias("__tk"))
+    )
+    merged = local.groupBy(group_col).agg(
+        F.slice(F.array_sort(F.flatten(F.collect_list("__tk"))), 1, k).alias(
+            "__tk"
+        )
+    )
+    ex = merged.select(group_col, F.posexplode("__tk").alias("__r0", "__s"))
+    return ex.select(
+        group_col,
+        F.col("__s.i").alias(id_col),
+        F.col("__s.w").alias(weight_col),
+        (F.col("__r0") + 1).cast("int").alias("rank"),
+    )
+
+
 def profile_numeric(df: DataFrame, columns: list[str] | None = None) -> DataFrame:
     """Data-quality profile of the numeric columns: one output row per
     column with null count, exact distinct count, min, max, and a

@@ -5337,3 +5337,50 @@ def d45(spark: SparkSession, sf: str) -> DataFrame:
             F.col("n_bytes").cast("double"), F.col("n_tokens").cast("double")
         ).alias("bytes_per_token"),
     )
+
+
+@register(
+    "d46_stratified_weighted_reservoir",
+    f"""
+    with q as (
+      select doc_id, source, {_QUALITY_EXPR} as quality_score
+      from ({_STATS_SQL})
+    ), keyed as (
+      select doc_id, source, quality_score,
+             floor(power(
+                     ((('0x' || substr(md5('ares' || cast(doc_id as varchar)),
+                                       1, 8))::ubigint)::double + 1.0)
+                       / 4294967296.0,
+                     1.0 / greatest(quality_score, 1e-12)
+                   ) * 1e12 + 0.5) / 1e12 as ares_key
+      from q
+    ), r as (
+      select source, doc_id, quality_score,
+             row_number() over (partition by source
+                                order by ares_key desc, doc_id) as rank
+      from keyed
+    )
+    select source, doc_id, quality_score, cast(rank as int) as rank
+    from r where rank <= 5
+    """,
+    doc="STRATIFIED A-Res weighted reservoir (exact 5 per source, "
+    "inclusion ~ quality within the stratum) — completes the sampling "
+    "family between the global weighted reservoir (d04u) and the "
+    "per-group-uniform stratified sample (d08). Per-group top-k is the "
+    "TWO-PHASE aggregation (local top-k per (group, partition) "
+    "completes map-side, per-group merge after) — never a Window "
+    "row_number, whose plan funnels every row of a stratum through one "
+    "reducer when a source dominates the corpus. Same deterministic "
+    "md5-uniform key and IEEE floor-rounding as d04u; oracle replays "
+    "the key in SQL and ranks with the window DuckDB-side",
+)
+def d46(spark: SparkSession, sf: str) -> DataFrame:
+    from basis_devkit_spark.operators.text import (
+        quality_score,
+        weighted_reservoir_sample_grouped,
+    )
+
+    d = quality_score(load(spark, sf, "documents"), "text")
+    return weighted_reservoir_sample_grouped(
+        d, "quality_score", 5, group_col="source", salt="ares"
+    ).select("source", "doc_id", "quality_score", "rank")

@@ -1562,6 +1562,52 @@ def test_weighted_reservoir_properties(spark):
     assert by_w[4.0] + by_w[3.0] > by_w[1.0] + by_w[2.0]
 
 
+def test_weighted_reservoir_grouped_properties_and_plan(spark):
+    """Stratified A-Res (d46): exact min(k, |stratum|) per group, no
+    replacement, within-group agreement with the GLOBAL form restricted
+    to that group (same key, same tie-break), deterministic, and the
+    plan carries no Window (two-phase agg top-k only)."""
+    from pyspark.sql import functions as F
+
+    from basis_devkit_spark.operators.text import (
+        weighted_reservoir_sample,
+        weighted_reservoir_sample_grouped,
+    )
+
+    df = spark.range(900).select(
+        F.col("id").alias("doc_id"),
+        (F.col("id") % 3).cast("string").alias("grp"),
+        ((F.col("id") % 7) + 1).cast("double").alias("w"),
+    ).unionByName(
+        # a tiny stratum smaller than k
+        spark.createDataFrame(
+            [(9001, "tiny", 5.0), (9002, "tiny", 1.0)],
+            "doc_id long, grp string, w double",
+        )
+    )
+    out = weighted_reservoir_sample_grouped(df, "w", 50, group_col="grp")
+    rows = out.collect()
+    by_g = {}
+    for r in rows:
+        by_g.setdefault(r["grp"], []).append(r)
+    assert {g: len(v) for g, v in by_g.items()} == {
+        "0": 50, "1": 50, "2": 50, "tiny": 2
+    }
+    assert len({r["doc_id"] for r in rows}) == len(rows)  # no replacement
+    for g, v in by_g.items():
+        assert sorted(r["rank"] for r in v) == list(range(1, len(v) + 1))
+        # within-group equivalence with the global form on that stratum
+        solo = weighted_reservoir_sample(
+            df.filter(F.col("grp") == g), "w", 50
+        ).collect()
+        assert sorted(r["doc_id"] for r in v) == sorted(
+            r["doc_id"] for r in solo
+        )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
 def test_wav_header_fields_parse(spark):
     import struct
 
