@@ -5384,3 +5384,63 @@ def d46(spark: SparkSession, sf: str) -> DataFrame:
     return weighted_reservoir_sample_grouped(
         d, "quality_score", 5, group_col="source", salt="ares"
     ).select("source", "doc_id", "quality_score", "rank")
+
+
+from basis_devkit_spark.queries import _REGISTRY as _REG
+
+
+@register(
+    "c25_stream_reservoir_maintenance",
+    _REG["d46_stratified_weighted_reservoir"].oracle,
+    doc="streaming maintenance of the stratified A-Res reservoir — the "
+    "sample is a textbook MERGEABLE summary (per-group top-k by a "
+    "deterministic per-row key: union two reservoirs, keep the top-k — "
+    "associative, commutative, order-invariant), so documents arriving "
+    "as micro-batches maintain exactly the one-shot d46 sample: per "
+    "batch, score the batch, union the stored per-group candidates, "
+    "re-take top-5 per source, upsert exactly-once keyed by "
+    "(source, rank) — a BOUNDED state relation (k rows per group) no "
+    "matter how much history streamed past. Byte-equal to the one-shot "
+    "d46 oracle",
+)
+def c25(spark: SparkSession, sf: str) -> DataFrame:
+    from basis_devkit_spark.operators.text import (
+        quality_score,
+        weighted_reservoir_sample_grouped,
+    )
+    from basis_devkit_spark.storage.store import TableStore
+    from basis_devkit_spark.streaming.ops import stream_merge_to_store
+
+    docs = load(spark, sf, "documents")
+    tmp, drop, raw_schema = _stream_drop_dir(
+        spark, docs, "bds_c25_",
+        [F.col("doc_id") % 2 == 0, F.col("doc_id") % 2 == 1],
+    )
+
+    def merge(batch: DataFrame, existing: DataFrame | None) -> DataFrame:
+        cand = quality_score(batch, "text").select(
+            "source", "doc_id", "quality_score"
+        )
+        if existing is not None:
+            cand = cand.unionByName(
+                existing.select("source", "doc_id", "quality_score")
+            )
+        # the merge IS the operator: per-group top-k by the same
+        # deterministic key over the union of candidates
+        return weighted_reservoir_sample_grouped(
+            cand, "quality_score", 5, group_col="source", salt="ares"
+        )
+
+    store = TableStore(tmp, "reservoir", spark)
+    store.configure(unique_on=["source", "rank"])
+    stream = (
+        spark.readStream.schema(raw_schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(drop)
+    )
+    q = stream_merge_to_store(stream, store, f"{tmp}/_ckpt", merge).start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return store.read().select("source", "doc_id", "quality_score", "rank")
