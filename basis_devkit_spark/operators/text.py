@@ -933,6 +933,51 @@ def weighted_reservoir_sample(
     )
 
 
+#: Unicode scripts profiled by :func:`script_profile` — Spark (Java
+#: regex) spells a script \p{IsX}, DuckDB (RE2) \p{X}; the CLASSES are
+#: the same Unicode property, so counts agree exactly (probed).
+SCRIPT_CLASSES: list[tuple[str, str, str]] = [
+    ("latin", r"\p{IsLatin}", r"\p{Latin}"),
+    ("cyrillic", r"\p{IsCyrillic}", r"\p{Cyrillic}"),
+    ("han", r"\p{IsHan}", r"\p{Han}"),
+    ("arabic", r"\p{IsArabic}", r"\p{Arabic}"),
+    ("digit", "[0-9]", "[0-9]"),
+    ("space", r"\s", r"\s"),
+]
+
+
+def script_profile(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Per-document Unicode-SCRIPT character profile: total char count
+    plus the fraction of characters in each of Latin / Cyrillic / Han /
+    Arabic / digit / whitespace — the cheap language-ID prefilter and
+    mojibake/garbage detector every multilingual crawl pipeline runs
+    before the trained classifier (a doc that is 40% Han and 40% Latin
+    is mixed-script; one that is mostly neither any script nor space is
+    binary junk). Pure ``regexp_count`` column expressions — one
+    projection, fuses into the scan, no shuffle, no UDF; fractions are
+    ``floor(x·10⁶+0.5)/10⁶`` with integer numerators (identical double
+    both engines). Zero-length/null docs report 0.0 everywhere."""
+    c = F.coalesce(F.col(text_col), F.lit(""))
+    n = F.length(c)
+    cols = [F.col(id_col), n.cast("long").alias("n_chars")]
+    for name, jpat, _ in SCRIPT_CLASSES:
+        cnt = F.regexp_count(c, F.lit(jpat))
+        cols.append(
+            F.when(
+                n > 0,
+                F.floor(
+                    cnt.cast("double") / n.cast("double") * 1000000.0 + 0.5
+                )
+                / 1000000.0,
+            )
+            .otherwise(F.lit(0.0))
+            .alias(f"frac_{name}")
+        )
+    return df.select(*cols)
+
+
 def weighted_reservoir_sample_grouped(
     df: DataFrame,
     weight_col: str,

@@ -119,6 +119,7 @@ _SAMPLE_PRIORITY = [
     "d45_tokenizer_fertility",
     "d46_stratified_weighted_reservoir",
     "c25_stream_reservoir_maintenance",
+    "d47_script_profile",
     "c17_stream_hist_maintenance",
     "d37_bpe_indexed_tokens",
     "d38_jl_ivf_quantized_topk",

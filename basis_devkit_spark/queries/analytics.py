@@ -5444,3 +5444,34 @@ def c25(spark: SparkSession, sf: str) -> DataFrame:
     finally:
         q.stop()
     return store.read().select("source", "doc_id", "quality_score", "rank")
+
+
+@register(
+    "d47_script_profile",
+    """
+    select doc_id,
+           cast(len(coalesce(text, '')) as bigint) as n_chars,
+           """ + ",\n           ".join(
+        f"""case when len(coalesce(text, '')) > 0 then
+             floor((len(coalesce(text, '')) -
+                    len(regexp_replace(coalesce(text, ''), '{dpat}', '', 'g')))
+                   * 1.0 / len(coalesce(text, '')) * 1000000.0 + 0.5)
+               / 1000000.0 else 0.0 end as frac_{name}"""
+        for name, _, dpat in __import__(
+            "basis_devkit_spark.operators.text", fromlist=["SCRIPT_CLASSES"]
+        ).SCRIPT_CLASSES
+    ) + """
+    from documents
+    """,
+    doc="per-doc Unicode-script character profile (Latin / Cyrillic / "
+    "Han / Arabic / digit / whitespace fractions) — the cheap language-"
+    "ID prefilter and mojibake detector run before the trained "
+    "classifier; pure regexp_count projections that fuse into the "
+    "scan. Java regex spells a script \\\\p{IsX}, RE2 \\\\p{X} — same "
+    "Unicode property, counts probed equal; fractions floor-scaled "
+    "1e6 with integer numerators",
+)
+def d47(spark: SparkSession, sf: str) -> DataFrame:
+    from basis_devkit_spark.operators.text import script_profile
+
+    return script_profile(load(spark, sf, "documents"))

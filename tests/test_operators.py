@@ -4450,3 +4450,36 @@ def test_repetition_signals_matches_python_model_random(spark):
     }
     for i, text in docs:
         assert out[i] == model(text), (i, text, out[i], model(text))
+
+
+def test_script_profile_multilingual_handcomputed(spark):
+    """d47 on hand-computed multilingual fixtures (the sf corpus is
+    ASCII, so the oracle sweep never exercises non-Latin scripts):
+    mixed-script and junk shapes, empty/null text."""
+    from basis_devkit_spark.operators.text import script_profile
+
+    rows = [
+        (1, "abc Привет 北京 123  x"),   # 20 chars: 4 latin, 6 cyr, 2 han, 3 digit, 5 space
+        (2, "\x00\x01\x02\x03"),          # junk: no script, no space
+        (3, ""),
+        (4, None),
+    ]
+    out = {
+        r["doc_id"]: r
+        for r in script_profile(
+            spark.createDataFrame(rows, "doc_id long, text string")
+        ).collect()
+    }
+    r6 = lambda a, b: int(a / b * 1e6 + 0.5) / 1e6
+    assert out[1]["n_chars"] == 20
+    assert out[1]["frac_latin"] == r6(4, 20)
+    assert out[1]["frac_cyrillic"] == r6(6, 20)
+    assert out[1]["frac_han"] == r6(2, 20)
+    assert out[1]["frac_arabic"] == 0.0
+    assert out[1]["frac_digit"] == r6(3, 20)
+    assert out[1]["frac_space"] == r6(5, 20)
+    assert out[2]["n_chars"] == 4
+    assert all(out[2][f"frac_{s}"] == 0.0 for s in
+               ("latin", "cyrillic", "han", "arabic", "digit", "space"))
+    for i in (3, 4):
+        assert out[i]["n_chars"] == 0 and out[i]["frac_latin"] == 0.0
