@@ -404,34 +404,95 @@ def token_budget_sample(
     )
 
 
+def _grouped_topk(
+    df: DataFrame,
+    group_col: str,
+    key,
+    k: int,
+    merge_fanin: int = 1024,
+) -> DataFrame:
+    """BOUNDED per-group top-k: returns ``(group_col, __tk)`` where
+    ``__tk`` is the array of the ``k`` smallest ``key`` structs in the
+    group (struct field order defines the sort). Shared merge tree for
+    :func:`stratified_sample` and
+    :func:`weighted_reservoir_sample_grouped`.
+
+    Phase 1 takes a local top-k per (group, input partition); the merge
+    then folds those per-partition arrays in a TREE keyed by
+    ``__pid div merge_fanin`` per level, so NO merge aggregation buffer
+    ever flattens more than ``merge_fanin`` arrays — i.e. ≤
+    ``merge_fanin × k`` structs — regardless of the input partition
+    count P (⌈log_fanin P⌉ levels; a flat single-level merge buffers
+    P×k structs per group, a driver-visible OOM when a hot stratum
+    spans 10⁵+ map partitions with a curation-sized k). The fold key is
+    integer DIVISION of the partition id, not a hash mod: ``div`` caps
+    the arrays landing in one bucket at exactly ``merge_fanin``, while
+    ``pmod(hash(pid), M)`` caps the bucket COUNT but lets per-bucket
+    occupancy grow as P/M — unbounded again at scale.
+
+    Honest bound for phase 1: ``collect_list`` cannot truncate its
+    partial aggregation buffer, so the buffer for one (group,
+    partition) cell holds ALL that cell's key structs until the slice
+    runs final-side. The structs are tens of bytes against full input
+    rows, so the buffer stays far smaller than the scan split that
+    produced it (MBs under default ``maxPartitionBytes``) — but feed
+    this operator scan-sized partitions: repartition first if upstream
+    produced multi-GB partitions.
+
+    The partition count is read from the compiled plan (no job); AQE
+    can only coalesce (never grow) map partitions for a scan input, so
+    the count is an upper bound and the per-level cap holds.
+    """
+    if merge_fanin < 2:
+        raise ValueError("merge_fanin must be >= 2")
+    local = (
+        df.withColumn("__k", key)
+        .withColumn("__pid", F.spark_partition_id().cast("long"))
+        .groupBy(group_col, "__pid")
+        .agg(F.slice(F.array_sort(F.collect_list("__k")), 1, k).alias("__tk"))
+    )
+    remaining = max(int(df.rdd.getNumPartitions()), 1)
+    cur = local
+    while remaining > merge_fanin:
+        cur = (
+            cur.withColumn("__pid", F.expr(f"__pid div {int(merge_fanin)}"))
+            .groupBy(group_col, "__pid")
+            .agg(
+                F.slice(
+                    F.array_sort(F.flatten(F.collect_list("__tk"))), 1, k
+                ).alias("__tk")
+            )
+        )
+        remaining = -(-remaining // merge_fanin)
+    return cur.groupBy(group_col).agg(
+        F.slice(F.array_sort(F.flatten(F.collect_list("__tk"))), 1, k).alias(
+            "__tk"
+        )
+    )
+
+
 def stratified_sample(
     df: DataFrame,
     group_col: str,
     k: int,
     id_col: str = "doc_id",
     salt: str = "strat",
+    merge_fanin: int = 1024,
 ) -> DataFrame:
     """Deterministic per-group sample: the ``k`` docs per ``group_col``
     value with the smallest md5 priority (salted hash of the id) — the
     reproducible analogue of per-stratum uniform sampling used to build
     eval slices and data-mixture previews.
 
-    Scale shape: the two-phase top-k aggregation (map-side local top-k →
-    per-group merge), NOT a window row_number, so no group ever lands in
-    one reducer whole — the same pattern as similarity._topk_by_query.
-    Output: input columns + ``sample_rank`` (1-based within the group)."""
+    Scale shape: two-phase top-k aggregation with a BOUNDED merge tree
+    (map-side local top-k → ``__pid div merge_fanin`` fold levels →
+    per-group merge; no merge buffer ever exceeds ``merge_fanin × k``
+    structs at ANY input partition count — see :func:`_grouped_topk`),
+    NOT a window row_number, so no group ever lands in one reducer
+    whole. Output: input columns + ``sample_rank`` (1-based)."""
     prio = F.md5(F.concat(F.lit(salt), F.col(id_col).cast("string")))
     key = F.struct(prio.alias("p"), F.col(id_col).alias("i"))
-    packed = (
-        df.withColumn("__k", key)
-        .withColumn("__pid", F.spark_partition_id())
-        .groupBy(group_col, "__pid")
-        .agg(F.slice(F.array_sort(F.collect_list("__k")), 1, k).alias("__tk"))
-        .groupBy(group_col)
-        .agg(
-            F.slice(F.array_sort(F.flatten(F.collect_list("__tk"))), 1, k).alias("__tk")
-        )
-    )
+    packed = _grouped_topk(df, group_col, key, k, merge_fanin)
     winners = packed.select(
         group_col, F.posexplode("__tk").alias("__r0", "__w")
     ).select(
@@ -985,6 +1046,7 @@ def weighted_reservoir_sample_grouped(
     group_col: str = "source",
     id_col: str = "doc_id",
     salt: str = "ares",
+    merge_fanin: int = 1024,
 ) -> DataFrame:
     """STRATIFIED exact-size weighted sampling: A-Res
     (Efraimidis–Spirakis) independently within every ``group_col``
@@ -996,12 +1058,17 @@ def weighted_reservoir_sample_grouped(
     count").
 
     Same deterministic key as the global form (md5-uniform u, key =
-    u^(1/w), floor-rounded at 1e12), but per-group top-k via TWO-PHASE
-    aggregation — a local top-k per (group, input partition) completes
-    map-side, then per-group merge — never a Window row_number, whose
-    plan funnels every row of a stratum through one reducer task (the
-    scale-killer when one source dominates a 100 TB corpus). Returns
-    ``(group, id, weight, rank)``; rank 1 = largest key."""
+    u^(1/w), floor-rounded at 1e12), but per-group top-k via the
+    BOUNDED two-phase aggregation tree (:func:`_grouped_topk`): local
+    top-k per (group, input partition), then ``__pid div merge_fanin``
+    fold levels, so no merge aggregation buffer ever exceeds
+    ``merge_fanin × k`` structs regardless of how many map partitions
+    a hot stratum spans — never a Window row_number, whose plan
+    funnels every row of a stratum through one reducer task (the
+    scale-killer when one source dominates a 100 TB corpus). The id
+    keeps its ORIGINAL type (any orderable type ties deterministically;
+    string UUID ids survive intact). Returns ``(group, id, weight,
+    rank)``; rank 1 = largest key."""
     u = (
         F.conv(
             F.substring(
@@ -1015,19 +1082,10 @@ def weighted_reservoir_sample_grouped(
     w = F.greatest(F.col(weight_col).cast("double"), F.lit(1e-12))
     key12 = F.floor(F.pow(u, 1.0 / w) * 1.0e12 + 0.5) / 1.0e12
     skey = F.struct(
-        (-key12).alias("nk"), F.col(id_col).cast("long").alias("i"),
+        (-key12).alias("nk"), F.col(id_col).alias("i"),
         F.col(weight_col).cast("double").alias("w"),
     )
-    local = (
-        df.withColumn("__pid", F.spark_partition_id())
-        .groupBy(group_col, "__pid")
-        .agg(F.slice(F.array_sort(F.collect_list(skey)), 1, k).alias("__tk"))
-    )
-    merged = local.groupBy(group_col).agg(
-        F.slice(F.array_sort(F.flatten(F.collect_list("__tk"))), 1, k).alias(
-            "__tk"
-        )
-    )
+    merged = _grouped_topk(df, group_col, skey, k, merge_fanin)
     ex = merged.select(group_col, F.posexplode("__tk").alias("__r0", "__s"))
     return ex.select(
         group_col,

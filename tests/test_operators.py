@@ -1608,6 +1608,90 @@ def test_weighted_reservoir_grouped_properties_and_plan(spark):
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
 
 
+def test_grouped_topk_bounded_merge_tree_equivalence(spark):
+    """The bounded merge tree (r12): with merge_fanin smaller than the
+    partition count, _grouped_topk inserts `__pid div fanin` fold levels
+    so no merge buffer flattens more than fanin arrays — and the result
+    is EXACTLY the flat single-level merge's (top-k is associative).
+    Exercises a skewed input where one group spans every partition."""
+    from pyspark.sql import functions as F
+
+    from basis_devkit_spark.operators.text import (
+        stratified_sample,
+        weighted_reservoir_sample_grouped,
+    )
+
+    df = (
+        spark.range(2000)
+        .select(
+            F.col("id").alias("doc_id"),
+            # group "hot" covers 90% of rows and every partition
+            F.when(F.col("id") % 10 < 9, F.lit("hot"))
+            .otherwise(F.lit("cold"))
+            .alias("grp"),
+            ((F.col("id") % 11) + 1).cast("double").alias("w"),
+        )
+        .repartition(40)
+    )
+    flat = weighted_reservoir_sample_grouped(
+        df, "w", 7, group_col="grp", merge_fanin=1024
+    )
+    deep = weighted_reservoir_sample_grouped(
+        df, "w", 7, group_col="grp", merge_fanin=2
+    )
+    key = lambda r: (r["grp"], r["doc_id"], r["rank"])  # noqa: E731
+    assert sorted(map(key, flat.collect())) == sorted(map(key, deep.collect()))
+    # the deep tree really has extra merge levels (more aggregate phases)
+    p_flat = flat._jdf.queryExecution().executedPlan().toString()
+    p_deep = deep._jdf.queryExecution().executedPlan().toString()
+    assert p_deep.count("HashAggregate") > p_flat.count("HashAggregate")
+    assert "Window" not in p_deep
+
+    s_flat = stratified_sample(df, "grp", 7, merge_fanin=1024)
+    s_deep = stratified_sample(df, "grp", 7, merge_fanin=3)
+    k2 = lambda r: (r["grp"], r["doc_id"], r["sample_rank"])  # noqa: E731
+    assert sorted(map(k2, s_flat.collect())) == sorted(
+        map(k2, s_deep.collect())
+    )
+
+
+def test_weighted_reservoir_grouped_preserves_id_type(spark):
+    """String (UUID-like) ids survive intact (r12, ADVICE fix): the sort
+    struct no longer casts the id to long — output id column keeps the
+    input type and values, ties break on the original orderable value."""
+    from pyspark.sql import functions as F
+
+    from basis_devkit_spark.operators.text import (
+        weighted_reservoir_sample,
+        weighted_reservoir_sample_grouped,
+    )
+
+    df = spark.range(300).select(
+        F.concat(F.lit("u-"), F.lpad(F.col("id").cast("string"), 5, "0")).alias(
+            "uid"
+        ),
+        (F.col("id") % 2).cast("string").alias("grp"),
+        ((F.col("id") % 5) + 1).cast("double").alias("w"),
+    )
+    out = weighted_reservoir_sample_grouped(
+        df, "w", 10, group_col="grp", id_col="uid"
+    )
+    assert dict(out.dtypes)["uid"] == "string"
+    rows = out.collect()
+    ids = {r["uid"] for r in rows}
+    assert len(rows) == 20 and len(ids) == 20
+    assert all(i.startswith("u-") for i in ids)
+    # within-group equivalence with the global form still holds for
+    # string ids (same key, same tie-break on the original value)
+    for g in ("0", "1"):
+        solo = weighted_reservoir_sample(
+            df.filter(F.col("grp") == g), "w", 10, id_col="uid"
+        ).collect()
+        assert sorted(r["uid"] for r in rows if r["grp"] == g) == sorted(
+            r["uid"] for r in solo
+        )
+
+
 def test_wav_header_fields_parse(spark):
     import struct
 
