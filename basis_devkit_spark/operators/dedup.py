@@ -710,6 +710,15 @@ def connected_components(
         .select(F.col("a").alias("node"), F.col("a").alias("label"))
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
+    # The most recent localCheckpoint still ROOTING live lineage: on the
+    # persist()-only rounds new_labels' recompute chain runs back to this
+    # frame's LogicalRDD, whose blocks are the ONLY copy (checkpointing
+    # truncated the lineage above them). Releasing it before the next
+    # checkpoint round would turn any lost cached partition of a
+    # persist-round frame into a permanent missing-block failure instead
+    # of a recompute — so a checkpointed labels is released DEFERRED, on
+    # the round a newer checkpoint supersedes it as the lineage root.
+    pinned_ckpt: DataFrame | None = None
     for it in range(max_iter):
         nbr_min = (
             und.join(labels, und["b"] == labels["node"])
@@ -728,7 +737,8 @@ def connected_components(
         # level per round — on a long-chain graph (diameter ≫ 5) Catalyst
         # re-analysis cost and lineage depth blow up. Truncate it every few
         # rounds: localCheckpoint materializes the frame and CUTS lineage.
-        if (it + 1) % 5 == 0:
+        ckpt_round = (it + 1) % 5 == 0
+        if ckpt_round:
             new_labels = new_labels.localCheckpoint(eager=True)
         else:
             new_labels = new_labels.persist(StorageLevel.MEMORY_AND_DISK)
@@ -738,14 +748,28 @@ def connected_components(
             .filter(F.col("n.label") != F.col("o.label"))
             .count()
         )
-        # labels alternates persist()/localCheckpoint() rounds;
-        # release_plan_blocks handles both (plain unpersist() silently
-        # no-ops on the checkpoint rounds — see lineage.py)
-        release_plan_blocks(labels)
+        if ckpt_round:
+            # new_labels is self-contained: the superseded labels AND the
+            # previously pinned checkpoint are no longer reachable from
+            # any live lineage — release both block sets now.
+            if labels is not pinned_ckpt:
+                release_plan_blocks(labels)
+            if pinned_ckpt is not None:
+                release_plan_blocks(pinned_ckpt)
+            pinned_ckpt = new_labels
+        elif labels is not pinned_ckpt:
+            # persist-round labels is recomputable (lineage intact down to
+            # pinned_ckpt / the persisted edge list), so plain cache
+            # release is safe; a checkpointed labels stays pinned.
+            release_plan_blocks(labels)
         labels = new_labels
         if changed == 0:
             break
     und.unpersist()
+    # NOTE: if the final labels came from a persist() round, pinned_ckpt
+    # still roots its recompute lineage and must outlive the returned
+    # frame — it is deliberately NOT released here (GC + ContextCleaner
+    # reclaim it with the result).
     return labels.select(F.col("node"), F.col("label").alias("component"))
 
 

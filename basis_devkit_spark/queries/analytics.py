@@ -4213,15 +4213,23 @@ def d37(spark: SparkSession, sf: str) -> DataFrame:
     from basis_devkit_spark.operators.bpe import (
         bpe_apply_indexed,
         bpe_learn_merges,
+        release_tokenizer_vocab,
     )
 
     docs = load(spark, sf, "documents")
     mt, vocab = bpe_learn_merges(docs, "text", num_merges=8, emit_vocab=True)
-    return bpe_apply_indexed(docs, vocab, mt).select(
+    out = bpe_apply_indexed(docs, vocab, mt).select(
         "doc_id",
         F.size("bpe_tokens").cast("long").alias("n_bpe_tokens"),
         F.md5(F.concat_ws(" ", "bpe_tokens")).alias("tok_md5"),
     )
+    # the result lineage roots at the vocab's checkpoint blocks:
+    # materialize the (small) result, then release the vocabulary-sized
+    # block set deterministically instead of pinning one per query run
+    # until GC + ContextCleaner (mirrors tokenizer_fit.py)
+    out = out.localCheckpoint(eager=True)
+    release_tokenizer_vocab(vocab)
+    return out
 
 
 @register(
@@ -4268,13 +4276,18 @@ def d40(spark: SparkSession, sf: str) -> DataFrame:
     from basis_devkit_spark.operators.bpe import (
         bpe_learn_merges,
         bpe_token_counts_indexed,
+        release_tokenizer_vocab,
     )
 
     docs = load(spark, sf, "documents")
     mt, vocab = bpe_learn_merges(docs, "text", num_merges=8, emit_vocab=True)
-    return bpe_token_counts_indexed(docs, vocab, mt).select(
+    out = bpe_token_counts_indexed(docs, vocab, mt).select(
         "doc_id", "n_bpe_tokens"
     )
+    # materialize, then drop the pinned vocab checkpoint (see d37)
+    out = out.localCheckpoint(eager=True)
+    release_tokenizer_vocab(vocab)
+    return out
 
 
 @register(
@@ -4297,13 +4310,14 @@ def d42(spark: SparkSession, sf: str) -> DataFrame:
     from basis_devkit_spark.operators.bpe import (
         bpe_learn_merges,
         bpe_token_counts_indexed,
+        release_tokenizer_vocab,
     )
     from basis_devkit_spark.operators.text import sequence_pack_shuffled
 
     docs = load(spark, sf, "documents")
     mt, vocab = bpe_learn_merges(docs, "text", num_merges=8, emit_vocab=True)
     counted = bpe_token_counts_indexed(docs, vocab, mt)
-    return sequence_pack_shuffled(
+    out = sequence_pack_shuffled(
         counted, budget=512, n_tokens_col="n_bpe_tokens"
     ).select(
         "doc_id",
@@ -4311,6 +4325,10 @@ def d42(spark: SparkSession, sf: str) -> DataFrame:
         "seq_id",
         "seq_offset",
     )
+    # materialize, then drop the pinned vocab checkpoint (see d37)
+    out = out.localCheckpoint(eager=True)
+    release_tokenizer_vocab(vocab)
+    return out
 
 
 @register(
@@ -4940,6 +4958,7 @@ def c22(spark: SparkSession, sf: str) -> DataFrame:
     from basis_devkit_spark.operators.bpe import (
         bpe_learn_merges,
         bpe_token_counts_indexed,
+        release_tokenizer_vocab,
     )
     from basis_devkit_spark.storage.store import TableStore
     from basis_devkit_spark.streaming.ops import stream_merge_to_store
@@ -4977,6 +4996,9 @@ def c22(spark: SparkSession, sf: str) -> DataFrame:
         q.processAllAvailable()
     finally:
         q.stop()
+    # the stream is done consuming the fixed artifacts: drop the pinned
+    # vocab checkpoint (the store holds the results; see d37)
+    release_tokenizer_vocab(vocab)
     return store.read().select("doc_id", "n_bpe_tokens")
 
 
@@ -5069,6 +5091,7 @@ def c24(spark: SparkSession, sf: str) -> DataFrame:
     from basis_devkit_spark.operators.bpe import (
         bpe_learn_merges,
         bpe_token_counts_indexed,
+        release_tokenizer_vocab,
     )
     from basis_devkit_spark.storage.store import TableStore
     from basis_devkit_spark.streaming.ops import stream_pack_append_to_store
@@ -5103,6 +5126,9 @@ def c24(spark: SparkSession, sf: str) -> DataFrame:
         q.processAllAvailable()
     finally:
         q.stop()
+    # the stream is done consuming the fixed artifacts: drop the pinned
+    # vocab checkpoint (the store holds the results; see d37)
+    release_tokenizer_vocab(vocab)
     return layout_store.read().select(
         "doc_id",
         F.col("n_tokens").cast("long").alias("n_tokens"),
@@ -5135,12 +5161,17 @@ def d43(spark: SparkSession, sf: str) -> DataFrame:
         bpe_apply_indexed,
         bpe_decode,
         bpe_learn_merges,
+        release_tokenizer_vocab,
     )
 
     docs = load(spark, sf, "documents")
     mt, vocab = bpe_learn_merges(docs, "text", num_merges=8, emit_vocab=True)
     toks = bpe_apply_indexed(docs, vocab, mt)
-    return bpe_decode(toks).select("doc_id", "text_decoded")
+    out = bpe_decode(toks).select("doc_id", "text_decoded")
+    # materialize, then drop the pinned vocab checkpoint (see d37)
+    out = out.localCheckpoint(eager=True)
+    release_tokenizer_vocab(vocab)
+    return out
 
 
 @register(
@@ -5298,6 +5329,7 @@ def d45(spark: SparkSession, sf: str) -> DataFrame:
     from basis_devkit_spark.operators.bpe import (
         bpe_learn_merges,
         bpe_token_counts_indexed,
+        release_tokenizer_vocab,
     )
 
     docs = load(spark, sf, "documents")
@@ -5319,7 +5351,7 @@ def d45(spark: SparkSession, sf: str) -> DataFrame:
     r6 = lambda num, den: F.when(
         den > 0, F.floor(num / den * 1000000.0 + 0.5) / 1000000.0
     ).otherwise(F.lit(0.0))
-    return per.groupBy("source").agg(
+    out = per.groupBy("source").agg(
         F.count(F.lit(1)).cast("long").alias("n_docs"),
         F.sum("__nb").cast("long").alias("n_tokens"),
         F.sum("__nw").cast("long").alias("n_words"),
@@ -5337,6 +5369,10 @@ def d45(spark: SparkSession, sf: str) -> DataFrame:
             F.col("n_bytes").cast("double"), F.col("n_tokens").cast("double")
         ).alias("bytes_per_token"),
     )
+    # materialize, then drop the pinned vocab checkpoint (see d37)
+    out = out.localCheckpoint(eager=True)
+    release_tokenizer_vocab(vocab)
+    return out
 
 
 @register(

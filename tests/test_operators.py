@@ -691,6 +691,91 @@ def test_connected_components_long_chain(spark):
     out.unpersist()
 
 
+def test_connected_components_pins_lineage_root_checkpoint(spark):
+    """r12 ADVICE fix: on persist()-only rounds the new labels frame's
+    recompute lineage is ROOTED at the last localCheckpoint, whose blocks
+    are the only copy — so that checkpoint must stay pinned until a newer
+    checkpoint supersedes it (previously it was released the moment it
+    was superseded as the CURRENT frame, turning any lost cached
+    partition into a permanent missing-block failure). Contract: every
+    LogicalRDD leaf of the returned frame's plan still has cached
+    blocks."""
+    from basis_devkit_spark.operators.dedup import connected_components
+
+    # 8-node path: ~8 rounds, one checkpoint round (it=4), converges on a
+    # persist round — the returned frame's lineage roots at the checkpoint
+    n = 8
+    df = spark.createDataFrame(
+        [(i, i + 1) for i in range(1, n)], "id_a int, id_b int"
+    )
+    out = connected_components(df, "id_a", "id_b", max_iter=n + 5)
+    assert {r.node: r.component for r in out.collect()} == {
+        i: 1 for i in range(1, n + 1)
+    }
+    cached = {
+        i.id()
+        for i in spark.sparkContext._jsc.sc().getRDDStorageInfo()
+        if i.numCachedPartitions() > 0
+    }
+    leaves = out._jdf.queryExecution().analyzed().collectLeaves()
+    leaf_ids = {
+        leaves.apply(i).rdd().id()
+        for i in range(leaves.size())
+        if leaves.apply(i).getClass().getName().endswith("LogicalRDD")
+    }
+    # leaves include the (uncached, driver-recomputable) createDataFrame
+    # source RDD; the CHECKPOINT leaf is the one whose blocks are the
+    # only copy — it must still be pinned
+    assert leaf_ids & cached, (
+        "lineage-root checkpoint was released while still backing the "
+        "returned frame"
+    )
+    out.unpersist()
+
+
+def test_release_plan_blocks_wrapped_checkpoint_and_cache_precedence(spark):
+    """r12 ADVICE fix in lineage.py: (a) a checkpointed frame WRAPPED in
+    transformations (select on top) is still released via its LogicalRDD
+    leaf — previously only an exact-root match took the backing-RDD path
+    and the call silently degraded to the GC fallback; (b) a PERSISTED
+    frame derived from a live checkpoint releases only its own cache
+    entry, never the shared checkpoint leaf."""
+    from pyspark import StorageLevel
+    from pyspark.sql import functions as F
+
+    from basis_devkit_spark.operators.lineage import release_plan_blocks
+
+    def cached_rdd_ids():
+        return {
+            i.id()
+            for i in spark.sparkContext._jsc.sc().getRDDStorageInfo()
+            if i.numCachedPartitions() > 0
+        }
+
+    # (a) wrapped checkpoint
+    ckpt = spark.range(100).localCheckpoint(eager=True)
+    bid = ckpt._jdf.queryExecution().analyzed().rdd().id()
+    assert bid in cached_rdd_ids()
+    wrapped = ckpt.select((F.col("id") * 2).alias("x")).filter(F.col("x") > 10)
+    release_plan_blocks(wrapped)
+    assert bid not in cached_rdd_ids()
+
+    # (b) cache-manager precedence protects a shared checkpoint leaf
+    ckpt2 = spark.range(100).localCheckpoint(eager=True)
+    bid2 = ckpt2._jdf.queryExecution().analyzed().rdd().id()
+    derived = ckpt2.select((F.col("id") + 1).alias("y")).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    derived.count()
+    release_plan_blocks(derived)  # drops the cache entry ONLY
+    assert bid2 in cached_rdd_ids(), (
+        "releasing a persisted frame must not drop a live shared "
+        "checkpoint leaf"
+    )
+    release_plan_blocks(ckpt2)
+    assert bid2 not in cached_rdd_ids()
+
+
 def test_connected_components_exact_clusters(spark):
     """CC labels match a union-find ground truth on a multi-cluster graph
     with a chain (forces >1 propagation round)."""
