@@ -106,6 +106,12 @@ _SAMPLE_PRIORITY = [
     # in r8 but omitted from this list (the d19 failure mode again) —
     # tests/test_inventory_imports.py now asserts every c*/d* query
     # appears here.
+    # -- r12 front block: d48 registrable domain (PSL eTLD+1), d48b
+    # per-domain cap on the newly BOUNDED grouped reservoir; the
+    # reservoir/stratified family (d46, c25, d08) re-front-loaded after
+    # the r12 merge-tree rework of their shared top-k aggregation.
+    "d48_registrable_domain",
+    "d48b_domain_cap",
     # -- r11 front block: d42 chains d40 counts into d41 shuffled
     # packing (the flagship example's packing stage); c23 streams
     # incremental packing from a persisted one-row cursor.

@@ -5511,3 +5511,155 @@ def d47(spark: SparkSession, sf: str) -> DataFrame:
     from basis_devkit_spark.operators.text import script_profile
 
     return script_profile(load(spark, sf, "documents"))
+
+
+# -------------------- d48 family: per-domain curation (RefinedWeb-style)
+# The documents fixture has no URL column; derive a deterministic
+# synthetic URL per doc from (source, doc_id) in-query (the fixture
+# convention) — identical literal expression in Spark and the oracle.
+# doc_id % 11 == 0 rows get junk (unparseable) URLs to exercise the
+# NULL-domain passthrough path; the % 5 TLD wheel exercises the default
+# rule (.com/.org), a ccTLD registry suffix (.co.uk), a private-section
+# shared host (.github.io), and an unknown TLD.
+from basis_devkit_spark.operators.domains import (  # noqa: E402
+    MULTI_LABEL_SUFFIXES as _MLS,
+)
+
+_SFX2_SQL = ", ".join(f"'{s}'" for s in _MLS if s.count(".") == 1)
+_SFX3_SQL = ", ".join(f"'{s}'" for s in _MLS if s.count(".") == 2)
+
+_SYNTH_URL_SQL = """
+      case when doc_id % 11 = 0 then 'junk'
+           else 'https://w' || cast(doc_id % 3 as varchar) || '.' ||
+                lower(source) ||
+                (case (doc_id % 5) when 0 then '.com' when 1 then '.co.uk'
+                      when 2 then '.org' when 3 then '.github.io'
+                      else '.unknowntld' end) ||
+                '/doc/' || cast(doc_id as varchar) end
+"""
+
+# continues a WITH chain that has defined `u(doc_id, ..., url)`;
+# replays operators/domains.registrable_domain: host via the same
+# RE2/Java regexp, longest-match multi-label suffix, PSL default rule
+_DOMAIN_SQL = f"""
+    h as (
+      select *, nullif(regexp_extract(url, '^https://([^/]+)', 1), '') as host
+      from u
+    ), lbl as (
+      select *, string_split(host, '.') as labs,
+             len(string_split(host, '.')) as n
+      from h
+    ), dom as (
+      select *,
+        case when host is null then null
+             when n > 3 and (labs[n-2] || '.' || labs[n-1] || '.' || labs[n])
+                  in ({_SFX3_SQL})
+               then labs[n-3] || '.' || labs[n-2] || '.' || labs[n-1]
+                    || '.' || labs[n]
+             when n > 2 and (labs[n-1] || '.' || labs[n]) in ({_SFX2_SQL})
+               then labs[n-2] || '.' || labs[n-1] || '.' || labs[n]
+             when n > 1 then labs[n-1] || '.' || labs[n]
+             else host end as domain
+      from lbl
+    )
+"""
+
+
+def _synth_url_col():
+    return F.when(F.col("doc_id") % 11 == 0, F.lit("junk")).otherwise(
+        F.concat(
+            F.lit("https://w"),
+            (F.col("doc_id") % 3).cast("string"),
+            F.lit("."),
+            F.lower("source"),
+            F.element_at(
+                F.array(
+                    F.lit(".com"), F.lit(".co.uk"), F.lit(".org"),
+                    F.lit(".github.io"), F.lit(".unknowntld"),
+                ),
+                (F.col("doc_id") % 5 + 1).cast("int"),
+            ),
+            F.lit("/doc/"),
+            F.col("doc_id").cast("string"),
+        )
+    )
+
+
+@register(
+    "d48_registrable_domain",
+    f"""
+    with u as (
+      select doc_id, {_SYNTH_URL_SQL} as url from documents
+    ), {_DOMAIN_SQL}
+    select doc_id, host, domain from dom
+    """,
+    doc="registrable domain (eTLD+1) extraction — the unit under every "
+    "RefinedWeb-style per-domain cap/dedup: host via Spark's JVM URL "
+    "parser (try_parse_url; NULL on junk), then the Public Suffix List "
+    "algorithm as a PURE PROJECTION — multi-label suffixes matched "
+    "longest-first against a literal isin set (codegen-compact InSet; "
+    "production loads the full public-domain PSL into suffixes=), "
+    "unknown TLDs under the PSL default rule. Zero joins, zero "
+    "shuffles, fuses into the scan. Oracle replays host extraction "
+    "with an RE2-identical regexp and the same longest-match tables",
+)
+def d48(spark: SparkSession, sf: str) -> DataFrame:
+    from basis_devkit_spark.operators.domains import registrable_domain
+
+    docs = load(spark, sf, "documents").withColumn("url", _synth_url_col())
+    return registrable_domain(docs, "url", host_col="host").select(
+        "doc_id", "host", "domain"
+    )
+
+
+@register(
+    "d48b_domain_cap",
+    f"""
+    with q as (
+      select doc_id, source, {_QUALITY_EXPR} as quality_score
+      from ({_STATS_SQL})
+    ), u as (
+      select doc_id, quality_score, {_SYNTH_URL_SQL} as url from q
+    ), {_DOMAIN_SQL}, keyed as (
+      select doc_id, domain, quality_score,
+             floor(power(
+                     ((('0x' || substr(md5('domcap' ||
+                                           cast(doc_id as varchar)), 1, 8))
+                       ::ubigint)::double + 1.0) / 4294967296.0,
+                     1.0 / greatest(quality_score, 1e-12)
+                   ) * 1e12 + 0.5) / 1e12 as k
+      from dom
+    ), r as (
+      select doc_id, domain,
+             row_number() over (partition by domain
+                                order by k desc, doc_id) as rnk
+      from keyed where domain is not null
+    )
+    select doc_id, domain, cast(rnk as int) as domain_rank
+    from r where rnk <= 3
+    union all
+    select doc_id, domain, cast(null as int) as domain_rank
+    from dom where domain is null
+    """,
+    doc="per-domain cap (domain_cap, max 3 per registrable domain, "
+    "keep_by=quality_score) — the RefinedWeb mega-host guard run "
+    "BEFORE content dedup: keeps the best-quality k per domain via the "
+    "quality-weighted A-Res reservoir (exact count, deterministic, "
+    "inclusion ~ quality within the domain); NULL-domain rows pass "
+    "through uncapped with NULL rank for separate handling. The hot "
+    "domain IS the skewed key, so the per-domain top-k runs on the "
+    "BOUNDED two-phase merge tree (buffers <= merge_fanin x k at any "
+    "partition count, no Window funneling the mega-domain through one "
+    "reducer). Oracle replays domain + A-Res key and ranks with a "
+    "window DuckDB-side",
+)
+def d48b(spark: SparkSession, sf: str) -> DataFrame:
+    from basis_devkit_spark.operators.domains import domain_cap
+    from basis_devkit_spark.operators.text import quality_score
+
+    d = quality_score(load(spark, sf, "documents"), "text").withColumn(
+        "url", _synth_url_col()
+    )
+    return domain_cap(d, "url", max_per_domain=3, keep_by="quality_score").select(
+        "doc_id", "domain", "domain_rank"
+    )

@@ -1740,6 +1740,115 @@ def test_grouped_topk_bounded_merge_tree_equivalence(spark):
     )
 
 
+def test_registrable_domain_psl_semantics(spark):
+    """eTLD+1 under the PSL algorithm: longest-match multi-label
+    suffixes (ccTLD registries + private shared hosts), default rule
+    for unknown TLDs, host-is-suffix/single-label/junk edge cases,
+    case + trailing-dot + userinfo/port normalization."""
+    from basis_devkit_spark.operators.domains import registrable_domain
+
+    cases = [
+        (1, "https://a.b.example.co.uk/p?q=1", "a.b.example.co.uk", "example.co.uk"),
+        (2, "http://www.example.com/x", "www.example.com", "example.com"),
+        (3, "https://foo.github.io/repo", "foo.github.io", "foo.github.io"),
+        (4, "https://github.io/", "github.io", "github.io"),
+        (5, "http://d.bucket.s3.amazonaws.com/k", "d.bucket.s3.amazonaws.com",
+         "bucket.s3.amazonaws.com"),
+        (6, "https://example.io", "example.io", "example.io"),
+        (7, "https://weird.unknowntld", "weird.unknowntld", "weird.unknowntld"),
+        (8, "not a url", None, None),
+        (9, None, None, None),
+        (10, "https://u:p@host.example.org:8443/a", "host.example.org",
+         "example.org"),
+        (11, "https://Example.COM./t", "example.com", "example.com"),
+        (12, "https://localhost/x", "localhost", "localhost"),
+    ]
+    df = spark.createDataFrame(
+        [(i, u) for i, u, _, _ in cases], "doc_id long, url string"
+    )
+    out = registrable_domain(df, "url", host_col="host")
+    got = {r.doc_id: (r.host, r.domain) for r in out.collect()}
+    for i, _, host, dom in cases:
+        assert got[i] == (host, dom), (i, got[i], (host, dom))
+    # pure projection: no shuffle, no join, no Python
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan and "Join" not in plan
+    assert "EvalPython" not in plan
+    # custom suffix list overrides the built-in set
+    alt = registrable_domain(df, "url", suffixes=["unknowntld", "x.y"])
+    got7 = {r.doc_id: r.domain for r in alt.collect()}[7]
+    # single-label entries are redundant (default rule) and ignored
+    assert got7 == "weird.unknowntld"
+
+
+def test_domain_cap_properties(spark, docs):
+    """RefinedWeb-style per-domain cap: <= k rows per registrable
+    domain, deterministic, NULL-domain rows pass through uncapped with
+    NULL rank, keep_by prefers high-weight docs, and the plan carries
+    no Window (bounded grouped-reservoir shape)."""
+    from pyspark.sql import functions as F
+
+    from basis_devkit_spark.operators.domains import domain_cap
+
+    url = F.when(F.col("doc_id") % 11 == 0, F.lit("junk")).otherwise(
+        F.concat(
+            F.lit("https://w"), (F.col("doc_id") % 3).cast("string"),
+            F.lit("."), F.lower("source"),
+            F.when(F.col("doc_id") % 2 == 0, F.lit(".com")).otherwise(
+                F.lit(".co.uk")
+            ),
+            F.lit("/d/"), F.col("doc_id").cast("string"),
+        )
+    )
+    d = docs.withColumn("url", url).withColumn(
+        "w", (F.col("doc_id") % 9 + 1).cast("double")
+    )
+    out = domain_cap(d, "url", max_per_domain=4, keep_by="w")
+    rows = out.collect()
+    per_dom = {}
+    for r in rows:
+        if r["domain"] is not None:
+            per_dom.setdefault(r["domain"], []).append(r)
+        else:
+            assert r["domain_rank"] is None
+    assert all(len(v) <= 4 for v in per_dom.values())
+    for v in per_dom.values():
+        assert sorted(r["domain_rank"] for r in v) == list(
+            range(1, len(v) + 1)
+        )
+    # NULL-domain rows pass through uncapped
+    n_junk = d.filter(F.col("doc_id") % 11 == 0).count()
+    assert sum(1 for r in rows if r["domain"] is None) == n_junk
+    # deterministic
+    again = {(r["doc_id"], r["domain_rank"]) for r in
+             domain_cap(d, "url", max_per_domain=4, keep_by="w").collect()}
+    assert {(r["doc_id"], r["domain_rank"]) for r in rows} == again
+    # no window / no python in the capped path
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan and "EvalPython" not in plan
+    # keep_by=None is the uniform deterministic cap (equal-weight A-Res):
+    # exactly min(4, |domain|) per domain
+    from basis_devkit_spark.operators.domains import registrable_domain
+
+    sizes = {
+        r["domain"]: r["count"]
+        for r in registrable_domain(d, "url")
+        .filter(F.col("domain").isNotNull())
+        .groupBy("domain")
+        .count()
+        .collect()
+    }
+    uni = domain_cap(d, "url", max_per_domain=4)
+    got_sizes = {
+        r["domain"]: r["count"]
+        for r in uni.filter(F.col("domain").isNotNull())
+        .groupBy("domain")
+        .count()
+        .collect()
+    }
+    assert got_sizes == {dom: min(4, n) for dom, n in sizes.items()}
+
+
 def test_weighted_reservoir_grouped_preserves_id_type(spark):
     """String (UUID-like) ids survive intact (r12, ADVICE fix): the sort
     struct no longer casts the id to long — output id column keeps the
