@@ -424,6 +424,33 @@ def release_signature_caches(df: DataFrame) -> int:
     return n
 
 
+def _keeper_losers(
+    pairs: DataFrame, df: DataFrame, id_col: str, keep_by: str
+) -> DataFrame:
+    """Loser ids under the quality-aware keeper rule: for every candidate
+    pair the loser is the doc LATER in ``(-keep_by, id)`` order — the
+    keeper is the best-quality copy, ties broken to the smaller id
+    (``keep_by = -id`` therefore reproduces the plain min-id rule
+    exactly). Same one-hop shape as the min-id collapse: no window, no
+    CC round; two equi-joins attach the scores to the (bounded)
+    candidate-pair relation, never the other way around."""
+    q = df.select(
+        F.col(id_col), F.col(keep_by).cast("double").alias("__q")
+    )
+    scored = pairs.join(
+        q.select(F.col(id_col).alias("id_a"), F.col("__q").alias("__qa")),
+        "id_a",
+    ).join(
+        q.select(F.col(id_col).alias("id_b"), F.col("__q").alias("__qb")),
+        "id_b",
+    )
+    ka = F.struct((-F.col("__qa")).alias("nq"), F.col("id_a").alias("i"))
+    kb = F.struct((-F.col("__qb")).alias("nq"), F.col("id_b").alias("i"))
+    return scored.select(
+        F.when(ka < kb, F.col("id_b")).otherwise(F.col("id_a")).alias(id_col)
+    )
+
+
 def minhash_dedup(
     df: DataFrame,
     id_col: str,
@@ -434,12 +461,20 @@ def minhash_dedup(
     jaccard_threshold: float = 0.8,
     max_bucket_size: int | None = None,
     materialize_signatures: bool = True,
+    keep_by: str | None = None,
 ) -> DataFrame:
     """Keep-one near-dedup: drop any doc with a candidate neighbor of
     smaller id (scalable CC approximation — see module docstring).
     ``max_bucket_size``: hot-bucket guard, see ``minhash_near_dup_pairs``
     (keep-one semantics are preserved under the guard's signature
-    collapse — every collapsed member keeps a smaller-id star neighbor)."""
+    collapse — every collapsed member keeps a smaller-id star neighbor).
+
+    ``keep_by``: production dedup keeps the BEST copy, not the min-id
+    copy — name a numeric quality column and each candidate pair drops
+    the doc later in ``(-keep_by, id)`` order instead (deterministic;
+    ``keep_by`` on a ``-id`` column reproduces the default byte-for-
+    byte). Cost: two extra equi-joins of the bounded pair relation
+    against the (id, score) projection."""
     pairs = minhash_near_dup_pairs(
         df, id_col, text_col, num_hashes, bands, shingle_size,
         jaccard_threshold, max_bucket_size=max_bucket_size,
@@ -447,7 +482,10 @@ def minhash_dedup(
     )
     # no .distinct() on the loser keys: LEFT ANTI ignores build-side
     # duplicates, so the extra aggregation stage would only add a shuffle
-    losers = pairs.select(F.col("id_b").alias(id_col))
+    if keep_by is None:
+        losers = pairs.select(F.col("id_b").alias(id_col))
+    else:
+        losers = _keeper_losers(pairs, df, id_col, keep_by)
     out = df.join(losers, id_col, "left_anti")
     out._bds_cached = getattr(pairs, "_bds_cached", [])  # type: ignore[attr-defined]
     return out

@@ -591,27 +591,38 @@ def semantic_dedup(
     centroids: DataFrame | None = None,
     max_cell_size: int | None = None,
     probe_form: str = "broadcast",
+    keep_by: str | None = None,
 ) -> DataFrame:
     """Keep-one semantic dedup over ``semantic_dup_pairs``: drop every row
     that has a LOWER-id near-duplicate in its cell (the same deterministic
     greedy keep-first rule as ``minhash_dedup``), return the survivors with
-    their original columns. One extra shuffle (the anti-join on id)."""
-    dropped = (
-        semantic_dup_pairs(
-            df,
-            vec_col,
-            id_col,
-            threshold,
-            nlist,
-            seed,
-            max_train_rows,
-            centroids,
-            max_cell_size,
-            probe_form,
-        )
-        .select(F.col("id_b").alias("__drop"))
-        .distinct()
+    their original columns. One extra shuffle (the anti-join on id).
+
+    ``keep_by``: keep the BEST copy instead of the min-id copy — each
+    near-dup pair drops the row later in ``(-keep_by, id)`` order
+    (same rule and cost note as ``minhash_dedup(keep_by=...)``)."""
+    pairs = semantic_dup_pairs(
+        df,
+        vec_col,
+        id_col,
+        threshold,
+        nlist,
+        seed,
+        max_train_rows,
+        centroids,
+        max_cell_size,
+        probe_form,
     )
+    if keep_by is None:
+        dropped = pairs.select(F.col("id_b").alias("__drop")).distinct()
+    else:
+        from basis_devkit_spark.operators.dedup import _keeper_losers
+
+        dropped = (
+            _keeper_losers(pairs, df, id_col, keep_by)
+            .withColumnRenamed(id_col, "__drop")
+            .distinct()
+        )
     return df.join(dropped, on=F.col(id_col) == F.col("__drop"), how="left_anti")
 
 

@@ -112,6 +112,7 @@ _SAMPLE_PRIORITY = [
     # the r12 merge-tree rework of their shared top-k aggregation.
     "d48_registrable_domain",
     "d48b_domain_cap",
+    "d02k_minhash_quality_keeper",
     # -- r11 front block: d42 chains d40 counts into d41 shuffled
     # packing (the flagship example's packing stage); c23 streams
     # incremental packing from a persisted one-row cursor.

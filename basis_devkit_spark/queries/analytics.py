@@ -5663,3 +5663,56 @@ def d48b(spark: SparkSession, sf: str) -> DataFrame:
     return domain_cap(d, "url", max_per_domain=3, keep_by="quality_score").select(
         "doc_id", "domain", "domain_rank"
     )
+
+
+def _minhash_quality_keeper_sql() -> str:
+    """Oracle for d02k: the independent XXH64 pair model emits the
+    banded-LSH candidate pairs as literal VALUES; DuckDB computes the
+    d04c quality score and applies the keeper rule itself — loser =
+    the doc later in (-quality, id) row order (exactly the Spark
+    struct-min), so the keeper SEMANTICS are verified in SQL, not just
+    the final id set."""
+    pairs = pyoracle.minhash_candidate_pairs(
+        pyoracle.oracle_sf_dir(), threshold=0.7
+    )
+    if not pairs:
+        return "select doc_id, lang, source from documents"
+    vals = ", ".join(f"({a}, {b})" for a, b in pairs)
+    return f"""
+    with q as (
+      select doc_id, {_QUALITY_EXPR} as qs from ({_STATS_SQL})
+    ), p(id_a, id_b) as (select * from (values {vals})),
+    losers as (
+      select case when (-qa.qs, p.id_a) < (-qb.qs, p.id_b)
+                  then p.id_b else p.id_a end as lid
+      from p
+      join q qa on qa.doc_id = p.id_a
+      join q qb on qb.doc_id = p.id_b
+    )
+    select doc_id, lang, source from documents
+    where doc_id not in (select lid from losers)
+    """
+
+
+@register(
+    "d02k_minhash_quality_keeper",
+    _minhash_quality_keeper_sql,
+    doc="quality-aware keep-one near-dedup (minhash_dedup keep_by="
+    "quality_score): production dedup keeps the BEST copy of a near-"
+    "dup pair, not the min-id copy — each banded-LSH candidate pair "
+    "drops the doc later in (-quality, id) order (deterministic; "
+    "keep_by on -id reproduces the d02b output byte-for-byte, "
+    "equivalence-tested). Same one-hop no-window shape as d02b plus "
+    "two equi-joins attaching scores to the bounded pair relation; "
+    "the oracle replays the keeper rule in SQL over the literal pair "
+    "table and the proven d04c quality expression",
+)
+def d02k(spark: SparkSession, sf: str) -> DataFrame:
+    from basis_devkit_spark.operators.dedup import minhash_dedup
+    from basis_devkit_spark.operators.text import quality_score
+
+    d = quality_score(load(spark, sf, "documents"), "text")
+    return minhash_dedup(
+        d, "doc_id", "text", num_hashes=64, bands=16,
+        jaccard_threshold=0.7, keep_by="quality_score",
+    ).select("doc_id", "lang", "source")

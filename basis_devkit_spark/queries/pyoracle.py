@@ -187,11 +187,12 @@ def minhash_signature_model(text: str, num_hashes: int = 64) -> list[int] | None
 
 
 @lru_cache(maxsize=2)
-def minhash_loser_ids(
+def minhash_candidate_pairs(
     sf_dir: str, num_hashes: int = 64, bands: int = 16, threshold: float = 0.7
-) -> tuple[int, ...]:
-    """Doc ids dropped by the min-id-neighbor rule on banded-LSH candidate
-    pairs with estimated Jaccard >= threshold."""
+) -> tuple[tuple[int, int], ...]:
+    """Banded-LSH candidate pairs (lo_id, hi_id) with estimated Jaccard
+    >= threshold — the pair relation BOTH keeper rules (min-id and
+    quality-aware keep_by) consume."""
     rows_per_band = num_hashes // bands
     sigs: dict[int, list[int]] = {}
     buckets: dict[tuple[int, int], list[int]] = {}
@@ -206,7 +207,7 @@ def minhash_loser_ids(
             )
             bh = xxh64_bytes(band_key.encode("utf-8"))
             buckets.setdefault((b, bh), []).append(doc_id)
-    losers: set[int] = set()
+    pairs: set[tuple[int, int]] = set()
     seen: set[tuple[int, int]] = set()
     for ids in buckets.values():
         for i, a in enumerate(ids):
@@ -217,8 +218,25 @@ def minhash_loser_ids(
                 seen.add((lo, hi))
                 eq = sum(x == y for x, y in zip(sigs[lo], sigs[hi]))
                 if eq / num_hashes >= threshold:
-                    losers.add(hi)
-    return tuple(sorted(losers))
+                    pairs.add((lo, hi))
+    return tuple(sorted(pairs))
+
+
+def minhash_loser_ids(
+    sf_dir: str, num_hashes: int = 64, bands: int = 16, threshold: float = 0.7
+) -> tuple[int, ...]:
+    """Doc ids dropped by the min-id-neighbor rule on banded-LSH candidate
+    pairs with estimated Jaccard >= threshold."""
+    return tuple(
+        sorted(
+            {
+                hi
+                for _, hi in minhash_candidate_pairs(
+                    sf_dir, num_hashes, bands, threshold
+                )
+            }
+        )
+    )
 
 
 def minhash_dedup_sql() -> str:

@@ -277,6 +277,87 @@ def test_semantic_dedup_drops_planted_near_dups(spark):
     assert survivors == {0, 1, 4}
 
 
+def test_dedup_keep_by_quality_keeper(spark, docs):
+    """r12 keep_by: production dedup keeps the BEST copy of a near-dup
+    pair. (a) minhash_dedup(keep_by=) keeps the higher-quality copy of
+    a planted pair even when it has the LARGER id; (b) keep_by on a
+    -id column reproduces the default min-id output byte-for-byte;
+    (c) same contract for semantic_dedup."""
+    from pyspark.sql import functions as F
+
+    from basis_devkit_spark.operators.dedup import minhash_dedup
+    from basis_devkit_spark.operators.similarity import semantic_dedup
+
+    # (a) planted near-identical pair: id 1 low quality, id 2 high
+    base = "the quick brown fox jumps over the lazy dog " * 8
+    d = spark.createDataFrame(
+        [(1, base + "zz", 0.1), (2, base + "qq", 0.9), (3, "unrelated words entirely", 0.5)],
+        "doc_id long, text string, q double",
+    )
+    kept = {
+        r.doc_id
+        for r in minhash_dedup(
+            d, "doc_id", "text", jaccard_threshold=0.7, keep_by="q"
+        ).collect()
+    }
+    assert kept == {2, 3}  # min-id rule would have kept {1, 3}
+    kept_default = {
+        r.doc_id
+        for r in minhash_dedup(d, "doc_id", "text", jaccard_threshold=0.7).collect()
+    }
+    assert kept_default == {1, 3}
+
+    # (b) equivalence: keep_by = -id == default, on the real corpus
+    corpus = docs.select("doc_id", "text").withColumn(
+        "negid", -F.col("doc_id").cast("double")
+    )
+    a = sorted(
+        r.doc_id
+        for r in minhash_dedup(
+            corpus, "doc_id", "text", jaccard_threshold=0.7
+        ).collect()
+    )
+    b = sorted(
+        r.doc_id
+        for r in minhash_dedup(
+            corpus, "doc_id", "text", jaccard_threshold=0.7, keep_by="negid"
+        ).collect()
+    )
+    assert a == b
+
+    # (c) semantic_dedup: higher-quality copy of the planted pair wins
+    rows = [
+        (0, [1.0, 0.0, 0.0, 0.0], 0.2),
+        (2, [0.99, 0.02, 0.0, 0.0], 0.8),   # near-dup of 0, better
+        (4, [0.0, 0.0, 1.0, 0.0], 0.5),
+    ]
+    emb = spark.createDataFrame(
+        rows, "vec_id int, embedding array<float>, q double"
+    )
+    cents = spark.createDataFrame(
+        [(0, [1.0, 0.0, 0.0, 0.0])], "cell int, center array<double>"
+    )
+    got = {
+        r.vec_id
+        for r in semantic_dedup(
+            emb, threshold=0.95, centroids=cents, keep_by="q"
+        ).collect()
+    }
+    assert got == {2, 4}
+    negid = emb.withColumn("negid", -F.col("vec_id").cast("double"))
+    d_default = {
+        r.vec_id
+        for r in semantic_dedup(negid, threshold=0.95, centroids=cents).collect()
+    }
+    d_neg = {
+        r.vec_id
+        for r in semantic_dedup(
+            negid, threshold=0.95, centroids=cents, keep_by="negid"
+        ).collect()
+    }
+    assert d_default == d_neg == {0, 4}
+
+
 def test_semantic_dedup_kmeans_path_drops_planted(spark):
     """Default (KMeans-quantizer) path: same recall property, no injected
     centroids — covers the trained-quantizer branch."""
