@@ -52,24 +52,51 @@ def _vocab_join_broadcasts(
     vocab: DataFrame, broadcast_vocab: bool | None
 ) -> bool:
     """Resolve the vocab-join strategy: an explicit ``broadcast_vocab``
-    wins; otherwise size the vocabulary — from ``_bds_row_count`` when
-    the frame came off a managed store (the manifest persists the row
-    count, so no job runs) or one vocabulary-sized count otherwise
-    (cached on the frame object) — and broadcast iff it fits
-    ``BROADCAST_VOCAB_MAX_ROWS``. The choice is logged."""
+    wins; otherwise size the vocabulary and broadcast iff it fits
+    ``BROADCAST_VOCAB_MAX_ROWS``. Sizing resolution order (r12,
+    hardened past the attribute-only rider):
+
+    1. ``_bds_row_count`` Python attribute — exact, set by
+       ``TableStore.read`` / a completed count; dies on the first
+       transformation.
+    2. ``bds_record_count`` COLUMN METADATA — the manifest row count
+       riding the plan itself (``TableStore.read`` stamps every
+       column), so it survives an intervening select/filter/rename;
+       a filter only shrinks the frame, making it a correct UPPER
+       BOUND for the broadcast decision.
+    3. One vocabulary-sized count job (cached back on the frame
+       object) — logged, so a silent degradation to counting is
+       observable.
+
+    The final choice is logged either way."""
+    log = logging.getLogger(__name__)
     if broadcast_vocab is not None:
         return bool(broadcast_vocab)
     rows = getattr(vocab, "_bds_row_count", None)
+    src = "rider"
     if rows is None:
+        for f in vocab.schema.fields:
+            meta_rc = (f.metadata or {}).get("bds_record_count")
+            if meta_rc is not None:
+                rows = int(meta_rc)
+                src = "column-metadata upper bound"
+                break
+    if rows is None:
+        log.info(
+            "bpe vocab join: no persisted row-count rider or column "
+            "metadata on the vocabulary frame; falling back to a count job"
+        )
         rows = vocab.count()
+        src = "count job"
         try:
             vocab._bds_row_count = rows  # type: ignore[attr-defined]
         except AttributeError:
             pass
     choice = rows <= BROADCAST_VOCAB_MAX_ROWS
-    logging.getLogger(__name__).info(
-        "bpe vocab join auto-sized: %d rows -> %s",
+    log.info(
+        "bpe vocab join auto-sized: %d rows (%s) -> %s",
         rows,
+        src,
         "broadcast" if choice else "shuffled hash (AQE)",
     )
     return choice

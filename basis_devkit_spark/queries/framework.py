@@ -1069,3 +1069,90 @@ def a32(spark: SparkSession, sf: str) -> DataFrame:
     )
     v2 = store.get_active_version()
     return store.changes_between(v1, v2)
+
+
+@register(
+    "a33_stats_drift",
+    """
+    with v1 as (
+      select o_orderkey as k, o_totalprice as p
+      from orders where o_orderkey % 2 = 0
+    ), v2 as (
+      select o_orderkey as k,
+             case when o_orderkey % 6 = 0 then o_totalprice * 2
+                  else o_totalprice end as p,
+             cast(o_orderkey % 7 as double) as extra
+      from orders where o_orderkey % 3 = 0
+    )
+    select 'extra' as "column", 'schema' as "metric",
+           cast(null as varchar) as "old", 'double' as "new"
+    union all
+    select '<table>', 'row_count',
+           cast((select count(*) from v1) as varchar),
+           cast((select count(*) from v2) as varchar)
+    union all
+    select 'k', 'nulls',
+           cast((select count(*) - count(k) from v1) as varchar),
+           cast((select count(*) - count(k) from v2) as varchar)
+    union all
+    select 'k', 'min',
+           cast((select min(k) from v1) as varchar),
+           cast((select min(k) from v2) as varchar)
+    union all
+    select 'k', 'max',
+           cast((select max(k) from v1) as varchar),
+           cast((select max(k) from v2) as varchar)
+    union all
+    select 'k', 'distinct',
+           cast((select count(distinct k) from v1) as varchar),
+           cast((select count(distinct k) from v2) as varchar)
+    union all
+    select 'p', 'nulls',
+           cast((select count(*) - count(p) from v1) as varchar),
+           cast((select count(*) - count(p) from v2) as varchar)
+    union all
+    select 'p', 'min',
+           cast((select min(p) from v1) as varchar),
+           cast((select min(p) from v2) as varchar)
+    union all
+    select 'p', 'max',
+           cast((select max(p) from v1) as varchar),
+           cast((select max(p) from v2) as varchar)
+    union all
+    select 'p', 'distinct',
+           cast((select count(distinct p) from v1) as varchar),
+           cast((select count(distinct p) from v2) as varchar)
+    """,
+    doc="per-column stats drift between two real store versions "
+    "(stats_drift, the corpus-governance 'did the new batch shift the "
+    "data?' report): REPLACE even-keyed orders, then REPLACE multiple-"
+    "of-3 keys with some prices doubled plus an ADDED column — one "
+    "(column, metric, old, new) row per drift fact: the schema "
+    "addition, table row_count, and nulls/min/max/exact-distinct per "
+    "shared column. Each side is one bounded aggregate job over its "
+    "version snapshot; the oracle recomputes every cell from the same "
+    "literal version predicates (double->varchar reprs agree: both "
+    "engines print shortest round-trip decimals below 1e7)",
+)
+def a33(spark: SparkSession, sf: str) -> DataFrame:
+    import tempfile as _tf
+
+    from basis_devkit_spark.storage.store import TableStore
+
+    tmp = _tf.mkdtemp(prefix="bds_a33_")
+    store = TableStore(tmp, "t", spark)
+    orders = load(spark, sf, "orders").select(
+        F.col("o_orderkey").alias("k"), F.col("o_totalprice").alias("p")
+    )
+    store.write_replace(orders.filter(F.col("k") % 2 == 0))
+    v1 = store.get_active_version()
+    store.write_replace(
+        orders.filter(F.col("k") % 3 == 0)
+        .withColumn(
+            "p",
+            F.when(F.col("k") % 6 == 0, F.col("p") * 2).otherwise(F.col("p")),
+        )
+        .withColumn("extra", (F.col("k") % 7).cast("double"))
+    )
+    v2 = store.get_active_version()
+    return store.stats_drift(v1, v2)

@@ -746,9 +746,18 @@ class TableStore:
         df = self._read_dirs(self._version_dirs(self._manifest.active_version))
         # expose the manifest's persisted row count on the frame: size-
         # aware consumers (e.g. the BPE vocab join auto-sizer) can pick
-        # a join strategy without an extra count job over the artifact
+        # a join strategy without an extra count job over the artifact.
+        # Carried TWICE: a Python attribute (exact, but dies on the first
+        # transformation) and column METADATA in the plan itself, which
+        # survives select/filter/rename as long as any original column
+        # does — downstream a filter can only shrink the frame, so the
+        # metadata value is a correct UPPER BOUND for join sizing.
         rc = self.record_count
         if rc is not None:
+            for f in df.schema.fields:
+                df = df.withMetadata(
+                    f.name, {**f.metadata, "bds_record_count": int(rc)}
+                )
             df._bds_row_count = rc  # type: ignore[attr-defined]
         return df
 

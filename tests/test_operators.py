@@ -4255,13 +4255,18 @@ def test_bpe_tokenize_words_matches_emitted_vocab(spark, docs):
     )
 
 
-def test_bpe_vocab_join_auto_sizing(spark, docs, tmp_path):
-    """r10 verdict task 7: with broadcast_vocab unset, the vocab join
-    strategy comes from the vocabulary's ROW COUNT — at or below
-    BROADCAST_VOCAB_MAX_ROWS the plan keeps the broadcast hint, above
-    it the hint is dropped (AQE's shuffled hash join), with no caller
-    change. A store-read vocab carries the manifest's persisted
-    record_count so the decision costs no count job."""
+def test_bpe_vocab_join_auto_sizing(spark, docs, tmp_path, caplog):
+    """r10 verdict task 7 (+ r12 hardening): with broadcast_vocab unset,
+    the vocab join strategy comes from the vocabulary's ROW COUNT — at
+    or below BROADCAST_VOCAB_MAX_ROWS the plan keeps the broadcast
+    hint, above it the hint is dropped (AQE's shuffled hash join), with
+    no caller change. A store-read vocab carries the manifest's
+    persisted record_count BOTH as an attribute rider and as column
+    metadata in the plan, so the decision costs no count job even
+    through an intervening select/filter; a frame with neither emits an
+    observable fallback log line before counting."""
+    import logging
+
     from pyspark.sql import functions as F
 
     from basis_devkit_spark.operators.bpe import (
@@ -4279,8 +4284,14 @@ def test_bpe_vocab_join_auto_sizing(spark, docs, tmp_path):
         )
         return "strategy=broadcast" in opt
 
-    # small vocab (auto -> count once, cached) broadcasts
-    assert has_hint(vocab)
+    # small vocab, no rider: fallback path logs, counts once, caches
+    with caplog.at_level(
+        logging.INFO, logger="basis_devkit_spark.operators.bpe"
+    ):
+        assert has_hint(vocab)
+    assert any(
+        "falling back to a count job" in r.message for r in caplog.records
+    )
     assert getattr(vocab, "_bds_row_count", None) == vocab.count()
     # same vocab claimed huge -> shuffled path, no caller change
     vocab._bds_row_count = 10_000_001
@@ -4291,6 +4302,33 @@ def test_bpe_vocab_join_auto_sizing(spark, docs, tmp_path):
     off_store = store.read()
     assert getattr(off_store, "_bds_row_count", None) == vocab.count()
     assert has_hint(off_store)
+    # r12: an intervening filter/select drops the attribute rider, but
+    # the manifest count rides COLUMN METADATA in the plan — sizing
+    # still needs no count job and the value acts as an upper bound
+    derived = off_store.filter(F.col("word") != "").select(
+        "word", "subwords"
+    )
+    assert getattr(derived, "_bds_row_count", None) is None
+    assert (
+        derived.schema["word"].metadata.get("bds_record_count")
+        == vocab.count()
+    )
+    caplog.clear()
+    with caplog.at_level(
+        logging.INFO, logger="basis_devkit_spark.operators.bpe"
+    ):
+        assert has_hint(derived)
+    assert not any(
+        "falling back to a count job" in r.message for r in caplog.records
+    )
+    assert any(
+        "column-metadata upper bound" in r.message for r in caplog.records
+    )
+    # a huge metadata bound flips the derived frame to the shuffled path
+    big = derived.withMetadata(
+        "word", {"bds_record_count": 10_000_001}
+    ).withMetadata("subwords", {"bds_record_count": 10_000_001})
+    assert not has_hint(big)
 
 
 def test_release_tokenizer_vocab_drops_pinned_blocks(spark, docs):
