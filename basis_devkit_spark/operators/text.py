@@ -1343,7 +1343,17 @@ def sequence_pack_append(
     The cursor after this batch is ``cursor_tokens + sum(n_tokens)``;
     :func:`sequence_pack_state` derives the persistable one-row state
     relation from this function's output. 100 TB: cost per batch is
-    batch-sized, not corpus-sized — the whole point."""
+    batch-sized, not corpus-sized — the whole point.
+
+    ORDER CONTRACT: the parity claim is against the ARRIVAL-order
+    concatenation. Within a batch docs are laid out in ``id_col``
+    order, but batches are packed in the order they arrive — a batch
+    carrying smaller ids than already-packed history still packs AFTER
+    it (deterministically: replaying the same batch sequence yields
+    the same layout). Global-id-order parity therefore requires the
+    batches themselves to arrive in id order; out-of-order arrival is
+    a different — still deterministic, still valid — layout, not a
+    corruption."""
     if n_tokens_col is not None:
         ntok = F.col(n_tokens_col).cast("long")
     else:

@@ -2663,6 +2663,65 @@ def test_sequence_pack_append_equals_one_shot(spark):
     assert st["total_tokens"] == cursor
 
 
+def test_sequence_pack_append_out_of_order_batches(spark):
+    """r12 contract test: the parity claim is against the ARRIVAL-order
+    concatenation — a late batch carrying SMALLER ids than the packed
+    history still packs after it, deterministically (replay-equal), and
+    equals the one-shot pack of the docs in that arrival order. It does
+    NOT equal the global-id-order pack (that parity needs id-ordered
+    arrival — docstring contract)."""
+    from pyspark.sql import functions as F
+
+    from basis_devkit_spark.operators.text import (
+        sequence_pack,
+        sequence_pack_append,
+        sequence_pack_state,
+    )
+
+    docs = [
+        (10, "a b c"), (13, "d e f g h"), (17, "i j"),
+        (2, "k l m n o p q r"), (5, "s"),   # SMALLER ids arriving later
+    ]
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    first = df.filter(F.col("doc_id") >= 10)
+    late = df.filter(F.col("doc_id") < 10)
+
+    def run():
+        cursor, got = 0, {}
+        for batch in (first, late):
+            layout = sequence_pack_append(batch, 8, cursor_tokens=cursor)
+            for r in layout.collect():
+                got[r["doc_id"]] = (r["n_tokens"], r["seq_id"], r["seq_offset"])
+            st = sequence_pack_state(
+                layout, 8, cursor_tokens=cursor
+            ).collect()[0]
+            cursor = int(st["total_tokens"])
+        return got, cursor
+
+    got, cursor = run()
+    assert cursor == sum(len(t.split()) for _, t in docs)
+    # deterministic: replaying the same batch sequence yields the same layout
+    assert run() == (got, cursor)
+    # equals the one-shot pack of the ARRIVAL order: first-batch ids
+    # (id-sorted within the batch) then late-batch ids — model by
+    # walking that order
+    cum, expect = 0, {}
+    for i, t in sorted([(i, t) for i, t in docs if i >= 10]) + sorted(
+        [(i, t) for i, t in docs if i < 10]
+    ):
+        n = len(t.split())
+        expect[i] = (n, cum // 8, cum % 8)
+        cum += n
+    assert got == expect
+    # and it genuinely DIFFERS from the global-id-order one-shot pack
+    # (doc 2 is 8 tokens: id-order puts it at offset 0, arrival at 10)
+    id_order = {
+        r["doc_id"]: (r["n_tokens"], r["seq_id"], r["seq_offset"])
+        for r in sequence_pack(df, budget=8).collect()
+    }
+    assert got != id_order
+
+
 def test_redact_pii_counted_handcomputed(spark):
     from basis_devkit_spark.operators.text import redact_pii_counted
 
