@@ -5716,3 +5716,91 @@ def d02k(spark: SparkSession, sf: str) -> DataFrame:
         d, "doc_id", "text", num_hashes=64, bands=16,
         jaccard_threshold=0.7, keep_by="quality_score",
     ).select("doc_id", "lang", "source")
+
+
+@register(
+    "c26_stream_domain_cap_maintenance",
+    f"""
+    with q as (
+      select doc_id, source, {_QUALITY_EXPR} as quality_score
+      from ({_STATS_SQL})
+    ), u as (
+      select doc_id, quality_score, {_SYNTH_URL_SQL} as url from q
+    ), {_DOMAIN_SQL}, keyed as (
+      select doc_id, domain, quality_score,
+             floor(power(
+                     ((('0x' || substr(md5('domcap' ||
+                                           cast(doc_id as varchar)), 1, 8))
+                       ::ubigint)::double + 1.0) / 4294967296.0,
+                     1.0 / greatest(quality_score, 1e-12)
+                   ) * 1e12 + 0.5) / 1e12 as k
+      from dom where domain is not null
+    )
+    select doc_id, domain, quality_score, cast(rnk as int) as domain_rank
+    from (
+      select doc_id, domain, quality_score,
+             row_number() over (partition by domain
+                                order by k desc, doc_id) as rnk
+      from keyed
+    ) where rnk <= 3
+    """,
+    doc="streaming maintenance of the per-domain cap — like the "
+    "c25 reservoir, the capped set is a MERGEABLE summary (per-domain "
+    "top-k by the deterministic A-Res key: union the stored winners "
+    "with the new batch, re-take top-k — associative, order-"
+    "invariant), so crawl batches arriving as micro-batches maintain "
+    "exactly the one-shot d48b cap with k-rows-per-domain bounded "
+    "state. NULL-domain rows are a stateless passthrough (d48b emits "
+    "them uncapped), so the maintained relation is the capped side "
+    "only; byte-equal to the d48b oracle's ranked branch",
+)
+def c26(spark: SparkSession, sf: str) -> DataFrame:
+    from basis_devkit_spark.operators.domains import registrable_domain
+    from basis_devkit_spark.operators.text import (
+        quality_score,
+        weighted_reservoir_sample_grouped,
+    )
+    from basis_devkit_spark.storage.store import TableStore
+    from basis_devkit_spark.streaming.ops import stream_merge_to_store
+
+    docs = load(spark, sf, "documents")
+    tmp, drop, raw_schema = _stream_drop_dir(
+        spark, docs, "bds_c26_",
+        [F.col("doc_id") % 2 == 0, F.col("doc_id") % 2 == 1],
+    )
+
+    def merge(batch: DataFrame, existing: DataFrame | None) -> DataFrame:
+        cand = registrable_domain(
+            quality_score(batch, "text").withColumn("url", _synth_url_col()),
+            "url",
+        ).filter(F.col("domain").isNotNull()).select(
+            "domain", "doc_id", "quality_score"
+        )
+        if existing is not None:
+            cand = cand.unionByName(
+                existing.select("domain", "doc_id", "quality_score")
+            )
+        win = weighted_reservoir_sample_grouped(
+            cand, "quality_score", 3, group_col="domain",
+            id_col="doc_id", salt="domcap",
+        )
+        return win.select(
+            "domain", "doc_id", "quality_score",
+            F.col("rank").alias("domain_rank"),
+        )
+
+    store = TableStore(tmp, "domain_cap", spark)
+    store.configure(unique_on=["domain", "domain_rank"])
+    stream = (
+        spark.readStream.schema(raw_schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(drop)
+    )
+    q = stream_merge_to_store(stream, store, f"{tmp}/_ckpt", merge).start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return store.read().select(
+        "doc_id", "domain", "quality_score", "domain_rank"
+    )
