@@ -1,5 +1,7 @@
 """Stage 2 — near-duplicate removal: exact dedup first (cheap hash
-collapse of byte-identical docs), then MinHash-LSH keep-one."""
+collapse of byte-identical docs), then MinHash-LSH keep-one. When the
+upstream stage scored quality, each near-dup pair keeps the BEST copy
+(keep_by) instead of the min-id copy — the production keeper rule."""
 from basis_devkit_spark import *
 
 
@@ -17,9 +19,11 @@ def dedup(
     exact = exact_dedup(
         df.withColumn("__h", F.md5("text")), ["__h"], order_by="doc_id"
     ).drop("__h")
+    keep = "quality_score" if "quality_score" in df.columns else None
     out.replace(
         minhash_dedup(
             exact, "doc_id", "text",
             jaccard_threshold=float(jaccard_threshold),
+            keep_by=keep,
         )
     )

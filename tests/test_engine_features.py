@@ -829,8 +829,9 @@ def test_funnel_empty_step_yields_zero_not_error(spark):
 
 def test_pretrain_pipeline_example_app(spark, tmp_path):
     """The examples/pretrain_pipeline app runs end-to-end: quality gates
-    -> exact+MinHash dedup -> benchmark decontamination -> PII redaction
-    -> perplexity curation -> sequence packing, each stage a versioned store commit."""
+    -> per-domain cap -> exact+MinHash dedup (best-quality keeper) ->
+    benchmark decontamination -> PII redaction -> perplexity curation ->
+    sequence packing, each stage a versioned store commit."""
     from pyspark.sql import functions as F
 
     eng = Engine(spark, str(tmp_path / "store"))
@@ -853,7 +854,18 @@ def test_pretrain_pipeline_example_app(spark, tmp_path):
     packed = eng.table_df("packed_sequences")
 
     assert 0 < n_clean <= n_docs
-    assert 0 < n_dedup <= n_clean
+    # per-domain cap: every registrable domain holds <= max_per_domain
+    # (graph.yml: 3) docs, the domain column rides along, and the stage
+    # genuinely dropped rows at this corpus/URL mix
+    capped = eng.table_df("capped_docs")
+    n_capped = capped.count()
+    assert 0 < n_capped < n_clean
+    assert "domain" in capped.columns
+    assert (
+        capped.groupBy("domain").count().agg(F.max("count")).first()[0] <= 3
+    )
+    n_dedup = eng.table_df("deduped_docs").count()
+    assert 0 < n_dedup <= n_capped
     assert 0 < n_final < n_dedup  # planted benchmark overlap was removed
     # no benchmark doc survives
     assert final.filter(F.col("doc_id") < 5).count() == 0
