@@ -32,6 +32,7 @@ __all__ = [
     "MULTI_LABEL_SUFFIXES",
     "registrable_domain",
     "domain_cap",
+    "url_features",
 ]
 
 #: Curated multi-label public suffixes (PSL subset). Single-label TLDs
@@ -131,6 +132,83 @@ def registrable_domain(
     if host_col:
         out = out.withColumn(host_col, host)
     return out
+
+
+def url_features(
+    df: DataFrame,
+    url_col: str = "url",
+) -> DataFrame:
+    """URL-level filter signals — the RefinedWeb-style URL scoring
+    pass run alongside the domain cap (crawl curation filters on URL
+    SHAPE before reading a byte of content: deep calendar/pagination
+    paths, parameter-stuffed tracking URLs, binary-asset extensions,
+    digit-heavy spam hosts):
+
+    - ``host`` — lowercased host (``try_parse_url``; NULL on junk)
+    - ``path_depth`` — non-empty ``/`` path segments
+    - ``n_query_params`` — ``&``-separated query parameters
+    - ``file_ext`` — lowercased extension of the last path segment
+      (1–5 alphanumerics), NULL when none
+    - ``is_homepage`` — 1 when the path is ``''``/``'/'`` with no
+      query, else 0 (int, not bool: a nullable boolean's NULL turns
+      into float NaN in one engine's pandas bridge and None in the
+      other, breaking representation-exact comparisons)
+    - ``n_host_labels`` — dot-separated host labels
+    - ``host_digit_fraction`` — digit chars / host chars, floor-scaled
+      1e6 (identical double both engines)
+    - ``url_chars`` — raw URL length
+
+    Pure column expressions over Spark's JVM URL parser: one
+    projection, fuses into the scan, zero shuffles/joins/UDFs. Every
+    feature is NULL-gated on the host: an unparseable or relative URL
+    yields NULL across the board (both engines agree by construction
+    instead of each guessing at junk)."""
+    url = F.col(url_col)
+    host = _host_of(url)
+    path = F.try_parse_url(url, F.lit("PATH"))
+    query = F.try_parse_url(url, F.lit("QUERY"))
+    segs = F.filter(
+        F.split(F.coalesce(path, F.lit("")), "/"), lambda s: s != ""
+    )
+    last = F.try_element_at(segs, F.lit(-1))  # NULL on an empty path
+    ext = F.lower(
+        F.regexp_extract(
+            F.coalesce(last, F.lit("")), r"\.([A-Za-z0-9]{1,5})$", 1
+        )
+    )
+    n_host = F.length(host)
+    digit_frac = F.when(
+        n_host > 0,
+        F.floor(
+            F.regexp_count(host, F.lit("[0-9]")).cast("double")
+            / n_host.cast("double")
+            * 1000000.0
+            + 0.5
+        )
+        / 1000000.0,
+    ).otherwise(F.lit(0.0))
+    gate = lambda c: F.when(host.isNotNull(), c)
+    return df.select(
+        *df.columns,
+        host.alias("host"),
+        gate(F.size(segs).cast("int")).alias("path_depth"),
+        gate(
+            F.when(query.isNull(), F.lit(0))
+            .otherwise(F.size(F.split(query, "&")))
+            .cast("int")
+        ).alias("n_query_params"),
+        gate(F.nullif(ext, F.lit(""))).alias("file_ext"),
+        gate(
+            (
+                F.coalesce(path, F.lit("")).isin("", "/") & query.isNull()
+            ).cast("int")
+        ).alias("is_homepage"),
+        gate(F.size(F.split(host, r"\.")).cast("int")).alias(
+            "n_host_labels"
+        ),
+        gate(digit_frac).alias("host_digit_fraction"),
+        gate(F.length(url).cast("int")).alias("url_chars"),
+    )
 
 
 def domain_cap(

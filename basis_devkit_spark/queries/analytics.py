@@ -5804,3 +5804,117 @@ def c26(spark: SparkSession, sf: str) -> DataFrame:
     return store.read().select(
         "doc_id", "domain", "quality_score", "domain_rank"
     )
+
+
+# URL variants for d48c: homepage / deep page with extension /
+# parameterized doc path / bare host — plus the %11 junk rows
+_SYNTH_URL2_SQL = """
+      case when doc_id % 11 = 0 then 'junk'
+           else 'https://w' || cast(doc_id % 3 as varchar) || '.' ||
+                lower(source) || '.com' ||
+                (case (doc_id % 4)
+                      when 0 then '/'
+                      when 1 then '/a/b/page-' || cast(doc_id as varchar)
+                                  || '.html'
+                      when 2 then '/doc/' || cast(doc_id as varchar) ||
+                                  '?q=' || cast(doc_id % 7 as varchar) ||
+                                  '&lang=en'
+                      else '' end) end
+"""
+
+
+def _synth_url2_col():
+    tail = (
+        F.when(F.col("doc_id") % 4 == 0, F.lit("/"))
+        .when(
+            F.col("doc_id") % 4 == 1,
+            F.concat(
+                F.lit("/a/b/page-"),
+                F.col("doc_id").cast("string"),
+                F.lit(".html"),
+            ),
+        )
+        .when(
+            F.col("doc_id") % 4 == 2,
+            F.concat(
+                F.lit("/doc/"),
+                F.col("doc_id").cast("string"),
+                F.lit("?q="),
+                (F.col("doc_id") % 7).cast("string"),
+                F.lit("&lang=en"),
+            ),
+        )
+        .otherwise(F.lit(""))
+    )
+    return F.when(F.col("doc_id") % 11 == 0, F.lit("junk")).otherwise(
+        F.concat(
+            F.lit("https://w"),
+            (F.col("doc_id") % 3).cast("string"),
+            F.lit("."),
+            F.lower("source"),
+            F.lit(".com"),
+            tail,
+        )
+    )
+
+
+@register(
+    "d48c_url_features",
+    f"""
+    with u as (
+      select doc_id, {_SYNTH_URL2_SQL} as url from documents
+    ), h as (
+      select doc_id, url,
+             nullif(regexp_extract(url, '^https://([^/]+)', 1), '') as host,
+             regexp_extract(url, '^https://[^/?#]+([^?#]*)', 1) as path,
+             nullif(regexp_extract(url, '\\?([^#]*)', 1), '') as query
+      from u
+    ), s as (
+      select *, list_filter(string_split(path, '/'), x -> x <> '') as segs
+      from h
+    )
+    select doc_id, host,
+      case when host is null then null
+           else cast(len(segs) as int) end as path_depth,
+      case when host is null then null
+           when query is null then 0
+           else cast(len(string_split(query, '&')) as int)
+        end as n_query_params,
+      case when host is null then null
+           else nullif(lower(regexp_extract(
+                  coalesce(segs[len(segs)], ''),
+                  '\\.([A-Za-z0-9]{{1,5}})$', 1)), '') end as file_ext,
+      case when host is null then null
+           else cast(path in ('', '/') and query is null as int)
+        end as is_homepage,
+      case when host is null then null
+           else cast(len(string_split(host, '.')) as int)
+        end as n_host_labels,
+      case when host is null then null
+           when len(host) > 0 then
+             floor((len(host) -
+                    len(regexp_replace(host, '[0-9]', '', 'g')))
+                   * 1.0 / len(host) * 1000000.0 + 0.5) / 1000000.0
+           else 0.0 end as host_digit_fraction,
+      case when host is null then null
+           else cast(len(url) as int) end as url_chars
+    from s
+    """,
+    doc="URL-level filter signals (url_features) — the RefinedWeb-"
+    "style URL scoring pass run beside the domain cap: path depth, "
+    "query-parameter count, file extension, homepage flag, host label "
+    "count, host digit fraction, URL length — crawl curation filters "
+    "on URL SHAPE before reading a byte of content. Pure projections "
+    "over the JVM URL parser, NULL-gated on the host so junk URLs "
+    "yield NULL across the board in both engines; the oracle replays "
+    "the parse with RE2-identical regexps over the same synthetic "
+    "homepage/deep-page/parameterized/bare-host variants",
+)
+def d48c(spark: SparkSession, sf: str) -> DataFrame:
+    from basis_devkit_spark.operators.domains import url_features
+
+    docs = load(spark, sf, "documents").withColumn("url", _synth_url2_col())
+    return url_features(docs, "url").select(
+        "doc_id", "host", "path_depth", "n_query_params", "file_ext",
+        "is_homepage", "n_host_labels", "host_digit_fraction", "url_chars",
+    )

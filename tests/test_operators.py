@@ -1862,6 +1862,46 @@ def test_registrable_domain_psl_semantics(spark):
     assert got7 == "weird.unknowntld"
 
 
+def test_url_features_semantics(spark):
+    """URL-shape filter signals: depth / params / extension / homepage /
+    host labels / digit fraction, NULL-gated on the host, pure
+    projection."""
+    from pyspark.sql import functions as F
+
+    from basis_devkit_spark.operators.domains import url_features
+
+    cases = [
+        (1, "https://a.example.com/"),
+        (2, "https://a.example.com/x/y/page-9.html"),
+        (3, "https://a.example.com/doc/3?q=1&lang=en&z="),
+        (4, "https://h0st123.example.com"),
+        (5, "https://a.example.com/f.PDF?x=1"),
+        (6, "junk"),
+        (7, None),
+        (8, "https://a.example.com/x/"),
+    ]
+    df = spark.createDataFrame(cases, "doc_id long, url string")
+    out = url_features(df, "url")
+    got = {r.doc_id: r.asDict() for r in out.collect()}
+    assert got[1]["path_depth"] == 0 and got[1]["is_homepage"] == 1
+    assert got[2]["path_depth"] == 3 and got[2]["file_ext"] == "html"
+    assert got[2]["is_homepage"] == 0 and got[2]["n_query_params"] == 0
+    assert got[3]["n_query_params"] == 3 and got[3]["file_ext"] is None
+    assert got[4]["is_homepage"] == 1 and got[4]["n_host_labels"] == 3
+    # "h0st123" carries 4 digit chars over the 19-char host
+    assert abs(got[4]["host_digit_fraction"] - 4 / 19) < 1e-6
+    assert got[5]["file_ext"] == "pdf" and got[5]["is_homepage"] == 0
+    for junk in (6, 7):
+        for c in ("host", "path_depth", "n_query_params", "file_ext",
+                  "is_homepage", "n_host_labels", "host_digit_fraction",
+                  "url_chars"):
+            assert got[junk][c] is None, (junk, c, got[junk][c])
+    assert got[8]["path_depth"] == 1 and got[8]["file_ext"] is None
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan and "Join" not in plan
+    assert "EvalPython" not in plan
+
+
 def test_domain_cap_properties(spark, docs):
     """RefinedWeb-style per-domain cap: <= k rows per registrable
     domain, deterministic, NULL-domain rows pass through uncapped with
