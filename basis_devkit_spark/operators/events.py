@@ -658,3 +658,82 @@ def dau_wau_stickiness(
             ).alias("stickiness"),
         )
     )
+
+
+def touch_attribution(
+    df: DataFrame,
+    touch_types: list[str],
+    conversion_type: str = "purchase",
+    lookback_hours: int = 24,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    id_col: str = "event_id",
+    value_col: str = "value",
+) -> DataFrame:
+    """Marketing-style touch attribution: for every CONVERSION event,
+    the first- and last-touch channels among that user's ``touch_types``
+    events inside the trailing ``lookback_hours`` window, plus the
+    touch count and per-touch linear credit — the standard
+    first/last/linear attribution triple, computed in ONE pass. Output
+    one row per conversion: ``(conversion_id, user, conv_ts,
+    conv_value, first_channel, last_channel, n_touches,
+    linear_credit)``; conversions with no in-window touch keep NULL
+    channels, 0 touches, NULL credit.
+
+    Scale shape: conversions ⋈ touches is a per-user EQUI-join with the
+    time window as a residual range predicate (fan-out bounded by one
+    user's touches inside the lookback — never a cross join, never a
+    global window); first/last are struct-min/max over (ts, touch id,
+    channel) in the same per-conversion hash aggregate, ties broken by
+    the unique touch id. Linear credit = value / n_touches with
+    explicit floor-at-1e-6 rounding so both engines compute the
+    identical double."""
+    if lookback_hours < 1:
+        raise ValueError("lookback_hours must be >= 1")
+    conv = df.filter(F.col(type_col) == conversion_type).select(
+        F.col(id_col).alias("conversion_id"),
+        F.col(user_col).alias("__u"),
+        F.col(ts_col).alias("conv_ts"),
+        F.col(value_col).cast("double").alias("conv_value"),
+    )
+    touches = df.filter(F.col(type_col).isin(*touch_types)).select(
+        F.col(user_col).alias("__tu"),
+        F.col(ts_col).alias("__tts"),
+        F.col(id_col).alias("__tid"),
+        F.col(type_col).alias("__ch"),
+    )
+    lb = F.expr(f"interval {int(lookback_hours)} hours")
+    j = conv.join(
+        touches,
+        (F.col("__u") == F.col("__tu"))
+        & (F.col("__tts") <= F.col("conv_ts"))
+        & (F.col("__tts") > F.col("conv_ts") - lb),
+        "left",
+    )
+    key = F.struct(
+        F.col("__tts").alias("t"), F.col("__tid").alias("i"),
+        F.col("__ch").alias("c"),
+    )
+    agg = j.groupBy("conversion_id", "__u", "conv_ts", "conv_value").agg(
+        F.min(F.when(F.col("__tid").isNotNull(), key)).alias("__first"),
+        F.max(F.when(F.col("__tid").isNotNull(), key)).alias("__last"),
+        F.sum(F.col("__tid").isNotNull().cast("long")).alias("n_touches"),
+    )
+    credit = F.when(
+        F.col("n_touches") > 0,
+        F.floor(
+            F.col("conv_value") / F.col("n_touches") * 1000000.0 + 0.5
+        )
+        / 1000000.0,
+    )
+    return agg.select(
+        "conversion_id",
+        F.col("__u").alias(user_col),
+        "conv_ts",
+        "conv_value",
+        F.col("__first.c").alias("first_channel"),
+        F.col("__last.c").alias("last_channel"),
+        F.col("n_touches").cast("long").alias("n_touches"),
+        credit.alias("linear_credit"),
+    )

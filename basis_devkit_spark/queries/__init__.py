@@ -116,6 +116,7 @@ _SAMPLE_PRIORITY = [
     "a33_stats_drift",
     "c26_stream_domain_cap_maintenance",
     "d48c_url_features",
+    "e16_touch_attribution",
     # -- r11 front block: d42 chains d40 counts into d41 shuffled
     # packing (the flagship example's packing stage); c23 streams
     # incremental packing from a persisted one-row cursor.

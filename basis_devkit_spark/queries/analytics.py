@@ -5918,3 +5918,64 @@ def d48c(spark: SparkSession, sf: str) -> DataFrame:
         "doc_id", "host", "path_depth", "n_query_params", "file_ext",
         "is_homepage", "n_host_labels", "host_digit_fraction", "url_chars",
     )
+
+
+@register(
+    "e16_touch_attribution",
+    """
+    with conv as (
+      select event_id as conversion_id, user_id, ts as conv_ts,
+             value as conv_value
+      from events where event_type = 'purchase'
+    ), t as (
+      select user_id, ts, event_id, event_type
+      from events where event_type in ('view', 'click')
+    ), j as (
+      select c.*, t.ts as tts, t.event_id as tid, t.event_type as ch
+      from conv c
+      left join t on t.user_id = c.user_id
+         and t.ts <= c.conv_ts
+         and t.ts > c.conv_ts - interval 24 hours
+    ), r as (
+      select conversion_id, ch,
+             row_number() over (partition by conversion_id
+                                order by tts, tid) as rf,
+             row_number() over (partition by conversion_id
+                                order by tts desc, tid desc) as rl,
+             count(*) over (partition by conversion_id) as nt
+      from j where tid is not null
+    ), a as (
+      select conversion_id,
+             max(case when rf = 1 then ch end) as first_channel,
+             max(case when rl = 1 then ch end) as last_channel,
+             cast(max(nt) as bigint) as n_touches
+      from r group by 1
+    )
+    select c.conversion_id, c.user_id, c.conv_ts, c.conv_value,
+           a.first_channel, a.last_channel,
+           coalesce(a.n_touches, 0) as n_touches,
+           case when a.n_touches > 0 then
+             floor(c.conv_value / a.n_touches * 1000000.0 + 0.5) / 1000000.0
+           end as linear_credit
+    from conv c left join a using (conversion_id)
+    """,
+    doc="first/last/linear touch attribution (touch_attribution): for "
+    "every purchase, the first- and last-touch channel among the "
+    "user's view/click events in the trailing 24 h, the touch count, "
+    "and the per-touch linear credit — one per-user equi-join with a "
+    "range residual (fan-out bounded by one user's touches in the "
+    "window; no global window, no cross join) and first/last as "
+    "struct-min/max with unique-id tie-breaks inside the same hash "
+    "aggregate. Zero-touch conversions keep NULL channels / 0 / NULL. "
+    "Oracle replays the join and ranks with min_by/max_by on the same "
+    "(ts, id) key; credit floor-rounded 1e6 both sides",
+)
+def e16(spark: SparkSession, sf: str) -> DataFrame:
+    from basis_devkit_spark.operators.events import touch_attribution
+
+    return touch_attribution(
+        load(spark, sf, "events"),
+        touch_types=["view", "click"],
+        conversion_type="purchase",
+        lookback_hours=24,
+    )

@@ -2479,6 +2479,56 @@ def test_nearest_centroid_join_form_equivalent(spark):
     assert r["pred_label"] == "a"
 
 
+def test_touch_attribution_handcomputed(spark):
+    """First/last/linear attribution on a hand-built stream: window
+    inclusion is (conv_ts - lookback, conv_ts], ties on ts break by
+    touch id, zero-touch conversions keep NULL/0/NULL, and the plan is
+    a per-user equi-join + hash agg — no Window, no cross join."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    from basis_devkit_spark.operators.events import touch_attribution
+
+    t0 = dt.datetime(2024, 1, 1, 12, 0, 0)
+    s = lambda sec: t0 + dt.timedelta(seconds=sec)
+    rows = [
+        # user 1: view@0, click@100, view@100 (tie), purchase@200 (v=10)
+        (1, s(0), 1, "view", 0.0),
+        (2, s(100), 1, "click", 0.0),
+        (3, s(100), 1, "view", 0.0),
+        (4, s(200), 1, "purchase", 10.0),
+        # the boundary touch exactly lookback before conv is EXCLUDED
+        (5, s(200 - 3600), 2, "view", 0.0),
+        (6, s(200), 2, "purchase", 7.0),
+        # user 3: no touches at all
+        (7, s(50), 3, "purchase", 5.0),
+        # user 1's second purchase sees all three touches again
+        (8, s(300), 1, "purchase", 9.0),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, "
+        "event_type string, value double"
+    )
+    out = touch_attribution(
+        df, ["view", "click"], "purchase", lookback_hours=1
+    )
+    got = {r["conversion_id"]: r.asDict() for r in out.collect()}
+    assert got[4]["first_channel"] == "view"          # id tie-break: 2 < 3
+    assert got[4]["last_channel"] == "view"           # ts tie: id 3 wins
+    assert got[4]["n_touches"] == 3
+    assert abs(got[4]["linear_credit"] - 3.333333) < 1e-9
+    # boundary: ts == conv_ts - lookback excluded -> zero-touch
+    assert got[6]["n_touches"] == 0
+    assert got[6]["first_channel"] is None and got[6]["linear_credit"] is None
+    assert got[7]["n_touches"] == 0
+    assert got[8]["n_touches"] == 3 and got[8]["linear_credit"] == 3.0
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan
+    assert "EvalPython" not in plan
+
+
 def test_dau_wau_stickiness_handcomputed(spark):
     """e15 on a planted calendar: user A active every day, user B only
     day 1, user C days 1 and 8 (outside the 7-day window of day 1's
