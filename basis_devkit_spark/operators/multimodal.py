@@ -351,6 +351,56 @@ def flac_streaminfo_fields(content_col: str | Column) -> Column:
     )
 
 
+def mp4_ftyp_fields(content_col: str | Column, max_brands: int = 4) -> Column:
+    """Decode-free ISO-BMFF (MP4/MOV/HEIF/AVIF) container sniff: parse
+    the mandatory leading ``ftyp`` box (ISO/IEC 14496-12, public spec)
+    as PURE column expressions — no UDF, no codec, first 16 +
+    4·``max_brands`` bytes touched per row regardless of blob size.
+
+    Box layout (big-endian): bytes 1-4 box size, 5-8 the literal
+    ``ftyp``, 9-12 the major brand (4 ASCII chars, e.g. ``isom`` /
+    ``mp42`` / ``avif`` / ``heic``), 13-16 the minor version, then one
+    4-byte compatible brand per remaining 4 bytes. Returns a struct
+    ``(is_isobmff, major_brand, minor_version, n_compatible_brands,
+    brands_csv)`` — ``brands_csv`` lists the first ``max_brands``
+    compatible brands comma-joined (bounded output whatever the box
+    claims); all fields NULL when the magic is absent or the size
+    field is malformed (< 16 or not 4-aligned)."""
+    c = F.col(content_col) if isinstance(content_col, str) else content_col
+    head = F.substring(c, 1, 16 + 4 * max_brands)
+    hx = F.hex(head)
+
+    def be(start_byte: int, n_bytes: int) -> Column:
+        pos = (start_byte - 1) * 2 + 1
+        return F.conv(F.substring(hx, pos, n_bytes * 2), 16, 10).cast("long")
+
+    size = be(1, 4)
+    is_box = (
+        (F.substring(hx, 9, 8) == "66747970")  # 'ftyp'
+        & (size >= 16)
+        & (size % 4 == 0)
+        & (F.octet_length(c) >= 16)
+    )
+    n_brands = ((size - 16) / 4).cast("int")
+    listed = F.least(n_brands, F.lit(int(max_brands)))
+    brands = F.when(
+        listed > 0,
+        F.transform(
+            F.sequence(F.lit(0), listed - 1),
+            lambda i: F.decode(c.substr(F.lit(17) + i * 4, F.lit(4)), "UTF-8"),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return F.struct(
+        is_box.alias("is_isobmff"),
+        F.when(is_box, F.decode(F.substring(c, 9, 4), "UTF-8")).alias(
+            "major_brand"
+        ),
+        F.when(is_box, be(13, 4).cast("long")).alias("minor_version"),
+        F.when(is_box, n_brands).alias("n_compatible_brands"),
+        F.when(is_box, F.concat_ws(",", brands)).alias("brands_csv"),
+    )
+
+
 def wav_header_fields(content_col: str | Column) -> Column:
     """Decode-free AUDIO metadata: parse a PCM WAV (RIFF) header's format
     chunk — channels, sample rate, bits/sample, byte rate — as PURE

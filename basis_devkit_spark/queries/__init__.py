@@ -117,6 +117,7 @@ _SAMPLE_PRIORITY = [
     "c26_stream_domain_cap_maintenance",
     "d48c_url_features",
     "e16_touch_attribution",
+    "d05f_mp4_ftyp_parse",
     # -- r11 front block: d42 chains d40 counts into d41 shuffled
     # packing (the flagship example's packing stage); c23 streams
     # incremental packing from a persisted one-row cursor.

@@ -5979,3 +5979,84 @@ def e16(spark: SparkSession, sf: str) -> DataFrame:
         conversion_type="purchase",
         lookback_hours=24,
     )
+
+
+def _ftyp_hex(major: str, minor: int, brands: list[str]) -> str:
+    payload = (
+        b"ftyp"
+        + major.encode("ascii")
+        + minor.to_bytes(4, "big")
+        + b"".join(b.encode("ascii") for b in brands)
+    )
+    return ((4 + len(payload)).to_bytes(4, "big") + payload).hex()
+
+
+# (hex, major, minor, n_brands, brands_csv); the None row is a FLAC
+# magic that must be rejected; the last row carries MORE compatible
+# brands than max_brands=4 lists (csv capped, count exact)
+_FTYP_HEADERS = [
+    (_ftyp_hex("isom", 512, ["isom", "iso2", "avc1", "mp41"]),
+     "isom", 512, 4, "isom,iso2,avc1,mp41"),
+    (_ftyp_hex("mp42", 0, ["mp42", "isom"]), "mp42", 0, 2, "mp42,isom"),
+    (_ftyp_hex("M4A ", 0, ["M4A ", "mp42", "isom"]),
+     "M4A ", 0, 3, "M4A ,mp42,isom"),
+    (_ftyp_hex("avif", 0, ["avif", "mif1", "miaf"]),
+     "avif", 0, 3, "avif,mif1,miaf"),
+    (_ftyp_hex("heic", 7, []), "heic", 7, 0, ""),
+    ("664c6143" + "00" * 12, None, None, None, None),
+    (_ftyp_hex("qt  ", 0, ["qt  ", "isom", "iso2", "avc1", "mp41", "dash"]),
+     "qt  ", 0, 6, "qt  ,isom,iso2,avc1"),
+]
+
+
+@register(
+    "d05f_mp4_ftyp_parse",
+    f"""
+    with blobs as (
+      select doc_id, doc_id % 7 as variant from documents
+    ), truth as (
+      select * from (values
+        {", ".join(
+            "({i}, {ok}, {mj}, {mn}, {nb}, {csv})".format(
+                i=i,
+                ok="true" if mj is not None else "false",
+                mj="'" + mj + "'" if mj is not None else "cast(null as varchar)",
+                mn=mn if mn is not None else "cast(null as bigint)",
+                nb=nb if nb is not None else "cast(null as int)",
+                csv="'" + csv + "'" if csv is not None else "cast(null as varchar)",
+            )
+            for i, (_, mj, mn, nb, csv) in enumerate(_FTYP_HEADERS)
+        )}
+      ) as t(variant, is_isobmff, major_brand, minor_version,
+             n_compatible_brands, brands_csv)
+    )
+    select b.doc_id, t.is_isobmff, t.major_brand,
+           cast(t.minor_version as bigint) as minor_version,
+           cast(t.n_compatible_brands as int) as n_compatible_brands,
+           t.brands_csv
+    from blobs b join truth t on b.variant = t.variant
+    """,
+    doc="decode-free ISO-BMFF container sniff (ISO/IEC 14496-12 ftyp "
+    "box): major brand, minor version, compatible-brand count and the "
+    "first-4 brand list parsed as pure hex-slice + conv + bounded "
+    "transform expressions — no UDF, no codec, O(1) bytes/row; the "
+    "variants exercise MP4/M4A/AVIF/HEIC/QuickTime brands, a zero-"
+    "brand box, a brand list longer than the listing cap, and a FLAC "
+    "magic that must be rejected. Oracle derives ground truth from "
+    "the construction table, independently checking the byte surgery",
+)
+def d05f(spark: SparkSession, sf: str) -> DataFrame:
+    from basis_devkit_spark.operators.multimodal import mp4_ftyp_fields
+
+    d = load(spark, sf, "documents").select("doc_id", "text")
+    hdr = None
+    for i, (hx, *_rest) in enumerate(_FTYP_HEADERS):
+        cond = F.col("doc_id") % 7 == i
+        lit = F.lit(bytes.fromhex(hx))
+        hdr = F.when(cond, lit) if hdr is None else hdr.when(cond, lit)
+    blobs = d.withColumn(
+        "content",
+        F.concat(hdr, F.encode(F.coalesce(F.col("text"), F.lit("")), "utf-8")),
+    )
+    s = mp4_ftyp_fields("content")
+    return blobs.select("doc_id", s.alias("s")).select("doc_id", "s.*")

@@ -2041,6 +2041,53 @@ def test_wav_header_fields_parse(spark):
     assert out[4]["is_wav"] is False
 
 
+def test_mp4_ftyp_fields_parse(spark):
+    """ISO-BMFF ftyp parse: brands/versions recovered from hand-built
+    boxes; wrong-magic, truncated, and misaligned-size blobs rejected
+    with NULL fields; the listed brand csv is capped at max_brands
+    while the count stays exact. Pure projection (no shuffle/UDF)."""
+    from pyspark.sql import functions as F
+
+    from basis_devkit_spark.operators.multimodal import mp4_ftyp_fields
+
+    def box(major, minor, brands):
+        p = (b"ftyp" + major.encode() + minor.to_bytes(4, "big")
+             + b"".join(b.encode() for b in brands))
+        return (4 + len(p)).to_bytes(4, "big") + p
+
+    rows = [
+        (1, box("isom", 512, ["isom", "iso2", "avc1", "mp41"]) + b"xx"),
+        (2, box("M4A ", 0, ["M4A "])),
+        (3, box("heic", 7, [])),                       # zero brands
+        (4, box("qt  ", 0, ["qt  ", "isom", "iso2", "avc1", "mp41"])),
+        (5, b"fLaC" + b"\x00" * 20),                   # wrong magic
+        (6, b"\x00\x00\x00\x08ftyp"),                  # size 8 < 16
+        (7, (18).to_bytes(4, "big") + b"ftypisom\x00\x00\x00\x00xy"),  # !%4
+        (8, b"\x00\x00\x00"),                          # truncated
+    ]
+    df = spark.createDataFrame(rows, "i int, content binary")
+    out = df.select("i", mp4_ftyp_fields("content").alias("s")).select(
+        "i", "s.*"
+    )
+    got = {r["i"]: r.asDict() for r in out.collect()}
+    assert got[1]["is_isobmff"] and got[1]["major_brand"] == "isom"
+    assert got[1]["minor_version"] == 512
+    assert got[1]["n_compatible_brands"] == 4
+    assert got[1]["brands_csv"] == "isom,iso2,avc1,mp41"
+    assert got[2]["major_brand"] == "M4A " and got[2]["n_compatible_brands"] == 1
+    assert got[3]["n_compatible_brands"] == 0 and got[3]["brands_csv"] == ""
+    assert got[3]["minor_version"] == 7
+    # brand list longer than the cap: csv lists 4, count says 5
+    assert got[4]["n_compatible_brands"] == 5
+    assert got[4]["brands_csv"] == "qt  ,isom,iso2,avc1"
+    for bad in (5, 6, 7, 8):
+        assert not got[bad]["is_isobmff"], bad
+        assert got[bad]["major_brand"] is None
+        assert got[bad]["n_compatible_brands"] is None
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan and "EvalPython" not in plan
+
+
 def test_flac_streaminfo_fields_parse(spark):
     """d05e bit surgery against a hand-built spec-conformant header
     (RFC 9639): 20-bit sample rate, 3-bit channels, 5-bit bps, 36-bit
