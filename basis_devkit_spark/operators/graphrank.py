@@ -113,3 +113,83 @@ def pagerank_fixed_point(
             "rank"
         ),
     )
+
+
+def triangle_count(
+    edges: DataFrame,
+    src: str = "id_a",
+    dst: str = "id_b",
+) -> DataFrame:
+    """Per-node triangle counts over an undirected edge relation — the
+    dedup-QA diagnostic for near-duplicate graphs: a true duplicate
+    CLUSTER is near-clique (every member sits in many triangles), while
+    a chain of borderline LSH false positives has none, so triangle
+    participation separates "real duplicate group" from "threshold
+    artifact" before a keep-one collapse trusts the clusters. Returns
+    ``(node, n_triangles)`` for every node of the edge relation
+    (0 for triangle-free nodes).
+
+    Scale shape — the standard degree-orientation algorithm (public;
+    Suri & Vassilvitskii, "Counting Triangles and the Curse of the
+    Last Reducer", WWW 2011): orient every undirected edge from the
+    lower to the higher endpoint in ``(degree, id)`` order, so each
+    triangle is counted exactly once and every node's ORIENTED
+    out-degree is O(√m) whatever its raw degree — the hub that makes
+    the naive wedge join quadratic gets its wedges charged to its
+    (low-degree) neighbors instead. Three hash joins + hash aggs on
+    node/edge keys, no windows, no driver-side state."""
+    und = (
+        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+        .filter(F.col("a") != F.col("b"))
+        .select(
+            F.least("a", "b").alias("a"), F.greatest("a", "b").alias("b")
+        )
+        .distinct()
+    )
+    deg = (
+        und.select(F.col("a").alias("node"))
+        .unionAll(und.select(F.col("b").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("deg"))
+    )
+    da = deg.select(F.col("node").alias("a"), F.col("deg").alias("__da"))
+    db = deg.select(F.col("node").alias("b"), F.col("deg").alias("__db"))
+    ka = F.struct(F.col("__da").alias("d"), F.col("a").alias("i"))
+    kb = F.struct(F.col("__db").alias("d"), F.col("b").alias("i"))
+    oriented = (
+        und.join(da, "a")
+        .join(db, "b")
+        .select(
+            F.when(ka < kb, F.col("a")).otherwise(F.col("b")).alias("u"),
+            F.when(ka < kb, F.col("b")).otherwise(F.col("a")).alias("v"),
+        )
+    )
+    # wedges around a shared low-order apex u: (u, v, w) with v < w in
+    # node-id order (both already out-neighbors of u, so the (deg, id)
+    # order between them is irrelevant for once-only counting)
+    e1 = oriented.select(F.col("u"), F.col("v").alias("v1"))
+    e2 = oriented.select(F.col("u"), F.col("v").alias("v2"))
+    wedges = e1.join(e2, "u").filter(F.col("v1") < F.col("v2"))
+    # a wedge closes iff the UNDIRECTED edge (v1, v2) exists; v1 < v2
+    # matches und's canonical (least, greatest) form directly
+    closing = und.select(
+        F.col("a").alias("v1"), F.col("b").alias("v2")
+    )
+    tris = wedges.join(closing, ["v1", "v2"])
+    per_node = (
+        tris.select(F.col("u").alias("node"))
+        .unionAll(tris.select(F.col("v1").alias("node")))
+        .unionAll(tris.select(F.col("v2").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_triangles"))
+    )
+    return (
+        deg.select("node")
+        .join(per_node, "node", "left")
+        .select(
+            "node",
+            F.coalesce("n_triangles", F.lit(0).cast("long")).alias(
+                "n_triangles"
+            ),
+        )
+    )

@@ -6060,3 +6060,55 @@ def d05f(spark: SparkSession, sf: str) -> DataFrame:
     )
     s = mp4_ftyp_fields("content")
     return blobs.select("doc_id", s.alias("s")).select("doc_id", "s.*")
+
+
+@register(
+    "d49_graph_triangles",
+    """
+    with l as (
+      select l_orderkey as o, l_partkey as p from lineitem
+    ), e0 as (
+      select distinct least(a.p, b.p) as a, greatest(a.p, b.p) as b
+      from l a join l b on a.o = b.o and a.p < b.p
+    ), t as (
+      select e1.a as x, e1.b as y, e2.b as z
+      from e0 e1
+      join e0 e2 on e1.a = e2.a and e1.b < e2.b
+      join e0 e3 on e3.a = e1.b and e3.b = e2.b
+    ), pn as (
+      select node, cast(count(*) as bigint) as n_triangles
+      from (
+        select x as node from t
+        union all select y from t
+        union all select z from t
+      ) group by node
+    ), nodes as (
+      select a as node from e0 union select b from e0
+    )
+    select n.node, coalesce(pn.n_triangles, 0) as n_triangles
+    from nodes n left join pn on pn.node = n.node
+    """,
+    doc="per-node triangle counts (triangle_count) over the part "
+    "co-purchase graph (parts sharing an order, lineitem self-join "
+    "with per-order-bounded fan-out) — the clustering-coefficient "
+    "numerator, and in dedup QA the near-clique test separating true "
+    "duplicate groups from chain-like LSH threshold artifacts. Spark "
+    "runs degree-ORIENTED wedge counting (Suri & Vassilvitskii WWW'11: "
+    "orient each edge low->high in (degree, id) order, so every "
+    "triangle counts once and oriented out-degree is O(sqrt m) even "
+    "at hub nodes — no curse-of-the-last-reducer); the oracle counts "
+    "the same triangles with a direct canonical-order 3-way join",
+)
+def d49(spark: SparkSession, sf: str) -> DataFrame:
+    from basis_devkit_spark.operators.graphrank import triangle_count
+
+    l = load(spark, sf, "lineitem").select(
+        F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p")
+    )
+    a = l.alias("a")
+    b = l.alias("b")
+    edges = (
+        a.join(b, (F.col("a.o") == F.col("b.o")) & (F.col("a.p") < F.col("b.p")))
+        .select(F.col("a.p").alias("id_a"), F.col("b.p").alias("id_b"))
+    )
+    return triangle_count(edges, "id_a", "id_b")

@@ -772,6 +772,41 @@ def test_connected_components_long_chain(spark):
     out.unpersist()
 
 
+def test_triangle_count_handcomputed(spark):
+    """Degree-oriented triangle counting: K4 gives 3 per node, the
+    pendant gives 0, duplicate/reversed/self-loop edges are ignored,
+    and a star hub (high degree, no closing edges) stays at 0 — the
+    orientation case where naive wedge counting explodes."""
+    from pyspark.sql import functions as F
+
+    from basis_devkit_spark.operators.graphrank import triangle_count
+
+    edges = [
+        # K4 over 1..4 (some reversed/duplicated), pendant 5, self-loop
+        (1, 2), (1, 3), (1, 4), (3, 2), (2, 4), (4, 3), (2, 1), (4, 4),
+        (4, 5),
+        # star hub 10 -> 20..26 (no triangles)
+        *[(10, 20 + i) for i in range(7)],
+        # one extra triangle hanging off the hub
+        (20, 21), (10, 20), (10, 21),
+    ]
+    df = spark.createDataFrame(edges, "id_a int, id_b int")
+    got = {r["node"]: r["n_triangles"] for r in triangle_count(df).collect()}
+    assert got[1] == got[2] == got[3] == 3  # K4: each node in C(3,2)=3
+    assert got[4] == 3
+    assert got[5] == 0
+    assert got[10] == got[20] == got[21] == 1
+    assert all(got[22 + i] == 0 for i in range(5))
+    # total triangles = sum/3
+    assert sum(got.values()) % 3 == 0 and sum(got.values()) // 3 == 5
+    plan = (
+        triangle_count(df)._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Window" not in plan
+    assert "CartesianProduct" not in plan
+    assert "EvalPython" not in plan
+
+
 def test_connected_components_pins_lineage_root_checkpoint(spark):
     """r12 ADVICE fix: on persist()-only rounds the new labels frame's
     recompute lineage is ROOTED at the last localCheckpoint, whose blocks
