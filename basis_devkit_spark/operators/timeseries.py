@@ -147,3 +147,55 @@ def zscore_anomalies(
             "zscore",
         )
     )
+
+
+def winsorize(
+    df: DataFrame,
+    value_col: str,
+    p_lo: float = 0.01,
+    p_hi: float = 0.99,
+    group_col: str | None = None,
+    out_col: str | None = None,
+    bound_round: int = 4,
+) -> DataFrame:
+    """Quantile clipping (winsorization) — the standard outlier-
+    taming step before averaging, scaling, or feeding a model: clamp
+    ``value_col`` into its ``[p_lo, p_hi]`` exact (linear-
+    interpolation) quantile range, globally or per ``group_col``. Adds
+    ``out_col`` (default ``<value_col>_clipped``) plus the applied
+    ``clip_lo``/``clip_hi`` bounds so downstream can tell clamped rows
+    apart (``value != clipped``).
+
+    The bounds are rounded to ``bound_round`` decimals BEFORE clamping:
+    exact-percentile values agree across engines only to final-ulp
+    wobble, and clamping against the rounded bound makes the clip
+    decision a comparison of identical doubles on both sides (the b24
+    percentile-parity contract).
+
+    Scale shape: one hash-aggregate pass computes the (group-count-
+    bounded) bounds relation, broadcast back onto the scan, then a pure
+    projection. percentile() is an exact aggregate (full sort buffer
+    per group inside the agg) — for 100 TB single-pass approximation
+    swap in the d32 histogram-sketch quantiles; this operator is the
+    EXACT form whose decisions must be reproducible."""
+    if not (0.0 <= p_lo < p_hi <= 1.0):
+        raise ValueError("need 0 <= p_lo < p_hi <= 1")
+    out_col = out_col or f"{value_col}_clipped"
+    v = F.col(value_col).cast("double")
+    r = lambda c: F.round(c, bound_round)
+    if group_col is None:
+        b = df.agg(
+            r(F.percentile(v, float(p_lo))).alias("clip_lo"),
+            r(F.percentile(v, float(p_hi))).alias("clip_hi"),
+        )
+        joined = df.crossJoin(F.broadcast(b))  # one-row bounds relation
+    else:
+        b = df.groupBy(group_col).agg(
+            r(F.percentile(v, float(p_lo))).alias("clip_lo"),
+            r(F.percentile(v, float(p_hi))).alias("clip_hi"),
+        )
+        joined = df.join(F.broadcast(b), group_col)
+    return joined.withColumn(
+        out_col,
+        F.least(F.greatest(v, F.col("clip_lo")), F.col("clip_hi")),
+    )

@@ -119,6 +119,7 @@ _SAMPLE_PRIORITY = [
     "e16_touch_attribution",
     "d05f_mp4_ftyp_parse",
     "d49_graph_triangles",
+    "d50_winsorize",
     # -- r11 front block: d42 chains d40 counts into d41 shuffled
     # packing (the flagship example's packing stage); c23 streams
     # incremental packing from a persisted one-row cursor.

@@ -6112,3 +6112,42 @@ def d49(spark: SparkSession, sf: str) -> DataFrame:
         .select(F.col("a.p").alias("id_a"), F.col("b.p").alias("id_b"))
     )
     return triangle_count(edges, "id_a", "id_b")
+
+
+@register(
+    "d50_winsorize",
+    """
+    with b as (
+      select l_returnflag,
+             round(quantile_cont(l_extendedprice, 0.01), 4) as clip_lo,
+             round(quantile_cont(l_extendedprice, 0.99), 4) as clip_hi
+      from lineitem group by l_returnflag
+    )
+    select l.l_orderkey, l.l_linenumber, l.l_returnflag,
+           l.l_extendedprice, b.clip_lo, b.clip_hi,
+           least(greatest(l.l_extendedprice, b.clip_lo), b.clip_hi)
+             as price_clipped
+    from lineitem l join b using (l_returnflag)
+    """,
+    doc="per-group winsorization (winsorize, p01/p99 by return flag): "
+    "the outlier-taming clamp run before averaging/scaling — one "
+    "exact-percentile hash agg builds the group-count-bounded bounds "
+    "relation, broadcast back onto the scan, then a pure projection. "
+    "Bounds are 4dp-rounded BEFORE clamping so the clip decision "
+    "compares identical doubles in both engines (the b24 percentile-"
+    "parity contract); the 100 TB single-pass path swaps in the d32 "
+    "sketch quantiles",
+)
+def d50(spark: SparkSession, sf: str) -> DataFrame:
+    from basis_devkit_spark.operators.timeseries import winsorize
+
+    li = load(spark, sf, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_returnflag", "l_extendedprice"
+    )
+    return winsorize(
+        li, "l_extendedprice", 0.01, 0.99, group_col="l_returnflag",
+        out_col="price_clipped",
+    ).select(
+        "l_orderkey", "l_linenumber", "l_returnflag", "l_extendedprice",
+        "clip_lo", "clip_hi", "price_clipped",
+    )

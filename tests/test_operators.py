@@ -2561,6 +2561,38 @@ def test_nearest_centroid_join_form_equivalent(spark):
     assert r["pred_label"] == "a"
 
 
+def test_winsorize_handcomputed(spark):
+    """Quantile clamp: values outside [p_lo, p_hi] land exactly on the
+    rounded bounds, inner values pass through, per-group bounds are
+    independent, and the plan broadcasts the bounds relation."""
+    from pyspark.sql import functions as F
+
+    from basis_devkit_spark.operators.timeseries import winsorize
+
+    rows = [("g1", float(v)) for v in range(1, 101)] + [
+        ("g2", 1000.0), ("g2", 2000.0), ("g2", 3000.0),
+    ]
+    df = spark.createDataFrame(rows, "g string, v double")
+    out = winsorize(df, "v", 0.10, 0.90, group_col="g").collect()
+    g1 = sorted(r["v_clipped"] for r in out if r["g"] == "g1")
+    # exact linear-interpolation p10/p90 of 1..100 = 10.9 / 90.1
+    assert g1[0] == 10.9 and g1[-1] == 90.1
+    assert g1.count(10.9) == 10 and g1.count(90.1) == 10
+    assert 50.0 in g1  # inner values untouched
+    g2 = {r["v"]: r["v_clipped"] for r in out if r["g"] == "g2"}
+    assert g2[1000.0] == 1200.0 and g2[3000.0] == 2800.0  # p10/p90 of 3 pts
+    assert g2[2000.0] == 2000.0
+    # global form + plan gate
+    glob = winsorize(df.select("v"), "v", 0.0, 0.5)
+    # p50 of the 103 pooled values = the 52nd = 52.0
+    assert glob.agg(F.max("v_clipped")).first()[0] == 52.0
+    plan = glob._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    assert "Window" not in plan and "EvalPython" not in plan
+    with __import__("pytest").raises(ValueError):
+        winsorize(df, "v", 0.9, 0.1)
+
+
 def test_touch_attribution_handcomputed(spark):
     """First/last/linear attribution on a hand-built stream: window
     inclusion is (conv_ts - lookback, conv_ts], ties on ts break by
