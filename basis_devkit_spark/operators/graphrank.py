@@ -193,3 +193,51 @@ def triangle_count(
             ),
         )
     )
+
+
+def clustering_coefficient(
+    edges: DataFrame,
+    src: str = "id_a",
+    dst: str = "id_b",
+    coeff_round: int = 6,
+) -> DataFrame:
+    """Local clustering coefficient per node: ``2·T / (d·(d−1))`` with
+    ``T`` the node's triangle count and ``d`` its degree in the
+    canonicalized undirected graph — 1.0 inside a clique, → 0 on
+    chains/stars. The per-node companion to :func:`triangle_count` for
+    dedup-cluster QA (a "cluster" whose members have low coefficients
+    is a threshold artifact, not a duplicate group). Degree-1 nodes
+    report 0.0. Coefficients are ``floor(x·10^round + 0.5)/10^round``
+    with integer numerators — identical doubles cross-engine.
+
+    Cost: exactly :func:`triangle_count` plus one degree agg and a
+    node-keyed join."""
+    und = (
+        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+        .filter(F.col("a") != F.col("b"))
+        .select(
+            F.least("a", "b").alias("a"), F.greatest("a", "b").alias("b")
+        )
+        .distinct()
+    )
+    deg = (
+        und.select(F.col("a").alias("node"))
+        .unionAll(und.select(F.col("b").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).cast("long").alias("degree"))
+    )
+    tri = triangle_count(und, "a", "b")
+    scale = float(10 ** coeff_round)
+    coeff = F.when(
+        F.col("degree") > 1,
+        F.floor(
+            (2.0 * F.col("n_triangles"))
+            / (F.col("degree") * (F.col("degree") - 1))
+            * scale
+            + 0.5
+        )
+        / scale,
+    ).otherwise(F.lit(0.0))
+    return tri.join(deg, "node").select(
+        "node", "degree", "n_triangles", coeff.alias("clustering_coeff")
+    )

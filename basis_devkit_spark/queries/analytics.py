@@ -6151,3 +6151,59 @@ def d50(spark: SparkSession, sf: str) -> DataFrame:
         "l_orderkey", "l_linenumber", "l_returnflag", "l_extendedprice",
         "clip_lo", "clip_hi", "price_clipped",
     )
+
+
+@register(
+    "d49b_clustering_coefficient",
+    """
+    with l as (
+      select l_orderkey as o, l_partkey as p from lineitem
+    ), e0 as (
+      select distinct least(a.p, b.p) as a, greatest(a.p, b.p) as b
+      from l a join l b on a.o = b.o and a.p < b.p
+    ), deg as (
+      select node, cast(count(*) as bigint) as degree
+      from (select a as node from e0 union all select b from e0)
+      group by node
+    ), t as (
+      select e1.a as x, e1.b as y, e2.b as z
+      from e0 e1
+      join e0 e2 on e1.a = e2.a and e1.b < e2.b
+      join e0 e3 on e3.a = e1.b and e3.b = e2.b
+    ), pn as (
+      select node, cast(count(*) as bigint) as n_triangles
+      from (
+        select x as node from t
+        union all select y from t
+        union all select z from t
+      ) group by node
+    )
+    select d.node, d.degree, coalesce(pn.n_triangles, 0) as n_triangles,
+           case when d.degree > 1 then
+             floor(2.0 * coalesce(pn.n_triangles, 0)
+                   / (d.degree * (d.degree - 1)) * 1000000.0 + 0.5)
+               / 1000000.0
+           else 0.0 end as clustering_coeff
+    from deg d left join pn on pn.node = d.node
+    """,
+    doc="local clustering coefficient (clustering_coefficient, "
+    "2T/(d(d-1))) over the part co-purchase graph — the normalized "
+    "companion to d49: 1.0 inside a clique, ->0 on chains/stars; the "
+    "dedup-QA score that says whether a near-dup 'cluster' is a real "
+    "duplicate group or an LSH threshold artifact. Same degree-"
+    "oriented triangle core plus one degree agg and a node join; "
+    "coefficients floor-scaled 1e6 with integer numerators",
+)
+def d49b(spark: SparkSession, sf: str) -> DataFrame:
+    from basis_devkit_spark.operators.graphrank import clustering_coefficient
+
+    l = load(spark, sf, "lineitem").select(
+        F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p")
+    )
+    a = l.alias("a")
+    b = l.alias("b")
+    edges = (
+        a.join(b, (F.col("a.o") == F.col("b.o")) & (F.col("a.p") < F.col("b.p")))
+        .select(F.col("a.p").alias("id_a"), F.col("b.p").alias("id_b"))
+    )
+    return clustering_coefficient(edges, "id_a", "id_b")

@@ -806,6 +806,22 @@ def test_triangle_count_handcomputed(spark):
     assert "CartesianProduct" not in plan
     assert "EvalPython" not in plan
 
+    # clustering coefficient: K4 members = 1.0; pendant/degree-1 = 0.0;
+    # hub 10 has degree 7 and 1 triangle -> 2/(7*6) = 0.047619
+    from basis_devkit_spark.operators.graphrank import (
+        clustering_coefficient,
+    )
+
+    cc = {
+        r["node"]: (r["degree"], r["clustering_coeff"])
+        for r in clustering_coefficient(df).collect()
+    }
+    assert cc[1] == (3, 1.0) and cc[2][1] == 1.0
+    assert cc[4] == (4, 0.5)  # degree 4 (K4 + pendant), 3 of 6 pairs close
+    assert cc[5] == (1, 0.0)
+    assert cc[10] == (7, 0.047619)
+    assert cc[20][1] == 1.0  # degree 2, its one pair closes
+
 
 def test_connected_components_pins_lineage_root_checkpoint(spark):
     """r12 ADVICE fix: on persist()-only rounds the new labels frame's
