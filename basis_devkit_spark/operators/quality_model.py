@@ -330,3 +330,50 @@ def score_hashed_softmax(
             cls_map, F.coalesce(F.col("__cls"), F.lit(bias_default)) + 1
         ).alias("lang"),
     )
+
+
+def calibration_bins(
+    df: DataFrame,
+    score_col: str,
+    label_col: str,
+    n_bins: int = 10,
+) -> DataFrame:
+    """Classifier calibration report — the reliability-diagram table
+    every production quality filter ships with: bucket predicted
+    scores into ``n_bins`` equal-width bins and report, per bin, the
+    count, positive count, mean predicted score, and observed positive
+    rate. A well-calibrated filter has ``pos_rate ≈ mean_score`` per
+    bin; a gap says the threshold the curation pipeline applies does
+    not mean what it claims.
+
+    One hash aggregate over the scored relation. Cross-engine
+    exactness: the mean goes through a DECIMAL(27,6) sum of the (6dp-
+    rounded) scores before one double division, and mean/rate are
+    floor-scaled at 1e6 — identical doubles both engines. Scores
+    exactly 1.0 land in the top bin."""
+    if n_bins < 1:
+        raise ValueError("n_bins must be >= 1")
+    s = F.col(score_col).cast("double")
+    b = F.least(
+        F.floor(s * n_bins).cast("int"), F.lit(int(n_bins) - 1)
+    )
+    r6 = lambda c: F.floor(c * 1000000.0 + 0.5) / 1000000.0
+    return (
+        df.groupBy(b.alias("bin"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum(F.col(label_col).cast("long")).alias("n_pos"),
+            F.sum(s.cast("decimal(27,6)")).alias("__ssum"),
+        )
+        .select(
+            "bin",
+            "n",
+            F.col("n_pos").cast("long").alias("n_pos"),
+            r6(F.col("__ssum").cast("double") / F.col("n")).alias(
+                "mean_score"
+            ),
+            r6(F.col("n_pos").cast("double") / F.col("n")).alias(
+                "pos_rate"
+            ),
+        )
+    )

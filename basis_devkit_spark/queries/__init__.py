@@ -121,6 +121,7 @@ _SAMPLE_PRIORITY = [
     "d49_graph_triangles",
     "d50_winsorize",
     "d49b_clustering_coefficient",
+    "d51_calibration_bins",
     # -- r11 front block: d42 chains d40 counts into d41 shuffled
     # packing (the flagship example's packing stage); c23 streams
     # incremental packing from a persisted one-row cursor.

@@ -6207,3 +6207,60 @@ def d49b(spark: SparkSession, sf: str) -> DataFrame:
         .select(F.col("a.p").alias("id_a"), F.col("b.p").alias("id_b"))
     )
     return clustering_coefficient(edges, "id_a", "id_b")
+
+
+def _calibration_bins_sql() -> str:
+    """d51 oracle: the proven d24 literal score table (independent
+    Python XXH64 + float64-GD model) joined to the weak labels, then
+    the bin/aggregate arithmetic replayed in SQL."""
+    inner = pyoracle.hashed_logreg_sql()
+    return f"""
+    with s as ({inner}), lab as (
+      select doc_id,
+             cast(len(regexp_split_to_array(lower(trim(text)), '\\s+')) >= 60
+                  as int) as label
+      from documents
+    ), j as (
+      select least(cast(floor(s.quality_prob * 10) as int), 9) as bin,
+             s.quality_prob, lab.label
+      from s join lab using (doc_id)
+    )
+    select bin, cast(count(*) as bigint) as n,
+           cast(sum(label) as bigint) as n_pos,
+           floor(cast(sum(cast(quality_prob as decimal(27,6))) as double)
+                 / count(*) * 1000000.0 + 0.5) / 1000000.0 as mean_score,
+           floor(sum(label) * 1.0 / count(*) * 1000000.0 + 0.5) / 1000000.0
+             as pos_rate
+    from j group by bin
+    """
+
+
+@register(
+    "d51_calibration_bins",
+    _calibration_bins_sql,
+    doc="classifier calibration report (calibration_bins over the d24 "
+    "deterministic quality filter): decile-binned predicted scores vs "
+    "observed positive rate — the reliability table that says whether "
+    "the curation threshold means what it claims. One hash aggregate; "
+    "the mean goes through a DECIMAL(27,6) sum of the 6dp scores "
+    "before one double division, mean/rate floor-scaled 1e6, scores "
+    "exactly 1.0 land in the top bin. Oracle composes the proven d24 "
+    "literal score table with the same bin arithmetic in SQL",
+)
+def d51(spark: SparkSession, sf: str) -> DataFrame:
+    from basis_devkit_spark.operators.quality_model import (
+        calibration_bins,
+        fit_hashed_logreg,
+        score_hashed_logreg,
+    )
+
+    d = load(spark, sf, "documents").select("doc_id", "text")
+    toks = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+    labeled = d.withColumn("label", (F.size(toks) >= 60).cast("int"))
+    sample = (
+        labeled.orderBy("doc_id").limit(200).select("text", "label").collect()
+    )
+    wq, bias = fit_hashed_logreg([(r["text"], r["label"]) for r in sample])
+    scored = score_hashed_logreg(d, wq, bias)
+    j = scored.join(labeled.select("doc_id", "label"), "doc_id")
+    return calibration_bins(j, "quality_prob", "label", 10)
