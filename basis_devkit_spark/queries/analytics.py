@@ -6264,3 +6264,60 @@ def d51(spark: SparkSession, sf: str) -> DataFrame:
     scored = score_hashed_logreg(d, wq, bias)
     j = scored.join(labeled.select("doc_id", "label"), "doc_id")
     return calibration_bins(j, "quality_prob", "label", 10)
+
+
+@register(
+    "a34_expectations",
+    """
+    with base as (
+      select cast(count(*) as bigint) as n_rows,
+        cast(sum(case when o_custkey is null then 1 else 0 end) as bigint)
+          as v_nn,
+        cast(count(*) - count(distinct o_orderkey) as bigint) as v_uq,
+        cast(sum(case when o_orderstatus is null
+                       or o_orderstatus not in ('O', 'F', 'P')
+                      then 1 else 0 end) as bigint) as v_av,
+        cast(sum(case when o_totalprice is null
+                       or o_totalprice < 0 or o_totalprice > 100000
+                      then 1 else 0 end) as bigint) as v_rg,
+        cast(sum(case when o_orderpriority is null
+                       or not regexp_matches(o_orderpriority, '^[1-5]-')
+                      then 1 else 0 end) as bigint) as v_mt
+      from orders
+    )
+    select 'not_null(o_custkey)' as rule, 'not_null' as kind,
+           n_rows, v_nn as n_violations from base
+    union all
+    select 'unique(o_orderkey)', 'unique', n_rows, v_uq from base
+    union all
+    select 'accepted_values(o_orderstatus)', 'accepted_values',
+           n_rows, v_av from base
+    union all
+    select 'in_range(o_totalprice)', 'in_range', n_rows, v_rg from base
+    union all
+    select 'matches(o_orderpriority)', 'matches', n_rows, v_mt from base
+    """,
+    doc="data-quality expectations report (expectation_report) — the "
+    "dbt-tests / DLT-expectations surface: not_null, unique, "
+    "accepted_values, in_range, matches rules compiled into ONE "
+    "aggregate pass over the relation (unique = rows - distinct keys "
+    "in the same aggregate), unpivoted to one (rule, kind, n_rows, "
+    "n_violations) row per rule via a bounded stack() projection. The "
+    "in_range rule is deliberately violated (12k orders above the cap) "
+    "so the report's nonzero path is exercised. NULL violates every "
+    "row rule (a rule that silently passes NULLs hides the most "
+    "common data bug)",
+)
+def a34(spark: SparkSession, sf: str) -> DataFrame:
+    from basis_devkit_spark.operators.expectations import expectation_report
+
+    return expectation_report(
+        load(spark, sf, "orders"),
+        [
+            ("not_null", "o_custkey"),
+            ("unique", "o_orderkey"),
+            ("accepted_values", "o_orderstatus", ["O", "F", "P"]),
+            ("in_range", "o_totalprice", 0.0, 100000.0),
+            ("matches", "o_orderpriority", "^[1-5]-"),
+        ],
+    )

@@ -2577,6 +2577,69 @@ def test_nearest_centroid_join_form_equivalent(spark):
     assert r["pred_label"] == "a"
 
 
+def test_expectations_report_and_enforce(spark):
+    """dbt/DLT-style expectations: the one-pass report counts every
+    rule kind correctly (NULL violates row rules; unique = rows −
+    distinct keys), and enforce splits rows with a failed_rules tag
+    naming every broken rule in stable order; unique rules are
+    rejected by enforce."""
+    import pytest as _pt
+
+    from pyspark.sql import functions as F
+
+    from basis_devkit_spark.operators.expectations import (
+        enforce_expectations,
+        expectation_report,
+    )
+
+    rows = [
+        (1, "a", 10.0, "1-URGENT"),
+        (1, "b", -5.0, "9-BOGUS"),     # dup key, range, regex
+        (2, None, 50.0, "2-HIGH"),     # null status
+        (3, "z", None, "3-MEDIUM"),    # bad status value, null price
+        (4, "a", 200.0, None),         # over range, null priority
+    ]
+    df = spark.createDataFrame(
+        rows, "k long, status string, price double, prio string"
+    )
+    rules = [
+        ("not_null", "status"),
+        ("unique", "k"),
+        ("accepted_values", "status", ["a", "b"]),
+        ("in_range", "price", 0.0, 100.0),
+        ("matches", "prio", "^[1-5]-"),
+    ]
+    rep = {r["rule"]: r for r in expectation_report(df, rules).collect()}
+    assert all(r["n_rows"] == 5 for r in rep.values())
+    assert rep["not_null(status)"]["n_violations"] == 1
+    assert rep["unique(k)"]["n_violations"] == 1
+    assert rep["accepted_values(status)"]["n_violations"] == 2  # NULL + 'z'
+    assert rep["in_range(price)"]["n_violations"] == 3  # -5, NULL, 200
+    assert rep["matches(prio)"]["n_violations"] == 2    # 9-BOGUS, NULL
+    assert rep["unique(k)"]["kind"] == "unique"
+
+    row_rules = [r for r in rules if r[0] != "unique"]
+    ok, bad = enforce_expectations(df, row_rules)
+    assert {r["k"] for r in ok.collect()} == {1}  # only the first row 1
+    tags = {
+        (r["k"], r["status"]): r["failed_rules"] for r in bad.collect()
+    }
+    assert tags[(1, "b")] == "in_range(price),matches(prio)"
+    assert tags[(2, None)] == "not_null(status),accepted_values(status)"
+    assert "failed_rules" not in ok.columns
+    with _pt.raises(ValueError):
+        enforce_expectations(df, rules)  # unique is report-only
+    # composite unique key
+    rep2 = expectation_report(df, [("unique", ("k", "status"))]).collect()
+    assert rep2[0]["n_violations"] == 0
+    # one-pass plan: a single scan, no join
+    plan = (
+        expectation_report(df, rules)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Join" not in plan and "Window" not in plan
+
+
 def test_winsorize_handcomputed(spark):
     """Quantile clamp: values outside [p_lo, p_hi] land exactly on the
     rounded bounds, inner values pass through, per-group bounds are
