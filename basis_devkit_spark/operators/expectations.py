@@ -16,6 +16,15 @@ rule sets can live in graph.yml parameters):
 - ``("matches", col, regex)`` — Java/RE2-compatible pattern; NULL
   violates
 
+Relationship to the WRITE-TIME gate: managed stores already enforce
+arbitrary SQL row predicates per batch (``TableStore.configure(
+expectations={name: sql}, expectations_mode='record'|'fail'|'drop')``,
+violation counts recorded in version metadata). This module is the
+RELATION-level complement — typed rules instead of raw SQL, the
+``unique`` kind (not expressible as a row predicate), the one-pass
+multi-rule report, and the quarantine split for pipelines that route
+bad rows instead of dropping them.
+
 Scale shape: :func:`expectation_report` compiles every rule into one
 aggregate expression over a SINGLE scan (``unique`` adds a
 ``count_distinct`` in the same aggregate — an expand pass, scope wide
