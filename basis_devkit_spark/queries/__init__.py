@@ -123,6 +123,7 @@ _SAMPLE_PRIORITY = [
     "d49b_clustering_coefficient",
     "d51_calibration_bins",
     "a34_expectations",
+    "c27_stream_expectations_monitor",
     # -- r11 front block: d42 chains d40 counts into d41 shuffled
     # packing (the flagship example's packing stage); c23 streams
     # incremental packing from a persisted one-row cursor.

@@ -6321,3 +6321,97 @@ def a34(spark: SparkSession, sf: str) -> DataFrame:
             ("matches", "o_orderpriority", "^[1-5]-"),
         ],
     )
+
+
+@register(
+    "c27_stream_expectations_monitor",
+    """
+    with base as (
+      select cast(count(*) as bigint) as n_rows,
+        cast(sum(case when o_custkey is null then 1 else 0 end) as bigint)
+          as v_nn,
+        cast(sum(case when o_orderstatus is null
+                       or o_orderstatus not in ('O', 'F', 'P')
+                      then 1 else 0 end) as bigint) as v_av,
+        cast(sum(case when o_totalprice is null
+                       or o_totalprice < 0 or o_totalprice > 100000
+                      then 1 else 0 end) as bigint) as v_rg,
+        cast(sum(case when o_orderpriority is null
+                       or not regexp_matches(o_orderpriority, '^[1-5]-')
+                      then 1 else 0 end) as bigint) as v_mt
+      from orders
+    )
+    select 'not_null(o_custkey)' as rule, 'not_null' as kind,
+           n_rows, v_nn as n_violations from base
+    union all
+    select 'accepted_values(o_orderstatus)', 'accepted_values',
+           n_rows, v_av from base
+    union all
+    select 'in_range(o_totalprice)', 'in_range', n_rows, v_rg from base
+    union all
+    select 'matches(o_orderpriority)', 'matches', n_rows, v_mt from base
+    """,
+    doc="streaming data-quality monitoring — per-micro-batch "
+    "expectation_report counts folded into an exactly-once store keyed "
+    "by rule: ROW-LEVEL rule counters are ADDITIVE (sum of per-batch "
+    "reports == the one-shot a34 report on the concatenation, which is "
+    "the oracle here), so state is one row per rule no matter how much "
+    "history streamed past. The unique rule is deliberately ABSENT: "
+    "rows-minus-distinct-keys does not decompose over batches (cross-"
+    "batch duplicates need key-set state) — declaring it here would "
+    "silently under-count, so the streaming monitor accepts row rules "
+    "only and unique stays a batch/report concern",
+)
+def c27(spark: SparkSession, sf: str) -> DataFrame:
+    from basis_devkit_spark.operators.expectations import expectation_report
+    from basis_devkit_spark.storage.store import TableStore
+    from basis_devkit_spark.streaming.ops import stream_merge_to_store
+
+    orders = load(spark, sf, "orders")
+    tmp, drop, raw_schema = _stream_drop_dir(
+        spark, orders, "bds_c27_",
+        [F.col("o_orderkey") % 2 == 0, F.col("o_orderkey") % 2 == 1],
+    )
+    rules = [
+        ("not_null", "o_custkey"),
+        ("accepted_values", "o_orderstatus", ["O", "F", "P"]),
+        ("in_range", "o_totalprice", 0.0, 100000.0),
+        ("matches", "o_orderpriority", "^[1-5]-"),
+    ]
+
+    def merge(batch: DataFrame, existing: DataFrame | None) -> DataFrame:
+        rep = expectation_report(batch, rules)
+        if existing is None:
+            return rep
+        prev = existing.select(
+            "rule",
+            F.col("n_rows").alias("__pn"),
+            F.col("n_violations").alias("__pv"),
+        )
+        return (
+            rep.join(prev, "rule", "left")
+            .select(
+                "rule",
+                "kind",
+                (F.col("n_rows") + F.coalesce("__pn", F.lit(0)))
+                .cast("long")
+                .alias("n_rows"),
+                (F.col("n_violations") + F.coalesce("__pv", F.lit(0)))
+                .cast("long")
+                .alias("n_violations"),
+            )
+        )
+
+    store = TableStore(tmp, "dq_monitor", spark)
+    store.configure(unique_on="rule")
+    stream = (
+        spark.readStream.schema(raw_schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(drop)
+    )
+    q = stream_merge_to_store(stream, store, f"{tmp}/_ckpt", merge).start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return store.read().select("rule", "kind", "n_rows", "n_violations")
