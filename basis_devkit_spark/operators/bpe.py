@@ -581,3 +581,70 @@ def bpe_token_counts_indexed(
         .withColumnRenamed("__id", id_col)
     )
     return df.join(counts, id_col)
+
+
+def oov_rate(
+    df: DataFrame,
+    vocab: DataFrame,
+    text_col: str = "text",
+    group_col: str = "source",
+    broadcast_vocab: bool | None = None,
+) -> DataFrame:
+    """Out-of-vocabulary report per corpus slice — the tokenizer-eval
+    companion to the d45 fertility report: the fraction of word
+    OCCURRENCES (token rate) and of DISTINCT words (type rate) a
+    fitted vocabulary does not cover, per ``group_col``. A slice with
+    high OOV either needs the tokenizer refit (c21) or is the wrong
+    corpus for this tokenizer; byte-fallback BPE hides the problem in
+    fertility, which is why both reports exist.
+
+    ``vocab``: any relation with a ``word`` column — the
+    ``bpe_learn_merges(emit_vocab=True)`` artifact (whose word set is
+    exactly the fit corpus's distinct lowered whitespace words), or a
+    store-read vocabulary (the join strategy auto-sizes from the
+    manifest row count like the indexed apply forms).
+
+    Shape: explode words → LEFT join the vocab on word (broadcast or
+    shuffled hash by size) → one group-keyed aggregate (counts +
+    count_distinct). Rates floor-scaled 1e6 with integer numerators."""
+    words = F.filter(
+        F.split(F.lower(F.coalesce(F.col(text_col), F.lit(""))), r"\s+"),
+        lambda w: w != "",
+    )
+    ex = df.select(
+        F.col(group_col).alias("__g"), F.explode(words).alias("word")
+    )
+    v = vocab.select(F.col("word"), F.lit(1).alias("__hit")).distinct()
+    if _vocab_join_broadcasts(v, broadcast_vocab):
+        v = F.broadcast(v)
+    j = ex.join(v, "word", "left")
+    oov = F.col("__hit").isNull()
+    r6 = lambda num, den: F.when(
+        den > 0, F.floor(num / den * 1000000.0 + 0.5) / 1000000.0
+    ).otherwise(F.lit(0.0))
+    return (
+        j.groupBy("__g")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_tokens"),
+            F.sum(oov.cast("long")).cast("long").alias("n_oov_tokens"),
+            F.count_distinct(F.col("word")).cast("long").alias("n_types"),
+            F.count_distinct(
+                F.when(oov, F.col("word"))
+            ).cast("long").alias("n_oov_types"),
+        )
+        .select(
+            F.col("__g").alias(group_col),
+            "n_tokens",
+            "n_oov_tokens",
+            "n_types",
+            "n_oov_types",
+            r6(
+                F.col("n_oov_tokens").cast("double"),
+                F.col("n_tokens").cast("double"),
+            ).alias("oov_token_rate"),
+            r6(
+                F.col("n_oov_types").cast("double"),
+                F.col("n_types").cast("double"),
+            ).alias("oov_type_rate"),
+        )
+    )

