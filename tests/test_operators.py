@@ -4597,6 +4597,39 @@ def test_bpe_tokenize_words_matches_emitted_vocab(spark, docs):
     )
 
 
+def test_oov_rate_handcomputed(spark):
+    """Token vs type OOV on a hand-built corpus: occurrences and
+    distinct words counted independently, per-group isolation, empty
+    text contributes nothing, rates floor-scaled."""
+    from pyspark.sql import functions as F
+
+    from basis_devkit_spark.operators.bpe import oov_rate
+
+    vocab = spark.createDataFrame(
+        [("the",), ("cat",), ("sat",)], "word string"
+    )
+    docs = spark.createDataFrame(
+        [
+            (1, "g1", "the cat sat"),            # 0 OOV
+            (2, "g1", "the DOG sat sat dog"),    # dog x2 OOV (lowered)
+            (3, "g2", "zebra zebra zebra"),      # all OOV, one type
+            (4, "g2", ""),                       # nothing
+        ],
+        "doc_id long, g string, text string",
+    )
+    got = {
+        r["g"]: r.asDict()
+        for r in oov_rate(docs, vocab, "text", "g").collect()
+    }
+    g1 = got["g1"]
+    assert g1["n_tokens"] == 8 and g1["n_oov_tokens"] == 2
+    assert g1["n_types"] == 4 and g1["n_oov_types"] == 1  # 'dog'
+    assert g1["oov_token_rate"] == 0.25 and g1["oov_type_rate"] == 0.25
+    g2 = got["g2"]
+    assert g2["n_tokens"] == 3 and g2["n_oov_tokens"] == 3
+    assert g2["n_types"] == 1 and g2["oov_token_rate"] == 1.0
+
+
 def test_bpe_vocab_join_auto_sizing(spark, docs, tmp_path, caplog):
     """r10 verdict task 7 (+ r12 hardening): with broadcast_vocab unset,
     the vocab join strategy comes from the vocabulary's ROW COUNT — at
