@@ -65,9 +65,12 @@ def brute_force_topk(
     id_col: str = "vec_id",
     k: int = 10,
     metric: str = "cosine",
+    score_round: int | None = None,
 ) -> DataFrame:
     """Exact top-k: (query_id, match_id, score, rank). Queries are
-    broadcast — keep |queries| modest (≤ ~10^5 rows); the corpus streams."""
+    broadcast — keep |queries| modest (≤ ~10^5 rows); the corpus streams.
+    ``score_round``: round scores BEFORE ranking (same cross-engine
+    reproducibility contract as the ANN operators — see ``ann_join``)."""
     q = queries.select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qv")
     )
@@ -90,6 +93,8 @@ def brute_force_topk(
         )
     else:
         raise ValueError(f"unknown metric {metric}")
+    if score_round is not None:
+        score = F.round(score, score_round)
     scored = joined.select("query_id", "match_id", score.alias("score"))
     return _topk_by_query(scored, k)
 
@@ -1780,4 +1785,67 @@ def jl_ivf_quantized_topk_indexed(
         score = F.round(score, score_round)
     return _topk_by_query(
         rescored.select("query_id", "match_id", score.alias("score")), k
+    )
+
+
+def topk_recall(
+    approx: DataFrame,
+    exact: DataFrame,
+    query_col: str = "query_id",
+    match_col: str = "match_id",
+    k: int | None = None,
+    rate_round: int = 6,
+) -> DataFrame:
+    """Recall@k report — the eval verb behind every ANN tuning
+    decision (nprobe, refine, out_dim, codebook size): per query, the
+    fraction of the EXACT top-k this approximate result recovered.
+    Returns ``(query_id, n_truth, n_hit, recall)`` for every query in
+    ``exact``; queries the approximate side missed entirely report 0.0
+    (a LEFT join — an eval that silently drops empty-result queries
+    overstates recall).
+
+    Both inputs are ``(query_id, match_id[, rank, ...])`` relations
+    (any ``*_topk`` operator output, or a store-read result); ``k``
+    truncates BOTH sides by their ``rank`` column when given. Shape:
+    one equi-join on (query, match) + one per-query hash aggregate —
+    distributed, so the eval runs at full corpus/query scale instead
+    of the driver-side sampling a probe script does. Recall is
+    floor-scaled at 10^-``rate_round`` with integer numerators."""
+    a = approx.select(
+        F.col(query_col).alias("__q"), F.col(match_col).alias("__m"),
+        *([F.col("rank").alias("__ar")] if k is not None else []),
+    )
+    e = exact.select(
+        F.col(query_col).alias("__q"), F.col(match_col).alias("__m"),
+        *([F.col("rank").alias("__er")] if k is not None else []),
+    )
+    if k is not None:
+        a = a.filter(F.col("__ar") <= k).drop("__ar")
+        e = e.filter(F.col("__er") <= k).drop("__er")
+    hit = e.join(
+        a.withColumn("__hit", F.lit(1)).dropDuplicates(["__q", "__m"]),
+        ["__q", "__m"],
+        "left",
+    )
+    scale = float(10 ** rate_round)
+    return (
+        hit.groupBy("__q")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_truth"),
+            F.sum(F.coalesce("__hit", F.lit(0))).cast("long").alias("n_hit"),
+        )
+        .select(
+            F.col("__q").alias(query_col),
+            "n_truth",
+            "n_hit",
+            (
+                F.floor(
+                    F.col("n_hit").cast("double")
+                    / F.col("n_truth").cast("double")
+                    * scale
+                    + 0.5
+                )
+                / scale
+            ).alias("recall"),
+        )
     )

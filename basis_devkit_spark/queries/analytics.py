@@ -6481,3 +6481,90 @@ def d52(spark: SparkSession, sf: str) -> DataFrame:
     out = out.localCheckpoint(eager=True)
     release_tokenizer_vocab(vocab)
     return out
+
+
+def _ann_recall_sql() -> str:
+    """d53 oracle: the EXACT side is the d03-pattern brute-force SQL
+    (rank on the 4dp-rounded score, match_id tie-break — the proven
+    round-before-rank contract); the APPROX side replays d20 exactly
+    (literal candidate table from the independent Python cell+code
+    model, float rescore in SQL). Recall is then a set join."""
+    cands = pyoracle.ivf_quantized_candidates(pyoracle.oracle_sf_dir())
+    vals = ", ".join(f"({q}, {m})" for q, m in cands)
+    return f"""
+    with qs as (
+      select vec_id, embedding from embeddings where vec_id < 30
+    ), ex_scored as (
+      select q.vec_id as query_id, c.vec_id as match_id,
+             round(list_cosine_similarity(
+               list_transform(q.embedding, x -> cast(x as double)),
+               list_transform(c.embedding, x -> cast(x as double))), 4)
+               as score
+      from qs q join embeddings c on q.vec_id != c.vec_id
+    ), ex as (
+      select query_id, match_id from (
+        select query_id, match_id,
+               row_number() over (partition by query_id
+                                  order by score desc, match_id) as rank
+        from ex_scored
+      ) where rank <= 5
+    ), cand(query_id, match_id) as (select * from (values {vals})),
+    ap_scored as (
+      select c.query_id::BIGINT as query_id, c.match_id::BIGINT as match_id,
+             round(list_cosine_similarity(
+               list_transform(q.embedding, x -> cast(x as double)),
+               list_transform(m.embedding, x -> cast(x as double))), 4)
+               as score
+      from cand c
+      join embeddings q on q.vec_id = c.query_id
+      join embeddings m on m.vec_id = c.match_id
+    ), ap as (
+      select query_id, match_id from (
+        select query_id, match_id,
+               row_number() over (partition by query_id
+                                  order by score desc, match_id) as rank
+        from ap_scored
+      ) where rank <= 5
+    ), j as (
+      select e.query_id, (a.match_id is not null) as hit
+      from ex e left join ap a
+        on a.query_id = e.query_id and a.match_id = e.match_id
+    )
+    select query_id,
+           cast(count(*) as bigint) as n_truth,
+           cast(sum(case when hit then 1 else 0 end) as bigint) as n_hit,
+           floor(sum(case when hit then 1 else 0 end) * 1.0 / count(*)
+                 * 1000000.0 + 0.5) / 1000000.0 as recall
+    from j group by query_id
+    """
+
+
+@register(
+    "d53_ann_recall_report",
+    _ann_recall_sql,
+    doc="distributed recall@5 evaluation (topk_recall) of the d20 "
+    "composed IVF x int8 index against the exact brute-force top-5 "
+    "(both sides 4dp round-before-rank, match_id tie-break) — the "
+    "eval verb behind every ANN tuning decision, as a first-class "
+    "relational operator instead of a driver-side probe script: one "
+    "(query, match) equi-join + one per-query hash aggregate, LEFT "
+    "join so queries the index missed entirely report 0.0 rather "
+    "than vanishing. Oracle recomputes BOTH sides independently "
+    "(brute-force SQL; the d20 literal candidate model + SQL rescore) "
+    "and the same set join",
+)
+def d53(spark: SparkSession, sf: str) -> DataFrame:
+    from basis_devkit_spark.operators.similarity import (
+        brute_force_topk,
+        ivf_quantized_topk,
+        topk_recall,
+    )
+
+    emb = load(spark, sf, "embeddings")
+    q = emb.filter(F.col("vec_id") < 30)
+    exact = brute_force_topk(q, emb, k=5, score_round=4)
+    approx = ivf_quantized_topk(
+        q, emb, k=5, nlist=8, nprobe=4, refine=4,
+        centroids=_ivf_seed_centroids(emb, 8), score_round=4,
+    )
+    return topk_recall(approx, exact)

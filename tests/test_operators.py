@@ -248,6 +248,35 @@ def test_embedding_near_dup_pairs_verified(spark):
     assert {(p.id_a, p.id_b) for p in pairs} == {(1, 2)}
 
 
+def test_topk_recall_handcomputed(spark):
+    """Recall@k eval: hits counted per query, duplicate approx rows
+    don't double-count, a query the approx side missed entirely
+    reports 0.0 (left-join contract), k truncates both sides by
+    rank."""
+    from basis_devkit_spark.operators.similarity import topk_recall
+
+    exact = spark.createDataFrame(
+        [(1, 10, 1), (1, 11, 2), (1, 12, 3),
+         (2, 20, 1), (2, 21, 2),
+         (3, 30, 1)],
+        "query_id long, match_id long, rank int",
+    )
+    approx = spark.createDataFrame(
+        [(1, 10, 1), (1, 99, 2), (1, 12, 3), (1, 12, 4),  # dup hit
+         (2, 21, 1), (2, 20, 5)],                         # 20 at rank 5
+        "query_id long, match_id long, rank int",
+    )
+    got = {r["query_id"]: r.asDict() for r in topk_recall(approx, exact).collect()}
+    assert got[1]["n_truth"] == 3 and got[1]["n_hit"] == 2
+    assert got[1]["recall"] == 0.666667
+    assert got[2]["n_hit"] == 2 and got[2]["recall"] == 1.0
+    assert got[3] == {"query_id": 3, "n_truth": 1, "n_hit": 0, "recall": 0.0}
+    # k=3 truncates the approx side: query 2 loses the rank-5 hit
+    got3 = {r["query_id"]: r["n_hit"] for r in
+            topk_recall(approx, exact, k=3).collect()}
+    assert got3[2] == 1 and got3[1] == 2
+
+
 def test_semantic_dedup_drops_planted_near_dups(spark):
     """SemDeDup: planted near-copies land in the keeper's cell and are
     dropped; unrelated vectors survive. Deterministic seed centroids."""
