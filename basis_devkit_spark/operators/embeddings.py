@@ -336,3 +336,53 @@ def jl_project(
         f"{out_col}_f",
         F.transform(F.col(out_col), lambda c: c.cast("double") / 1e9),
     )
+
+
+def embedding_drift(
+    a: DataFrame,
+    b: DataFrame,
+    vec_col: str = "embedding",
+    shift_round: int = 6,
+) -> DataFrame:
+    """Per-dimension embedding drift between two corpus snapshots —
+    the embedding-space complement to the text-side ``corpus_drift``
+    monitor: did the new crawl batch / re-embedding run shift the
+    representation distribution? Returns one row per dimension:
+    ``(pos, mean_a, mean_b, shift)`` with ``shift = mean_b − mean_a``
+    floor-scaled at 10^-``shift_round``; downstream aggregates an L2
+    or max over the (dimension-count-bounded) output as its alert
+    metric.
+
+    Means are DECIMAL(18,9)-exact sums over double-cast components
+    before one double division (the proven label_centroids formula),
+    so both engines compute identical doubles; dims present in only
+    one snapshot (dimension change — itself a drift event) surface as
+    NULL on the missing side. Cost: one posexplode + (pos)-keyed hash
+    agg per side, then a join of two dim-sized relations."""
+
+    def side(df: DataFrame, out: str) -> DataFrame:
+        pos = df.select(F.posexplode(F.col(vec_col)).alias("__p", "__v"))
+        return pos.groupBy("__p").agg(
+            (
+                F.sum(
+                    F.col("__v").cast("double").cast("decimal(18,9)")
+                ).cast("double")
+                / F.count(F.lit(1))
+            ).alias(out)
+        )
+    scale = float(10 ** shift_round)
+    return (
+        side(a, "mean_a")
+        .join(side(b, "mean_b"), "__p", "full_outer")
+        .select(
+            (F.col("__p") + 1).cast("int").alias("pos"),
+            "mean_a",
+            "mean_b",
+            (
+                F.floor(
+                    (F.col("mean_b") - F.col("mean_a")) * scale + 0.5
+                )
+                / scale
+            ).alias("shift"),
+        )
+    )

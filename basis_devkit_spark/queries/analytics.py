@@ -6568,3 +6568,46 @@ def d53(spark: SparkSession, sf: str) -> DataFrame:
         centroids=_ivf_seed_centroids(emb, 8), score_round=4,
     )
     return topk_recall(approx, exact)
+
+
+@register(
+    "d54_embedding_drift",
+    """
+    with p as (
+      select unnest(generate_series(1,
+               (select max(len(embedding)) from embeddings))) as pos
+    ), ex as (
+      select e.vec_id, p.pos, e.embedding[p.pos] as v
+      from embeddings e cross join p
+    ), ma as (
+      select pos,
+             cast(sum(cast(cast(v as double) as decimal(18,9))) as double)
+               / count(*) as mean_a
+      from ex where vec_id % 2 = 0 group by pos
+    ), mb as (
+      select pos,
+             cast(sum(cast(cast(v as double) as decimal(18,9))) as double)
+               / count(*) as mean_b
+      from ex where vec_id % 2 = 1 group by pos
+    )
+    select cast(ma.pos as int) as pos, ma.mean_a, mb.mean_b,
+           floor((mb.mean_b - ma.mean_a) * 1000000.0 + 0.5) / 1000000.0
+             as shift
+    from ma join mb on ma.pos = mb.pos
+    """,
+    doc="per-dimension embedding drift (embedding_drift) between two "
+    "snapshot slices (even vs odd vec_ids standing in for old/new "
+    "crawl embeddings) — the embedding-space complement to the d10 "
+    "text drift monitor: DECIMAL(18,9)-exact per-dim means (the "
+    "proven d06e formula) per side, full-outer joined on dimension, "
+    "shift floor-scaled 1e6. One posexplode + (pos)-keyed hash agg "
+    "per side, then a join of two dim-sized relations",
+)
+def d54(spark: SparkSession, sf: str) -> DataFrame:
+    from basis_devkit_spark.operators.embeddings import embedding_drift
+
+    emb = load(spark, sf, "embeddings")
+    return embedding_drift(
+        emb.filter(F.col("vec_id") % 2 == 0),
+        emb.filter(F.col("vec_id") % 2 == 1),
+    )

@@ -248,6 +248,27 @@ def test_embedding_near_dup_pairs_verified(spark):
     assert {(p.id_a, p.id_b) for p in pairs} == {(1, 2)}
 
 
+def test_embedding_drift_handcomputed(spark):
+    """Per-dim drift: exact means per side, shift = mean_b - mean_a
+    floor-rounded; a dimension missing on one side surfaces as NULL
+    (dimension change is itself drift)."""
+    from basis_devkit_spark.operators.embeddings import embedding_drift
+
+    a = spark.createDataFrame(
+        [(1, [1.0, 2.0]), (2, [3.0, 4.0])], "vec_id long, embedding array<float>"
+    )
+    b = spark.createDataFrame(
+        [(3, [2.0, 2.0, 9.0]), (4, [4.0, 6.0, 11.0])],
+        "vec_id long, embedding array<float>",
+    )
+    got = {r["pos"]: r.asDict() for r in embedding_drift(a, b).collect()}
+    assert got[1]["mean_a"] == 2.0 and got[1]["mean_b"] == 3.0
+    assert got[1]["shift"] == 1.0
+    assert got[2]["shift"] == 1.0  # (2+4)/2=3 -> (2+6)/2=4
+    assert got[3]["mean_a"] is None and got[3]["mean_b"] == 10.0
+    assert got[3]["shift"] is None
+
+
 def test_topk_recall_handcomputed(spark):
     """Recall@k eval: hits counted per query, duplicate approx rows
     don't double-count, a query the approx side missed entirely
