@@ -195,7 +195,7 @@ def _per_node_triangles(und: DataFrame, deg: DataFrame) -> DataFrame:
         .groupBy("node")
         .agg(F.count(F.lit(1)).cast("long").alias("n_triangles"))
     )
-    return (
+    out = (
         deg.select("node")
         .join(per_node, "node", "left")
         .select(
@@ -205,6 +205,8 @@ def _per_node_triangles(und: DataFrame, deg: DataFrame) -> DataFrame:
             ),
         )
     )
+    out._bds_oriented = oriented  # type: ignore[attr-defined]
+    return out
 
 
 def triangle_count(
@@ -233,7 +235,13 @@ def triangle_count(
     and oriented relations are persisted (multi-consumer — see
     ``_canonical_edges``)."""
     und = _canonical_edges(edges, src, dst)
-    return _per_node_triangles(und, _degrees(und))
+    out = _per_node_triangles(und, _degrees(und))
+    # session-scoped caches ride the result (the minhash _bds_cached
+    # convention): callers that materialize the (small) result can
+    # release them via dedup.release_signature_caches(out)
+    out._bds_cached = [und, out._bds_oriented]  # type: ignore[attr-defined]
+    del out._bds_oriented  # type: ignore[attr-defined]
+    return out
 
 
 def clustering_coefficient(
@@ -257,6 +265,8 @@ def clustering_coefficient(
     und = _canonical_edges(edges, src, dst)
     deg = _degrees(und)
     tri = _per_node_triangles(und, deg)
+    cached = [und, tri._bds_oriented]  # type: ignore[attr-defined]
+    del tri._bds_oriented  # type: ignore[attr-defined]
     scale = float(10 ** coeff_round)
     coeff = F.when(
         F.col("degree") > 1,
@@ -268,6 +278,8 @@ def clustering_coefficient(
         )
         / scale,
     ).otherwise(F.lit(0.0))
-    return tri.join(deg, "node").select(
+    out = tri.join(deg, "node").select(
         "node", "degree", "n_triangles", coeff.alias("clustering_coeff")
     )
+    out._bds_cached = cached  # type: ignore[attr-defined]
+    return out

@@ -6100,6 +6100,7 @@ def d05f(spark: SparkSession, sf: str) -> DataFrame:
     "the same triangles with a direct canonical-order 3-way join",
 )
 def d49(spark: SparkSession, sf: str) -> DataFrame:
+    from basis_devkit_spark.operators.dedup import release_signature_caches
     from basis_devkit_spark.operators.graphrank import triangle_count
 
     l = load(spark, sf, "lineitem").select(
@@ -6111,7 +6112,12 @@ def d49(spark: SparkSession, sf: str) -> DataFrame:
         a.join(b, (F.col("a.o") == F.col("b.o")) & (F.col("a.p") < F.col("b.p")))
         .select(F.col("a.p").alias("id_a"), F.col("b.p").alias("id_b"))
     )
-    return triangle_count(edges, "id_a", "id_b")
+    out = triangle_count(edges, "id_a", "id_b")
+    # materialize the (node-sized) result, then drop the operator's
+    # session-scoped edge caches instead of pinning them per query run
+    ck = out.localCheckpoint(eager=True)
+    release_signature_caches(out)
+    return ck
 
 
 @register(
@@ -6195,6 +6201,7 @@ def d50(spark: SparkSession, sf: str) -> DataFrame:
     "coefficients floor-scaled 1e6 with integer numerators",
 )
 def d49b(spark: SparkSession, sf: str) -> DataFrame:
+    from basis_devkit_spark.operators.dedup import release_signature_caches
     from basis_devkit_spark.operators.graphrank import clustering_coefficient
 
     l = load(spark, sf, "lineitem").select(
@@ -6206,7 +6213,11 @@ def d49b(spark: SparkSession, sf: str) -> DataFrame:
         a.join(b, (F.col("a.o") == F.col("b.o")) & (F.col("a.p") < F.col("b.p")))
         .select(F.col("a.p").alias("id_a"), F.col("b.p").alias("id_b"))
     )
-    return clustering_coefficient(edges, "id_a", "id_b")
+    out = clustering_coefficient(edges, "id_a", "id_b")
+    # materialize, then drop the operator's edge caches (see d49)
+    ck = out.localCheckpoint(eager=True)
+    release_signature_caches(out)
+    return ck
 
 
 def _calibration_bins_sql() -> str:
