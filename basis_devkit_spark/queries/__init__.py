@@ -127,6 +127,7 @@ _SAMPLE_PRIORITY = [
     "d52_oov_rate",
     "d53_ann_recall_report",
     "d54_embedding_drift",
+    "d08_stratified_sample",
     # -- r11 front block: d42 chains d40 counts into d41 shuffled
     # packing (the flagship example's packing stage); c23 streams
     # incremental packing from a persisted one-row cursor.
