@@ -1716,3 +1716,49 @@ def source_mixture_weights(
             weight_round,
         ).alias("rel_weight"),
     )
+
+
+#: Basic HTML entity decode table, applied in order — ``&amp;`` LAST so
+#: double-encoded text (``&amp;lt;``) decodes one level per pass like
+#: every standard decoder, never two.
+HTML_ENTITIES: list[tuple[str, str]] = [
+    ("&nbsp;", " "),
+    ("&lt;", "<"),
+    ("&gt;", ">"),
+    ("&quot;", '"'),
+    ("&#39;", "'"),
+    ("&amp;", "&"),
+]
+
+
+def strip_html(
+    df: DataFrame, text_col: str = "text", out_col: str = "text_plain"
+) -> DataFrame:
+    """Crawl-grade HTML boilerplate stripping — the text-extraction
+    pass run on raw crawl payloads before ANY quality/dedup stage:
+    drop ``<script>``/``<style>`` blocks and comments wholesale
+    (their CONTENT is never prose), replace every remaining tag with a
+    space, decode the basic entity set, collapse whitespace. Returns
+    input columns + ``out_col`` + ``n_chars_raw``/``n_chars_plain``
+    (the raw→plain shrink ratio is itself a boilerplate signal).
+
+    Pure ``regexp_replace``/``replace`` column expressions with
+    RE2/Java-compatible patterns (inline ``(?is)`` flags, lazy
+    ``[\\s\\S]*?`` spans — no backreferences, no lookaround), so SQL
+    oracles replay the chain exactly; one projection, fuses into the
+    scan. This is deliberately a REGEX extractor, not a DOM parser:
+    malformed crawl HTML breaks real parsers too, and the failure mode
+    here degrades to extra whitespace, never a dropped document."""
+    c = F.coalesce(F.col(text_col), F.lit(""))
+    s = F.regexp_replace(c, r"(?is)<script\b[^>]*>[\s\S]*?</script>", " ")
+    s = F.regexp_replace(s, r"(?is)<style\b[^>]*>[\s\S]*?</style>", " ")
+    s = F.regexp_replace(s, r"(?s)<!--[\s\S]*?-->", " ")
+    s = F.regexp_replace(s, r"(?s)<[^>]+>", " ")
+    for ent, rep in HTML_ENTITIES:
+        s = F.replace(s, F.lit(ent), F.lit(rep))
+    s = F.trim(F.regexp_replace(s, r"\s+", " "))
+    return (
+        df.withColumn("n_chars_raw", F.length(c).cast("int"))
+        .withColumn(out_col, s)
+        .withColumn("n_chars_plain", F.length(F.col(out_col)).cast("int"))
+    )

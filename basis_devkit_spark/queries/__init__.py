@@ -128,6 +128,7 @@ _SAMPLE_PRIORITY = [
     "d53_ann_recall_report",
     "d54_embedding_drift",
     "d08_stratified_sample",
+    "d55_strip_html",
     # -- r11 front block: d42 chains d40 counts into d41 shuffled
     # packing (the flagship example's packing stage); c23 streams
     # incremental packing from a persisted one-row cursor.
@@ -220,6 +221,7 @@ _SAMPLE_PRIORITY = [
     "d03f_l2_topk",
     "d04p_normalize_text",
     "d08_stratified_sample",
+    "d55_strip_html",
     "d09_salted_agg",
     "c10_stream_stream_interval_join",
     "c11_stream_upsert_aggregate",

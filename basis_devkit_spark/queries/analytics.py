@@ -6622,3 +6622,77 @@ def d54(spark: SparkSession, sf: str) -> DataFrame:
         emb.filter(F.col("vec_id") % 2 == 0),
         emb.filter(F.col("vec_id") % 2 == 1),
     )
+
+
+@register(
+    "d55_strip_html",
+    r"""
+    with h as (
+      select doc_id,
+             '<html><head><title>Doc ' || cast(doc_id as varchar) ||
+             '</title><style type="text/css">p { color: red; }</style>' ||
+             '</head><body><!-- nav & chrome --><h1>Doc ' ||
+             cast(doc_id as varchar) || '</h1><p class="b">' ||
+             coalesce(text, '') ||
+             ' &amp; more &lt;raw&gt; &quot;quoted&quot;&nbsp;tail' ||
+             '</p><script>var x = 1 && x < 2;</script></body></html>'
+               as raw
+      from documents
+    ), s1 as (
+      select doc_id, raw,
+        regexp_replace(raw, '(?is)<script\b[^>]*>[\s\S]*?</script>', ' ',
+                       'g') as t
+      from h
+    ), s2 as (
+      select doc_id, raw,
+        regexp_replace(t, '(?is)<style\b[^>]*>[\s\S]*?</style>', ' ', 'g')
+          as t
+      from s1
+    ), s3 as (
+      select doc_id, raw,
+        regexp_replace(t, '(?s)<!--[\s\S]*?-->', ' ', 'g') as t from s2
+    ), s4 as (
+      select doc_id, raw,
+        regexp_replace(t, '(?s)<[^>]+>', ' ', 'g') as t from s3
+    ), s5 as (
+      select doc_id, raw,
+        replace(replace(replace(replace(replace(replace(t,
+          '&nbsp;', ' '), '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
+          '&#39;', ''''), '&amp;', '&') as t
+      from s4
+    )
+    select doc_id,
+           cast(len(raw) as int) as n_chars_raw,
+           trim(regexp_replace(t, '\s+', ' ', 'g')) as text_plain,
+           cast(len(trim(regexp_replace(t, '\s+', ' ', 'g'))) as int)
+             as n_chars_plain
+    from s5
+    """,
+    doc="crawl-grade HTML stripping (strip_html): script/style/comment "
+    "blocks dropped wholesale, remaining tags to spaces, basic entity "
+    "decode (&amp; LAST — one level per pass), whitespace collapse — "
+    "the text-extraction pass before any quality/dedup stage, as one "
+    "pure RE2/Java-compatible regexp projection (no DOM parser: "
+    "malformed crawl HTML degrades to extra whitespace, never a "
+    "dropped doc). Synthetic page chrome is built in-query around "
+    "each fixture doc (title/style/comment/h1/attrs/entities/script "
+    "with & and < operators); the oracle replays the identical chain",
+)
+def d55(spark: SparkSession, sf: str) -> DataFrame:
+    from basis_devkit_spark.operators.text import strip_html
+
+    d = load(spark, sf, "documents").select("doc_id", "text")
+    raw = F.concat(
+        F.lit("<html><head><title>Doc "),
+        F.col("doc_id").cast("string"),
+        F.lit('</title><style type="text/css">p { color: red; }</style>'),
+        F.lit("</head><body><!-- nav & chrome --><h1>Doc "),
+        F.col("doc_id").cast("string"),
+        F.lit('</h1><p class="b">'),
+        F.coalesce(F.col("text"), F.lit("")),
+        F.lit(' &amp; more &lt;raw&gt; &quot;quoted&quot;&nbsp;tail'),
+        F.lit("</p><script>var x = 1 && x < 2;</script></body></html>"),
+    )
+    return strip_html(
+        d.select("doc_id", raw.alias("page")), "page", "text_plain"
+    ).select("doc_id", "n_chars_raw", "text_plain", "n_chars_plain")

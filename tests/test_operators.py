@@ -4647,6 +4647,41 @@ def test_bpe_tokenize_words_matches_emitted_vocab(spark, docs):
     )
 
 
+def test_strip_html_semantics(spark):
+    """HTML stripping: script/style/comment contents vanish, tags
+    become spaces, entities decode one level (&amp;lt; -> &lt;), null
+    text yields empty, and the shrink counters are exact."""
+    from pyspark.sql import functions as F
+
+    from basis_devkit_spark.operators.text import strip_html
+
+    rows = [
+        (1, '<p>Hello <b>world</b></p>'),
+        (2, '<script>alert("x < 1 && y > 2")</script>keep'),
+        (3, '<style>\n.a { x: 1 }\n</style>text'),
+        (4, 'a <!-- hidden\nprose --> b'),
+        (5, 'x &amp;lt; y &nbsp; &quot;q&quot; &#39;s&#39;'),
+        (6, None),
+        (7, 'no markup at all'),
+        (8, '<SCRIPT TYPE="x">UPPER</SCRIPT>ok <BR>line'),
+    ]
+    df = spark.createDataFrame(rows, "i int, text string")
+    got = {r["i"]: r.asDict() for r in strip_html(df).collect()}
+    assert got[1]["text_plain"] == "Hello world"
+    assert got[2]["text_plain"] == "keep"
+    assert got[3]["text_plain"] == "text"
+    assert got[4]["text_plain"] == "a b"
+    # one decode level: &amp;lt; -> &lt; (never < )
+    assert got[5]["text_plain"] == "x &lt; y \"q\" 's'"
+    assert got[6]["text_plain"] == "" and got[6]["n_chars_raw"] == 0
+    assert got[7]["text_plain"] == "no markup at all"
+    assert got[8]["text_plain"] == "ok line"  # case-insensitive script
+    assert got[1]["n_chars_plain"] == len("Hello world")
+    assert got[1]["n_chars_raw"] == len(rows[0][1])
+    plan = strip_html(df)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan and "EvalPython" not in plan
+
+
 def test_oov_rate_handcomputed(spark):
     """Token vs type OOV on a hand-built corpus: occurrences and
     distinct words counted independently, per-group isolation, empty
