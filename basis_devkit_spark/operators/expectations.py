@@ -92,9 +92,13 @@ def expectation_report(df: DataFrame, rules: list[Rule]) -> DataFrame:
             )
     one = df.agg(*aggs)
     # unpivot the single result row into one row per rule: a bounded
-    # stack() projection, no second scan
+    # stack() projection, no second scan. Rule/kind labels are embedded
+    # in a selectExpr string — escape quotes so a column name containing
+    # one cannot break (or inject into) the expression.
+    esc = lambda t: t.replace("'", "''")
     pairs = ", ".join(
-        f"'{_rule_name(r)}', '{r[0]}', __v{i}" for i, r in enumerate(rules)
+        f"'{esc(_rule_name(r))}', '{esc(r[0])}', __v{i}"
+        for i, r in enumerate(rules)
     )
     return one.selectExpr(
         f"stack({len(rules)}, {pairs}) as (rule, kind, n_violations)",
