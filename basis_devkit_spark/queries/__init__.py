@@ -220,8 +220,6 @@ _SAMPLE_PRIORITY = [
     "d03e_dot_topk",
     "d03f_l2_topk",
     "d04p_normalize_text",
-    "d08_stratified_sample",
-    "d55_strip_html",
     "d09_salted_agg",
     "c10_stream_stream_interval_join",
     "c11_stream_upsert_aggregate",
