@@ -1236,3 +1236,84 @@ def ngram_contamination_bloom(
         .filter(F.col("shared_grams") >= min_overlap)
     )
     return hits.select(F.col("__id").alias(id_col), "shared_grams")
+
+
+def pairwise_jaccard(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_size: int = 3,
+    jaccard_round: int = 6,
+) -> DataFrame:
+    """EXACT word-shingle Jaccard for a GIVEN pair relation
+    ``(id_a, id_b)`` — the verification half of LSH calibration: the
+    banded MinHash estimate SELECTED the candidates, this computes the
+    truth on exactly those pairs, so threshold tuning reads estimate-
+    vs-truth on real data instead of trusting the banding math.
+    Returns ``(id_a, id_b, exact_jaccard)`` (floor-scaled at
+    10^-``jaccard_round``; pairs with no shared shingle report 0.0,
+    pairs where either side has no shingles report NULL).
+
+    Scale shape: docs are SEMI-joined to the pair relation first, so
+    shingle explosion is pair-population-bounded, never corpus-wide;
+    the intersection is two equi-joins of the pair relation against
+    the exploded shingles + one per-pair hash agg — no all-pairs
+    join, no inverted-index self-join, no stop-shingle cap needed
+    (the pair set already bounds the work)."""
+    ids = (
+        pairs.select(F.col("id_a").alias("__id"))
+        .unionAll(pairs.select(F.col("id_b").alias("__id")))
+        .distinct()
+    )
+    docs = df.join(
+        ids, df[id_col] == ids["__id"], "left_semi"
+    ).select(F.col(id_col).alias("__d"), F.col(text_col))
+    sh = docs.select(
+        "__d", F.explode(shingle_col(text_col, shingle_size)).alias("__s")
+    )
+    sizes = sh.groupBy("__d").agg(F.count(F.lit(1)).alias("__sz"))
+    p = pairs.select("id_a", "id_b")
+    inter = (
+        p.join(
+            sh.select(F.col("__d").alias("id_a"), F.col("__s")), "id_a"
+        )
+        .join(
+            sh.select(F.col("__d").alias("id_b"), F.col("__s")),
+            ["id_b", "__s"],
+        )
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("__ni"))
+    )
+    scale = float(10 ** jaccard_round)
+    out = (
+        p.join(inter, ["id_a", "id_b"], "left")
+        .join(
+            sizes.select(F.col("__d").alias("id_a"), F.col("__sz").alias("__sa")),
+            "id_a",
+            "left",
+        )
+        .join(
+            sizes.select(F.col("__d").alias("id_b"), F.col("__sz").alias("__sb")),
+            "id_b",
+            "left",
+        )
+        .select(
+            "id_a",
+            "id_b",
+            F.when(
+                F.col("__sa").isNotNull() & F.col("__sb").isNotNull(),
+                F.floor(
+                    F.coalesce(F.col("__ni"), F.lit(0)).cast("double")
+                    / (
+                        F.col("__sa") + F.col("__sb")
+                        - F.coalesce(F.col("__ni"), F.lit(0))
+                    ).cast("double")
+                    * scale
+                    + 0.5
+                )
+                / scale,
+            ).alias("exact_jaccard"),
+        )
+    )
+    return out

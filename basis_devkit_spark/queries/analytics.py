@@ -6696,3 +6696,104 @@ def d55(spark: SparkSession, sf: str) -> DataFrame:
     return strip_html(
         d.select("doc_id", raw.alias("page")), "page", "text_plain"
     ).select("doc_id", "n_chars_raw", "text_plain", "n_chars_plain")
+
+
+def _lsh_calibration_sql() -> str:
+    """d56 oracle: literal (id_a, id_b, eq) pairs from the independent
+    XXH64 banding model (eq = the estimate's exact integer numerator);
+    DuckDB recomputes the EXACT shingle Jaccard on just those pairs
+    (mirroring shingle_col: \\s+ split, 3-gram slide, distinct) and the
+    same error arithmetic."""
+    trips = pyoracle.minhash_pair_estimates(
+        pyoracle.oracle_sf_dir(), threshold=0.5
+    )
+    if not trips:
+        return (
+            "select cast(null as bigint) as id_a, cast(null as bigint) "
+            "as id_b, cast(null as double) as est_jaccard, cast(null as "
+            "double) as exact_jaccard, cast(null as double) as abs_err "
+            "where false"
+        )
+    vals = ", ".join(f"({a}, {b}, {e})" for a, b, e in trips)
+    return f"""
+    with p(id_a, id_b, eq) as (select * from (values {vals})),
+    ids as (select id_a as d from p union select id_b from p),
+    toks as (
+      select doc_id, regexp_split_to_array(lower(text), '\\s+') as ws
+      from documents join ids on doc_id = ids.d
+    ), sh0 as (
+      select doc_id, ws,
+             unnest(range(1, greatest(len(ws) - 2, 1) + 1)) as i
+      from toks
+    ), sh as (
+      select distinct doc_id,
+             array_to_string(list_slice(ws, i, i + 2), ' ') as s
+      from sh0
+    ), sizes as (
+      select doc_id, count(*) as sz from sh group by doc_id
+    ), ints as (
+      select p.id_a, p.id_b, count(*) as ni
+      from p
+      join sh a on a.doc_id = p.id_a
+      join sh b on b.doc_id = p.id_b and b.s = a.s
+      group by 1, 2
+    ), r as (
+      select p.id_a, p.id_b, p.eq / 64.0 as est_jaccard,
+             floor(coalesce(i.ni, 0) * 1.0
+                   / (sa.sz + sb.sz - coalesce(i.ni, 0))
+                   * 1000000.0 + 0.5) / 1000000.0 as exact_jaccard
+      from p
+      left join ints i on i.id_a = p.id_a and i.id_b = p.id_b
+      join sizes sa on sa.doc_id = p.id_a
+      join sizes sb on sb.doc_id = p.id_b
+    )
+    select cast(id_a as bigint) as id_a, cast(id_b as bigint) as id_b,
+           est_jaccard, exact_jaccard,
+           floor(abs(est_jaccard - exact_jaccard) * 1000000.0 + 0.5)
+             / 1000000.0 as abs_err
+    from r
+    """
+
+
+@register(
+    "d56_lsh_calibration",
+    _lsh_calibration_sql,
+    doc="LSH calibration report (minhash_near_dup_pairs at threshold "
+    "0.5 joined to pairwise_jaccard): banded MinHash ESTIMATE vs the "
+    "EXACT shingle Jaccard on exactly the candidate pairs — the "
+    "threshold-tuning table a production dedup reads before trusting "
+    "the banding math on ITS corpus. pairwise_jaccard is pair-"
+    "population-bounded (docs semi-joined to the pair relation before "
+    "any shingle explosion — never corpus-wide, never an inverted-"
+    "index self-join). The estimate is an exact rational (eq/64); the "
+    "oracle gets eq as a literal integer from the independent XXH64 "
+    "banding model and recomputes the exact side from raw text",
+)
+def d56(spark: SparkSession, sf: str) -> DataFrame:
+    from basis_devkit_spark.operators.dedup import (
+        minhash_near_dup_pairs,
+        pairwise_jaccard,
+        release_signature_caches,
+    )
+
+    docs = load(spark, sf, "documents")
+    pairs = minhash_near_dup_pairs(
+        docs, "doc_id", "text", num_hashes=64, bands=16,
+        jaccard_threshold=0.5,
+    )
+    exact = pairwise_jaccard(docs, pairs)
+    err = F.floor(
+        F.abs(F.col("est_jaccard") - F.col("exact_jaccard")) * 1000000.0
+        + 0.5
+    ) / 1000000.0
+    out = (
+        pairs.select("id_a", "id_b", "est_jaccard")
+        .join(exact, ["id_a", "id_b"])
+        .select(
+            "id_a", "id_b", "est_jaccard", "exact_jaccard",
+            err.alias("abs_err"),
+        )
+    )
+    ck = out.localCheckpoint(eager=True)
+    release_signature_caches(pairs)
+    return ck

@@ -186,13 +186,14 @@ def minhash_signature_model(text: str, num_hashes: int = 64) -> list[int] | None
     return [min(to_signed(xxh64_long(h, s)) for h in hs) for s in seeds]
 
 
-@lru_cache(maxsize=2)
-def minhash_candidate_pairs(
+@lru_cache(maxsize=4)
+def minhash_pair_estimates(
     sf_dir: str, num_hashes: int = 64, bands: int = 16, threshold: float = 0.7
-) -> tuple[tuple[int, int], ...]:
-    """Banded-LSH candidate pairs (lo_id, hi_id) with estimated Jaccard
-    >= threshold — the pair relation BOTH keeper rules (min-id and
-    quality-aware keep_by) consume."""
+) -> tuple[tuple[int, int, int], ...]:
+    """Banded-LSH candidate pairs with their signature-agreement counts:
+    (lo_id, hi_id, eq) for pairs with eq/num_hashes >= threshold — the
+    shared model behind the keeper rules (ids only) and the d56
+    calibration report (eq is the estimate's exact integer numerator)."""
     rows_per_band = num_hashes // bands
     sigs: dict[int, list[int]] = {}
     buckets: dict[tuple[int, int], list[int]] = {}
@@ -207,7 +208,7 @@ def minhash_candidate_pairs(
             )
             bh = xxh64_bytes(band_key.encode("utf-8"))
             buckets.setdefault((b, bh), []).append(doc_id)
-    pairs: set[tuple[int, int]] = set()
+    pairs: set[tuple[int, int, int]] = set()
     seen: set[tuple[int, int]] = set()
     for ids in buckets.values():
         for i, a in enumerate(ids):
@@ -218,8 +219,22 @@ def minhash_candidate_pairs(
                 seen.add((lo, hi))
                 eq = sum(x == y for x, y in zip(sigs[lo], sigs[hi]))
                 if eq / num_hashes >= threshold:
-                    pairs.add((lo, hi))
+                    pairs.add((lo, hi, eq))
     return tuple(sorted(pairs))
+
+
+def minhash_candidate_pairs(
+    sf_dir: str, num_hashes: int = 64, bands: int = 16, threshold: float = 0.7
+) -> tuple[tuple[int, int], ...]:
+    """Banded-LSH candidate pairs (lo_id, hi_id) with estimated Jaccard
+    >= threshold — the pair relation BOTH keeper rules (min-id and
+    quality-aware keep_by) consume."""
+    return tuple(
+        (lo, hi)
+        for lo, hi, _ in minhash_pair_estimates(
+            sf_dir, num_hashes, bands, threshold
+        )
+    )
 
 
 def minhash_loser_ids(

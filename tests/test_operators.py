@@ -327,6 +327,41 @@ def test_semantic_dedup_drops_planted_near_dups(spark):
     assert survivors == {0, 1, 4}
 
 
+def test_pairwise_jaccard_handcomputed(spark):
+    """Exact Jaccard on GIVEN pairs: identical docs 1.0, disjoint 0.0,
+    hand-computed partial overlap, a pair referencing an id absent
+    from the corpus reports NULL, and shingle explosion is scoped to
+    the pair population (semi-join plan gate)."""
+    from basis_devkit_spark.operators.dedup import pairwise_jaccard
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c d e"),       # shingles: abc bcd cde
+            (2, "a b c d e"),       # identical
+            (3, "a b c x y"),       # abc bcx cxy -> 1 shared with doc 1
+            (4, "zz yy xx ww vv"),  # disjoint
+            (5, "never referenced by any pair"),
+        ],
+        "doc_id long, text string",
+    )
+    pairs = spark.createDataFrame(
+        [(1, 2), (1, 3), (1, 4), (1, 99)], "id_a long, id_b long"
+    )
+    got = {
+        (r["id_a"], r["id_b"]): r["exact_jaccard"]
+        for r in pairwise_jaccard(docs, pairs).collect()
+    }
+    assert got[(1, 2)] == 1.0
+    assert got[(1, 3)] == 0.2  # 1 shared / (3 + 3 - 1)
+    assert got[(1, 4)] == 0.0
+    assert got[(1, 99)] is None  # unknown id -> no size -> NULL
+    plan = (
+        pairwise_jaccard(docs, pairs)
+        ._jdf.queryExecution().optimizedPlan().toString()
+    )
+    assert "LeftSemi" in plan  # docs scoped to the pair population
+
+
 def test_dedup_keep_by_quality_keeper(spark, docs):
     """r12 keep_by: production dedup keeps the BEST copy of a near-dup
     pair. (a) minhash_dedup(keep_by=) keeps the higher-quality copy of
