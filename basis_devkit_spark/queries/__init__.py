@@ -130,6 +130,7 @@ _SAMPLE_PRIORITY = [
     "d08_stratified_sample",
     "d55_strip_html",
     "d56_lsh_calibration",
+    "d57_domain_profile",
     # -- r11 front block: d42 chains d40 counts into d41 shuffled
     # packing (the flagship example's packing stage); c23 streams
     # incremental packing from a persisted one-row cursor.

@@ -6797,3 +6797,60 @@ def d56(spark: SparkSession, sf: str) -> DataFrame:
     ck = out.localCheckpoint(eager=True)
     release_signature_caches(pairs)
     return ck
+
+
+@register(
+    "d57_domain_profile",
+    f"""
+    with q as (
+      select doc_id, source, {_QUALITY_EXPR} as quality_score,
+             strlen(coalesce(text, '')) as nb
+      from ({_STATS_SQL})
+    ), u as (
+      select doc_id, quality_score, nb, {_SYNTH_URL_SQL} as url from q
+    ), {_DOMAIN_SQL}
+    select domain,
+           cast(count(*) as bigint) as n_docs,
+           cast(sum(nb) as bigint) as n_bytes,
+           floor(sum(cast(quality_score as decimal(18,6)))
+                 / count(*) * 1000000.0 + 0.5) / 1000000.0
+             as mean_quality,
+           min(doc_id) as min_doc_id, max(doc_id) as max_doc_id
+    from dom where domain is not null
+    group by domain
+    """,
+    doc="per-domain corpus composition profile — the report every "
+    "RefinedWeb-style pipeline prints beside the domain cap (which "
+    "domains dominate the mix, at what quality): one hash aggregate "
+    "over the registrable-domain projection — doc count, byte volume, "
+    "DECIMAL-exact mean quality (floor-scaled 1e6), id range per "
+    "domain. Composition of the proven d48 domain projection and d04c "
+    "quality expression; junk-URL rows (NULL domain) are excluded "
+    "here because d48b reports them explicitly",
+)
+def d57(spark: SparkSession, sf: str) -> DataFrame:
+    from basis_devkit_spark.operators.domains import registrable_domain
+    from basis_devkit_spark.operators.text import quality_score
+
+    d = quality_score(load(spark, sf, "documents"), "text").withColumn(
+        "url", _synth_url_col()
+    )
+    dom = registrable_domain(d, "url").filter(F.col("domain").isNotNull())
+    return dom.groupBy("domain").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum(
+            F.octet_length(F.coalesce(F.col("text"), F.lit("")))
+        ).cast("long").alias("n_bytes"),
+        (
+            F.floor(
+                F.sum(F.col("quality_score").cast("decimal(18,6)"))
+                .cast("double")
+                / F.count(F.lit(1))
+                * 1000000.0
+                + 0.5
+            )
+            / 1000000.0
+        ).alias("mean_quality"),
+        F.min("doc_id").alias("min_doc_id"),
+        F.max("doc_id").alias("max_doc_id"),
+    )
