@@ -199,3 +199,64 @@ def winsorize(
         out_col,
         F.least(F.greatest(v, F.col("clip_lo")), F.col("clip_hi")),
     )
+
+
+def robust_outliers(
+    df: DataFrame,
+    value_col: str,
+    group_col: str | None = None,
+    k: float = 3.5,
+    bound_round: int = 4,
+    score_round: int = 6,
+) -> DataFrame:
+    """Median/MAD robust outlier scoring — the heavy-tail-safe sibling
+    of :func:`winsorize` and the mean/stddev z-score: score each row by
+    its modified z ``0.6745 * (x - median) / MAD`` (Iglewicz & Hoaglin),
+    where ``MAD = median(|x - median|)``, globally or per ``group_col``.
+    Unlike the mean/stddev z, a single extreme value cannot inflate its
+    own baseline (both statistics have a 50% breakdown point), which is
+    why corpus-curation filters (doc length, token counts, perplexity)
+    use MAD bounds rather than stddev bounds. Adds ``med``, ``mad``,
+    ``robust_z`` and boolean ``is_outlier`` (``|robust_z| > k``; the
+    conventional cut is 3.5).
+
+    Parity contract: ``med`` and ``mad`` are rounded to ``bound_round``
+    decimals BEFORE the score is formed, and the score is floor-scaled
+    to ``score_round`` decimals, so the outlier decision compares
+    identical doubles across engines (the b24/d50 percentile-parity
+    contract). Zero-MAD groups (>= half the group tied at the median)
+    get NULL ``robust_z`` and ``is_outlier = false`` explicitly — no
+    engine-specific division-by-zero semantics.
+
+    Scale shape: two exact-percentile hash aggregates (median, then the
+    median of residuals — MAD is not algebraic, the second pass is
+    irreducible) each producing a group-count-bounded relation that is
+    broadcast back onto the scan; everything else is projection. The
+    100 TB single-pass approximation swaps in d32 histogram-sketch
+    quantiles for both medians; this operator is the EXACT form whose
+    decisions must be reproducible."""
+    v = F.col(value_col).cast("double")
+    r = lambda c: F.round(c, bound_round)
+    scale = float(10 ** score_round)
+    if group_col is None:
+        med = df.agg(r(F.percentile(v, 0.5)).alias("med"))
+        with_med = df.crossJoin(F.broadcast(med))  # one-row relation
+        mad = with_med.agg(
+            r(F.percentile(F.abs(v - F.col("med")), 0.5)).alias("mad")
+        )
+        scored = with_med.crossJoin(F.broadcast(mad))
+    else:
+        med = df.groupBy(group_col).agg(r(F.percentile(v, 0.5)).alias("med"))
+        with_med = df.join(F.broadcast(med), group_col)
+        mad = with_med.groupBy(group_col).agg(
+            r(F.percentile(F.abs(v - F.col("med")), 0.5)).alias("mad")
+        )
+        scored = with_med.join(F.broadcast(mad), group_col)
+    z = F.when(
+        F.col("mad") > 0,
+        F.floor(0.6745 * (v - F.col("med")) / F.col("mad") * scale + 0.5)
+        / scale,
+    )
+    return scored.withColumn("robust_z", z).withColumn(
+        "is_outlier", F.coalesce(F.abs(F.col("robust_z")) > k, F.lit(False))
+    )

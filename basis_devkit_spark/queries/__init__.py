@@ -110,6 +110,9 @@ _SAMPLE_PRIORITY = [
     # per-domain cap on the newly BOUNDED grouped reservoir; the
     # reservoir/stratified family (d46, c25, d08) re-front-loaded after
     # the r12 merge-tree rework of their shared top-k aggregation.
+    # -- r12 continuation block: d58 MAD robust outliers (the heavy-
+    # tail-safe sibling of d50 winsorize).
+    "d58_robust_outliers",
     "d48_registrable_domain",
     "d48b_domain_cap",
     "d02k_minhash_quality_keeper",

@@ -6854,3 +6854,50 @@ def d57(spark: SparkSession, sf: str) -> DataFrame:
         F.min("doc_id").alias("min_doc_id"),
         F.max("doc_id").alias("max_doc_id"),
     )
+
+
+@register(
+    "d58_robust_outliers",
+    """
+    with m as (
+      select source,
+             round(quantile_cont(cast(n_chars as double), 0.5), 4) as med
+      from documents group by source
+    ), a as (
+      select d.doc_id, d.source, d.n_chars,
+             cast(d.n_chars as double) as v, m.med
+      from documents d join m using (source)
+    ), s as (
+      select source,
+             round(quantile_cont(abs(v - med), 0.5), 4) as mad
+      from a group by source
+    )
+    select a.doc_id, a.source, a.n_chars, a.med, s.mad,
+           case when s.mad > 0 then
+             floor(0.6745 * (a.v - a.med) / s.mad * 1000000.0 + 0.5)
+               / 1000000.0
+           end as robust_z,
+           coalesce(abs(case when s.mad > 0 then
+             floor(0.6745 * (a.v - a.med) / s.mad * 1000000.0 + 0.5)
+               / 1000000.0 end) > 3.5, false) as is_outlier
+    from a join s using (source)
+    """,
+    doc="median/MAD robust outlier scoring (robust_outliers) of doc "
+    "length per source — the heavy-tail-safe curation filter (modified "
+    "z = 0.6745*(x-med)/MAD, Iglewicz-Hoaglin cut 3.5) where e09's "
+    "mean/stddev z would let one 10 MB crawl artifact inflate its own "
+    "baseline: both statistics have 50% breakdown. Two exact-"
+    "percentile hash aggs (median, then median of residuals — MAD is "
+    "not algebraic), each a group-count-bounded broadcast back onto "
+    "the scan; med/mad rounded to 4dp BEFORE scoring and the score "
+    "floor-scaled 1e6 (the b24/d50 percentile-parity contract); "
+    "zero-MAD groups get NULL z, false flag, explicitly",
+)
+def d58(spark: SparkSession, sf: str) -> DataFrame:
+    from basis_devkit_spark.operators.timeseries import robust_outliers
+
+    d = load(spark, sf, "documents").select("doc_id", "source", "n_chars")
+    return robust_outliers(d, "n_chars", group_col="source").select(
+        "doc_id", "source", "n_chars", "med", "mad", "robust_z",
+        "is_outlier",
+    )

@@ -5375,3 +5375,38 @@ def test_script_profile_multilingual_handcomputed(spark):
                ("latin", "cyrillic", "han", "arabic", "digit", "space"))
     for i in (3, 4):
         assert out[i]["n_chars"] == 0 and out[i]["frac_latin"] == 0.0
+
+
+def test_robust_outliers_handcomputed(spark):
+    """Modified z against hand-computed median/MAD, breakdown vs the
+    mean/stddev z (one extreme point must not mask itself), zero-MAD
+    group gets NULL z / false flag, and the plan broadcasts both
+    statistic relations."""
+    from pyspark.sql import functions as F
+
+    from basis_devkit_spark.operators.timeseries import robust_outliers
+
+    rows = [("g1", float(v)) for v in (1, 2, 3, 4, 5, 6, 7, 8, 9)] + [
+        ("g1", 1000.0),          # the outlier
+        ("g2", 5.0), ("g2", 5.0), ("g2", 5.0),  # zero-MAD group
+    ]
+    df = spark.createDataFrame(rows, "g string, v double")
+    out = robust_outliers(df, "v", group_col="g", k=3.5).collect()
+    g1 = {r["v"]: r for r in out if r["g"] == "g1"}
+    # median of 1..9,1000 = 5.5; residuals |v-5.5| = 4.5..0.5,994.5
+    # -> MAD = median(0.5,1.5,...,4.5,994.5) = 2.5
+    assert g1[1000.0]["med"] == 5.5 and g1[1000.0]["mad"] == 2.5
+    # z(1000) = 0.6745 * 994.5 / 2.5 = 268.3161, floor-scaled 1e6
+    assert g1[1000.0]["robust_z"] == 268.3161
+    assert g1[1000.0]["is_outlier"] is True
+    assert g1[5.0]["is_outlier"] is False
+    # zero-MAD group: NULL z, explicit false
+    for r in out:
+        if r["g"] == "g2":
+            assert r["robust_z"] is None and r["is_outlier"] is False
+    # global form: pooled median/MAD
+    glob = robust_outliers(df.select("v"), "v")
+    assert glob.filter(F.col("is_outlier")).count() == 1
+    plan = glob._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    assert "Window" not in plan and "EvalPython" not in plan
