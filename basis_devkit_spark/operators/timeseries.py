@@ -260,3 +260,82 @@ def robust_outliers(
     return scored.withColumn("robust_z", z).withColumn(
         "is_outlier", F.coalesce(F.abs(F.col("robust_z")) > k, F.lit(False))
     )
+
+
+def ewma_control(
+    df: DataFrame,
+    ts_col: str = "ts",
+    value_col: str = "value",
+    group_col: str = "user_id",
+    id_col: str = "event_id",
+    alpha: float = 0.5,
+    window: int = 16,
+    threshold: float = 3.0,
+    out_round: int = 6,
+) -> DataFrame:
+    """EWMA control chart (Roberts 1959 / NIST e-handbook 6.3.2.4) per
+    group: score every observation against the exponentially weighted
+    moving average of its own STRICTLY PRECEDING trailing ``window``
+    values (never the current one — same no-self-contamination contract
+    as :func:`zscore_anomalies`), weights ``(1-alpha)^age`` normalized
+    over the values actually present (so early-series rows are scored
+    against a correct short baseline, not a zero-padded one). Adds
+    ``ewma_prev`` (the baseline), ``deviation`` (value - baseline, the
+    control-chart residual) and boolean ``is_alert``
+    (``|deviation| > threshold``); rows with no preceding history get
+    NULL baseline and ``is_alert = false`` explicitly.
+
+    The trailing-window form (vs the textbook full-history recursion)
+    is the distributable one: the state a row needs is a bounded array,
+    never an unbounded sequential scan, so the whole chart is one
+    bounded window per group. Parity contract: the weighted fold is a
+    SEQUENTIAL left fold on both engines (``F.aggregate`` here,
+    ``list_reduce``-shaped sums in SQL), and the default
+    ``alpha = 0.5`` makes every weight an exact power of two, so the
+    baseline is bit-identical across engines before the 1e-6 floor-
+    scaling even touches it. Ordering is (ts, id) — fully deterministic
+    under timestamp ties.
+
+    Scale shape: one window per group with a ``window``-bounded frame —
+    the same cost class as any b31 frame aggregate; group-key hash
+    partitioning, no shuffle beyond the window's, no Python."""
+    if not (0.0 < alpha < 1.0):
+        raise ValueError("need 0 < alpha < 1")
+    if window < 1:
+        raise ValueError("need window >= 1")
+    beta = 1.0 - alpha
+    w = (
+        Window.partitionBy(group_col)
+        .orderBy(ts_col, id_col)
+        .rowsBetween(-int(window), -1)
+    )
+    # most-recent-first, so element i carries weight beta^i
+    arr = F.reverse(F.collect_list(F.col(value_col).cast("double")).over(w))
+    scored = df.withColumn("__arr", arr)
+    wt = lambda i: F.pow(F.lit(beta), i.cast("double"))
+    num = F.aggregate(
+        F.transform(F.col("__arr"), lambda x, i: x * wt(i)),
+        F.lit(0.0),
+        lambda a, x: a + x,
+    )
+    den = F.aggregate(
+        F.transform(F.col("__arr"), lambda x, i: wt(i)),
+        F.lit(0.0),
+        lambda a, x: a + x,
+    )
+    scale = float(10 ** out_round)
+    ewma = F.when(
+        F.size("__arr") > 0, F.floor(num / den * scale + 0.5) / scale
+    )
+    dev = F.floor(
+        (F.col(value_col).cast("double") - F.col("ewma_prev")) * scale + 0.5
+    ) / scale
+    return (
+        scored.withColumn("ewma_prev", ewma)
+        .withColumn("deviation", dev)
+        .withColumn(
+            "is_alert",
+            F.coalesce(F.abs(F.col("deviation")) > threshold, F.lit(False)),
+        )
+        .drop("__arr")
+    )

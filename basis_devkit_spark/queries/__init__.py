@@ -113,6 +113,7 @@ _SAMPLE_PRIORITY = [
     # -- r12 continuation block: d58 MAD robust outliers (the heavy-
     # tail-safe sibling of d50 winsorize).
     "d58_robust_outliers",
+    "e17_ewma_control",
     "d48_registrable_domain",
     "d48b_domain_cap",
     "d02k_minhash_quality_keeper",

@@ -6901,3 +6901,62 @@ def d58(spark: SparkSession, sf: str) -> DataFrame:
         "doc_id", "source", "n_chars", "med", "mad", "robust_z",
         "is_outlier",
     )
+
+
+@register(
+    "e17_ewma_control",
+    """
+    with o as (
+      select event_id, user_id, ts, value,
+             list(cast(value as double)) over (
+               partition by user_id order by ts, event_id
+               rows between 16 preceding and 1 preceding) as arr0
+      from events
+    ), r as (
+      select event_id, user_id, ts, value, list_reverse(arr0) as arr
+      from o
+    ), e as (
+      select event_id, user_id, ts, value,
+        case when arr is not null and len(arr) > 0 then
+          floor(
+            list_reduce(
+              list_transform(arr, (x, i) -> x * pow(0.5, i - 1)),
+              (a, b) -> a + b)
+            / list_reduce(
+              list_transform(arr, (x, i) -> pow(0.5, i - 1)),
+              (a, b) -> a + b)
+            * 1000000.0 + 0.5) / 1000000.0
+        end as ewma_prev
+      from r
+    )
+    select event_id, user_id, ts, value, ewma_prev,
+           floor((value - ewma_prev) * 1000000.0 + 0.5) / 1000000.0
+             as deviation,
+           coalesce(
+             abs(floor((value - ewma_prev) * 1000000.0 + 0.5)
+                 / 1000000.0) > 150.0, false) as is_alert
+    from e
+    """,
+    doc="EWMA control chart (ewma_control, Roberts 1959) per user over "
+    "event values: each observation scored against the exponentially "
+    "weighted average of its own strictly-preceding trailing-16 "
+    "values (weights (1-alpha)^age, normalized over values present — "
+    "correct short baselines at series start). alpha=0.5 makes every "
+    "weight an exact power of two, and both engines run the SAME "
+    "sequential left fold (F.aggregate vs list_reduce), so the "
+    "baseline is bit-identical before the 1e-6 floor-scaling. One "
+    "16-bounded window per user — b31 cost class, no Python; first "
+    "observations get NULL baseline and an explicit false flag",
+)
+def e17(spark: SparkSession, sf: str) -> DataFrame:
+    from basis_devkit_spark.operators.timeseries import ewma_control
+
+    ev = load(spark, sf, "events").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    return ewma_control(
+        ev, alpha=0.5, window=16, threshold=150.0
+    ).select(
+        "event_id", "user_id", "ts", "value", "ewma_prev", "deviation",
+        "is_alert",
+    )

@@ -5410,3 +5410,46 @@ def test_robust_outliers_handcomputed(spark):
     plan = glob._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
     assert "Window" not in plan and "EvalPython" not in plan
+
+
+def test_ewma_control_handcomputed(spark):
+    """EWMA baseline against hand-computed weighted means, short-series
+    normalization, strict exclusion of the current row, NULL-baseline
+    first row, and the bounded-frame plan (one window, no Python)."""
+    from datetime import datetime
+
+    from pyspark.sql import functions as F
+
+    from basis_devkit_spark.operators.timeseries import ewma_control
+
+    t = lambda s: datetime(2024, 1, 1, 0, 0, s)
+    rows = [
+        (1, "u1", t(1), 10.0),
+        (2, "u1", t(2), 20.0),
+        (3, "u1", t(3), 30.0),
+        (4, "u1", t(4), 500.0),  # the spike
+        (5, "u2", t(1), 7.0),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id string, ts timestamp, value double"
+    )
+    out = {
+        r["event_id"]: r
+        for r in ewma_control(df, alpha=0.5, window=16, threshold=100.0)
+        .collect()
+    }
+    assert out[1]["ewma_prev"] is None and out[1]["is_alert"] is False
+    assert out[2]["ewma_prev"] == 10.0  # single-point baseline
+    # baseline for row 3: (20*1 + 10*0.5) / 1.5 = 16.666666...
+    assert out[3]["ewma_prev"] == 16.666667
+    # baseline for row 4: (30 + 20*0.5 + 10*0.25) / 1.75 = 24.285714...
+    assert out[4]["ewma_prev"] == 24.285714
+    assert out[4]["deviation"] == 475.714286 and out[4]["is_alert"] is True
+    assert out[5]["ewma_prev"] is None  # group isolation
+    plan = (
+        ewma_control(df)._jdf.queryExecution().executedPlan().toString()
+    )
+    assert plan.count("Window") >= 1 and "EvalPython" not in plan
+    import pytest as _pt
+    with _pt.raises(ValueError):
+        ewma_control(df, alpha=1.5)
