@@ -114,6 +114,7 @@ _SAMPLE_PRIORITY = [
     # tail-safe sibling of d50 winsorize).
     "d58_robust_outliers",
     "e17_ewma_control",
+    "d59_kmeans_clusters",
     "d48_registrable_domain",
     "d48b_domain_cap",
     "d02k_minhash_quality_keeper",

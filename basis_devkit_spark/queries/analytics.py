@@ -6960,3 +6960,125 @@ def e17(spark: SparkSession, sf: str) -> DataFrame:
         "event_id", "user_id", "ts", "value", "ewma_prev", "deviation",
         "is_alert",
     )
+
+
+@register(
+    "d59_kmeans_clusters",
+    """
+    with p as (
+      select unnest(generate_series(1,
+               (select max(len(embedding)) from embeddings))) as pos
+    ), e as (
+      select vec_id, label,
+             list_transform(embedding, x -> cast(x as double)) as v
+      from embeddings
+    ), c0 as (
+      select cast(row_number() over (order by vec_id) - 1 as int) as cl,
+             v as c
+      from (select vec_id, v from e order by vec_id limit 8)
+    ), a1 as (
+      select e.vec_id, e.label, e.v, c0.cl,
+             list_reduce(
+               list_transform(e.v, (x, i) -> (x - c0.c[i]) * (x - c0.c[i])),
+               (a, b) -> a + b) as d
+      from e cross join c0
+    ), s1 as (
+      select vec_id, label, v, cl,
+             row_number() over (partition by vec_id order by d, cl) as rn
+      from a1
+    ), g1 as (
+      select vec_id, label, v, cl from s1 where rn = 1
+    ), m1 as (
+      select cl, pos,
+             round(cast(sum(cast(v[pos] as decimal(18,9))) as double)
+                   / count(*), 6) as cv
+      from g1 cross join p
+      group by cl, pos
+    ), n1 as (
+      select cl, list(cv order by pos) as c from m1 group by cl
+    ), c1 as (
+      select c0.cl, coalesce(n1.c, c0.c) as c
+      from c0 left join n1 on n1.cl = c0.cl
+    ), a2 as (
+      select e.vec_id, e.label, e.v, c1.cl,
+             list_reduce(
+               list_transform(e.v, (x, i) -> (x - c1.c[i]) * (x - c1.c[i])),
+               (a, b) -> a + b) as d
+      from e cross join c1
+    ), s2 as (
+      select vec_id, label, v, cl, d,
+             row_number() over (partition by vec_id order by d, cl) as rn
+      from a2
+    ), g2p as (
+      select vec_id, label, v, cl from s2 where rn = 1
+    ), m2 as (
+      select cl, pos,
+             round(cast(sum(cast(v[pos] as decimal(18,9))) as double)
+                   / count(*), 6) as cv
+      from g2p cross join p
+      group by cl, pos
+    ), n2 as (
+      select cl, list(cv order by pos) as c from m2 group by cl
+    ), c2 as (
+      select c1.cl, coalesce(n2.c, c1.c) as c
+      from c1 left join n2 on n2.cl = c1.cl
+    ), a3 as (
+      select e.vec_id, e.label, e.v, c2.cl,
+             list_reduce(
+               list_transform(e.v, (x, i) -> (x - c2.c[i]) * (x - c2.c[i])),
+               (a, b) -> a + b) as d
+      from e cross join c2
+    ), s3 as (
+      select vec_id, label, v, cl, d,
+             row_number() over (partition by vec_id order by d, cl) as rn
+      from a3
+    ), g2 as (
+      select vec_id, label, cl, d from s3 where rn = 1
+    ), rep as (
+      select cl, cast(count(*) as bigint) as n_vecs,
+             floor(cast(sum(cast(d as decimal(18,9))) as double)
+                   * 1000000.0 + 0.5) / 1000000.0 as inertia
+      from g2 group by cl
+    ), lab as (
+      select cl, label, count(*) as n from g2 group by cl, label
+    ), maj as (
+      select cl, label as majority_label, n,
+             row_number() over (partition by cl order by n desc, label)
+               as rn
+      from lab
+    )
+    select c0.cl as cluster,
+           coalesce(rep.n_vecs, 0) as n_vecs,
+           coalesce(rep.inertia, 0.0) as inertia,
+           mj.majority_label,
+           floor(cast(mj.n as double) / rep.n_vecs * 1000000.0 + 0.5)
+             / 1000000.0 as purity
+    from c0
+    left join rep on rep.cl = c0.cl
+    left join (select * from maj where rn = 1) mj on mj.cl = c0.cl
+    """,
+    doc="distributed k-means corpus clustering report "
+    "(kmeans_cluster_report, k=8, 2 Lloyd iterations over the full "
+    "embeddings table): per-cluster size, DECIMAL-exact inertia, "
+    "majority label + purity — the topic-structure audit behind "
+    "cluster-balanced mixing and SemDeDup-style pruning. The fit is "
+    "bit-reproducible at ANY parallelism by construction: no-RNG init "
+    "(k lowest vec_ids), sequential-fold distances (identical FP "
+    "order both engines), DECIMAL(18,9)-exact centroid means rounded "
+    "to 6dp before the next round (partition order cannot change a "
+    "ulp), ties to the lowest cluster. Per iteration: one scan + one "
+    "(cluster,pos)-keyed map-side-combinable agg; only kxdim doubles "
+    "reach the driver. The oracle replays the whole protocol unrolled "
+    "in SQL — init, assign, exact means, assign, exact means, final "
+    "assign, report (iters = centroid updates; the report scores "
+    "against the FINAL centroids)",
+)
+def d59(spark: SparkSession, sf: str) -> DataFrame:
+    from basis_devkit_spark.operators.clustering import (
+        kmeans_cluster_report,
+    )
+
+    emb = load(spark, sf, "embeddings")
+    return kmeans_cluster_report(
+        emb, "vec_id", "embedding", k=8, iters=2, label_col="label"
+    ).select("cluster", "n_vecs", "inertia", "majority_label", "purity")

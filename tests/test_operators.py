@@ -5453,3 +5453,74 @@ def test_ewma_control_handcomputed(spark):
     import pytest as _pt
     with _pt.raises(ValueError):
         ewma_control(df, alpha=1.5)
+
+
+def test_kmeans_handcomputed_two_clusters(spark):
+    """Distributed Lloyd on a hand-separable 2-D set: deterministic
+    lowest-id init, exact centroid means, tie-break to the lowest
+    cluster, empty clusters retained, and a pure-projection assignment
+    plan (no Python, no Window)."""
+    from pyspark.sql import functions as F
+
+    from basis_devkit_spark.operators.clustering import (
+        kmeans_assign,
+        kmeans_cluster_report,
+        kmeans_fit_predict,
+    )
+
+    rows = [
+        (0, [0.0, 0.0], "a"),
+        (1, [10.0, 10.0], "b"),
+        (2, [0.0, 1.0], "a"),
+        (3, [1.0, 0.0], "c"),
+        (4, [10.0, 11.0], "b"),
+        (5, [11.0, 10.0], "b"),
+    ]
+    df = spark.createDataFrame(
+        rows, "vec_id long, v array<float>, label string"
+    )
+    asg, cents = kmeans_fit_predict(df, "vec_id", "v", k=2, iters=2)
+    got = {r["vec_id"]: r["cluster"] for r in asg.collect()}
+    assert got == {0: 0, 2: 0, 3: 0, 1: 1, 4: 1, 5: 1}
+    assert cents[0] == [0.333333, 0.333333]
+    assert cents[1] == [10.333333, 10.333333]
+    rep = {
+        r["cluster"]: r
+        for r in kmeans_cluster_report(
+            df, "vec_id", "v", k=2, iters=2, label_col="label"
+        ).collect()
+    }
+    assert rep[0]["n_vecs"] == 3 and rep[1]["n_vecs"] == 3
+    assert rep[0]["majority_label"] == "a"  # 2-of-3; ties break low
+    assert rep[1]["majority_label"] == "b" and rep[1]["purity"] == 1.0
+    assert round(rep[0]["inertia"], 4) == 1.3333
+    # assignment is a pure projection: no Python, no Window, no join
+    plan = (
+        kmeans_assign(df, "v", cents)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "EvalPython" not in plan and "Window" not in plan
+    assert "Join" not in plan
+
+
+def test_kmeans_empty_cluster_and_ties(spark):
+    """Duplicate init points: ties assign to the LOWEST cluster index,
+    the starved cluster keeps its previous centroid and reports
+    n_vecs=0 (never silently dropped)."""
+    from basis_devkit_spark.operators.clustering import (
+        kmeans_cluster_report,
+    )
+
+    rows = [(0, [0.0, 0.0]), (1, [0.0, 0.0]), (2, [5.0, 5.0])]
+    df = spark.createDataFrame(rows, "vec_id long, v array<float>")
+    rep = {
+        r["cluster"]: r
+        for r in kmeans_cluster_report(df, "vec_id", "v", k=3, iters=2)
+        .collect()
+    }
+    assert rep[0]["n_vecs"] == 2
+    assert rep[1]["n_vecs"] == 0 and rep[1]["inertia"] == 0.0
+    assert rep[2]["n_vecs"] == 1
+    import pytest as _pt
+    with _pt.raises(ValueError):
+        kmeans_cluster_report(df, "vec_id", "v", k=0)
