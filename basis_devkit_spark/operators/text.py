@@ -1762,3 +1762,73 @@ def strip_html(
         .withColumn(out_col, s)
         .withColumn("n_chars_plain", F.length(F.col(out_col)).cast("int"))
     )
+
+
+def char_entropy_signals(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    out_round: int = 6,
+) -> DataFrame:
+    """Character-distribution quality signals per document: Shannon
+    entropy of the character unigram distribution in bits
+    (``entropy_bits``), distinct-character count and ratio, and the
+    mass of the single most frequent character (``max_char_ratio``).
+    Low entropy (or a high max-char ratio) flags keyboard mash,
+    base64/hex blobs rendered as one repeated glyph class, padding
+    runs, and template boilerplate that length/stopword rules miss —
+    a standard pre-training quality gate alongside the Gopher rules.
+
+    Every input row survives: empty/NULL text reports ``n_chars = 0``
+    with NULL entropy/ratios (explicitly — a doc with no characters has
+    no distribution, which is not the same as zero entropy).
+
+    Parity contract: entropy is computed as
+    ``log2(n) - sum(c*log2(c))/n`` where each ``c*log2(c)`` term is
+    truncated to DECIMAL(18,6) BEFORE summing — the terms are functions
+    of small integers, so the decimal truncation absorbs cross-engine
+    libm last-ulp wobble and the sum itself is exact integer
+    arithmetic, order-free at any parallelism; the final score is
+    floor-scaled to ``out_round``.
+
+    Scale shape: one explode to (doc, char) rows, one map-side-
+    combinable (doc, char) count, one doc-keyed agg — the d44 bigram
+    cost class (corpus-character-sized shuffle, no arrays held per
+    row, no Window, no Python)."""
+    txt = F.coalesce(F.col(text_col), F.lit(""))
+    chars = df.select(
+        id_col, F.explode(F.split(txt, "")).alias("__ch")
+    ).filter(F.col("__ch") != "")
+    counts = chars.groupBy(id_col, "__ch").agg(
+        F.count(F.lit(1)).alias("__c")
+    )
+    term = (F.col("__c").cast("double") * F.log2(F.col("__c").cast("double")))
+    agg = counts.groupBy(id_col).agg(
+        F.sum("__c").cast("long").alias("n_chars"),
+        F.count(F.lit(1)).cast("long").alias("n_distinct_chars"),
+        F.sum(term.cast("decimal(18,6)")).cast("double").alias("__s"),
+        F.max("__c").cast("long").alias("__mx"),
+    )
+    scale = float(10 ** out_round)
+    n = F.col("n_chars").cast("double")
+    ent = F.floor(
+        (F.log2(n) - F.col("__s") / n) * scale + 0.5
+    ) / scale
+    ratio = lambda c: F.floor(c.cast("double") / n * scale + 0.5) / scale
+    scored = agg.select(
+        id_col,
+        "n_chars",
+        "n_distinct_chars",
+        ent.alias("entropy_bits"),
+        ratio(F.col("n_distinct_chars")).alias("distinct_char_ratio"),
+        ratio(F.col("__mx")).alias("max_char_ratio"),
+    )
+    base = df.select(id_col)
+    return (
+        base.join(scored, id_col, "left")
+        .withColumn("n_chars", F.coalesce("n_chars", F.lit(0).cast("long")))
+        .withColumn(
+            "n_distinct_chars",
+            F.coalesce("n_distinct_chars", F.lit(0).cast("long")),
+        )
+    )

@@ -115,6 +115,7 @@ _SAMPLE_PRIORITY = [
     "d58_robust_outliers",
     "e17_ewma_control",
     "d59_kmeans_clusters",
+    "d60_char_entropy",
     "d48_registrable_domain",
     "d48b_domain_cap",
     "d02k_minhash_quality_keeper",

@@ -7082,3 +7082,53 @@ def d59(spark: SparkSession, sf: str) -> DataFrame:
     return kmeans_cluster_report(
         emb, "vec_id", "embedding", k=8, iters=2, label_col="label"
     ).select("cluster", "n_vecs", "inertia", "majority_label", "purity")
+
+
+@register(
+    "d60_char_entropy",
+    """
+    with ch as (
+      select doc_id, unnest(string_split(coalesce(text, ''), '')) as c0
+      from documents
+    ), f as (
+      select doc_id, c0 as ch from ch where c0 <> ''
+    ), cnt as (
+      select doc_id, ch, count(*) as c from f group by doc_id, ch
+    ), agg as (
+      select doc_id,
+             cast(sum(c) as bigint) as n_chars,
+             cast(count(*) as bigint) as n_distinct_chars,
+             cast(sum(cast(c * log2(cast(c as double)) as decimal(18,6)))
+                  as double) as s,
+             max(c) as mx
+      from cnt group by doc_id
+    )
+    select d.doc_id,
+           coalesce(a.n_chars, 0) as n_chars,
+           coalesce(a.n_distinct_chars, 0) as n_distinct_chars,
+           floor((log2(cast(a.n_chars as double)) - a.s / a.n_chars)
+                 * 1000000.0 + 0.5) / 1000000.0 as entropy_bits,
+           floor(cast(a.n_distinct_chars as double) / a.n_chars
+                 * 1000000.0 + 0.5) / 1000000.0 as distinct_char_ratio,
+           floor(cast(a.mx as double) / a.n_chars
+                 * 1000000.0 + 0.5) / 1000000.0 as max_char_ratio
+    from documents d left join agg a using (doc_id)
+    """,
+    doc="character-distribution quality signals (char_entropy_signals): "
+    "per-doc Shannon entropy of the char unigram distribution in bits, "
+    "distinct-char ratio, max-char mass — the cheap gate that catches "
+    "keyboard mash / repeated-glyph blobs / padding runs that length "
+    "and stopword rules miss. Cross-engine exactness: each c*log2(c) "
+    "term (a function of a small integer) is DECIMAL(18,6)-truncated "
+    "BEFORE the order-free exact sum, absorbing libm last-ulp wobble; "
+    "score floor-scaled 1e6. One explode + (doc,char) map-side-"
+    "combinable count + doc agg — the d44 cost class",
+)
+def d60(spark: SparkSession, sf: str) -> DataFrame:
+    from basis_devkit_spark.operators.text import char_entropy_signals
+
+    d = load(spark, sf, "documents").select("doc_id", "text")
+    return char_entropy_signals(d).select(
+        "doc_id", "n_chars", "n_distinct_chars", "entropy_bits",
+        "distinct_char_ratio", "max_char_ratio",
+    )

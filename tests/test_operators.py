@@ -5524,3 +5524,35 @@ def test_kmeans_empty_cluster_and_ties(spark):
     import pytest as _pt
     with _pt.raises(ValueError):
         kmeans_cluster_report(df, "vec_id", "v", k=0)
+
+
+def test_char_entropy_signals_handcomputed(spark):
+    """Entropy against hand-computed distributions: uniform 2-char text
+    = 1 bit, single-char runs = 0 bits, empty/NULL rows survive with
+    n_chars=0 and NULL signals; plan has no Window and no Python."""
+    from basis_devkit_spark.operators.text import char_entropy_signals
+
+    rows = [
+        (1, "abab"),       # p = {a:.5, b:.5} -> 1 bit
+        (2, "aaaa"),       # 0 bits, max ratio 1
+        (3, "abcd"),       # uniform over 4 -> 2 bits
+        (4, ""),
+        (5, None),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in char_entropy_signals(df).collect()}
+    assert out[1]["entropy_bits"] == 1.0
+    assert out[1]["n_distinct_chars"] == 2 and out[1]["n_chars"] == 4
+    assert out[2]["entropy_bits"] == 0.0
+    assert out[2]["max_char_ratio"] == 1.0
+    assert out[3]["entropy_bits"] == 2.0
+    assert out[3]["distinct_char_ratio"] == 1.0
+    for i in (4, 5):
+        assert out[i]["n_chars"] == 0 and out[i]["n_distinct_chars"] == 0
+        assert out[i]["entropy_bits"] is None
+        assert out[i]["max_char_ratio"] is None
+    plan = (
+        char_entropy_signals(df)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Window" not in plan and "EvalPython" not in plan
