@@ -283,3 +283,67 @@ def clustering_coefficient(
     )
     out._bds_cached = cached  # type: ignore[attr-defined]
     return out
+
+
+def label_propagation(
+    edges: DataFrame,
+    src: str = "id_a",
+    dst: str = "id_b",
+    iters: int = 2,
+) -> DataFrame:
+    """Synchronous label propagation (Raghavan et al. 2007, the
+    deterministic variant) over an undirected edge relation — the
+    community-detection pass between connected components (too coarse:
+    one LSH false positive merges two real duplicate groups) and
+    triangle counting (too local): after ``iters`` rounds each node
+    carries the label that its neighborhood converged toward, so one
+    spurious bridge edge no longer merges two dense communities.
+    Returns ``(node, community)`` for every node of the edge relation.
+
+    Determinism contract (standard LPA is RNG-ordered; this variant is
+    reproducible by construction): labels start as node ids, every
+    round is SYNCHRONOUS (all nodes update from the previous round's
+    labels), the new label is the most frequent neighbor label with
+    ties broken to the SMALLEST label. Integer counts only — no FP
+    anywhere, so any partitioning yields the identical labeling.
+
+    Scale shape: per round, one equi-join (symmetric edges ⋈ labels on
+    the neighbor key) + one (node, label) map-side-combinable count +
+    one struct-min argmax per node — no windows, no collect; the
+    symmetric edge relation is persisted across rounds (multi-consumer,
+    see ``_canonical_edges``) and rides the result for release via
+    ``dedup.release_signature_caches``. Lineage is truncated with the
+    pagerank checkpoint cadence, superseded checkpoint blocks released."""
+    from .lineage import release_plan_blocks
+
+    und = _canonical_edges(edges, src, dst)
+    sym = und.select(
+        F.col("a").alias("s"), F.col("b").alias("d")
+    ).unionAll(und.select(F.col("b").alias("s"), F.col("a").alias("d")))
+    labels = und.select(F.col("a").alias("node")).unionAll(
+        und.select(F.col("b").alias("node"))
+    ).distinct().withColumn("__l", F.col("node"))
+    prev_ckpt: DataFrame | None = None
+    for it in range(int(iters)):
+        nb = sym.join(
+            labels.select(F.col("node").alias("d"), "__l"), "d"
+        ).select(F.col("s").alias("node"), "__l")
+        cnt = nb.groupBy("node", "__l").agg(
+            F.count(F.lit(1)).cast("long").alias("__n")
+        )
+        best = cnt.groupBy("node").agg(
+            F.min(
+                F.struct((-F.col("__n")).alias("neg"), F.col("__l").alias("lab"))
+            ).alias("__m")
+        ).select("node", F.col("__m.lab").alias("__new"))
+        labels = labels.join(best, "node", "left").select(
+            "node", F.coalesce("__new", "__l").alias("__l")
+        )
+        if (it + 1) % 4 == 0 and it + 1 < iters:
+            labels = labels.localCheckpoint(eager=True)
+            if prev_ckpt is not None:
+                release_plan_blocks(prev_ckpt)
+            prev_ckpt = labels
+    out = labels.select("node", F.col("__l").alias("community"))
+    out._bds_cached = [und]  # type: ignore[attr-defined]
+    return out

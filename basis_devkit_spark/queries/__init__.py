@@ -116,6 +116,8 @@ _SAMPLE_PRIORITY = [
     "e17_ewma_control",
     "d59_kmeans_clusters",
     "d60_char_entropy",
+    "d61_label_propagation",
+    "c28_stream_kmeans_profile_maintenance",
     "d48_registrable_domain",
     "d48b_domain_cap",
     "d02k_minhash_quality_keeper",

@@ -6962,9 +6962,9 @@ def e17(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
-@register(
-    "d59_kmeans_clusters",
-    """
+# shared by d59 (one-shot) and c28 (streamed maintenance must equal
+# the one-shot build byte-for-byte)
+_KMEANS_REPORT_SQL = """
     with p as (
       select unnest(generate_series(1,
                (select max(len(embedding)) from embeddings))) as pos
@@ -7056,7 +7056,12 @@ def e17(spark: SparkSession, sf: str) -> DataFrame:
     from c0
     left join rep on rep.cl = c0.cl
     left join (select * from maj where rn = 1) mj on mj.cl = c0.cl
-    """,
+    """
+
+
+@register(
+    "d59_kmeans_clusters",
+    _KMEANS_REPORT_SQL,
     doc="distributed k-means corpus clustering report "
     "(kmeans_cluster_report, k=8, 2 Lloyd iterations over the full "
     "embeddings table): per-cluster size, DECIMAL-exact inertia, "
@@ -7131,4 +7136,201 @@ def d60(spark: SparkSession, sf: str) -> DataFrame:
     return char_entropy_signals(d).select(
         "doc_id", "n_chars", "n_distinct_chars", "entropy_bits",
         "distinct_char_ratio", "max_char_ratio",
+    )
+
+
+@register(
+    "d61_label_propagation",
+    """
+    with l as (
+      select l_orderkey as o, l_partkey as p from lineitem
+    ), e0 as (
+      select distinct least(a.p, b.p) as a, greatest(a.p, b.p) as b
+      from l a join l b on a.o = b.o and a.p < b.p
+    ), sym as (
+      select a as s, b as d from e0
+      union all
+      select b as s, a as d from e0
+    ), l0 as (
+      select distinct s as node, s as lab from sym
+    ), c1 as (
+      select sym.s as node, l0.lab, cast(count(*) as bigint) as n
+      from sym join l0 on l0.node = sym.d
+      group by sym.s, l0.lab
+    ), b1 as (
+      select node, lab,
+             row_number() over (partition by node order by n desc, lab)
+               as rn
+      from c1
+    ), l1 as (
+      select node, lab from b1 where rn = 1
+    ), c2 as (
+      select sym.s as node, l1.lab, cast(count(*) as bigint) as n
+      from sym join l1 on l1.node = sym.d
+      group by sym.s, l1.lab
+    ), b2 as (
+      select node, lab,
+             row_number() over (partition by node order by n desc, lab)
+               as rn
+      from c2
+    )
+    select node, lab as community from b2 where rn = 1
+    """,
+    doc="deterministic synchronous label propagation "
+    "(label_propagation, Raghavan et al. 2007; 2 rounds) over the "
+    "part co-purchase graph — community detection between connected "
+    "components (one LSH false positive merges two real duplicate "
+    "groups) and triangle counting (too local): labels start as node "
+    "ids, each round every node takes its neighborhood's most "
+    "frequent previous-round label, count ties to the SMALLEST label "
+    "— integer counts only, no RNG, no FP, so any partitioning gives "
+    "the identical labeling. Per round one edge-to-label equi-join + "
+    "one map-side-combinable (node,label) count + struct-min argmax; "
+    "the oracle unrolls both rounds in SQL",
+)
+def d61(spark: SparkSession, sf: str) -> DataFrame:
+    from basis_devkit_spark.operators.dedup import release_signature_caches
+    from basis_devkit_spark.operators.graphrank import label_propagation
+
+    l = load(spark, sf, "lineitem").select(
+        F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p")
+    )
+    a = l.alias("a")
+    b = l.alias("b")
+    edges = (
+        a.join(b, (F.col("a.o") == F.col("b.o")) & (F.col("a.p") < F.col("b.p")))
+        .select(F.col("a.p").alias("id_a"), F.col("b.p").alias("id_b"))
+    )
+    out = label_propagation(edges, "id_a", "id_b", iters=2)
+    ck = out.localCheckpoint(eager=True)
+    release_signature_caches(out)
+    return ck
+
+
+@register(
+    "c28_stream_kmeans_profile_maintenance",
+    _KMEANS_REPORT_SQL,
+    doc="streaming k-means cluster-profile maintenance: the centroids "
+    "are a build-once artifact (the d59 fit, collected once); the "
+    "corpus then arrives as TWO micro-batches, each assigned by a "
+    "pure centroid-literal projection and folded into a persisted "
+    "(cluster,label)-keyed state of integer counts + DECIMAL(28,9) "
+    "inertia sums via the exactly-once merge sink — both statistics "
+    "are exactly mergeable (integer/decimal addition is associative), "
+    "so the profile read from the maintained state must equal the "
+    "one-shot d59 report BYTE-FOR-BYTE (same oracle). Per batch: one "
+    "batch-sized projection + one map-side-combinable agg + one "
+    "k*labels-bounded upsert — packed history is never re-read",
+)
+def c28(spark: SparkSession, sf: str) -> DataFrame:
+    import glob as _glob
+    import os as _os
+    import shutil as _shutil
+    import tempfile as _tf
+
+    from basis_devkit_spark.operators.clustering import (
+        kmeans_assign,
+        kmeans_fit_predict,
+    )
+    from basis_devkit_spark.storage.store import TableStore
+    from basis_devkit_spark.streaming.ops import stream_merge_to_store
+
+    emb = load(spark, sf, "embeddings")
+    _, cents = kmeans_fit_predict(
+        emb, "vec_id", "embedding", k=8, iters=2
+    )
+
+    tmp = _tf.mkdtemp(prefix="bds_c28_")
+    drop = _os.path.join(tmp, "drop")
+    _os.makedirs(drop, exist_ok=True)
+    for tag, mod in (("a", 0), ("b", 1)):
+        part_dir = _os.path.join(tmp, f"part_{tag}")
+        emb.filter(F.col("vec_id") % 2 == mod).coalesce(1).write.parquet(
+            part_dir
+        )
+        src = _glob.glob(_os.path.join(part_dir, "part-*.parquet"))[0]
+        _shutil.copy(src, _os.path.join(drop, f"{tag}.parquet"))
+    raw_schema = spark.read.parquet(_os.path.join(drop, "a.parquet")).schema
+
+    def batch_stats(batch: DataFrame) -> DataFrame:
+        asg = kmeans_assign(batch, "embedding", cents)
+        return asg.groupBy("cluster", "label").agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum(F.col("dist_sq").cast("decimal(18,9)"))
+            .cast("decimal(28,9)")
+            .alias("inertia_dec"),
+        )
+
+    def merge(batch: DataFrame, existing: DataFrame | None) -> DataFrame:
+        stats = batch_stats(batch)
+        if existing is None:
+            return stats
+        prev = existing.select(
+            "cluster", "label",
+            F.col("n").alias("__pn"),
+            F.col("inertia_dec").alias("__pi"),
+        )
+        zero = F.lit(0).cast("decimal(28,9)")
+        return stats.join(prev, ["cluster", "label"], "full").select(
+            "cluster", "label",
+            (
+                F.coalesce(F.col("n"), F.lit(0))
+                + F.coalesce(F.col("__pn"), F.lit(0))
+            ).cast("long").alias("n"),
+            (
+                F.coalesce(F.col("inertia_dec"), zero)
+                + F.coalesce(F.col("__pi"), zero)
+            ).cast("decimal(28,9)").alias("inertia_dec"),
+        )
+
+    stream = (
+        spark.readStream.schema(raw_schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(drop)
+    )
+    store = TableStore(tmp, "kmeans_profile", spark)
+    store.configure(unique_on=["cluster", "label"])
+    q = stream_merge_to_store(stream, store, f"{tmp}/_ckpt", merge).start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    state = store.read()
+    scale = 1000000.0
+    base = state.groupBy("cluster").agg(
+        F.sum("n").cast("long").alias("n_vecs"),
+        (
+            F.floor(
+                F.sum("inertia_dec").cast("double") * scale + 0.5
+            ) / scale
+        ).alias("inertia"),
+    )
+    maj = state.groupBy("cluster").agg(
+        F.min(
+            F.struct((-F.col("n")).alias("neg"), F.col("label").alias("lab"))
+        ).alias("__m")
+    ).select(
+        "cluster",
+        F.col("__m.lab").alias("majority_label"),
+        (-F.col("__m.neg")).cast("long").alias("__maj_n"),
+    )
+    spine = spark.range(len(cents)).select(
+        F.col("id").cast("int").alias("cluster")
+    )
+    return (
+        spine.join(base, "cluster", "left")
+        .join(maj, "cluster", "left")
+        .select(
+            "cluster",
+            F.coalesce("n_vecs", F.lit(0).cast("long")).alias("n_vecs"),
+            F.coalesce("inertia", F.lit(0.0)).alias("inertia"),
+            "majority_label",
+            (
+                F.floor(
+                    F.col("__maj_n").cast("double") / F.col("n_vecs")
+                    * scale + 0.5
+                ) / scale
+            ).alias("purity"),
+        )
     )

@@ -5556,3 +5556,36 @@ def test_char_entropy_signals_handcomputed(spark):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "Window" not in plan and "EvalPython" not in plan
+
+
+def test_label_propagation_handcomputed(spark):
+    """Two dense 4-cliques joined by one bridge edge: LPA keeps the
+    communities separate (where connected_components merges them),
+    labels converge to each clique's minimum id, ties break low, and
+    the plan is join+agg only (no Window, no Python)."""
+    from basis_devkit_spark.operators.graphrank import label_propagation
+
+    clique1 = [(1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4)]
+    clique2 = [(10, 11), (10, 12), (10, 13), (11, 12), (11, 13), (12, 13)]
+    bridge = [(4, 10)]
+    df = spark.createDataFrame(
+        clique1 + clique2 + bridge, "id_a long, id_b long"
+    )
+    out = {r["node"]: r["community"] for r in
+           label_propagation(df, iters=3).collect()}
+    assert {out[n] for n in (1, 2, 3, 4)} == {1}
+    assert {out[n] for n in (10, 11, 12, 13)} == {10}
+    # one synchronous round from identity labels: each node takes its
+    # smallest-label neighbor under count ties -> node 2 of a triangle
+    # (1-2, 2-3, 1-3) sees {1, 3} and picks 1
+    tri = spark.createDataFrame(
+        [(1, 2), (2, 3), (1, 3)], "id_a long, id_b long"
+    )
+    one = {r["node"]: r["community"] for r in
+           label_propagation(tri, iters=1).collect()}
+    assert one == {1: 2, 2: 1, 3: 1}
+    plan = (
+        label_propagation(df, iters=2)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Window" not in plan and "EvalPython" not in plan
