@@ -1317,3 +1317,81 @@ def pairwise_jaccard(
         )
     )
     return out
+
+
+def pairwise_containment(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_size: int = 3,
+    score_round: int = 6,
+) -> DataFrame:
+    """EXACT word-shingle CONTAINMENT for a GIVEN pair relation
+    ``(id_a, id_b)`` — the asymmetric companion to
+    :func:`pairwise_jaccard` (Broder 1997 distinguishes resemblance
+    from containment): ``containment(A in B) = |A ∩ B| / |A|``. A short
+    doc quoted wholesale inside a long one scores near 1.0 containment
+    while its symmetric Jaccard stays low (the union is dominated by
+    the long side) — exactly the boilerplate-wrapper / quote-inclusion
+    duplicates a Jaccard-thresholded dedup ships to training. Returns
+    ``(id_a, id_b, n_shared, containment_a_in_b, containment_b_in_a,
+    max_containment)``; sides with no shingles report NULL scores.
+
+    Scale shape: identical to ``pairwise_jaccard`` — docs SEMI-joined
+    to the pair relation before any shingle explosion (pair-population-
+    bounded, never corpus-wide), two equi-joins + one per-pair hash
+    agg, no all-pairs work."""
+    ids = (
+        pairs.select(F.col("id_a").alias("__id"))
+        .unionAll(pairs.select(F.col("id_b").alias("__id")))
+        .distinct()
+    )
+    docs = df.join(
+        ids, df[id_col] == ids["__id"], "left_semi"
+    ).select(F.col(id_col).alias("__d"), F.col(text_col))
+    sh = docs.select(
+        "__d", F.explode(shingle_col(text_col, shingle_size)).alias("__s")
+    )
+    sizes = sh.groupBy("__d").agg(F.count(F.lit(1)).alias("__sz"))
+    p = pairs.select("id_a", "id_b")
+    inter = (
+        p.join(
+            sh.select(F.col("__d").alias("id_a"), F.col("__s")), "id_a"
+        )
+        .join(
+            sh.select(F.col("__d").alias("id_b"), F.col("__s")),
+            ["id_b", "__s"],
+        )
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("__ni"))
+    )
+    scale = float(10 ** score_round)
+    ni = F.coalesce(F.col("__ni"), F.lit(0).cast("long"))
+    frac = lambda d: F.when(
+        d.isNotNull(),
+        F.floor(ni.cast("double") / d.cast("double") * scale + 0.5) / scale,
+    )
+    return (
+        p.join(inter, ["id_a", "id_b"], "left")
+        .join(
+            sizes.select(F.col("__d").alias("id_a"), F.col("__sz").alias("__sa")),
+            "id_a",
+            "left",
+        )
+        .join(
+            sizes.select(F.col("__d").alias("id_b"), F.col("__sz").alias("__sb")),
+            "id_b",
+            "left",
+        )
+        .select(
+            "id_a",
+            "id_b",
+            ni.alias("n_shared"),
+            frac(F.col("__sa")).alias("containment_a_in_b"),
+            frac(F.col("__sb")).alias("containment_b_in_a"),
+            F.greatest(
+                frac(F.col("__sa")), frac(F.col("__sb"))
+            ).alias("max_containment"),
+        )
+    )

