@@ -1861,17 +1861,35 @@ def zipf_fit(
     top-``top_r`` via TakeOrdered (never a full sort of the vocab) →
     ranking window over the ``top_r``-row relation only (bounded by
     construction; the corpus-sized relation never meets a window)."""
-    from pyspark.sql import Window as _W
+    counts = zipf_term_counts(df, text_col)
+    return zipf_fit_from_counts(counts, top_r=top_r, out_round=out_round)
 
+
+def zipf_term_counts(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """The count phase of :func:`zipf_fit` — corpus term frequencies
+    ``(term, freq)``. Split out because the relation is PERFECTLY
+    mergeable (integer addition per term), which is what lets a
+    streaming ingest maintain it incrementally (c29) and read the same
+    Zipf report the one-shot fit produces."""
     toks = F.split(
         F.lower(F.trim(F.coalesce(F.col(text_col), F.lit("")))), r"\s+"
     )
     ex = df.select(F.explode(toks).alias("term")).filter(
         F.col("term") != ""
     )
-    counts = ex.groupBy("term").agg(
+    return ex.groupBy("term").agg(
         F.count(F.lit(1)).cast("long").alias("freq")
     )
+
+
+def zipf_fit_from_counts(
+    counts: DataFrame, top_r: int = 256, out_round: int = 6
+) -> DataFrame:
+    """The fit phase of :func:`zipf_fit`, over a ``(term, freq)``
+    relation — one-shot or incrementally maintained (c29). Same parity
+    and scale contracts as the composed operator."""
+    from pyspark.sql import Window as _W
+
     tot = counts.agg(
         F.count(F.lit(1)).cast("long").alias("n_vocab"),
         F.sum("freq").cast("long").alias("n_tokens"),
