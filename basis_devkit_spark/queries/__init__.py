@@ -120,6 +120,7 @@ _SAMPLE_PRIORITY = [
     "c28_stream_kmeans_profile_maintenance",
     "d62_zipf_fit",
     "d63_containment_pairs",
+    "c29_stream_zipf_maintenance",
     "d48_registrable_domain",
     "d48b_domain_cap",
     "d02k_minhash_quality_keeper",

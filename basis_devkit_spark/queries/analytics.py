@@ -7336,9 +7336,9 @@ def c28(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
-@register(
-    "d62_zipf_fit",
-    r"""
+# shared by d62 (one-shot) and c29 (streamed term-count maintenance
+# must reproduce the one-shot report byte-for-byte)
+_ZIPF_SQL = r"""
     with t as (
       select unnest(regexp_split_to_array(
                lower(trim(coalesce(text, ''))), '\s+')) as term
@@ -7383,7 +7383,12 @@ def c28(spark: SparkSession, sf: str) -> DataFrame:
                     * (m.n * m.syy - m.sy * m.sy)) * 1000000.0 + 0.5)
              / 1000000.0 as r2
     from m cross join tot
-    """,
+    """
+
+
+@register(
+    "d62_zipf_fit",
+    _ZIPF_SQL,
     doc="Zipf rank-frequency fit (zipf_fit): OLS of log2(freq) on "
     "log2(rank) over the top-256 terms — natural text sits near slope "
     "-1; shallow = boilerplate floods the head, steep = mode collapse "
@@ -7490,3 +7495,72 @@ def d63(spark: SparkSession, sf: str) -> DataFrame:
     ck = out.localCheckpoint(eager=True)
     release_signature_caches(pairs)
     return ck
+
+
+@register(
+    "c29_stream_zipf_maintenance",
+    _ZIPF_SQL,
+    doc="streaming Zipf-health maintenance: the corpus arrives as TWO "
+    "micro-batches; each batch's term counts (zipf_term_counts — a "
+    "PERFECTLY mergeable relation, integer addition per term) fold "
+    "into a persisted term-frequency store via the exactly-once merge "
+    "sink, and the report read from the maintained counts "
+    "(zipf_fit_from_counts) must equal the one-shot d62 fit "
+    "BYTE-FOR-BYTE (same oracle). Per batch: one batch-sized explode + "
+    "map-side-combinable count + vocab-keyed upsert; the corpus is "
+    "never re-read — the monitor any streaming ingest prints per "
+    "commit for free",
+)
+def c29(spark: SparkSession, sf: str) -> DataFrame:
+    import glob as _glob
+    import os as _os
+    import shutil as _shutil
+    import tempfile as _tf
+
+    from basis_devkit_spark.operators.text import (
+        zipf_fit_from_counts,
+        zipf_term_counts,
+    )
+    from basis_devkit_spark.storage.store import TableStore
+    from basis_devkit_spark.streaming.ops import stream_merge_to_store
+
+    docs = load(spark, sf, "documents").select("doc_id", "text")
+
+    tmp = _tf.mkdtemp(prefix="bds_c29_")
+    drop = _os.path.join(tmp, "drop")
+    _os.makedirs(drop, exist_ok=True)
+    for tag, mod in (("a", 0), ("b", 1)):
+        part_dir = _os.path.join(tmp, f"part_{tag}")
+        docs.filter(F.col("doc_id") % 2 == mod).coalesce(1).write.parquet(
+            part_dir
+        )
+        src = _glob.glob(_os.path.join(part_dir, "part-*.parquet"))[0]
+        _shutil.copy(src, _os.path.join(drop, f"{tag}.parquet"))
+    raw_schema = spark.read.parquet(_os.path.join(drop, "a.parquet")).schema
+
+    def merge(batch: DataFrame, existing: DataFrame | None) -> DataFrame:
+        counts = zipf_term_counts(batch, "text")
+        if existing is None:
+            return counts
+        prev = existing.select("term", F.col("freq").alias("__pf"))
+        return counts.join(prev, "term", "full").select(
+            "term",
+            (
+                F.coalesce(F.col("freq"), F.lit(0))
+                + F.coalesce(F.col("__pf"), F.lit(0))
+            ).cast("long").alias("freq"),
+        )
+
+    stream = (
+        spark.readStream.schema(raw_schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(drop)
+    )
+    store = TableStore(tmp, "term_counts", spark)
+    store.configure(unique_on="term")
+    q = stream_merge_to_store(stream, store, f"{tmp}/_ckpt", merge).start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return zipf_fit_from_counts(store.read(), top_r=256)
