@@ -432,3 +432,115 @@ def wav_header_fields(content_col: str | Column) -> Column:
         F.when(is_wav, le(hx, 35, 2)).alias("bits"),
         F.when(is_wav, le(hx, 29, 4)).alias("byte_rate"),
     )
+
+
+# bitrate tables (kbps), ISO/IEC 11172-3 / 13818-3 (public spec);
+# index 0 = "free" (emitted NULL), index 15 = invalid (header rejected)
+_MP3_BITRATES = {
+    ("1", 1): [0, 32, 64, 96, 128, 160, 192, 224, 256, 288, 320, 352,
+               384, 416, 448],
+    ("1", 2): [0, 32, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256,
+               320, 384],
+    ("1", 3): [0, 32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224,
+               256, 320],
+    ("2", 1): [0, 32, 48, 56, 64, 80, 96, 112, 128, 144, 160, 176, 192,
+               224, 256],
+    ("2", 2): [0, 8, 16, 24, 32, 40, 48, 56, 64, 80, 96, 112, 128, 144,
+               160],
+    ("2", 3): [0, 8, 16, 24, 32, 40, 48, 56, 64, 80, 96, 112, 128, 144,
+               160],
+}
+_MP3_SAMPLE_RATES = {
+    "1": [44100, 48000, 32000],
+    "2": [22050, 24000, 16000],
+    "2.5": [11025, 12000, 8000],
+}
+
+
+def mp3_frame_fields(content_col: str | Column) -> Column:
+    """Decode-free MPEG-audio (MP3) metadata: locate the first frame
+    header — skipping a leading ID3v2 tag by its syncsafe size, never
+    by scanning — and parse version / layer / bitrate / sample rate /
+    channel mode / padding as PURE column expressions (hex-slice +
+    conv + bit arithmetic), no UDF, no codec. Bytes touched per row:
+    the 10-byte ID3 probe plus the 4-byte header at the computed
+    offset, O(1) whatever the blob size (the sniff_format contract).
+
+    Returns a struct ``(is_mp3, has_id3v2, id3_size, mpeg_version,
+    layer, bitrate_kbps, sample_rate, channel_mode, padding)``.
+    ``is_mp3`` requires the 11-bit sync AND non-reserved version /
+    layer / sample-rate / bitrate fields; parse fields are NULL when
+    it is false. Free-format frames (bitrate index 0) are valid with
+    NULL ``bitrate_kbps``. MPEG2.5 shares the MPEG2 bitrate tables
+    (both specs, public)."""
+    c = F.col(content_col) if isinstance(content_col, str) else content_col
+    probe = F.hex(F.substring(c, 1, 10))
+    pb = lambda i: F.conv(
+        F.substring(probe, (i - 1) * 2 + 1, 2), 16, 10
+    ).cast("long")
+    has_id3 = (F.substring(probe, 1, 6) == "494433") & (
+        F.octet_length(c) >= 10
+    )
+    id3_size = (
+        pb(7) * 2097152 + pb(8) * 16384 + pb(9) * 128 + pb(10)
+    )
+    off = F.when(has_id3, id3_size + 11).otherwise(F.lit(1)).cast("int")
+    fh = F.hex(c.substr(off, F.lit(4)))
+    fb = lambda i: F.conv(
+        F.substring(fh, (i - 1) * 2 + 1, 2), 16, 10
+    ).cast("int")
+    b1, b2, b3, b4 = fb(1), fb(2), fb(3), fb(4)
+    vbits = F.shiftright(b2, 3).bitwiseAND(F.lit(3))
+    lbits = F.shiftright(b2, 1).bitwiseAND(F.lit(3))
+    br_idx = F.shiftright(b3, 4).bitwiseAND(F.lit(15))
+    sr_idx = F.shiftright(b3, 2).bitwiseAND(F.lit(3))
+    pad = F.shiftright(b3, 1).bitwiseAND(F.lit(1))
+    mode = F.shiftright(b4, 6).bitwiseAND(F.lit(3))
+    version = (
+        F.when(vbits == 3, "1").when(vbits == 2, "2").when(vbits == 0, "2.5")
+    )
+    layer = (
+        F.when(lbits == 3, 1).when(lbits == 2, 2).when(lbits == 1, 3)
+    ).cast("int")
+    is_mp3 = (
+        (F.octet_length(c) >= off + 3)
+        & (b1 == 255)
+        & (b2.bitwiseAND(F.lit(0xE0)) == 0xE0)
+        & (vbits != 1)
+        & (lbits != 0)
+        & (sr_idx != 3)
+        & (br_idx != 15)
+    )
+    arr = lambda xs: F.array(*[F.lit(int(x)) for x in xs])
+    bitrate = F.lit(None).cast("int")
+    for (v, l), tab in _MP3_BITRATES.items():
+        vmatch = (version == "1") if v == "1" else version.isin("2", "2.5")
+        bitrate = F.when(
+            vmatch & (layer == l), F.element_at(arr(tab), br_idx + 1)
+        ).otherwise(bitrate)
+    bitrate = F.when(br_idx == 0, F.lit(None).cast("int")).otherwise(bitrate)
+    srate = F.lit(None).cast("int")
+    for v, tab in _MP3_SAMPLE_RATES.items():
+        srate = F.when(version == v, F.element_at(arr(tab), sr_idx + 1)).otherwise(
+            srate
+        )
+    chmode = (
+        F.when(mode == 0, "stereo")
+        .when(mode == 1, "joint_stereo")
+        .when(mode == 2, "dual_channel")
+        .when(mode == 3, "mono")
+    )
+    g = lambda col: F.when(is_mp3, col)
+    return F.struct(
+        is_mp3.alias("is_mp3"),
+        has_id3.alias("has_id3v2"),
+        F.when(has_id3, id3_size).alias("id3_size"),
+        g(version).alias("mpeg_version"),
+        g(layer).alias("layer"),
+        g(bitrate).alias("bitrate_kbps"),
+        g(srate).alias("sample_rate"),
+        g(chmode).alias("channel_mode"),
+        # int flag, not boolean: NULL booleans round-trip differently
+        # through pandas (None vs NaN) across engines
+        g(pad).alias("padding"),
+    )

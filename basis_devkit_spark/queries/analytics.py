@@ -7564,3 +7564,101 @@ def c29(spark: SparkSession, sf: str) -> DataFrame:
     finally:
         q.stop()
     return zipf_fit_from_counts(store.read(), top_r=256)
+
+
+def _mp3_hex(vbits, lbits, br, sr, pad=0, mode=0, id3_size=None):
+    b2 = 0xE0 | (vbits << 3) | (lbits << 1) | 1
+    b3 = (br << 4) | (sr << 2) | (pad << 1)
+    frame = bytes([0xFF, b2, b3, mode << 6])
+    pre = b""
+    if id3_size is not None:
+        pre = (
+            b"ID3\x03\x00\x00"
+            + bytes([
+                (id3_size >> 21) & 0x7F, (id3_size >> 14) & 0x7F,
+                (id3_size >> 7) & 0x7F, id3_size & 0x7F,
+            ])
+            + b"\x00" * id3_size
+        )
+    return (pre + frame).hex()
+
+
+# (hex, is_mp3, has_id3, id3_size, version, layer, kbps, hz, mode, pad)
+_MP3_HEADERS = [
+    (_mp3_hex(3, 1, 9, 0, mode=1), True, False, None, "1", 3, 128,
+     44100, "joint_stereo", False),
+    (_mp3_hex(3, 1, 14, 1, id3_size=64), True, True, 64, "1", 3, 320,
+     48000, "stereo", False),
+    (_mp3_hex(2, 1, 8, 0, mode=3), True, False, None, "2", 3, 64,
+     22050, "mono", False),
+    (_mp3_hex(0, 1, 2, 2, pad=1, mode=3), True, False, None, "2.5", 3,
+     16, 8000, "mono", True),
+    (_mp3_hex(3, 3, 5, 1), True, False, None, "1", 1, 160, 48000,
+     "stereo", False),
+    (_mp3_hex(3, 1, 0, 0), True, False, None, "1", 3, None, 44100,
+     "stereo", False),                      # free-format: NULL kbps
+    ("00010203", False, False, None, None, None, None, None, None,
+     None),                                  # no sync
+    (_mp3_hex(1, 1, 9, 0), False, False, None, None, None, None, None,
+     None, None),                            # reserved version
+]
+
+
+@register(
+    "d05g_mp3_frame_parse",
+    f"""
+    with blobs as (
+      select doc_id, doc_id % 8 as variant from documents
+    ), truth as (
+      select * from (values
+        {", ".join(
+            "({i}, {ok}, {h3}, {hs}, {v}, {l}, {kb}, {hz}, {m}, {p})".format(
+                i=i,
+                ok="true" if ok else "false",
+                h3="true" if h3 else "false",
+                hs=hs if hs is not None else "cast(null as bigint)",
+                v="'" + v + "'" if v is not None else "cast(null as varchar)",
+                l=l if l is not None else "cast(null as int)",
+                kb=kb if kb is not None else "cast(null as int)",
+                hz=hz if hz is not None else "cast(null as int)",
+                m="'" + m + "'" if m is not None else "cast(null as varchar)",
+                p=("1" if p else "0") if p is not None
+                  else "cast(null as int)",
+            )
+            for i, (_, ok, h3, hs, v, l, kb, hz, m, p)
+            in enumerate(_MP3_HEADERS)
+        )}
+      ) as t(variant, is_mp3, has_id3v2, id3_size, mpeg_version, layer,
+             bitrate_kbps, sample_rate, channel_mode, padding)
+    )
+    select b.doc_id, t.is_mp3, t.has_id3v2,
+           cast(t.id3_size as bigint) as id3_size,
+           t.mpeg_version, cast(t.layer as int) as layer,
+           cast(t.bitrate_kbps as int) as bitrate_kbps,
+           cast(t.sample_rate as int) as sample_rate,
+           t.channel_mode, cast(t.padding as int) as padding
+    from blobs b join truth t on b.variant = t.variant
+    """,
+    doc="decode-free MPEG-audio frame sniff (ISO/IEC 11172-3/13818-3, "
+    "public): ID3v2 tag skipped by its SYNCSAFE SIZE (never a scan), "
+    "then version/layer/bitrate/sample-rate/channel-mode/padding "
+    "parsed from the 4-byte header as pure hex-slice + conv + bit "
+    "arithmetic — no UDF, no codec, O(1) bytes per row. Variants "
+    "exercise all three MPEG versions, Layers I/III, an ID3-prefixed "
+    "stream, free-format (NULL kbps, still valid), a sync-less blob "
+    "and a reserved version id (both rejected). Oracle derives ground "
+    "truth from the construction table, independently checking the "
+    "byte surgery",
+)
+def d05g(spark: SparkSession, sf: str) -> DataFrame:
+    from basis_devkit_spark.operators.multimodal import mp3_frame_fields
+
+    d = load(spark, sf, "documents").select("doc_id")
+    hdr = None
+    for i, (hx, *_rest) in enumerate(_MP3_HEADERS):
+        cond = F.col("doc_id") % 8 == i
+        lit = F.lit(bytes.fromhex(hx))
+        hdr = F.when(cond, lit) if hdr is None else hdr.when(cond, lit)
+    blobs = d.withColumn("content", hdr)
+    s = mp3_frame_fields("content")
+    return blobs.select("doc_id", s.alias("s")).select("doc_id", "s.*")

@@ -5654,3 +5654,50 @@ def test_pairwise_containment_handcomputed(spark):
     # shingle_col of "" yields [""] -> sizes exist; guard only checks
     # NULL-size sides, so assert the asymmetric scores are consistent
     assert r14["containment_a_in_b"] == 0.0
+
+
+def test_mp3_frame_fields_parse(spark):
+    """Hand-built MPEG frame headers: all three versions, Layers I/III,
+    syncsafe ID3v2 skip, free-format NULL bitrate, sync-less and
+    reserved-version rejection — no UDF in the plan."""
+    from basis_devkit_spark.operators.multimodal import mp3_frame_fields
+
+    def hdr(vb, lb, br, sr, pad=0, mode=0):
+        return bytes([
+            0xFF, 0xE0 | (vb << 3) | (lb << 1) | 1,
+            (br << 4) | (sr << 2) | (pad << 1), mode << 6,
+        ])
+
+    id3 = (
+        b"ID3\x03\x00\x00" + bytes([0, 0, 0, 64]) + b"\x00" * 64
+    )
+    rows = [
+        (1, hdr(3, 1, 9, 0, mode=1)),       # V1 L3 128k 44100 joint
+        (2, id3 + hdr(3, 1, 14, 1)),         # ID3(64) + V1 L3 320k 48000
+        (3, hdr(0, 1, 2, 2, pad=1, mode=3)), # V2.5 L3 16k 8000 mono pad
+        (4, hdr(3, 1, 0, 0)),                # free-format
+        (5, b"\x00\x01\x02\x03"),            # no sync
+        (6, hdr(1, 1, 9, 0)),                # reserved version
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, content binary")
+    out = {
+        r["doc_id"]: r
+        for r in df.select(
+            "doc_id", mp3_frame_fields("content").alias("s")
+        ).select("doc_id", "s.*").collect()
+    }
+    assert out[1]["is_mp3"] and out[1]["bitrate_kbps"] == 128
+    assert out[1]["sample_rate"] == 44100
+    assert out[1]["channel_mode"] == "joint_stereo"
+    assert out[2]["has_id3v2"] and out[2]["id3_size"] == 64
+    assert out[2]["bitrate_kbps"] == 320 and out[2]["sample_rate"] == 48000
+    assert out[3]["mpeg_version"] == "2.5" and out[3]["padding"] == 1
+    assert out[3]["sample_rate"] == 8000
+    assert out[4]["is_mp3"] and out[4]["bitrate_kbps"] is None
+    assert not out[5]["is_mp3"] and out[5]["mpeg_version"] is None
+    assert not out[6]["is_mp3"]
+    plan = (
+        df.select(mp3_frame_fields("content"))
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "EvalPython" not in plan
