@@ -1156,3 +1156,60 @@ def a33(spark: SparkSession, sf: str) -> DataFrame:
     )
     v2 = store.get_active_version()
     return store.stats_drift(v1, v2)
+
+
+@register(
+    "a35_clone_shallow",
+    """
+    with li as (
+      select l_orderkey as k, l_quantity as q from lineitem
+    )
+    select 'clone' as relation,
+           cast(count(*) as bigint) as n_rows,
+           cast(sum(cast(q as decimal(18,2))) as double) as sum_qty
+    from li where k % 7 in (0, 1)
+    union all
+    select 'source',
+           cast(count(*) as bigint),
+           cast(sum(cast(q as decimal(18,2))) as double)
+    from li where k % 7 = 2
+    """,
+    doc="zero-copy shallow clone (clone_shallow, Delta SHALLOW CLONE "
+    "semantics): seed a store with the k%7=0 lineitem slice, clone it "
+    "(the clone's version REFERENCES the source's immutable lineage "
+    "dirs by absolute path — zero bytes copied or read), then diverge "
+    "BOTH sides: append k%7=1 to the clone, replace the source with "
+    "k%7=2. The report proves full independence — the clone reads "
+    "union(0,1), the source reads exactly 2; the oracle recomputes "
+    "both relations from the literal predicates. Zero-copy itself is "
+    "pytest-asserted (no parquet under the clone's path; the clone's "
+    "vacuum structurally cannot reach cross-table absolute refs)",
+)
+def a35(spark: SparkSession, sf: str) -> DataFrame:
+    import tempfile as _tf
+
+    from basis_devkit_spark.storage.store import TableStore
+
+    tmp = _tf.mkdtemp(prefix="bds_a35_")
+    li = load(spark, sf, "lineitem").select(
+        F.col("l_orderkey").alias("k"),
+        F.col("l_linenumber").alias("ln"),
+        F.col("l_quantity").alias("q"),
+    )
+    src = TableStore(tmp, "src", spark)
+    src.write_replace(li.filter(F.col("k") % 7 == 0))
+    clone = TableStore(tmp, "clone", spark)
+    src.clone_shallow(clone)
+    clone.append(li.filter(F.col("k") % 7 == 1))
+    src.write_replace(li.filter(F.col("k") % 7 == 2))
+
+    def rep(store: TableStore, name: str) -> DataFrame:
+        return store.read().agg(
+            F.lit(name).alias("relation"),
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.sum(F.col("q").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("sum_qty"),
+        )
+
+    return rep(clone, "clone").unionAll(rep(src, "source"))

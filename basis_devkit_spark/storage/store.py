@@ -799,6 +799,70 @@ class TableStore:
         self.set_active_version(v, record_count=rc)
         return v
 
+    def clone_shallow(
+        self, target: "TableStore", version: int | None = None
+    ) -> int:
+        """Delta-style SHALLOW CLONE: make ``target``'s active version
+        reference THIS table's immutable lineage directories — zero data
+        copied, zero data read. The clone then diverges independently:
+        its appends/replaces land under its own path, its vacuum only
+        ever deletes its own ``v=N`` directories (cross-table absolute
+        references are structurally out of its reach), and the source is
+        never affected by anything done to the clone. The dev/test/
+        what-if workflow at 100 TB — branch the table, not the bytes.
+
+        What carries over: the version's lineage (by absolute path), its
+        record count and schema record, the source's file-level
+        data-skipping stats for those directories (``read_pruned`` on
+        the clone prunes exactly like the source), and the
+        ``partition_by``/``stats_columns`` layout config that describes
+        the referenced files. Bucketed-join config does NOT carry (the
+        catalog binding is path-scoped); the clone reads plain.
+
+        The standard shallow-clone caveat applies (same as Delta's):
+        VACUUM ON THE SOURCE can delete directories the clone still
+        references — retention policy on a cloned-from table must keep
+        the cloned version, or the clone must be deep-copied (one
+        ``write_replace(clone.read())``) before the source is vacuumed.
+        The clone's manifest records ``cloned_from`` so operators can
+        audit the dependency; returns the clone's new version number."""
+        v = version if version is not None else self._manifest.active_version
+        if v is None or str(v) not in self._manifest.versions:
+            raise FileNotFoundError(
+                f"table '{self.name}' has no version {v!r} to clone"
+            )
+        rel_dirs = self._version_dirs(v)
+        abs_dirs = [os.path.join(self.path, d) for d in rel_dirs]
+        info = self._manifest.versions[str(v)]
+        tv = target.create_new_version()
+        target._set_version_dirs(tv, abs_dirs)
+        entry = target._manifest.versions[str(tv)]
+        if info.get("schema_json"):
+            entry["schema_json"] = info["schema_json"]
+        entry["cloned_from"] = {
+            "table": self.name,
+            "path": self.path,
+            "version": v,
+        }
+        for rel, ab in zip(rel_dirs, abs_dirs):
+            stats = self._manifest.dir_stats.get(rel)
+            if stats:
+                # re-key per-file entries: stats files are recorded
+                # relative to the OWNING table's path; the clone's
+                # prune_files lists them relative to ITS path
+                target._manifest.dir_stats[ab] = {
+                    os.path.relpath(
+                        os.path.join(self.path, f), target.path
+                    ): v2
+                    for f, v2 in stats.items()
+                }
+        if self._manifest.partition_by and not target._manifest.partition_by:
+            target._manifest.partition_by = list(self._manifest.partition_by)
+        if self._manifest.stats_columns and not target._manifest.stats_columns:
+            target._manifest.stats_columns = list(self._manifest.stats_columns)
+        target.set_active_version(tv, record_count=info.get("record_count"))
+        return tv
+
     def read_at(self, timestamp: float) -> DataFrame:
         """Time-travel read AS OF TIMESTAMP (Delta's ``TIMESTAMP AS OF``
         analogue): the newest retained version whose commit time is at or

@@ -1277,3 +1277,56 @@ def test_stats_drift_between_versions(spark, tmp_path):
         for r in st.stats_drift(v1, v2, columns=["k"]).collect()
     }
     assert ("s", "nulls") not in scoped and ("k", "distinct") in scoped
+
+
+def test_clone_shallow_zero_copy_and_divergence(spark, tmp_path):
+    """Shallow clone references the source's files (zero bytes copied),
+    reads identically, then diverges independently: appends land under
+    the clone's own path, the source never changes, and the clone's
+    vacuum cannot touch source directories."""
+    src = TableStore(str(tmp_path), "src", spark)
+    src.configure(stats_columns="k")
+    src.append(_df(spark, [(1, "a"), (2, "b")]))
+    src.append(_df(spark, [(3, "c")]))
+    clone = TableStore(str(tmp_path), "clone", spark)
+    v = src.clone_shallow(clone)
+    # identical read, recorded provenance, no parquet under the clone
+    assert sorted(r["k"] for r in clone.read().collect()) == [1, 2, 3]
+    assert clone.record_count == 3
+    entry = clone._manifest.versions[str(v)]
+    assert entry["cloned_from"]["table"] == "src"
+    clone_files = [
+        os.path.join(dp, f)
+        for dp, _d, fs in os.walk(clone.path)
+        for f in fs
+        if f.endswith(".parquet")
+    ]
+    assert clone_files == []  # zero-copy: no data under the clone
+    # stats carried: pruning on the clone skips files like the source
+    kept, total = clone.prune_files([("k", "=", 3)])
+    assert sum(len(v2) for v2 in kept.values()) < total  # files skipped
+    pruned = clone.read_pruned([("k", "=", 3)]).collect()
+    assert [r["k"] for r in pruned] == [3]
+    # divergence: clone writes stay local; source unchanged
+    clone.append(_df(spark, [(9, "z")]))
+    assert sorted(r["k"] for r in clone.read().collect()) == [1, 2, 3, 9]
+    assert sorted(r["k"] for r in src.read().collect()) == [1, 2, 3]
+    # the clone's vacuum never deletes source data (absolute refs are
+    # structurally out of reach of its v=N deletion rule)
+    clone.write_replace(_df(spark, [(42, "w")]))
+    clone.vacuum(keep_last=1)
+    assert sorted(r["k"] for r in src.read().collect()) == [1, 2, 3]
+
+
+def test_clone_shallow_of_old_version_and_missing(spark, tmp_path):
+    """Cloning pins a specific VERSION (time-travel clone); cloning a
+    vacuumed/unknown version raises."""
+    src = TableStore(str(tmp_path), "src2", spark)
+    src.write_replace(_df(spark, [(1, "a")]))
+    v1 = src.get_active_version()
+    src.write_replace(_df(spark, [(2, "b")]))
+    clone = TableStore(str(tmp_path), "clone2", spark)
+    src.clone_shallow(clone, version=v1)
+    assert [r["k"] for r in clone.read().collect()] == [1]
+    with pytest.raises(FileNotFoundError):
+        src.clone_shallow(TableStore(str(tmp_path), "c3", spark), version=99)
