@@ -1928,3 +1928,73 @@ def zipf_fit_from_counts(
         ),
         fs(num * num / (den * dy)).alias("r2"),
     )
+
+
+def source_kl_divergence(
+    df: DataFrame,
+    source_col: str = "source",
+    text_col: str = "text",
+    out_round: int = 6,
+) -> DataFrame:
+    """Per-source KL divergence (bits) of the slice's term unigram
+    distribution from the whole-corpus distribution — the information-
+    theoretic companion to the d10 drift monitor's total-variation
+    distance and the d22 mixture weights: a source whose KL spikes is
+    contributing a vocabulary the rest of the corpus doesn't share
+    (fresh domain: keep; template farm or synthetic flood: cap).
+    Returns ``(source, n_tokens, n_types, kl_bits)``.
+
+    ``KL(p_s || p_corpus) = Σ_t p_s(t)·log2(p_s(t)/q(t))`` expanded to
+    ``Σ w·(log2 c_s + log2 N − log2 c_t − log2 n_s)`` so every log is a
+    log OF AN INTEGER: each is DECIMAL(18,9)-truncated (the d60 trick —
+    cross-engine libm last-ulp wobble is absorbed before any
+    arithmetic), the weight ``c_s/n_s`` is an exact integer ratio, so
+    every per-term product is an IDENTICAL double on both engines;
+    products are DECIMAL(18,12)-truncated for the order-free exact sum
+    and the result floor-scaled. q(t) > 0 always (the corpus includes
+    the source), so no smoothing constant is needed.
+
+    Scale shape: one explode + (source, term) map-side-combinable
+    count, one term-keyed agg for corpus totals, one broadcast-sized
+    per-source totals join — no windows, no Python, vocabulary never
+    sorted."""
+    toks = F.split(
+        F.lower(F.trim(F.coalesce(F.col(text_col), F.lit("")))), r"\s+"
+    )
+    ex = df.select(
+        F.col(source_col).alias("source"), F.explode(toks).alias("term")
+    ).filter(F.col("term") != "")
+    f = ex.groupBy("source", "term").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    ct = f.groupBy("term").agg(F.sum("c").cast("long").alias("ct"))
+    ns = f.groupBy("source").agg(
+        F.sum("c").cast("long").alias("n_tokens"),
+        F.count(F.lit(1)).cast("long").alias("n_types"),
+    )
+    tot = f.agg(F.sum("c").cast("long").alias("N"))
+    tl = lambda c: (
+        F.log2(c.cast("double")).cast("decimal(18,9)").cast("double")
+    )
+    joined = (
+        f.join(ct, "term")
+        .join(F.broadcast(ns), "source")
+        .crossJoin(F.broadcast(tot))
+    )
+    w = F.col("c").cast("double") / F.col("n_tokens").cast("double")
+    l = (
+        tl(F.col("c")) + tl(F.col("N"))
+        - tl(F.col("ct")) - tl(F.col("n_tokens"))
+    )
+    terms = joined.select(
+        "source", (w * l).cast("decimal(18,12)").alias("__t")
+    )
+    scale = float(10 ** out_round)
+    kl = terms.groupBy("source").agg(
+        (
+            F.floor(F.sum("__t").cast("double") * scale + 0.5) / scale
+        ).alias("kl_bits")
+    )
+    return ns.join(kl, "source").select(
+        "source", "n_tokens", "n_types", "kl_bits"
+    )

@@ -123,6 +123,7 @@ _SAMPLE_PRIORITY = [
     "c29_stream_zipf_maintenance",
     "d05g_mp3_frame_parse",
     "a35_clone_shallow",
+    "d64_source_kl",
     "d48_registrable_domain",
     "d48b_domain_cap",
     "d02k_minhash_quality_keeper",

@@ -7662,3 +7662,64 @@ def d05g(spark: SparkSession, sf: str) -> DataFrame:
     blobs = d.withColumn("content", hdr)
     s = mp3_frame_fields("content")
     return blobs.select("doc_id", s.alias("s")).select("doc_id", "s.*")
+
+
+@register(
+    "d64_source_kl",
+    r"""
+    with t as (
+      select source, unnest(regexp_split_to_array(
+               lower(trim(coalesce(text, ''))), '\s+')) as term
+      from documents
+    ), f as (
+      select source, term, cast(count(*) as bigint) as c
+      from t where term <> '' group by source, term
+    ), ct as (
+      select term, cast(sum(c) as bigint) as ct from f group by term
+    ), ns as (
+      select source, cast(sum(c) as bigint) as n_tokens,
+             cast(count(*) as bigint) as n_types
+      from f group by source
+    ), tot as (
+      select cast(sum(c) as bigint) as n from f
+    ), terms as (
+      select f.source,
+        (cast(f.c as double) / ns.n_tokens) * (
+          cast(cast(log2(cast(f.c as double)) as decimal(18,9)) as double)
+          + cast(cast(log2(cast(tot.n as double)) as decimal(18,9))
+                 as double)
+          - cast(cast(log2(cast(ct.ct as double)) as decimal(18,9))
+                 as double)
+          - cast(cast(log2(cast(ns.n_tokens as double)) as decimal(18,9))
+                 as double)
+        ) as term_kl
+      from f
+      join ct using (term)
+      join ns using (source)
+      cross join tot
+    )
+    select ns.source, ns.n_tokens, ns.n_types,
+           floor(k.s * 1000000.0 + 0.5) / 1000000.0 as kl_bits
+    from ns join (
+      select source,
+             cast(sum(cast(term_kl as decimal(18,12))) as double) as s
+      from terms group by source
+    ) k using (source)
+    """,
+    doc="per-source KL divergence from the corpus term distribution "
+    "(source_kl_divergence) — the information-theoretic drift/mixture "
+    "companion to d10's TV distance and d22's mixture weights: a KL "
+    "spike = vocabulary the rest of the corpus doesn't share (fresh "
+    "domain: keep; template farm / synthetic flood: cap). Every log "
+    "is a log of an INTEGER, DECIMAL(18,9)-truncated (the d60 libm-"
+    "wobble absorber); weights are exact integer ratios, so per-term "
+    "products are identical doubles both engines, DECIMAL(18,12)-"
+    "truncated into an order-free exact sum. One explode + map-side "
+    "(source,term) count + term-keyed totals + broadcast source "
+    "totals — no windows, vocabulary never sorted",
+)
+def d64(spark: SparkSession, sf: str) -> DataFrame:
+    from basis_devkit_spark.operators.text import source_kl_divergence
+
+    d = load(spark, sf, "documents").select("source", "text")
+    return source_kl_divergence(d)

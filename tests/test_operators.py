@@ -5701,3 +5701,33 @@ def test_mp3_frame_fields_parse(spark):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "EvalPython" not in plan
+
+
+def test_source_kl_divergence_handcomputed(spark):
+    """KL against hand-computed distributions: a source identical in
+    distribution to the corpus scores ~0; a disjoint-vocabulary source
+    scores log2(N/n_s) exactly; outputs carry exact token/type counts;
+    no Window, no Python in the plan."""
+    import math
+
+    from basis_devkit_spark.operators.text import source_kl_divergence
+
+    # s1 and s2 share the identical distribution {a:2, b:2}; s3 is
+    # disjoint {z:4}. For s3: p(z)=1, q(z)=4/12 -> KL = log2(3).
+    rows = [
+        ("s1", "a a b b"),
+        ("s2", "a a b b"),
+        ("s3", "z z z z"),
+    ]
+    df = spark.createDataFrame(rows, "source string, text string")
+    out = {r["source"]: r for r in source_kl_divergence(df).collect()}
+    assert out["s3"]["n_tokens"] == 4 and out["s3"]["n_types"] == 1
+    assert abs(out["s3"]["kl_bits"] - math.log2(3)) < 1e-5
+    # s1: p(a)=.5 q(a)=4/12=1/3 -> KL = log2(3/2) = 0.584962...
+    assert abs(out["s1"]["kl_bits"] - math.log2(1.5)) < 1e-5
+    assert out["s1"]["kl_bits"] == out["s2"]["kl_bits"]
+    plan = (
+        source_kl_divergence(df)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Window" not in plan and "EvalPython" not in plan
