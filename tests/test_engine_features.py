@@ -1116,3 +1116,31 @@ def test_retrieval_serving_example_app(spark, tmp_path):
     assert len(rows) == 10
     assert [r["rank"] for r in rows] == list(range(1, 11))
     assert all(r["score"] > 0 for r in rows)
+
+
+def test_corpus_health_example_app(spark, tmp_path):
+    """examples/corpus_health runs end-to-end: per-doc signals, Zipf
+    fit, per-source KL, k-means topic report, one-row summary gate."""
+    from pyspark.sql import functions as F
+
+    eng = Engine(spark, str(tmp_path / "store"))
+    eng.load_graph("examples/corpus_health")
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    eng.seed_store("documents", docs)
+    eng.seed_store("embeddings", emb)
+    eng.run_graph()
+
+    sig = eng.table_df("doc_signals")
+    assert sig.count() == docs.count()  # every doc scored, none dropped
+    assert sig.filter(F.col("entropy_bits") <= 0).count() == 0
+    zipf = eng.table_df("zipf_report").collect()
+    assert len(zipf) == 1 and zipf[0]["zipf_slope"] < 0
+    div = eng.table_df("source_divergence")
+    assert div.count() == docs.select("source").distinct().count()
+    assert div.filter(F.col("kl_bits") < 0).count() == 0  # KL >= 0
+    clus = eng.table_df("topic_clusters")
+    assert clus.count() == 8
+    assert clus.agg(F.sum("n_vecs")).collect()[0][0] == emb.count()
+    summ = eng.table_df("health_summary").collect()
+    assert len(summ) == 1 and summ[0]["n_docs"] == docs.count()
