@@ -737,3 +737,209 @@ def touch_attribution(
         F.col("n_touches").cast("long").alias("n_touches"),
         credit.alias("linear_credit"),
     )
+
+
+def markov_attribution(
+    df: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    event_col: str = "event_type",
+    conv_event: str = "purchase",
+    iters: int = 8,
+    out_round: int = 6,
+) -> DataFrame:
+    """Markov-chain (removal-effect) attribution — the data-driven
+    model behind first/last/linear heuristics (:func:`touch_attribution`):
+    build the first-order journey chain (start → touches → conv/null,
+    journeys split at each conversion), compute the ``iters``-step
+    absorption probability of converting, then for each channel the
+    REMOVAL EFFECT — how much conversion probability disappears when
+    every transition into that channel is redirected to null (the
+    standard removal-effect construction). Credit is the normalized
+    removal effect. Returns one row per channel:
+    ``(channel, p_conv, p_conv_removed, removal_effect, credit,
+    attributed_conversions)``.
+
+    Determinism/parity contract — the pagerank trick, NO float op in
+    the recursion: probabilities are exact scaled INTEGERS
+    (``P ≈ p × 10⁹``) and each bounded-horizon step is
+    ``P'(s) = (Σ_j n_sj·P(j)) div n_s`` — integer multiply, integer
+    sum (associative: any partitioning, any engine), one integer floor
+    division per state. A decimal-cast formulation was tried first and
+    measurably diverged cross-engine (~1e-9 per step: a double→decimal
+    cast disagrees when the value's shortest repr ends in '5' at the
+    target scale); integers cannot. Only the final report divides
+    integers into doubles (identical everywhere), floor-scaled. All
+    chain variants (full + one per removed channel) iterate TOGETHER,
+    keyed by variant — one join + one aggregate per step over a
+    (variants × states)-sized relation. Integer headroom: n·P ≤
+    n·10⁹ — fine to ~10⁹ observed transitions per (src,dst) cell;
+    beyond that lower the scale.
+
+    Scale shape: the corpus-sized work is ONE lag window per user plus
+    one (src, dst) hash count; everything after operates on the
+    state-space-sized transition relation (channels² rows — the
+    bounded artifact). No collect of per-user state, no Python."""
+    w = Window.partitionBy(user_col).orderBy(ts_col, id_col)
+    wd = Window.partitionBy(user_col).orderBy(
+        F.col(ts_col).desc(), F.col(id_col).desc()
+    )
+    ev = df.select(
+        F.col(user_col), F.col(ts_col), F.col(id_col),
+        F.col(event_col).alias("__e"),
+        F.lag(F.col(event_col)).over(w).alias("__prev"),
+        (F.row_number().over(wd) == 1).alias("__last"),
+    )
+    src = F.when(
+        F.col("__prev").isNull() | (F.col("__prev") == conv_event),
+        F.lit("start"),
+    ).otherwise(F.col("__prev"))
+    dst = F.when(F.col("__e") == conv_event, F.lit("conv")).otherwise(
+        F.col("__e")
+    )
+    edges = ev.select(src.alias("src"), dst.alias("dst")).unionAll(
+        ev.filter(F.col("__last") & (F.col("__e") != conv_event)).select(
+            F.col("__e").alias("src"), F.lit("null").alias("dst")
+        )
+    )
+    t0 = edges.groupBy("src", "dst").agg(
+        F.count(F.lit(1)).cast("long").alias("__n")
+    )
+    tsrc = t0.groupBy("src").agg(F.sum("__n").cast("long").alias("__ns"))
+    tfull = t0.join(tsrc, "src").select("src", "dst", "__n", "__ns")
+    channels = (
+        df.select(F.col(event_col).alias("channel"))
+        .filter(F.col("channel") != conv_event)
+        .distinct()
+    )
+    spark = df.sparkSession
+    # materialize the variant list once: it seeds BOTH the chain and
+    # p_0, and every iteration would otherwise re-run the corpus
+    # distinct that derives it
+    variants = (
+        channels.select(F.col("channel").alias("variant"))
+        .unionAll(spark.createDataFrame([("full",)], "variant string"))
+        .coalesce(1)
+        .localCheckpoint(eager=True)
+    )
+    # per-variant chain: removing channel c redirects every transition
+    # INTO c to null (rows merging there sum exact integer counts)
+    tvar = variants.crossJoin(tfull).select(
+        "variant", "src",
+        F.when(
+            (F.col("variant") != "full") & (F.col("dst") == F.col("variant")),
+            F.lit("null"),
+        ).otherwise(F.col("dst")).alias("dst"),
+        "__n", "__ns",
+    ).groupBy("variant", "src", "dst", "__ns").agg(
+        F.sum("__n").cast("long").alias("__n")
+    )
+    absorbing = variants.crossJoin(
+        spark.createDataFrame(
+            [("conv", "conv", 1, 1), ("null", "null", 1, 1)],
+            "src string, dst string, __n long, __ns long",
+        )
+    ).select("variant", "src", "dst", "__n", "__ns")
+    # materialize the (states²×variants)-sized chain ONCE: the
+    # iteration below would otherwise embed the corpus-pass lineage
+    # `iters` times over (recomputed per step and quadratic to analyze)
+    # coalesce(1): the relation is states²×variants rows; without it the
+    # checkpoint freezes the upstream shuffle partitioning and every
+    # iteration step pays a thousand empty tasks
+    chain = tvar.unionByName(absorbing).coalesce(1).localCheckpoint(
+        eager=True
+    )
+    # bounded-horizon absorption on exact scaled integers:
+    # P_0(conv) = SCALE, sparse zeros elsewhere
+    scale_int = 10 ** 9
+    p = variants.select(
+        "variant",
+        F.lit("conv").alias("state"),
+        F.lit(scale_int).cast("long").alias("p"),
+    )
+    for _ in range(int(iters)):
+        p = (
+            chain.join(
+                p,
+                (chain["variant"] == p["variant"])
+                & (chain["dst"] == p["state"]),
+            )
+            .select(
+                chain["variant"].alias("variant"),
+                chain["src"].alias("state"),
+                chain["__ns"].alias("__ns"),
+                (F.col("__n") * F.col("p")).alias("__t"),
+            )
+            .groupBy("variant", "state", "__ns")
+            .agg(F.expr("sum(__t) div __ns").cast("long").alias("p"))
+            .drop("__ns")
+            .coalesce(1)
+        )
+    # variants-sized; materialized because four consumers below (the
+    # removed rows, the full-chain scalar, the normalizer, the output)
+    # would each replay the whole iteration lineage
+    # LEFT join back to the variant list: the sparse iteration drops
+    # zero-probability states, and a variant whose removal disconnects
+    # start from conv has EXACTLY that — p(start) = 0, not "no row"
+    pstart = (
+        variants.join(
+            p.filter(F.col("state") == "start").select(
+                "variant", F.col("p").alias("__p")
+            ),
+            "variant",
+            "left",
+        )
+        .select(
+            "variant",
+            F.coalesce("__p", F.lit(0).cast("long")).alias("p_conv"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    full_p = pstart.filter(F.col("variant") == "full").select(
+        F.col("p_conv").alias("__pf")
+    )
+    removed = pstart.filter(F.col("variant") != "full").select(
+        F.col("variant").alias("channel"),
+        F.col("p_conv").alias("p_conv_removed"),
+    )
+    n_conv = df.filter(F.col(event_col) == conv_event).agg(
+        F.count(F.lit(1)).cast("long").alias("__nc")
+    )
+    # exact integer removal effects; only the FINAL projection divides
+    # integers into doubles (one identical IEEE op per cell)
+    re = (F.col("__pf") - F.col("p_conv_removed")).cast("long")
+    scored = removed.crossJoin(F.broadcast(full_p)).withColumn(
+        "removal_effect", re
+    )
+    tot = scored.agg(
+        F.sum("removal_effect").cast("long").alias("__tot")
+    )
+    scale = float(10 ** out_round)
+    fs = lambda c: F.floor(c * scale + 0.5) / scale
+    prob = lambda c: fs(c.cast("double") / float(scale_int))
+    return (
+        scored.crossJoin(F.broadcast(tot))
+        .crossJoin(F.broadcast(n_conv))
+        .select(
+            "channel",
+            prob(F.col("__pf")).alias("p_conv"),
+            prob(F.col("p_conv_removed")).alias("p_conv_removed"),
+            prob(F.col("removal_effect")).alias("removal_effect"),
+            F.when(
+                F.col("__tot") > 0,
+                fs(
+                    F.col("removal_effect").cast("double")
+                    / F.col("__tot").cast("double")
+                ),
+            ).alias("credit"),
+            F.when(
+                F.col("__tot") > 0,
+                fs(
+                    F.col("removal_effect").cast("double")
+                    / F.col("__tot").cast("double")
+                    * F.col("__nc").cast("double")
+                ),
+            ).alias("attributed_conversions"),
+        )
+    )

@@ -1950,7 +1950,7 @@ def source_kl_divergence(
     cross-engine libm last-ulp wobble is absorbed before any
     arithmetic), the weight ``c_s/n_s`` is an exact integer ratio, so
     every per-term product is an IDENTICAL double on both engines;
-    products are DECIMAL(18,12)-truncated for the order-free exact sum
+    products are DECIMAL(18,9)-rounded for the order-free exact sum
     and the result floor-scaled. q(t) > 0 always (the corpus includes
     the source), so no smoothing constant is needed.
 
@@ -1986,8 +1986,13 @@ def source_kl_divergence(
         tl(F.col("c")) + tl(F.col("N"))
         - tl(F.col("ct")) - tl(F.col("n_tokens"))
     )
+    # scale 9, not finer: a double->decimal cast can disagree across
+    # engines when the value's SHORTEST repr terminates in '5' exactly
+    # at the target scale (Spark rounds the shortest repr, DuckDB the
+    # exact binary value) — measured ~1e-4/value at scale 12 vs ~1e-7
+    # at scale 9 for O(1) magnitudes
     terms = joined.select(
-        "source", (w * l).cast("decimal(18,12)").alias("__t")
+        "source", (w * l).cast("decimal(18,9)").alias("__t")
     )
     scale = float(10 ** out_round)
     kl = terms.groupBy("source").agg(

@@ -124,6 +124,7 @@ _SAMPLE_PRIORITY = [
     "d05g_mp3_frame_parse",
     "a35_clone_shallow",
     "d64_source_kl",
+    "e18_markov_attribution",
     "d48_registrable_domain",
     "d48b_domain_cap",
     "d02k_minhash_quality_keeper",

@@ -7702,7 +7702,7 @@ def d05g(spark: SparkSession, sf: str) -> DataFrame:
            floor(k.s * 1000000.0 + 0.5) / 1000000.0 as kl_bits
     from ns join (
       select source,
-             cast(sum(cast(term_kl as decimal(18,12))) as double) as s
+             cast(sum(cast(term_kl as decimal(18,9))) as double) as s
       from terms group by source
     ) k using (source)
     """,
@@ -7723,3 +7723,132 @@ def d64(spark: SparkSession, sf: str) -> DataFrame:
 
     d = load(spark, sf, "documents").select("source", "text")
     return source_kl_divergence(d)
+
+
+def _markov_attribution_sql(iters: int = 8) -> str:
+    """e18 oracle: the full removal-effect protocol unrolled in SQL —
+    journey edges, per-variant transition chains (full + one per
+    removed channel), ``iters`` bounded-horizon absorption steps on
+    exact scaled INTEGERS (``P' = (Σ n·P) // n_src`` — the pagerank
+    trick, no float op in the recursion), then normalized removal
+    effects with one integer→double division per output cell."""
+    steps = []
+    for t in range(1, iters + 1):
+        steps.append(f"""p{t} as (
+      select c.variant, c.src as state,
+             cast(sum(c.n * p.p) // c.ns as bigint) as p
+      from chain c join p{t - 1} p
+        on p.variant = c.variant and p.state = c.dst
+      group by c.variant, c.src, c.ns
+    )""")
+    return f"""
+    with o as (
+      select user_id, event_type, ts, event_id,
+             lag(event_type) over (partition by user_id
+                                   order by ts, event_id) as prev,
+             row_number() over (partition by user_id
+                                order by ts desc, event_id desc) as rd
+      from events
+    ), e as (
+      select case when prev is null or prev = 'purchase' then 'start'
+                  else prev end as src,
+             case when event_type = 'purchase' then 'conv'
+                  else event_type end as dst
+      from o
+      union all
+      select event_type, 'null' from o
+      where rd = 1 and event_type <> 'purchase'
+    ), t0 as (
+      select src, dst, cast(count(*) as bigint) as n
+      from e group by src, dst
+    ), tsrc as (
+      select src, cast(sum(n) as bigint) as ns from t0 group by src
+    ), tfull as (
+      select t0.src, t0.dst, t0.n, tsrc.ns
+      from t0 join tsrc using (src)
+    ), variants as (
+      select distinct event_type as variant from events
+      where event_type <> 'purchase'
+      union all select 'full'
+    ), tvar as (
+      select v.variant, t.src,
+             case when v.variant <> 'full' and t.dst = v.variant
+                  then 'null' else t.dst end as dst,
+             t.ns, cast(sum(t.n) as bigint) as n
+      from variants v cross join tfull t
+      group by 1, 2, 3, 4
+    ), chain as (
+      select variant, src, dst, n, ns from tvar
+      union all
+      select v.variant, a.s, a.s, 1, 1
+      from variants v cross join
+           (select 'conv' as s union all select 'null') a
+    ), p0 as (
+      select variant, 'conv' as state,
+             cast(1000000000 as bigint) as p
+      from variants
+    ), {", ".join(steps)},
+    ps as (
+      select v.variant, coalesce(pp.p, 0) as p
+      from variants v left join
+           (select variant, p from p{iters} where state = 'start') pp
+        on pp.variant = v.variant
+    ), fullp as (
+      select p as pf from ps where variant = 'full'
+    ), nconv as (
+      select cast(count(*) as bigint) as nc from events
+      where event_type = 'purchase'
+    ), scored as (
+      select ps.variant as channel, ps.p as pr, fullp.pf,
+             fullp.pf - ps.p as re
+      from ps cross join fullp
+      where ps.variant <> 'full'
+    ), tot as (
+      select cast(sum(re) as bigint) as t from scored
+    )
+    select channel,
+           floor(cast(pf as double) / 1000000000.0
+                 * 1000000.0 + 0.5) / 1000000.0 as p_conv,
+           floor(cast(pr as double) / 1000000000.0
+                 * 1000000.0 + 0.5) / 1000000.0 as p_conv_removed,
+           floor(cast(re as double) / 1000000000.0
+                 * 1000000.0 + 0.5) / 1000000.0 as removal_effect,
+           case when tot.t > 0 then
+             floor(cast(re as double) / cast(tot.t as double)
+                   * 1000000.0 + 0.5) / 1000000.0
+           end as credit,
+           case when tot.t > 0 then
+             floor(cast(re as double) / cast(tot.t as double)
+                   * cast(nconv.nc as double)
+                   * 1000000.0 + 0.5) / 1000000.0
+           end as attributed_conversions
+    from scored cross join tot cross join nconv
+    """
+
+
+@register(
+    "e18_markov_attribution",
+    _markov_attribution_sql,
+    doc="Markov removal-effect attribution (markov_attribution) — the "
+    "data-driven model behind e16's first/last/linear heuristics: "
+    "first-order journey chain (start → touches → conv/null, journeys "
+    "split at each conversion), 8-step bounded-horizon absorption "
+    "probability, then per channel the conversion probability lost "
+    "when transitions into it redirect to null; credit = normalized "
+    "removal effect. NO float op anywhere in the recursion (the "
+    "pagerank trick): probabilities are exact scaled integers, each "
+    "step is integer-multiply -> associative integer sum -> one "
+    "integer floor division per state, so the state is bit-identical "
+    "at any parallelism on any engine; only the final report divides "
+    "integers into doubles. Corpus-sized work = one lag window + "
+    "one (src,dst) count; ALL chain variants iterate together on the "
+    "states²×variants bounded artifact. The oracle unrolls the whole "
+    "protocol — edges, per-variant chains, all 8 steps, normalization",
+)
+def e18(spark: SparkSession, sf: str) -> DataFrame:
+    from basis_devkit_spark.operators.events import markov_attribution
+
+    ev = load(spark, sf, "events").select(
+        "user_id", "ts", "event_id", "event_type"
+    )
+    return markov_attribution(ev, conv_event="purchase", iters=8)

@@ -5731,3 +5731,42 @@ def test_source_kl_divergence_handcomputed(spark):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "Window" not in plan and "EvalPython" not in plan
+
+
+def test_markov_attribution_handcomputed(spark):
+    """Removal effect on a hand-built two-path journey set: the channel
+    on the only converting path carries all the credit; a channel that
+    only appears on null paths carries none; probabilities match the
+    exact integer-scaled recursion."""
+    from datetime import datetime
+
+    from basis_devkit_spark.operators.events import markov_attribution
+
+    t = lambda s: datetime(2024, 1, 1, 0, 0, s)
+    rows = []
+    # 2 users: A -> purchase ; B -> (end, null)
+    rows += [(1, "u1", t(1), "A"), (2, "u1", t(2), "purchase")]
+    rows += [(3, "u2", t(1), "B")]
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id string, ts timestamp, event_type string"
+    )
+    out = {r["channel"]: r for r in markov_attribution(df, iters=8).collect()}
+    # chain: start->A 1/2, start->B 1/2, A->conv 1, B->null 1
+    # p_full(start) = 0.5; removing A -> 0; removing B -> 0.5
+    assert out["A"]["p_conv"] == 0.5
+    assert out["A"]["p_conv_removed"] == 0.0
+    assert out["A"]["removal_effect"] == 0.5 and out["A"]["credit"] == 1.0
+    assert out["A"]["attributed_conversions"] == 1.0
+    assert out["B"]["p_conv_removed"] == 0.5
+    assert out["B"]["removal_effect"] == 0.0 and out["B"]["credit"] == 0.0
+    # journeys SPLIT at conversion: a post-purchase event starts a new
+    # journey from 'start', never a purchase->X transition
+    rows2 = rows + [(4, "u1", t(3), "B")]
+    df2 = spark.createDataFrame(
+        rows2, "event_id long, user_id string, ts timestamp, event_type string"
+    )
+    out2 = {r["channel"]: r
+            for r in markov_attribution(df2, iters=8).collect()}
+    # start->A 1/3, start->B 2/3; only A converts
+    assert out2["A"]["p_conv"] == round(1 / 3, 6)
+    assert out2["A"]["credit"] == 1.0
