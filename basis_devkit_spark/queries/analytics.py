@@ -7713,8 +7713,8 @@ def d05g(spark: SparkSession, sf: str) -> DataFrame:
     "domain: keep; template farm / synthetic flood: cap). Every log "
     "is a log of an INTEGER, DECIMAL(18,9)-truncated (the d60 libm-"
     "wobble absorber); weights are exact integer ratios, so per-term "
-    "products are identical doubles both engines, DECIMAL(18,12)-"
-    "truncated into an order-free exact sum. One explode + map-side "
+    "products are identical doubles both engines, DECIMAL(18,9)-"
+    "rounded into an order-free exact sum. One explode + map-side "
     "(source,term) count + term-keyed totals + broadcast source "
     "totals — no windows, vocabulary never sorted",
 )
