@@ -2003,3 +2003,45 @@ def source_kl_divergence(
     return ns.join(kl, "source").select(
         "source", "n_tokens", "n_types", "kl_bits"
     )
+
+
+def quality_ecdf_normalize(
+    df: DataFrame,
+    score_col: str = "quality_score",
+    group_col: str = "source",
+    id_col: str = "doc_id",
+    out_col: str = "score_pct",
+    out_round: int = 6,
+) -> DataFrame:
+    """Cross-source quality-score calibration: replace each document's
+    raw score with its Hazen ECDF position ``(rank − 0.5) / n`` WITHIN
+    its source. Quality-classifier scores are not comparable across
+    sources (a 0.7 on curated wiki text and a 0.7 on raw crawl mean
+    different things), so mixing pipelines that threshold or sample on
+    raw scores silently over-keep the easy source; rank-normalizing
+    per source makes one threshold mean "the same fraction kept
+    everywhere". Adds ``rank_in_group``, ``n_in_group`` and
+    ``out_col`` ∈ (0, 1); ties break on ``id_col`` (fully
+    deterministic, exact integer ranks).
+
+    Scale shape: one window per group (rank only — integer state, no
+    buffering); the skew story is the source key itself — a mega-source
+    partitions fine because rank needs only a sort within the key, but
+    at 100 TB swap the EXACT rank for d32 histogram-sketch quantile
+    buckets per source (the approximate form of the same calibration);
+    this operator is the exact form whose decisions must replay."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(group_col).orderBy(score_col, id_col)
+    n = Window.partitionBy(group_col)
+    scale = float(10 ** out_round)
+    rnk = F.row_number().over(w).cast("long")
+    cnt = F.count(F.lit(1)).over(n).cast("long")
+    pct = F.floor(
+        (rnk.cast("double") - 0.5) / cnt.cast("double") * scale + 0.5
+    ) / scale
+    return (
+        df.withColumn("rank_in_group", rnk)
+        .withColumn("n_in_group", cnt)
+        .withColumn(out_col, pct)
+    )

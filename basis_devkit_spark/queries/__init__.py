@@ -125,6 +125,7 @@ _SAMPLE_PRIORITY = [
     "a35_clone_shallow",
     "d64_source_kl",
     "e18_markov_attribution",
+    "d65_quality_ecdf",
     "d48_registrable_domain",
     "d48b_domain_cap",
     "d02k_minhash_quality_keeper",

@@ -7852,3 +7852,47 @@ def e18(spark: SparkSession, sf: str) -> DataFrame:
         "user_id", "ts", "event_id", "event_type"
     )
     return markov_attribution(ev, conv_event="purchase", iters=8)
+
+
+@register(
+    "d65_quality_ecdf",
+    f"""
+    with q as (
+      select doc_id, source, {_QUALITY_EXPR} as quality_score
+      from ({_STATS_SQL})
+    ), r as (
+      select doc_id, source, quality_score,
+             cast(row_number() over (partition by source
+                                     order by quality_score, doc_id)
+                  as bigint) as rank_in_group,
+             cast(count(*) over (partition by source) as bigint)
+               as n_in_group
+      from q
+    )
+    select doc_id, source, quality_score, rank_in_group, n_in_group,
+           floor((cast(rank_in_group as double) - 0.5)
+                 / cast(n_in_group as double) * 1000000.0 + 0.5)
+             / 1000000.0 as score_pct
+    from r
+    """,
+    doc="cross-source quality calibration (quality_ecdf_normalize): "
+    "raw classifier scores are not comparable across sources (0.7 on "
+    "curated wiki and 0.7 on raw crawl mean different things) — "
+    "replace each doc's score with its Hazen ECDF position "
+    "(rank-0.5)/n WITHIN its source, so one threshold keeps the same "
+    "fraction everywhere. Exact integer ranks, ties on doc_id, score "
+    "floor-scaled; one rank-only window per source (integer state, no "
+    "buffering); at 100 TB the approximate form swaps in d32 sketch "
+    "quantile buckets per source",
+)
+def d65(spark: SparkSession, sf: str) -> DataFrame:
+    from basis_devkit_spark.operators.text import (
+        quality_ecdf_normalize,
+        quality_score,
+    )
+
+    d = quality_score(load(spark, sf, "documents"), "text")
+    return quality_ecdf_normalize(d).select(
+        "doc_id", "source", "quality_score", "rank_in_group",
+        "n_in_group", "score_pct",
+    )

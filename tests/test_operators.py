@@ -5770,3 +5770,33 @@ def test_markov_attribution_handcomputed(spark):
     # start->A 1/3, start->B 2/3; only A converts
     assert out2["A"]["p_conv"] == round(1 / 3, 6)
     assert out2["A"]["credit"] == 1.0
+
+
+def test_quality_ecdf_normalize_handcomputed(spark):
+    """Hazen ECDF within groups: exact positions, tie-break on id,
+    group isolation, and the calibration property — the same threshold
+    keeps the same FRACTION in differently-scaled groups."""
+    from pyspark.sql import functions as F
+
+    from basis_devkit_spark.operators.text import quality_ecdf_normalize
+
+    rows = [
+        # group a: scores 10,20,30,40 -> pct .125,.375,.625,.875
+        (1, "a", 10.0), (2, "a", 20.0), (3, "a", 30.0), (4, "a", 40.0),
+        # group b: same ORDER but wildly different scale
+        (5, "b", 0.01), (6, "b", 0.02),
+        # tie on score -> id breaks it
+        (7, "c", 5.0), (8, "c", 5.0),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, source string, quality_score double")
+    out = {r["doc_id"]: r for r in quality_ecdf_normalize(df).collect()}
+    assert [out[i]["score_pct"] for i in (1, 2, 3, 4)] == [
+        0.125, 0.375, 0.625, 0.875
+    ]
+    assert out[5]["score_pct"] == 0.25 and out[6]["score_pct"] == 0.75
+    assert out[7]["rank_in_group"] == 1 and out[8]["rank_in_group"] == 2
+    # calibration: thresholding pct >= 0.5 keeps half of EVERY group
+    kept = quality_ecdf_normalize(df).filter(F.col("score_pct") > 0.5)
+    per = {r["source"]: r["n"] for r in
+           kept.groupBy("source").agg(F.count("*").alias("n")).collect()}
+    assert per == {"a": 2, "b": 1, "c": 1}

@@ -30,6 +30,11 @@ QUERIES = [
     ("c28_stream_kmeans_profile_maintenance", False),  # streaming lifecycle
     ("d62_zipf_fit", True),
     ("d63_containment_pairs", False),  # literal pair table
+    ("c29_stream_zipf_maintenance", False),  # streaming lifecycle
+    ("d05g_mp3_frame_parse", False),  # construction-truth oracle
+    ("a35_clone_shallow", False),  # in-query store writes both sides differ
+    ("d64_source_kl", True),
+    ("e18_markov_attribution", True),
 ]
 
 
