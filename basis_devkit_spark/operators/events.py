@@ -781,15 +781,14 @@ def markov_attribution(
     one (src, dst) hash count; everything after operates on the
     state-space-sized transition relation (channels² rows — the
     bounded artifact). No collect of per-user state, no Python."""
+    # lag AND lead over the SAME window spec: one sort per user, not
+    # two (the descending row_number formulation costs a second one)
     w = Window.partitionBy(user_col).orderBy(ts_col, id_col)
-    wd = Window.partitionBy(user_col).orderBy(
-        F.col(ts_col).desc(), F.col(id_col).desc()
-    )
     ev = df.select(
         F.col(user_col), F.col(ts_col), F.col(id_col),
         F.col(event_col).alias("__e"),
         F.lag(F.col(event_col)).over(w).alias("__prev"),
-        (F.row_number().over(wd) == 1).alias("__last"),
+        F.lead(F.col(event_col)).over(w).isNull().alias("__last"),
     )
     src = F.when(
         F.col("__prev").isNull() | (F.col("__prev") == conv_event),
@@ -807,20 +806,28 @@ def markov_attribution(
         F.count(F.lit(1)).cast("long").alias("__n")
     )
     tsrc = t0.groupBy("src").agg(F.sum("__n").cast("long").alias("__ns"))
-    tfull = t0.join(tsrc, "src").select("src", "dst", "__n", "__ns")
-    channels = (
-        df.select(F.col(event_col).alias("channel"))
-        .filter(F.col("channel") != conv_event)
-        .distinct()
+    # the ONE corpus-derived artifact (states² rows): everything below —
+    # variants, conversion totals, all chain variants, the iteration —
+    # derives from this checkpoint; the corpus is scanned exactly once
+    tfull = (
+        t0.join(tsrc, "src")
+        .select("src", "dst", "__n", "__ns")
+        .coalesce(1)
+        .localCheckpoint(eager=True)
     )
     spark = df.sparkSession
-    # materialize the variant list once: it seeds BOTH the chain and
-    # p_0, and every iteration would otherwise re-run the corpus
-    # distinct that derives it
+    # every observed non-conversion event type appears as some edge's
+    # dst, so the channel list needs no second corpus scan
     variants = (
-        channels.select(F.col("channel").alias("variant"))
+        tfull.filter(~F.col("dst").isin("conv", "null"))
+        .select(F.col("dst").alias("variant"))
+        .distinct()
         .unionAll(spark.createDataFrame([("full",)], "variant string"))
         .coalesce(1)
+        # channel-count rows, corpus-free lineage — but still
+        # checkpointed: it seeds p_0 AND the chain, so an un-truncated
+        # variant subtree would nest (and re-shuffle) once per
+        # iteration inside the absorption loop
         .localCheckpoint(eager=True)
     )
     # per-variant chain: removing channel c redirects every transition
@@ -903,8 +910,9 @@ def markov_attribution(
         F.col("variant").alias("channel"),
         F.col("p_conv").alias("p_conv_removed"),
     )
-    n_conv = df.filter(F.col(event_col) == conv_event).agg(
-        F.count(F.lit(1)).cast("long").alias("__nc")
+    # every conversion event emits exactly one dst='conv' edge
+    n_conv = tfull.filter(F.col("dst") == "conv").agg(
+        F.coalesce(F.sum("__n"), F.lit(0)).cast("long").alias("__nc")
     )
     # exact integer removal effects; only the FINAL projection divides
     # integers into doubles (one identical IEEE op per cell)
