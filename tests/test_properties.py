@@ -370,3 +370,55 @@ def test_sequence_pack_append_any_split_matches_model(spark, counts, cuts, budge
         cursor = int(st_row["total_tokens"])
     assert got == model
     assert cursor == sum(counts)
+
+
+def test_decimal_cast_parity_inside_the_envelope(spark):
+    """The oracle methodology's load-bearing contract, measured: Spark
+    (BigDecimal of the SHORTEST repr, HALF_UP) and DuckDB (rounding the
+    EXACT binary value) agree on double→DECIMAL casts whenever
+    ``|x| · 10^scale ≲ 1e12`` — outside that envelope the shortest repr
+    can terminate in '5' exactly at the scale and the two rounding
+    bases disagree (measured ~1e-4/value at |x|~1e4, scale 9; and the
+    same at O(1) magnitudes, scale 12 — both outside). Every decimal
+    rounding in the repo sits inside the envelope (values O(0.001–100)
+    at scale ≤ 9, or O(1e4) at scale ≤ 6); the d64/e18 PLANS.md notes
+    record the two times the boundary was hit in development. If this
+    test ever fails, re-audit the whole DECIMAL parity pattern, not
+    the individual query."""
+    import random
+
+    import duckdb
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    rng = random.Random(20260816)
+    vals = [
+        rng.random() * mag
+        for mag in (1e-6, 1e-3, 1.0, 10.0, 100.0)
+        for _ in range(10_000)
+    ]
+    pdf = pd.DataFrame({"x": vals})
+    sdf = spark.createDataFrame(pdf)
+    con = duckdb.connect()
+    con.register("t", pdf)
+    for scale, mx in ((9, None), (6, 1e4)):
+        use = pdf if mx is None else pd.DataFrame(
+            {"x": [v * 100.0 for v in vals]}  # push magnitudes to ~1e4
+        )
+        con.unregister("t")
+        con.register("t", use)
+        sp = [
+            r[0]
+            for r in spark.createDataFrame(use)
+            .select(F.col("x").cast(f"decimal(18,{scale})"))
+            .collect()
+        ]
+        dk = [
+            r[0]
+            for r in con.execute(
+                f"select cast(x as decimal(18,{scale})) from t"
+            ).fetchall()
+        ]
+        assert sum(1 for a, b in zip(sp, dk) if a != b) == 0, (
+            f"cast parity broke inside the envelope at scale {scale}"
+        )
