@@ -126,6 +126,7 @@ _SAMPLE_PRIORITY = [
     "d64_source_kl",
     "e18_markov_attribution",
     "d65_quality_ecdf",
+    "c30_stream_outer_interval_join",
     "d48_registrable_domain",
     "d48b_domain_cap",
     "d02k_minhash_quality_keeper",

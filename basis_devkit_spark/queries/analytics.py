@@ -7896,3 +7896,131 @@ def d65(spark: SparkSession, sf: str) -> DataFrame:
         "doc_id", "source", "quality_score", "rank_in_group",
         "n_in_group", "score_pct",
     )
+
+
+@register(
+    "c30_stream_outer_interval_join",
+    """
+    with v as (
+      select event_id, user_id, ts from events where event_type = 'view'
+    ), p as (
+      select event_id, user_id, ts from events
+      where event_type = 'purchase'
+    )
+    select v.event_id as view_id, v.user_id, v.ts as view_ts,
+           p.event_id as purchase_id, p.ts as purchase_ts
+    from v left join p
+      on p.user_id = v.user_id
+     and p.ts >= v.ts
+     and p.ts <= v.ts + interval 30 minutes
+    """,
+    doc="stream-stream LEFT OUTER interval join (stream_interval_join "
+    "how='leftOuter'): views pair with a purchase by the same user "
+    "within 30 minutes, and views that never convert MUST still emit "
+    "(with NULLs) — which only happens when the watermark passes "
+    "view_ts + delay, so the query drives a far-future FLUSH batch "
+    "through both sides after the data batches (the standard "
+    "watermark-flush pattern for bounded replays; in production the "
+    "next real data plays this role). Both sides watermarked + the "
+    "range condition = bounded join state (a buffered view drops once "
+    "the purchase watermark passes view_ts+30min). Streamed result "
+    "must equal the BATCH left interval join exactly",
+)
+def c30(spark: SparkSession, sf: str) -> DataFrame:
+    import glob as _glob
+    import os as _os
+    import shutil as _shutil
+    import tempfile as _tf
+    import time as _time
+
+    from basis_devkit_spark.storage.store import TableStore
+    from basis_devkit_spark.streaming.ops import (
+        stream_append_to_store,
+        stream_interval_join,
+    )
+
+    ev = load(spark, sf, "events")
+    # watermarks need TIMESTAMP (parquet micros arrive NTZ; the
+    # session runs UTC, so the cast is lossless — session_stats note)
+    views = ev.filter(F.col("event_type") == "view").select(
+        F.col("event_id").alias("view_id"), "user_id",
+        F.col("ts").cast("timestamp").alias("view_ts"),
+    )
+    buys = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("user_id").alias("p_user_id"),
+        F.col("ts").cast("timestamp").alias("purchase_ts"),
+    )
+    far = ev.agg(
+        (F.max("ts") + F.expr("interval 30 days")).alias("far_ts")
+    ).collect()[0]["far_ts"]
+
+    tmp = _tf.mkdtemp(prefix="bds_c30_")
+    drops = {}
+    for side, df_side, ts_col, id_cols in (
+        ("v", views, "view_ts", ("view_id", "user_id")),
+        ("p", buys, "purchase_ts", ("purchase_id", "p_user_id")),
+    ):
+        drop = _os.path.join(tmp, f"drop_{side}")
+        _os.makedirs(drop, exist_ok=True)
+        for tag, mod in (("a", 0), ("b", 1)):
+            part_dir = _os.path.join(tmp, f"part_{side}_{tag}")
+            df_side.filter(
+                F.col(id_cols[0]) % 2 == mod
+            ).coalesce(1).write.parquet(part_dir)
+            src = _glob.glob(_os.path.join(part_dir, "part-*.parquet"))[0]
+            _shutil.copy(src, _os.path.join(drop, f"{tag}.parquet"))
+        # the flush batch: one sentinel row far past every real event —
+        # advances the watermark so end-of-replay unmatched state emits
+        sent_dir = _os.path.join(tmp, f"sent_{side}")
+        df_side.limit(1).select(
+            F.lit(-1).cast("long").alias(id_cols[0]),
+            F.lit(-1).cast("long").alias(id_cols[1]),
+            F.lit(far).alias(ts_col),
+        ).coalesce(1).write.parquet(sent_dir)
+        src = _glob.glob(_os.path.join(sent_dir, "part-*.parquet"))[0]
+        _time.sleep(0.01)
+        _shutil.copy(src, _os.path.join(drop, "z_flush.parquet"))
+        drops[side] = drop
+
+    vschema = spark.read.parquet(drops["v"]).schema
+    pschema = spark.read.parquet(drops["p"]).schema
+    vstream = (
+        spark.readStream.schema(vschema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(drops["v"])
+    )
+    pstream = (
+        spark.readStream.schema(pschema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(drops["p"])
+    )
+    joined = stream_interval_join(
+        vstream.withColumnRenamed("user_id", "on_key"),
+        pstream.withColumnRenamed("p_user_id", "on_key"),
+        on="on_key",
+        left_ts="view_ts",
+        right_ts="purchase_ts",
+        max_delay="30 minutes",
+        watermark="0 seconds",
+        how="leftOuter",
+    )
+    store = TableStore(tmp, "attributed_views", spark)
+    q = stream_append_to_store(
+        joined, store, f"{tmp}/_ckpt"
+    ).start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return (
+        store.read()
+        .filter(F.col("view_id") >= 0)  # drop the flush sentinel
+        .select(
+            "view_id",
+            F.col("on_key").alias("user_id"),
+            "view_ts",
+            "purchase_id",
+            "purchase_ts",
+        )
+    )
