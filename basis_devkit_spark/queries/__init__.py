@@ -127,6 +127,7 @@ _SAMPLE_PRIORITY = [
     "e18_markov_attribution",
     "d65_quality_ecdf",
     "c30_stream_outer_interval_join",
+    "a36_incremental_view_maintenance",
     "d48_registrable_domain",
     "d48b_domain_cap",
     "d02k_minhash_quality_keeper",

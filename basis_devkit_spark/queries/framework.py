@@ -1213,3 +1213,77 @@ def a35(spark: SparkSession, sf: str) -> DataFrame:
         )
 
     return rep(clone, "clone").unionAll(rep(src, "source"))
+
+
+@register(
+    "a36_incremental_view_maintenance",
+    """
+    with v2 as (
+      select o_orderkey as k,
+             case when o_orderkey % 6 = 0 then o_totalprice * 2
+                  else o_totalprice end as p
+      from orders where o_orderkey % 3 = 0
+    )
+    select cast(k % 10 as bigint) as bucket,
+           cast(count(*) as bigint) as n_rows,
+           cast(sum(cast(p as decimal(18,2))) as double) as sum_p
+    from v2 group by bucket
+    """,
+    doc="incremental materialized-view maintenance from the change "
+    "feed (apply_agg_delta over changes_between — the COUNT/SUM delta "
+    "rule): build a bucketed aggregate over version 1 of a real store, "
+    "REPLACE the base with version 2 (different keys, some prices "
+    "doubled), then bring the aggregate current by applying ONLY the "
+    "CDF delta — inserts/post-images add, deletes/pre-images "
+    "subtract, decimal-exact sums, zero-count groups dropped. The "
+    "result must equal a direct aggregate of version 2 (the oracle "
+    "recomputes exactly that from the literal predicates); the base "
+    "is never re-read — change-feed cost, not base-scan cost",
+)
+def a36(spark: SparkSession, sf: str) -> DataFrame:
+    import tempfile as _tf
+
+    from basis_devkit_spark.storage.store import TableStore, apply_agg_delta
+
+    tmp = _tf.mkdtemp(prefix="bds_a36_")
+    base = TableStore(tmp, "base", spark)
+    base.configure(unique_on="k")
+    orders = load(spark, sf, "orders").select(
+        F.col("o_orderkey").alias("k"), F.col("o_totalprice").alias("p")
+    )
+    bucket = (F.col("k") % 10).cast("long").alias("bucket")
+
+    def agg_of(df: DataFrame) -> DataFrame:
+        return df.groupBy(bucket).agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.sum(F.col("p").cast("decimal(18,2)"))
+            .cast("decimal(18,2)")
+            .alias("sum_p"),
+        )
+
+    base.write_replace(orders.filter(F.col("k") % 2 == 0))
+    v1 = base.get_active_version()
+    view = TableStore(tmp, "view", spark)
+    view.configure(unique_on="bucket")
+    view.write_replace(agg_of(base.read()))
+
+    base.write_replace(
+        orders.filter(F.col("k") % 3 == 0).withColumn(
+            "p",
+            F.when(F.col("k") % 6 == 0, F.col("p") * 2).otherwise(
+                F.col("p")
+            ),
+        )
+    )
+    v2 = base.get_active_version()
+    changes = base.changes_between(v1, v2).select(
+        "_change_type", bucket, "p"
+    )
+    view.write_replace(
+        apply_agg_delta(
+            view.read(), changes, ["bucket"], {"p": "sum_p"}
+        )
+    )
+    return view.read().select(
+        "bucket", "n_rows", F.col("sum_p").cast("double").alias("sum_p")
+    )

@@ -1330,3 +1330,50 @@ def test_clone_shallow_of_old_version_and_missing(spark, tmp_path):
     assert [r["k"] for r in clone.read().collect()] == [1]
     with pytest.raises(FileNotFoundError):
         src.clone_shallow(TableStore(str(tmp_path), "c3", spark), version=99)
+
+
+def test_apply_agg_delta_equals_recompute(spark, tmp_path):
+    """The materialized-view delta rule: after any mix of inserts,
+    deletes, and updates, applying the CDF delta to the stale aggregate
+    equals a full recompute — including groups that vanish (count -> 0
+    must DROP the row) and groups born in the delta."""
+    from pyspark.sql import functions as F
+
+    from basis_devkit_spark.storage.store import apply_agg_delta
+
+    base = TableStore(str(tmp_path), "b", spark)
+    base.configure(unique_on="k")
+    df1 = spark.createDataFrame(
+        [(1, "g1", 10.0), (2, "g1", 20.0), (3, "g2", 5.0)],
+        "k long, g string, p double",
+    )
+    base.write_replace(df1)
+    v1 = base.get_active_version()
+
+    def agg_of(df):
+        return df.groupBy("g").agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.sum(F.col("p").cast("decimal(18,2)"))
+            .cast("decimal(18,2)").alias("sum_p"),
+        )
+
+    stale = agg_of(base.read())
+    # v2: g2 vanishes, g1 loses k=1 and updates k=2, g3 is born
+    df2 = spark.createDataFrame(
+        [(2, "g1", 25.0), (9, "g3", 7.0)], "k long, g string, p double"
+    )
+    base.write_replace(df2)
+    v2 = base.get_active_version()
+    changes = base.changes_between(v1, v2).select("_change_type", "g", "p")
+    got = {
+        r["g"]: (r["n_rows"], float(r["sum_p"]))
+        for r in apply_agg_delta(
+            stale, changes, ["g"], {"p": "sum_p"}
+        ).collect()
+    }
+    want = {
+        r["g"]: (r["n_rows"], float(r["sum_p"]))
+        for r in agg_of(base.read()).collect()
+    }
+    assert got == want == {"g1": (1, 25.0), "g3": (1, 7.0)}
+    assert "g2" not in got  # zero-count group dropped, not emitted as 0
