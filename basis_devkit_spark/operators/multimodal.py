@@ -544,3 +544,65 @@ def mp3_frame_fields(content_col: str | Column) -> Column:
         # through pandas (None vs NaN) across engines
         g(pad).alias("padding"),
     )
+
+
+def webp_dimensions(content_col: str | Column) -> Column:
+    """Decode-free WebP dimensions for all three container variants
+    (RIFF spec, public): ``VP8 `` lossy (14-bit LE fields after the
+    0x9D012A start code), ``VP8L`` lossless (14-bit packed fields in
+    the LE32 after the 0x2F signature), ``VP8X`` extended (24-bit LE
+    canvas minus-one fields). PURE column expressions — hex-slice +
+    little-endian reassembly + bit arithmetic, no UDF, no codec; only
+    the first 30 bytes are touched per row (the sniff_format
+    contract). Returns a struct ``(is_webp, variant, width, height)``
+    — all NULL when the RIFF/WEBP magic is absent; an unknown first
+    chunk keeps ``is_webp`` true with NULL variant/dims."""
+    c = F.col(content_col) if isinstance(content_col, str) else content_col
+    hx = F.hex(F.substring(c, 1, 30))
+    b = lambda i: F.conv(
+        F.substring(hx, (i - 1) * 2 + 1, 2), 16, 10
+    ).cast("long")
+    fourcc = lambda i: F.substring(hx, (i - 1) * 2 + 1, 8)
+    is_webp = (
+        (fourcc(1) == "52494646")          # 'RIFF'
+        & (fourcc(9) == "57454250")        # 'WEBP'
+        & (F.octet_length(c) >= 30)
+    )
+    chunk = fourcc(13)
+    le16 = lambda i: b(i) + b(i + 1) * 256
+    le24 = lambda i: b(i) + b(i + 1) * 256 + b(i + 2) * 65536
+    le32 = lambda i: le24(i) + b(i + 3) * 16777216
+    # VP8 lossy: 0x9D012A start code, then 14-bit LE width/height
+    vp8_ok = F.substring(hx, 47, 6) == "9D012A"  # bytes 24-26
+    vp8_w = le16(27).bitwiseAND(F.lit(0x3FFF))
+    vp8_h = le16(29).bitwiseAND(F.lit(0x3FFF))
+    # VP8L lossless: 0x2F signature, 14+14 bits packed little-endian
+    vp8l_ok = b(21) == 0x2F
+    bits = le32(22)
+    vp8l_w = bits.bitwiseAND(F.lit(0x3FFF)) + 1
+    vp8l_h = F.shiftrightunsigned(bits, 14).bitwiseAND(F.lit(0x3FFF)) + 1
+    # VP8X extended: 24-bit LE canvas minus-one
+    vp8x_w = le24(25) + 1
+    vp8x_h = le24(28) + 1
+    variant = (
+        F.when(chunk == "56503820", "vp8")    # 'VP8 '
+        .when(chunk == "5650384C", "vp8l")    # 'VP8L'
+        .when(chunk == "56503858", "vp8x")    # 'VP8X'
+    )
+    width = (
+        F.when((variant == "vp8") & vp8_ok, vp8_w)
+        .when((variant == "vp8l") & vp8l_ok, vp8l_w)
+        .when(variant == "vp8x", vp8x_w)
+    ).cast("int")
+    height = (
+        F.when((variant == "vp8") & vp8_ok, vp8_h)
+        .when((variant == "vp8l") & vp8l_ok, vp8l_h)
+        .when(variant == "vp8x", vp8x_h)
+    ).cast("int")
+    g = lambda col: F.when(is_webp, col)
+    return F.struct(
+        is_webp.alias("is_webp"),
+        g(variant).alias("variant"),
+        g(width).alias("width"),
+        g(height).alias("height"),
+    )

@@ -128,6 +128,7 @@ _SAMPLE_PRIORITY = [
     "d65_quality_ecdf",
     "c30_stream_outer_interval_join",
     "a36_incremental_view_maintenance",
+    "d05h_webp_dimensions",
     "d48_registrable_domain",
     "d48b_domain_cap",
     "d02k_minhash_quality_keeper",

@@ -8024,3 +8024,88 @@ def c30(spark: SparkSession, sf: str) -> DataFrame:
             "purchase_ts",
         )
     )
+
+
+def _webp_hex(variant: str, w: int, h: int) -> str:
+    import struct as _st
+
+    if variant == "vp8":
+        payload = (
+            b"\x00\x00\x00\x9d\x01\x2a" + _st.pack("<HH", w, h)
+            + b"\x00" * 10
+        )
+        chunk = b"VP8 "
+    elif variant == "vp8l":
+        bits = (w - 1) | ((h - 1) << 14)
+        payload = b"\x2f" + _st.pack("<I", bits) + b"\x00" * 10
+        chunk = b"VP8L"
+    else:  # vp8x
+        payload = (
+            b"\x00\x00\x00\x00"
+            + _st.pack("<I", w - 1)[:3] + _st.pack("<I", h - 1)[:3]
+            + b"\x00" * 8
+        )
+        chunk = b"VP8X"
+    body = chunk + _st.pack("<I", len(payload)) + payload
+    return (
+        b"RIFF" + _st.pack("<I", 4 + len(body)) + b"WEBP" + body
+    ).hex()
+
+
+# (hex, is_webp, variant, width, height)
+_WEBP_HEADERS = [
+    (_webp_hex("vp8", 640, 480), True, "vp8", 640, 480),
+    (_webp_hex("vp8l", 1024, 768), True, "vp8l", 1024, 768),
+    (_webp_hex("vp8x", 16384, 9000), True, "vp8x", 16384, 9000),
+    (_webp_hex("vp8", 16383, 1), True, "vp8", 16383, 1),  # 14-bit max
+    (("52494646" + "24000000" + "57415645" + "00" * 22), False,
+     None, None, None),                       # RIFF but WAVE
+    (_webp_hex("vp8l", 1, 16384), True, "vp8l", 1, 16384),
+    (("00" * 30), False, None, None, None),   # no magic
+]
+
+
+@register(
+    "d05h_webp_dimensions",
+    f"""
+    with blobs as (
+      select doc_id, doc_id % 7 as variant_id from documents
+    ), truth as (
+      select * from (values
+        {", ".join(
+            "({i}, {ok}, {v}, {w}, {h})".format(
+                i=i,
+                ok="true" if ok else "false",
+                v="'" + v + "'" if v is not None else "cast(null as varchar)",
+                w=w if w is not None else "cast(null as int)",
+                h=h if h is not None else "cast(null as int)",
+            )
+            for i, (_, ok, v, w, h) in enumerate(_WEBP_HEADERS)
+        )}
+      ) as t(variant_id, is_webp, variant, width, height)
+    )
+    select b.doc_id, t.is_webp, t.variant,
+           cast(t.width as int) as width, cast(t.height as int) as height
+    from blobs b join truth t on b.variant_id = t.variant_id
+    """,
+    doc="decode-free WebP dimension parse (webp_dimensions, RIFF spec): "
+    "all three container variants — VP8 lossy (14-bit LE fields after "
+    "the 0x9D012A start code), VP8L lossless (14+14 bits packed in the "
+    "LE32 after 0x2F), VP8X extended (24-bit LE canvas minus-one) — "
+    "as pure hex-slice + little-endian reassembly + bit arithmetic, "
+    "O(1) bytes per row. Variants exercise 14-bit boundary sizes, a "
+    "RIFF-but-WAVE rejection and a magicless blob; oracle derives "
+    "ground truth from the construction table",
+)
+def d05h(spark: SparkSession, sf: str) -> DataFrame:
+    from basis_devkit_spark.operators.multimodal import webp_dimensions
+
+    d = load(spark, sf, "documents").select("doc_id")
+    hdr = None
+    for i, (hx, *_rest) in enumerate(_WEBP_HEADERS):
+        cond = F.col("doc_id") % 7 == i
+        lit = F.lit(bytes.fromhex(hx))
+        hdr = F.when(cond, lit) if hdr is None else hdr.when(cond, lit)
+    blobs = d.withColumn("content", hdr)
+    s = webp_dimensions("content")
+    return blobs.select("doc_id", s.alias("s")).select("doc_id", "s.*")

@@ -5800,3 +5800,49 @@ def test_quality_ecdf_normalize_handcomputed(spark):
     per = {r["source"]: r["n"] for r in
            kept.groupBy("source").agg(F.count("*").alias("n")).collect()}
     assert per == {"a": 2, "b": 1, "c": 1}
+
+
+def test_webp_dimensions_parse(spark):
+    """All three WebP variants at 14-bit boundary sizes, RIFF-but-WAVE
+    and unknown-chunk handling — no UDF in the plan."""
+    import struct
+
+    from basis_devkit_spark.operators.multimodal import webp_dimensions
+
+    def riff(chunk, payload):
+        body = chunk + struct.pack("<I", len(payload)) + payload
+        return b"RIFF" + struct.pack("<I", 4 + len(body)) + b"WEBP" + body
+
+    rows = [
+        (1, riff(b"VP8 ", b"\x00\x00\x00\x9d\x01\x2a"
+                 + struct.pack("<HH", 640, 480) + b"\x00" * 10)),
+        (2, riff(b"VP8L", b"\x2f"
+                 + struct.pack("<I", (1023) | (16383 << 14))
+                 + b"\x00" * 10)),
+        (3, riff(b"VP8X", b"\x00\x00\x00\x00"
+                 + struct.pack("<I", 16383)[:3]
+                 + struct.pack("<I", 8999)[:3] + b"\x00" * 8)),
+        (4, b"RIFF\x24\x00\x00\x00WAVE" + b"\x00" * 22),
+        (5, riff(b"ICCP", b"\x00" * 12)),
+        # lossy chunk with a CORRUPT start code -> dims must be NULL
+        (6, riff(b"VP8 ", b"\x00\x00\x00\xff\x01\x2a"
+                 + struct.pack("<HH", 640, 480) + b"\x00" * 10)),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, content binary")
+    out = {
+        r["doc_id"]: r
+        for r in df.select(
+            "doc_id", webp_dimensions("content").alias("s")
+        ).select("doc_id", "s.*").collect()
+    }
+    assert out[1]["variant"] == "vp8" and (out[1]["width"], out[1]["height"]) == (640, 480)
+    assert out[2]["variant"] == "vp8l" and (out[2]["width"], out[2]["height"]) == (1024, 16384)
+    assert out[3]["variant"] == "vp8x" and (out[3]["width"], out[3]["height"]) == (16384, 9000)
+    assert out[4]["is_webp"] is False and out[4]["variant"] is None
+    assert out[5]["is_webp"] is True and out[5]["variant"] is None
+    assert out[6]["variant"] == "vp8" and out[6]["width"] is None
+    plan = (
+        df.select(webp_dimensions("content"))
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "EvalPython" not in plan
