@@ -780,7 +780,11 @@ def markov_attribution(
     Scale shape: the corpus-sized work is ONE lag window per user plus
     one (src, dst) hash count; everything after operates on the
     state-space-sized transition relation (channels² rows — the
-    bounded artifact). No collect of per-user state, no Python."""
+    bounded artifact). No collect of per-user state, no Python.
+
+    Reserved state names: ``start``, ``conv``, ``null`` label the
+    synthetic chain states — an event TYPE with one of those literal
+    names would alias them (rename such channels before calling)."""
     # lag AND lead over the SAME window spec: one sort per user, not
     # two (the descending row_number formulation costs a second one)
     w = Window.partitionBy(user_col).orderBy(ts_col, id_col)
@@ -950,4 +954,76 @@ def markov_attribution(
                 ),
             ).alias("attributed_conversions"),
         )
+    )
+
+
+def retention_decay_fit(
+    df: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    period_days: int = 7,
+    min_points: int = 3,
+    out_round: int = 6,
+) -> DataFrame:
+    """Exponential retention-decay fit per cohort: OLS of
+    ``log2(retention rate)`` on the period offset over the
+    :func:`retention_cohorts` matrix — the curve every growth report
+    summarizes a cohort table with. Returns per cohort
+    ``(cohort, n_points, n0, decay_log2, half_life_periods, r2)``:
+    ``decay_log2`` is the fitted slope (log2 retention lost per
+    period), ``half_life_periods`` = −1/slope when decaying, NULL on a
+    non-decaying fit. Cohorts with fewer than ``min_points`` post-start
+    offsets are excluded (two points always fit perfectly — that is a
+    line, not evidence).
+
+    Parity contract: retention rates are integer ratios, and the fit
+    consumes ``log2(n_t) − log2(n_0)`` where every log is a log OF AN
+    INTEGER, DECIMAL(18,9)-rounded (the d60/d64 libm-wobble absorber);
+    offsets are exact small integers (their double sums are exact in
+    any order), the y-moments go through order-free DECIMAL sums, and
+    the closed-form OLS runs on identical double moments — floor-
+    scaled outputs.
+
+    Scale shape: everything after the cohort matrix (cohort×offset
+    rows — tiny by construction) is a per-cohort hash agg; the corpus
+    cost is exactly :func:`retention_cohorts`'s two aggregates."""
+    coh = retention_cohorts(df, user_col, ts_col, period_days)
+    base = coh.filter(F.col("period_offset") == 0).select(
+        "cohort", F.col("n_users").alias("n0")
+    )
+    tl = lambda c: (
+        F.log2(c.cast("double")).cast("decimal(18,9)").cast("double")
+    )
+    pts = (
+        coh.filter(F.col("period_offset") >= 1)
+        .join(base, "cohort")
+        .select(
+            "cohort",
+            "n0",
+            F.col("period_offset").cast("double").alias("x"),
+            (tl(F.col("n_users")) - tl(F.col("n0"))).alias("y"),
+        )
+    )
+    dsum = lambda c: F.sum(c.cast("decimal(18,9)")).cast("double")
+    m = pts.groupBy("cohort", "n0").agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        dsum(F.col("y")).alias("sy"),
+        dsum(F.col("x") * F.col("y")).alias("sxy"),
+        dsum(F.col("y") * F.col("y")).alias("syy"),
+    ).filter(F.col("n") >= float(min_points))
+    num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    den = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    dy = F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")
+    slope = num / den
+    scale = float(10 ** out_round)
+    fs = lambda c: F.floor(c * scale + 0.5) / scale
+    return m.select(
+        "cohort",
+        F.col("n").cast("long").alias("n_points"),
+        "n0",
+        fs(slope).alias("decay_log2"),
+        F.when(slope < 0, fs(-1.0 / slope)).alias("half_life_periods"),
+        F.when(dy > 0, fs(num * num / (den * dy))).alias("r2"),
     )

@@ -129,6 +129,7 @@ _SAMPLE_PRIORITY = [
     "c30_stream_outer_interval_join",
     "a36_incremental_view_maintenance",
     "d05h_webp_dimensions",
+    "e19_retention_decay",
     "d48_registrable_domain",
     "d48b_domain_cap",
     "d02k_minhash_quality_keeper",

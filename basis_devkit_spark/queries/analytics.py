@@ -8109,3 +8109,73 @@ def d05h(spark: SparkSession, sf: str) -> DataFrame:
     blobs = d.withColumn("content", hdr)
     s = webp_dimensions("content")
     return blobs.select("doc_id", s.alias("s")).select("doc_id", "s.*")
+
+
+@register(
+    "e19_retention_decay",
+    """
+    with first as (
+      select user_id, cast(date_trunc('week', min(ts)) as date) as cohort
+      from events group by user_id
+    ), act as (
+      select distinct user_id, cast(ts as date) as day from events
+    ), coh as (
+      select cohort,
+             cast(floor(date_diff('day', cohort, day) / 7.0) as int)
+               as period_offset,
+             count(distinct a.user_id) as n_users
+      from act a join first f on a.user_id = f.user_id
+      group by cohort, period_offset
+    ), base as (
+      select cohort, n_users as n0 from coh where period_offset = 0
+    ), pts as (
+      select c.cohort, b.n0,
+             cast(c.period_offset as double) as x,
+             cast(cast(log2(cast(c.n_users as double)) as decimal(18,9))
+                  as double)
+             - cast(cast(log2(cast(b.n0 as double)) as decimal(18,9))
+                    as double) as y
+      from coh c join base b using (cohort)
+      where c.period_offset >= 1
+    ), m as (
+      select cohort, n0,
+             cast(count(*) as double) as n,
+             cast(sum(x) as double) as sx,
+             cast(sum(x * x) as double) as sxx,
+             cast(sum(cast(y as decimal(18,9))) as double) as sy,
+             cast(sum(cast(x * y as decimal(18,9))) as double) as sxy,
+             cast(sum(cast(y * y as decimal(18,9))) as double) as syy
+      from pts group by cohort, n0
+      having count(*) >= 3
+    )
+    select cohort,
+           cast(n as bigint) as n_points,
+           n0,
+           floor((n * sxy - sx * sy) / (n * sxx - sx * sx)
+                 * 1000000.0 + 0.5) / 1000000.0 as decay_log2,
+           case when (n * sxy - sx * sy) / (n * sxx - sx * sx) < 0 then
+             floor(-1.0 / ((n * sxy - sx * sy) / (n * sxx - sx * sx))
+                   * 1000000.0 + 0.5) / 1000000.0
+           end as half_life_periods,
+           case when (n * syy - sy * sy) > 0 then
+             floor((n * sxy - sx * sy) * (n * sxy - sx * sy)
+                   / ((n * sxx - sx * sx) * (n * syy - sy * sy))
+                   * 1000000.0 + 0.5) / 1000000.0
+           end as r2
+    from m
+    """,
+    doc="per-cohort exponential retention-decay fit "
+    "(retention_decay_fit): OLS of log2(retention rate) on week offset "
+    "over the e03 cohort matrix — slope = log2 retention lost/week, "
+    "half-life = -1/slope, the curve a growth report summarizes the "
+    "cohort table with; <3-point cohorts excluded (two points always "
+    "fit perfectly). Every log is a log of an INTEGER (DECIMAL(18,9)-"
+    "rounded — the d60/d64 wobble absorber), offsets are exact small "
+    "integers, y-moments decimal-summed order-free, closed-form OLS "
+    "on identical double moments. Corpus cost = exactly e03's two "
+    "aggregates; the fit runs on the cohort×offset relation",
+)
+def e19(spark: SparkSession, sf: str) -> DataFrame:
+    from basis_devkit_spark.operators.events import retention_decay_fit
+
+    return retention_decay_fit(load(spark, sf, "events"))

@@ -5846,3 +5846,38 @@ def test_webp_dimensions_parse(spark):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "EvalPython" not in plan
+
+
+def test_retention_decay_fit_handcomputed(spark):
+    """A synthetic cohort with EXACT halving retention (16 -> 8 -> 4 ->
+    2 users active in successive weeks) must fit slope = -1 log2/week,
+    half-life = 1 week, r2 = 1; thin cohorts are excluded."""
+    from datetime import datetime, timedelta
+
+    from basis_devkit_spark.operators.events import retention_decay_fit
+
+    rows = []
+    eid = 0
+    base = datetime(2024, 1, 1)  # a Monday: cohort == this date
+    # 16 users join in week 0; user i stays active through week
+    # floor(log2(16/i'))-ish: keep users 0..7 in week 1, 0..3 in week
+    # 2, 0..1 in week 3 -> n_t = 16, 8, 4, 2
+    for u in range(16):
+        for wk, keep in ((0, 16), (1, 8), (2, 4), (3, 2)):
+            if u < keep:
+                eid += 1
+                rows.append((eid, u, base + timedelta(days=7 * wk)))
+    # plus one tiny 2-point cohort that must be EXCLUDED
+    for u, wk in ((100, 0), (101, 0), (100, 1)):
+        eid += 1
+        rows.append((eid, u, base + timedelta(days=70 + 7 * wk)))
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts timestamp"
+    )
+    out = retention_decay_fit(df, min_points=3).collect()
+    assert len(out) == 1  # the thin cohort is excluded
+    r = out[0]
+    assert r["n_points"] == 3 and r["n0"] == 16
+    assert r["decay_log2"] == -1.0
+    assert r["half_life_periods"] == 1.0
+    assert r["r2"] == 1.0
