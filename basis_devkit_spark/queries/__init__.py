@@ -130,6 +130,7 @@ _SAMPLE_PRIORITY = [
     "a36_incremental_view_maintenance",
     "d05h_webp_dimensions",
     "e19_retention_decay",
+    "d66_cluster_top_terms",
     "d48_registrable_domain",
     "d48b_domain_cap",
     "d02k_minhash_quality_keeper",

@@ -8179,3 +8179,77 @@ def e19(spark: SparkSession, sf: str) -> DataFrame:
     from basis_devkit_spark.operators.events import retention_decay_fit
 
     return retention_decay_fit(load(spark, sf, "events"))
+
+
+def _cluster_terms_sql() -> str:
+    r"""d66 oracle: the d59 unrolled k-means protocol (same CTE chain,
+    sliced before its report) feeding a c-TF-IDF term scoring — counts
+    and cluster-df are integers, both log2 inputs integer-valued and
+    DECIMAL(18,9)-rounded, rank by (score desc, term)."""
+    prefix = _KMEANS_REPORT_SQL[: _KMEANS_REPORT_SQL.index("), rep as (")]
+    return prefix + r"""
+    ), toks as (
+      select g2.cl as cluster, t.term
+      from g2 join (
+        select doc_id, unnest(regexp_split_to_array(
+                 lower(trim(coalesce(text, ''))), '\s+')) as term
+        from documents
+      ) t on t.doc_id = g2.vec_id
+      where t.term <> ''
+    ), tf as (
+      select cluster, term, cast(count(*) as bigint) as n_occurrences
+      from toks group by cluster, term
+    ), dfc as (
+      select term, cast(count(*) as bigint) as dfc from tf group by term
+    ), scored as (
+      select tf.cluster, tf.term, tf.n_occurrences,
+        cast(tf.n_occurrences as double) * (
+          cast(cast(log2(cast(
+            (select count(distinct cl) from g2) + 1 as double))
+            as decimal(18,9)) as double)
+          - cast(cast(log2(cast(dfc.dfc + 1 as double))
+            as decimal(18,9)) as double)
+        ) as score
+      from tf join dfc using (term)
+    ), ranked as (
+      select cluster, term, n_occurrences, score,
+             row_number() over (partition by cluster
+                                order by score desc, term) as term_rank
+      from scored
+    )
+    select cluster, cast(term_rank as int) as term_rank, term,
+           n_occurrences,
+           floor(score * 1000000.0 + 0.5) / 1000000.0 as score
+    from ranked where term_rank <= 5
+    """
+
+
+@register(
+    "d66_cluster_top_terms",
+    _cluster_terms_sql,
+    doc="k-means topic labeling (cluster_top_terms, the c-TF-IDF idea "
+    "— Grootendorst 2022): top-5 terms per embedding cluster scored "
+    "count x log2((1+n_clusters)/(1+cluster_df)) — frequent HERE, rare "
+    "elsewhere; what turns the d59 size/inertia report into 'cluster 3 "
+    "is legal boilerplate'. Embeddings pair with documents by the "
+    "fixture's positional ids (vec_id = doc_id). Integer counts/df, "
+    "integer-log DECIMAL rounding, identical-double scores, "
+    "deterministic (score desc, term) ranks; one explode + map-side "
+    "(cluster,term) count + term-keyed df agg + rank-only window over "
+    "few clusters. The oracle replays the WHOLE chain — the unrolled "
+    "2-iteration k-means protocol feeding the term scoring",
+)
+def d66(spark: SparkSession, sf: str) -> DataFrame:
+    from basis_devkit_spark.operators.clustering import (
+        cluster_top_terms,
+        kmeans_fit_predict,
+    )
+
+    emb = load(spark, sf, "embeddings")
+    asg, _ = kmeans_fit_predict(emb, "vec_id", "embedding", k=8, iters=2)
+    docs = load(spark, sf, "documents").select("doc_id", "text")
+    return cluster_top_terms(
+        asg.select(F.col("vec_id").alias("doc_id"), "cluster"),
+        docs,
+        k_terms=5,
+    )

@@ -5881,3 +5881,31 @@ def test_retention_decay_fit_handcomputed(spark):
     assert r["decay_log2"] == -1.0
     assert r["half_life_periods"] == 1.0
     assert r["r2"] == 1.0
+
+
+def test_cluster_top_terms_handcomputed(spark):
+    """c-TF-IDF labeling: a term exclusive to one cluster outranks a
+    corpus-wide term with higher count; shared terms score count*log2(
+    (1+k)/(1+k)) = 0; ranks are deterministic under score ties."""
+    from basis_devkit_spark.operators.clustering import cluster_top_terms
+
+    assign = spark.createDataFrame(
+        [(1, 0), (2, 0), (3, 1), (4, 1)], "doc_id long, cluster int"
+    )
+    docs = spark.createDataFrame(
+        [
+            (1, "law law law common"),
+            (2, "law common"),
+            (3, "cook common common"),
+            (4, "cook cook common"),
+        ],
+        "doc_id long, text string",
+    )
+    out = cluster_top_terms(assign, docs, k_terms=2).collect()
+    by = {(r["cluster"], r["term_rank"]): r for r in out}
+    # cluster 0: 'law' x4 exclusive -> score 4*log2(3/2); 'common'
+    # appears in both clusters -> log2(3/3) = 0
+    assert by[(0, 1)]["term"] == "law"
+    assert round(by[(0, 1)]["score"], 4) == round(4 * 0.584962500721156, 4)
+    assert by[(0, 2)]["term"] == "common" and by[(0, 2)]["score"] == 0.0
+    assert by[(1, 1)]["term"] == "cook"
