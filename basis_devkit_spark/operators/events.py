@@ -1027,3 +1027,65 @@ def retention_decay_fit(
         F.when(slope < 0, fs(-1.0 / slope)).alias("half_life_periods"),
         F.when(dy > 0, fs(num * num / (den * dy))).alias("r2"),
     )
+
+
+def transition_entropy(
+    df: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    event_col: str = "event_type",
+    id_col: str = "event_id",
+    out_round: int = 6,
+) -> DataFrame:
+    """Flow predictability per state: the Shannon entropy of each event
+    type's NEXT-event distribution (first-order, the e04 transition
+    matrix normalized), plus the modal next step and its share — 0 bits
+    = a deterministic funnel step, log2(fan-out) = anything-goes
+    browsing. The diagnostic read before trusting e18's first-order
+    chain: states with near-uniform next-distributions are where the
+    Markov assumption is weakest. Returns per source state
+    ``(state, n_out, n_next_states, entropy_bits, top_next,
+    top_share)``.
+
+    Parity: counts are integers; entropy uses the d60 formula
+    ``log2(n) − Σ c·log2(c) / n`` with each integer-log term
+    DECIMAL(18,9)-rounded into an order-free exact sum; the modal next
+    step breaks count ties to the lexicographically smallest state.
+
+    Scale shape: one lag window per user + one (state, next) map-side-
+    combinable count; everything after runs on the state-pair relation
+    (event-type² rows)."""
+    w = Window.partitionBy(user_col).orderBy(ts_col, id_col)
+    pairs = df.select(
+        F.lag(F.col(event_col)).over(w).alias("state"),
+        F.col(event_col).alias("next"),
+    ).filter(F.col("state").isNotNull())
+    cnt = pairs.groupBy("state", "next").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    term = (
+        (F.col("c").cast("double") * F.log2(F.col("c").cast("double")))
+        .cast("decimal(18,9)")
+    )
+    scale = float(10 ** out_round)
+    agg = cnt.groupBy("state").agg(
+        F.sum("c").cast("long").alias("n_out"),
+        F.count(F.lit(1)).cast("long").alias("n_next_states"),
+        F.sum(term).cast("double").alias("__s"),
+        F.min(
+            F.struct((-F.col("c")).alias("neg"), F.col("next").alias("nx"))
+        ).alias("__m"),
+    )
+    n = F.col("n_out").cast("double")
+    ent = F.floor((F.log2(n) - F.col("__s") / n) * scale + 0.5) / scale
+    return agg.select(
+        "state",
+        "n_out",
+        "n_next_states",
+        ent.alias("entropy_bits"),
+        F.col("__m.nx").alias("top_next"),
+        (
+            F.floor((-F.col("__m.neg")).cast("double") / n * scale + 0.5)
+            / scale
+        ).alias("top_share"),
+    )

@@ -131,6 +131,7 @@ _SAMPLE_PRIORITY = [
     "d05h_webp_dimensions",
     "e19_retention_decay",
     "d66_cluster_top_terms",
+    "e20_transition_entropy",
     "d48_registrable_domain",
     "d48b_domain_cap",
     "d02k_minhash_quality_keeper",

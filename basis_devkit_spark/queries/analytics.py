@@ -8253,3 +8253,47 @@ def d66(spark: SparkSession, sf: str) -> DataFrame:
         docs,
         k_terms=5,
     )
+
+
+@register(
+    "e20_transition_entropy",
+    """
+    with o as (
+      select lag(event_type) over (partition by user_id
+                                   order by ts, event_id) as state,
+             event_type as next
+      from events
+    ), cnt as (
+      select state, next, cast(count(*) as bigint) as c
+      from o where state is not null group by state, next
+    ), agg as (
+      select state,
+             cast(sum(c) as bigint) as n_out,
+             cast(count(*) as bigint) as n_next_states,
+             cast(sum(cast(c * log2(cast(c as double)) as decimal(18,9)))
+                  as double) as s,
+             min(struct_pack(neg := -c, nx := next)) as m
+      from cnt group by state
+    )
+    select state, n_out, n_next_states,
+           floor((log2(cast(n_out as double)) - s / n_out)
+                 * 1000000.0 + 0.5) / 1000000.0 as entropy_bits,
+           m.nx as top_next,
+           floor(cast(-m.neg as double) / n_out * 1000000.0 + 0.5)
+             / 1000000.0 as top_share
+    from agg
+    """,
+    doc="flow predictability (transition_entropy): Shannon entropy of "
+    "each event type's next-event distribution + the modal next step "
+    "and its share — 0 bits = deterministic funnel step, log2(fanout) "
+    "= anything-goes browsing; the diagnostic read before trusting "
+    "e18's first-order chain. Integer counts, d60 entropy-from-counts "
+    "formula (integer-log terms DECIMAL(18,9)-rounded, order-free "
+    "exact sums), modal ties to the smallest state. One lag window + "
+    "one map-side (state,next) count; the rest runs on event-type² "
+    "rows",
+)
+def e20(spark: SparkSession, sf: str) -> DataFrame:
+    from basis_devkit_spark.operators.events import transition_entropy
+
+    return transition_entropy(load(spark, sf, "events"))

@@ -5909,3 +5909,30 @@ def test_cluster_top_terms_handcomputed(spark):
     assert round(by[(0, 1)]["score"], 4) == round(4 * 0.584962500721156, 4)
     assert by[(0, 2)]["term"] == "common" and by[(0, 2)]["score"] == 0.0
     assert by[(1, 1)]["term"] == "cook"
+
+
+def test_transition_entropy_handcomputed(spark):
+    """Deterministic step scores 0 bits with top_share 1; a 50/50 state
+    scores exactly 1 bit; modal ties break to the smallest next state."""
+    from datetime import datetime
+
+    from basis_devkit_spark.operators.events import transition_entropy
+
+    t = lambda s: datetime(2024, 1, 1, 0, 0, s)
+    rows = []
+    eid = 0
+    # user u1..u4: A -> B always (deterministic); B -> C or D 50/50
+    for u, third in ((1, "C"), (2, "D"), (3, "C"), (4, "D")):
+        for i, e in enumerate(("A", "B", third)):
+            eid += 1
+            rows.append((eid, u, t(i + 1), e))
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts timestamp, event_type string"
+    )
+    out = {r["state"]: r for r in transition_entropy(df).collect()}
+    assert out["A"]["entropy_bits"] == 0.0
+    assert out["A"]["top_next"] == "B" and out["A"]["top_share"] == 1.0
+    assert out["B"]["entropy_bits"] == 1.0
+    assert out["B"]["top_next"] == "C"  # 2-2 tie -> smallest state
+    assert out["B"]["top_share"] == 0.5
+    assert out["B"]["n_out"] == 4 and out["B"]["n_next_states"] == 2
