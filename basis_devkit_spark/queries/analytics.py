@@ -8297,3 +8297,83 @@ def e20(spark: SparkSession, sf: str) -> DataFrame:
     from basis_devkit_spark.operators.events import transition_entropy
 
     return transition_entropy(load(spark, sf, "events"))
+
+
+@register(
+    "c31_stream_transition_maintenance",
+    """
+    with o as (
+      select user_id, event_type,
+             lag(event_type) over (partition by user_id
+                                   order by ts, event_id) as prev_event
+      from events
+    )
+    select prev_event as state, event_type as next,
+           cast(count(*) as bigint) as n_transitions
+    from o where prev_event is not null
+    group by state, next
+    """,
+    doc="streaming transition-matrix maintenance "
+    "(stream_transition_counts_to_store): the e04 Markov counts kept "
+    "current as events arrive in TWO time-ordered micro-batches — the "
+    "part naive implementations get wrong is the BATCH BOUNDARY (a "
+    "user's first event of batch 2 transitions from their last event "
+    "of batch 1), fixed by a persisted per-user cursor store; counts "
+    "commit first, cursors second, both batch-id idempotent (the c23 "
+    "two-store convergence argument). The maintained counts must "
+    "equal the one-shot e04 computation byte-for-byte. Per batch: one "
+    "batch-sized lag window + a user-keyed boundary join + additive "
+    "count upsert — history is never re-read",
+)
+def c31(spark: SparkSession, sf: str) -> DataFrame:
+    import glob as _glob
+    import os as _os
+    import shutil as _shutil
+    import tempfile as _tf
+    import time as _time
+
+    from basis_devkit_spark.storage.store import TableStore
+    from basis_devkit_spark.streaming.ops import (
+        stream_transition_counts_to_store,
+    )
+
+    ev = load(spark, sf, "events").select(
+        "user_id", "ts", "event_id", "event_type"
+    )
+    cut = ev.agg(
+        F.percentile(F.unix_micros(F.col("ts").cast("timestamp")), 0.5)
+        .alias("c")
+    ).collect()[0]["c"]
+
+    tmp = _tf.mkdtemp(prefix="bds_c31_")
+    drop = _os.path.join(tmp, "drop")
+    _os.makedirs(drop, exist_ok=True)
+    halves = (
+        ("a", F.unix_micros(F.col("ts").cast("timestamp")) <= cut),
+        ("b", F.unix_micros(F.col("ts").cast("timestamp")) > cut),
+    )
+    for tag, cond in halves:
+        part_dir = _os.path.join(tmp, f"part_{tag}")
+        ev.filter(cond).coalesce(1).write.parquet(part_dir)
+        src = _glob.glob(_os.path.join(part_dir, "part-*.parquet"))[0]
+        _time.sleep(0.01)  # mtime order = arrival order
+        _shutil.copy(src, _os.path.join(drop, f"{tag}.parquet"))
+    raw_schema = spark.read.parquet(_os.path.join(drop, "a.parquet")).schema
+
+    stream = (
+        spark.readStream.schema(raw_schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(drop)
+    )
+    counts = TableStore(tmp, "transition_counts", spark)
+    counts.configure(unique_on=["state", "next"])
+    cursors = TableStore(tmp, "user_cursors", spark)
+    cursors.configure(unique_on="u")
+    q = stream_transition_counts_to_store(
+        stream, counts, cursors, f"{tmp}/_ckpt"
+    ).start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return counts.read().select("state", "next", "n_transitions")

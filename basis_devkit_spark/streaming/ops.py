@@ -445,3 +445,123 @@ def pack_append_batch(
         )
     finally:
         release_plan_blocks(layout)
+
+
+def transition_count_batch(
+    counts_store,
+    state_store,
+    batch_df: DataFrame,
+    batch_id: int,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    event_col: str = "event_type",
+) -> None:
+    """One micro-batch of streaming transition-matrix maintenance —
+    :func:`stream_transition_counts_to_store`'s foreachBatch body,
+    public so the crash/replay and BOUNDARY contracts are directly
+    testable. The subtle part every naive implementation gets wrong:
+    the first event of a user's batch transitions FROM the user's last
+    event of the PREVIOUS batch — dropping cross-batch pairs silently
+    undercounts exactly the long-lived users. ``state_store`` persists
+    one row per user (last ts/id/event); each batch contributes its
+    within-batch lag pairs PLUS the boundary pairs joined from that
+    cursor state.
+
+    Exactly-once without a cross-store transaction (the c23 argument):
+    the counts delta commits FIRST under batch-id idempotency, the
+    per-user cursor second; a replay after a crash between the two
+    recomputes the identical delta from the still-pre-batch cursors,
+    the counts store skips it, and only the cursor commit applies.
+    Requires in-order arrival per user (event-time-ordered batches —
+    the same contract as the pack cursor)."""
+    from pyspark.sql import Window as _W
+
+    from basis_devkit_spark.operators.lineage import release_plan_blocks
+
+    ev = batch_df.select(
+        F.col(user_col).alias("u"), F.col(ts_col).alias("t"),
+        F.col(id_col).alias("i"), F.col(event_col).alias("e"),
+    ).localCheckpoint(eager=True)
+    # within-batch pairs + this batch's first/last event per user
+    try:
+        w = _W.partitionBy("u").orderBy("t", "i")
+        pairs = ev.select(
+            F.lag("e").over(w).alias("state"), F.col("e").alias("next")
+        ).filter(F.col("state").isNotNull())
+        firsts = ev.groupBy("u").agg(
+            F.min(F.struct("t", "i", "e")).alias("__f"),
+            F.max(F.struct("t", "i", "e")).alias("__l"),
+        )
+        if state_store.has_active_version():
+            prev = state_store.read().select(
+                F.col("u"), F.col("last_event").alias("state")
+            )
+            boundary = firsts.join(prev, "u").select(
+                "state", F.col("__f.e").alias("next")
+            )
+            pairs = pairs.unionByName(boundary)
+        delta = pairs.groupBy("state", "next").agg(
+            F.count(F.lit(1)).cast("long").alias("n_transitions")
+        )
+        existing = (
+            counts_store.read()
+            if counts_store.has_active_version()
+            else None
+        )
+        if existing is not None:
+            prev_c = existing.select(
+                "state", "next",
+                F.col("n_transitions").alias("__pn"),
+            )
+            zero = F.lit(0).cast("long")
+            delta = delta.join(prev_c, ["state", "next"], "full").select(
+                "state", "next",
+                (
+                    F.coalesce(F.col("n_transitions"), zero)
+                    + F.coalesce(F.col("__pn"), zero)
+                ).cast("long").alias("n_transitions"),
+            )
+        counts_store.upsert_stream_batch(delta, batch_id)
+        new_state = firsts.select(
+            "u",
+            F.col("__l.t").alias("last_ts"),
+            F.col("__l.i").alias("last_event_id"),
+            F.col("__l.e").alias("last_event"),
+        )
+        state_store.upsert_stream_batch(new_state, batch_id)
+    finally:
+        release_plan_blocks(ev)
+
+
+def stream_transition_counts_to_store(
+    df: DataFrame,
+    counts_store,
+    state_store,
+    checkpoint_dir: str,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    event_col: str = "event_type",
+    trigger_seconds: int | None = None,
+):
+    """Exactly-once streaming transition-matrix maintenance (c31): the
+    e04 Markov counts kept current per micro-batch at batch cost — the
+    per-user cursor state makes CROSS-BATCH transitions exact, so the
+    maintained counts equal the one-shot batch computation
+    byte-for-byte (the c23/c28 contract). See
+    :func:`transition_count_batch` for the two-store commit order."""
+
+    def _write(batch_df: DataFrame, batch_id: int) -> None:
+        transition_count_batch(
+            counts_store, state_store, batch_df, batch_id,
+            user_col=user_col, ts_col=ts_col, id_col=id_col,
+            event_col=event_col,
+        )
+
+    w = df.writeStream.foreachBatch(_write).option(
+        "checkpointLocation", checkpoint_dir
+    ).outputMode("update")
+    if trigger_seconds is not None:
+        w = w.trigger(processingTime=f"{trigger_seconds} seconds")
+    return w

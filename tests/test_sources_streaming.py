@@ -496,3 +496,55 @@ def test_pack_append_batch_two_store_crash_replay(spark, tmp_path):
     assert state_store.get_active_version() == sv
     st = state_store.read().collect()
     assert len(st) == 1 and st[0]["total_tokens"] == total
+
+
+def test_transition_count_batch_boundary_and_crash_replay(spark, tmp_path):
+    """Cross-batch boundary transitions are counted exactly once, and a
+    crash BETWEEN the counts commit and the cursor commit converges on
+    replay (the c23 two-store argument, applied to c31)."""
+    from datetime import datetime
+
+    import pytest as _pt
+
+    from basis_devkit_spark.storage.store import TableStore
+    from basis_devkit_spark.streaming.ops import transition_count_batch
+
+    t = lambda s: datetime(2024, 1, 1, 0, 0, s)
+    counts = TableStore(str(tmp_path), "c", spark)
+    counts.configure(unique_on=["state", "next"])
+    cursors = TableStore(str(tmp_path), "s", spark)
+    cursors.configure(unique_on="u")
+    b1 = spark.createDataFrame(
+        [(1, 1, t(1), "A"), (2, 1, t(2), "B"), (3, 2, t(1), "A")],
+        "event_id long, user_id long, ts timestamp, event_type string",
+    )
+    b2 = spark.createDataFrame(
+        [(4, 1, t(3), "C"), (5, 2, t(3), "A")],
+        "event_id long, user_id long, ts timestamp, event_type string",
+    )
+    transition_count_batch(counts, cursors, b1, 1)
+    got1 = {(r["state"], r["next"]): r["n_transitions"]
+            for r in counts.read().collect()}
+    assert got1 == {("A", "B"): 1}
+    # crash between the two commits of batch 2
+    real = cursors.upsert_stream_batch
+    calls = {"n": 0}
+
+    def boom(df, bid):
+        calls["n"] += 1
+        if calls["n"] == 1:
+            raise RuntimeError("crash before cursor commit")
+        return real(df, bid)
+
+    cursors.upsert_stream_batch = boom
+    with _pt.raises(RuntimeError):
+        transition_count_batch(counts, cursors, b2, 2)
+    # replay: counts store skips (batch 2 already stamped), cursor lands
+    transition_count_batch(counts, cursors, b2, 2)
+    cursors.upsert_stream_batch = real
+    got = {(r["state"], r["next"]): r["n_transitions"]
+           for r in counts.read().collect()}
+    # boundary pairs: u1 B->C, u2 A->A — counted exactly ONCE each
+    assert got == {("A", "B"): 1, ("B", "C"): 1, ("A", "A"): 1}
+    cur = {r["u"]: r["last_event"] for r in cursors.read().collect()}
+    assert cur == {1: "C", 2: "A"}
