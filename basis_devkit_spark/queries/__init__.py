@@ -110,8 +110,13 @@ _SAMPLE_PRIORITY = [
     # per-domain cap on the newly BOUNDED grouped reservoir; the
     # reservoir/stratified family (d46, c25, d08) re-front-loaded after
     # the r12 merge-tree rework of their shared top-k aggregation.
-    # -- r12 continuation block: d58 MAD robust outliers (the heavy-
-    # tail-safe sibling of d50 winsorize).
+    # -- r12 continuation block (second session of the round): the 22
+    # new queries land up front — robust stats (d58, d65), time series
+    # (e17), clustering (d59, d66, c28), corpus health (d60, d62, d64,
+    # c29), graph communities (d61), containment (d63), multimodal
+    # (d05g, d05h), storage (a35 clone, a36 incremental views),
+    # attribution (e18, e19, e20), and the boundary-correct streaming
+    # joins/counters (c30, c31).
     "d58_robust_outliers",
     "e17_ewma_control",
     "d59_kmeans_clusters",

@@ -35,6 +35,14 @@ QUERIES = [
     ("a35_clone_shallow", False),  # in-query store writes both sides differ
     ("d64_source_kl", True),
     ("e18_markov_attribution", True),
+    ("d65_quality_ecdf", True),
+    ("a36_incremental_view_maintenance", False),  # in-query store writes
+    ("d05h_webp_dimensions", False),  # construction-truth oracle
+    ("e19_retention_decay", True),
+    ("d66_cluster_top_terms", True),
+    ("e20_transition_entropy", True),
+    ("c30_stream_outer_interval_join", False),  # streaming lifecycle
+    ("c31_stream_transition_maintenance", False),  # streaming lifecycle
 ]
 
 
