@@ -138,6 +138,7 @@ _SAMPLE_PRIORITY = [
     "d66_cluster_top_terms",
     "e20_transition_entropy",
     "c31_stream_transition_maintenance",
+    "d67_neardup_cluster_qa",
     "d48_registrable_domain",
     "d48b_domain_cap",
     "d02k_minhash_quality_keeper",

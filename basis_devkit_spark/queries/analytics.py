@@ -8377,3 +8377,85 @@ def c31(spark: SparkSession, sf: str) -> DataFrame:
     finally:
         q.stop()
     return counts.read().select("state", "next", "n_transitions")
+
+
+def _neardup_qa_sql() -> str:
+    """d67 oracle: literal candidate pairs from the independent XXH64
+    banding model; DuckDB runs the d49b canonical-order triangle +
+    degree arithmetic on exactly that edge relation."""
+    trips = pyoracle.minhash_pair_estimates(
+        pyoracle.oracle_sf_dir(), threshold=0.5
+    )
+    if not trips:
+        return (
+            "select cast(null as bigint) as node, cast(null as bigint) "
+            "as degree, cast(null as bigint) as n_triangles, cast(null "
+            "as double) as clustering_coeff where false"
+        )
+    vals = ", ".join(f"({a}, {b})" for a, b, _e in trips)
+    return f"""
+    with e0 as (
+      select least(id_a, id_b) as a, greatest(id_a, id_b) as b
+      from (values {vals}) as p(id_a, id_b)
+      group by 1, 2
+    ), deg as (
+      select node, cast(count(*) as bigint) as degree
+      from (select a as node from e0 union all select b from e0)
+      group by node
+    ), t as (
+      select e1.a as x, e1.b as y, e2.b as z
+      from e0 e1
+      join e0 e2 on e1.a = e2.a and e1.b < e2.b
+      join e0 e3 on e3.a = e1.b and e3.b = e2.b
+    ), pn as (
+      select node, cast(count(*) as bigint) as n_triangles
+      from (
+        select x as node from t
+        union all select y from t
+        union all select z from t
+      ) group by node
+    )
+    select d.node, d.degree, coalesce(pn.n_triangles, 0) as n_triangles,
+           case when d.degree > 1 then
+             floor(2.0 * coalesce(pn.n_triangles, 0)
+                   / (d.degree * (d.degree - 1)) * 1000000.0 + 0.5)
+               / 1000000.0
+           else 0.0 end as clustering_coeff
+    from deg d left join pn on pn.node = d.node
+    """
+
+
+@register(
+    "d67_neardup_cluster_qa",
+    _neardup_qa_sql,
+    doc="dedup-cluster QA on the REAL near-dup graph "
+    "(minhash_near_dup_pairs at threshold 0.5 → "
+    "clustering_coefficient): the near-clique test the d49/d49b "
+    "docstrings promise, applied where it matters — every candidate "
+    "doc's degree, triangle count and local coefficient over the LSH "
+    "candidate graph, so a keep-one collapse can tell a true "
+    "duplicate GROUP (coefficient → 1) from a chain of borderline "
+    "threshold artifacts (coefficient → 0) BEFORE trusting the "
+    "clusters. Same degree-oriented compact-forward core as d49; "
+    "pairs as literals from the independent banding model, triangle "
+    "arithmetic replayed canonically in SQL",
+)
+def d67(spark: SparkSession, sf: str) -> DataFrame:
+    from basis_devkit_spark.operators.dedup import (
+        minhash_near_dup_pairs,
+        release_signature_caches,
+    )
+    from basis_devkit_spark.operators.graphrank import (
+        clustering_coefficient,
+    )
+
+    docs = load(spark, sf, "documents")
+    pairs = minhash_near_dup_pairs(
+        docs, "doc_id", "text", num_hashes=64, bands=16,
+        jaccard_threshold=0.5,
+    )
+    out = clustering_coefficient(pairs.select("id_a", "id_b"))
+    ck = out.localCheckpoint(eager=True)
+    release_signature_caches(out)
+    release_signature_caches(pairs)
+    return ck.select("node", "degree", "n_triangles", "clustering_coeff")
