@@ -1788,9 +1788,25 @@ def apply_agg_delta(
             .alias(f"__d_{dst}")
         )
     delta = changes.groupBy(*group_cols).agg(*aggs)
+    # NULL-SAFE key join: a NULL group key is a real group to an
+    # aggregate (GROUP BY collects NULLs together), but a plain join
+    # would never match the two sides' NULL rows — the maintained view
+    # would split the NULL group and diverge from a recompute.
+    d = delta.select(
+        *[F.col(c).alias(f"__g_{c}") for c in group_cols],
+        "__dn",
+        *[F.col(f"__d_{dst}") for dst in sum_cols.values()],
+    )
+    cond = None
+    for c in group_cols:
+        e = F.col(c).eqNullSafe(F.col(f"__g_{c}"))
+        cond = e if cond is None else (cond & e)
     zero_long = F.lit(0).cast("long")
-    merged = agg.join(delta, group_cols, "full").select(
-        *group_cols,
+    merged = agg.join(d, cond, "full").select(
+        *[
+            F.coalesce(F.col(c), F.col(f"__g_{c}")).alias(c)
+            for c in group_cols
+        ],
         (
             F.coalesce(F.col(count_col), zero_long)
             + F.coalesce(F.col("__dn"), zero_long)

@@ -1377,3 +1377,30 @@ def test_apply_agg_delta_equals_recompute(spark, tmp_path):
     }
     assert got == want == {"g1": (1, 25.0), "g3": (1, 7.0)}
     assert "g2" not in got  # zero-count group dropped, not emitted as 0
+    # NULL group keys are a REAL group to an aggregate: the delta join
+    # must merge them null-safely, never split them
+    base.write_replace(
+        spark.createDataFrame(
+            [(1, None, 3.0), (2, "g1", 4.0)], "k long, g string, p double"
+        )
+    )
+    v3 = base.get_active_version()
+    stale2 = agg_of(base.read())
+    base.write_replace(
+        spark.createDataFrame(
+            [(1, None, 5.0), (7, None, 2.0)], "k long, g string, p double"
+        )
+    )
+    v4 = base.get_active_version()
+    ch2 = base.changes_between(v3, v4).select("_change_type", "g", "p")
+    got2 = {
+        r["g"]: (r["n_rows"], float(r["sum_p"]))
+        for r in apply_agg_delta(
+            stale2, ch2, ["g"], {"p": "sum_p"}
+        ).collect()
+    }
+    want2 = {
+        r["g"]: (r["n_rows"], float(r["sum_p"]))
+        for r in agg_of(base.read()).collect()
+    }
+    assert got2 == want2 == {None: (2, 7.0)}
