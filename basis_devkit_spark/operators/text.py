@@ -2012,6 +2012,7 @@ def quality_ecdf_normalize(
     id_col: str = "doc_id",
     out_col: str = "score_pct",
     out_round: int = 6,
+    bucket_scale: float = 1000.0,
 ) -> DataFrame:
     """Cross-source quality-score calibration: replace each document's
     raw score with its Hazen ECDF position ``(rank − 0.5) / n`` WITHIN
@@ -2022,26 +2023,89 @@ def quality_ecdf_normalize(
     per source makes one threshold mean "the same fraction kept
     everywhere". Adds ``rank_in_group``, ``n_in_group`` and
     ``out_col`` ∈ (0, 1); ties break on ``id_col`` (fully
-    deterministic, exact integer ranks).
+    deterministic, exact integer ranks). Rows whose score is NULL are
+    EXCLUDED from the ranking (a missing classifier score is not the
+    worst score): they pass through with NULL ``rank_in_group`` /
+    ``n_in_group`` / ``out_col``, so downstream thresholds drop them
+    explicitly rather than silently treating them as minimum quality.
 
-    Scale shape: one window per group (rank only — integer state, no
-    buffering); the skew story is the source key itself — a mega-source
-    partitions fine because rank needs only a sort within the key, but
-    at 100 TB swap the EXACT rank for d32 histogram-sketch quantile
-    buckets per source (the approximate form of the same calibration);
-    this operator is the exact form whose decisions must replay."""
+    Scale shape — NO window spans a whole source: a mega-source (real
+    corpora are 50–90 % one crawl) would otherwise serialize its entire
+    row set through ONE task's external sort. The per-source exact rank
+    is instead the d21 value-bucketed two-phase prefix applied per
+    (source, score-bucket): rows coarse-bucket by
+    ``floor(score × bucket_scale)`` (monotone in the order key, so
+    per-bucket local ranks + an exclusive prefix over the bucket-count
+    list compose into the exact within-source rank). The within-bucket
+    windows run in parallel across ALL sources' buckets; the only
+    per-source-wide window is the prefix over the BOUNDED
+    (source × bucket) count table (O(score_range × bucket_scale) rows
+    per source — ~1e3 for classifier scores in [0,1]), which is
+    broadcast back. Ranks depend only on values, never on partition
+    assignment, so the result equals the oracle's plain
+    ``row_number() over (partition by source)`` bit-for-bit."""
     from pyspark.sql import Window
 
-    w = Window.partitionBy(group_col).orderBy(score_col, id_col)
-    n = Window.partitionBy(group_col)
-    scale = float(10 ** out_round)
-    rnk = F.row_number().over(w).cast("long")
-    cnt = F.count(F.lit(1)).over(n).cast("long")
-    pct = F.floor(
-        (rnk.cast("double") - 0.5) / cnt.cast("double") * scale + 0.5
-    ) / scale
-    return (
-        df.withColumn("rank_in_group", rnk)
-        .withColumn("n_in_group", cnt)
-        .withColumn(out_col, pct)
+    scored = df.filter(F.col(score_col).isNotNull())
+    unscored = df.filter(F.col(score_col).isNull())
+    # bucket key must be monotone in the order key: a non-ANSI
+    # double->long cast sends NaN to 0 (breaking monotonicity, NaN
+    # sorts LAST) but +inf to Long.MAX — remap NaN into the +inf
+    # bucket, where the within-bucket sort orders +inf < NaN correctly
+    vb = F.floor(F.col(score_col) * F.lit(float(bucket_scale))).cast(
+        "long"
     )
+    if dict(df.dtypes).get(score_col) in ("float", "double"):
+        vb = F.when(
+            F.isnan(F.col(score_col)), F.lit((1 << 63) - 1)
+        ).otherwise(vb)
+    d = scored.withColumn("__vb", vb)
+    bc = d.groupBy(group_col, "__vb").agg(F.count(F.lit(1)).alias("__bn"))
+    wb = (
+        Window.partitionBy(group_col)
+        .orderBy("__vb")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    boff = (
+        bc.withColumn(
+            "__boff", F.coalesce(F.sum("__bn").over(wb), F.lit(0))
+        )
+        .select(
+            F.col(group_col).alias("__g1"),
+            F.col("__vb").alias("__vb1"),
+            "__boff",
+        )
+    )
+    # null-safe group key: a NULL group is still a group (repo
+    # standard, cf. apply_agg_delta) — plain equi-joins would
+    # silently drop its rows
+    ng = scored.groupBy(group_col).agg(
+        F.count(F.lit(1)).cast("long").alias("__ng")
+    ).select(F.col(group_col).alias("__g2"), "__ng")
+    wl = Window.partitionBy(group_col, "__vb").orderBy(score_col, id_col)
+    scale = float(10 ** out_round)
+    rnk = (F.row_number().over(wl) + F.col("__boff")).cast("long")
+    ranked = (
+        d.join(
+            F.broadcast(boff),
+            F.col(group_col).eqNullSafe(F.col("__g1"))
+            & (F.col("__vb") == F.col("__vb1")),
+        )
+        .join(F.broadcast(ng), F.col(group_col).eqNullSafe(F.col("__g2")))
+        .withColumn("rank_in_group", rnk)
+    )
+    pct = F.floor(
+        (F.col("rank_in_group").cast("double") - 0.5)
+        / F.col("__ng").cast("double") * scale + 0.5
+    ) / scale
+    out = (
+        ranked.withColumn("n_in_group", F.col("__ng"))
+        .withColumn(out_col, pct)
+        .drop("__vb", "__boff", "__ng", "__g1", "__vb1", "__g2")
+    )
+    nulls = (
+        unscored.withColumn("rank_in_group", F.lit(None).cast("long"))
+        .withColumn("n_in_group", F.lit(None).cast("long"))
+        .withColumn(out_col, F.lit(None).cast("double"))
+    )
+    return out.unionByName(nulls)

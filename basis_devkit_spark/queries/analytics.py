@@ -7867,13 +7867,19 @@ def e18(spark: SparkSession, sf: str) -> DataFrame:
                   as bigint) as rank_in_group,
              cast(count(*) over (partition by source) as bigint)
                as n_in_group
-      from q
+      from q where quality_score is not null
     )
     select doc_id, source, quality_score, rank_in_group, n_in_group,
            floor((cast(rank_in_group as double) - 0.5)
                  / cast(n_in_group as double) * 1000000.0 + 0.5)
              / 1000000.0 as score_pct
     from r
+    union all
+    select doc_id, source, quality_score,
+           cast(null as bigint) as rank_in_group,
+           cast(null as bigint) as n_in_group,
+           cast(null as double) as score_pct
+    from q where quality_score is null
     """,
     doc="cross-source quality calibration (quality_ecdf_normalize): "
     "raw classifier scores are not comparable across sources (0.7 on "
@@ -7881,9 +7887,13 @@ def e18(spark: SparkSession, sf: str) -> DataFrame:
     "replace each doc's score with its Hazen ECDF position "
     "(rank-0.5)/n WITHIN its source, so one threshold keeps the same "
     "fraction everywhere. Exact integer ranks, ties on doc_id, score "
-    "floor-scaled; one rank-only window per source (integer state, no "
-    "buffering); at 100 TB the approximate form swaps in d32 sketch "
-    "quantile buckets per source",
+    "floor-scaled; NULL scores are excluded from the ranking and pass "
+    "through with NULL rank/pct (both engines by construction). NO "
+    "window spans a whole source — the within-source rank is the d21 "
+    "value-bucketed two-phase prefix per (source, score-bucket), so a "
+    "mega-source never serializes through one task's sort; the only "
+    "source-wide window runs over the bounded (source x bucket) count "
+    "table, broadcast back",
 )
 def d65(spark: SparkSession, sf: str) -> DataFrame:
     from basis_devkit_spark.operators.text import (

@@ -5802,6 +5802,61 @@ def test_quality_ecdf_normalize_handcomputed(spark):
     assert per == {"a": 2, "b": 1, "c": 1}
 
 
+def test_quality_ecdf_normalize_null_and_edge_semantics(spark):
+    """NULL scores are excluded from the ranking (NULL rank/n/pct pass
+    through, never 'worst quality'); a NULL group is still a group
+    (null-safe key joins); NaN sorts last WITHIN its group; and the
+    bucketed two-phase rank equals a plain per-group row_number on a
+    tie-heavy frame regardless of bucket_scale."""
+    from pyspark.sql import functions as F
+
+    from basis_devkit_spark.operators.text import quality_ecdf_normalize
+
+    rows = [
+        (1, "a", 10.0), (2, "a", None), (3, "a", 30.0),
+        (4, "a", float("nan")),            # NaN ranks LAST in group a
+        (5, None, 1.0), (6, None, 2.0),    # NULL group is a group
+        (7, "b", None),                    # all-NULL group: no ranks
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, source string, quality_score double"
+    )
+    out = {r["doc_id"]: r for r in quality_ecdf_normalize(df).collect()}
+    assert len(out) == 7                   # nothing dropped
+    # group a scored = {10.0, 30.0, NaN}: ranks 1,2,3 — NaN last
+    assert out[1]["rank_in_group"] == 1 and out[3]["rank_in_group"] == 2
+    assert out[4]["rank_in_group"] == 3 and out[4]["n_in_group"] == 3
+    # NULL score: all three added columns NULL
+    for i in (2, 7):
+        assert out[i]["rank_in_group"] is None
+        assert out[i]["n_in_group"] is None
+        assert out[i]["score_pct"] is None
+    # NULL group kept and ranked among itself
+    assert out[5]["rank_in_group"] == 1 and out[6]["rank_in_group"] == 2
+    assert out[5]["n_in_group"] == 2
+    # tie-heavy frame: bucketed rank == plain row_number at any scale
+    tie_rows = [(i, "g", float((i * 7) % 3)) for i in range(1, 61)]
+    tdf = spark.createDataFrame(
+        tie_rows, "doc_id long, source string, quality_score double"
+    )
+    expect = {
+        r["doc_id"]: r["rk"]
+        for r in tdf.selectExpr(
+            "doc_id",
+            "row_number() over (partition by source "
+            "order by quality_score, doc_id) as rk",
+        ).collect()
+    }
+    for scale in (1.0, 1000.0):
+        got = {
+            r["doc_id"]: r["rank_in_group"]
+            for r in quality_ecdf_normalize(
+                tdf, bucket_scale=scale
+            ).collect()
+        }
+        assert got == expect, scale
+
+
 def test_webp_dimensions_parse(spark):
     """All three WebP variants at 14-bit boundary sizes, RIFF-but-WAVE
     and unknown-chunk handling — no UDF in the plan."""

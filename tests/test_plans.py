@@ -666,3 +666,31 @@ def test_repetition_signals_plan_shape(spark):
     assert "partial_count" in plan or "partial_min" in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_quality_ecdf_no_source_wide_data_window(spark):
+    """D74 scale gate: the per-source ECDF rank must NOT window the
+    corpus by source alone (a mega-source would serialize through one
+    task's sort) — the data-level window partitions by
+    (source, score-bucket); the only source-alone window runs over the
+    bounded (source x bucket) COUNT table, which is broadcast back."""
+    from basis_devkit_spark.operators.text import (
+        quality_ecdf_normalize,
+        quality_score,
+    )
+
+    docs = quality_score(load(spark, SF, "documents"), "text")
+    df = quality_ecdf_normalize(docs)
+    plan = plan_of(df)
+    # every window that touches the score column (= the corpus-sized
+    # data) must be bucket-partitioned
+    for line in plan.splitlines():
+        if "windowspecdefinition(" in line and "quality_score" in line:
+            assert "__vb" in line, f"source-wide data window: {line}"
+    assert re.search(
+        r"windowspecdefinition\(source#\d+, __vb#\d+", plan
+    ), plan
+    # bucket-count offsets and per-source totals come back as broadcasts
+    assert plan.count("BroadcastHashJoin") >= 2, plan
+    assert "Exchange SinglePartition" not in plan, plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
