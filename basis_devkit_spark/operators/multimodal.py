@@ -459,8 +459,9 @@ _MP3_SAMPLE_RATES = {
 
 def mp3_frame_fields(content_col: str | Column) -> Column:
     """Decode-free MPEG-audio (MP3) metadata: locate the first frame
-    header — skipping a leading ID3v2 tag by its syncsafe size, never
-    by scanning — and parse version / layer / bitrate / sample rate /
+    header — skipping a leading ID3v2 tag by its syncsafe size (plus
+    the 10-byte footer when the flags byte advertises one), never by
+    scanning — and parse version / layer / bitrate / sample rate /
     channel mode / padding as PURE column expressions (hex-slice +
     conv + bit arithmetic), no UDF, no codec. Bytes touched per row:
     the 10-byte ID3 probe plus the 4-byte header at the computed
@@ -478,13 +479,26 @@ def mp3_frame_fields(content_col: str | Column) -> Column:
     pb = lambda i: F.conv(
         F.substring(probe, (i - 1) * 2 + 1, 2), 16, 10
     ).cast("long")
-    has_id3 = (F.substring(probe, 1, 6) == "494433") & (
-        F.octet_length(c) >= 10
+    # syncsafe size bytes MUST have their MSBs clear (ID3v2 §3.1) — a
+    # set MSB means a corrupt tag whose size cannot be trusted
+    has_id3 = (
+        (F.substring(probe, 1, 6) == "494433")
+        & (F.octet_length(c) >= 10)
+        & (pb(7) < 128) & (pb(8) < 128) & (pb(9) < 128) & (pb(10) < 128)
     )
     id3_size = (
         pb(7) * 2097152 + pb(8) * 16384 + pb(9) * 128 + pb(10)
     )
-    off = F.when(has_id3, id3_size + 11).otherwise(F.lit(1)).cast("int")
+    # flags byte bit 0x10 (ID3v2.4 §3.1): the tag carries a 10-byte
+    # FOOTER after the body, so the first frame starts 10 bytes later
+    footer_pad = F.when(
+        pb(6).bitwiseAND(F.lit(16)) != 0, F.lit(10)
+    ).otherwise(F.lit(0))
+    off = (
+        F.when(has_id3, id3_size + 11 + footer_pad)
+        .otherwise(F.lit(1))
+        .cast("int")
+    )
     fh = F.hex(c.substr(off, F.lit(4)))
     fb = lambda i: F.conv(
         F.substring(fh, (i - 1) * 2 + 1, 2), 16, 10

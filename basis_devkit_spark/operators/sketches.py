@@ -310,3 +310,104 @@ def hist_quantiles(
     if est_round is not None:
         est = F.round(est, est_round)
     return first.crossJoin(F.broadcast(fit)).select("q", est.alias("est"))
+
+
+def hist_quantiles_grouped(
+    df: DataFrame,
+    value_col: str,
+    qs: list[float],
+    group_col: str | None = None,
+    nbins: int = 1024,
+    est_round: int | None = 6,
+) -> DataFrame:
+    """Per-group histogram-sketch quantiles in one composed plan:
+    ``(group_col?, q, est)`` — the grouped form of
+    :func:`hist_fit` → :func:`hist_build` → :func:`hist_quantiles`,
+    fused so operators (d50 winsorize / d58 robust_outliers
+    ``method='sketch'``) can dial in the 100 TB single-pass
+    approximation without leaving the plan. Two hash aggregates over
+    the data (per-group min/max fit, then per-group bin counts — each
+    with CONSTANT per-group state, ``nbins`` counters, unlike exact
+    ``percentile()`` whose buffer grows with distinct values), then
+    bounded work: the running sum windows over the
+    (groups × nbins)-bounded bin relation and everything joins back as
+    broadcasts. NULL values are dropped (same as exact percentile);
+    NULL group keys are real groups (null-safe joins, repo standard).
+    Error bound: each estimate is within one bin width
+    ``(max-min)/nbins`` of the exact inverted-CDF quantile (the order
+    statistic at rank ``ceil(q*N)``); the exact INTERPOLATED percentile
+    can sit farther away across a value gap between adjacent order
+    statistics."""
+    from pyspark.sql.window import Window as W
+
+    xd = F.col(value_col).cast("double")
+    scored = df.filter(F.col(value_col).isNotNull())
+    g = group_col
+    if g is None:
+        g = "__hg"
+        scored = scored.withColumn(g, F.lit(0))
+    fit = scored.groupBy(g).agg(
+        F.min(xd).alias("lo"),
+        F.max(xd).alias("hi"),
+        ((F.max(xd) - F.min(xd)) / F.lit(float(nbins))).alias("width"),
+    )
+    fitj = fit.select(F.col(g).alias("__fg"), "lo", "hi", "width")
+    binned = scored.join(
+        F.broadcast(fitj), F.col(g).eqNullSafe(F.col("__fg"))
+    )
+    bin_ = (
+        F.when(F.col("width") == 0.0, F.lit(0))
+        .otherwise(
+            F.least(
+                F.greatest(
+                    F.floor((xd - F.col("lo")) / F.col("width")),
+                    F.lit(0).cast("long"),
+                ),
+                F.lit(nbins - 1).cast("long"),
+            )
+        )
+        .cast("int")
+    )
+    hist = binned.groupBy(F.col(g), bin_.alias("bin")).agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    w = (
+        W.partitionBy(g)
+        .orderBy("bin")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    cum = hist.select(g, "bin", "cnt", F.sum("cnt").over(w).alias("cum"))
+    total = hist.groupBy(g).agg(F.sum("cnt").alias("n")).select(
+        F.col(g).alias("__tg"), "n"
+    )
+    qdf = df.sparkSession.createDataFrame(
+        [(float(q),) for q in qs], "q double"
+    )
+    hits = (
+        cum.join(F.broadcast(total), F.col(g).eqNullSafe(F.col("__tg")))
+        .crossJoin(F.broadcast(qdf))
+        .withColumn(
+            "target", F.ceil(F.col("q") * F.col("n").cast("double"))
+        )
+        .filter(F.col("cum") >= F.col("target"))
+    )
+    first = hits.groupBy(g, "q", "target").agg(
+        F.min(F.struct("bin", "cnt", "cum")).alias("s")
+    )
+    est = F.col("lo") + F.col("width") * (
+        F.col("s.bin").cast("double")
+        + (
+            (F.col("target") - (F.col("s.cum") - F.col("s.cnt"))).cast(
+                "double"
+            )
+            / F.col("s.cnt").cast("double")
+        )
+    )
+    if est_round is not None:
+        est = F.round(est, est_round)
+    out = first.join(
+        F.broadcast(fitj), F.col(g).eqNullSafe(F.col("__fg"))
+    ).select(g, "q", est.alias("est"))
+    if group_col is None:
+        out = out.drop("__hg")
+    return out

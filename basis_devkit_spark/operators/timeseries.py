@@ -157,6 +157,8 @@ def winsorize(
     group_col: str | None = None,
     out_col: str | None = None,
     bound_round: int = 4,
+    method: str = "exact",
+    nbins: int = 1024,
 ) -> DataFrame:
     """Quantile clipping (winsorization) — the standard outlier-
     taming step before averaging, scaling, or feeding a model: clamp
@@ -174,27 +176,58 @@ def winsorize(
 
     Scale shape: one hash-aggregate pass computes the (group-count-
     bounded) bounds relation, broadcast back onto the scan, then a pure
-    projection. percentile() is an exact aggregate (full sort buffer
-    per group inside the agg) — for 100 TB single-pass approximation
-    swap in the d32 histogram-sketch quantiles; this operator is the
-    EXACT form whose decisions must be reproducible."""
+    projection. ``method='exact'`` (default) uses exact ``percentile()``
+    — a full value-count buffer per group inside the agg, the
+    reproducibility contract; ``method='sketch'`` swaps in the d32
+    histogram-sketch quantiles (:func:`hist_quantiles_grouped` —
+    CONSTANT ``nbins``-counter state per group, the 100 TB single-pass
+    path) with each bound within one bin width ``(max-min)/nbins`` of
+    the order statistic at rank ``ceil(p*N)``. NULL group keys are real groups (null-safe joins,
+    repo standard)."""
     if not (0.0 <= p_lo < p_hi <= 1.0):
         raise ValueError("need 0 <= p_lo < p_hi <= 1")
+    if method not in ("exact", "sketch"):
+        raise ValueError("method must be 'exact' or 'sketch'")
     out_col = out_col or f"{value_col}_clipped"
     v = F.col(value_col).cast("double")
     r = lambda c: F.round(c, bound_round)
-    if group_col is None:
+    if method == "sketch":
+        from basis_devkit_spark.operators.sketches import (
+            hist_quantiles_grouped,
+        )
+
+        qe = hist_quantiles_grouped(
+            df, value_col, [float(p_lo), float(p_hi)], group_col,
+            nbins=nbins, est_round=bound_round,
+        )
+        keys = [group_col] if group_col is not None else []
+        b = qe.groupBy(*keys).agg(
+            F.max(F.when(F.col("q") == float(p_lo), F.col("est"))).alias(
+                "clip_lo"
+            ),
+            F.max(F.when(F.col("q") == float(p_hi), F.col("est"))).alias(
+                "clip_hi"
+            ),
+        )
+    elif group_col is None:
         b = df.agg(
             r(F.percentile(v, float(p_lo))).alias("clip_lo"),
             r(F.percentile(v, float(p_hi))).alias("clip_hi"),
         )
-        joined = df.crossJoin(F.broadcast(b))  # one-row bounds relation
     else:
         b = df.groupBy(group_col).agg(
             r(F.percentile(v, float(p_lo))).alias("clip_lo"),
             r(F.percentile(v, float(p_hi))).alias("clip_hi"),
         )
-        joined = df.join(F.broadcast(b), group_col)
+    if group_col is None:
+        joined = df.crossJoin(F.broadcast(b))  # one-row bounds relation
+    else:
+        # null-safe: a NULL group is still a group — a plain equi-join
+        # would silently drop its rows (repo standard, cf. ADVICE r12)
+        b2 = b.withColumnRenamed(group_col, "__gk")
+        joined = df.join(
+            F.broadcast(b2), F.col(group_col).eqNullSafe(F.col("__gk"))
+        ).drop("__gk")
     return joined.withColumn(
         out_col,
         F.least(F.greatest(v, F.col("clip_lo")), F.col("clip_hi")),
@@ -208,6 +241,8 @@ def robust_outliers(
     k: float = 3.5,
     bound_round: int = 4,
     score_round: int = 6,
+    method: str = "exact",
+    nbins: int = 1024,
 ) -> DataFrame:
     """Median/MAD robust outlier scoring — the heavy-tail-safe sibling
     of :func:`winsorize` and the mean/stddev z-score: score each row by
@@ -228,30 +263,59 @@ def robust_outliers(
     get NULL ``robust_z`` and ``is_outlier = false`` explicitly — no
     engine-specific division-by-zero semantics.
 
-    Scale shape: two exact-percentile hash aggregates (median, then the
+    Scale shape: two percentile hash aggregates (median, then the
     median of residuals — MAD is not algebraic, the second pass is
     irreducible) each producing a group-count-bounded relation that is
-    broadcast back onto the scan; everything else is projection. The
-    100 TB single-pass approximation swaps in d32 histogram-sketch
-    quantiles for both medians; this operator is the EXACT form whose
-    decisions must be reproducible."""
+    broadcast back onto the scan (null-safe on the group key — a NULL
+    group is still a group); everything else is projection.
+    ``method='exact'`` (default) is the reproducibility contract —
+    exact ``percentile()`` with a per-group value-count buffer;
+    ``method='sketch'`` swaps BOTH medians for the d32 histogram-sketch
+    quantiles (:func:`hist_quantiles_grouped`, constant ``nbins``
+    state per group — the 100 TB single-pass path), each within one
+    bin width of the rank-``ceil(N/2)`` order statistic."""
     v = F.col(value_col).cast("double")
     r = lambda c: F.round(c, bound_round)
     scale = float(10 ** score_round)
-    if group_col is None:
-        med = df.agg(r(F.percentile(v, 0.5)).alias("med"))
-        with_med = df.crossJoin(F.broadcast(med))  # one-row relation
-        mad = with_med.agg(
-            r(F.percentile(F.abs(v - F.col("med")), 0.5)).alias("mad")
+    if method not in ("exact", "sketch"):
+        raise ValueError("method must be 'exact' or 'sketch'")
+
+    def _back(big: DataFrame, small: DataFrame) -> DataFrame:
+        if group_col is None:
+            return big.crossJoin(F.broadcast(small))  # one-row relation
+        s2 = small.withColumnRenamed(group_col, "__gk")
+        return big.join(
+            F.broadcast(s2), F.col(group_col).eqNullSafe(F.col("__gk"))
+        ).drop("__gk")
+
+    if method == "sketch":
+        from basis_devkit_spark.operators.sketches import (
+            hist_quantiles_grouped,
         )
-        scored = with_med.crossJoin(F.broadcast(mad))
+
+        def _median(frame: DataFrame, col: str, alias: str) -> DataFrame:
+            q = hist_quantiles_grouped(
+                frame, col, [0.5], group_col, nbins=nbins,
+                est_round=bound_round,
+            )
+            keep = ([group_col] if group_col is not None else []) + [
+                F.col("est").alias(alias)
+            ]
+            return q.select(*keep)
+
+        med = _median(df, value_col, "med")
+        with_med = _back(df, med)
+        with_res = with_med.withColumn("__res", F.abs(v - F.col("med")))
+        mad = _median(with_res, "__res", "mad")
+        scored = _back(with_med, mad)
     else:
-        med = df.groupBy(group_col).agg(r(F.percentile(v, 0.5)).alias("med"))
-        with_med = df.join(F.broadcast(med), group_col)
-        mad = with_med.groupBy(group_col).agg(
+        keys = [group_col] if group_col is not None else []
+        med = df.groupBy(*keys).agg(r(F.percentile(v, 0.5)).alias("med"))
+        with_med = _back(df, med)
+        mad = with_med.groupBy(*keys).agg(
             r(F.percentile(F.abs(v - F.col("med")), 0.5)).alias("mad")
         )
-        scored = with_med.join(F.broadcast(mad), group_col)
+        scored = _back(with_med, mad)
     z = F.when(
         F.col("mad") > 0,
         F.floor(0.6745 * (v - F.col("med")) / F.col("mad") * scale + 0.5)
@@ -309,8 +373,19 @@ def ewma_control(
         .orderBy(ts_col, id_col)
         .rowsBetween(-int(window), -1)
     )
-    # most-recent-first, so element i carries weight beta^i
-    arr = F.reverse(F.collect_list(F.col(value_col).cast("double")).over(w))
+    # most-recent-first, so element i carries weight beta^i. NULL
+    # values are EXPLICITLY excluded from the baseline on both engines
+    # (collect_list skips NULLs; the oracle spells the same contract as
+    # a FILTER clause) — a missing observation contributes no weight,
+    # it does not shift later weights onto a phantom position
+    arr = F.reverse(
+        F.collect_list(
+            F.when(
+                F.col(value_col).isNotNull(),
+                F.col(value_col).cast("double"),
+            )
+        ).over(w)
+    )
     scored = df.withColumn("__arr", arr)
     wt = lambda i: F.pow(F.lit(beta), i.cast("double"))
     num = F.aggregate(

@@ -6133,7 +6133,8 @@ def d49(spark: SparkSession, sf: str) -> DataFrame:
            l.l_extendedprice, b.clip_lo, b.clip_hi,
            least(greatest(l.l_extendedprice, b.clip_lo), b.clip_hi)
              as price_clipped
-    from lineitem l join b using (l_returnflag)
+    from lineitem l
+    join b on l.l_returnflag is not distinct from b.l_returnflag
     """,
     doc="per-group winsorization (winsorize, p01/p99 by return flag): "
     "the outlier-taming clamp run before averaging/scaling — one "
@@ -6866,7 +6867,7 @@ def d57(spark: SparkSession, sf: str) -> DataFrame:
     ), a as (
       select d.doc_id, d.source, d.n_chars,
              cast(d.n_chars as double) as v, m.med
-      from documents d join m using (source)
+      from documents d join m on d.source is not distinct from m.source
     ), s as (
       select source,
              round(quantile_cont(abs(v - med), 0.5), 4) as mad
@@ -6880,7 +6881,7 @@ def d57(spark: SparkSession, sf: str) -> DataFrame:
            coalesce(abs(case when s.mad > 0 then
              floor(0.6745 * (a.v - a.med) / s.mad * 1000000.0 + 0.5)
                / 1000000.0 end) > 3.5, false) as is_outlier
-    from a join s using (source)
+    from a join s on a.source is not distinct from s.source
     """,
     doc="median/MAD robust outlier scoring (robust_outliers) of doc "
     "length per source — the heavy-tail-safe curation filter (modified "
@@ -6908,7 +6909,8 @@ def d58(spark: SparkSession, sf: str) -> DataFrame:
     """
     with o as (
       select event_id, user_id, ts, value,
-             list(cast(value as double)) over (
+             list(cast(value as double))
+               filter (where value is not null) over (
                partition by user_id order by ts, event_id
                rows between 16 preceding and 1 preceding) as arr0
       from events
@@ -7566,20 +7568,23 @@ def c29(spark: SparkSession, sf: str) -> DataFrame:
     return zipf_fit_from_counts(store.read(), top_r=256)
 
 
-def _mp3_hex(vbits, lbits, br, sr, pad=0, mode=0, id3_size=None):
+def _mp3_hex(vbits, lbits, br, sr, pad=0, mode=0, id3_size=None,
+             footer=False, corrupt_size=False):
     b2 = 0xE0 | (vbits << 3) | (lbits << 1) | 1
     b3 = (br << 4) | (sr << 2) | (pad << 1)
     frame = bytes([0xFF, b2, b3, mode << 6])
     pre = b""
     if id3_size is not None:
-        pre = (
-            b"ID3\x03\x00\x00"
-            + bytes([
-                (id3_size >> 21) & 0x7F, (id3_size >> 14) & 0x7F,
-                (id3_size >> 7) & 0x7F, id3_size & 0x7F,
-            ])
-            + b"\x00" * id3_size
-        )
+        size = bytes([
+            (id3_size >> 21) & 0x7F, (id3_size >> 14) & 0x7F,
+            (id3_size >> 7) & 0x7F, id3_size & 0x7F,
+        ])
+        if corrupt_size:          # MSB set: untrustworthy syncsafe size
+            size = bytes([size[0] | 0x80]) + size[1:]
+        flags = 0x10 if footer else 0x00
+        pre = b"ID3\x04\x00" + bytes([flags]) + size + b"\x00" * id3_size
+        if footer:                # footer sits AFTER the body (v2.4 §3.1)
+            pre += b"3DI\x04\x00" + bytes([flags]) + size
     return (pre + frame).hex()
 
 
@@ -7601,6 +7606,11 @@ _MP3_HEADERS = [
      None),                                  # no sync
     (_mp3_hex(1, 1, 9, 0), False, False, None, None, None, None, None,
      None, None),                            # reserved version
+    (_mp3_hex(3, 1, 9, 0, id3_size=32, footer=True), True, True, 32,
+     "1", 3, 128, 44100, "stereo", False),   # footered ID3v2.4 tag
+    (_mp3_hex(3, 1, 9, 0, id3_size=32, corrupt_size=True), False,
+     False, None, None, None, None, None, None,
+     None),                                  # MSB-set syncsafe size
 ]
 
 
@@ -7608,7 +7618,7 @@ _MP3_HEADERS = [
     "d05g_mp3_frame_parse",
     f"""
     with blobs as (
-      select doc_id, doc_id % 8 as variant from documents
+      select doc_id, doc_id % 10 as variant from documents
     ), truth as (
       select * from (values
         {", ".join(
@@ -7656,7 +7666,7 @@ def d05g(spark: SparkSession, sf: str) -> DataFrame:
     d = load(spark, sf, "documents").select("doc_id")
     hdr = None
     for i, (hx, *_rest) in enumerate(_MP3_HEADERS):
-        cond = F.col("doc_id") % 8 == i
+        cond = F.col("doc_id") % 10 == i
         lit = F.lit(bytes.fromhex(hx))
         hdr = F.when(cond, lit) if hdr is None else hdr.when(cond, lit)
     blobs = d.withColumn("content", hdr)

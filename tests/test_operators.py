@@ -5455,6 +5455,149 @@ def test_ewma_control_handcomputed(spark):
         ewma_control(df, alpha=1.5)
 
 
+def test_ewma_control_null_values_excluded_cross_engine(spark):
+    """NULL observations contribute NOTHING to the baseline (no weight,
+    no position shift) — and the DuckDB oracle shape (list(...) FILTER
+    over the same frame) produces the identical fold, so the parity
+    holds even when value_col has NULLs (r12 ADVICE)."""
+    from datetime import datetime
+
+    import duckdb
+
+    from basis_devkit_spark.operators.timeseries import ewma_control
+
+    t = lambda s: datetime(2024, 1, 1, 0, 0, s)
+    rows = [
+        (1, "u1", t(1), 10.0),
+        (2, "u1", t(2), None),
+        (3, "u1", t(3), 30.0),
+        (4, "u1", t(4), 40.0),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id string, ts timestamp, value double"
+    )
+    out = {
+        r["event_id"]: r
+        for r in ewma_control(df, alpha=0.5, window=16, threshold=5.0)
+        .collect()
+    }
+    assert out[2]["ewma_prev"] == 10.0      # baseline exists...
+    assert out[2]["deviation"] is None      # ...but a NULL value
+    assert out[2]["is_alert"] is False      # scores explicitly false
+    assert out[3]["ewma_prev"] == 10.0      # NULL excluded, not zero
+    # row 4: [30, 10] weights 1, 0.5 -> 35/1.5
+    assert out[4]["ewma_prev"] == 23.333333
+    con = duckdb.connect()
+    got = con.sql(
+        """
+        with t(event_id, value) as (values
+          (1, 10.0), (2, null), (3, 30.0), (4, 40.0)
+        ), o as (
+          select event_id, value,
+                 list_reverse(list(cast(value as double))
+                   filter (where value is not null) over (
+                   order by event_id
+                   rows between 16 preceding and 1 preceding)) as arr
+          from t
+        )
+        select event_id,
+          case when arr is not null and len(arr) > 0 then
+            floor(
+              list_reduce(list_transform(arr, (x, i) -> x * pow(0.5, i - 1)),
+                          (a, b) -> a + b)
+              / list_reduce(list_transform(arr, (x, i) -> pow(0.5, i - 1)),
+                            (a, b) -> a + b) * 1000000.0 + 0.5) / 1000000.0
+          end as ewma_prev
+        from o order by event_id
+        """
+    ).fetchall()
+    oracle = {eid: e for eid, e in got}
+    for eid in (1, 2, 3, 4):
+        assert oracle[eid] == out[eid]["ewma_prev"], eid
+
+
+def test_winsorize_robust_sketch_dial_and_null_groups(spark):
+    """Task r12-#2 + ADVICE medium: (a) method='sketch' swaps exact
+    percentiles for the d32 histogram quantiles INSIDE the same
+    operator — every bound/median within one bin width of the exact
+    value, exact path byte-unchanged; (b) NULL group keys are real
+    groups on BOTH paths (null-safe broadcast joins — a curation
+    filter must not silently drop unattributed rows)."""
+    import pytest as _pt
+    from pyspark.sql import functions as F
+
+    from basis_devkit_spark.operators.timeseries import (
+        robust_outliers,
+        winsorize,
+    )
+
+    import numpy as np
+
+    li = (
+        load(spark, SF, "lineitem")
+        .select("l_orderkey", "l_linenumber", "l_returnflag",
+                "l_extendedprice")
+    )
+    nbins = 4096
+    exact = winsorize(li, "l_extendedprice", 0.01, 0.99,
+                      group_col="l_returnflag")
+    sk = winsorize(li, "l_extendedprice", 0.01, 0.99,
+                   group_col="l_returnflag", method="sketch", nbins=nbins)
+    assert sk.count() == exact.count() == li.count()
+    vals = {}
+    for r in li.select("l_returnflag", "l_extendedprice").collect():
+        vals.setdefault(r["l_returnflag"], []).append(
+            float(r["l_extendedprice"])
+        )
+    vals = {g: np.array(v) for g, v in vals.items()}
+    # the sketch targets the inverted-CDF quantile (the order statistic
+    # at rank ceil(q*N)) within one bin width — NOT the interpolated
+    # percentile, whose distance to the nearest order stat is unbounded
+    # across value gaps
+    ostat = lambda a, q: float(np.quantile(a, q, method="inverted_cdf"))
+    widths = {g: (a.max() - a.min()) / nbins for g, a in vals.items()}
+    sb = {r["l_returnflag"]: r for r in
+          sk.select("l_returnflag", "clip_lo", "clip_hi").distinct()
+          .collect()}
+    for g, w in widths.items():
+        assert abs(sb[g]["clip_lo"] - ostat(vals[g], 0.01)) <= w + 1e-4, g
+        assert abs(sb[g]["clip_hi"] - ostat(vals[g], 0.99)) <= w + 1e-4, g
+    ro_e = robust_outliers(li, "l_extendedprice", group_col="l_returnflag")
+    ro_s = robust_outliers(li, "l_extendedprice", group_col="l_returnflag",
+                           method="sketch", nbins=nbins)
+    assert ro_s.count() == ro_e.count() == li.count()
+    ms = {r["l_returnflag"]: r for r in
+          ro_s.select("l_returnflag", "med", "mad").distinct().collect()}
+    for g, w in widths.items():
+        assert abs(ms[g]["med"] - ostat(vals[g], 0.5)) <= w + 1e-4, g
+        # MAD: residuals against the SKETCH median, residual-range bins
+        res = np.abs(vals[g] - ms[g]["med"])
+        rw = (res.max() - res.min()) / nbins
+        assert abs(ms[g]["mad"] - ostat(res, 0.5)) <= rw + 1e-4, g
+    # NULL group: rows survive and get their own statistics, both paths
+    rows = [("a", 1.0), ("a", 2.0), ("a", 3.0), ("a", 4.0),
+            (None, 10.0), (None, 20.0), (None, 30.0)]
+    df = spark.createDataFrame(rows, "g string, v double")
+    for m in ("exact", "sketch"):
+        w_out = winsorize(df, "v", 0.0, 1.0, group_col="g", method=m)
+        assert w_out.count() == 7, m
+        nulls = w_out.filter(F.col("g").isNull()).collect()
+        assert len(nulls) == 3 and all(
+            r["clip_lo"] == 10.0 and r["clip_hi"] == 30.0 for r in nulls
+        ), m
+        r_out = robust_outliers(df, "v", group_col="g", method=m)
+        assert r_out.count() == 7, m
+        nmed = {r["med"] for r in r_out.filter(F.col("g").isNull())
+                .collect()}
+        assert len(nmed) == 1, m
+        # sketch lands within one bin width (20/1024) of the 20.0 median
+        assert abs(nmed.pop() - 20.0) <= 20.0 / 1024 + 1e-4, m
+    with _pt.raises(ValueError):
+        winsorize(df, "v", group_col="g", method="tdigest")
+    with _pt.raises(ValueError):
+        robust_outliers(df, "v", method="tdigest")
+
+
 def test_kmeans_handcomputed_two_clusters(spark):
     """Distributed Lloyd on a hand-separable 2-D set: deterministic
     lowest-id init, exact centroid means, tie-break to the lowest
@@ -5671,6 +5814,14 @@ def test_mp3_frame_fields_parse(spark):
     id3 = (
         b"ID3\x03\x00\x00" + bytes([0, 0, 0, 64]) + b"\x00" * 64
     )
+    size32 = bytes([0, 0, 0, 32])
+    id3_footered = (
+        b"ID3\x04\x00\x10" + size32 + b"\x00" * 32
+        + b"3DI\x04\x00\x10" + size32          # footer AFTER the body
+    )
+    id3_corrupt = (
+        b"ID3\x04\x00\x00" + bytes([0x80, 0, 0, 32]) + b"\x00" * 32
+    )
     rows = [
         (1, hdr(3, 1, 9, 0, mode=1)),       # V1 L3 128k 44100 joint
         (2, id3 + hdr(3, 1, 14, 1)),         # ID3(64) + V1 L3 320k 48000
@@ -5678,6 +5829,8 @@ def test_mp3_frame_fields_parse(spark):
         (4, hdr(3, 1, 0, 0)),                # free-format
         (5, b"\x00\x01\x02\x03"),            # no sync
         (6, hdr(1, 1, 9, 0)),                # reserved version
+        (7, id3_footered + hdr(3, 1, 9, 0)), # v2.4 footer flag: +10 bytes
+        (8, id3_corrupt + hdr(3, 1, 9, 0)),  # MSB-set syncsafe size
     ]
     df = spark.createDataFrame(rows, "doc_id long, content binary")
     out = {
@@ -5696,6 +5849,11 @@ def test_mp3_frame_fields_parse(spark):
     assert out[4]["is_mp3"] and out[4]["bitrate_kbps"] is None
     assert not out[5]["is_mp3"] and out[5]["mpeg_version"] is None
     assert not out[6]["is_mp3"]
+    # footer flag (0x10): first frame starts 10+size+10 in, not 10+size
+    assert out[7]["is_mp3"] and out[7]["has_id3v2"]
+    assert out[7]["id3_size"] == 32 and out[7]["bitrate_kbps"] == 128
+    # a set MSB in the syncsafe size means the tag cannot be trusted
+    assert not out[8]["is_mp3"] and not out[8]["has_id3v2"]
     plan = (
         df.select(mp3_frame_fields("content"))
         ._jdf.queryExecution().executedPlan().toString()
