@@ -30,40 +30,147 @@ from pyspark.sql import DataFrame, functions as F
 
 __all__ = [
     "MULTI_LABEL_SUFFIXES",
+    "PSL_RULES",
+    "parse_psl",
     "registrable_domain",
     "domain_cap",
     "url_features",
 ]
 
-#: Curated multi-label public suffixes (PSL subset). Single-label TLDs
-#: (com, org, io, …) are intentionally ABSENT: the PSL default rule —
-#: last label is the suffix — covers them without a table entry, so the
-#: literal map stays small. Includes private-section suffixes
-#: (github.io, blogspot.com, …) because curation wants user sites on
-#: shared hosts treated as distinct domains, exactly like the PSL.
+#: Curated multi-label public suffixes (PSL subset, literal rules
+#: only). Single-label TLDs (com, org, io, …) are intentionally
+#: ABSENT: the PSL default rule — last label is the suffix — covers
+#: them without a table entry, so the literal map stays small.
+#: Includes private-section suffixes (github.io, blogspot.com, …)
+#: because curation wants user sites on shared hosts treated as
+#: distinct domains, exactly like the PSL.
 MULTI_LABEL_SUFFIXES: tuple[str, ...] = (
     # ccTLD second-level registries
     "co.uk", "org.uk", "ac.uk", "gov.uk", "me.uk", "net.uk", "sch.uk",
-    "com.au", "net.au", "org.au", "edu.au", "gov.au",
-    "co.nz", "net.nz", "org.nz",
-    "co.jp", "ne.jp", "or.jp", "ac.jp", "go.jp",
-    "com.br", "net.br", "org.br", "gov.br",
-    "com.cn", "net.cn", "org.cn", "gov.cn",
-    "co.in", "net.in", "org.in",
-    "co.za", "co.kr", "co.th", "co.il",
-    "com.mx", "com.ar", "com.tr", "com.sg", "com.hk", "com.tw",
-    "com.pl", "com.ru",
+    "ltd.uk", "plc.uk", "nhs.uk", "police.uk",
+    "com.au", "net.au", "org.au", "edu.au", "gov.au", "asn.au", "id.au",
+    "co.nz", "net.nz", "org.nz", "govt.nz", "ac.nz", "school.nz",
+    "geek.nz", "gen.nz", "maori.nz", "iwi.nz", "mil.nz",
+    "co.jp", "ne.jp", "or.jp", "ac.jp", "go.jp", "ad.jp", "ed.jp",
+    "gr.jp", "lg.jp",
+    "com.br", "net.br", "org.br", "gov.br", "edu.br", "mil.br",
+    "art.br", "adv.br", "blog.br",
+    "com.cn", "net.cn", "org.cn", "gov.cn", "edu.cn", "ac.cn", "mil.cn",
+    "co.in", "net.in", "org.in", "firm.in", "gen.in", "ind.in",
+    "ac.in", "edu.in", "res.in", "gov.in", "mil.in", "nic.in",
+    "co.za", "org.za", "net.za", "gov.za", "ac.za", "web.za",
+    "co.kr", "ne.kr", "or.kr", "re.kr", "pe.kr", "go.kr", "mil.kr",
+    "ac.kr", "hs.kr", "ms.kr", "es.kr", "sc.kr", "kg.kr", "seoul.kr",
+    "busan.kr",
+    "co.th", "ac.th", "go.th", "in.th", "mi.th", "net.th", "or.th",
+    "co.il", "org.il", "net.il", "ac.il", "gov.il", "muni.il",
+    "k12.il", "idf.il",
+    "com.mx", "net.mx", "org.mx", "edu.mx", "gob.mx",
+    "com.ar", "net.ar", "org.ar", "edu.ar", "gob.ar", "gov.ar",
+    "int.ar", "mil.ar", "tur.ar",
+    "com.tr", "net.tr", "org.tr", "edu.tr", "gov.tr", "mil.tr",
+    "bel.tr", "pol.tr", "av.tr", "dr.tr", "k12.tr", "gen.tr", "web.tr",
+    "com.sg", "net.sg", "org.sg", "edu.sg", "gov.sg", "per.sg",
+    "com.hk", "net.hk", "org.hk", "edu.hk", "gov.hk", "idv.hk",
+    "com.tw", "net.tw", "org.tw", "edu.tw", "gov.tw", "idv.tw",
+    "game.tw", "club.tw", "ebiz.tw", "mil.tw",
+    "com.pl", "net.pl", "org.pl", "edu.pl", "gov.pl", "info.pl",
+    "waw.pl", "biz.pl",
+    "com.ru", "net.ru", "org.ru", "pp.ru", "msk.ru", "spb.ru",
+    "com.ua", "net.ua", "org.ua", "edu.ua", "gov.ua", "in.ua",
+    "kiev.ua", "kyiv.ua",
+    "co.id", "net.id", "or.id", "web.id", "ac.id", "sch.id", "go.id",
+    "mil.id", "my.id", "biz.id",
+    "com.my", "net.my", "org.my", "edu.my", "gov.my", "mil.my",
+    "name.my",
+    "com.ph", "net.ph", "org.ph", "edu.ph", "gov.ph", "mil.ph", "i.ph",
+    "com.vn", "net.vn", "org.vn", "edu.vn", "gov.vn", "int.vn",
+    "ac.vn", "biz.vn", "info.vn", "name.vn", "pro.vn", "health.vn",
+    "com.eg", "net.eg", "org.eg", "edu.eg", "gov.eg", "sci.eg",
+    "eun.eg", "mil.eg", "name.eg",
+    "com.sa", "net.sa", "org.sa", "edu.sa", "gov.sa", "med.sa",
+    "pub.sa", "sch.sa",
+    "co.ae", "net.ae", "org.ae", "ac.ae", "gov.ae", "mil.ae", "sch.ae",
+    "com.ng", "net.ng", "org.ng", "edu.ng", "gov.ng", "i.ng",
+    "sch.ng", "name.ng", "mobi.ng",
+    "co.ke", "or.ke", "ne.ke", "go.ke", "ac.ke", "sc.ke", "me.ke",
+    "mobi.ke", "info.ke",
+    "com.gr", "net.gr", "org.gr", "edu.gr", "gov.gr",
+    "com.pt", "net.pt", "org.pt", "edu.pt", "gov.pt", "int.pt",
+    "publ.pt", "nome.pt",
+    "com.es", "nom.es", "org.es", "gob.es", "edu.es",
+    "gov.it", "edu.it",
+    "gouv.fr", "asso.fr", "nom.fr", "com.fr", "tm.fr",
+    "ac.at", "co.at", "gv.at", "or.at",
+    "ac.be",
+    "ab.ca", "bc.ca", "mb.ca", "nb.ca", "nf.ca", "nl.ca", "ns.ca",
+    "nt.ca", "nu.ca", "on.ca", "pe.ca", "qc.ca", "sk.ca", "yk.ca",
+    "gc.ca",
+    "com.co", "net.co", "org.co", "edu.co", "gov.co", "mil.co",
+    "nom.co",
+    "gob.cl", "gov.cl", "mil.cl",
+    "com.pe", "net.pe", "org.pe", "edu.pe", "gob.pe", "mil.pe",
+    "nom.pe",
+    "com.ve", "net.ve", "org.ve", "edu.ve", "gob.ve", "mil.ve",
+    "co.ve", "info.ve", "web.ve",
+    "com.ec", "net.ec", "org.ec", "edu.ec", "gov.ec", "gob.ec",
+    "mil.ec", "info.ec", "fin.ec", "med.ec", "pro.ec", "k12.ec",
+    "com.uy", "edu.uy", "gub.uy", "net.uy", "mil.uy", "org.uy",
+    "com.pk", "net.pk", "edu.pk", "org.pk", "fam.pk", "biz.pk",
+    "web.pk", "gov.pk",
+    "com.lk", "org.lk", "edu.lk", "ngo.lk", "soc.lk", "web.lk",
+    "ltd.lk", "assn.lk", "grp.lk", "hotel.lk", "gov.lk", "sch.lk",
+    "net.lk", "int.lk",
+    "ac.ir", "co.ir", "gov.ir", "id.ir", "net.ir", "org.ir", "sch.ir",
+    "com.ro", "org.ro", "tm.ro", "nt.ro", "nom.ro", "info.ro",
+    "rec.ro", "arts.ro", "firm.ro", "store.ro", "www.ro",
     # private-section shared hosts
-    "github.io", "gitlab.io", "blogspot.com", "appspot.com",
-    "herokuapp.com", "firebaseapp.com", "netlify.app", "vercel.app",
-    "web.app", "pages.dev", "workers.dev", "cloudfront.net",
-    "s3.amazonaws.com",
+    "github.io", "githubusercontent.com", "gitlab.io", "blogspot.com",
+    "appspot.com", "herokuapp.com", "firebaseapp.com", "netlify.app",
+    "vercel.app", "web.app", "pages.dev", "workers.dev",
+    "cloudfront.net", "s3.amazonaws.com", "azurewebsites.net",
+    "wordpress.com", "readthedocs.io", "neocities.org", "surge.sh",
 )
 
-#: Deepest suffix the matcher probes. s3.amazonaws.com is the one
-#: 3-label entry in the built-in set; the full PSL has a handful of
-#: 4-label rules — raise this if you load them.
-_MAX_SUFFIX_LABELS = 3
+#: Wildcard and exception rules (PSL syntax). ``*.ck`` — every 2-label
+#: name directly under ``ck`` is a public suffix; ``!www.ck`` — except
+#: ``www.ck``, which is itself a registrable domain. These are the
+#: long-standing ccTLD wildcards from the public-domain PSL snapshot.
+WILDCARD_RULES: tuple[str, ...] = (
+    "*.bd", "*.ck", "!www.ck", "*.er", "*.fk", "*.jm", "*.kh",
+    "*.mm", "*.np", "*.pg",
+)
+
+#: The full built-in rule set: literal multi-label suffixes plus
+#: wildcard/exception rules. Pass the real PSL snapshot (via
+#: :func:`parse_psl`) to ``registrable_domain(suffixes=...)`` to
+#: replace it wholesale in production.
+PSL_RULES: tuple[str, ...] = MULTI_LABEL_SUFFIXES + WILDCARD_RULES
+
+
+def parse_psl(text: str, include_private: bool = True) -> list[str]:
+    """Parse the raw Public Suffix List file
+    (https://publicsuffix.org/list/public_suffix_list.dat, public
+    domain) into the rule list :func:`registrable_domain` accepts:
+    strips ``//`` comments and blank lines, keeps wildcard (``*.``)
+    and exception (``!``) markers verbatim, lowercases, and optionally
+    drops the PRIVATE DOMAINS section (ICANN-only matching).
+    IDN rules pass through in their Unicode form — feed hosts in the
+    same form (or pre-convert both sides to punycode)."""
+    rules: list[str] = []
+    private = False
+    for line in text.splitlines():
+        line = line.strip()
+        if not line or line.startswith("//"):
+            if "===BEGIN PRIVATE DOMAINS===" in line:
+                private = True
+            elif "===END PRIVATE DOMAINS===" in line:
+                private = False
+            continue
+        if private and not include_private:
+            continue
+        rules.append(line.split()[0].lower())
+    return rules
 
 
 def _host_of(url_col):
@@ -88,28 +195,42 @@ def registrable_domain(
     """Add ``out_col`` = the registrable domain (eTLD+1) of ``url_col``,
     plus ``host_col`` (the bare host) when requested.
 
-    PSL algorithm, pure column expressions: split the host on dots,
-    probe the last 2..``_MAX_SUFFIX_LABELS`` labels against the literal
-    multi-label suffix map (longest match wins), default rule otherwise
-    (suffix = last label); the registrable domain is one label + the
-    suffix. A host that IS a public suffix (``github.io`` itself), a
-    single-label host (``localhost``), or an unparseable URL yields the
-    host itself / NULL rather than inventing a registrable domain.
+    Full PSL algorithm, pure column expressions: split the host on
+    dots, match the rule set — literal multi-label suffixes, wildcard
+    rules (``*.ck``: any 2-label name under ``ck`` is a suffix), and
+    exception rules (``!www.ck``: prevails over every other rule; the
+    exception itself IS the registrable domain) — longest match wins,
+    exceptions beat everything (publicsuffix.org algorithm, public
+    spec); the default rule (suffix = last label) covers unknown TLDs.
+    A host that IS a public suffix (``github.io`` itself), a
+    single-label host (``localhost``), or an unparseable URL yields
+    the host itself / NULL rather than inventing a registrable domain.
 
-    ``suffixes``: multi-label public suffixes to use instead of the
-    built-in subset — pass the full PSL here in production (single-label
-    entries are redundant and ignored by construction). The map is a
-    literal in the plan: zero joins, zero shuffles; beyond ~10k entries
-    prefer loading the PSL as a broadcast relation and joining on the
-    probed suffix candidates.
+    ``suffixes``: rules to use instead of the built-in
+    :data:`PSL_RULES` — in production pass the real snapshot through
+    :func:`parse_psl` (single-label literal entries are redundant with
+    the default rule and ignored by construction). The rule sets are
+    literals in the plan: zero joins, zero shuffles; beyond ~10k
+    entries prefer loading the PSL as a broadcast relation and joining
+    on the probed suffix candidates.
     """
-    sfx = [s for s in (suffixes or MULTI_LABEL_SUFFIXES) if "." in s]
-    by_depth: dict[int, list[str]] = {}
-    for s in sfx:
-        by_depth.setdefault(min(s.count(".") + 1, _MAX_SUFFIX_LABELS), []).append(s)
+    literals: dict[int, list[str]] = {}
+    wild_bases: dict[int, list[str]] = {}
+    exceptions: dict[int, list[str]] = {}
+    for s in suffixes or PSL_RULES:
+        s = s.strip().lower()
+        if s.startswith("!"):
+            e = s[1:]
+            exceptions.setdefault(e.count(".") + 1, []).append(e)
+        elif s.startswith("*."):
+            b = s[2:]
+            wild_bases.setdefault(b.count(".") + 1, []).append(b)
+        elif "." in s:  # single-label literal = the default rule
+            literals.setdefault(s.count(".") + 1, []).append(s)
     host = _host_of(F.col(url_col))
     labels = F.split(host, r"\.")
     n = F.size(labels)
+    tail = lambda d: F.concat_ws(".", F.slice(labels, -d, d))
     # Longest-match first, one branch per suffix depth. Membership is
     # `isin` — Catalyst turns a >10-element literal list into a static
     # InSet, so codegen stays compact however many suffixes are loaded
@@ -118,16 +239,24 @@ def registrable_domain(
     # codegen). `n > d` strict: a host that IS a public suffix falls
     # through to the otherwise-host branch.
     dom = F.when(host.isNull(), F.lit(None).cast("string"))
-    for d in sorted(by_depth, reverse=True):
-        cand = F.concat_ws(".", F.slice(labels, -d, d))
-        dom = dom.when(
-            (n > d) & cand.isin(*by_depth[d]),
-            F.concat_ws(".", F.slice(labels, -(d + 1), d + 1)),
-        )
-    # PSL default rule: unknown TLD -> the last label is the suffix
-    dom = dom.when(n > 1, F.concat_ws(".", F.slice(labels, -2, 2))).otherwise(
-        host
+    # exception rules prevail over every other match (PSL algorithm):
+    # the suffix is the exception minus its leftmost label, so the
+    # exception itself is the registrable domain
+    for d in sorted(exceptions, reverse=True):
+        dom = dom.when((n >= d) & tail(d).isin(*exceptions[d]), tail(d))
+    depths = sorted(
+        set(literals) | {b + 1 for b in wild_bases}, reverse=True
     )
+    for d in depths:
+        conds = []
+        if d in literals:
+            conds.append(tail(d).isin(*literals[d]))
+        if (d - 1) in wild_bases:
+            conds.append(tail(d - 1).isin(*wild_bases[d - 1]))
+        cond = conds[0] if len(conds) == 1 else conds[0] | conds[1]
+        dom = dom.when((n > d) & cond, tail(d + 1))
+    # PSL default rule: unknown TLD -> the last label is the suffix
+    dom = dom.when(n > 1, tail(2)).otherwise(host)
     out = df.withColumn(out_col, dom)
     if host_col:
         out = out.withColumn(host_col, host)

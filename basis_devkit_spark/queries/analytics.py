@@ -5523,24 +5523,34 @@ def d47(spark: SparkSession, sf: str) -> DataFrame:
 # shared host (.github.io), and an unknown TLD.
 from basis_devkit_spark.operators.domains import (  # noqa: E402
     MULTI_LABEL_SUFFIXES as _MLS,
+    WILDCARD_RULES as _WLD,
 )
 
 _SFX2_SQL = ", ".join(f"'{s}'" for s in _MLS if s.count(".") == 1)
 _SFX3_SQL = ", ".join(f"'{s}'" for s in _MLS if s.count(".") == 2)
+# single-label wildcard bases (*.ck -> 'ck') and 2-label exceptions
+_WILD1_SQL = ", ".join(
+    f"'{s[2:]}'" for s in _WLD if s.startswith("*.") and "." not in s[2:]
+)
+_EXC2_SQL = ", ".join(
+    f"'{s[1:]}'" for s in _WLD if s.startswith("!") and s.count(".") == 1
+)
 
 _SYNTH_URL_SQL = """
       case when doc_id % 11 = 0 then 'junk'
            else 'https://w' || cast(doc_id % 3 as varchar) || '.' ||
                 lower(source) ||
-                (case (doc_id % 5) when 0 then '.com' when 1 then '.co.uk'
+                (case (doc_id % 7) when 0 then '.com' when 1 then '.co.uk'
                       when 2 then '.org' when 3 then '.github.io'
+                      when 4 then '.foo.ck' when 5 then '.www.ck'
                       else '.unknowntld' end) ||
                 '/doc/' || cast(doc_id as varchar) end
 """
 
 # continues a WITH chain that has defined `u(doc_id, ..., url)`;
 # replays operators/domains.registrable_domain: host via the same
-# RE2/Java regexp, longest-match multi-label suffix, PSL default rule
+# RE2/Java regexp, exception rules first, longest-match literal OR
+# wildcard suffix, PSL default rule
 _DOMAIN_SQL = f"""
     h as (
       select *, nullif(regexp_extract(url, '^https://([^/]+)', 1), '') as host
@@ -5552,11 +5562,15 @@ _DOMAIN_SQL = f"""
     ), dom as (
       select *,
         case when host is null then null
+             when n >= 2 and (labs[n-1] || '.' || labs[n])
+                  in ({_EXC2_SQL})
+               then labs[n-1] || '.' || labs[n]
              when n > 3 and (labs[n-2] || '.' || labs[n-1] || '.' || labs[n])
                   in ({_SFX3_SQL})
                then labs[n-3] || '.' || labs[n-2] || '.' || labs[n-1]
                     || '.' || labs[n]
-             when n > 2 and (labs[n-1] || '.' || labs[n]) in ({_SFX2_SQL})
+             when n > 2 and ((labs[n-1] || '.' || labs[n]) in ({_SFX2_SQL})
+                             or labs[n] in ({_WILD1_SQL}))
                then labs[n-2] || '.' || labs[n-1] || '.' || labs[n]
              when n > 1 then labs[n-1] || '.' || labs[n]
              else host end as domain
@@ -5575,9 +5589,10 @@ def _synth_url_col():
             F.element_at(
                 F.array(
                     F.lit(".com"), F.lit(".co.uk"), F.lit(".org"),
-                    F.lit(".github.io"), F.lit(".unknowntld"),
+                    F.lit(".github.io"), F.lit(".foo.ck"),
+                    F.lit(".www.ck"), F.lit(".unknowntld"),
                 ),
-                (F.col("doc_id") % 5 + 1).cast("int"),
+                (F.col("doc_id") % 7 + 1).cast("int"),
             ),
             F.lit("/doc/"),
             F.col("doc_id").cast("string"),

@@ -1998,6 +1998,82 @@ def test_registrable_domain_psl_semantics(spark):
     assert got7 == "weird.unknowntld"
 
 
+def test_registrable_domain_wildcard_exception_and_psl_parser(spark):
+    """Full PSL rule semantics: wildcard rules (*.ck — any 2-label
+    name under ck is a suffix), exception rules (!www.ck prevails:
+    the exception IS the registrable domain), exceptions beating
+    wildcards at any host depth, plus parse_psl round-tripping the
+    real file format (comments, sections, markers) including a 4-label
+    wildcard rule."""
+    from basis_devkit_spark.operators.domains import (
+        parse_psl,
+        registrable_domain,
+    )
+
+    cases = [
+        # *.ck: suffix = foo.ck, eTLD+1 = site.foo.ck
+        (1, "https://a.site.foo.ck/x", "site.foo.ck"),
+        (2, "https://site.foo.ck/", "site.foo.ck"),
+        # host IS the wildcard suffix -> host itself
+        (3, "https://foo.ck/", "foo.ck"),
+        # !www.ck: the exception is the registrable domain
+        (4, "https://www.ck/", "www.ck"),
+        (5, "https://deep.a.www.ck/x", "www.ck"),
+        # other wildcard TLDs from the built-in set
+        (6, "https://x.gov.bd/", "x.gov.bd"),
+        (7, "https://portal.edu.np/", "portal.edu.np"),
+        # co.uk / com.au / github.io sanity alongside the wildcards
+        (8, "https://a.shop.co.uk/", "shop.co.uk"),
+        (9, "https://b.firm.com.au/", "firm.com.au"),
+        (10, "https://user.github.io/repo", "user.github.io"),
+    ]
+    df = spark.createDataFrame(
+        [(i, u) for i, u, _ in cases], "doc_id long, url string"
+    )
+    got = {r.doc_id: r.domain
+           for r in registrable_domain(df, "url").collect()}
+    for i, _, dom in cases:
+        assert got[i] == dom, (i, got[i], dom)
+    # parse_psl: real file format, both sections, markers kept
+    psl_text = """\
+// This is a comment
+// ===BEGIN ICANN DOMAINS===
+com
+co.uk
+*.ck
+!www.ck
+*.compute.example-cloud.test
+// ===END ICANN DOMAINS===
+// ===BEGIN PRIVATE DOMAINS===
+github.io
+// ===END PRIVATE DOMAINS===
+"""
+    rules = parse_psl(psl_text)
+    assert rules == ["com", "co.uk", "*.ck", "!www.ck",
+                     "*.compute.example-cloud.test", "github.io"]
+    assert parse_psl(psl_text, include_private=False) == [
+        "com", "co.uk", "*.ck", "!www.ck",
+        "*.compute.example-cloud.test",
+    ]
+    # the parsed rules drive the matcher, incl. the 4-label wildcard
+    deep = spark.createDataFrame(
+        [(1, "https://a.b.zone1.compute.example-cloud.test/x"),
+         (2, "https://user.github.io/x")],
+        "doc_id long, url string",
+    )
+    got2 = {r.doc_id: r.domain
+            for r in registrable_domain(deep, "url",
+                                        suffixes=rules).collect()}
+    assert got2[1] == "b.zone1.compute.example-cloud.test"
+    assert got2[2] == "user.github.io"
+    icann_only = {r.doc_id: r.domain
+                  for r in registrable_domain(
+                      deep, "url",
+                      suffixes=parse_psl(psl_text, include_private=False),
+                  ).collect()}
+    assert icann_only[2] == "github.io"  # private section excluded
+
+
 def test_url_features_semantics(spark):
     """URL-shape filter signals: depth / params / extension / homepage /
     host labels / digit fraction, NULL-gated on the host, pure
