@@ -33,6 +33,8 @@ import logging
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from basis_devkit_spark.session import local_relation
+
 from .lineage import release_plan_blocks
 
 #: End-of-word marker appended to every word's symbol sequence, so merges
@@ -275,7 +277,8 @@ def bpe_learn_merges(
         if vocab is None:  # not emitting, or the loop raised
             release_plan_blocks(syms)
     spark = corpus.sparkSession
-    merges_df = spark.createDataFrame(
+    merges_df = local_relation(
+        spark,
         merges,
         "merge_rank int, left string, right string, merged string, pair_count long",
     )

@@ -30,9 +30,12 @@ from pyspark.sql import DataFrame, functions as F
 
 __all__ = [
     "MULTI_LABEL_SUFFIXES",
+    "WILDCARD_RULES",
     "PSL_RULES",
+    "TRACKING_PARAM_RE",
     "parse_psl",
     "registrable_domain",
+    "canonical_url",
     "domain_cap",
     "url_features",
 ]
@@ -403,3 +406,92 @@ def domain_cap(
     return kept.unionByName(
         null_side.select(*df.columns, out_col, "domain_rank")
     )
+
+
+#: Query parameters stripped by :func:`canonical_url` — session/click
+#: tracking identifiers that never change the resource (the standard
+#: crawl-dedup strip list; all names are public ad/analytics params).
+TRACKING_PARAM_RE = (
+    r"^(utm_[^=&]*|gclid|fbclid|msclkid|dclid|igshid|mc_cid|mc_eid"
+    r"|ref_src|ref_url|_ga|_gl|yclid|wbraid|gbraid|s_kwcid|spm)="
+)
+
+
+def canonical_url(
+    df: DataFrame,
+    url_col: str = "url",
+    out_col: str = "canonical_url",
+    strip_www: bool = True,
+    tracking_re: str = TRACKING_PARAM_RE,
+) -> DataFrame:
+    """URL canonicalization for crawl-level dedup — the normalization
+    pass that runs BEFORE URL-keyed dedup/caps so trivially-different
+    spellings of one resource collapse: lowercase scheme and host,
+    strip userinfo, default ports (http:80 / https:443), fragments,
+    trailing path slashes, the ``www.`` host prefix (``strip_www``),
+    and tracking query parameters (``utm_*``, ``gclid``, ``fbclid``,
+    …); surviving query parameters are SORTED byte-wise so parameter
+    order stops mattering. Adds ``out_col`` (NULL when the URL has no
+    ``scheme://host`` shape — junk stays junk, both engines agree by
+    construction).
+
+    Everything is regexp + array expressions shared verbatim with the
+    oracle (no JVM URL parser here: the parse must be engine-identical
+    character-for-character, so both sides run the same RE2-compatible
+    regexps). Pure projection: zero joins, zero shuffles, fuses into
+    the scan; compose with ``exact_dedup`` on ``out_col`` for the
+    URL-dedup pass."""
+    url = F.col(url_col)
+    scheme = F.lower(
+        F.nullif(
+            F.regexp_extract(url, r"^([A-Za-z][A-Za-z0-9+.-]*)://", 1),
+            F.lit(""),
+        )
+    )
+    authority = F.nullif(
+        F.regexp_extract(url, r"^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)", 1),
+        F.lit(""),
+    )
+    hostport = F.regexp_replace(authority, r"^.*@", "")
+    host0 = F.lower(
+        F.regexp_replace(
+            F.regexp_replace(hostport, r":[0-9]+$", ""), r"\.$", ""
+        )
+    )
+    host = (
+        F.regexp_replace(host0, r"^www\.", "") if strip_www else host0
+    )
+    port = F.regexp_extract(hostport, r":([0-9]+)$", 1)
+    keep_port = (port != "") & ~(
+        ((scheme == "http") & (port == "80"))
+        | ((scheme == "https") & (port == "443"))
+    )
+    path = F.regexp_replace(
+        F.regexp_extract(
+            url, r"^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]+([^?#]*)", 1
+        ),
+        r"/+$",
+        "",
+    )
+    qs = F.regexp_extract(url, r"\?([^#]*)", 1)
+    params = F.array_sort(
+        F.filter(
+            F.split(qs, "&"),
+            lambda p: (p != "") & ~p.rlike(tracking_re),
+        )
+    )
+    canon = F.concat(
+        scheme,
+        F.lit("://"),
+        host,
+        F.when(keep_port, F.concat(F.lit(":"), port)).otherwise(F.lit("")),
+        path,
+        F.when(
+            F.size(params) > 0,
+            F.concat(F.lit("?"), F.array_join(params, "&")),
+        ).otherwise(F.lit("")),
+    )
+    out = F.when(
+        scheme.isNotNull() & host.isNotNull() & (host != ""), canon
+    )
+    return df.withColumn(out_col, out)

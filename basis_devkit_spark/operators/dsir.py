@@ -42,6 +42,8 @@ import math
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from basis_devkit_spark.session import local_relation
+
 #: Default feature-space size. DSIR's paper uses 10k buckets; 4096 keeps
 #: the weight relation broadcast-trivial while collisions stay rare at
 #: test vocab sizes.
@@ -152,7 +154,7 @@ def dsir_score(
         if bk in seen:
             raise ValueError(f"dsir_score: duplicate bucket {bk} in weight_rows")
         seen.add(bk)
-    wdf = spark.createDataFrame(weight_rows, "bucket long, w long")
+    wdf = local_relation(spark, weight_rows, "bucket long, w long")
     ex = df.select(
         F.col(id_col).alias("__id"),
         F.explode_outer(gram_buckets(text_col, num_buckets, ngram_n)).alias(

@@ -26,6 +26,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from basis_devkit_spark.session import local_relation
+
 
 def _maybe_broadcast(df: DataFrame, flag: bool) -> DataFrame:
     """Broadcast hint gated by the caller: product-analytics user frames
@@ -493,7 +495,7 @@ def srm_check(
     # term — the most severe mismatch must yield the largest chi2, not
     # silently vanish from the groupBy
     spark = df.sparkSession
-    all_arms = spark.createDataFrame([(a,) for a in arms], ["arm"])
+    all_arms = local_relation(spark, [(a,) for a in arms], "arm string")
     observed = assigned.groupBy("arm").agg(F.count(F.lit(1)).alias("__obs"))
     counts = all_arms.join(observed, "arm", "left").select(
         "arm", F.coalesce("__obs", F.lit(0)).alias("n_units")
@@ -772,8 +774,9 @@ def markov_attribution(
     target scale); integers cannot. Only the final report divides
     integers into doubles (identical everywhere), floor-scaled. All
     chain variants (full + one per removed channel) iterate TOGETHER,
-    keyed by variant — one join + one aggregate per step over a
-    (variants × states)-sized relation. Integer headroom: n·P ≤
+    keyed by variant, inside ONE recursive-CTE job (map<state,P> per
+    variant, HOF matrix-vector step — no per-iteration job dispatch)
+    over a (variants × states)-sized relation. Integer headroom: n·P ≤
     n·10⁹ — fine to ~10⁹ observed transitions per (src,dst) cell;
     beyond that lower the scale.
 
@@ -822,11 +825,15 @@ def markov_attribution(
     spark = df.sparkSession
     # every observed non-conversion event type appears as some edge's
     # dst, so the channel list needs no second corpus scan
+    # literal one-row relation via SQL VALUES, NOT createDataFrame: a
+    # python-list createDataFrame goes through parallelize (a 32-task
+    # python-RDD job per action, ~2-5 s of pure dispatch); VALUES is a
+    # JVM-side LocalRelation (~0.1 s)
     variants = (
         tfull.filter(~F.col("dst").isin("conv", "null"))
         .select(F.col("dst").alias("variant"))
         .distinct()
-        .unionAll(spark.createDataFrame([("full",)], "variant string"))
+        .unionAll(spark.sql("SELECT 'full' AS variant"))
         .coalesce(1)
         # channel-count rows, corpus-free lineage — but still
         # checkpointed: it seeds p_0 AND the chain, so an un-truncated
@@ -847,9 +854,11 @@ def markov_attribution(
         F.sum("__n").cast("long").alias("__n")
     )
     absorbing = variants.crossJoin(
-        spark.createDataFrame(
-            [("conv", "conv", 1, 1), ("null", "null", 1, 1)],
-            "src string, dst string, __n long, __ns long",
+        spark.sql(
+            "SELECT src, dst, CAST(__n AS BIGINT) AS __n,"
+            " CAST(__ns AS BIGINT) AS __ns FROM VALUES"
+            " ('conv', 'conv', 1, 1), ('null', 'null', 1, 1)"
+            " AS t(src, dst, __n, __ns)"
         )
     ).select("variant", "src", "dst", "__n", "__ns")
     # materialize the (states²×variants)-sized chain ONCE: the
@@ -861,46 +870,68 @@ def markov_attribution(
     chain = tvar.unionByName(absorbing).coalesce(1).localCheckpoint(
         eager=True
     )
-    # bounded-horizon absorption on exact scaled integers:
-    # P_0(conv) = SCALE, sparse zeros elsewhere
+    # bounded-horizon absorption on exact scaled integers, folded into
+    # ONE recursive-CTE job (Spark 4 WITH RECURSIVE, the b51 facility):
+    # the python-loop formulation ran `iters` dependent tiny jobs and
+    # paid ~1 s of pure stage-dispatch floor per step on 35 rows of
+    # state. Standard SQL forbids GROUP BY in the recursive member, so
+    # the matrix-vector step is a higher-order function instead: the
+    # chain pre-groups to ONE row per variant carrying
+    # rows = [(src, ns, edges=[(dst, n)])...], the state vector is a
+    # map<state, long>, and each step is
+    #   P'(src) = (Σ_e n_e · P[dst_e]) div n_src
+    # — integer multiply, associative integer sum (collect_list order
+    # is irrelevant), one integer floor division: bit-identical to the
+    # join/agg loop it replaces at any parallelism on any engine.
     scale_int = 10 ** 9
-    p = variants.select(
-        "variant",
-        F.lit("conv").alias("state"),
-        F.lit(scale_int).cast("long").alias("p"),
+    # materialized: the recursive member re-evaluates its
+    # non-recursive side every step — without the checkpoint each of
+    # the `iters` steps would replay both collect_list shuffles
+    mat = (
+        chain.groupBy("variant", "src", "__ns")
+        .agg(F.collect_list(F.struct("dst", "__n")).alias("edges"))
+        .groupBy("variant")
+        .agg(F.collect_list(F.struct("src", "__ns", "edges")).alias("rows"))
+        .coalesce(1)
+        .localCheckpoint(eager=True)
     )
-    for _ in range(int(iters)):
-        p = (
-            chain.join(
-                p,
-                (chain["variant"] == p["variant"])
-                & (chain["dst"] == p["state"]),
-            )
-            .select(
-                chain["variant"].alias("variant"),
-                chain["src"].alias("state"),
-                chain["__ns"].alias("__ns"),
-                (F.col("__n") * F.col("p")).alias("__t"),
-            )
-            .groupBy("variant", "state", "__ns")
-            .agg(F.expr("sum(__t) div __ns").cast("long").alias("p"))
-            .drop("__ns")
-            .coalesce(1)
+    it = int(iters)
+    # the matrix rides INSIDE the recursion state: the recursive member
+    # is a pure projection over the materialized previous step — no
+    # join, nothing re-evaluated per iteration
+    pfinal = spark.sql(
+        f"""
+        WITH RECURSIVE absorb(variant, rows, pm, it) AS (
+          SELECT variant, rows,
+                 map('conv', CAST({scale_int} AS BIGINT)) AS pm,
+                 0 AS it
+          FROM {{mat}}
+          UNION ALL
+          SELECT variant, rows,
+                 map_from_entries(
+                   transform(rows, r -> named_struct(
+                     'k', r.src,
+                     'v', aggregate(
+                            r.edges, CAST(0 AS BIGINT),
+                            (acc, e) -> acc + e.__n * coalesce(
+                                pm[e.dst], CAST(0 AS BIGINT)))
+                          div r.__ns))) AS pm,
+                 it + 1 AS it
+          FROM absorb WHERE it < {it}
         )
+        SELECT variant, coalesce(pm['start'], CAST(0 AS BIGINT)) AS __p
+        FROM absorb WHERE it = {it}
+        """,
+        mat=mat,
+    )
     # variants-sized; materialized because four consumers below (the
     # removed rows, the full-chain scalar, the normalizer, the output)
-    # would each replay the whole iteration lineage
-    # LEFT join back to the variant list: the sparse iteration drops
-    # zero-probability states, and a variant whose removal disconnects
-    # start from conv has EXACTLY that — p(start) = 0, not "no row"
+    # would each replay the whole recursion lineage
+    # LEFT join back to the variant list: a variant whose removal
+    # disconnects start from conv has p(start) = 0 by construction
+    # (coalesce over the map lookup), but keep the join total anyway
     pstart = (
-        variants.join(
-            p.filter(F.col("state") == "start").select(
-                "variant", F.col("p").alias("__p")
-            ),
-            "variant",
-            "left",
-        )
+        variants.join(pfinal, "variant", "left")
         .select(
             "variant",
             F.coalesce("__p", F.lit(0).cast("long")).alias("p_conv"),
@@ -1088,4 +1119,75 @@ def transition_entropy(
             F.floor((-F.col("__m.neg")).cast("double") / n * scale + 0.5)
             / scale
         ).alias("top_share"),
+    )
+
+
+def periodicity_signals(
+    df: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    min_events: int = 6,
+    cv_threshold: float = 0.1,
+    out_round: int = 6,
+) -> DataFrame:
+    """Automation/bot detection via inter-event regularity: humans
+    produce bursty, heavy-tailed gaps; schedulers produce metronomic
+    ones. Per user: event count, gap count, mean / sample-stddev of
+    the inter-event gap (microseconds), their coefficient of variation
+    (``cv_gap = std/mean``), and ``is_regular`` — an int flag set when
+    the user has at least ``min_events`` events and ``cv_gap`` below
+    ``cv_threshold`` (a pure Poisson process has cv = 1; real users
+    sit above 1; cron sits near 0). The flag feeds the same curation
+    path as e12's SRM check: synthetic traffic must not enter
+    behavioral corpora.
+
+    One lag window per user (bounded state) + one hash agg. Parity:
+    gaps are exact integer microsecond differences, and the variance
+    numerator ``n·Σg² − (Σg)²`` is computed in EXACT integer
+    arithmetic (decimal(38,0) here, HUGEINT in the oracle — equal
+    integer values, identical nearest-double casts) before ONE double
+    division and sqrt; a ``stddev_samp`` formulation measurably
+    diverged cross-engine at 1e-6 absolute on microsecond magnitudes
+    (~1e-16 relative — below double precision). mean/std/cv
+    floor-scaled at 1e6; zero-variance and short users get NULL cv
+    and an explicit flag."""
+    w = Window.partitionBy(user_col).orderBy(ts_col, id_col)
+    tus = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    gap = (tus - F.lag(tus).over(w)).alias("__gap")
+    g = df.select(F.col(user_col), gap)
+    scale = float(10 ** out_round)
+    fs = lambda c: F.floor(c * scale + 0.5) / scale
+    gd = F.col("__gap").cast("decimal(19,0)")
+    agg = g.groupBy(user_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        F.count("__gap").cast("long").alias("n_gaps"),
+        F.sum(gd).cast("decimal(38,0)").alias("__s"),
+        F.sum((gd * gd).cast("decimal(38,0)")).cast("decimal(38,0)")
+        .alias("__ssq"),
+    )
+    mean = F.col("__s").cast("double") / F.col("n_gaps").cast("double")
+    var_num = (
+        F.col("n_gaps").cast("decimal(38,0)") * F.col("__ssq")
+        - F.col("__s") * F.col("__s")
+    )
+    std = F.sqrt(
+        var_num.cast("double")
+        / (F.col("n_gaps") * (F.col("n_gaps") - 1)).cast("double")
+    )
+    cv = F.when(
+        (F.col("n_gaps") >= 2) & (mean > 0), fs(std / mean)
+    )
+    return agg.select(
+        user_col,
+        "n_events",
+        "n_gaps",
+        F.when(F.col("n_gaps") >= 1, fs(mean)).alias("mean_gap_us"),
+        F.when(F.col("n_gaps") >= 2, fs(std)).alias("std_gap_us"),
+        cv.alias("cv_gap"),
+        F.coalesce(
+            (F.col("n_events") >= int(min_events))
+            & (cv < float(cv_threshold)),
+            F.lit(False),
+        ).cast("int").alias("is_regular"),
     )

@@ -17,6 +17,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from basis_devkit_spark.session import local_relation
+
 
 def train_quality_classifier(
     df: DataFrame,
@@ -174,8 +176,9 @@ def score_hashed_logreg(
     weight table rides as a broadcast RELATION (num_features rows), not
     plan literals — flat compile time, the `_with_cell_ranks` rule."""
     spark = df.sparkSession
-    wdf = spark.createDataFrame(
-        [(int(i), int(v)) for i, v in enumerate(wq)], "bucket int, wq long"
+    wdf = local_relation(
+        spark, [(int(i), int(v)) for i, v in enumerate(wq)],
+        "bucket int, wq long",
     )
     toks = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
     ex = df.select(F.col(id_col), F.explode(toks).alias("__t")).select(
@@ -289,7 +292,8 @@ def score_hashed_softmax(
     one hash agg → struct-min argmax. Docs with no bigrams get the
     bias-only argmax."""
     spark = df.sparkSession
-    wdf = spark.createDataFrame(
+    wdf = local_relation(
+        spark,
         [(int(bkt), int(c), int(v)) for bkt, c, v in weight_rows],
         "bucket int, cls int, wq long",
     )
@@ -303,8 +307,9 @@ def score_hashed_softmax(
             "bucket"
         ),
     )
-    bdf = spark.createDataFrame(
-        [(int(c), int(v)) for c, v in enumerate(bq)], "cls int, bq long"
+    bdf = local_relation(
+        spark, [(int(c), int(v)) for c, v in enumerate(bq)],
+        "cls int, bq long",
     )
     scored = (
         ex.join(F.broadcast(wdf), "bucket")
@@ -376,4 +381,45 @@ def calibration_bins(
                 "pos_rate"
             ),
         )
+    )
+
+
+def calibration_bin_state(
+    df: DataFrame,
+    score_col: str,
+    label_col: str,
+    n_bins: int = 10,
+) -> DataFrame:
+    """Mergeable per-bin calibration state ``(bin, n, n_pos, ssum)`` —
+    the partial form of :func:`calibration_bins` for streaming
+    maintenance (c16/c27 ``stream_merge_to_store`` pattern): counts are
+    integer SUMs and the score sum is an exact DECIMAL(27,6) sum, so
+    states built per micro-batch and added key-wise equal the one-shot
+    state bit-for-bit (integer/decimal addition is associative — no
+    float drift across batch boundaries)."""
+    if n_bins < 1:
+        raise ValueError("n_bins must be >= 1")
+    s = F.col(score_col).cast("double")
+    b = F.least(
+        F.floor(s * n_bins).cast("int"), F.lit(int(n_bins) - 1)
+    )
+    return df.groupBy(b.alias("bin")).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(F.col(label_col).cast("long")).cast("long").alias("n_pos"),
+        F.sum(s.cast("decimal(27,6)")).cast("decimal(27,6)").alias("ssum"),
+    )
+
+
+def calibration_bins_from_state(state: DataFrame) -> DataFrame:
+    """Finalize a (merged) :func:`calibration_bin_state` relation into
+    the :func:`calibration_bins` report shape — the same floor-scaled
+    arithmetic, so a report read from streamed state equals the
+    one-shot report byte-for-byte (the c32 oracle contract)."""
+    r6 = lambda c: F.floor(c * 1000000.0 + 0.5) / 1000000.0
+    return state.select(
+        "bin",
+        "n",
+        F.col("n_pos").cast("long").alias("n_pos"),
+        r6(F.col("ssum").cast("double") / F.col("n")).alias("mean_score"),
+        r6(F.col("n_pos").cast("double") / F.col("n")).alias("pos_rate"),
     )

@@ -29,6 +29,8 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from basis_devkit_spark.session import local_relation
+
 
 def _dot(a: Column, b: Column) -> Column:
     return F.aggregate(
@@ -764,8 +766,9 @@ def ann_index_build(
         )
     )
     spark = right.sparkSession
-    centroids_df = spark.createDataFrame(
-        [(int(j), list(c)) for j, c in cents],
+    centroids_df = local_relation(
+        spark,
+        [(int(j), [float(x) for x in c]) for j, c in cents],
         "cell int, center array<double>",
     )
     return centroids_df, cells

@@ -289,7 +289,11 @@ def hist_quantiles(
     w = W.orderBy("bin").rowsBetween(W.unboundedPreceding, W.currentRow)
     cum = hist.select("bin", "cnt", F.sum("cnt").over(w).alias("cum"))
     total = hist.agg(F.sum("cnt").alias("n"))
-    qdf = hist.sparkSession.createDataFrame([(float(q),) for q in qs], "q double")
+    from basis_devkit_spark.session import local_relation
+
+    qdf = local_relation(
+        hist.sparkSession, [(float(q),) for q in qs], "q double"
+    )
     target = F.ceil(F.col("q") * F.col("n").cast("double")).alias("target")
     hits = (
         cum.crossJoin(F.broadcast(total))
@@ -380,8 +384,10 @@ def hist_quantiles_grouped(
     total = hist.groupBy(g).agg(F.sum("cnt").alias("n")).select(
         F.col(g).alias("__tg"), "n"
     )
-    qdf = df.sparkSession.createDataFrame(
-        [(float(q),) for q in qs], "q double"
+    from basis_devkit_spark.session import local_relation
+
+    qdf = local_relation(
+        df.sparkSession, [(float(q),) for q in qs], "q double"
     )
     hits = (
         cum.join(F.broadcast(total), F.col(g).eqNullSafe(F.col("__tg")))

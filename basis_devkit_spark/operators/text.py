@@ -2109,3 +2109,206 @@ def quality_ecdf_normalize(
         .withColumn(out_col, F.lit(None).cast("double"))
     )
     return out.unionByName(nulls)
+
+
+def paragraph_dedup(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_docs: int = 2,
+    para_split: str = r"\n{2,}",
+) -> DataFrame:
+    """Corpus-wide duplicated-paragraph removal (the RefinedWeb /
+    Falcon span-dedup pass at paragraph granularity): any paragraph
+    whose NORMALIZED form (lowercase, whitespace-collapsed) appears in
+    ``min_docs`` or more distinct documents is boilerplate (headers,
+    footers, licence blocks, cookie banners) and is dropped from EVERY
+    document; surviving paragraphs are reassembled in their original
+    order. Differs from d13 repeated-line removal, which is
+    WITHIN-document. Returns ``(id, text_clean, n_paragraphs,
+    n_removed)`` — one row per input document, empty string when all
+    paragraphs were boilerplate.
+
+    Scale shape: posexplode → one (paragraph-hash) count — map-side
+    combinable, grouped on a 64-bit hash of the normalized text, never
+    the text itself — → equi-join back on the hash → one per-doc
+    re-aggregation (array_sort over the doc's own bounded paragraph
+    list). No windows, no broadcast of the (unbounded) frequent set,
+    no Python; the oracle replays the same normalization and counts in
+    SQL on the raw text."""
+    pid = F.col(id_col)
+    paras = F.split(F.col(text_col), para_split)
+    ex = df.select(
+        pid.alias("__id"),
+        F.posexplode(paras).alias("__pos", "__p"),
+    ).withColumn(
+        "__norm",
+        F.regexp_replace(F.lower(F.trim(F.col("__p"))), r"\s+", " "),
+    ).filter(F.col("__norm") != "")
+    ex = ex.withColumn("__h", F.xxhash64("__norm"))
+    freq = (
+        ex.groupBy("__h")
+        .agg(F.count_distinct("__id").alias("__nd"))
+        .filter(F.col("__nd") >= int(min_docs))
+        .select("__h", F.lit(1).alias("__dup"))
+    )
+    kept = (
+        ex.join(freq, "__h", "left")
+        .withColumn("__rm", F.col("__dup").isNotNull())
+    )
+    per_doc = kept.groupBy("__id").agg(
+        F.count(F.lit(1)).cast("int").alias("n_paragraphs"),
+        F.sum(F.col("__rm").cast("int")).cast("int").alias("n_removed"),
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.when(
+                            ~F.col("__rm"),
+                            F.struct(F.col("__pos"), F.col("__p")),
+                        )
+                    )
+                ),
+                lambda s: s["__p"],
+            ),
+            "\n\n",
+        ).alias("text_clean"),
+    )
+    return (
+        df.select(pid)
+        .join(per_doc, pid == F.col("__id"), "left")
+        .select(
+            pid,
+            F.coalesce("text_clean", F.lit("")).alias("text_clean"),
+            F.coalesce("n_paragraphs", F.lit(0)).alias("n_paragraphs"),
+            F.coalesce("n_removed", F.lit(0)).alias("n_removed"),
+        )
+    )
+
+
+def encoding_signals(
+    df: DataFrame,
+    text_col: str = "text",
+    mojibake_threshold: float = 0.001,
+) -> DataFrame:
+    """Encoding-quality curation signals — the cheap pre-filter for
+    crawl text that survived a wrong charset somewhere upstream:
+
+    - ``n_replacement`` — U+FFFD replacement characters (a decoder
+      already gave up)
+    - ``n_c0_control`` — C0 control chars other than tab/newline/CR
+      (binary junk in "text")
+    - ``n_c1_control`` — U+0080–U+009F (the classic latin-1/cp1252
+      confusion band; real text never contains them)
+    - ``n_mojibake_marks`` — UTF-8-read-as-latin-1 digraph markers
+      (``A-tilde``/``A-circumflex``/``a-circumflex`` followed by a
+      latin-1 continuation-range char, or the cp1252 euro/TM pair)
+    - ``mojibake_ratio`` — (all four) / chars, floor-scaled 1e6
+    - ``is_suspect`` — int flag, ratio > ``mojibake_threshold``
+
+    Patterns use ``\\x{hhhh}`` code-point escapes — parsed identically
+    by Java regex and RE2, so the oracle shares them VERBATIM. Pure
+    regexp-count projection; zero shuffles, fuses into the scan."""
+    t = F.coalesce(F.col(text_col), F.lit(""))
+    n_chars = F.length(t)
+    n_rep = F.regexp_count(t, F.lit("\\x{FFFD}"))
+    n_c0 = F.regexp_count(
+        t, F.lit("[\\x{0000}-\\x{0008}\\x{000B}\\x{000C}\\x{000E}-\\x{001F}]")
+    )
+    n_c1 = F.regexp_count(t, F.lit("[\\x{0080}-\\x{009F}]"))
+    n_moji = F.regexp_count(
+        t,
+        F.lit(
+            "[\\x{00C2}\\x{00C3}\\x{00E2}]"
+            "[\\x{0080}-\\x{00BF}\\x{20AC}\\x{2122}\\x{201C}\\x{2019}]"
+        ),
+    )
+    bad = (n_rep + n_c0 + n_c1 + n_moji).cast("double")
+    ratio = F.when(
+        n_chars > 0,
+        F.floor(bad / n_chars.cast("double") * 1000000.0 + 0.5)
+        / 1000000.0,
+    ).otherwise(F.lit(0.0))
+    return df.select(
+        *df.columns,
+        n_rep.cast("int").alias("n_replacement"),
+        n_c0.cast("int").alias("n_c0_control"),
+        n_c1.cast("int").alias("n_c1_control"),
+        n_moji.cast("int").alias("n_mojibake_marks"),
+        ratio.alias("mojibake_ratio"),
+        (ratio > float(mojibake_threshold)).cast("int").alias(
+            "is_suspect"
+        ),
+    )
+
+
+#: Unicode script ranges for :func:`dominant_script` — BMP blocks
+#: (public Unicode data) as \\x{hhhh} code-point escapes, parsed
+#: identically by Java regex and RE2 so oracles share them verbatim.
+SCRIPT_RANGES: tuple[tuple[str, str], ...] = (
+    ("[A-Za-z\\x{00C0}-\\x{024F}]", "latin"),
+    ("[\\x{0400}-\\x{04FF}]", "cyrillic"),
+    ("[\\x{0370}-\\x{03FF}]", "greek"),
+    ("[\\x{0590}-\\x{05FF}]", "hebrew"),
+    ("[\\x{0600}-\\x{06FF}]", "arabic"),
+    ("[\\x{0900}-\\x{097F}]", "devanagari"),
+    ("[\\x{4E00}-\\x{9FFF}\\x{3400}-\\x{4DBF}]", "han"),
+    ("[\\x{3040}-\\x{309F}\\x{30A0}-\\x{30FF}]", "kana"),
+    ("[\\x{AC00}-\\x{D7AF}\\x{1100}-\\x{11FF}]", "hangul"),
+    ("[0-9]", "digit"),
+)
+
+
+def dominant_script(
+    df: DataFrame,
+    text_col: str = "text",
+) -> DataFrame:
+    """Unicode-script histogram per document — the script-level
+    language signal multilingual curation routes on before any model
+    touches the text: per-script character counts (``n_<script>`` for
+    latin / cyrillic / greek / hebrew / arabic / devanagari / han /
+    kana / hangul / digit), ``n_chars_total``, the dominant script
+    name (``script``, ties broken alphabetically; ``'other'`` when no
+    script char occurs) and its fraction (``script_frac``,
+    floor-scaled 1e6). Mixed-script text (a Latin spam injection
+    inside CJK, or vice versa) shows up directly as a low dominant
+    fraction.
+
+    One regexp-count projection per script over BMP ranges, then a
+    struct-max argmax — all column expressions, shared with the oracle
+    verbatim; zero shuffles."""
+    t = F.coalesce(F.col(text_col), F.lit(""))
+    counts = {
+        name: F.regexp_count(t, F.lit(rng)) for rng, name in SCRIPT_RANGES
+    }
+    scripts = [n for _, n in SCRIPT_RANGES if n != "digit"]
+    # argmax via struct max over (count, reversed-alphabetical-rank,
+    # name): ties take the alphabetically FIRST script under greatest()
+    ordered = sorted(scripts)
+    best = F.greatest(
+        *[
+            F.struct(
+                counts[n].alias("c"),
+                F.lit(-i).alias("o"),
+                F.lit(n).alias("s"),
+            )
+            for i, n in enumerate(ordered)
+        ]
+    )
+    dom = F.when(best["c"] > 0, best["s"]).otherwise(F.lit("other"))
+    n_chars = F.length(t)
+    frac = F.when(
+        (best["c"] > 0) & (n_chars > 0),
+        F.floor(
+            best["c"].cast("double") / n_chars.cast("double") * 1000000.0
+            + 0.5
+        )
+        / 1000000.0,
+    ).otherwise(F.lit(0.0))
+    return df.select(
+        *df.columns,
+        *[counts[n].cast("int").alias(f"n_{n}") for _, n in SCRIPT_RANGES],
+        n_chars.cast("int").alias("n_chars_total"),
+        dom.alias("script"),
+        frac.alias("script_frac"),
+    )

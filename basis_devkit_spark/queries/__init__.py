@@ -92,6 +92,26 @@ def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
 # prior order. The FULL inventory is swept every round regardless
 # (tools/sweep_correctness.py exact-hash mode, artifact committed).
 _SAMPLE_PRIORITY = [
+    # -- r13 front block: c32 streaming calibration maintenance is new;
+    # d65/d50/d58/e17/d05g/d48/d48b/d48c re-front-loaded after the r13
+    # rework (bucketed ECDF rank, sketch dial + null-safe group joins,
+    # ewma NULL parity, mp3 footer, PSL wildcards/exceptions); e18
+    # re-front-loaded after the recursive-CTE absorption fold.
+    "c32_stream_calibration_maintenance",
+    "d75_canonical_url",
+    "d76_paragraph_dedup",
+    "d77_encoding_signals",
+    "d78_script_profile",
+    "e21_periodicity_signals",
+    "d65_quality_ecdf",
+    "d50_winsorize",
+    "d58_robust_outliers",
+    "e17_ewma_control",
+    "d05g_mp3_frame_parse",
+    "d48_registrable_domain",
+    "d48b_domain_cap",
+    "d48c_url_features",
+    "e18_markov_attribution",
     # -- r8 front block. NEW queries: c16 streaming sketch maintenance,
     # d27 count-min, d26 bloom decontamination, d25 HLL sketch, d24
     # deterministic quality filter, c15 streaming quantized-index

@@ -5,6 +5,8 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+
+from basis_devkit_spark.session import local_relation
 from pyspark.sql.window import Window
 
 from basis_devkit_spark.queries import load, pyoracle, register
@@ -4386,8 +4388,9 @@ def d39(spark: SparkSession, sf: str) -> DataFrame:
 
     classes = list(pyoracle.LANGID_CLASSES)
     cls_idx = {c: i for i, c in enumerate(classes)}
-    fixtures = spark.createDataFrame(
-        list(pyoracle.LANGID_FIXTURES), "doc_id long, true_lang string, text string"
+    fixtures = local_relation(
+        spark, list(pyoracle.LANGID_FIXTURES),
+        "doc_id long, true_lang string, text string",
     )
     train = [
         (t, cls_idx[l])
@@ -6291,6 +6294,99 @@ def d51(spark: SparkSession, sf: str) -> DataFrame:
     scored = score_hashed_logreg(d, wq, bias)
     j = scored.join(labeled.select("doc_id", "label"), "doc_id")
     return calibration_bins(j, "quality_prob", "label", 10)
+
+
+@register(
+    "c32_stream_calibration_maintenance",
+    _calibration_bins_sql,
+    doc="streaming calibration-bin maintenance: the scored corpus "
+    "arrives as TWO micro-batches; each batch folds its per-bin "
+    "partial state (calibration_bin_state — integer counts + an exact "
+    "DECIMAL(27,6) score sum, perfectly mergeable) into a persisted "
+    "bin store via the exactly-once merge sink, and the reliability "
+    "report read from the maintained state "
+    "(calibration_bins_from_state) must equal the one-shot d51 report "
+    "BYTE-FOR-BYTE (same oracle). The model is fit ONCE up front (a "
+    "calibration monitor watches a FIXED trained filter — the "
+    "realistic deployment); per batch the cost is batch-sized scoring "
+    "+ one n_bins-bounded agg + an n_bins-keyed upsert",
+)
+def c32(spark: SparkSession, sf: str) -> DataFrame:
+    import glob as _glob
+    import os as _os
+    import shutil as _shutil
+    import tempfile as _tf
+
+    from basis_devkit_spark.operators.quality_model import (
+        calibration_bin_state,
+        calibration_bins_from_state,
+        fit_hashed_logreg,
+        score_hashed_logreg,
+    )
+    from basis_devkit_spark.storage.store import TableStore
+    from basis_devkit_spark.streaming.ops import stream_merge_to_store
+
+    d = load(spark, sf, "documents").select("doc_id", "text")
+    toks = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+    labeled = d.withColumn("label", (F.size(toks) >= 60).cast("int"))
+    sample = (
+        labeled.orderBy("doc_id").limit(200).select("text", "label").collect()
+    )
+    wq, bias = fit_hashed_logreg([(r["text"], r["label"]) for r in sample])
+
+    tmp = _tf.mkdtemp(prefix="bds_c32_")
+    drop = _os.path.join(tmp, "drop")
+    _os.makedirs(drop, exist_ok=True)
+    for tag, mod in (("a", 0), ("b", 1)):
+        part_dir = _os.path.join(tmp, f"part_{tag}")
+        d.filter(F.col("doc_id") % 2 == mod).coalesce(1).write.parquet(
+            part_dir
+        )
+        src = _glob.glob(_os.path.join(part_dir, "part-*.parquet"))[0]
+        _shutil.copy(src, _os.path.join(drop, f"{tag}.parquet"))
+    raw_schema = spark.read.parquet(_os.path.join(drop, "a.parquet")).schema
+
+    def merge(batch: DataFrame, existing: DataFrame | None) -> DataFrame:
+        btoks = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+        blab = batch.withColumn("label", (F.size(btoks) >= 60).cast("int"))
+        scored = score_hashed_logreg(blab.select("doc_id", "text"), wq, bias)
+        j = scored.join(blab.select("doc_id", "label"), "doc_id")
+        state = calibration_bin_state(j, "quality_prob", "label", 10)
+        if existing is None:
+            return state
+        prev = existing.select(
+            "bin", F.col("n").alias("__pn"),
+            F.col("n_pos").alias("__pp"), F.col("ssum").alias("__ps"),
+        )
+        return state.join(prev, "bin", "full").select(
+            "bin",
+            (
+                F.coalesce(F.col("n"), F.lit(0))
+                + F.coalesce(F.col("__pn"), F.lit(0))
+            ).cast("long").alias("n"),
+            (
+                F.coalesce(F.col("n_pos"), F.lit(0))
+                + F.coalesce(F.col("__pp"), F.lit(0))
+            ).cast("long").alias("n_pos"),
+            (
+                F.coalesce(F.col("ssum"), F.lit(0).cast("decimal(27,6)"))
+                + F.coalesce(F.col("__ps"), F.lit(0).cast("decimal(27,6)"))
+            ).cast("decimal(27,6)").alias("ssum"),
+        )
+
+    stream = (
+        spark.readStream.schema(raw_schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(drop)
+    )
+    store = TableStore(tmp, "calib_bins", spark)
+    store.configure(unique_on="bin")
+    q = stream_merge_to_store(stream, store, f"{tmp}/_ckpt", merge).start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return calibration_bins_from_state(store.read())
 
 
 @register(
@@ -8494,3 +8590,421 @@ def d67(spark: SparkSession, sf: str) -> DataFrame:
     release_signature_caches(out)
     release_signature_caches(pairs)
     return ck.select("node", "degree", "n_triangles", "clustering_coeff")
+
+
+# -------------------- r13 additions: URL canonicalization, paragraph
+# dedup, encoding & script signals, bot periodicity
+
+# d75 synthetic URL wheel: scheme case, default/non-default ports,
+# userinfo, tracking params, unsorted params, trailing slashes/dots,
+# fragments, junk - the same literal CASE on both engines.
+_CANON_BASE_SQL = (
+    "'w' || cast(doc_id % 3 as varchar) || '.' || lower(source) || '.com'"
+)
+_CANON_URL_CASE_SQL = f"""
+      case (doc_id % 8)
+        when 0 then 'https://www.' || {_CANON_BASE_SQL}
+                    || '/a/b/?b=2&utm_source=x&a=1#frag'
+        when 1 then 'HTTP://' || {_CANON_BASE_SQL} || ':80/index.html?gclid=123'
+        when 2 then 'https://' || {_CANON_BASE_SQL} || ':8443/path/'
+        when 3 then 'https://user:pw@' || {_CANON_BASE_SQL}
+                    || '/x%20y?z=1&y=2&x=3'
+        when 4 then 'https://' || {_CANON_BASE_SQL} || '.'
+        when 5 then 'junk url'
+        when 6 then 'https://' || {_CANON_BASE_SQL} || '/a//b///'
+        else 'ftp://' || {_CANON_BASE_SQL} || ':21/file.txt'
+      end
+"""
+
+from basis_devkit_spark.operators.domains import (  # noqa: E402
+    TRACKING_PARAM_RE as _TPRE,
+)
+
+
+@register(
+    "d75_canonical_url",
+    f"""
+    with u as (
+      select doc_id, {_CANON_URL_CASE_SQL} as url from documents
+    ), p as (
+      select doc_id, url,
+        lower(nullif(regexp_extract(url,
+          '^([A-Za-z][A-Za-z0-9+.-]*)://', 1), '')) as scheme,
+        nullif(regexp_extract(url,
+          '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)', 1), '') as authority
+      from u
+    ), q as (
+      select *, regexp_replace(authority, '^.*@', '') as hostport from p
+    ), r as (
+      select *,
+        regexp_replace(lower(regexp_replace(regexp_replace(hostport,
+          ':[0-9]+$', ''), '\\.$', '')), '^www\\.', '') as host,
+        regexp_extract(hostport, ':([0-9]+)$', 1) as port,
+        regexp_replace(regexp_extract(url,
+          '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]+([^?#]*)', 1),
+          '/+$', '') as path,
+        regexp_extract(url, '\\?([^#]*)', 1) as qs
+      from q
+    ), s as (
+      select *, list_sort(list_filter(string_split(qs, '&'),
+        x -> x <> '' and not regexp_matches(x, '{_TPRE}'))) as params
+      from r
+    )
+    select doc_id, url,
+      case when scheme is not null and host is not null and host <> ''
+        then scheme || '://' || host
+          || (case when port <> ''
+                    and not ((scheme = 'http' and port = '80')
+                             or (scheme = 'https' and port = '443'))
+               then ':' || port else '' end)
+          || path
+          || (case when len(params) > 0
+               then '?' || array_to_string(params, '&') else '' end)
+      end as canonical_url
+    from s
+    """,
+    doc="URL canonicalization for crawl dedup (canonical_url): "
+    "lowercase scheme/host, strip userinfo, default ports, fragments, "
+    "trailing slashes/dots, the www. prefix and tracking params "
+    "(utm_*, gclid, fbclid, ...); surviving params byte-sorted. Junk "
+    "stays NULL. Pure regexp+array projection - the SAME "
+    "RE2-compatible regexps run verbatim on both engines (no JVM URL "
+    "parser: the parse must be engine-identical char-for-char). The "
+    "wheel exercises scheme case, both default ports, a non-default "
+    "port, userinfo, unsorted+tracking params, trailing-dot hosts, "
+    "multi-slash paths and junk",
+)
+def d75(spark: SparkSession, sf: str) -> DataFrame:
+    from basis_devkit_spark.operators.domains import canonical_url
+
+    base = F.concat(
+        F.lit("w"), (F.col("doc_id") % 3).cast("string"), F.lit("."),
+        F.lower("source"), F.lit(".com"),
+    )
+    wheel = [
+        F.concat(F.lit("https://www."), base,
+                 F.lit("/a/b/?b=2&utm_source=x&a=1#frag")),
+        F.concat(F.lit("HTTP://"), base, F.lit(":80/index.html?gclid=123")),
+        F.concat(F.lit("https://"), base, F.lit(":8443/path/")),
+        F.concat(F.lit("https://user:pw@"), base,
+                 F.lit("/x%20y?z=1&y=2&x=3")),
+        F.concat(F.lit("https://"), base, F.lit(".")),
+        F.lit("junk url"),
+        F.concat(F.lit("https://"), base, F.lit("/a//b///")),
+        F.concat(F.lit("ftp://"), base, F.lit(":21/file.txt")),
+    ]
+    url = F.element_at(F.array(*wheel), (F.col("doc_id") % 8 + 1).cast("int"))
+    docs = load(spark, sf, "documents").withColumn("url", url)
+    return canonical_url(docs.select("doc_id", "url"), "url").select(
+        "doc_id", "url", "canonical_url"
+    )
+
+
+@register(
+    "d76_paragraph_dedup",
+    r"""
+    with src as (
+      select doc_id,
+             'Shared cookie notice.' || chr(10) || chr(10)
+             || replace(coalesce(text, ''), '. ',
+                        '.' || chr(10) || chr(10))
+             || chr(10) || chr(10) || 'All rights reserved worldwide.'
+               as text
+      from documents
+    ), base as (
+      select doc_id, regexp_split_to_array(text, '\n{2,}') as ps from src
+    ), ex0 as (
+      select doc_id, z[1] as p, z[2] as pos
+      from (
+        select doc_id,
+               unnest(list_zip(ps, generate_series(1, len(ps)))) as z
+        from base
+      )
+    ), ex as (
+      select doc_id, p, pos,
+             regexp_replace(lower(trim(p)), '\s+', ' ', 'g') as norm
+      from ex0
+      where regexp_replace(lower(trim(p)), '\s+', ' ', 'g') <> ''
+    ), freq as (
+      select norm from ex group by norm
+      having count(distinct doc_id) >= 2
+    ), k as (
+      select ex.doc_id, ex.p, ex.pos,
+             (freq.norm is not null) as rm
+      from ex left join freq using (norm)
+    ), agg as (
+      select doc_id,
+             cast(count(*) as int) as n_paragraphs,
+             cast(sum(case when rm then 1 else 0 end) as int) as n_removed,
+             coalesce(string_agg(case when not rm then p end,
+                                 chr(10) || chr(10) order by pos), '')
+               as text_clean
+      from k group by doc_id
+    )
+    select d.doc_id, coalesce(agg.text_clean, '') as text_clean,
+           coalesce(agg.n_paragraphs, 0) as n_paragraphs,
+           coalesce(agg.n_removed, 0) as n_removed
+    from documents d left join agg using (doc_id)
+    """,
+    doc="corpus-wide duplicated-paragraph removal (paragraph_dedup; "
+    "RefinedWeb/Falcon span dedup at paragraph granularity): a "
+    "normalized paragraph appearing in >= 2 distinct docs is "
+    "boilerplate and is dropped from EVERY doc, survivors reassembled "
+    "in original order (injected cookie/rights boilerplate must "
+    "vanish from all docs; sentence-split bodies dedup only where "
+    "genuinely repeated). posexplode -> hash count (map-side "
+    "combinable, grouped on xxhash64 of the norm, never the text) -> "
+    "equi-join back -> per-doc array_sort reassembly; no windows, no "
+    "broadcast of the unbounded frequent set. Differs from d13 "
+    "repeated-line removal (within-doc)",
+)
+def d76(spark: SparkSession, sf: str) -> DataFrame:
+    from basis_devkit_spark.operators.text import paragraph_dedup
+
+    nl2 = "\n\n"
+    docs = load(spark, sf, "documents").select(
+        "doc_id",
+        F.concat(
+            F.lit("Shared cookie notice." + nl2),
+            F.replace(
+                F.coalesce(F.col("text"), F.lit("")),
+                F.lit(". "), F.lit("." + nl2),
+            ),
+            F.lit(nl2 + "All rights reserved worldwide."),
+        ).alias("text"),
+    )
+    return paragraph_dedup(docs, "doc_id", "text", min_docs=2)
+
+
+_ENC_BAD_SQL = (
+    "cast(len(regexp_extract_all(text, '\\x{FFFD}'))"
+    " + len(regexp_extract_all(text,"
+    " '[\\x{0000}-\\x{0008}\\x{000B}\\x{000C}\\x{000E}-\\x{001F}]'))"
+    " + len(regexp_extract_all(text, '[\\x{0080}-\\x{009F}]'))"
+    " + len(regexp_extract_all(text,"
+    " '[\\x{00C2}\\x{00C3}\\x{00E2}]"
+    "[\\x{0080}-\\x{00BF}\\x{20AC}\\x{2122}\\x{201C}\\x{2019}]'))"
+    " as double)"
+)
+
+
+@register(
+    "d77_encoding_signals",
+    f"""
+    with src as (
+      select doc_id,
+        case (doc_id % 4)
+          when 0 then coalesce(text, '')
+          when 1 then coalesce(text, '')
+                      || ' caf' || chr(195) || chr(169) || ' clich'
+                      || chr(195) || chr(169)
+          when 2 then coalesce(text, '') || ' bad'
+                      || chr(65533) || 'byte' || chr(7) || chr(1)
+          else coalesce(text, '') || ' smart'
+               || chr(226) || chr(8364) || chr(8482) || 'quote'
+               || chr(194) || chr(160)
+        end as text
+      from documents
+    )
+    select doc_id,
+      cast(len(regexp_extract_all(text, '\\x{{FFFD}}')) as int)
+        as n_replacement,
+      cast(len(regexp_extract_all(text,
+        '[\\x{{0000}}-\\x{{0008}}\\x{{000B}}\\x{{000C}}\\x{{000E}}-\\x{{001F}}]'))
+        as int) as n_c0_control,
+      cast(len(regexp_extract_all(text, '[\\x{{0080}}-\\x{{009F}}]')) as int)
+        as n_c1_control,
+      cast(len(regexp_extract_all(text,
+        '[\\x{{00C2}}\\x{{00C3}}\\x{{00E2}}][\\x{{0080}}-\\x{{00BF}}\\x{{20AC}}\\x{{2122}}\\x{{201C}}\\x{{2019}}]'))
+        as int) as n_mojibake_marks,
+      case when len(text) > 0 then
+        floor({_ENC_BAD_SQL} / len(text) * 1000000.0 + 0.5) / 1000000.0
+        else 0.0 end as mojibake_ratio,
+      cast(case when len(text) > 0 then
+        (floor({_ENC_BAD_SQL} / len(text) * 1000000.0 + 0.5) / 1000000.0)
+          > 0.001
+        else false end as int) as is_suspect
+    from src
+    """,
+    doc="encoding-quality signals (encoding_signals): U+FFFD "
+    "replacement chars, C0 controls (minus tab/NL/CR), the C1 "
+    "latin-1/cp1252 confusion band, and UTF-8-read-as-latin-1 "
+    "mojibake digraphs (A-tilde/A-circ/a-circ + continuation or "
+    "cp1252 euro/TM/quote pair) - the cheap pre-filter for text that "
+    "survived a wrong charset. All patterns are \\x{{hhhh}} code-point "
+    "escapes parsed identically by Java regex and RE2, shared "
+    "VERBATIM with the oracle; the wheel injects clean text, real "
+    "French-accent mojibake, binary junk and cp1252 smart quotes",
+)
+def d77(spark: SparkSession, sf: str) -> DataFrame:
+    from basis_devkit_spark.operators.text import encoding_signals
+
+    t = F.coalesce(F.col("text"), F.lit(""))
+    moji = " cafÃ© clichÃ©"
+    junk = " bad�byte"
+    smart = " smartâ€™quoteÂ "
+    wheel = F.element_at(
+        F.array(
+            t,
+            F.concat(t, F.lit(moji)),
+            F.concat(t, F.lit(junk)),
+            F.concat(t, F.lit(smart)),
+        ),
+        (F.col("doc_id") % 4 + 1).cast("int"),
+    )
+    docs = load(spark, sf, "documents").select(
+        "doc_id", wheel.alias("text")
+    )
+    out = encoding_signals(docs, "text")
+    return out.select(
+        "doc_id", "n_replacement", "n_c0_control", "n_c1_control",
+        "n_mojibake_marks", "mojibake_ratio", "is_suspect",
+    )
+
+
+@register(
+    "d78_script_profile",
+    r"""
+    with src as (
+      select doc_id,
+        case (doc_id % 5)
+          when 0 then coalesce(text, '')
+          when 1 then coalesce(text, '') || ' '
+                      || chr(1055) || chr(1088) || chr(1080) || chr(1074)
+                      || chr(1077) || chr(1090)
+          when 2 then chr(20320) || chr(22909) || chr(19990) || chr(30028)
+                      || chr(12371) || chr(12435)
+          when 3 then chr(44608) || chr(52824) || ' ' || chr(1606)
+                      || chr(1589) || chr(1617)
+          else '12345 67890'
+        end as text
+      from documents
+    ), c as (
+      select doc_id, text,
+        cast(len(regexp_extract_all(text, '[A-Za-z\x{00C0}-\x{024F}]')) as int) as n_latin,
+        cast(len(regexp_extract_all(text, '[\x{0400}-\x{04FF}]')) as int) as n_cyrillic,
+        cast(len(regexp_extract_all(text, '[\x{0370}-\x{03FF}]')) as int) as n_greek,
+        cast(len(regexp_extract_all(text, '[\x{0590}-\x{05FF}]')) as int) as n_hebrew,
+        cast(len(regexp_extract_all(text, '[\x{0600}-\x{06FF}]')) as int) as n_arabic,
+        cast(len(regexp_extract_all(text, '[\x{0900}-\x{097F}]')) as int) as n_devanagari,
+        cast(len(regexp_extract_all(text, '[\x{4E00}-\x{9FFF}\x{3400}-\x{4DBF}]')) as int) as n_han,
+        cast(len(regexp_extract_all(text, '[\x{3040}-\x{309F}\x{30A0}-\x{30FF}]')) as int) as n_kana,
+        cast(len(regexp_extract_all(text, '[\x{AC00}-\x{D7AF}\x{1100}-\x{11FF}]')) as int) as n_hangul,
+        cast(len(regexp_extract_all(text, '[0-9]')) as int) as n_digit,
+        cast(len(text) as int) as n_chars_total
+      from src
+    ), m as (
+      select *,
+        greatest(n_arabic, n_cyrillic, n_devanagari, n_greek, n_han,
+                 n_hangul, n_hebrew, n_kana, n_latin) as best_c
+      from c
+    ), s2 as (
+      select *,
+        case when best_c = 0 then 'other'
+             when n_arabic = best_c then 'arabic'
+             when n_cyrillic = best_c then 'cyrillic'
+             when n_devanagari = best_c then 'devanagari'
+             when n_greek = best_c then 'greek'
+             when n_han = best_c then 'han'
+             when n_hangul = best_c then 'hangul'
+             when n_hebrew = best_c then 'hebrew'
+             when n_kana = best_c then 'kana'
+             else 'latin' end as script
+      from m
+    )
+    select doc_id, n_latin, n_cyrillic, n_greek, n_hebrew, n_arabic,
+           n_devanagari, n_han, n_kana, n_hangul, n_digit, n_chars_total,
+           script,
+           case when best_c > 0 and n_chars_total > 0 then
+             floor(cast(best_c as double) / n_chars_total * 1000000.0
+                   + 0.5) / 1000000.0
+             else 0.0 end as script_frac
+    from s2
+    """,
+    doc="Dominant-script routing signal (dominant_script, the argmax "
+    "companion to d47 script_profile fractions): per-script char "
+    "counts over BMP ranges (latin/cyrillic/greek/hebrew/arabic/"
+    "devanagari/han/kana/hangul/digit - public Unicode block data as "
+    "\\x{hhhh} escapes shared verbatim), dominant script via "
+    "struct-max argmax (alphabetical tie-break) and its 1e6-floored "
+    "fraction - the script-level routing signal multilingual curation "
+    "applies before any model. The wheel mixes pure-ASCII docs, "
+    "Cyrillic suffixes, Han+Kana, Hangul+Arabic and digit-only text",
+)
+def d78(spark: SparkSession, sf: str) -> DataFrame:
+    from basis_devkit_spark.operators.text import dominant_script
+
+    t = F.coalesce(F.col("text"), F.lit(""))
+    ru = " Привет"
+    cjk = "你好世界こん"
+    mixed = "김차 نصّ"
+    wheel = F.element_at(
+        F.array(
+            t,
+            F.concat(t, F.lit(ru)),
+            F.lit(cjk),
+            F.lit(mixed),
+            F.lit("12345 67890"),
+        ),
+        (F.col("doc_id") % 5 + 1).cast("int"),
+    )
+    docs = load(spark, sf, "documents").select(
+        "doc_id", wheel.alias("text")
+    )
+    return dominant_script(docs, "text").select(
+        "doc_id", "n_latin", "n_cyrillic", "n_greek", "n_hebrew",
+        "n_arabic", "n_devanagari", "n_han", "n_kana", "n_hangul",
+        "n_digit", "n_chars_total", "script", "script_frac",
+    )
+
+
+@register(
+    "e21_periodicity_signals",
+    """
+    with g as (
+      select user_id,
+             epoch_us(cast(ts as timestamp))
+               - lag(epoch_us(cast(ts as timestamp))) over (
+                   partition by user_id order by ts, event_id) as gap
+      from events
+    ), a as (
+      select user_id,
+             cast(count(*) as bigint) as n_events,
+             cast(count(gap) as bigint) as n_gaps,
+             sum(cast(gap as hugeint)) as s1,
+             sum(cast(gap as hugeint) * cast(gap as hugeint)) as s2
+      from g group by user_id
+    ), v as (
+      select user_id, n_events, n_gaps,
+             cast(s1 as double) / n_gaps as m,
+             sqrt(cast(n_gaps * s2 - s1 * s1 as double)
+                  / (n_gaps * (n_gaps - 1))) as s
+      from a
+    )
+    select user_id, n_events, n_gaps,
+      case when n_gaps >= 1
+        then floor(m * 1000000.0 + 0.5) / 1000000.0 end as mean_gap_us,
+      case when n_gaps >= 2
+        then floor(s * 1000000.0 + 0.5) / 1000000.0 end as std_gap_us,
+      case when n_gaps >= 2 and m > 0
+        then floor(s / m * 1000000.0 + 0.5) / 1000000.0 end as cv_gap,
+      cast(coalesce(n_events >= 6 and
+        (case when n_gaps >= 2 and m > 0
+          then floor(s / m * 1000000.0 + 0.5) / 1000000.0 end) < 0.1,
+        false) as int) as is_regular
+    from v
+    """,
+    doc="bot/automation periodicity signals (periodicity_signals): "
+    "per-user inter-event-gap mean/stddev and coefficient of "
+    "variation - cron is metronomic (cv near 0), Poisson is cv = 1, "
+    "humans sit above; the is_regular flag keeps synthetic traffic "
+    "out of behavioral corpora (the e12 SRM companion). One lag "
+    "window per user + one hash agg; exact integer microsecond gaps, "
+    "b23 stddev-parity contract, 1e6 floor-scaling, explicit NULLs "
+    "for short/zero-variance users",
+)
+def e21(spark: SparkSession, sf: str) -> DataFrame:
+    from basis_devkit_spark.operators.events import periodicity_signals
+
+    ev = load(spark, sf, "events").select("user_id", "ts", "event_id")
+    return periodicity_signals(ev, "user_id", "ts", "event_id")

@@ -10,6 +10,8 @@ import tempfile
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from basis_devkit_spark.session import local_relation
+
 from basis_devkit_spark.queries import load, register
 
 
@@ -351,7 +353,7 @@ def a17(spark: SparkSession, sf: str) -> DataFrame:
     StateStore(tmp).save("node1", {"cursor": "42", "phase": "two"})
     reloaded = StateStore(tmp).load("node1")  # fresh instance, disk read
     rows = sorted(reloaded.items())
-    return spark.createDataFrame(rows, "key string, value string")
+    return local_relation(spark, rows, "key string, value string")
 
 
 @register(
@@ -543,7 +545,7 @@ def a23(spark: SparkSession, sf: str) -> DataFrame:
     for _ in range(16):
         at = next_fire("*/15 0-3 1 1 *", at)
         fires.append((at,))
-    return spark.createDataFrame(fires, "ts timestamp")
+    return local_relation(spark, fires, "ts timestamp")
 
 
 @register(

@@ -8,6 +8,8 @@ from __future__ import annotations
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+
+from basis_devkit_spark.session import local_relation
 from pyspark.sql import types as T
 from pyspark.sql.window import Window
 
@@ -241,8 +243,9 @@ def b14(spark: SparkSession, sf: str) -> DataFrame:
     o = load(spark, sf, "orders")
     semi = c.join(o, c.c_custkey == o.o_custkey, "left_semi").count()
     anti = c.join(o, c.c_custkey == o.o_custkey, "left_anti").count()
-    return spark.createDataFrame(
-        [(semi, anti)], "n_with_orders bigint, n_without_orders bigint"
+    return local_relation(
+        spark, [(semi, anti)],
+        "n_with_orders bigint, n_without_orders bigint",
     )
 
 

@@ -58,3 +58,32 @@ def get_spark(
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
     return builder.getOrCreate()
+
+
+def local_relation(spark: SparkSession, rows, schema):
+    """Tiny literal DataFrame as a JVM-side LocalRelation.
+
+    ``spark.createDataFrame(list)`` routes through ``parallelize`` — a
+    default-parallelism python-RDD scan that costs a full multi-task
+    job dispatch (~2-5 s on local[32]) EVERY time an action evaluates
+    it; going through a pandas frame with Arrow enabled produces a true
+    LocalRelation (~0.03 s, no job). Use this for every bounded literal
+    relation on a hot path (seed rows, quantile lists, weight tables).
+    ``schema`` is a DDL string or StructType; ``rows`` a list of tuples
+    (possibly empty).
+    """
+    import pandas as pd
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import StructType, _parse_datatype_string
+
+    st: StructType = (
+        _parse_datatype_string(schema) if isinstance(schema, str) else schema
+    )
+    if not rows:
+        # empty pandas frames fall back to parallelize — build the
+        # empty relation JVM-side instead
+        return spark.range(0).select(
+            *[F.lit(None).cast(f.dataType).alias(f.name) for f in st]
+        )
+    pdf = pd.DataFrame(rows, columns=list(st.names))
+    return spark.createDataFrame(pdf, st)

@@ -50,6 +50,8 @@ from typing import Any
 from pyspark import StorageLevel
 from pyspark.sql import DataFrame, Observation, SparkSession
 from pyspark.sql import functions as F
+
+from basis_devkit_spark.session import local_relation
 from pyspark.sql import types as T
 from pyspark.sql.window import Window
 
@@ -690,7 +692,7 @@ class TableStore:
             schema = (
                 T.StructType.fromJson(json.loads(sj)) if sj else self.read().schema
             )
-            out = self.spark.createDataFrame([], schema)
+            out = local_relation(self.spark, [], schema)
         for col, op, val in filters:
             out = out.filter(_filter_expr(col, op, val))
         return out
@@ -883,7 +885,7 @@ class TableStore:
     def read_or_empty(self, schema: T.StructType | None = None) -> DataFrame:
         if self.has_active_version():
             return self.read()
-        return self.spark.createDataFrame([], schema or T.StructType([]))
+        return local_relation(self.spark, [], schema or T.StructType([]))
 
     # ---------------- write decoration ----------------
     def _apply_hints(self, df: DataFrame) -> DataFrame:
@@ -1470,8 +1472,9 @@ class TableStore:
                             None if n[f"__{m}_{c}"] is None else str(n[f"__{m}_{c}"]),
                         )
                     )
-        return self.spark.createDataFrame(
-            rows, "column string, metric string, old string, new string"
+        return local_relation(
+            self.spark, rows,
+            "column string, metric string, old string, new string",
         )
 
     def truncate(self) -> None:
@@ -1479,7 +1482,7 @@ class TableStore:
         if not self.has_active_version():
             return
         schema = self.read().schema
-        empty = self.spark.createDataFrame([], schema)
+        empty = local_relation(self.spark, [], schema)
         v, _ = self._commit_single_dir_version(empty)
         self.set_active_version(v, record_count=0)
 

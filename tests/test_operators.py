@@ -6225,3 +6225,173 @@ def test_transition_entropy_handcomputed(spark):
     assert out["B"]["top_next"] == "C"  # 2-2 tie -> smallest state
     assert out["B"]["top_share"] == 0.5
     assert out["B"]["n_out"] == 4 and out["B"]["n_next_states"] == 2
+
+
+def test_canonical_url_semantics(spark):
+    """URL canonicalization: scheme/host case, userinfo, default vs
+    non-default ports, tracking-param strip, param byte-sort,
+    trailing slash/dot, fragments, junk -> NULL, custom tracking
+    pattern, strip_www dial; pure projection."""
+    from pyspark.sql import functions as F
+
+    from basis_devkit_spark.operators.domains import canonical_url
+
+    cases = [
+        (1, "https://www.Example.COM:443/a/b/?b=2&utm_source=x&a=1#f",
+         "https://example.com/a/b?a=1&b=2"),
+        (2, "HTTP://u:p@Host.org:80/idx.html?gclid=1",
+         "http://host.org/idx.html"),
+        (3, "https://h.net:8443/p/", "https://h.net:8443/p"),
+        (4, "https://h.net./", "https://h.net"),
+        (5, "junk", None),
+        (6, None, None),
+        (7, "https://h.net/a//b///?z=1&y=2", "https://h.net/a//b?y=2&z=1"),
+        (8, "ftp://h.net:21/f.txt", "ftp://h.net:21/f.txt"),
+        (9, "https://h.net?fbclid=abc&q=1", "https://h.net?q=1"),
+    ]
+    df = spark.createDataFrame(
+        [(i, u) for i, u, _ in cases], "doc_id long, url string"
+    )
+    out = canonical_url(df, "url")
+    got = {r.doc_id: r.canonical_url for r in out.collect()}
+    for i, _, want in cases:
+        assert got[i] == want, (i, got[i], want)
+    # strip_www=False keeps the prefix
+    keep = canonical_url(df, "url", strip_www=False)
+    assert {r.doc_id: r.canonical_url for r in keep.collect()}[1] == (
+        "https://www.example.com/a/b?a=1&b=2"
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan and "Join" not in plan
+    assert "EvalPython" not in plan
+
+
+def test_paragraph_dedup_semantics(spark):
+    """Corpus-wide boilerplate paragraphs (>= min_docs distinct docs)
+    vanish from every doc; unique paragraphs survive in original
+    order; normalization is case/whitespace-insensitive; all-boiler
+    docs come back as empty string; within-doc repeats do NOT count
+    as cross-doc."""
+    from basis_devkit_spark.operators.text import paragraph_dedup
+
+    b = "Cookie notice."
+    rows = [
+        (1, b + "\n\nAlpha one.\n\nBeta two."),
+        (2, "COOKIE   notice.\n\nGamma three."),   # normalized match
+        (3, b),                                    # all boilerplate
+        (4, "Solo para.\n\nSolo para."),           # within-doc repeat only
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r for r in
+           paragraph_dedup(df, "doc_id", "text", min_docs=2).collect()}
+    assert out[1].text_clean == "Alpha one.\n\nBeta two."
+    assert out[1].n_paragraphs == 3 and out[1].n_removed == 1
+    assert out[2].text_clean == "Gamma three."
+    assert out[3].text_clean == "" and out[3].n_removed == 1
+    # same doc twice is NOT >= 2 distinct docs
+    assert out[4].n_removed == 0
+    assert out[4].text_clean == "Solo para.\n\nSolo para."
+
+
+def test_encoding_signals_handcomputed(spark):
+    """Replacement chars, C0 (minus tab/NL/CR), C1 band, mojibake
+    digraphs, ratio + flag; clean text scores zero."""
+    from basis_devkit_spark.operators.text import encoding_signals
+
+    clean = "A perfectly normal sentence with tab\tand newline\n."
+    moji = "cafÃ© and â€™quoteÂ "
+    junk = "x�yzw"
+    df = spark.createDataFrame(
+        [(1, clean), (2, moji), (3, junk), (4, ""), (5, None)],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in encoding_signals(df, "text").collect()}
+    assert out[1].n_replacement == 0 and out[1].n_c0_control == 0
+    assert out[1].n_c1_control == 0 and out[1].n_mojibake_marks == 0
+    assert out[1].is_suspect == 0
+    # cafÃ© -> 1 digraph; â€™ -> 1; Â + nbsp... nbsp is A0 (not C1)
+    assert out[2].n_mojibake_marks >= 2 and out[2].is_suspect == 1
+    assert out[3].n_replacement == 1       # U+FFFD
+    assert out[3].n_c0_control == 1        # BEL
+    assert out[3].n_c1_control == 1        # U+0085 NEL
+    assert out[3].is_suspect == 1
+    for i in (4, 5):
+        assert out[i].mojibake_ratio == 0.0 and out[i].is_suspect == 0
+
+
+def test_dominant_script_handcomputed(spark):
+    """Per-script counts, dominant script with alphabetical tie-break,
+    digit-only -> 'other', fraction floor-scaling."""
+    from basis_devkit_spark.operators.text import dominant_script
+
+    ru = "Привет"          # 6 Cyrillic
+    han = "你好"                                  # 2 Han
+    kana = "こん"                                 # 2 Kana
+    hangul = "가나"                               # 2 Hangul
+    arabic = "نص"                               # 2 Arabic
+    rows = [
+        (1, "hello world"),            # latin
+        (2, ru + " ok"),               # cyrillic 6 > latin 2
+        (3, han + kana),               # han == kana == 2 -> 'han'
+        (4, hangul + arabic),          # tie -> 'arabic' (alphabetical)
+        (5, "123 456"),                # digits only -> 'other'
+        (6, ""),                       # empty
+        (7, None),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r for r in dominant_script(df, "text").collect()}
+    assert out[1].script == "latin" and out[1].n_latin == 10
+    assert out[2].script == "cyrillic" and out[2].n_cyrillic == 6
+    assert out[3].script == "han" and out[3].n_kana == 2
+    assert out[4].script == "arabic" and out[4].n_hangul == 2
+    assert out[5].script == "other" and out[5].n_digit == 6
+    assert out[5].script_frac == 0.0
+    for i in (6, 7):
+        assert out[i].script == "other" and out[i].n_chars_total == 0
+    # fraction: 6 cyrillic / 9 chars
+    assert abs(out[2].script_frac - 666667 / 1e6) < 1e-9
+
+
+def test_periodicity_signals_handcomputed(spark):
+    """Metronomic user flagged, human-bursty user not, exact integer
+    variance path (n*ssq - s^2), short users NULL cv, single-event
+    user NULL mean."""
+    from datetime import datetime
+
+    from basis_devkit_spark.operators.events import periodicity_signals
+
+    t = lambda s: datetime(2024, 1, 1, 0, 0, s)
+    rows = (
+        # bot: exactly every 5 s, 7 events
+        [(i, "bot", t(5 * i)) for i in range(1, 8)]
+        # human: irregular gaps 1,10,2,40,3,9
+        + [(100 + i, "hum", t(s))
+           for i, s in enumerate([0, 1, 11, 13, 53, 56])]
+        + [(200, "solo", t(0))]
+        + [(300, "pair", t(0)), (301, "pair", t(30))]
+    )
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id string, ts timestamp"
+    )
+    out = {r.user_id: r for r in
+           periodicity_signals(df, min_events=6, cv_threshold=0.1)
+           .collect()}
+    bot = out["bot"]
+    assert bot.n_events == 7 and bot.n_gaps == 6
+    assert bot.mean_gap_us == 5_000_000.0
+    assert bot.std_gap_us == 0.0 and bot.cv_gap == 0.0
+    assert bot.is_regular == 1
+    hum = out["hum"]
+    assert hum.is_regular == 0 and hum.cv_gap > 0.5
+    # hand-check the exact variance: gaps in seconds 1,10,2,40,3
+    import math
+    gaps = [1e6, 10e6, 2e6, 40e6, 3e6]
+    n = len(gaps)
+    s1, s2 = sum(gaps), sum(g * g for g in gaps)
+    std = math.sqrt((n * s2 - s1 * s1) / (n * (n - 1)))
+    assert abs(hum.std_gap_us - std) < 1.0
+    assert out["solo"].mean_gap_us is None
+    assert out["solo"].n_events == 1 and out["solo"].is_regular == 0
+    pair = out["pair"]
+    assert pair.mean_gap_us == 30_000_000.0 and pair.std_gap_us is None
+    assert pair.cv_gap is None and pair.is_regular == 0
