@@ -312,8 +312,11 @@ def label_propagation(
     one struct-min argmax per node — no windows, no collect; the
     symmetric edge relation is persisted across rounds (multi-consumer,
     see ``_canonical_edges``) and rides the result for release via
-    ``dedup.release_signature_caches``. Lineage is truncated with the
-    pagerank checkpoint cadence, superseded checkpoint blocks released."""
+    ``dedup.release_signature_caches``. Labels are checkpointed EVERY
+    round (node-sized, one tiny job each): the next round consumes the
+    label relation twice, so un-truncated lineage re-evaluates ~2^k
+    times by round k (measured 18 s → 62 s from 2 to 4 rounds at 10M
+    edges); superseded checkpoint blocks are released."""
     from .lineage import release_plan_blocks
 
     und = _canonical_edges(edges, src, dst)
@@ -339,7 +342,12 @@ def label_propagation(
         labels = labels.join(best, "node", "left").select(
             "node", F.coalesce("__new", "__l").alias("__l")
         )
-        if (it + 1) % 4 == 0 and it + 1 < iters:
+        # materialize EVERY round: `labels` is consumed TWICE by the
+        # next round (the neighbor join and the left-join update), so
+        # un-truncated lineage re-evaluates ~2^k times by round k —
+        # measured 18 s (2 rounds) -> 62 s (4 rounds) at 10M edges
+        # before this; the checkpoint is node-sized, one tiny job/round
+        if it + 1 < iters:
             labels = labels.localCheckpoint(eager=True)
             if prev_ckpt is not None:
                 release_plan_blocks(prev_ckpt)

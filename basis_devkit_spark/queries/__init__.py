@@ -98,6 +98,7 @@ _SAMPLE_PRIORITY = [
     # ewma NULL parity, mp3 footer, PSL wildcards/exceptions); e18
     # re-front-loaded after the recursive-CTE absorption fold.
     "c32_stream_calibration_maintenance",
+    "c33_stream_domain_profile_maintenance",
     "d75_canonical_url",
     "d76_paragraph_dedup",
     "d77_encoding_signals",

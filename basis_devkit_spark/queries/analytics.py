@@ -9008,3 +9008,133 @@ def e21(spark: SparkSession, sf: str) -> DataFrame:
 
     ev = load(spark, sf, "events").select("user_id", "ts", "event_id")
     return periodicity_signals(ev, "user_id", "ts", "event_id")
+
+
+@register(
+    "c33_stream_domain_profile_maintenance",
+    f"""
+    with q as (
+      select doc_id, source, {_QUALITY_EXPR} as quality_score,
+             strlen(coalesce(text, '')) as nb
+      from ({_STATS_SQL})
+    ), u as (
+      select doc_id, quality_score, nb, {_SYNTH_URL_SQL} as url from q
+    ), {_DOMAIN_SQL}
+    select domain,
+           cast(count(*) as bigint) as n_docs,
+           cast(sum(nb) as bigint) as n_bytes,
+           floor(sum(cast(quality_score as decimal(18,6)))
+                 / count(*) * 1000000.0 + 0.5) / 1000000.0
+             as mean_quality,
+           min(doc_id) as min_doc_id, max(doc_id) as max_doc_id
+    from dom where domain is not null
+    group by domain
+    """,
+    doc="streaming per-domain profile maintenance: the corpus arrives "
+    "as TWO micro-batches; each batch folds its per-domain partial "
+    "state (doc count, byte sum, DECIMAL(18,6) quality sum, id "
+    "min/max - every piece mergeable by SUM/MIN/MAX) into a persisted "
+    "domain store via the exactly-once merge sink, and the report "
+    "read from the maintained state must equal the one-shot d57 "
+    "profile BYTE-FOR-BYTE (same oracle). The r12-verdict task #6 "
+    "companion to c32: the domain mix monitor a streaming crawl "
+    "ingest prints per commit without re-reading history",
+)
+def c33(spark: SparkSession, sf: str) -> DataFrame:
+    import glob as _glob
+    import os as _os
+    import shutil as _shutil
+    import tempfile as _tf
+
+    from basis_devkit_spark.operators.domains import registrable_domain
+    from basis_devkit_spark.operators.text import quality_score
+    from basis_devkit_spark.storage.store import TableStore
+    from basis_devkit_spark.streaming.ops import stream_merge_to_store
+
+    d0 = load(spark, sf, "documents").select("doc_id", "source", "text")
+
+    tmp = _tf.mkdtemp(prefix="bds_c33_")
+    drop = _os.path.join(tmp, "drop")
+    _os.makedirs(drop, exist_ok=True)
+    for tag, mod in (("a", 0), ("b", 1)):
+        part_dir = _os.path.join(tmp, f"part_{tag}")
+        d0.filter(F.col("doc_id") % 2 == mod).coalesce(1).write.parquet(
+            part_dir
+        )
+        src = _glob.glob(_os.path.join(part_dir, "part-*.parquet"))[0]
+        _shutil.copy(src, _os.path.join(drop, f"{tag}.parquet"))
+    raw_schema = spark.read.parquet(_os.path.join(drop, "a.parquet")).schema
+
+    def _state(batch: DataFrame) -> DataFrame:
+        b = quality_score(batch, "text").withColumn("url", _synth_url_col())
+        dom = registrable_domain(b, "url").filter(
+            F.col("domain").isNotNull()
+        )
+        return dom.groupBy("domain").agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum(
+                F.octet_length(F.coalesce(F.col("text"), F.lit("")))
+            ).cast("long").alias("n_bytes"),
+            F.sum(F.col("quality_score").cast("decimal(18,6)"))
+            .cast("decimal(18,6)").alias("qsum"),
+            F.min("doc_id").alias("min_doc_id"),
+            F.max("doc_id").alias("max_doc_id"),
+        )
+
+    def merge(batch: DataFrame, existing: DataFrame | None) -> DataFrame:
+        state = _state(batch)
+        if existing is None:
+            return state
+        prev = existing.select(
+            "domain", F.col("n_docs").alias("__pd"),
+            F.col("n_bytes").alias("__pb"), F.col("qsum").alias("__pq"),
+            F.col("min_doc_id").alias("__pmin"),
+            F.col("max_doc_id").alias("__pmax"),
+        )
+        return state.join(prev, "domain", "full").select(
+            "domain",
+            (
+                F.coalesce(F.col("n_docs"), F.lit(0))
+                + F.coalesce(F.col("__pd"), F.lit(0))
+            ).cast("long").alias("n_docs"),
+            (
+                F.coalesce(F.col("n_bytes"), F.lit(0))
+                + F.coalesce(F.col("__pb"), F.lit(0))
+            ).cast("long").alias("n_bytes"),
+            (
+                F.coalesce(F.col("qsum"), F.lit(0).cast("decimal(18,6)"))
+                + F.coalesce(F.col("__pq"), F.lit(0).cast("decimal(18,6)"))
+            ).cast("decimal(18,6)").alias("qsum"),
+            F.least(
+                F.coalesce("min_doc_id", "__pmin"),
+                F.coalesce("__pmin", "min_doc_id"),
+            ).alias("min_doc_id"),
+            F.greatest(
+                F.coalesce("max_doc_id", "__pmax"),
+                F.coalesce("__pmax", "max_doc_id"),
+            ).alias("max_doc_id"),
+        )
+
+    stream = (
+        spark.readStream.schema(raw_schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(drop)
+    )
+    store = TableStore(tmp, "domain_profile", spark)
+    store.configure(unique_on="domain")
+    q = stream_merge_to_store(stream, store, f"{tmp}/_ckpt", merge).start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    st = store.read()
+    return st.select(
+        "domain", "n_docs", "n_bytes",
+        (
+            F.floor(
+                F.col("qsum").cast("double")
+                / F.col("n_docs").cast("double") * 1000000.0 + 0.5
+            ) / 1000000.0
+        ).alias("mean_quality"),
+        "min_doc_id", "max_doc_id",
+    )
