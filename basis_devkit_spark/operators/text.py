@@ -2312,3 +2312,77 @@ def dominant_script(
         dom.alias("script"),
         frac.alias("script_frac"),
     )
+
+
+def snapshot_novelty(
+    new_df: DataFrame,
+    old_df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    para_split: str = r"\n{2,}",
+    rate_round: int = 6,
+) -> DataFrame:
+    """Cross-snapshot novelty report — the dedup-planning pass run
+    BEFORE ingesting a new crawl dump against the corpus you already
+    have: for each new document, the fraction of its normalized
+    paragraphs that do NOT already appear anywhere in the previous
+    snapshot. A dump whose novelty distribution collapses toward 0 is
+    a re-crawl not worth paying ingest + dedup for; per-doc novelty
+    also feeds keep/drop thresholds directly. Returns ``(id,
+    n_paragraphs, n_seen, novelty)`` per NEW document; documents with
+    no non-empty paragraphs report NULL novelty.
+
+    Scale shape: both sides posexplode to normalized-paragraph HASHES
+    (xxhash64 — the old snapshot's text never moves, only 8-byte
+    hashes); the membership test is one distinct + equi-join on the
+    hash (shuffle-partitioned, never broadcast — the old snapshot is
+    unbounded), then one per-doc aggregate. The :func:`paragraph_dedup`
+    normalization is reused verbatim, so novelty and dedup agree on
+    what 'the same paragraph' means."""
+    def _paras(df: DataFrame):
+        return (
+            df.select(
+                F.col(id_col).alias("__id"),
+                F.explode(F.split(F.col(text_col), para_split)).alias(
+                    "__p"
+                ),
+            )
+            .withColumn(
+                "__norm",
+                F.regexp_replace(
+                    F.lower(F.trim(F.col("__p"))), r"\s+", " "
+                ),
+            )
+            .filter(F.col("__norm") != "")
+            .select("__id", F.xxhash64("__norm").alias("__h"))
+        )
+
+    new_p = _paras(new_df)
+    old_h = _paras(old_df).select("__h").distinct().withColumn(
+        "__seen", F.lit(1)
+    )
+    scale = float(10 ** rate_round)
+    per_doc = (
+        new_p.join(old_h, "__h", "left")
+        .groupBy("__id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_paragraphs"),
+            F.sum(F.coalesce("__seen", F.lit(0))).cast("long").alias(
+                "n_seen"
+            ),
+        )
+    )
+    novelty = F.floor(
+        (F.col("n_paragraphs") - F.col("n_seen")).cast("double")
+        / F.col("n_paragraphs").cast("double") * scale + 0.5
+    ) / scale
+    return (
+        new_df.select(F.col(id_col))
+        .join(per_doc, F.col(id_col) == F.col("__id"), "left")
+        .select(
+            id_col,
+            F.coalesce("n_paragraphs", F.lit(0)).alias("n_paragraphs"),
+            F.coalesce("n_seen", F.lit(0)).alias("n_seen"),
+            F.when(F.col("n_paragraphs") > 0, novelty).alias("novelty"),
+        )
+    )

@@ -100,6 +100,8 @@ _SAMPLE_PRIORITY = [
     "c32_stream_calibration_maintenance",
     "c33_stream_domain_profile_maintenance",
     "d75_canonical_url",
+    "d79_matryoshka_truncation_recall",
+    "d80_snapshot_novelty",
     "d76_paragraph_dedup",
     "d77_encoding_signals",
     "d78_script_profile",

@@ -9138,3 +9138,145 @@ def c33(spark: SparkSession, sf: str) -> DataFrame:
         ).alias("mean_quality"),
         "min_doc_id", "max_doc_id",
     )
+
+
+@register(
+    "d79_matryoshka_truncation_recall",
+    """
+    with qs as (
+      select vec_id, embedding from embeddings where vec_id < 30
+    ), ex_scored as (
+      select q.vec_id as query_id, c.vec_id as match_id,
+             round(list_cosine_similarity(
+               list_transform(q.embedding, x -> cast(x as double)),
+               list_transform(c.embedding, x -> cast(x as double))), 4)
+               as score
+      from qs q join embeddings c on q.vec_id != c.vec_id
+    ), ex as (
+      select query_id, match_id from (
+        select query_id, match_id,
+               row_number() over (partition by query_id
+                                  order by score desc, match_id) as rank
+        from ex_scored
+      ) where rank <= 5
+    ), tr_scored as (
+      select q.vec_id as query_id, c.vec_id as match_id,
+             round(list_cosine_similarity(
+               list_transform(q.embedding[1:16], x -> cast(x as double)),
+               list_transform(c.embedding[1:16], x -> cast(x as double))),
+               4) as score
+      from qs q join embeddings c on q.vec_id != c.vec_id
+    ), tr as (
+      select query_id, match_id from (
+        select query_id, match_id,
+               row_number() over (partition by query_id
+                                  order by score desc, match_id) as rank
+        from tr_scored
+      ) where rank <= 5
+    ), j as (
+      select e.query_id, (t.match_id is not null) as hit
+      from ex e left join tr t
+        on t.query_id = e.query_id and t.match_id = e.match_id
+    )
+    select query_id,
+           cast(count(*) as bigint) as n_truth,
+           cast(sum(case when hit then 1 else 0 end) as bigint) as n_hit,
+           floor(sum(case when hit then 1 else 0 end) * 1.0 / count(*)
+                 * 1000000.0 + 0.5) / 1000000.0 as recall
+    from j group by query_id
+    """,
+    doc="Matryoshka-style dimension-truncation eval (Kusupati et al. "
+    "2022, public): recall@5 of exact cosine top-k computed on the "
+    "FIRST 16 of 64 embedding dims against the full-dim exact top-k "
+    "- the measurement behind the store-prefixes-serve-cheap "
+    "trade-off (truncate at ingest, rerank on full dims only for "
+    "survivors). Pure composition of proven verbs: slice -> "
+    "brute_force_topk on both widths -> topk_recall (LEFT join, "
+    "missed queries report 0.0). Both sides 4dp round-before-rank, "
+    "match_id tie-break; oracle recomputes both sides with list "
+    "slicing in SQL",
+)
+def d79(spark: SparkSession, sf: str) -> DataFrame:
+    from basis_devkit_spark.operators.similarity import (
+        brute_force_topk,
+        topk_recall,
+    )
+
+    emb = load(spark, sf, "embeddings")
+    q = emb.filter(F.col("vec_id") < 30)
+    exact = brute_force_topk(q, emb, k=5, score_round=4)
+    sl = lambda df: df.withColumn(
+        "embedding", F.slice("embedding", 1, 16)
+    )
+    trunc = brute_force_topk(sl(q), sl(emb), k=5, score_round=4)
+    return topk_recall(trunc, exact)
+
+
+@register(
+    "d80_snapshot_novelty",
+    r"""
+    with src as (
+      select doc_id,
+             'Shared cookie notice.' || chr(10) || chr(10)
+             || replace(coalesce(text, ''), '. ',
+                        '.' || chr(10) || chr(10))
+               as text
+      from documents
+    ), base as (
+      select doc_id, regexp_split_to_array(text, '\n{2,}') as ps from src
+    ), ex as (
+      select doc_id,
+             regexp_replace(lower(trim(unnest(ps))), '\s+', ' ', 'g')
+               as norm
+      from base
+    ), exf as (
+      select doc_id, norm from ex where norm <> ''
+    ), old_h as (
+      select distinct norm from exf where doc_id % 2 = 0
+    ), per as (
+      select e.doc_id,
+             cast(count(*) as bigint) as n_paragraphs,
+             cast(sum(case when o.norm is not null then 1 else 0 end)
+                  as bigint) as n_seen
+      from exf e left join old_h o on o.norm = e.norm
+      where e.doc_id % 2 = 1
+      group by e.doc_id
+    )
+    select d.doc_id,
+           coalesce(per.n_paragraphs, 0) as n_paragraphs,
+           coalesce(per.n_seen, 0) as n_seen,
+           case when per.n_paragraphs > 0 then
+             floor((per.n_paragraphs - per.n_seen) * 1.0
+                   / per.n_paragraphs * 1000000.0 + 0.5) / 1000000.0
+           end as novelty
+    from (select doc_id from documents where doc_id % 2 = 1) d
+    left join per on per.doc_id = d.doc_id
+    """,
+    doc="cross-snapshot novelty report (snapshot_novelty): per NEW doc "
+    "(odd ids = the incoming dump), the fraction of its normalized "
+    "paragraphs NOT already in the previous snapshot (even ids) - the "
+    "dedup-planning pass run before paying ingest for a re-crawl; the "
+    "injected cookie banner is 'seen' for every doc by construction. "
+    "Both sides explode to paragraph HASHES (the old snapshot never "
+    "moves text, only 8-byte hashes), one distinct + hash equi-join "
+    "(never broadcast - the old snapshot is unbounded) + one per-doc "
+    "aggregate; reuses the d76 normalization verbatim so novelty and "
+    "dedup agree on 'the same paragraph'",
+)
+def d80(spark: SparkSession, sf: str) -> DataFrame:
+    from basis_devkit_spark.operators.text import snapshot_novelty
+
+    nl2 = "\n\n"
+    docs = load(spark, sf, "documents").select(
+        "doc_id",
+        F.concat(
+            F.lit("Shared cookie notice." + nl2),
+            F.replace(
+                F.coalesce(F.col("text"), F.lit("")),
+                F.lit(". "), F.lit("." + nl2),
+            ),
+        ).alias("text"),
+    )
+    new = docs.filter(F.col("doc_id") % 2 == 1)
+    old = docs.filter(F.col("doc_id") % 2 == 0)
+    return snapshot_novelty(new, old, "doc_id", "text")

@@ -6395,3 +6395,31 @@ def test_periodicity_signals_handcomputed(spark):
     pair = out["pair"]
     assert pair.mean_gap_us == 30_000_000.0 and pair.std_gap_us is None
     assert pair.cv_gap is None and pair.is_regular == 0
+
+
+def test_snapshot_novelty_handcomputed(spark):
+    """Per-new-doc novelty against a previous snapshot: seen paragraphs
+    (normalized match) score 0 novelty contribution, fully-novel docs
+    1.0, mixed docs the exact fraction, no-paragraph docs NULL; old
+    snapshot paragraphs never count against each other."""
+    from basis_devkit_spark.operators.text import snapshot_novelty
+
+    old = spark.createDataFrame(
+        [(1, "Alpha one.\n\nBeta two."), (2, "Gamma three.")],
+        "doc_id long, text string",
+    )
+    new = spark.createDataFrame(
+        [
+            (10, "ALPHA   one.\n\nFresh stuff."),   # 1 seen / 2
+            (11, "Entirely new.\n\nAlso new."),     # 0 seen / 2
+            (12, "gamma three."),                   # 1 seen / 1
+            (13, ""),                               # no paragraphs
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in snapshot_novelty(new, old).collect()}
+    assert out[10].n_paragraphs == 2 and out[10].n_seen == 1
+    assert out[10].novelty == 0.5
+    assert out[11].novelty == 1.0 and out[11].n_seen == 0
+    assert out[12].novelty == 0.0
+    assert out[13].n_paragraphs == 0 and out[13].novelty is None
