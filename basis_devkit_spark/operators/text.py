@@ -2386,3 +2386,47 @@ def snapshot_novelty(
             F.when(F.col("n_paragraphs") > 0, novelty).alias("novelty"),
         )
     )
+
+
+def group_split(
+    df: DataFrame,
+    group_col: str = "source",
+    weights: dict[str, float] | None = None,
+    out_col: str = "split",
+    buckets: int = 1_000_000,
+) -> DataFrame:
+    """Leakage-safe deterministic train/val/test assignment BY GROUP:
+    every row of a group (a domain, a source, a near-dup cluster id)
+    lands in the SAME split, because splitting near-identical documents
+    across train and eval leaks the eval set (the GroupShuffleSplit
+    discipline, applied where it matters most — dedup clusters and
+    domains). The assignment is a pure function of the group value
+    (``pmod(xxhash64(group), buckets)`` against cumulative weight
+    thresholds): no RNG, no state, reproducible across runs, engines
+    and cluster sizes; adding documents to a group NEVER moves the
+    group. Weights default to ``{'train': .8, 'val': .1, 'test': .1}``
+    and must sum to 1 (±1e-9). NULL groups hash like Spark's
+    ``xxhash64(NULL)`` (the seed path) — one deterministic split, not
+    a drop.
+
+    Pure projection: zero joins, zero shuffles, fuses into the scan —
+    the split of a 100 TB corpus costs one column."""
+    weights = weights or {"train": 0.8, "val": 0.1, "test": 0.1}
+    if not weights or abs(sum(weights.values()) - 1.0) > 1e-9:
+        raise ValueError("split weights must sum to 1")
+    names = list(weights)
+    b = F.pmod(F.xxhash64(F.col(group_col)), F.lit(int(buckets)))
+    cum = 0.0
+    expr = None
+    for name in names[:-1]:
+        cum += weights[name]
+        thresh = int(cum * buckets + 0.5)
+        cond = b < thresh
+        expr = (
+            F.when(cond, F.lit(name))
+            if expr is None
+            else expr.when(cond, F.lit(name))
+        )
+    last = F.lit(names[-1])
+    out = last if expr is None else expr.otherwise(last)
+    return df.withColumn(out_col, out)

@@ -102,6 +102,7 @@ _SAMPLE_PRIORITY = [
     "d75_canonical_url",
     "d79_matryoshka_truncation_recall",
     "d80_snapshot_novelty",
+    "d81_group_split",
     "d76_paragraph_dedup",
     "d77_encoding_signals",
     "d78_script_profile",

@@ -9280,3 +9280,38 @@ def d80(spark: SparkSession, sf: str) -> DataFrame:
     new = docs.filter(F.col("doc_id") % 2 == 1)
     old = docs.filter(F.col("doc_id") % 2 == 0)
     return snapshot_novelty(new, old, "doc_id", "text")
+
+
+def _group_split_sql() -> str:
+    """d81 oracle: literal (source, split) table from the independent
+    Python XXH64 model (pyoracle.group_split_assignments), joined back
+    onto the documents — the d24-pattern literal-table oracle, since
+    DuckDB has no Spark-compatible xxhash64."""
+    rows = pyoracle.group_split_assignments(pyoracle.oracle_sf_dir())
+    vals = ", ".join(f"('{s}', '{sp}')" for s, sp in rows)
+    return f"""
+    with assign(source, split) as (select * from (values {vals}))
+    select d.doc_id, d.source, a.split
+    from documents d join assign a using (source)
+    """
+
+
+@register(
+    "d81_group_split",
+    _group_split_sql,
+    doc="leakage-safe deterministic train/val/test split BY GROUP "
+    "(group_split): every doc of a source lands in the SAME split - "
+    "splitting near-identical docs across train and eval leaks the "
+    "eval set (GroupShuffleSplit discipline at corpus scale, applied "
+    "to domains / dedup clusters). Assignment is a pure function of "
+    "the group value (pmod(xxhash64(group), 1e6) vs cumulative weight "
+    "thresholds): no RNG, reproducible across runs/engines/cluster "
+    "sizes, new docs never move a group. Pure projection - the split "
+    "of a 100 TB corpus costs one column. Oracle = the d24-pattern "
+    "literal table from the independent public-spec XXH64 model",
+)
+def d81(spark: SparkSession, sf: str) -> DataFrame:
+    from basis_devkit_spark.operators.text import group_split
+
+    docs = load(spark, sf, "documents").select("doc_id", "source")
+    return group_split(docs, "source").select("doc_id", "source", "split")

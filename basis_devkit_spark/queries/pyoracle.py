@@ -1962,3 +1962,37 @@ def shuffled_packing_sql(budget: int = 512, salt: int = 42) -> str:
            cast(cb % {budget} as bigint) as seq_offset
     from c
     """
+
+
+def group_split_assignments(
+    sf_dir: str,
+    weights: tuple[tuple[str, float], ...] = (
+        ("train", 0.8), ("val", 0.1), ("test", 0.1),
+    ),
+    buckets: int = 1_000_000,
+) -> list[tuple[str, str]]:
+    """Independent model of operators.text.group_split over the
+    documents table's distinct sources: Spark's
+    ``pmod(xxhash64(source), buckets)`` replayed with the public-spec
+    XXH64 (string path, seed 42; python ``%`` of a signed value IS
+    pmod), then cumulative-threshold assignment. Returns
+    ``[(source, split)]`` for the d81 literal oracle table."""
+    import duckdb
+
+    con = duckdb.connect()
+    rows = con.sql(
+        f"select distinct source from read_parquet('{sf_dir}/documents.parquet')"
+        " order by source"
+    ).fetchall()
+    out = []
+    for (src,) in rows:
+        b = xxh64_str(src) % buckets
+        cum = 0.0
+        split = weights[-1][0]
+        for name, w in weights[:-1]:
+            cum += w
+            if b < int(cum * buckets + 0.5):
+                split = name
+                break
+        out.append((src, split))
+    return out

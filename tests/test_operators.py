@@ -6423,3 +6423,47 @@ def test_snapshot_novelty_handcomputed(spark):
     assert out[11].novelty == 1.0 and out[11].n_seen == 0
     assert out[12].novelty == 0.0
     assert out[13].n_paragraphs == 0 and out[13].novelty is None
+
+
+def test_group_split_leakage_safe_and_deterministic(spark):
+    """All rows of a group share one split; assignment is stable
+    across calls and row additions; weights validated; approximate
+    proportions hold over many groups; custom weights and NULL group
+    handled."""
+    import pytest as _pt
+    from pyspark.sql import functions as F
+
+    from basis_devkit_spark.operators.text import group_split
+
+    rows = [(i, f"g{i % 200}") for i in range(2000)] + [(9999, None)]
+    df = spark.createDataFrame(rows, "doc_id long, g string")
+    out = group_split(df, "g")
+    # leakage-safety: one split per group
+    per = out.groupBy("g").agg(F.count_distinct("split").alias("n"))
+    assert per.filter(F.col("n") > 1).count() == 0
+    # determinism + stability under row additions: group assignment of
+    # the original groups is unchanged when new rows join them
+    a = {r["g"]: r["split"] for r in
+         out.select("g", "split").distinct().collect()}
+    more = spark.createDataFrame(
+        [(100000 + i, f"g{i % 200}") for i in range(500)],
+        "doc_id long, g string",
+    )
+    b = {r["g"]: r["split"] for r in
+         group_split(df.unionByName(more), "g")
+         .select("g", "split").distinct().collect()}
+    assert a == b
+    # rough proportions over 200 groups (binomial, generous bounds)
+    frac = sum(1 for v in a.values() if v == "train") / len(a)
+    assert 0.65 < frac < 0.92
+    # NULL group: deterministic single split, rows kept
+    assert a[None] in ("train", "val", "test")
+    # custom weights + validation
+    two = group_split(df, "g", weights={"fit": 0.5, "holdout": 0.5})
+    assert set(r["split"] for r in two.select("split").distinct()
+               .collect()) <= {"fit", "holdout"}
+    with _pt.raises(ValueError):
+        group_split(df, "g", weights={"a": 0.5, "b": 0.4})
+    # pure projection
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan and "Join" not in plan
