@@ -2314,13 +2314,39 @@ def dominant_script(
     )
 
 
+def paragraph_hashes(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    para_split: str = r"\n{2,}",
+) -> DataFrame:
+    """``(__id, __h)`` — xxhash64 of each NORMALIZED non-empty
+    paragraph per document (the :func:`paragraph_dedup` normalization,
+    verbatim). The shared explode under :func:`snapshot_novelty` and
+    the c34 streaming novelty gate: membership state is 8-byte hashes,
+    never text."""
+    return (
+        df.select(
+            F.col(id_col).alias("__id"),
+            F.explode(F.split(F.col(text_col), para_split)).alias("__p"),
+        )
+        .withColumn(
+            "__norm",
+            F.regexp_replace(F.lower(F.trim(F.col("__p"))), r"\s+", " "),
+        )
+        .filter(F.col("__norm") != "")
+        .select("__id", F.xxhash64("__norm").alias("__h"))
+    )
+
+
 def snapshot_novelty(
     new_df: DataFrame,
-    old_df: DataFrame,
+    old_df: DataFrame | None = None,
     id_col: str = "doc_id",
     text_col: str = "text",
     para_split: str = r"\n{2,}",
     rate_round: int = 6,
+    old_hashes: DataFrame | None = None,
 ) -> DataFrame:
     """Cross-snapshot novelty report — the dedup-planning pass run
     BEFORE ingesting a new crawl dump against the corpus you already
@@ -2338,29 +2364,22 @@ def snapshot_novelty(
     hash (shuffle-partitioned, never broadcast — the old snapshot is
     unbounded), then one per-doc aggregate. The :func:`paragraph_dedup`
     normalization is reused verbatim, so novelty and dedup agree on
-    what 'the same paragraph' means."""
-    def _paras(df: DataFrame):
-        return (
-            df.select(
-                F.col(id_col).alias("__id"),
-                F.explode(F.split(F.col(text_col), para_split)).alias(
-                    "__p"
-                ),
-            )
-            .withColumn(
-                "__norm",
-                F.regexp_replace(
-                    F.lower(F.trim(F.col("__p"))), r"\s+", " "
-                ),
-            )
-            .filter(F.col("__norm") != "")
-            .select("__id", F.xxhash64("__norm").alias("__h"))
-        )
-
-    new_p = _paras(new_df)
-    old_h = _paras(old_df).select("__h").distinct().withColumn(
-        "__seen", F.lit(1)
-    )
+    what 'the same paragraph' means. Pass ``old_hashes`` (a one-column
+    relation of paragraph hashes, e.g. the c34 maintained hash store)
+    instead of ``old_df`` when the previous snapshot is already
+    hashed."""
+    new_p = paragraph_hashes(new_df, id_col, text_col, para_split)
+    if old_hashes is not None:
+        first = old_hashes.columns[0]
+        old_h = old_hashes.select(
+            F.col(first).alias("__h")
+        ).distinct().withColumn("__seen", F.lit(1))
+    elif old_df is not None:
+        old_h = paragraph_hashes(
+            old_df, id_col, text_col, para_split
+        ).select("__h").distinct().withColumn("__seen", F.lit(1))
+    else:
+        raise ValueError("need old_df or old_hashes")
     scale = float(10 ** rate_round)
     per_doc = (
         new_p.join(old_h, "__h", "left")

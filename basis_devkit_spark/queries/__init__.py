@@ -99,6 +99,7 @@ _SAMPLE_PRIORITY = [
     # re-front-loaded after the recursive-CTE absorption fold.
     "c32_stream_calibration_maintenance",
     "c33_stream_domain_profile_maintenance",
+    "c34_stream_novelty_gate",
     "d75_canonical_url",
     "d79_matryoshka_truncation_recall",
     "d80_snapshot_novelty",

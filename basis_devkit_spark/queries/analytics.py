@@ -9315,3 +9315,117 @@ def d81(spark: SparkSession, sf: str) -> DataFrame:
 
     docs = load(spark, sf, "documents").select("doc_id", "source")
     return group_split(docs, "source").select("doc_id", "source", "split")
+
+
+@register(
+    "c34_stream_novelty_gate",
+    r"""
+    with src as (
+      select doc_id,
+             'Shared cookie notice.' || chr(10) || chr(10)
+             || replace(coalesce(text, ''), '. ',
+                        '.' || chr(10) || chr(10))
+               as text
+      from documents
+    ), base as (
+      select doc_id, regexp_split_to_array(text, '\n{2,}') as ps from src
+    ), ex as (
+      select doc_id,
+             regexp_replace(lower(trim(unnest(ps))), '\s+', ' ', 'g')
+               as norm
+      from base
+    ), exf as (
+      select doc_id, norm from ex where norm <> ''
+    ), old_h as (
+      select distinct norm from exf where doc_id % 2 = 0
+    ), per_new as (
+      select e.doc_id,
+             cast(count(*) as bigint) as n_paragraphs,
+             cast(sum(case when o.norm is not null then 1 else 0 end)
+                  as bigint) as n_seen
+      from exf e left join old_h o on o.norm = e.norm
+      where e.doc_id % 2 = 1
+      group by e.doc_id
+    ), per_old as (   -- batch 1 scored against the EMPTY store
+      select doc_id, cast(count(*) as bigint) as n_paragraphs,
+             cast(0 as bigint) as n_seen
+      from exf where doc_id % 2 = 0 group by doc_id
+    ), per as (
+      select * from per_new union all select * from per_old
+    )
+    select d.doc_id,
+           coalesce(per.n_paragraphs, 0) as n_paragraphs,
+           coalesce(per.n_seen, 0) as n_seen,
+           case when per.n_paragraphs > 0 then
+             floor((per.n_paragraphs - per.n_seen) * 1.0
+                   / per.n_paragraphs * 1000000.0 + 0.5) / 1000000.0
+           end as novelty
+    from documents d left join per on per.doc_id = d.doc_id
+    """,
+    doc="streaming novelty-gated ingest (c34): every incoming dump "
+    "batch is scored against the maintained paragraph-hash store of "
+    "everything ingested BEFORE it - the d80 report kept current at "
+    "batch cost, flagging re-crawls at the door. Two batches (even "
+    "docs then odd docs): batch 1 scores against the empty store "
+    "(fully novel by construction), batch 2 must equal the one-shot "
+    "d80 report byte-for-byte. Two-store commit (report first, keyed "
+    "on doc_id; hashes second, keyed on the 8-byte hash) converges on "
+    "crash replay - the c23/c31 contract; state is hashes only, "
+    "never text",
+)
+def c34(spark: SparkSession, sf: str) -> DataFrame:
+    import glob as _glob
+    import os as _os
+    import shutil as _shutil
+    import tempfile as _tf
+    import time as _time
+
+    from basis_devkit_spark.storage.store import TableStore
+    from basis_devkit_spark.streaming.ops import (
+        stream_novelty_gate_to_store,
+    )
+
+    nl2 = "\n\n"
+    docs = load(spark, sf, "documents").select(
+        "doc_id",
+        F.concat(
+            F.lit("Shared cookie notice." + nl2),
+            F.replace(
+                F.coalesce(F.col("text"), F.lit("")),
+                F.lit(". "), F.lit("." + nl2),
+            ),
+        ).alias("text"),
+    )
+
+    tmp = _tf.mkdtemp(prefix="bds_c34_")
+    drop = _os.path.join(tmp, "drop")
+    _os.makedirs(drop, exist_ok=True)
+    for tag, mod in (("a", 0), ("b", 1)):
+        part_dir = _os.path.join(tmp, f"part_{tag}")
+        docs.filter(F.col("doc_id") % 2 == mod).coalesce(1).write.parquet(
+            part_dir
+        )
+        src = _glob.glob(_os.path.join(part_dir, "part-*.parquet"))[0]
+        _time.sleep(0.01)  # mtime order = arrival order
+        _shutil.copy(src, _os.path.join(drop, f"{tag}.parquet"))
+    raw_schema = spark.read.parquet(_os.path.join(drop, "a.parquet")).schema
+
+    stream = (
+        spark.readStream.schema(raw_schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(drop)
+    )
+    reports = TableStore(tmp, "novelty_reports", spark)
+    reports.configure(unique_on="doc_id")
+    hashes = TableStore(tmp, "para_hashes", spark)
+    hashes.configure(unique_on="para_hash")
+    q = stream_novelty_gate_to_store(
+        stream, reports, hashes, f"{tmp}/_ckpt"
+    ).start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return reports.read().select(
+        "doc_id", "n_paragraphs", "n_seen", "novelty"
+    )

@@ -565,3 +565,75 @@ def stream_transition_counts_to_store(
     if trigger_seconds is not None:
         w = w.trigger(processingTime=f"{trigger_seconds} seconds")
     return w
+
+
+def novelty_gate_batch(
+    report_store,
+    hash_store,
+    batch_df: DataFrame,
+    batch_id: int,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> None:
+    """One micro-batch of the c34 novelty-gated ingest: score the
+    batch's per-doc novelty against the CURRENT maintained
+    paragraph-hash store (report commits FIRST, keyed on ``id_col``),
+    then fold the batch's own paragraph hashes into the store (keyed
+    on the hash). Crash between the two commits: the replay recomputes
+    the same novelty from the still-pre-batch hash store, the report
+    store skips it (batch id already stamped), and only the hash
+    commit applies — the pair converges without a cross-store
+    transaction (the c23 pack / c31 cursor contract)."""
+    from pyspark.sql import functions as F
+
+    from basis_devkit_spark.operators.text import (
+        paragraph_hashes,
+        snapshot_novelty,
+    )
+
+    if hash_store.has_active_version():
+        old = hash_store.read().select("para_hash")
+    else:
+        spark = batch_df.sparkSession
+        old = spark.range(0).select(F.col("id").alias("para_hash"))
+    rep = snapshot_novelty(
+        batch_df, id_col=id_col, text_col=text_col, old_hashes=old
+    )
+    report_store.upsert_stream_batch(rep, batch_id)
+    new_h = (
+        paragraph_hashes(batch_df, id_col, text_col)
+        .select(F.col("__h").alias("para_hash"))
+        .distinct()
+    )
+    hash_store.upsert_stream_batch(new_h, batch_id)
+
+
+def stream_novelty_gate_to_store(
+    df: DataFrame,
+    report_store,
+    hash_store,
+    checkpoint_dir: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    trigger_seconds: int | None = None,
+):
+    """Exactly-once streaming novelty gate (c34): every incoming dump
+    batch is scored against the paragraph hashes of EVERYTHING
+    ingested before it — the d80 cross-snapshot report kept current at
+    batch cost, so re-crawls are flagged (and can be dropped) at the
+    door instead of after a full dedup pass. State is 8-byte hashes
+    only; per batch: one explode + distinct + hash equi-join + per-doc
+    aggregate."""
+
+    def _write(batch_df: DataFrame, batch_id: int) -> None:
+        novelty_gate_batch(
+            report_store, hash_store, batch_df, batch_id,
+            id_col=id_col, text_col=text_col,
+        )
+
+    w = df.writeStream.foreachBatch(_write).option(
+        "checkpointLocation", checkpoint_dir
+    ).outputMode("update")
+    if trigger_seconds is not None:
+        w = w.trigger(processingTime=f"{trigger_seconds} seconds")
+    return w
