@@ -620,3 +620,56 @@ def webp_dimensions(content_col: str | Column) -> Column:
         g(width).alias("width"),
         g(height).alias("height"),
     )
+
+
+def ogg_opus_fields(content_col: str | Column) -> Column:
+    """Decode-free Ogg/Opus metadata (RFC 3533 Ogg framing + RFC 7845
+    OpusHead, both public): validate the ``OggS`` capture pattern and
+    page version 0, locate the first packet by the SEGMENT-TABLE
+    LENGTH (byte 26 holds n_segments; the packet starts right after
+    the table — a computed offset, never a scan), then parse the
+    ``OpusHead`` identification header: version, channel count,
+    pre-skip (LE16), input sample rate (LE32), mapping family. PURE
+    column expressions — hex-slice + little-endian reassembly; bytes
+    touched per row: 27 + n_segments + 19, O(1) whatever the blob
+    size (the sniff_format contract).
+
+    Returns a struct ``(is_ogg, is_opus, opus_version, channels,
+    pre_skip, input_sample_rate, mapping_family)``. ``is_ogg``
+    requires the magic, version 0, and a complete header; a non-Opus
+    first packet (e.g. Vorbis) keeps ``is_ogg`` with ``is_opus``
+    false and NULL fields."""
+    c = F.col(content_col) if isinstance(content_col, str) else content_col
+    head = F.hex(F.substring(c, 1, 27))
+    hb = lambda i: F.conv(
+        F.substring(head, (i - 1) * 2 + 1, 2), 16, 10
+    ).cast("int")
+    nsegs = hb(27)
+    is_ogg = (
+        (F.substring(head, 1, 8) == "4F676753")   # 'OggS'
+        & (hb(5) == 0)                             # stream version 0
+        & (F.octet_length(c) >= 27)
+    )
+    # first packet begins right after the segment table
+    pkt = F.hex(c.substr(nsegs + 28, F.lit(19)))
+    pb = lambda i: F.conv(
+        F.substring(pkt, (i - 1) * 2 + 1, 2), 16, 10
+    ).cast("int")
+    le16 = lambda i: pb(i) + pb(i + 1) * 256
+    le32 = lambda i: (
+        pb(i) + pb(i + 1) * 256 + pb(i + 2) * 65536
+        + pb(i + 3) * 16777216
+    )
+    is_opus = is_ogg & (
+        F.substring(pkt, 1, 16) == "4F70757348656164"  # 'OpusHead'
+    ) & (F.octet_length(c) >= nsegs + 27 + 19)
+    g = lambda col: F.when(is_opus, col)
+    return F.struct(
+        is_ogg.alias("is_ogg"),
+        F.coalesce(is_opus, F.lit(False)).alias("is_opus"),
+        g(pb(9)).alias("opus_version"),
+        g(pb(10)).alias("channels"),
+        g(le16(11)).alias("pre_skip"),
+        g(le32(13).cast("long")).alias("input_sample_rate"),
+        g(pb(19)).alias("mapping_family"),
+    )

@@ -104,6 +104,7 @@ _SAMPLE_PRIORITY = [
     "d79_matryoshka_truncation_recall",
     "d80_snapshot_novelty",
     "d81_group_split",
+    "d05i_ogg_opus_parse",
     "d76_paragraph_dedup",
     "d77_encoding_signals",
     "d78_script_profile",

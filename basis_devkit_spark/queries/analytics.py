@@ -9429,3 +9429,95 @@ def c34(spark: SparkSession, sf: str) -> DataFrame:
     return reports.read().select(
         "doc_id", "n_paragraphs", "n_seen", "novelty"
     )
+
+
+def _ogg_hex(version=0, nsegs=1, packet=b"", pad_segs=True):
+    seg_table = bytes([len(packet)] + [0] * (nsegs - 1)) if pad_segs else b""
+    page = (
+        b"OggS" + bytes([version, 0x02]) + b"\x00" * 8
+        + b"\x01\x00\x00\x00" + b"\x00" * 4 + b"\x00" * 4
+        + bytes([nsegs]) + seg_table
+    )
+    return (page + packet).hex()
+
+
+def _opus_head(channels=2, pre_skip=312, rate=48000, mapping=0):
+    import struct as _st
+
+    return (
+        b"OpusHead" + bytes([1, channels]) + _st.pack("<H", pre_skip)
+        + _st.pack("<I", rate) + _st.pack("<h", 0) + bytes([mapping])
+    )
+
+
+# (hex, is_ogg, is_opus, version, channels, pre_skip, rate, mapping)
+_OGG_FIXTURES = [
+    (_ogg_hex(packet=_opus_head()), True, True, 1, 2, 312, 48000, 0),
+    (_ogg_hex(nsegs=3, packet=_opus_head(channels=1, pre_skip=0,
+                                         rate=16000)),
+     True, True, 1, 1, 0, 16000, 0),
+    (_ogg_hex(packet=b"\x01vorbis" + b"\x00" * 12), True, False,
+     None, None, None, None, None),
+    ("00010203", False, False, None, None, None, None, None),
+    (_ogg_hex(version=1, packet=_opus_head()), False, False,
+     None, None, None, None, None),
+    (_ogg_hex(packet=_opus_head(channels=6, rate=44100, mapping=1)),
+     True, True, 1, 6, 312, 44100, 1),
+]
+
+
+@register(
+    "d05i_ogg_opus_parse",
+    f"""
+    with blobs as (
+      select doc_id, doc_id % 6 as variant from documents
+    ), truth as (
+      select * from (values
+        {", ".join(
+            "({i}, {og}, {op}, {v}, {ch}, {ps}, {r}, {m})".format(
+                i=i,
+                og="true" if og else "false",
+                op="true" if op else "false",
+                v=v if v is not None else "cast(null as int)",
+                ch=ch if ch is not None else "cast(null as int)",
+                ps=ps if ps is not None else "cast(null as int)",
+                r=r if r is not None else "cast(null as bigint)",
+                m=m if m is not None else "cast(null as int)",
+            )
+            for i, (_, og, op, v, ch, ps, r, m)
+            in enumerate(_OGG_FIXTURES)
+        )}
+      ) as t(variant, is_ogg, is_opus, opus_version, channels, pre_skip,
+             input_sample_rate, mapping_family)
+    )
+    select b.doc_id, t.is_ogg, t.is_opus,
+           cast(t.opus_version as int) as opus_version,
+           cast(t.channels as int) as channels,
+           cast(t.pre_skip as int) as pre_skip,
+           cast(t.input_sample_rate as bigint) as input_sample_rate,
+           cast(t.mapping_family as int) as mapping_family
+    from blobs b join truth t on b.variant = t.variant
+    """,
+    doc="decode-free Ogg/Opus sniff (RFC 3533 + RFC 7845, public): "
+    "OggS capture pattern + page version gate, first packet located "
+    "by the SEGMENT-TABLE LENGTH (computed offset, never a scan), "
+    "OpusHead identification header parsed as pure hex-slice + LE "
+    "reassembly - version/channels/pre-skip/input-rate/mapping "
+    "family, O(1) bytes per row. Variants: stereo 48k, mono 16k with "
+    "a 3-entry segment table, an Ogg/VORBIS stream (is_ogg without "
+    "is_opus), junk, a bad page version, and a 6-channel mapping-"
+    "family-1 surround head. Oracle derives truth from the "
+    "construction table, independently checking the byte surgery",
+)
+def d05i(spark: SparkSession, sf: str) -> DataFrame:
+    from basis_devkit_spark.operators.multimodal import ogg_opus_fields
+
+    d = load(spark, sf, "documents").select("doc_id")
+    hdr = None
+    for i, (hx, *_rest) in enumerate(_OGG_FIXTURES):
+        cond = F.col("doc_id") % 6 == i
+        lit = F.lit(bytes.fromhex(hx))
+        hdr = F.when(cond, lit) if hdr is None else hdr.when(cond, lit)
+    blobs = d.withColumn("content", hdr)
+    s = ogg_opus_fields("content")
+    return blobs.select("doc_id", s.alias("s")).select("doc_id", "s.*")

@@ -6467,3 +6467,58 @@ def test_group_split_leakage_safe_and_deterministic(spark):
     # pure projection
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan and "Join" not in plan
+
+
+def test_ogg_opus_fields_parse(spark):
+    """Hand-built Ogg pages: segment-table-length packet offset, OpusHead
+    field extraction, Vorbis first packet (is_ogg without is_opus), bad
+    page version, truncated packet — no UDF in the plan."""
+    import struct
+
+    from basis_devkit_spark.operators.multimodal import ogg_opus_fields
+
+    def page(version=0, nsegs=1, packet=b""):
+        return (
+            b"OggS" + bytes([version, 0x02]) + b"\x00" * 8
+            + b"\x01\x00\x00\x00" + b"\x00" * 8
+            + bytes([nsegs]) + bytes([len(packet)] + [0] * (nsegs - 1))
+            + packet
+        )
+
+    def opus(ch=2, skip=312, rate=48000, fam=0):
+        return (
+            b"OpusHead" + bytes([1, ch]) + struct.pack("<H", skip)
+            + struct.pack("<I", rate) + struct.pack("<h", 0)
+            + bytes([fam])
+        )
+
+    rows = [
+        (1, page(packet=opus())),
+        (2, page(nsegs=4, packet=opus(ch=1, skip=0, rate=8000))),
+        (3, page(packet=b"\x01vorbis" + b"\x00" * 12)),
+        (4, page(version=2, packet=opus())),
+        (5, b"OggZ" + b"\x00" * 30),
+        (6, page(packet=b"OpusHead\x01")),   # truncated OpusHead
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, content binary")
+    out = {
+        r["doc_id"]: r
+        for r in df.select(
+            "doc_id", ogg_opus_fields("content").alias("s")
+        ).select("doc_id", "s.*").collect()
+    }
+    assert out[1].is_ogg and out[1].is_opus
+    assert out[1].channels == 2 and out[1].pre_skip == 312
+    assert out[1].input_sample_rate == 48000
+    assert out[2].is_opus and out[2].channels == 1
+    assert out[2].input_sample_rate == 8000   # 4-entry segment table
+    assert out[3].is_ogg and not out[3].is_opus
+    assert out[3].channels is None
+    assert not out[4].is_ogg and not out[4].is_opus
+    assert not out[5].is_ogg
+    assert out[6].is_ogg and not out[6].is_opus  # too short to trust
+    plan = (
+        df.select(ogg_opus_fields("content"))
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "EvalPython" not in plan
