@@ -51,9 +51,13 @@ def time_bucket_gapfill(
             F.sequence("__lo", "__hi", F.expr(f"interval 1 {bucket}"))
         ).alias("__sb"),
     )
+    # null-safe group key: a NULL group is still a series (repo
+    # standard) — a plain equi-join would leave its slots permanently
+    # empty while its aggregates silently vanish
     j = spine.join(
         agg,
-        (F.col("__sg") == F.col("__g")) & (F.col("__sb") == F.col("__b")),
+        F.col("__sg").eqNullSafe(F.col("__g"))
+        & (F.col("__sb") == F.col("__b")),
         "left",
     )
     v = F.col("__v").cast("double")

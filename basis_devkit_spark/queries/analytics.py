@@ -2396,7 +2396,7 @@ def e07(spark: SparkSession, sf: str) -> DataFrame:
                   partition by s.user_id order by s.bucket
                   rows between unbounded preceding and current row) as double)
              as filled
-    from spine s left join b on s.user_id = b.user_id and s.bucket = b.bucket
+    from spine s left join b on s.user_id is not distinct from b.user_id and s.bucket = b.bucket
     """,
     doc="hypertable-style time_bucket_gapfill + locf (TimescaleDB "
     "semantics): hourly decimal-exact roll-up, dense per-user spine over "
@@ -2429,7 +2429,7 @@ def e08(spark: SparkSession, sf: str) -> DataFrame:
              cast(b.v as double) as v,
              case when b.v is not null
                   then epoch_us(cast(s.bucket as timestamp)) end as ot
-      from spine s left join b on s.user_id = b.user_id and s.bucket = b.bucket
+      from spine s left join b on s.user_id is not distinct from b.user_id and s.bucket = b.bucket
     ), w as (
       select user_id, bucket, v,
              cast(last_value(v ignore nulls) over fwd as double) as pv,

@@ -6522,3 +6522,31 @@ def test_ogg_opus_fields_parse(spark):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "EvalPython" not in plan
+
+
+def test_time_bucket_gapfill_null_group_series(spark):
+    """A NULL group key is a real series (null-safe spine join): its
+    observed buckets fill, its gaps LOCF — previously NULL-group
+    aggregates silently vanished into permanently-empty slots."""
+    from datetime import datetime
+
+    from pyspark.sql import functions as F
+
+    from basis_devkit_spark.operators.timeseries import (
+        time_bucket_gapfill,
+    )
+
+    t = lambda h: datetime(2024, 1, 1, h, 30)
+    rows = [
+        (1, "u1", t(0), 10.0), (2, "u1", t(2), 30.0),
+        (3, None, t(0), 5.0), (4, None, t(2), 7.0),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id string, ts timestamp, value double"
+    )
+    out = time_bucket_gapfill(df, "ts", "value", "user_id", "hour")
+    nul = {r["bucket_ts"].hour: r for r in
+           out.filter(F.col("user_id").isNull()).collect()}
+    assert len(nul) == 3                      # dense spine for NULL too
+    assert nul[0]["v"] == 5.0 and nul[2]["v"] == 7.0
+    assert nul[1]["v"] is None and nul[1]["filled"] == 5.0  # LOCF
