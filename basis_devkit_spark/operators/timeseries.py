@@ -228,9 +228,13 @@ def winsorize(
     else:
         # null-safe: a NULL group is still a group — a plain equi-join
         # would silently drop its rows (repo standard, cf. ADVICE r12)
+        # LEFT: a group with no non-NULL values has no sketch bounds
+        # row — its rows must survive with NULL bounds (exact parity)
         b2 = b.withColumnRenamed(group_col, "__gk")
         joined = df.join(
-            F.broadcast(b2), F.col(group_col).eqNullSafe(F.col("__gk"))
+            F.broadcast(b2),
+            F.col(group_col).eqNullSafe(F.col("__gk")),
+            "left",
         ).drop("__gk")
     return joined.withColumn(
         out_col,
@@ -287,9 +291,13 @@ def robust_outliers(
     def _back(big: DataFrame, small: DataFrame) -> DataFrame:
         if group_col is None:
             return big.crossJoin(F.broadcast(small))  # one-row relation
+        # LEFT: all-NULL-value groups have no sketch statistic row but
+        # must keep their rows (NULL med/mad, NULL z — exact parity)
         s2 = small.withColumnRenamed(group_col, "__gk")
         return big.join(
-            F.broadcast(s2), F.col(group_col).eqNullSafe(F.col("__gk"))
+            F.broadcast(s2),
+            F.col(group_col).eqNullSafe(F.col("__gk")),
+            "left",
         ).drop("__gk")
 
     if method == "sketch":
@@ -302,10 +310,11 @@ def robust_outliers(
                 frame, col, [0.5], group_col, nbins=nbins,
                 est_round=bound_round,
             )
-            keep = ([group_col] if group_col is not None else []) + [
-                F.col("est").alias(alias)
-            ]
-            return q.select(*keep)
+            if group_col is None:
+                # total aggregate: ONE row even when every value is
+                # NULL (q empty), matching the exact path's agg()
+                return q.agg(F.max("est").alias(alias))
+            return q.select(group_col, F.col("est").alias(alias))
 
         med = _median(df, value_col, "med")
         with_med = _back(df, med)

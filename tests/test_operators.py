@@ -6550,3 +6550,32 @@ def test_time_bucket_gapfill_null_group_series(spark):
     assert len(nul) == 3                      # dense spine for NULL too
     assert nul[0]["v"] == 5.0 and nul[2]["v"] == 7.0
     assert nul[1]["v"] is None and nul[1]["filled"] == 5.0  # LOCF
+
+
+def test_sketch_dial_all_null_group_parity(spark):
+    """A group whose values are ALL NULL must survive both methods with
+    NULL bounds/statistics (exact parity): the sketch path has no
+    histogram row for such a group, so its join-back must be LEFT."""
+    from pyspark.sql import functions as F
+
+    from basis_devkit_spark.operators.timeseries import (
+        robust_outliers,
+        winsorize,
+    )
+
+    rows = [("a", 1.0), ("a", 2.0), ("b", None), ("b", None)]
+    df = spark.createDataFrame(rows, "g string, v double")
+    for m in ("exact", "sketch"):
+        w = winsorize(df, "v", 0.0, 1.0, group_col="g", method=m)
+        assert w.count() == 4, m
+        bnull = w.filter(F.col("g") == "b").collect()
+        assert all(r["clip_lo"] is None and r["clip_hi"] is None
+                   for r in bnull), m
+        r = robust_outliers(df, "v", group_col="g", method=m)
+        assert r.count() == 4, m
+        assert all(x["med"] is None and x["is_outlier"] is False
+                   for x in r.filter(F.col("g") == "b").collect()), m
+    # ungrouped sketch on an all-NULL column: one-row stats, rows kept
+    alln = spark.createDataFrame([(None,), (None,)], "v double")
+    assert winsorize(alln, "v", method="sketch").count() == 2
+    assert robust_outliers(alln, "v", method="sketch").count() == 2
