@@ -143,8 +143,6 @@ _SAMPLE_PRIORITY = [
     # (d05g, d05h), storage (a35 clone, a36 incremental views),
     # attribution (e18, e19, e20), and the boundary-correct streaming
     # joins/counters (c30, c31).
-    "d58_robust_outliers",
-    "e17_ewma_control",
     "d59_kmeans_clusters",
     "d60_char_entropy",
     "d61_label_propagation",
@@ -152,11 +150,8 @@ _SAMPLE_PRIORITY = [
     "d62_zipf_fit",
     "d63_containment_pairs",
     "c29_stream_zipf_maintenance",
-    "d05g_mp3_frame_parse",
     "a35_clone_shallow",
     "d64_source_kl",
-    "e18_markov_attribution",
-    "d65_quality_ecdf",
     "c30_stream_outer_interval_join",
     "a36_incremental_view_maintenance",
     "d05h_webp_dimensions",
@@ -165,16 +160,12 @@ _SAMPLE_PRIORITY = [
     "e20_transition_entropy",
     "c31_stream_transition_maintenance",
     "d67_neardup_cluster_qa",
-    "d48_registrable_domain",
-    "d48b_domain_cap",
     "d02k_minhash_quality_keeper",
     "a33_stats_drift",
     "c26_stream_domain_cap_maintenance",
-    "d48c_url_features",
     "e16_touch_attribution",
     "d05f_mp4_ftyp_parse",
     "d49_graph_triangles",
-    "d50_winsorize",
     "d49b_clustering_coefficient",
     "d51_calibration_bins",
     "a34_expectations",
