@@ -427,3 +427,91 @@ def ewma_control(
         )
         .drop("__arr")
     )
+
+
+def cusum_changepoints(
+    df: DataFrame,
+    value_col: str = "value",
+    group_col: str = "user_id",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    target: float = 0.0,
+    slack: float = 0.0,
+    threshold: float = 5.0,
+    out_round: int = 6,
+) -> DataFrame:
+    """Two-sided CUSUM level-shift detection per series (Page 1954 —
+    the classic SPC changepoint chart): the positive statistic
+    ``S⁺_t = max(0, S⁺_{t-1} + (x_t − target − slack))`` accumulates
+    evidence the series mean drifted UP past ``target`` (symmetric
+    ``S⁻`` for down), and ``is_alarm`` fires when either side exceeds
+    ``threshold``. The slack (allowance) absorbs in-control noise so
+    small wander never alarms; the statistic resets itself to 0 the
+    moment evidence reverses — a drift/regression tripwire for metric
+    streams (ingest rate, quality-score level, conversion value) that
+    a fixed z-score window (e09) smears across the change.
+
+    The max-recursion is NOT run as a recursion: it has the exact
+    closed form ``S_t = P_t − min(0, min_{j≤t} P_j)`` over the prefix
+    sums ``P`` of the slack-adjusted deltas, so the whole chart is two
+    running-window passes (sum, then min-of-sum) over ONE partitioning
+    — per-series bounded window state, one shuffle, no iteration.
+    Exact integer arithmetic end-to-end: values enter as
+    ``floor(x·1e6 + 0.5)`` micro-units (an IEEE-identical op on both
+    engines), prefix sums / minima / the threshold compare all stay
+    integer, and the emitted doubles are exact integer-to-double
+    conversions — bit-identical to the oracle by construction.
+
+    Rows with NULL ``value`` contribute a zero delta (the chart
+    ignores them rather than resetting), pass through with NULL
+    ``cusum_pos``/``cusum_neg`` and never alarm. Ties in ``ts`` break
+    on ``id_col`` (fully deterministic).
+
+    Scale shape: series (``group_col``) partition the window — the
+    same bounded per-key state as every e-layer chart; no global
+    window, no collect.
+    """
+    scale = 10 ** out_round
+    mu = int(round(float(target) * scale))
+    kk = int(round(float(slack) * scale))
+    hh = int(round(float(threshold) * scale))
+    w = Window.partitionBy(group_col).orderBy(ts_col, id_col)
+    run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    v = F.floor(F.col(value_col).cast("double") * scale + 0.5).cast("long")
+    dpos = F.coalesce(v - F.lit(mu) - F.lit(kk), F.lit(0))
+    dneg = F.coalesce(F.lit(mu) - v - F.lit(kk), F.lit(0))
+    staged = df.select(
+        F.col(group_col),
+        F.col(id_col),
+        F.col(ts_col),
+        F.col(value_col),
+        v.alias("__v"),
+        F.sum(dpos).over(run).alias("__ppos"),
+        F.sum(dneg).over(run).alias("__pneg"),
+    )
+    spos = F.col("__ppos") - F.least(
+        F.lit(0).cast("long"), F.min("__ppos").over(run)
+    )
+    sneg = F.col("__pneg") - F.least(
+        F.lit(0).cast("long"), F.min("__pneg").over(run)
+    )
+    lit_scale = F.lit(float(scale))
+    return staged.select(
+        group_col,
+        id_col,
+        ts_col,
+        value_col,
+        F.when(F.col("__v").isNotNull(), spos / lit_scale).alias(
+            "cusum_pos"
+        ),
+        F.when(F.col("__v").isNotNull(), sneg / lit_scale).alias(
+            "cusum_neg"
+        ),
+        F.coalesce(
+            F.col("__v").isNotNull()
+            & ((spos > F.lit(hh)) | (sneg > F.lit(hh))),
+            F.lit(False),
+        )
+        .cast("int")
+        .alias("is_alarm"),
+    )

@@ -97,6 +97,7 @@ _SAMPLE_PRIORITY = [
     # rework (bucketed ECDF rank, sketch dial + null-safe group joins,
     # ewma NULL parity, mp3 footer, PSL wildcards/exceptions); e18
     # re-front-loaded after the recursive-CTE absorption fold.
+    "e22_cusum_changepoints",
     "c32_stream_calibration_maintenance",
     "c33_stream_domain_profile_maintenance",
     "c34_stream_novelty_gate",

@@ -9521,3 +9521,66 @@ def d05i(spark: SparkSession, sf: str) -> DataFrame:
     blobs = d.withColumn("content", hdr)
     s = ogg_opus_fields("content")
     return blobs.select("doc_id", s.alias("s")).select("doc_id", "s.*")
+
+
+@register(
+    "e22_cusum_changepoints",
+    """
+    with b as (
+      select user_id, event_id, ts, value,
+             cast(floor(value * 1000000.0 + 0.5) as bigint) as v
+      from events
+    ), p as (
+      select user_id, event_id, ts, value, v,
+             sum(coalesce(v - 50000000 - 5000000, 0)) over w as ppos,
+             sum(coalesce(50000000 - v - 5000000, 0)) over w as pneg
+      from b
+      window w as (partition by user_id order by ts, event_id
+                   rows between unbounded preceding and current row)
+    ), s as (
+      select user_id, event_id, ts, value, v,
+             ppos - least(0, min(ppos) over w) as spos,
+             pneg - least(0, min(pneg) over w) as sneg
+      from p
+      window w as (partition by user_id order by ts, event_id
+                   rows between unbounded preceding and current row)
+    )
+    select user_id, event_id, ts, value,
+      case when v is not null then spos / 1000000.0 end as cusum_pos,
+      case when v is not null then sneg / 1000000.0 end as cusum_neg,
+      cast(coalesce(v is not null
+                    and (spos > 300000000 or sneg > 300000000),
+                    false) as int) as is_alarm
+    from s
+    """,
+    doc="two-sided CUSUM level-shift chart (cusum_changepoints, Page "
+    "1954 SPC): per user-series, the classic "
+    "max(0, S + (x - target - slack)) drift statistic both ways, "
+    "alarming when either side crosses the threshold - catches a "
+    "sustained mean shift that e09's fixed z-window smears and e17's "
+    "EWMA forgets. The max-recursion runs as its exact closed form "
+    "S_t = P_t - min(0, min prefix P): two running windows over ONE "
+    "per-series partitioning, no iteration. Exact integer micro-unit "
+    "arithmetic end-to-end (floor(x*1e6+0.5) in, integer sums/mins/"
+    "threshold compare, exact int-to-double out) - bit-identical "
+    "cross-engine by construction; NULL values contribute zero delta "
+    "and never alarm. target=50, slack=5, threshold=300",
+)
+def e22(spark: SparkSession, sf: str) -> DataFrame:
+    from basis_devkit_spark.operators.timeseries import (
+        cusum_changepoints,
+    )
+
+    ev = load(spark, sf, "events").select(
+        "user_id", "event_id", "ts", "value"
+    )
+    return cusum_changepoints(
+        ev,
+        value_col="value",
+        group_col="user_id",
+        ts_col="ts",
+        id_col="event_id",
+        target=50.0,
+        slack=5.0,
+        threshold=300.0,
+    )

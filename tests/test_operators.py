@@ -6579,3 +6579,70 @@ def test_sketch_dial_all_null_group_parity(spark):
     alln = spark.createDataFrame([(None,), (None,)], "v double")
     assert winsorize(alln, "v", method="sketch").count() == 2
     assert robust_outliers(alln, "v", method="sketch").count() == 2
+
+
+def test_cusum_changepoints_matches_naive_recursion(spark):
+    """The closed form S_t = P_t - min(0, min prefix P) must equal the
+    literal Page recursion max(0, S + d) on both sides, alarms must
+    fire exactly on threshold crossings, NULL values must freeze the
+    statistic (zero delta, NULL output, no alarm), and the plan must
+    be windows over ONE partitioning with no Python."""
+    from datetime import datetime
+
+    from basis_devkit_spark.operators.timeseries import (
+        cusum_changepoints,
+    )
+
+    t = lambda s: datetime(2024, 1, 1, 0, 0, s)
+    vals = [10.0, 12.0, None, 30.0, 31.0, 29.5, 2.0, 1.0, 1.5, 11.0]
+    rows = [(i + 1, "u1", t(i + 1), v) for i, v in enumerate(vals)] + [
+        (100, "u2", t(1), 50.0)  # group isolation: fresh statistic
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id string, ts timestamp, value double"
+    )
+    target, slack, threshold = 10.0, 1.0, 15.0
+    out = {
+        r["event_id"]: r
+        for r in cusum_changepoints(
+            df, target=target, slack=slack, threshold=threshold
+        ).collect()
+    }
+
+    # independent literal recursion in exact integer micro-units
+    sc = 10**6
+    mu, kk, hh = 10 * sc, 1 * sc, 15 * sc
+    sp = sn = 0
+    for i, v in enumerate(vals):
+        eid = i + 1
+        if v is None:
+            assert out[eid]["cusum_pos"] is None
+            assert out[eid]["cusum_neg"] is None
+            assert out[eid]["is_alarm"] == 0
+            continue
+        vi = int(v * sc)
+        sp = max(0, sp + (vi - mu - kk))
+        sn = max(0, sn + (mu - vi - kk))
+        assert out[eid]["cusum_pos"] == sp / sc, (eid, sp)
+        assert out[eid]["cusum_neg"] == sn / sc, (eid, sn)
+        assert out[eid]["is_alarm"] == int(sp > hh or sn > hh)
+    # the upward run 30/31/29.5 must alarm, the crash to 2.0 resets
+    # the positive side and builds the negative side past threshold
+    assert out[5]["is_alarm"] == 1 and out[5]["cusum_pos"] > 15.0
+    assert out[9]["is_alarm"] == 1 and out[9]["cusum_neg"] > 15.0
+    # u2's single on-target row: both sides clip to 0 (max with 0)
+    assert out[100]["cusum_pos"] == 39.0  # 50 - 10 - 1
+    assert out[100]["cusum_neg"] == 0.0
+
+    plan = (
+        cusum_changepoints(df, target=target, slack=slack)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "EvalPython" not in plan
+    # one per-series partitioning: a single shuffle feeds both window
+    # passes (sum, then min-of-sum reuse the same distribution)
+    import re as _re
+
+    assert len(_re.findall(r"Exchange hashpartitioning", plan)) == 1, plan
