@@ -1395,3 +1395,93 @@ def pairwise_containment(
             ).alias("max_containment"),
         )
     )
+
+
+def source_overlap_matrix(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    group_col: str = "source",
+    num_hashes: int = 64,
+    shingle_size: int = 3,
+    out_round: int = 6,
+) -> DataFrame:
+    """Corpus-level overlap matrix: for every pair of sources, the
+    MinHash-estimated Jaccard similarity of their UNION shingle sets —
+    "how much of crawl B is already in crawl A" answered from
+    constant-size sketches, before paying per-document dedup on the
+    pair. Output one row per unordered source pair (``source_a <
+    source_b``): ``n_eq`` (signature positions agreeing, the estimate's
+    exact integer numerator) and ``est_jaccard = n_eq / num_hashes``
+    (floor-scaled to ``out_round``).
+
+    Scale shape — the per-source sketch is MERGEABLE: min over a union
+    of shingle sets equals the element-wise min of per-document
+    signatures, so the fold is per-doc projection (the shuffle-free
+    ``minhash_signatures`` array form) → posexplode to (source, pos) →
+    ONE map-side-combinable MIN agg. State per source is
+    ``num_hashes`` longs regardless of corpus size — the same
+    min-merge property makes the sketch streamable and unionable
+    across partial corpora. The pair matrix self-joins the BOUNDED
+    signature relation (sources × num_hashes rows — source is
+    metadata cardinality, never corpus cardinality) on position;
+    Spark broadcasts it. Documents with NULL text (no shingles) or a
+    NULL ``group_col`` contribute nothing.
+
+    Same hash chain as every MinHash op here (``xxhash64(i,
+    xxhash64(shingle))``, signed-min), so estimates are comparable
+    with d02's per-document thresholds and verifiable against the
+    independent public-spec XXH64 model in ``queries/pyoracle.py``.
+    """
+    scale = float(10 ** out_round)
+    sigs = minhash_signatures(
+        df.filter(
+            F.col(group_col).isNotNull() & F.col(text_col).isNotNull()
+        ).select(F.col(group_col), F.col(text_col)),
+        id_col=group_col,
+        text_col=text_col,
+        num_hashes=num_hashes,
+        shingle_size=shingle_size,
+    ).filter(F.col("sig").isNotNull())
+    long = sigs.select(
+        F.col(group_col), F.posexplode("sig").alias("__pos", "__v")
+    )
+    folded = long.groupBy(group_col, "__pos").agg(
+        F.min("__v").alias("__mv")
+    )
+    a = folded.select(
+        F.col(group_col).alias("source_a"),
+        F.col("__pos"),
+        F.col("__mv").alias("__va"),
+    )
+    b = folded.select(
+        F.col(group_col).alias("source_b"),
+        F.col("__pos"),
+        F.col("__mv").alias("__vb"),
+    )
+    pairs = a.join(
+        F.broadcast(b),
+        (a["__pos"] == b["__pos"]) & (a["source_a"] < b["source_b"]),
+    )
+    return (
+        pairs.groupBy("source_a", "source_b")
+        .agg(
+            F.sum(
+                (F.col("__va") == F.col("__vb")).cast("long")
+            ).alias("n_eq")
+        )
+        .select(
+            "source_a",
+            "source_b",
+            "n_eq",
+            (
+                F.floor(
+                    F.col("n_eq")
+                    / F.lit(float(num_hashes))
+                    * scale
+                    + F.lit(0.5)
+                )
+                / scale
+            ).alias("est_jaccard"),
+        )
+    )

@@ -98,6 +98,7 @@ _SAMPLE_PRIORITY = [
     # ewma NULL parity, mp3 footer, PSL wildcards/exceptions); e18
     # re-front-loaded after the recursive-CTE absorption fold.
     "e22_cusum_changepoints",
+    "d82_source_overlap_matrix",
     "c32_stream_calibration_maintenance",
     "c33_stream_domain_profile_maintenance",
     "c34_stream_novelty_gate",

@@ -9584,3 +9584,29 @@ def e22(spark: SparkSession, sf: str) -> DataFrame:
         slack=5.0,
         threshold=300.0,
     )
+
+
+@register(
+    "d82_source_overlap_matrix",
+    pyoracle.source_overlap_sql,
+    doc="corpus-level cross-source overlap matrix "
+    "(source_overlap_matrix): MinHash-estimated Jaccard of the UNION "
+    "shingle sets for every source pair - 'how much of crawl B is "
+    "already in crawl A' from constant-size sketches, the planning "
+    "pass run before paying per-document dedup on a pair. The "
+    "per-source sketch is MERGEABLE (min over union = element-wise "
+    "min of per-doc signatures): per-doc shuffle-free array "
+    "signature, posexplode, ONE map-side-combinable MIN agg keyed "
+    "(source, pos); the pair matrix self-joins the bounded "
+    "sources x num_hashes relation (metadata cardinality, broadcast). "
+    "Same xxhash64 chain as d02, so estimates are comparable with "
+    "per-doc thresholds; oracle = the independent public-spec XXH64 "
+    "model over set unions (d81-pattern literal table)",
+)
+def d82(spark: SparkSession, sf: str) -> DataFrame:
+    from basis_devkit_spark.operators.dedup import source_overlap_matrix
+
+    docs = load(spark, sf, "documents").select("doc_id", "source", "text")
+    return source_overlap_matrix(
+        docs, id_col="doc_id", text_col="text", group_col="source"
+    )

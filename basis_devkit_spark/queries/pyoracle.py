@@ -1996,3 +1996,58 @@ def group_split_assignments(
                 break
         out.append((src, split))
     return out
+
+
+# ------------------------------------------- source overlap matrix (d82)
+@lru_cache(maxsize=4)
+def source_overlap_counts(
+    sf_dir: str, num_hashes: int = 64
+) -> tuple[tuple[str, str, int], ...]:
+    """Model of ``operators.dedup.source_overlap_matrix``: per source,
+    the MinHash signature of the UNION of its documents' shingle sets
+    (same xxhash64(i, xxhash64(shingle)) chain, signed min), then per
+    unordered source pair the count of agreeing positions. Independent
+    of Spark: set union + the public-spec XXH64 model."""
+    import duckdb
+
+    con = duckdb.connect()
+    rows = con.execute(
+        f"select source, text from read_parquet('{sf_dir}/documents.parquet') "
+        "where source is not null order by doc_id"
+    ).fetchall()
+    con.close()
+    union_shingles: dict[str, set[str]] = {}
+    for source, text in rows:
+        if text is None:
+            continue
+        union_shingles.setdefault(source, set()).update(_shingles(text))
+    seeds = [xxh64_int(i, 42) for i in range(num_hashes)]
+    sigs = {
+        s: [
+            min(
+                to_signed(xxh64_long(xxh64_bytes(g.encode("utf-8")), sd))
+                for g in grams
+            )
+            for sd in seeds
+        ]
+        for s, grams in union_shingles.items()
+        if grams
+    }
+    out = []
+    names = sorted(sigs)
+    for i, sa in enumerate(names):
+        for sb in names[i + 1 :]:
+            eq = sum(x == y for x, y in zip(sigs[sa], sigs[sb]))
+            out.append((sa, sb, eq))
+    return tuple(out)
+
+
+def source_overlap_sql(num_hashes: int = 64) -> str:
+    rows = source_overlap_counts(oracle_sf_dir(), num_hashes)
+    vals = ", ".join(f"('{a}', '{b}', {e})" for a, b, e in rows)
+    return f"""
+    select source_a, source_b, cast(n_eq as bigint) as n_eq,
+           floor(n_eq * 1.0 / {num_hashes} * 1000000.0 + 0.5) / 1000000.0
+             as est_jaccard
+    from (values {vals}) as t(source_a, source_b, n_eq)
+    """

@@ -6646,3 +6646,67 @@ def test_cusum_changepoints_matches_naive_recursion(spark):
     import re as _re
 
     assert len(_re.findall(r"Exchange hashpartitioning", plan)) == 1, plan
+
+
+def test_source_overlap_matrix_semantics_and_merge_property(spark):
+    """Identical shingle sets estimate 1.0, disjoint corpora (almost
+    surely) 0.0, the per-source sketch equals the sketch of the union
+    (mergeability), NULL text / NULL source contribute nothing, and
+    the plan stays JVM-side with the bounded pair join broadcast."""
+    from basis_devkit_spark.operators.dedup import (
+        minhash_signatures,
+        source_overlap_matrix,
+    )
+
+    rep = "the quick brown fox jumps over the lazy dog " * 3
+    other = "completely different corpus text about spark shuffles " * 3
+    rows = [
+        (1, "a", rep),
+        (2, "a", other),
+        (3, "b", rep),          # b = union of a's docs, split differently
+        (4, "b", other),
+        (5, "c", rep),          # c shares doc 1's set only
+        (6, "d", None),         # NULL text: no shingles
+        (7, None, rep),         # NULL source: excluded
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    out = {
+        (r["source_a"], r["source_b"]): r
+        for r in source_overlap_matrix(df).collect()
+    }
+    # a and b hold the SAME union shingle set -> every position agrees
+    assert out[("a", "b")]["n_eq"] == 64
+    assert out[("a", "b")]["est_jaccard"] == 1.0
+    # d has no shingled docs at all -> no row with d
+    assert not any("d" in k for k in out)
+    assert len(out) == 3  # (a,b), (a,c), (b,c)
+    # true Jaccard(a, c) = |rep| / |rep U other|; the estimate must be
+    # strictly between the degenerate ends
+    assert 0 < out[("a", "c")]["n_eq"] < 64
+    # same sets, same sketch, same estimate
+    assert out[("a", "c")]["n_eq"] == out[("b", "c")]["n_eq"]
+
+    # mergeability: element-wise min of per-doc signatures == the
+    # signature minhash_signatures computes for the concatenated corpus
+    per_doc = minhash_signatures(
+        df.filter("source = 'a'"), "doc_id", "text"
+    ).collect()
+    merged = [min(x) for x in zip(*(r["sig"] for r in per_doc))]
+    one_doc = minhash_signatures(
+        spark.createDataFrame(
+            [(1, rep), (1, other)], "doc_id long, text string"
+        ),
+        "doc_id",
+        "text",
+    ).collect()
+    union_sig = [min(x) for x in zip(*(r["sig"] for r in one_doc))]
+    assert merged == union_sig
+
+    plan = (
+        source_overlap_matrix(df)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "EvalPython" not in plan
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoop" in plan
