@@ -1852,3 +1852,86 @@ def topk_recall(
             ).alias("recall"),
         )
     )
+
+
+def hard_negative_mine(
+    queries: DataFrame,
+    corpus: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    label_col: str = "label",
+    k: int = 5,
+    metric: str = "cosine",
+    score_round: int | None = 6,
+    min_score: float | None = None,
+) -> DataFrame:
+    """Hard-negative mining for retrieval/classifier training: for each
+    query vector, the top-``k`` most-similar corpus vectors whose label
+    DIFFERS from the query's — the near-misses that teach a contrastive
+    model its decision boundary (random negatives are trivially easy;
+    the informative ones are the closest wrong answers). Output
+    ``(query_id, query_label, match_id, match_label, score, rank)``;
+    optional ``min_score`` keeps only negatives at least that hard.
+
+    Pairs where EITHER label is NULL are excluded — an unlabeled
+    neighbor cannot be certified a negative; surface unlabeled data
+    through d03's plain top-k instead. ``score_round`` rounds scores
+    BEFORE ranking (the ann_join cross-engine contract).
+
+    Scale shape: queries broadcast (the brute_force_topk contract —
+    mine in query batches of ≤ ~10^5), the corpus streams once, and
+    ranking is the two-phase bounded ``_topk_by_query`` merge — never
+    a per-query window over corpus-cardinality rows. The label joins
+    touch only the |queries| × k result relation (broadcast). For
+    corpus-×-corpus mining at 100 TB, run this per IVF cell (d24's
+    ann_join composition) with the same label filter.
+    """
+    q = queries.filter(
+        F.col(label_col).isNotNull() & F.col(vec_col).isNotNull()
+    ).select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("__qv"),
+        F.col(label_col).alias("query_label"),
+    )
+    c = corpus.filter(
+        F.col(label_col).isNotNull() & F.col(vec_col).isNotNull()
+    ).select(
+        F.col(id_col).alias("match_id"),
+        F.col(vec_col).alias("__cv"),
+        F.col(label_col).alias("match_label"),
+    )
+    joined = c.crossJoin(
+        F.broadcast(q.select("query_id", "__qv", "query_label"))
+    ).filter(
+        (F.col("query_id") != F.col("match_id"))
+        & (F.col("query_label") != F.col("match_label"))
+    )
+    if metric == "cosine":
+        score = cosine_similarity_col(F.col("__qv"), F.col("__cv"))
+    elif metric == "dot":
+        score = _dot(
+            F.transform("__qv", lambda x: x.cast("double")),
+            F.transform("__cv", lambda x: x.cast("double")),
+        )
+    else:
+        raise ValueError(f"unknown metric {metric}")
+    if score_round is not None:
+        score = F.round(score, score_round)
+    scored = joined.select("query_id", "match_id", score.alias("score"))
+    if min_score is not None:
+        scored = scored.filter(F.col("score") >= F.lit(float(min_score)))
+    topk = _topk_by_query(scored, k)
+    out = topk.join(
+        F.broadcast(q.select("query_id", "query_label")), "query_id"
+    )
+    labels = corpus.select(
+        F.col(id_col).alias("match_id"),
+        F.col(label_col).alias("match_label"),
+    )
+    out = labels.join(
+        F.broadcast(out), "match_id"
+    )
+    return out.select(
+        "query_id", "query_label", "match_id", "match_label",
+        "score", "rank",
+    )

@@ -9610,3 +9610,51 @@ def d82(spark: SparkSession, sf: str) -> DataFrame:
     return source_overlap_matrix(
         docs, id_col="doc_id", text_col="text", group_col="source"
     )
+
+
+@register(
+    "d83_hard_negative_mine",
+    """
+    with q as (
+      select vec_id, embedding, label from embeddings
+      where vec_id < 30 and label is not null and embedding is not null
+    ), c as (
+      select vec_id, embedding, label from embeddings
+      where label is not null and embedding is not null
+    ), scored as (
+      select q.vec_id as query_id, q.label as query_label,
+             c.vec_id as match_id, c.label as match_label,
+             round(list_cosine_similarity(
+               list_transform(q.embedding, x -> cast(x as double)),
+               list_transform(c.embedding, x -> cast(x as double))),
+               4) as score
+      from q join c on q.vec_id != c.vec_id and q.label != c.label
+    ), ranked as (
+      select query_id, query_label, match_id, match_label, score,
+             row_number() over (partition by query_id
+                                order by score desc, match_id) as rank
+      from scored
+    )
+    select query_id, query_label, match_id, match_label, score, rank
+    from ranked where rank <= 5
+    """,
+    doc="hard-negative mining (hard_negative_mine): per query vector, "
+    "the top-5 most-similar corpus vectors with a DIFFERENT label - "
+    "the near-miss negatives contrastive retrieval training needs "
+    "(random negatives are too easy to shape a boundary). Broadcast "
+    "queries, one corpus stream, label filter inside the scoring "
+    "scan, two-phase bounded top-k merge (never a per-query window "
+    "over corpus rows), label join-back on the bounded result only; "
+    "NULL-labeled rows excluded on both sides (an unlabeled neighbor "
+    "cannot be certified a negative). score_round=4 pre-ranking, the "
+    "ann_join cross-engine contract",
+)
+def d83(spark: SparkSession, sf: str) -> DataFrame:
+    from basis_devkit_spark.operators.similarity import hard_negative_mine
+
+    emb = load(spark, sf, "embeddings")
+    q = emb.filter(F.col("vec_id") < 30)
+    return hard_negative_mine(
+        q, emb, vec_col="embedding", id_col="vec_id",
+        label_col="label", k=5, score_round=4,
+    )

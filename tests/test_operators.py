@@ -6710,3 +6710,43 @@ def test_source_overlap_matrix_semantics_and_merge_property(spark):
     )
     assert "EvalPython" not in plan
     assert "BroadcastHashJoin" in plan or "BroadcastNestedLoop" in plan
+
+
+def test_hard_negative_mine_semantics(spark):
+    """Mined negatives must all carry a different label than the query,
+    NULL-labeled vectors are excluded on both sides, min_score trims
+    easy negatives, ranking is the bounded two-phase merge (no Window),
+    and the nearest same-label vector never appears."""
+    from basis_devkit_spark.operators.similarity import hard_negative_mine
+
+    # unit-ish vectors on a plane: 0/1 share label A and are nearly
+    # identical; 2 (label B) is close to 0; 3 (label B) is far; 4 has a
+    # NULL label and must never appear
+    rows = [
+        (0, [1.0, 0.0], "A"),
+        (1, [0.99, 0.14], "A"),
+        (2, [0.9, 0.43], "B"),
+        (3, [-1.0, 0.0], "B"),
+        (4, [1.0, 0.01], None),
+    ]
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label string"
+    )
+    q = df.filter("vec_id = 0")
+    out = hard_negative_mine(q, df, k=3, score_round=4).collect()
+    assert all(r["query_label"] != r["match_label"] for r in out)
+    assert all(r["match_id"] != 4 for r in out)  # NULL label excluded
+    ids = [r["match_id"] for r in sorted(out, key=lambda r: r["rank"])]
+    assert ids == [2, 3]  # same-label 1 skipped; 2 is the HARD negative
+    # min_score keeps only the hard one
+    hard = hard_negative_mine(q, df, k=3, score_round=4, min_score=0.5)
+    assert [r["match_id"] for r in hard.collect()] == [2]
+
+    plan = (
+        hard_negative_mine(q, df, k=3)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Window" not in plan  # two-phase top-k, never a rank window
+    assert "EvalPython" not in plan
