@@ -100,6 +100,7 @@ _SAMPLE_PRIORITY = [
     "e22_cusum_changepoints",
     "d82_source_overlap_matrix",
     "d83_hard_negative_mine",
+    "c35_stream_cusum_maintenance",
     "c32_stream_calibration_maintenance",
     "c33_stream_domain_profile_maintenance",
     "c34_stream_novelty_gate",

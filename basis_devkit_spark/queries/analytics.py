@@ -9658,3 +9658,93 @@ def d83(spark: SparkSession, sf: str) -> DataFrame:
         q, emb, vec_col="embedding", id_col="vec_id",
         label_col="label", k=5, score_round=4,
     )
+
+
+@register(
+    "c35_stream_cusum_maintenance",
+    """
+    with b as (
+      select user_id, event_id, ts, value,
+             cast(floor(value * 1000000.0 + 0.5) as bigint) as v
+      from events
+    ), p as (
+      select user_id, event_id, ts, value, v,
+             sum(coalesce(v - 50000000 - 5000000, 0)) over w as ppos,
+             sum(coalesce(50000000 - v - 5000000, 0)) over w as pneg
+      from b
+      window w as (partition by user_id order by ts, event_id
+                   rows between unbounded preceding and current row)
+    ), s as (
+      select user_id, event_id, ts, value, v,
+             ppos - least(0, min(ppos) over w) as spos,
+             pneg - least(0, min(pneg) over w) as sneg
+      from p
+      window w as (partition by user_id order by ts, event_id
+                   rows between unbounded preceding and current row)
+    )
+    select user_id, event_id, ts, value,
+      case when v is not null then spos / 1000000.0 end as cusum_pos,
+      case when v is not null then sneg / 1000000.0 end as cusum_neg,
+      cast(coalesce(v is not null
+                    and (spos > 300000000 or sneg > 300000000),
+                    false) as int) as is_alarm
+    from s
+    """,
+    doc="streaming CUSUM maintenance (c35): the e22 changepoint chart "
+    "kept current per micro-batch - the corpus arrives as TWO "
+    "event-time-ordered batches (ts split), each batch scores its "
+    "rows against the per-series carry (prefix total + floored "
+    "running min, FOUR longs per series regardless of history) and "
+    "the maintained row store must equal the one-shot e22 chart "
+    "byte-for-byte (same oracle). Two-store exactly-once commit "
+    "(scored rows first, cursor second - the c23/c31 crash-replay "
+    "contract); in-order arrival per series required",
+)
+def c35(spark: SparkSession, sf: str) -> DataFrame:
+    import glob as _glob
+    import os as _os
+    import shutil as _shutil
+    import tempfile as _tf
+
+    from basis_devkit_spark.storage.store import TableStore
+    from basis_devkit_spark.streaming.ops import stream_cusum_to_store
+
+    ev = load(spark, sf, "events").select(
+        "user_id", "event_id", "ts", "value"
+    )
+    tmp = _tf.mkdtemp(prefix="bds_c35_")
+    drop = _os.path.join(tmp, "drop")
+    _os.makedirs(drop, exist_ok=True)
+    cut = "2024-01-15"
+    for tag, cond in (
+        ("a", F.col("ts") < cut),
+        ("b", F.col("ts") >= cut),
+    ):
+        part_dir = _os.path.join(tmp, f"part_{tag}")
+        ev.filter(cond).coalesce(1).write.parquet(part_dir)
+        src = _glob.glob(_os.path.join(part_dir, "part-*.parquet"))[0]
+        _shutil.copy(src, _os.path.join(drop, f"{tag}.parquet"))
+    raw_schema = spark.read.parquet(_os.path.join(drop, "a.parquet")).schema
+
+    stream = (
+        spark.readStream.schema(raw_schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(drop)
+    )
+    rows_store = TableStore(tmp, "cusum_rows", spark)
+    rows_store.configure(unique_on="event_id")
+    state_store = TableStore(tmp, "cusum_state", spark)
+    state_store.configure(unique_on="g")
+    q = stream_cusum_to_store(
+        stream, rows_store, state_store, f"{tmp}/_ckpt",
+        value_col="value", group_col="user_id", ts_col="ts",
+        id_col="event_id", target=50.0, slack=5.0, threshold=300.0,
+    ).start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return rows_store.read().select(
+        "user_id", "event_id", "ts", "value",
+        "cusum_pos", "cusum_neg", "is_alarm",
+    )

@@ -637,3 +637,161 @@ def stream_novelty_gate_to_store(
     if trigger_seconds is not None:
         w = w.trigger(processingTime=f"{trigger_seconds} seconds")
     return w
+
+
+def cusum_batch(
+    rows_store,
+    state_store,
+    batch_df: DataFrame,
+    batch_id: int,
+    value_col: str = "value",
+    group_col: str = "user_id",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    target: float = 0.0,
+    slack: float = 0.0,
+    threshold: float = 5.0,
+    out_round: int = 6,
+) -> None:
+    """One micro-batch of streaming CUSUM maintenance (c35): the e22
+    changepoint chart kept current at batch cost, per-row statistics
+    equal to the one-shot batch computation byte-for-byte. The carry
+    per series is TWO integers per side: the prefix total ``P_last``
+    and the floored running minimum ``M = min(0, min prefix)`` — the
+    closed form's whole state, so a mega-series costs the same 4
+    longs as an idle one. For a batch row with batch-relative prefix
+    ``p_t`` and batch-relative running min ``bmin_t``::
+
+        S_t = (P_last + p_t) − min(M_prev, P_last + bmin_t)
+
+    which equals the global closed form because min over a split
+    sequence is the min of the parts' mins.
+
+    Two-store commit, crash-convergent without a transaction (the
+    c23/c31 argument): the scored rows upsert FIRST under batch-id
+    idempotency (keyed on ``id_col``), the per-series cursor second; a
+    replay recomputes identical rows from the still-pre-batch cursor.
+    Requires in-order arrival per series (event-time-ordered batches —
+    the pack/transition cursor contract)."""
+    from pyspark.sql import Window as _W
+
+    from basis_devkit_spark.operators.lineage import release_plan_blocks
+
+    scale = 10 ** out_round
+    mu = int(round(float(target) * scale))
+    kk = int(round(float(slack) * scale))
+    hh = int(round(float(threshold) * scale))
+    ev = batch_df.select(
+        F.col(group_col).alias("g"), F.col(id_col).alias("i"),
+        F.col(ts_col).alias("t"), F.col(value_col).alias("x"),
+    ).localCheckpoint(eager=True)
+    try:
+        w = _W.partitionBy("g").orderBy("t", "i")
+        run = w.rowsBetween(_W.unboundedPreceding, _W.currentRow)
+        v = F.floor(F.col("x").cast("double") * scale + 0.5).cast("long")
+        dpos = F.coalesce(v - F.lit(mu) - F.lit(kk), F.lit(0))
+        dneg = F.coalesce(F.lit(mu) - v - F.lit(kk), F.lit(0))
+        staged = ev.select(
+            "g", "i", "t", "x", v.alias("__v"),
+            F.sum(dpos).over(run).alias("pp"),
+            F.sum(dneg).over(run).alias("pn"),
+        ).select(
+            "*",
+            F.min("pp").over(run).alias("bp"),
+            F.min("pn").over(run).alias("bn"),
+        )
+        if state_store.has_active_version():
+            carry = state_store.read().select(
+                F.col("g").alias("__cg"),
+                F.col("pp_last").alias("__cpp"),
+                F.col("pp_min").alias("__cmp"),
+                F.col("pn_last").alias("__cpn"),
+                F.col("pn_min").alias("__cmn"),
+            )
+            # null-safe key: a NULL-group series must keep its carry too
+            staged = staged.join(
+                carry, F.col("g").eqNullSafe(F.col("__cg")), "left"
+            ).drop("__cg")
+        else:
+            zl = F.lit(None).cast("long")
+            staged = staged.select(
+                "*", zl.alias("__cpp"), zl.alias("__cmp"),
+                zl.alias("__cpn"), zl.alias("__cmn"),
+            )
+        z = F.lit(0).cast("long")
+        cpp, cpn = F.coalesce("__cpp", z), F.coalesce("__cpn", z)
+        cmp_, cmn = F.coalesce("__cmp", z), F.coalesce("__cmn", z)
+        spos = (cpp + F.col("pp")) - F.least(cmp_, cpp + F.col("bp"))
+        sneg = (cpn + F.col("pn")) - F.least(cmn, cpn + F.col("bn"))
+        lit_scale = F.lit(float(scale))
+        rows = staged.select(
+            F.col("g").alias(group_col),
+            F.col("i").alias(id_col),
+            F.col("t").alias(ts_col),
+            F.col("x").alias(value_col),
+            F.when(F.col("__v").isNotNull(), spos / lit_scale).alias(
+                "cusum_pos"
+            ),
+            F.when(F.col("__v").isNotNull(), sneg / lit_scale).alias(
+                "cusum_neg"
+            ),
+            F.coalesce(
+                F.col("__v").isNotNull()
+                & ((spos > F.lit(hh)) | (sneg > F.lit(hh))),
+                F.lit(False),
+            ).cast("int").alias("is_alarm"),
+        )
+        rows_store.upsert_stream_batch(rows, batch_id)
+        last = F.max(
+            F.struct(F.col("t"), F.col("i"), F.col("pp"), F.col("pn"))
+        ).alias("__l")
+        new_state = (
+            staged.groupBy("g")
+            .agg(
+                last,
+                F.min("bp").alias("__bp"),
+                F.min("bn").alias("__bn"),
+                F.first(cpp).alias("__cpp0"),
+                F.first(cpn).alias("__cpn0"),
+                F.first(cmp_).alias("__cmp0"),
+                F.first(cmn).alias("__cmn0"),
+            )
+            .select(
+                "g",
+                (F.col("__cpp0") + F.col("__l.pp")).alias("pp_last"),
+                F.least(
+                    F.col("__cmp0"), F.col("__cpp0") + F.col("__bp")
+                ).alias("pp_min"),
+                (F.col("__cpn0") + F.col("__l.pn")).alias("pn_last"),
+                F.least(
+                    F.col("__cmn0"), F.col("__cpn0") + F.col("__bn")
+                ).alias("pn_min"),
+            )
+        )
+        state_store.upsert_stream_batch(new_state, batch_id)
+    finally:
+        release_plan_blocks(ev)
+
+
+def stream_cusum_to_store(
+    df: DataFrame,
+    rows_store,
+    state_store,
+    checkpoint_dir: str,
+    trigger_seconds: int | None = None,
+    **kw,
+):
+    """Exactly-once streaming CUSUM sink (c35): see
+    :func:`cusum_batch` for the carry math and the two-store commit
+    order. ``kw`` forwards the e22 parameters (value/group/ts/id
+    columns, target, slack, threshold)."""
+
+    def _write(batch_df: DataFrame, batch_id: int) -> None:
+        cusum_batch(rows_store, state_store, batch_df, batch_id, **kw)
+
+    w = df.writeStream.foreachBatch(_write).option(
+        "checkpointLocation", checkpoint_dir
+    ).outputMode("update")
+    if trigger_seconds is not None:
+        w = w.trigger(processingTime=f"{trigger_seconds} seconds")
+    return w

@@ -548,3 +548,65 @@ def test_transition_count_batch_boundary_and_crash_replay(spark, tmp_path):
     assert got == {("A", "B"): 1, ("B", "C"): 1, ("A", "A"): 1}
     cur = {r["u"]: r["last_event"] for r in cursors.read().collect()}
     assert cur == {1: "C", 2: "A"}
+
+
+def test_cusum_batch_carry_and_crash_replay(spark, tmp_path):
+    """Streamed CUSUM across three batches equals the one-shot e22
+    chart row-for-row (the carry: prefix total + floored running min),
+    a crash between the rows commit and the cursor commit converges on
+    replay, and idle series keep their carry untouched."""
+    from datetime import datetime
+
+    import pytest as _pt
+
+    from basis_devkit_spark.operators.timeseries import cusum_changepoints
+    from basis_devkit_spark.storage.store import TableStore
+    from basis_devkit_spark.streaming.ops import cusum_batch
+
+    t = lambda s: datetime(2024, 1, 1, 0, 0, s)
+    # u1 drifts up past threshold then crashes down; u2 appears only in
+    # batch 1 (its carry must survive batch 2 untouched); a NULL value
+    # lands mid-stream (must freeze, not reset)
+    all_rows = [
+        (1, "u1", t(1), 20.0),
+        (2, "u1", t(2), 25.0),
+        (3, "u2", t(2), 5.0),
+        (4, "u1", t(3), None),
+        (5, "u1", t(4), 30.0),
+        (6, "u1", t(5), 1.0),
+        (7, "u2", t(6), 9.0),
+        (8, "u1", t(7), 2.0),
+    ]
+    schema = "event_id long, user_id string, ts timestamp, value double"
+    df = spark.createDataFrame(all_rows, schema)
+    kw = dict(target=10.0, slack=1.0, threshold=12.0)
+    expect = {
+        r["event_id"]: r for r in cusum_changepoints(df, **kw).collect()
+    }
+
+    rows = TableStore(str(tmp_path), "rows", spark)
+    rows.configure(unique_on="event_id")
+    state = TableStore(str(tmp_path), "state", spark)
+    state.configure(unique_on="g")
+    batches = [all_rows[:3], all_rows[3:6], all_rows[6:]]
+    for bid, batch in enumerate(batches, start=1):
+        bdf = spark.createDataFrame(batch, schema)
+        if bid == 3:  # crash between rows commit and cursor commit
+            real = state.upsert_stream_batch
+
+            def boom(d, b):
+                raise RuntimeError("crash before cursor commit")
+
+            state.upsert_stream_batch = boom
+            with _pt.raises(RuntimeError):
+                cusum_batch(rows, state, bdf, bid, **kw)
+            state.upsert_stream_batch = real
+        cusum_batch(rows, state, bdf, bid, **kw)
+
+    got = {r["event_id"]: r for r in rows.read().collect()}
+    assert set(got) == set(expect)
+    for eid in expect:
+        for c in ("cusum_pos", "cusum_neg", "is_alarm"):
+            assert got[eid][c] == expect[eid][c], (eid, c)
+    # u2's carry crossed the idle batch: row 7's statistic saw row 3
+    assert got[7]["cusum_neg"] == expect[7]["cusum_neg"] != 0.0
