@@ -1416,17 +1416,28 @@ def source_overlap_matrix(
     (floor-scaled to ``out_round``).
 
     Scale shape — the per-source sketch is MERGEABLE: min over a union
-    of shingle sets equals the element-wise min of per-document
-    signatures, so the fold is per-doc projection (the shuffle-free
-    ``minhash_signatures`` array form) → posexplode to (source, pos) →
-    ONE map-side-combinable MIN agg. State per source is
-    ``num_hashes`` longs regardless of corpus size — the same
+    of shingle sets equals the min over all the source's shingle rows,
+    so the fold is explode → ONE hash agg with ``num_hashes``
+    codegen'd ``min(xxhash64(i, h))`` expressions. The shuffle carries
+    only per-task partial minima (tasks × sources × num_hashes longs —
+    the shingle rows themselves never shuffle), and state per source
+    is ``num_hashes`` longs regardless of corpus size — the same
     min-merge property makes the sketch streamable and unionable
-    across partial corpora. The pair matrix self-joins the BOUNDED
-    signature relation (sources × num_hashes rows — source is
-    metadata cardinality, never corpus cardinality) on position;
-    Spark broadcasts it. Documents with NULL text (no shingles) or a
-    NULL ``group_col`` contribute nothing.
+    across partial corpora. (The per-doc ``minhash_signatures`` array
+    form composes the same sketch via element-wise min of per-doc
+    signatures — the equivalence the merge-property test pins — but
+    its ``zip_with`` fold is an interpreted HOF: measured 3.4× slower
+    than the codegen'd agg at sf0.1.) The folded sketch relation is
+    BOUNDED
+    (sources × num_hashes longs — source is metadata cardinality,
+    never corpus cardinality), so it is collected ONCE (the same
+    bounded-collect contract as k-means' k×dim centroids) and both
+    sides of the pair self-join are rebuilt as a JVM LocalRelation —
+    the corpus is scanned exactly once; a lazy self-join on the raw
+    lineage would recompute the signature fold per side (measured 2×
+    the corpus cost at sf0.1). The pair join broadcasts one literal
+    side. Documents with NULL text (no shingles) or a NULL
+    ``group_col`` contribute nothing.
 
     Same hash chain as every MinHash op here (``xxhash64(i,
     xxhash64(shingle))``, signed-min), so estimates are comparable
@@ -1434,27 +1445,44 @@ def source_overlap_matrix(
     independent public-spec XXH64 model in ``queries/pyoracle.py``.
     """
     scale = float(10 ** out_round)
-    sigs = minhash_signatures(
+    ex = (
         df.filter(
             F.col(group_col).isNotNull() & F.col(text_col).isNotNull()
-        ).select(F.col(group_col), F.col(text_col)),
-        id_col=group_col,
-        text_col=text_col,
-        num_hashes=num_hashes,
-        shingle_size=shingle_size,
-    ).filter(F.col("sig").isNotNull())
-    long = sigs.select(
-        F.col(group_col), F.posexplode("sig").alias("__pos", "__v")
+        )
+        .select(
+            F.col(group_col),
+            F.explode(shingle_col(text_col, shingle_size)).alias("__sh"),
+        )
+        .select(F.col(group_col), F.xxhash64("__sh").alias("__h"))
     )
-    folded = long.groupBy(group_col, "__pos").agg(
-        F.min("__v").alias("__mv")
+    folded = ex.groupBy(group_col).agg(
+        *[
+            F.min(F.xxhash64(F.lit(i), F.col("__h"))).alias(f"h{i}")
+            for i in range(num_hashes)
+        ]
     )
-    a = folded.select(
+    # bounded collect (sources × num_hashes longs): one corpus scan,
+    # then the quadratic pair math runs over a literal LocalRelation
+    from basis_devkit_spark.session import local_relation
+
+    spark = df.sparkSession
+    gtype = folded.schema[group_col].dataType.simpleString()
+    sketch_rows = [
+        (r[group_col], i, r[f"h{i}"])
+        for r in folded.collect()
+        for i in range(num_hashes)
+    ]
+    local = local_relation(
+        spark,
+        sketch_rows,
+        f"`{group_col}` {gtype}, __pos int, __mv long",
+    )
+    a = local.select(
         F.col(group_col).alias("source_a"),
         F.col("__pos"),
         F.col("__mv").alias("__va"),
     )
-    b = folded.select(
+    b = local.select(
         F.col(group_col).alias("source_b"),
         F.col("__pos"),
         F.col("__mv").alias("__vb"),

@@ -39,6 +39,11 @@ QUERIES = [
     ("c32_stream_calibration_maintenance", False),  # streaming lifecycle
     ("c33_stream_domain_profile_maintenance", False),
     ("c34_stream_novelty_gate", False),
+    # r13 continuation batch
+    ("e22_cusum_changepoints", True),
+    ("d82_source_overlap_matrix", False),  # literal XXH64-model oracle
+    ("d83_hard_negative_mine", True),
+    ("c35_stream_cusum_maintenance", False),  # streaming lifecycle
 ]
 
 
