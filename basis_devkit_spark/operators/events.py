@@ -1191,3 +1191,99 @@ def periodicity_signals(
             F.lit(False),
         ).cast("int").alias("is_regular"),
     )
+
+
+def cuped_readout(
+    per_unit: DataFrame,
+    arm_col: str = "arm",
+    x_col: str = "x_pre",
+    y_col: str = "y_post",
+    out_round: int = 6,
+) -> DataFrame:
+    """CUPED variance-reduced experiment readout (Deng et al., WSDM
+    2013 — public): per arm, the outcome mean adjusted by the
+    pre-experiment covariate, ``mean_y_cuped = mean(Y) − θ·(mean_a(X)
+    − mean_all(X))`` with the pooled ``θ = cov(X,Y)/var(X)``. The
+    pre-period metric is unaffected by treatment, so subtracting its
+    correlated share of the outcome shrinks per-arm variance by
+    ``cov²/(var_x·var_y)`` (= r²) without biasing the contrast — the
+    standard way to cut experiment runtime ~2–5× on returning-user
+    metrics. Input is one row per unit: arm, integer-valued pre
+    covariate ``x_col``, integer-valued outcome ``y_col`` (build both
+    with conditional aggregates; see the e23 query).
+
+    Outputs per arm: ``n_units``, raw ``mean_y``, ``mean_y_cuped``,
+    ``theta``, sample ``var_y``, ``var_y_cuped`` (the empirical
+    variance of the adjusted values, = var_y − 2θ·cov_a + θ²·var_x_a)
+    and ``var_reduction`` (1 − var_y_cuped/var_y). Arms with < 2 units
+    report NULL variances; zero ``var_y`` reports NULL reduction; a
+    zero-variance covariate degrades to θ = 0 (raw means, no crash).
+
+    Parity contract (the e21 pattern): every moment — n, ΣX, ΣY, ΣXY,
+    ΣXX, ΣYY — accumulates in EXACT integer arithmetic
+    (decimal(38,0) here, HUGEINT in the oracle); θ, means and
+    variances are then single double expressions over identical
+    integers, floor-scaled at 1e6. Scale shape: one global 1-row agg
+    broadcast back + one per-arm hash agg — no windows, no collect.
+    Units with a NULL covariate or outcome are EXCLUDED from the
+    readout (a missing pre-period is not zero activity — coalesce
+    your conditional aggregates to 0 upstream if it is).
+    """
+    d0 = F.lit(0).cast("decimal(38,0)")
+    xd = F.col(x_col).cast("decimal(38,0)")
+    yd = F.col(y_col).cast("decimal(38,0)")
+    base = per_unit.select(
+        F.col(arm_col).alias("arm"), xd.alias("__x"), yd.alias("__y")
+    ).filter(F.col("__x").isNotNull() & F.col("__y").isNotNull())
+    scale = float(10 ** out_round)
+    fs = lambda c: F.floor(c * scale + F.lit(0.5)) / scale
+
+    def moments(df: DataFrame, keys: list[str]) -> DataFrame:
+        g = df.groupBy(*keys) if keys else df.groupBy()
+        return g.agg(
+            F.count(F.lit(1)).cast("decimal(38,0)").alias("n"),
+            F.coalesce(F.sum("__x"), d0).cast("decimal(38,0)").alias("sx"),
+            F.coalesce(F.sum("__y"), d0).cast("decimal(38,0)").alias("sy"),
+            F.coalesce(F.sum(F.col("__x") * F.col("__y")), d0)
+            .cast("decimal(38,0)").alias("sxy"),
+            F.coalesce(F.sum(F.col("__x") * F.col("__x")), d0)
+            .cast("decimal(38,0)").alias("sxx"),
+            F.coalesce(F.sum(F.col("__y") * F.col("__y")), d0)
+            .cast("decimal(38,0)").alias("syy"),
+        )
+    glob = moments(base, []).select(
+        F.col("n").alias("gn"), F.col("sx").alias("gsx"),
+        F.col("sy").alias("gsy"), F.col("sxy").alias("gsxy"),
+        F.col("sxx").alias("gsxx"),
+    )
+    arm = moments(base, ["arm"])
+    j = arm.crossJoin(F.broadcast(glob))
+    dd = lambda c: F.col(c).cast("double")
+    theta_den = dd("gn") * dd("gsxx") - dd("gsx") * dd("gsx")
+    theta = F.when(
+        theta_den > 0,
+        (dd("gn") * dd("gsxy") - dd("gsx") * dd("gsy")) / theta_den,
+    ).otherwise(F.lit(0.0))
+    mean_x_all = dd("gsx") / dd("gn")
+    n, sx, sy = dd("n"), dd("sx"), dd("sy")
+    mean_y = sy / n
+    mean_y_cuped = mean_y - theta * (sx / n - mean_x_all)
+    two = F.lit(2.0)
+    denom = n * (n - F.lit(1.0))
+    var_y = (n * dd("syy") - sy * sy) / denom
+    cov_a = (n * dd("sxy") - sx * sy) / denom
+    var_x_a = (n * dd("sxx") - sx * sx) / denom
+    var_adj = var_y - two * theta * cov_a + theta * theta * var_x_a
+    has_var = F.col("n") >= 2
+    return j.select(
+        "arm",
+        F.col("n").cast("long").alias("n_units"),
+        fs(mean_y).alias("mean_y"),
+        fs(mean_y_cuped).alias("mean_y_cuped"),
+        fs(theta).alias("theta"),
+        F.when(has_var, fs(var_y)).alias("var_y"),
+        F.when(has_var, fs(var_adj)).alias("var_y_cuped"),
+        F.when(
+            has_var & (var_y > 0), fs(F.lit(1.0) - var_adj / var_y)
+        ).alias("var_reduction"),
+    )

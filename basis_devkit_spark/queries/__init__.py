@@ -101,6 +101,7 @@ _SAMPLE_PRIORITY = [
     "d82_source_overlap_matrix",
     "d83_hard_negative_mine",
     "c35_stream_cusum_maintenance",
+    "e23_cuped_readout",
     "c32_stream_calibration_maintenance",
     "c33_stream_domain_profile_maintenance",
     "c34_stream_novelty_gate",

@@ -9748,3 +9748,110 @@ def c35(spark: SparkSession, sf: str) -> DataFrame:
         "user_id", "event_id", "ts", "value",
         "cusum_pos", "cusum_neg", "is_alarm",
     )
+
+
+@register(
+    "e23_cuped_readout",
+    """
+    with assigned as (
+      select user_id, ts,
+             case (('0x' || substr(md5('exp1' || cast(user_id as varchar)),
+                                   1, 8))::ubigint % 3)
+               when 0 then 'control' when 1 then 'variant_a'
+               else 'variant_b' end as arm
+      from events
+    ), per as (
+      select user_id, arm,
+             cast(sum(case when ts < timestamp '2024-01-15'
+                           then 1 else 0 end) as hugeint) as x,
+             cast(sum(case when ts >= timestamp '2024-01-15'
+                           then 1 else 0 end) as hugeint) as y
+      from assigned group by user_id, arm
+    ), g as (
+      select cast(count(*) as hugeint) as gn, sum(x) as gsx,
+             sum(y) as gsy, sum(x*y) as gsxy, sum(x*x) as gsxx
+      from per
+    ), a as (
+      select arm, cast(count(*) as hugeint) as n, sum(x) as sx,
+             sum(y) as sy, sum(x*y) as sxy, sum(x*x) as sxx,
+             sum(y*y) as syy
+      from per group by arm
+    ), c as (
+      select arm, n, sx, sy, sxy, sxx, syy, gn, gsx, gsy, gsxy, gsxx,
+             case when cast(gn as double)*cast(gsxx as double)
+                       - cast(gsx as double)*cast(gsx as double) > 0
+               then (cast(gn as double)*cast(gsxy as double)
+                     - cast(gsx as double)*cast(gsy as double))
+                    / (cast(gn as double)*cast(gsxx as double)
+                       - cast(gsx as double)*cast(gsx as double))
+               else 0.0 end as theta
+      from a cross join g
+    ), m as (
+      select arm, n, theta,
+             cast(sy as double)/cast(n as double) as mean_y,
+             cast(sy as double)/cast(n as double)
+               - theta * (cast(sx as double)/cast(n as double)
+                          - cast(gsx as double)/cast(gn as double))
+               as mean_y_cuped,
+             (cast(n as double)*cast(syy as double)
+              - cast(sy as double)*cast(sy as double))
+             / (cast(n as double)*(cast(n as double)-1.0)) as var_y,
+             (cast(n as double)*cast(sxy as double)
+              - cast(sx as double)*cast(sy as double))
+             / (cast(n as double)*(cast(n as double)-1.0)) as cov_a,
+             (cast(n as double)*cast(sxx as double)
+              - cast(sx as double)*cast(sx as double))
+             / (cast(n as double)*(cast(n as double)-1.0)) as var_x_a
+      from c
+    ), v as (
+      select arm, n, theta, mean_y, mean_y_cuped, var_y,
+             var_y - 2.0*theta*cov_a + theta*theta*var_x_a as var_adj
+      from m
+    )
+    select arm, cast(n as bigint) as n_units,
+      floor(mean_y * 1000000.0 + 0.5) / 1000000.0 as mean_y,
+      floor(mean_y_cuped * 1000000.0 + 0.5) / 1000000.0 as mean_y_cuped,
+      floor(theta * 1000000.0 + 0.5) / 1000000.0 as theta,
+      case when n >= 2
+        then floor(var_y * 1000000.0 + 0.5) / 1000000.0 end as var_y,
+      case when n >= 2
+        then floor(var_adj * 1000000.0 + 0.5) / 1000000.0
+        end as var_y_cuped,
+      case when n >= 2 and var_y > 0
+        then floor((1.0 - var_adj / var_y) * 1000000.0 + 0.5) / 1000000.0
+        end as var_reduction
+    from v
+    """,
+    doc="CUPED variance-reduced experiment readout (cuped_readout, "
+    "Deng et al. WSDM 2013, public): per-arm outcome means adjusted "
+    "by the pre-period covariate with pooled theta = cov(X,Y)/var(X) "
+    "- the industry-standard way to cut experiment runtime on "
+    "returning-user metrics; here X = events before 2024-01-15, Y = "
+    "events after, arms via the e12/e13 md5-uniform assignment. Every "
+    "moment (n, SX, SY, SXY, SXX, SYY) is EXACT integer arithmetic "
+    "(decimal(38,0) / HUGEINT - the e21 parity pattern); theta, "
+    "means, variances and the var_reduction diagnostic are single "
+    "double expressions over identical integers, 1e6 floor-scaled. "
+    "One global 1-row agg broadcast back + one per-arm hash agg",
+)
+def e23(spark: SparkSession, sf: str) -> DataFrame:
+    from basis_devkit_spark.operators.events import (
+        assign_experiment,
+        cuped_readout,
+    )
+
+    cut = F.lit("2024-01-15").cast("timestamp")
+    ev = load(spark, sf, "events").select("user_id", "ts")
+    per = (
+        assign_experiment(ev, ["control", "variant_a", "variant_b"])
+        .groupBy("user_id", "arm")
+        .agg(
+            F.sum(
+                F.when(F.col("ts") < cut, 1).otherwise(0)
+            ).cast("long").alias("x_pre"),
+            F.sum(
+                F.when(F.col("ts") >= cut, 1).otherwise(0)
+            ).cast("long").alias("y_post"),
+        )
+    )
+    return cuped_readout(per)

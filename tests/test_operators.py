@@ -6750,3 +6750,56 @@ def test_hard_negative_mine_semantics(spark):
     )
     assert "Window" not in plan  # two-phase top-k, never a rank window
     assert "EvalPython" not in plan
+
+
+def test_cuped_readout_handcomputed(spark):
+    """CUPED against an independent numpy computation of pooled theta,
+    adjusted means, and adjusted variance; NULL-covariate units are
+    excluded; a zero-variance covariate degrades to theta=0; the plan
+    is two hash aggs + a broadcast, no windows."""
+    import numpy as np
+
+    from basis_devkit_spark.operators.events import cuped_readout
+
+    rows = [
+        ("a", 1, 3), ("a", 2, 5), ("a", 4, 9), ("a", 3, 6),
+        ("b", 2, 6), ("b", 5, 12), ("b", 1, 2), ("b", 4, 10),
+        ("b", None, 99),  # excluded: no pre-period
+    ]
+    df = spark.createDataFrame(rows, "arm string, x_pre long, y_post long")
+    out = {r["arm"]: r for r in cuped_readout(df).collect()}
+
+    x = np.array([1, 2, 4, 3, 2, 5, 1, 4], dtype=float)
+    y = np.array([3, 5, 9, 6, 6, 12, 2, 10], dtype=float)
+    n = len(x)
+    theta = ((n * (x * y).sum() - x.sum() * y.sum())
+             / (n * (x * x).sum() - x.sum() ** 2))
+    fs = lambda v: np.floor(v * 1e6 + 0.5) / 1e6
+    for arm, idx in (("a", slice(0, 4)), ("b", slice(4, 8))):
+        xa, ya = x[idx], y[idx]
+        na = len(xa)
+        assert out[arm]["n_units"] == na
+        assert out[arm]["theta"] == fs(theta)
+        assert out[arm]["mean_y"] == fs(ya.mean())
+        adj = ya.mean() - theta * (xa.mean() - x.mean())
+        assert out[arm]["mean_y_cuped"] == fs(adj)
+        var_y = ya.var(ddof=1)
+        cov = np.cov(xa, ya, ddof=1)[0, 1]
+        var_adj = var_y - 2 * theta * cov + theta**2 * xa.var(ddof=1)
+        assert abs(out[arm]["var_y"] - fs(var_y)) < 2e-6
+        assert abs(out[arm]["var_y_cuped"] - fs(var_adj)) < 2e-6
+        assert out[arm]["var_reduction"] > 0.5  # strongly correlated toy
+    # zero-variance covariate: theta 0, adjusted == raw
+    flat = spark.createDataFrame(
+        [("a", 7, 1), ("a", 7, 3), ("b", 7, 5)],
+        "arm string, x_pre long, y_post long",
+    )
+    fo = {r["arm"]: r for r in cuped_readout(flat).collect()}
+    assert fo["a"]["theta"] == 0.0
+    assert fo["a"]["mean_y_cuped"] == fo["a"]["mean_y"] == 2.0
+    assert fo["b"]["var_y"] is None  # single unit: no variance
+
+    plan = (
+        cuped_readout(df)._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Window" not in plan and "EvalPython" not in plan
