@@ -2449,3 +2449,72 @@ def group_split(
     last = F.lit(names[-1])
     out = last if expr is None else expr.otherwise(last)
     return df.withColumn(out_col, out)
+
+
+def fim_split(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    rate: float = 0.5,
+    salt: str = "fim",
+) -> DataFrame:
+    """Fill-in-the-middle example construction (Bavarian et al. 2022,
+    public): split each selected document into (prefix, middle,
+    suffix) at two deterministic character offsets, so the training
+    pipeline can emit the PSM/SPM reorderings; ``rate`` of documents
+    are transformed (the paper's fim_rate), the rest pass through
+    whole. Adds ``fim_applied`` (int), ``prefix``, ``middle``,
+    ``suffix`` (non-selected and NULL-text docs keep the full text in
+    ``prefix`` with empty middle/suffix — concat(prefix, middle,
+    suffix) ALWAYS reconstructs the document, the invariant the test
+    pins).
+
+    Determinism without RNG state: the gate and both split offsets
+    derive from md5-uniform integers keyed (salt, role, id) — the
+    e12 assignment chain, reproducible across runs, engines and
+    cluster sizes; the gate compares integers (``bucket <
+    rate·2^32``), never floats. Offsets are ``pmod(bucket, len+1)``
+    char positions; substring math is char-based on both engines.
+    Pure projection — FIM-ing a 100 TB corpus costs one map pass, no
+    shuffle, no UDF."""
+    if not 0.0 <= rate <= 1.0:
+        raise ValueError("rate must be in [0, 1]")
+
+    def bucket(role: str) -> "F.Column":
+        return F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.lit(f"{salt}:{role}:"),
+                        F.col(id_col).cast("string"),
+                    )
+                ),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("long")
+
+    gate_lim = int(round(float(rate) * 4294967296))
+    txt = F.col(text_col)
+    ln = F.length(txt)
+    applied = (
+        txt.isNotNull() & (ln > 0) & (bucket("gate") < F.lit(gate_lim))
+    )
+    p1 = F.pmod(bucket("p1"), ln + 1)
+    p2 = F.pmod(bucket("p2"), ln + 1)
+    lo, hi = F.least(p1, p2), F.greatest(p1, p2)
+    return df.select(
+        "*",
+        applied.cast("int").alias("fim_applied"),
+        F.when(applied, F.substring(txt, 1, lo))
+        .otherwise(txt)
+        .alias("prefix"),
+        F.when(applied, F.substring(txt, lo + 1, hi - lo))
+        .otherwise(F.when(txt.isNotNull(), F.lit("")))
+        .alias("middle"),
+        F.when(applied, F.substring(txt, hi + 1, ln - hi))
+        .otherwise(F.when(txt.isNotNull(), F.lit("")))
+        .alias("suffix"),
+    )

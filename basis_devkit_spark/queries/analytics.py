@@ -9855,3 +9855,52 @@ def e23(spark: SparkSession, sf: str) -> DataFrame:
         )
     )
     return cuped_readout(per)
+
+
+@register(
+    "d84_fim_split",
+    """
+    with b as (
+      select doc_id, text,
+             ('0x' || substr(md5('fim:gate:' || cast(doc_id as varchar)),
+                             1, 8))::ubigint as bg,
+             ('0x' || substr(md5('fim:p1:' || cast(doc_id as varchar)),
+                             1, 8))::ubigint as b1,
+             ('0x' || substr(md5('fim:p2:' || cast(doc_id as varchar)),
+                             1, 8))::ubigint as b2,
+             length(text) as ln
+      from documents
+    ), s as (
+      select doc_id, text, ln,
+             (text is not null and ln > 0 and bg < 2147483648) as applied,
+             least(b1 % (ln + 1), b2 % (ln + 1)) as lo,
+             greatest(b1 % (ln + 1), b2 % (ln + 1)) as hi
+      from b
+    )
+    select doc_id, text,
+      cast(coalesce(applied, false) as int) as fim_applied,
+      case when applied then substr(text, 1, cast(lo as int))
+           else text end as prefix,
+      case when applied
+             then substr(text, cast(lo as int) + 1, cast(hi - lo as int))
+           when text is not null then '' end as middle,
+      case when applied
+             then substr(text, cast(hi as int) + 1, cast(ln - hi as int))
+           when text is not null then '' end as suffix
+    from s
+    """,
+    doc="fill-in-the-middle example construction (fim_split, Bavarian "
+    "et al. 2022, public): rate=0.5 of documents split into "
+    "(prefix, middle, suffix) at two deterministic char offsets for "
+    "PSM/SPM training reorderings; gate and offsets are md5-uniform "
+    "integers keyed (salt, role, id) - the e12 chain, no RNG, "
+    "engine/cluster reproducible; the gate compares INTEGERS "
+    "(bucket < rate*2^32). concat(prefix,middle,suffix) always "
+    "reconstructs the doc. Pure projection - one map pass, no "
+    "shuffle, no UDF",
+)
+def d84(spark: SparkSession, sf: str) -> DataFrame:
+    from basis_devkit_spark.operators.text import fim_split
+
+    docs = load(spark, sf, "documents").select("doc_id", "text")
+    return fim_split(docs, "doc_id", "text", rate=0.5)

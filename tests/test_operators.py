@@ -6803,3 +6803,50 @@ def test_cuped_readout_handcomputed(spark):
         cuped_readout(df)._jdf.queryExecution().executedPlan().toString()
     )
     assert "Window" not in plan and "EvalPython" not in plan
+
+
+def test_fim_split_reconstruction_and_determinism(spark):
+    """concat(prefix, middle, suffix) reconstructs every document
+    (applied or not), the gate hits ~rate, assignments are stable
+    across calls, rate=0/1 are exact, NULL text passes through, and
+    the plan is a pure projection (no shuffle, no Python)."""
+    from basis_devkit_spark.operators.text import fim_split
+
+    rows = [(i, f"document body number {i} " * (i % 7 + 1)) for i in range(200)]
+    rows.append((999, None))
+    rows.append((998, ""))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = fim_split(df, rate=0.5).collect()
+    by_id = {r["doc_id"]: r for r in out}
+    for r in out:
+        if r["text"] is None:
+            assert r["fim_applied"] == 0
+            assert r["prefix"] is None and r["middle"] is None
+            continue
+        assert (r["prefix"] + r["middle"] + r["suffix"]) == r["text"]
+    assert by_id[998]["fim_applied"] == 0  # empty text never splits
+    n_applied = sum(r["fim_applied"] for r in out)
+    assert 60 <= n_applied <= 140  # ~rate of 200, md5-uniform
+    # some applied docs have all three parts non-empty
+    assert any(
+        r["fim_applied"] and r["prefix"] and r["middle"] and r["suffix"]
+        for r in out
+    )
+    # determinism: identical assignment on re-run
+    again = {r["doc_id"]: r for r in fim_split(df, rate=0.5).collect()}
+    for i, r in by_id.items():
+        assert again[i]["fim_applied"] == r["fim_applied"]
+        assert again[i]["middle"] == r["middle"]
+    assert all(
+        r["fim_applied"] == 0 for r in fim_split(df, rate=0.0).collect()
+    )
+    one = fim_split(df, rate=1.0).collect()
+    assert all(r["fim_applied"] == 1 for r in one if r["text"])
+
+    plan = (
+        fim_split(df)._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Exchange" not in plan and "EvalPython" not in plan
+    import pytest as _pt
+    with _pt.raises(ValueError):
+        fim_split(df, rate=1.5)
