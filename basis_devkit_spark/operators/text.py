@@ -2518,3 +2518,50 @@ def fim_split(
         .otherwise(F.when(txt.isNotNull(), F.lit("")))
         .alias("suffix"),
     )
+
+
+def readability_scores(
+    df: DataFrame,
+    text_col: str = "text",
+    out_round: int = 6,
+) -> DataFrame:
+    """Classic readability metrics (Flesch 1948 / Kincaid et al. 1975
+    — public formulas) as curation signals: crawl text far outside the
+    human-prose readability band is usually boilerplate, tables, code
+    or word salad, and grade level is a standard stratification axis
+    for curriculum mixes. Adds integer ``n_words`` (letter runs),
+    ``n_sentences`` (terminal-punctuation runs, floored at 1 when the
+    doc has words), ``n_syllables`` (vowel-group runs — the standard
+    cheap syllable proxy), and the two derived scores::
+
+        flesch_ease = 206.835 − 1.015·(words/sentences)
+                              − 84.6·(syllables/words)
+        fk_grade    = 0.39·(words/sentences)
+                    + 11.8·(syllables/words) − 15.59
+
+    Parity: the three counts are regexp counts with IDENTICAL patterns
+    on both engines (Java regex and RE2 agree on these classes); the
+    scores are single double expressions over those integers, 1e6
+    floor-scaled. Docs with NULL text or zero words report NULL
+    scores. Pure projection — no shuffle, no UDF."""
+    scale = float(10 ** out_round)
+    fs = lambda c: F.floor(c * scale + F.lit(0.5)) / scale
+    txt = F.col(text_col)
+    words = F.regexp_count(txt, F.lit("[A-Za-z]+"))
+    sents_raw = F.regexp_count(txt, F.lit("[.!?]+"))
+    sylls = F.regexp_count(F.lower(txt), F.lit("[aeiouy]+"))
+    has = txt.isNotNull() & (words > 0)
+    sents = F.greatest(sents_raw, F.lit(1))
+    wd = words.cast("double")
+    wps = wd / sents.cast("double")
+    spw = sylls.cast("double") / wd
+    ease = F.lit(206.835) - F.lit(1.015) * wps - F.lit(84.6) * spw
+    grade = F.lit(0.39) * wps + F.lit(11.8) * spw - F.lit(15.59)
+    return df.select(
+        "*",
+        F.when(txt.isNotNull(), words).cast("long").alias("n_words"),
+        F.when(has, sents).cast("long").alias("n_sentences"),
+        F.when(txt.isNotNull(), sylls).cast("long").alias("n_syllables"),
+        F.when(has, fs(ease)).alias("flesch_ease"),
+        F.when(has, fs(grade)).alias("fk_grade"),
+    )

@@ -103,6 +103,7 @@ _SAMPLE_PRIORITY = [
     "c35_stream_cusum_maintenance",
     "e23_cuped_readout",
     "d84_fim_split",
+    "d85_readability",
     "c32_stream_calibration_maintenance",
     "c33_stream_domain_profile_maintenance",
     "c34_stream_novelty_gate",

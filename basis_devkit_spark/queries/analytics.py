@@ -9904,3 +9904,53 @@ def d84(spark: SparkSession, sf: str) -> DataFrame:
 
     docs = load(spark, sf, "documents").select("doc_id", "text")
     return fim_split(docs, "doc_id", "text", rate=0.5)
+
+
+@register(
+    "d85_readability",
+    """
+    with c as (
+      select doc_id, text,
+             len(regexp_extract_all(text, '[A-Za-z]+')) as words,
+             len(regexp_extract_all(text, '[.!?]+')) as sents_raw,
+             len(regexp_extract_all(lower(text), '[aeiouy]+')) as sylls
+      from documents
+    ), s as (
+      select doc_id, text, words, sylls,
+             greatest(sents_raw, 1) as sents,
+             (text is not null and words > 0) as has
+      from c
+    )
+    select doc_id,
+      case when text is not null
+        then cast(words as bigint) end as n_words,
+      case when has then cast(sents as bigint) end as n_sentences,
+      case when text is not null
+        then cast(sylls as bigint) end as n_syllables,
+      case when has then
+        floor((206.835 - 1.015 * (cast(words as double) / sents)
+               - 84.6 * (cast(sylls as double) / words))
+              * 1000000.0 + 0.5) / 1000000.0 end as flesch_ease,
+      case when has then
+        floor((0.39 * (cast(words as double) / sents)
+               + 11.8 * (cast(sylls as double) / words) - 15.59)
+              * 1000000.0 + 0.5) / 1000000.0 end as fk_grade
+    from s
+    """,
+    doc="readability curation signals (readability_scores, Flesch "
+    "1948 / Kincaid 1975, public formulas): letter-run word count, "
+    "terminal-punctuation sentence count (floored at 1), vowel-group "
+    "syllable proxy, Flesch reading ease + FK grade - text far "
+    "outside the human-prose band is boilerplate/tables/word salad, "
+    "and grade level is a standard curriculum-mix axis. Identical "
+    "regexps both engines, double scores over exact integers, 1e6 "
+    "floor-scaled, NULL for wordless docs; pure projection",
+)
+def d85(spark: SparkSession, sf: str) -> DataFrame:
+    from basis_devkit_spark.operators.text import readability_scores
+
+    docs = load(spark, sf, "documents").select("doc_id", "text")
+    return readability_scores(docs).select(
+        "doc_id", "n_words", "n_sentences", "n_syllables",
+        "flesch_ease", "fk_grade",
+    )

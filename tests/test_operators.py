@@ -6850,3 +6850,42 @@ def test_fim_split_reconstruction_and_determinism(spark):
     import pytest as _pt
     with _pt.raises(ValueError):
         fim_split(df, rate=1.5)
+
+
+def test_readability_scores_handcomputed(spark):
+    """Counts and both formulas against hand arithmetic, the
+    one-sentence floor, NULL/wordless docs, and the pure-projection
+    plan."""
+    from basis_devkit_spark.operators.text import readability_scores
+
+    rows = [
+        (1, "The cat sat. The dog ran!"),     # 6 words, 2 sents
+        (2, "no terminal punctuation here"),  # floor: 1 sentence
+        (3, "1234 5678 ..."),                 # wordless: NULL scores
+        (4, None),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in readability_scores(df).collect()}
+    r1 = out[1]
+    assert r1["n_words"] == 6 and r1["n_sentences"] == 2
+    # syllable proxy: vowel GROUPS in lowercase text
+    # "the cat sat. the dog ran!" -> e,a,a,e,o,a = 6
+    assert r1["n_syllables"] == 6
+    import math
+    wps, spw = 6 / 2, 6 / 6
+    ease = 206.835 - 1.015 * wps - 84.6 * spw
+    grade = 0.39 * wps + 11.8 * spw - 15.59
+    fs = lambda v: math.floor(v * 1e6 + 0.5) / 1e6
+    assert r1["flesch_ease"] == fs(ease)
+    assert r1["fk_grade"] == fs(grade)
+    assert out[2]["n_sentences"] == 1  # floored
+    assert out[3]["flesch_ease"] is None and out[3]["n_words"] == 0
+    assert out[4]["n_words"] is None and out[4]["fk_grade"] is None
+
+    plan = (
+        readability_scores(df)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Exchange" not in plan and "EvalPython" not in plan
