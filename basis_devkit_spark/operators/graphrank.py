@@ -355,3 +355,64 @@ def label_propagation(
     out = labels.select("node", F.col("__l").alias("community"))
     out._bds_cached = [und]  # type: ignore[attr-defined]
     return out
+
+
+def textrank_keywords(
+    df: DataFrame,
+    text_col: str = "text",
+    k: int = 25,
+    min_len: int = 3,
+    iters: int = 10,
+    scale: int = 10**12,
+) -> DataFrame:
+    """Corpus keyword extraction via co-occurrence PageRank (TextRank,
+    Mihalcea & Tarau 2004 — public): tokens are lowercase letter runs
+    of length ≥ ``min_len``; every pair of ADJACENT tokens (window 2)
+    contributes an undirected edge (both directions, distinct,
+    self-loops dropped); node authority is the SAME exact-integer
+    PageRank recurrence as D40 (``pagerank_fixed_point`` with
+    ``raw_scaled=True`` — no float op anywhere, so ranks are engine-
+    and partitioning-independent integers); output the top ``k``
+    ``(rank_pos, token, rank_scaled)`` by (rank desc, token asc).
+
+    Scale shape: edge construction is a pure projection + explode
+    (arrays_zip of the token array against its own tail — no window,
+    no shuffle until the distinct), the graph is vocabulary-sized
+    (≪ corpus), each PageRank round is one equi-join + one integer-sum
+    agg (D40's shape), and the top-k is a TakeOrdered over the
+    vocabulary-sized rank relation. The keyword list of a 100 TB
+    corpus costs one corpus scan plus ``iters`` vocabulary-scale
+    rounds."""
+    toks = F.filter(
+        F.expr(f"regexp_extract_all(lower({text_col}), '[a-z]+', 0)"),
+        lambda t: F.length(t) >= min_len,
+    )
+    pairs = F.arrays_zip(
+        F.slice(toks, 1, F.greatest(F.size(toks) - 1, F.lit(0))),
+        F.slice(toks, 2, F.greatest(F.size(toks) - 1, F.lit(0))),
+    )
+    ex = (
+        df.filter(F.col(text_col).isNotNull())
+        .select(F.explode(pairs).alias("__p"))
+        .select(F.col("__p.0").alias("a"), F.col("__p.1").alias("b"))
+        .filter(F.col("a") != F.col("b"))
+    )
+    und = ex.select(
+        F.col("a").alias("src"), F.col("b").alias("dst")
+    ).unionByName(
+        ex.select(F.col("b").alias("src"), F.col("a").alias("dst"))
+    )
+    ranks = pagerank_fixed_point(
+        und, iters=iters, scale=scale, raw_scaled=True
+    )
+    top = ranks.orderBy(
+        F.col("rank_scaled").desc(), F.col("node")
+    ).limit(k)
+    from pyspark.sql import Window as _W
+
+    w = _W.orderBy(F.col("rank_scaled").desc(), F.col("node"))
+    return top.select(
+        F.row_number().over(w).cast("long").alias("rank_pos"),
+        F.col("node").alias("token"),
+        "rank_scaled",
+    )

@@ -104,6 +104,7 @@ _SAMPLE_PRIORITY = [
     "e23_cuped_readout",
     "d84_fim_split",
     "d85_readability",
+    "d86_textrank_keywords",
     "c32_stream_calibration_maintenance",
     "c33_stream_domain_profile_maintenance",
     "c34_stream_novelty_gate",

@@ -9954,3 +9954,24 @@ def d85(spark: SparkSession, sf: str) -> DataFrame:
         "doc_id", "n_words", "n_sentences", "n_syllables",
         "flesch_ease", "fk_grade",
     )
+
+
+@register(
+    "d86_textrank_keywords",
+    pyoracle.textrank_sql,
+    doc="corpus keyword extraction via co-occurrence PageRank "
+    "(textrank_keywords; TextRank, Mihalcea & Tarau 2004, public): "
+    "lowercase letter-run tokens (len>=3), adjacent-pair undirected "
+    "edges (window 2, both directions, distinct, self-loops "
+    "dropped), node authority = the d28/d40 EXACT-INTEGER PageRank "
+    "(raw_scaled - no float anywhere, engine/partitioning "
+    "independent), top-25 by (rank desc, token asc). Edge build is "
+    "projection+explode (no window); graph is vocabulary-sized; "
+    "oracle = literal table from the independent Python model running "
+    "the same integer recurrence over the same token stream",
+)
+def d86(spark: SparkSession, sf: str) -> DataFrame:
+    from basis_devkit_spark.operators.graphrank import textrank_keywords
+
+    docs = load(spark, sf, "documents").select("text")
+    return textrank_keywords(docs, "text", k=25)

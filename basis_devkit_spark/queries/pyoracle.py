@@ -1114,13 +1114,25 @@ def pagerank_rows(
         """
     ).fetchall()
     con.close()
+    r = _int_pagerank(edges, iters, scale)
+    return tuple(sorted(r.items()))
+
+
+def _int_pagerank(
+    edges, iters: int, scale: int
+) -> dict[str, int]:
+    """The shared exact-integer PageRank recurrence (damping 17/20,
+    teleport ((scale*3)//20)//N, dangling mass div N) over a DISTINCT
+    edge list — the loop both d28 and d86 model."""
     out_adj: dict[str, list[str]] = {}
     nodes: set[str] = set()
-    for s, d in edges:
+    for s, d in set(edges):
         out_adj.setdefault(s, []).append(d)
         nodes.add(s)
         nodes.add(d)
     n = len(nodes)
+    if n == 0:
+        return {}
     base = ((scale * 3) // 20) // n
     r = {v: scale // n for v in nodes}
     for _ in range(iters):
@@ -1138,7 +1150,7 @@ def pagerank_rows(
             v: base + ((incoming.get(v, 0) + dangling // n) * 17) // 20
             for v in nodes
         }
-    return tuple(sorted((v, r[v]) for v in nodes))
+    return r
 
 
 def pagerank_sql() -> str:
@@ -2050,4 +2062,51 @@ def source_overlap_sql(num_hashes: int = 64) -> str:
            floor(n_eq * 1.0 / {num_hashes} * 1000000.0 + 0.5) / 1000000.0
              as est_jaccard
     from (values {vals}) as t(source_a, source_b, n_eq)
+    """
+
+
+# ------------------------------------------ TextRank keywords (d86)
+_WORD_RUN = re.compile(r"[a-z]+")
+
+
+@lru_cache(maxsize=4)
+def textrank_rows(
+    sf_dir: str,
+    iters: int = 10,
+    scale: int = 10**12,
+    k: int = 25,
+    min_len: int = 3,
+) -> tuple[tuple[int, str, int], ...]:
+    """(rank_pos, token, rank_scaled) model of d86: undirected
+    adjacent-word co-occurrence graph over lowercase letter runs of
+    length >= min_len (TextRank, Mihalcea & Tarau 2004 — window 2,
+    both edge directions), ranked by the SAME exact-integer PageRank
+    recurrence as d28; top k by (rank_scaled desc, token asc)."""
+    edges = []
+    for _doc_id, text in _documents(sf_dir):
+        if text is None:
+            continue
+        toks = [
+            t for t in _WORD_RUN.findall(text.lower()) if len(t) >= min_len
+        ]
+        for a, b in zip(toks, toks[1:]):
+            if a != b:
+                edges.append((a, b))
+                edges.append((b, a))
+    r = _int_pagerank(edges, iters, scale)
+    top = sorted(r.items(), key=lambda kv: (-kv[1], kv[0]))[:k]
+    return tuple(
+        (i + 1, tok, rank) for i, (tok, rank) in enumerate(top)
+    )
+
+
+def textrank_sql(k: int = 25) -> str:
+    rows = textrank_rows(oracle_sf_dir(), k=k)
+    vals = ", ".join(
+        f"({pos}, '{tok}', {rank})" for pos, tok, rank in rows
+    )
+    return f"""
+    select cast(rank_pos as bigint) as rank_pos, token,
+           cast(rank_scaled as bigint) as rank_scaled
+    from (values {vals}) t(rank_pos, token, rank_scaled)
     """

@@ -6889,3 +6889,37 @@ def test_readability_scores_handcomputed(spark):
         .toString()
     )
     assert "Exchange" not in plan and "EvalPython" not in plan
+
+
+def test_textrank_keywords_handcomputed(spark):
+    """A planted hub word (adjacent to everything) must outrank
+    satellites, short tokens and self-loops are excluded, ties break
+    alphabetically, and the integer ranks match the d28 recurrence's
+    symmetry (satellite nodes with identical neighborhoods tie
+    exactly)."""
+    from basis_devkit_spark.operators.graphrank import textrank_keywords
+
+    rows = [
+        ("spark shuffles spark joins spark windows",),
+        ("spark aggregates at scale scale",),  # self-loop 'scale scale' dropped
+        ("of in at",),  # all short tokens: no edges
+        (None,),
+    ]
+    df = spark.createDataFrame(rows, "text string")
+    out = textrank_keywords(df, k=10).collect()
+    ranks = {r["token"]: r["rank_scaled"] for r in out}
+    pos = {r["token"]: r["rank_pos"] for r in out}
+    assert pos["spark"] == 1  # the hub
+    # satellites with one identical (spark)-edge each: exact integer tie
+    assert ranks["joins"] == ranks["shuffles"] == ranks["windows"]
+    # ties order alphabetically
+    sat_pos = sorted(
+        (pos[t], t) for t in ("joins", "shuffles", "windows")
+    )
+    assert [t for _, t in sat_pos] == sorted(
+        ("joins", "shuffles", "windows")
+    )
+    assert "of" not in ranks and "at" not in ranks and "in" not in ranks
+    # 'scale scale' contributed no self-loop; 'scale' still links to
+    # 'at'... which is short — so scale's only edge is to 'aggregates'
+    assert "scale" in ranks
