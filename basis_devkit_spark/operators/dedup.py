@@ -1513,3 +1513,81 @@ def source_overlap_matrix(
             ).alias("est_jaccard"),
         )
     )
+
+
+def fuzzy_decontaminate(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_size: int = 3,
+    min_shared: int = 2,
+    max_rel_edit: float = 0.2,
+    min_sentence_chars: int = 20,
+) -> DataFrame:
+    """Fuzzy benchmark decontamination: exact n-gram screens (D7/D37)
+    miss eval items that leaked with small edits — re-worded numbers,
+    punctuation drift, template fills. This verb confirms candidate
+    leaks at SENTENCE granularity with an edit-distance gate: corpus
+    and benchmark docs split into normalized sentences (lowercase,
+    whitespace-collapsed, ≥ ``min_sentence_chars``), sentence pairs
+    sharing ≥ ``min_shared`` distinct word ``shingle_size``-grams are
+    candidates, and a candidate is a LEAK when
+    ``levenshtein(cs, bs) ≤ floor(max_rel_edit · max(len(cs),
+    len(bs)))``. Returns one row per contaminated (corpus doc,
+    benchmark doc): ``n_fuzzy_sentences`` and ``min_edit``.
+
+    100 TB shape — the D7 argument, sharpened: the benchmark gram
+    relation (an eval suite) is distinct-ed and BROADCAST; the corpus
+    explodes to sentence grams exactly once and is never self-joined
+    or shuffled by text; the O(len²) levenshtein runs ONLY on
+    candidate sentence pairs that already share ``min_shared`` grams
+    (the gram screen is the cheap recall filter, the edit gate is the
+    precision filter — never corpus × benchmark). Exact-integer edit
+    distances and counts; no floats beyond the one rel-edit bound.
+    """
+    def sentences(df: DataFrame, idname: str, sname: str) -> DataFrame:
+        raw = df.filter(F.col(text_col).isNotNull()).select(
+            F.col(id_col).alias(idname),
+            F.explode(
+                F.split(F.col(text_col), r"[.!?]+")
+            ).alias("__raw"),
+        )
+        norm = F.trim(
+            F.regexp_replace(F.lower(F.col("__raw")), r"\s+", " ")
+        )
+        return raw.select(
+            F.col(idname), norm.alias(sname)
+        ).filter(F.length(sname) >= int(min_sentence_chars)).distinct()
+
+    def grams(df: DataFrame, idname: str, sname: str) -> DataFrame:
+        return df.select(
+            idname,
+            sname,
+            F.explode(shingle_col(sname, shingle_size)).alias("__g"),
+        )
+
+    cs = sentences(corpus, "__cid", "__cs")
+    bs = sentences(benchmark, "__bid", "__bs")
+    cand = (
+        grams(cs, "__cid", "__cs")
+        .join(F.broadcast(grams(bs, "__bid", "__bs")), "__g")
+        .groupBy("__cid", "__cs", "__bid", "__bs")
+        .agg(F.count(F.lit(1)).alias("__shared"))
+        .filter(F.col("__shared") >= int(min_shared))
+    )
+    lev = F.levenshtein(F.col("__cs"), F.col("__bs"))
+    bound = F.floor(
+        F.lit(float(max_rel_edit))
+        * F.greatest(F.length("__cs"), F.length("__bs"))
+    )
+    hits = cand.select(
+        "__cid", "__bid", lev.alias("__lev"), bound.alias("__bound")
+    ).filter(F.col("__lev") <= F.col("__bound"))
+    return hits.groupBy(
+        F.col("__cid").alias(id_col),
+        F.col("__bid").alias("bench_id"),
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n_fuzzy_sentences"),
+        F.min("__lev").cast("long").alias("min_edit"),
+    )

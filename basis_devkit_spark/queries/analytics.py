@@ -9975,3 +9975,82 @@ def d86(spark: SparkSession, sf: str) -> DataFrame:
 
     docs = load(spark, sf, "documents").select("text")
     return textrank_keywords(docs, "text", k=25)
+
+
+@register(
+    "d87_fuzzy_decontaminate",
+    """
+    with corpus_s0 as (
+      select doc_id as cid,
+             trim(regexp_replace(lower(unnest(
+               regexp_split_to_array(text, '[.!?]+'))), '\\s+', ' ', 'g'))
+               as cs
+      from documents where text is not null
+    ), corpus_s as (
+      select distinct cid, cs from corpus_s0 where length(cs) >= 20
+    ), bench_s0 as (
+      select doc_id as bid,
+             trim(regexp_replace(lower(unnest(
+               regexp_split_to_array(replace(text, ' the ', ' thw '),
+                                     '[.!?]+'))), '\\s+', ' ', 'g'))
+               as bs
+      from documents where doc_id % 10 = 0 and text is not null
+    ), bench_s as (
+      select distinct bid, bs from bench_s0 where length(bs) >= 20
+    ), cg0 as (
+      select cid, cs, string_split(cs, ' ') as ws from corpus_s
+    ), cg as (
+      select distinct cid, cs,
+             array_to_string(list_slice(ws, i, i + 2), ' ') as g
+      from (select cid, cs, ws,
+                   unnest(range(1, greatest(len(ws) - 2, 1) + 1)) as i
+            from cg0)
+    ), bg0 as (
+      select bid, bs, string_split(bs, ' ') as ws from bench_s
+    ), bg as (
+      select distinct bid, bs,
+             array_to_string(list_slice(ws, i, i + 2), ' ') as g
+      from (select bid, bs, ws,
+                   unnest(range(1, greatest(len(ws) - 2, 1) + 1)) as i
+            from bg0)
+    ), cand as (
+      select cid, cs, bid, bs, count(*) as shared
+      from cg join bg using (g)
+      group by cid, cs, bid, bs
+      having count(*) >= 2
+    ), hits as (
+      select cid, bid, levenshtein(cs, bs) as lev
+      from cand
+      where levenshtein(cs, bs)
+            <= floor(0.2 * greatest(length(cs), length(bs)))
+    )
+    select cid as doc_id, bid as bench_id,
+           cast(count(*) as bigint) as n_fuzzy_sentences,
+           cast(min(lev) as bigint) as min_edit
+    from hits group by cid, bid
+    """,
+    doc="fuzzy benchmark decontamination (fuzzy_decontaminate): exact "
+    "n-gram screens miss eval items leaked with small edits; this "
+    "confirms candidates at sentence granularity with a relative "
+    "edit-distance gate (leak iff levenshtein <= 0.2*max(len)). The "
+    "query plants the leak: bench = every 10th doc with ' the ' "
+    "misspelled ' thw ' - the exact screen's grams still mostly "
+    "match (recall filter, >=2 shared 3-grams), and the edit gate "
+    "confirms. Benchmark grams broadcast, corpus exploded once and "
+    "never self-joined, O(len^2) levenshtein only on gram-screened "
+    "candidate pairs; exact-integer distances and counts",
+)
+def d87(spark: SparkSession, sf: str) -> DataFrame:
+    from basis_devkit_spark.operators.dedup import fuzzy_decontaminate
+
+    d = load(spark, sf, "documents").select("doc_id", "text")
+    bench = d.filter(F.col("doc_id") % 10 == 0).select(
+        "doc_id",
+        F.replace(
+            F.col("text"), F.lit(" the "), F.lit(" thw ")
+        ).alias("text"),
+    )
+    return fuzzy_decontaminate(
+        d, bench, shingle_size=3, min_shared=2,
+        max_rel_edit=0.2, min_sentence_chars=20,
+    )

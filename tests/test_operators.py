@@ -6923,3 +6923,47 @@ def test_textrank_keywords_handcomputed(spark):
     # 'scale scale' contributed no self-loop; 'scale' still links to
     # 'at'... which is short — so scale's only edge is to 'aggregates'
     assert "scale" in ranks
+
+
+def test_fuzzy_decontaminate_semantics(spark):
+    """A small-edit leak is confirmed, a heavy rewrite sharing grams is
+    rejected by the edit gate, pairs below the shared-gram floor never
+    reach levenshtein, short sentences are ignored, and the benchmark
+    side is broadcast."""
+    from basis_devkit_spark.operators.dedup import fuzzy_decontaminate
+
+    base = "the quick brown fox jumps over the lazy dog tonight"
+    corpus = spark.createDataFrame(
+        [
+            (1, base + ". unrelated filler sentence about spark plans."),
+            (2, "totally different content with no benchmark overlap."),
+            (3, "short. tiny."),  # all sentences under the length floor
+        ],
+        "doc_id long, text string",
+    )
+    bench = spark.createDataFrame(
+        [
+            # one edit ('quick' -> 'quikc'): a leak
+            (100, "the quikc brown fox jumps over the lazy dog tonight."),
+            # shares grams ('the lazy dog') but mostly rewritten: rejected
+            (101, "yesterday an entirely new story was told about how "
+                  "someone walked past the lazy dog tonight after dark "
+                  "and nothing else here matches the original wording "
+                  "at all in any way."),
+        ],
+        "doc_id long, text string",
+    )
+    out = fuzzy_decontaminate(
+        corpus, bench, min_shared=2, max_rel_edit=0.2,
+        min_sentence_chars=20,
+    )
+    rows = {(r["doc_id"], r["bench_id"]): r for r in out.collect()}
+    assert (1, 100) in rows
+    assert rows[(1, 100)]["min_edit"] == 2  # quick->quikc transposition
+    assert (1, 101) not in rows  # edit gate rejects the rewrite
+    assert not any(d == 2 for d, _ in rows)  # no shared grams
+    assert not any(d == 3 for d, _ in rows)  # under the sentence floor
+
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan  # benchmark grams broadcast
+    assert "EvalPython" not in plan
