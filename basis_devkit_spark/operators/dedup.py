@@ -1444,7 +1444,34 @@ def source_overlap_matrix(
     with d02's per-document thresholds and verifiable against the
     independent public-spec XXH64 model in ``queries/pyoracle.py``.
     """
-    scale = float(10 ** out_round)
+    sketch = source_minhash_sketch(
+        df,
+        text_col=text_col,
+        group_col=group_col,
+        num_hashes=num_hashes,
+        shingle_size=shingle_size,
+    )
+    return overlap_matrix_from_sketch(
+        sketch, group_col=group_col, num_hashes=num_hashes,
+        out_round=out_round,
+    )
+
+
+def source_minhash_sketch(
+    df: DataFrame,
+    text_col: str = "text",
+    group_col: str = "source",
+    num_hashes: int = 64,
+    shingle_size: int = 3,
+) -> DataFrame:
+    """The mergeable per-source MinHash sketch behind D82, in LONG
+    ``(group_col, pos, min_val)`` format — the persistable/streamable
+    state: two partial sketches over disjoint corpus slices combine by
+    per-(source, pos) ``least`` (min over a union of shingle sets is
+    the min of the parts' mins), which is exactly the c36 streaming
+    merge. One explode + one hash agg with ``num_hashes`` codegen'd
+    ``min(xxhash64(i, h))`` expressions; the shuffle carries only
+    per-task partial minima."""
     ex = (
         df.filter(
             F.col(group_col).isNotNull() & F.col(text_col).isNotNull()
@@ -1461,16 +1488,35 @@ def source_overlap_matrix(
             for i in range(num_hashes)
         ]
     )
-    # bounded collect (sources × num_hashes longs): one corpus scan,
-    # then the quadratic pair math runs over a literal LocalRelation
+    return folded.select(
+        F.col(group_col),
+        F.posexplode(
+            F.array(*[F.col(f"h{i}") for i in range(num_hashes)])
+        ).alias("pos", "min_val"),
+    )
+
+
+def overlap_matrix_from_sketch(
+    sketch: DataFrame,
+    group_col: str = "source",
+    num_hashes: int = 64,
+    out_round: int = 6,
+) -> DataFrame:
+    """The pair-matrix phase of D82 over a ``(group_col, pos,
+    min_val)`` sketch relation — one-shot or maintained by the c36
+    streaming merge. The sketch is BOUNDED (sources × num_hashes
+    longs — metadata cardinality), so it is collected once (the
+    k-means k×dim contract) and both sides of the quadratic self-join
+    are rebuilt as a JVM LocalRelation; a lazy self-join on corpus
+    lineage would recompute the fold per side (measured 2× the corpus
+    cost at sf0.1)."""
     from basis_devkit_spark.session import local_relation
 
-    spark = df.sparkSession
-    gtype = folded.schema[group_col].dataType.simpleString()
+    scale = float(10 ** out_round)
+    spark = sketch.sparkSession
+    gtype = sketch.schema[group_col].dataType.simpleString()
     sketch_rows = [
-        (r[group_col], i, r[f"h{i}"])
-        for r in folded.collect()
-        for i in range(num_hashes)
+        (r[group_col], r["pos"], r["min_val"]) for r in sketch.collect()
     ]
     local = local_relation(
         spark,

@@ -106,6 +106,7 @@ _SAMPLE_PRIORITY = [
     "d85_readability",
     "d86_textrank_keywords",
     "d87_fuzzy_decontaminate",
+    "c36_stream_overlap_sketch_maintenance",
     "c32_stream_calibration_maintenance",
     "c33_stream_domain_profile_maintenance",
     "c34_stream_novelty_gate",

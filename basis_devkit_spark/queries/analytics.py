@@ -10054,3 +10054,73 @@ def d87(spark: SparkSession, sf: str) -> DataFrame:
         d, bench, shingle_size=3, min_shared=2,
         max_rel_edit=0.2, min_sentence_chars=20,
     )
+
+
+@register(
+    "c36_stream_overlap_sketch_maintenance",
+    pyoracle.source_overlap_sql,
+    doc="streaming source-overlap sketch maintenance (c36): the d82 "
+    "per-source MinHash sketch kept current per micro-batch - the "
+    "corpus arrives as TWO batches and each batch's partial sketch "
+    "folds into the persisted (source, pos, min_val) store by "
+    "per-key LEAST (min over a union of shingle sets is the min of "
+    "the parts' mins - the sketch's advertised mergeability, here "
+    "exercised through the exactly-once merge sink), and the pair "
+    "matrix read from the maintained state must equal the one-shot "
+    "d82 byte-for-byte (same XXH64-model oracle). State is sources x "
+    "num_hashes longs regardless of corpus size",
+)
+def c36(spark: SparkSession, sf: str) -> DataFrame:
+    import glob as _glob
+    import os as _os
+    import shutil as _shutil
+    import tempfile as _tf
+
+    from basis_devkit_spark.operators.dedup import (
+        overlap_matrix_from_sketch,
+        source_minhash_sketch,
+    )
+    from basis_devkit_spark.storage.store import TableStore
+    from basis_devkit_spark.streaming.ops import stream_merge_to_store
+
+    d0 = load(spark, sf, "documents").select("doc_id", "source", "text")
+    tmp = _tf.mkdtemp(prefix="bds_c36_")
+    drop = _os.path.join(tmp, "drop")
+    _os.makedirs(drop, exist_ok=True)
+    for tag, mod in (("a", 0), ("b", 1)):
+        part_dir = _os.path.join(tmp, f"part_{tag}")
+        d0.filter(F.col("doc_id") % 2 == mod).coalesce(1).write.parquet(
+            part_dir
+        )
+        src = _glob.glob(_os.path.join(part_dir, "part-*.parquet"))[0]
+        _shutil.copy(src, _os.path.join(drop, f"{tag}.parquet"))
+    raw_schema = spark.read.parquet(_os.path.join(drop, "a.parquet")).schema
+
+    def merge(batch: DataFrame, existing: DataFrame | None) -> DataFrame:
+        state = source_minhash_sketch(batch)
+        if existing is None:
+            return state
+        prev = existing.select(
+            "source", "pos", F.col("min_val").alias("__p")
+        )
+        return state.join(prev, ["source", "pos"], "full").select(
+            "source",
+            "pos",
+            F.least(
+                F.coalesce("min_val", "__p"), F.coalesce("__p", "min_val")
+            ).alias("min_val"),
+        )
+
+    stream = (
+        spark.readStream.schema(raw_schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(drop)
+    )
+    store = TableStore(tmp, "overlap_sketch", spark)
+    store.configure(unique_on=["source", "pos"])
+    q = stream_merge_to_store(stream, store, f"{tmp}/_ckpt", merge).start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return overlap_matrix_from_sketch(store.read())

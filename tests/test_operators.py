@@ -6967,3 +6967,42 @@ def test_fuzzy_decontaminate_semantics(spark):
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan  # benchmark grams broadcast
     assert "EvalPython" not in plan
+
+
+def test_source_minhash_sketch_least_merge(spark):
+    """Partial sketches over disjoint corpus slices, least-merged per
+    (source, pos), equal the one-shot sketch of the full corpus — the
+    c36 streaming merge, checked directly."""
+    from pyspark.sql import functions as F
+
+    from basis_devkit_spark.operators.dedup import source_minhash_sketch
+
+    rows = [
+        (i, f"s{i % 3}", f"text body {i} about topic {i % 5} " * 4)
+        for i in range(30)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    full = {
+        (r["source"], r["pos"]): r["min_val"]
+        for r in source_minhash_sketch(df).collect()
+    }
+    a = source_minhash_sketch(df.filter("doc_id % 2 = 0"))
+    b = source_minhash_sketch(df.filter("doc_id % 2 = 1"))
+    merged = (
+        a.select("source", "pos", F.col("min_val").alias("__a"))
+        .join(
+            b.select("source", "pos", F.col("min_val").alias("__b")),
+            ["source", "pos"],
+            "full",
+        )
+        .select(
+            "source", "pos",
+            F.least(
+                F.coalesce("__a", "__b"), F.coalesce("__b", "__a")
+            ).alias("min_val"),
+        )
+    )
+    got = {
+        (r["source"], r["pos"]): r["min_val"] for r in merged.collect()
+    }
+    assert got == full
