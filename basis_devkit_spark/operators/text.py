@@ -2565,3 +2565,132 @@ def readability_scores(
         F.when(has, fs(ease)).alias("flesch_ease"),
         F.when(has, fs(grade)).alias("fk_grade"),
     )
+
+
+def kn_trigram_lm_score(
+    train: DataFrame,
+    score: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    discount: float = 0.75,
+    floor_p: float = 1e-10,
+    score_round: int = 6,
+) -> DataFrame:
+    """Interpolated Kneser-Ney trigram LM score per document (Kneser &
+    Ney 1995 / Chen & Goodman 1998 — public; the smoothing KenLM
+    implements and CCNet-style perplexity filtering is built on): fit
+    the count tables on ``train``, score every ``score`` doc by its
+    mean trigram log-probability. D19's add-one bigram is the cheap
+    baseline; KN is the real thing — absolute discounting with
+    CONTINUATION counts, so "francisco" (frequent but only ever after
+    "san") stops inflating unseen-context probabilities::
+
+        P(w3|w1w2) = max(c3−D,0)/c2 + (D·N1+(w1w2·)/c2)·P(w3|w2)
+        P(w3|w2)   = max(N1+(·w2w3)−D,0)/N1+(·w2·)
+                   + (D·N1+(w2·)/N1+(·w2·))·Pcont(w3)
+        Pcont(w3)  = N1+(·w3) / |bigram types|
+
+    with each level falling through to the next when its context was
+    never seen, and the final probability clamped at ``floor_p``
+    (unseen words score the floor, not −∞). All tables derive from the
+    train slice's TRIGRAM relation (documented choice: edge bigrams at
+    document boundaries are not counted separately), D = 0.75 is
+    exactly representable (3/4), and every count is an exact integer.
+
+    Determinism: d19's integerize-before-reduce — each trigram's
+    log-prob floors to a 1e-9-scaled LONG before the per-doc sum
+    (associative, map-side combinable, partitioning-independent);
+    cross-engine agreement rides JVM/libm ``ln`` at 1e-9 granularity,
+    the same documented ~1e-10/doc residual as d19. Scale shape:
+    count tables are n-gram-type-sized (≪ corpus); the scoring stream
+    left-joins them on token keys (co-partitioned vocab-sized joins);
+    the per-doc agg shuffles (doc_id, long) pairs; one broadcast
+    scalar (bigram-type count). No windows, no UDFs, no collect.
+    Docs with < 3 tokens are excluded (no trigrams)."""
+    D = float(discount)
+    toks = lambda d: F.split(
+        F.lower(F.coalesce(F.col(text_col), F.lit(""))), " "
+    )
+
+    def trigrams(d: DataFrame, with_id: bool) -> DataFrame:
+        base = d.select(
+            *([F.col(id_col).alias("doc_id")] if with_id else []),
+            toks(d).alias("__ws"),
+        ).filter(F.size("__ws") >= 3)
+        tg = F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.size("__ws") - 3),
+                lambda i: F.struct(
+                    F.col("__ws")[i].alias("w1"),
+                    F.col("__ws")[i + 1].alias("w2"),
+                    F.col("__ws")[i + 2].alias("w3"),
+                ),
+            )
+        ).alias("__t")
+        idc = ["doc_id"] if with_id else []
+        return base.select(*idc, tg).select(
+            *idc,
+            F.col("__t.w1").alias("w1"),
+            F.col("__t.w2").alias("w2"),
+            F.col("__t.w3").alias("w3"),
+        )
+
+    tri = trigrams(train, with_id=False).groupBy("w1", "w2", "w3").agg(
+        F.count(F.lit(1)).alias("__c3")
+    )
+    c2ctx = tri.groupBy("w1", "w2").agg(
+        F.sum("__c3").alias("__c2"),
+        F.count(F.lit(1)).alias("__n3f"),  # N1+(w1w2·)
+    )
+    mid = tri.groupBy("w2", "w3").agg(
+        F.count(F.lit(1)).alias("__n1p")  # N1+(·w2w3)
+    )
+    midctx = mid.groupBy("w2").agg(
+        F.sum("__n1p").alias("__nmc"),     # N1+(·w2·)
+        F.count(F.lit(1)).alias("__nmf"),  # N1+(w2·)
+    )
+    cont = mid.groupBy("w3").agg(
+        F.count(F.lit(1)).alias("__nct")   # N1+(·w3)
+    )
+    btypes = mid.agg(F.count(F.lit(1)).alias("__bt"))
+
+    sg = (
+        trigrams(score, with_id=True)
+        .join(tri, ["w1", "w2", "w3"], "left")
+        .join(c2ctx, ["w1", "w2"], "left")
+        .join(mid, ["w2", "w3"], "left")
+        .join(midctx, ["w2"], "left")
+        .join(cont, ["w3"], "left")
+        .crossJoin(F.broadcast(btypes))
+    )
+    dd = lambda c: F.coalesce(F.col(c), F.lit(0)).cast("double")
+    dl = F.lit(D)
+    pcont = dd("__nct") / F.col("__bt").cast("double")
+    pkn2 = F.when(
+        dd("__nmc") > 0,
+        F.greatest(dd("__n1p") - dl, F.lit(0.0)) / dd("__nmc")
+        + ((dl * dd("__nmf")) / dd("__nmc")) * pcont,
+    ).otherwise(pcont)
+    pkn3 = F.when(
+        dd("__c2") > 0,
+        F.greatest(dd("__c3") - dl, F.lit(0.0)) / dd("__c2")
+        + ((dl * dd("__n3f")) / dd("__c2")) * pkn2,
+    ).otherwise(pkn2)
+    p = F.greatest(pkn3, F.lit(float(floor_p)))
+    scored = sg.select(
+        "doc_id",
+        F.floor(F.log(p) * F.lit(1000000000.0)).cast("long").alias("__lp"),
+    )
+    agg = scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_trigrams"), F.sum("__lp").alias("__slp")
+    )
+    return agg.select(
+        "doc_id",
+        "n_trigrams",
+        F.round(
+            F.col("__slp").cast("double")
+            / F.col("n_trigrams")
+            / 1000000000.0,
+            score_round,
+        ).alias("lm_score"),
+    )

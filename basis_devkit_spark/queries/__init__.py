@@ -107,6 +107,7 @@ _SAMPLE_PRIORITY = [
     "d86_textrank_keywords",
     "d87_fuzzy_decontaminate",
     "c36_stream_overlap_sketch_maintenance",
+    "d88_kn_trigram_lm",
     "c32_stream_calibration_maintenance",
     "c33_stream_domain_profile_maintenance",
     "c34_stream_novelty_gate",

@@ -10124,3 +10124,98 @@ def c36(spark: SparkSession, sf: str) -> DataFrame:
     finally:
         q.stop()
     return overlap_matrix_from_sketch(store.read())
+
+
+@register(
+    "d88_kn_trigram_lm",
+    """
+    with toks as (
+      select doc_id, string_split(lower(coalesce(text, '')), ' ') as ws
+      from documents
+    ),
+    tg as (
+      select doc_id, ws[i] as w1, ws[i + 1] as w2, ws[i + 2] as w3
+      from (select doc_id, ws, unnest(range(1, len(ws) - 1)) as i
+            from toks where len(ws) >= 3)
+    ),
+    tri as (select w1, w2, w3, count(*) as c3
+            from tg where doc_id % 5 = 0 group by 1, 2, 3),
+    c2ctx as (select w1, w2, sum(c3) as c2, count(*) as n3f
+              from tri group by 1, 2),
+    mid as (select w2, w3, count(*) as n1p from tri group by 1, 2),
+    midctx as (select w2, sum(n1p) as nmc, count(*) as nmf
+               from mid group by 1),
+    cont as (select w3, count(*) as nct from mid group by 1),
+    bt as (select count(*) as bt from mid),
+    j as (
+      select g.doc_id,
+             cast(coalesce(tri.c3, 0) as double) as c3,
+             cast(coalesce(c2ctx.c2, 0) as double) as c2,
+             cast(coalesce(c2ctx.n3f, 0) as double) as n3f,
+             cast(coalesce(mid.n1p, 0) as double) as n1p,
+             cast(coalesce(midctx.nmc, 0) as double) as nmc,
+             cast(coalesce(midctx.nmf, 0) as double) as nmf,
+             cast(coalesce(cont.nct, 0) as double) as nct,
+             cast(bt.bt as double) as bt
+      from tg g
+      left join tri using (w1, w2, w3)
+      left join c2ctx using (w1, w2)
+      left join mid using (w2, w3)
+      left join midctx using (w2)
+      left join cont using (w3)
+      cross join bt
+    ),
+    p2 as (
+      select doc_id, c3, c2, n3f,
+             case when nmc > 0
+               then greatest(n1p - 0.75, 0.0) / nmc
+                    + ((0.75 * nmf) / nmc) * (nct / bt)
+               else nct / bt end as pkn2
+      from j
+    ),
+    pr as (
+      select doc_id,
+             greatest(
+               case when c2 > 0
+                 then greatest(c3 - 0.75, 0.0) / c2
+                      + ((0.75 * n3f) / c2) * pkn2
+                 else pkn2 end,
+               1e-10) as p
+      from p2
+    ),
+    scored as (
+      select doc_id,
+             cast(floor(ln(p) * 1000000000.0) as bigint) as lp
+      from pr
+    ),
+    agg as (
+      select doc_id, cast(count(*) as bigint) as n_trigrams,
+             sum(lp) as slp
+      from scored group by 1
+    )
+    select doc_id, n_trigrams,
+           round(cast(slp as double) / n_trigrams / 1000000000.0, 6)
+             as lm_score
+    from agg
+    """,
+    doc="interpolated Kneser-Ney trigram LM score per doc "
+    "(kn_trigram_lm_score; Kneser-Ney 1995 / Chen-Goodman 1998, "
+    "public - the smoothing KenLM/CCNet perplexity filtering is "
+    "built on): absolute discount D=0.75 (exactly 3/4) with "
+    "CONTINUATION counts and per-level fallthrough, trained on the "
+    "doc_id%5=0 slice, scoring ALL docs (held-out generalization; "
+    "unseen words clamp at the 1e-10 floor, never -inf). All counts "
+    "exact integers from the train trigram relation; d19's "
+    "integerize-before-reduce determinism (1e-9-scaled LONG "
+    "log-probs, associative integer per-doc sum); count tables are "
+    "ngram-type-sized, the scoring stream left-joins them on token "
+    "keys, one broadcast scalar - no windows, no collect",
+)
+def d88(spark: SparkSession, sf: str) -> DataFrame:
+    from basis_devkit_spark.operators.text import kn_trigram_lm_score
+
+    d = load(spark, sf, "documents").select("doc_id", "text")
+    train = d.filter(F.col("doc_id") % 5 == 0)
+    return kn_trigram_lm_score(train, d).select(
+        "doc_id", "n_trigrams", "lm_score"
+    )

@@ -7006,3 +7006,93 @@ def test_source_minhash_sketch_least_merge(spark):
         (r["source"], r["pos"]): r["min_val"] for r in merged.collect()
     }
     assert got == full
+
+
+def test_kn_trigram_lm_score_matches_reference_model(spark):
+    """The distributed KN pipeline must match an independent dict-based
+    interpolated-KN implementation trigram-for-trigram (including
+    context fallthrough and the OOV floor); short docs are excluded;
+    seen text outscores garbage."""
+    import math
+
+    from basis_devkit_spark.operators.text import kn_trigram_lm_score
+
+    train_texts = [
+        "the cat sat on the mat",
+        "the cat ran to the mat",
+        "a dog sat on a log",
+    ]
+    score_texts = [
+        (1, "the cat sat on the mat"),     # in-distribution
+        (2, "zz qq ww"),                   # all OOV: every p at the floor
+        (3, "the dog sat on the log"),     # mixed contexts
+        (4, "too short"),                  # < 3 tokens: excluded
+    ]
+    train = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(train_texts)],
+        "doc_id long, text string",
+    )
+    score = spark.createDataFrame(score_texts, "doc_id long, text string")
+    out = {
+        r["doc_id"]: r
+        for r in kn_trigram_lm_score(train, score).collect()
+    }
+
+    # independent reference implementation
+    D = 0.75
+    tri: dict = {}
+    for t in train_texts:
+        ws = t.lower().split(" ")
+        for i in range(len(ws) - 2):
+            key = (ws[i], ws[i + 1], ws[i + 2])
+            tri[key] = tri.get(key, 0) + 1
+    c2, n3f, mid = {}, {}, {}
+    for (w1, w2, w3), c in tri.items():
+        c2[(w1, w2)] = c2.get((w1, w2), 0) + c
+        n3f[(w1, w2)] = n3f.get((w1, w2), 0) + 1
+        mid[(w2, w3)] = mid.get((w2, w3), 0) + 1
+    nmc, nmf, nct = {}, {}, {}
+    for (w2, w3), n in mid.items():
+        nmc[w2] = nmc.get(w2, 0) + n
+        nmf[w2] = nmf.get(w2, 0) + 1
+        nct[w3] = nct.get(w3, 0) + 1
+    bt = len(mid)
+
+    def p_kn(w1, w2, w3):
+        pcont = nct.get(w3, 0) / bt
+        m = nmc.get(w2, 0)
+        if m > 0:
+            pkn2 = (
+                max(mid.get((w2, w3), 0) - D, 0.0) / m
+                + ((D * nmf.get(w2, 0)) / m) * pcont
+            )
+        else:
+            pkn2 = pcont
+        c = c2.get((w1, w2), 0)
+        if c > 0:
+            pkn3 = (
+                max(tri.get((w1, w2, w3), 0) - D, 0.0) / c
+                + ((D * n3f.get((w1, w2), 0)) / c) * pkn2
+            )
+        else:
+            pkn3 = pkn2
+        return max(pkn3, 1e-10)
+
+    for doc_id, text in score_texts:
+        ws = text.lower().split(" ")
+        if len(ws) < 3:
+            assert doc_id not in out
+            continue
+        lps = [
+            math.floor(
+                math.log(p_kn(ws[i], ws[i + 1], ws[i + 2])) * 1e9
+            )
+            for i in range(len(ws) - 2)
+        ]
+        assert out[doc_id]["n_trigrams"] == len(lps)
+        expect = round(sum(lps) / len(lps) / 1e9, 6)
+        assert out[doc_id]["lm_score"] == expect, (doc_id, expect)
+    # ordering sanity: in-distribution >> OOV garbage
+    assert out[1]["lm_score"] > out[3]["lm_score"] > out[2]["lm_score"]
+    # the all-OOV doc sits exactly at the floor
+    assert out[2]["lm_score"] == round(math.log(1e-10), 6)
