@@ -1585,12 +1585,16 @@ def fuzzy_decontaminate(
 
     100 TB shape — the D7 argument, sharpened: the benchmark gram
     relation (an eval suite) is distinct-ed and BROADCAST; the corpus
-    explodes to sentence grams exactly once and is never self-joined
-    or shuffled by text; the O(len²) levenshtein runs ONLY on
-    candidate sentence pairs that already share ``min_shared`` grams
-    (the gram screen is the cheap recall filter, the edit gate is the
-    precision filter — never corpus × benchmark). Exact-integer edit
-    distances and counts; no floats beyond the one rel-edit bound.
+    side dedups to DISTINCT sentence strings before anything
+    quadratic (boilerplate corpora repeat a sentence across thousands
+    of docs — scoring per doc pair would re-run the O(len²)
+    levenshtein once per repetition; measured 60× the wall on the
+    templated sf0.1 corpus), and doc attribution joins back only the
+    confirmed leak strings; the levenshtein runs ONLY on distinct
+    candidate pairs that already share ``min_shared`` grams (gram
+    screen = recall filter, edit gate = precision filter — never
+    corpus × benchmark). Exact-integer edit distances and counts; no
+    floats beyond the one rel-edit bound.
     """
     def sentences(df: DataFrame, idname: str, sname: str) -> DataFrame:
         raw = df.filter(F.col(text_col).isNotNull()).select(
@@ -1606,19 +1610,27 @@ def fuzzy_decontaminate(
             F.col(idname), norm.alias(sname)
         ).filter(F.length(sname) >= int(min_sentence_chars)).distinct()
 
-    def grams(df: DataFrame, idname: str, sname: str) -> DataFrame:
+    def grams(df: DataFrame, sname: str, *extra: str) -> DataFrame:
         return df.select(
-            idname,
+            *extra,
             sname,
             F.explode(shingle_col(sname, shingle_size)).alias("__g"),
         )
 
     cs = sentences(corpus, "__cid", "__cs")
     bs = sentences(benchmark, "__bid", "__bs")
+    # candidates + edit distances at the DISTINCT sentence-pair level:
+    # boilerplate-heavy corpora repeat the same sentence across many
+    # docs, and scoring per (doc, bench-doc) pair would re-run the
+    # O(len²) levenshtein once per repetition (measured 60× the wall on
+    # the templated sf0.1 corpus). Text dedups first; doc attribution
+    # joins back after the gate, touching only confirmed leak strings.
+    csd = cs.select("__cs").distinct()
+    bsd = bs.select("__bid", "__bs").distinct()
     cand = (
-        grams(cs, "__cid", "__cs")
-        .join(F.broadcast(grams(bs, "__bid", "__bs")), "__g")
-        .groupBy("__cid", "__cs", "__bid", "__bs")
+        grams(csd, "__cs")
+        .join(F.broadcast(grams(bsd, "__bs", "__bid")), "__g")
+        .groupBy("__cs", "__bid", "__bs")
         .agg(F.count(F.lit(1)).alias("__shared"))
         .filter(F.col("__shared") >= int(min_shared))
     )
@@ -1627,10 +1639,30 @@ def fuzzy_decontaminate(
         F.lit(float(max_rel_edit))
         * F.greatest(F.length("__cs"), F.length("__bs"))
     )
-    hits = cand.select(
-        "__cid", "__bid", lev.alias("__lev"), bound.alias("__bound")
-    ).filter(F.col("__lev") <= F.col("__bound"))
-    return hits.groupBy(
+    # levenshtein ≥ |len(a) − len(b)| always, so the length gate drops
+    # only pairs the edit gate would drop — a free O(1) pre-filter that
+    # Catalyst is WELCOME to push into the gram join. The edit gate
+    # itself must NOT move: its predicate references only group keys,
+    # so the optimizer would push the O(len²) levenshtein below the
+    # shared-gram aggregate into the gram-join condition — evaluating
+    # it once per gram MATCH instead of once per candidate (13× the
+    # evaluations at sf0.1) on the pre-shuffle task. The never-true
+    # nondeterministic disjunct pins the filter after the explicit
+    # repartition, where the CPU-bound distance runs wide (AQE's
+    # byte-based coalescing would otherwise serialize it; measured
+    # 326 s → ~13 s at sf0.1 for the two fixes together).
+    pre = cand.withColumn("__bound", bound).filter(
+        F.abs(F.length("__cs") - F.length("__bs")) <= F.col("__bound")
+    )
+    npart = corpus.sparkSession.sparkContext.defaultParallelism
+    hits = pre.repartition(npart).select(
+        "__cs", "__bid", lev.alias("__lev"), F.col("__bound")
+    ).filter(
+        (F.col("__lev") <= F.col("__bound"))
+        | (F.spark_partition_id() < F.lit(0))
+    )
+    attributed = hits.join(cs, "__cs")
+    return attributed.groupBy(
         F.col("__cid").alias(id_col),
         F.col("__bid").alias("bench_id"),
     ).agg(
