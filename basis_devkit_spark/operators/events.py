@@ -1287,3 +1287,134 @@ def cuped_readout(
             has_var & (var_y > 0), fs(F.lit(1.0) - var_adj / var_y)
         ).alias("var_reduction"),
     )
+
+
+# Poisson(1) CDF thresholds scaled to 2^32 (floor(P(K<=k)·2^32),
+# k = 0..8; the k≥9 tail mass is 1.1e-6 and maps to k=9). Shared as
+# exact integer literals with the oracle, so the bootstrap draw is a
+# pure integer comparison — engine-identical by construction.
+_POISSON1_CDF_2_32 = (
+    1580030168, 3160060337, 3950075421, 4213413783, 4279248373,
+    4292415291, 4294609777, 4294923276, 4294962463,
+)
+
+
+def poisson_bootstrap_ci(
+    per_unit: DataFrame,
+    arm_col: str = "arm",
+    y_col: str = "y",
+    unit_col: str = "user_id",
+    replicates: int = 100,
+    alpha: float = 0.05,
+    salt: str = "boot",
+    out_round: int = 6,
+) -> DataFrame:
+    """Deterministic Poisson bootstrap confidence intervals per arm —
+    the resampling scheme built for data too large to multinomial-
+    resample (Chamandy et al., Google 2012, public): each unit enters
+    replicate ``b`` with weight ``K ~ Poisson(1)``, so replicates are
+    independent per-row draws needing no global coordination, and the
+    percentile spread of the replicate means is the CI. Here the draw
+    is RNG-FREE: ``K`` comes from comparing an md5-uniform integer
+    keyed (salt, replicate, unit) against exact integer Poisson-CDF
+    thresholds (the d84/e12 hash chain) — reproducible across runs,
+    engines and cluster sizes, and the per-(unit, replicate) weight
+    never materializes state.
+
+    Outputs per arm: ``n_units``, the point-estimate ``mean_y``, and
+    ``ci_lo``/``ci_hi`` — exact order statistics of the replicate
+    means at ranks ``max(1, floor(B'·α/2))`` and
+    ``min(B', ceil(B'·(1−α/2)))`` over the B' replicates with nonzero
+    total weight (no interpolation: interpolated quantiles reopen
+    cross-engine float ties; ranks do not). Ties in replicate means
+    order by replicate id — fully deterministic.
+
+    Scale shape: one explode to units × B rows (B is a dial; the
+    classic streaming-moments alternative trades this for normality
+    assumptions), one (arm, replicate) hash agg — map-side
+    combinable integer sums — then the rank window runs over B rows
+    per arm (bounded by construction). Units with NULL ``y_col`` are
+    excluded. All weights/sums exact integers (y enters as decimal
+    (38,0)); each replicate mean is one double division."""
+    if replicates < 2:
+        raise ValueError("need at least 2 replicates")
+    scale = float(10 ** out_round)
+    fs = lambda c: F.floor(c * scale + F.lit(0.5)) / scale
+    yd = F.col(y_col).cast("decimal(38,0)")
+    base = per_unit.select(
+        F.col(arm_col).alias("arm"),
+        F.col(unit_col).alias("__u"),
+        yd.alias("__y"),
+    ).filter(F.col("__y").isNotNull())
+    point = base.groupBy("arm").agg(
+        F.count(F.lit(1)).cast("long").alias("n_units"),
+        (
+            F.sum("__y").cast("double")
+            / F.count(F.lit(1)).cast("double")
+        ).alias("__mean"),
+    )
+    reps = base.select(
+        "arm", "__u", "__y",
+        F.explode(
+            F.sequence(F.lit(0), F.lit(int(replicates) - 1))
+        ).alias("__b"),
+    )
+    bucket = F.conv(
+        F.substring(
+            F.md5(
+                F.concat(
+                    F.lit(f"{salt}:"),
+                    F.col("__b").cast("string"),
+                    F.lit(":"),
+                    F.col("__u").cast("string"),
+                )
+            ),
+            1,
+            8,
+        ),
+        16,
+        10,
+    ).cast("long")
+    thresholds = F.array(*[F.lit(t) for t in _POISSON1_CDF_2_32])
+    k = F.size(F.filter(thresholds, lambda t: bucket >= t))
+    drawn = reps.select(
+        "arm", "__b",
+        k.cast("decimal(38,0)").alias("__k"),
+        (k.cast("decimal(38,0)") * F.col("__y")).alias("__ky"),
+    )
+    repagg = drawn.groupBy("arm", "__b").agg(
+        F.sum("__k").cast("decimal(38,0)").alias("__w"),
+        F.sum("__ky").cast("decimal(38,0)").alias("__wy"),
+    ).filter(F.col("__w") > 0)
+    mean_b = (F.col("__wy").cast("double") / F.col("__w").cast("double"))
+    ranked = repagg.select("arm", F.col("__b"), mean_b.alias("__m"))
+    from pyspark.sql import Window as _W
+
+    w = _W.partitionBy("arm").orderBy("__m", "__b")
+    ranked = ranked.select(
+        "arm", "__m",
+        F.row_number().over(w).alias("__r"),
+        F.count(F.lit(1)).over(_W.partitionBy("arm")).alias("__nb"),
+    )
+    a2 = float(alpha) / 2.0
+    k_lo = F.greatest(
+        F.lit(1), F.floor(F.col("__nb") * F.lit(a2)).cast("int")
+    )
+    k_hi = F.least(
+        F.col("__nb"),
+        F.ceil(F.col("__nb") * F.lit(1.0 - a2)).cast("int"),
+    )
+    ci = ranked.groupBy("arm").agg(
+        F.min(F.when(F.col("__r") == k_lo, F.col("__m"))).alias("__lo"),
+        F.min(F.when(F.col("__r") == k_hi, F.col("__m"))).alias("__hi"),
+    )
+    return (
+        point.join(ci, "arm", "left")
+        .select(
+            "arm",
+            "n_units",
+            fs(F.col("__mean")).alias("mean_y"),
+            fs(F.col("__lo")).alias("ci_lo"),
+            fs(F.col("__hi")).alias("ci_hi"),
+        )
+    )

@@ -108,6 +108,7 @@ _SAMPLE_PRIORITY = [
     "d87_fuzzy_decontaminate",
     "c36_stream_overlap_sketch_maintenance",
     "d88_kn_trigram_lm",
+    "e24_poisson_bootstrap_ci",
     "c32_stream_calibration_maintenance",
     "c33_stream_domain_profile_maintenance",
     "c34_stream_novelty_gate",

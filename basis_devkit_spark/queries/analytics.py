@@ -10219,3 +10219,88 @@ def d88(spark: SparkSession, sf: str) -> DataFrame:
     return kn_trigram_lm_score(train, d).select(
         "doc_id", "n_trigrams", "lm_score"
     )
+
+
+@register(
+    "e24_poisson_bootstrap_ci",
+    """
+    with assigned as (
+      select user_id,
+             case (('0x' || substr(md5('exp1' || cast(user_id as varchar)),
+                                   1, 8))::ubigint % 3)
+               when 0 then 'control' when 1 then 'variant_a'
+               else 'variant_b' end as arm
+      from events
+    ), per as (
+      select user_id, arm, cast(count(*) as hugeint) as y
+      from assigned group by 1, 2
+    ), point as (
+      select arm, cast(count(*) as bigint) as n_units,
+             cast(sum(y) as double) / count(*) as m
+      from per group by arm
+    ), reps as (
+      select arm, user_id, y, unnest(range(0, 100)) as b from per
+    ), drawn as (
+      select arm, b, y,
+             len(list_filter(
+               [1580030168, 3160060337, 3950075421, 4213413783,
+                4279248373, 4292415291, 4294609777, 4294923276,
+                4294962463],
+               t -> ('0x' || substr(md5('boot:' || cast(b as varchar)
+                     || ':' || cast(user_id as varchar)),
+                     1, 8))::ubigint >= t)) as k
+      from reps
+    ), repagg as (
+      select arm, b, sum(cast(k as hugeint)) as w,
+             sum(cast(k as hugeint) * y) as wy
+      from drawn group by 1, 2
+    ), nz as (
+      select arm, b, cast(wy as double) / cast(w as double) as m
+      from repagg where w > 0
+    ), ranked as (
+      select arm, m,
+             row_number() over (partition by arm order by m, b) as r,
+             count(*) over (partition by arm) as nb
+      from nz
+    ), ci as (
+      select arm,
+        min(case when r = greatest(1, cast(floor(nb * 0.025) as int))
+                 then m end) as lo,
+        min(case when r = least(nb, cast(ceil(nb * 0.975) as int))
+                 then m end) as hi
+      from ranked group by arm
+    )
+    select p.arm, p.n_units,
+      floor(p.m * 1000000.0 + 0.5) / 1000000.0 as mean_y,
+      floor(lo * 1000000.0 + 0.5) / 1000000.0 as ci_lo,
+      floor(hi * 1000000.0 + 0.5) / 1000000.0 as ci_hi
+    from point p left join ci using (arm)
+    """,
+    doc="deterministic Poisson bootstrap CIs per arm "
+    "(poisson_bootstrap_ci; Chamandy et al., Google 2012, public): "
+    "each unit enters replicate b with weight K~Poisson(1) drawn "
+    "RNG-FREE by comparing an md5-uniform integer keyed (salt, b, "
+    "unit) against exact integer Poisson-CDF thresholds (shared "
+    "literals both engines); CI = exact order statistics of the 100 "
+    "replicate means (no quantile interpolation - ranks cannot "
+    "float-tie across engines). One explode to units x B, one "
+    "map-side-combinable integer (arm, b) agg, a rank window over B "
+    "rows per arm (bounded by construction). Metric: per-user event "
+    "count, arms via the e12 md5 assignment",
+)
+def e24(spark: SparkSession, sf: str) -> DataFrame:
+    from basis_devkit_spark.operators.events import (
+        assign_experiment,
+        poisson_bootstrap_ci,
+    )
+
+    ev = load(spark, sf, "events").select("user_id")
+    per = (
+        assign_experiment(ev, ["control", "variant_a", "variant_b"])
+        .groupBy("user_id", "arm")
+        .agg(F.count(F.lit(1)).cast("long").alias("y"))
+    )
+    return poisson_bootstrap_ci(
+        per, arm_col="arm", y_col="y", unit_col="user_id",
+        replicates=100, alpha=0.05,
+    )

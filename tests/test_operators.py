@@ -7096,3 +7096,63 @@ def test_kn_trigram_lm_score_matches_reference_model(spark):
     assert out[1]["lm_score"] > out[3]["lm_score"] > out[2]["lm_score"]
     # the all-OOV doc sits exactly at the floor
     assert out[2]["lm_score"] == round(math.log(1e-10), 6)
+
+
+def test_poisson_bootstrap_ci_matches_reference_model(spark):
+    """CI endpoints must equal an independent Python implementation of
+    the md5-keyed Poisson draw + exact-rank percentile, the interval
+    must bracket the point estimate, NULL metrics are excluded, and
+    B < 2 raises."""
+    import hashlib
+    import math
+
+    from basis_devkit_spark.operators.events import (
+        _POISSON1_CDF_2_32,
+        poisson_bootstrap_ci,
+    )
+
+    rows = [("a", i, float(10 + (i * 7) % 23)) for i in range(40)] + [
+        ("b", 100 + i, float(50 + (i * 13) % 11)) for i in range(25)
+    ] + [("a", 999, None)]
+    df = spark.createDataFrame(rows, "arm string, user_id long, y double")
+    B = 64
+    out = {
+        r["arm"]: r
+        for r in poisson_bootstrap_ci(
+            df, "arm", "y", "user_id", replicates=B
+        ).collect()
+    }
+
+    def draw(b, u):
+        h = hashlib.md5(f"boot:{b}:{u}".encode()).hexdigest()[:8]
+        bucket = int(h, 16)
+        return sum(1 for t in _POISSON1_CDF_2_32 if bucket >= t)
+
+    fs = lambda v: math.floor(v * 1e6 + 0.5) / 1e6
+    for arm in ("a", "b"):
+        units = [
+            (u, int(y)) for a, u, y in rows if a == arm and y is not None
+        ]
+        means = []
+        for b in range(B):
+            w = wy = 0
+            for u, y in units:
+                k = draw(b, u)
+                w += k
+                wy += k * y
+            if w > 0:
+                means.append((wy / w, b))
+        means.sort()
+        nb = len(means)
+        k_lo = max(1, math.floor(nb * 0.025))
+        k_hi = min(nb, math.ceil(nb * 0.975))
+        assert out[arm]["ci_lo"] == fs(means[k_lo - 1][0]), arm
+        assert out[arm]["ci_hi"] == fs(means[k_hi - 1][0]), arm
+        point = sum(y for _, y in units) / len(units)
+        assert out[arm]["mean_y"] == fs(point)
+        assert out[arm]["ci_lo"] <= out[arm]["mean_y"] <= out[arm]["ci_hi"]
+    assert out["a"]["n_units"] == 40  # the NULL-metric unit excluded
+
+    import pytest as _pt
+    with _pt.raises(ValueError):
+        poisson_bootstrap_ci(df, replicates=1)
