@@ -2601,11 +2601,22 @@ def kn_trigram_lm_score(
     log-prob floors to a 1e-9-scaled LONG before the per-doc sum
     (associative, map-side combinable, partitioning-independent);
     cross-engine agreement rides JVM/libm ``ln`` at 1e-9 granularity,
-    the same documented ~1e-10/doc residual as d19. Scale shape:
-    count tables are n-gram-type-sized (≪ corpus); the scoring stream
-    left-joins them on token keys (co-partitioned vocab-sized joins);
-    the per-doc agg shuffles (doc_id, long) pairs; one broadcast
-    scalar (bigram-type count). No windows, no UDFs, no collect.
+    the same documented ~1e-10/doc residual as d19. Scale shape
+    (r14 consolidation — the count-table lookups run at TRIGRAM-TYPE
+    level, never against the corpus-sized instance stream): the score
+    corpus's DISTINCT trigram types are extracted with a map-side
+    partially-aggregated groupBy (shuffled bytes ≈ types-per-map-task,
+    ≪ corpus), the five left-joins + broadcast scalar evaluate the KN
+    probability once per TYPE (type-sized × type-sized joins — all
+    five fallback levels preserved exactly, which a fit-side fold of
+    the tables into two keyed relations could not do: an unseen
+    trigram with a SEEN (w1,w2) context still needs the independent
+    c2ctx lookup, and likewise mid/midctx/cont at their own keys), and
+    the instance stream then pays exactly ONE full-size Exchange — the
+    (w1,w2,w3) join back to the per-type log-prob — before the
+    map-side-combined per-doc agg of (doc_id, long) pairs. Per-doc
+    sums are bit-identical to per-instance scoring because ``__lp`` is
+    a deterministic integer per type. No windows, no UDFs, no collect.
     Docs with < 3 tokens are excluded (no trigrams)."""
     D = float(discount)
     toks = lambda d: F.split(
@@ -2635,28 +2646,73 @@ def kn_trigram_lm_score(
             F.col("__t.w3").alias("w3"),
         )
 
-    tri = trigrams(train, with_id=False).groupBy("w1", "w2", "w3").agg(
-        F.count(F.lit(1)).alias("__c3")
+    # ALL SIX KN count tables in ONE grouping-sets aggregation over the
+    # train trigram-instance stream (depth-1 fit — no tri → c2ctx →
+    # mid → midctx/cont dependency chain, which at 100 TB meant five
+    # corpus-reading agg passes and on local[32] five dependent stage
+    # waves).  Per grouping-set slice, the classic KN counts reduce to
+    # count(*)/countDistinct over instances:
+    #   (w1,w2,w3): c3  = count(*)                [trigram count]
+    #   (w1,w2):    c2  = count(*), n3f = countDistinct(w3)  N1+(w1w2·)
+    #   (w2,w3):    n1p = countDistinct(w1)       N1+(·w2w3)
+    #   (w2):       nmc = countDistinct(w1,w3)    N1+(·w2·)
+    #               nmf = countDistinct(w3)       N1+(w2·)
+    #   (w3):       nct = countDistinct(w2)       N1+(·w3)
+    #   ():         bt  = countDistinct(w2,w3)    |bigram types|
+    # The expand (6 sets × distinct-rewrite groups) multiplies map-side
+    # rows, but partial aggregation combines them to type-sized output
+    # before the single shuffle — one corpus scan instead of five.
+    G = (
+        trigrams(train, with_id=False)
+        .groupingSets(
+            [["w1", "w2", "w3"], ["w1", "w2"], ["w2", "w3"],
+             ["w2"], ["w3"], []],
+            "w1", "w2", "w3",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("__n"),
+            F.countDistinct("w3").alias("__dw3"),
+            F.countDistinct("w1").alias("__dw1"),
+            F.countDistinct("w2").alias("__dw2"),
+            F.countDistinct("w1", "w3").alias("__dw13"),
+            F.countDistinct("w2", "w3").alias("__dw23"),
+            F.grouping_id().alias("__gid"),
+        )
     )
-    c2ctx = tri.groupBy("w1", "w2").agg(
-        F.sum("__c3").alias("__c2"),
-        F.count(F.lit(1)).alias("__n3f"),  # N1+(w1w2·)
+    # grouping_id bit per column (w1 msb), 1 = aggregated away
+    tri = G.filter(F.col("__gid") == 0).select(
+        "w1", "w2", "w3", F.col("__n").alias("__c3")
     )
-    mid = tri.groupBy("w2", "w3").agg(
-        F.count(F.lit(1)).alias("__n1p")  # N1+(·w2w3)
+    c2ctx = G.filter(F.col("__gid") == 1).select(
+        "w1", "w2",
+        F.col("__n").alias("__c2"), F.col("__dw3").alias("__n3f"),
     )
-    midctx = mid.groupBy("w2").agg(
-        F.sum("__n1p").alias("__nmc"),     # N1+(·w2·)
-        F.count(F.lit(1)).alias("__nmf"),  # N1+(w2·)
+    mid = G.filter(F.col("__gid") == 4).select(
+        "w2", "w3", F.col("__dw1").alias("__n1p")
     )
-    cont = mid.groupBy("w3").agg(
-        F.count(F.lit(1)).alias("__nct")   # N1+(·w3)
+    midctx = G.filter(F.col("__gid") == 5).select(
+        "w2",
+        F.col("__dw13").alias("__nmc"), F.col("__dw3").alias("__nmf"),
     )
-    btypes = mid.agg(F.count(F.lit(1)).alias("__bt"))
+    cont = G.filter(F.col("__gid") == 6).select(
+        "w3", F.col("__dw2").alias("__nct")
+    )
+    btypes = G.filter(F.col("__gid") == 7).select(
+        F.col("__dw23").alias("__bt")
+    )
 
+    stream = trigrams(score, with_id=True)
+    # Distinct trigram TYPES of the score corpus: partial (map-side)
+    # aggregation collapses instance repetition before the shuffle, so
+    # the five count-table joins below never touch corpus-sized data.
+    types = (
+        trigrams(score, with_id=False)
+        .groupBy("w1", "w2", "w3")
+        .agg(F.count(F.lit(1)).alias("__ti"))
+        .drop("__ti")
+    )
     sg = (
-        trigrams(score, with_id=True)
-        .join(tri, ["w1", "w2", "w3"], "left")
+        types.join(tri, ["w1", "w2", "w3"], "left")
         .join(c2ctx, ["w1", "w2"], "left")
         .join(mid, ["w2", "w3"], "left")
         .join(midctx, ["w2"], "left")
@@ -2677,9 +2733,16 @@ def kn_trigram_lm_score(
         + ((dl * dd("__n3f")) / dd("__c2")) * pkn2,
     ).otherwise(pkn2)
     p = F.greatest(pkn3, F.lit(float(floor_p)))
-    scored = sg.select(
-        "doc_id",
+    typed_lp = sg.select(
+        "w1",
+        "w2",
+        "w3",
         F.floor(F.log(p) * F.lit(1000000000.0)).cast("long").alias("__lp"),
+    )
+    # Every stream trigram is by construction present in `types`, so
+    # the inner join is lossless; this is the one corpus-sized Exchange.
+    scored = stream.join(typed_lp, ["w1", "w2", "w3"], "inner").select(
+        "doc_id", "__lp"
     )
     agg = scored.groupBy("doc_id").agg(
         F.count(F.lit(1)).alias("n_trigrams"), F.sum("__lp").alias("__slp")

@@ -10207,9 +10207,15 @@ def c36(spark: SparkSession, sf: str) -> DataFrame:
     "unseen words clamp at the 1e-10 floor, never -inf). All counts "
     "exact integers from the train trigram relation; d19's "
     "integerize-before-reduce determinism (1e-9-scaled LONG "
-    "log-probs, associative integer per-doc sum); count tables are "
-    "ngram-type-sized, the scoring stream left-joins them on token "
-    "keys, one broadcast scalar - no windows, no collect",
+    "log-probs, associative integer per-doc sum). r14 plan: ALL six "
+    "count tables come from ONE grouping-sets agg over the train "
+    "stream (count/countDistinct per slice - one fit corpus scan, "
+    "not five), the KN probability evaluates once per DISTINCT "
+    "score trigram TYPE (five type-sized left joins off the corpus "
+    "path), and the instance stream pays exactly one full-size "
+    "Exchange (the type join-back) plus the map-side-combined "
+    "per-doc agg - plan-gated in test_plans.py. No windows, no "
+    "collect",
 )
 def d88(spark: SparkSession, sf: str) -> DataFrame:
     from basis_devkit_spark.operators.text import kn_trigram_lm_score

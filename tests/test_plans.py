@@ -694,3 +694,67 @@ def test_quality_ecdf_no_source_wide_data_window(spark):
     assert plan.count("BroadcastHashJoin") >= 2, plan
     assert "Exchange SinglePartition" not in plan, plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def _marker_depth(line: str) -> int:
+    """Column of the '+-' / ':-' node marker in a physical-plan line
+    (-1 for the root line, which has no marker)."""
+    for m in ("+- ", ":- "):
+        i = line.find(m)
+        if i >= 0:
+            return i
+    return -1
+
+
+def _exchanges_touching(plan: str, needle: str) -> list[str]:
+    """Shuffle-Exchange lines whose SUBTREE (deeper-indented following
+    lines) contains ``needle`` — i.e. exchanges that re-shuffle data
+    derived from the relation carrying that column."""
+    lines = plan.splitlines()
+    hits = []
+    for i, line in enumerate(lines):
+        if "Exchange" not in line or "Broadcast" in line:
+            continue
+        d = _marker_depth(line)
+        sub = [line]
+        for j in range(i + 1, len(lines)):
+            dj = _marker_depth(lines[j])
+            if dj >= 0 and dj <= d:
+                break
+            sub.append(lines[j])
+        if any(needle in s for s in sub):
+            hits.append(line.strip())
+    return hits
+
+
+def test_kn_trigram_scoring_stream_max_two_exchanges(spark):
+    """D88 scale gate (r14 consolidation): the corpus-sized scoring
+    stream must pay at most TWO shuffle Exchanges — the (w1,w2,w3)
+    join back to the per-TYPE log-prob and the map-side-combined
+    per-doc agg. The five KN count-table lookups run at trigram-TYPE
+    level and must never re-shuffle the doc_id-bearing instance
+    stream (the r13 shape shuffled it five times). Broadcast is
+    disabled so the small-SF plan has the same join strategy the
+    100 TB plan would."""
+    from basis_devkit_spark.operators.text import kn_trigram_lm_score
+
+    docs = load(spark, SF, "documents").select("doc_id", "text")
+    # train side references NO doc_id column anywhere (not even in a
+    # filter), so "doc_id#" appearing in an Exchange subtree uniquely
+    # identifies the scoring stream
+    train = load(spark, SF, "documents").select("text").filter(
+        F.length("text") > 10
+    )
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        df = kn_trigram_lm_score(train, docs)
+        plan = plan_of(df)
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    stream_ex = _exchanges_touching(plan, "doc_id#")
+    assert 1 <= len(stream_ex) <= 2, stream_ex
+    # the per-doc agg must partially aggregate map-side
+    assert "partial_count" in plan or "partial_sum" in plan, plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "CartesianProduct" not in plan
