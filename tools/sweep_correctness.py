@@ -23,6 +23,22 @@ import pandas as pd
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
+
+
+def _infer_round() -> int:
+    """Current build round = latest driver artifact round + 1 (the
+    sweep runs while closing the round the driver has not yet judged)."""
+    import glob
+    import re
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    rounds = [
+        int(m.group(1))
+        for p in glob.glob(os.path.join(repo, "CORRECTNESS_r*.json"))
+        + glob.glob(os.path.join(repo, "BENCH_r*.json"))
+        if (m := re.search(r"_r(\d+)\.json$", p))
+    ]
+    return max(rounds, default=0) + 1
 # Literal-table oracles (pyoracle.py) must model the same SF the sweep runs.
 os.environ["SPARK_GRAFT_ORACLE_SF_DIR"] = SF_DIR
 TABLES = (
@@ -193,7 +209,9 @@ def main() -> None:
         with open(out, "w") as f:
             json.dump(
                 {
-                    "round": int(os.environ.get("SWEEP_ROUND", "0")),
+                    "round": int(
+                        os.environ.get("SWEEP_ROUND", "0")
+                    ) or _infer_round(),
                     "sf": SF_DIR,
                     "total": len(results),
                     "bad": bad,
