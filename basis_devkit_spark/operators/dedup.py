@@ -1662,10 +1662,15 @@ def fuzzy_decontaminate(
         | (F.spark_partition_id() < F.lit(0))
     )
     attributed = hits.join(cs, "__cs")
+    # n_fuzzy_sentences counts DISTINCT leaked corpus sentences per
+    # (doc, benchmark doc) — a corpus sentence matching 3 sentences of
+    # one benchmark doc is ONE leaked sentence, not three (the
+    # per-(cs,bs)-pair count the r13 version reported); min_edit stays
+    # the minimum over all confirmed pairs.
     return attributed.groupBy(
         F.col("__cid").alias(id_col),
         F.col("__bid").alias("bench_id"),
     ).agg(
-        F.count(F.lit(1)).cast("long").alias("n_fuzzy_sentences"),
+        F.countDistinct("__cs").cast("long").alias("n_fuzzy_sentences"),
         F.min("__lev").cast("long").alias("min_edit"),
     )

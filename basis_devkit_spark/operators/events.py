@@ -1167,13 +1167,33 @@ def periodicity_signals(
         .alias("__ssq"),
     )
     mean = F.col("__s").cast("double") / F.col("n_gaps").cast("double")
+    # ANSI is pinned on (session contract), so an exact-integer product
+    # past decimal(38,0) is a RUNTIME ERROR, not a NULL. Envelope: both
+    # n·Σg² and (Σg)² are bounded by n_gaps·span² (µs² magnitudes —
+    # ~1e29 for a 10-year span), so 38 digits hold until ~1e9 gaps ×
+    # 10-year spans. Guard the band explicitly: when either term would
+    # pass 1e37 (10× margin under decimal(38,0) AND the oracle's
+    # HUGEINT ~1.7e38), std/cv become NULL instead of killing the job;
+    # CaseWhen evaluates lazily, so the decimal product never runs on
+    # guarded rows. The oracle applies the identical double-arithmetic
+    # guard — same IEEE comparisons, same rows guarded.
+    safe = (
+        F.col("n_gaps").cast("double") * F.col("__ssq").cast("double")
+        < F.lit(1e37)
+    ) & (
+        F.col("__s").cast("double") * F.col("__s").cast("double")
+        < F.lit(1e37)
+    )
     var_num = (
         F.col("n_gaps").cast("decimal(38,0)") * F.col("__ssq")
         - F.col("__s") * F.col("__s")
     )
-    std = F.sqrt(
-        var_num.cast("double")
-        / (F.col("n_gaps") * (F.col("n_gaps") - 1)).cast("double")
+    std = F.when(
+        safe,
+        F.sqrt(
+            var_num.cast("double")
+            / (F.col("n_gaps") * (F.col("n_gaps") - 1)).cast("double")
+        ),
     )
     cv = F.when(
         (F.col("n_gaps") >= 2) & (mean > 0), fs(std / mean)

@@ -101,7 +101,9 @@ def brute_force_topk(
     return _topk_by_query(scored, k)
 
 
-def _topk_by_query(scored: DataFrame, k: int) -> DataFrame:
+def _topk_by_query(
+    scored: DataFrame, k: int, extra_cols: tuple[str, ...] = ()
+) -> DataFrame:
     """Two-phase aggregation top-k over (query_id, match_id, score) rows.
 
     Phase 1 takes a local top-k per (query, input partition) — completes
@@ -112,10 +114,17 @@ def _topk_by_query(scored: DataFrame, k: int) -> DataFrame:
 
     Sorting uses (negated score, match_id) structs so ascending array sort
     yields score desc with match_id asc tie-breaks; double negation is a
-    sign-bit flip, bit-exact for IEEE doubles.
+    sign-bit flip, bit-exact for IEEE doubles. ``extra_cols`` ride the
+    struct as payload AFTER the (ns, match_id) sort key — (score,
+    match_id) is already a total order per query, so payload fields are
+    never consulted by the sort; this lets callers carry attributes
+    (e.g. a label) through the top-k without a post-hoc join back to
+    the corpus.
     """
     key = F.struct(
-        (-F.col("score")).alias("ns"), F.col("match_id").alias("match_id")
+        (-F.col("score")).alias("ns"),
+        F.col("match_id").alias("match_id"),
+        *[F.col(c).alias(c) for c in extra_cols],
     )
     local = (
         scored.withColumn("__pid", F.spark_partition_id())
@@ -129,6 +138,7 @@ def _topk_by_query(scored: DataFrame, k: int) -> DataFrame:
     return ex.select(
         "query_id",
         F.col("__s.match_id").alias("match_id"),
+        *[F.col(f"__s.{c}").alias(c) for c in extra_cols],
         (-F.col("__s.ns")).alias("score"),
         (F.col("__r0") + 1).alias("rank"),
     )
@@ -1917,19 +1927,17 @@ def hard_negative_mine(
         raise ValueError(f"unknown metric {metric}")
     if score_round is not None:
         score = F.round(score, score_round)
-    scored = joined.select("query_id", "match_id", score.alias("score"))
+    scored = joined.select(
+        "query_id", "match_id", "match_label", score.alias("score")
+    )
     if min_score is not None:
         scored = scored.filter(F.col("score") >= F.lit(float(min_score)))
-    topk = _topk_by_query(scored, k)
+    # match_label rides the top-k structs as payload — no second corpus
+    # pass to recover it; the only join after ranking is the broadcast
+    # |queries|-sized query_label attach
+    topk = _topk_by_query(scored, k, extra_cols=("match_label",))
     out = topk.join(
         F.broadcast(q.select("query_id", "query_label")), "query_id"
-    )
-    labels = corpus.select(
-        F.col(id_col).alias("match_id"),
-        F.col(label_col).alias("match_label"),
-    )
-    out = labels.join(
-        F.broadcast(out), "match_id"
     )
     return out.select(
         "query_id", "query_label", "match_id", "match_label",

@@ -2048,10 +2048,20 @@ def quality_ecdf_normalize(
 
     scored = df.filter(F.col(score_col).isNotNull())
     unscored = df.filter(F.col(score_col).isNull())
-    # bucket key must be monotone in the order key: a non-ANSI
-    # double->long cast sends NaN to 0 (breaking monotonicity, NaN
-    # sorts LAST) but +inf to Long.MAX — remap NaN into the +inf
-    # bucket, where the within-bucket sort orders +inf < NaN correctly
+    # bucket key must be monotone in the order key. The session pins
+    # ANSI on, and an ANSI Cast(double AS long) of ±inf/NaN would be a
+    # runtime ERROR — but this expression never routes through Cast:
+    # floor(double) RETURNS LongType, converting via the JVM's
+    # primitive (long) narrowing inside the floor expression itself
+    # (+inf → Long.MAX_VALUE, -inf → Long.MIN_VALUE, NaN → 0
+    # regardless of ANSI mode; the .cast("long") below is a no-op on
+    # an already-long value). +inf therefore lands in the max bucket
+    # (monotone ✓) but NaN would land at 0 while sorting LAST — so
+    # remap NaN into the +inf bucket, where the within-bucket sort
+    # orders +inf < NaN correctly (Spark sorts NaN greater than +inf,
+    # matching the oracle). Guarded by
+    # test_quality_ecdf_inf_nan_scores so a refactor that reintroduces
+    # a true Cast fails loudly.
     vb = F.floor(F.col(score_col) * F.lit(float(bucket_scale))).cast(
         "long"
     )

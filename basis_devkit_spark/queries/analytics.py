@@ -8977,8 +8977,10 @@ def d78(spark: SparkSession, sf: str) -> DataFrame:
     ), v as (
       select user_id, n_events, n_gaps,
              cast(s1 as double) / n_gaps as m,
-             sqrt(cast(n_gaps * s2 - s1 * s1 as double)
-                  / (n_gaps * (n_gaps - 1))) as s
+             case when cast(n_gaps as double) * cast(s2 as double) < 1e37
+                   and cast(s1 as double) * cast(s1 as double) < 1e37
+               then sqrt(cast(n_gaps * s2 - s1 * s1 as double)
+                         / (n_gaps * (n_gaps - 1))) end as s
       from a
     )
     select user_id, n_events, n_gaps,
@@ -10019,13 +10021,13 @@ def d86(spark: SparkSession, sf: str) -> DataFrame:
       group by cid, cs, bid, bs
       having count(*) >= 2
     ), hits as (
-      select cid, bid, levenshtein(cs, bs) as lev
+      select cid, bid, cs, levenshtein(cs, bs) as lev
       from cand
       where levenshtein(cs, bs)
             <= floor(0.2 * greatest(length(cs), length(bs)))
     )
     select cid as doc_id, bid as bench_id,
-           cast(count(*) as bigint) as n_fuzzy_sentences,
+           cast(count(distinct cs) as bigint) as n_fuzzy_sentences,
            cast(min(lev) as bigint) as min_edit
     from hits group by cid, bid
     """,

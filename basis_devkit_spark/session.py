@@ -80,10 +80,19 @@ def local_relation(spark: SparkSession, rows, schema):
         _parse_datatype_string(schema) if isinstance(schema, str) else schema
     )
     if not rows:
-        # empty pandas frames fall back to parallelize — build the
-        # empty relation JVM-side instead
-        return spark.range(0).select(
-            *[F.lit(None).cast(f.dataType).alias(f.name) for f in st]
+        # Both empty pandas frames AND createDataFrame([], st) fall
+        # back to a parallelize RDD scan (32-task job per action), and
+        # a range(0).select(lit-casts) loses nullability + field
+        # metadata. The JVM createDataFrame(List[Row], schema) overload
+        # builds a true LocalTableScan with the StructType verbatim.
+        jdt = spark._jvm.org.apache.spark.sql.types.DataType.fromJson(
+            st.json()
         )
+        jdf = spark._jsparkSession.createDataFrame(
+            spark._jvm.java.util.ArrayList(), jdt
+        )
+        from pyspark.sql import DataFrame as _DF
+
+        return _DF(jdf, spark)
     pdf = pd.DataFrame(rows, columns=list(st.names))
     return spark.createDataFrame(pdf, st)

@@ -7156,3 +7156,32 @@ def test_poisson_bootstrap_ci_matches_reference_model(spark):
     import pytest as _pt
     with _pt.raises(ValueError):
         poisson_bootstrap_ci(df, replicates=1)
+
+
+def test_quality_ecdf_inf_nan_scores(spark):
+    """ADVICE r13: the bucket key's double→long conversion happens
+    INSIDE floor (JVM primitive narrowing — +inf → Long.MAX, -inf →
+    Long.MIN, NaN → 0 — never the session's ANSI Cast, which would
+    runtime-error on non-finite doubles). Pin the full non-finite
+    ordering so a refactor that reintroduces a true Cast, or breaks
+    the NaN→max-bucket remap, fails loudly: -inf first, finite by
+    value, +inf next-to-last, NaN last."""
+    from basis_devkit_spark.operators.text import quality_ecdf_normalize
+
+    rows = [
+        (1, "a", float("-inf")),
+        (2, "a", 10.0),
+        (3, "a", 20.0),
+        (4, "a", float("inf")),
+        (5, "a", float("nan")),
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, source string, quality_score double"
+    )
+    out = {r["doc_id"]: r for r in quality_ecdf_normalize(df).collect()}
+    assert [out[i]["rank_in_group"] for i in (1, 2, 3, 4, 5)] == [
+        1, 2, 3, 4, 5
+    ]
+    assert all(out[i]["n_in_group"] == 5 for i in (1, 2, 3, 4, 5))
+    # Hazen positions (rank - 0.5) / 5
+    assert out[1]["score_pct"] == 0.1 and out[5]["score_pct"] == 0.9

@@ -758,3 +758,38 @@ def test_kn_trigram_scoring_stream_max_two_exchanges(spark):
     assert "partial_count" in plan or "partial_sum" in plan, plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_fuzzy_decontaminate_levenshtein_above_repartition(spark):
+    """D87 scale gate: the O(len²) levenshtein filter must sit ABOVE
+    the explicit round-robin repartition in the physical plan — the
+    `spark_partition_id() < 0` disjunct pins it there so the CPU-bound
+    distance runs wide instead of being pushed into the gram-join
+    condition (once per gram MATCH, 13× the evaluations) or serialized
+    by AQE byte-based coalescing (measured 326 s → ~13 s at sf0.1).
+    If a future Spark/AQE release learns to see through
+    nondeterministic disjuncts this fails loudly instead of silently
+    re-serializing the stage."""
+    from basis_devkit_spark.operators.dedup import fuzzy_decontaminate
+
+    docs = load(spark, SF, "documents").select("doc_id", "text")
+    bench = docs.filter(F.col("doc_id") % 50 == 0)
+    plan = plan_of(fuzzy_decontaminate(docs, bench))
+    lines = plan.splitlines()
+    lev_lines = [i for i, l in enumerate(lines) if "levenshtein" in l]
+    pin_lines = [
+        i
+        for i, l in enumerate(lines)
+        if "levenshtein" in l and "SPARK_PARTITION_ID" in l
+    ]
+    rr_lines = [
+        i for i, l in enumerate(lines) if "RoundRobinPartitioning" in l
+    ]
+    assert pin_lines, "partition_id pin disjunct gone from the plan"
+    assert rr_lines, "explicit repartition gone from the plan"
+    # plan text is parent-above-child: every levenshtein must be above
+    # (smaller index than) the round-robin exchange
+    assert max(lev_lines) < min(rr_lines), (
+        "levenshtein pushed below the repartition barrier:\n"
+        + "\n".join(lines[i].strip()[:120] for i in lev_lines)
+    )
