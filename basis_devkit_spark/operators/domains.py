@@ -176,6 +176,40 @@ def parse_psl(text: str, include_private: bool = True) -> list[str]:
     return rules
 
 
+#: Path of the bundled full-PSL snapshot (standard
+#: public_suffix_list.dat layout, ~9.8k rules — see the file header
+#: for provenance). The curated :data:`PSL_RULES` literal set remains
+#: the no-data-file fallback.
+import os as _os
+
+PSL_SNAPSHOT_PATH = _os.path.join(
+    _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))),
+    "data",
+    "public_suffix_list.dat",
+)
+
+_PSL_SNAPSHOT_CACHE: dict[bool, list[str]] = {}
+
+
+def load_psl_snapshot(include_private: bool = True) -> list[str]:
+    """The bundled full Public Suffix List snapshot as a rule list
+    (parsed once per process per section choice; ~9.8k rules). Falls
+    back to the curated :data:`PSL_RULES` literal set when the package
+    data file is absent (e.g. a source checkout stripped of data
+    files) — the fallback covers the high-traffic registry suffixes
+    but NOT the long tail (deep ccTLD registries, most private-section
+    hosts), so bundle the data file in production builds."""
+    if include_private not in _PSL_SNAPSHOT_CACHE:
+        if _os.path.exists(PSL_SNAPSHOT_PATH):
+            with open(PSL_SNAPSHOT_PATH, encoding="utf-8") as f:
+                _PSL_SNAPSHOT_CACHE[include_private] = parse_psl(
+                    f.read(), include_private=include_private
+                )
+        else:
+            _PSL_SNAPSHOT_CACHE[include_private] = list(PSL_RULES)
+    return _PSL_SNAPSHOT_CACHE[include_private]
+
+
 def _host_of(url_col):
     """Lowercased, trailing-dot-stripped host of a URL column.
 
@@ -209,57 +243,109 @@ def registrable_domain(
     single-label host (``localhost``), or an unparseable URL yields
     the host itself / NULL rather than inventing a registrable domain.
 
-    ``suffixes``: rules to use instead of the built-in
-    :data:`PSL_RULES` — in production pass the real snapshot through
-    :func:`parse_psl` (single-label literal entries are redundant with
-    the default rule and ignored by construction). The rule sets are
-    literals in the plan: zero joins, zero shuffles; beyond ~10k
-    entries prefer loading the PSL as a broadcast relation and joining
-    on the probed suffix candidates.
+    ``suffixes``: rules to use instead of the default — which is the
+    bundled full-PSL snapshot (:func:`load_psl_snapshot`, ~9.8k rules,
+    curated :data:`PSL_RULES` fallback when the data file is absent);
+    single-label literal entries are redundant with the default rule
+    and ignored by construction. The rule sets are literals in the
+    plan: zero joins, zero shuffles — one combined static InSet per
+    rule kind (a matched string's own label count IS its depth), O(1)
+    hash probes per candidate tail; beyond ~10k entries prefer
+    loading the PSL as a broadcast relation and joining on the probed
+    suffix candidates.
     """
-    literals: dict[int, list[str]] = {}
-    wild_bases: dict[int, list[str]] = {}
-    exceptions: dict[int, list[str]] = {}
-    for s in suffixes or PSL_RULES:
+    literals: list[str] = []
+    wild_bases: list[str] = []
+    exceptions: list[str] = []
+    max_d = 1
+    rules = suffixes if suffixes is not None else load_psl_snapshot()
+    for s in rules:
         s = s.strip().lower()
         if s.startswith("!"):
-            e = s[1:]
-            exceptions.setdefault(e.count(".") + 1, []).append(e)
+            exceptions.append(s[1:])
+            max_d = max(max_d, s[1:].count(".") + 1)
         elif s.startswith("*."):
-            b = s[2:]
-            wild_bases.setdefault(b.count(".") + 1, []).append(b)
+            wild_bases.append(s[2:])
+            max_d = max(max_d, s[2:].count(".") + 2)
         elif "." in s:  # single-label literal = the default rule
-            literals.setdefault(s.count(".") + 1, []).append(s)
-    host = _host_of(F.col(url_col))
-    labels = F.split(host, r"\.")
-    n = F.size(labels)
-    tail = lambda d: F.concat_ws(".", F.slice(labels, -d, d))
-    # Longest-match first, one branch per suffix depth. Membership is
-    # `isin` — Catalyst turns a >10-element literal list into a static
-    # InSet, so codegen stays compact however many suffixes are loaded
-    # (a literal-map lookup re-expanded per branch blew past janino's
-    # method limits and knocked the projection out of whole-stage
-    # codegen). `n > d` strict: a host that IS a public suffix falls
-    # through to the otherwise-host branch.
-    dom = F.when(host.isNull(), F.lit(None).cast("string"))
-    # exception rules prevail over every other match (PSL algorithm):
-    # the suffix is the exception minus its leftmost label, so the
-    # exception itself is the registrable domain
-    for d in sorted(exceptions, reverse=True):
-        dom = dom.when((n >= d) & tail(d).isin(*exceptions[d]), tail(d))
-    depths = sorted(
-        set(literals) | {b + 1 for b in wild_bases}, reverse=True
+            literals.append(s)
+            max_d = max(max_d, s.count(".") + 1)
+    # Single-pass fold longest-match (r14). Two prior shapes failed at
+    # the full snapshot: the per-depth CASE chain inlined a concat per
+    # branch per reference, and predicate pushdown re-substituting it
+    # into scan filters blew janino's 64 KB method limit (d48b lost
+    # whole-stage codegen); a 3-aggregate array formulation was
+    # codegen-compact but — higher-order functions being
+    # CodegenFallback — re-evaluated the URL-parse/split subtree once
+    # per aggregate reference in the interpreter (13× the r12 wall).
+    # This shape references every subtree exactly ONCE: zip (index,
+    # tail) pairs — tails built in one transform — and fold them
+    # ascending through a (exception, suffix-depth, domain-candidate)
+    # struct: a rule hit at depth i sets suf (wildcards need the extra
+    # label, i < n, and land one deeper; greatest keeps the deepest),
+    # the candidate completes one step later (tail(suf+1)) and is
+    # INVALIDATED when a deeper match supersedes it mid-loop — a
+    # deeper suffix whose +1 tail never arrives (host IS that suffix)
+    # must yield the host, not a stale shallower candidate. Exceptions
+    # prevail via the final coalesce. Per-row cost: ≤ max-depth+1
+    # iterations × 3 static-InSet probes, rule-count-independent.
+    # Built as ONE Spark-SQL expression string (single parse): the
+    # F.lit/isin route creates one py4j round-trip per rule literal —
+    # ~30k JVM calls and 5-6 s of pure plan-CONSTRUCTION per query at
+    # the full snapshot; the SQL parser ingests the same ~9.5k-entry
+    # IN lists in tens of milliseconds, and Catalyst converts them to
+    # static InSets identically either way.
+    def q(v: str) -> str:
+        return "'" + v.replace("'", "''") + "'"
+
+    def member(t: str, vals: list[str]) -> str:
+        if not vals:
+            return "false"
+        return f"{t} IN ({', '.join(q(v) for v in sorted(vals))})"
+
+    host_sql = (
+        f"nullif(regexp_replace(lower(try_parse_url(`{url_col}`, "
+        "'HOST')), '\\\\.$', ''), '')"
     )
-    for d in depths:
-        conds = []
-        if d in literals:
-            conds.append(tail(d).isin(*literals[d]))
-        if (d - 1) in wild_bases:
-            conds.append(tail(d - 1).isin(*wild_bases[d - 1]))
-        cond = conds[0] if len(conds) == 1 else conds[0] | conds[1]
-        dom = dom.when((n > d) & cond, tail(d + 1))
-    # PSL default rule: unknown TLD -> the last label is the suffix
-    dom = dom.when(n > 1, tail(2)).otherwise(host)
+    labels_sql = f"split({host_sql}, '\\\\.')"
+    n_sql = f"size({labels_sql})"
+    pairs = (
+        f"transform(sequence(1, least({n_sql}, {max_d + 1})), "
+        f"i -> named_struct('i', i, 't', "
+        f"concat_ws('.', slice({labels_sql}, -i, i))))"
+    )
+    init = (
+        "named_struct('exc', CAST(NULL AS STRING), 'suf', 1, "
+        "'dom', CAST(NULL AS STRING))"
+    )
+    matched = (
+        f"CASE WHEN {member('p.t', literals)} THEN p.i "
+        f"WHEN p.i < {n_sql} AND {member('p.t', wild_bases)} "
+        "THEN p.i + 1 ELSE acc.suf END"
+    )
+    step = (
+        "(acc, p) -> named_struct("
+        f"'exc', CASE WHEN {member('p.t', exceptions)} THEN p.t "
+        "ELSE acc.exc END, "
+        f"'suf', greatest({matched}, acc.suf), "
+        f"'dom', CASE WHEN greatest({matched}, acc.suf) != acc.suf "
+        "THEN CAST(NULL AS STRING) "
+        "WHEN acc.suf = p.i - 1 THEN p.t ELSE acc.dom END)"
+    )
+    # finish lambda keeps the fold single-reference: exception rules
+    # prevail (the exception itself IS the registrable domain); a host
+    # that IS a public suffix (dom never completed) or single-label
+    # yields the host itself
+    fold = (
+        f"aggregate({pairs}, {init}, {step}, "
+        "a -> coalesce(a.exc, a.dom))"
+    )
+    dom_sql = (
+        f"CASE WHEN {host_sql} IS NULL THEN CAST(NULL AS STRING) "
+        f"ELSE coalesce({fold}, {host_sql}) END"
+    )
+    dom = F.expr(dom_sql)
+    host = F.expr(host_sql)
     out = df.withColumn(out_col, dom)
     if host_col:
         out = out.withColumn(host_col, host)

@@ -5525,19 +5525,77 @@ def d47(spark: SparkSession, sf: str) -> DataFrame:
 # rule (.com/.org), a ccTLD registry suffix (.co.uk), a private-section
 # shared host (.github.io), and an unknown TLD.
 from basis_devkit_spark.operators.domains import (  # noqa: E402
-    MULTI_LABEL_SUFFIXES as _MLS,
-    WILDCARD_RULES as _WLD,
+    load_psl_snapshot as _load_psl,
 )
 
-_SFX2_SQL = ", ".join(f"'{s}'" for s in _MLS if s.count(".") == 1)
-_SFX3_SQL = ", ".join(f"'{s}'" for s in _MLS if s.count(".") == 2)
-# single-label wildcard bases (*.ck -> 'ck') and 2-label exceptions
-_WILD1_SQL = ", ".join(
-    f"'{s[2:]}'" for s in _WLD if s.startswith("*.") and "." not in s[2:]
-)
-_EXC2_SQL = ", ".join(
-    f"'{s[1:]}'" for s in _WLD if s.startswith("!") and s.count(".") == 1
-)
+
+def _psl_domain_sql_cte() -> str:
+    """DuckDB CTE fragment replaying operators/domains.
+    registrable_domain's array-based longest-match over the SAME
+    bundled full-PSL snapshot the operator defaults to — candidate
+    tails probed against one combined list per rule kind (a matched
+    string's own label count IS its depth), exceptions prevail,
+    wildcards require the extra label, default rule floors the suffix
+    at the TLD. Generated from the rule file, so oracle and operator
+    stay in lockstep by construction. Expects a CTE ``lbl(host, labs,
+    n, ...)``; emits ``m`` (match depths) and ``dom`` (adds
+    ``domain``)."""
+    literals: list[str] = []
+    wild_bases: list[str] = []
+    exceptions: list[str] = []
+    max_d = 1
+    for r in _load_psl():
+        r = r.strip().lower()
+        if r.startswith("!"):
+            exceptions.append(r[1:])
+            max_d = max(max_d, r[1:].count(".") + 1)
+        elif r.startswith("*."):
+            wild_bases.append(r[2:])
+            max_d = max(max_d, r[2:].count(".") + 2)
+        elif "." in r:
+            literals.append(r)
+            max_d = max(max_d, r.count(".") + 1)
+
+    def inset(vals: list[str]) -> str:
+        return ", ".join(f"'{v}'" for v in sorted(vals))
+
+    k = max_d + 1
+    tail_i = "array_to_string(labs[n - i + 1:n], '.')"
+    rng = f"range(1, least(n, {k}) + 1)"
+    exc = (
+        f"list_max(list_transform({rng}, i -> case when {tail_i} in "
+        f"({inset(exceptions)}) then i else 0 end))"
+        if exceptions
+        else "0"
+    )
+    lit = (
+        f"list_max(list_transform({rng}, i -> case when {tail_i} in "
+        f"({inset(literals)}) then i else 0 end))"
+        if literals
+        else "0"
+    )
+    wild = (
+        f"list_max(list_transform({rng}, i -> case when i < n and "
+        f"{tail_i} in ({inset(wild_bases)}) then i + 1 else 0 end))"
+        if wild_bases
+        else "0"
+    )
+    return f"""m as (
+      select *,
+        {exc} as exc_d,
+        greatest({lit}, {wild}, 1) as suf_d
+      from lbl
+    ), dom as (
+      select *,
+        case when host is null then null
+             when exc_d > 0
+               then array_to_string(labs[n - exc_d + 1:n], '.')
+             when n > suf_d
+               then array_to_string(labs[n - suf_d:n], '.')
+             else host end as domain
+      from m
+    )"""
+
 
 _SYNTH_URL_SQL = """
       case when doc_id % 11 = 0 then 'junk'
@@ -5562,23 +5620,7 @@ _DOMAIN_SQL = f"""
       select *, string_split(host, '.') as labs,
              len(string_split(host, '.')) as n
       from h
-    ), dom as (
-      select *,
-        case when host is null then null
-             when n >= 2 and (labs[n-1] || '.' || labs[n])
-                  in ({_EXC2_SQL})
-               then labs[n-1] || '.' || labs[n]
-             when n > 3 and (labs[n-2] || '.' || labs[n-1] || '.' || labs[n])
-                  in ({_SFX3_SQL})
-               then labs[n-3] || '.' || labs[n-2] || '.' || labs[n-1]
-                    || '.' || labs[n]
-             when n > 2 and ((labs[n-1] || '.' || labs[n]) in ({_SFX2_SQL})
-                             or labs[n] in ({_WILD1_SQL}))
-               then labs[n-2] || '.' || labs[n-1] || '.' || labs[n]
-             when n > 1 then labs[n-1] || '.' || labs[n]
-             else host end as domain
-      from lbl
-    )
+    ), {_psl_domain_sql_cte()}
 """
 
 

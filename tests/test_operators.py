@@ -7185,3 +7185,65 @@ def test_quality_ecdf_inf_nan_scores(spark):
     assert all(out[i]["n_in_group"] == 5 for i in (1, 2, 3, 4, 5))
     # Hazen positions (rank - 0.5) / 5
     assert out[1]["score_pct"] == 0.1 and out[5]["score_pct"] == 0.9
+
+
+def test_registrable_domain_full_psl_snapshot_default(spark):
+    """VERDICT r13 task #3: the bundled full-PSL snapshot is the
+    DEFAULT rule source. Covers rules the curated 409-rule literal set
+    never had: a private-section shared host (sblo.jp), a 4-label
+    private literal (s3.isk01.sakurastorage.jp), a deep ccTLD registry
+    (kawasaki.miyagi.jp), and the real file's wildcard+exception
+    interplay (*.kawasaki.jp with !city.kawasaki.jp)."""
+    from basis_devkit_spark.operators.domains import (
+        PSL_RULES,
+        load_psl_snapshot,
+        registrable_domain,
+    )
+
+    rules = load_psl_snapshot()
+    assert len(rules) > 9000, len(rules)
+    # the cases below are NOT covered by the curated fallback set
+    assert "sblo.jp" not in PSL_RULES
+    assert "s3.isk01.sakurastorage.jp" not in PSL_RULES
+    assert {"*.kawasaki.jp", "!city.kawasaki.jp"} <= set(rules)
+    icann_only = load_psl_snapshot(include_private=False)
+    assert "sblo.jp" not in icann_only and "*.kawasaki.jp" in icann_only
+
+    cases = [
+        # private-section suffix: sblo.jp is the eTLD
+        (1, "https://a.blog.sblo.jp/post", "blog.sblo.jp"),
+        # 4-label private literal suffix
+        (2, "https://b.s3.isk01.sakurastorage.jp/k",
+         "b.s3.isk01.sakurastorage.jp"),
+        # 3-label ICANN literal (kawasaki.miyagi.jp is a registry
+        # suffix, distinct from the kawasaki.jp wildcard)
+        (3, "https://shop.kawasaki.miyagi.jp/", "shop.kawasaki.miyagi.jp"),
+        # *.kawasaki.jp: any label under kawasaki.jp is a suffix
+        (4, "https://x.ward.kawasaki.jp/", "x.ward.kawasaki.jp"),
+        # !city.kawasaki.jp prevails over the wildcard: the exception
+        # itself is the registrable domain
+        (5, "https://sub.city.kawasaki.jp/", "city.kawasaki.jp"),
+        (6, "https://city.kawasaki.jp/", "city.kawasaki.jp"),
+        # plain .jp stays the default 2-label path
+        (7, "https://corp.example.jp/", "example.jp"),
+        # host IS a wildcard-generated suffix (*.kawasaki.jp makes
+        # foo.kawasaki.jp itself a public suffix): the stale shallower
+        # candidate (kawasaki.jp completed the default rule mid-fold)
+        # must be invalidated — the host itself comes back
+        (8, "https://foo.kawasaki.jp/", "foo.kawasaki.jp"),
+    ]
+    df = spark.createDataFrame(
+        [(i, u) for i, u, _ in cases], "doc_id long, url string"
+    )
+    out = registrable_domain(df, "url")
+    got = {r.doc_id: r.domain for r in out.collect()}
+    for i, _, dom in cases:
+        assert got[i] == dom, (i, got[i], dom)
+    # still a pure projection (no shuffle/join/Python). The matcher's
+    # higher-order functions are CodegenFallback by design — the
+    # alternative per-depth CASE chain blew janino's 64 KB method
+    # limit at full-snapshot depths, which is a far worse fallback
+    # (megabyte compile attempt per stage, THEN interpretation).
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan and "Join" not in plan
+    assert "EvalPython" not in plan
