@@ -2624,10 +2624,16 @@ def kn_trigram_lm_score(
     c2ctx lookup, and likewise mid/midctx/cont at their own keys), and
     the instance stream then pays exactly ONE full-size Exchange — the
     (w1,w2,w3) join back to the per-type log-prob — before the
-    map-side-combined per-doc agg of (doc_id, long) pairs. Per-doc
-    sums are bit-identical to per-instance scoring because ``__lp`` is
-    a deterministic integer per type. No windows, no UDFs, no collect.
-    Docs with < 3 tokens are excluded (no trigrams)."""
+    map-side-combined per-doc agg of (doc_id, long) pairs. Fit side:
+    ONE instance-level agg (train stream → trigram types) and one
+    type-sized grouping-sets agg deriving all six count tables.
+    Measured at 10× documents with broadcast disabled (100 TB regime
+    proxy): 112.6 MB shuffle write vs the r13 five-join shape's
+    170.6 MB, with the stream exchange count plan-gated at ≤2
+    (tools/r14_probes.py kn_shuffle). Per-doc sums are bit-identical
+    to per-instance scoring because ``__lp`` is a deterministic
+    integer per type. No windows, no UDFs, no collect. Docs with < 3
+    tokens are excluded (no trigrams)."""
     D = float(discount)
     toks = lambda d: F.split(
         F.lower(F.coalesce(F.col(text_col), F.lit(""))), " "
@@ -2657,37 +2663,40 @@ def kn_trigram_lm_score(
         )
 
     # ALL SIX KN count tables in ONE grouping-sets aggregation over the
-    # train trigram-instance stream (depth-1 fit — no tri → c2ctx →
-    # mid → midctx/cont dependency chain, which at 100 TB meant five
-    # corpus-reading agg passes and on local[32] five dependent stage
-    # waves).  Per grouping-set slice, the classic KN counts reduce to
-    # count(*)/countDistinct over instances:
-    #   (w1,w2,w3): c3  = count(*)                [trigram count]
-    #   (w1,w2):    c2  = count(*), n3f = countDistinct(w3)  N1+(w1w2·)
-    #   (w2,w3):    n1p = countDistinct(w1)       N1+(·w2w3)
-    #   (w2):       nmc = countDistinct(w1,w3)    N1+(·w2·)
-    #               nmf = countDistinct(w3)       N1+(w2·)
-    #   (w3):       nct = countDistinct(w2)       N1+(·w3)
-    #   ():         bt  = countDistinct(w2,w3)    |bigram types|
-    # The expand (6 sets × distinct-rewrite groups) multiplies map-side
-    # rows, but partial aggregation combines them to type-sized output
-    # before the single shuffle — one corpus scan instead of five.
-    G = (
+    # TRAIN side: the instance stream aggregates ONCE into the trigram
+    # TYPE relation (map-side partial combine — shuffle bytes are
+    # type-bounded per map task), then ALL SIX derived count tables
+    # come from ONE grouping-sets aggregation over tri — a TYPE-SIZED
+    # expand (×6 sets, plus the countDistinct rewrite), never a
+    # corpus-sized one. Two earlier r14 shapes were measured and
+    # rejected: grouping-sets straight over the INSTANCE stream pays a
+    # ~36× per-instance expand (6 sets × distinct-rewrite groups) that
+    # trebled the 10×-corpus wall, and the r13 hierarchy (tri → c2ctx
+    # → mid → midctx/cont as separate aggs) re-derives tri per branch
+    # when exchange reuse misses. Per slice, from tri rows (each a
+    # distinct type carrying its instance count c3):
+    #   (w1,w2,w3): c3  = sum(c3) (the type's own count)
+    #   (w1,w2):    c2  = sum(c3), n3f = count(*)        N1+(w1w2·)
+    #   (w2,w3):    n1p = count(*)                       N1+(·w2w3)
+    #   (w2):       nmc = count(*), nmf = countDistinct(w3)  N1+(·w2·)/N1+(w2·)
+    #   (w3):       nct = countDistinct(w2)              N1+(·w3)
+    #   ():         bt  = countDistinct(w2,w3)           |bigram types|
+    tri0 = (
         trigrams(train, with_id=False)
-        .groupingSets(
-            [["w1", "w2", "w3"], ["w1", "w2"], ["w2", "w3"],
-             ["w2"], ["w3"], []],
-            "w1", "w2", "w3",
-        )
-        .agg(
-            F.count(F.lit(1)).alias("__n"),
-            F.countDistinct("w3").alias("__dw3"),
-            F.countDistinct("w1").alias("__dw1"),
-            F.countDistinct("w2").alias("__dw2"),
-            F.countDistinct("w1", "w3").alias("__dw13"),
-            F.countDistinct("w2", "w3").alias("__dw23"),
-            F.grouping_id().alias("__gid"),
-        )
+        .groupBy("w1", "w2", "w3")
+        .agg(F.count(F.lit(1)).alias("__c3i"))
+    )
+    G = tri0.groupingSets(
+        [["w1", "w2", "w3"], ["w1", "w2"], ["w2", "w3"],
+         ["w2"], ["w3"], []],
+        "w1", "w2", "w3",
+    ).agg(
+        F.sum("__c3i").alias("__n"),
+        F.count(F.lit(1)).alias("__t"),
+        F.countDistinct("w3").alias("__dw3"),
+        F.countDistinct("w2").alias("__dw2"),
+        F.countDistinct("w2", "w3").alias("__dw23"),
+        F.grouping_id().alias("__gid"),
     )
     # grouping_id bit per column (w1 msb), 1 = aggregated away
     tri = G.filter(F.col("__gid") == 0).select(
@@ -2695,14 +2704,14 @@ def kn_trigram_lm_score(
     )
     c2ctx = G.filter(F.col("__gid") == 1).select(
         "w1", "w2",
-        F.col("__n").alias("__c2"), F.col("__dw3").alias("__n3f"),
+        F.col("__n").alias("__c2"), F.col("__t").alias("__n3f"),
     )
     mid = G.filter(F.col("__gid") == 4).select(
-        "w2", "w3", F.col("__dw1").alias("__n1p")
+        "w2", "w3", F.col("__t").alias("__n1p")
     )
     midctx = G.filter(F.col("__gid") == 5).select(
         "w2",
-        F.col("__dw13").alias("__nmc"), F.col("__dw3").alias("__nmf"),
+        F.col("__t").alias("__nmc"), F.col("__dw3").alias("__nmf"),
     )
     cont = G.filter(F.col("__gid") == 6).select(
         "w3", F.col("__dw2").alias("__nct")

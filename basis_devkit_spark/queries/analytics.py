@@ -10251,10 +10251,11 @@ def c36(spark: SparkSession, sf: str) -> DataFrame:
     "unseen words clamp at the 1e-10 floor, never -inf). All counts "
     "exact integers from the train trigram relation; d19's "
     "integerize-before-reduce determinism (1e-9-scaled LONG "
-    "log-probs, associative integer per-doc sum). r14 plan: ALL six "
-    "count tables come from ONE grouping-sets agg over the train "
-    "stream (count/countDistinct per slice - one fit corpus scan, "
-    "not five), the KN probability evaluates once per DISTINCT "
+    "log-probs, associative integer per-doc sum). r14 plan: the train "
+    "stream aggregates ONCE into the trigram-type relation (one fit "
+    "corpus scan, map-side combined), ALL six count tables derive "
+    "from it via one TYPE-SIZED grouping-sets agg, the KN "
+    "probability evaluates once per DISTINCT "
     "score trigram TYPE (five type-sized left joins off the corpus "
     "path), and the instance stream pays exactly one full-size "
     "Exchange (the type join-back) plus the map-side-combined "
