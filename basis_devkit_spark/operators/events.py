@@ -1328,6 +1328,7 @@ def poisson_bootstrap_ci(
     alpha: float = 0.05,
     salt: str = "boot",
     out_round: int = 6,
+    den_col: str | None = None,
 ) -> DataFrame:
     """Deterministic Poisson bootstrap confidence intervals per arm —
     the resampling scheme built for data too large to multinomial-
@@ -1349,32 +1350,52 @@ def poisson_bootstrap_ci(
     cross-engine float ties; ranks do not). Ties in replicate means
     order by replicate id — fully deterministic.
 
+    RATIO metrics (r14, ``den_col``): conversion rate,
+    revenue-per-session and friends are ratios of SUMS, not means of
+    per-unit ratios — resampling must draw the unit's
+    (numerator, denominator) PAIR with one weight, never the two
+    sides independently. With ``den_col`` set, the point estimate is
+    ``Σ num / Σ den`` per arm and replicate ``b`` re-weights both
+    sums with the same md5-keyed Poisson ``K``:
+    ``Σ K·num / Σ K·den`` (replicates whose weighted denominator is
+    zero are dropped, exactly as zero-weight replicates are for the
+    mean). ``den_col = None`` is the plain-mean case — literally the
+    ratio with a constant denominator of 1 per unit; one code path.
+    Output column is ``ratio`` instead of ``mean_y`` when ``den_col``
+    is set.
+
     Scale shape: one explode to units × B rows (B is a dial; the
     classic streaming-moments alternative trades this for normality
     assumptions), one (arm, replicate) hash agg — map-side
     combinable integer sums — then the rank window runs over B rows
-    per arm (bounded by construction). Units with NULL ``y_col`` are
-    excluded. All weights/sums exact integers (y enters as decimal
-    (38,0)); each replicate mean is one double division."""
+    per arm (bounded by construction). Units with NULL ``y_col`` (or
+    NULL ``den_col``) are excluded. All weights/sums exact integers
+    (y/den enter as decimal(38,0)); each replicate statistic is one
+    double division."""
     if replicates < 2:
         raise ValueError("need at least 2 replicates")
     scale = float(10 ** out_round)
     fs = lambda c: F.floor(c * scale + F.lit(0.5)) / scale
     yd = F.col(y_col).cast("decimal(38,0)")
+    dd = (
+        F.col(den_col).cast("decimal(38,0)")
+        if den_col
+        else F.lit(1).cast("decimal(38,0)")
+    )
     base = per_unit.select(
         F.col(arm_col).alias("arm"),
         F.col(unit_col).alias("__u"),
         yd.alias("__y"),
-    ).filter(F.col("__y").isNotNull())
+        dd.alias("__d"),
+    ).filter(F.col("__y").isNotNull() & F.col("__d").isNotNull())
     point = base.groupBy("arm").agg(
         F.count(F.lit(1)).cast("long").alias("n_units"),
         (
-            F.sum("__y").cast("double")
-            / F.count(F.lit(1)).cast("double")
+            F.sum("__y").cast("double") / F.sum("__d").cast("double")
         ).alias("__mean"),
     )
     reps = base.select(
-        "arm", "__u", "__y",
+        "arm", "__u", "__y", "__d",
         F.explode(
             F.sequence(F.lit(0), F.lit(int(replicates) - 1))
         ).alias("__b"),
@@ -1399,11 +1420,11 @@ def poisson_bootstrap_ci(
     k = F.size(F.filter(thresholds, lambda t: bucket >= t))
     drawn = reps.select(
         "arm", "__b",
-        k.cast("decimal(38,0)").alias("__k"),
+        (k.cast("decimal(38,0)") * F.col("__d")).alias("__kd"),
         (k.cast("decimal(38,0)") * F.col("__y")).alias("__ky"),
     )
     repagg = drawn.groupBy("arm", "__b").agg(
-        F.sum("__k").cast("decimal(38,0)").alias("__w"),
+        F.sum("__kd").cast("decimal(38,0)").alias("__w"),
         F.sum("__ky").cast("decimal(38,0)").alias("__wy"),
     ).filter(F.col("__w") > 0)
     mean_b = (F.col("__wy").cast("double") / F.col("__w").cast("double"))
@@ -1428,12 +1449,13 @@ def poisson_bootstrap_ci(
         F.min(F.when(F.col("__r") == k_lo, F.col("__m"))).alias("__lo"),
         F.min(F.when(F.col("__r") == k_hi, F.col("__m"))).alias("__hi"),
     )
+    stat_name = "ratio" if den_col else "mean_y"
     return (
         point.join(ci, "arm", "left")
         .select(
             "arm",
             "n_units",
-            fs(F.col("__mean")).alias("mean_y"),
+            fs(F.col("__mean")).alias(stat_name),
             fs(F.col("__lo")).alias("ci_lo"),
             fs(F.col("__hi")).alias("ci_hi"),
         )

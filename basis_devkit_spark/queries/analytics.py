@@ -10355,3 +10355,99 @@ def e24(spark: SparkSession, sf: str) -> DataFrame:
         per, arm_col="arm", y_col="y", unit_col="user_id",
         replicates=100, alpha=0.05,
     )
+
+
+@register(
+    "e25_poisson_bootstrap_ratio_ci",
+    """
+    with assigned as (
+      select user_id, value,
+             case (('0x' || substr(md5('exp1' || cast(user_id as varchar)),
+                                   1, 8))::ubigint % 3)
+               when 0 then 'control' when 1 then 'variant_a'
+               else 'variant_b' end as arm
+      from events
+    ), per as (
+      select user_id, arm,
+             cast(sum(cast(floor(coalesce(value, 0) * 1000000.0 + 0.5)
+                           as bigint)) as hugeint) as num,
+             cast(count(*) as hugeint) as den
+      from assigned group by 1, 2
+    ), point as (
+      select arm, cast(count(*) as bigint) as n_units,
+             cast(sum(num) as double) / cast(sum(den) as double) as m
+      from per group by arm
+    ), reps as (
+      select arm, user_id, num, den, unnest(range(0, 100)) as b from per
+    ), drawn as (
+      select arm, b, num, den,
+             len(list_filter(
+               [1580030168, 3160060337, 3950075421, 4213413783,
+                4279248373, 4292415291, 4294609777, 4294923276,
+                4294962463],
+               t -> ('0x' || substr(md5('boot:' || cast(b as varchar)
+                     || ':' || cast(user_id as varchar)),
+                     1, 8))::ubigint >= t)) as k
+      from reps
+    ), repagg as (
+      select arm, b, sum(cast(k as hugeint) * den) as w,
+             sum(cast(k as hugeint) * num) as wy
+      from drawn group by 1, 2
+    ), nz as (
+      select arm, b, cast(wy as double) / cast(w as double) as m
+      from repagg where w > 0
+    ), ranked as (
+      select arm, m,
+             row_number() over (partition by arm order by m, b) as r,
+             count(*) over (partition by arm) as nb
+      from nz
+    ), ci as (
+      select arm,
+        min(case when r = greatest(1, cast(floor(nb * 0.025) as int))
+                 then m end) as lo,
+        min(case when r = least(nb, cast(ceil(nb * 0.975) as int))
+                 then m end) as hi
+      from ranked group by arm
+    )
+    select p.arm, p.n_units,
+      floor(p.m * 1000000.0 + 0.5) / 1000000.0 as ratio,
+      floor(lo * 1000000.0 + 0.5) / 1000000.0 as ci_lo,
+      floor(hi * 1000000.0 + 0.5) / 1000000.0 as ci_hi
+    from point p left join ci using (arm)
+    """,
+    doc="deterministic Poisson bootstrap CIs for a RATIO metric "
+    "(poisson_bootstrap_ci den_col=; VERDICT r13 task #7): "
+    "revenue-per-event per arm = sum(micro-value)/sum(events) - a "
+    "ratio of SUMS, so each replicate re-weights the unit's "
+    "(numerator, denominator) PAIR with ONE md5-keyed Poisson(1) "
+    "weight (independent resampling of the two sides would be "
+    "statistically wrong); replicates with zero weighted denominator "
+    "drop, CI = the e24 exact rank endpoints over the replicate "
+    "ratios. Exact integer micro-units (floor(value*1e6+0.5), the "
+    "e22 trick) keep both sums engine-identical; one explode to "
+    "units x B, one integer (arm,b) agg, bounded rank window",
+)
+def e25(spark: SparkSession, sf: str) -> DataFrame:
+    from basis_devkit_spark.operators.events import (
+        assign_experiment,
+        poisson_bootstrap_ci,
+    )
+
+    ev = load(spark, sf, "events").select("user_id", "value")
+    per = (
+        assign_experiment(ev, ["control", "variant_a", "variant_b"])
+        .groupBy("user_id", "arm")
+        .agg(
+            F.sum(
+                F.floor(
+                    F.coalesce(F.col("value"), F.lit(0.0)) * 1000000.0
+                    + 0.5
+                ).cast("long")
+            ).alias("num"),
+            F.count(F.lit(1)).cast("long").alias("den"),
+        )
+    )
+    return poisson_bootstrap_ci(
+        per, arm_col="arm", y_col="num", unit_col="user_id",
+        replicates=100, alpha=0.05, den_col="den",
+    )

@@ -7247,3 +7247,67 @@ def test_registrable_domain_full_psl_snapshot_default(spark):
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan and "Join" not in plan
     assert "EvalPython" not in plan
+
+
+def test_poisson_bootstrap_ratio_ci_matches_reference_model(spark):
+    """Ratio-metric bootstrap (den_col, VERDICT r13 task #7): the
+    replicate statistic must re-weight each unit's (num, den) PAIR
+    with ONE Poisson weight — verified against an independent Python
+    model — the point estimate is sum(num)/sum(den), replicates with
+    zero weighted denominator drop, the output column is `ratio`, and
+    NULL on EITHER side excludes the unit."""
+    import hashlib
+    import math
+
+    from basis_devkit_spark.operators.events import (
+        _POISSON1_CDF_2_32,
+        poisson_bootstrap_ci,
+    )
+
+    rows = (
+        [("a", i, (17 + (i * 5) % 31), (1 + i % 4)) for i in range(35)]
+        + [("b", 200 + i, (3 + (i * 11) % 7), (2 + i % 3)) for i in range(20)]
+        + [("a", 998, None, 3), ("a", 997, 5, None)]
+    )
+    df = spark.createDataFrame(
+        rows, "arm string, user_id long, num long, den long"
+    )
+    B = 64
+    out = {
+        r["arm"]: r
+        for r in poisson_bootstrap_ci(
+            df, "arm", "num", "user_id", replicates=B, den_col="den"
+        ).collect()
+    }
+    assert "ratio" in out["a"].asDict() and "mean_y" not in out["a"].asDict()
+
+    def draw(b, u):
+        h = hashlib.md5(f"boot:{b}:{u}".encode()).hexdigest()[:8]
+        bucket = int(h, 16)
+        return sum(1 for t in _POISSON1_CDF_2_32 if bucket >= t)
+
+    fs = lambda v: math.floor(v * 1e6 + 0.5) / 1e6
+    for arm in ("a", "b"):
+        units = [
+            (u, n, d)
+            for a, u, n, d in rows
+            if a == arm and n is not None and d is not None
+        ]
+        ratios = []
+        for b in range(B):
+            w = wy = 0
+            for u, n, d in units:
+                k = draw(b, u)
+                w += k * d
+                wy += k * n
+            if w > 0:
+                ratios.append((wy / w, b))
+        ratios.sort()
+        nb = len(ratios)
+        k_lo = max(1, math.floor(nb * 0.025))
+        k_hi = min(nb, math.ceil(nb * 0.975))
+        assert out[arm]["ci_lo"] == fs(ratios[k_lo - 1][0]), arm
+        assert out[arm]["ci_hi"] == fs(ratios[k_hi - 1][0]), arm
+        point = sum(n for _, n, _ in units) / sum(d for _, _, d in units)
+        assert out[arm]["ratio"] == fs(point)
+    assert out["a"]["n_units"] == 35  # both NULL-sided units excluded
