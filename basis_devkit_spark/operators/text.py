@@ -2577,6 +2577,57 @@ def readability_scores(
     )
 
 
+def _kn_trigrams(
+    d: DataFrame, text_col: str, with_id: bool, id_col: str = "doc_id"
+) -> DataFrame:
+    """Exploded (w1,w2,w3) trigram instances of a document frame
+    (lowercased whitespace tokens; docs with < 3 tokens drop)."""
+    toks = F.split(F.lower(F.coalesce(F.col(text_col), F.lit(""))), " ")
+    base = d.select(
+        *([F.col(id_col).alias("doc_id")] if with_id else []),
+        toks.alias("__ws"),
+    ).filter(F.size("__ws") >= 3)
+    tg = F.explode(
+        F.transform(
+            F.sequence(F.lit(0), F.size("__ws") - 3),
+            lambda i: F.struct(
+                F.col("__ws")[i].alias("w1"),
+                F.col("__ws")[i + 1].alias("w2"),
+                F.col("__ws")[i + 2].alias("w3"),
+            ),
+        )
+    ).alias("__t")
+    idc = ["doc_id"] if with_id else []
+    return base.select(*idc, tg).select(
+        *idc,
+        F.col("__t.w1").alias("w1"),
+        F.col("__t.w2").alias("w2"),
+        F.col("__t.w3").alias("w3"),
+    )
+
+
+def kn_trigram_counts(
+    train: DataFrame,
+    text_col: str = "text",
+) -> DataFrame:
+    """The KN fit's ONLY stateful relation: trigram-type counts
+    ``(w1, w2, w3, c3)`` over ``train`` — one instance-level agg with
+    map-side partial combine. Every other KN count table derives from
+    this relation by type-sized aggregation at scoring time
+    (:func:`kn_trigram_lm_score_from_counts`), which is what makes
+    the fit STREAM-MAINTAINABLE (c37): c3 is SUM-mergeable per key
+    across micro-batches, while the derived tables (n3f, n1p, nmc,
+    nmf, nct, bt — all counts of DISTINCT types) are NOT directly
+    mergeable (a later batch adding instances to an existing type
+    must not bump a type count) and so are recomputed from the
+    maintained tri relation instead of persisted."""
+    return (
+        _kn_trigrams(train, text_col, with_id=False)
+        .groupBy("w1", "w2", "w3")
+        .agg(F.count(F.lit(1)).cast("long").alias("c3"))
+    )
+
+
 def kn_trigram_lm_score(
     train: DataFrame,
     score: DataFrame,
@@ -2634,43 +2685,38 @@ def kn_trigram_lm_score(
     to per-instance scoring because ``__lp`` is a deterministic
     integer per type. No windows, no UDFs, no collect. Docs with < 3
     tokens are excluded (no trigrams)."""
-    D = float(discount)
-    toks = lambda d: F.split(
-        F.lower(F.coalesce(F.col(text_col), F.lit(""))), " "
+    return kn_trigram_lm_score_from_counts(
+        kn_trigram_counts(train, text_col),
+        score,
+        id_col=id_col,
+        text_col=text_col,
+        discount=discount,
+        floor_p=floor_p,
+        score_round=score_round,
     )
 
-    def trigrams(d: DataFrame, with_id: bool) -> DataFrame:
-        base = d.select(
-            *([F.col(id_col).alias("doc_id")] if with_id else []),
-            toks(d).alias("__ws"),
-        ).filter(F.size("__ws") >= 3)
-        tg = F.explode(
-            F.transform(
-                F.sequence(F.lit(0), F.size("__ws") - 3),
-                lambda i: F.struct(
-                    F.col("__ws")[i].alias("w1"),
-                    F.col("__ws")[i + 1].alias("w2"),
-                    F.col("__ws")[i + 2].alias("w3"),
-                ),
-            )
-        ).alias("__t")
-        idc = ["doc_id"] if with_id else []
-        return base.select(*idc, tg).select(
-            *idc,
-            F.col("__t.w1").alias("w1"),
-            F.col("__t.w2").alias("w2"),
-            F.col("__t.w3").alias("w3"),
-        )
 
-    # ALL SIX KN count tables in ONE grouping-sets aggregation over the
-    # TRAIN side: the instance stream aggregates ONCE into the trigram
-    # TYPE relation (map-side partial combine — shuffle bytes are
-    # type-bounded per map task), then ALL SIX derived count tables
-    # come from ONE grouping-sets aggregation over tri — a TYPE-SIZED
-    # expand (×6 sets, plus the countDistinct rewrite), never a
-    # corpus-sized one. Two earlier r14 shapes were measured and
-    # rejected: grouping-sets straight over the INSTANCE stream pays a
-    # ~36× per-instance expand (6 sets × distinct-rewrite groups) that
+def kn_trigram_lm_score_from_counts(
+    counts: DataFrame,
+    score: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    discount: float = 0.75,
+    floor_p: float = 1e-10,
+    score_round: int = 6,
+) -> DataFrame:
+    """Score ``score`` docs from a precomputed (possibly
+    stream-maintained, c37) trigram-type count relation
+    ``counts(w1, w2, w3, c3)`` — the scoring half of
+    :func:`kn_trigram_lm_score`; results are byte-identical to a
+    one-shot fit on the same training data because tri is the fit's
+    only state and everything else derives deterministically."""
+    D = float(discount)
+    # ALL SIX derived count tables from ONE grouping-sets aggregation
+    # over the type relation — a TYPE-SIZED expand (×6 sets, plus the
+    # countDistinct rewrite), never a corpus-sized one. Two earlier
+    # r14 shapes were measured and rejected: grouping-sets straight
+    # over the INSTANCE stream pays a ~36× per-instance expand that
     # trebled the 10×-corpus wall, and the r13 hierarchy (tri → c2ctx
     # → mid → midctx/cont as separate aggs) re-derives tri per branch
     # when exchange reuse misses. Per slice, from tri rows (each a
@@ -2681,10 +2727,8 @@ def kn_trigram_lm_score(
     #   (w2):       nmc = count(*), nmf = countDistinct(w3)  N1+(·w2·)/N1+(w2·)
     #   (w3):       nct = countDistinct(w2)              N1+(·w3)
     #   ():         bt  = countDistinct(w2,w3)           |bigram types|
-    tri0 = (
-        trigrams(train, with_id=False)
-        .groupBy("w1", "w2", "w3")
-        .agg(F.count(F.lit(1)).alias("__c3i"))
+    tri0 = counts.select(
+        "w1", "w2", "w3", F.col("c3").alias("__c3i")
     )
     G = tri0.groupingSets(
         [["w1", "w2", "w3"], ["w1", "w2"], ["w2", "w3"],
@@ -2720,12 +2764,12 @@ def kn_trigram_lm_score(
         F.col("__dw23").alias("__bt")
     )
 
-    stream = trigrams(score, with_id=True)
+    stream = _kn_trigrams(score, text_col, with_id=True, id_col=id_col)
     # Distinct trigram TYPES of the score corpus: partial (map-side)
     # aggregation collapses instance repetition before the shuffle, so
     # the five count-table joins below never touch corpus-sized data.
     types = (
-        trigrams(score, with_id=False)
+        _kn_trigrams(score, text_col, with_id=False)
         .groupBy("w1", "w2", "w3")
         .agg(F.count(F.lit(1)).alias("__ti"))
         .drop("__ti")

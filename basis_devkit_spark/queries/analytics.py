@@ -10170,9 +10170,7 @@ def c36(spark: SparkSession, sf: str) -> DataFrame:
     return overlap_matrix_from_sketch(store.read())
 
 
-@register(
-    "d88_kn_trigram_lm",
-    """
+_KN_LM_SQL = """
     with toks as (
       select doc_id, string_split(lower(coalesce(text, '')), ' ') as ws
       from documents
@@ -10241,7 +10239,12 @@ def c36(spark: SparkSession, sf: str) -> DataFrame:
            round(cast(slp as double) / n_trigrams / 1000000000.0, 6)
              as lm_score
     from agg
-    """,
+    """
+
+
+@register(
+    "d88_kn_trigram_lm",
+    _KN_LM_SQL,
     doc="interpolated Kneser-Ney trigram LM score per doc "
     "(kn_trigram_lm_score; Kneser-Ney 1995 / Chen-Goodman 1998, "
     "public - the smoothing KenLM/CCNet perplexity filtering is "
@@ -10450,4 +10453,82 @@ def e25(spark: SparkSession, sf: str) -> DataFrame:
     return poisson_bootstrap_ci(
         per, arm_col="arm", y_col="num", unit_col="user_id",
         replicates=100, alpha=0.05, den_col="den",
+    )
+
+
+@register(
+    "c37_stream_kn_counts_maintenance",
+    _KN_LM_SQL,
+    doc="streaming Kneser-Ney count-table maintenance (c37; VERDICT "
+    "r13 task #5): the train slice arrives as TWO micro-batches and "
+    "each batch's trigram-type counts SUM-merge into the persisted "
+    "(w1,w2,w3,c3) store through the exactly-once merge sink - tri "
+    "is the fit's ONLY stateful relation (c3 is per-key SUM-mergeable "
+    "across batches; the derived tables n3f/n1p/nmc/nmf/nct/bt count "
+    "DISTINCT types and are NOT mergeable - a later batch adding "
+    "instances to an existing type must not bump them - so they "
+    "recompute from maintained tri at scoring time, a type-sized "
+    "grouping-sets agg). Scoring held-out docs from the maintained "
+    "store is byte-identical to the one-shot d88 fit (same oracle "
+    "verbatim). State is trigram-type-sized regardless of corpus",
+)
+def c37(spark: SparkSession, sf: str) -> DataFrame:
+    import glob as _glob
+    import os as _os
+    import shutil as _shutil
+    import tempfile as _tf
+
+    from basis_devkit_spark.operators.text import (
+        kn_trigram_counts,
+        kn_trigram_lm_score_from_counts,
+    )
+    from basis_devkit_spark.storage.store import TableStore
+    from basis_devkit_spark.streaming.ops import stream_merge_to_store
+
+    d = load(spark, sf, "documents").select("doc_id", "text")
+    train = d.filter(F.col("doc_id") % 5 == 0)
+    tmp = _tf.mkdtemp(prefix="bds_c37_")
+    drop = _os.path.join(tmp, "drop")
+    _os.makedirs(drop, exist_ok=True)
+    for tag, mod in (("a", 0), ("b", 1)):
+        part_dir = _os.path.join(tmp, f"part_{tag}")
+        train.filter(
+            (F.col("doc_id") / 5).cast("long") % 2 == mod
+        ).coalesce(1).write.parquet(part_dir)
+        src = _glob.glob(_os.path.join(part_dir, "part-*.parquet"))[0]
+        _shutil.copy(src, _os.path.join(drop, f"{tag}.parquet"))
+    raw_schema = spark.read.parquet(_os.path.join(drop, "a.parquet")).schema
+
+    def merge(batch: DataFrame, existing: DataFrame | None) -> DataFrame:
+        state = kn_trigram_counts(batch)
+        if existing is None:
+            return state
+        prev = existing.select(
+            "w1", "w2", "w3", F.col("c3").alias("__p")
+        )
+        return (
+            state.join(prev, ["w1", "w2", "w3"], "full")
+            .select(
+                "w1", "w2", "w3",
+                (
+                    F.coalesce(F.col("c3"), F.lit(0))
+                    + F.coalesce(F.col("__p"), F.lit(0))
+                ).cast("long").alias("c3"),
+            )
+        )
+
+    stream = (
+        spark.readStream.schema(raw_schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(drop)
+    )
+    store = TableStore(tmp, "kn_counts", spark)
+    store.configure(unique_on=["w1", "w2", "w3"])
+    q = stream_merge_to_store(stream, store, f"{tmp}/_ckpt", merge).start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return kn_trigram_lm_score_from_counts(store.read(), d).select(
+        "doc_id", "n_trigrams", "lm_score"
     )

@@ -7311,3 +7311,52 @@ def test_poisson_bootstrap_ratio_ci_matches_reference_model(spark):
         point = sum(n for _, n, _ in units) / sum(d for _, _, d in units)
         assert out[arm]["ratio"] == fs(point)
     assert out["a"]["n_units"] == 35  # both NULL-sided units excluded
+
+
+def test_kn_trigram_counts_sum_merge(spark):
+    """C37 invariant: trigram-type counts SUM-merged across disjoint
+    document slices equal the one-shot counts on the union, and
+    scoring from merged counts is row-identical to the one-shot
+    kn_trigram_lm_score — tri is the KN fit's only state; every
+    derived table recomputes from it."""
+    from pyspark.sql import functions as F
+
+    from basis_devkit_spark.operators.text import (
+        kn_trigram_counts,
+        kn_trigram_lm_score,
+        kn_trigram_lm_score_from_counts,
+    )
+
+    rows = [
+        (i, f"w{i % 3} the quick w{i % 5} fox jumps over the lazy dog "
+            f"w{i % 7} the quick end")
+        for i in range(30)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    a = docs.filter(F.col("doc_id") % 2 == 0)
+    b = docs.filter(F.col("doc_id") % 2 == 1)
+    ca = kn_trigram_counts(a)
+    cb = kn_trigram_counts(b).select(
+        "w1", "w2", "w3", F.col("c3").alias("__p")
+    )
+    merged = ca.join(cb, ["w1", "w2", "w3"], "full").select(
+        "w1", "w2", "w3",
+        (
+            F.coalesce(F.col("c3"), F.lit(0))
+            + F.coalesce(F.col("__p"), F.lit(0))
+        ).cast("long").alias("c3"),
+    )
+    one_shot = kn_trigram_counts(docs)
+    key = lambda r: (r["w1"], r["w2"], r["w3"])
+    assert {key(r): r["c3"] for r in merged.collect()} == {
+        key(r): r["c3"] for r in one_shot.collect()
+    }
+    got = {
+        r["doc_id"]: (r["n_trigrams"], r["lm_score"])
+        for r in kn_trigram_lm_score_from_counts(merged, docs).collect()
+    }
+    want = {
+        r["doc_id"]: (r["n_trigrams"], r["lm_score"])
+        for r in kn_trigram_lm_score(docs, docs).collect()
+    }
+    assert got == want
