@@ -111,6 +111,7 @@ _SAMPLE_PRIORITY = [
     "e24_poisson_bootstrap_ci",
     "e25_poisson_bootstrap_ratio_ci",
     "c37_stream_kn_counts_maintenance",
+    "d89_unigram_lm_fit",
     "c32_stream_calibration_maintenance",
     "c33_stream_domain_profile_maintenance",
     "c34_stream_novelty_gate",

@@ -10532,3 +10532,35 @@ def c37(spark: SparkSession, sf: str) -> DataFrame:
     return kn_trigram_lm_score_from_counts(store.read(), d).select(
         "doc_id", "n_trigrams", "lm_score"
     )
+
+
+@register(
+    "d89_unigram_lm_fit",
+    pyoracle.unigram_fit_sql,
+    doc="unigram-LM (SentencePiece-style) tokenizer fit (Kudo 2018, "
+    "public - the subword model T5/LLaMA-family pipelines train "
+    "with; unigram_lm_fit, VERDICT r13 task #6): seed candidates = "
+    "top substrings of the DISTINCT-word relation by exact integer "
+    "weight (+ every single char, never pruned), then hard-EM "
+    "(Viterbi-EM) rounds - each word's single best segmentation "
+    "under 1e-9-scaled LONG log-probs (deterministic tie-break: "
+    "higher score, then longer piece), recounts as exact integer "
+    "sums of word weights, prune to vocab_size by (count desc, "
+    "piece asc). The full forward-backward EM is documented as "
+    "deliberately replaced by its Viterbi variant: expected counts "
+    "are float accumulations whose cross-engine reduction order "
+    "cannot replay; hard counts are integers. Oracle = an "
+    "independent Python model of the same algorithm (the d86 "
+    "literal-table pattern). Everything runs at word/piece scale "
+    "(substr explode <= len x max_piece_len per DISTINCT word, one "
+    "piece join, per-word DP fold); the corpus is scanned once for "
+    "word weights and never iterated",
+)
+def d89(spark: SparkSession, sf: str) -> DataFrame:
+    from basis_devkit_spark.operators.unigram import unigram_lm_fit
+
+    docs = load(spark, sf, "documents").select("text")
+    return unigram_lm_fit(
+        docs, vocab_size=300, seed_size=800, max_piece_len=4,
+        em_iters=2,
+    ).select("piece", "cnt", "lp").orderBy("piece")

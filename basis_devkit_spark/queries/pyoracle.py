@@ -2110,3 +2110,130 @@ def textrank_sql(k: int = 25) -> str:
            cast(rank_scaled as bigint) as rank_scaled
     from (values {vals}) t(rank_pos, token, rank_scaled)
     """
+
+
+# ------------------------------------------------------- unigram LM (d89)
+_UNK_LP = -27631021116  # shared literal with operators/unigram.py
+
+
+def _unigram_word_weights(sf_dir: str) -> dict[str, int]:
+    weights: dict[str, int] = {}
+    for _doc_id, text in _documents(sf_dir):
+        for w in _WS.split((text or "").lower()):
+            if w != "":
+                weights[w] = weights.get(w, 0) + 1
+    return weights
+
+
+def _unigram_viterbi(
+    word: str, lp: dict[str, int], max_piece_len: int
+) -> list[str]:
+    """Best segmentation under scaled-integer log-probs; every
+    position carries an UNK single-char candidate at _UNK_LP.
+    Tie-break mirrors the operator: higher score, then LONGER piece."""
+    n = len(word)
+    # dp[i] = (score, backpointer_start, backpointer_len), 1-based
+    dp: list[tuple[int, int, int]] = [(0, 0, 0)] * (n + 1)
+    for i in range(1, n + 1):
+        best = (-(1 << 62), 0, 0)
+        for l in range(1, min(max_piece_len, i) + 1):
+            s = i - l + 1
+            piece = word[s - 1 : i]
+            plp = lp.get(piece)
+            if plp is None:
+                if l == 1:
+                    plp = _UNK_LP
+                else:
+                    continue
+            elif l == 1 and plp < _UNK_LP:
+                # the operator's UNK candidate also exists at l=1 and
+                # would win over a kept-but-lower-lp char
+                plp = max(plp, _UNK_LP)
+            sc = dp[s - 1][0] + plp
+            if sc > best[0] or (sc == best[0] and l > best[2]):
+                best = (sc, s, l)
+        dp[i] = best
+    parts: list[str] = []
+    pos = n
+    while pos > 0:
+        _, s, l = dp[pos]
+        parts.append(word[s - 1 : pos])
+        pos = s - 1
+    return list(reversed(parts))
+
+
+def unigram_fit_rows(
+    sf_dir: str,
+    vocab_size: int = 300,
+    seed_size: int = 800,
+    max_piece_len: int = 4,
+    em_iters: int = 2,
+    max_word_len: int = 64,
+):
+    """Independent Python model of operators/unigram.unigram_lm_fit:
+    seed = top substrings by (weight desc, piece asc) + all chars;
+    hard-EM rounds of Viterbi segmentation + exact integer recounts;
+    prune to vocab_size keeping all single chars; scaled log-probs
+    floor(ln(cnt/total)·1e9)."""
+    import math
+
+    weights = _unigram_word_weights(sf_dir)
+    # seed candidates
+    cand: dict[str, int] = {}
+    for w, wt in weights.items():
+        n = len(w)
+        for i in range(n):
+            for l in range(1, min(max_piece_len, n - i) + 1):
+                p = w[i : i + l]
+                cand[p] = cand.get(p, 0) + wt
+    ranked = sorted(cand.items(), key=lambda kv: (-kv[1], kv[0]))
+    kept = {p: c for p, c in ranked[:seed_size]}
+    for p, c in cand.items():
+        if len(p) == 1:
+            kept[p] = c
+    total = sum(kept.values())
+    lp = {
+        p: (
+            math.floor(math.log(c / total) * 1e9) if c > 0 else _UNK_LP
+        )
+        for p, c in kept.items()
+    }
+    cnts = dict(kept)
+    for _ in range(em_iters):
+        used: dict[str, int] = {}
+        for w, wt in weights.items():
+            if len(w) > max_word_len:
+                parts = list(w)
+            else:
+                parts = _unigram_viterbi(w, lp, max_piece_len)
+            for p in parts:
+                used[p] = used.get(p, 0) + wt
+        recount = {p: used.get(p, 0) for p in cnts}
+        ranked = sorted(recount.items(), key=lambda kv: (-kv[1], kv[0]))
+        new = {p: c for p, c in ranked[:vocab_size]}
+        for p, c in recount.items():
+            if len(p) == 1:
+                new[p] = c
+        tot = sum(new.values())
+        cnts = new
+        lp = {
+            p: (
+                math.floor(math.log(c / tot) * 1e9) if c > 0 else _UNK_LP
+            )
+            for p, c in cnts.items()
+        }
+    return tuple(
+        (p, cnts[p], lp[p]) for p in sorted(cnts)
+    )
+
+
+def unigram_fit_sql() -> str:
+    rows = unigram_fit_rows(oracle_sf_dir())
+    vals = ", ".join(
+        "('{}', {}, {})".format(p.replace("'", "''"), c, l)
+        for p, c, l in rows
+    )
+    return f"""
+    select piece, cast(cnt as bigint) as cnt, cast(lp as bigint) as lp
+    from (values {vals}) t(piece, cnt, lp)
+    """

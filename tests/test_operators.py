@@ -7360,3 +7360,64 @@ def test_kn_trigram_counts_sum_merge(spark):
         for r in kn_trigram_lm_score(docs, docs).collect()
     }
     assert got == want
+
+
+def test_unigram_lm_fit_and_apply(spark):
+    """D89 semantics: hard-EM fit keeps every single char, counts are
+    exact integer word-weight sums, Viterbi prefers higher-prob
+    segmentations with the longer-piece tie-break, UNSEEN words
+    segment through the piece table (not a char fallback), long words
+    bypass the DP, and the oov_rate / fertility reports run unchanged
+    over the fitted artifacts."""
+    from pyspark.sql import functions as F
+
+    from basis_devkit_spark.operators.bpe import oov_rate
+    from basis_devkit_spark.operators.unigram import (
+        UNK_LP,
+        unigram_lm_apply_indexed,
+        unigram_lm_fit,
+        unigram_segment_words,
+    )
+
+    rows = [
+        (i, "s", "lowlow lowest lowest slow slowly low") for i in range(8)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    pieces = unigram_lm_fit(
+        docs, vocab_size=40, seed_size=120, max_piece_len=4, em_iters=2
+    )
+    pm = {r["piece"]: (r["cnt"], r["lp"]) for r in pieces.collect()}
+    # every character of the corpus survives pruning
+    for ch in set("lowestsly"):
+        assert ch in pm, ch
+    # "low" is the dominant substring; it must be a kept piece with a
+    # count that is an exact multiple of the word weights (8 docs × 6
+    # occurrences of 'low'-containing words... counted via Viterbi)
+    assert "low" in pm and pm["low"][0] > 0
+    # kept-but-unused pieces carry the UNK floor
+    assert all(lp == UNK_LP for p, (c, lp) in pm.items() if c == 0)
+
+    out = unigram_lm_apply_indexed(docs, pieces)
+    toks = out.filter(F.col("doc_id") == 0).collect()[0]["um_tokens"]
+    assert toks[:1] in (["lowl"], ["low"])  # segmentation is piece-based
+    assert "".join(toks) == "lowlowlowestlowestslowslowlylow"
+
+    # unseen word: segmented via the piece table, not char-exploded
+    unseen = spark.createDataFrame([("lowlyest",)], "word string")
+    seg = unigram_segment_words(unseen, pieces).collect()[0]["parts"]
+    assert "".join(seg) == "lowlyest" and len(seg) < len("lowlyest")
+
+    # long words bypass the DP with a char split
+    longw = spark.createDataFrame([("x" * 80,)], "word string")
+    lseg = unigram_segment_words(longw, pieces).collect()[0]["parts"]
+    assert lseg == ["x"] * 80
+
+    # reports run unchanged over the fitted artifacts
+    ov = oov_rate(
+        docs, pieces.select(F.col("piece").alias("word")), group_col="source"
+    ).collect()[0]
+    assert ov["n_tokens"] == 8 * 6
+    fert = out.select(
+        (F.size("um_tokens").cast("double") / F.lit(6.0)).alias("f")
+    ).agg(F.min("f"), F.max("f")).collect()[0]
+    assert fert[0] == fert[1] and fert[0] >= 1.0
