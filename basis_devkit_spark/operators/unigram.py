@@ -288,6 +288,7 @@ def unigram_lm_fit(
     max_piece_len: int = 4,
     em_iters: int = 3,
     max_word_len: int = 64,
+    words: DataFrame | None = None,
 ) -> DataFrame:
     """Fit the unigram-LM piece table: seed candidates from the
     distinct-word relation, then ``em_iters`` rounds of hard EM —
@@ -303,8 +304,15 @@ def unigram_lm_fit(
     via ``localCheckpoint`` (the d61 LPA cadence) so the lineage does
     not re-run prior rounds. During the fit no UNK fallback can win —
     every character of every word is in the table by construction —
-    so hard-EM counts are exact by definition, not approximation."""
-    words = _word_weights(corpus, text_col)
+    so hard-EM counts are exact by definition, not approximation.
+
+    ``words``: a precomputed ``(word, weight)`` relation to fit from
+    instead of scanning ``corpus`` — the c38 streaming seam: word
+    weights are the fit's ONLY corpus-derived input and are per-key
+    SUM-mergeable across micro-batches, so a maintained word store
+    refits byte-identically to a one-shot scan."""
+    if words is None:
+        words = _word_weights(corpus, text_col)
     seed = unigram_seed_pieces(words, max_piece_len, seed_size)
     total = seed.agg(F.sum("cnt")).collect()[0][0]
     pieces = seed.select(

@@ -112,6 +112,8 @@ _SAMPLE_PRIORITY = [
     "e25_poisson_bootstrap_ratio_ci",
     "c37_stream_kn_counts_maintenance",
     "d89_unigram_lm_fit",
+    "d90_unigram_fertility",
+    "c38_stream_unigram_fit_maintenance",
     "c32_stream_calibration_maintenance",
     "c33_stream_domain_profile_maintenance",
     "c34_stream_novelty_gate",

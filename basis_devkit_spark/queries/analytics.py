@@ -10564,3 +10564,133 @@ def d89(spark: SparkSession, sf: str) -> DataFrame:
         docs, vocab_size=300, seed_size=800, max_piece_len=4,
         em_iters=2,
     ).select("piece", "cnt", "lp").orderBy("piece")
+
+
+@register(
+    "d90_unigram_fertility",
+    pyoracle.unigram_fertility_sql,
+    doc="unigram tokenizer APPLY + per-source fertility (d89's "
+    "companion eval, the d45 report shape over unigram_lm_apply_"
+    "indexed): fit on the corpus, tokenize every doc through the d37 "
+    "indexed-join apply (distinct words Viterbi-segmented once, "
+    "corpus pays one vocab join + one positional regroup), report "
+    "tokens-per-word per source (floor-scaled 1e6). Oracle = the "
+    "same independent Python model fitting AND tokenizing (d86 "
+    "literal-table pattern) - exercising the full fit->apply->eval "
+    "path end-to-end, not just the fitted table",
+)
+def d90(spark: SparkSession, sf: str) -> DataFrame:
+    from basis_devkit_spark.operators.unigram import (
+        unigram_lm_apply_indexed,
+        unigram_lm_fit,
+    )
+
+    docs = load(spark, sf, "documents").select("doc_id", "source", "text")
+    pieces = unigram_lm_fit(
+        docs, vocab_size=300, seed_size=800, max_piece_len=4,
+        em_iters=2,
+    )
+    out = unigram_lm_apply_indexed(docs, pieces)
+    n_words = F.size(
+        F.filter(
+            F.split(F.lower(F.coalesce(F.col("text"), F.lit(""))), r"\s+"),
+            lambda w: w != "",
+        )
+    ).cast("long")
+    per = out.select(
+        "source",
+        F.size("um_tokens").cast("long").alias("__nt"),
+        n_words.alias("__nw"),
+    )
+    return (
+        per.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("__nw").cast("long").alias("n_words"),
+            F.sum("__nt").cast("long").alias("n_um_tokens"),
+        )
+        .select(
+            "source",
+            "n_docs",
+            "n_words",
+            "n_um_tokens",
+            F.when(
+                F.col("n_words") > 0,
+                F.floor(
+                    F.col("n_um_tokens").cast("double")
+                    / F.col("n_words").cast("double")
+                    * 1000000.0
+                    + 0.5
+                )
+                / 1000000.0,
+            ).otherwise(F.lit(0.0)).alias("fertility"),
+        )
+    )
+
+
+@register(
+    "c38_stream_unigram_fit_maintenance",
+    pyoracle.unigram_fit_sql,
+    doc="streaming unigram-tokenizer refit maintenance (c38, the c21 "
+    "pattern for d89): word weights are the unigram fit's ONLY "
+    "corpus-derived input and are per-key SUM-mergeable, so the "
+    "corpus arrives as TWO micro-batches whose (word, weight) counts "
+    "fold into a persisted word store through the exactly-once merge "
+    "sink, and refitting from the maintained store (unigram_lm_fit "
+    "words=) is byte-identical to the one-shot d89 fit - same Python-"
+    "model oracle verbatim. Refit stays explicit (the D54 artifact "
+    "contract); state is distinct-word-sized regardless of corpus",
+)
+def c38(spark: SparkSession, sf: str) -> DataFrame:
+    import glob as _glob
+    import os as _os
+    import shutil as _shutil
+    import tempfile as _tf
+
+    from basis_devkit_spark.operators.bpe import _word_weights
+    from basis_devkit_spark.operators.unigram import unigram_lm_fit
+    from basis_devkit_spark.storage.store import TableStore
+    from basis_devkit_spark.streaming.ops import stream_merge_to_store
+
+    d = load(spark, sf, "documents").select("doc_id", "text")
+    tmp = _tf.mkdtemp(prefix="bds_c38_")
+    drop = _os.path.join(tmp, "drop")
+    _os.makedirs(drop, exist_ok=True)
+    for tag, mod in (("a", 0), ("b", 1)):
+        part_dir = _os.path.join(tmp, f"part_{tag}")
+        d.filter(F.col("doc_id") % 2 == mod).coalesce(1).write.parquet(
+            part_dir
+        )
+        src = _glob.glob(_os.path.join(part_dir, "part-*.parquet"))[0]
+        _shutil.copy(src, _os.path.join(drop, f"{tag}.parquet"))
+    raw_schema = spark.read.parquet(_os.path.join(drop, "a.parquet")).schema
+
+    def merge(batch: DataFrame, existing: DataFrame | None) -> DataFrame:
+        state = _word_weights(batch, "text")
+        if existing is None:
+            return state
+        prev = existing.select("word", F.col("weight").alias("__p"))
+        return state.join(prev, "word", "full").select(
+            "word",
+            (
+                F.coalesce(F.col("weight"), F.lit(0))
+                + F.coalesce(F.col("__p"), F.lit(0))
+            ).cast("long").alias("weight"),
+        )
+
+    stream = (
+        spark.readStream.schema(raw_schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(drop)
+    )
+    store = TableStore(tmp, "unigram_words", spark)
+    store.configure(unique_on=["word"])
+    q = stream_merge_to_store(stream, store, f"{tmp}/_ckpt", merge).start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return unigram_lm_fit(
+        d, vocab_size=300, seed_size=800, max_piece_len=4, em_iters=2,
+        words=store.read().select("word", "weight"),
+    ).select("piece", "cnt", "lp").orderBy("piece")

@@ -2237,3 +2237,77 @@ def unigram_fit_sql() -> str:
     select piece, cast(cnt as bigint) as cnt, cast(lp as bigint) as lp
     from (values {vals}) t(piece, cnt, lp)
     """
+
+
+def unigram_fertility_rows(
+    sf_dir: str,
+    vocab_size: int = 300,
+    seed_size: int = 800,
+    max_piece_len: int = 4,
+    em_iters: int = 2,
+    max_word_len: int = 64,
+):
+    """Per-source fertility of the d89 unigram tokenizer: fit with the
+    same model as unigram_fit_rows, tokenize every doc (long words
+    char-split, as the operator), aggregate tokens/words per source."""
+    import duckdb
+    import math
+
+    pieces = unigram_fit_rows(
+        sf_dir, vocab_size, seed_size, max_piece_len, em_iters,
+        max_word_len,
+    )
+    lp = {p: l for p, _c, l in pieces}
+    con = duckdb.connect()
+    docs = con.execute(
+        f"select doc_id, source, text from "
+        f"read_parquet('{sf_dir}/documents.parquet') order by doc_id"
+    ).fetchall()
+    con.close()
+    seg_cache: dict[str, int] = {}
+    agg: dict[str, list[int]] = {}
+    for _doc_id, source, text in docs:
+        n_words = n_toks = 0
+        for w in _WS.split((text or "").lower()):
+            if w == "":
+                continue
+            n_words += 1
+            if w not in seg_cache:
+                if len(w) > max_word_len:
+                    seg_cache[w] = len(w)
+                else:
+                    seg_cache[w] = len(
+                        _unigram_viterbi(w, lp, max_piece_len)
+                    )
+            n_toks += seg_cache[w]
+        a = agg.setdefault(source, [0, 0, 0])
+        a[0] += 1
+        a[1] += n_words
+        a[2] += n_toks
+    out = []
+    for source in sorted(agg):
+        n_docs, n_words, n_toks = agg[source]
+        fert = (
+            math.floor(n_toks / n_words * 1e6 + 0.5) / 1e6
+            if n_words > 0
+            else 0.0
+        )
+        out.append((source, n_docs, n_words, n_toks, fert))
+    return tuple(out)
+
+
+def unigram_fertility_sql() -> str:
+    rows = unigram_fertility_rows(oracle_sf_dir())
+    vals = ", ".join(
+        "('{}', {}, {}, {}, {})".format(
+            s.replace("'", "''"), d, w, t, f
+        )
+        for s, d, w, t, f in rows
+    )
+    return f"""
+    select source, cast(n_docs as bigint) as n_docs,
+           cast(n_words as bigint) as n_words,
+           cast(n_um_tokens as bigint) as n_um_tokens,
+           cast(fertility as double) as fertility
+    from (values {vals}) t(source, n_docs, n_words, n_um_tokens, fertility)
+    """

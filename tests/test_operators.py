@@ -7421,3 +7421,44 @@ def test_unigram_lm_fit_and_apply(spark):
         (F.size("um_tokens").cast("double") / F.lit(6.0)).alias("f")
     ).agg(F.min("f"), F.max("f")).collect()[0]
     assert fert[0] == fert[1] and fert[0] >= 1.0
+
+
+def test_unigram_words_sum_merge_refit(spark):
+    """C38 invariant: word weights SUM-merged across disjoint slices
+    equal the one-shot weights, and refitting from merged weights is
+    row-identical to the one-shot unigram fit — word weights are the
+    fit's only corpus-derived input."""
+    from pyspark.sql import functions as F
+
+    from basis_devkit_spark.operators.bpe import _word_weights
+    from basis_devkit_spark.operators.unigram import unigram_lm_fit
+
+    rows = [
+        (i, f"low lower lowest slow w{i % 4} the end") for i in range(24)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    a = _word_weights(docs.filter(F.col("doc_id") % 2 == 0), "text")
+    b = _word_weights(docs.filter(F.col("doc_id") % 2 == 1), "text").select(
+        "word", F.col("weight").alias("__p")
+    )
+    merged = a.join(b, "word", "full").select(
+        "word",
+        (
+            F.coalesce(F.col("weight"), F.lit(0))
+            + F.coalesce(F.col("__p"), F.lit(0))
+        ).cast("long").alias("weight"),
+    )
+    one_shot = _word_weights(docs, "text")
+    assert {r["word"]: r["weight"] for r in merged.collect()} == {
+        r["word"]: r["weight"] for r in one_shot.collect()
+    }
+    kw = dict(vocab_size=40, seed_size=100, max_piece_len=3, em_iters=2)
+    got = {
+        r["piece"]: (r["cnt"], r["lp"])
+        for r in unigram_lm_fit(docs, words=merged, **kw).collect()
+    }
+    want = {
+        r["piece"]: (r["cnt"], r["lp"])
+        for r in unigram_lm_fit(docs, **kw).collect()
+    }
+    assert got == want
