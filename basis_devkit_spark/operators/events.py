@@ -1460,3 +1460,88 @@ def poisson_bootstrap_ci(
             fs(F.col("__hi")).alias("ci_hi"),
         )
     )
+
+
+def msprt_readout(
+    per_unit: DataFrame,
+    arm_col: str = "arm",
+    y_col: str = "y",
+    control: str = "control",
+    tau: float = 0.5,
+    alpha: float = 0.05,
+    out_round: int = 6,
+) -> DataFrame:
+    """Always-valid experiment inference via the mixture SPRT (Johari,
+    Pekelis & Walsh 2017/2022, "Peeking at A/B tests" — public; the
+    always-valid p-values production experimentation platforms ship):
+    classical fixed-n t-tests are invalidated by CONTINUOUS MONITORING
+    (peeking inflates false positives far past α), while the mSPRT
+    p-value is valid at EVERY look — stop whenever it crosses α. For
+    each treatment arm vs ``control``, with per-unit metric ``y_col``
+    (integers — exact moment sums), Δ = mean_t − mean_c, pooled sample
+    variance s_p², V = s_p²(1/n_c + 1/n_t), and the normal mixture
+    with variance ``tau``²::
+
+        Λ = sqrt(V/(V+τ²)) · exp(Δ²·τ² / (2V(V+τ²)))
+        p = min(1, 1/Λ)
+
+    Output per treatment arm: ``n_units``, ``mean_y``, ``delta``,
+    ``p_always_valid`` and ``significant`` (int flag at ``alpha``);
+    the control row reports its own n/mean with NULL inferential
+    columns. Degenerate guards: V ≤ 0 or n < 2 on either side → NULL
+    p, flag 0.
+
+    Determinism: the e21/e23 parity pattern — every moment (n, Σy,
+    Σy²) an exact integer (decimal(38,0)/HUGEINT), Δ/V/Λ/p single
+    double expressions evaluated in the identical order by the
+    oracle, floor-scaled 1e6. Scale shape: one per-arm hash agg + a
+    broadcast one-row control join — no windows, no collect."""
+    d0 = F.lit(0).cast("decimal(38,0)")
+    yd = F.col(y_col).cast("decimal(38,0)")
+    base = per_unit.select(
+        F.col(arm_col).alias("arm"), yd.alias("__y")
+    ).filter(F.col("__y").isNotNull())
+    m = base.groupBy("arm").agg(
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("n"),
+        F.coalesce(F.sum("__y"), d0).cast("decimal(38,0)").alias("sy"),
+        F.coalesce(F.sum(F.col("__y") * F.col("__y")), d0)
+        .cast("decimal(38,0)").alias("syy"),
+    )
+    c = m.filter(F.col("arm") == control).select(
+        F.col("n").alias("cn"),
+        F.col("sy").alias("csy"),
+        F.col("syy").alias("csyy"),
+    )
+    j = m.crossJoin(F.broadcast(c))
+    dbl = lambda col: F.col(col).cast("double")
+    nn, sy, syy = dbl("n"), dbl("sy"), dbl("syy")
+    cn, csy, csyy = dbl("cn"), dbl("csy"), dbl("csyy")
+    mean_t = sy / nn
+    mean_c = csy / cn
+    delta = mean_t - mean_c
+    var_t = (nn * syy - sy * sy) / (nn * (nn - F.lit(1.0)))
+    var_c = (cn * csyy - csy * csy) / (cn * (cn - F.lit(1.0)))
+    sp2 = (
+        (nn - F.lit(1.0)) * var_t + (cn - F.lit(1.0)) * var_c
+    ) / (nn + cn - F.lit(2.0))
+    v = sp2 * (F.lit(1.0) / cn + F.lit(1.0) / nn)
+    t2 = F.lit(float(tau) * float(tau))
+    lam = F.sqrt(v / (v + t2)) * F.exp(
+        delta * delta * t2 / (F.lit(2.0) * v * (v + t2))
+    )
+    p = F.least(F.lit(1.0), F.lit(1.0) / lam)
+    ok = (F.col("n") >= 2) & (F.col("cn") >= 2) & (v > 0)
+    scale = float(10 ** out_round)
+    fs = lambda col: F.floor(col * scale + F.lit(0.5)) / scale
+    is_ctrl = F.col("arm") == control
+    return j.select(
+        "arm",
+        F.col("n").cast("long").alias("n_units"),
+        fs(mean_t).alias("mean_y"),
+        F.when(~is_ctrl, fs(delta)).alias("delta"),
+        F.when(~is_ctrl & ok, fs(p)).alias("p_always_valid"),
+        F.coalesce(
+            (~is_ctrl & ok & (p < F.lit(float(alpha)))).cast("int"),
+            F.lit(0),
+        ).alias("significant"),
+    )

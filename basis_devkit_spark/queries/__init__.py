@@ -114,6 +114,7 @@ _SAMPLE_PRIORITY = [
     "d89_unigram_lm_fit",
     "d90_unigram_fertility",
     "c38_stream_unigram_fit_maintenance",
+    "e26_msprt_always_valid",
     "c32_stream_calibration_maintenance",
     "c33_stream_domain_profile_maintenance",
     "c34_stream_novelty_gate",

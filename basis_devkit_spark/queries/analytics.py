@@ -10694,3 +10694,89 @@ def c38(spark: SparkSession, sf: str) -> DataFrame:
         d, vocab_size=300, seed_size=800, max_piece_len=4, em_iters=2,
         words=store.read().select("word", "weight"),
     ).select("piece", "cnt", "lp").orderBy("piece")
+
+
+@register(
+    "e26_msprt_always_valid",
+    """
+    with assigned as (
+      select user_id,
+             case (('0x' || substr(md5('exp1' || cast(user_id as varchar)),
+                                   1, 8))::ubigint % 3)
+               when 0 then 'control' when 1 then 'variant_a'
+               else 'variant_b' end as arm
+      from events
+    ), per as (
+      select user_id, arm, cast(count(*) as hugeint) as y
+      from assigned group by 1, 2
+    ), m as (
+      select arm, cast(count(*) as hugeint) as n, sum(y) as sy,
+             sum(y*y) as syy
+      from per group by arm
+    ), c as (
+      select n as cn, sy as csy, syy as csyy from m
+      where arm = 'control'
+    ), j as (
+      select arm, n, sy, syy, cn, csy, csyy,
+             cast(sy as double) / cast(n as double) as mean_t,
+             cast(csy as double) / cast(cn as double) as mean_c
+      from m cross join c
+    ), v as (
+      select *,
+        mean_t - mean_c as delta,
+        ((cast(n as double) - 1.0) *
+           ((cast(n as double)*cast(syy as double)
+             - cast(sy as double)*cast(sy as double))
+            / (cast(n as double)*(cast(n as double) - 1.0)))
+         + (cast(cn as double) - 1.0) *
+           ((cast(cn as double)*cast(csyy as double)
+             - cast(csy as double)*cast(csy as double))
+            / (cast(cn as double)*(cast(cn as double) - 1.0))))
+        / (cast(n as double) + cast(cn as double) - 2.0)
+        * (1.0 / cast(cn as double) + 1.0 / cast(n as double)) as vv
+      from j
+    ), lam as (
+      select *,
+        sqrt(vv / (vv + 0.25))
+          * exp(delta * delta * 0.25 / (2.0 * vv * (vv + 0.25))) as l
+      from v
+    )
+    select arm, cast(n as bigint) as n_units,
+      floor(mean_t * 1000000.0 + 0.5) / 1000000.0 as mean_y,
+      case when arm != 'control'
+        then floor(delta * 1000000.0 + 0.5) / 1000000.0 end as delta,
+      case when arm != 'control' and n >= 2 and cn >= 2 and vv > 0
+        then floor(least(1.0, 1.0 / l) * 1000000.0 + 0.5) / 1000000.0
+        end as p_always_valid,
+      cast(coalesce(arm != 'control' and n >= 2 and cn >= 2 and vv > 0
+                    and least(1.0, 1.0 / l) < 0.05, false) as int)
+        as significant
+    from lam
+    """,
+    doc="always-valid experiment inference via the mixture SPRT "
+    "(msprt_readout; Johari-Pekelis-Walsh 2017/2022, public - the "
+    "always-valid p-values production experimentation platforms "
+    "ship): fixed-n t-tests are invalidated by continuous monitoring "
+    "(peeking inflates false positives); the mSPRT p-value is valid "
+    "at EVERY look. Per treatment arm vs control: pooled-variance V, "
+    "normal mixture tau=0.5, Lambda = sqrt(V/(V+tau^2)) * "
+    "exp(delta^2 tau^2 / (2V(V+tau^2))), p = min(1, 1/Lambda). The "
+    "e21/e23 parity pattern: exact integer moments (decimal(38,0)/"
+    "HUGEINT), identical-order double expressions, 1e6 "
+    "floor-scaling; one per-arm hash agg + broadcast one-row control "
+    "join. Metric: per-user event count, arms via the e12 md5 "
+    "assignment",
+)
+def e26(spark: SparkSession, sf: str) -> DataFrame:
+    from basis_devkit_spark.operators.events import (
+        assign_experiment,
+        msprt_readout,
+    )
+
+    ev = load(spark, sf, "events").select("user_id")
+    per = (
+        assign_experiment(ev, ["control", "variant_a", "variant_b"])
+        .groupBy("user_id", "arm")
+        .agg(F.count(F.lit(1)).cast("long").alias("y"))
+    )
+    return msprt_readout(per, tau=0.5, alpha=0.05)

@@ -7462,3 +7462,60 @@ def test_unigram_words_sum_merge_refit(spark):
         for r in unigram_lm_fit(docs, **kw).collect()
     }
     assert got == want
+
+
+def test_msprt_readout_matches_reference_model(spark):
+    """E26 semantics vs an independent numpy/math model: Λ and the
+    always-valid p from exact moments, control row carries NULL
+    inferential columns, a large planted effect is significant while
+    a null effect is not, and degenerate variance yields NULL p."""
+    import math
+
+    from basis_devkit_spark.operators.events import msprt_readout
+
+    rows = (
+        [("control", i, 10 + (i * 7) % 5) for i in range(200)]
+        + [("boost", 1000 + i, 14 + (i * 7) % 5) for i in range(200)]
+        + [("same", 2000 + i, 10 + ((i + 3) * 7) % 5) for i in range(200)]
+        + [("flat", 3000 + i, 10) for i in range(50)]
+    )
+    df = spark.createDataFrame(rows, "arm string, user_id long, y long")
+    tau = 0.5
+    out = {
+        r["arm"]: r
+        for r in msprt_readout(df.select("arm", "y"), tau=tau).collect()
+    }
+
+    def model(arm):
+        ys = [y for a, _u, y in rows if a == arm]
+        cs = [y for a, _u, y in rows if a == "control"]
+        n, cn = len(ys), len(cs)
+        mean_t, mean_c = sum(ys) / n, sum(cs) / cn
+        var = lambda v: (
+            (len(v) * sum(x * x for x in v) - sum(v) ** 2)
+            / (len(v) * (len(v) - 1))
+        )
+        sp2 = ((n - 1) * var(ys) + (cn - 1) * var(cs)) / (n + cn - 2)
+        V = sp2 * (1 / cn + 1 / n)
+        if V <= 0:
+            return None
+        d = mean_t - mean_c
+        lam = math.sqrt(V / (V + tau**2)) * math.exp(
+            d * d * tau**2 / (2 * V * (V + tau**2))
+        )
+        return math.floor(min(1.0, 1.0 / lam) * 1e6 + 0.5) / 1e6
+
+    assert out["control"]["delta"] is None
+    assert out["control"]["p_always_valid"] is None
+    assert out["control"]["significant"] == 0
+    assert out["boost"]["p_always_valid"] == model("boost")
+    assert out["same"]["p_always_valid"] == model("same")
+    assert out["boost"]["significant"] == 1  # +4 planted effect
+    assert out["same"]["significant"] == 0  # same distribution
+    # a treatment arm with zero pooled... V>0 here since control varies;
+    # degenerate case: both sides constant -> V = 0 -> NULL p
+    const = spark.createDataFrame(
+        [("control", 5)] * 10 + [("t", 5)] * 10, "arm string, y long"
+    )
+    oc = {r["arm"]: r for r in msprt_readout(const).collect()}
+    assert oc["t"]["p_always_valid"] is None and oc["t"]["significant"] == 0
