@@ -1674,129 +1674,3 @@ def fuzzy_decontaminate(
         F.countDistinct("__cs").cast("long").alias("n_fuzzy_sentences"),
         F.min("__lev").cast("long").alias("min_edit"),
     )
-
-
-def substring_dedup(
-    corpus: DataFrame,
-    id_col: str = "doc_id",
-    text_col: str = "text",
-    window: int = 50,
-    out_round: int = 6,
-) -> DataFrame:
-    """Exact substring deduplication at token-window granularity (Lee
-    et al. 2022, "Deduplicating Training Data Makes Language Models
-    Better" — public; the ExactSubstr pass production pretraining
-    pipelines run AFTER document-level dedup, because boilerplate,
-    licenses and templates repeat across otherwise-distinct docs):
-    any ``window``-token span whose token sequence already occurred
-    EARLIER in the corpus (first occurrence = lexicographic min
-    (doc_id, position) — deterministic) has its tokens removed; spans
-    longer than ``window`` are covered by their overlapping windows,
-    so every maximal duplicated region ≥ ``window`` tokens keeps
-    exactly its first copy corpus-wide. The paper's suffix array finds
-    duplicates at SINGLE-token granularity; a suffix array does not
-    distribute, so this is the documented window-granular equivalent:
-    duplicated regions shorter than ``window`` survive — the same
-    threshold the paper itself applies (50 tokens) to avoid removing
-    natural short repeats.
-
-    Output: one row per doc — ``id_col``, ``clean_text`` (kept tokens
-    re-joined single-spaced; lowercased whitespace tokenization, the
-    corpus-wide convention), ``n_tokens``, ``n_removed``,
-    ``removed_frac`` (floor-scaled 1e6).
-
-    Scale shape: one explode to token windows (xxhash64 of the joined
-    window — corpus-token-sized, the unavoidable currency of substring
-    dedup), ONE hash agg taking min_by(struct(doc,pos)) per window
-    hash, a join back of occurrences to winners on the hash, and a
-    per-doc regroup of removal positions (bounded by doc length).
-    Token masking is a per-doc array fold — no windows (the analytic
-    kind), no UDFs, no collect. Hash collisions: xxhash64 over the
-    space-joined window — at 2^64, collisions are ~1e-8 even at 10^13
-    windows; a collision removes a non-duplicate span (the paper's
-    own hashing variants accept the same risk)."""
-    toks = F.filter(
-        F.split(F.lower(F.coalesce(F.col(text_col), F.lit(""))), r"\s+"),
-        lambda w: w != "",
-    )
-    base = corpus.select(
-        F.col(id_col).alias("__id"), toks.alias("__ws")
-    )
-    k = int(window)
-    n = F.size("__ws")
-    # guard: sequence(1, 0) would DESCEND ([1, 0]); docs shorter than
-    # one window emit no window rows (explode drops the NULL array)
-    wins = base.select(
-        "__id",
-        F.explode(
-            F.when(
-                n >= k,
-                F.transform(
-                    F.sequence(F.lit(1), n - k + 1),
-                    lambda p: F.struct(
-                        p.alias("p"),
-                        F.xxhash64(
-                            F.concat_ws(" ", F.slice("__ws", p, k))
-                        ).alias("h"),
-                    ),
-                ),
-            )
-        ).alias("__w"),
-    ).select(
-        "__id", F.col("__w.p").alias("__p"), F.col("__w.h").alias("__h")
-    )
-    winners = wins.groupBy("__h").agg(
-        F.min(F.struct(F.col("__id").alias("i"), F.col("__p").alias("p")))
-        .alias("__first"),
-        F.count(F.lit(1)).alias("__occ"),
-    ).filter(F.col("__occ") > 1)
-    losers = wins.join(winners, "__h").filter(
-        (F.col("__id") != F.col("__first.i"))
-        | (F.col("__p") != F.col("__first.p"))
-    )
-    removals = losers.select(
-        "__id",
-        F.explode(
-            F.sequence(F.col("__p"), F.col("__p") + F.lit(k - 1))
-        ).alias("__rp"),
-    ).distinct()
-    rm = removals.groupBy("__id").agg(
-        F.array_sort(F.collect_list("__rp")).alias("__rm")
-    )
-    joined = base.join(rm, "__id", "left").select(
-        "__id",
-        "__ws",
-        F.coalesce("__rm", F.array().cast("array<int>")).alias("__rm"),
-    )
-    # same descending-sequence guard for empty docs
-    kept = F.filter(
-        F.when(
-            F.size("__ws") > 0,
-            F.transform(
-                F.sequence(F.lit(1), F.size("__ws")),
-                lambda i: F.when(
-                    ~F.array_contains("__rm", i.cast("int")),
-                    F.element_at("__ws", i),
-                ),
-            ),
-        ).otherwise(F.array().cast("array<string>")),
-        lambda t: t.isNotNull(),
-    )
-    scale = float(10 ** out_round)
-    nrm = F.size("__rm").cast("long")
-    return joined.select(
-        F.col("__id").alias(id_col),
-        F.concat_ws(" ", kept).alias("clean_text"),
-        F.size("__ws").cast("long").alias("n_tokens"),
-        nrm.alias("n_removed"),
-        F.when(
-            F.size("__ws") > 0,
-            F.floor(
-                nrm.cast("double")
-                / F.size("__ws").cast("double")
-                * scale
-                + 0.5
-            )
-            / scale,
-        ).otherwise(F.lit(0.0)).alias("removed_frac"),
-    )

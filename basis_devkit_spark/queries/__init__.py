@@ -115,7 +115,6 @@ _SAMPLE_PRIORITY = [
     "d90_unigram_fertility",
     "c38_stream_unigram_fit_maintenance",
     "e26_msprt_always_valid",
-    "d91_substring_dedup",
     "c32_stream_calibration_maintenance",
     "c33_stream_domain_profile_maintenance",
     "c34_stream_novelty_gate",

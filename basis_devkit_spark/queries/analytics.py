@@ -10780,32 +10780,3 @@ def e26(spark: SparkSession, sf: str) -> DataFrame:
         .agg(F.count(F.lit(1)).cast("long").alias("y"))
     )
     return msprt_readout(per, tau=0.5, alpha=0.05)
-
-
-@register(
-    "d91_substring_dedup",
-    lambda: pyoracle.substring_dedup_sql(window=12),
-    doc="exact substring deduplication at token-window granularity "
-    "(substring_dedup; Lee et al. 2022 ExactSubstr, public - the "
-    "pass production pretraining pipelines run AFTER doc-level dedup "
-    "because boilerplate/licenses/templates repeat across distinct "
-    "docs): any 12-token window whose token sequence occurred "
-    "EARLIER in the corpus (first occurrence = min (doc_id, pos), "
-    "deterministic keep-first) has its tokens removed; longer "
-    "duplicated regions are covered by overlapping windows so every "
-    "maximal dup >= window keeps exactly its first copy. The paper's "
-    "suffix array does not distribute; this is the documented "
-    "window-granular equivalent (sub-window repeats survive, the "
-    "same threshold the paper applies). One corpus-token-sized "
-    "window explode + min_by hash agg + winners join-back + per-doc "
-    "removal regroup - no analytic windows, no UDFs, no collect. "
-    "Oracle = independent Python model over token tuples (immune to "
-    "the xxhash64 collision the operator accepts at ~1e-8)",
-)
-def d91(spark: SparkSession, sf: str) -> DataFrame:
-    from basis_devkit_spark.operators.dedup import substring_dedup
-
-    docs = load(spark, sf, "documents").select("doc_id", "text")
-    return substring_dedup(docs, window=12).select(
-        "doc_id", "clean_text", "n_tokens", "n_removed", "removed_frac"
-    )

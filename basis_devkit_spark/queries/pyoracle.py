@@ -2311,62 +2311,3 @@ def unigram_fertility_sql() -> str:
            cast(fertility as double) as fertility
     from (values {vals}) t(source, n_docs, n_words, n_um_tokens, fertility)
     """
-
-
-# ----------------------------------------------- substring dedup (d91)
-def substring_dedup_rows(sf_dir: str, window: int = 12):
-    """Independent Python model of operators/dedup.substring_dedup:
-    window-granular ExactSubstr — every k-token window occurring
-    earlier (lexicographic (doc_id, pos) first wins) has its token
-    positions removed; kept tokens re-join single-spaced."""
-    import math
-
-    k = window
-    docs = []
-    for doc_id, text in _documents(sf_dir):
-        ws = [w for w in _WS.split((text or "").lower()) if w != ""]
-        docs.append((doc_id, ws))
-    first: dict[tuple, tuple[int, int]] = {}
-    occs: list[tuple[int, int, tuple]] = []
-    for doc_id, ws in docs:
-        for p in range(1, len(ws) - k + 2):
-            win = tuple(ws[p - 1 : p - 1 + k])
-            occs.append((doc_id, p, win))
-            if win not in first or (doc_id, p) < first[win]:
-                first[win] = (doc_id, p)
-    counts: dict[tuple, int] = {}
-    for _d, _p, win in occs:
-        counts[win] = counts.get(win, 0) + 1
-    removals: dict[int, set[int]] = {}
-    for doc_id, p, win in occs:
-        if counts[win] > 1 and (doc_id, p) != first[win]:
-            removals.setdefault(doc_id, set()).update(
-                range(p, p + k)
-            )
-    out = []
-    for doc_id, ws in docs:
-        rm = removals.get(doc_id, set())
-        kept = [w for i, w in enumerate(ws, start=1) if i not in rm]
-        n = len(ws)
-        nr = len(rm)
-        frac = math.floor(nr / n * 1e6 + 0.5) / 1e6 if n > 0 else 0.0
-        out.append((doc_id, " ".join(kept), n, nr, frac))
-    return tuple(out)
-
-
-def substring_dedup_sql(window: int = 12) -> str:
-    rows = substring_dedup_rows(oracle_sf_dir(), window=window)
-    vals = ", ".join(
-        "({}, '{}', {}, {}, {})".format(
-            d, t.replace("'", "''"), n, r, f
-        )
-        for d, t, n, r, f in rows
-    )
-    return f"""
-    select cast(doc_id as bigint) as doc_id, clean_text,
-           cast(n_tokens as bigint) as n_tokens,
-           cast(n_removed as bigint) as n_removed,
-           cast(removed_frac as double) as removed_frac
-    from (values {vals}) t(doc_id, clean_text, n_tokens, n_removed,
-                           removed_frac)
-    """

@@ -7519,51 +7519,3 @@ def test_msprt_readout_matches_reference_model(spark):
     )
     oc = {r["arm"]: r for r in msprt_readout(const).collect()}
     assert oc["t"]["p_always_valid"] is None and oc["t"]["significant"] == 0
-
-
-def test_substring_dedup_semantics(spark):
-    """D91 ExactSubstr semantics: keep-first corpus-wide (earlier
-    (doc_id, pos) wins), overlapping windows cover spans longer than
-    the window, WITHIN-doc repeats keep the first copy, sub-window
-    repeats survive, short/NULL docs pass through, and the plan has no
-    analytic windows or Python."""
-    from pyspark.sql import functions as F
-
-    from basis_devkit_spark.operators.dedup import substring_dedup
-
-    rows = [
-        (1, "alpha beta gamma delta epsilon zeta eta theta"),
-        # doc 2 repeats doc 1's 6-token prefix inside other text:
-        # every 4-window of the span is a dup -> whole span removed
-        (2, "pre alpha beta gamma delta epsilon zeta post tail"),
-        # doc 3 repeats a 3-token (sub-window) phrase: survives at k=4
-        (3, "alpha beta gamma unrelated words here now"),
-        # doc 4: within-doc repeat of its own 4-token phrase
-        (4, "one two three four one two three four"),
-        (5, "tiny"),
-        (6, None),
-    ]
-    docs = spark.createDataFrame(rows, "doc_id long, text string")
-    out = {
-        r["doc_id"]: r
-        for r in substring_dedup(docs, window=4).collect()
-    }
-    # doc 1 is the first occurrence everywhere: untouched
-    assert out[1]["n_removed"] == 0
-    assert out[1]["clean_text"] == rows[0][1]
-    # doc 2: the 6-token duplicated span goes, surrounding text stays
-    assert out[2]["clean_text"] == "pre post tail"
-    assert out[2]["n_removed"] == 6
-    assert out[2]["removed_frac"] == 0.666667
-    # doc 3: 3-token repeat is below the window: survives
-    assert out[3]["n_removed"] == 0
-    # doc 4: second within-doc occurrence removed, first kept
-    assert out[4]["clean_text"] == "one two three four"
-    assert out[4]["n_removed"] == 4
-    # short/NULL docs pass through
-    assert out[5]["clean_text"] == "tiny" and out[5]["n_removed"] == 0
-    assert out[6]["clean_text"] == "" and out[6]["n_tokens"] == 0
-    plan = substring_dedup(docs, window=4)._jdf.queryExecution() \
-        .executedPlan().toString()
-    assert "Window" not in plan
-    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
