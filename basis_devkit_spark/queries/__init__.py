@@ -115,6 +115,7 @@ _SAMPLE_PRIORITY = [
     "d90_unigram_fertility",
     "c38_stream_unigram_fit_maintenance",
     "e26_msprt_always_valid",
+    "d92_kcore_decomposition",
     "c32_stream_calibration_maintenance",
     "c33_stream_domain_profile_maintenance",
     "c34_stream_novelty_gate",

@@ -10780,3 +10780,39 @@ def e26(spark: SparkSession, sf: str) -> DataFrame:
         .agg(F.count(F.lit(1)).cast("long").alias("y"))
     )
     return msprt_readout(per, tau=0.5, alpha=0.05)
+
+
+@register(
+    "d92_kcore_decomposition",
+    pyoracle.kcore_sql,
+    doc="coreness (k-core number) per node over the d49 part "
+    "co-purchase graph (kcore_decompose): the graph-quality cut that "
+    "peels leaves/chains off LSH candidate graphs and surfaces the "
+    "dense template clusters worth review. Computed as the h-index "
+    "fixpoint (Lu-Zhou-Zhang-Stanley 2016, public - provably "
+    "converges to exact Batagelj-Zaversnik coreness, embarrassingly "
+    "parallel per round): core0 = degree, then per round ONE "
+    "(node, neighbor-core) histogram agg (map-side combinable, "
+    "per-node state bounded by distinct core values, never hub "
+    "degree - no collect of neighbor lists) + a bounded per-node "
+    "fold h = max(min(value, cumcount)); monotone decrease, stop at "
+    "zero changes. Oracle = independent Python min-heap peeling "
+    "model. All integers, deterministic under any partitioning",
+)
+def d92(spark: SparkSession, sf: str) -> DataFrame:
+    from basis_devkit_spark.operators.dedup import release_signature_caches
+    from basis_devkit_spark.operators.graphrank import kcore_decompose
+
+    l = load(spark, sf, "lineitem").select(
+        F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p")
+    )
+    a = l.alias("a")
+    b = l.alias("b")
+    edges = (
+        a.join(b, (F.col("a.o") == F.col("b.o")) & (F.col("a.p") < F.col("b.p")))
+        .select(F.col("a.p").alias("id_a"), F.col("b.p").alias("id_b"))
+    )
+    out = kcore_decompose(edges)
+    ck = out.localCheckpoint(eager=True)
+    release_signature_caches(out)
+    return ck

@@ -2311,3 +2311,62 @@ def unigram_fertility_sql() -> str:
            cast(fertility as double) as fertility
     from (values {vals}) t(source, n_docs, n_words, n_um_tokens, fertility)
     """
+
+
+# ------------------------------------------------------------ k-core (d92)
+def kcore_rows(sf_dir: str):
+    """Independent Python model of operators/graphrank.kcore_decompose
+    over the d49 part co-purchase graph: exact Batagelj-Zaveršnik
+    peeling (repeatedly remove the minimum-degree node; its core = the
+    current peel level) — the sequential algorithm the distributed
+    h-index fixpoint provably converges to."""
+    import duckdb
+
+    con = duckdb.connect()
+    pairs = con.execute(
+        f"""
+        with l as (
+          select l_orderkey as o, l_partkey as p
+          from read_parquet('{sf_dir}/lineitem.parquet')
+        )
+        select distinct least(a.p, b.p), greatest(a.p, b.p)
+        from l a join l b on a.o = b.o and a.p < b.p
+        """
+    ).fetchall()
+    con.close()
+    adj: dict[int, set[int]] = {}
+    for a, b in pairs:
+        a, b = int(a), int(b)
+        if a == b:
+            continue
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    deg = {v: len(ns) for v, ns in adj.items()}
+    core: dict[int, int] = {}
+    alive = set(adj)
+    import heapq
+
+    heap = [(d, v) for v, d in deg.items()]
+    heapq.heapify(heap)
+    k = 0
+    while heap:
+        d, v = heapq.heappop(heap)
+        if v not in alive or d != deg[v]:
+            continue
+        k = max(k, d)
+        core[v] = k
+        alive.discard(v)
+        for u in adj[v]:
+            if u in alive:
+                deg[u] -= 1
+                heapq.heappush(heap, (deg[u], u))
+    return tuple(sorted(core.items()))
+
+
+def kcore_sql() -> str:
+    rows = kcore_rows(oracle_sf_dir())
+    vals = ", ".join(f"({n}, {c})" for n, c in rows)
+    return f"""
+    select cast(node as bigint) as node, cast(core as bigint) as core
+    from (values {vals}) t(node, core)
+    """

@@ -7519,3 +7519,25 @@ def test_msprt_readout_matches_reference_model(spark):
     )
     oc = {r["arm"]: r for r in msprt_readout(const).collect()}
     assert oc["t"]["p_always_valid"] is None and oc["t"]["significant"] == 0
+
+
+def test_kcore_decompose_known_graph(spark):
+    """D92 h-index fixpoint equals hand-known corenesses: K4 → 3, a
+    hanging path → 1, a separate triangle → 2, an isolated edge → 1;
+    and the per-round plan never collects neighbor lists (histogram
+    agg + bounded fold)."""
+    from basis_devkit_spark.operators.graphrank import kcore_decompose
+
+    edges = [
+        (1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4),  # K4
+        (4, 5), (5, 6),                                  # tail off K4
+        (7, 8), (8, 9), (7, 9),                          # triangle
+        (10, 11),                                        # isolated edge
+        (2, 1),                                          # dup reversed
+        (3, 3),                                          # self loop
+    ]
+    df = spark.createDataFrame(edges, "id_a long, id_b long")
+    got = {r["node"]: r["core"] for r in kcore_decompose(df).collect()}
+    want = {1: 3, 2: 3, 3: 3, 4: 3, 5: 1, 6: 1,
+            7: 2, 8: 2, 9: 2, 10: 1, 11: 1}
+    assert got == want
