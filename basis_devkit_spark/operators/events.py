@@ -1545,3 +1545,119 @@ def msprt_readout(
             F.lit(0),
         ).alias("significant"),
     )
+
+
+def _norm_ppf(p: float) -> float:
+    """Φ⁻¹ via Acklam's rational approximation (public domain; ~1e-9
+    absolute error) — pure Python arithmetic, no scipy. Evaluated
+    DRIVER-SIDE only: z-quantiles depend on the α/power parameters,
+    never on data, so they enter the plan (and the oracle SQL) as
+    identical literals by construction."""
+    if not 0.0 < p < 1.0:
+        raise ValueError("p must be in (0, 1)")
+    import math
+
+    a = (-3.969683028665376e+01, 2.209460984245205e+02,
+         -2.759285104469687e+02, 1.383577518672690e+02,
+         -3.066479806614716e+01, 2.506628277459239e+00)
+    b = (-5.447609879822406e+01, 1.615858368580409e+02,
+         -1.556989798598866e+02, 6.680131188771972e+01,
+         -1.328068155288572e+01)
+    c = (-7.784894002430293e-03, -3.223964580411365e-01,
+         -2.400758277161838e+00, -2.549732539343734e+00,
+         4.374664141464968e+00, 2.938163982698783e+00)
+    d = (7.784695709041462e-03, 3.224671290700398e-01,
+         2.445134137142996e+00, 3.754408661907416e+00)
+    p_low = 0.02425
+    if p < p_low:
+        q = math.sqrt(-2.0 * math.log(p))
+        return (((((c[0] * q + c[1]) * q + c[2]) * q + c[3]) * q
+                 + c[4]) * q + c[5]) / (
+            (((d[0] * q + d[1]) * q + d[2]) * q + d[3]) * q + 1.0
+        )
+    if p > 1.0 - p_low:
+        q = math.sqrt(-2.0 * math.log(1.0 - p))
+        return -(((((c[0] * q + c[1]) * q + c[2]) * q + c[3]) * q
+                  + c[4]) * q + c[5]) / (
+            (((d[0] * q + d[1]) * q + d[2]) * q + d[3]) * q + 1.0
+        )
+    q = p - 0.5
+    r = q * q
+    return (((((a[0] * r + a[1]) * r + a[2]) * r + a[3]) * r
+             + a[4]) * r + a[5]) * q / (
+        (((((b[0] * r + b[1]) * r + b[2]) * r + b[3]) * r + b[4]) * r
+         + 1.0)
+    )
+
+
+def power_mde_readout(
+    per_unit: DataFrame,
+    arm_col: str = "arm",
+    y_col: str = "y",
+    control: str = "control",
+    alpha: float = 0.05,
+    power: float = 0.8,
+    out_round: int = 6,
+) -> DataFrame:
+    """Minimum detectable effect per treatment arm at the CURRENT
+    sample sizes — the pre-readout sanity every experimentation
+    platform surfaces (public textbook two-sample formula): an
+    underpowered readout "finding nothing" is indistinguishable from
+    a true null, so report what effect the test COULD see::
+
+        MDE = (z_{1−α/2} + z_{power}) · √(s_p²·(1/n_c + 1/n_t))
+
+    with pooled sample variance s_p² from exact integer moments (the
+    e21/e23 parity pattern) and the z-quantiles computed driver-side
+    (:func:`_norm_ppf` — parameters, not data, so they are literals
+    shared verbatim with the oracle). Output per treatment arm:
+    ``n_units``, ``mean_y``, ``se_delta`` (the √ term), ``mde_abs``,
+    ``mde_rel`` (vs the control mean; NULL when that mean is 0), all
+    floor-scaled 1e6; the control row carries its own n/mean with
+    NULL inferential columns. One per-arm hash agg + a broadcast
+    one-row control join."""
+    z = _norm_ppf(1.0 - float(alpha) / 2.0) + _norm_ppf(float(power))
+    d0 = F.lit(0).cast("decimal(38,0)")
+    yd = F.col(y_col).cast("decimal(38,0)")
+    base = per_unit.select(
+        F.col(arm_col).alias("arm"), yd.alias("__y")
+    ).filter(F.col("__y").isNotNull())
+    m = base.groupBy("arm").agg(
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("n"),
+        F.coalesce(F.sum("__y"), d0).cast("decimal(38,0)").alias("sy"),
+        F.coalesce(F.sum(F.col("__y") * F.col("__y")), d0)
+        .cast("decimal(38,0)").alias("syy"),
+    )
+    c = m.filter(F.col("arm") == control).select(
+        F.col("n").alias("cn"),
+        F.col("sy").alias("csy"),
+        F.col("syy").alias("csyy"),
+    )
+    j = m.crossJoin(F.broadcast(c))
+    dbl = lambda col: F.col(col).cast("double")
+    nn, sy, syy = dbl("n"), dbl("sy"), dbl("syy")
+    cn, csy, csyy = dbl("cn"), dbl("csy"), dbl("csyy")
+    mean_t = sy / nn
+    mean_c = csy / cn
+    var_t = (nn * syy - sy * sy) / (nn * (nn - F.lit(1.0)))
+    var_c = (cn * csyy - csy * csy) / (cn * (cn - F.lit(1.0)))
+    sp2 = (
+        (nn - F.lit(1.0)) * var_t + (cn - F.lit(1.0)) * var_c
+    ) / (nn + cn - F.lit(2.0))
+    se = F.sqrt(sp2 * (F.lit(1.0) / cn + F.lit(1.0) / nn))
+    mde = F.lit(float(z)) * se
+    ok = (F.col("n") >= 2) & (F.col("cn") >= 2) & (sp2 > 0)
+    scale = float(10 ** out_round)
+    fs = lambda col: F.floor(col * scale + F.lit(0.5)) / scale
+    is_ctrl = F.col("arm") == control
+    g = lambda col: F.when(~is_ctrl & ok, col)
+    return j.select(
+        "arm",
+        F.col("n").cast("long").alias("n_units"),
+        fs(mean_t).alias("mean_y"),
+        g(fs(se)).alias("se_delta"),
+        g(fs(mde)).alias("mde_abs"),
+        g(
+            F.when(mean_c != 0, fs(mde / F.abs(F.lit(0.0) + mean_c)))
+        ).alias("mde_rel"),
+    )

@@ -673,3 +673,143 @@ def ogg_opus_fields(content_col: str | Column) -> Column:
         g(le32(13).cast("long")).alias("input_sample_rate"),
         g(pb(19)).alias("mapping_family"),
     )
+
+
+def _let(value, body):
+    """Expression-level let-binding: evaluate ``value`` ONCE and pass
+    it to ``body`` as a higher-order-function lambda variable
+    (transform over a one-element array). Column expressions have no
+    native let; without this, a parser that reuses a derived value
+    re-EMBEDS its whole subtree per reference — for the EXIF parser
+    the nesting (tag lookup × entry walk × endian reads × hex slices)
+    multiplied to ~10⁶ expression nodes and OOMed the JVM during
+    analysis. HOF lambda vars are evaluated once per element, so each
+    binding level collapses the fan-out to 1."""
+    return F.element_at(F.transform(F.array(value), body), 1)
+
+
+def exif_tiff_fields(content_col: str | Column, max_entries: int = 64) -> Column:
+    """Decode-free EXIF/TIFF metadata from a JPEG blob (JPEG/JFIF
+    marker framing + the TIFF 6.0 IFD layout inside the APP1 "Exif"
+    segment — all public specs): the ORIENTATION tag drives the only
+    rotation-correct crop/resize path a multimodal pipeline has before
+    pixel decode, and byte order + entry count are the standard
+    corruption screens. Markers scanned: SOI, then up to TWO leading
+    segments (APP0/JFIF commonly precedes APP1) located by computed
+    segment lengths — never a byte scan. Inside APP1: the ``Exif\0\0``
+    magic, the TIFF header (``II``/``MM`` byte order, the 0x002A
+    check, IFD0 offset), then IFD0's 12-byte entries walked as a
+    bounded ``transform`` over ``least(n_entries, max_entries)`` —
+    per-row work is O(max_entries) whatever the blob size (the
+    sniff_format contract). Tags read: 0x0112 Orientation, 0x0100
+    ImageWidth, 0x0101 ImageLength (SHORT or LONG, honoring byte
+    order). Internally staged through :func:`_let` bindings — shared
+    derived values (hex window, APP1 offset, endianness, IFD0 offset,
+    entry array) are bound once as lambda variables instead of
+    re-embedding their subtrees per reference.
+
+    Returns a struct ``(is_jpeg, has_exif, byte_order, n_ifd_entries,
+    orientation, image_width, image_length)`` — ``byte_order`` is
+    ``'II'``/``'MM'``; missing tags are NULL; a JPEG without a valid
+    APP1/Exif keeps ``is_jpeg`` with ``has_exif`` false."""
+    c = F.col(content_col) if isinstance(content_col, str) else content_col
+
+    def build(hx: Column) -> Column:
+        b = lambda off: F.conv(
+            F.substring(hx, (off - 1) * 2 + 1, 2), 16, 10
+        ).cast("int")
+        be16 = lambda off: b(off) * 256 + b(off + 1)
+        is_jpeg = (F.substring(hx, 1, 4) == "FFD8") & (
+            F.octet_length(c) >= 4
+        )
+        m1 = be16(3)
+        l1 = be16(5)
+        app1_off = (
+            F.when(m1 == 0xFFE1, F.lit(3))
+            .when(
+                (m1 >= 0xFFE0) & (m1 <= 0xFFEF),
+                F.when(be16(5 + l1) == 0xFFE1, 5 + l1),
+            )
+        )
+
+        def with_seg(seg: Column) -> Column:
+            has_magic = (
+                F.substring(hx, (seg + 4 - 1) * 2 + 1, 12)
+                == "457869660000"
+            )
+            tiff = seg + 10
+            bo = F.substring(hx, (tiff - 1) * 2 + 1, 4)
+            is_le = bo == "4949"
+            u16 = lambda off: F.when(
+                is_le, b(off) + b(off + 1) * 256
+            ).otherwise(b(off) * 256 + b(off + 1))
+            u32 = lambda off: F.when(
+                is_le,
+                b(off) + b(off + 1) * 256 + b(off + 2) * 65536
+                + b(off + 3) * 16777216,
+            ).otherwise(
+                b(off) * 16777216 + b(off + 1) * 65536
+                + b(off + 2) * 256 + b(off + 3),
+            )
+            tiff_ok = (bo.isin("4949", "4D4D")) & (u16(tiff + 2) == 42)
+            has_exif = (
+                is_jpeg
+                & seg.isNotNull()
+                & has_magic
+                & tiff_ok
+                & (F.octet_length(c) >= 32)
+            )
+
+            def with_ifd(ifd0: Column) -> Column:
+                n_entries = u16(ifd0)
+                ncap = F.least(n_entries, F.lit(int(max_entries)))
+                ent = lambda off: F.struct(
+                    u16(off).alias("tag"),
+                    F.when(u16(off + 2) == 3, u16(off + 8))
+                    .when(u16(off + 2) == 4, u32(off + 8))
+                    .alias("val"),
+                )
+                entries = F.when(
+                    has_exif & (ncap > 0),
+                    F.transform(
+                        F.sequence(F.lit(1), ncap),
+                        lambda i: ent(ifd0 + 2 + (i - 1) * 12),
+                    ),
+                ).otherwise(
+                    F.array().cast("array<struct<tag:int,val:int>>")
+                )
+
+                def with_entries(es: Column) -> Column:
+                    tagval = lambda t: F.try_element_at(
+                        F.filter(es, lambda e: e["tag"] == t), F.lit(1)
+                    )["val"]
+                    g = lambda col: F.when(has_exif, col)
+                    return F.struct(
+                        F.coalesce(is_jpeg, F.lit(False)).alias(
+                            "is_jpeg"
+                        ),
+                        F.coalesce(has_exif, F.lit(False)).alias(
+                            "has_exif"
+                        ),
+                        g(
+                            F.when(is_le, F.lit("II")).otherwise(
+                                F.lit("MM")
+                            )
+                        ).alias("byte_order"),
+                        g(n_entries).alias("n_ifd_entries"),
+                        g(tagval(0x0112)).alias("orientation"),
+                        g(tagval(0x0100).cast("long")).alias(
+                            "image_width"
+                        ),
+                        g(tagval(0x0101).cast("long")).alias(
+                            "image_length"
+                        ),
+                    )
+
+                return _let(entries, with_entries)
+
+            return _let(tiff + u32(tiff + 4), with_ifd)
+
+        return _let(app1_off, with_seg)
+
+    return _let(F.hex(F.substring(c, 1, 2048)), build)

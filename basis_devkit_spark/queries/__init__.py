@@ -116,6 +116,8 @@ _SAMPLE_PRIORITY = [
     "c38_stream_unigram_fit_maintenance",
     "e26_msprt_always_valid",
     "d92_kcore_decomposition",
+    "d05j_exif_tiff_parse",
+    "e27_power_mde_readout",
     "c32_stream_calibration_maintenance",
     "c33_stream_domain_profile_maintenance",
     "c34_stream_novelty_gate",

@@ -10816,3 +10816,204 @@ def d92(spark: SparkSession, sf: str) -> DataFrame:
     ck = out.localCheckpoint(eager=True)
     release_signature_caches(out)
     return ck
+
+
+def _tiff_ifd_hex(le: bool, entries: list[tuple[int, int, int]]) -> bytes:
+    import struct as _st
+
+    bo = b"II" if le else b"MM"
+    e = "<" if le else ">"
+    out = bo + _st.pack(e + "H", 42) + _st.pack(e + "I", 8)
+    out += _st.pack(e + "H", len(entries))
+    for tag, typ, val in entries:
+        out += _st.pack(e + "H", tag) + _st.pack(e + "H", typ)
+        out += _st.pack(e + "I", 1)
+        if typ == 3:  # SHORT: value left-justified in the 4-byte field
+            out += _st.pack(e + "H", val) + b"\x00\x00"
+        else:  # LONG
+            out += _st.pack(e + "I", val)
+    out += _st.pack(e + "I", 0)  # next-IFD pointer
+    return out
+
+
+def _jpeg_hex(
+    app0: bool = False,
+    exif: bytes | None = None,
+    corrupt_magic: bool = False,
+) -> str:
+    import struct as _st
+
+    b0 = b"\xff\xd8"
+    if app0:
+        payload = b"JFIF\x00\x01\x02\x00\x00\x01\x00\x01\x00\x00"
+        b0 += b"\xff\xe0" + _st.pack(">H", len(payload) + 2) + payload
+    if exif is not None:
+        magic = b"Exif\x00\x00" if not corrupt_magic else b"Fake\x00\x00"
+        seg = magic + exif
+        b0 += b"\xff\xe1" + _st.pack(">H", len(seg) + 2) + seg
+    return (b0 + b"\xff\xd9").hex()
+
+
+#: (hex, is_jpeg, has_exif, byte_order, n_entries, orientation, w, h)
+_EXIF_FIXTURES = [
+    (_jpeg_hex(exif=_tiff_ifd_hex(True, [(0x0100, 4, 640),
+                                         (0x0101, 4, 480),
+                                         (0x0112, 3, 6)])),
+     True, True, "II", 3, 6, 640, 480),
+    (_jpeg_hex(app0=True, exif=_tiff_ifd_hex(False, [(0x0112, 3, 1)])),
+     True, True, "MM", 1, 1, None, None),
+    (_jpeg_hex(app0=True), True, False, None, None, None, None, None),
+    ("89504e470d0a", False, False, None, None, None, None, None),
+    (_jpeg_hex(exif=_tiff_ifd_hex(True, [(0x0112, 3, 8)]),
+               corrupt_magic=True),
+     True, False, None, None, None, None, None),
+    (_jpeg_hex(exif=_tiff_ifd_hex(False, [(0x0100, 3, 320),
+                                          (0x0101, 3, 240)])),
+     True, True, "MM", 2, None, 320, 240),
+]
+
+
+@register(
+    "d05j_exif_tiff_parse",
+    f"""
+    with blobs as (
+      select doc_id, doc_id % 6 as variant from documents
+    ), truth as (
+      select * from (values
+        {", ".join(
+            "({i}, {j}, {e}, {bo}, {n}, {o}, {w}, {h})".format(
+                i=i,
+                j="true" if j else "false",
+                e="true" if e else "false",
+                bo="'" + bo + "'" if bo else "cast(null as varchar)",
+                n=n if n is not None else "cast(null as int)",
+                o=o if o is not None else "cast(null as int)",
+                w=w if w is not None else "cast(null as bigint)",
+                h=h if h is not None else "cast(null as bigint)",
+            )
+            for i, (_hx, j, e, bo, n, o, w, h)
+            in enumerate(_EXIF_FIXTURES)
+        )}
+      ) t(variant, is_jpeg, has_exif, byte_order, n_ifd_entries,
+          orientation, image_width, image_length)
+    )
+    select b.doc_id, t.is_jpeg, t.has_exif, t.byte_order,
+           cast(t.n_ifd_entries as int) as n_ifd_entries,
+           cast(t.orientation as int) as orientation,
+           cast(t.image_width as bigint) as image_width,
+           cast(t.image_length as bigint) as image_length
+    from blobs b join truth t using (variant)
+    """,
+    doc="decode-free EXIF/TIFF metadata from JPEG blobs "
+    "(exif_tiff_fields; JPEG marker framing + TIFF 6.0 IFD layout, "
+    "public specs): the ORIENTATION tag is the only rotation-correct "
+    "crop/resize input a multimodal pipeline has before pixel "
+    "decode; byte order + IFD entry count are the corruption "
+    "screens. Markers located by computed segment lengths (APP0 may "
+    "precede APP1), IFD0 walked as a bounded transform over "
+    "least(n_entries, 64) 12-byte entries honoring II/MM byte order "
+    "for SHORT and LONG tags - O(64) per row whatever the blob size "
+    "(the sniff_format contract). Fixtures constructed bytewise "
+    "in-query (six variants: LE full tags, BE orientation-only "
+    "after JFIF, JFIF-no-exif, non-JPEG, corrupt Exif magic, BE "
+    "SHORT dims) - oracle is construction truth",
+)
+def d05j(spark: SparkSession, sf: str) -> DataFrame:
+    from basis_devkit_spark.operators.multimodal import exif_tiff_fields
+
+    d = load(spark, sf, "documents").select("doc_id")
+    hdr = None
+    for i, (hx, *_rest) in enumerate(_EXIF_FIXTURES):
+        cond = F.col("doc_id") % 6 == i
+        lit = F.lit(bytes.fromhex(hx))
+        hdr = F.when(cond, lit) if hdr is None else hdr.when(cond, lit)
+    blobs = d.withColumn("content", hdr)
+    s = exif_tiff_fields("content")
+    return blobs.select("doc_id", s.alias("s")).select("doc_id", "s.*")
+
+
+def _e27_sql() -> str:
+    from basis_devkit_spark.operators.events import _norm_ppf
+
+    z = _norm_ppf(1.0 - 0.05 / 2.0) + _norm_ppf(0.8)
+    return f"""
+    with assigned as (
+      select user_id,
+             case (('0x' || substr(md5('exp1' || cast(user_id as varchar)),
+                                   1, 8))::ubigint % 3)
+               when 0 then 'control' when 1 then 'variant_a'
+               else 'variant_b' end as arm
+      from events
+    ), per as (
+      select user_id, arm, cast(count(*) as hugeint) as y
+      from assigned group by 1, 2
+    ), m as (
+      select arm, cast(count(*) as hugeint) as n, sum(y) as sy,
+             sum(y*y) as syy
+      from per group by arm
+    ), c as (
+      select n as cn, sy as csy, syy as csyy from m
+      where arm = 'control'
+    ), j as (
+      select arm, n, sy, syy, cn, csy, csyy,
+             cast(sy as double) / cast(n as double) as mean_t,
+             cast(csy as double) / cast(cn as double) as mean_c,
+             ((cast(n as double) - 1.0) *
+                ((cast(n as double)*cast(syy as double)
+                  - cast(sy as double)*cast(sy as double))
+                 / (cast(n as double)*(cast(n as double) - 1.0)))
+              + (cast(cn as double) - 1.0) *
+                ((cast(cn as double)*cast(csyy as double)
+                  - cast(csy as double)*cast(csy as double))
+                 / (cast(cn as double)*(cast(cn as double) - 1.0))))
+             / (cast(n as double) + cast(cn as double) - 2.0) as sp2
+      from m cross join c
+    ), s as (
+      select *, sqrt(sp2 * (1.0 / cast(cn as double)
+                            + 1.0 / cast(n as double))) as se
+      from j
+    )
+    select arm, cast(n as bigint) as n_units,
+      floor(mean_t * 1000000.0 + 0.5) / 1000000.0 as mean_y,
+      case when arm != 'control' and n >= 2 and cn >= 2 and sp2 > 0
+        then floor(se * 1000000.0 + 0.5) / 1000000.0 end as se_delta,
+      case when arm != 'control' and n >= 2 and cn >= 2 and sp2 > 0
+        then floor({z!r} * se * 1000000.0 + 0.5) / 1000000.0
+        end as mde_abs,
+      case when arm != 'control' and n >= 2 and cn >= 2 and sp2 > 0
+                and mean_c != 0
+        then floor({z!r} * se / abs(0.0 + mean_c) * 1000000.0 + 0.5)
+             / 1000000.0 end as mde_rel
+    from s
+    """
+
+
+@register(
+    "e27_power_mde_readout",
+    _e27_sql,
+    doc="minimum detectable effect at current sample sizes "
+    "(power_mde_readout; public textbook two-sample formula): an "
+    "underpowered readout 'finding nothing' is indistinguishable "
+    "from a true null, so report what the test COULD see - MDE = "
+    "(z_{1-a/2} + z_power) * sqrt(sp2*(1/nc+1/nt)) with pooled "
+    "variance from exact integer moments (the e21/e23 parity "
+    "pattern) and z-quantiles from Acklam's rational approximation "
+    "computed DRIVER-SIDE (parameters, not data - the literals are "
+    "shared verbatim with the oracle by construction, no "
+    "transcendental parity exposure beyond sqrt). One per-arm hash "
+    "agg + broadcast one-row control join. Metric: per-user event "
+    "count, arms via the e12 md5 assignment",
+)
+def e27(spark: SparkSession, sf: str) -> DataFrame:
+    from basis_devkit_spark.operators.events import (
+        assign_experiment,
+        power_mde_readout,
+    )
+
+    ev = load(spark, sf, "events").select("user_id")
+    per = (
+        assign_experiment(ev, ["control", "variant_a", "variant_b"])
+        .groupBy("user_id", "arm")
+        .agg(F.count(F.lit(1)).cast("long").alias("y"))
+    )
+    return power_mde_readout(per, alpha=0.05, power=0.8)

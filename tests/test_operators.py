@@ -7541,3 +7541,115 @@ def test_kcore_decompose_known_graph(spark):
     want = {1: 3, 2: 3, 3: 3, 4: 3, 5: 1, 6: 1,
             7: 2, 8: 2, 9: 2, 10: 1, 11: 1}
     assert got == want
+
+
+def test_exif_tiff_fields_construction_truth(spark):
+    """D05j: bytewise-constructed JPEG fixtures parsed back to their
+    construction truth — LE/BE byte orders, SHORT and LONG tag types,
+    APP0-before-APP1 skipping, corrupt Exif magic, non-JPEG input."""
+    import struct
+
+    from basis_devkit_spark.operators.multimodal import exif_tiff_fields
+
+    def tiff_ifd(le, entries):
+        bo = b"II" if le else b"MM"
+        e = "<" if le else ">"
+        out = bo + struct.pack(e + "H", 42) + struct.pack(e + "I", 8)
+        out += struct.pack(e + "H", len(entries))
+        for tag, typ, val in entries:
+            out += struct.pack(e + "H", tag) + struct.pack(e + "H", typ)
+            out += struct.pack(e + "I", 1)
+            out += (
+                struct.pack(e + "H", val) + b"\x00\x00"
+                if typ == 3
+                else struct.pack(e + "I", val)
+            )
+        return out + struct.pack(e + "I", 0)
+
+    def jpeg(app0=False, exif=None, corrupt=False):
+        b0 = b"\xff\xd8"
+        if app0:
+            p = b"JFIF\x00\x01\x02\x00\x00\x01\x00\x01\x00\x00"
+            b0 += b"\xff\xe0" + struct.pack(">H", len(p) + 2) + p
+        if exif is not None:
+            seg = (b"Fake\x00\x00" if corrupt else b"Exif\x00\x00") + exif
+            b0 += b"\xff\xe1" + struct.pack(">H", len(seg) + 2) + seg
+        return b0 + b"\xff\xd9"
+
+    cases = [
+        (1, jpeg(exif=tiff_ifd(True, [(0x0100, 4, 640), (0x0101, 4, 480),
+                                      (0x0112, 3, 6)])),
+         (True, True, "II", 3, 6, 640, 480)),
+        (2, jpeg(app0=True, exif=tiff_ifd(False, [(0x0112, 3, 1)])),
+         (True, True, "MM", 1, 1, None, None)),
+        (3, jpeg(app0=True), (True, False, None, None, None, None, None)),
+        (4, b"\x89PNG\r\n", (False, False, None, None, None, None, None)),
+        (5, jpeg(exif=tiff_ifd(True, [(0x0112, 3, 8)]), corrupt=True),
+         (True, False, None, None, None, None, None)),
+        (6, jpeg(exif=tiff_ifd(False, [(0x0100, 3, 320), (0x0101, 3, 240)])),
+         (True, True, "MM", 2, None, 320, 240)),
+    ]
+    df = spark.createDataFrame(
+        [(i, b) for i, b, _ in cases], "doc_id long, content binary"
+    )
+    out = {
+        r["doc_id"]: r
+        for r in df.select(
+            "doc_id", exif_tiff_fields("content").alias("s")
+        ).select("doc_id", "s.*").collect()
+    }
+    for i, _b, (j, e, bo, n, o, w, h) in cases:
+        r = out[i]
+        assert (r["is_jpeg"], r["has_exif"]) == (j, e), i
+        assert r["byte_order"] == bo and r["n_ifd_entries"] == n, i
+        assert r["orientation"] == o, i
+        assert (r["image_width"], r["image_length"]) == (w, h), i
+
+
+def test_power_mde_readout_matches_reference_model(spark):
+    """E27: MDE equals an independent math model (pooled variance +
+    Acklam z-sum), a bigger arm has a smaller MDE, control carries
+    NULL inferential columns, and zero variance guards to NULL."""
+    import math
+
+    from basis_devkit_spark.operators.events import (
+        _norm_ppf,
+        power_mde_readout,
+    )
+
+    rows = (
+        [("control", i, 10 + (i * 7) % 5) for i in range(400)]
+        + [("big", 1000 + i, 11 + (i * 7) % 5) for i in range(400)]
+        + [("small", 2000 + i, 11 + (i * 7) % 5) for i in range(40)]
+    )
+    df = spark.createDataFrame(rows, "arm string, user_id long, y long")
+    out = {
+        r["arm"]: r
+        for r in power_mde_readout(df.select("arm", "y")).collect()
+    }
+    z = _norm_ppf(0.975) + _norm_ppf(0.8)
+
+    def model(arm):
+        ys = [y for a, _u, y in rows if a == arm]
+        cs = [y for a, _u, y in rows if a == "control"]
+        n, cn = len(ys), len(cs)
+        var = lambda v: (
+            (len(v) * sum(x * x for x in v) - sum(v) ** 2)
+            / (len(v) * (len(v) - 1))
+        )
+        sp2 = ((n - 1) * var(ys) + (cn - 1) * var(cs)) / (n + cn - 2)
+        se = math.sqrt(sp2 * (1 / cn + 1 / n))
+        fs = lambda v: math.floor(v * 1e6 + 0.5) / 1e6
+        return fs(z * se), fs(z * se / abs(sum(cs) / cn))
+
+    assert (out["big"]["mde_abs"], out["big"]["mde_rel"]) == model("big")
+    assert (out["small"]["mde_abs"], out["small"]["mde_rel"]) == model(
+        "small"
+    )
+    assert out["big"]["mde_abs"] < out["small"]["mde_abs"]
+    assert out["control"]["mde_abs"] is None
+    const = spark.createDataFrame(
+        [("control", 5)] * 10 + [("t", 5)] * 10, "arm string, y long"
+    )
+    oc = {r["arm"]: r for r in power_mde_readout(const).collect()}
+    assert oc["t"]["mde_abs"] is None
