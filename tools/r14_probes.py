@@ -349,6 +349,97 @@ def kn_scale() -> dict:
     return out
 
 
+def kcore_rounds(n_edges: int = 1_000_000) -> dict:
+    """Instrumented d92 k-core rounds on the r13 power-law generator:
+    per-round frontier size and wall, proving (a) the frontier shrinks
+    geometrically (the active-set claim) and (b) per-round wall is
+    dispatch-floor-bound at toy scale — rounds are a property of the
+    GRAPH (h-index cascade length), not the implementation."""
+    import time as _t
+
+    from pyspark.sql import functions as F
+
+    from basis_devkit_spark.operators.graphrank import (
+        _canonical_edges,
+    )
+    from basis_devkit_spark.operators.lineage import release_plan_blocks
+    from tools.r13_probes import _edges_df
+
+    spark = _spark()
+    edges = _edges_df(spark, n_edges, n_nodes=max(n_edges // 10, 1000))
+    und = _canonical_edges(edges, "id_a", "id_b")
+    sym = und.select(
+        F.col("a").alias("s"), F.col("b").alias("d")
+    ).unionAll(und.select(F.col("b").alias("s"), F.col("a").alias("d")))
+    cores = (
+        sym.groupBy(F.col("s").alias("node"))
+        .agg(F.count(F.lit(1)).cast("long").alias("__c"))
+        .localCheckpoint(eager=True)
+    )
+    active = cores.select("node")
+    prev = cores
+    rounds = []
+    for it in range(100):
+        t0 = _t.time()
+        affected = sym.join(
+            active.select(F.col("node").alias("d")), "d", "semi"
+        ).select(F.col("s").alias("node"))
+        nb = (
+            sym.join(
+                affected.select(F.col("node").alias("s")), "s", "semi"
+            )
+            .join(cores.select(F.col("node").alias("d"), "__c"), "d")
+            .select(F.col("s").alias("node"), F.col("__c").alias("__nc"))
+        )
+        hist = nb.groupBy("node", "__nc").agg(
+            F.count(F.lit(1)).cast("long").alias("__k")
+        )
+        folded = hist.groupBy("node").agg(
+            F.aggregate(
+                F.reverse(F.array_sort(F.collect_list(
+                    F.struct(F.col("__nc").alias("c"),
+                             F.col("__k").alias("k"))))),
+                F.struct(F.lit(0).cast("long").alias("cum"),
+                         F.lit(0).cast("long").alias("h")),
+                lambda acc, e: F.struct(
+                    (acc["cum"] + e["k"]).alias("cum"),
+                    F.greatest(acc["h"],
+                               F.least(e["c"], acc["cum"] + e["k"])
+                               ).alias("h"),
+                ),
+            )["h"].alias("__h")
+        )
+        nxt = cores.join(folded, "node", "left").select(
+            "node",
+            F.coalesce("__h", "__c").alias("__c"),
+            F.col("__c").alias("__old"),
+        )
+        ck = nxt.localCheckpoint(eager=True)
+        changed_nodes = ck.filter(F.col("__c") != F.col("__old"))
+        changed = changed_nodes.count()
+        cores = ck.select("node", "__c")
+        active = changed_nodes.select("node")
+        release_plan_blocks(prev)
+        prev = ck
+        rounds.append(
+            {"round": it + 1, "frontier": changed,
+             "wall_s": round(_t.time() - t0, 2)}
+        )
+        if changed == 0:
+            break
+    out = {
+        "probe": f"kcore_rounds_{n_edges}",
+        "n_rounds": len(rounds),
+        "total_s": round(sum(r["wall_s"] for r in rounds), 1),
+        "frontiers": [r["frontier"] for r in rounds],
+        "median_round_s": sorted(r["wall_s"] for r in rounds)[
+            len(rounds) // 2
+        ],
+    }
+    print(json.dumps(out))
+    return out
+
+
 if __name__ == "__main__":
     which = sys.argv[1] if len(sys.argv) > 1 else "all"
     if which in ("events_scale", "all"):
@@ -357,3 +448,6 @@ if __name__ == "__main__":
         kn_scale()
     if which in ("kn_shuffle", "all"):
         kn_shuffle()
+    if which == "kcore_rounds":
+        import sys as _s
+        kcore_rounds(int(_s.argv[2]) if len(_s.argv) > 2 else 1_000_000)
