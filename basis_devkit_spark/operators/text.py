@@ -168,10 +168,15 @@ def repetition_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
     ``top_2gram_frac`` — fraction of word 2-grams occupied by the single
     most frequent 2-gram; ``dup_5gram_frac`` — fraction of word 5-grams
     that are duplicates of an earlier one. High values flag boilerplate /
-    degenerate repetition. Pure array expressions (nested higher-order
-    functions), no explode, no shuffle — the counting is quadratic in the
-    per-document gram count, fine for documents, not for books."""
-    toks = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+    degenerate repetition. Pure array expressions, no explode, no shuffle.
+
+    The token array is materialized once per row in its own projection
+    (higher-order functions run interpreted, so an inlined split() would
+    re-run the regex for every lambda element), and the top-gram count is
+    the longest equal-run of the sorted gram array — one O(n log n) sort
+    plus a linear fold instead of an O(distinct x n) filter scan."""
+    tok_col = "__rep_toks"
+    toks = F.col(tok_col)
 
     def grams(n: int):
         cnt = F.size(toks)
@@ -179,30 +184,49 @@ def repetition_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
         return F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)))
 
     g2, g5 = grams(2), grams(5)
-    top2 = F.array_max(
-        F.transform(
-            F.array_distinct(g2),
-            lambda d: F.size(F.filter(g2, lambda x: x == d)),
-        )
+    # max multiplicity of any 2-gram == longest run of equal adjacent
+    # elements after sorting (grams are never NULL, so NULL ordering is moot)
+    run = F.aggregate(
+        F.array_sort(g2),
+        F.struct(
+            F.lit(0).alias("best"),
+            F.lit(0).alias("run"),
+            F.lit(None).cast("string").alias("prev"),
+        ),
+        lambda acc, x: F.struct(
+            F.greatest(
+                acc["best"],
+                F.when(x == acc["prev"], acc["run"] + 1).otherwise(F.lit(1)),
+            ).alias("best"),
+            F.when(x == acc["prev"], acc["run"] + 1)
+            .otherwise(F.lit(1))
+            .alias("run"),
+            x.alias("prev"),
+        ),
+        lambda acc: acc["best"],
     )
     n_toks = F.size(toks)
     # A doc shorter than the gram size has NO n-grams: score 0, not the
     # degenerate whole-text gram (which would flag every 1-2 word doc as
     # maximally repetitive and have corpus filters drop it).
-    return df.withColumns(
-        {
-            "top_2gram_frac": F.when(n_toks < 2, F.lit(0.0)).otherwise(
-                F.round(top2 / F.greatest(F.size(g2), F.lit(1)), 6)
-            ),
-            "dup_5gram_frac": F.when(n_toks < 5, F.lit(0.0)).otherwise(
-                F.round(
-                    1
-                    - F.size(F.array_distinct(g5))
-                    / F.greatest(F.size(g5), F.lit(1)),
-                    6,
-                )
-            ),
-        }
+    return (
+        df.withColumn(tok_col, F.split(F.lower(F.trim(F.col(text_col))), r"\s+"))
+        .withColumns(
+            {
+                "top_2gram_frac": F.when(n_toks < 2, F.lit(0.0)).otherwise(
+                    F.round(run / F.greatest(F.size(g2), F.lit(1)), 6)
+                ),
+                "dup_5gram_frac": F.when(n_toks < 5, F.lit(0.0)).otherwise(
+                    F.round(
+                        1
+                        - F.size(F.array_distinct(g5))
+                        / F.greatest(F.size(g5), F.lit(1)),
+                        6,
+                    )
+                ),
+            }
+        )
+        .drop(tok_col)
     )
 
 
