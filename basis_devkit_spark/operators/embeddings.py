@@ -278,12 +278,14 @@ def jl_project(
 
     100 TB: a PURE PROJECTION — no shuffle, no UDF, no fit artifact
     (the "matrix" is a hash function); composable with quantize_int8
-    and the IVF/PQ index builds on the reduced vectors."""
-    vlong = F.transform(
-        F.col(vec_col),
-        lambda x: (x.cast("double").cast("decimal(18,9)") * 1_000_000_000)
-        .cast("long"),
-    )
+    and the IVF/PQ index builds on the reduced vectors.
+
+    The scaled-long array materializes once per row in its own
+    projection: higher-order functions run interpreted, so an inlined
+    transform() would re-build the whole decimal-cast array for every
+    element_at inside the component folds (~2k rebuilds per row)."""
+    vlong_col = f"__jl_vlong_{out_col}"
+    vlong = F.col(vlong_col)
     d = F.size(F.col(vec_col))
     # loud rail (the fit_pq_codebook/jl_topk pattern): |x| ≥ 1e9
     # overflows the decimal(18,9) cast to a silent NULL, and
@@ -306,12 +308,16 @@ def jl_project(
         ),
     )
 
+    # Signed-sum component: build the ±1 row of the hashed sign matrix,
+    # multiply elementwise, fold. vlong appears ONCE per component (not
+    # once per element_at), so even when an optimizer rule duplicates
+    # the whole projection expression (InferFiltersFromGenerate pushes a
+    # size()>0 filter below the materializing Project), the re-evaluated
+    # copy stays linear instead of quadratic in the input dimension.
     def comp(j: Column) -> Column:
-        return F.aggregate(
+        signs = F.transform(
             F.sequence(F.lit(0), d - 1),
-            F.lit(0).cast("long"),
-            lambda acc, i: acc
-            + F.when(
+            lambda i: F.when(
                 F.pmod(
                     F.xxhash64(
                         (
@@ -323,8 +329,13 @@ def jl_project(
                     F.lit(2),
                 )
                 == 0,
-                F.element_at(vlong, i + 1),
-            ).otherwise(-F.element_at(vlong, i + 1)),
+                F.lit(1).cast("long"),
+            ).otherwise(F.lit(-1).cast("long")),
+        )
+        return F.aggregate(
+            F.zip_with(vlong, signs, lambda v, s: v * s),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
         )
 
     jl = F.transform(F.sequence(F.lit(0), F.lit(out_dim - 1)), comp)
@@ -332,9 +343,22 @@ def jl_project(
     # (not an array of null components) so downstream null-tolerant
     # guards (quantize_codes) see them the same way they see null vecs.
     jl = F.when(guard.isNull() & F.col(vec_col).isNotNull(), jl)
-    return df.withColumn(out_col, jl).withColumn(
-        f"{out_col}_f",
-        F.transform(F.col(out_col), lambda c: c.cast("double") / 1e9),
+    return (
+        df.withColumn(
+            vlong_col,
+            F.transform(
+                F.col(vec_col),
+                lambda x: (
+                    x.cast("double").cast("decimal(18,9)") * 1_000_000_000
+                ).cast("long"),
+            ),
+        )
+        .withColumn(out_col, jl)
+        .withColumn(
+            f"{out_col}_f",
+            F.transform(F.col(out_col), lambda c: c.cast("double") / 1e9),
+        )
+        .drop(vlong_col)
     )
 
 
