@@ -435,21 +435,27 @@ def kcore_decompose(
     provably converges to the exact Batagelj-Zaveršnik coreness, and
     unlike sequential peeling it is EMBARRASSINGLY PARALLEL per round.
 
-    Scale shape — ACTIVE-SET rounds: after round t only neighbors of
-    nodes whose core CHANGED can change, so each round recomputes the
-    h-index for the affected frontier only (set sizes shrink
-    geometrically; without this every round rescans the full edge
-    relation — the difference between O(rounds·m) and O(m + Σ
-    frontier) at 100 TB). Per round: one edges⋈frontier semi-join, a
-    (node, neighbor-core) HISTOGRAM aggregate (map-side combinable;
-    per-node state bounded by DISTINCT neighbor core values, ≤ O(√m),
-    never hub degree — no neighbor-list collect), and a bounded fold
-    ``h = max over distinct values c of min(c, cumulative count)``.
-    Core values only DECREASE (monotone convergence); each round
-    checkpoints the node-sized state FIRST and counts changes on the
-    materialized frame (counting the live plan would run the round
-    twice), with superseded-block release. All integers;
-    deterministic under any partitioning.
+    Scale shape — ACTIVE-SET rounds over a FIXED edge layout: the
+    symmetric edge relation is hash-partitioned by its join key ONCE
+    and persisted, so no round ever re-shuffles it (the r14 lesson —
+    the previous shape paid two full-edge sort-merge shuffles per
+    round, ~2.5 s/round at sf0.1 even for a 36-node frontier). Each
+    round attaches current cores on ``s`` and emits the neighbor-core
+    row to ``d`` (legal by symmetry), with the cores side shuffle-hash
+    joined INTO the edge partitioning — only node-sized state moves.
+    Small frontiers (exact ``changed`` count ≤ min(n/8, 5M)) broadcast
+    the active set and its counted neighborhood to semi-filter the
+    cached edges map-side; big frontiers recompute every node's
+    h-index (identical result: h of a node with no changed neighbor
+    reproduces its value). The h-fold itself: a (node, neighbor-core)
+    HISTOGRAM aggregate (map-side combinable; per-node state bounded
+    by DISTINCT neighbor core values, ≤ O(√m), never hub degree — no
+    neighbor-list collect), then ``h = max over distinct values c of
+    min(c, cumulative count)``. Core values only DECREASE (monotone
+    convergence); each round lazily checkpoints the node-sized state
+    and the convergence count materializes it (one job, not two), with
+    superseded-block release. All integers; deterministic under any
+    partitioning.
 
     Convergence: the h-index cascade length is a GRAPH property — the
     r14 probe (tools/r14_probes.py kcore_rounds) measured a 1M-edge
@@ -463,32 +469,69 @@ def kcore_decompose(
     graphs."""
     import logging
 
+    from pyspark import StorageLevel
+
     und = _canonical_edges(edges, src, dst)
-    sym = und.select(
-        F.col("a").alias("s"), F.col("b").alias("d")
-    ).unionAll(und.select(F.col("b").alias("s"), F.col("a").alias("d")))
+    # ONE-TIME layout: hash-partition the symmetric edge relation by its
+    # per-round join key. Every round attaches cores on ``s`` and emits
+    # the neighbor-core row to ``d`` (sym is symmetric, so {(s,core(d))}
+    # == {(d,core(s))} as multisets) — the partitioning is reused by the
+    # cores join each round instead of re-shuffling the edge relation.
+    spark = edges.sparkSession
+    nshuf = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    sym = (
+        und.select(F.col("a").alias("s"), F.col("b").alias("d"))
+        .unionAll(und.select(F.col("b").alias("s"), F.col("a").alias("d")))
+        .repartition(nshuf, "s")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
     cores = (
         sym.groupBy(F.col("s").alias("node"))
         .agg(F.count(F.lit(1)).cast("long").alias("__c"))
         .localCheckpoint(eager=True)
     )
-    active = cores.select("node")  # round 0: every node may change
+    n_nodes = cores.count()
+    # Frontier rounds broadcast the active set and its neighborhood —
+    # both gated by EXACT counts (changed from last round's convergence
+    # count, the neighborhood by its own materialized count), so the
+    # broadcast never runs on an unbounded relation. Big-frontier rounds
+    # recompute every node's h-index instead (semantically identical:
+    # the h of a node with no changed neighbor reproduces its current
+    # value), which keeps the edge relation un-shuffled either way.
+    bc_max_rows = 5_000_000  # ≈40 MB of long ids — conservative vs 8 GB cap
+    active: DataFrame | None = None  # None = recompute all (round 0)
+    changed = n_nodes
     prev_ckpt: DataFrame = cores
     for _ in range(int(max_iters)):
-        # nodes whose h-index can have changed = neighbors of active
-        affected = (
-            sym.join(
-                active.select(F.col("node").alias("d")), "d", "semi"
+        base = sym
+        aff_ckpt: DataFrame | None = None
+        if active is not None and changed <= min(n_nodes // 8, bc_max_rows):
+            # nodes whose h-index can have changed = neighbors of active
+            aff = (
+                sym.join(
+                    F.broadcast(active.select(F.col("node").alias("d"))),
+                    "d",
+                    "semi",
+                )
+                .select(F.col("s").alias("node"))
+                .distinct()
+                .localCheckpoint(eager=False)
             )
-            .select(F.col("s").alias("node"))
-        )  # no distinct: the next semi-join dedups implicitly
-        nb = (
-            sym.join(
-                affected.select(F.col("node").alias("s")), "s", "semi"
-            )
-            .join(cores.select(F.col("node").alias("d"), "__c"), "d")
-            .select(F.col("s").alias("node"), F.col("__c").alias("__nc"))
-        )
+            if aff.count() <= bc_max_rows:
+                base = sym.join(
+                    F.broadcast(aff.select(F.col("node").alias("d"))),
+                    "d",
+                    "semi",
+                )
+                aff_ckpt = aff
+            else:
+                release_plan_blocks(aff)
+        nb = base.join(
+            cores.select(F.col("node").alias("s"), "__c").hint(
+                "shuffle_hash"
+            ),
+            "s",
+        ).select(F.col("d").alias("node"), F.col("__c").alias("__nc"))
         hist = nb.groupBy("node", "__nc").agg(
             F.count(F.lit(1)).cast("long").alias("__k")
         )
@@ -516,18 +559,22 @@ def kcore_decompose(
                 ),
             )["h"].alias("__h")
         )
-        nxt = cores.join(folded, "node", "left").select(
+        nxt = cores.join(folded.hint("shuffle_hash"), "node", "left").select(
             "node",
             F.coalesce("__h", "__c").alias("__c"),
             F.col("__c").alias("__old"),
         )
-        ck = nxt.localCheckpoint(eager=True)
+        # lazy checkpoint: the convergence count below materializes it,
+        # fusing checkpoint + count into one job per round
+        ck = nxt.localCheckpoint(eager=False)
         changed_nodes = ck.filter(F.col("__c") != F.col("__old"))
         changed = changed_nodes.count()
         cores = ck.select("node", "__c")
         active = changed_nodes.select("node")
         release_plan_blocks(prev_ckpt)
         prev_ckpt = ck
+        if aff_ckpt is not None:
+            release_plan_blocks(aff_ckpt)
         if changed == 0:
             break
     else:
@@ -539,5 +586,5 @@ def kcore_decompose(
             changed,
         )
     out = cores.select("node", F.col("__c").cast("long").alias("core"))
-    out._bds_cached = [und]  # type: ignore[attr-defined]
+    out._bds_cached = [und, sym]  # type: ignore[attr-defined]
     return out
