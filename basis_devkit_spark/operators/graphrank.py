@@ -173,7 +173,14 @@ def _per_node_triangles(und: DataFrame, deg: DataFrame) -> DataFrame:
     adj = oriented.groupBy("u").agg(
         F.array_sort(F.collect_list("v")).alias("__nbrs")
     )
-    tris = (
+    # Per-edge closing set, then ONE contribution explode: (u, |ws|),
+    # (v, |ws|) and (w, 1) per closing node — same multiset of corner
+    # counts as emitting every (u,v,w) triangle row, but the join
+    # pipeline evaluates once (the previous 3-way union of u/v/w
+    # selects re-ran the two adjacency joins three times) and the
+    # aggregate shuffles 2E+T contribution rows instead of 3T
+    # triangle corners.
+    edge_tris = (
         oriented.join(
             adj.select(F.col("u"), F.col("__nbrs").alias("__nu")), "u"
         )
@@ -184,16 +191,34 @@ def _per_node_triangles(und: DataFrame, deg: DataFrame) -> DataFrame:
             "v",
         )
         .select(
-            "u", "v",
-            F.explode(F.array_intersect("__nu", "__nv")).alias("w"),
+            "u", "v", F.array_intersect("__nu", "__nv").alias("__ws")
         )
+        .filter(F.size("__ws") > 0)
     )
-    per_node = (
-        tris.select(F.col("u").alias("node"))
-        .unionAll(tris.select(F.col("v").alias("node")))
-        .unionAll(tris.select(F.col("w").alias("node")))
-        .groupBy("node")
-        .agg(F.count(F.lit(1)).cast("long").alias("n_triangles"))
+    contrib = edge_tris.select(
+        F.explode(
+            F.concat(
+                F.array(
+                    F.struct(
+                        F.col("u").alias("node"),
+                        F.size("__ws").cast("long").alias("c"),
+                    ),
+                    F.struct(
+                        F.col("v").alias("node"),
+                        F.size("__ws").cast("long").alias("c"),
+                    ),
+                ),
+                F.transform(
+                    F.col("__ws"),
+                    lambda w: F.struct(
+                        w.alias("node"), F.lit(1).cast("long").alias("c")
+                    ),
+                ),
+            )
+        ).alias("e")
+    ).select(F.col("e.node").alias("node"), F.col("e.c").alias("c"))
+    per_node = contrib.groupBy("node").agg(
+        F.sum("c").alias("n_triangles")
     )
     out = (
         deg.select("node")
