@@ -510,7 +510,14 @@ def embedding_near_dup_pairs(
     bands: int = 4,
 ) -> DataFrame:
     """Embedding-cosine near-dup pairs (id_a < id_b, cosine ≥ threshold)
-    via sign-LSH candidate generation + exact verify."""
+    via sign-LSH candidate generation + exact verify.
+
+    The banded self-join and the pair dedup move ONLY ids (the §8
+    shuffle-light-proxies rule): the previous shape carried both full
+    vectors through every multi-band candidate row and the
+    dropDuplicates exchange (~vector-width × candidate-count bytes);
+    vectors re-attach per UNIQUE pair afterwards, which also computes
+    each pair's cosine once instead of once per shared band."""
     dim = _vec_dim(df, vec_col)
     b = _sign_lsh_buckets(
         df.select(F.col(id_col).alias("__id"), F.col(vec_col).alias("__v")),
@@ -518,8 +525,8 @@ def embedding_near_dup_pairs(
         num_planes,
         bands,
         dim,
-    )
-    pairs = (
+    ).select("__id", "band", "bh")
+    cand = (
         b.alias("a")
         .join(
             b.alias("b"),
@@ -530,13 +537,33 @@ def embedding_near_dup_pairs(
         .select(
             F.col("a.__id").alias("id_a"),
             F.col("b.__id").alias("id_b"),
-            F.col("a.__v").alias("__va"),
-            F.col("b.__v").alias("__vb"),
         )
         .dropDuplicates(["id_a", "id_b"])
     )
+    # per-id double view + norm computed ONCE per vector (identical ops
+    # in identical order as cosine_similarity_col, just hoisted out of
+    # the pair relation — bit-identical cosines), so each candidate
+    # pair pays one dot product instead of a dot plus two norms
+    vd = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    vecs = df.select(
+        F.col(id_col).alias("__jid"),
+        vd.alias("__jv"),
+        _norm(vd).alias("__jn"),
+    )
+    pairs = (
+        cand.join(vecs, F.col("id_a") == F.col("__jid"))
+        .select(
+            "id_a", "id_b", F.col("__jv").alias("__va"), F.col("__jn").alias("__na")
+        )
+        .join(vecs, F.col("id_b") == F.col("__jid"))
+        .select(
+            "id_a", "id_b", "__va", "__na",
+            F.col("__jv").alias("__vb"), F.col("__jn").alias("__nb"),
+        )
+    )
+    cosine = _dot(F.col("__va"), F.col("__vb")) / (F.col("__na") * F.col("__nb"))
     return (
-        pairs.withColumn("cosine", cosine_similarity_col(F.col("__va"), F.col("__vb")))
+        pairs.withColumn("cosine", cosine)
         .filter(F.col("cosine") >= threshold)
         .select("id_a", "id_b", "cosine")
     )

@@ -74,10 +74,18 @@ def time_bucket_gapfill(
             .orderBy("__sb")
             .rowsBetween(Window.unboundedPreceding, Window.currentRow)
         )
+        # next-observation lookahead as a GROWING frame over descending
+        # bucket order: first(x) over [current, unbounded following] asc
+        # == last(x) over [unbounded preceding, current] desc, but
+        # Spark's unbounded-following frame processor re-evaluates the
+        # aggregate from the current row to the partition end for EVERY
+        # row — O(rows²) per series (measured 19 s vs 1.3 s at sf0.1);
+        # the growing frame is a linear running aggregate. Buckets are
+        # unique per series (dense spine), so the order is total.
         wb = (
             Window.partitionBy("__sg")
-            .orderBy("__sb")
-            .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+            .orderBy(F.col("__sb").desc())
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
         )
         # ts may be TIMESTAMP_NTZ; unix_micros wants TIMESTAMP (UTC session)
         obs_t = F.when(
@@ -85,8 +93,8 @@ def time_bucket_gapfill(
         )
         pv = F.last("__v", ignorenulls=True).over(wf).cast("double")
         pt = F.last(obs_t, ignorenulls=True).over(wf)
-        nv = F.first("__v", ignorenulls=True).over(wb).cast("double")
-        nt = F.first(obs_t, ignorenulls=True).over(wb)
+        nv = F.last("__v", ignorenulls=True).over(wb).cast("double")
+        nt = F.last(obs_t, ignorenulls=True).over(wb)
         t = F.unix_micros(F.col("__sb").cast("timestamp"))
         frac = (t - pt).cast("double") / (nt - pt).cast("double")
         filled = F.when(F.col("__v").isNotNull(), v).otherwise(
