@@ -639,6 +639,13 @@ def exclusive_prefix_sum(
         df2 = df.withColumn(
             "__b", F.floor(F.col(order_col) / F.lit(bucket_size))
         )
+    # Both passes (bucket sums; join + within-bucket window) scan df2 —
+    # a lazy local checkpoint makes them share ONE evaluation of the
+    # upstream lineage (for d31 that lineage is the BPE tokenization of
+    # the corpus: ~11 s recomputed at sf0.1 without this). The
+    # materialized relation is the caller's narrow (order, value[, ...])
+    # projection, rows × a few longs.
+    df2 = df2.localCheckpoint(eager=False)
     bsum = df2.groupBy("__b").agg(F.sum(value_col).alias("__bsum"))
     wb = Window.orderBy("__b").rowsBetween(Window.unboundedPreceding, -1)
     bprev = bsum.withColumn(
@@ -684,9 +691,14 @@ def pack_sequences(
     ``bpe_apply_indexed``) instead of the whitespace stand-in — the
     same measure upgrade as ``sequence_pack``'s d31 path."""
     if n_tokens_col is not None:
-        d = df.withColumn("__ntok", F.col(n_tokens_col).cast("long"))
+        ntok = F.col(n_tokens_col).cast("long")
     else:
-        d = df.withColumn("__ntok", token_count(text_col, "whitespace"))
+        ntok = token_count(text_col, "whitespace")
+    # Narrow to (id, count) BEFORE the prefix: exclusive_prefix_sum
+    # materializes its input (lazy local checkpoint) and the chunk
+    # summary needs nothing else — carrying text would persist the
+    # corpus payload instead of two longs per doc.
+    d = df.select(F.col(id_col), ntok.alias("__ntok"))
     d = exclusive_prefix_sum(d, id_col, "__ntok", "__off")
     return (
         d.withColumn("chunk_id", F.floor(F.col("__off") / F.lit(budget)))

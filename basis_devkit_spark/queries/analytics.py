@@ -4168,26 +4168,37 @@ def d33(spark: SparkSession, sf: str) -> DataFrame:
     "d31_bpe_tokenized_packing",
     pyoracle.bpe_packing_sql,
     doc="END-TO-END tokenizer-exact packing: the d30-learned BPE merge "
-    "table tokenizes every document (bpe_apply — rank-ordered greedy "
-    "folds, a pure projection) and the REAL subword counts feed "
+    "table counts every document's REAL subwords via d40's counts-only "
+    "indexed path (broadcast (word, n_sub) longs, map-side-combinable "
+    "SUM — counts proven equal to the full bpe_apply greedy fold by "
+    "the d37/d40 oracles, and the fold's per-rank nested expressions "
+    "are a Catalyst killer at a production 32k-merge vocabulary) and "
+    "the counts feed "
     "sequence_pack's bucketed two-phase prefix (d11's layout shape with "
     "the tokenizer measure r6 task 7 called for, no whitespace stand-"
     "in). All-integer: the oracle chains the independent Python BPE "
     "model's per-doc counts (pyoracle.bpe_token_counts_model) into the "
     "same packing SQL. 100 TB: one corpus scan learns the vocab-bounded "
-    "merges, tokenization is shuffle-free, packing adds the two "
-    "bucketed prefix aggs — no global window anywhere",
+    "merges, counting is a broadcast vocab join + one map-side-combined "
+    "SUM, packing adds the two bucketed prefix aggs — no global window "
+    "anywhere",
 )
 def d31(spark: SparkSession, sf: str) -> DataFrame:
-    from basis_devkit_spark.operators.bpe import bpe_apply, bpe_learn_merges
+    from basis_devkit_spark.operators.bpe import (
+        bpe_learn_merges,
+        bpe_token_counts_indexed,
+        release_tokenizer_vocab,
+    )
     from basis_devkit_spark.operators.text import sequence_pack
 
     docs = load(spark, sf, "documents")
-    mt = bpe_learn_merges(docs, "text", num_merges=8)
-    counted = bpe_apply(docs, mt).withColumn(
-        "bpe_ct", F.size("bpe_tokens").cast("long")
-    )
-    return sequence_pack(counted, budget=2048, n_tokens_col="bpe_ct")
+    mt, vocab = bpe_learn_merges(docs, "text", num_merges=8, emit_vocab=True)
+    counted = bpe_token_counts_indexed(docs, vocab, mt)
+    out = sequence_pack(counted, budget=2048, n_tokens_col="n_bpe_tokens")
+    # materialize, then drop the pinned vocab checkpoint (see d37)
+    out = out.localCheckpoint(eager=True)
+    release_tokenizer_vocab(vocab)
+    return out
 
 
 @register(
