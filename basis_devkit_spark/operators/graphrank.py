@@ -17,11 +17,16 @@ any partitioning and any engine, so the full 10-iteration ranking
 exact-hash oracles against an independent Python model (d28). The
 final ``rank = R / scale`` is one double division per node, rounded.
 
-Scale shape: each iteration is one equi-join (ranks ⋈ edges on src) +
-one groupBy(dst) integer sum + one broadcast of two scalar aggregates
-(dangling mass, N) — no windows, no collect of per-node state; the
-driver loop holds only DataFrame handles (lineage truncated every few
-rounds like ``connected_components``).
+Scale shape: the distinct edge relation is hash-partitioned by ``src``
+once and persisted (no round re-shuffles it or re-evaluates the
+caller's edge-construction lineage), the out-degree is folded into a
+persisted node-state relation once (no per-round ranks ⋈ outdeg join),
+and each iteration is one node-sized contribution join + one
+groupBy(dst) integer sum + one broadcast of two scalar aggregates
+(dangling mass, N) — no windows, no collect of per-node state; rank
+state is checkpointed node-sized every round (it feeds two consumers
+next round) with superseded-block release, and the caches are dropped
+once the final checkpoint truncates lineage.
 """
 
 from __future__ import annotations
@@ -51,30 +56,56 @@ def pagerank_fixed_point(
     0.5·10^-rank_round boundary (ranks are rationals), where Python's
     banker's rounding and Spark/DuckDB's half-away-from-zero disagree —
     observed once in 16k rows at sf0.1."""
-    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).distinct()
-    nodes = (
+    from pyspark import StorageLevel
+
+    spark = edges.sparkSession
+    nshuf = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    # ONE-TIME layout (the kcore lesson): the distinct edge relation
+    # feeds EVERY round's contribution join — hash-partition it by
+    # ``src`` once and persist. Without this (a) the caller's edge-
+    # construction lineage (for d86 a corpus-wide pair explode, for d28
+    # orders ⋈ lineitem) re-evaluates once per round, and (b) each round
+    # pays a full edge shuffle because the checkpoint-derived ranks side
+    # has unknown stats (never broadcast, never recognised as small).
+    # With the layout pinned, only node-sized rank state moves per round.
+    e = (
+        edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+        .distinct()
+        .repartition(nshuf, "src")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    # Static per-node state (node, outdeg), persisted: folding the
+    # degree into the rank relation removes the per-round ranks ⋈ outdeg
+    # join the previous shape paid (one shuffle join per round).
+    outdeg = e.groupBy(F.col("src").alias("node")).agg(
+        F.count(F.lit(1)).alias("__deg")
+    )
+    state = (
         e.select(F.col("src").alias("node"))
         .unionByName(e.select(F.col("dst").alias("node")))
         .distinct()
+        .join(outdeg, "node", "left")
+        .repartition(nshuf, "node")
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
-    n = nodes.count()
+    n = state.count()
     if n == 0:
-        return nodes.withColumn("rank", F.lit(0.0))
-    outdeg = e.groupBy("src").agg(F.count(F.lit(1)).alias("__deg"))
+        out = state.select("node").withColumn("rank", F.lit(0.0))
+        out = out.localCheckpoint(eager=True)
+        e.unpersist(False)
+        state.unpersist(False)
+        return out
     base = ((scale * 3) // 20) // n  # (1-d)·scale / N in exact ints
-    ranks = nodes.withColumn("__r", F.lit(scale // n).cast("long"))
+    ranks = state.withColumn("__r", F.lit(scale // n).cast("long"))
     prev_ckpt: DataFrame | None = None
     for it in range(iters):
-        with_deg = ranks.join(
-            outdeg, ranks["node"] == outdeg["src"], "left"
-        ).select("node", "__r", "__deg")
         # dangling mass: ranks of nodes with no out-edges, redistributed
-        dang = with_deg.filter(F.col("__deg").isNull()).agg(
+        dang = ranks.filter(F.col("__deg").isNull()).agg(
             F.coalesce(F.sum("__r"), F.lit(0)).cast("long").alias("__dm")
         )
+        live = ranks.filter(F.col("__deg").isNotNull())
         contrib = (
-            with_deg.filter(F.col("__deg").isNotNull())
-            .join(e, with_deg["node"] == e["src"])
+            live.join(e, live["node"] == e["src"])
             .select(
                 F.col("dst").alias("node2"),
                 F.expr("__r div __deg").cast("long").alias("__c"),
@@ -83,10 +114,11 @@ def pagerank_fixed_point(
             .agg(F.sum("__c").cast("long").alias("__in"))
         )
         ranks = (
-            nodes.join(contrib, nodes["node"] == contrib["node2"], "left")
+            state.join(contrib, state["node"] == contrib["node2"], "left")
             .crossJoin(F.broadcast(dang))
             .select(
                 "node",
+                "__deg",
                 (
                     F.lit(base).cast("long")
                     + F.expr(
@@ -95,16 +127,24 @@ def pagerank_fixed_point(
                 ).alias("__r"),
             )
         )
-        if (it + 1) % 4 == 0:
-            # eager checkpoint truncates lineage; the previous round's
-            # checkpoint is now unreachable — release its blocks rather
-            # than pinning one node-sized block set per 4 rounds until
-            # GC (DataFrame.unpersist() can't do this — see lineage.py).
-            # The LAST checkpoint backs the returned frame and stays.
-            ranks = ranks.localCheckpoint(eager=True)
-            if prev_ckpt is not None:
-                release_plan_blocks(prev_ckpt)
-            prev_ckpt = ranks
+        # eager checkpoint EVERY round: next round consumes ``ranks``
+        # twice (dangling agg + contribution join), so un-truncated
+        # lineage doubles per round (the LPA lesson — a cadence-2
+        # variant re-measured 13.5 s vs 11.5 s at sf0.1: the doubled
+        # contribution join costs more than the node-sized checkpoint
+        # job). The superseded round's blocks are released immediately
+        # (DataFrame.unpersist() can't do this — see lineage.py); the
+        # LAST checkpoint backs the returned frame and stays.
+        ranks = ranks.localCheckpoint(eager=True)
+        if prev_ckpt is not None:
+            release_plan_blocks(prev_ckpt)
+        prev_ckpt = ranks
+    # The final checkpoint truncated lineage — the edge and node-state
+    # caches are no longer read by the returned frame; release them now
+    # instead of pinning edge-sized blocks until session teardown.
+    if prev_ckpt is not None:
+        e.unpersist(False)
+        state.unpersist(False)
     if raw_scaled:
         return ranks.select("node", F.col("__r").alias("rank_scaled"))
     return ranks.select(
