@@ -58,13 +58,14 @@ def _words(text_col: str | Column) -> Column:
     )
 
 
-def gram_buckets(
-    text_col: str | Column, num_buckets: int = DEFAULT_BUCKETS, ngram_n: int = 2
+def _gram_buckets_from(
+    toks: Column, num_buckets: int = DEFAULT_BUCKETS, ngram_n: int = 2
 ) -> Column:
-    """``array<long>`` of hashed gram buckets — every unigram..``ngram_n``
-    occurrence (with multiplicity) of the whitespace-lowered text, each
-    hashed to ``pmod(xxhash64(gram), num_buckets)``. Pure expression."""
-    toks = _words(text_col)
+    """Hashed gram buckets from an already-bound token ARRAY column.
+    ``toks`` should be a materialized attribute (its own projection), not
+    an inline expression: higher-order functions run interpreted, so an
+    inlined split() child is re-evaluated for every lambda element —
+    O(tokens²) regex work per document (the d04j lesson)."""
 
     # NB: a two-arg lambda would be called by transform as (element,
     # index) — bind n via a real closure, never a defaulted second param.
@@ -82,6 +83,18 @@ def gram_buckets(
     )
 
 
+def gram_buckets(
+    text_col: str | Column, num_buckets: int = DEFAULT_BUCKETS, ngram_n: int = 2
+) -> Column:
+    """``array<long>`` of hashed gram buckets — every unigram..``ngram_n``
+    occurrence (with multiplicity) of the whitespace-lowered text, each
+    hashed to ``pmod(xxhash64(gram), num_buckets)``. Pure expression.
+    Prefer materializing the token array in its own projection and
+    calling the counting/scoring entry points — an inline text column
+    re-splits per lambda element under interpreted HOFs."""
+    return _gram_buckets_from(_words(text_col), num_buckets, ngram_n)
+
+
 def dsir_bucket_counts(
     df: DataFrame,
     text_col: str = "text",
@@ -91,8 +104,10 @@ def dsir_bucket_counts(
     """``(bucket long, cnt long)`` — hashed-gram occurrence counts, one
     hash agg, ≤ ``num_buckets`` rows. Mergeable by SUM (so per-shard
     counts can be combined), persistable as the corpus-side artifact."""
-    ex = df.select(
-        F.explode(gram_buckets(text_col, num_buckets, ngram_n)).alias("bucket")
+    ex = df.select(_words(text_col).alias("__toks")).select(
+        F.explode(
+            _gram_buckets_from(F.col("__toks"), num_buckets, ngram_n)
+        ).alias("bucket")
     )
     return ex.groupBy("bucket").agg(F.count(F.lit(1)).alias("cnt"))
 
@@ -156,10 +171,12 @@ def dsir_score(
         seen.add(bk)
     wdf = local_relation(spark, weight_rows, "bucket long, w long")
     ex = df.select(
-        F.col(id_col).alias("__id"),
-        F.explode_outer(gram_buckets(text_col, num_buckets, ngram_n)).alias(
-            "bucket"
-        ),
+        F.col(id_col).alias("__id"), _words(text_col).alias("__toks")
+    ).select(
+        "__id",
+        F.explode_outer(
+            _gram_buckets_from(F.col("__toks"), num_buckets, ngram_n)
+        ).alias("bucket"),
     )
     j = ex.join(F.broadcast(wdf), "bucket", "left")
     scored = j.groupBy("__id").agg(
