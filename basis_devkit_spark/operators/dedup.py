@@ -91,16 +91,23 @@ def exact_dedup(
 def shingle_col(text_col: str | Column, n: int = 3) -> Column:
     """Word-level n-gram shingles as an array<string> column (distinct).
 
-    Pure SQL expression: split → slide via transform over index sequence —
-    stays in codegen, no UDF.
+    Pure SQL expression: split → slide via transform over index sequence
+    — no UDF. The token array is let-bound (``exprs.let_``) so the
+    per-gram slice reads a bound lambda variable; an inlined split()
+    would re-run the regex for every gram under interpreted HOFs —
+    O(tokens²) per row (the d04j lesson).
     """
+    from .exprs import let_
+
     toks = F.split(F.lower(F.col(text_col) if isinstance(text_col, str) else text_col), r"\s+")
-    cnt = F.size(toks)
-    idx = F.sequence(F.lit(0), F.greatest(cnt - n, F.lit(0)))
-    grams = F.transform(
-        idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n))
-    )
-    return F.array_distinct(grams)
+
+    def _grams(t: Column) -> Column:
+        idx = F.sequence(F.lit(0), F.greatest(F.size(t) - n, F.lit(0)))
+        return F.array_distinct(
+            F.transform(idx, lambda i: F.concat_ws(" ", F.slice(t, i + 1, n)))
+        )
+
+    return let_(toks, _grams)
 
 
 def _exploded_shingles(

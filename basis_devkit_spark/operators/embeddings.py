@@ -25,7 +25,14 @@ def quantize_int8(
     vd = F.transform(F.col(vec_col), lambda x: x.cast("double"))
     amax = F.array_max(F.transform(vd, lambda x: F.abs(x)))
     scale = F.when(amax > 0, amax / 127.0).otherwise(F.lit(1.0))
-    q = F.transform(vd, lambda x: F.round(x / scale).cast("int"))
+    # let-bind the scale (exprs.let_): referenced inline inside the
+    # per-element lambda it would re-reduce the whole vector for every
+    # component — O(dim²) per row under interpreted HOFs.
+    from basis_devkit_spark.operators.exprs import let_
+
+    q = let_(
+        scale, lambda s: F.transform(vd, lambda x: F.round(x / s).cast("int"))
+    )
     return df.withColumn(f"{out}_q", q).withColumn(f"{out}_scale", scale)
 
 

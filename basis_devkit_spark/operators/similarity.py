@@ -53,11 +53,17 @@ def cosine_similarity_col(a: Column, b: Column) -> Column:
 
 
 def normalize_embeddings(df: DataFrame, vec_col: str, out_col: str | None = None) -> DataFrame:
-    """L2-normalize an embedding column (double precision)."""
+    """L2-normalize an embedding column (double precision). The norm is
+    let-bound (``exprs.let_``): referenced inline inside the per-element
+    lambda it would be re-aggregated over the whole vector for every
+    component — O(dim²) per row under interpreted HOFs."""
+    from basis_devkit_spark.operators.exprs import let_
+
     out_col = out_col or vec_col
     v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
-    n = _norm(v)
-    return df.withColumn(out_col, F.transform(v, lambda x: x / n))
+    return df.withColumn(
+        out_col, let_(_norm(v), lambda n: F.transform(v, lambda x: x / n))
+    )
 
 
 def brute_force_topk(
@@ -607,10 +613,18 @@ def semantic_dup_pairs(
         from basis_devkit_spark.operators.dedup import _drop_hot_buckets
 
         assigned = _drop_hot_buckets(assigned, ["__cell"], max_cell_size)
-    pairs = (
-        assigned.alias("a")
+    # Candidate generation moves (id, cell) ONLY — the d02d lesson: the
+    # cell self-join would otherwise carry both full vectors through
+    # the exchange and every comparison row. Vectors re-attach per
+    # candidate pair below, with each vector's double view + norm
+    # computed once per id (identical ops in identical order as
+    # cosine_similarity_col — bit-identical cosines), so a pair pays
+    # one dot product instead of a dot plus two norms.
+    slim = assigned.select("__id", "__cell")
+    cand = (
+        slim.alias("a")
         .join(
-            assigned.alias("b"),
+            slim.alias("b"),
             (F.col("a.__cell") == F.col("b.__cell"))
             & (F.col("a.__id") < F.col("b.__id")),
         )
@@ -618,8 +632,34 @@ def semantic_dup_pairs(
             F.col("a.__id").alias("id_a"),
             F.col("b.__id").alias("id_b"),
             F.col("a.__cell").alias("cell"),
-            cosine_similarity_col(F.col("a.__cv"), F.col("b.__cv")).alias("cosine"),
         )
+    )
+    # vectors come from the base relation (``__cv`` is the raw vec_col,
+    # so this is value-identical) — re-deriving them through ``assigned``
+    # would re-run the cell-assignment projection per join side
+    vd = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    vecs = df.select(
+        F.col(id_col).alias("__jid"),
+        vd.alias("__jv"),
+        _norm(vd).alias("__jn"),
+    )
+    pairs = (
+        cand.join(vecs, F.col("id_a") == F.col("__jid"))
+        .select(
+            "id_a", "id_b", "cell",
+            F.col("__jv").alias("__va"), F.col("__jn").alias("__na"),
+        )
+        .join(vecs, F.col("id_b") == F.col("__jid"))
+        .select(
+            "id_a", "id_b", "cell", "__va", "__na",
+            F.col("__jv").alias("__vb"), F.col("__jn").alias("__nb"),
+        )
+        .withColumn(
+            "cosine",
+            _dot(F.col("__va"), F.col("__vb"))
+            / (F.col("__na") * F.col("__nb")),
+        )
+        .select("id_a", "id_b", "cell", "cosine")
     )
     return pairs.filter(F.col("cosine") >= threshold)
 

@@ -7,6 +7,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from .exprs import let_
+
 # Tiny built-in stopword sets for the n-gram/stopword language heuristic.
 # Deliberately small + deterministic: the point is the distributed scoring
 # machinery, not lexical coverage.
@@ -246,14 +248,23 @@ def ngram_counts(
     sort of the gram table). ``min_count`` prunes the long tail before the
     ordering at 100 TB."""
     toks = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
-    cnt = F.size(toks)
-    idx = F.sequence(F.lit(0), F.greatest(cnt - n, F.lit(0)))
-    grams = F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)))
+    # let-bind the token array: the per-gram slice must read a bound
+    # lambda variable, not re-split the text per element (exprs.let_)
+    gram_or_empty = let_(
+        toks,
+        lambda t: F.when(
+            F.size(t) >= n,
+            F.transform(
+                F.sequence(F.lit(0), F.greatest(F.size(t) - n, F.lit(0))),
+                lambda i: F.concat_ws(" ", F.slice(t, i + 1, n)),
+            ),
+        ).otherwise(F.array().cast("array<string>")),
+    )
     # Stamp the doc id BEFORE the explode: in the same projection as a
     # generator it would evaluate per exploded row (id per gram, not doc).
     ex = df.withColumn("__doc", F.monotonically_increasing_id()).select(
         "__doc",
-        F.explode(F.when(cnt >= n, grams).otherwise(F.array())).alias("gram"),
+        F.explode(gram_or_empty).alias("gram"),
     )
     counts = ex.groupBy("gram").agg(
         F.count("*").alias("n_occurrences"),
@@ -277,12 +288,20 @@ def cross_doc_dup_ngram_frac(
     join back (the df table shrinks to only grams with n_docs > 1 — at
     corpus scale that's the skew-safe side), then one per-doc rollup."""
     toks = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
-    cnt = F.size(toks)
-    idx = F.sequence(F.lit(0), F.greatest(cnt - n, F.lit(0)))
-    grams = F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)))
+    # let-bound token array — same rationale as top_ngrams (exprs.let_)
+    gram_or_empty = let_(
+        toks,
+        lambda t: F.when(
+            F.size(t) >= n,
+            F.transform(
+                F.sequence(F.lit(0), F.greatest(F.size(t) - n, F.lit(0))),
+                lambda i: F.concat_ws(" ", F.slice(t, i + 1, n)),
+            ),
+        ).otherwise(F.array().cast("array<string>")),
+    )
     ex = df.select(
         F.col(id_col).alias("__id"),
-        F.explode(F.when(cnt >= n, grams).otherwise(F.array())).alias("gram"),
+        F.explode(gram_or_empty).alias("gram"),
     )
     per_doc_gram = ex.groupBy("__id", "gram").agg(F.count("*").alias("occ"))
     shared = (
@@ -334,17 +353,23 @@ def chunk_documents(
         raise ValueError("overlap must be smaller than chunk_tokens")
     stride = chunk_tokens - overlap
     toks = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
-    n = F.size(toks)
-    # number of chunks: 1 if n <= chunk else ceil((n - chunk)/stride) + 1
-    n_chunks = F.when(n <= chunk_tokens, F.lit(1)).otherwise(
-        F.ceil((n - F.lit(chunk_tokens)) / F.lit(stride)).cast("int") + 1
-    )
-    chunks = F.transform(
-        F.sequence(F.lit(0), n_chunks - 1),
-        lambda i: F.concat_ws(
-            " ", F.slice(toks, i * stride + 1, chunk_tokens)
-        ),
-    )
+
+    # let-bound token array: the per-chunk slice reads a bound lambda
+    # variable instead of re-splitting the text per chunk (exprs.let_)
+    def _chunks(t: Column) -> Column:
+        n = F.size(t)
+        # number of chunks: 1 if n <= chunk else ceil((n-chunk)/stride)+1
+        n_chunks = F.when(n <= chunk_tokens, F.lit(1)).otherwise(
+            F.ceil((n - F.lit(chunk_tokens)) / F.lit(stride)).cast("int") + 1
+        )
+        return F.transform(
+            F.sequence(F.lit(0), n_chunks - 1),
+            lambda i: F.concat_ws(
+                " ", F.slice(t, i * stride + 1, chunk_tokens)
+            ),
+        )
+
+    chunks = let_(toks, _chunks)
     ex = df.select(
         F.col(id_col), F.posexplode(chunks).alias("chunk_id", "chunk_text")
     )
@@ -1580,9 +1605,19 @@ def bigram_lm_score(
     collect."""
     toks = F.split(F.lower(F.coalesce(F.col(text_col), F.lit(""))), " ")
     base = df.select(F.col(id_col).alias("doc_id"), toks.alias("__ws"))
+    # The tokenized base feeds THREE passes (unigram counts, bigram
+    # counts, scoring join) — a lazy local checkpoint shares ONE
+    # evaluation of the caller's upstream lineage (for quality_pipeline
+    # that lineage is the whole lang-ID → Gopher → dedup filter chain)
+    # instead of re-running it per pass. The materialized relation is
+    # (id, tokens) — the tokenized corpus, the same artifact-sized
+    # tradeoff as d31's packing checkpoint.
+    base = base.localCheckpoint(eager=False)
     uni = base.select(F.explode("__ws").alias("w1"))
     ucnt = uni.groupBy("w1").agg(F.count(F.lit(1)).alias("__cu"))
-    vocab = uni.agg(F.countDistinct("w1").alias("__v"))
+    # |vocab| == number of unigram-count groups: count the (vocab-sized)
+    # count relation instead of a second corpus-wide distinct pass.
+    vocab = ucnt.agg(F.count(F.lit(1)).alias("__v"))
     pairs = base.filter(F.size("__ws") >= 2).select(
         "doc_id",
         F.explode(
@@ -1649,6 +1684,10 @@ def lm_quality_buckets(
     from pyspark.sql.window import Window
 
     s = bigram_lm_score(df, id_col, text_col, score_round)
+    # Three consumers below (row count, bucket counts, ranked join) —
+    # share one evaluation of the whole scoring DAG; the materialized
+    # relation is (doc_id, n_bigrams, lm_score), three scalars per doc.
+    s = s.localCheckpoint(eager=False)
     nrow = s.agg(F.count(F.lit(1)).cast("long").alias("__n"))
     d = s.withColumn("__nk", -F.col("lm_score")).withColumn(
         "__vb", F.floor(F.col("__nk") * F.lit(float(bucket_scale)))

@@ -1601,10 +1601,22 @@ def _zorder_value(df: DataFrame, cols: list[str], bits: int = 8):
         if not bnds:  # empty batch: approxQuantile found no rows
             continue
         v = F.coalesce(F.col(c).cast("double"), F.lit(float("-inf")))
-        arr = F.array(*[F.lit(float(b)) for b in bnds])
-        bucket = F.aggregate(
-            arr, F.lit(0), lambda acc, x: acc + F.when(v > x, 1).otherwise(0)
-        )
+
+        # bucket = #boundaries strictly below v. The predicate (v > b_i)
+        # is monotone over the sorted boundary list, so a balanced
+        # WHEN-tree binary search gives the same count in ``bits``
+        # codegen'd comparisons — the previous 255-step interpreted
+        # ``aggregate`` fold ran the lambda (and re-evaluated the cast)
+        # once per boundary per row per column.
+        def _search(lo: int, hi: int):  # bucket value in [lo, hi]
+            if lo == hi:
+                return F.lit(lo)
+            mid = (lo + hi) // 2
+            return F.when(
+                v > F.lit(float(bnds[mid])), _search(mid + 1, hi)
+            ).otherwise(_search(lo, mid))
+
+        bucket = _search(0, len(bnds))
         for bit in range(bits):
             z = z + F.shiftleft(
                 F.shiftright(bucket, bit).bitwiseAND(F.lit(1)).cast("long"),
