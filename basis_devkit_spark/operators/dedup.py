@@ -880,6 +880,10 @@ def source_vocab_overlap(
         F.col(group_col).alias("__g"),
         F.explode(shingle_col(text_col, shingle_size)).alias("__s"),
     ).distinct()
+    # three consumers (sizes, both self-join sides) would each re-run
+    # the shingle explode + distinct — share ONE evaluation (lazy: the
+    # first action materializes the blocks, the same action reuses them)
+    grams = grams.localCheckpoint(eager=False)
     sizes = grams.groupBy("__g").agg(F.count(F.lit(1)).alias("__n"))
     a = grams.select(F.col("__g").alias("ga"), "__s")
     b = grams.select(F.col("__g").alias("gb"), F.col("__s").alias("__s2"))

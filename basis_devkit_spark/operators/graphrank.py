@@ -385,6 +385,12 @@ def label_propagation(
     from .lineage import release_plan_blocks
 
     und = _canonical_edges(edges, src, dst)
+    # NOTE (r14): the d92/d28 fixed-edge-layout treatment (repartition
+    # sym by "d" once + per-round shuffle-hash) was tried and MEASURED
+    # SLOWER here (warm 8.8 -> 18.7 s at sf0.1): the label frame is
+    # node-sized, so AQE already BROADCASTS it each round and the edge
+    # relation is never shuffled at all — forcing a layout added a full
+    # edge exchange for nothing. Kept the broadcast-friendly shape.
     sym = und.select(
         F.col("a").alias("s"), F.col("b").alias("d")
     ).unionAll(und.select(F.col("b").alias("s"), F.col("a").alias("d")))
