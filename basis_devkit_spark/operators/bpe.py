@@ -204,6 +204,7 @@ def bpe_learn_merges(
     ).persist()
     vocab: DataFrame | None = None
     merges: list[tuple[int, str, str, str, int]] = []
+    prev: DataFrame | None = None
     try:
         while len(merges) < num_merges:
             pairs = (
@@ -225,6 +226,13 @@ def bpe_learn_merges(
             top = pairs.orderBy(
                 F.col("cnt").desc(), F.col("l"), F.col("r")
             ).limit(batch_merges).collect()  # bounded: <= N rows per round
+            # this collect just materialized syms' LAZY checkpoint (the
+            # pair count reads it), so the superseded round's blocks can
+            # now be dropped — fusing checkpoint + top-pair fetch into
+            # ONE job per round instead of two (r14: 8-round d37 fit).
+            if prev is not None:
+                release_plan_blocks(prev)
+                prev = None
             if not top:
                 break
             # Greedy disjoint admission: the first candidate is always
@@ -245,27 +253,55 @@ def bpe_learn_merges(
                     (len(merges), left, right, left + right, cnt)
                 )
                 col = _merge_fold(col, left, right)
+            if len(merges) >= num_merges:
+                # FINAL round: no further pair counting happens. Without
+                # emit_vocab the folds live in `merges` alone — break
+                # with no checkpoint job for a frame nothing will read.
+                # WITH emit_vocab the final fold-batch must still be
+                # checkpointed EAGERLY: the emitted vocab must ride a
+                # clean LogicalRDD plan (the apply-path plan-depth
+                # contract — merges live in DATA, never in the consumer's
+                # expression tree; gated by
+                # test_bpe_apply_indexed_oov_and_plan_depth), and eager
+                # materialization lets the superseded frame be released
+                # here instead of pinning two vocabulary-sized block sets
+                # until the caller consumes the vocab.
+                if emit_vocab:
+                    nxt = syms.select(
+                        "word", col.alias("syms")
+                    ).localCheckpoint(eager=True)
+                    release_plan_blocks(syms)
+                    syms = nxt
+                    vocab = syms.select(
+                        "word", F.col("syms").alias("subwords")
+                    )
+                    vocab._bds_backing = syms  # type: ignore[attr-defined]
+                break
             # localCheckpoint (not persist) — CUTS LINEAGE each round.
             # With persist the logical plan still chains every previous
             # round's folds; across hundreds of rounds the accumulated
             # plan string / codegen blows the driver heap (observed OOM
             # at 8 rounds x 32 batched folds under an 8g heap) long
             # before data size matters. Checkpointing keeps every
-            # round's plan exactly one fold-batch deep.
+            # round's plan exactly one fold-batch deep. LAZY (r14): the
+            # next round's top-pair collect materializes it, so each
+            # round runs one job, not two; the superseded frame is
+            # released only AFTER that collect (releasing earlier would
+            # strand the lazy checkpoint's still-live lineage).
             nxt = syms.select(
                 "word", "weight", col.alias("syms")
-            ).localCheckpoint(eager=True)
+            ).localCheckpoint(eager=False)
             # release_plan_blocks, not unpersist: DataFrame.unpersist()
             # is a silent no-op on checkpointed frames (see lineage.py),
             # so the superseded round's blocks must be dropped via the
             # backing RDD or they pin storage until GC.
-            release_plan_blocks(syms)
+            prev = syms
             syms = nxt
-        if emit_vocab:
-            # shallow select over the checkpointed frame — the vocab
-            # survives the unpersist below without re-deriving any fold.
-            # Deployment path: write it to a store, then call
-            # release_tokenizer_vocab(vocab) to drop the pinned blocks.
+        if emit_vocab and vocab is None:
+            # loop drained the pair relation before num_merges — the
+            # vocab is the current frame verbatim. Deployment path:
+            # write it to a store, then call release_tokenizer_vocab()
+            # to drop the pinned blocks.
             vocab = syms.select("word", F.col("syms").alias("subwords"))
             vocab._bds_backing = syms  # type: ignore[attr-defined]
     finally:
@@ -274,6 +310,8 @@ def bpe_learn_merges(
         # stay alive until the caller materializes/persists it; the
         # explicit release path is release_tokenizer_vocab() (GC +
         # ContextCleaner is only the fallback).
+        if prev is not None and prev is not syms:
+            release_plan_blocks(prev)  # loop raised mid-round
         if vocab is None:  # not emitting, or the loop raised
             release_plan_blocks(syms)
     spark = corpus.sparkSession

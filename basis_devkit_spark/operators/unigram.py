@@ -311,15 +311,23 @@ def unigram_lm_fit(
     weights are the fit's ONLY corpus-derived input and are per-key
     SUM-mergeable across micro-batches, so a maintained word store
     refits byte-identically to a one-shot scan."""
+    from .lineage import release_plan_blocks
+
     if words is None:
         words = _word_weights(corpus, text_col)
+    # LAZY checkpoint + total collect = ONE job (r14): the eager
+    # checkpoint used to re-run the seed/recount pipeline a second time
+    # after the total had already evaluated it. The per-round state is
+    # the materialized (piece, cnt) blocks; the scaled-lp column is a
+    # pure projection over them, re-derived by each consumer for free.
     seed = unigram_seed_pieces(words, max_piece_len, seed_size)
-    total = seed.agg(F.sum("cnt")).collect()[0][0]
-    pieces = seed.select(
+    backing = seed.localCheckpoint(eager=False)
+    total = backing.agg(F.sum("cnt")).collect()[0][0]
+    pieces = backing.select(
         "piece",
         "cnt",
         _scaled_lp(F.col("cnt"), F.lit(int(total))).alias("lp"),
-    ).localCheckpoint(eager=True)
+    )
     for _ in range(int(em_iters)):
         seg = unigram_segment_words(
             words, pieces, max_piece_len, max_word_len
@@ -343,12 +351,15 @@ def unigram_lm_fit(
             (F.col("__r") <= int(vocab_size))
             | (F.length("piece") == 1)
         ).drop("__r")
-        tot = kept.agg(F.sum("cnt")).collect()[0][0]
-        pieces = kept.select(
+        nxt = kept.localCheckpoint(eager=False)
+        tot = nxt.agg(F.sum("cnt")).collect()[0][0]  # materializes nxt
+        release_plan_blocks(backing)  # superseded round's blocks
+        backing = nxt
+        pieces = backing.select(
             "piece",
             "cnt",
             _scaled_lp(F.col("cnt"), F.lit(int(tot))).alias("lp"),
-        ).localCheckpoint(eager=True)
+        )
     return pieces
 
 

@@ -1972,22 +1972,49 @@ def d05c(spark: SparkSession, sf: str) -> DataFrame:
     blobs = d.select(
         "doc_id", F.concat(hdr, F.encode("text", "utf-8")).alias("content")
     )
-    hx = F.hex("content")
-    n = F.length("content").cast("long")
-    arr = F.transform(
-        F.sequence(F.lit(0), n.cast("int") - 1),
-        lambda i: F.substring(hx, i * 2 + 1, 2),
-    )
-    distinct = F.array_distinct(arr)
-    return blobs.select(
+    # materialize hex + byte array ONCE per row in their own projections
+    # (HOFs run interpreted — an inlined hex()/transform() re-evaluates
+    # over the whole blob for every lambda element, O(n²) per doc), and
+    # take the modal byte frequency as the longest equal-run of the
+    # SORTED byte array — one O(n log n) sort + linear fold instead of
+    # the O(distinct × n) filter scan (the d04j repetition_stats shape).
+    hexed = blobs.select(
         "doc_id",
-        n.alias("n_bytes"),
-        F.size(distinct).cast("long").alias("distinct_bytes"),
-        F.array_max(
-            F.transform(
-                distinct, lambda d_: F.size(F.filter(arr, lambda x: x == d_))
-            )
-        ).cast("long").alias("top_byte_freq"),
+        F.length("content").cast("long").alias("n_bytes"),
+        F.hex("content").alias("__hx"),
+    )
+    arred = hexed.select(
+        "doc_id",
+        "n_bytes",
+        F.transform(
+            F.sequence(F.lit(0), F.col("n_bytes").cast("int") - 1),
+            lambda i: F.substring(F.col("__hx"), i * 2 + 1, 2),
+        ).alias("__arr"),
+    )
+    run = F.aggregate(
+        F.array_sort(F.col("__arr")),
+        F.struct(
+            F.lit(0).alias("best"),
+            F.lit(0).alias("run"),
+            F.lit(None).cast("string").alias("prev"),
+        ),
+        lambda acc, x: F.struct(
+            F.greatest(
+                acc["best"],
+                F.when(x == acc["prev"], acc["run"] + 1).otherwise(F.lit(1)),
+            ).alias("best"),
+            F.when(x == acc["prev"], acc["run"] + 1)
+            .otherwise(F.lit(1))
+            .alias("run"),
+            x.alias("prev"),
+        ),
+        lambda acc: acc["best"],
+    )
+    return arred.select(
+        "doc_id",
+        "n_bytes",
+        F.size(F.array_distinct("__arr")).cast("long").alias("distinct_bytes"),
+        run.cast("long").alias("top_byte_freq"),
     )
 
 
