@@ -1249,6 +1249,46 @@ def ngram_contamination_bloom(
     return hits.select(F.col("__id").alias(id_col), "shared_grams")
 
 
+def _pair_shingles(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str,
+    text_col: str,
+    shingle_size: int,
+) -> tuple[DataFrame, DataFrame, list[DataFrame]]:
+    """Shared prep for the pairwise truth operators: the slim pair
+    relation and the pair-bounded shingle explosion, each PERSISTED so
+    one evaluation feeds every consumer (r14: the pair relation is read
+    4× — both id unions, the intersection probe, the final left join —
+    and for an upstream like ``minhash_near_dup_pairs`` each read
+    re-ran the banded self-join + candidate dedup; the shingle relation
+    is read 3× — both intersection sides and the size agg — and each
+    read re-ran the semi-join + interpreted shingle split). Both frames
+    are pair-population-bounded, so caching them is metadata-sized
+    relative to the corpus. Returns ``(p, sh, cached)``; the caller
+    must thread ``cached`` (which extends the upstream's
+    ``_bds_cached`` handle) onto its result for
+    ``release_signature_caches``."""
+    from pyspark import StorageLevel
+
+    cached = list(getattr(pairs, "_bds_cached", []))
+    p = pairs.select("id_a", "id_b").persist(StorageLevel.MEMORY_AND_DISK)
+    cached.append(p)
+    ids = (
+        p.select(F.col("id_a").alias("__id"))
+        .unionAll(p.select(F.col("id_b").alias("__id")))
+        .distinct()
+    )
+    docs = df.join(
+        ids, df[id_col] == ids["__id"], "left_semi"
+    ).select(F.col(id_col).alias("__d"), F.col(text_col))
+    sh = docs.select(
+        "__d", F.explode(shingle_col(text_col, shingle_size)).alias("__s")
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    cached.append(sh)
+    return p, sh, cached
+
+
 def pairwise_jaccard(
     df: DataFrame,
     pairs: DataFrame,
@@ -1272,19 +1312,8 @@ def pairwise_jaccard(
     the exploded shingles + one per-pair hash agg — no all-pairs
     join, no inverted-index self-join, no stop-shingle cap needed
     (the pair set already bounds the work)."""
-    ids = (
-        pairs.select(F.col("id_a").alias("__id"))
-        .unionAll(pairs.select(F.col("id_b").alias("__id")))
-        .distinct()
-    )
-    docs = df.join(
-        ids, df[id_col] == ids["__id"], "left_semi"
-    ).select(F.col(id_col).alias("__d"), F.col(text_col))
-    sh = docs.select(
-        "__d", F.explode(shingle_col(text_col, shingle_size)).alias("__s")
-    )
+    p, sh, cached = _pair_shingles(df, pairs, id_col, text_col, shingle_size)
     sizes = sh.groupBy("__d").agg(F.count(F.lit(1)).alias("__sz"))
-    p = pairs.select("id_a", "id_b")
     inter = (
         p.join(
             sh.select(F.col("__d").alias("id_a"), F.col("__s")), "id_a"
@@ -1327,6 +1356,7 @@ def pairwise_jaccard(
             ).alias("exact_jaccard"),
         )
     )
+    out._bds_cached = cached  # type: ignore[attr-defined]
     return out
 
 
@@ -1353,19 +1383,8 @@ def pairwise_containment(
     to the pair relation before any shingle explosion (pair-population-
     bounded, never corpus-wide), two equi-joins + one per-pair hash
     agg, no all-pairs work."""
-    ids = (
-        pairs.select(F.col("id_a").alias("__id"))
-        .unionAll(pairs.select(F.col("id_b").alias("__id")))
-        .distinct()
-    )
-    docs = df.join(
-        ids, df[id_col] == ids["__id"], "left_semi"
-    ).select(F.col(id_col).alias("__d"), F.col(text_col))
-    sh = docs.select(
-        "__d", F.explode(shingle_col(text_col, shingle_size)).alias("__s")
-    )
+    p, sh, cached = _pair_shingles(df, pairs, id_col, text_col, shingle_size)
     sizes = sh.groupBy("__d").agg(F.count(F.lit(1)).alias("__sz"))
-    p = pairs.select("id_a", "id_b")
     inter = (
         p.join(
             sh.select(F.col("__d").alias("id_a"), F.col("__s")), "id_a"
@@ -1383,7 +1402,7 @@ def pairwise_containment(
         d.isNotNull(),
         F.floor(ni.cast("double") / d.cast("double") * scale + 0.5) / scale,
     )
-    return (
+    out = (
         p.join(inter, ["id_a", "id_b"], "left")
         .join(
             sizes.select(F.col("__d").alias("id_a"), F.col("__sz").alias("__sa")),
@@ -1406,6 +1425,8 @@ def pairwise_containment(
             ).alias("max_containment"),
         )
     )
+    out._bds_cached = cached  # type: ignore[attr-defined]
+    return out
 
 
 def source_overlap_matrix(

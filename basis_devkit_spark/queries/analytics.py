@@ -6987,6 +6987,9 @@ def d56(spark: SparkSession, sf: str) -> DataFrame:
         )
     )
     ck = out.localCheckpoint(eager=True)
+    # exact's handle chains the upstream sig caches plus the shared
+    # pair/shingle caches pairwise_jaccard persisted (r14)
+    release_signature_caches(exact)
     release_signature_caches(pairs)
     return ck
 
@@ -7686,6 +7689,9 @@ def d63(spark: SparkSession, sf: str) -> DataFrame:
     )
     out = pairwise_containment(docs, pairs.select("id_a", "id_b"))
     ck = out.localCheckpoint(eager=True)
+    # out's handle holds the shared pair/shingle caches (r14); pairs'
+    # holds the signature caches (the .select above dropped the rider)
+    release_signature_caches(out)
     release_signature_caches(pairs)
     return ck
 
