@@ -467,11 +467,7 @@ def domain_cap(
     if max_per_domain < 1:
         raise ValueError("max_per_domain must be >= 1")
     with_dom = registrable_domain(df, url_col, out_col=out_col)
-    capped_side = with_dom.filter(F.col(out_col).isNotNull())
-    null_side = with_dom.filter(F.col(out_col).isNull()).withColumn(
-        "domain_rank", F.lit(None).cast("int")
-    )
-    weighted = capped_side.withColumn(
+    weighted = with_dom.filter(F.col(out_col).isNotNull()).withColumn(
         "__w",
         F.col(keep_by).cast("double") if keep_by else F.lit(1.0),
     )
@@ -486,11 +482,17 @@ def domain_cap(
     ).select(
         out_col, id_col, F.col("rank").alias("domain_rank")
     )
-    kept = capped_side.join(winners, [out_col, id_col]).select(
-        *df.columns, out_col, "domain_rank"
-    )
-    return kept.unionByName(
-        null_side.select(*df.columns, out_col, "domain_rank")
+    # Single output pass (r14): ONE left join against the bounded winner
+    # relation keeps a row when its domain is NULL (uncapped passthrough
+    # — a NULL join key never matches, so domain_rank stays NULL) or it
+    # won the reservoir. The previous keeper-join + NULL-side union read
+    # ``with_dom`` twice more, re-running the per-row PSL fold for the
+    # whole corpus a 3rd time (2 corpus-wide PSL passes total now: the
+    # reservoir scan and this one).
+    return (
+        with_dom.join(winners, [out_col, id_col], "left")
+        .filter(F.col(out_col).isNull() | F.col("domain_rank").isNotNull())
+        .select(*df.columns, out_col, "domain_rank")
     )
 
 
