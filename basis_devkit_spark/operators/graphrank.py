@@ -22,11 +22,12 @@ once and persisted (no round re-shuffles it or re-evaluates the
 caller's edge-construction lineage), the out-degree is folded into a
 persisted node-state relation once (no per-round ranks ⋈ outdeg join),
 and each iteration is one node-sized contribution join + one
-groupBy(dst) integer sum + one broadcast of two scalar aggregates
-(dangling mass, N) — no windows, no collect of per-node state; rank
-state is checkpointed node-sized every round (it feeds two consumers
-next round) with superseded-block release, and the caches are dropped
-once the final checkpoint truncates lineage.
+groupBy(dst) integer sum — no windows, no collect of per-node state.
+Each round is ONE job: the rank state is lazily checkpointed and the
+bounded dangling-mass collect (a single scalar) materializes it; the
+scalar enters the next round's plan as a literal (no per-round
+broadcast/cross-join), superseded checkpoint blocks are released, and
+the caches are dropped once the final checkpoint truncates lineage.
 """
 
 from __future__ import annotations
@@ -35,6 +36,26 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from .lineage import release_plan_blocks
+
+# Per-round inner-plan tap — measurement tooling only (plans/r15 round
+# evidence): iterative operators' declared queries return checkpoint
+# scans, so their interesting physical plans (the per-round lineage) are
+# transient. When a list is installed here, each round appends
+# ``(label, formatted_plan)`` for its pre-checkpoint frame. Never set on
+# query paths; zero cost when None.
+_ROUND_PLAN_TAP: list[tuple[str, str]] | None = None
+
+
+def _tap_plan(label: str, df: DataFrame) -> None:
+    if _ROUND_PLAN_TAP is None:
+        return
+    try:
+        txt = df._sc._jvm.PythonSQLUtils.explainString(
+            df._jdf.queryExecution(), "formatted"
+        )
+    except Exception:  # pragma: no cover - older JVM surface
+        txt = df._jdf.queryExecution().toString()
+    _ROUND_PLAN_TAP.append((label, txt))
 
 
 def pagerank_fixed_point(
@@ -99,11 +120,33 @@ def pagerank_fixed_point(
     ranks = state.withColumn("__r", F.lit(scale // n).cast("long"))
     prev_ckpt: DataFrame | None = None
     for it in range(iters):
-        # dangling mass: ranks of nodes with no out-edges, redistributed
-        dang = ranks.filter(F.col("__deg").isNull()).agg(
-            F.coalesce(F.sum("__r"), F.lit(0)).cast("long").alias("__dm")
+        # ONE job per round (the bpe-fit fusion shape, r14): lazily
+        # checkpoint the incoming rank state, then the BOUNDED
+        # dangling-mass collect (one scalar) materializes it. The scalar
+        # rides back to the driver and enters the round's plan as a
+        # LITERAL, so (a) the per-round BroadcastNestedLoopJoin +
+        # broadcast exchange the previous shape paid for ``__dm`` is
+        # gone, and (b) the round's plan consumes the materialized
+        # checkpoint ONCE (the contribution join) — the dangling
+        # aggregate reads the same materialized blocks up front, not a
+        # second evaluation of the lineage. Previous shape: eager
+        # checkpoint job + broadcast materialization per round (~2 job
+        # dispatches); now: one count-sized collect per round.
+        ck = ranks.localCheckpoint(eager=False)
+        dm = int(
+            ck.filter(F.col("__deg").isNull())
+            .agg(F.coalesce(F.sum("__r"), F.lit(0)).cast("long").alias("__dm"))
+            .collect()[0]["__dm"]
         )
-        live = ranks.filter(F.col("__deg").isNotNull())
+        if prev_ckpt is not None:
+            release_plan_blocks(prev_ckpt)
+        prev_ckpt = ck
+        # shuffle_hash hints: both per-round joins are node-sized on the
+        # build side against an already-partitioned probe side — without
+        # the hint the planner picks SortMergeJoin (checkpoint-derived
+        # stats are unknown) and re-SORTS the persisted edge relation
+        # every round (guide §3.1: prefer hash when the build side fits).
+        live = ck.filter(F.col("__deg").isNotNull()).hint("shuffle_hash")
         contrib = (
             live.join(e, live["node"] == e["src"])
             .select(
@@ -112,39 +155,37 @@ def pagerank_fixed_point(
             )
             .groupBy("node2")
             .agg(F.sum("__c").cast("long").alias("__in"))
+            .hint("shuffle_hash")
         )
+        # dm ≥ 0 (ranks are non-negative) and n ≥ 1, so Python ``//``
+        # here equals the previous in-plan ``__dm div {n}`` exactly
+        # (both truncate for non-negative operands) — bit-identical
+        # integer semantics, oracle-confirmed (d28/d86/c18).
         ranks = (
             state.join(contrib, state["node"] == contrib["node2"], "left")
-            .crossJoin(F.broadcast(dang))
             .select(
                 "node",
                 "__deg",
                 (
                     F.lit(base).cast("long")
                     + F.expr(
-                        f"((coalesce(__in, 0) + (__dm div {n})) * 17) div 20"
+                        f"((coalesce(__in, 0) + {dm // n}) * 17) div 20"
                     ).cast("long")
                 ).alias("__r"),
             )
         )
-        # eager checkpoint EVERY round: next round consumes ``ranks``
-        # twice (dangling agg + contribution join), so un-truncated
-        # lineage doubles per round (the LPA lesson — a cadence-2
-        # variant re-measured 13.5 s vs 11.5 s at sf0.1: the doubled
-        # contribution join costs more than the node-sized checkpoint
-        # job). The superseded round's blocks are released immediately
-        # (DataFrame.unpersist() can't do this — see lineage.py); the
-        # LAST checkpoint backs the returned frame and stays.
-        ranks = ranks.localCheckpoint(eager=True)
-        if prev_ckpt is not None:
-            release_plan_blocks(prev_ckpt)
-        prev_ckpt = ranks
+        _tap_plan(f"pagerank_round{it}", ranks)
+    # The last round's plan is still lazy: one final eager checkpoint
+    # truncates lineage for the returned frame (same contract as before
+    # — callers receive a checkpoint-backed node-sized relation).
+    ranks = ranks.localCheckpoint(eager=True)
+    if prev_ckpt is not None:
+        release_plan_blocks(prev_ckpt)
     # The final checkpoint truncated lineage — the edge and node-state
     # caches are no longer read by the returned frame; release them now
     # instead of pinning edge-sized blocks until session teardown.
-    if prev_ckpt is not None:
-        e.unpersist(False)
-        state.unpersist(False)
+    e.unpersist(False)
+    state.unpersist(False)
     if raw_scaled:
         return ranks.select("node", F.col("__r").alias("rank_scaled"))
     return ranks.select(
@@ -635,6 +676,7 @@ def kcore_decompose(
             F.coalesce("__h", "__c").alias("__c"),
             F.col("__c").alias("__old"),
         )
+        _tap_plan("kcore_round", nxt)
         # lazy checkpoint: the convergence count below materializes it,
         # fusing checkpoint + count into one job per round
         ck = nxt.localCheckpoint(eager=False)
